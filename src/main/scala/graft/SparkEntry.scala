@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` is one implemented operator/capability from SURVEY.md §2;
+  * `oracleSql` holds the equivalent DuckDB SQL for the driver's hash-compare
+  * (omitted only for operators whose hashes are engine-specific, e.g. minhash).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    operators.Relational.q1_agg(spark, "/root/testdata/sf0.001")
+
+  private val bundles: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (operators.Relational.queries, operators.Relational.oracles))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    bundles.map(_._1).reduce(_ ++ _)
+
+  def oracleSql: Map[String, String] =
+    bundles.map(_._2).reduce(_ ++ _)
 }

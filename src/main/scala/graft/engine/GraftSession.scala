@@ -1,0 +1,38 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Mirrors the role of Trino's session/config layer
+  * (reference: core/trino-main/src/main/java/io/trino/Session.java) but is a thin
+  * configuration of Spark itself: Catalyst is our analyzer/optimizer, the Spark
+  * scheduler + shuffle is our MPP fabric.
+  *
+  * Scale notes (designed for a 1000-executor cluster, tested on local[32]):
+  *  - AQE on: runtime partition coalescing + skew-join splitting replace Trino's
+  *    adaptive/FTE re-planning (reference: sql/planner/AdaptivePlanner.java).
+  *  - shuffle.partitions is a *default*; at 100 TB a real deployment raises it
+  *    (or relies on AQE coalescing from a high initial number).
+  *  - UTC session timezone pins timestamp semantics for oracle parity.
+  */
+object GraftSession {
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the operator/query layer.
+  *
+  * Oracle-determinism convention: the driver hash-compares our parquet output
+  * against DuckDB running the same SQL. Floating-point SUMs are order-dependent,
+  * and Spark/DuckDB partial-aggregation orders differ — so every monetary
+  * aggregate goes through exact DECIMAL(12,2) arithmetic (the fixture money
+  * columns are 2-decimal doubles, so the cast is lossless) and is cast back to
+  * DOUBLE only at the very end (correctly-rounded, identical in both engines).
+  * This mirrors Trino, where monetary TPC-H columns are decimals in the first
+  * place (reference: plugin/trino-tpch/src/main/java/io/trino/plugin/tpch/TpchMetadata.java:102).
+  */
+package object operators {
+  /** Exact 2-decimal money value (lossless for the fixture data). */
+  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Deterministic double result of an exact decimal aggregate. */
+  def asDouble(c: Column): Column = c.cast("double")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(spark, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+}

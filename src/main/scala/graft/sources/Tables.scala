@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access layer over the deterministic parquet fixtures (TESTDATA.md).
+  *
+  * Plays the role of Trino's connector metadata + split enumeration
+  * (reference: core/trino-spi/src/main/java/io/trino/spi/connector/ConnectorMetadata.java:70,
+  * ConnectorSplitManager.java:20) — in Spark the parquet DSv2 source already provides
+  * split planning, vectorized reads, predicate pushdown and column pruning, so this
+  * layer is only naming + schema pinning.
+  *
+  * Scale note: `spark.read.parquet` on a directory of files partitions by rowgroup
+  * up to `spark.sql.files.maxPartitionBytes`; nothing here assumes single-file input.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Dimension tables small enough to broadcast at any realistic scale factor. */
+  val broadcastable: Set[String] = Set("region", "nation")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]). Read the raw int64 nanos and truncate to
+    * micros (matching DuckDB's ns→us truncation) — same approach the reference
+    * takes for its picos-precision timestamps backed by wider physical types
+    * (reference: core/trino-spi/src/main/java/io/trino/spi/type/TimestampType.java:35). */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Register every fixture table as a temp view so `spark.sql` queries see the
+    * same names the DuckDB oracle uses. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
