@@ -15,7 +15,10 @@ object SparkEntry {
 
   private val bundles: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (operators.Relational.queries, operators.Relational.oracles))
+      (operators.Relational.queries, operators.Relational.oracles),
+      (operators.Aggregates.queries, operators.Aggregates.oracles),
+      (operators.SetOps.queries, operators.SetOps.oracles),
+      (operators.Sorts.queries, operators.Sorts.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     bundles.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operator family (SURVEY.md §2.4).
+  *
+  * Reference mapping:
+  *  - AggregationOperator (ungrouped; reference operator/AggregationOperator.java:35)
+  *  - HashAggregationOperator partial/final (operator/HashAggregationOperator.java:46)
+  *  - GroupIdOperator for GROUPING SETS/ROLLUP/CUBE (operator/GroupIdOperator.java:32)
+  *    → Catalyst Expand.
+  *  - MarkDistinctOperator for multi-distinct (operator/MarkDistinctOperator.java:33)
+  *    → Catalyst RewriteDistinctAggregates.
+  *  - min_by/max_by, bool_and/or, bitwise aggs, listagg/string_agg, stats aggs
+  *    (operator/aggregation: MaxAggregationFunction.java:42, the minmaxby package,
+  *    VarianceAggregation.java, CentralMomentsAggregation.java).
+  *
+  * Scale: all of these are partial+final hash aggregates — map-side combine
+  * happens before the shuffle, so cardinality of the shuffle is |groups|, not |rows|.
+  */
+object Aggregates {
+
+  def q_agg_global(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem").agg(
+      count(lit(1)).as("cnt"),
+      countDistinct($"l_orderkey").as("n_orders"),
+      min($"l_extendedprice").as("min_price"),
+      max($"l_extendedprice").as("max_price"),
+      asDouble(sum(dec($"l_quantity"))).as("sum_qty"))
+  }
+  val qAggGlobalSql: String =
+    """SELECT count(*) AS cnt, count(DISTINCT l_orderkey) AS n_orders,
+       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem"""
+
+  def q_agg_distinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct($"l_partkey").as("n_part"),
+        countDistinct($"l_suppkey", $"l_partkey").as("n_supp_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+  val qAggDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part,
+       count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part,
+       count(*) AS n_rows
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  def q_groupingsets(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+         CAST(grouping(l_returnflag) AS INT) AS g1, CAST(grouping(l_linestatus) AS INT) AS g2,
+         count(*) AS cnt,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  }
+  val qGroupingsetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g1, CAST(grouping(l_linestatus) AS INT) AS g2,
+       count(*) AS cnt,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  def q_rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = table(s, dir, "nation")
+    val r = table(s, dir, "region")
+    val c = table(s, dir, "customer")
+    c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("customers"), asDouble(sum(dec($"c_acctbal"))).as("balance"),
+        grouping($"r_name").cast("int").as("g1"), grouping($"n_name").cast("int").as("g2"))
+      .orderBy($"g1", $"g2", $"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+  val qRollupSql: String =
+    """SELECT r_name, n_name, count(*) AS customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS balance,
+       CAST(grouping(r_name) AS INT) AS g1, CAST(grouping(n_name) AS INT) AS g2
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP (r_name, n_name)
+       ORDER BY g1, g2, r_name NULLS FIRST, n_name NULLS FIRST"""
+
+  def q_cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer")
+    val o = table(s, dir, "orders")
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .cube($"c_mktsegment", $"o_orderstatus")
+      .agg(count(lit(1)).as("orders"), asDouble(sum(dec($"o_totalprice"))).as("total"),
+        grouping($"c_mktsegment").cast("int").as("g1"), grouping($"o_orderstatus").cast("int").as("g2"))
+      .orderBy($"g1", $"g2", $"c_mktsegment".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+  val qCubeSql: String =
+    """SELECT c_mktsegment, o_orderstatus, count(*) AS orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(grouping(c_mktsegment) AS INT) AS g1, CAST(grouping(o_orderstatus) AS INT) AS g2
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY CUBE (c_mktsegment, o_orderstatus)
+       ORDER BY g1, g2, c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST"""
+
+  /** Statistical aggregates; results rounded because Welford-merge order differs
+    * between engines at ~1e-12 relative (reference impls: VarianceAggregation.java,
+    * CovarianceAggregation.java, DoubleRegressionAggregation.java). */
+  def q_agg_stats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 3).as("sd_qty"),
+        round(var_samp($"l_quantity"), 3).as("var_qty"),
+        round(stddev_pop($"l_quantity"), 3).as("sdp_qty"),
+        round(var_pop($"l_quantity"), 3).as("varp_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qp"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 3).as("covs_qp"),
+        round(covar_pop($"l_quantity", $"l_extendedprice"), 3).as("covp_qp"),
+        round(regr_slope($"l_extendedprice", $"l_quantity"), 6).as("slope"),
+        round(regr_intercept($"l_extendedprice", $"l_quantity"), 3).as("icept"))
+      .orderBy($"l_returnflag")
+  }
+  val qAggStatsSql: String =
+    """SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 3) AS sd_qty,
+       round(var_samp(l_quantity), 3) AS var_qty,
+       round(stddev_pop(l_quantity), 3) AS sdp_qty,
+       round(var_pop(l_quantity), 3) AS varp_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       round(covar_samp(l_quantity, l_extendedprice), 3) AS covs_qp,
+       round(covar_pop(l_quantity, l_extendedprice), 3) AS covp_qp,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 3) AS icept
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** min_by/max_by with a struct tiebreak for full determinism (reference:
+    * operator/aggregation/minmaxby/). Oracle uses the equivalent window formulation. */
+  def q_agg_minmax_by(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        max_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey")).as("top_order"),
+        min_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey")).as("bottom_order"),
+        max($"o_totalprice").as("max_price"),
+        min($"o_totalprice").as("min_price"))
+      .orderBy($"o_orderstatus")
+  }
+  val qAggMinmaxBySql: String =
+    """WITH r AS (
+         SELECT o_orderstatus, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+           row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+         FROM orders)
+       SELECT o_orderstatus,
+         max(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_order,
+         max(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_order,
+         max(o_totalprice) AS max_price, min(o_totalprice) AS min_price
+       FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** array_agg/listagg equivalents (reference: arrayagg/ArrayAggregationFunction.java:34,
+    * listagg/ListaggAggregationFunction.java:33): deterministic via sorted collect. */
+  def q_agg_listagg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        concat_ws(",", sort_array(collect_set($"source"))).as("sources"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"lang")
+  }
+  val qAggListaggSql: String =
+    """SELECT lang, count(*) AS docs,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+       count(DISTINCT source) AS n_sources
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  def q_agg_bool(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        bool_and($"l_discount" <= 0.1).as("all_low_disc"),
+        bool_or($"l_quantity" === 50.0).as("any_max_qty"),
+        bool_and($"l_tax" < 0.05).as("all_low_tax"))
+      .orderBy($"l_returnflag")
+  }
+  val qAggBoolSql: String =
+    """SELECT l_returnflag,
+       bool_and(l_discount <= 0.1) AS all_low_disc,
+       bool_or(l_quantity = 50.0) AS any_max_qty,
+       bool_and(l_tax < 0.05) AS all_low_tax
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  def q_agg_bitwise(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        bit_and($"l_linenumber").as("ba"),
+        bit_or($"l_linenumber").as("bo"),
+        bit_xor($"l_linenumber").as("bx"))
+      .orderBy($"l_returnflag")
+  }
+  val qAggBitwiseSql: String =
+    """SELECT l_returnflag, bit_and(l_linenumber) AS ba, bit_or(l_linenumber) AS bo,
+       bit_xor(l_linenumber) AS bx
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  val queries: Map[String, Q] = Map(
+    "q_agg_global" -> q_agg_global _,
+    "q_agg_distinct" -> q_agg_distinct _,
+    "q_groupingsets" -> q_groupingsets _,
+    "q_rollup" -> q_rollup _,
+    "q_cube" -> q_cube _,
+    "q_agg_stats" -> q_agg_stats _,
+    "q_agg_minmax_by" -> q_agg_minmax_by _,
+    "q_agg_listagg" -> q_agg_listagg _,
+    "q_agg_bool" -> q_agg_bool _,
+    "q_agg_bitwise" -> q_agg_bitwise _)
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_global" -> qAggGlobalSql,
+    "q_agg_distinct" -> qAggDistinctSql,
+    "q_groupingsets" -> qGroupingsetsSql,
+    "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
+    "q_agg_stats" -> qAggStatsSql,
+    "q_agg_minmax_by" -> qAggMinmaxBySql,
+    "q_agg_listagg" -> qAggListaggSql,
+    "q_agg_bool" -> qAggBoolSql,
+    "q_agg_bitwise" -> qAggBitwiseSql)
+}
