@@ -18,7 +18,9 @@ object SparkEntry {
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.Aggregates.queries, operators.Aggregates.oracles),
       (operators.SetOps.queries, operators.SetOps.oracles),
-      (operators.Sorts.queries, operators.Sorts.oracles))
+      (operators.Sorts.queries, operators.Sorts.oracles),
+      (operators.Windows.queries, operators.Windows.oracles),
+      (operators.Events.queries, operators.Events.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     bundles.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table (batch side of SURVEY.md §2.12).
+  *
+  * The reference has no streaming runtime — Kafka topics are scanned as tables
+  * (plugin/trino-kafka). These queries are the batch formulations; the same
+  * logic is exposed for Structured Streaming in graft.streaming.EventStreams
+  * (sessionize = gap-based session_window, daily rollup = tumbling window).
+  *
+  * Scale: sessionization is a window over (user_id) — shuffles once by user and
+  * sorts within partition; no driver-side state. JSON extraction is a codegen'd
+  * path expression, not a UDF.
+  */
+object Events {
+
+  /** Gap-based sessionization (30-min inactivity) via lag + running sum —
+    * the classic batch formulation of session windows. */
+  def q_events_sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_session",
+        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(run))
+      .groupBy($"user_id")
+      .agg(
+        max($"session_id").as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        asDouble(sum(dec($"value"))).as("total_value"))
+      .orderBy($"user_id")
+  }
+  val qEventsSessionizeSql: String =
+    """WITH g AS (
+         SELECT user_id, value, epoch_us(ts) AS us,
+           lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         FROM events),
+       sess AS (
+         SELECT user_id, value,
+           CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+         FROM g)
+       SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       FROM sess GROUP BY user_id ORDER BY user_id"""
+
+  /** Tumbling daily rollup (batch form of a streaming windowed aggregation). */
+  def q_events_daily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "events")
+      .groupBy(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"), $"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"user_id").as("users"),
+        asDouble(sum(dec($"value"))).as("total_value"))
+      .orderBy($"day", $"event_type")
+  }
+  val qEventsDailySql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n, count(DISTINCT user_id) AS users,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
+
+  /** JSON property extraction + aggregation (reference: JsonFunctions.java:54,
+    * JsonExtract.java — json_extract_scalar ≈ get_json_object). */
+  def q_events_json(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy(($"k" % 10).as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"),
+        asDouble(sum(dec($"value"))).as("total_value"))
+      .orderBy($"k_bucket")
+  }
+  val qEventsJsonSql: String =
+    """SELECT k % 10 AS k_bucket, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events)
+       GROUP BY 1 ORDER BY k_bucket"""
+
+  /** Funnel-ish conditional aggregation per user (FILTER / CASE pivot). */
+  def q_events_pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        count(when($"event_type" === "view", 1)).as("views"),
+        count(when($"event_type" === "click", 1)).as("clicks"),
+        count(when($"event_type" === "purchase", 1)).as("purchases"),
+        asDouble(sum(when($"event_type" === "purchase", dec($"value")).otherwise(lit(0).cast("decimal(12,2)")))).as("purchase_value"))
+      .orderBy($"user_id")
+  }
+  val qEventsPivotSql: String =
+    """SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'view') AS views,
+       count(*) FILTER (WHERE event_type = 'click') AS clicks,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
+  val queries: Map[String, Q] = Map(
+    "q_events_sessionize" -> q_events_sessionize _,
+    "q_events_daily" -> q_events_daily _,
+    "q_events_json" -> q_events_json _,
+    "q_events_pivot" -> q_events_pivot _)
+
+  val oracles: Map[String, String] = Map(
+    "q_events_sessionize" -> qEventsSessionizeSql,
+    "q_events_daily" -> qEventsDailySql,
+    "q_events_json" -> qEventsJsonSql,
+    "q_events_pivot" -> qEventsPivotSql)
+}

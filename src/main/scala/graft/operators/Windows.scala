@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2.5).
+  *
+  * Reference mapping:
+  *  - WindowOperator (operator/WindowOperator.java:70) → WindowExec after a
+  *    hash-partition shuffle on partitionBy keys + intra-partition sort.
+  *  - Ranking/value functions (operator/window/RowNumberFunction.java et al.,
+  *    registration metadata/SystemFunctionBundle.java:392-402) → built-ins.
+  *  - Frames (operator/window/RowsFraming.java:28, RangeFraming.java:31)
+  *    → rowsBetween/rangeBetween.
+  *  - TopNRankingOperator (operator/TopNRankingOperator.java:40) → rank filter,
+  *    optimized to WindowGroupLimitExec by Catalyst (partial top-N before the
+  *    shuffle — the same partial/final split the reference does).
+  *
+  * Determinism: every ORDER BY inside a window spec is total (unique tiebreak
+  * key) wherever row identity matters; peer-sensitive functions (rank, range
+  * frames) are additionally exercised with non-unique orderings since their
+  * results are peer-stable. Ranking outputs are cast to long to match the
+  * oracle's BIGINT.
+  */
+object Windows {
+
+  def q_window_ranking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val peers = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc)
+    val total = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc, $"c_custkey")
+    table(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        row_number().over(total).cast("long").as("rn"),
+        rank().over(peers).cast("long").as("rnk"),
+        dense_rank().over(peers).cast("long").as("drnk"),
+        percent_rank().over(peers).as("pr"),
+        cume_dist().over(peers).as("cd"),
+        ntile(4).over(total).cast("long").as("quartile"))
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+  val qWindowRankingSql: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+       row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
+       rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk,
+       percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS pr,
+       cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS cd,
+       ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+       FROM customer ORDER BY c_mktsegment, c_custkey"""
+
+  def q_window_value(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(s, dir, "events")
+      .select($"event_id", $"user_id", $"value",
+        lag($"value", 1).over(w).as("prev_value"),
+        lead($"value", 1).over(w).as("next_value"),
+        lag($"event_type", 2, "none").over(w).as("prev2_type"),
+        first($"value").over(w).as("first_value"),
+        last($"value").over(wFull).as("last_value"),
+        nth_value($"value", 2).over(wFull).as("second_value"))
+      .orderBy($"event_id")
+  }
+  val qWindowValueSql: String =
+    """SELECT event_id, user_id, value,
+       lag(value, 1) OVER w AS prev_value,
+       lead(value, 1) OVER w AS next_value,
+       lag(event_type, 2, 'none') OVER w AS prev2_type,
+       first_value(value) OVER w AS first_value,
+       last_value(value) OVER wf AS last_value,
+       nth_value(value, 2) OVER wf AS second_value
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+              wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY event_id"""
+
+  /** Running totals + moving window (ROWS frames); aggregates-as-window-functions
+    * (reference: operator/window/AggregateWindowFunction.java). */
+  def q_window_running(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = w.rowsBetween(-2, Window.currentRow)
+    table(s, dir, "events")
+      .select($"event_id", $"user_id",
+        count(lit(1)).over(run).as("n_so_far"),
+        asDouble(sum(dec($"value")).over(run)).as("running_value"),
+        asDouble(sum(dec($"value")).over(mov)).as("moving3_value"),
+        (asDouble(sum(dec($"value")).over(mov)) / count(lit(1)).over(mov)).as("moving3_avg"))
+      .orderBy($"event_id")
+  }
+  val qWindowRunningSql: String =
+    """SELECT event_id, user_id,
+       count(*) OVER wr AS n_so_far,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) OVER wr AS DOUBLE) AS running_value,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) OVER wm AS DOUBLE) AS moving3_value,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) OVER wm AS DOUBLE) / count(*) OVER wm AS moving3_avg
+       FROM events
+       WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wm AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       ORDER BY event_id"""
+
+  /** RANGE frame with a numeric offset (day-grain sliding window per customer). */
+  def q_window_range(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+      .withColumn("order_day", datediff($"o_orderdate", lit("1995-01-01").cast("timestamp")).cast("long"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"order_day").rangeBetween(-30, 0)
+    o.select($"o_orderkey", $"o_custkey",
+        count(lit(1)).over(w).as("orders_30d"),
+        asDouble(sum(dec($"o_totalprice")).over(w)).as("spend_30d"))
+      .orderBy($"o_orderkey")
+  }
+  val qWindowRangeSql: String =
+    """SELECT o_orderkey, o_custkey,
+       count(*) OVER w AS orders_30d,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS spend_30d
+       FROM (SELECT *, CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS order_day FROM orders)
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY order_day
+                    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+       ORDER BY o_orderkey"""
+
+  /** Filter-over-rank top-N per group → WindowGroupLimitExec (partial top-N
+    * before the shuffle; reference TopNRankingOperator.java:40). */
+  def q_window_topn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rn")
+  }
+  val qWindowTopnSql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders)
+       WHERE rn <= 3 ORDER BY o_custkey, rn"""
+
+  val queries: Map[String, Q] = Map(
+    "q_window_ranking" -> q_window_ranking _,
+    "q_window_value" -> q_window_value _,
+    "q_window_running" -> q_window_running _,
+    "q_window_range" -> q_window_range _,
+    "q_window_topn" -> q_window_topn _)
+
+  val oracles: Map[String, String] = Map(
+    "q_window_ranking" -> qWindowRankingSql,
+    "q_window_value" -> qWindowValueSql,
+    "q_window_running" -> qWindowRunningSql,
+    "q_window_range" -> qWindowRangeSql,
+    "q_window_topn" -> qWindowTopnSql)
+}
