@@ -20,7 +20,8 @@ object SparkEntry {
       (operators.SetOps.queries, operators.SetOps.oracles),
       (operators.Sorts.queries, operators.Sorts.oracles),
       (operators.Windows.queries, operators.Windows.oracles),
-      (operators.Events.queries, operators.Events.oracles))
+      (operators.Events.queries, operators.Events.oracles),
+      (operators.Functions.queries, operators.Functions.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     bundles.map(_._1).reduce(_ ++ _)
