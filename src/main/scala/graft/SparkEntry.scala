@@ -21,7 +21,10 @@ object SparkEntry {
       (operators.Sorts.queries, operators.Sorts.oracles),
       (operators.Windows.queries, operators.Windows.oracles),
       (operators.Events.queries, operators.Events.oracles),
-      (operators.Functions.queries, operators.Functions.oracles))
+      (operators.Functions.queries, operators.Functions.oracles),
+      (operators.Dedup.queries, operators.Dedup.oracles),
+      (operators.Similarity.queries, operators.Similarity.oracles),
+      (operators.TextAnalysis.queries, operators.TextAnalysis.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     bundles.map(_._1).reduce(_ ++ _)

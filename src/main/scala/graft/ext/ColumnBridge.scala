@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge.
+  *
+  * Spark 4 made `ExpressionUtils` private[sql]; custom Catalyst expressions
+  * still need a public seam to surface as `Column`s. This one-file subpackage
+  * of org.apache.spark.sql exists solely to re-export the two conversions —
+  * the standard pattern for Spark extension libraries.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

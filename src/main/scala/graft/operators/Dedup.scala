@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators (extension track — LLM-data-pipeline).
+  *
+  * Four escalating strategies over `documents`:
+  *  - exact: hash-groupBy on normalized text — one shuffle on the norm key.
+  *  - ngram: exact word-3-gram Jaccard via an inverted-index self-join — the
+  *    correctness baseline; quadratic within shingle buckets, so the *scale*
+  *    path is:
+  *  - minhash LSH: per-row signature (pure codegen, no shuffle) → band-bucket
+  *    join → candidates. At 100 TB: |bands|·|docs| rows shuffle instead of
+  *    |docs|², and bucket skew is bounded by band width.
+  *  - simhash: 64-bit fingerprint packed as 4×16-bit bands; hamming≤3 pairs
+  *    are guaranteed to collide on ≥1 band (pigeonhole).
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: keep first doc_id per group, report group size. */
+  def q_dedup_exact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"norm").orderBy($"doc_id")
+    table(s, dir, "documents")
+      .withColumn("norm", regexp_replace(lower($"text"), "\\s+", " "))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("dups", count(lit(1)).over(Window.partitionBy($"norm")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"dups")
+      .orderBy($"doc_id")
+  }
+  val qDedupExactSql: String =
+    """WITH n AS (
+         SELECT doc_id, lang, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents),
+       r AS (
+         SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn,
+           count(*) OVER (PARTITION BY norm) AS dups
+         FROM n)
+       SELECT doc_id, lang, dups FROM r WHERE rn = 1 ORDER BY doc_id"""
+
+  /** Exact n-gram (word trigram) Jaccard near-dup pairs ≥ 0.8 via inverted index. */
+  def q_dedup_ngram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+      .select($"doc_id", explode(shingles3(tokens($"text"))).as("sh"))
+    val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = docs.as("a").join(docs.as("b"), Seq("sh"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard", $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter"))
+      .filter($"jaccard" >= 0.8)
+      .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+  val qDedupNgramSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       sh AS (
+         SELECT doc_id, unnest(list_distinct(
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
+         FROM toks WHERE len(w) >= 3),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+         round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+       FROM pairs
+       JOIN sizes sa ON doc_a = sa.doc_id
+       JOIN sizes sb ON doc_b = sb.doc_id
+       WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+       ORDER BY doc_a, doc_b"""
+
+  /** MinHash+LSH near-dup pipeline (no SQL oracle — xxhash64 is engine-specific;
+    * the driver records a rows-only check, and MinhashSpec asserts the estimates
+    * against exact Jaccard). Output: per-doc candidate stats + best candidate. */
+  def q_dedup_minhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 64; val bands = 16; val r = 4
+    val sigs = table(s, dir, "documents")
+      .select($"doc_id", minhashSignature(shingles3(tokens($"text")), k).as("sig"))
+    val buckets = sigs.select($"doc_id", $"sig",
+      posexplode(minhashBands($"sig", bands, r)).as(Seq("band", "bkey")))
+    val cand = buckets.as("a").join(buckets.as("b"), Seq("band", "bkey"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        minhashSimilarity($"a.sig", $"b.sig").as("est_sim"))
+      .distinct()
+    cand.filter($"est_sim" >= 0.5)
+      .groupBy($"doc_a")
+      .agg(count(lit(1)).as("n_candidates"),
+        round(max($"est_sim"), 4).as("best_sim"),
+        max_by($"doc_b", struct($"est_sim", $"doc_b")).as("best_match"))
+      .orderBy($"doc_a")
+  }
+
+  /** SimHash fingerprint + banded hamming candidates (rows-only check). */
+  def q_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = table(s, dir, "documents")
+      .select($"doc_id", simhashBands(tokens($"text")).as("bands"))
+    val byBand = sigs.select($"doc_id", $"bands",
+      posexplode($"bands").as(Seq("band_idx", "band_val")))
+    val pairs = byBand.as("a").join(byBand.as("b"), Seq("band_idx", "band_val"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        simhashHamming($"a.bands", $"b.bands").as("hamming"))
+      .distinct()
+    pairs.filter($"hamming" <= 6)
+      .groupBy($"doc_a")
+      .agg(count(lit(1)).as("n_near"), min($"hamming").as("min_hamming"))
+      .orderBy($"doc_a")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> q_dedup_exact _,
+    "q_dedup_ngram" -> q_dedup_ngram _,
+    "q_dedup_minhash" -> q_dedup_minhash _,
+    "q_dedup_simhash" -> q_dedup_simhash _)
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_ngram" -> qDedupNgramSql)
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text analysis operators (extension track: language-ID, quality scoring,
+  * token counting, document fingerprinting) over `documents`.
+  *
+  * All per-row codegen'd expressions — at 100 TB this is a pure map stage that
+  * scales linearly with input splits; the only shuffle is the final ORDER BY
+  * (and in production these feed filters, not sorts).
+  */
+object TextAnalysis {
+
+  def q_text_stats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .filter($"doc_id" < 200)
+      .withColumn("toks", tokens($"text"))
+      .select($"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct_tokens"),
+        round(length(regexp_replace($"text", " ", "")).cast("double") / size($"toks"), 6).as("avg_token_len"),
+        (size(array_distinct($"toks")).cast("double") / size($"toks")).as("ttr"),
+        length(regexp_replace($"text", "[a-z ]", "")).cast("long").as("n_nonalpha"))
+      .orderBy($"doc_id")
+  }
+  val qTextStatsSql: String =
+    """SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS n_distinct_tokens,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(lower(text), ' ')), 6) AS avg_token_len,
+       CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE) / len(string_split(lower(text), ' ')) AS ttr,
+       CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT) AS n_nonalpha
+       FROM documents WHERE doc_id < 200 ORDER BY doc_id"""
+
+  /** Heuristic quality score: length band + type-token ratio + stopword presence
+    * (the shape of a C4/Gopher-style rule filter, arithmetically portable). */
+  def q_text_quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "to")
+    table(s, dir, "documents")
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks").cast("double"))
+      .withColumn("stop_hits", size(filter($"toks", t => t.isin(stop: _*))).cast("double"))
+      .withColumn("ttr", size(array_distinct($"toks")).cast("double") / $"n_tokens")
+      .withColumn("len_score",
+        when($"n_tokens" >= 20 && $"n_tokens" <= 200, 1.0d)
+          .otherwise(when($"n_tokens" < 20, $"n_tokens" / 20.0).otherwise(lit(200.0) / $"n_tokens")))
+      .withColumn("stop_score", least($"stop_hits" / $"n_tokens" / 0.05, lit(1.0d)))
+      .withColumn("quality", round(($"len_score" + $"stop_score" + $"ttr") / 3.0, 6))
+      .select($"doc_id", $"quality",
+        round($"len_score", 6).as("len_score"),
+        round($"stop_score", 6).as("stop_score"),
+        round($"ttr", 6).as("ttr"))
+      .orderBy($"doc_id")
+  }
+  val qTextQualitySql: String =
+    """WITH t AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       m AS (
+         SELECT doc_id,
+           CAST(len(toks) AS DOUBLE) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS stop_hits,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+         FROM t),
+       sc AS (
+         SELECT doc_id, ttr,
+           CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN 1.0
+                WHEN n_tokens < 20 THEN n_tokens / 20.0
+                ELSE 200.0 / n_tokens END AS len_score,
+           least(stop_hits / n_tokens / 0.05, 1.0) AS stop_score
+         FROM m)
+       SELECT doc_id, round((len_score + stop_score + ttr) / 3.0, 6) AS quality,
+         round(len_score, 6) AS len_score, round(stop_score, 6) AS stop_score,
+         round(ttr, 6) AS ttr
+       FROM sc ORDER BY doc_id"""
+
+  /** Stopword-dictionary language ID; deterministic argmax with fixed tie order. */
+  def q_text_langid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def hits(words: Seq[String]) =
+      (c: org.apache.spark.sql.Column) => size(filter(c, t => t.isin(words: _*))).cast("long")
+    table(s, dir, "documents")
+      .withColumn("toks", tokens($"text"))
+      .withColumn("en", hits(Seq("the", "and", "of", "to", "a"))($"toks"))
+      .withColumn("de", hits(Seq("der", "die", "das", "und", "nicht"))($"toks"))
+      .withColumn("es", hits(Seq("el", "la", "de", "y", "que"))($"toks"))
+      .withColumn("fr", hits(Seq("le", "la", "et", "les", "des"))($"toks"))
+      .withColumn("predicted",
+        when($"en" >= $"de" && $"en" >= $"es" && $"en" >= $"fr" && $"en" > 0, "en")
+          .when($"de" >= $"es" && $"de" >= $"fr" && $"de" > 0, "de")
+          .when($"es" >= $"fr" && $"es" > 0, "es")
+          .when($"fr" > 0, "fr")
+          .otherwise("unknown"))
+      .select($"doc_id", $"lang", $"predicted", $"en", $"de", $"es", $"fr",
+        ($"lang" === $"predicted").as("match"))
+      .orderBy($"doc_id")
+  }
+  val qTextLangidSql: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+       h AS (
+         SELECT doc_id, lang,
+           CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS BIGINT) AS en,
+           CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','nicht'))) AS BIGINT) AS de,
+           CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','que'))) AS BIGINT) AS es,
+           CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS fr
+         FROM t)
+       SELECT doc_id, lang,
+         CASE WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+              WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+              WHEN es >= fr AND es > 0 THEN 'es'
+              WHEN fr > 0 THEN 'fr'
+              ELSE 'unknown' END AS predicted,
+         en, de, es, fr,
+         lang = (CASE WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+              WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+              WHEN es >= fr AND es > 0 THEN 'es'
+              WHEN fr > 0 THEN 'fr'
+              ELSE 'unknown' END) AS match
+       FROM h ORDER BY doc_id"""
+
+  /** Polynomial rolling-hash fingerprint (base 31 mod 1e9+7) + duplicate-
+    * fingerprint accounting — portable arithmetic, so fully oracle-checked. */
+  def q_text_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .filter($"doc_id" < 200)
+      .withColumn("fp", polyFingerprint($"text"))
+      .select($"doc_id", $"fp", ($"fp" % 1024).as("fp_bucket"))
+      .orderBy($"doc_id")
+  }
+  val qTextFingerprintSql: String =
+    """SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         [CAST(ascii(text[i]) AS BIGINT) for i in range(1, length(text) + 1)]),
+         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         [CAST(ascii(text[i]) AS BIGINT) for i in range(1, length(text) + 1)]),
+         (acc, c) -> (acc * 31 + c) % 1000000007) % 1024 AS fp_bucket
+       FROM documents WHERE doc_id < 200 ORDER BY doc_id"""
+
+  val queries: Map[String, Q] = Map(
+    "q_text_stats" -> q_text_stats _,
+    "q_text_quality" -> q_text_quality _,
+    "q_text_langid" -> q_text_langid _,
+    "q_text_fingerprint" -> q_text_fingerprint _)
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" -> qTextStatsSql,
+    "q_text_quality" -> qTextQualitySql,
+    "q_text_langid" -> qTextLangidSql,
+    "q_text_fingerprint" -> qTextFingerprintSql)
+}
