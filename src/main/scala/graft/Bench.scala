@@ -1,23 +1,61 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness (driver contract): one JSON line on stdout.
+  *
+  * Methodology mirrors the reference's Benchto setup
+  * (reference: testing/trino-benchto-benchmarks/src/main/resources/benchmarks/trino/tpch.yaml:4-7 —
+  * prewarm runs before measured runs, concurrency 1): 1 prewarm + 2 measured
+  * per query, report the best measured run. Queries are forced end-to-end with
+  * a noop sink (count() would let Catalyst prune the compute).
+  */
 object Bench {
+  /** Headline set: one per operator family that dominates at scale. */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q6_filter", "q_scan_project",
+    "q3_join_topn", "q5_multi_join", "q_join_left",
+    "q_agg_distinct", "q_groupingsets",
+    "q_window_topn", "q_window_running",
+    "q_events_sessionize",
+    "q_dedup_minhash", "q_dedup_ngram",
+    "q_sim_cosine_topk", "q_text_fingerprint")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      run(name)
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    val names = headline.filter(SparkEntry.queries.contains)
+    val results = names.map { name =>
+      try {
+        run(name) // prewarm: codegen + file listing + JIT
+        name -> math.min(timed(name), timed(name))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
+      }
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

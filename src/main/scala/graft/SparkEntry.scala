@@ -24,7 +24,9 @@ object SparkEntry {
       (operators.Functions.queries, operators.Functions.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Similarity.queries, operators.Similarity.oracles),
-      (operators.TextAnalysis.queries, operators.TextAnalysis.oracles))
+      (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
+      (operators.Multimodal.queries, operators.Multimodal.oracles),
+      (operators.Misc.queries, operators.Misc.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     bundles.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining operator-inventory items (SURVEY.md §2.9, §2.11, approx aggs §2.4).
+  *
+  *  - sequence TVF (reference: operator/table/SequenceFunction.java:58) →
+  *    spark.range + sequence()/explode.
+  *  - map functions (reference: MapConstructor.java:52, map_from_entries,
+  *    transform_values et al.) → built-in map_* functions; output flattened to
+  *    strings for engine-portable comparison.
+  *  - approx_distinct / approx_percentile (reference:
+  *    ApproximateCountDistinctAggregation.java:45, QuantileDigestAggregationFunction.java:41)
+  *    → approx_count_distinct (HLL++) / approx_percentile; sketches are
+  *    engine-specific so ApproxSpec asserts error bounds instead of an oracle.
+  */
+object Misc {
+
+  /** Numeric-range TVF + per-row sequence explosion. */
+  def q_tvf_sequence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(1, 101).toDF("i")
+      .withColumn("j", explode(sequence(lit(1L), $"i")))
+      .groupBy($"i")
+      .agg(count(lit(1)).as("n"), sum($"j").as("total"))
+      .orderBy($"i")
+  }
+  val qTvfSequenceSql: String =
+    """WITH base AS (SELECT range AS i FROM range(1, 101)),
+       x AS (SELECT i, unnest(range(1, CAST(i + 1 AS INT))) AS j FROM base)
+       SELECT i, count(*) AS n, CAST(sum(j) AS BIGINT) AS total
+       FROM x GROUP BY i ORDER BY i"""
+
+  /** Map construction + iteration, flattened to a deterministic string. */
+  def q_map_fns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"lang")
+      .agg(map_from_entries(sort_array(collect_list(struct($"source", $"cnt")))).as("m"))
+      .select($"lang",
+        size(map_keys($"m")).cast("long").as("n_sources"),
+        array_join(transform(map_entries($"m"), e =>
+          concat(e.getField("key"), lit(":"), e.getField("value"))), ",").as("hist"),
+        try_element_at($"m", lit("src1")).as("src1_cnt"))
+      .orderBy($"lang")
+  }
+  val qMapFnsSql: String =
+    """WITH c AS (
+         SELECT lang, source, count(*) AS cnt FROM documents GROUP BY lang, source)
+       SELECT lang, count(*) AS n_sources,
+         string_agg(source || ':' || cnt, ',' ORDER BY source) AS hist,
+         CAST(max(CASE WHEN source = 'src1' THEN cnt END) AS BIGINT) AS src1_cnt
+       FROM c GROUP BY lang ORDER BY lang"""
+
+  /** Approximate aggregates (rows-only; ApproxSpec bounds the error). */
+  def q_approx_agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey").as("approx_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_median"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_tvf_sequence" -> q_tvf_sequence _,
+    "q_map_fns" -> q_map_fns _,
+    "q_approx_agg" -> q_approx_agg _)
+
+  val oracles: Map[String, String] = Map(
+    "q_tvf_sequence" -> qTvfSequenceSql,
+    "q_map_fns" -> qMapFnsSql)
+}

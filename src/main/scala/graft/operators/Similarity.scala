@@ -58,10 +58,11 @@ object Similarity {
        ORDER BY query_id, rn"""
 
   /** LSH-bucketed approximate top-k (rows-only check; AnnSpec asserts recall
-    * against the exact top-k). 4 tables × 8 sign-bits. */
+    * against the exact top-k). 8 tables × 6 sign-bits — coarse buckets chosen
+    * for near-orthogonal data; denser real-world embeddings would use more bits. */
   def q_sim_ann_lsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tables = 4; val bits = 8
+    val tables = 8; val bits = 6
     val e = table(s, dir, "embeddings")
       .withColumn("buckets", VectorFunctions.lshBuckets($"embedding", tables, bits))
     val queries = e.filter($"vec_id" < NQ)

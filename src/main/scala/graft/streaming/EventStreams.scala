@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events schema (SURVEY.md §2.12).
+  *
+  * The reference has no streaming runtime (Kafka topics are scanned as tables,
+  * plugin/trino-kafka) — this module is the extension track: the same logical
+  * aggregations as graft.operators.Events, expressed over an unbounded source
+  * with watermarks, so batch and streaming share semantics.
+  *
+  * Scale: stateful operators key by (user_id) / (window, event_type) — state is
+  * partitioned by key across executors; watermark bounds state size. No
+  * collect-based logic anywhere, so the same code runs on a real cluster
+  * against Kafka/file streams by swapping the source.
+  */
+object EventStreams {
+
+  /** events schema as read from parquet (ts already micros). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based unbounded source (swap for Kafka in production). */
+  def source(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling 1-day windowed aggregation with a 1-hour watermark —
+    * streaming twin of Events.q_events_daily. */
+  def dailyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        sum(col("value")).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("approx_users"), col("total_value"))
+
+  /** Session windows with a 30-minute gap — streaming twin of
+    * Events.q_events_sessionize (native session_window instead of lag+sum). */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("n_events"), col("session_value"))
+}

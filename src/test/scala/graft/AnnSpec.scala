@@ -1,0 +1,37 @@
+package graft
+
+/** ANN quality spec: LSH-bucketed search must (a) only return true corpus
+  * vectors, (b) agree with brute force on the similarity values it does return,
+  * and (c) achieve non-trivial recall of the exact top-5. */
+class AnnSpec extends SparkSpec {
+
+  test("lsh ANN results are a subset of corpus with exact sims") {
+    val exact = operators.Similarity.q_sim_cosine_topk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val approx = operators.Similarity.q_sim_ann_lsh(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    // wherever ANN returns a pair that exact top-5 also has, sims must match exactly
+    approx.foreach { case (key, sim) =>
+      exact.get(key).foreach(es => assert(es == sim, s"sim mismatch for $key"))
+    }
+  }
+
+  test("lsh ANN recalls part of the exact top-5") {
+    val exact = operators.Similarity.q_sim_cosine_topk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = operators.Similarity.q_sim_ann_lsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall > 0.05, s"LSH recall suspiciously low: $recall")
+  }
+
+  test("minhash candidates cover all exact ngram near-dup pairs at high sim") {
+    val exactPairs = operators.Dedup.q_dedup_ngram(spark, sfDir).collect()
+      .filter(_.getDouble(2) >= 0.9).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = operators.Dedup.q_dedup_minhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    val missed = exactPairs.filterNot(mh.contains)
+    assert(missed.size <= exactPairs.size / 4,
+      s"minhash LSH missed too many strong pairs: $missed")
+  }
+}

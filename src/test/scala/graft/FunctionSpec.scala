@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Expression-level specs with literal rows (≈ reference
+  * core/trino-main/src/test/java/io/trino/sql/query/ QueryAssertions tests). */
+class FunctionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine similarity: known values, orthogonal, antiparallel") {
+    val df = Seq(
+      ("id", Array(1.0f, 0.0f), Array(1.0f, 0.0f)),   // identical → 1
+      ("orth", Array(1.0f, 0.0f), Array(0.0f, 1.0f)), // orthogonal → 0
+      ("anti", Array(1.0f, 0.0f), Array(-1.0f, 0.0f)) // antiparallel → -1
+    ).toDF("name", "a", "b")
+      .select($"name", VectorFunctions.cosine($"a", $"b").as("sim"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(df("id") - 1.0) < 1e-12)
+    assert(math.abs(df("orth")) < 1e-12)
+    assert(math.abs(df("anti") + 1.0) < 1e-12)
+  }
+
+  test("cosine similarity: zero vector and null → null") {
+    val rows = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f)),
+      (null, Array(1.0f, 1.0f))
+    ).toDF("a", "b")
+      .select(VectorFunctions.cosine($"a", $"b").as("sim"))
+      .collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
+
+  test("cosine similarity SQL registration") {
+    VectorFunctions.register(spark)
+    val r = spark.sql("SELECT cosine_similarity(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("shingles3 handles short docs via guard branch") {
+    val out = Seq("one two", "a b c d").toDF("text")
+      .select(TextFunctions.shingles3(TextFunctions.tokens($"text")).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("one two"))
+    assert(out(1) == Seq("a b c", "b c d"))
+  }
+
+  test("minhash estimates track exact jaccard on crafted pairs") {
+    // two docs sharing exactly half their shingles → jaccard 1/3
+    val a = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val b = (21 to 60).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.minhashSignature(
+        TextFunctions.shingles3(TextFunctions.tokens($"text")), 256).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val est = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y }.toDouble / 256
+    // exact shingle jaccard: shared 3-grams are windows fully inside 21..60∩1..40
+    val shA = (1 to 38).map(i => s"tok$i tok${i + 1} tok${i + 2}").toSet
+    val shB = (21 to 58).map(i => s"tok$i tok${i + 1} tok${i + 2}").toSet
+    val exact = shA.intersect(shB).size.toDouble / shA.union(shB).size
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+  }
+
+  test("simhash: identical docs collide, disjoint docs differ") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words here entirely now"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.simhashBands(TextFunctions.tokens($"text")).as("b"))
+    val bands = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bands(1L) == bands(2L))
+    assert(bands(1L) != bands(3L))
+  }
+
+  test("polynomial fingerprint matches independent computation") {
+    val fp = Seq("abc").toDF("text")
+      .select(TextFunctions.polyFingerprint($"text").as("fp")).collect()(0).getLong(0)
+    val expected = "abc".foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    assert(fp == expected)
+  }
+
+  test("lsh buckets are deterministic and bounded") {
+    val df = Seq((1L, Array.tabulate(8)(i => (i + 1).toFloat))).toDF("id", "v")
+      .select(VectorFunctions.lshBuckets($"v", tables = 4, bits = 8).as("b"))
+    val b1 = df.collect()(0).getSeq[Long](0)
+    val b2 = df.collect()(0).getSeq[Long](0)
+    assert(b1 == b2)
+    assert(b1.length == 4)
+    assert(b1.forall(x => x >= 0 && x < 256))
+  }
+}

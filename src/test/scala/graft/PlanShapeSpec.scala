@@ -1,0 +1,46 @@
+package graft
+
+/** Plan-shape assertions for the pushdown/partitioning-critical rewrites
+  * (≈ reference core/trino-main/src/test/java/io/trino/sql/planner plan tests).
+  * These guard the 100 TB properties: filters reaching the parquet scan, column
+  * pruning, broadcast joins on dims, partial top-N before shuffles. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan+filter+project pushes predicate and prunes columns") {
+    val plan = operators.Relational.q_scan_project(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"predicate not pushed:\n$plan")
+    assert(!plan.contains("l_suppkey"), "unused column not pruned from scan")
+  }
+
+  test("q5 multi-join broadcasts the dimension tables") {
+    val plan = physicalPlan(operators.Relational.q5_multi_join(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("window top-N uses WindowGroupLimit (partial top-N before shuffle)") {
+    val plan = physicalPlan(operators.Windows.q_window_topn(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"), s"missing WindowGroupLimit:\n$plan")
+  }
+
+  test("orderBy+limit compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = physicalPlan(operators.Sorts.q_topn_offset(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"missing TakeOrderedAndProject:\n$plan")
+  }
+
+  test("scalar-subquery comparison broadcasts the 1-row aggregate") {
+    val plan = physicalPlan(operators.Relational.q_subq_scalar(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"scalar subquery not broadcast:\n$plan")
+  }
+
+  test("partial aggregation precedes the shuffle in q1") {
+    val plan = physicalPlan(operators.Relational.q1_agg(spark, sfDir))
+    // two HashAggregate nodes (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, s"no partial agg:\n$plan")
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming specs: drive the streaming twins of the batch event
+  * queries from the parquet fixture through a memory sink and reconcile with
+  * the batch results. */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming daily rollup matches batch daily rollup counts") {
+    val src = streaming.EventStreams.source(spark, sfDir)
+    val q = streaming.EventStreams.dailyRollup(src)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("daily_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("daily_out")
+      .select("day", "event_type", "n").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = operators.Events.q_events_daily(spark, sfDir)
+      .select("day", "event_type", "n").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
+  test("streaming sessionization produces bounded per-user sessions") {
+    val src = streaming.EventStreams.source(spark, sfDir)
+    val q = streaming.EventStreams.sessionize(src)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val sessions = spark.table("sess_out")
+    val perUser = sessions.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // must cover every user in the batch view with >= 1 session
+    val batchUsers = operators.Events.q_events_sessionize(spark, sfDir)
+      .select("user_id", "n_sessions").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perUser.keySet == batchUsers.keySet)
+    // session_window(30m) and the lag-based batch formulation agree exactly
+    assert(perUser == batchUsers)
+  }
+}
