@@ -1,0 +1,338 @@
+package graft.ext
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-dedup hot path.
+  *
+  * Round-1 built minhash/simhash from nested higher-order functions
+  * (transform/aggregate lambdas). Spark evaluates HOF lambdas interpreted —
+  * they are CodegenFallback — so a k=64 signature over s shingles costs
+  * ~64·s interpreted expression-node evaluations per row; at sf0.1 that made
+  * q_dedup_minhash take 511 s. These expressions do the same math as one
+  * compiled JVM loop per row (the reference similarly implements its hot
+  * per-row kernels as compiled bytecode, cf. reference:
+  * core/trino-main/src/main/java/io/trino/sql/gen/PageFunctionCompiler.java:103).
+  *
+  * Hashing: XXH64 (Spark's own `xxhash64` kernel) on shingle UTF-8 bytes, with
+  * the Kirsch–Mitzenmacher scheme h_i = h1 + i·h2 to derive the k minhash
+  * permutations from two base hashes (Broder 1997; see /root/repo/PAPERS.md).
+  *
+  * The array-producing expressions are eval-based (CodegenFallback): the
+  * per-row work is a compiled loop over the array, so the single virtual
+  * eval() call per row is noise. The scalar pair-kernels (agreement, hamming)
+  * sit inside the candidate join — the true hot path — and get full codegen.
+  */
+object TextHash {
+  final val SeedA = 42L
+  final val SeedB = 0x9747b28cL
+
+  def hashUtf8(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** Distinct word n-gram hashes of a token array (join key for exact
+    * n-gram Jaccard: 64-bit keys shuffle ~6x smaller than shingle strings). */
+  def ngramHashes(toks: ArrayData, n: Int): GenericArrayData = {
+    val sz = toks.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (sz < n) {
+      // short-doc fallback: one shingle = the whole token sequence
+      seen.add(hashUtf8(joinTokens(toks, 0, sz), SeedA))
+    } else {
+      var i = 0
+      while (i <= sz - n) {
+        seen.add(hashUtf8(joinTokens(toks, i, n), SeedA))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  def joinTokens(toks: ArrayData, start: Int, len: Int): UTF8String = {
+    val parts = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      val t = toks.getUTF8String(start + i)
+      parts(i) = if (t == null) UTF8String.EMPTY_UTF8 else t
+      i += 1
+    }
+    UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
+  }
+}
+
+/** array<string> tokens → array<long> distinct word-n-gram hashes. */
+case class WordNGramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.ngramHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<string> shingles → array<long> k-wide minhash signature.
+  * One pass: per shingle two XXH64 base hashes, then k rolling h1 + i·h2
+  * candidates folded into the running minima — O(s·k) long ops, no strings
+  * beyond the input, no intermediate arrays. */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val shingles = input.asInstanceOf[ArrayData]
+    val mins = Array.fill[Long](k)(Long.MaxValue)
+    val sz = shingles.numElements()
+    var s = 0
+    while (s < sz) {
+      val sh = shingles.getUTF8String(s)
+      if (sh != null) {
+        val h1 = TextHash.hashUtf8(sh, TextHash.SeedA)
+        val h2 = TextHash.hashUtf8(sh, TextHash.SeedB)
+        var h = h1
+        var i = 0
+        while (i < k) {
+          if (h < mins(i)) mins(i) = h
+          h += h2 // h1 + i*h2, computed incrementally
+          i += 1
+        }
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<long> signature → array<long> LSH band keys: band b is an XXH64
+  * chain over its r-wide signature slice (equal slice ⇒ equal key). */
+case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong
+      var i = 0
+      while (i < rowsPerBand) {
+        val idx = b * rowsPerBand + i
+        if (idx < sig.numElements()) acc = XXH64.hashLong(sig.getLong(idx), acc)
+        i += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fraction of agreeing positions between two equal-length signatures —
+  * the minhash Jaccard estimate. Fully codegen'd: it runs once per candidate
+  * pair inside the LSH join, the hottest loop of the dedup pipeline. */
+case class MinHashAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "minhash_agreement"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var eq = 0; var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+    if (n == 0) null else java.lang.Double.valueOf(eq.toDouble / n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val eq = ctx.freshName("eq"); val i = ctx.freshName("i")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $eq = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.getLong($i) == $b.getLong($i)) $eq++;
+        }
+        if ($n == 0) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((double) $eq) / $n; }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** array<string> tokens → array<long>(4) of 16-bit simhash bands.
+  * Majority vote per bit over distinct token hashes; band t packs bit
+  * positions [16t, 16t+15] MSB-first. Two docs within hamming distance 3
+  * share at least one band key (pigeonhole) — the hamming-LSH join key. */
+case class SimHashBands(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_bands"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val votes = new Array[Int](64)
+    val sz = toks.numElements()
+    var i = 0
+    while (i < sz) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        val h = TextHash.hashUtf8(t, TextHash.SeedA)
+        if (seen.add(h)) {
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+            bit += 1
+          }
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Long](4)
+    var band = 0
+    while (band < 4) {
+      var acc = 0L
+      var j = 0
+      while (j < 16) {
+        acc = acc * 2 + (if (votes(band * 16 + j) > 0) 1L else 0L)
+        j += 1
+      }
+      out(band) = acc
+      band += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Total hamming distance between two band arrays (popcount of xor). */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hamming_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0L; var i = 0
+    while (i < n) { d += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
+    java.lang.Long.valueOf(d)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val d = ctx.freshName("d"); val i = ctx.freshName("i")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $d = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $d += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+        }
+        ${ev.value} = $d;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Polynomial rolling-hash fingerprint over code points:
+  * acc = (acc·31 + codepoint) mod 1e9+7 — arithmetic identical to the plain-SQL
+  * formulation the DuckDB oracle runs, but one compiled loop per row instead of
+  * a per-character interpreted transform. */
+case class PolyFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_fingerprint"
+
+  override def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

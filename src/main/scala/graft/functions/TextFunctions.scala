@@ -1,73 +1,83 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+import graft.ext._
 
 /** Text/dedup function bundle (extension track: LLM-data-pipeline ops).
   *
-  * Everything here composes built-in codegen'd HOFs — per-row work, no shuffle,
-  * no UDFs. The shuffle-bearing parts (LSH bucket joins) live in the operator
-  * layer (graft.operators.Dedup) where partitioning is explicit.
+  * The per-row kernels (minhash signatures, simhash, n-gram hashing,
+  * fingerprints) are native Catalyst expressions (graft.ext.TextHashExpressions)
+  * — one compiled loop per row. Round 1 built them from nested higher-order
+  * functions, whose interpreted lambda evaluation made signature computation
+  * ~1000x slower; see TextHashExpressions scaladoc. The shuffle-bearing parts
+  * (LSH bucket joins) live in the operator layer (graft.operators.Dedup) where
+  * partitioning is explicit.
   *
-  * Hash family: xxhash64 with distinct integer salts, i.e. k independent-enough
-  * permutation approximations for minhash (the standard single-hash+salt scheme;
-  * cf. Broder, "On the resemblance and containment of documents", 1997 —
-  * listed in /root/repo/PAPERS.md).
+  * Hash family: XXH64 over shingle bytes + Kirsch–Mitzenmacher h1 + i·h2 to
+  * derive the k minhash permutations (cf. Broder, "On the resemblance and
+  * containment of documents", 1997 — listed in /root/repo/PAPERS.md).
   */
 object TextFunctions {
 
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), " ")
 
-  /** Distinct word n-gram shingles (n=3) of the token array. */
+  /** Distinct word n-gram shingles (n=3) of the token array, as strings
+    * (spec/diagnostic surface; the operators join on hashed shingles). */
   def shingles3(toks: Column): Column =
     when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(0), size(toks) - 3), i =>
         concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
       .otherwise(array_distinct(array(array_join(toks, " "))))
 
+  /** Distinct word-3-gram hashes (array<bigint>) — the scale-path join key:
+    * 64-bit keys shuffle much smaller than shingle strings. */
+  def shingleHashes3(toks: Column): Column =
+    column(WordNGramHashes(expression(toks), 3))
+
   /** k-wide minhash signature of a shingle array (array<bigint>, length k). */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingleCol, s => xxhash64(i, s))))
+    column(MinHashSignature(expression(shingleCol), k))
 
-  /** LSH band keys: hash of each r-wide slice of the signature; a shared band
-    * key between two docs makes them dedup candidates. */
+  /** LSH band keys: hash chain of each r-wide slice of the signature; a shared
+    * band key between two docs makes them dedup candidates. */
   def minhashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      xxhash64(b, array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
+    column(MinHashBandKeys(expression(sig), bands, rowsPerBand))
 
   /** Estimated Jaccard similarity from two minhash signatures: fraction of
-    * agreeing positions. */
+    * agreeing positions (codegen'd pair kernel). */
   def minhashSimilarity(sigA: Column, sigB: Column): Column =
-    aggregate(
-      zip_with(sigA, sigB, (a, b) => when(a === b, 1L).otherwise(0L)),
-      lit(0L), (acc, v) => acc + v).cast("double") / size(sigA)
+    column(MinHashAgreement(expression(sigA), expression(sigB)))
 
   /** 64-bit simhash packed as 4×16-bit band values (array<bigint>, length 4) —
     * band layout serves both as the fingerprint and as the hamming-LSH key
     * (two docs within hamming distance 3 share ≥1 of 4 bands by pigeonhole). */
-  def simhashBands(toks: Column): Column = {
-    val hashes = transform(array_distinct(toks), t => xxhash64(t))
-    transform(sequence(lit(0), lit(3)), t =>
-      aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) => {
-        val bitPos = t * 16 + j
-        val vote = aggregate(hashes, lit(0L), (a, h) =>
-          a + when(bit_get(h, bitPos) === 1, 1L).otherwise(-1L))
-        acc * 2 + when(vote > 0, 1L).otherwise(0L)
-      }))
-  }
+  def simhashBands(toks: Column): Column =
+    column(SimHashBands(expression(toks)))
 
   /** Hamming distance between two simhash band arrays. */
   def simhashHamming(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    column(HammingDistance(expression(a), expression(b)))
 
   /** Deterministic polynomial rolling-hash fingerprint of a string
     * (base 31, mod 1e9+7) — reproducible in plain SQL on any engine. */
   def polyFingerprint(text: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
-      lit(0L), (acc, c) => (acc * 31 + c.cast("long")) % 1000000007L)
+    column(PolyFingerprint(expression(text)))
+
+  /** SQL surface for the custom expressions (mirrors the reference's
+    * GlobalFunctionCatalog registration, reference:
+    * core/trino-main/src/main/java/io/trino/metadata/SystemFunctionBundle.java:385). */
+  def register(spark: SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("minhash_agreement",
+      es => MinHashAgreement(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("hamming_distance",
+      es => HammingDistance(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("poly_fingerprint",
+      es => PolyFingerprint(es(0)), "built-in")
+    r.createOrReplaceTempFunction("simhash_bands",
+      es => SimHashBands(es(0)), "built-in")
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions._
 
 /** Deduplication operators (extension track — LLM-data-pipeline).
@@ -12,13 +13,32 @@ import graft.functions.TextFunctions._
   *  - ngram: exact word-3-gram Jaccard via an inverted-index self-join — the
   *    correctness baseline; quadratic within shingle buckets, so the *scale*
   *    path is:
-  *  - minhash LSH: per-row signature (pure codegen, no shuffle) → band-bucket
-  *    join → candidates. At 100 TB: |bands|·|docs| rows shuffle instead of
-  *    |docs|², and bucket skew is bounded by band width.
+  *  - minhash LSH: per-row signature (one compiled loop, no shuffle) →
+  *    band-bucket join → candidates. At 100 TB: |bands|·|docs| rows shuffle
+  *    instead of |docs|², and bucket skew is bounded by band width.
   *  - simhash: 64-bit fingerprint packed as 4×16-bit bands; hamming≤3 pairs
   *    are guaranteed to collide on ≥1 band (pigeonhole).
+  *
+  * Join-shape rules learned at sf0.1 (and load-bearing at 100 TB):
+  *  1. The bucket self-join carries ONLY (bucket key, doc_id) — signatures
+  *     would multiply the shuffle by |sig| and they're re-joinable afterwards.
+  *  2. Candidate pairs are `.distinct()`-ed BEFORE scoring: a near-dup pair
+  *     collides in many of its bands, and scoring each collision separately
+  *     turns an O(pairs) kernel into O(pairs·bands).
+  *  3. Signatures are persisted: they're consumed by the bucket build and by
+  *     the two sides of the scoring join (at cluster scale this is the
+  *     standard materialize-signatures step).
+  *  4. documents.parquet at test SF is a single small file → one input split;
+  *     an explicit repartition spreads signature computation across cores. On
+  *     a real corpus the file count makes this a no-op-ish round-robin.
   */
 object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = s.sparkContext.defaultParallelism
+    table(s, dir, "documents").repartition(n, $"doc_id")
+  }
 
   /** Exact dedup on normalized text: keep first doc_id per group, report group size. */
   def q_dedup_exact(s: SparkSession, dir: String): DataFrame = {
@@ -42,13 +62,16 @@ object Dedup {
          FROM n)
        SELECT doc_id, lang, dups FROM r WHERE rn = 1 ORDER BY doc_id"""
 
-  /** Exact n-gram (word trigram) Jaccard near-dup pairs ≥ 0.8 via inverted index. */
+  /** Exact n-gram (word trigram) Jaccard near-dup pairs ≥ 0.8 via inverted index.
+    * Joins on 64-bit shingle hashes (not shingle strings): identical results
+    * modulo 2^-64 collisions, ~6x smaller shuffle. */
   def q_dedup_ngram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = table(s, dir, "documents")
-      .select($"doc_id", explode(shingles3(tokens($"text"))).as("sh"))
-    val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = docs.as("a").join(docs.as("b"), Seq("sh"))
+    val sh = docs(s, dir)
+      .select($"doc_id", explode(shingleHashes3(tokens($"text"))).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("a").join(sh.as("b"), Seq("sh"))
       .filter($"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -64,8 +87,10 @@ object Dedup {
     """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
        sh AS (
          SELECT doc_id, unnest(list_distinct(
-           [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
-         FROM toks WHERE len(w) >= 3),
+           CASE WHEN len(w) >= 3
+                THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+                ELSE [list_aggregate(w, 'string_agg', ' ')] END)) AS s
+         FROM toks),
        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        pairs AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -79,22 +104,27 @@ object Dedup {
        WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
        ORDER BY doc_a, doc_b"""
 
-  /** MinHash+LSH near-dup pipeline (no SQL oracle — xxhash64 is engine-specific;
-    * the driver records a rows-only check, and MinhashSpec asserts the estimates
-    * against exact Jaccard). Output: per-doc candidate stats + best candidate. */
+  /** MinHash+LSH near-dup pipeline (no SQL oracle — the hash family is
+    * engine-specific; the driver records a rows-only check, and
+    * FunctionSpec/AnnSpec assert the estimates against exact Jaccard).
+    * Output: per-doc candidate stats + best candidate. */
   def q_dedup_minhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = 64; val bands = 16; val r = 4
-    val sigs = table(s, dir, "documents")
+    val sigs = docs(s, dir)
       .select($"doc_id", minhashSignature(shingles3(tokens($"text")), k).as("sig"))
-    val buckets = sigs.select($"doc_id", $"sig",
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = sigs.select($"doc_id",
       posexplode(minhashBands($"sig", bands, r)).as(Seq("band", "bkey")))
     val cand = buckets.as("a").join(buckets.as("b"), Seq("band", "bkey"))
       .filter($"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        minhashSimilarity($"a.sig", $"b.sig").as("est_sim"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    cand.filter($"est_sim" >= 0.5)
+    val scored = cand
+      .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
+      .select($"doc_a", $"doc_b", minhashSimilarity($"sig_a", $"sig_b").as("est_sim"))
+    scored.filter($"est_sim" >= 0.5)
       .groupBy($"doc_a")
       .agg(count(lit(1)).as("n_candidates"),
         round(max($"est_sim"), 4).as("best_sim"),
@@ -105,15 +135,19 @@ object Dedup {
   /** SimHash fingerprint + banded hamming candidates (rows-only check). */
   def q_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = table(s, dir, "documents")
+    val sigs = docs(s, dir)
       .select($"doc_id", simhashBands(tokens($"text")).as("bands"))
-    val byBand = sigs.select($"doc_id", $"bands",
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val byBand = sigs.select($"doc_id",
       posexplode($"bands").as(Seq("band_idx", "band_val")))
-    val pairs = byBand.as("a").join(byBand.as("b"), Seq("band_idx", "band_val"))
+    val cand = byBand.as("a").join(byBand.as("b"), Seq("band_idx", "band_val"))
       .filter($"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        simhashHamming($"a.bands", $"b.bands").as("hamming"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
+    val pairs = cand
+      .join(sigs.select($"doc_id".as("doc_a"), $"bands".as("bands_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"bands".as("bands_b")), "doc_b")
+      .select($"doc_a", $"doc_b", simhashHamming($"bands_a", $"bands_b").as("hamming"))
     pairs.filter($"hamming" <= 6)
       .groupBy($"doc_a")
       .agg(count(lit(1)).as("n_near"), min($"hamming").as("min_hamming"))
