@@ -17,6 +17,7 @@ object SparkEntry {
     Seq(
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.Aggregates.queries, operators.Aggregates.oracles),
+      (operators.Aggregates2.queries, operators.Aggregates2.oracles),
       (operators.SetOps.queries, operators.SetOps.oracles),
       (operators.Sorts.queries, operators.Sorts.oracles),
       (operators.Windows.queries, operators.Windows.oracles),

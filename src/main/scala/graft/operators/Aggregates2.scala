@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.AggregateFunctions._
+
+/** Aggregation family, part 2 (SURVEY.md §2.4 function-library gaps).
+  *
+  * Reference mapping:
+  *  - approx_percentile / percentile exact variants (reference:
+  *    QuantileDigestAggregationFunction.java:41; exact percentiles live in
+  *    operator/aggregation/ — Spark `percentile` is the exact interpolated
+  *    equivalent, matched to DuckDB quantile_cont).
+  *  - histogram / map_agg (reference: operator/aggregation/histogram/
+  *    Histogram.java:34, MapAggregationFunction.java:33) — two-level hash
+  *    aggregate + map_from_entries; rendered to a sorted string for
+  *    engine-portable comparison.
+  *  - min_by/max_by N-variants (reference: operator/aggregation/minmaxbyn/) —
+  *    collect + sort + slice; the oracle uses DuckDB's ordered list().
+  *  - reduce_agg / checksum — custom Aggregators in
+  *    graft.functions.AggregateFunctions.
+  *  - skewness/kurtosis (reference: CentralMomentsAggregation.java),
+  *    geometric_mean, count_if, FILTER-ed aggregates (reference grammar
+  *    SqlBase.g4 filter clause).
+  *  - any_value/arbitrary (reference: ArbitraryAggregationFunction) — made
+  *    deterministic by aggregating a functionally-dependent column.
+  *
+  * Scale note: every query here is a partial+final hash aggregate (shuffle
+  * cardinality = |groups|); the N-variant top-k carries a bounded struct list
+  * per group, and the histogram pre-aggregates (flag, bin) before building
+  * per-flag maps, so no buffer grows with |rows|.
+  */
+object Aggregates2 {
+
+  /** Exact interpolated percentiles (type 7 / SQL quantile_cont semantics). */
+  def q_agg_percentile(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag,
+         round(percentile(l_quantity, 0.25), 6) AS q1,
+         round(percentile(l_quantity, 0.5), 6) AS med,
+         round(percentile(l_quantity, 0.75), 6) AS q3,
+         round(percentile(l_extendedprice, 0.95), 6) AS p95_price,
+         round(median(l_discount), 6) AS med_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+  val qAggPercentileSql: String =
+    """SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+       round(quantile_cont(l_quantity, 0.5), 6) AS med,
+       round(quantile_cont(l_quantity, 0.75), 6) AS q3,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+       round(quantile_cont(l_discount, 0.5), 6) AS med_disc
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** histogram()/map_agg(): per-group value→count map, rendered sorted. */
+  def q_agg_histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linenumber")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"l_returnflag")
+      .agg(map_from_entries(sort_array(collect_list(struct($"l_linenumber", $"cnt")))).as("hist"))
+      .select($"l_returnflag",
+        size(map_keys($"hist")).cast("long").as("n_bins"),
+        array_join(transform(map_entries($"hist"), e =>
+          concat(e.getField("key"), lit(":"), e.getField("value"))), ",").as("hist_str"),
+        aggregate(map_values($"hist"), lit(0L), (a, v) => a + v).as("total"))
+      .orderBy($"l_returnflag")
+  }
+  val qAggHistogramSql: String =
+    """WITH c AS (
+         SELECT l_returnflag, l_linenumber, count(*) AS cnt
+         FROM lineitem GROUP BY 1, 2)
+       SELECT l_returnflag, count(*) AS n_bins,
+         string_agg(l_linenumber || ':' || cnt, ',' ORDER BY l_linenumber) AS hist_str,
+         CAST(sum(cnt) AS BIGINT) AS total
+       FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** max_by(x, y, N) / min_by(x, y, N): top/bottom-3 orderkeys by
+    * (totalprice, orderkey) — bounded per-group state. */
+  def q_agg_minmax_by_n(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        concat_ws(",", transform(
+          slice(sort_array(collect_list(struct($"o_totalprice", $"o_orderkey")), asc = false), 1, 3),
+          e => e.getField("o_orderkey"))).as("top3"),
+        concat_ws(",", transform(
+          slice(sort_array(collect_list(struct($"o_totalprice", $"o_orderkey")), asc = true), 1, 3),
+          e => e.getField("o_orderkey"))).as("bottom3"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+  val qAggMinmaxByNSql: String =
+    """SELECT o_orderstatus,
+       array_to_string(list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC)[1:3], ',') AS top3,
+       array_to_string(list(o_orderkey ORDER BY o_totalprice ASC, o_orderkey ASC)[1:3], ',') AS bottom3,
+       count(*) AS n
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** reduce_agg with three folds: modular product, xor, sum — exact,
+    * commutative folds so the distributed merge is deterministic. */
+  def q_agg_reduce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        modProduct(($"l_partkey" % ModP + 1L).cast("long")).as("modprod_part"),
+        xorAgg($"l_suppkey".cast("long")).as("xor_supp"),
+        reduceAggLong($"l_linenumber".cast("long"), 0L, _ + _).as("sum_ln"))
+      .orderBy($"l_returnflag")
+  }
+  val qAggReduceSql: String =
+    """SELECT l_returnflag,
+       list_reduce(list_prepend(CAST(1 AS BIGINT), list(l_partkey % 1000000007 + 1)),
+         (acc, x) -> (acc * x) % 1000000007) AS modprod_part,
+       bit_xor(CAST(l_suppkey AS BIGINT)) AS xor_supp,
+       CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Order-independent checksum over a string column (portable md5 variant;
+    * the XXH64 fast path is spec-tested in AggregateSpec). */
+  def q_agg_checksum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        checksumPortable($"o_orderpriority").as("prio_checksum"),
+        checksumPortable(concat($"o_orderkey", lit("|"), $"o_orderpriority")).as("row_checksum"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+  val qAggChecksumSql: String =
+    """SELECT o_orderstatus,
+       bit_xor(CAST(('0x' || substr(md5(o_orderpriority), 1, 15)) AS BIGINT)) AS prio_checksum,
+       bit_xor(CAST(('0x' || substr(md5(o_orderkey || '|' || o_orderpriority), 1, 15)) AS BIGINT)) AS row_checksum,
+       count(*) AS n
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** Central moments, geometric mean, count_if, FILTER-ed aggregates.
+    * Spark reports population skewness/kurtosis; DuckDB reports
+    * bias-corrected sample statistics — the oracle converts:
+    * g1 = G1·(n−2)/√(n(n−1)), g2 = (G2·(n−2)(n−3)/(n−1) − 6)/(n+1). */
+  def q_agg_stats2(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag,
+         round(skewness(l_quantity), 6) AS skew_qty,
+         round(kurtosis(l_quantity), 6) AS kurt_qty,
+         round(exp(avg(ln(l_quantity))), 6) AS geomean_qty,
+         count_if(l_discount > 0.05) AS n_highdisc,
+         count(*) FILTER (WHERE l_tax = 0.0) AS n_notax,
+         CAST(sum(l_linenumber) FILTER (WHERE l_quantity > 25) AS BIGINT) AS sum_ln_highqty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+  val qAggStats2Sql: String =
+    """WITH s AS (
+         SELECT l_returnflag,
+           skewness(l_quantity) AS g1s, kurtosis(l_quantity) AS g2s,
+           count(*) AS n,
+           exp(avg(ln(l_quantity))) AS geomean_qty,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_highdisc,
+           count(*) FILTER (WHERE l_tax = 0.0) AS n_notax,
+           CAST(sum(l_linenumber) FILTER (WHERE l_quantity > 25) AS BIGINT) AS sum_ln_highqty
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag,
+         round(g1s * (n - 2) / sqrt(n * (n - 1.0)), 6) AS skew_qty,
+         round((g2s * (n - 2.0) * (n - 3) / (n - 1) - 6) / (n + 1), 6) AS kurt_qty,
+         round(geomean_qty, 6) AS geomean_qty,
+         n_highdisc, n_notax, sum_ln_highqty
+       FROM s ORDER BY l_returnflag"""
+
+  /** any_value/arbitrary, deterministic via functional dependency. */
+  def q_agg_any(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer")
+    val n = table(s, dir, "nation")
+    c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_nationkey")
+      .agg(any_value($"n_name").as("nation"), count(lit(1)).as("customers"))
+      .orderBy($"c_nationkey")
+  }
+  val qAggAnySql: String =
+    """SELECT c_nationkey, any_value(n_name) AS nation, count(*) AS customers
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  val queries: Map[String, Q] = Map(
+    "q_agg_percentile" -> q_agg_percentile _,
+    "q_agg_histogram" -> q_agg_histogram _,
+    "q_agg_minmax_by_n" -> q_agg_minmax_by_n _,
+    "q_agg_reduce" -> q_agg_reduce _,
+    "q_agg_checksum" -> q_agg_checksum _,
+    "q_agg_stats2" -> q_agg_stats2 _,
+    "q_agg_any" -> q_agg_any _)
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_percentile" -> qAggPercentileSql,
+    "q_agg_histogram" -> qAggHistogramSql,
+    "q_agg_minmax_by_n" -> qAggMinmaxByNSql,
+    "q_agg_reduce" -> qAggReduceSql,
+    "q_agg_checksum" -> qAggChecksumSql,
+    "q_agg_stats2" -> qAggStats2Sql,
+    "q_agg_any" -> qAggAnySql)
+}
