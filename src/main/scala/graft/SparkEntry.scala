@@ -21,6 +21,7 @@ object SparkEntry {
       (operators.SetOps.queries, operators.SetOps.oracles),
       (operators.Sorts.queries, operators.Sorts.oracles),
       (operators.Windows.queries, operators.Windows.oracles),
+      (operators.Patterns.queries, operators.Patterns.oracles),
       (operators.Events.queries, operators.Events.oracles),
       (operators.Functions.queries, operators.Functions.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),

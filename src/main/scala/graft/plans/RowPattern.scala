@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.sql.Row
+
+/** Row-pattern AST, parser, and leftmost-greedy backtracking matcher — the
+  * core of MATCH_RECOGNIZE (SURVEY.md §2.5).
+  *
+  * The reference compiles row patterns to an NFA program executed per
+  * partition (reference: core/trino-main/src/main/java/io/trino/operator/window/
+  * matcher/Matcher.java:28, IrRowPatternToProgramRewriter.java; grammar
+  * core/trino-grammar/src/main/antlr4/io/trino/grammar/sql/SqlBase.g4
+  * patternRecognition rule at :446). This is a direct CPS backtracking matcher
+  * over the same algebra — concatenation, alternation (preferring the left
+  * branch), and greedy `?`, `*`, `+` quantifiers — which reproduces the standard
+  * leftmost-greedy preferment order without materializing thread states.
+  * Partitions are bounded (they fit an executor's work unit) so backtracking
+  * depth is bounded too; symbols always consume a row, and empty quantifier
+  * repetitions are rejected, so matching terminates.
+  */
+object RowPattern {
+
+  sealed trait Pat
+  final case class Sym(name: String) extends Pat
+  final case class Cat(ps: List[Pat]) extends Pat
+  final case class Alt(l: Pat, r: Pat) extends Pat
+  final case class Opt(p: Pat) extends Pat
+  final case class Star(p: Pat) extends Pat
+  final case class Plus(p: Pat) extends Pat
+
+  /** Parse `"A (B | C)+ D* E?"` into the AST. */
+  def parse(s: String): Pat = new Parser(s).parseAll()
+
+  private final class Parser(input: String) {
+    private var pos = 0
+    private def skipWs(): Unit = while (pos < input.length && input(pos).isWhitespace) pos += 1
+    private def peek: Option[Char] = { skipWs(); if (pos < input.length) Some(input(pos)) else None }
+
+    def parseAll(): Pat = {
+      val p = alt()
+      skipWs()
+      require(pos == input.length, s"trailing input at $pos in pattern '$input'")
+      p
+    }
+    private def alt(): Pat = {
+      var l = cat()
+      while (peek.contains('|')) { pos += 1; l = Alt(l, cat()) }
+      l
+    }
+    private def cat(): Pat = {
+      val ps = scala.collection.mutable.ListBuffer[Pat]()
+      var continue = true
+      while (continue) peek match {
+        case Some(c) if c.isLetter || c == '(' => ps += rep()
+        case _ => continue = false
+      }
+      require(ps.nonEmpty, s"empty pattern element at $pos in '$input'")
+      if (ps.size == 1) ps.head else Cat(ps.toList)
+    }
+    private def rep(): Pat = {
+      val a = atom()
+      peek match {
+        case Some('*') => pos += 1; Star(a)
+        case Some('+') => pos += 1; Plus(a)
+        case Some('?') => pos += 1; Opt(a)
+        case _ => a
+      }
+    }
+    private def atom(): Pat = peek match {
+      case Some('(') =>
+        pos += 1
+        val p = alt()
+        require(peek.contains(')'), s"missing ')' at $pos in '$input'")
+        pos += 1
+        p
+      case Some(c) if c.isLetter =>
+        val start = pos
+        while (pos < input.length && (input(pos).isLetterOrDigit || input(pos) == '_')) pos += 1
+        Sym(input.substring(start, pos))
+      case other => throw new IllegalArgumentException(s"unexpected '$other' at $pos in '$input'")
+    }
+  }
+
+  /** One match: [start, end) row span plus the (symbol, rowIndex) trace in
+    * row order — the CLASSIFIER() sequence. */
+  final case class PatternMatch(start: Int, end: Int, steps: IndexedSeq[(String, Int)]) {
+    def indicesOf(sym: String): IndexedSeq[Int] = steps.collect { case (`sym`, i) => i }
+    def firstIdx(sym: String): Int = indicesOf(sym).head
+    def lastIdx(sym: String): Int = indicesOf(sym).last
+    def countOf(sym: String): Long = steps.count(_._1 == sym).toLong
+  }
+
+  /** Symbol predicate: sees the whole ordered partition + the candidate row
+    * index, so DEFINE clauses can reference PREV/NEXT like the reference's
+    * navigation functions. */
+  type Predicate = (IndexedSeq[Row], Int) => Boolean
+
+  final class Matcher(pattern: Pat, define: Map[String, Predicate]) extends Serializable {
+
+    /** Leftmost-greedy anchored match at `pos`; returns (endPos, reversed steps). */
+    private def matchAt(part: IndexedSeq[Row], p: Pat, pos: Int,
+        acc: List[(String, Int)],
+        k: (Int, List[(String, Int)]) => Option[(Int, List[(String, Int)])]): Option[(Int, List[(String, Int)])] =
+      p match {
+        case Sym(s) =>
+          val pred = define.getOrElse(s, (_: IndexedSeq[Row], _: Int) => true)
+          if (pos < part.length && pred(part, pos)) k(pos + 1, (s, pos) :: acc) else None
+        case Cat(ps) =>
+          ps.foldRight(k) { (sub, kk) =>
+            (pp: Int, aa: List[(String, Int)]) => matchAt(part, sub, pp, aa, kk)
+          }(pos, acc)
+        case Alt(l, r) =>
+          matchAt(part, l, pos, acc, k).orElse(matchAt(part, r, pos, acc, k))
+        case Opt(sub) =>
+          matchAt(part, sub, pos, acc, k).orElse(k(pos, acc))
+        case Star(sub) =>
+          def loop(pp: Int, aa: List[(String, Int)]): Option[(Int, List[(String, Int)])] =
+            matchAt(part, sub, pp, aa,
+              (p2, a2) => if (p2 == pp) None else loop(p2, a2)).orElse(k(pp, aa))
+          loop(pos, acc)
+        case Plus(sub) =>
+          matchAt(part, sub, pos, acc, (p2, a2) => {
+            def loop(pp: Int, aa: List[(String, Int)]): Option[(Int, List[(String, Int)])] =
+              matchAt(part, sub, pp, aa,
+                (p3, a3) => if (p3 == pp) None else loop(p3, a3)).orElse(k(pp, aa))
+            loop(p2, a2)
+          })
+      }
+
+    /** All matches over the ordered partition. `skipPastLastRow` = the
+      * reference's AFTER MATCH SKIP PAST LAST ROW (default); false = SKIP TO
+      * NEXT ROW (overlapping matches allowed). Empty matches are discarded
+      * and the scan advances, mirroring the reference's empty-match handling. */
+    def findAll(part: IndexedSeq[Row], skipPastLastRow: Boolean = true): Seq[PatternMatch] = {
+      val out = scala.collection.mutable.ArrayBuffer[PatternMatch]()
+      var pos = 0
+      while (pos < part.length) {
+        matchAt(part, pattern, pos, Nil, (e, a) => Some((e, a))) match {
+          case Some((end, acc)) if end > pos =>
+            out += PatternMatch(pos, end, acc.reverse.toIndexedSeq)
+            pos = if (skipPastLastRow) end else pos + 1
+          case _ =>
+            pos += 1
+        }
+      }
+      out.toSeq
+    }
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.plans.RowPattern
+import graft.plans.RowPattern._
+
+/** Row-pattern matcher unit tests (≈ reference
+  * core/trino-main/src/test/java/io/trino/operator/window/matcher tests):
+  * parser shapes, greedy quantifiers, alternation preferment, skip modes. */
+class PatternSpec extends SparkSpec {
+
+  private def sym(values: String): IndexedSeq[Row] =
+    values.map(c => Row(c.toString)).toIndexedSeq
+
+  /** DEFINE: each single-letter symbol matches rows carrying that letter. */
+  private def letterDefs(letters: String): Map[String, Predicate] =
+    letters.map { c =>
+      val pred: Predicate = (p, i) => p(i).getString(0) == c.toString
+      c.toString -> pred
+    }.toMap
+
+  test("parser handles concat, alternation, quantifiers, groups") {
+    assert(parse("A B C") == Cat(List(Sym("A"), Sym("B"), Sym("C"))))
+    assert(parse("A | B") == Alt(Sym("A"), Sym("B")))
+    assert(parse("A (B | C)+ D*") ==
+      Cat(List(Sym("A"), Plus(Alt(Sym("B"), Sym("C"))), Star(Sym("D")))))
+    assert(parse("A?") == Opt(Sym("A")))
+    intercept[IllegalArgumentException](parse("A )"))
+  }
+
+  test("greedy plus consumes maximal run, skip past last row") {
+    val m = new Matcher(parse("A+ B+"), letterDefs("AB"))
+    val matches = m.findAll(sym("AAABBAB"))
+    assert(matches.map(x => (x.start, x.end)) == Seq((0, 5), (5, 7)))
+    assert(matches.head.countOf("A") == 3 && matches.head.countOf("B") == 2)
+  }
+
+  test("skip to next row yields overlapping matches") {
+    val m = new Matcher(parse("A B"), letterDefs("AB"))
+    val overlapping = m.findAll(sym("ABAB"), skipPastLastRow = false)
+    assert(overlapping.map(_.start) == Seq(0, 2))
+    val m2 = new Matcher(parse("A A"), Map("A" -> ((p: IndexedSeq[Row], i: Int) => true)))
+    assert(m2.findAll(sym("xxx"), skipPastLastRow = false).map(_.start) == Seq(0, 1))
+  }
+
+  test("alternation prefers the left branch") {
+    // both B and C match row 'X' — classifier must record B
+    val defs: Map[String, Predicate] = Map(
+      "B" -> ((p, i) => p(i).getString(0) == "X"),
+      "C" -> ((p, i) => p(i).getString(0) == "X"))
+    val m = new Matcher(parse("B | C"), defs)
+    assert(m.findAll(sym("X")).head.steps.map(_._1) == Seq("B"))
+  }
+
+  test("optional and star handle absence") {
+    val m = new Matcher(parse("A B? C"), letterDefs("ABC"))
+    assert(m.findAll(sym("AC")).map(x => (x.start, x.end)) == Seq((0, 2)))
+    assert(m.findAll(sym("ABC")).map(x => (x.start, x.end)) == Seq((0, 3)))
+    val st = new Matcher(parse("A B* C"), letterDefs("ABC"))
+    assert(st.findAll(sym("ABBBC")).map(x => (x.start, x.end)) == Seq((0, 5)))
+  }
+
+  test("backtracking releases greedy rows when tail needs them") {
+    // A+ is greedy but must give one A back so the trailing A can match
+    val defs = letterDefs("A")
+    val m = new Matcher(parse("A+ A"), defs)
+    val matches = m.findAll(sym("AAA"))
+    assert(matches.map(x => (x.start, x.end)) == Seq((0, 3)))
+    assert(matches.head.countOf("A") == 3)
+  }
+
+  test("match_recognize over events agrees with window-derived V-shapes") {
+    val df = operators.Patterns.q_match_recognize(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every match: peak > bottom < recovery, ids ordered
+    rows.foreach { r =>
+      assert(r.getAs[Double]("peak") > r.getAs[Double]("bottom"))
+      assert(r.getAs[Double]("recovery") > r.getAs[Double]("bottom"))
+      assert(r.getAs[Long]("start_id") <= r.getAs[Long]("end_id"))
+      assert(r.getAs[Long]("n_down") >= 1 && r.getAs[Long]("n_up") >= 1)
+    }
+    // matches within a user don't overlap (skip past last row)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ms) =>
+      val sorted = ms.sortBy(_.getAs[Long]("start_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getAs[Long]("end_id") < b.getAs[Long]("start_id"))
+        case _ =>
+      }
+    }
+  }
+}
