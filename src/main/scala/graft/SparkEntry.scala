@@ -24,6 +24,7 @@ object SparkEntry {
       (operators.Patterns.queries, operators.Patterns.oracles),
       (operators.Events.queries, operators.Events.oracles),
       (operators.Functions.queries, operators.Functions.oracles),
+      (operators.Functions2.queries, operators.Functions2.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Similarity.queries, operators.Similarity.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),

@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // events.parquet is TIMESTAMP(NANOS); pin the long-read globally so
+      // schema resolution never depends on which code path touched the
+      // session conf first (a latent race under concurrent planning).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {

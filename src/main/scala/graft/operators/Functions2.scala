@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ScalarFunctions._
+
+/** Scalar function bundles, part 2 (SURVEY.md §2.8 gap categories):
+  * URL functions, UUID/IP functions, radix conversion, n-gram / sequence
+  * containment array helpers.
+  *
+  * The oracle has no native URL/UUID/IP functions, so each query synthesizes
+  * deterministic inputs from fixture keys and the oracle recomputes the same
+  * semantics from first principles (regexes for URL parts, split+arithmetic
+  * for IPv4, md5 formatting for UUIDs) — a genuinely independent check of the
+  * function results, not an echo of our implementation.
+  */
+object Functions2 {
+
+  /** URL parsing (reference: operator/scalar/UrlFunctions.java:41). */
+  def q_fn_url(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer").filter($"c_custkey" <= 300)
+      .withColumn("url", concat(
+        lit("https://c"), $"c_custkey" % 50, lit(".example.com:"),
+        ($"c_custkey" % 10 + 8000), lit("/seg/"), lower(regexp_replace($"c_mktsegment", " ", "")),
+        lit("?seg="), lower(regexp_replace($"c_mktsegment", " ", "")),
+        lit("&k="), $"c_custkey", lit("#frag"), $"c_custkey" % 7))
+    c.select($"c_custkey", $"url",
+        urlExtractProtocol($"url").as("proto"),
+        urlExtractHost($"url").as("host"),
+        urlExtractPort($"url").as("port"),
+        urlExtractPath($"url").as("path"),
+        urlExtractQuery($"url").as("query"),
+        urlExtractFragment($"url").as("fragment"),
+        urlExtractParameter($"url", "k").as("param_k"),
+        urlEncode(concat($"c_mktsegment", lit(" & more"))).as("encoded"),
+        urlDecode(urlEncode($"c_mktsegment")).as("roundtrip"))
+      .orderBy($"c_custkey")
+  }
+  val qFnUrlSql: String =
+    """WITH u AS (
+         SELECT c_custkey, c_mktsegment,
+           'https://c' || (c_custkey % 50) || '.example.com:' || (c_custkey % 10 + 8000)
+             || '/seg/' || lower(replace(c_mktsegment, ' ', ''))
+             || '?seg=' || lower(replace(c_mktsegment, ' ', ''))
+             || '&k=' || c_custkey || '#frag' || (c_custkey % 7) AS url
+         FROM customer WHERE c_custkey <= 300)
+       SELECT c_custkey, url,
+         regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+         regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+         CAST(regexp_extract(url, '^[a-z]+://[^/:?#]+:([0-9]+)', 1) AS BIGINT) AS port,
+         regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+         regexp_extract(url, '\?([^#]*)', 1) AS query,
+         regexp_extract(url, '#(.*)$', 1) AS fragment,
+         regexp_extract(url, '[?&]k=([^&#]*)', 1) AS param_k,
+         replace(c_mktsegment, ' ', '+') || '+%26+more' AS encoded,
+         c_mktsegment AS roundtrip
+       FROM u ORDER BY c_custkey"""
+
+  /** UUID formatting, IPv4 arithmetic, radix conversion (reference:
+    * UuidFunctions, IpAddressFunctions.java, MathFunctions from/to_base). */
+  def q_fn_uuid_ip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer").filter($"c_custkey" <= 300)
+      .withColumn("ip", concat(
+        lit("10."), $"c_custkey" % 256, lit("."),
+        ($"c_custkey" * 7) % 256, lit("."), ($"c_custkey" * 13) % 251 + 1))
+    c.select($"c_custkey", $"ip",
+        uuidFromHash($"c_custkey").as("uuid"),
+        ipToLong($"ip").as("ip_num"),
+        ipInCidr($"ip", lit("10.5.0.0"), 16).as("in_10_5_16"),
+        ipInCidr($"ip", concat(lit("10."), $"c_custkey" % 256, lit(".0.0")), 16).as("in_own_16"),
+        toBase($"c_custkey", 16).as("hex"),
+        toBase($"c_custkey", 2).as("bin"),
+        fromBase(toBase($"c_custkey", 16), 16).as("roundtrip"))
+      .orderBy($"c_custkey")
+  }
+  val qFnUuidIpSql: String =
+    """WITH b AS (
+         SELECT c_custkey,
+           '10.' || (c_custkey % 256) || '.' || ((c_custkey * 7) % 256) || '.' || ((c_custkey * 13) % 251 + 1) AS ip
+         FROM customer WHERE c_custkey <= 300),
+       i AS (
+         SELECT *, CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+                 + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+                 + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+                 + CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_num
+         FROM b)
+       SELECT c_custkey, ip,
+         substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) || '-' ||
+         substr(md5(CAST(c_custkey AS VARCHAR)), 9, 4) || '-' ||
+         substr(md5(CAST(c_custkey AS VARCHAR)), 13, 4) || '-' ||
+         substr(md5(CAST(c_custkey AS VARCHAR)), 17, 4) || '-' ||
+         substr(md5(CAST(c_custkey AS VARCHAR)), 21, 12) AS uuid,
+         ip_num,
+         (ip_num // 65536) = (10 * 256 + 5) AS in_10_5_16,
+         (ip_num // 65536) = (10 * 256 + (c_custkey % 256)) AS in_own_16,
+         lower(to_base(c_custkey, 16)) AS hex,
+         lower(to_base(c_custkey, 2)) AS bin,
+         c_custkey AS roundtrip
+       FROM i ORDER BY c_custkey"""
+
+  /** Array n-grams + word-sequence containment (reference:
+    * operator/scalar/ArrayNgramsFunction / ArraysOverlapFunction family). */
+  def q_fn_ngrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents").filter($"doc_id" < 100)
+      .withColumn("toks", split(lower($"text"), " "))
+    d.select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        array_join(
+          when(size($"toks") >= 2,
+            transform(sequence(lit(0), size($"toks") - 2), i =>
+              concat_ws(" ", element_at($"toks", i + 1), element_at($"toks", i + 2))))
+            .otherwise(array()), "|").as("bigrams"),
+        (size($"toks") - 1).cast("long").as("n_bigrams"),
+        (instr(concat(lit(" "), array_join($"toks", " "), lit(" ")), " of the ") > 0).as("has_of_the"))
+      .orderBy($"doc_id")
+  }
+  val qFnNgramsSql: String =
+    """WITH t AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS toks
+         FROM documents WHERE doc_id < 100)
+       SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) >= 2
+              THEN array_to_string([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))], '|')
+              ELSE '' END AS bigrams,
+         CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+         instr(' ' || array_to_string(toks, ' ') || ' ', ' of the ') > 0 AS has_of_the
+       FROM t ORDER BY doc_id"""
+
+  val queries: Map[String, Q] = Map(
+    "q_fn_url" -> q_fn_url _,
+    "q_fn_uuid_ip" -> q_fn_uuid_ip _,
+    "q_fn_ngrams" -> q_fn_ngrams _)
+
+  val oracles: Map[String, String] = Map(
+    "q_fn_url" -> qFnUrlSql,
+    "q_fn_uuid_ip" -> qFnUuidIpSql,
+    "q_fn_ngrams" -> qFnNgramsSql)
+}

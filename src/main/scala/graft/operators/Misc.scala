@@ -61,7 +61,7 @@ object Misc {
     table(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_orderkey").as("approx_orders"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
         countDistinct($"l_orderkey").as("exact_orders"),
         percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_median"),
         count(lit(1)).as("n"))

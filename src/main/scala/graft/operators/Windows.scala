@@ -143,7 +143,40 @@ object Windows {
          FROM orders)
        WHERE rn <= 3 ORDER BY o_custkey, rn"""
 
+  /** GROUPS frames (reference: operator/window/GroupsFraming.java:28;
+    * SqlBase.g4 windowFrame:879). Neither Spark nor DuckDB implements GROUPS
+    * mode natively, so both sides express its definition directly: a GROUPS
+    * frame of (n PRECEDING, m FOLLOWING) is exactly a RANGE frame of the same
+    * offsets over dense_rank of the ORDER BY key — peer groups collapse to
+    * consecutive integers, so integer RANGE distance = peer-group distance.
+    * Same shuffle as any window (one hash partition + sort). */
+  def q_window_groups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byDate = Window.partitionBy($"o_orderstatus").orderBy($"o_orderdate")
+    val o = table(s, dir, "orders")
+      .withColumn("dr", dense_rank().over(byDate).cast("long"))
+    val gPrec1 = Window.partitionBy($"o_orderstatus").orderBy($"dr").rangeBetween(-1, 0)
+    val gAround = Window.partitionBy($"o_orderstatus").orderBy($"dr").rangeBetween(-1, 1)
+    o.select($"o_orderkey", $"o_orderstatus",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"), $"dr",
+        asDouble(sum(dec($"o_totalprice")).over(gPrec1)).as("gsum_prec1"),
+        count(lit(1)).over(gAround).as("gcnt_around"))
+      .orderBy($"o_orderkey")
+  }
+  val qWindowGroupsSql: String =
+    """WITH d AS (
+         SELECT *, dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate) AS dr
+         FROM orders)
+       SELECT o_orderkey, o_orderstatus, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         CAST(dr AS BIGINT) AS dr,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+           (PARTITION BY o_orderstatus ORDER BY dr RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS gsum_prec1,
+         count(*) OVER
+           (PARTITION BY o_orderstatus ORDER BY dr RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS gcnt_around
+       FROM d ORDER BY o_orderkey"""
+
   val queries: Map[String, Q] = Map(
+    "q_window_groups" -> q_window_groups _,
     "q_window_ranking" -> q_window_ranking _,
     "q_window_value" -> q_window_value _,
     "q_window_running" -> q_window_running _,
@@ -151,6 +184,7 @@ object Windows {
     "q_window_topn" -> q_window_topn _)
 
   val oracles: Map[String, String] = Map(
+    "q_window_groups" -> qWindowGroupsSql,
     "q_window_ranking" -> qWindowRankingSql,
     "q_window_value" -> qWindowValueSql,
     "q_window_running" -> qWindowRunningSql,

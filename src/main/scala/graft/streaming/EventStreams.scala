@@ -18,18 +18,27 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema as read from parquet (ts already micros). */
-  val schema: StructType = StructType(Seq(
+  /** events schema as stored in parquet: ts is physical INT64 nanos
+    * (TIMESTAMP(NANOS) — the same wide-physical-type situation the reference
+    * handles for picos timestamps, reference: spi/type/TimestampType.java:35). */
+  val fileSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-based unbounded source (swap for Kafka in production). */
+  /** File-based unbounded source (swap for Kafka in production). Reads the
+    * events file explicitly and converts nanos → micros timestamp exactly like
+    * the batch path (graft.sources.Tables.loadEvents), so batch and streaming
+    * share both schema and values. Requires
+    * spark.sql.legacy.parquet.nanosAsLong=true (set by GraftSession.builder). */
   def source(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+    spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling 1-day windowed aggregation with a 1-hour watermark —
     * streaming twin of Events.q_events_daily. */
