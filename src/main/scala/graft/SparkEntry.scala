@@ -29,6 +29,7 @@ object SparkEntry {
       (operators.Similarity.queries, operators.Similarity.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
+      (operators.Approx.queries, operators.Approx.oracles),
       (operators.Misc.queries, operators.Misc.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

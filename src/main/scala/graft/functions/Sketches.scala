@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Quantile + heavy-hitter sketch aggregates (SURVEY.md §2.4).
+  *
+  * Reference counterparts:
+  *  - qdigest/tdigest aggregations + value_at_quantile (reference:
+  *    core/trino-main/src/main/java/io/trino/operator/aggregation/
+  *    QuantileDigestAggregationFunction.java:41, TDigestAggregationFunction.java,
+  *    scalar extractors QuantileDigestFunctions.java:40 / TDigestFunctions.java:31):
+  *    here a merging t-digest (Dunning's algorithm: centroids bounded by the
+  *    q(1−q) scale function) as a typed Aggregator whose partial state IS the
+  *    digest — partial aggregation ships compressed centroids, not rows,
+  *    exactly like the reference serializes digest state between stages.
+  *  - approx_most_frequent (reference: operator/aggregation/
+  *    ApproximateMostFrequentFunction): the space-saving sketch
+  *    (Metwally et al., "Efficient computation of frequent and top-k elements
+  *    in data streams") with capacity-bounded counters and mergeable state.
+  *    With capacity ≥ |distinct| the counts are exact — which the oracle
+  *    exploits — and with smaller capacity the usual ε·N error bound holds.
+  *
+  * Scale: both buffers are O(compression)/O(capacity) regardless of input
+  * rows, so map-side partials stay small and the final merge is cheap.
+  */
+object Sketches {
+
+  // ---------------------------------------------------------------- t-digest
+
+  /** Merging t-digest. Not thread-shared; used inside Aggregator buffers. */
+  final class TDigest(val compression: Double) extends Serializable {
+    var means: Array[Double] = Array.empty
+    var weights: Array[Double] = Array.empty
+    private var bufV: Array[Double] = new Array[Double](64)
+    private var bufN = 0
+    var total: Double = 0.0
+
+    def add(x: Double): Unit = {
+      if (bufN == bufV.length) compress()
+      bufV(bufN) = x; bufN += 1; total += 1
+    }
+
+    def merge(o: TDigest): Unit = {
+      o.compress()
+      var i = 0
+      while (i < o.means.length) { addCentroid(o.means(i), o.weights(i)); i += 1 }
+    }
+
+    private def addCentroid(m: Double, w: Double): Unit = {
+      compress()
+      // append then recompress (merge-based digest)
+      means = means :+ m
+      weights = weights :+ w
+      total += w
+      recluster()
+    }
+
+    def compress(): Unit = {
+      if (bufN == 0) return
+      val bv = java.util.Arrays.copyOf(bufV, bufN)
+      bufN = 0
+      means = means ++ bv
+      weights = weights ++ Array.fill(bv.length)(1.0)
+      recluster()
+    }
+
+    /** Sort centroids by mean and greedily merge neighbours within the
+      * q(1−q)·4·total/compression weight bound. */
+    private def recluster(): Unit = {
+      if (means.isEmpty) return
+      val idx = means.indices.toArray.sortBy(means)
+      val ms = idx.map(means); val ws = idx.map(weights)
+      val outM = scala.collection.mutable.ArrayBuffer[Double]()
+      val outW = scala.collection.mutable.ArrayBuffer[Double]()
+      var cm = ms(0); var cw = ws(0); var cum = 0.0
+      var i = 1
+      while (i < ms.length) {
+        val q = (cum + (cw + ws(i)) / 2) / math.max(total, 1.0)
+        val limit = 4.0 * total * q * (1 - q) / compression
+        if (cw + ws(i) <= math.max(limit, 1.0)) {
+          cm = (cm * cw + ms(i) * ws(i)) / (cw + ws(i)); cw += ws(i)
+        } else {
+          outM += cm; outW += cw; cum += cw
+          cm = ms(i); cw = ws(i)
+        }
+        i += 1
+      }
+      outM += cm; outW += cw
+      means = outM.toArray; weights = outW.toArray
+    }
+
+    /** value_at_quantile: linear interpolation between centroid means. */
+    def quantile(q: Double): Double = {
+      compress()
+      if (means.isEmpty) return Double.NaN
+      if (means.length == 1) return means(0)
+      val target = q * total
+      var cum = 0.0
+      var i = 0
+      while (i < means.length) {
+        val c = weights(i) / 2
+        if (cum + c >= target) {
+          if (i == 0) return means(0)
+          val prevCum = cum - weights(i - 1) / 2
+          val frac = (target - prevCum) / ((cum + c) - prevCum)
+          return means(i - 1) + (means(i) - means(i - 1)) * math.min(math.max(frac, 0.0), 1.0)
+        }
+        cum += weights(i)
+        i += 1
+      }
+      means.last
+    }
+  }
+
+  private class TDigestQuantiles(qs: Seq[Double], compression: Double)
+      extends Aggregator[Double, TDigest, Array[Double]] {
+    def zero: TDigest = new TDigest(compression)
+    def reduce(b: TDigest, x: Double): TDigest = { b.add(x); b }
+    def merge(a: TDigest, b: TDigest): TDigest = { a.merge(b); a }
+    def finish(d: TDigest): Array[Double] = qs.map(d.quantile).toArray
+    def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+    def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  }
+
+  /** tdigest_agg + value_at_quantile in one step: approximate quantiles of a
+    * double column at the given q's. */
+  def tdigestQuantiles(c: Column, qs: Seq[Double], compression: Double = 200.0): Column =
+    udaf(new TDigestQuantiles(qs, compression), Encoders.scalaDouble).apply(c)
+
+  // ------------------------------------------------------------ space-saving
+
+  /** Space-saving counter set: value → (count, maxError). */
+  final class SpaceSaving(val capacity: Int) extends Serializable {
+    val counts = scala.collection.mutable.HashMap[String, (Long, Long)]()
+
+    def add(v: String, c: Long, err: Long): Unit = counts.get(v) match {
+      case Some((cc, ee)) => counts(v) = (cc + c, ee + err)
+      case None =>
+        if (counts.size < capacity) counts(v) = (c, err)
+        else {
+          // evict the (count, value)-minimal entry; inherit its count as error
+          val (mv, (mc, _)) = counts.minBy { case (k, (cc, _)) => (cc, k) }
+          counts.remove(mv)
+          counts(v) = (mc + c, mc + err)
+        }
+    }
+
+    def merge(o: SpaceSaving): Unit =
+      o.counts.toSeq.sortBy { case (k, (c, _)) => (-c, k) }
+        .foreach { case (v, (c, e)) => add(v, c, e) }
+
+    /** Top-k rendered "value:count" by (count desc, value asc). */
+    def render(k: Int): String =
+      counts.toSeq.sortBy { case (v, (c, _)) => (-c, v) }.take(k)
+        .map { case (v, (c, _)) => s"$v:$c" }.mkString(",")
+  }
+
+  private class ApproxMostFrequent(k: Int, capacity: Int)
+      extends Aggregator[String, SpaceSaving, String] {
+    def zero: SpaceSaving = new SpaceSaving(capacity)
+    def reduce(b: SpaceSaving, v: String): SpaceSaving = { if (v != null) b.add(v, 1, 0); b }
+    def merge(a: SpaceSaving, b: SpaceSaving): SpaceSaving = { a.merge(b); a }
+    def finish(s: SpaceSaving): String = s.render(k)
+    def bufferEncoder: Encoder[SpaceSaving] = Encoders.kryo[SpaceSaving]
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** approx_most_frequent(k, col) with `capacity` counters; exact when
+    * capacity ≥ |distinct values|. */
+  def approxMostFrequent(c: Column, k: Int, capacity: Int): Column =
+    udaf(new ApproxMostFrequent(k, capacity), Encoders.STRING).apply(c)
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Sketches._
+
+/** Error-bound + exactness specs for the digest/heavy-hitter sketches
+  * (≈ reference TestTDigestAggregation / TestApproximateMostFrequent). */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tdigest quantiles track exact percentiles within 2%") {
+    val li = operators.table(spark, sfDir, "lineitem")
+    val exact = li.select(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))"))
+      .collect()(0).getSeq[Double](0)
+    val est = li.agg(tdigestQuantiles($"l_extendedprice", Seq(0.25, 0.5, 0.75)))
+      .collect()(0).getSeq[Double](0)
+    exact.zip(est).foreach { case (e, a) =>
+      assert(math.abs(a - e) / e < 0.02, s"exact=$e est=$a")
+    }
+  }
+
+  test("tdigest is merge-stable across partitionings") {
+    val li = operators.table(spark, sfDir, "lineitem").select($"l_quantity")
+    def med(parts: Int): Double =
+      li.repartition(parts).agg(tdigestQuantiles($"l_quantity", Seq(0.5)))
+        .collect()(0).getSeq[Double](0).head
+    val exact = li.select(expr("percentile(l_quantity, 0.5)")).collect()(0).getDouble(0)
+    Seq(1, 8).foreach { p =>
+      assert(math.abs(med(p) - exact) / exact < 0.05, s"parts=$p med=${med(p)} exact=$exact")
+    }
+  }
+
+  test("space-saving with tight capacity still surfaces the heavy hitter") {
+    // skewed stream: 'hot' dominates; capacity 2 << 11 distinct values
+    val data = (1 to 500).map(_ => "hot") ++ (1 to 10).flatMap(i => Seq.fill(5)(s"cold$i"))
+    val out = data.toDF("v").agg(approxMostFrequent($"v", k = 1, capacity = 2))
+      .collect()(0).getString(0)
+    assert(out.startsWith("hot:"), s"heavy hitter lost: $out")
+  }
+
+  test("space-saving is exact when capacity covers the domain") {
+    val data = Seq.fill(7)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c")
+    val out = data.toDF("v").repartition(4)
+      .agg(approxMostFrequent($"v", k = 3, capacity = 16)).collect()(0).getString(0)
+    assert(out == "a:7,b:5,c:3", out)
+  }
+}
