@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** SQL/JSON 2016 surface subset (SURVEY.md §2.8 JSON row; reference:
+  * core/trino-main/src/main/java/io/trino/operator/scalar/json/ — json_value,
+  * json_query, json_exists — plus the classic json_extract family in
+  * JsonFunctions.java:54).
+  *
+  * Implemented over Spark's codegen'd JSON path primitives
+  * (get_json_object / json_array_length / json_object_keys), which evaluate
+  * the lax-mode subset of SQL/JSON paths ($.a.b[0] navigation). Strict-mode
+  * error semantics and filter expressions are out of scope — the reference
+  * notes the same split between its classic and 2016 engines.
+  */
+object JsonFunctions {
+
+  /** json_value: extract a scalar as string (lax semantics: missing → null). */
+  def jsonValue(json: Column, path: String): Column =
+    get_json_object(json, path)
+
+  /** json_value returning a number. */
+  def jsonValueDouble(json: Column, path: String): Column =
+    get_json_object(json, path).cast("double")
+
+  def jsonValueLong(json: Column, path: String): Column =
+    get_json_object(json, path).cast("long")
+
+  /** json_query: extract an object/array fragment as JSON text. */
+  def jsonQuery(json: Column, path: String): Column =
+    get_json_object(json, path)
+
+  /** json_exists: does the path land on a value? */
+  def jsonExists(json: Column, path: String): Column =
+    get_json_object(json, path).isNotNull
+
+  /** json_array_length (classic function family). */
+  def jsonArrayLength(json: Column): Column =
+    json_array_length(json).cast("long")
+}

@@ -130,13 +130,49 @@ object Functions2 {
          instr(' ' || array_to_string(toks, ' ') || ' ', ' of the ') > 0 AS has_of_the
        FROM t ORDER BY doc_id"""
 
+  /** SQL/JSON 2016 subset (json_value/json_query/json_exists — reference
+    * operator/scalar/json/) round-tripped through to_json. The oracle states
+    * the expected values directly from the source columns — an independent
+    * check that encode → path-extract → decode is lossless and correct. */
+  def q_fn_sqljson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.JsonFunctions._
+    val d = table(s, dir, "customer").filter($"c_custkey" <= 200)
+      .withColumn("doc", to_json(struct(
+        $"c_custkey".as("id"),
+        $"c_mktsegment".as("seg"),
+        struct($"c_acctbal".as("bal"), $"c_nationkey".as("nat")).as("acct"),
+        array($"c_custkey", $"c_custkey" % 7, $"c_custkey" % 3).as("xs"))))
+    d.select($"c_custkey",
+        jsonValueLong($"doc", "$.id").as("id"),
+        jsonValue($"doc", "$.seg").as("seg"),
+        jsonValueDouble($"doc", "$.acct.bal").as("bal"),
+        jsonValueLong($"doc", "$.xs[1]").as("xs1"),
+        jsonExists($"doc", "$.acct.nat").as("has_nat"),
+        jsonExists($"doc", "$.missing").as("has_missing"),
+        jsonArrayLength(jsonQuery($"doc", "$.xs")).as("n_xs"))
+      .orderBy($"c_custkey")
+  }
+  val qFnSqljsonSql: String =
+    """SELECT c_custkey,
+       c_custkey AS id,
+       c_mktsegment AS seg,
+       c_acctbal AS bal,
+       c_custkey % 7 AS xs1,
+       true AS has_nat,
+       false AS has_missing,
+       CAST(3 AS BIGINT) AS n_xs
+       FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
     "q_fn_url" -> q_fn_url _,
     "q_fn_uuid_ip" -> q_fn_uuid_ip _,
-    "q_fn_ngrams" -> q_fn_ngrams _)
+    "q_fn_ngrams" -> q_fn_ngrams _,
+    "q_fn_sqljson" -> q_fn_sqljson _)
 
   val oracles: Map[String, String] = Map(
     "q_fn_url" -> qFnUrlSql,
     "q_fn_uuid_ip" -> qFnUuidIpSql,
-    "q_fn_ngrams" -> qFnNgramsSql)
+    "q_fn_ngrams" -> qFnNgramsSql,
+    "q_fn_sqljson" -> qFnSqljsonSql)
 }

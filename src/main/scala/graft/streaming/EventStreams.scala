@@ -62,4 +62,28 @@ object EventStreams {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
       .select(col("user_id"), col("n_events"), col("session_value"))
+
+  /** Custom keyed state via mapGroupsWithState: per-user running event count
+    * and value total. State is one (count, sum) pair per key, partitioned
+    * across executors — the arbitrary-stateful-operator surface that windowed
+    * aggregations can't express. */
+  def runningUserTotals(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val pairEnc: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val outEnc: Encoder[(Long, Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val (c0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var c = c0; var v = v0
+          rows.foreach { r => c += 1; v += r._2 }
+          state.update((c, v))
+          (user, c, v)
+      }
+  }
 }

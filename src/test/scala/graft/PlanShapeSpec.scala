@@ -38,6 +38,21 @@ class PlanShapeSpec extends SparkSpec {
       s"scalar subquery not broadcast:\n$plan")
   }
 
+  test("stacked windows with one partition key share a single hash exchange") {
+    // q_window_groups runs dense_rank + two framed aggregates, all partitioned
+    // by o_orderstatus — Catalyst must plan ONE hashpartitioning exchange, not
+    // one per window (at 100 TB a redundant shuffle dominates the query).
+    val plan = physicalPlan(operators.Windows.q_window_groups(spark, sfDir))
+    val hashExchanges = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$plan")
+  }
+
+  test("function queries prune the scan to referenced columns") {
+    val plan = physicalPlan(operators.Functions2.q_fn_url(spark, sfDir))
+    assert(!plan.contains("c_acctbal") && !plan.contains("c_address"),
+      s"unused customer columns not pruned:\n$plan")
+  }
+
   test("partial aggregation precedes the shuffle in q1") {
     val plan = physicalPlan(operators.Relational.q1_agg(spark, sfDir))
     // two HashAggregate nodes (partial + final) around one exchange

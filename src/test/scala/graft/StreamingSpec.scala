@@ -45,4 +45,26 @@ class StreamingSpec extends SparkSpec {
     // session_window(30m) and the lag-based batch formulation agree exactly
     assert(perUser == batchUsers)
   }
+
+  test("mapGroupsWithState running totals converge to batch totals") {
+    val src = streaming.EventStreams.source(spark, sfDir)
+    val q = streaming.EventStreams.runningUserTotals(src)
+      .toDF("user_id", "n", "total")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("state_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    // update mode emits one row per key per micro-batch; counts are monotone,
+    // so the final state per user is the max
+    val streamed = spark.table("state_out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = operators.table(spark, sfDir, "events")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
 }
