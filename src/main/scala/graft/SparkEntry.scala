@@ -16,6 +16,7 @@ object SparkEntry {
   private val bundles: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.Relational.queries, operators.Relational.oracles),
+      (operators.Relational2.queries, operators.Relational2.oracles),
       (operators.Aggregates.queries, operators.Aggregates.oracles),
       (operators.Aggregates2.queries, operators.Aggregates2.oracles),
       (operators.SetOps.queries, operators.SetOps.oracles),

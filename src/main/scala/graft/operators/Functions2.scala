@@ -164,13 +164,74 @@ object Functions2 {
        CAST(3 AS BIGINT) AS n_xs
        FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"""
 
+  /** TRY error-suppression semantics (reference: operator/scalar/
+    * TryFunction.java:40, TryCastFunction.java): failed casts, div-by-zero,
+    * out-of-bounds subscripts → null instead of error. Division outputs stay
+    * raw doubles — IEEE quotients are bit-identical across engines. */
+  def q_fn_try(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_orderkey, l_linenumber,
+         try_divide(l_extendedprice, l_quantity - 25) AS safe_div,
+         TRY_CAST(CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_orderkey AS STRING)
+                       ELSE 'x' || l_orderkey END AS BIGINT) AS safe_cast,
+         try_element_at(array(l_orderkey, l_partkey, l_suppkey), l_linenumber) AS safe_subscript
+         FROM lineitem WHERE l_orderkey <= 2000
+         ORDER BY l_orderkey, l_linenumber""")
+  }
+  val qFnTrySql: String =
+    """SELECT l_orderkey, l_linenumber,
+       l_extendedprice / nullif(l_quantity - 25, 0) AS safe_div,
+       TRY_CAST(CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_orderkey AS VARCHAR)
+                     ELSE 'x' || l_orderkey END AS BIGINT) AS safe_cast,
+       ([l_orderkey, l_partkey, l_suppkey])[l_linenumber] AS safe_subscript
+       FROM lineitem WHERE l_orderkey <= 2000
+       ORDER BY l_orderkey, l_linenumber"""
+
+  /** Interval arithmetic, calendar functions, format-dialect parsing,
+    * width_bucket (reference: DateTimeFunctions.java:72, MathFunctions
+    * width_bucket; Spark dayofweek is 1-based Sunday, DuckDB 0-based). */
+  def q_fn_interval(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey,
+         date_format(o_orderdate + INTERVAL '2' MONTH, 'yyyy-MM-dd') AS plus2m,
+         date_format(o_orderdate + INTERVAL '10' DAY, 'yyyy-MM-dd') AS plus10d,
+         date_format(date_trunc('week', o_orderdate), 'yyyy-MM-dd') AS week_start,
+         CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+         CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+         date_format(last_day(o_orderdate), 'yyyy-MM-dd') AS month_end,
+         date_format(to_date(date_format(o_orderdate, 'dd/MM/yyyy'), 'dd/MM/yyyy'), 'yyyy-MM-dd') AS dialect_roundtrip,
+         CAST(width_bucket(o_totalprice, 0, 600000, 12) AS BIGINT) AS price_bucket
+         FROM orders WHERE o_orderkey <= 2000
+         ORDER BY o_orderkey""")
+  }
+  val qFnIntervalSql: String =
+    """SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
+       strftime(o_orderdate + INTERVAL 10 DAY, '%Y-%m-%d') AS plus10d,
+       strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       strftime(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y'), '%Y-%m-%d') AS dialect_roundtrip,
+       CAST(CASE WHEN o_totalprice >= 600000 THEN 13
+                 WHEN o_totalprice < 0 THEN 0
+                 ELSE floor(o_totalprice / (600000.0 / 12)) + 1 END AS BIGINT) AS price_bucket
+       FROM orders WHERE o_orderkey <= 2000
+       ORDER BY o_orderkey"""
+
   val queries: Map[String, Q] = Map(
+    "q_fn_try" -> q_fn_try _,
+    "q_fn_interval" -> q_fn_interval _,
     "q_fn_url" -> q_fn_url _,
     "q_fn_uuid_ip" -> q_fn_uuid_ip _,
     "q_fn_ngrams" -> q_fn_ngrams _,
     "q_fn_sqljson" -> q_fn_sqljson _)
 
   val oracles: Map[String, String] = Map(
+    "q_fn_try" -> qFnTrySql,
+    "q_fn_interval" -> qFnIntervalSql,
     "q_fn_url" -> qFnUrlSql,
     "q_fn_uuid_ip" -> qFnUuidIpSql,
     "q_fn_ngrams" -> qFnNgramsSql,

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational coverage, part 2 (SURVEY.md §2.3 lateral/correlated joins,
+  * quantified comparisons, and explicit skew mitigation).
+  *
+  *  - LATERAL (reference: sql/planner/plan/CorrelatedJoinNode.java): Spark's
+  *    lateral subquery in FROM; Catalyst decorrelates to a left outer
+  *    aggregate join (reference rule TransformCorrelatedScalarSubquery).
+  *  - Quantified comparisons x > ALL / < ANY (reference:
+  *    optimizations/TransformQuantifiedComparisonApplyToCorrelatedJoin.java):
+  *    Spark has no ALL/ANY syntax, so we perform the same lowering the
+  *    reference's optimizer does — a single (max, min, count) aggregate of
+  *    the subquery broadcast-joined to the probe — while the oracle runs the
+  *    native quantified form. Null/empty-set semantics: the fixture subquery
+  *    is non-empty and non-null; the count guard handles empty.
+  *  - Salted two-phase aggregation (reference handles skew via adaptive
+  *    partitioning; at 100 TB a single hot key can exceed what AQE's skew
+  *    split fixes for *aggregation* state, and pre-splitting the key space
+  *    with an explicit salt bounds per-task state deterministically). The
+  *    oracle is the plain one-phase GROUP BY — results must be identical.
+  */
+object Relational2 {
+
+  /** LATERAL correlated subquery in FROM. */
+  def q_join_lateral(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o.o_orderkey, o.o_totalprice, l.n_items, l.max_price
+         FROM orders o,
+         LATERAL (
+           SELECT count(*) AS n_items,
+                  max(l_extendedprice) AS max_price
+           FROM lineitem WHERE l_orderkey = o.o_orderkey) l
+         WHERE o.o_orderkey <= 500
+         ORDER BY o.o_orderkey""")
+  }
+  val qJoinLateralSql: String =
+    """SELECT o.o_orderkey, o.o_totalprice, l.n_items, l.max_price
+       FROM orders o,
+       LATERAL (
+         SELECT count(*) AS n_items,
+                max(l_extendedprice) AS max_price
+         FROM lineitem WHERE l_orderkey = o.o_orderkey) l
+       WHERE o.o_orderkey <= 500
+       ORDER BY o.o_orderkey"""
+
+  /** x > ALL (subquery) and x < ANY (subquery), lowered to one aggregate. */
+  def q_subq_quantified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val agg = o.filter($"o_orderstatus" === "P")
+      .agg(max($"o_totalprice").as("p_max"), min($"o_totalprice").as("p_min"),
+        count(lit(1)).as("p_cnt"))
+    o.crossJoin(broadcast(agg))
+      .select($"o_orderkey", $"o_totalprice",
+        ($"p_cnt" === 0 || $"o_totalprice" > $"p_max").as("gt_all_p"),
+        ($"p_cnt" > 0 && $"o_totalprice" < $"p_max").as("lt_any_p"))
+      .filter($"o_orderkey" <= 2000)
+      .orderBy($"o_orderkey")
+  }
+  val qSubqQuantifiedSql: String =
+    """SELECT o_orderkey, o_totalprice,
+       o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'P') AS gt_all_p,
+       o_totalprice < ANY (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'P') AS lt_any_p
+       FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey"""
+
+  /** Two-phase salted aggregation over a 3-value hot key — identical results
+    * to the direct GROUP BY, with per-task state bounded by |salt|. */
+  def q_agg_salted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val salted = table(s, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(16)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(
+        count(lit(1)).as("pc"),
+        sum(dec($"l_quantity")).as("pq"),
+        max($"l_extendedprice").as("pm"))
+    salted
+      .groupBy($"l_returnflag")
+      .agg(
+        sum($"pc").cast("long").as("n"),
+        asDouble(sum($"pq")).as("sum_qty"),
+        max($"pm").as("max_price"))
+      .orderBy($"l_returnflag")
+  }
+  val qAggSaltedSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       max(l_extendedprice) AS max_price
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  val queries: Map[String, Q] = Map(
+    "q_join_lateral" -> q_join_lateral _,
+    "q_subq_quantified" -> q_subq_quantified _,
+    "q_agg_salted" -> q_agg_salted _)
+
+  val oracles: Map[String, String] = Map(
+    "q_join_lateral" -> qJoinLateralSql,
+    "q_subq_quantified" -> qSubqQuantifiedSql,
+    "q_agg_salted" -> qAggSaltedSql)
+}
