@@ -31,6 +31,7 @@ object SparkEntry {
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.Approx.queries, operators.Approx.oracles),
+      (operators.Types.queries, operators.Types.oracles),
       (operators.Misc.queries, operators.Misc.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -66,6 +66,10 @@ object TextFunctions {
   def polyFingerprint(text: Column): Column =
     column(PolyFingerprint(expression(text)))
 
+  /** Porter stemmer (reference word_stem; graft.ext.WordStem). */
+  def wordStem(text: Column): Column =
+    column(WordStem(expression(text)))
+
   /** SQL surface for the custom expressions (mirrors the reference's
     * GlobalFunctionCatalog registration, reference:
     * core/trino-main/src/main/java/io/trino/metadata/SystemFunctionBundle.java:385). */
@@ -79,5 +83,7 @@ object TextFunctions {
       es => PolyFingerprint(es(0)), "built-in")
     r.createOrReplaceTempFunction("simhash_bands",
       es => SimHashBands(es(0)), "built-in")
+    r.createOrReplaceTempFunction("word_stem",
+      es => WordStem(es(0)), "built-in")
   }
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Type-system gap layer (SURVEY.md §1.2): char(n) comparison semantics and
+  * the TIME-of-day type.
+  *
+  *  - char(n) (reference: core/trino-spi/src/main/java/io/trino/spi/type/
+  *    CharType.java): blank-padded storage with pad-insensitive comparison.
+  *    Spark's CharType is DDL-only, so the engine normalizes: `rpad` on
+  *    write/compare, `rtrim` equality — exactly the semantics the reference
+  *    implements in its Char comparison operators.
+  *  - TIME(p) (reference: spi/type/TimeType.java — p ≤ 12, stored as
+  *    picos-of-day): Spark has no time-of-day type; represented as
+  *    nanos-of-day BIGINT + a function set (hour/minute/second extraction,
+  *    wrap-around arithmetic), the representation SURVEY.md §1.2 prescribes.
+  */
+object Types {
+
+  /** char(10) semantics over mktsegment values. */
+  def q_type_char(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "customer").filter($"c_custkey" <= 500)
+      .withColumn("seg_char10", rpad($"c_mktsegment", 10, " "))
+      .select($"c_custkey",
+        concat(lit("["), $"seg_char10", lit("]")).as("padded_display"),
+        length($"seg_char10").cast("long").as("stored_len"),
+        length($"c_mktsegment").cast("long").as("logical_len"),
+        (rtrim($"seg_char10") === $"c_mktsegment").as("pad_insensitive_eq"),
+        (rpad(lit("BUILDING"), 10, " ") === $"seg_char10").as("eq_building_char"))
+      .orderBy($"c_custkey")
+  }
+  val qTypeCharSql: String =
+    """SELECT c_custkey,
+       '[' || rpad(c_mktsegment, 10, ' ') || ']' AS padded_display,
+       CAST(length(rpad(c_mktsegment, 10, ' ')) AS BIGINT) AS stored_len,
+       CAST(length(c_mktsegment) AS BIGINT) AS logical_len,
+       rtrim(rpad(c_mktsegment, 10, ' ')) = c_mktsegment AS pad_insensitive_eq,
+       rpad('BUILDING', 10, ' ') = rpad(c_mktsegment, 10, ' ') AS eq_building_char
+       FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey"""
+
+  /** TIME-of-day as nanos-of-day bigint + function set over event timestamps. */
+  def q_type_time(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayNanos = 86400000000000L
+    table(s, dir, "events").filter($"event_id" < 2000)
+      .withColumn("us_of_day", expr("unix_micros(ts) % 86400000000"))
+      .withColumn("time_ns", $"us_of_day" * 1000L)
+      .select($"event_id", $"time_ns",
+        ($"time_ns" / 3600000000000L).cast("long").as("t_hour"),
+        ($"time_ns" % 3600000000000L / 60000000000L).cast("long").as("t_minute"),
+        ($"time_ns" % 60000000000L / 1000000000L).cast("long").as("t_second"),
+        (($"time_ns" + 2L * 3600000000000L) % dayNanos).as("plus_2h_wrapped"),
+        hour($"ts").cast("long").as("hour_check"))
+      .orderBy($"event_id")
+  }
+  val qTypeTimeSql: String =
+    """WITH t AS (
+         SELECT event_id, epoch_us(ts) % 86400000000 AS us_of_day, ts
+         FROM events WHERE event_id < 2000)
+       SELECT event_id, us_of_day * 1000 AS time_ns,
+         us_of_day * 1000 // 3600000000000 AS t_hour,
+         us_of_day * 1000 % 3600000000000 // 60000000000 AS t_minute,
+         us_of_day * 1000 % 60000000000 // 1000000000 AS t_second,
+         (us_of_day * 1000 + 2 * 3600000000000) % 86400000000000 AS plus_2h_wrapped,
+         CAST(hour(ts) AS BIGINT) AS hour_check
+       FROM t ORDER BY event_id"""
+
+  val queries: Map[String, Q] = Map(
+    "q_type_char" -> q_type_char _,
+    "q_type_time" -> q_type_time _)
+
+  val oracles: Map[String, String] = Map(
+    "q_type_char" -> qTypeCharSql,
+    "q_type_time" -> qTypeTimeSql)
+}

@@ -80,6 +80,26 @@ class FunctionSpec extends SparkSpec {
     assert(fp == expected)
   }
 
+  test("word_stem follows Porter suffix stripping") {
+    val pairs = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "motoring" -> "motor",
+      "happy" -> "happi", "relational" -> "relat", "conditional" -> "condit",
+      "sky" -> "sky")
+    val out = pairs.map(_._1).toDF("w")
+      .select($"w", TextFunctions.wordStem($"w").as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    pairs.foreach { case (w, expected) =>
+      assert(out(w) == expected, s"stem($w)=${out(w)}, expected $expected")
+    }
+  }
+
+  test("word_stem SQL registration") {
+    TextFunctions.register(spark)
+    val r = spark.sql("SELECT word_stem('generalizations')").collect()(0).getString(0)
+    assert(r == "gener", r)
+  }
+
   test("lsh buckets are deterministic and bounded") {
     val df = Seq((1L, Array.tabulate(8)(i => (i + 1).toFloat))).toDF("id", "v")
       .select(VectorFunctions.lshBuckets($"v", tables = 4, bits = 8).as("b"))
