@@ -80,6 +80,63 @@ object Similarity {
       .orderBy($"query_id", $"rn")
   }
 
+  /** IVF (inverted-file) ANN index — the second scale path from the brief.
+    * Fully distributed and deterministic-by-construction:
+    *  1. seed cells by hashing vec_id (no sampled init, no driver loops);
+    *  2. centroids = per-cell element-wise means (explode → two-level agg —
+    *     shuffle cardinality is |cells|·|dims|, never |corpus|);
+    *  3. one Lloyd refinement: re-assign to the nearest centroid via a
+    *     broadcast of the (tiny) centroid table, recompute means;
+    *  4. queries probe the nprobe nearest cells and run exact cosine only on
+    *     those cells' members — candidate count ≈ |corpus|·nprobe/C.
+    * At 100 TB the corpus stays partitioned throughout; only centroids (C
+    * rows) are ever broadcast. probing all C cells degenerates to exact
+    * brute force, which AnnSpec uses as an equivalence invariant. */
+  def q_sim_ann_ivf(s: SparkSession, dir: String): DataFrame =
+    ivfTopK(s, dir, nprobe = 4)
+
+  private[graft] def ivfTopK(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val cellCount = 16
+    val e = table(s, dir, "embeddings")
+    val corpus = e.filter($"vec_id" >= NQ).select($"vec_id", $"embedding")
+
+    def centroids(assigned: DataFrame): DataFrame =
+      assigned.select($"cell", posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"cell", $"pos").agg(avg($"v").as("m"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          el => el.getField("m").cast("float")).as("centroid"))
+
+    def assign(df: DataFrame, cents: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("csim", VectorFunctions.cosine($"embedding", $"centroid"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"cell", $"embedding"), struct($"csim", -$"cell")).as("b"))
+        .select($"vec_id", $"b.cell".as("cell"), $"b.embedding".as("embedding"))
+
+    val seeded = corpus.withColumn("cell", pmod(xxhash64($"vec_id"), lit(cellCount)))
+    val cents1 = centroids(assign(corpus, centroids(seeded)))
+    val cells = assign(corpus, cents1)
+
+    val probes = e.filter($"vec_id" < NQ)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      .crossJoin(broadcast(cents1))
+      .withColumn("csim", VectorFunctions.cosine($"qvec", $"centroid"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"csim".desc, $"cell")))
+      .filter($"pr" <= nprobe)
+      .select($"query_id", $"qvec", $"cell")
+
+    val w = Window.partitionBy($"query_id").orderBy($"sim_r".desc, $"vec_id")
+    probes.join(cells, "cell")
+      .withColumn("sim_r", round(VectorFunctions.cosine($"qvec", $"embedding"), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"query_id", $"rn", $"vec_id", $"sim_r")
+      .orderBy($"query_id", $"rn")
+  }
+
   /** Embedding-space near-duplicate detection: corpus pairs with cosine ≥ 0.3
     * within the same label partition (embedding-cosine near-dup from the brief). */
   def q_sim_neardup(s: SparkSession, dir: String): DataFrame = {
@@ -109,6 +166,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "q_sim_cosine_topk" -> q_sim_cosine_topk _,
     "q_sim_ann_lsh" -> q_sim_ann_lsh _,
+    "q_sim_ann_ivf" -> q_sim_ann_ivf _,
     "q_sim_neardup" -> q_sim_neardup _)
 
   val oracles: Map[String, String] = Map(

@@ -25,6 +25,26 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.05, s"LSH recall suspiciously low: $recall")
   }
 
+  test("ivf ANN returns corpus subsets with exact sims and nontrivial recall") {
+    val exact = operators.Similarity.q_sim_cosine_topk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = operators.Similarity.q_sim_ann_ivf(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    ivf.foreach { case (key, sim) =>
+      exact.get(key).foreach(es => assert(es == sim, s"sim mismatch for $key"))
+    }
+    val recall = exact.keySet.intersect(ivf.map(_._1).toSet).size.toDouble / exact.size
+    assert(recall > 0.1, s"IVF recall suspiciously low: $recall")
+  }
+
+  test("ivf probing all cells reproduces exact brute-force top-k") {
+    val exact = operators.Similarity.q_sim_cosine_topk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val full = operators.Similarity.ivfTopK(spark, sfDir, nprobe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(full == exact)
+  }
+
   test("minhash candidates cover all exact ngram near-dup pairs at high sim") {
     val exactPairs = operators.Dedup.q_dedup_ngram(spark, sfDir).collect()
       .filter(_.getDouble(2) >= 0.9).map(r => (r.getLong(0), r.getLong(1))).toSet
