@@ -15,6 +15,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q6_filter", "q_scan_project",
     "q3_join_topn", "q5_multi_join", "q_join_left",
+    "q7_volume", "q18_big_orders",
     "q_agg_distinct", "q_groupingsets",
     "q_window_topn", "q_window_running",
     "q_events_sessionize",

@@ -17,6 +17,7 @@ object SparkEntry {
     Seq(
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.Relational2.queries, operators.Relational2.oracles),
+      (operators.Tpch.queries, operators.Tpch.oracles),
       (operators.Aggregates.queries, operators.Aggregates.oracles),
       (operators.Aggregates2.queries, operators.Aggregates2.oracles),
       (operators.SetOps.queries, operators.SetOps.oracles),
