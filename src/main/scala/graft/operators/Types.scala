@@ -67,11 +67,40 @@ object Types {
          CAST(hour(ts) AS BIGINT) AS hour_check
        FROM t ORDER BY event_id"""
 
+  /** Exact decimal arithmetic semantics (reference: spi/type/DecimalType.java
+    * — Int128-backed exact decimals, max precision 38, HALF_UP rounding).
+    * Multiplication/addition widen exactly; scale reduction goes through
+    * round() (round-half-away in both engines — decimal CAST disagrees at the
+    * .5 boundary: Spark HALF_UP vs DuckDB truncation, so casts that drop
+    * scale are NOT portable and the engine avoids them); division is done in
+    * IEEE double, bit-identical everywhere. */
+  def q_type_decimal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    table(s, dir, "lineitem").filter($"l_orderkey" <= 2000)
+      .select($"l_orderkey", $"l_linenumber",
+        asDouble((dec($"l_extendedprice") * dec($"l_discount")).cast(DecimalType(25, 4))).as("exact_mul"),
+        asDouble(dec($"l_extendedprice") + dec($"l_tax")).as("exact_add"),
+        asDouble(round(dec($"l_extendedprice") * dec($"l_discount"), 2)).as("half_away_round"),
+        ($"l_extendedprice" / $"l_quantity").as("ieee_div"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+  val qTypeDecimalSql: String =
+    """SELECT l_orderkey, l_linenumber,
+       CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(25,4)) AS DOUBLE) AS exact_mul,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)) AS DOUBLE) AS exact_add,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)), 2) AS DOUBLE) AS half_away_round,
+       l_extendedprice / l_quantity AS ieee_div
+       FROM lineitem WHERE l_orderkey <= 2000
+       ORDER BY l_orderkey, l_linenumber"""
+
   val queries: Map[String, Q] = Map(
     "q_type_char" -> q_type_char _,
-    "q_type_time" -> q_type_time _)
+    "q_type_time" -> q_type_time _,
+    "q_type_decimal" -> q_type_decimal _)
 
   val oracles: Map[String, String] = Map(
     "q_type_char" -> qTypeCharSql,
-    "q_type_time" -> qTypeTimeSql)
+    "q_type_time" -> qTypeTimeSql,
+    "q_type_decimal" -> qTypeDecimalSql)
 }

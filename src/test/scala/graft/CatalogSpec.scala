@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.Files
+
+/** Catalog / DDL surface (SURVEY.md §3 entry C: DDL & utility statements —
+  * reference execution/CreateTableTask.java et al., SHOW/DESCRIBE rewrites
+  * sql/rewrite/ShowQueriesRewrite.java): views, external tables, INSERT,
+  * DESCRIBE, SHOW, DROP through spark.sql + the session catalog. */
+class CatalogSpec extends SparkSpec {
+
+  test("CREATE VIEW / SHOW / DESCRIBE / DROP round-trip") {
+    graft.sources.Tables.registerAll(spark, sfDir)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW nation_eu AS SELECT * FROM nation WHERE n_regionkey = 0")
+    assert(spark.catalog.tableExists("nation_eu"))
+    val described = spark.sql("DESCRIBE nation_eu").collect().map(_.getString(0)).toSet
+    assert(described.contains("n_nationkey") && described.contains("n_name"))
+    val shown = spark.sql("SHOW TABLES").collect().map(_.getString(1)).toSet
+    assert(shown.contains("nation_eu"))
+    val n = spark.sql("SELECT count(*) FROM nation_eu").collect()(0).getLong(0)
+    assert(n > 0)
+    spark.sql("DROP VIEW nation_eu")
+    assert(!spark.catalog.tableExists("nation_eu"))
+  }
+
+  test("CREATE TABLE USING parquet + INSERT INTO + SELECT") {
+    val loc = Files.createTempDirectory("graft_cat").toFile.getAbsolutePath
+    spark.sql("DROP TABLE IF EXISTS graft_t")
+    spark.sql(s"CREATE TABLE graft_t (id BIGINT, name STRING) USING parquet LOCATION '$loc'")
+    spark.sql("INSERT INTO graft_t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft_t SELECT 3, 'c'")
+    val rows = spark.sql("SELECT id, name FROM graft_t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    spark.sql("DROP TABLE graft_t")
+    assert(!spark.catalog.tableExists("graft_t"))
+  }
+}

@@ -53,6 +53,13 @@ class PlanShapeSpec extends SparkSpec {
       s"unused customer columns not pruned:\n$plan")
   }
 
+  test("TPC-H Q10 broadcasts nation; Q4 plans a semi join") {
+    val q10 = physicalPlan(operators.Tpch.q10_returns(spark, sfDir))
+    assert(q10.contains("BroadcastHashJoin"), s"nation not broadcast in q10:\n$q10")
+    val q4 = physicalPlan(operators.Tpch.q4_order_priority(spark, sfDir))
+    assert(q4.contains("LeftSemi"), s"no semi join in q4:\n$q4")
+  }
+
   test("partial aggregation precedes the shuffle in q1") {
     val plan = physicalPlan(operators.Relational.q1_agg(spark, sfDir))
     // two HashAggregate nodes (partial + final) around one exchange
