@@ -30,6 +30,27 @@ object Approx {
       .orderBy($"l_returnflag")
   }
 
+  /** HLL sketch state as a column (reference approx_set / merge /
+    * cardinality — HyperLogLogType sketches flowing between aggregations):
+    * per-group sketches, estimates, and a re-aggregated union of the group
+    * sketches — the state-merge surface, not just the one-shot estimate.
+    * Rows-only check (sketch hashing is engine-specific); SketchSpec bounds
+    * the estimates against exact counts. */
+  def q_approx_hll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sk = table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(hll_sketch_agg($"l_orderkey").as("sk"),
+        countDistinct($"l_orderkey").as("exact_orders"))
+    val perFlag = sk.select($"l_returnflag",
+      hll_sketch_estimate($"sk").as("est_orders"), $"exact_orders")
+    val merged = sk.agg(hll_union_agg($"sk").as("u"), sum($"exact_orders").as("sum_exact"))
+      .select(lit("ALL_MERGED").as("l_returnflag"),
+        hll_sketch_estimate($"u").as("est_orders"),
+        lit(null).cast("long").as("exact_orders"))
+    perFlag.unionAll(merged).orderBy($"l_returnflag")
+  }
+
   def q_approx_topk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     table(s, dir, "documents")
@@ -52,6 +73,7 @@ object Approx {
 
   val queries: Map[String, Q] = Map(
     "q_approx_quantiles" -> q_approx_quantiles _,
+    "q_approx_hll" -> q_approx_hll _,
     "q_approx_topk" -> q_approx_topk _)
 
   val oracles: Map[String, String] = Map(

@@ -55,6 +55,51 @@ object Multimodal {
     }
   }
 
+  case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** STUB frame sampler: 1→N expansion of video payloads into evenly spaced
+    * byte-range "frames" (a real deployment decodes and samples actual frames;
+    * the flatMap expansion, slice arithmetic, and per-frame schema are the
+    * production shape — same contract as video frame extraction). */
+  def frameSampleStub(media: Dataset[MediaRow], nFrames: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      val len = r.payload.length
+      (0 until nFrames).map { i =>
+        Frame(r.media_id, i, r.payload.slice(i * len / nFrames, (i + 1) * len / nFrames))
+      }
+    }
+  }
+
+  /** Frame sampling pipeline: video rows → 4 frames each → per-frame sizes and
+    * fingerprints. Oracle recomputes the slice arithmetic over substrings. */
+  def q_multimodal_frames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = frameSampleStub(mediaTable(s, dir).as[MediaRow], 4)
+    frames.map { f =>
+      val fp = f.frame_bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+      (f.media_id, f.frame_idx.toLong, f.frame_bytes.length.toLong, fp)
+    }.toDF("media_id", "frame_idx", "n_bytes", "frame_fp")
+      .orderBy($"media_id", $"frame_idx")
+  }
+  val qMultimodalFramesSql: String =
+    """WITH v AS (
+         SELECT doc_id AS media_id, text, length(text) AS len
+         FROM documents
+         WHERE ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] = 'video'),
+       f AS (
+         SELECT media_id, unnest(range(4)) AS frame_idx, text, len FROM v),
+       sl AS (
+         SELECT media_id, frame_idx,
+           substr(text, CAST(frame_idx * len // 4 AS INT) + 1,
+             CAST((frame_idx + 1) * len // 4 - frame_idx * len // 4 AS INT)) AS fb
+         FROM f)
+       SELECT media_id, frame_idx, CAST(length(fb) AS BIGINT) AS n_bytes,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           [CAST(ascii(fb[i]) AS BIGINT) for i in range(1, length(fb) + 1)]),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS frame_fp
+       FROM sl ORDER BY media_id, frame_idx"""
+
   /** End-to-end pipeline: binary ingest → partition-wise decode → per-kind stats. */
   def q_multimodal_features(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -69,7 +114,8 @@ object Multimodal {
   }
 
   val queries: Map[String, Q] = Map(
-    "q_multimodal_features" -> q_multimodal_features _)
+    "q_multimodal_features" -> q_multimodal_features _,
+    "q_multimodal_frames" -> q_multimodal_frames _)
 
   /** checksum matches polyFingerprint over ascii text, so the oracle reuses the
     * portable arithmetic; avg_f0 is byte-histogram arithmetic, also portable. */
@@ -89,5 +135,6 @@ object Multimodal {
        FROM m GROUP BY kind ORDER BY kind"""
 
   val oracles: Map[String, String] = Map(
-    "q_multimodal_features" -> qMultimodalSql)
+    "q_multimodal_features" -> qMultimodalSql,
+    "q_multimodal_frames" -> qMultimodalFramesSql)
 }

@@ -20,7 +20,7 @@ class GoldenQuerySpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // xxhash64 signatures and HLL/qdigest sketches are engine-specific by design
     assert(noOracle == Set("q_dedup_minhash", "q_dedup_simhash", "q_sim_ann_lsh",
-      "q_sim_ann_ivf", "q_approx_agg", "q_approx_quantiles"),
+      "q_sim_ann_ivf", "q_approx_agg", "q_approx_quantiles", "q_approx_hll"),
       s"unexpected oracle-less queries: $noOracle")
   }
 

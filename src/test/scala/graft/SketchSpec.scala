@@ -30,6 +30,33 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hll sketch estimates and merged union stay within 5% of exact") {
+    val rows = operators.Approx.q_approx_hll(spark, sfDir).collect()
+    val exactTotal = operators.table(spark, sfDir, "lineitem")
+      .select(countDistinct($"l_orderkey")).collect()(0).getLong(0)
+    rows.foreach { r =>
+      val est = r.getLong(1).toDouble
+      if (r.getString(0) == "ALL_MERGED")
+        assert(math.abs(est - exactTotal) / exactTotal < 0.05, s"merged est=$est exact=$exactTotal")
+      else {
+        val exact = r.getLong(2).toDouble
+        assert(math.abs(est - exact) / exact < 0.05, s"${r.getString(0)}: est=$est exact=$exact")
+      }
+    }
+  }
+
+  test("custom SQL function registry exposes every declared function") {
+    graft.functions.Registry.registerAll(spark)
+    graft.functions.Registry.customFunctions.foreach { fn =>
+      assert(spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fn)), s"missing $fn")
+    }
+    // and they evaluate through SQL
+    assert(spark.sql("SELECT word_stem('connections')").collect()(0).getString(0) == "connect")
+    assert(spark.sql("SELECT poly_fingerprint('abc')").collect()(0).getLong(0) ==
+      "abc".foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L))
+  }
+
   test("space-saving with tight capacity still surfaces the heavy hitter") {
     // skewed stream: 'hot' dominates; capacity 2 << 11 distinct values
     val data = (1 to 500).map(_ => "hot") ++ (1 to 10).flatMap(i => Seq.fill(5)(s"cold$i"))

@@ -46,6 +46,26 @@ class StreamingSpec extends SparkSpec {
     assert(perUser == batchUsers)
   }
 
+  test("streaming exact dedup (dropDuplicates with watermark) matches batch distinct") {
+    val src = streaming.EventStreams.source(spark, sfDir)
+    val q = src.withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type")
+      .count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dedup_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = operators.table(spark, sfDir, "events")
+      .select("user_id", "event_type").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("mapGroupsWithState running totals converge to batch totals") {
     val src = streaming.EventStreams.source(spark, sfDir)
     val q = streaming.EventStreams.runningUserTotals(src)
