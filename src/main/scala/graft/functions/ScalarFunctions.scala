@@ -57,4 +57,27 @@ object ScalarFunctions {
   // --- Radix conversion (reference: MathFunctions.java from_base/to_base) ---
   def toBase(c: Column, radix: Int): Column = lower(conv(c.cast("string"), 10, radix))
   def fromBase(c: Column, radix: Int): Column = conv(c, radix, 10).cast("long")
+
+  // --- Joda-dialect datetime patterns (reference: DateTimeFunctions.java
+  //     format_datetime/parse_datetime use Joda patterns; Spark uses
+  //     java.time DateTimeFormatter. The overlapping subset is translated;
+  //     tokens with diverging semantics are rejected loudly rather than
+  //     silently misformatted.) ---
+  private val jodaUnsupported = "xeZC".toSet // weekyear, numeric dow, tz offset, century
+
+  /** Translate a Joda-time pattern to a java.time one (common subset). */
+  def translateJodaPattern(p: String): String = {
+    require(!p.exists(c => jodaUnsupported.contains(c)),
+      s"joda pattern token with diverging semantics in '$p' (one of ${jodaUnsupported.mkString})")
+    // Joda 'Y' = year-of-era, java.time 'y' = year-of-era equivalent here
+    p.map { case 'Y' => 'y'; case c => c }
+  }
+
+  /** format_datetime(ts, jodaPattern). */
+  def formatDatetime(ts: Column, jodaPattern: String): Column =
+    date_format(ts, translateJodaPattern(jodaPattern))
+
+  /** parse_datetime(str, jodaPattern) → timestamp. */
+  def parseDatetime(s: Column, jodaPattern: String): Column =
+    to_timestamp(s, translateJodaPattern(jodaPattern))
 }

@@ -22,6 +22,44 @@ class CatalogSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("nation_eu"))
   }
 
+  test("ANALYZE TABLE computes CBO statistics") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_stats").toFile.getAbsolutePath
+    spark.sql("DROP TABLE IF EXISTS graft_stats_t")
+    operators.table(spark, sfDir, "nation")
+      .write.mode("overwrite").option("path", loc).saveAsTable("graft_stats_t")
+    spark.sql("ANALYZE TABLE graft_stats_t COMPUTE STATISTICS FOR ALL COLUMNS")
+    val stats = spark.sql("DESCRIBE EXTENDED graft_stats_t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(stats("Statistics").contains("rows"), stats("Statistics"))
+    spark.sql("DROP TABLE graft_stats_t")
+  }
+
+  test("EXPLAIN ANALYZE report carries per-node runtime metrics") {
+    val rep = graft.engine.ExplainAnalyze.report(
+      operators.Relational.q1_agg(spark, sfDir))
+    assert(rep.contains("HashAggregate"), rep)
+    val metrics = graft.engine.ExplainAnalyze.analyze(
+      operators.Relational.q1_agg(spark, sfDir))
+    val scanRows = metrics.filter(_.node.toLowerCase.contains("scan"))
+      .flatMap(_.metrics.get("numOutputRows"))
+    assert(scanRows.exists(_ > 0), metrics.map(_.node).mkString(","))
+  }
+
+  test("joda-dialect datetime format/parse round-trips") {
+    import graft.functions.ScalarFunctions._
+    import org.apache.spark.sql.functions.{to_timestamp, date_format, lit}
+    import spark.implicits._
+    val df = Seq("2024-03-15 10:30:00").toDF("s")
+      .withColumn("ts", to_timestamp($"s"))
+    val r = df.select(
+      formatDatetime($"ts", "YYYY/MM/dd HH:mm").as("f"),
+      date_format(parseDatetime(lit("15/03/2024"), "dd/MM/YYYY"), "yyyy-MM-dd").as("p"))
+      .collect()(0)
+    assert(r.getString(0) == "2024/03/15 10:30")
+    assert(r.getString(1) == "2024-03-15")
+    intercept[IllegalArgumentException](translateJodaPattern("xxxx-ww"))
+  }
+
   test("CREATE TABLE USING parquet + INSERT INTO + SELECT") {
     val loc = Files.createTempDirectory("graft_cat").toFile.getAbsolutePath
     spark.sql("DROP TABLE IF EXISTS graft_t")
