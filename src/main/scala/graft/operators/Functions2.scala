@@ -221,7 +221,38 @@ object Functions2 {
        FROM orders WHERE o_orderkey <= 2000
        ORDER BY o_orderkey"""
 
+  /** String distance + Unicode normalization (reference: StringFunctions.java
+    * levenshtein/hamming/normalize). Char-set Jaccard composed from array
+    * builtins; hamming runs on equal-length md5 prefixes. */
+  def q_fn_strdist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    def nfc(c: org.apache.spark.sql.Column) = column(graft.ext.NormalizeNfc(expression(c)))
+    def hammingStr(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      column(graft.ext.StringHamming(expression(a), expression(b)))
+    val decomposed = concat(lit("cafe"), lit("́"), lit(" "), $"c_mktsegment")
+    table(s, dir, "customer").filter($"c_custkey" <= 300)
+      .select($"c_custkey",
+        levenshtein($"c_name", $"c_mktsegment").cast("long").as("lev"),
+        hammingStr(substring(md5($"c_name"), 1, 8), substring(md5($"c_mktsegment"), 1, 8)).as("ham"),
+        (size(array_intersect(array_distinct(split($"c_name", "")), array_distinct(split($"c_mktsegment", "")))).cast("double") /
+          size(array_union(array_distinct(split($"c_name", "")), array_distinct(split($"c_mktsegment", "")))))
+          .as("char_jaccard"),
+        length(decomposed).cast("long").as("len_decomposed"),
+        length(nfc(decomposed)).cast("long").as("len_nfc"))
+      .orderBy($"c_custkey")
+  }
+  val qFnStrdistSql: String =
+    """SELECT c_custkey,
+       levenshtein(c_name, c_mktsegment) AS lev,
+       hamming(substr(md5(c_name), 1, 8), substr(md5(c_mktsegment), 1, 8)) AS ham,
+       jaccard(c_name, c_mktsegment) AS char_jaccard,
+       CAST(length('cafe' || chr(769) || ' ' || c_mktsegment) AS BIGINT) AS len_decomposed,
+       CAST(length(nfc_normalize('cafe' || chr(769) || ' ' || c_mktsegment)) AS BIGINT) AS len_nfc
+       FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
+    "q_fn_strdist" -> q_fn_strdist _,
     "q_fn_try" -> q_fn_try _,
     "q_fn_interval" -> q_fn_interval _,
     "q_fn_url" -> q_fn_url _,
@@ -230,6 +261,7 @@ object Functions2 {
     "q_fn_sqljson" -> q_fn_sqljson _)
 
   val oracles: Map[String, String] = Map(
+    "q_fn_strdist" -> qFnStrdistSql,
     "q_fn_try" -> qFnTrySql,
     "q_fn_interval" -> qFnIntervalSql,
     "q_fn_url" -> qFnUrlSql,
