@@ -63,6 +63,25 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
       .select(col("user_id"), col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join: each view joined to the same user's
+    * purchases within the following 30 minutes. Both sides carry watermarks,
+    * so join state is evicted once the event-time bound passes — the
+    * standard bounded-state stream join. Works identically on a batch
+    * DataFrame (the spec reconciles the two). */
+  def viewToPurchase(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    views.join(purchases,
+      expr("""v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"""))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"), col("value"))
+  }
+
   /** Custom keyed state via mapGroupsWithState: per-user running event count
     * and value total. State is one (count, sum) pair per key, partitioned
     * across executors — the arbitrary-stateful-operator surface that windowed

@@ -66,6 +66,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val src = streaming.EventStreams.source(spark, sfDir)
+    val q = streaming.EventStreams.viewToPurchase(src)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vtp_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("vtp_out")
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val batchEvents = operators.table(spark, sfDir, "events")
+    val batch = streaming.EventStreams.viewToPurchase(batchEvents)
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("mapGroupsWithState running totals converge to batch totals") {
     val src = streaming.EventStreams.source(spark, sfDir)
     val q = streaming.EventStreams.runningUserTotals(src)
