@@ -92,12 +92,40 @@ object Relational2 {
        max(l_extendedprice) AS max_price
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** WITH RECURSIVE (reference grammar SqlBase.g4 `WITH RECURSIVE`, planner
+    * support in the analyzer): ancestor walk over the implicit binary-tree
+    * hierarchy parent(k) = k ÷ 2 — a genuine fixed-point iteration, not a
+    * pre-unrolled union. Spark 4 executes this via iterative union-loop
+    * materialization; at scale each iteration is a distributed self-join of
+    * the frontier, the standard BFS-on-Spark shape. */
+  def q_recursive_cte(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Tables.registerAll(s, dir)
+    s.sql(
+      """WITH RECURSIVE anc(root, node, depth) AS (
+           SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 64
+           UNION ALL
+           SELECT root, node DIV 2, depth + 1 FROM anc WHERE node > 1)
+         SELECT root, count(*) AS chain_len, CAST(max(depth) AS BIGINT) AS height,
+           CAST(sum(node) AS BIGINT) AS path_sum
+         FROM anc GROUP BY root ORDER BY root""")
+  }
+  val qRecursiveCteSql: String =
+    """WITH RECURSIVE anc(root, node, depth) AS (
+         SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 64
+         UNION ALL
+         SELECT root, node // 2, depth + 1 FROM anc WHERE node > 1)
+       SELECT root, count(*) AS chain_len, CAST(max(depth) AS BIGINT) AS height,
+         CAST(sum(node) AS BIGINT) AS path_sum
+       FROM anc GROUP BY root ORDER BY root"""
+
   val queries: Map[String, Q] = Map(
+    "q_recursive_cte" -> q_recursive_cte _,
     "q_join_lateral" -> q_join_lateral _,
     "q_subq_quantified" -> q_subq_quantified _,
     "q_agg_salted" -> q_agg_salted _)
 
   val oracles: Map[String, String] = Map(
+    "q_recursive_cte" -> qRecursiveCteSql,
     "q_join_lateral" -> qJoinLateralSql,
     "q_subq_quantified" -> qSubqQuantifiedSql,
     "q_agg_salted" -> qAggSaltedSql)

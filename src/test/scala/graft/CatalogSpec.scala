@@ -60,6 +60,20 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](translateJodaPattern("xxxx-ww"))
   }
 
+  test("parameterized queries (PREPARE/EXECUTE analogue)") {
+    graft.sources.Tables.registerAll(spark, sfDir)
+    val named = spark.sql(
+      "SELECT count(*) FROM nation WHERE n_regionkey = :rk",
+      Map("rk" -> 0)).collect()(0).getLong(0)
+    val direct = spark.sql(
+      "SELECT count(*) FROM nation WHERE n_regionkey = 0").collect()(0).getLong(0)
+    assert(named == direct && named > 0)
+    val positional = spark.sql(
+      "SELECT n_name FROM nation WHERE n_nationkey = ? ORDER BY n_name",
+      Array(3)).collect()(0).getString(0)
+    assert(positional == "NATION_3")
+  }
+
   test("CREATE TABLE USING parquet + INSERT INTO + SELECT") {
     val loc = Files.createTempDirectory("graft_cat").toFile.getAbsolutePath
     spark.sql("DROP TABLE IF EXISTS graft_t")

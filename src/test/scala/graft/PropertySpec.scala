@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5(c): the reference has no
+  * property-based tests — this layer exceeds it). Each property runs
+  * generated data through the real distributed operators; generators are
+  * drawn with fixed seeds so failures are reproducible. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def draw[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val smallInts = Gen.listOfN(30, Gen.chooseNum(0L, 9L))
+
+  test("multiset algebra: |A except B| + |A intersect B| = |A|") {
+    (1 to 10).foreach { i =>
+      val a = draw(smallInts, i)
+      val b = draw(smallInts, i + 1000)
+      val da = a.toDF("x"); val db = b.toDF("x")
+      val except = da.exceptAll(db).count()
+      val intersect = da.intersectAll(db).count()
+      assert(except + intersect == a.size.toLong, s"seed $i: $a vs $b")
+    }
+  }
+
+  test("union-distinct cardinality bounds") {
+    (1 to 10).foreach { i =>
+      val a = draw(smallInts, i)
+      val b = draw(smallInts, i + 2000)
+      val da = a.toDF("x"); val db = b.toDF("x")
+      val u = da.union(db).distinct().count()
+      val ad = da.distinct().count(); val bd = db.distinct().count()
+      assert(u <= ad + bd && u >= math.max(ad, bd), s"seed $i")
+    }
+  }
+
+  test("decimal sums are partition-count independent") {
+    val gen = Gen.listOfN(50, Gen.chooseNum(-99999L, 99999L))
+    (1 to 5).foreach { i =>
+      val xs = draw(gen, i)
+      val df = xs.map(x => x / 100.0).toDF("v")
+      def total(parts: Int) =
+        df.repartition(parts).agg(operators.asDouble(sum(operators.dec($"v"))))
+          .collect()(0).getDouble(0)
+      assert(total(1) == total(7), s"seed $i")
+    }
+  }
+
+  test("minhash agreement is 1 on identical docs and within [0,1] always") {
+    import graft.functions.TextFunctions._
+    val words = Gen.listOfN(12, Gen.alphaLowerStr.map(w => if (w.isEmpty) "w" else w.take(5)))
+    (1 to 10).foreach { i =>
+      val w1 = draw(words, i)
+      val w2 = draw(words, i + 3000)
+      val df = Seq((w1.mkString(" "), w1.mkString(" ")), (w1.mkString(" "), w2.mkString(" ")))
+        .toDF("a", "b")
+        .select(minhashSimilarity(
+          minhashSignature(shingles3(tokens($"a")), 32),
+          minhashSignature(shingles3(tokens($"b")), 32)).as("sim"))
+      val sims = df.collect().map(_.getDouble(0))
+      assert(sims(0) == 1.0, s"seed $i: identical docs must agree fully")
+      assert(sims.forall(x => x >= 0.0 && x <= 1.0), s"seed $i")
+    }
+  }
+
+  test("ipToLong matches octet arithmetic across the domain") {
+    import graft.functions.ScalarFunctions._
+    val octet = Gen.chooseNum(0, 255)
+    val ips = (1 to 20).map { i =>
+      (draw(octet, i), draw(octet, i + 100), draw(octet, i + 200), draw(octet, i + 300))
+    }
+    val df = ips.map { case (a, b, c, d) => s"$a.$b.$c.$d" }.toDF("ip")
+      .select($"ip", ipToLong($"ip").as("n")).collect()
+    df.zip(ips).foreach { case (r, (a, b, c, d)) =>
+      assert(r.getLong(1) == a * 16777216L + b * 65536L + c * 256L + d, r.getString(0))
+    }
+  }
+
+  test("word_stem output never grows and is ascii-stable") {
+    import graft.functions.TextFunctions._
+    val words = Gen.listOfN(40, Gen.alphaLowerStr.map(w => if (w.length < 3) w + "ing" else w.take(10)))
+    val ws = draw(words, 7)
+    val out = ws.toDF("w").select($"w", wordStem($"w").as("s")).collect()
+    out.foreach { r =>
+      assert(r.getString(1).length <= r.getString(0).length, s"${r.getString(0)} grew")
+      assert(r.getString(1).forall(c => c >= 'a' && c <= 'z') || r.getString(1).isEmpty)
+    }
+  }
+}
