@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology mirrors the reference's Benchto setup
   * (reference: testing/trino-benchto-benchmarks/src/main/resources/benchmarks/trino/tpch.yaml:4-7 —
-  * prewarm runs before measured runs, concurrency 1): 1 prewarm + 2 measured
+  * prewarm runs before measured runs, concurrency 1): 2 prewarm + 3 measured
   * per query, report the best measured run. Queries are forced end-to-end with
   * a noop sink (count() would let Catalyst prune the compute).
   */
@@ -44,8 +44,8 @@ object Bench {
     val names = headline.filter(SparkEntry.queries.contains)
     val results = names.map { name =>
       try {
-        run(name) // prewarm: codegen + file listing + JIT
-        name -> math.min(timed(name), timed(name))
+        run(name); run(name) // 2 prewarm runs (codegen + file listing + JIT)
+        name -> Seq(timed(name), timed(name), timed(name)).min
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

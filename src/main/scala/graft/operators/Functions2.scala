@@ -251,7 +251,39 @@ object Functions2 {
        CAST(length(nfc_normalize('cafe' || chr(769) || ' ' || c_mktsegment)) AS BIGINT) AS len_nfc
        FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""
 
+  /** json_table-style decomposition (reference: operator/table/json/
+    * JsonTable.java — SQL/JSON table function): a JSON array document
+    * decomposed into relational rows WITH ORDINALITY via from_json + the
+    * posexplode generator. The oracle states the expected rows directly from
+    * the generating columns — verifying encode → decompose is lossless. */
+  def q_fn_json_table(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = "array<struct<i:bigint,v:double,tag:string>>"
+    val d = table(s, dir, "customer").filter($"c_custkey" <= 200)
+      .withColumn("doc", to_json(array(
+        struct(lit(1L).as("i"), $"c_acctbal".as("v"), lit("bal").as("tag")),
+        struct(lit(2L).as("i"), ($"c_custkey" % 100).cast("double").as("v"), lit("mod").as("tag")),
+        struct(lit(3L).as("i"), lit(0.5).as("v"), lit("const").as("tag")))))
+    d.select($"c_custkey", posexplode(from_json($"doc", lit(schema))))
+      .select($"c_custkey", ($"pos" + 1).cast("long").as("ordinality"),
+        $"col.i".as("i"), $"col.v".as("v"), $"col.tag".as("tag"))
+      .orderBy($"c_custkey", $"ordinality")
+  }
+  val qFnJsonTableSql: String =
+    """WITH rows_expected AS (
+         SELECT c_custkey, 1 AS ordinality, CAST(1 AS BIGINT) AS i, c_acctbal AS v, 'bal' AS tag
+         FROM customer WHERE c_custkey <= 200
+         UNION ALL
+         SELECT c_custkey, 2, 2, CAST(c_custkey % 100 AS DOUBLE), 'mod'
+         FROM customer WHERE c_custkey <= 200
+         UNION ALL
+         SELECT c_custkey, 3, 3, 0.5, 'const'
+         FROM customer WHERE c_custkey <= 200)
+       SELECT c_custkey, CAST(ordinality AS BIGINT) AS ordinality, i, v, tag
+       FROM rows_expected ORDER BY c_custkey, ordinality"""
+
   val queries: Map[String, Q] = Map(
+    "q_fn_json_table" -> q_fn_json_table _,
     "q_fn_strdist" -> q_fn_strdist _,
     "q_fn_try" -> q_fn_try _,
     "q_fn_interval" -> q_fn_interval _,
@@ -261,6 +293,7 @@ object Functions2 {
     "q_fn_sqljson" -> q_fn_sqljson _)
 
   val oracles: Map[String, String] = Map(
+    "q_fn_json_table" -> qFnJsonTableSql,
     "q_fn_strdist" -> qFnStrdistSql,
     "q_fn_try" -> qFnTrySql,
     "q_fn_interval" -> qFnIntervalSql,

@@ -143,13 +143,47 @@ object TextAnalysis {
          (acc, c) -> (acc * 31 + c) % 1000000007) % 1024 AS fp_bucket
        FROM documents WHERE doc_id < 200 ORDER BY doc_id"""
 
+  /** Token counting two ways (brief requirement): whitespace tokens and a
+    * BPE-ish regex segmentation (GPT-2-style pretokenizer shape: contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs) —
+    * the per-document token-count estimator a training-data pipeline uses.
+    * Pure codegen'd regex per row; identical RE2/Java semantics for this
+    * pattern subset, so fully oracle-checked. */
+  def q_text_tokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pat = "'(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9']+"
+    table(s, dir, "documents")
+      .filter($"doc_id" < 300)
+      .withColumn("t", lower($"text"))
+      .withColumn("bpe", regexp_extract_all($"t", lit(pat), lit(0)))
+      .select($"doc_id",
+        size(split($"t", " ")).cast("long").as("n_ws_tokens"),
+        size($"bpe").cast("long").as("n_bpe_tokens"),
+        round(length($"t").cast("double") / size($"bpe"), 6).as("chars_per_token"),
+        concat_ws("|", slice($"bpe", 1, 5)).as("head_tokens"))
+      .orderBy($"doc_id")
+  }
+  val qTextTokensSql: String =
+    """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 300),
+       b AS (SELECT doc_id, t,
+         regexp_extract_all(t, '''(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9'']+') AS bpe
+         FROM t)
+       SELECT doc_id,
+         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_ws_tokens,
+         CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+         round(CAST(length(t) AS DOUBLE) / len(bpe), 6) AS chars_per_token,
+         array_to_string(bpe[1:5], '|') AS head_tokens
+       FROM b ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "q_text_tokens" -> q_text_tokens _,
     "q_text_stats" -> q_text_stats _,
     "q_text_quality" -> q_text_quality _,
     "q_text_langid" -> q_text_langid _,
     "q_text_fingerprint" -> q_text_fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q_text_tokens" -> qTextTokensSql,
     "q_text_stats" -> qTextStatsSql,
     "q_text_quality" -> qTextQualitySql,
     "q_text_langid" -> qTextLangidSql,
