@@ -55,6 +55,18 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic byte-stride downsample standing in for an
+    * image resampler; metadata (width/height) updates with the payload, the
+    * contract a real resize kernel must keep. Scale factor 2 per axis. */
+  def resizeStub(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val resized = r.payload.zipWithIndex.collect { case (b, i) if i % 4 == 0 => b }
+      r.copy(payload = resized, width = math.max(r.width / 2, 1),
+        height = math.max(r.height / 2, 1))
+    }
+  }
+
   case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   /** STUB frame sampler: 1→N expansion of video payloads into evenly spaced

@@ -14,6 +14,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Set("image", "audio", "video").contains(r.getAs[String]("kind")))
   }
 
+  test("resize stub shrinks payload and keeps metadata consistent") {
+    val media = operators.Multimodal.mediaTable(spark, sfDir)
+      .as[operators.Multimodal.MediaRow]
+    val before = media.orderBy("media_id").limit(10).collect()
+    val after = operators.Multimodal.resizeStub(media)
+      .orderBy("media_id").limit(10).collect()
+    before.zip(after).foreach { case (b, a) =>
+      assert(a.media_id == b.media_id)
+      assert(a.payload.length <= b.payload.length / 4 + 1)
+      assert(a.width == math.max(b.width / 2, 1) && a.height == math.max(b.height / 2, 1))
+    }
+  }
+
+  test("frame sampling partitions each video payload completely and in order") {
+    val media = operators.Multimodal.mediaTable(spark, sfDir)
+      .as[operators.Multimodal.MediaRow]
+    val videos = media.filter(_.kind == "video")
+      .collect().map(r => r.media_id -> r.payload.length).toMap
+    val frames = operators.Multimodal.frameSampleStub(media, 4).collect()
+    frames.groupBy(_.media_id).foreach { case (id, fs) =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
+      assert(fs.map(_.frame_bytes.length).sum == videos(id), s"frames must tile payload $id")
+    }
+  }
+
   test("decode stub emits fixed-width features deterministically") {
     val feats = operators.Multimodal.decodeStub(
       operators.Multimodal.mediaTable(spark, sfDir).as[operators.Multimodal.MediaRow])
