@@ -175,7 +175,38 @@ object Windows {
            (PARTITION BY o_orderstatus ORDER BY dr RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS gcnt_around
        FROM d ORDER BY o_orderkey"""
 
+  /** IGNORE NULLS navigation (reference: operator/window value functions all
+    * take the SQL ignore-nulls flag): lag/lead skipping nulls plus the
+    * last-observation-carried-forward pattern (last_value IGNORE NULLS over a
+    * running frame) — the standard gap-fill for sparse sensor/event values. */
+  def q_window_ignore_nulls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "events")
+      .withColumn("v", when($"event_type" === "error", lit(null)).otherwise($"value"))
+      .select($"event_id", $"user_id", $"v",
+        lag($"v", 1, null, ignoreNulls = true).over(w).as("prev_v"),
+        lead($"v", 1, null, ignoreNulls = true).over(w).as("next_v"),
+        last($"v", ignoreNulls = true).over(run).as("locf_v"))
+      .orderBy($"event_id")
+  }
+  val qWindowIgnoreNullsSql: String =
+    """WITH e AS (
+         SELECT event_id, user_id, ts,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+         FROM events)
+       SELECT event_id, user_id, v,
+         lag(v IGNORE NULLS) OVER w AS prev_v,
+         lead(v IGNORE NULLS) OVER w AS next_v,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_v
+       FROM e
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ORDER BY event_id"""
+
   val queries: Map[String, Q] = Map(
+    "q_window_ignore_nulls" -> q_window_ignore_nulls _,
     "q_window_groups" -> q_window_groups _,
     "q_window_ranking" -> q_window_ranking _,
     "q_window_value" -> q_window_value _,
@@ -184,6 +215,7 @@ object Windows {
     "q_window_topn" -> q_window_topn _)
 
   val oracles: Map[String, String] = Map(
+    "q_window_ignore_nulls" -> qWindowIgnoreNullsSql,
     "q_window_groups" -> qWindowGroupsSql,
     "q_window_ranking" -> qWindowRankingSql,
     "q_window_value" -> qWindowValueSql,

@@ -80,6 +80,13 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("monotonically_increasing_id assigns unique ids across partitions") {
+    // AssignUniqueIdOperator analogue: uniqueness must hold across partitions
+    val df = spark.range(0, 5000).repartition(8)
+      .withColumn("uid", monotonically_increasing_id())
+    assert(df.select("uid").distinct().count() == 5000)
+  }
+
   test("word_stem output never grows and is ascii-stable") {
     import graft.functions.TextFunctions._
     val words = Gen.listOfN(40, Gen.alphaLowerStr.map(w => if (w.length < 3) w + "ing" else w.take(10)))
