@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geospatial-lite bundle (SURVEY.md §2.8 optional row; reference:
+  * plugin/trino-geospatial/src/main/java/io/trino/plugin/geospatial/
+  * GeoFunctions.java:123 — the ST_* library over geometries).
+  *
+  * This is the scalar subset a points-only workload needs — point-in-bbox
+  * containment, haversine great-circle distance (the reference exposes it as
+  * ST_Distance on SphericalGeography), bounding-box construction — expressed
+  * in pure column arithmetic so it is codegen'd and portable. Full geometry
+  * types (polygons, R-tree spatial joins, reference SpatialJoinOperator) stay
+  * out of scope per the survey's "optional, late" marking.
+  */
+object GeoFunctions {
+
+  private val EarthRadiusKm = 6371.0088
+
+  /** Great-circle distance in km between two (lat, lon) points (degrees). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    lit(2 * EarthRadiusKm) * asin(sqrt(a))
+  }
+
+  /** ST_Contains for an axis-aligned bounding box over a point. */
+  def bboxContains(minLat: Column, minLon: Column, maxLat: Column, maxLon: Column,
+      lat: Column, lon: Column): Column =
+    lat >= minLat && lat <= maxLat && lon >= minLon && lon <= maxLon
+}

@@ -282,7 +282,36 @@ object Functions2 {
        SELECT c_custkey, CAST(ordinality AS BIGINT) AS ordinality, i, v, tag
        FROM rows_expected ORDER BY c_custkey, ordinality"""
 
+  /** Geospatial-lite (reference GeoFunctions.java ST_Distance on spherical
+    * geography / ST_Contains): synthesized lat/lon points, haversine distance
+    * to a fixed point, bbox containment — pure arithmetic, so the oracle
+    * recomputes the same formulas. Transcendentals rounded at 1e-8. */
+  def q_fn_geo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GeoFunctions._
+    val c = table(s, dir, "customer").filter($"c_custkey" <= 500)
+      .withColumn("lat", ($"c_custkey" % 180) - 90 + 0.5)
+      .withColumn("lon", ($"c_custkey" * 7 % 360) - 180 + 0.5)
+    c.select($"c_custkey", $"lat", $"lon",
+        round(haversineKm($"lat", $"lon", lit(40.7), lit(-74.0)), 8).as("dist_nyc_km"),
+        bboxContains(lit(30.0), lit(-90.0), lit(50.0), lit(-60.0), $"lat", $"lon").as("in_na_box"))
+      .orderBy($"c_custkey")
+  }
+  val qFnGeoSql: String =
+    """WITH p AS (
+         SELECT c_custkey,
+           (c_custkey % 180) - 90 + 0.5 AS lat,
+           (c_custkey * 7 % 360) - 180 + 0.5 AS lon
+         FROM customer WHERE c_custkey <= 500)
+       SELECT c_custkey, lat, lon,
+         round(2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(40.7 - lat) / 2), 2) +
+           cos(radians(lat)) * cos(radians(40.7)) * pow(sin(radians(-74.0 - lon) / 2), 2))), 8) AS dist_nyc_km,
+         lat >= 30.0 AND lat <= 50.0 AND lon >= -90.0 AND lon <= -60.0 AS in_na_box
+       FROM p ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
+    "q_fn_geo" -> q_fn_geo _,
     "q_fn_json_table" -> q_fn_json_table _,
     "q_fn_strdist" -> q_fn_strdist _,
     "q_fn_try" -> q_fn_try _,
@@ -293,6 +322,7 @@ object Functions2 {
     "q_fn_sqljson" -> q_fn_sqljson _)
 
   val oracles: Map[String, String] = Map(
+    "q_fn_geo" -> qFnGeoSql,
     "q_fn_json_table" -> qFnJsonTableSql,
     "q_fn_strdist" -> qFnStrdistSql,
     "q_fn_try" -> qFnTrySql,
