@@ -187,7 +187,32 @@ object Aggregates2 {
        FROM customer JOIN nation ON c_nationkey = n_nationkey
        GROUP BY c_nationkey ORDER BY c_nationkey"""
 
+  /** numeric_histogram (reference: operator/aggregation/
+    * NumericHistogramAggregation): fixed equi-width binning via width_bucket
+    * + a group-by — the distributed-friendly formulation (bin id is a pure
+    * row function, so the histogram is one partial+final aggregate). */
+  def q_agg_numeric_histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .withColumn("bucket", width_bucket($"l_extendedprice", lit(0.0), lit(110000.0), lit(11)).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec($"l_extendedprice"))).as("bucket_sum"),
+        min($"l_extendedprice").as("lo"),
+        max($"l_extendedprice").as("hi"))
+      .orderBy($"bucket")
+  }
+  val qAggNumericHistogramSql: String =
+    """SELECT CAST(CASE WHEN l_extendedprice >= 110000.0 THEN 12
+                        WHEN l_extendedprice < 0.0 THEN 0
+                        ELSE floor(l_extendedprice / (110000.0 / 11)) + 1 END AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS bucket_sum,
+       min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+       FROM lineitem GROUP BY bucket ORDER BY bucket"""
+
   val queries: Map[String, Q] = Map(
+    "q_agg_numeric_histogram" -> q_agg_numeric_histogram _,
     "q_agg_percentile" -> q_agg_percentile _,
     "q_agg_histogram" -> q_agg_histogram _,
     "q_agg_minmax_by_n" -> q_agg_minmax_by_n _,
@@ -197,6 +222,7 @@ object Aggregates2 {
     "q_agg_any" -> q_agg_any _)
 
   val oracles: Map[String, String] = Map(
+    "q_agg_numeric_histogram" -> qAggNumericHistogramSql,
     "q_agg_percentile" -> qAggPercentileSql,
     "q_agg_histogram" -> qAggHistogramSql,
     "q_agg_minmax_by_n" -> qAggMinmaxByNSql,

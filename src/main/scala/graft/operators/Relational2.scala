@@ -118,14 +118,70 @@ object Relational2 {
          CAST(sum(node) AS BIGINT) AS path_sum
        FROM anc GROUP BY root ORDER BY root"""
 
+  /** Spatial distance join (reference: operator/SpatialJoinOperator.java:41 —
+    * R-tree indexed ST_Distance join). The distributed formulation bins
+    * points into a fixed lat/lon grid sized to the radius, joins each point's
+    * cell against its 3×3 neighborhood, and applies the exact haversine
+    * predicate — candidate pairs shrink from |points|² to |points|·density,
+    * the same pruning role the reference's R-tree plays, but expressible as a
+    * plain equi-join that shuffles on cell id. Oracle: the exact O(n²)
+    * formulation (fixture-sized), same haversine arithmetic. */
+  def q_join_spatial(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GeoFunctions._
+    val radiusKm = 200.0
+    // Cell must cover the radius in DEGREES at the worst-case latitude for the
+    // 3×3 probe to be complete: at |lat| ≤ 30.5° a 200 km arc spans up to
+    // 200 / (111.195·cos(30.5°)) ≈ 2.09° of longitude — 2.5° gives margin.
+    val cellDeg = 2.5
+    val pts = table(s, dir, "customer").filter($"c_custkey" <= 400)
+      .select($"c_custkey".as("id"),
+        (($"c_custkey" % 60) - 30 + 0.5).as("lat"),
+        (($"c_custkey" * 11 % 120) - 60 + 0.5).as("lon"))
+    val binned = pts
+      .withColumn("cx", floor($"lon" / cellDeg).cast("long"))
+      .withColumn("cy", floor($"lat" / cellDeg).cast("long"))
+    // probe side replicated into its 3×3 cell neighborhood
+    val probe = binned
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select($"id".as("id_a"), $"lat".as("lat_a"), $"lon".as("lon_a"),
+        ($"cx" + $"dx").as("cx"), ($"cy" + $"dy").as("cy"))
+    probe.join(binned.select($"id".as("id_b"), $"lat".as("lat_b"), $"lon".as("lon_b"), $"cx", $"cy"),
+        Seq("cx", "cy"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("dist_km", round(haversineKm($"lat_a", $"lon_a", $"lat_b", $"lon_b"), 6))
+      .filter($"dist_km" <= radiusKm)
+      .select($"id_a", $"id_b", $"dist_km")
+      .distinct()
+      .orderBy($"id_a", $"id_b")
+  }
+  val qJoinSpatialSql: String =
+    """WITH p AS (
+         SELECT c_custkey AS id,
+           (c_custkey % 60) - 30 + 0.5 AS lat,
+           (c_custkey * 11 % 120) - 60 + 0.5 AS lon
+         FROM customer WHERE c_custkey <= 400)
+       SELECT a.id AS id_a, b.id AS id_b,
+         round(2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2) +
+           cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2))), 6) AS dist_km
+       FROM p a JOIN p b ON a.id < b.id
+       WHERE 2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2) +
+           cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 200.0
+       ORDER BY id_a, id_b"""
+
   val queries: Map[String, Q] = Map(
     "q_recursive_cte" -> q_recursive_cte _,
+    "q_join_spatial" -> q_join_spatial _,
     "q_join_lateral" -> q_join_lateral _,
     "q_subq_quantified" -> q_subq_quantified _,
     "q_agg_salted" -> q_agg_salted _)
 
   val oracles: Map[String, String] = Map(
     "q_recursive_cte" -> qRecursiveCteSql,
+    "q_join_spatial" -> qJoinSpatialSql,
     "q_join_lateral" -> qJoinLateralSql,
     "q_subq_quantified" -> qSubqQuantifiedSql,
     "q_agg_salted" -> qAggSaltedSql)
