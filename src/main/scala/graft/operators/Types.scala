@@ -94,12 +94,39 @@ object Types {
        FROM lineitem WHERE l_orderkey <= 2000
        ORDER BY l_orderkey, l_linenumber"""
 
+  /** VARIANT open type (reference: spi/type/VariantType.java:51 → Spark 4
+    * VariantType, a direct mapping per SURVEY §1.2): parse_json into a
+    * variant column, typed path extraction via variant_get, canonical
+    * re-serialization. The oracle states the expected values from the json
+    * text directly. */
+  def q_type_variant(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT event_id,
+         variant_get(parse_json(props), '$.k', 'bigint') AS k,
+         variant_get(parse_json(props), '$.k', 'string') AS k_str,
+         variant_get(parse_json(props), '$.missing', 'bigint') AS missing,
+         to_json(parse_json(props)) AS canonical
+         FROM events WHERE event_id < 2000
+         ORDER BY event_id""")
+  }
+  val qTypeVariantSql: String =
+    """SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(NULL AS BIGINT) AS missing,
+       '{"k":' || json_extract_string(props, '$.k') || '}' AS canonical
+       FROM events WHERE event_id < 2000
+       ORDER BY event_id"""
+
   val queries: Map[String, Q] = Map(
+    "q_type_variant" -> q_type_variant _,
     "q_type_char" -> q_type_char _,
     "q_type_time" -> q_type_time _,
     "q_type_decimal" -> q_type_decimal _)
 
   val oracles: Map[String, String] = Map(
+    "q_type_variant" -> qTypeVariantSql,
     "q_type_char" -> qTypeCharSql,
     "q_type_time" -> qTypeTimeSql,
     "q_type_decimal" -> qTypeDecimalSql)
