@@ -33,6 +33,7 @@ object SparkEntry {
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.Approx.queries, operators.Approx.oracles),
       (operators.Types.queries, operators.Types.oracles),
+      (operators.Federation.queries, operators.Federation.oracles),
       (operators.Misc.queries, operators.Misc.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

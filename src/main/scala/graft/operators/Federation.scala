@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.DerbyCatalog
+
+/** Connector federation (SURVEY.md §2.1): queries spanning the parquet catalog
+  * and a second, embedded-JDBC (Derby) catalog.
+  *
+  * Reference mapping:
+  *  - JDBC connector family → `graft.catalog.DerbyCatalog` on `spark.read.jdbc`
+  *    (reference: plugin/trino-base-jdbc/src/main/java/io/trino/plugin/jdbc/BaseJdbcClient.java).
+  *  - Predicate/projection pushdown into the connector
+  *    (reference: core/trino-main/src/main/java/io/trino/sql/planner/iterative/rule/PushPredicateIntoTableScan.java:78)
+  *    → the JDBC relation's PushedFilters + pruned remote SELECT, asserted in
+  *    FederationSpec.
+  *  - Index join (reference: core/trino-main/src/main/java/io/trino/sql/planner/plan/IndexJoinNode.java)
+  *    → `DerbyCatalog.indexLookupJoin` — bounded key-set lookup pushed remote.
+  *  - `TABLE(system.query(...))` pass-through → `DerbyCatalog.query`.
+  *
+  * The DuckDB oracle runs the same SQL against the parquet `orders` fixture —
+  * valid because the JDBC catalog is populated from exactly that fixture.
+  *
+  * Scale: the federated side reads as 4 range-disjoint splits (split enumeration
+  * via one bounds query); the parquet fact side keeps its native partitioning;
+  * the join shuffles on the join key only after remote-side filtering.
+  */
+object Federation {
+
+  /** Federated join: parquet lineitem (fact) ⋈ jdbc orders (filtered remote). */
+  def q_fed_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val remoteOrders = DerbyCatalog.ordersPartitioned(s, dir)
+      .filter($"o_totalprice" > 200000.0)
+      .select($"o_orderkey", $"o_orderpriority")
+    val l = table(s, dir, "lineitem")
+    l.join(remoteOrders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("line_count"),
+        asDouble(sum(dec($"l_extendedprice"))).as("total_price"))
+      .orderBy($"o_orderpriority")
+  }
+  val qFedJoinSql: String =
+    """SELECT o_orderpriority,
+              count(*) AS line_count,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_totalprice > 200000.0
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Pushdown probe: filter + 2-column projection must reach the remote SELECT. */
+  def q_fed_pushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    DerbyCatalog.orders(s, dir)
+      .filter($"o_orderstatus" === "F" && $"o_totalprice" < 2000.0)
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+  val qFedPushdownSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_orderstatus = 'F' AND o_totalprice < 2000.0
+       ORDER BY o_orderkey"""
+
+  /** Index join: a small probe set of hot orderkeys looked up remotely by key. */
+  def q_fed_index_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probe = table(s, dir, "lineitem")
+      .filter($"l_quantity" >= 50.0 && $"l_discount" >= 0.09)
+      .select($"l_orderkey", $"l_extendedprice")
+    DerbyCatalog.indexLookupJoin(s, dir, probe, "l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("hits"),
+        asDouble(sum(dec($"l_extendedprice"))).as("probe_price"))
+      .orderBy($"o_orderpriority")
+  }
+  val qFedIndexJoinSql: String =
+    """SELECT o_orderpriority,
+              count(*) AS hits,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS probe_price
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_quantity >= 50.0 AND l_discount >= 0.09
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Remote pass-through: the aggregate runs entirely inside Derby (exact
+    * DECIMAL sum so the result is order-independent and engine-exact). */
+  def q_fed_query_passthrough(s: SparkSession, dir: String): DataFrame = {
+    // Derby-side SQL: identifiers quoted (Derby folds unquoted names to upper
+    // case; the JDBC writer created case-sensitive lower-case columns).
+    val remote = DerbyCatalog.query(s, dir,
+      """SELECT "o_orderpriority",
+                COUNT(*) AS "order_count",
+                CAST(SUM(CAST("o_totalprice" AS DECIMAL(12,2))) AS DOUBLE) AS "total"
+         FROM orders GROUP BY "o_orderpriority"""")
+    remote.orderBy(col("o_orderpriority"))
+      .select(
+        col("o_orderpriority"),
+        col("order_count").cast("long").as("order_count"),
+        col("total"))
+  }
+  val qFedQueryPassthroughSql: String =
+    """SELECT o_orderpriority,
+              count(*) AS order_count,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  val queries: Map[String, Q] = Map(
+    "q_fed_join" -> q_fed_join _,
+    "q_fed_pushdown" -> q_fed_pushdown _,
+    "q_fed_index_join" -> q_fed_index_join _,
+    "q_fed_query_passthrough" -> q_fed_query_passthrough _)
+
+  val oracles: Map[String, String] = Map(
+    "q_fed_join" -> qFedJoinSql,
+    "q_fed_pushdown" -> qFedPushdownSql,
+    "q_fed_index_join" -> qFedIndexJoinSql,
+    "q_fed_query_passthrough" -> qFedQueryPassthroughSql)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Federation (second JDBC catalog) — correctness + the pushdown plan contract
+  * the reference enforces for its JDBC connectors
+  * (reference: core/trino-main/.../iterative/rule/PushPredicateIntoTableScan.java:78,
+  * plugin/trino-base-jdbc/.../BaseJdbcClient.java). */
+class FederationSpec extends SparkSpec {
+
+  test("jdbc scan pushes filters into the remote query") {
+    import spark.implicits._
+    val df = graft.catalog.DerbyCatalog.orders(spark, sfDir)
+      .filter($"o_totalprice" > 100000.0 && $"o_orderstatus" === "F")
+      .select($"o_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(o_totalprice,100000.0)"),
+      s"filter not pushed to JDBC scan:\n$plan")
+    // plan string truncates the filter list at 100 chars; the `*` prefix marks
+    // a filter handled remotely, so the truncated "*Equal" suffices
+    assert(plan.contains("*Equal"), s"string filter not pushed:\n$plan")
+  }
+
+  test("jdbc scan prunes the remote SELECT to referenced columns") {
+    import spark.implicits._
+    val df = graft.catalog.DerbyCatalog.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_totalprice")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("o_comment") && !plan.contains("o_custkey"),
+      s"unused remote columns not pruned:\n$plan")
+  }
+
+  test("partitioned jdbc read enumerates range splits and preserves row count") {
+    val df = graft.catalog.DerbyCatalog.ordersPartitioned(spark, sfDir, numPartitions = 4)
+    assert(df.rdd.getNumPartitions == 4, "expected 4 range splits")
+    val parquetCount = graft.sources.Tables.load(spark, sfDir, "orders").count()
+    assert(df.count() == parquetCount, "federated catalog must mirror the fixture")
+  }
+
+  test("federated join matches the same join done purely on parquet") {
+    val fed = operators.Federation.q_fed_join(spark, sfDir).collect()
+    import spark.implicits._
+    val o = graft.sources.Tables.load(spark, sfDir, "orders")
+      .filter($"o_totalprice" > 200000.0)
+      .select($"o_orderkey", $"o_orderpriority")
+    val pure = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("line_count"),
+        operators.asDouble(sum(operators.dec($"l_extendedprice"))).as("total_price"))
+      .orderBy($"o_orderpriority")
+      .collect()
+    assert(fed.toSeq == pure.toSeq)
+  }
+
+  test("index lookup join pushes the probe key set into the remote WHERE clause") {
+    import spark.implicits._
+    val probe = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .filter($"l_quantity" >= 49.0).select($"l_orderkey")
+    val joined = graft.catalog.DerbyCatalog.indexLookupJoin(spark, sfDir, probe, "l_orderkey")
+    // lookup-side schema is full orders; result rows = probe rows (fk always resolves)
+    assert(joined.count() == probe.count())
+    // above the cap it must degrade to a scan join, not explode the IN-list
+    val big = graft.sources.Tables.load(spark, sfDir, "lineitem").select($"l_orderkey")
+    val fallback = graft.catalog.DerbyCatalog.indexLookupJoin(spark, sfDir, big, "l_orderkey", maxKeys = 10)
+    assert(fallback.count() == big.count())
+  }
+
+  test("remote pass-through query executes the aggregate in the remote engine") {
+    val out = operators.Federation.q_fed_query_passthrough(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    // no Spark-side HashAggregate: aggregation happened inside Derby
+    assert(!plan.contains("HashAggregate"), s"aggregate not pushed remote:\n$plan")
+    assert(out.count() == 5)
+  }
+}
