@@ -7,49 +7,83 @@ import graft.functions.Sketches._
 /** Sketch-aggregate queries (SURVEY.md §2.4: qdigest/tdigest +
   * approx_most_frequent; see graft.functions.Sketches).
   *
-  * q_approx_quantiles is rows-only checked (digest interpolation is
-  * engine-specific; SketchSpec bounds the error against exact percentiles).
+  * Oracle convention for approximate aggregates: exact reference values are
+  * output columns (DuckDB reproduces them) and each estimate becomes a
+  * within-error-bound boolean (DuckDB expects TRUE) — the hash compare then
+  * verifies the exact plumbing and the approximation guarantee together.
   * q_approx_topk runs the space-saving sketch with capacity ≥ |distinct|,
   * where its counts are provably exact — so the oracle can hash-check the
   * sketch output against plain SQL top-k.
   */
 object Approx {
 
+  /** T-digest quantiles, oracle-checked: exact quantiles are emitted as
+    * columns (DuckDB `quantile_cont` reproduces Spark's exact `percentile`
+    * bit-for-bit under round-6) and the t-digest estimates as a single
+    * within-1%-relative-error boolean (DuckDB expects TRUE). The exact
+    * percentile columns are the sf0.01 correctness device; the scale path
+    * is the t-digest itself. */
   def q_approx_quantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val ok = (1 to 3).map(i =>
+      abs(element_at($"qs", i) - element_at($"eqs", i)) <=
+        element_at($"eqs", i) * 0.01).reduce(_ && _)
     table(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
         tdigestQuantiles($"l_extendedprice", Seq(0.25, 0.5, 0.75)).as("qs"),
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("eqs"),
         count(lit(1)).as("n"))
       .select($"l_returnflag",
-        round(element_at($"qs", 1), 2).as("q25"),
-        round(element_at($"qs", 2), 2).as("q50"),
-        round(element_at($"qs", 3), 2).as("q75"),
+        round(element_at($"eqs", 1), 6).as("q25"),
+        round(element_at($"eqs", 2), 6).as("q50"),
+        round(element_at($"eqs", 3), 6).as("q75"),
+        ok.as("tdigest_ok"),
         $"n")
       .orderBy($"l_returnflag")
   }
+  val qApproxQuantilesSql: String =
+    """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+         round(quantile_cont(l_extendedprice, 0.50), 6) AS q50,
+         round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,
+         TRUE AS tdigest_ok,
+         count(*) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** HLL sketch state as a column (reference approx_set / merge /
     * cardinality — HyperLogLogType sketches flowing between aggregations):
     * per-group sketches, estimates, and a re-aggregated union of the group
     * sketches — the state-merge surface, not just the one-shot estimate.
-    * Rows-only check (sketch hashing is engine-specific); SketchSpec bounds
-    * the estimates against exact counts. */
+    * Oracle-checked via exact counts + error-bound booleans; SketchSpec
+    * additionally bounds the raw estimates. */
   def q_approx_hll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sk = table(s, dir, "lineitem")
+    val li = table(s, dir, "lineitem")
+    val sk = li
       .groupBy($"l_returnflag")
       .agg(hll_sketch_agg($"l_orderkey").as("sk"),
         countDistinct($"l_orderkey").as("exact_orders"))
-    val perFlag = sk.select($"l_returnflag",
-      hll_sketch_estimate($"sk").as("est_orders"), $"exact_orders")
-    val merged = sk.agg(hll_union_agg($"sk").as("u"), sum($"exact_orders").as("sum_exact"))
+    val perFlag = sk.select($"l_returnflag", $"exact_orders",
+      (abs(hll_sketch_estimate($"sk") - $"exact_orders") <=
+        $"exact_orders" * 0.06).as("est_ok"))
+    // union of the per-group sketch STATES, estimated after the merge — the
+    // state-flow surface; checked against the global exact distinct count
+    val merged = sk.agg(hll_union_agg($"sk").as("u"))
+      .crossJoin(li.agg(countDistinct($"l_orderkey").as("exact_all")))
       .select(lit("ALL_MERGED").as("l_returnflag"),
-        hll_sketch_estimate($"u").as("est_orders"),
-        lit(null).cast("long").as("exact_orders"))
+        $"exact_all".as("exact_orders"),
+        (abs(hll_sketch_estimate($"u") - $"exact_all") <=
+          $"exact_all" * 0.06).as("est_ok"))
     perFlag.unionAll(merged).orderBy($"l_returnflag")
   }
+  val qApproxHllSql: String =
+    """SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+              TRUE AS est_ok
+       FROM lineitem GROUP BY l_returnflag
+       UNION ALL
+       SELECT 'ALL_MERGED', CAST(count(DISTINCT l_orderkey) AS BIGINT), TRUE FROM lineitem
+       ORDER BY l_returnflag"""
 
   def q_approx_topk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -77,5 +111,7 @@ object Approx {
     "q_approx_topk" -> q_approx_topk _)
 
   val oracles: Map[String, String] = Map(
-    "q_approx_topk" -> qApproxTopkSql)
+    "q_approx_topk" -> qApproxTopkSql,
+    "q_approx_quantiles" -> qApproxQuantilesSql,
+    "q_approx_hll" -> qApproxHllSql)
 }

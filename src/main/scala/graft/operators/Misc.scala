@@ -55,18 +55,34 @@ object Misc {
          CAST(max(CASE WHEN source = 'src1' THEN cnt END) AS BIGINT) AS src1_cnt
        FROM c GROUP BY lang ORDER BY lang"""
 
-  /** Approximate aggregates (rows-only; ApproxSpec bounds the error). */
+  /** Approximate aggregates, oracle-checked: the exact reference values are
+    * emitted as columns (DuckDB reproduces them) and each approximate value is
+    * emitted as a within-error-bound boolean (DuckDB expects TRUE) — so the
+    * hash compare verifies both the exact plumbing and the approximation
+    * guarantee. ApproxSpec additionally bounds the raw estimates. The exact
+    * percentile reference is a correctness-gate device (sf0.01); the scale
+    * path for quantiles is q_agg_percentile_approx / the t-digest Aggregator. */
   def q_approx_agg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     table(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        approx_count_distinct($"l_orderkey", 0.02).as("apx_orders"),
         countDistinct($"l_orderkey").as("exact_orders"),
-        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_median"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("apx_median"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
         count(lit(1)).as("n"))
+      .select($"l_returnflag", $"exact_orders", $"n",
+        (abs($"apx_orders" - $"exact_orders") <= $"exact_orders" * 0.06).as("distinct_ok"),
+        (abs($"apx_median" - $"exact_median") <= $"exact_median" * 0.01).as("median_ok"),
+        round($"exact_median", 6).as("median"))
       .orderBy($"l_returnflag")
   }
+  val qApproxAggSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders, count(*) AS n,
+         TRUE AS distinct_ok, TRUE AS median_ok,
+         round(quantile_cont(l_extendedprice, 0.5), 6) AS median
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   val queries: Map[String, Q] = Map(
     "q_tvf_sequence" -> q_tvf_sequence _,
@@ -75,5 +91,6 @@ object Misc {
 
   val oracles: Map[String, String] = Map(
     "q_tvf_sequence" -> qTvfSequenceSql,
-    "q_map_fns" -> qMapFnsSql)
+    "q_map_fns" -> qMapFnsSql,
+    "q_approx_agg" -> qApproxAggSql)
 }

@@ -45,13 +45,12 @@ class AnnSpec extends SparkSpec {
     assert(full == exact)
   }
 
-  test("minhash candidates cover all exact ngram near-dup pairs at high sim") {
-    val exactPairs = operators.Dedup.q_dedup_ngram(spark, sfDir).collect()
-      .filter(_.getDouble(2) >= 0.9).map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("minhash LSH + exact verify reproduces the exact ngram pair set") {
+    val exact = operators.Dedup.q_dedup_ngram(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
     val mh = operators.Dedup.q_dedup_minhash(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(3))).toSet
-    val missed = exactPairs.filterNot(mh.contains)
-    assert(missed.size <= exactPairs.size / 4,
-      s"minhash LSH missed too many strong pairs: $missed")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(mh == exact, s"LSH candidate generation missed exact pairs: " +
+      s"${exact.toSet -- mh.toSet} / spurious: ${mh.toSet -- exact.toSet}")
   }
 }
