@@ -265,6 +265,70 @@ case class SimHashBands(child: Expression)
     copy(child = newChild)
 }
 
+/** array<string> tokens → 60-bit md5-based simhash fingerprint (LongType).
+  *
+  * Engine-portable by construction: the per-token hash is the numeric value of
+  * the first 15 hex chars of md5(token) — reproducible in any engine with an
+  * md5() function — so the DuckDB oracle recomputes the identical fingerprint
+  * in SQL (graft.operators.Dedup.qDedupSimhashSql). Majority vote per bit over
+  * DISTINCT tokens; bit b is set iff the vote sum at b is >= 0. Packed as
+  * 4 bands × 15 bits, hamming <= 3 pairs share ≥1 band (pigeonhole).
+  *
+  * The xxhash-based SimHashBands above remains the raw-throughput kernel; this
+  * variant trades ~2x token-hash cost for cross-engine verifiability. */
+case class Md5SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_simhash60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val md = Md5SimHash60.digest.get()
+    val seen = new java.util.HashSet[UTF8String]()
+    val votes = new Array[Int](60)
+    val sz = toks.numElements()
+    var i = 0
+    while (i < sz) {
+      val t = toks.getUTF8String(i)
+      if (t != null && seen.add(t)) {
+        md.reset()
+        val d = md.digest(t.getBytes)
+        // value of the first 15 hex chars: bytes 0..6 (56 bits) + high nibble of byte 7
+        var v = 0L
+        var k = 0
+        while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+        v = (v << 4) | ((d(7) >> 4) & 0xfL)
+        var bit = 0
+        while (bit < 60) {
+          if (((v >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) >= 0) fp |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5SimHash60 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 /** Total hamming distance between two band arrays (popcount of xor). */
 case class HammingDistance(left: Expression, right: Expression)
     extends BinaryExpression {

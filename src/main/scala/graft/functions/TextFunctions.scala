@@ -61,6 +61,11 @@ object TextFunctions {
   def simhashHamming(a: Column, b: Column): Column =
     column(HammingDistance(expression(a), expression(b)))
 
+  /** Engine-portable 60-bit md5-based simhash fingerprint (see
+    * graft.ext.Md5SimHash60) — the oracle-checkable variant. */
+  def md5SimHash60(toks: Column): Column =
+    column(Md5SimHash60(expression(toks)))
+
   /** Deterministic polynomial rolling-hash fingerprint of a string
     * (base 31, mod 1e9+7) — reproducible in plain SQL on any engine. */
   def polyFingerprint(text: Column): Column =

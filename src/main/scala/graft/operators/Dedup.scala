@@ -137,27 +137,67 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** SimHash fingerprint + banded hamming candidates (rows-only check). */
+  /** SimHash fingerprint + banded hamming candidates, oracle-checked.
+    *
+    * The fingerprint is the engine-portable 60-bit md5 simhash
+    * (graft.ext.Md5SimHash60): DuckDB recomputes the identical fingerprints,
+    * bands, candidates and hamming distances in SQL. With 4 bands × 15 bits,
+    * hamming <= 3 pairs are guaranteed to share a band (pigeonhole), so the
+    * LSH candidate generation is *complete* for the reported pair set — the
+    * output is exact by construction, not approximately recalled. */
   def q_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigs = docs(s, dir)
-      .select($"doc_id", simhashBands(tokens($"text")).as("bands"))
+      .select($"doc_id", md5SimHash60(tokens($"text")).as("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val byBand = sigs.select($"doc_id",
-      posexplode($"bands").as(Seq("band_idx", "band_val")))
+    val bandArr = array((0 until 4).map(i =>
+      shiftright($"fp", i * 15).bitwiseAND(lit(32767L))): _*)
+    val byBand = sigs.select($"doc_id", posexplode(bandArr).as(Seq("band_idx", "band_val")))
     val cand = byBand.as("a").join(byBand.as("b"), Seq("band_idx", "band_val"))
       .filter($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
     val pairs = cand
-      .join(sigs.select($"doc_id".as("doc_a"), $"bands".as("bands_a")), "doc_a")
-      .join(sigs.select($"doc_id".as("doc_b"), $"bands".as("bands_b")), "doc_b")
-      .select($"doc_a", $"doc_b", simhashHamming($"bands_a", $"bands_b").as("hamming"))
-    pairs.filter($"hamming" <= 6)
+      .join(sigs.select($"doc_id".as("doc_a"), $"fp".as("fp_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"fp".as("fp_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        bit_count($"fp_a".bitwiseXOR($"fp_b")).cast("long").as("hamming"))
+    pairs.filter($"hamming" <= 3)
       .groupBy($"doc_a")
       .agg(count(lit(1)).as("n_near"), min($"hamming").as("min_hamming"))
       .orderBy($"doc_a")
   }
+  val qDedupSimhashSql: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+         FROM documents),
+       h AS (
+         SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+       bits AS (
+         SELECT doc_id, b.range AS b,
+           SUM(CASE WHEN (h >> CAST(b.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM h CROSS JOIN range(60) b GROUP BY 1, 2),
+       fp AS (
+         SELECT doc_id,
+           CAST(SUM(CASE WHEN s >= 0 THEN 1::BIGINT << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS fp
+         FROM bits GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, i.range AS band_idx,
+           (fp >> CAST(i.range * 15 AS INT)) & 32767 AS band_val
+         FROM fp CROSS JOIN range(4) i),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id),
+       pairs AS (
+         SELECT doc_a, doc_b, bit_count(xor(fa.fp, fb.fp)) AS hamming
+         FROM cand
+         JOIN fp fa ON cand.doc_a = fa.doc_id
+         JOIN fp fb ON cand.doc_b = fb.doc_id)
+       SELECT doc_a, count(*) AS n_near, CAST(min(hamming) AS BIGINT) AS min_hamming
+       FROM pairs WHERE hamming <= 3
+       GROUP BY doc_a ORDER BY doc_a"""
 
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> q_dedup_exact _,
@@ -169,5 +209,6 @@ object Dedup {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram" -> qDedupNgramSql,
     // same exact pair set, reached via LSH candidates + exact verify
-    "q_dedup_minhash" -> qDedupNgramSql)
+    "q_dedup_minhash" -> qDedupNgramSql,
+    "q_dedup_simhash" -> qDedupSimhashSql)
 }

@@ -18,8 +18,7 @@ class GoldenQuerySpec extends SparkSpec {
 
   test("every query has either an oracle or a documented engine-specific hash") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // xxhash64 simhash signatures are engine-specific by design
-    assert(noOracle == Set("q_dedup_simhash", "q_sim_ann_lsh", "q_sim_ann_ivf"),
+    assert(noOracle == Set("q_sim_ann_lsh", "q_sim_ann_ivf"),
       s"unexpected oracle-less queries: $noOracle")
   }
 
