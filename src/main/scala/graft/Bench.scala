@@ -21,7 +21,7 @@ object Bench {
     "q_events_sessionize",
     "q_dedup_minhash", "q_dedup_ngram",
     "q_sim_cosine_topk", "q_text_fingerprint",
-    "q_match_recognize", "q_agg_percentile", "q_approx_topk")
+    "q_match_recognize", "q_agg_percentile_approx", "q_approx_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -25,20 +25,10 @@ object VectorFunctions {
       "built-in")
 
   /** Random-hyperplane LSH signature: `tables` hash tables of `bits` sign-bits
-    * each, packed into one int per table. The hyperplane for (table t, bit j)
-    * has deterministic ±1 components derived from xxhash64(t*bits+j, dim) —
-    * no stored model, reproducible across the cluster. */
+    * each, packed into one long per table. Native compiled kernel with
+    * md5-derived ±1 hyperplanes — deterministic, no stored model, and
+    * engine-portable so the DuckDB oracle reproduces the buckets exactly
+    * (see graft.ext.RademacherLshBuckets). */
   def lshBuckets(vec: Column, tables: Int, bits: Int): Column =
-    transform(sequence(lit(0), lit(tables - 1)), t =>
-      aggregate(
-        sequence(lit(0), lit(bits - 1)),
-        lit(0L),
-        (acc, j) => acc * 2 + when(hyperplaneDot(vec, t * lit(bits) + j) > 0.0, 1L).otherwise(0L)))
-
-  /** Pseudo-random ±1 projection of `vec` onto hyperplane `planeId`. */
-  private def hyperplaneDot(vec: Column, planeId: Column): Column =
-    aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-        when(xxhash64(planeId, i) % 2 === 0, x.cast("double")).otherwise(-x.cast("double"))),
-      lit(0.0d), (acc, v) => acc + v)
+    column(graft.ext.RademacherLshBuckets(expression(vec), tables, bits))
 }

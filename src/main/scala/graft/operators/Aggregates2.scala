@@ -53,6 +53,58 @@ object Aggregates2 {
        round(quantile_cont(l_discount, 0.5), 6) AS med_disc
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Scale path for percentiles: approx_percentile (GK sketch — bounded state,
+    * mergeable, no per-group value buffering) verified by rank brackets. The
+    * exact `percentile` above is the sf0.01 correctness device only: its
+    * TypedImperativeAggregate buffers every value of a group in one task, which
+    * OOMs with few groups at 100 TB — so the headline/scale query is THIS one.
+    *
+    * Verification is scalable and exact: for a claimed p-quantile v with rank
+    * error ε, count(x < v) < (p+ε)·n and count(x ≤ v) ≥ (p−ε)·n — two cheap
+    * counting aggregates instead of a value buffer. The booleans must be TRUE
+    * in the DuckDB oracle, so the hash compare enforces the sketch guarantee. */
+  def q_agg_percentile_approx(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = table(s, dir, "lineitem")
+    val apx = li.groupBy($"l_returnflag")
+      .agg(
+        percentile_approx($"l_quantity", array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+          .as("aq"),
+        percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("ap95"),
+        count(lit(1)).as("n"))
+    def below(x: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      sum(when(x < v, 1L).otherwise(0L))
+    def atOrBelow(x: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      sum(when(x <= v, 1L).otherwise(0L))
+    def ok(lo: String, hi: String, p: Double) = {
+      val eps = 0.001
+      col(lo) < (lit(p) + eps) * $"n" && col(hi) >= (lit(p) - eps) * $"n"
+    }
+    // aq/ap95/n are functionally dependent on the group key — grouping by them
+    // keeps the claimed quantiles addressable without nesting aggregates
+    li.join(broadcast(apx), "l_returnflag")
+      .groupBy($"l_returnflag", $"aq", $"ap95", $"n")
+      .agg(
+        below($"l_quantity", element_at($"aq", 1)).as("b1"),
+        atOrBelow($"l_quantity", element_at($"aq", 1)).as("a1"),
+        below($"l_quantity", element_at($"aq", 2)).as("b2"),
+        atOrBelow($"l_quantity", element_at($"aq", 2)).as("a2"),
+        below($"l_quantity", element_at($"aq", 3)).as("b3"),
+        atOrBelow($"l_quantity", element_at($"aq", 3)).as("a3"),
+        below($"l_extendedprice", $"ap95").as("b95"),
+        atOrBelow($"l_extendedprice", $"ap95").as("a95"))
+      .select($"l_returnflag", $"n".as("n_rows"),
+        ok("b1", "a1", 0.25).as("q1_ok"),
+        ok("b2", "a2", 0.50).as("med_ok"),
+        ok("b3", "a3", 0.75).as("q3_ok"),
+        ok("b95", "a95", 0.95).as("p95_ok"))
+      .orderBy($"l_returnflag")
+  }
+  val qAggPercentileApproxSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+       TRUE AS q1_ok, TRUE AS med_ok, TRUE AS q3_ok, TRUE AS p95_ok
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** histogram()/map_agg(): per-group value→count map, rendered sorted. */
   def q_agg_histogram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -214,6 +266,7 @@ object Aggregates2 {
   val queries: Map[String, Q] = Map(
     "q_agg_numeric_histogram" -> q_agg_numeric_histogram _,
     "q_agg_percentile" -> q_agg_percentile _,
+    "q_agg_percentile_approx" -> q_agg_percentile_approx _,
     "q_agg_histogram" -> q_agg_histogram _,
     "q_agg_minmax_by_n" -> q_agg_minmax_by_n _,
     "q_agg_reduce" -> q_agg_reduce _,
@@ -224,6 +277,7 @@ object Aggregates2 {
   val oracles: Map[String, String] = Map(
     "q_agg_numeric_histogram" -> qAggNumericHistogramSql,
     "q_agg_percentile" -> qAggPercentileSql,
+    "q_agg_percentile_approx" -> qAggPercentileApproxSql,
     "q_agg_histogram" -> qAggHistogramSql,
     "q_agg_minmax_by_n" -> qAggMinmaxByNSql,
     "q_agg_reduce" -> qAggReduceSql,

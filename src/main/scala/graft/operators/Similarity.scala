@@ -57,9 +57,23 @@ object Similarity {
        SELECT query_id, rn, vec_id, sim_r FROM ranked WHERE rn <= 5
        ORDER BY query_id, rn"""
 
-  /** LSH-bucketed approximate top-k (rows-only check; AnnSpec asserts recall
-    * against the exact top-k). 8 tables × 6 sign-bits — coarse buckets chosen
-    * for near-orthogonal data; denser real-world embeddings would use more bits. */
+  /** Deterministic left-to-right float→double cosine, as DuckDB SQL, between
+    * two table-qualified ARRAY<FLOAT> columns — bit-identical to the
+    * graft.ext.CosineSimilarity kernel. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a) + 1)]), (x, y) -> x + y)
+       / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, len($a) + 1)]), (x, y) -> x + y))
+        * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($b) + 1)]), (x, y) -> x + y)))"""
+
+  /** LSH-bucketed approximate top-k, fully oracle-checked: the md5-Rademacher
+    * hyperplanes (graft.ext.RademacherLshBuckets) are engine-portable, so the
+    * DuckDB oracle rebuilds the identical buckets, candidate set, and exact
+    * rescoring — verifying the approximate operator end-to-end, not just its
+    * exact parts. 8 tables × 6 sign-bits — coarse buckets chosen for
+    * near-orthogonal data; denser real-world embeddings would use more bits. */
   def q_sim_ann_lsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tables = 8; val bits = 6
@@ -80,6 +94,37 @@ object Similarity {
       .orderBy($"query_id", $"rn")
   }
 
+  val qSimAnnLshSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       dots AS (
+         SELECT vec_id, p.range AS p,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [
+             CASE WHEN ('0x' || substr(md5(CAST(p.range AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1))::INT % 2 = 0
+                  THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END
+             for i in range(1, len(embedding) + 1)]), (a, x) -> a + x) AS dot
+         FROM e CROSS JOIN range(48) p),
+       buckets AS (
+         SELECT vec_id, CAST(p // 6 AS INT) AS tbl,
+           CAST(SUM((CASE WHEN dot > 0.0 THEN 1::BIGINT ELSE 0::BIGINT END)
+                    << CAST(5 - (p % 6) AS INT)) AS BIGINT) AS bucket
+         FROM dots GROUP BY 1, 2),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         WHERE q.vec_id < $NQ AND c.vec_id >= $NQ),
+       sims AS (
+         SELECT cand.query_id, cand.vec_id,
+           round(${cosSql("qe.embedding", "ce.embedding")}, 6) AS sim_r
+         FROM cand
+         JOIN e qe ON qe.vec_id = cand.query_id
+         JOIN e ce ON ce.vec_id = cand.vec_id),
+       ranked AS (
+         SELECT query_id, vec_id, sim_r,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, vec_id) AS rn
+         FROM sims)
+       SELECT query_id, rn, vec_id, sim_r FROM ranked WHERE rn <= 5
+       ORDER BY query_id, rn"""
+
   /** IVF (inverted-file) ANN index — the second scale path from the brief.
     * Fully distributed and deterministic-by-construction:
     *  1. seed cells by hashing vec_id (no sampled init, no driver loops);
@@ -95,15 +140,31 @@ object Similarity {
   def q_sim_ann_ivf(s: SparkSession, dir: String): DataFrame =
     ivfTopK(s, dir, nprobe = 4)
 
-  private[graft] def ivfTopK(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  /** IVF parameters: cell count grows with the corpus (∝ √n, floored at 16 —
+    * at 100 TB a 10⁹-vector corpus gets ~16k cells, keeping both the broadcast
+    * centroid table and the per-probe candidate fraction small), and Lloyd
+    * refinement rounds are configurable (default 2). Every arithmetic step is
+    * deterministic cross-engine: md5-based seeding, exact DECIMAL centroid
+    * sums (order-independent) finished by one IEEE double division, and the
+    * left-to-right cosine kernel — so the DuckDB oracle replays the whole
+    * index build bit-for-bit (qSimAnnIvfSql). */
+  private[graft] def ivfCells(n: Long): Int =
+    math.max(16, math.floor(math.sqrt(n / 4.0)).toInt)
+
+  private[graft] def ivfTopK(
+      s: SparkSession, dir: String, nprobe: Int, lloydRounds: Int = 2): DataFrame = {
     import s.implicits._
-    val cellCount = 16
     val e = table(s, dir, "embeddings")
     val corpus = e.filter($"vec_id" >= NQ).select($"vec_id", $"embedding")
+    val cellCount = ivfCells(corpus.count())
 
+    // exact decimal mean per (cell, pos): order-independent partial sums, one
+    // IEEE division at the end — identical in any engine at any parallelism
     def centroids(assigned: DataFrame): DataFrame =
       assigned.select($"cell", posexplode($"embedding").as(Seq("pos", "v")))
-        .groupBy($"cell", $"pos").agg(avg($"v").as("m"))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"v".cast("double").cast("decimal(25,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("m"))
         .groupBy($"cell")
         .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
           el => el.getField("m").cast("float")).as("centroid"))
@@ -115,13 +176,16 @@ object Similarity {
         .agg(max_by(struct($"cell", $"embedding"), struct($"csim", -$"cell")).as("b"))
         .select($"vec_id", $"b.cell".as("cell"), $"b.embedding".as("embedding"))
 
-    val seeded = corpus.withColumn("cell", pmod(xxhash64($"vec_id"), lit(cellCount)))
-    val cents1 = centroids(assign(corpus, centroids(seeded)))
-    val cells = assign(corpus, cents1)
+    val seeded = corpus.withColumn("cell",
+      expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)") %
+        cellCount)
+    var cents = centroids(seeded)
+    (1 to lloydRounds).foreach(_ => cents = centroids(assign(corpus, cents)))
+    val cells = assign(corpus, cents)
 
     val probes = e.filter($"vec_id" < NQ)
       .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
-      .crossJoin(broadcast(cents1))
+      .crossJoin(broadcast(cents))
       .withColumn("csim", VectorFunctions.cosine($"qvec", $"centroid"))
       .withColumn("pr", row_number().over(
         Window.partitionBy($"query_id").orderBy($"csim".desc, $"cell")))
@@ -136,6 +200,66 @@ object Similarity {
       .select($"query_id", $"rn", $"vec_id", $"sim_r")
       .orderBy($"query_id", $"rn")
   }
+
+  /** DuckDB replay of the full IVF build + probe (see ivfTopK). Generated so
+    * the Lloyd-round CTE chain stays in lockstep with the Scala parameter. */
+  private def ivfSql(nprobe: Int, lloydRounds: Int): String = {
+    def assignCte(k: Int): String =
+      s"""asg$k AS (
+         SELECT vec_id, embedding, cell FROM (
+           SELECT c.vec_id, c.embedding, ct.cell,
+             row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY ${cosSql("c.embedding", "ct.centroid")} DESC, ct.cell) AS rnk
+           FROM corpus c CROSS JOIN cent$k ct) WHERE rnk = 1)"""
+    def centCte(k: Int, src: String): String =
+      s"""cm$k AS (
+         SELECT s.cell, f.pos,
+           CAST(SUM(CAST(f.x AS DECIMAL(25,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+         FROM flat f JOIN $src s ON f.vec_id = s.vec_id GROUP BY 1, 2),
+       cent$k AS (
+         SELECT cell, list_transform(list(m ORDER BY pos), v -> CAST(v AS FLOAT)) AS centroid
+         FROM cm$k GROUP BY cell)"""
+    val rounds = (1 to lloydRounds).map(k => s"${assignCte(k - 1)},\n       ${centCte(k, s"asg${k - 1}")}")
+      .mkString(",\n       ")
+    val last = lloydRounds
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       corpus AS (SELECT vec_id, embedding FROM e WHERE vec_id >= $NQ),
+       params AS (
+         SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*) / 4.0)) AS BIGINT)) AS c FROM corpus),
+       flat AS (
+         SELECT vec_id, i.range AS pos, CAST(embedding[CAST(i.range + 1 AS INT)] AS DOUBLE) AS x
+         FROM corpus CROSS JOIN range(64) i),
+       asgSeed AS (
+         SELECT vec_id, embedding,
+           ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % (SELECT c FROM params) AS cell
+         FROM corpus),
+       ${centCte(0, "asgSeed")},
+       $rounds,
+       cells AS (
+         SELECT vec_id, embedding, cell FROM (
+           SELECT c.vec_id, c.embedding, ct.cell,
+             row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY ${cosSql("c.embedding", "ct.centroid")} DESC, ct.cell) AS rnk
+           FROM corpus c CROSS JOIN cent$last ct) WHERE rnk = 1),
+       probes AS (
+         SELECT query_id, qvec, cell FROM (
+           SELECT q.vec_id AS query_id, q.embedding AS qvec, ct.cell,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("q.embedding", "ct.centroid")} DESC, ct.cell) AS pr
+           FROM (SELECT vec_id, embedding FROM e WHERE vec_id < $NQ) q
+           CROSS JOIN cent$last ct) WHERE pr <= $nprobe),
+       sims AS (
+         SELECT p.query_id, m.vec_id,
+           round(${cosSql("p.qvec", "m.embedding")}, 6) AS sim_r
+         FROM probes p JOIN cells m ON p.cell = m.cell),
+       ranked AS (
+         SELECT query_id, vec_id, sim_r,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, vec_id) AS rn
+         FROM sims)
+       SELECT query_id, rn, vec_id, sim_r FROM ranked WHERE rn <= 5
+       ORDER BY query_id, rn"""
+  }
+  val qSimAnnIvfSql: String = ivfSql(nprobe = 4, lloydRounds = 2)
 
   /** Embedding-space near-duplicate detection: corpus pairs with cosine ≥ 0.3
     * within the same label partition (embedding-cosine near-dup from the brief). */
@@ -171,5 +295,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_sim_cosine_topk" -> qSimCosineTopkSql,
+    "q_sim_ann_lsh" -> qSimAnnLshSql,
+    "q_sim_ann_ivf" -> qSimAnnIvfSql,
     "q_sim_neardup" -> qSimNeardupSql)
 }

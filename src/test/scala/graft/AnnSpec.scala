@@ -40,7 +40,7 @@ class AnnSpec extends SparkSpec {
   test("ivf probing all cells reproduces exact brute-force top-k") {
     val exact = operators.Similarity.q_sim_cosine_topk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
-    val full = operators.Similarity.ivfTopK(spark, sfDir, nprobe = 16).collect()
+    val full = operators.Similarity.ivfTopK(spark, sfDir, nprobe = Int.MaxValue).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(full == exact)
   }
