@@ -119,15 +119,53 @@ object Types {
        FROM events WHERE event_id < 2000
        ORDER BY event_id"""
 
+  /** TIMESTAMP WITH TIME ZONE (struct<utc_micros, zone> emulation — see
+    * graft.functions.TimestampTz). Events get a deterministic zone; the query
+    * exercises with_timezone (wall→instant), at_timezone (instant re-zoned),
+    * zone-aware formatting, and an instant-preservation roundtrip boolean.
+    * DuckDB's ICU timezone() reproduces every conversion. */
+  def q_type_tstz(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TimestampTz._
+    val zones = array(lit("UTC"), lit("America/New_York"), lit("Europe/Paris"), lit("Asia/Tokyo"))
+    val e = table(s, dir, "events")
+      .filter($"event_id" < 2000)
+      .withColumn("zone", element_at(zones, ($"event_id" % 4 + 1).cast("int")))
+    // ts is a UTC instant: carry it with the assigned zone
+    val tstz = struct(unix_micros($"ts").as("utc_micros"), $"zone".as("zone"))
+    e.select(
+        $"event_id",
+        tstz.getField("utc_micros").as("utc_micros"),
+        tstzFormat(tstz, "yyyy-MM-dd HH:mm:ss").as("local_str"),
+        tstzFormat(atTimezone(tstz, lit("Asia/Tokyo")), "yyyy-MM-dd HH:mm:ss").as("tokyo_str"),
+        // wall→instant→wall roundtrip must preserve the instant
+        (withTimezone(tstzLocal(tstz), $"zone").getField("utc_micros") ===
+          tstz.getField("utc_micros")).as("roundtrip_ok"))
+      .orderBy($"event_id")
+  }
+  val qTypeTstzSql: String =
+    """WITH z AS (
+         SELECT event_id, ts,
+           ['UTC', 'America/New_York', 'Europe/Paris', 'Asia/Tokyo'][CAST(event_id % 4 + 1 AS INT)] AS zone
+         FROM events WHERE event_id < 2000)
+       SELECT event_id,
+         epoch_us(ts) AS utc_micros,
+         strftime(timezone(zone, ts::TIMESTAMPTZ), '%Y-%m-%d %H:%M:%S') || ' ' || zone AS local_str,
+         strftime(timezone('Asia/Tokyo', ts::TIMESTAMPTZ), '%Y-%m-%d %H:%M:%S') || ' Asia/Tokyo' AS tokyo_str,
+         TRUE AS roundtrip_ok
+       FROM z ORDER BY event_id"""
+
   val queries: Map[String, Q] = Map(
     "q_type_variant" -> q_type_variant _,
     "q_type_char" -> q_type_char _,
     "q_type_time" -> q_type_time _,
+    "q_type_tstz" -> q_type_tstz _,
     "q_type_decimal" -> q_type_decimal _)
 
   val oracles: Map[String, String] = Map(
     "q_type_variant" -> qTypeVariantSql,
     "q_type_char" -> qTypeCharSql,
     "q_type_time" -> qTypeTimeSql,
+    "q_type_tstz" -> qTypeTstzSql,
     "q_type_decimal" -> qTypeDecimalSql)
 }
