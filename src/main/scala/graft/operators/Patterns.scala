@@ -68,9 +68,59 @@ object Patterns {
        FROM seq WHERE cls = 'D' AND ncls = 'U'
        ORDER BY user_id, start_id"""
 
+  /** ALL ROWS PER MATCH + CLASSIFIER()/MATCH_NUMBER() on the same V-shape
+    * pattern: every matched row is emitted with its classifying symbol and the
+    * 1-based match number within its partition. The DuckDB oracle extends the
+    * run-length formulation: matched rows are the D-run ∪ following U-run
+    * spans, classifier comes from the run class, match_number from ranking the
+    * match starts per user. */
+  def q_match_recognize_rows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select($"user_id", $"event_id", $"value")
+    val down: RowPattern.Predicate =
+      (p: IndexedSeq[Row], i: Int) => i > 0 && p(i).getDouble(2) < p(i - 1).getDouble(2)
+    val up: RowPattern.Predicate =
+      (p: IndexedSeq[Row], i: Int) => i > 0 && p(i).getDouble(2) > p(i - 1).getDouble(2)
+    MatchRecognize.allRowsPerMatch(
+        e, "user_id", "event_id", "D+ U+",
+        Map("D" -> down, "U" -> up),
+        includeCols = Seq("event_id", "value"))
+      .orderBy($"user_id", $"event_id")
+  }
+  val qMatchRecognizeRowsSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         FROM events),
+       c AS (
+         SELECT *, CASE WHEN pv IS NULL THEN 'X' WHEN value < pv THEN 'D'
+                        WHEN value > pv THEN 'U' ELSE 'X' END AS cls
+         FROM e),
+       r AS (
+         SELECT *, rn - row_number() OVER (PARTITION BY user_id, cls ORDER BY rn) AS grp
+         FROM c),
+       runs AS (
+         SELECT user_id, cls, min(rn) AS srn, max(rn) AS ern
+         FROM r GROUP BY user_id, cls, grp),
+       seq AS (
+         SELECT *, lead(cls) OVER w AS ncls, lead(ern) OVER w AS nern
+         FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY srn)),
+       matches AS (
+         SELECT user_id, srn, ern AS dern, nern,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY srn) AS BIGINT) AS match_number
+         FROM seq WHERE cls = 'D' AND ncls = 'U')
+       SELECT r.user_id, r.event_id, r.value, m.match_number,
+         CASE WHEN r.rn <= m.dern THEN 'D' ELSE 'U' END AS classifier
+       FROM r JOIN matches m
+         ON r.user_id = m.user_id AND r.rn BETWEEN m.srn AND m.nern
+       ORDER BY r.user_id, r.event_id"""
+
   val queries: Map[String, Q] = Map(
-    "q_match_recognize" -> q_match_recognize _)
+    "q_match_recognize" -> q_match_recognize _,
+    "q_match_recognize_rows" -> q_match_recognize_rows _)
 
   val oracles: Map[String, String] = Map(
-    "q_match_recognize" -> qMatchRecognizeSql)
+    "q_match_recognize" -> qMatchRecognizeSql,
+    "q_match_recognize_rows" -> qMatchRecognizeRowsSql)
 }

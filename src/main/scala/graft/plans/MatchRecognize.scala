@@ -32,7 +32,46 @@ object MatchRecognize {
   final case class Measure(name: String, dataType: DataType,
       eval: (IndexedSeq[Row], RowPattern.PatternMatch) => Any)
 
-  /** One row per match. `partitionCol` must be LongType (fixture keys are);
+  /** The group-streaming contract requires a non-null LongType partition key
+    * (generalizing to arbitrary keys means keying on InternalRow ordinals;
+    * fixture/typical fact keys are bigints). Fail fast with a clear message
+    * instead of an opaque ClassCastException at executor time. */
+  private def requireLongKey(df: DataFrame, partitionCol: String): Int = {
+    val keyField = df.schema(partitionCol)
+    require(keyField.dataType == org.apache.spark.sql.types.LongType,
+      s"MATCH_RECOGNIZE partition column '$partitionCol' must be BIGINT, " +
+        s"got ${keyField.dataType.simpleString}")
+    df.schema.fieldIndex(partitionCol)
+  }
+
+  /** Shared secondary-sort group runner: buffers one partition-key group at a
+    * time from the sorted stream and emits `handle(key, groupRows)`. */
+  private def perGroup(
+      df: DataFrame, partitionCol: String, orderCol: String,
+      outSchema: StructType)(
+      handle: (Long, IndexedSeq[Row]) => Seq[Row]): DataFrame = {
+    val keyIdx = requireLongKey(df, partitionCol)
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(n, col(partitionCol))
+      .sortWithinPartitions(col(partitionCol), col(orderCol))
+      .mapPartitions { it =>
+        new Iterator[Seq[Row]] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Seq[Row] = {
+            require(!buf.head.isNullAt(keyIdx),
+              s"MATCH_RECOGNIZE partition key is NULL (column index $keyIdx)")
+            val key = buf.head.getLong(keyIdx)
+            val group = scala.collection.mutable.ArrayBuffer[Row]()
+            while (buf.hasNext && !buf.head.isNullAt(keyIdx) &&
+              buf.head.getLong(keyIdx) == key) group += buf.next()
+            handle(key, group.toIndexedSeq)
+          }
+        }.flatten
+      }(Encoders.row(outSchema))
+  }
+
+  /** One row per match. `partitionCol` must be LongType;
     * `orderCol` orders rows within a partition (total order recommended). */
   def oneRowPerMatch(
       df: DataFrame,
@@ -43,32 +82,49 @@ object MatchRecognize {
       measures: Seq[Measure],
       skipPastLastRow: Boolean = true): DataFrame = {
 
-    val pat = RowPattern.parse(pattern)
-    val matcher = new RowPattern.Matcher(pat, define)
-    val keyIdx = df.schema.fieldIndex(partitionCol)
+    val matcher = new RowPattern.Matcher(RowPattern.parse(pattern), define)
     val keyField = df.schema(partitionCol)
     val outSchema = StructType(
       StructField(keyField.name, keyField.dataType, nullable = false) +:
         measures.map(m => StructField(m.name, m.dataType)))
+    perGroup(df, partitionCol, orderCol, outSchema) { (key, part) =>
+      matcher.findAll(part, skipPastLastRow).map { m =>
+        Row.fromSeq(key +: measures.map(_.eval(part, m)))
+      }
+    }
+  }
 
-    val n = df.sparkSession.sparkContext.defaultParallelism
-    df.repartition(n, col(partitionCol))
-      .sortWithinPartitions(col(partitionCol), col(orderCol))
-      .mapPartitions { it =>
-        new Iterator[Seq[Row]] {
-          private val buf = it.buffered
-          def hasNext: Boolean = buf.hasNext
-          def next(): Seq[Row] = {
-            // buffer exactly one partition-key group (rows arrive sorted)
-            val key = buf.head.getLong(keyIdx)
-            val group = scala.collection.mutable.ArrayBuffer[Row]()
-            while (buf.hasNext && buf.head.getLong(keyIdx) == key) group += buf.next()
-            val part: IndexedSeq[Row] = group.toIndexedSeq
-            matcher.findAll(part, skipPastLastRow).map { m =>
-              Row.fromSeq(key +: measures.map(_.eval(part, m)))
-            }
-          }
-        }.flatten
-      }(Encoders.row(outSchema))
+  /** ALL ROWS PER MATCH: every row of every match, annotated with
+    * MATCH_NUMBER() (1-based per partition, in match order) and CLASSIFIER()
+    * (the DEFINE symbol that matched the row) — the reference's per-row
+    * output mode (reference: sql/planner/plan/PatternRecognitionNode.java
+    * RowsPerMatch.ALL_SHOW_EMPTY family; matcher trace
+    * operator/window/matcher/Matcher.java:28). `includeCols` are passed
+    * through from the input row. */
+  def allRowsPerMatch(
+      df: DataFrame,
+      partitionCol: String,
+      orderCol: String,
+      pattern: String,
+      define: Map[String, RowPattern.Predicate],
+      includeCols: Seq[String],
+      skipPastLastRow: Boolean = true): DataFrame = {
+
+    val matcher = new RowPattern.Matcher(RowPattern.parse(pattern), define)
+    val keyField = df.schema(partitionCol)
+    val includeIdx = includeCols.map(df.schema.fieldIndex)
+    val outSchema = StructType(
+      (StructField(keyField.name, keyField.dataType, nullable = false) +:
+        includeCols.map(c => df.schema(c))) ++
+        Seq(StructField("match_number", org.apache.spark.sql.types.LongType, nullable = false),
+          StructField("classifier", org.apache.spark.sql.types.StringType, nullable = false)))
+    perGroup(df, partitionCol, orderCol, outSchema) { (key, part) =>
+      matcher.findAll(part, skipPastLastRow).zipWithIndex.flatMap { case (m, mi) =>
+        m.steps.map { case (sym, idx) =>
+          val r = part(idx)
+          Row.fromSeq((key +: includeIdx.map(r.get)) ++ Seq((mi + 1).toLong, sym))
+        }
+      }
+    }
   }
 }
