@@ -34,6 +34,7 @@ object SparkEntry {
       (operators.Approx.queries, operators.Approx.oracles),
       (operators.Types.queries, operators.Types.oracles),
       (operators.Federation.queries, operators.Federation.oracles),
+      (operators.Dialect.queries, operators.Dialect.oracles),
       (operators.Misc.queries, operators.Misc.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

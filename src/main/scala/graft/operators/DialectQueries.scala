@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sqlx.TrinoDialect
+
+/** Queries entering as Trino-dialect SQL TEXT through graft.sqlx.TrinoDialect
+  * (SURVEY.md §3 "sqlx/") — the dialect surface itself is the unit under test;
+  * each oracle states the same semantics in DuckDB SQL.
+  *
+  * Reference dialect features exercised: TRY(...) (SqlBase.g4 primaryExpression),
+  * format() (reference FormatFunction.java), function-name deltas
+  * (approx_distinct/arbitrary/strpos/codepoint), FETCH FIRST, and text-SQL
+  * MATCH_RECOGNIZE (SqlBase.g4:446) in both per-match output modes.
+  */
+object Dialect {
+
+  /** TRY over cast, element_at lookup, and division — Trino's error-absorbing
+    * wrapper, lowered onto Spark's try_* family. p_type never has 4 words, so
+    * the 4th element_at is an absorbed OOB; p_name never parses as a number;
+    * (p_size - 10) hits zero → absorbed division error. */
+  def q_sqlx_try(s: SparkSession, dir: String): DataFrame =
+    TrinoDialect.sql(s, dir,
+      """SELECT p_partkey,
+         TRY(CAST(p_name AS DOUBLE)) AS bad_cast,
+         TRY(element_at(split(p_type, ' '), 4)) AS oob_elem,
+         element_at(split(p_type, ' '), 1) AS first_word,
+         TRY(p_retailprice / (p_size - 10)) AS per_size
+         FROM part ORDER BY p_partkey""")
+  val qSqlxTrySql: String =
+    """SELECT p_partkey,
+       TRY_CAST(p_name AS DOUBLE) AS bad_cast,
+       string_split(p_type, ' ')[4] AS oob_elem,
+       string_split(p_type, ' ')[1] AS first_word,
+       CASE WHEN p_size = 10 THEN NULL
+            ELSE p_retailprice / (p_size - 10) END AS per_size
+       FROM part ORDER BY p_partkey"""
+
+  /** format() + renamed scalar functions + FETCH FIRST, all pre-rewritten. */
+  def q_sqlx_scalar(s: SparkSession, dir: String): DataFrame =
+    TrinoDialect.sql(s, dir,
+      """SELECT n_nationkey,
+         format('%s#%03d', n_name, n_nationkey) AS tag,
+         CAST(strpos(n_name, 'A') AS BIGINT) AS a_pos,
+         CAST(codepoint(substring(n_name, 1, 1)) AS BIGINT) AS first_cp
+         FROM nation ORDER BY n_nationkey
+         FETCH FIRST 20 ROWS ONLY""")
+  val qSqlxScalarSql: String =
+    """SELECT n_nationkey,
+       printf('%s#%03d', n_name, n_nationkey) AS tag,
+       strpos(n_name, 'A') AS a_pos,
+       CAST(unicode(substr(n_name, 1, 1)) AS BIGINT) AS first_cp
+       FROM nation ORDER BY n_nationkey LIMIT 20"""
+
+  /** Text-SQL MATCH_RECOGNIZE, ONE ROW PER MATCH with measures. */
+  def q_sqlx_match_recognize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES FIRST(D.event_id) AS start_id,
+                    LAST(U.event_id) AS end_id,
+                    COUNT(D.*) AS n_down,
+                    COUNT(U.*) AS n_up
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (D+ U+)
+           DEFINE D AS value < PREV(value),
+                  U AS value > PREV(value)
+         )""")
+      .orderBy($"user_id", $"start_id")
+  }
+  val qSqlxMatchRecognizeSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         FROM events),
+       c AS (
+         SELECT *, CASE WHEN pv IS NULL THEN 'X' WHEN value < pv THEN 'D'
+                        WHEN value > pv THEN 'U' ELSE 'X' END AS cls
+         FROM e),
+       r AS (
+         SELECT *, rn - row_number() OVER (PARTITION BY user_id, cls ORDER BY rn) AS grp
+         FROM c),
+       runs AS (
+         SELECT user_id, cls, min(rn) AS srn,
+           count(*) AS len, min(event_id) AS sid, max(event_id) AS eid
+         FROM r GROUP BY user_id, cls, grp),
+       seq AS (
+         SELECT *, lead(cls) OVER w AS ncls, lead(len) OVER w AS nlen,
+           lead(eid) OVER w AS neid
+         FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY srn))
+       SELECT user_id, sid AS start_id, neid AS end_id,
+         CAST(len AS BIGINT) AS n_down, CAST(nlen AS BIGINT) AS n_up
+       FROM seq WHERE cls = 'D' AND ncls = 'U'
+       ORDER BY user_id, start_id"""
+
+  /** Text-SQL MATCH_RECOGNIZE, ALL ROWS PER MATCH (classifier + match number). */
+  def q_sqlx_match_rows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY event_id
+           ALL ROWS PER MATCH
+           PATTERN (D+ U+)
+           DEFINE D AS value < PREV(value),
+                  U AS value > PREV(value)
+         )""")
+      .orderBy($"user_id", $"event_id")
+  }
+  // identical semantics to q_match_recognize_rows — same oracle
+  val qSqlxMatchRowsSql: String = Patterns.qMatchRecognizeRowsSql
+
+  val queries: Map[String, Q] = Map(
+    "q_sqlx_try" -> q_sqlx_try _,
+    "q_sqlx_scalar" -> q_sqlx_scalar _,
+    "q_sqlx_match_recognize" -> q_sqlx_match_recognize _,
+    "q_sqlx_match_rows" -> q_sqlx_match_rows _)
+
+  val oracles: Map[String, String] = Map(
+    "q_sqlx_try" -> qSqlxTrySql,
+    "q_sqlx_scalar" -> qSqlxScalarSql,
+    "q_sqlx_match_recognize" -> qSqlxMatchRecognizeSql,
+    "q_sqlx_match_rows" -> qSqlxMatchRowsSql)
+}
