@@ -38,4 +38,19 @@ object JsonFunctions {
   /** json_array_length (classic function family). */
   def jsonArrayLength(json: Column): Column =
     json_array_length(json).cast("long")
+
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+  /** json_value over the full lax/strict path engine (graft.ext.JsonPath) —
+    * filters, wildcards, arithmetic; NULL ON EMPTY / NULL ON ERROR defaults. */
+  def jsonPathValue(json: Column, path: String): Column =
+    column(graft.ext.JsonPathValue(expression(json), path))
+
+  /** json_query over the lax/strict path engine (single node, no wrapper). */
+  def jsonPathQuery(json: Column, path: String): Column =
+    column(graft.ext.JsonPathQuery(expression(json), path))
+
+  /** 'value' | 'empty' | 'error' — observable lax/strict outcome. */
+  def jsonPathStatus(json: Column, path: String): Column =
+    column(graft.ext.JsonPathStatus(expression(json), path))
 }

@@ -164,6 +164,45 @@ object Functions2 {
        CAST(3 AS BIGINT) AS n_xs
        FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"""
 
+  /** SQL/JSON lax/strict path engine subset (graft.ext.JsonPath; reference
+    * jsonpath/JsonPathEvaluator.java): filters, wildcards, arithmetic in
+    * paths, and the observable lax-vs-strict split (auto-unwrap/auto-wrap vs
+    * structural error) surfaced through status columns the oracle pins to
+    * literals. */
+  def q_fn_jsonpath(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.JsonFunctions._
+    val d = table(s, dir, "part")
+      .withColumn("doc", to_json(struct(
+        $"p_partkey".as("id"),
+        split($"p_type", " ").as("words"),
+        struct($"p_size".cast("long").as("size")).as("meta"),
+        array(
+          struct(lit(1L).as("v"), lit("a").as("t")),
+          struct($"p_size".cast("long").as("v"), lit("b").as("t"))).as("items"))))
+    d.select($"p_partkey",
+        jsonPathValue($"doc", "lax $.items[?(@.v > 10)].t").as("filt_t"),
+        jsonPathValue($"doc", "lax $.meta.size * 2").cast("long").as("size2"),
+        jsonPathValue($"doc", "lax $.words[0]").as("word0"),
+        jsonPathStatus($"doc", "lax $.words[5]").as("status_lax"),
+        jsonPathStatus($"doc", "strict $.words[5]").as("status_strict"),
+        jsonPathStatus($"doc", "lax $.items.v").as("unwrap_lax"),
+        jsonPathStatus($"doc", "strict $.items.v").as("unwrap_strict"),
+        jsonPathQuery($"doc", "lax $.meta").as("meta_json"))
+      .orderBy($"p_partkey")
+  }
+  val qFnJsonpathSql: String =
+    """SELECT p_partkey,
+       CASE WHEN p_size > 10 THEN 'b' END AS filt_t,
+       CAST(p_size * 2 AS BIGINT) AS size2,
+       string_split(p_type, ' ')[1] AS word0,
+       'empty' AS status_lax,
+       'error' AS status_strict,
+       'value' AS unwrap_lax,
+       'error' AS unwrap_strict,
+       '{"size":' || p_size || '}' AS meta_json
+       FROM part ORDER BY p_partkey"""
+
   /** TRY error-suppression semantics (reference: operator/scalar/
     * TryFunction.java:40, TryCastFunction.java): failed casts, div-by-zero,
     * out-of-bounds subscripts → null instead of error. Division outputs stay
@@ -319,7 +358,8 @@ object Functions2 {
     "q_fn_url" -> q_fn_url _,
     "q_fn_uuid_ip" -> q_fn_uuid_ip _,
     "q_fn_ngrams" -> q_fn_ngrams _,
-    "q_fn_sqljson" -> q_fn_sqljson _)
+    "q_fn_sqljson" -> q_fn_sqljson _,
+    "q_fn_jsonpath" -> q_fn_jsonpath _)
 
   val oracles: Map[String, String] = Map(
     "q_fn_geo" -> qFnGeoSql,
@@ -330,5 +370,6 @@ object Functions2 {
     "q_fn_url" -> qFnUrlSql,
     "q_fn_uuid_ip" -> qFnUuidIpSql,
     "q_fn_ngrams" -> qFnNgramsSql,
-    "q_fn_sqljson" -> qFnSqljsonSql)
+    "q_fn_sqljson" -> qFnSqljsonSql,
+    "q_fn_jsonpath" -> qFnJsonpathSql)
 }
