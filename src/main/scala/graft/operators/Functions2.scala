@@ -203,6 +203,81 @@ object Functions2 {
        '{"size":' || p_size || '}' AS meta_json
        FROM part ORDER BY p_partkey"""
 
+  /** Keyed hashes + base32 (reference HmacFunctions.java, StringFunctions.java
+    * to_base32/from_base32). Keyed digests are not reconstructible in DuckDB
+    * SQL, so the oracle pins public known-answer vectors over fixed inputs —
+    * the same technique the reference's own function tests use. */
+  def q_fn_crypto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.CryptoFunctions._
+    Seq(
+      ("graft-key", "the quick brown fox"),
+      ("k2", "jumps over"),
+      ("secret", "graft engine")).toDF("k", "m")
+      .select($"k", $"m",
+        hmacMd5($"k", $"m").as("hmac_md5"),
+        hmacSha256($"k", $"m").as("hmac_sha256"),
+        toBase32($"m").as("b32"),
+        (fromBase32(toBase32($"m")) === $"m").as("b32_roundtrip"))
+      .orderBy($"k")
+  }
+  val qFnCryptoSql: String =
+    """SELECT * FROM (VALUES
+       ('graft-key', 'the quick brown fox', '703d71a8cdda1a91635e96fc60c7ece8',
+        'bbf8e396fce4790342ceecdad0612b3260dd32e82f658d5ad91a130ab08e38f4',
+        'ORUGKIDROVUWG2ZAMJZG653OEBTG66A=', TRUE),
+       ('k2', 'jumps over', '25688c0e43d87aeec09e4627aec0fabe',
+        'bf82e7e4403398f0a04099d672e3955278cbf3ee34400b7f63a47193c2332891',
+        'NJ2W24DTEBXXMZLS', TRUE),
+       ('secret', 'graft engine', '8c69633ae9a10a6ca697cc42a74804be',
+        'ac862725680cf623bf676ac600a9c42aadf717c2f70d2175c9a23288a32b42c8',
+        'M5ZGCZTUEBSW4Z3JNZSQ====', TRUE))
+       t(k, m, hmac_md5, hmac_sha256, b32, b32_roundtrip)
+       ORDER BY k"""
+
+  /** wilson_interval_lower/upper (reference MathFunctions.java wilson_interval)
+    * + split_to_map (reference StringFunctions.java:70 splitToMap). The
+    * interval formula is written with identical operation order in both
+    * engines; round-8 absorbs any final-ulp noise per the error-model spec. */
+  def q_fn_wilson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val z = 1.96
+    val c = table(s, dir, "customer")
+      .withColumn("succ", $"c_custkey" % 50)
+      .withColumn("n", lit(50) + $"c_custkey" % 30)
+    val p = $"succ".cast("double") / $"n"
+    val z2 = lit(z * z)
+    def wilson(sign: Double) = round(
+      (p + z2 / ($"n" * 2) +
+        lit(sign * z) * sqrt(p * (lit(1.0) - p) / $"n" + z2 / (lit(4.0) * $"n" * $"n"))) /
+        (lit(1.0) + z2 / $"n"), 8)
+    c.select($"c_custkey",
+        wilson(-1.0).as("wilson_lo"),
+        wilson(1.0).as("wilson_hi"),
+        element_at(str_to_map(
+          concat(lit("seg="), $"c_mktsegment", lit(",nat="), $"c_nationkey"), lit(","), lit("=")),
+          "seg").as("seg"),
+        element_at(str_to_map(
+          concat(lit("seg="), $"c_mktsegment", lit(",nat="), $"c_nationkey"), lit(","), lit("=")),
+          "nat").cast("long").as("nat"))
+      .orderBy($"c_custkey")
+  }
+  val qFnWilsonSql: String =
+    """WITH t AS (
+         SELECT c_custkey, c_mktsegment, c_nationkey,
+           c_custkey % 50 AS succ, 50 + c_custkey % 30 AS n
+         FROM customer)
+       SELECT c_custkey,
+         round((succ / CAST(n AS DOUBLE) + 1.96 * 1.96 / (n * 2) +
+           -1.96 * sqrt(succ / CAST(n AS DOUBLE) * (1.0 - succ / CAST(n AS DOUBLE)) / n
+             + 1.96 * 1.96 / (4.0 * n * n))) / (1.0 + 1.96 * 1.96 / n), 8) AS wilson_lo,
+         round((succ / CAST(n AS DOUBLE) + 1.96 * 1.96 / (n * 2) +
+           1.96 * sqrt(succ / CAST(n AS DOUBLE) * (1.0 - succ / CAST(n AS DOUBLE)) / n
+             + 1.96 * 1.96 / (4.0 * n * n))) / (1.0 + 1.96 * 1.96 / n), 8) AS wilson_hi,
+         c_mktsegment AS seg,
+         c_nationkey AS nat
+       FROM t ORDER BY c_custkey"""
+
   /** TRY error-suppression semantics (reference: operator/scalar/
     * TryFunction.java:40, TryCastFunction.java): failed casts, div-by-zero,
     * out-of-bounds subscripts → null instead of error. Division outputs stay
@@ -359,7 +434,9 @@ object Functions2 {
     "q_fn_uuid_ip" -> q_fn_uuid_ip _,
     "q_fn_ngrams" -> q_fn_ngrams _,
     "q_fn_sqljson" -> q_fn_sqljson _,
-    "q_fn_jsonpath" -> q_fn_jsonpath _)
+    "q_fn_jsonpath" -> q_fn_jsonpath _,
+    "q_fn_crypto" -> q_fn_crypto _,
+    "q_fn_wilson" -> q_fn_wilson _)
 
   val oracles: Map[String, String] = Map(
     "q_fn_geo" -> qFnGeoSql,
@@ -371,5 +448,7 @@ object Functions2 {
     "q_fn_uuid_ip" -> qFnUuidIpSql,
     "q_fn_ngrams" -> qFnNgramsSql,
     "q_fn_sqljson" -> qFnSqljsonSql,
-    "q_fn_jsonpath" -> qFnJsonpathSql)
+    "q_fn_jsonpath" -> qFnJsonpathSql,
+    "q_fn_crypto" -> qFnCryptoSql,
+    "q_fn_wilson" -> qFnWilsonSql)
 }
