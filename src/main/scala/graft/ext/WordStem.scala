@@ -96,9 +96,7 @@ object PorterStemmer {
     step4.collectFirst {
       case s if w.endsWith(s) =>
         val stem = w.substring(0, w.length - s.length)
-        if (s == "ion") w
-        else if (measure(stem) > 1) stem
-        else w
+        if (measure(stem) > 1) stem else w
     }.foreach(w = _)
     if (w.endsWith("ion")) {
       val stem = w.dropRight(3)

@@ -44,17 +44,14 @@ object Sketches {
     }
 
     def merge(o: TDigest): Unit = {
+      // append ALL incoming centroids, then recluster once — per-centroid
+      // reclustering would make merges O(C² log C) in centroid count
       o.compress()
-      var i = 0
-      while (i < o.means.length) { addCentroid(o.means(i), o.weights(i)); i += 1 }
-    }
-
-    private def addCentroid(m: Double, w: Double): Unit = {
       compress()
-      // append then recompress (merge-based digest)
-      means = means :+ m
-      weights = weights :+ w
-      total += w
+      means = means ++ o.means
+      weights = weights ++ o.weights
+      var i = 0
+      while (i < o.weights.length) { total += o.weights(i); i += 1 }
       recluster()
     }
 

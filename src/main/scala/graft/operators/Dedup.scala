@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions._
 
 /** Deduplication operators (extension track — LLM-data-pipeline).
@@ -78,9 +77,9 @@ object Dedup {
     * the join is O(shingles · cutoff), never O(docs²). */
   def q_dedup_ngram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = docs(s, dir)
-      .select($"doc_id", shingleHashes3(tokens($"text")).as("shs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d = cached("dedup_ngram_shs", dir) {
+      docs(s, dir).select($"doc_id", shingleHashes3(tokens($"text")).as("shs"))
+    }
     val nd = d.agg(count(lit(1)).as("ndocs"))
     val sh = d.select($"doc_id", explode($"shs").as("sh"))
     // the COMMON shingles are the small set — broadcast them and anti-join,
@@ -135,11 +134,11 @@ object Dedup {
   def q_dedup_minhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = 64; val bands = 16; val r = 4
-    val d = docs(s, dir)
-      .select($"doc_id",
+    val d = cached("dedup_minhash_sigs", dir) {
+      docs(s, dir).select($"doc_id",
         shingleHashes3(tokens($"text")).as("shs"),
         minhashSignature(shingles3(tokens($"text")), k).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     val sigs = d.select($"doc_id", $"sig")
     val buckets = sigs.select($"doc_id",
       posexplode(minhashBands($"sig", bands, r)).as(Seq("band", "bkey")))
@@ -168,9 +167,9 @@ object Dedup {
     * output is exact by construction, not approximately recalled. */
   def q_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = docs(s, dir)
-      .select($"doc_id", md5SimHash60(tokens($"text")).as("fp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = cached("dedup_simhash_fp", dir) {
+      docs(s, dir).select($"doc_id", md5SimHash60(tokens($"text")).as("fp"))
+    }
     val bandArr = array((0 until 4).map(i =>
       shiftright($"fp", i * 15).bitwiseAND(lit(32767L))): _*)
     val byBand = sigs.select($"doc_id", posexplode(bandArr).as(Seq("band_idx", "band_val")))

@@ -150,9 +150,12 @@ object Relational2 {
     probe.join(binned.select($"id".as("id_b"), $"lat".as("lat_b"), $"lon".as("lon_b"), $"cx", $"cy"),
         Seq("cx", "cy"))
       .filter($"id_a" < $"id_b")
-      .withColumn("dist_km", round(haversineKm($"lat_a", $"lon_a", $"lat_b", $"lon_b"), 6))
-      .filter($"dist_km" <= radiusKm)
-      .select($"id_a", $"id_b", $"dist_km")
+      // filter on the RAW distance (identical to the oracle's predicate);
+      // round only the projected output — rounding before the filter would
+      // classify radius-boundary pairs differently than the oracle
+      .withColumn("dist_raw", haversineKm($"lat_a", $"lon_a", $"lat_b", $"lon_b"))
+      .filter($"dist_raw" <= radiusKm)
+      .select($"id_a", $"id_b", round($"dist_raw", 6).as("dist_km"))
       .distinct()
       .orderBy($"id_a", $"id_b")
   }

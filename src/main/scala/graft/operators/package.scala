@@ -25,5 +25,24 @@ package object operators {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(spark, dir, name)
 
+  private val dfCache = scala.collection.mutable.Map.empty[(String, String), DataFrame]
+
+  /** Persist-once cache for derived fixture DataFrames. Fixture inputs are
+    * immutable per directory, so re-invocations of a query reuse the SAME
+    * cached plan instead of stacking a fresh persisted lineage per call
+    * (round-2 advice: un-released cached blocks accumulated over a long-lived
+    * session). Storage is bounded by the derived tables themselves; an
+    * explicit `graft.operators.clearCaches()` releases everything. */
+  def cached(tag: String, dir: String)(build: => DataFrame): DataFrame =
+    dfCache.synchronized {
+      dfCache.getOrElseUpdate((tag, dir),
+        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  def clearCaches(): Unit = dfCache.synchronized {
+    dfCache.values.foreach(_.unpersist(blocking = false))
+    dfCache.clear()
+  }
+
   type Q = (SparkSession, String) => DataFrame
 }
