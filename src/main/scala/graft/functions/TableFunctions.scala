@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** User table-function registry (SURVEY.md §2.9; reference:
+  * core/trino-spi/src/main/java/io/trino/spi/function/table/ConnectorTableFunction.java
+  * and the built-in sequence TVF operator/table/SequenceFunction.java:58).
+  *
+  * A TVF takes (session, fixture dir, literal args) and returns a DataFrame;
+  * users register their own beside the built-ins. The Trino-dialect layer
+  * (graft.sqlx.TrinoDialect) resolves `FROM TABLE(name(args...))` text against
+  * this registry, so registered functions are reachable from SQL text as well
+  * as from the Scala API.
+  */
+object TableFunctions {
+  type TVF = (SparkSession, String, Seq[String]) => DataFrame
+
+  private val registry = scala.collection.concurrent.TrieMap.empty[String, TVF]
+
+  def register(name: String, fn: TVF): Unit = registry.put(name.toLowerCase, fn)
+  def registered: Set[String] = registry.keySet.toSet
+
+  def invoke(spark: SparkSession, dir: String, name: String, args: Seq[String]): DataFrame =
+    registry.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown table function '$name' (registered: ${registered.toSeq.sorted.mkString(", ")})"))
+      .apply(spark, dir, args)
+
+  // built-ins
+  register("sequence", (s, _, args) => {
+    require(args.length == 2 || args.length == 3, "sequence(start, stop [, step])")
+    val step = if (args.length == 3) args(2).trim.toLong else 1L
+    // stop is inclusive in the reference's sequence TVF
+    s.range(args(0).trim.toLong, args(1).trim.toLong + (if (step > 0) 1 else -1), step)
+      .toDF("sequential_number")
+  })
+
+  register("raw_query", (s, dir, args) => {
+    require(args.length == 1, "raw_query('<remote sql>')")
+    graft.catalog.DerbyCatalog.query(s, dir, unquote(args.head))
+  })
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1) else t
+  }
+}

@@ -68,16 +68,16 @@ object Aggregates2 {
     val li = table(s, dir, "lineitem")
     val apx = li.groupBy($"l_returnflag")
       .agg(
-        percentile_approx($"l_quantity", array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+        percentile_approx($"l_quantity", array(lit(0.25), lit(0.5), lit(0.75)), lit(1000))
           .as("aq"),
-        percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("ap95"),
+        percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("ap95"),
         count(lit(1)).as("n"))
     def below(x: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
       sum(when(x < v, 1L).otherwise(0L))
     def atOrBelow(x: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
       sum(when(x <= v, 1L).otherwise(0L))
     def ok(lo: String, hi: String, p: Double) = {
-      val eps = 0.001
+      val eps = 0.0015 // sketch accuracy 1000 => rank error <= 0.001n
       col(lo) < (lit(p) + eps) * $"n" && col(hi) >= (lit(p) - eps) * $"n"
     }
     // aq/ap95/n are functionally dependent on the group key — grouping by them

@@ -89,16 +89,26 @@ object Dedup {
       .filter($"dfreq" > greatest(lit(16.0), lit(0.02) * $"ndocs"))
       .select($"sh")
     val index = sh.join(broadcast(common), Seq("sh"), "left_anti")
-    val cand = index.as("a").join(index.as("b"), Seq("sh"))
+    val sizes = d.select($"doc_id", size($"shs").cast("long").as("sz"))
+    // exact intersection = co-occurrence count over the rare index (the cheap
+    // counting join — no shingle arrays in the shuffle) + intersection of the
+    // per-doc COMMON-shingle arrays, which are bounded by |common| and joined
+    // from a small side. No distinct pass, no full-array rescoring join.
+    val pairsRare = index.as("a").join(index.as("b"), Seq("sh"))
       .filter($"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
-    cand
-      .join(d.select($"doc_id".as("doc_a"), $"shs".as("shs_a")), "doc_a")
-      .join(d.select($"doc_id".as("doc_b"), $"shs".as("shs_b")), "doc_b")
-      .withColumn("inter", size(array_intersect($"shs_a", $"shs_b")).cast("long"))
-      .withColumn("jaccard", $"inter".cast("double") /
-        (size($"shs_a") + size($"shs_b") - $"inter"))
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter_rare"))
+    val commonPerDoc = sh.join(broadcast(common), Seq("sh"))
+      .groupBy($"doc_id").agg(sort_array(collect_list($"sh")).as("cshs"))
+    val emptyArr = array().cast("array<bigint>")
+    pairsRare
+      .join(commonPerDoc.select($"doc_id".as("doc_a"), $"cshs".as("cshs_a")), Seq("doc_a"), "left")
+      .join(commonPerDoc.select($"doc_id".as("doc_b"), $"cshs".as("cshs_b")), Seq("doc_b"), "left")
+      .withColumn("inter", $"inter_rare" +
+        size(array_intersect(coalesce($"cshs_a", emptyArr), coalesce($"cshs_b", emptyArr))).cast("long"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), "doc_b")
+      .withColumn("jaccard", $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter"))
       .filter($"jaccard" >= 0.8)
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")

@@ -114,13 +114,28 @@ object Dialect {
   // identical semantics to q_match_recognize_rows — same oracle
   val qSqlxMatchRowsSql: String = Patterns.qMatchRecognizeRowsSql
 
+  /** User TVF registry surface (reference ConnectorTableFunction): the
+    * sequence TVF resolved from SQL text via graft.functions.TableFunctions. */
+  def q_tvf_registry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT sequential_number, sequential_number * 2 AS twice
+         FROM TABLE(sequence(1, 200, 2))""")
+      .orderBy($"sequential_number")
+  }
+  val qTvfRegistrySql: String =
+    """SELECT range AS sequential_number, range * 2 AS twice
+       FROM range(1, 201, 2) ORDER BY sequential_number"""
+
   val queries: Map[String, Q] = Map(
+    "q_tvf_registry" -> q_tvf_registry _,
     "q_sqlx_try" -> q_sqlx_try _,
     "q_sqlx_scalar" -> q_sqlx_scalar _,
     "q_sqlx_match_recognize" -> q_sqlx_match_recognize _,
     "q_sqlx_match_rows" -> q_sqlx_match_rows _)
 
   val oracles: Map[String, String] = Map(
+    "q_tvf_registry" -> qTvfRegistrySql,
     "q_sqlx_try" -> qSqlxTrySql,
     "q_sqlx_scalar" -> qSqlxScalarSql,
     "q_sqlx_match_recognize" -> qSqlxMatchRecognizeSql,

@@ -42,8 +42,26 @@ object TrinoDialect {
       case Some(mr) => MatchRecognizeSql.lower(spark, dir, mr)
       case None =>
         graft.sources.Tables.registerAll(spark, dir)
-        spark.sql(rewrite(text))
+        spark.sql(rewrite(lowerTableFunctions(spark, dir, text)))
     }
+
+  /** `FROM TABLE(name(args...))` → registered TVF materialized as a temp view
+    * (reference ConnectorTableFunction resolution; graft.functions.TableFunctions).
+    * Text-surface subset: scalar literal args without nested parens or commas
+    * inside quotes — TVFs with full SQL args (e.g. raw_query) are reachable
+    * through the Scala API (`TableFunctions.invoke`). */
+  private def lowerTableFunctions(spark: SparkSession, dir: String, sqlText: String): String = {
+    val TvfRe = """(?i)TABLE\s*\(\s*(\w+)\s*\(([^()]*)\)\s*\)""".r
+    TvfRe.replaceAllIn(sqlText, m => {
+      val name = m.group(1)
+      val args = if (m.group(2).trim.isEmpty) Seq.empty[String]
+        else m.group(2).split(",").toSeq.map(_.trim)
+      val view = s"tvf_${name}_${Integer.toHexString(m.group(2).hashCode).replace('-', 'n')}"
+      graft.functions.TableFunctions.invoke(spark, dir, name, args)
+        .createOrReplaceTempView(view)
+      view
+    })
+  }
 
   /** Textual pre-rewrites for Trino-isms (no MATCH_RECOGNIZE here). */
   def rewrite(sql: String): String = {
