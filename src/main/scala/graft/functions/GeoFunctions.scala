@@ -31,4 +31,19 @@ object GeoFunctions {
   def bboxContains(minLat: Column, minLon: Column, maxLat: Column, maxLon: Column,
       lat: Column, lon: Column): Column =
     lat >= minLat && lat <= maxLat && lon >= minLon && lon <= maxLon
+
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+  /** ST_Area of a polygon given as (xs, ys) DOUBLE coordinate arrays. */
+  def stArea(xs: Column, ys: Column): Column =
+    column(graft.ext.PolygonArea(expression(xs), expression(ys)))
+
+  /** ST_Perimeter of a polygon. */
+  def stPerimeter(xs: Column, ys: Column): Column =
+    column(graft.ext.PolygonPerimeter(expression(xs), expression(ys)))
+
+  /** ST_Contains(polygon, point) via even-odd ray casting. */
+  def stContains(px: Column, py: Column, xs: Column, ys: Column): Column =
+    column(graft.ext.PolygonContains(
+      expression(px), expression(py), expression(xs), expression(ys)))
 }

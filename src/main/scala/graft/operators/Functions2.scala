@@ -424,7 +424,56 @@ object Functions2 {
          lat >= 30.0 AND lat <= 50.0 AND lon >= -90.0 AND lon <= -60.0 AS in_na_box
        FROM p ORDER BY c_custkey"""
 
+  /** Polygon geometry (reference plugin/trino-geospatial GeoFunctions.java
+    * ST_Area/ST_Perimeter/ST_Contains) over coordinate-array polygons
+    * (graft.ext.GeoExpressions): a notched pentagon per customer + a probe
+    * point. Area is verified against the independent closed form (exact in
+    * doubles for these integer/half coordinates); perimeter and containment
+    * are replayed per-edge by the oracle with identical IEEE arithmetic. */
+  def q_fn_geo_polygon(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GeoFunctions._
+    val t = table(s, dir, "customer")
+      .withColumn("w", (($"c_custkey" % 7) + 3).cast("double"))
+      .withColumn("h", (($"c_custkey" % 5) + 2).cast("double"))
+      .withColumn("k", (($"c_custkey" % 4) + 1).cast("double"))
+      .withColumn("px", ($"c_custkey" % 11).cast("double") * lit(0.7))
+      .withColumn("py", ($"c_custkey" % 9).cast("double") * lit(0.8))
+      .withColumn("xs", array(lit(0.0), $"w", $"w", $"w" * 0.5, lit(0.0)))
+      .withColumn("ys", array(lit(0.0), lit(0.0), $"h", $"h" + $"k", $"h"))
+    t.select($"c_custkey",
+        stArea($"xs", $"ys").as("area"),
+        round(stPerimeter($"xs", $"ys"), 8).as("perim"),
+        stContains($"px", $"py", $"xs", $"ys").as("inside"))
+      .orderBy($"c_custkey")
+  }
+  val qFnGeoPolygonSql: String =
+    """WITH t AS (
+         SELECT c_custkey,
+           CAST((c_custkey % 7) + 3 AS DOUBLE) AS w,
+           CAST((c_custkey % 5) + 2 AS DOUBLE) AS h,
+           CAST((c_custkey % 4) + 1 AS DOUBLE) AS k,
+           CAST(c_custkey % 11 AS DOUBLE) * CAST(0.7 AS DOUBLE) AS px,
+           CAST(c_custkey % 9 AS DOUBLE) * CAST(0.8 AS DOUBLE) AS py
+         FROM customer),
+       g AS (
+         SELECT *, [0.0, w, w, w * 0.5, 0.0] AS xs, [0.0, 0.0, h, h + k, h] AS ys
+         FROM t)
+       SELECT c_custkey,
+         w * h + w * k * 0.5 AS area,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           [sqrt((xs[1 + i % 5] - xs[i]) * (xs[1 + i % 5] - xs[i])
+               + (ys[1 + i % 5] - ys[i]) * (ys[1 + i % 5] - ys[i]))
+            for i in range(1, 6)]), (a, x) -> a + x), 8) AS perim,
+         (list_reduce(list_prepend(0, [
+            CASE WHEN ((ys[i] > py) <> (ys[CASE WHEN i = 1 THEN 5 ELSE i - 1 END] > py))
+                  AND px < (xs[CASE WHEN i = 1 THEN 5 ELSE i - 1 END] - xs[i]) * (py - ys[i])
+                           / (ys[CASE WHEN i = 1 THEN 5 ELSE i - 1 END] - ys[i]) + xs[i]
+                 THEN 1 ELSE 0 END for i in range(1, 6)]), (a, x) -> a + x) % 2) = 1 AS inside
+       FROM g ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
+    "q_fn_geo_polygon" -> q_fn_geo_polygon _,
     "q_fn_geo" -> q_fn_geo _,
     "q_fn_json_table" -> q_fn_json_table _,
     "q_fn_strdist" -> q_fn_strdist _,
@@ -439,6 +488,7 @@ object Functions2 {
     "q_fn_wilson" -> q_fn_wilson _)
 
   val oracles: Map[String, String] = Map(
+    "q_fn_geo_polygon" -> qFnGeoPolygonSql,
     "q_fn_geo" -> qFnGeoSql,
     "q_fn_json_table" -> qFnJsonTableSql,
     "q_fn_strdist" -> qFnStrdistSql,
