@@ -105,13 +105,58 @@ object Approx {
          count(*) AS n_sources
        FROM r GROUP BY lang ORDER BY lang"""
 
+  /** Set-digest family (reference type/setdigest/: make_set_digest,
+    * cardinality, intersection_cardinality, jaccard_index) via a mergeable
+    * KMV sketch (graft.functions.SetDigest). Digests are built per return
+    * flag and compared pairwise; the oracle carries the exact set statistics
+    * and expects every estimator's error-bound boolean to be TRUE. */
+  def q_agg_setdigest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.SetDigest._
+    val li = table(s, dir, "lineitem")
+    val digests = li.groupBy($"l_returnflag")
+      .agg(
+        makeSetDigest(xxhash64($"l_orderkey")).as("dig"),
+        countDistinct($"l_orderkey").as("exact_n"))
+    val sets = li.select($"l_returnflag".as("f"), $"l_orderkey".as("k")).distinct()
+    val inter = sets.as("x").join(sets.as("y"), $"x.k" === $"y.k" && $"x.f" < $"y.f")
+      .groupBy($"x.f".as("fa"), $"y.f".as("fb")).agg(count(lit(1)).as("inter_n"))
+    digests.as("a").join(digests.as("b"), $"a.l_returnflag" < $"b.l_returnflag")
+      .select($"a.l_returnflag".as("flag_a"), $"b.l_returnflag".as("flag_b"),
+        $"a.dig".as("dig_a"), $"b.dig".as("dig_b"),
+        $"a.exact_n".as("n_a"), $"b.exact_n".as("n_b"))
+      .join(inter, $"flag_a" === $"fa" && $"flag_b" === $"fb")
+      .withColumn("exact_j", $"inter_n".cast("double") / ($"n_a" + $"n_b" - $"inter_n"))
+      .select($"flag_a", $"flag_b", $"n_a", $"n_b",
+        round($"exact_j", 6).as("exact_jaccard"),
+        (abs(digestCardinality($"dig_a") - $"n_a") <= $"n_a" * 0.15).as("card_a_ok"),
+        (abs(digestCardinality($"dig_b") - $"n_b") <= $"n_b" * 0.15).as("card_b_ok"),
+        (abs(jaccardIndex($"dig_a", $"dig_b") - $"exact_j") <= 0.08).as("jaccard_ok"),
+        (abs(intersectionCardinality($"dig_a", $"dig_b") - $"inter_n") <=
+          $"inter_n" * 0.25 + lit(50.0)).as("inter_ok"))
+      .orderBy($"flag_a", $"flag_b")
+  }
+  val qAggSetdigestSql: String =
+    """WITH sets AS (SELECT DISTINCT l_returnflag AS f, l_orderkey AS k FROM lineitem),
+       counts AS (SELECT f, count(*) AS n FROM sets GROUP BY f),
+       inter AS (
+         SELECT x.f AS fa, y.f AS fb, count(*) AS inter_n
+         FROM sets x JOIN sets y ON x.k = y.k AND x.f < y.f GROUP BY 1, 2)
+       SELECT fa AS flag_a, fb AS flag_b, ca.n AS n_a, cb.n AS n_b,
+         round(inter_n * 1.0 / (ca.n + cb.n - inter_n), 6) AS exact_jaccard,
+         TRUE AS card_a_ok, TRUE AS card_b_ok, TRUE AS jaccard_ok, TRUE AS inter_ok
+       FROM inter JOIN counts ca ON fa = ca.f JOIN counts cb ON fb = cb.f
+       ORDER BY flag_a, flag_b"""
+
   val queries: Map[String, Q] = Map(
     "q_approx_quantiles" -> q_approx_quantiles _,
     "q_approx_hll" -> q_approx_hll _,
+    "q_agg_setdigest" -> q_agg_setdigest _,
     "q_approx_topk" -> q_approx_topk _)
 
   val oracles: Map[String, String] = Map(
     "q_approx_topk" -> qApproxTopkSql,
+    "q_agg_setdigest" -> qAggSetdigestSql,
     "q_approx_quantiles" -> qApproxQuantilesSql,
     "q_approx_hll" -> qApproxHllSql)
 }
