@@ -28,6 +28,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Note on split sizing: the fixtures are single-file, SINGLE-rowgroup
+      // parquet, so scans are one task regardless of maxPartitionBytes
+      // (parquet parallelism is per rowgroup). The default 128 MB is kept —
+      // it is the right setting for the many-file 100 TB layout; measured at
+      // sf0.1, smaller splits only add scheduling overhead here.
       // events.parquet is TIMESTAMP(NANOS); pin the long-read globally so
       // schema resolution never depends on which code path touched the
       // session conf first (a latent race under concurrent planning).

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.CowTable
+
+/** Copy-on-write table format — the transactional MERGE/UPDATE/DELETE target
+  * (reference MergeWriterOperator + connector transactional formats). */
+class CowTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val p = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "cowtable").toString
+    p
+  }
+
+  private def sampleOrders() =
+    graft.sources.Tables.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      // several files so copy-on-write pruning is observable
+      .repartition(4)
+
+  test("create + snapshot read round-trips") {
+    val t = CowTable.create(spark, freshRoot(), sampleOrders())
+    assert(t.read().count() == sampleOrders().count())
+    assert(t.currentVersion == 1)
+  }
+
+  test("delete rewrites only affected files and preserves history") {
+    val t = CowTable.create(spark, freshRoot(), sampleOrders())
+    val before = t.read().count()
+    val victims = t.read().filter($"o_totalprice" > 200000.0).count()
+    t.delete($"o_totalprice" > 200000.0)
+    assert(t.read().count() == before - victims)
+    assert(t.read().filter($"o_totalprice" > 200000.0).count() == 0)
+    // time travel: the pre-delete snapshot is intact
+    assert(t.read(asOfVersion = Some(1)).count() == before)
+  }
+
+  test("update applies SET only to matching rows") {
+    val t = CowTable.create(spark, freshRoot(), sampleOrders())
+    t.update($"o_orderstatus" === "F", Map("o_totalprice" -> lit(0.0)))
+    val zeroed = t.read().filter($"o_orderstatus" === "F" && $"o_totalprice" =!= 0.0).count()
+    assert(zeroed == 0)
+    assert(t.read().filter($"o_orderstatus" =!= "F" && $"o_totalprice" === 0.0).count() == 0)
+  }
+
+  test("merge upserts: matched rows replaced, new keys inserted") {
+    val t = CowTable.create(spark, freshRoot(), sampleOrders())
+    val n0 = t.read().count()
+    val source = Seq(
+      (1L, "X", 1.0),      // almost surely an existing key
+      (-42L, "Z", 2.0))    // definitely new
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val existing = t.read().filter($"o_orderkey".isin(1L, -42L)).count()
+    t.merge(source, "o_orderkey")
+    assert(t.read().count() == n0 + (2 - existing))
+    val r = t.read().filter($"o_orderkey" === -42L).collect()
+    assert(r.length == 1 && r(0).getString(1) == "Z")
+    if (existing == 1)
+      assert(t.read().filter($"o_orderkey" === 1L).collect()(0).getString(1) == "X")
+  }
+
+  test("copy-on-write carries untouched files across versions unchanged") {
+    val t = CowTable.create(spark, freshRoot(), sampleOrders())
+    // delete a single key: at most a couple of the 4 files are affected
+    t.delete($"o_orderkey" === 1L)
+    val v1 = t.read(Some(1)).inputFiles.toSet
+    val v2 = t.read(Some(2)).inputFiles.toSet
+    assert(v1.intersect(v2).nonEmpty, "expected untouched files to be shared between snapshots")
+  }
+}
