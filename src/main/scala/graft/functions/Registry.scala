@@ -13,10 +13,49 @@ object Registry {
   /** Names registered, for discovery/specs. */
   val customFunctions: Seq[String] = Seq(
     "cosine_similarity", "minhash_agreement", "hamming_distance",
-    "poly_fingerprint", "simhash_bands", "word_stem")
+    "poly_fingerprint", "simhash_bands", "word_stem",
+    "md5_simhash60", "hmac_md5", "hmac_sha256", "hmac_sha512",
+    "to_base32", "from_base32", "st_area", "st_perimeter", "st_contains",
+    "json_path_value", "json_path_query", "json_path_status",
+    "set_digest_cardinality", "jaccard_index", "intersection_cardinality")
 
   def registerAll(spark: SparkSession): Unit = {
     VectorFunctions.register(spark)
     TextFunctions.register(spark)
+    val r = spark.sessionState.functionRegistry
+    def lit(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+      e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+        .value.toString
+    r.createOrReplaceTempFunction("md5_simhash60",
+      es => graft.ext.Md5SimHash60(es(0)), "built-in")
+    r.createOrReplaceTempFunction("hmac_md5",
+      es => graft.ext.HmacHex(es(0), es(1), "HmacMD5"), "built-in")
+    r.createOrReplaceTempFunction("hmac_sha256",
+      es => graft.ext.HmacHex(es(0), es(1), "HmacSHA256"), "built-in")
+    r.createOrReplaceTempFunction("hmac_sha512",
+      es => graft.ext.HmacHex(es(0), es(1), "HmacSHA512"), "built-in")
+    r.createOrReplaceTempFunction("to_base32",
+      es => graft.ext.ToBase32(es(0)), "built-in")
+    r.createOrReplaceTempFunction("from_base32",
+      es => graft.ext.FromBase32(es(0)), "built-in")
+    r.createOrReplaceTempFunction("st_area",
+      es => graft.ext.PolygonArea(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("st_perimeter",
+      es => graft.ext.PolygonPerimeter(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("st_contains",
+      es => graft.ext.PolygonContains(es(0), es(1), es(2), es(3)), "built-in")
+    // path argument must be a string literal (parsed at plan time)
+    r.createOrReplaceTempFunction("json_path_value",
+      es => graft.ext.JsonPathValue(es(0), lit(es(1))), "built-in")
+    r.createOrReplaceTempFunction("json_path_query",
+      es => graft.ext.JsonPathQuery(es(0), lit(es(1))), "built-in")
+    r.createOrReplaceTempFunction("json_path_status",
+      es => graft.ext.JsonPathStatus(es(0), lit(es(1))), "built-in")
+    r.createOrReplaceTempFunction("set_digest_cardinality",
+      es => graft.functions.KmvCardinality(es(0)), "built-in")
+    r.createOrReplaceTempFunction("jaccard_index",
+      es => graft.functions.KmvJaccard(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("intersection_cardinality",
+      es => graft.functions.KmvIntersection(es(0), es(1)), "built-in")
   }
 }

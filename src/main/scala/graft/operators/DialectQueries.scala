@@ -52,6 +52,20 @@ object Dialect {
        CAST(unicode(substr(n_name, 1, 1)) AS BIGINT) AS first_cp
        FROM nation ORDER BY n_nationkey LIMIT 20"""
 
+  /** CROSS JOIN UNNEST + Trino reduce() lambda, pre-rewritten onto
+    * LATERAL VIEW explode + aggregate(). */
+  def q_sqlx_unnest(s: SparkSession, dir: String): DataFrame =
+    TrinoDialect.sql(s, dir,
+      """SELECT p_partkey, w AS word,
+         CAST(reduce(split(p_type, ' '), 0, (acc, x) -> acc + length(x), acc -> acc) AS BIGINT) AS total_chars
+         FROM part CROSS JOIN UNNEST(split(p_type, ' ')) AS t (w)
+         ORDER BY p_partkey, word""")
+  val qSqlxUnnestSql: String =
+    """SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word,
+       CAST(list_reduce(list_prepend(0, [length(x) for x in string_split(p_type, ' ')]),
+         (acc, x) -> acc + x) AS BIGINT) AS total_chars
+       FROM part ORDER BY p_partkey, word"""
+
   /** Text-SQL MATCH_RECOGNIZE, ONE ROW PER MATCH with measures. */
   def q_sqlx_match_recognize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -131,6 +145,7 @@ object Dialect {
     "q_tvf_registry" -> q_tvf_registry _,
     "q_sqlx_try" -> q_sqlx_try _,
     "q_sqlx_scalar" -> q_sqlx_scalar _,
+    "q_sqlx_unnest" -> q_sqlx_unnest _,
     "q_sqlx_match_recognize" -> q_sqlx_match_recognize _,
     "q_sqlx_match_rows" -> q_sqlx_match_rows _)
 
@@ -138,6 +153,7 @@ object Dialect {
     "q_tvf_registry" -> qTvfRegistrySql,
     "q_sqlx_try" -> qSqlxTrySql,
     "q_sqlx_scalar" -> qSqlxScalarSql,
+    "q_sqlx_unnest" -> qSqlxUnnestSql,
     "q_sqlx_match_recognize" -> qSqlxMatchRecognizeSql,
     "q_sqlx_match_rows" -> qSqlxMatchRowsSql)
 }

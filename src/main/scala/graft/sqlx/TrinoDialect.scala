@@ -66,6 +66,14 @@ object TrinoDialect {
   /** Textual pre-rewrites for Trino-isms (no MATCH_RECOGNIZE here). */
   def rewrite(sql: String): String = {
     var s = rewriteTry(sql)
+    // CROSS JOIN UNNEST(expr) AS t (v)  →  LATERAL VIEW explode(expr) t AS v
+    // (reference SqlBase.g4 unnest rule; ordinality variant is q_unnest's
+    // posexplode surface — not rewritten textually)
+    s = s.replaceAll(
+      "(?is)CROSS\\s+JOIN\\s+UNNEST\\s*\\(([^()]*(?:\\([^()]*\\))?[^()]*)\\)\\s+AS\\s+(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)",
+      "LATERAL VIEW explode($1) $2 AS $3")
+    // Trino reduce(array, init, merge, final) ≡ Spark aggregate(...)
+    s = s.replaceAll("(?i)(?<![\\w_])reduce\\s*\\(", "aggregate(")
     s = s.replaceAll("(?i)(?<![\\w_])format\\s*\\(", "format_string(")
     s = s.replaceAll("(?i)(?<![\\w_])approx_distinct\\s*\\(", "approx_count_distinct(")
     s = s.replaceAll("(?i)(?<![\\w_])arbitrary\\s*\\(", "any_value(")
