@@ -472,7 +472,41 @@ object Functions2 {
                  THEN 1 ELSE 0 END for i in range(1, 6)]), (a, x) -> a + x) % 2) = 1 AS inside
        FROM g ORDER BY c_custkey"""
 
+  /** Color/diagnostic render functions (reference operator/scalar/
+    * ColorFunctions.java: rgb, color, bar) — deterministic subset: packed rgb
+    * ints, hex rendering, and an ANSI-free bar() (the reference's bar embeds
+    * terminal color codes; the geometry of the bar is what is verified). */
+  def q_fn_color(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer")
+      .withColumn("r", ($"c_custkey" % 256).cast("int"))
+      .withColumn("g", ($"c_custkey" * 7 % 256).cast("int"))
+      .withColumn("b", ($"c_custkey" * 13 % 256).cast("int"))
+      .withColumn("frac", ($"c_acctbal" + 1000.0) / 11000.0)
+    val width = 20
+    val fill = floor(greatest(lit(0.0), least(lit(1.0), $"frac")) * width).cast("int")
+    c.select($"c_custkey",
+        (shiftleft($"r", 16) + shiftleft($"g", 8) + $"b").cast("long").as("rgb"),
+        lpad(hex(shiftleft($"r", 16) + shiftleft($"g", 8) + $"b"), 6, "0").as("hex"),
+        concat(lit("["), rpad(repeat(lit("#"), fill), width, " "), lit("]")).as("bar"))
+      .orderBy($"c_custkey")
+  }
+  val qFnColorSql: String =
+    """WITH t AS (
+         SELECT c_custkey,
+           CAST(c_custkey % 256 AS INT) AS r,
+           CAST(c_custkey * 7 % 256 AS INT) AS g,
+           CAST(c_custkey * 13 % 256 AS INT) AS b,
+           CAST(FLOOR(GREATEST(0.0, LEAST(1.0, (c_acctbal + 1000.0) / 11000.0)) * 20) AS INT) AS fill
+         FROM customer)
+       SELECT c_custkey,
+         CAST((r << 16) + (g << 8) + b AS BIGINT) AS rgb,
+         lpad(hex((r << 16) + (g << 8) + b), 6, '0') AS hex,
+         '[' || rpad(repeat('#', fill), 20, ' ') || ']' AS bar
+       FROM t ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
+    "q_fn_color" -> q_fn_color _,
     "q_fn_geo_polygon" -> q_fn_geo_polygon _,
     "q_fn_geo" -> q_fn_geo _,
     "q_fn_json_table" -> q_fn_json_table _,
@@ -488,6 +522,7 @@ object Functions2 {
     "q_fn_wilson" -> q_fn_wilson _)
 
   val oracles: Map[String, String] = Map(
+    "q_fn_color" -> qFnColorSql,
     "q_fn_geo_polygon" -> qFnGeoPolygonSql,
     "q_fn_geo" -> qFnGeoSql,
     "q_fn_json_table" -> qFnJsonTableSql,
