@@ -238,7 +238,10 @@ object Functions2 {
   /** wilson_interval_lower/upper (reference MathFunctions.java wilson_interval)
     * + split_to_map (reference StringFunctions.java:70 splitToMap). The
     * interval formula is written with identical operation order in both
-    * engines; round-8 absorbs any final-ulp noise per the error-model spec. */
+    * engines; round-8 absorbs any final-ulp noise per the error-model spec.
+    * `+ 0.0` on both sides normalizes IEEE -0.0 to +0.0 (DuckDB's round()
+    * yields -0.0 for exactly-zero numerators where Spark yields +0.0 —
+    * equal as doubles but distinct under the driver's bit-hash). */
   def q_fn_wilson(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val z = 1.96
@@ -250,7 +253,7 @@ object Functions2 {
     def wilson(sign: Double) = round(
       (p + z2 / ($"n" * 2) +
         lit(sign * z) * sqrt(p * (lit(1.0) - p) / $"n" + z2 / (lit(4.0) * $"n" * $"n"))) /
-        (lit(1.0) + z2 / $"n"), 8)
+        (lit(1.0) + z2 / $"n"), 8) + lit(0.0)
     c.select($"c_custkey",
         wilson(-1.0).as("wilson_lo"),
         wilson(1.0).as("wilson_hi"),
@@ -270,10 +273,10 @@ object Functions2 {
        SELECT c_custkey,
          round((succ / CAST(n AS DOUBLE) + 1.96 * 1.96 / (n * 2) +
            -1.96 * sqrt(succ / CAST(n AS DOUBLE) * (1.0 - succ / CAST(n AS DOUBLE)) / n
-             + 1.96 * 1.96 / (4.0 * n * n))) / (1.0 + 1.96 * 1.96 / n), 8) AS wilson_lo,
+             + 1.96 * 1.96 / (4.0 * n * n))) / (1.0 + 1.96 * 1.96 / n), 8) + 0.0 AS wilson_lo,
          round((succ / CAST(n AS DOUBLE) + 1.96 * 1.96 / (n * 2) +
            1.96 * sqrt(succ / CAST(n AS DOUBLE) * (1.0 - succ / CAST(n AS DOUBLE)) / n
-             + 1.96 * 1.96 / (4.0 * n * n))) / (1.0 + 1.96 * 1.96 / n), 8) AS wilson_hi,
+             + 1.96 * 1.96 / (4.0 * n * n))) / (1.0 + 1.96 * 1.96 / n), 8) + 0.0 AS wilson_hi,
          c_mktsegment AS seg,
          c_nationkey AS nat
        FROM t ORDER BY c_custkey"""

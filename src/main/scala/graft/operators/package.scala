@@ -35,8 +35,15 @@ package object operators {
     * explicit `graft.operators.clearCaches()` releases everything. */
   def cached(tag: String, dir: String)(build: => DataFrame): DataFrame =
     dfCache.synchronized {
-      dfCache.getOrElseUpdate((tag, dir),
-        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      dfCache.get((tag, dir)) match {
+        // entries from a stopped session (sbt runs several suites per JVM)
+        // would otherwise be handed out as dead plans
+        case Some(df) if !df.sparkSession.sparkContext.isStopped => df
+        case _ =>
+          val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          dfCache.update((tag, dir), df)
+          df
+      }
     }
 
   def clearCaches(): Unit = dfCache.synchronized {
