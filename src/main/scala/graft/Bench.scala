@@ -41,7 +41,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Dev-only: SPARK_GRAFT_BENCH_ONLY=<regex> restricts the set for iteration.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
     val names = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.findFirstIn(n).isDefined))
     val results = names.map { name =>
       try {
         run(name); run(name) // 2 prewarm runs (codegen + file listing + JIT)

@@ -128,6 +128,96 @@ object Dialect {
   // identical semantics to q_match_recognize_rows — same oracle
   val qSqlxMatchRowsSql: String = Patterns.qMatchRecognizeRowsSql
 
+  /** MATCH_RECOGNIZE with a MULTI-COLUMN partition key — the V-shape pattern
+    * per (user_id, event_type) stream. Exercises the generalized group runner
+    * (any-type multi-column keys) and measure lowering onto Catalyst windows. */
+  def q_sqlx_match_multikey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id, event_type
+           ORDER BY event_id
+           MEASURES FIRST(D.event_id) AS start_id,
+                    LAST(U.event_id) AS end_id,
+                    COUNT(D.*) AS n_down,
+                    COUNT(U.*) AS n_up
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (D+ U+)
+           DEFINE D AS value < PREV(value),
+                  U AS value > PREV(value)
+         )""")
+      .orderBy($"user_id", $"event_type", $"start_id")
+  }
+  val qSqlxMatchMultikeySql: String =
+    """WITH e AS (
+         SELECT user_id, event_type, event_id, value,
+           lag(value) OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS pv,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+         FROM events),
+       c AS (
+         SELECT *, CASE WHEN pv IS NULL THEN 'X' WHEN value < pv THEN 'D'
+                        WHEN value > pv THEN 'U' ELSE 'X' END AS cls
+         FROM e),
+       r AS (
+         SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type, cls ORDER BY rn) AS grp
+         FROM c),
+       runs AS (
+         SELECT user_id, event_type, cls, min(rn) AS srn,
+           count(*) AS len, min(event_id) AS sid, max(event_id) AS eid
+         FROM r GROUP BY user_id, event_type, cls, grp),
+       seq AS (
+         SELECT *, lead(cls) OVER w AS ncls, lead(len) OVER w AS nlen,
+           lead(eid) OVER w AS neid
+         FROM runs WINDOW w AS (PARTITION BY user_id, event_type ORDER BY srn))
+       SELECT user_id, event_type, sid AS start_id, neid AS end_id,
+         CAST(len AS BIGINT) AS n_down, CAST(nlen AS BIGINT) AS n_up
+       FROM seq WHERE cls = 'D' AND ncls = 'U'
+       ORDER BY user_id, event_type, start_id"""
+
+  /** MATCH_RECOGNIZE with an arbitrary-EXPRESSION DEFINE (beyond the old
+    * `col op PREV(col)` regex subset) plus RUNNING/FINAL measures over a
+    * pattern variable — DEFINE lowers to a codegen'd boolean lag() column,
+    * measures to Catalyst window expressions over (key, match_number). */
+  def q_sqlx_match_define_expr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES RUNNING COUNT(*) AS run_len,
+                    FINAL COUNT(S.*) AS match_len,
+                    FINAL MAX(S.value) AS match_max,
+                    FINAL FIRST(S.value) AS first_val
+           ALL ROWS PER MATCH
+           PATTERN (S+)
+           DEFINE S AS value > PREV(value) * 1.02 OR value < 5.0
+         )""")
+      .orderBy($"user_id", $"event_id")
+  }
+  val qSqlxMatchDefineExprSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         FROM events),
+       f AS (
+         SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+         FROM e WHERE value > pv * 1.02 OR value < 5.0),
+       m AS (
+         SELECT user_id, event_id, value,
+           dense_rank() OVER (PARTITION BY user_id ORDER BY grp) AS match_number,
+           row_number() OVER (PARTITION BY user_id, grp ORDER BY rn) AS run_len,
+           count(*) OVER (PARTITION BY user_id, grp) AS match_len,
+           max(value) OVER (PARTITION BY user_id, grp) AS match_max,
+           first_value(value) OVER (PARTITION BY user_id, grp ORDER BY rn) AS first_val
+         FROM f)
+       SELECT user_id, event_id, value,
+         CAST(match_number AS BIGINT) AS match_number, 'S' AS classifier,
+         CAST(run_len AS BIGINT) AS run_len, CAST(match_len AS BIGINT) AS match_len,
+         match_max, first_val
+       FROM m ORDER BY user_id, event_id"""
+
   /** User TVF registry surface (reference ConnectorTableFunction): the
     * sequence TVF resolved from SQL text via graft.functions.TableFunctions. */
   def q_tvf_registry(s: SparkSession, dir: String): DataFrame = {
@@ -147,7 +237,9 @@ object Dialect {
     "q_sqlx_scalar" -> q_sqlx_scalar _,
     "q_sqlx_unnest" -> q_sqlx_unnest _,
     "q_sqlx_match_recognize" -> q_sqlx_match_recognize _,
-    "q_sqlx_match_rows" -> q_sqlx_match_rows _)
+    "q_sqlx_match_rows" -> q_sqlx_match_rows _,
+    "q_sqlx_match_multikey" -> q_sqlx_match_multikey _,
+    "q_sqlx_match_define_expr" -> q_sqlx_match_define_expr _)
 
   val oracles: Map[String, String] = Map(
     "q_tvf_registry" -> qTvfRegistrySql,
@@ -155,5 +247,7 @@ object Dialect {
     "q_sqlx_scalar" -> qSqlxScalarSql,
     "q_sqlx_unnest" -> qSqlxUnnestSql,
     "q_sqlx_match_recognize" -> qSqlxMatchRecognizeSql,
-    "q_sqlx_match_rows" -> qSqlxMatchRowsSql)
+    "q_sqlx_match_rows" -> qSqlxMatchRowsSql,
+    "q_sqlx_match_multikey" -> qSqlxMatchMultikeySql,
+    "q_sqlx_match_define_expr" -> qSqlxMatchDefineExprSql)
 }

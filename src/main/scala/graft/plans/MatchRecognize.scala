@@ -1,8 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, row_number}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 
 /** MATCH_RECOGNIZE as a DataFrame operator (SURVEY.md §2.5 — the "hardest
   * custom item"; reference plan node core/trino-main/src/main/java/io/trino/
@@ -92,6 +93,79 @@ object MatchRecognize {
         Row.fromSeq(key +: measures.map(_.eval(part, m)))
       }
     }
+  }
+
+  /** General match annotator — the SQL-surface workhorse: multi-column
+    * partition/order keys of ANY data type, DEFINE conditions precomputed as
+    * boolean columns, every matched row emitted with MATCH_NUMBER() and
+    * CLASSIFIER().
+    *
+    * Division of labor (Spark-first): Catalyst evaluates the DEFINE
+    * expressions — including PREV/NEXT navigation as codegen'd lag/lead
+    * window functions — into `defineCols` BEFORE matching, because a DEFINE
+    * condition over current-row values and physical navigation is constant
+    * per row regardless of match state. The matcher here contributes only
+    * what Catalyst cannot express: the NFA walk over each partition's
+    * ordered row sequence. Measures are then arbitrary Catalyst window
+    * expressions over (partition key, match_number) — see
+    * graft.sqlx.MatchRecognizeSql.
+    *
+    * Physical shape: the internal row_number() window forces exactly ONE
+    * hash exchange on `partitionCols` + one sort by (partition, order) — and
+    * when the caller already computed `defineCols` via a window over the same
+    * spec, EnsureRequirements reuses that exchange, so the whole
+    * annotate-and-match pipeline costs a single shuffle. The matcher then
+    * streams the sorted partitions, buffering one key group at a time
+    * (same contract as the reference's PagesIndex buffering —
+    * reference: core/trino-main/src/main/java/io/trino/operator/PagesIndex.java:80).
+    */
+  def annotateMatches(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderCols: Seq[String],
+      pattern: String,
+      defineCols: Map[String, String],
+      skipPastLastRow: Boolean = true): DataFrame = {
+
+    require(partitionCols.nonEmpty, "MATCH_RECOGNIZE requires PARTITION BY")
+    require(orderCols.nonEmpty, "MATCH_RECOGNIZE requires ORDER BY")
+    val schema = df.schema
+    val define: Map[String, RowPattern.Predicate] = defineCols.map { case (sym, c) =>
+      val i = schema.fieldIndex(c)
+      require(schema(i).dataType == org.apache.spark.sql.types.BooleanType,
+        s"DEFINE column '$c' for symbol '$sym' must be BOOLEAN, got ${schema(i).dataType.simpleString}")
+      sym -> ((p: IndexedSeq[Row], r: Int) => !p(r).isNullAt(i) && p(r).getBoolean(i))
+    }
+    val matcher = new RowPattern.Matcher(RowPattern.parse(pattern), define)
+    val keyIdx = partitionCols.map(schema.fieldIndex)
+    val inWidth = schema.length
+    val outSchema = StructType(schema.fields ++ Seq(
+      StructField("match_number", LongType, nullable = false),
+      StructField("classifier", StringType, nullable = false)))
+    // row_number() pins the physical contract: hash-partitioned by the keys,
+    // sorted by (keys, order) within partitions — reused, not re-shuffled,
+    // when the input already carries a window over the same spec.
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    df.withColumn("__mr_rn", row_number().over(w))
+      .mapPartitions { it =>
+        new Iterator[Seq[Row]] {
+          private val buf = it.buffered
+          private def keyOf(r: Row): Seq[Any] = keyIdx.map(r.get)
+          def hasNext: Boolean = buf.hasNext
+          def next(): Seq[Row] = {
+            val key = keyOf(buf.head)
+            val group = scala.collection.mutable.ArrayBuffer[Row]()
+            while (buf.hasNext && keyOf(buf.head) == key) group += buf.next()
+            val part = group.toIndexedSeq
+            matcher.findAll(part, skipPastLastRow).zipWithIndex.flatMap { case (m, mi) =>
+              m.steps.map { case (sym, idx) =>
+                val r = part(idx)
+                Row.fromSeq((0 until inWidth).map(r.get) ++ Seq((mi + 1).toLong, sym))
+              }
+            }
+          }
+        }.flatten
+      }(Encoders.row(outSchema))
   }
 
   /** ALL ROWS PER MATCH: every row of every match, annotated with

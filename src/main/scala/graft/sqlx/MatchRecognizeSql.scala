@@ -1,0 +1,321 @@
+package graft.sqlx
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, expr, row_number}
+
+import graft.plans.{MatchRecognize, RowPattern}
+
+/** MATCH_RECOGNIZE SQL surface → Spark lowering (SURVEY.md §2.5/§3;
+  * reference grammar core/trino-grammar/src/main/antlr4/io/trino/grammar/sql/
+  * SqlBase.g4 patternRecognition at :446, runtime
+  * core/trino-main/src/main/java/io/trino/operator/window/matcher/Matcher.java:28).
+  *
+  * Catalyst does all expression work; the NFA matcher only decides match
+  * structure:
+  *
+  *  1. DEFINE conditions are ARBITRARY SQL expressions over the current row
+  *     plus PREV/NEXT physical navigation. Because such a condition is
+  *     constant per row regardless of match state, each is precomputed as a
+  *     boolean column — PREV/NEXT lower to codegen'd lag/lead window
+  *     functions over (PARTITION BY keys ORDER BY order).
+  *  2. graft.plans.MatchRecognize.annotateMatches runs the pattern NFA per
+  *     key group (multi-column keys of any type) and emits every matched row
+  *     + MATCH_NUMBER() + CLASSIFIER().
+  *  3. MEASURES are ARBITRARY SQL expressions rewritten onto window
+  *     functions over the annotated output: FIRST/LAST/aggregates over a
+  *     pattern variable become `agg(CASE WHEN classifier = 'SYM' …) OVER
+  *     (PARTITION BY keys, match_number ORDER BY order <frame>)`, with
+  *     RUNNING → frame up to CURRENT ROW and FINAL → the whole match
+  *     (reference semantics: sql/analyzer/PatternRecognitionAnalysis.java).
+  *  4. ONE ROW PER MATCH = FINAL measures at the last row of each match;
+  *     ALL ROWS PER MATCH = RUNNING defaults per row.
+  *
+  * Documented subset: PARTITION BY / ORDER BY take plain ascending column
+  * names; DEFINE may not reference other pattern variables or
+  * FIRST/LAST/aggregates (match-state-dependent conditions); SUBSET,
+  * PERMUTE, exclusion syntax and navigation occurrence offsets
+  * (FIRST(A.x, 2)) are not parsed.
+  */
+private[graft] object MatchRecognizeSql {
+
+  final case class Mr(
+      table: String, partitionBy: Seq[String], orderBy: Seq[String],
+      measures: Seq[(String, String)], // (expr text, alias)
+      allRows: Boolean, skipPastLastRow: Boolean,
+      pattern: String, defines: Seq[(String, String)])
+
+  private val Outer =
+    """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*""".r
+
+  // ---------------------------------------------------------------- parsing
+
+  /** (depth, inQuote) per character of `s`. */
+  private def scanState(s: String): Array[Int] = {
+    val depth = new Array[Int](s.length)
+    var d = 0; var q = false
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (q) { if (c == '\'') q = false; depth(i) = -1 }
+      else c match {
+        case '\'' => q = true; depth(i) = -1
+        case '(' => d += 1; depth(i) = d
+        case ')' => depth(i) = d; d -= 1
+        case _ => depth(i) = d
+      }
+      i += 1
+    }
+    depth
+  }
+
+  private val clauseKeywords = Seq(
+    "PARTITION BY", "ORDER BY", "MEASURES", "ONE ROW PER MATCH",
+    "ALL ROWS PER MATCH", "AFTER MATCH", "PATTERN", "SUBSET", "DEFINE")
+
+  /** Top-level clauses of the MATCH_RECOGNIZE block, in textual order. */
+  private def clauses(block: String): Seq[(String, String)] = {
+    val state = scanState(block)
+    val hits = clauseKeywords.flatMap { kw =>
+      ("(?i)\\b" + kw.replace(" ", "\\s+") + "\\b").r
+        .findAllMatchIn(block)
+        .filter(m => state(m.start) == 0)
+        .map(m => (m.start, m.end, kw))
+    }.sortBy(_._1)
+    hits.zipWithIndex.map { case ((_, end, kw), i) =>
+      val until = if (i + 1 < hits.length) hits(i + 1)._1 else block.length
+      (kw, block.substring(end, until).trim)
+    }
+  }
+
+  /** Split on top-level commas (outside parens and quotes). */
+  private def splitTop(s: String): Seq[String] = {
+    val state = scanState(s)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0
+    for (i <- s.indices)
+      if (s(i) == ',' && state(i) == 0) { out += s.substring(start, i); start = i + 1 }
+    out += s.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def identList(clause: String, what: String): Seq[String] =
+    splitTop(clause).map { c =>
+      val m = "(?i)^(\\w+)(\\s+ASC)?$".r.findFirstMatchIn(c).getOrElse(
+        fail(s"$what supports plain ascending column names, got '$c'"))
+      m.group(1)
+    }
+
+  def parse(text: String): Option[Mr] = text match {
+    case Outer(table, block) =>
+      val cs = clauses(block)
+      def one(kw: String): Option[String] = cs.collectFirst { case (`kw`, c) => c }
+      if (one("SUBSET").isDefined) fail("SUBSET is not supported")
+      val partition = identList(
+        one("PARTITION BY").getOrElse(fail("PARTITION BY <cols>")), "PARTITION BY")
+      val order = identList(one("ORDER BY").getOrElse(fail("ORDER BY <cols>")), "ORDER BY")
+      val patternRaw = one("PATTERN").getOrElse(fail("PATTERN (...)")).trim
+      require(patternRaw.startsWith("(") && patternRaw.endsWith(")"),
+        s"PATTERN must be parenthesized, got '$patternRaw'")
+      val pattern = patternRaw.substring(1, patternRaw.length - 1)
+      val defines = splitTop(one("DEFINE").getOrElse(fail("DEFINE ..."))).map { d =>
+        val m = "(?is)^\\s*(\\w+)\\s+AS\\s+(.*)$".r.findFirstMatchIn(d)
+          .getOrElse(fail(s"DEFINE entry '$d'"))
+        (m.group(1), m.group(2).trim)
+      }
+      val measures = one("MEASURES").map(splitTop(_).map { mm =>
+        val m = "(?is)^(.*\\S)\\s+AS\\s+(\\w+)\\s*$".r.findFirstMatchIn(mm)
+          .getOrElse(fail(s"MEASURES entry '$mm' (expected <expr> AS <alias>)"))
+        (m.group(1).trim, m.group(2))
+      }).getOrElse(Seq.empty)
+      val allRows = one("ALL ROWS PER MATCH").isDefined
+      val skipPast = one("AFTER MATCH") match {
+        case Some(c) if "(?i)SKIP\\s+TO\\s+NEXT\\s+ROW".r.findFirstIn(c).isDefined => false
+        case Some(c) if "(?i)SKIP\\s+PAST\\s+LAST\\s+ROW".r.findFirstIn(c).isDefined => true
+        case Some(c) => fail(s"AFTER MATCH subset: SKIP PAST LAST ROW | SKIP TO NEXT ROW, got '$c'")
+        case None => true
+      }
+      Some(Mr(table, partition, order, measures, allRows, skipPast, pattern, defines))
+    case _ => None
+  }
+
+  private def fail(what: String): Nothing =
+    throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $what")
+
+  // ------------------------------------------------------------- rewriting
+
+  /** Pattern variables: DEFINE'd symbols plus symbols appearing in PATTERN. */
+  private def patternSymbols(mr: Mr): Set[String] = {
+    def syms(p: RowPattern.Pat): Set[String] = p match {
+      case RowPattern.Sym(n) => Set(n)
+      case RowPattern.Cat(ps) => ps.flatMap(syms).toSet
+      case RowPattern.Alt(l, r) => syms(l) ++ syms(r)
+      case RowPattern.Opt(s) => syms(s)
+      case RowPattern.Star(s) => syms(s)
+      case RowPattern.Plus(s) => syms(s)
+    }
+    syms(RowPattern.parse(mr.pattern)) ++ mr.defines.map(_._1)
+  }
+
+  /** Index of the ')' matching the '(' at `open`. */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open
+    while (i < s.length) {
+      if (s(i) == '(') depth += 1
+      else if (s(i) == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    fail(s"unbalanced parens in '$s'")
+  }
+
+  /** Rewrite calls to `names` (word-boundary, outside quotes) via `f(name, argText)`;
+    * arguments are rewritten recursively first. */
+  private def rewriteCalls(text: String, names: Set[String])(
+      f: (String, String) => String): String = {
+    val re = ("(?i)\\b(" + names.mkString("|") + ")\\s*\\(").r
+    val state = scanState(text)
+    re.findAllMatchIn(text).find(m => state(m.start) >= 0) match {
+      case Some(m) =>
+        val open = text.indexOf('(', m.start + m.group(1).length)
+        val close = matchParen(text, open)
+        val arg = rewriteCalls(text.substring(open + 1, close), names)(f)
+        text.substring(0, m.start) + f(m.group(1).toUpperCase, arg.trim) +
+          rewriteCalls(text.substring(close + 1), names)(f)
+      case _ => text
+    }
+  }
+
+  private def qualified(arg: String, syms: Set[String]): Option[(String, String)] =
+    "(?s)^(\\w+)\\.(\\w+|\\*)$".r.findFirstMatchIn(arg.trim)
+      .filter(m => syms.exists(_.equalsIgnoreCase(m.group(1))))
+      .map(m => (syms.find(_.equalsIgnoreCase(m.group(1))).get, m.group(2)))
+
+  /** DEFINE condition → Spark SQL boolean expression text. */
+  private def rewriteDefine(cond: String, selfSym: String, syms: Set[String],
+      navOver: String): String = {
+    val blocked = Set("FIRST", "LAST", "COUNT", "SUM", "AVG", "MIN", "MAX", "CLASSIFIER", "MATCH_NUMBER")
+    ("(?i)\\b(" + blocked.mkString("|") + ")\\s*\\(").r.findFirstIn(cond).foreach(fn =>
+      fail(s"DEFINE subset: match-state functions ($fn...) are not supported in DEFINE — " +
+        "conditions may use current-row columns and PREV/NEXT navigation"))
+    val nav = rewriteCalls(cond, Set("PREV", "NEXT")) {
+      case ("PREV", arg) => s"lag($arg) $navOver"
+      case ("NEXT", arg) => s"lead($arg) $navOver"
+      case (other, arg) => s"$other($arg)"
+    }
+    // self-qualified refs (D.value inside DEFINE D) are current-row columns;
+    // refs to OTHER pattern variables need match state — unsupported.
+    "(\\w+)\\.(\\w+)".r.replaceAllIn(nav, m =>
+      if (m.group(1).equalsIgnoreCase(selfSym)) m.group(2)
+      else if (syms.exists(_.equalsIgnoreCase(m.group(1))))
+        fail(s"DEFINE subset: reference to other pattern variable '${m.group(0)}'")
+      else m.group(0))
+  }
+
+  /** MEASURES expression → Spark SQL window expression text over the
+    * annotated (match_number, classifier) output. */
+  private def rewriteMeasure(exprText: String, defaultRunning: Boolean,
+      pks: Seq[String], ords: Seq[String], syms: Set[String]): String = {
+    var t = exprText.trim
+    var running = defaultRunning
+    val prefix = "(?is)^(RUNNING|FINAL)\\s+(.*)$".r
+    t match {
+      case prefix(m, rest) => running = m.equalsIgnoreCase("RUNNING"); t = rest
+      case _ =>
+    }
+    val partBy = (pks :+ "match_number").mkString(", ")
+    val ordBy = ords.mkString(", ")
+    val frame =
+      if (running)
+        s"OVER (PARTITION BY $partBy ORDER BY $ordBy ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      else
+        s"OVER (PARTITION BY $partBy ORDER BY $ordBy ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    val navOver = s"OVER (PARTITION BY $partBy ORDER BY $ordBy)"
+    t = t.replaceAll("(?i)\\bCLASSIFIER\\s*\\(\\s*\\)", "classifier")
+    t = t.replaceAll("(?i)\\bMATCH_NUMBER\\s*\\(\\s*\\)", "match_number")
+    def only(sym: String, inner: String) = s"CASE WHEN classifier = '$sym' THEN $inner END"
+    t = rewriteCalls(t, Set("FIRST", "LAST", "PREV", "NEXT", "COUNT", "SUM", "MIN", "MAX", "AVG")) {
+      case ("PREV", arg) => s"lag($arg) $navOver"
+      case ("NEXT", arg) => s"lead($arg) $navOver"
+      case ("FIRST", arg) => qualified(arg, syms) match {
+        case Some((sym, c)) => s"first(${only(sym, c)}, true) $frame"
+        case None => s"first($arg) $frame"
+      }
+      case ("LAST", arg) => qualified(arg, syms) match {
+        case Some((sym, c)) => s"last(${only(sym, c)}, true) $frame"
+        case None => s"last($arg) $frame"
+      }
+      case ("COUNT", arg) =>
+        if (arg == "*") s"count(1) $frame"
+        else qualified(arg, syms) match {
+          case Some((sym, "*")) => s"count(${only(sym, "1")}) $frame"
+          case Some((sym, c)) => s"count(${only(sym, c)}) $frame"
+          case None => s"count($arg) $frame"
+        }
+      case (agg, arg) => qualified(arg, syms) match {
+        case Some((sym, c)) => s"${agg.toLowerCase}(${only(sym, c)}) $frame"
+        case None => s"${agg.toLowerCase}($arg) $frame"
+      }
+    }
+    // remaining bare pattern-variable refs: A.col ≡ LAST(A.col) per standard
+    "(\\w+)\\.(\\w+)".r.replaceAllIn(t, m =>
+      syms.find(_.equalsIgnoreCase(m.group(1))) match {
+        case Some(sym) => s"last(${only(sym, m.group(2))}, true) $frame"
+        case None => m.group(0)
+      })
+  }
+
+  /** Column names of the table referenced in an expression string. */
+  private def colRefs(text: String, fieldNames: Seq[String]): Seq[String] = {
+    val lower = fieldNames.map(f => f.toLowerCase -> f).toMap
+    "\\w+".r.findAllIn(text).toSeq.flatMap(w => lower.get(w.toLowerCase)).distinct
+  }
+
+  // -------------------------------------------------------------- lowering
+
+  def lower(spark: SparkSession, dir: String, mr: Mr): DataFrame = {
+    val full = graft.sources.Tables.load(spark, dir, mr.table)
+    val syms = patternSymbols(mr)
+    val fieldNames = full.schema.fieldNames.toSeq
+
+    val defCols = mr.defines.flatMap(d => colRefs(d._2, fieldNames)).distinct
+    val measCols = mr.measures.flatMap(m => colRefs(m._1, fieldNames)).distinct
+    val keep = (mr.partitionBy ++ mr.orderBy ++ defCols ++ measCols).distinct
+    var df = full.select(keep.map(col): _*)
+
+    // DEFINE → boolean columns (lag/lead + arbitrary scalar exprs, codegen'd
+    // in ONE window pass; annotateMatches reuses the same exchange+sort)
+    val navOver =
+      s"OVER (PARTITION BY ${mr.partitionBy.mkString(", ")} ORDER BY ${mr.orderBy.mkString(", ")})"
+    val defBool = mr.defines.map { case (sym, cond) =>
+      val boolCol = s"__def_$sym"
+      df = df.withColumn(boolCol, expr(rewriteDefine(cond, sym, syms, navOver)))
+      sym -> boolCol
+    }.toMap
+
+    val annotated = MatchRecognize.annotateMatches(
+        df, mr.partitionBy, mr.orderBy, mr.pattern, defBool, mr.skipPastLastRow)
+      .drop(defBool.values.toSeq: _*)
+
+    if (mr.allRows) {
+      val passthrough = (mr.partitionBy ++ mr.orderBy ++ defCols).distinct ++
+        Seq("match_number", "classifier")
+      val sel = passthrough ++ mr.measures.map { case (e, a) =>
+        s"${rewriteMeasure(e, defaultRunning = true, mr.partitionBy, mr.orderBy, syms)} AS $a"
+      }
+      annotated.selectExpr(sel: _*)
+    } else {
+      // FINAL measures evaluated at the last row of each match
+      val sel = (mr.partitionBy ++ mr.orderBy :+ "match_number") ++
+        mr.measures.map { case (e, a) =>
+          s"${rewriteMeasure(e, defaultRunning = false, mr.partitionBy, mr.orderBy, syms)} AS $a"
+        }
+      val byMatch = Window
+        .partitionBy((mr.partitionBy :+ "match_number").map(col): _*)
+        .orderBy(mr.orderBy.map(c => col(c).desc): _*)
+      annotated.selectExpr(sel: _*)
+        .withColumn("__mr_pick", row_number().over(byMatch))
+        .filter(col("__mr_pick") === 1)
+        .select((mr.partitionBy ++ mr.measures.map(_._2)).map(col): _*)
+    }
+  }
+}

@@ -13,15 +13,38 @@ class DialectSpec extends SparkSpec {
       .contains("try_element_at(a, 5)"))
     assert(TrinoDialect.rewrite("SELECT TRY(a / b) FROM t")
       .contains("try_divide(a, b)"))
-    // division wins even when the left operand is itself a CAST
+    // recursive lowering: every arithmetic level and the CAST get try_ twins
     assert(TrinoDialect.rewrite("SELECT TRY(CAST(a AS INT) / (b - 1)) FROM t")
-      .contains("try_divide(CAST(a AS INT), (b - 1))"))
+      .contains("try_divide(TRY_CAST(a AS INT), try_subtract(b, 1))"))
     // already-Spark TRY_CAST is left alone
     assert(TrinoDialect.rewrite("SELECT TRY_CAST(x AS INT) FROM t")
       .contains("TRY_CAST(x AS INT)"))
     intercept[IllegalArgumentException] {
       TrinoDialect.rewrite("SELECT TRY(some_udf(x)) FROM t")
     }
+    // function-table bodies: Spark try_ twins and null-on-error SQL/JSON
+    assert(TrinoDialect.rewrite("SELECT TRY(to_number(s, '999')) FROM t")
+      .contains("try_to_number(s, '999')"))
+    assert(TrinoDialect.rewrite("SELECT TRY(json_value(j, 'strict $.a')) FROM t")
+      .contains("json_path_value(j, 'strict $.a')"))
+  }
+
+  test("rewrites are literal-aware: function names and slashes inside strings survive") {
+    val s1 = TrinoDialect.rewrite("SELECT 'call format(x)' AS doc, format('%s', a) FROM t")
+    assert(s1.contains("'call format(x)'"), s1)
+    assert(s1.contains("format_string('%s', a)"), s1)
+    // a paren/slash inside a literal must not confuse the TRY classifier
+    val s2 = TrinoDialect.rewrite("SELECT TRY(concat(a, '(x/y)') / b) FROM t")
+    assert(s2.contains("try_divide(concat(a, '(x/y)'), b)"), s2)
+    // quoted identifiers are opaque too
+    val s3 = TrinoDialect.rewrite("SELECT \"strpos(weird)\" , strpos(s, 'x') FROM t")
+    assert(s3.contains("\"strpos(weird)\""), s3)
+    assert(s3.contains("instr(s, 'x')"), s3)
+    // FETCH FIRST inside a literal survives; real one rewrites
+    val s4 = TrinoDialect.rewrite(
+      "SELECT 'FETCH FIRST 9 ROWS ONLY' AS note FROM t FETCH FIRST 3 ROWS ONLY")
+    assert(s4.contains("'FETCH FIRST 9 ROWS ONLY'"), s4)
+    assert(s4.trim.endsWith("LIMIT 3"), s4)
   }
 
   test("function renames are word-bounded and leave look-alikes alone") {
@@ -63,5 +86,57 @@ class DialectSpec extends SparkSpec {
         df, "k", "ord", "A", Map.empty, Seq("ord"))
     }
     assert(e.getMessage.contains("must be BIGINT"))
+  }
+
+  test("annotateMatches handles multi-column string+long keys") {
+    import spark.implicits._
+    // two (k1,k2) groups; pattern S+ over precomputed booleans
+    val df = Seq(
+      ("a", 1L, 1L, true), ("a", 1L, 2L, true), ("a", 1L, 3L, false),
+      ("a", 2L, 1L, false), ("a", 2L, 2L, true),
+      ("b", 1L, 1L, true))
+      .toDF("k1", "k2", "ord", "flag")
+    val out = graft.plans.MatchRecognize.annotateMatches(
+        df, Seq("k1", "k2"), Seq("ord"), "S+", Map("S" -> "flag"))
+      .select("k1", "k2", "ord", "match_number", "classifier")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(out == Seq(
+      ("a", 1L, 1L, 1L), ("a", 1L, 2L, 1L),
+      ("a", 2L, 2L, 1L),
+      ("b", 1L, 1L, 1L)))
+  }
+
+  test("MATCH_RECOGNIZE SQL parser: multi-col clauses, RUNNING/FINAL measures") {
+    val mr = graft.sqlx.MatchRecognizeSql.parse(
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id, event_type
+           ORDER BY ts, event_id
+           MEASURES RUNNING count(*) AS c, FINAL max(S.value) AS m
+           ALL ROWS PER MATCH
+           AFTER MATCH SKIP TO NEXT ROW
+           PATTERN (S+)
+           DEFINE S AS value > PREV(value) * 1.02 OR value < 5.0
+         )""").get
+    assert(mr.partitionBy == Seq("user_id", "event_type"))
+    assert(mr.orderBy == Seq("ts", "event_id"))
+    assert(mr.measures == Seq(("RUNNING count(*)", "c"), ("FINAL max(S.value)", "m")))
+    assert(mr.allRows && !mr.skipPastLastRow)
+    assert(mr.defines == Seq(("S", "value > PREV(value) * 1.02 OR value < 5.0")))
+  }
+
+  test("MATCH_RECOGNIZE DEFINE subset rejects match-state functions and cross-variable refs") {
+    def mr(define: String) =
+      s"""SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id ORDER BY event_id
+           PATTERN (A B) DEFINE $define)"""
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sqlx.TrinoDialect.sql(spark, sfDir, mr("A AS value > FIRST(B.value)"))
+    }
+    assert(e1.getMessage.contains("match-state"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sqlx.TrinoDialect.sql(spark, sfDir, mr("A AS value > B.value, B AS value > 0"))
+    }
+    assert(e2.getMessage.contains("other pattern variable"))
   }
 }
