@@ -17,11 +17,13 @@ object Registry {
     "md5_simhash60", "hmac_md5", "hmac_sha256", "hmac_sha512",
     "to_base32", "from_base32", "st_area", "st_perimeter", "st_contains",
     "json_path_value", "json_path_query", "json_path_status",
-    "set_digest_cardinality", "jaccard_index", "intersection_cardinality")
+    "set_digest_cardinality", "jaccard_index", "intersection_cardinality",
+    "typeof")
 
   def registerAll(spark: SparkSession): Unit = {
     VectorFunctions.register(spark)
     TextFunctions.register(spark)
+    SessionFunctions.register(spark)
     val r = spark.sessionState.functionRegistry
     def lit(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
       e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]

@@ -508,7 +508,39 @@ object Functions2 {
          '[' || rpad(repeat('#', fill), 20, ' ') || ']' AS bar
        FROM t ORDER BY c_custkey"""
 
+  /** Session/system functions (reference operator/scalar/SessionFunctions.java,
+    * TypeOfFunction.java, VersionFunction.java): current_user / current
+    * catalog / version() / typeof(x) in the reference's type vocabulary.
+    * typeof is foldable and constant-folds to a literal; the oracle pins the
+    * exact type-name strings, and current_user is checked as a non-empty
+    * invariant rather than an environment-dependent value. */
+  def q_fn_session(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    graft.functions.Registry.registerAll(s)
+    def typeofCol(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.functions.TrinoTypeOf(ColumnBridge.expression(c)))
+    table(s, dir, "customer").limit(1)
+      .select(
+        lit(graft.functions.SessionFunctions.catalogName).as("catalog_name"),
+        lit(graft.functions.SessionFunctions.engineVersion).as("engine_version"),
+        (length(current_user()) > 0).as("user_ok"),
+        typeofCol($"c_custkey").as("t_bigint"),
+        typeofCol($"c_name").as("t_varchar"),
+        typeofCol($"c_acctbal".cast(org.apache.spark.sql.types.DecimalType(12, 2))).as("t_decimal"),
+        typeofCol(split($"c_name", "#")).as("t_array"),
+        typeofCol($"c_acctbal" > 0).as("t_boolean"))
+  }
+  val qFnSessionSql: String =
+    s"""SELECT 'graft' AS catalog_name,
+       '${graft.functions.SessionFunctions.engineVersion}' AS engine_version,
+       TRUE AS user_ok,
+       'bigint' AS t_bigint, 'varchar' AS t_varchar,
+       'decimal(12,2)' AS t_decimal, 'array(varchar)' AS t_array,
+       'boolean' AS t_boolean"""
+
   val queries: Map[String, Q] = Map(
+    "q_fn_session" -> q_fn_session _,
     "q_fn_color" -> q_fn_color _,
     "q_fn_geo_polygon" -> q_fn_geo_polygon _,
     "q_fn_geo" -> q_fn_geo _,
@@ -525,6 +557,7 @@ object Functions2 {
     "q_fn_wilson" -> q_fn_wilson _)
 
   val oracles: Map[String, String] = Map(
+    "q_fn_session" -> qFnSessionSql,
     "q_fn_color" -> qFnColorSql,
     "q_fn_geo_polygon" -> qFnGeoPolygonSql,
     "q_fn_geo" -> qFnGeoSql,

@@ -100,6 +100,17 @@ class FunctionSpec extends SparkSpec {
     assert(r == "gener", r)
   }
 
+  test("typeof reports reference type names and constant-folds") {
+    graft.functions.Registry.registerAll(spark)
+    val r = spark.sql(
+      "SELECT typeof(CAST(1 AS BIGINT)), typeof('x'), typeof(array(CAST(1 AS DOUBLE))), typeof(CAST(1 AS DECIMAL(10,2)))")
+      .collect()(0)
+    assert(r.getString(0) == "bigint")
+    assert(r.getString(1) == "varchar")
+    assert(r.getString(2) == "array(double)")
+    assert(r.getString(3) == "decimal(10,2)")
+  }
+
   test("lsh buckets are deterministic and bounded") {
     val df = Seq((1L, Array.tabulate(8)(i => (i + 1).toFloat))).toDF("id", "v")
       .select(VectorFunctions.lshBuckets($"v", tables = 4, bits = 8).as("b"))
