@@ -155,7 +155,80 @@ object Types {
          TRUE AS roundtrip_ok
        FROM z ORDER BY event_id"""
 
+  /** TIMESTAMP(12) — picosecond precision — and TIME WITH TIME ZONE
+    * (struct emulations, graft.functions.TimestampPicos; reference
+    * spi/type/TimestampType.java:35 MAX_PRECISION=12 stored as
+    * (epochMicros, picosOfMicro), spi/type/TimeWithTimeZoneType.java:23).
+    * Both engines derive the same 12-digit-fraction timestamp strings and
+    * offset time strings from event rows; the query parses, formats (exact
+    * roundtrip), half-up-casts to timestamp(6), carries picos addition into
+    * micros, orders by the struct, and UTC-normalizes time-with-tz values.
+    * The oracle replays the identical integer/string arithmetic. */
+  def q_type_ts_picos(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TimestampPicos._
+    val e = table(s, dir, "events").filter($"event_id" < 2000)
+      .withColumn("frac12",
+        lpad(($"event_id" * 999983L % 1000000000000L).cast("string"), 12, "0"))
+      .withColumn("ts_str",
+        concat(date_format($"ts", "yyyy-MM-dd HH:mm:ss"), lit("."), $"frac12"))
+      .withColumn("off_min", (($"event_id" % 25L) - 12L) * 30L)
+      .withColumn("twtz_str", concat(
+        date_format($"ts", "HH:mm:ss"), lit("."),
+        lpad(($"event_id" % 1000L).cast("string"), 3, "0"),
+        when($"off_min" < 0, "-").otherwise("+"),
+        lpad((abs($"off_min") / 60L).cast("long").cast("string"), 2, "0"), lit(":"),
+        lpad((abs($"off_min") % 60L).cast("string"), 2, "0")))
+    val tsp = parsePicos($"ts_str")
+    val twtz = parseTimeTz($"twtz_str")
+    e.select($"event_id",
+        tsp.getField("micros").as("micros"),
+        tsp.getField("picos").as("picos"),
+        formatPicos(tsp, 12).as("p12_str"),
+        (formatPicos(tsp, 12) === $"ts_str").as("roundtrip_ok"),
+        unix_micros(toMicros(tsp)).as("rounded_us"),
+        formatPicos(addPicos(tsp, lit(999999L)), 12).as("plus_ps_str"),
+        (addPicos(tsp, lit(1L)) > tsp).as("order_ok"),
+        timeTzUtcNanos(twtz).as("twtz_utc_nanos"),
+        (formatTimeTz(twtz) === $"twtz_str").as("twtz_roundtrip_ok"))
+      .orderBy($"event_id")
+  }
+  val qTypeTsPicosSql: String =
+    """WITH b AS (
+         SELECT event_id,
+           lpad(CAST(event_id * 999983 % 1000000000000 AS VARCHAR), 12, '0') AS frac12,
+           epoch_us(date_trunc('second', ts)) AS sec_us,
+           epoch_us(ts) % 86400000000 // 1000000 AS sec_of_day,
+           (event_id % 25 - 12) * 30 AS off_min,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS sec_str,
+           strftime(ts, '%H:%M:%S') AS tod_str
+         FROM events WHERE event_id < 2000),
+       p AS (
+         SELECT *,
+           sec_us + CAST(substr(frac12, 1, 6) AS BIGINT) AS micros,
+           CAST(substr(frac12, 7, 6) AS BIGINT) AS picos,
+           sec_of_day * 1000000000 + (event_id % 1000) * 1000000 AS nanos
+         FROM b),
+       q AS (
+         SELECT *,
+           micros + (picos + 999999) // 1000000 AS micros2,
+           (picos + 999999) % 1000000 AS picos2
+         FROM p)
+       SELECT event_id, micros, picos,
+         sec_str || '.' || frac12 AS p12_str,
+         TRUE AS roundtrip_ok,
+         micros + CASE WHEN picos >= 500000 THEN 1 ELSE 0 END AS rounded_us,
+         strftime(make_timestamp(micros2 - micros2 % 1000000), '%Y-%m-%d %H:%M:%S')
+           || '.' || lpad(CAST(micros2 % 1000000 AS VARCHAR), 6, '0')
+           || lpad(CAST(picos2 AS VARCHAR), 6, '0') AS plus_ps_str,
+         TRUE AS order_ok,
+         ((nanos - off_min * 60000000000) % 86400000000000 + 86400000000000)
+           % 86400000000000 AS twtz_utc_nanos,
+         TRUE AS twtz_roundtrip_ok
+       FROM q ORDER BY event_id"""
+
   val queries: Map[String, Q] = Map(
+    "q_type_ts_picos" -> q_type_ts_picos _,
     "q_type_variant" -> q_type_variant _,
     "q_type_char" -> q_type_char _,
     "q_type_time" -> q_type_time _,
@@ -163,6 +236,7 @@ object Types {
     "q_type_decimal" -> q_type_decimal _)
 
   val oracles: Map[String, String] = Map(
+    "q_type_ts_picos" -> qTypeTsPicosSql,
     "q_type_variant" -> qTypeVariantSql,
     "q_type_char" -> qTypeCharSql,
     "q_type_time" -> qTypeTimeSql,
