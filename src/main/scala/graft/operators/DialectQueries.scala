@@ -218,6 +218,32 @@ object Dialect {
          match_max, first_val
        FROM m ORDER BY user_id, event_id"""
 
+  /** SQL routine DDL (reference execution/CreateFunctionTask.java,
+    * sql/routine/SqlRoutineCompiler.java): CREATE FUNCTION with routine
+    * characteristics, body going through the dialect rewriter (format/strpos
+    * are reference names), then a query calling both routines — which Spark
+    * inlines and codegen-compiles, the same end state as the reference's
+    * bytecode routine compiler. */
+  def q_sqlx_create_function(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      "CREATE FUNCTION add_tax(price double, rate double) RETURNS double " +
+        "DETERMINISTIC RETURN price * (1.0 + rate)")
+    TrinoDialect.sql(s, dir,
+      "CREATE OR REPLACE FUNCTION part_label(s varchar, n bigint) RETURNS varchar " +
+        "LANGUAGE SQL RETURN format('%s@%d', substring(s, 1, strpos(s, ' ') - 1), n)")
+    TrinoDialect.sql(s, dir,
+      """SELECT p_partkey,
+         add_tax(p_retailprice, 0.08) AS taxed,
+         part_label(p_type, p_partkey) AS label
+         FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""")
+  }
+  val qSqlxCreateFunctionSql: String =
+    """SELECT p_partkey,
+       p_retailprice * (1.0 + 0.08) AS taxed,
+       printf('%s@%d', substring(p_type, 1, strpos(p_type, ' ') - 1), p_partkey) AS label
+       FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""
+
   /** User TVF registry surface (reference ConnectorTableFunction): the
     * sequence TVF resolved from SQL text via graft.functions.TableFunctions. */
   def q_tvf_registry(s: SparkSession, dir: String): DataFrame = {
@@ -239,7 +265,8 @@ object Dialect {
     "q_sqlx_match_recognize" -> q_sqlx_match_recognize _,
     "q_sqlx_match_rows" -> q_sqlx_match_rows _,
     "q_sqlx_match_multikey" -> q_sqlx_match_multikey _,
-    "q_sqlx_match_define_expr" -> q_sqlx_match_define_expr _)
+    "q_sqlx_match_define_expr" -> q_sqlx_match_define_expr _,
+    "q_sqlx_create_function" -> q_sqlx_create_function _)
 
   val oracles: Map[String, String] = Map(
     "q_tvf_registry" -> qTvfRegistrySql,
@@ -249,5 +276,6 @@ object Dialect {
     "q_sqlx_match_recognize" -> qSqlxMatchRecognizeSql,
     "q_sqlx_match_rows" -> qSqlxMatchRowsSql,
     "q_sqlx_match_multikey" -> qSqlxMatchMultikeySql,
-    "q_sqlx_match_define_expr" -> qSqlxMatchDefineExprSql)
+    "q_sqlx_match_define_expr" -> qSqlxMatchDefineExprSql,
+    "q_sqlx_create_function" -> qSqlxCreateFunctionSql)
 }

@@ -46,7 +46,9 @@ object TrinoDialect {
 
   /** Execute Trino-dialect SQL against the fixture catalog at `dir`. */
   def sql(spark: SparkSession, dir: String, text: String): DataFrame =
-    MatchRecognizeSql.parse(text) match {
+    if (graft.functions.SqlRoutines.isCreateFunction(text))
+      graft.functions.SqlRoutines.create(spark, text)
+    else MatchRecognizeSql.parse(text) match {
       case Some(mr) => MatchRecognizeSql.lower(spark, dir, mr)
       case None =>
         graft.sources.Tables.registerAll(spark, dir)

@@ -86,4 +86,21 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_t")
     assert(!spark.catalog.tableExists("graft_t"))
   }
+
+  test("CREATE FUNCTION DDL round-trip: characteristics stripped, dialect body, OR REPLACE") {
+    graft.sqlx.TrinoDialect.sql(spark, sfDir,
+      "CREATE FUNCTION cat_spec_fn(x bigint) RETURNS bigint " +
+        "LANGUAGE SQL DETERMINISTIC CALLED ON NULL INPUT RETURN x * 2")
+    assert(spark.sql("SELECT cat_spec_fn(21)").collect()(0).getLong(0) == 42L)
+    // body in the reference dialect (strpos), replaced via OR REPLACE
+    graft.sqlx.TrinoDialect.sql(spark, sfDir,
+      "CREATE OR REPLACE FUNCTION cat_spec_fn(x bigint) RETURNS bigint " +
+        "RETURN x + CAST(strpos('abc', 'c') AS bigint)")
+    assert(spark.sql("SELECT cat_spec_fn(10)").collect()(0).getLong(0) == 13L)
+    // malformed DDL fails with the subset message
+    val e = intercept[IllegalArgumentException] {
+      graft.sqlx.TrinoDialect.sql(spark, sfDir, "CREATE FUNCTION broken RETURNS int RETURN 1")
+    }
+    assert(e.getMessage.contains("CREATE FUNCTION subset"))
+  }
 }
