@@ -106,13 +106,46 @@ object Federation {
               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** THREE-catalog federated join through multi-catalog SQL names: the JDBC
+    * catalog (`graft_jdbc.orders`, Spark's JDBCTableCatalog over embedded
+    * Derby), the declared-schema CSV catalog (`graft_csv.default.customer`,
+    * graft.catalog.CsvFileCatalog), and the default parquet catalog
+    * (`nation`) — resolved in ONE SQL statement like the reference's
+    * `catalog.schema.table` names (reference: core/trino-main/src/main/java/
+    * io/trino/metadata/MetadataManager.java:298). Filters push into each
+    * connector independently (FederationSpec asserts the CSV and JDBC scans);
+    * only filtered rows shuffle for the joins. */
+  def q_fed_three_catalogs(s: SparkSession, dir: String): DataFrame = {
+    graft.catalog.CsvFileCatalog.ensure(s, dir)
+    graft.catalog.CsvFileCatalog.ensureJdbcCatalog(s, dir)
+    graft.sqlx.TrinoDialect.sql(s, dir,
+      """SELECT n_name,
+         count(*) AS order_cnt,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM graft_jdbc.APP.ORDERS o
+         JOIN graft_csv.default.customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE c.c_mktsegment = 'BUILDING' AND o.o_totalprice > 100000.0
+         GROUP BY n_name ORDER BY n_name""")
+  }
+  val qFedThreeCatalogsSql: String =
+    """SELECT n_name,
+       count(*) AS order_cnt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 100000.0
+       GROUP BY n_name ORDER BY n_name"""
+
   val queries: Map[String, Q] = Map(
+    "q_fed_three_catalogs" -> q_fed_three_catalogs _,
     "q_fed_join" -> q_fed_join _,
     "q_fed_pushdown" -> q_fed_pushdown _,
     "q_fed_index_join" -> q_fed_index_join _,
     "q_fed_query_passthrough" -> q_fed_query_passthrough _)
 
   val oracles: Map[String, String] = Map(
+    "q_fed_three_catalogs" -> qFedThreeCatalogsSql,
     "q_fed_join" -> qFedJoinSql,
     "q_fed_pushdown" -> qFedPushdownSql,
     "q_fed_index_join" -> qFedIndexJoinSql,

@@ -66,6 +66,33 @@ class FederationSpec extends SparkSpec {
     assert(fallback.count() == big.count())
   }
 
+  test("csv catalog tables resolve by multi-catalog name with pushdown and pruning") {
+    graft.catalog.CsvFileCatalog.ensure(spark, sfDir)
+    val df = spark.sql(
+      "SELECT c_custkey FROM graft_csv.default.customer WHERE c_mktsegment = 'BUILDING'")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"filter not pushed into csv scan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("c_acctbal"),
+      s"unused csv columns not pruned:\n$plan")
+    // declared schema, not inference: key is bigint
+    assert(df.schema("c_custkey").dataType == org.apache.spark.sql.types.LongType)
+    val parquetCount = graft.sources.Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").count()
+    assert(df.count() == parquetCount)
+  }
+
+  test("three-catalog join reads jdbc + csv + parquet in one statement") {
+    val out = operators.Federation.q_fed_three_catalogs(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("JDBCRelation") || plan.toLowerCase.contains("jdbc"),
+      s"jdbc catalog scan missing:\n$plan")
+    assert(plan.contains("csv") || plan.contains("CSVScan") || plan.contains("Csv"),
+      s"csv catalog scan missing:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("remote pass-through query executes the aggregate in the remote engine") {
     val out = operators.Federation.q_fed_query_passthrough(spark, sfDir)
     val plan = out.queryExecution.executedPlan.toString
