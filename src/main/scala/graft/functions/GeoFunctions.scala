@@ -46,4 +46,22 @@ object GeoFunctions {
   def stContains(px: Column, py: Column, xs: Column, ys: Column): Column =
     column(graft.ext.PolygonContains(
       expression(px), expression(py), expression(xs), expression(ys)))
+
+  /** ST_GeometryFromText: WKT → struct<kind, xs, ys> (NULL on unsupported). */
+  def stGeometryFromText(wkt: Column): Column =
+    column(graft.ext.WktParse(expression(wkt)))
+
+  /** ST_AsText: geometry struct → canonical WKT. */
+  def stAsText(geom: Column): Column =
+    column(graft.ext.WktFormat(expression(geom)))
+
+  /** ST_Intersects over two (xs, ys) polygons. */
+  def stIntersects(xa: Column, ya: Column, xb: Column, yb: Column): Column =
+    column(graft.ext.PolygonIntersects(
+      expression(xa), expression(ya), expression(xb), expression(yb)))
+
+  /** ST_Within: polygon a strictly inside polygon b. */
+  def stWithin(xa: Column, ya: Column, xb: Column, yb: Column): Column =
+    column(graft.ext.PolygonWithin(
+      expression(xa), expression(ya), expression(xb), expression(yb)))
 }

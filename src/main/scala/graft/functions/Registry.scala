@@ -16,6 +16,7 @@ object Registry {
     "poly_fingerprint", "simhash_bands", "word_stem",
     "md5_simhash60", "hmac_md5", "hmac_sha256", "hmac_sha512",
     "to_base32", "from_base32", "st_area", "st_perimeter", "st_contains",
+    "st_geometry_from_text", "st_as_text", "st_intersects", "st_within",
     "json_path_value", "json_path_query", "json_path_status",
     "set_digest_cardinality", "jaccard_index", "intersection_cardinality",
     "typeof")
@@ -46,6 +47,14 @@ object Registry {
       es => graft.ext.PolygonPerimeter(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("st_contains",
       es => graft.ext.PolygonContains(es(0), es(1), es(2), es(3)), "built-in")
+    r.createOrReplaceTempFunction("st_geometry_from_text",
+      es => graft.ext.WktParse(es(0)), "built-in")
+    r.createOrReplaceTempFunction("st_as_text",
+      es => graft.ext.WktFormat(es(0)), "built-in")
+    r.createOrReplaceTempFunction("st_intersects",
+      es => graft.ext.PolygonIntersects(es(0), es(1), es(2), es(3)), "built-in")
+    r.createOrReplaceTempFunction("st_within",
+      es => graft.ext.PolygonWithin(es(0), es(1), es(2), es(3)), "built-in")
     // path argument must be a string literal (parsed at plan time)
     r.createOrReplaceTempFunction("json_path_value",
       es => graft.ext.JsonPathValue(es(0), lit(es(1))), "built-in")

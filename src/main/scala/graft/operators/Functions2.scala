@@ -475,6 +475,60 @@ object Functions2 {
                  THEN 1 ELSE 0 END for i in range(1, 6)]), (a, x) -> a + x) % 2) = 1 AS inside
        FROM g ORDER BY c_custkey"""
 
+  /** WKT geometry I/O + polygon-polygon predicates (reference
+    * GeoFunctions.java ST_GeometryFromText:123 / ST_AsText / ST_Intersects /
+    * ST_Within; graft.ext.WktExpressions). Per-customer square A (dyadic .5
+    * coordinates) against a fixed square B (.25 coordinates — never collinear
+    * with A, so every predicate stays off boundaries); the general kernels
+    * (ray casting + orientation tests) are checked against the ANALYTIC truth
+    * for axis-aligned squares (interval containment/overlap), and
+    * format(parse(wkt)) roundtrips exactly. */
+  def q_fn_geo_wkt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GeoFunctions._
+    val t = table(s, dir, "customer")
+      .withColumn("x0", (($"c_custkey" % 13) * 2).cast("double") + 0.5)
+      .withColumn("y0", (($"c_custkey" % 9) * 2).cast("double") + 0.5)
+      .withColumn("sa", (($"c_custkey" % 3) * 2 + 1).cast("double"))
+      .withColumn("x1", $"x0" + $"sa")
+      .withColumn("y1", $"y0" + $"sa")
+      .withColumn("wkt_a", concat(
+        lit("POLYGON (("),
+        $"x0".cast("string"), lit(" "), $"y0".cast("string"), lit(", "),
+        $"x1".cast("string"), lit(" "), $"y0".cast("string"), lit(", "),
+        $"x1".cast("string"), lit(" "), $"y1".cast("string"), lit(", "),
+        $"x0".cast("string"), lit(" "), $"y1".cast("string"), lit(", "),
+        $"x0".cast("string"), lit(" "), $"y0".cast("string"), lit("))")))
+      .withColumn("ga", stGeometryFromText($"wkt_a"))
+      .withColumn("bxs", array(lit(4.25), lit(18.25), lit(18.25), lit(4.25)))
+      .withColumn("bys", array(lit(4.25), lit(4.25), lit(18.25), lit(18.25)))
+    t.select($"c_custkey",
+        $"ga".getField("kind").as("kind"),
+        stArea($"ga".getField("xs"), $"ga".getField("ys")).as("area"),
+        stPerimeter($"ga".getField("xs"), $"ga".getField("ys")).as("perim"),
+        (stAsText($"ga") === $"wkt_a").as("roundtrip_ok"),
+        stWithin($"ga".getField("xs"), $"ga".getField("ys"), $"bxs", $"bys").as("within_b"),
+        stIntersects($"ga".getField("xs"), $"ga".getField("ys"), $"bxs", $"bys").as("intersects_b"),
+        stGeometryFromText(lit("MULTIPOLYGON (((0 0)))")).isNull.as("unsupported_null"))
+      .orderBy($"c_custkey")
+  }
+  val qFnGeoWktSql: String =
+    """WITH t AS (
+         SELECT c_custkey,
+           CAST((c_custkey % 13) * 2 AS DOUBLE) + 0.5 AS x0,
+           CAST((c_custkey % 9) * 2 AS DOUBLE) + 0.5 AS y0,
+           CAST((c_custkey % 3) * 2 + 1 AS DOUBLE) AS sa
+         FROM customer)
+       SELECT c_custkey,
+         'POLYGON' AS kind,
+         sa * sa AS area,
+         4 * sa AS perim,
+         TRUE AS roundtrip_ok,
+         (x0 > 4.25 AND x0 + sa < 18.25 AND y0 > 4.25 AND y0 + sa < 18.25) AS within_b,
+         (x0 < 18.25 AND x0 + sa > 4.25 AND y0 < 18.25 AND y0 + sa > 4.25) AS intersects_b,
+         TRUE AS unsupported_null
+       FROM t ORDER BY c_custkey"""
+
   /** Color/diagnostic render functions (reference operator/scalar/
     * ColorFunctions.java: rgb, color, bar) — deterministic subset: packed rgb
     * ints, hex rendering, and an ANSI-free bar() (the reference's bar embeds
@@ -541,6 +595,7 @@ object Functions2 {
 
   val queries: Map[String, Q] = Map(
     "q_fn_session" -> q_fn_session _,
+    "q_fn_geo_wkt" -> q_fn_geo_wkt _,
     "q_fn_color" -> q_fn_color _,
     "q_fn_geo_polygon" -> q_fn_geo_polygon _,
     "q_fn_geo" -> q_fn_geo _,
@@ -558,6 +613,7 @@ object Functions2 {
 
   val oracles: Map[String, String] = Map(
     "q_fn_session" -> qFnSessionSql,
+    "q_fn_geo_wkt" -> qFnGeoWktSql,
     "q_fn_color" -> qFnColorSql,
     "q_fn_geo_polygon" -> qFnGeoPolygonSql,
     "q_fn_geo" -> qFnGeoSql,

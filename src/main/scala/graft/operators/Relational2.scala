@@ -175,9 +175,72 @@ object Relational2 {
            cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 200.0
        ORDER BY id_a, id_b"""
 
+  /** Polygon-containment spatial join: points ⋈ polygons via a bbox-cover
+    * grid (the distributed stand-in for the reference's R-tree probe —
+    * reference: operator/SpatialJoinOperator.java:41, PagesRTreeIndex.java,
+    * planner rule ExtractSpatialJoins.java:152) + exact ray-casting refine.
+    *
+    * Each polygon is replicated only into the grid cells its BBOX covers
+    * (adaptive: ⌈(2r/cell)+1⌉² cells, not a fixed 3×3), each point probes its
+    * single cell, and the equi-join on cell id shuffles candidates whose
+    * count scales with data density — the same pruning role the R-tree
+    * plays, expressed as a shuffle-friendly equi-join. The exact
+    * `st_contains` predicate then refines candidates.
+    *
+    * Polygons are diamonds (L1 balls), so the oracle states the ANALYTIC
+    * containment truth |px−cx|+|py−cy| < r while the engine runs the general
+    * ray-casting kernel — coordinates are chosen off every boundary. */
+  def q_join_geo_contains(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GeoFunctions._
+    val cell = 10.0
+    val polys = table(s, dir, "nation")
+      .select($"n_nationkey",
+        (($"n_nationkey" % 5) * 10 + 5).cast("double").as("cx"),
+        (floor($"n_nationkey" / 5) * 10 + 5).cast("double").as("cy"),
+        (($"n_nationkey" % 3).cast("double") + 2.5).as("r"))
+      .withColumn("xs", array($"cx" - $"r", $"cx", $"cx" + $"r", $"cx"))
+      .withColumn("ys", array($"cy", $"cy" - $"r", $"cy", $"cy" + $"r"))
+    val pcells = polys
+      .withColumn("gx", explode(sequence(
+        floor(($"cx" - $"r") / cell).cast("long"), floor(($"cx" + $"r") / cell).cast("long"))))
+      .withColumn("gy", explode(sequence(
+        floor(($"cy" - $"r") / cell).cast("long"), floor(($"cy" + $"r") / cell).cast("long"))))
+    val pts = table(s, dir, "customer")
+      .select($"c_custkey",
+        (($"c_custkey" % 50).cast("double") + 0.31).as("px"),
+        (($"c_custkey" * 7 % 50).cast("double") + 0.77).as("py"))
+      .withColumn("gx", floor($"px" / cell).cast("long"))
+      .withColumn("gy", floor($"py" / cell).cast("long"))
+    // a point lives in exactly one cell and a polygon appears once per
+    // covered cell, so each candidate pair arises once — no distinct pass
+    pts.join(pcells, Seq("gx", "gy"))
+      .filter(stContains($"px", $"py", $"xs", $"ys"))
+      .select($"c_custkey", $"n_nationkey",
+        round(abs($"px" - $"cx") + abs($"py" - $"cy"), 6).as("l1"))
+      .orderBy($"c_custkey", $"n_nationkey")
+  }
+  val qJoinGeoContainsSql: String =
+    """WITH p AS (
+         SELECT n_nationkey,
+           CAST((n_nationkey % 5) * 10 + 5 AS DOUBLE) AS cx,
+           CAST((n_nationkey // 5) * 10 + 5 AS DOUBLE) AS cy,
+           CAST(n_nationkey % 3 AS DOUBLE) + 2.5 AS r
+         FROM nation),
+       c AS (
+         SELECT c_custkey,
+           CAST(c_custkey % 50 AS DOUBLE) + 0.31 AS px,
+           CAST(c_custkey * 7 % 50 AS DOUBLE) + 0.77 AS py
+         FROM customer)
+       SELECT c_custkey, n_nationkey,
+         round(abs(px - cx) + abs(py - cy), 6) AS l1
+       FROM c JOIN p ON abs(px - cx) + abs(py - cy) < r
+       ORDER BY c_custkey, n_nationkey"""
+
   val queries: Map[String, Q] = Map(
     "q_recursive_cte" -> q_recursive_cte _,
     "q_join_spatial" -> q_join_spatial _,
+    "q_join_geo_contains" -> q_join_geo_contains _,
     "q_join_lateral" -> q_join_lateral _,
     "q_subq_quantified" -> q_subq_quantified _,
     "q_agg_salted" -> q_agg_salted _)
@@ -185,6 +248,7 @@ object Relational2 {
   val oracles: Map[String, String] = Map(
     "q_recursive_cte" -> qRecursiveCteSql,
     "q_join_spatial" -> qJoinSpatialSql,
+    "q_join_geo_contains" -> qJoinGeoContainsSql,
     "q_join_lateral" -> qJoinLateralSql,
     "q_subq_quantified" -> qSubqQuantifiedSql,
     "q_agg_salted" -> qAggSaltedSql)

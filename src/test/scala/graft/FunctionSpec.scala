@@ -100,6 +100,22 @@ class FunctionSpec extends SparkSpec {
     assert(r == "gener", r)
   }
 
+  test("wkt parse/format roundtrip, subsets, and polygon predicates") {
+    import graft.ext.Wkt
+    assert(Wkt.parse("POINT (1.5 2.5)")._1 == "POINT")
+    assert(Wkt.parse("LINESTRING (0 0, 1.5 2, 3 3)")._2.toSeq == Seq(0.0, 1.5, 3.0))
+    val p = Wkt.parse("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(p._1 == "POLYGON" && p._2.length == 5)
+    assert(Wkt.format(p._1, p._2, p._3) == "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))")
+    // unsupported / malformed → null (TRY-compatible)
+    assert(Wkt.parse("MULTIPOLYGON (((0 0)))") == null)
+    assert(Wkt.parse("POLYGON ((0 0, nope 1))") == null)
+    assert(Wkt.parse("POINT (1 2 3)") == null)
+    // segment crossing: proper crossing true, parallel/disjoint false
+    assert(Wkt.segmentsCross(0, 0, 4, 4, 0, 4, 4, 0))
+    assert(!Wkt.segmentsCross(0, 0, 1, 1, 2, 2, 3, 3))
+  }
+
   test("typeof reports reference type names and constant-folds") {
     graft.functions.Registry.registerAll(spark)
     val r = spark.sql(
