@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * Layout:
   * {{{
   *   <root>/data/part-<uuid>.parquet        immutable data files
-  *   <root>/_manifests/v<N>.json            file list of snapshot N
+  *   <root>/_manifests/v<N>/                parquet manifest {path} of snapshot N
   *   <root>/_manifests/CURRENT              latest version number
   * }}}
   *
@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   *    pruned scan); only those files are rewritten, every other file is
   *    carried into the new manifest untouched — at 100 TB a point-ish MERGE
   *    rewrites a handful of files, not the table.
+  *  - Manifests are PARQUET DATASETS and the untouched-file set is computed as
+  *    a DataFrame ANTI-JOIN of manifest × probe (file identity = the unique
+  *    part-<uuid> name), so a million-file manifest never materializes on the
+  *    driver during a mutation — the Iceberg-manifest shape. The only driver
+  *    lists are (a) the AFFECTED files (bounded by mutation locality — they
+  *    are about to be re-read anyway) and (b) scan planning in `read`, which
+  *    any file-based source performs.
   *  - Commit is last-writer-wins via atomic CURRENT replace (single-writer
   *    discipline; the reference delegates the same concern to its connectors).
   */
@@ -45,11 +52,13 @@ final class CowTable private (root0: String, spark: SparkSession) {
   def currentVersion: Int =
     new String(Files.readAllBytes(manifestDir.resolve("CURRENT"))).trim.toInt
 
-  private def manifestFiles(v: Int): Seq[String] = {
-    val txt = new String(Files.readAllBytes(manifestDir.resolve(s"v$v.json")))
-    // manifest is a JSON array of path strings
-    "\"([^\"]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq
-  }
+  /** Snapshot file list as a DataFrame {path, fname} — the scalable handle. */
+  def manifestDf(v: Int): DataFrame =
+    spark.read.parquet(manifestDir.resolve(s"v$v").toString)
+      .withColumn("fname", regexp_extract(col("path"), "[^/]+$", 0))
+
+  private def manifestFiles(v: Int): Seq[String] =
+    manifestDf(v).select("path").collect().map(_.getString(0)).toSeq
 
   /** Snapshot read (latest, or a past version for time travel). */
   def read(asOfVersion: Option[Int] = None): DataFrame = {
@@ -58,42 +67,46 @@ final class CowTable private (root0: String, spark: SparkSession) {
     else spark.read.parquet(files: _*)
   }
 
+  /** Per-mutation accounting, exposed for pruning asserts in CowTableSpec. */
+  final case class MutationStats(
+      manifestSizeBefore: Long, affectedFiles: Seq[String],
+      untouchedCarried: Long, version: Int)
+
   /** Append-only insert: new files, no rewrites. */
   def insert(df: DataFrame): Unit = {
+    val v = currentVersion
     val newFiles = writeData(df)
-    commit(manifestFiles(currentVersion) ++ newFiles)
+    commit(manifestDf(v).select("path"), newFiles, v)
   }
 
   /** Copy-on-write DELETE. */
-  def delete(cond: Column): Unit = {
+  def delete(cond: Column): MutationStats = {
     val affected = probeFiles(read().filter(cond))
-    if (affected.nonEmpty) {
+    if (affected.isEmpty) MutationStats(manifestDf(currentVersion).count(), Nil, 0, currentVersion)
+    else {
       val survivors = spark.read.parquet(affected: _*).filter(!cond)
-      val rewritten = writeData(survivors)
-      commit(manifestFiles(currentVersion).filterNot(affected.contains) ++ rewritten)
+      mutate(affected, writeData(survivors))
     }
   }
 
   /** Copy-on-write UPDATE: SET column -> expression where cond holds. */
-  def update(cond: Column, set: Map[String, Column]): Unit = {
+  def update(cond: Column, set: Map[String, Column]): MutationStats = {
     val affected = probeFiles(read().filter(cond))
-    if (affected.nonEmpty) {
+    if (affected.isEmpty) MutationStats(manifestDf(currentVersion).count(), Nil, 0, currentVersion)
+    else {
       val base = spark.read.parquet(affected: _*)
       val updated = set.foldLeft(base) { case (df, (col0, expr0)) =>
         df.withColumn(col0, when(cond, expr0).otherwise(df(col0)))
       }
-      val rewritten = writeData(updated)
-      commit(manifestFiles(currentVersion).filterNot(affected.contains) ++ rewritten)
+      mutate(affected, writeData(updated))
     }
   }
 
   /** Copy-on-write MERGE: upsert `source` on equality of `key`.
     * WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *. */
-  def merge(source: DataFrame, key: String): Unit = {
+  def merge(source: DataFrame, key: String): MutationStats = {
     val cur = read()
-    val affected = probeFiles(
-      cur.join(source.select(key), Seq(key), "left_semi"))
-    val untouched = manifestFiles(currentVersion).filterNot(affected.contains)
+    val affected = probeFiles(cur.join(source.select(key), Seq(key), "left_semi"))
     // rewritten files: affected rows with matches replaced by source rows
     val rewritten =
       if (affected.isEmpty) Seq.empty
@@ -107,13 +120,30 @@ final class CowTable private (root0: String, spark: SparkSession) {
       val newRows = source.join(cur.select(key), Seq(key), "left_anti")
       if (newRows.isEmpty) Seq.empty else writeData(newRows)
     }
-    commit(untouched ++ rewritten ++ inserted)
+    mutate(affected, rewritten ++ inserted)
   }
 
-  /** Which physical files hold at least one row of `matching`? */
+  /** Which physical files hold at least one row of `matching`? Driver-side
+    * list is intentional and bounded by mutation locality: these exact files
+    * are about to be re-read for rewriting. */
   private def probeFiles(matching: DataFrame): Seq[String] =
     matching.select(input_file_name().as("f")).distinct()
       .collect().map(r => normalize(r.getString(0))).toSeq
+
+  /** Publish: untouched = manifest ANTI-JOIN affected (distributed — the full
+    * manifest never lands on the driver), plus the freshly written files. */
+  private def mutate(affected: Seq[String], newFiles: Seq[String]): MutationStats = {
+    val v = currentVersion
+    val before = manifestDf(v)
+    val affectedNames = affected.map(p => p.substring(p.lastIndexOf('/') + 1))
+    val affectedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(affectedNames.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fname", org.apache.spark.sql.types.StringType))))
+    val untouched = before.join(broadcast(affectedDf), Seq("fname"), "left_anti").select("path")
+    val carried = commit(untouched, newFiles, v)
+    MutationStats(before.count(), affected, carried, v + 1)
+  }
 
   private def writeData(df: DataFrame): Seq[String] = {
     val tmp = Paths.get(root, s"_stage_${java.util.UUID.randomUUID()}")
@@ -132,24 +162,31 @@ final class CowTable private (root0: String, spark: SparkSession) {
     out.toSeq
   }
 
-  private def commit(files: Seq[String]): Unit = {
-    val v = currentVersion + 1
-    val json = files.map(f => "\"" + f + "\"").mkString("[", ",\n ", "]")
-    Files.write(manifestDir.resolve(s"v$v.json"), json.getBytes)
+  /** Write manifest v+1 = carriedDf ∪ newFiles as a parquet dataset, then
+    * atomically advance CURRENT. Returns the carried-file count. */
+  private def commit(carriedDf: DataFrame, newFiles: Seq[String], fromVersion: Int): Long = {
+    import spark.implicits._
+    val v = fromVersion + 1
+    val next = carriedDf.unionByName(newFiles.toDF("path"))
+    next.write.mode("overwrite").parquet(manifestDir.resolve(s"v$v").toString)
+    val carried = carriedDf.count()
     val tmp = manifestDir.resolve(s"CURRENT.tmp${java.util.UUID.randomUUID()}")
     Files.write(tmp, v.toString.getBytes)
     Files.move(tmp, manifestDir.resolve("CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    carried
   }
 }
 
 object CowTable {
   /** CREATE TABLE AS: materialize `df` as version 1. */
   def create(spark: SparkSession, root: String, df: DataFrame): CowTable = {
+    import spark.implicits._
     val t = new CowTable(root, spark)
     Files.createDirectories(Paths.get(root, "data"))
     Files.createDirectories(Paths.get(root, "_manifests"))
-    Files.write(Paths.get(root, "_manifests", "v0.json"), "[]".getBytes)
+    Seq.empty[String].toDF("path")
+      .write.mode("overwrite").parquet(Paths.get(root, "_manifests", "v0").toString)
     Files.write(Paths.get(root, "_manifests", "CURRENT"), "0".getBytes)
     t.insert(df)
     t

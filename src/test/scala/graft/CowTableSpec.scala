@@ -70,4 +70,26 @@ class CowTableSpec extends SparkSpec {
     val v2 = t.read(Some(2)).inputFiles.toSet
     assert(v1.intersect(v2).nonEmpty, "expected untouched files to be shared between snapshots")
   }
+
+  test("point MERGE on a multi-file table probes and rewrites exactly one file") {
+    val t = CowTable.create(spark, freshRoot(), sampleOrders()) // 4 hash files
+    val keyFiles = t.read().filter($"o_orderkey" === 1L)
+      .select(input_file_name()).distinct().count()
+    assume(keyFiles == 1) // hash layout puts one key in one file
+    val beforePaths = t.manifestDf(t.currentVersion)
+      .select("path").as[String].collect().toSet
+    val src = Seq((1L, "X", 9.9)).toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val stats = t.merge(src, "o_orderkey")
+    assert(stats.manifestSizeBefore == 4, stats.toString)
+    assert(stats.affectedFiles.size == 1, stats.toString)
+    assert(stats.untouchedCarried == 3, stats.toString)
+    val afterPaths = t.manifestDf(t.currentVersion)
+      .select("path").as[String].collect().toSet
+    // the three untouched paths are carried VERBATIM; the probed file is gone
+    assert((beforePaths -- stats.affectedFiles.toSet).subsetOf(afterPaths))
+    assert(stats.affectedFiles.forall(f => !afterPaths.contains(f)))
+    // no-match mutation leaves the manifest untouched (no rewrite storm)
+    val noop = t.delete($"o_orderkey" === -999999L)
+    assert(noop.affectedFiles.isEmpty)
+  }
 }
