@@ -23,7 +23,8 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // parallelismFirst is deliberately left at its default (true): measured
       // at sf0.1, coalescing post-shuffle partitions to the 64 MB advisory

@@ -54,16 +54,34 @@ object Aggregates {
        count(*) AS n_rows
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** GROUPING SETS ((a,b),(a),()) — computed as ONE aggregation at the finest
+    * set plus re-aggregations of its tiny result, not Catalyst's Expand plan
+    * (which replicates every input row once per set — 3× the scan feeding the
+    * shuffle). For decomposable aggregates the partial-reaggregation identity
+    * is exact, the input is read once, and the coarser sets cost |finest
+    * groups| rows each — the shape that wins at 100 TB. (The native Expand
+    * operator stays exercised by q_rollup/q_cube, where Catalyst's plan is
+    * used as-is; reference GroupIdOperator has the same replication.) */
   def q_groupingsets(s: SparkSession, dir: String): DataFrame = {
-    graft.sources.Tables.registerAll(s, dir)
-    s.sql(
-      """SELECT l_returnflag, l_linestatus,
-         CAST(grouping(l_returnflag) AS INT) AS g1, CAST(grouping(l_linestatus) AS INT) AS g2,
-         count(*) AS cnt,
-         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-         FROM lineitem
-         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-         ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    import s.implicits._
+    import org.apache.spark.sql.types.StringType
+    val base = table(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"), sum(dec($"l_quantity")).as("sq"))
+    val fine = base.select($"l_returnflag", $"l_linestatus",
+      lit(0).as("g1"), lit(0).as("g2"), $"cnt", $"sq")
+    val byFlag = base.groupBy($"l_returnflag")
+      .agg(sum($"cnt").as("cnt"), sum($"sq").as("sq"))
+      .select($"l_returnflag", lit(null).cast(StringType).as("l_linestatus"),
+        lit(0).as("g1"), lit(1).as("g2"), $"cnt", $"sq")
+    val total = base.agg(sum($"cnt").as("cnt"), sum($"sq").as("sq"))
+      .select(lit(null).cast(StringType).as("l_returnflag"),
+        lit(null).cast(StringType).as("l_linestatus"),
+        lit(1).as("g1"), lit(1).as("g2"), $"cnt", $"sq")
+    fine.unionByName(byFlag).unionByName(total)
+      .select($"l_returnflag", $"l_linestatus", $"g1", $"g2",
+        $"cnt", asDouble($"sq").as("sum_qty"))
+      .orderBy($"g1", $"g2", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
   val qGroupingsetsSql: String =
     """SELECT l_returnflag, l_linestatus,

@@ -165,6 +165,11 @@ object Dedup {
       .filter($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
+      // exact-Jaccard rescoring is compute-bound (array_intersect over full
+      // shingle sets): pin its parallelism to the core count rather than the
+      // size-driven reduce-partition setting, which undersizes CPU-heavy
+      // stages at small shuffle volumes
+      .repartition(s.sparkContext.defaultParallelism, $"doc_a")
     cand
       .join(d.select($"doc_id".as("doc_a"), $"shs".as("shs_a")), "doc_a")
       .join(d.select($"doc_id".as("doc_b"), $"shs".as("shs_b")), "doc_b")
