@@ -79,6 +79,15 @@ final class CowTable private (root0: String, spark: SparkSession) {
     commit(manifestDf(v).select("path"), newFiles, v)
   }
 
+  /** Full-refresh replace: publish a snapshot containing only `df` (the
+    * materialized-view refresh primitive) — prior snapshots stay readable. */
+  def replace(df: DataFrame): Unit = {
+    import spark.implicits._
+    val v = currentVersion
+    val newFiles = writeData(df)
+    commit(Seq.empty[String].toDF("path"), newFiles, v)
+  }
+
   /** Copy-on-write DELETE. */
   def delete(cond: Column): MutationStats = {
     val affected = probeFiles(read().filter(cond))

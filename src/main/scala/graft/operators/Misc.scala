@@ -84,13 +84,36 @@ object Misc {
          round(quantile_cont(l_extendedprice, 0.5), 6) AS median
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Materialized view create + materialized read (graft.catalog
+    * .MaterializedView over CowTable storage; reference
+    * ConnectorMaterializedViewDefinition / CreateMaterializedViewTask). The
+    * defining query is reference-dialect SQL; reading the view serves the
+    * stored CowTable snapshot, which the oracle recomputes directly.
+    * Refresh/staleness semantics are spec-verified in CowTableSpec. */
+  def q_mv_read(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "mv_q").toString
+    val mv = graft.catalog.MaterializedView.create(s, root,
+      """SELECT o_orderpriority, count(*) AS cnt,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderpriority""", dir)
+    mv.read().orderBy($"o_orderpriority")
+  }
+  val qMvReadSql: String =
+    """SELECT o_orderpriority, count(*) AS cnt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, Q] = Map(
     "q_tvf_sequence" -> q_tvf_sequence _,
     "q_map_fns" -> q_map_fns _,
+    "q_mv_read" -> q_mv_read _,
     "q_approx_agg" -> q_approx_agg _)
 
   val oracles: Map[String, String] = Map(
     "q_tvf_sequence" -> qTvfSequenceSql,
     "q_map_fns" -> qMapFnsSql,
+    "q_mv_read" -> qMvReadSql,
     "q_approx_agg" -> qApproxAggSql)
 }

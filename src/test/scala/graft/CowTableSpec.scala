@@ -71,6 +71,31 @@ class CowTableSpec extends SparkSpec {
     assert(v1.intersect(v2).nonEmpty, "expected untouched files to be shared between snapshots")
   }
 
+  test("materialized view: create, stale-on-source-advance, refresh, time travel") {
+    val srcRoot = freshRoot()
+    val src = CowTable.create(spark, srcRoot, sampleOrders())
+    val mvRoot = freshRoot()
+    val mv = graft.catalog.MaterializedView.create(spark, mvRoot,
+      "SELECT o_orderstatus, count(*) AS cnt FROM mv_src GROUP BY o_orderstatus",
+      sfDir, sources = Map("mv_src" -> srcRoot))
+    assert(!mv.isStale)
+    def snap(m: graft.catalog.MaterializedView) =
+      m.read().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val before = snap(mv)
+    assert(before.nonEmpty)
+    // source advances → view reports stale but still serves the materialization
+    src.delete($"o_orderstatus" === "F")
+    val reopened = graft.catalog.MaterializedView.open(spark, mvRoot)
+    assert(reopened.isStale)
+    assert(snap(reopened) == before)
+    reopened.refresh()
+    assert(!reopened.isStale)
+    assert(!snap(reopened).contains("F"))
+    // the pre-refresh materialization stays time-travelable
+    assert(reopened.read(asOfVersion = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap == before)
+  }
+
   test("point MERGE on a multi-file table probes and rewrites exactly one file") {
     val t = CowTable.create(spark, freshRoot(), sampleOrders()) // 4 hash files
     val keyFiles = t.read().filter($"o_orderkey" === 1L)
