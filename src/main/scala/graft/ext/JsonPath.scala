@@ -18,7 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   path      := mode? '$' step* arith?
   *   mode      := 'lax' | 'strict'          (default lax)
   *   step      := '.' name | '.*' | '[' int ']' | '[*]'
-  *              | '[?(@' ('.' name)? op literal ')]'      — filter
+  *              | '.' method '(' ( '"' pattern '"' )? ')'         — item method
+  *              | '[?(' pred ')]'                                 — filter
+  *   method    := datetime | size | type | abs | floor | ceiling | double
+  *   pred      := term (('&&' | '||') term)*
+  *   term      := '@' ('.' name)* op operand                      — nested path
+  *   operand   := number | '"' string '"' | '$' name              — path variable
   *   arith     := op number                 (applied to the final scalar(s))
   *   op        := < <= > >= == != + - * /
   * }}}
@@ -30,8 +35,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * extractor — `JsonPathStatus` exposes the 'value'/'empty'/'error' outcome
   * so the mode split itself is testable (and oracle-checkable).
   *
-  * Documented deltas from the full reference engine: no datetime(), no
-  * nested filters, no path variables, single-comparison filters only.
+  * Path variables ($name) take values from the PASSING analogue: the optional
+  * third SQL argument, a literal JSON object {"name": value} parsed at plan
+  * time (reference: operator/scalar/json/JsonInputFunctions + parameter
+  * passing in sql/planner/JsonPathEvaluator). datetime() parses ISO or an
+  * explicit pattern and yields the canonical 'yyyy-MM-dd HH:mm:ss' rendering.
+  *
+  * Documented deltas from the full reference engine: filter predicates take
+  * conjunction/disjunction of comparisons (no parenthesized sub-predicates,
+  * no exists()/starts with), and item methods cover the list above.
   */
 object JsonPath {
 
@@ -40,9 +52,22 @@ object JsonPath {
   case object WildMember extends Step
   final case class Index(i: Int) extends Step
   case object WildIndex extends Step
-  final case class Filter(field: Option[String], op: String, lit: Either[Double, String]) extends Step
+  final case class MethodStep(name: String, arg: Option[String]) extends Step
+  final case class FilterStep(pred: Pred) extends Step
+
+  sealed trait Pred
+  final case class Cmp(fields: List[String], op: String, operand: Operand) extends Pred
+  final case class And(l: Pred, r: Pred) extends Pred
+  final case class Or(l: Pred, r: Pred) extends Pred
+
+  sealed trait Operand
+  final case class NumLit(v: Double) extends Operand
+  final case class StrLit(s: String) extends Operand
+  final case class VarRef(name: String) extends Operand
 
   final case class Parsed(strict: Boolean, steps: List[Step], arith: Option[(String, Double)])
+
+  private val methods = Set("datetime", "size", "type", "abs", "floor", "ceiling", "double")
 
   def parse(path: String): Parsed = {
     var s = path.trim
@@ -52,23 +77,45 @@ object JsonPath {
     require(s.startsWith("$"), s"json path must start at '$$': $path")
     s = s.drop(1)
     val steps = scala.collection.mutable.ListBuffer[Step]()
-    val FilterRe = """^\[\?\(@(?:\.(\w+))?\s*(<=|>=|==|!=|<|>)\s*(?:(-?[\d.]+)|"([^"]*)")\)\]""".r
+    val MethodRe = """^\.(\w+)\(\s*(?:"([^"]*)")?\s*\)""".r
     val IndexRe = """^\[(\d+)\]""".r
+    val TermRe = """^@((?:\.\w+)*)\s*(<=|>=|==|!=|<|>)\s*(?:(-?[\d.]+)|"([^"]*)"|\$(\w+))\s*""".r
     var arith: Option[(String, Double)] = None
     while (s.nonEmpty) {
       if (s.startsWith(".*")) { steps += WildMember; s = s.drop(2) }
-      else if (s.startsWith(".")) {
-        val name = s.drop(1).takeWhile(c => c.isLetterOrDigit || c == '_')
-        require(name.nonEmpty, s"empty member name in: $path")
-        steps += Member(name); s = s.drop(1 + name.length)
-      }
       else if (s.startsWith("[*]")) { steps += WildIndex; s = s.drop(3) }
-      else FilterRe.findFirstMatchIn(s) match {
-        case Some(m) =>
-          val lit = if (m.group(3) != null) Left(m.group(3).toDouble) else Right(m.group(4))
-          steps += Filter(Option(m.group(1)), m.group(2), lit)
+      else if (s.startsWith("[?(")) {
+        s = s.drop(3)
+        def term(): Pred = TermRe.findFirstMatchIn(s) match {
+          case Some(m) =>
+            s = s.drop(m.matched.length)
+            val fields = Option(m.group(1)).getOrElse("")
+              .split("\\.").filter(_.nonEmpty).toList
+            val operand =
+              if (m.group(3) != null) NumLit(m.group(3).toDouble)
+              else if (m.group(4) != null) StrLit(m.group(4))
+              else VarRef(m.group(5))
+            Cmp(fields, m.group(2), operand)
+          case None => throw new IllegalArgumentException(s"bad filter term at '$s' in: $path")
+        }
+        var pred: Pred = term()
+        while (s.startsWith("&&") || s.startsWith("||")) {
+          val op = s.take(2); s = s.drop(2).dropWhile(_.isWhitespace)
+          pred = if (op == "&&") And(pred, term()) else Or(pred, term())
+        }
+        require(s.startsWith(")]"), s"expected ')]' at '$s' in: $path")
+        s = s.drop(2)
+        steps += FilterStep(pred)
+      }
+      else MethodRe.findFirstMatchIn(s) match {
+        case Some(m) if methods.contains(m.group(1)) =>
+          steps += MethodStep(m.group(1), Option(m.group(2)))
           s = s.drop(m.matched.length)
-        case None => IndexRe.findFirstMatchIn(s) match {
+        case _ if s.startsWith(".") =>
+          val name = s.drop(1).takeWhile(c => c.isLetterOrDigit || c == '_')
+          require(name.nonEmpty, s"empty member name in: $path")
+          steps += Member(name); s = s.drop(1 + name.length)
+        case _ => IndexRe.findFirstMatchIn(s) match {
           case Some(m) => steps += Index(m.group(1).toInt); s = s.drop(m.matched.length)
           case None =>
             val ArithRe = """^\s*([+\-*/])\s*(-?[\d.]+)\s*$""".r
@@ -89,13 +136,25 @@ object JsonPath {
     override def initialValue(): ObjectMapper = new ObjectMapper()
   }
 
+  /** PASSING analogue: parse a literal JSON object into a variable binding. */
+  def parseVars(json: String): Map[String, Either[Double, String]] = {
+    import scala.jdk.CollectionConverters._
+    val node = mapper.get().readTree(json)
+    require(node.isObject, s"path variables must be a JSON object, got: $json")
+    node.properties().asScala.map { e =>
+      val v = e.getValue
+      e.getKey -> (if (v.isNumber) Left(v.doubleValue()) else Right(v.asText()))
+    }.toMap
+  }
+
   /** Evaluate; Left(()) = structural ERROR, Right(seq) = result sequence
     * (empty = EMPTY). */
-  def eval(json: String, p: Parsed): Either[Unit, Seq[JsonNode]] =
+  def eval(json: String, p: Parsed,
+      vars: Map[String, Either[Double, String]] = Map.empty): Either[Unit, Seq[JsonNode]] =
     try {
       val root = mapper.get().readTree(json)
       var cur: Seq[JsonNode] = Seq(root)
-      p.steps.foreach { st => cur = applyStep(cur, st, p.strict) }
+      p.steps.foreach { st => cur = applyStep(cur, st, p.strict, vars) }
       p.arith.foreach { case (op, v) =>
         cur = cur.map { n =>
           if (!n.isNumber) throw StructuralError
@@ -114,7 +173,8 @@ object JsonPath {
       case _: com.fasterxml.jackson.core.JacksonException => Left(())
     }
 
-  private def applyStep(nodes: Seq[JsonNode], st: Step, strict: Boolean): Seq[JsonNode] = {
+  private def applyStep(nodes: Seq[JsonNode], st: Step, strict: Boolean,
+      vars: Map[String, Either[Double, String]]): Seq[JsonNode] = {
     import scala.jdk.CollectionConverters._
     def unwrap(n: JsonNode): Seq[JsonNode] =
       if (n.isArray) n.elements().asScala.toSeq else Seq(n)
@@ -143,11 +203,91 @@ object JsonPath {
         if (n.isArray) n.elements().asScala.toSeq
         else if (strict) throw StructuralError else Seq(n)
       }
-      case Filter(field, op, lit) => nodes.flatMap(unwrap).filter { n =>
-        val target = field.map(f => if (n.isObject && n.has(f)) n.get(f) else null).getOrElse(n)
-        target != null && compare(target, op, lit)
-      }
+      case MethodStep(name, arg) => nodes.map(n => applyMethod(n, name, arg, strict))
+      case FilterStep(pred) => nodes.flatMap(unwrap).filter(n => evalPred(n, pred, vars))
     }
+  }
+
+  /** Filter predicate over one candidate item; a failing nested navigation or
+    * unbound variable makes the comparison 'unknown' → false, per the
+    * standard's filter error handling. */
+  private def evalPred(n: JsonNode, pred: Pred,
+      vars: Map[String, Either[Double, String]]): Boolean = pred match {
+    case And(l, r) => evalPred(n, l, vars) && evalPred(n, r, vars)
+    case Or(l, r) => evalPred(n, l, vars) || evalPred(n, r, vars)
+    case Cmp(fields, op, operand) =>
+      val target = fields.foldLeft(Option(n)) {
+        case (Some(cur), f) if cur.isObject && cur.has(f) => Some(cur.get(f))
+        case _ => None
+      }
+      val lit = operand match {
+        case NumLit(v) => Some(Left(v))
+        case StrLit(s) => Some(Right(s))
+        case VarRef(name) => vars.get(name)
+      }
+      (target, lit) match {
+        case (Some(t), Some(l)) => compare(t, op, l)
+        case _ => false
+      }
+  }
+
+  private val dtPatterns = Seq(
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"),
+    java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+
+  /** Item methods (reference sql/planner/JsonPathEvaluator method dispatch). */
+  private def applyMethod(n: JsonNode, name: String, arg: Option[String],
+      strict: Boolean): JsonNode = name match {
+    case "size" =>
+      if (n.isArray) new com.fasterxml.jackson.databind.node.IntNode(n.size())
+      else if (strict) throw StructuralError
+      else new com.fasterxml.jackson.databind.node.IntNode(1)
+    case "type" =>
+      val t =
+        if (n.isTextual) "string" else if (n.isNumber) "number"
+        else if (n.isBoolean) "boolean" else if (n.isArray) "array"
+        else if (n.isObject) "object" else "null"
+      com.fasterxml.jackson.databind.node.TextNode.valueOf(t)
+    case "abs" | "floor" | "ceiling" =>
+      if (!n.isNumber) throw StructuralError
+      val x = n.doubleValue()
+      new DoubleNode(name match {
+        case "abs" => math.abs(x)
+        case "floor" => math.floor(x)
+        case "ceiling" => math.ceil(x)
+      })
+    case "double" =>
+      if (n.isNumber) new DoubleNode(n.doubleValue())
+      else if (n.isTextual)
+        try new DoubleNode(n.textValue().toDouble)
+        catch { case _: NumberFormatException => throw StructuralError }
+      else throw StructuralError
+    case "datetime" =>
+      if (!n.isTextual) throw StructuralError
+      val text = n.textValue()
+      val parsed = arg match {
+        case Some(pattern) =>
+          try parseDt(text, Seq(java.time.format.DateTimeFormatter.ofPattern(pattern)))
+          catch { case _: IllegalArgumentException => throw StructuralError }
+        case None => parseDt(text, dtPatterns)
+      }
+      com.fasterxml.jackson.databind.node.TextNode.valueOf(parsed)
+  }
+
+  /** Canonical 'yyyy-MM-dd HH:mm:ss' rendering; date-only inputs get a
+    * midnight time component. */
+  private def parseDt(text: String,
+      fmts: Seq[java.time.format.DateTimeFormatter]): String = {
+    val out = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    fmts.foreach { f =>
+      try return java.time.LocalDateTime.parse(text, f).format(out)
+      catch { case _: java.time.format.DateTimeParseException => }
+      try return java.time.LocalDate.parse(text, f).atStartOfDay().format(out)
+      catch { case _: java.time.format.DateTimeParseException => }
+    }
+    try return java.time.LocalDate.parse(text).atStartOfDay().format(out)
+    catch { case _: java.time.format.DateTimeParseException => }
+    throw StructuralError
   }
 
   private def compare(n: JsonNode, op: String, lit: Either[Double, String]): Boolean =
@@ -169,7 +309,8 @@ object JsonPath {
 
   /** json_value semantics: single scalar → its text; EMPTY/ERROR/multi → null
     * (the reference's default NULL ON EMPTY / NULL ON ERROR behaviors). */
-  def value(json: String, p: Parsed): String = eval(json, p) match {
+  def value(json: String, p: Parsed,
+      vars: Map[String, Either[Double, String]] = Map.empty): String = eval(json, p, vars) match {
     case Right(Seq(n)) if n.isValueNode =>
       if (n.isDouble && n.doubleValue() == n.doubleValue().floor &&
         !n.doubleValue().isInfinite && math.abs(n.doubleValue()) < 1e15)
@@ -179,14 +320,16 @@ object JsonPath {
   }
 
   /** json_query semantics: single node → serialized; else null (no wrapper). */
-  def query(json: String, p: Parsed): String = eval(json, p) match {
+  def query(json: String, p: Parsed,
+      vars: Map[String, Either[Double, String]] = Map.empty): String = eval(json, p, vars) match {
     case Right(Seq(n)) => n.toString
     case _ => null
   }
 
   /** Outcome classifier — surfaces the lax/strict split: 'value' (≥1 item),
     * 'empty', or 'error'. */
-  def status(json: String, p: Parsed): String = eval(json, p) match {
+  def status(json: String, p: Parsed,
+      vars: Map[String, Either[Double, String]] = Map.empty): String = eval(json, p, vars) match {
     case Left(_) => "error"
     case Right(s) if s.isEmpty => "empty"
     case _ => "value"
@@ -195,7 +338,11 @@ object JsonPath {
 
 abstract class JsonPathExpression extends UnaryExpression with CodegenFallback {
   def path: String
+  /** PASSING analogue: literal JSON object of path-variable bindings. */
+  def varsJson: Option[String]
   @transient protected lazy val parsed: JsonPath.Parsed = JsonPath.parse(path)
+  @transient protected lazy val vars: Map[String, Either[Double, String]] =
+    varsJson.map(JsonPath.parseVars).getOrElse(Map.empty)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -207,29 +354,32 @@ abstract class JsonPathExpression extends UnaryExpression with CodegenFallback {
 }
 
 /** json_value with a full lax/strict path (see [[JsonPath]]). */
-case class JsonPathValue(child: Expression, path: String) extends JsonPathExpression {
+case class JsonPathValue(child: Expression, path: String,
+    varsJson: Option[String] = None) extends JsonPathExpression {
   override def prettyName: String = "json_path_value"
   override def nullSafeEval(input: Any): Any =
-    out(JsonPath.value(input.toString, parsed))
+    out(JsonPath.value(input.toString, parsed, vars))
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 /** json_query with a full lax/strict path. */
-case class JsonPathQuery(child: Expression, path: String) extends JsonPathExpression {
+case class JsonPathQuery(child: Expression, path: String,
+    varsJson: Option[String] = None) extends JsonPathExpression {
   override def prettyName: String = "json_path_query"
   override def nullSafeEval(input: Any): Any =
-    out(JsonPath.query(input.toString, parsed))
+    out(JsonPath.query(input.toString, parsed, vars))
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 /** 'value' | 'empty' | 'error' — the observable lax/strict semantics. */
-case class JsonPathStatus(child: Expression, path: String) extends JsonPathExpression {
+case class JsonPathStatus(child: Expression, path: String,
+    varsJson: Option[String] = None) extends JsonPathExpression {
   override def prettyName: String = "json_path_status"
   override def nullable: Boolean = false
   override def nullSafeEval(input: Any): Any =
-    out(JsonPath.status(input.toString, parsed))
+    out(JsonPath.status(input.toString, parsed, vars))
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

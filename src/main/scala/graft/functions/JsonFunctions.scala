@@ -42,9 +42,12 @@ object JsonFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   /** json_value over the full lax/strict path engine (graft.ext.JsonPath) —
-    * filters, wildcards, arithmetic; NULL ON EMPTY / NULL ON ERROR defaults. */
-  def jsonPathValue(json: Column, path: String): Column =
-    column(graft.ext.JsonPathValue(expression(json), path))
+    * filters (nested paths, &&/||, path variables), item methods
+    * (datetime/size/type/…), wildcards, arithmetic; NULL ON EMPTY /
+    * NULL ON ERROR defaults. `vars` is the PASSING analogue: a literal JSON
+    * object binding $name path variables. */
+  def jsonPathValue(json: Column, path: String, vars: Option[String] = None): Column =
+    column(graft.ext.JsonPathValue(expression(json), path, vars))
 
   /** json_query over the lax/strict path engine (single node, no wrapper). */
   def jsonPathQuery(json: Column, path: String): Column =

@@ -55,13 +55,14 @@ object Registry {
       es => graft.ext.PolygonIntersects(es(0), es(1), es(2), es(3)), "built-in")
     r.createOrReplaceTempFunction("st_within",
       es => graft.ext.PolygonWithin(es(0), es(1), es(2), es(3)), "built-in")
-    // path argument must be a string literal (parsed at plan time)
+    // path (and optional PASSING vars object) must be string literals
+    // (parsed at plan time)
     r.createOrReplaceTempFunction("json_path_value",
-      es => graft.ext.JsonPathValue(es(0), lit(es(1))), "built-in")
+      es => graft.ext.JsonPathValue(es(0), lit(es(1)), es.drop(2).headOption.map(lit)), "built-in")
     r.createOrReplaceTempFunction("json_path_query",
-      es => graft.ext.JsonPathQuery(es(0), lit(es(1))), "built-in")
+      es => graft.ext.JsonPathQuery(es(0), lit(es(1)), es.drop(2).headOption.map(lit)), "built-in")
     r.createOrReplaceTempFunction("json_path_status",
-      es => graft.ext.JsonPathStatus(es(0), lit(es(1))), "built-in")
+      es => graft.ext.JsonPathStatus(es(0), lit(es(1)), es.drop(2).headOption.map(lit)), "built-in")
     r.createOrReplaceTempFunction("set_digest_cardinality",
       es => graft.functions.KmvCardinality(es(0)), "built-in")
     r.createOrReplaceTempFunction("jaccard_index",

@@ -177,9 +177,12 @@ object Functions2 {
         $"p_partkey".as("id"),
         split($"p_type", " ").as("words"),
         struct($"p_size".cast("long").as("size")).as("meta"),
+        concat(lit("2024-03-"), lpad(($"p_size" % 28 + 1).cast("string"), 2, "0")).as("d"),
         array(
           struct(lit(1L).as("v"), lit("a").as("t")),
-          struct($"p_size".cast("long").as("v"), lit("b").as("t"))).as("items"))))
+          struct($"p_size".cast("long").as("v"), lit("b").as("t"))).as("items"),
+        array(
+          struct(struct($"p_size".cast("long").as("v")).as("m"), lit("z").as("t"))).as("items2"))))
     d.select($"p_partkey",
         jsonPathValue($"doc", "lax $.items[?(@.v > 10)].t").as("filt_t"),
         jsonPathValue($"doc", "lax $.meta.size * 2").cast("long").as("size2"),
@@ -188,7 +191,16 @@ object Functions2 {
         jsonPathStatus($"doc", "strict $.words[5]").as("status_strict"),
         jsonPathStatus($"doc", "lax $.items.v").as("unwrap_lax"),
         jsonPathStatus($"doc", "strict $.items.v").as("unwrap_strict"),
-        jsonPathQuery($"doc", "lax $.meta").as("meta_json"))
+        jsonPathQuery($"doc", "lax $.meta").as("meta_json"),
+        // item methods: datetime() canonicalization, size(), type()
+        jsonPathValue($"doc", "lax $.d.datetime()").as("dt"),
+        jsonPathValue($"doc", "lax $.words.size()").cast("long").as("words_n"),
+        jsonPathValue($"doc", "lax $.meta.type()").as("meta_type"),
+        // nested filter path + conjunction + path variable (PASSING analogue)
+        jsonPathValue($"doc", "lax $.items2[?(@.m.v > 10)].t").as("nested_t"),
+        jsonPathValue($"doc", """lax $.items[?(@.v > 10 && @.t == "b")].t""").as("combo_t"),
+        jsonPathValue($"doc", "lax $.items[?(@.v > $th)].t",
+          vars = Some("""{"th": 10}""")).as("var_t"))
       .orderBy($"p_partkey")
   }
   val qFnJsonpathSql: String =
@@ -200,7 +212,13 @@ object Functions2 {
        'error' AS status_strict,
        'value' AS unwrap_lax,
        'error' AS unwrap_strict,
-       '{"size":' || p_size || '}' AS meta_json
+       '{"size":' || p_size || '}' AS meta_json,
+       '2024-03-' || lpad(CAST(p_size % 28 + 1 AS VARCHAR), 2, '0') || ' 00:00:00' AS dt,
+       CAST(len(string_split(p_type, ' ')) AS BIGINT) AS words_n,
+       'object' AS meta_type,
+       CASE WHEN p_size > 10 THEN 'z' END AS nested_t,
+       CASE WHEN p_size > 10 THEN 'b' END AS combo_t,
+       CASE WHEN p_size > 10 THEN 'b' END AS var_t
        FROM part ORDER BY p_partkey"""
 
   /** Keyed hashes + base32 (reference HmacFunctions.java, StringFunctions.java
