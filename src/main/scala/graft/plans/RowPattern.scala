@@ -75,8 +75,27 @@ object RowPattern {
       case Some(c) if c.isLetter =>
         val start = pos
         while (pos < input.length && (input(pos).isLetterOrDigit || input(pos) == '_')) pos += 1
-        Sym(input.substring(start, pos))
+        val name = input.substring(start, pos)
+        if (name.equalsIgnoreCase("PERMUTE") && peek.contains('(')) permute()
+        else Sym(name)
       case other => throw new IllegalArgumentException(s"unexpected '$other' at $pos in '$input'")
+    }
+
+    /** PERMUTE(p1, …, pn) ≡ alternation of every ordering of its arguments,
+      * preferred lexicographically by argument position — matching the
+      * reference's expansion (grammar SqlBase.g4 patternPrimary PERMUTE;
+      * semantics sql/analyzer/PatternRecognitionAnalyzer). Left-preferring
+      * Alt over permutations in lexicographic order reproduces the standard
+      * preferment. */
+    private def permute(): Pat = {
+      pos += 1 // consume '('
+      val args = scala.collection.mutable.ListBuffer[Pat](alt())
+      while (peek.contains(',')) { pos += 1; args += alt() }
+      require(peek.contains(')'), s"missing ')' after PERMUTE args at $pos in '$input'")
+      pos += 1
+      val perms = args.toList.permutations.toList // lexicographic for distinct positions
+      perms.map(ps => if (ps.size == 1) ps.head else Cat(ps))
+        .reduceRight[Pat]((l, r) => Alt(l, r))
     }
   }
 

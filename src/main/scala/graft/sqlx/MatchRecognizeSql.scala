@@ -31,11 +31,15 @@ import graft.plans.{MatchRecognize, RowPattern}
   *  4. ONE ROW PER MATCH = FINAL measures at the last row of each match;
   *     ALL ROWS PER MATCH = RUNNING defaults per row.
   *
+  * PERMUTE(...) expands in the pattern algebra (graft.plans.RowPattern) to
+  * the lexicographically-preferred alternation of argument orderings;
+  * SUBSET U = (A, B) union variables resolve in MEASURES as
+  * classifier-set membership.
+  *
   * Documented subset: PARTITION BY / ORDER BY take plain ascending column
   * names; DEFINE may not reference other pattern variables or
-  * FIRST/LAST/aggregates (match-state-dependent conditions); SUBSET,
-  * PERMUTE, exclusion syntax and navigation occurrence offsets
-  * (FIRST(A.x, 2)) are not parsed.
+  * FIRST/LAST/aggregates (match-state-dependent conditions); exclusion
+  * syntax and navigation occurrence offsets (FIRST(A.x, 2)) are not parsed.
   */
 private[graft] object MatchRecognizeSql {
 
@@ -43,7 +47,8 @@ private[graft] object MatchRecognizeSql {
       table: String, partitionBy: Seq[String], orderBy: Seq[String],
       measures: Seq[(String, String)], // (expr text, alias)
       allRows: Boolean, skipPastLastRow: Boolean,
-      pattern: String, defines: Seq[(String, String)])
+      pattern: String, defines: Seq[(String, String)],
+      subsets: Map[String, Seq[String]]) // SUBSET U = (A, B) union variables
 
   private val Outer =
     """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*""".r
@@ -110,7 +115,11 @@ private[graft] object MatchRecognizeSql {
     case Outer(table, block) =>
       val cs = clauses(block)
       def one(kw: String): Option[String] = cs.collectFirst { case (`kw`, c) => c }
-      if (one("SUBSET").isDefined) fail("SUBSET is not supported")
+      val subsets = one("SUBSET").map(splitTop(_).map { d =>
+        val m = "(?is)^\\s*(\\w+)\\s*=\\s*\\(([^)]*)\\)\\s*$".r.findFirstMatchIn(d)
+          .getOrElse(fail(s"SUBSET entry '$d' (expected name = (A, B, ...))"))
+        m.group(1) -> m.group(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      }.toMap).getOrElse(Map.empty)
       val partition = identList(
         one("PARTITION BY").getOrElse(fail("PARTITION BY <cols>")), "PARTITION BY")
       val order = identList(one("ORDER BY").getOrElse(fail("ORDER BY <cols>")), "ORDER BY")
@@ -135,7 +144,7 @@ private[graft] object MatchRecognizeSql {
         case Some(c) => fail(s"AFTER MATCH subset: SKIP PAST LAST ROW | SKIP TO NEXT ROW, got '$c'")
         case None => true
       }
-      Some(Mr(table, partition, order, measures, allRows, skipPast, pattern, defines))
+      Some(Mr(table, partition, order, measures, allRows, skipPast, pattern, defines, subsets))
     case _ => None
   }
 
@@ -154,7 +163,7 @@ private[graft] object MatchRecognizeSql {
       case RowPattern.Star(s) => syms(s)
       case RowPattern.Plus(s) => syms(s)
     }
-    syms(RowPattern.parse(mr.pattern)) ++ mr.defines.map(_._1)
+    syms(RowPattern.parse(mr.pattern)) ++ mr.defines.map(_._1) ++ mr.subsets.keys
   }
 
   /** Index of the ')' matching the '(' at `open`. */
@@ -214,7 +223,8 @@ private[graft] object MatchRecognizeSql {
   /** MEASURES expression → Spark SQL window expression text over the
     * annotated (match_number, classifier) output. */
   private def rewriteMeasure(exprText: String, defaultRunning: Boolean,
-      pks: Seq[String], ords: Seq[String], syms: Set[String]): String = {
+      pks: Seq[String], ords: Seq[String], syms: Set[String],
+      subsets: Map[String, Seq[String]] = Map.empty): String = {
     var t = exprText.trim
     var running = defaultRunning
     val prefix = "(?is)^(RUNNING|FINAL)\\s+(.*)$".r
@@ -232,7 +242,12 @@ private[graft] object MatchRecognizeSql {
     val navOver = s"OVER (PARTITION BY $partBy ORDER BY $ordBy)"
     t = t.replaceAll("(?i)\\bCLASSIFIER\\s*\\(\\s*\\)", "classifier")
     t = t.replaceAll("(?i)\\bMATCH_NUMBER\\s*\\(\\s*\\)", "match_number")
-    def only(sym: String, inner: String) = s"CASE WHEN classifier = '$sym' THEN $inner END"
+    // a union (SUBSET) variable matches any of its member classifiers
+    def only(sym: String, inner: String) = subsets.get(sym) match {
+      case Some(members) =>
+        s"CASE WHEN classifier IN (${members.map(m => s"'$m'").mkString(", ")}) THEN $inner END"
+      case None => s"CASE WHEN classifier = '$sym' THEN $inner END"
+    }
     t = rewriteCalls(t, Set("FIRST", "LAST", "PREV", "NEXT", "COUNT", "SUM", "MIN", "MAX", "AVG")) {
       case ("PREV", arg) => s"lag($arg) $navOver"
       case ("NEXT", arg) => s"lead($arg) $navOver"
@@ -300,14 +315,14 @@ private[graft] object MatchRecognizeSql {
       val passthrough = (mr.partitionBy ++ mr.orderBy ++ defCols).distinct ++
         Seq("match_number", "classifier")
       val sel = passthrough ++ mr.measures.map { case (e, a) =>
-        s"${rewriteMeasure(e, defaultRunning = true, mr.partitionBy, mr.orderBy, syms)} AS $a"
+        s"${rewriteMeasure(e, defaultRunning = true, mr.partitionBy, mr.orderBy, syms, mr.subsets)} AS $a"
       }
       annotated.selectExpr(sel: _*)
     } else {
       // FINAL measures evaluated at the last row of each match
       val sel = (mr.partitionBy ++ mr.orderBy :+ "match_number") ++
         mr.measures.map { case (e, a) =>
-          s"${rewriteMeasure(e, defaultRunning = false, mr.partitionBy, mr.orderBy, syms)} AS $a"
+          s"${rewriteMeasure(e, defaultRunning = false, mr.partitionBy, mr.orderBy, syms, mr.subsets)} AS $a"
         }
       val byMatch = Window
         .partitionBy((mr.partitionBy :+ "match_number").map(col): _*)

@@ -125,6 +125,40 @@ class DialectSpec extends SparkSpec {
     assert(mr.defines == Seq(("S", "value > PREV(value) * 1.02 OR value < 5.0")))
   }
 
+  test("PERMUTE expands to lexicographically-preferred orderings") {
+    import graft.plans.RowPattern
+    import org.apache.spark.sql.Row
+    // rows: classified by a precomputed tag; PERMUTE(A, B) must match A B at
+    // rows 0-1 and B A at rows 2-3
+    val rows = IndexedSeq("a", "b", "b", "a").map(t => Row(t))
+    def tag(sym: String): RowPattern.Predicate =
+      (p: IndexedSeq[Row], i: Int) => p(i).getString(0) == sym.toLowerCase
+    val m = new RowPattern.Matcher(RowPattern.parse("PERMUTE(A, B)"),
+      Map("A" -> tag("A"), "B" -> tag("B")))
+    val found = m.findAll(rows).map(mm => mm.steps.map(_._1).mkString)
+    assert(found == Seq("AB", "BA"))
+    // preferment: on ambiguous input the A-first ordering wins
+    val both = new RowPattern.Matcher(RowPattern.parse("PERMUTE(A, B)"),
+      Map.empty) // undefined symbols always match
+    assert(both.findAll(IndexedSeq(Row("x"), Row("y"))).head.steps.map(_._1) == Seq("A", "B"))
+  }
+
+  test("SUBSET union variables resolve in measures as classifier-set membership") {
+    val base =
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id ORDER BY event_id
+           MEASURES %s AS start_id, %s AS n
+           ONE ROW PER MATCH
+           PATTERN (D+ U+)
+           DEFINE D AS value < PREV(value), U AS value > PREV(value)%s)"""
+    val withSubset = graft.sqlx.TrinoDialect.sql(spark, sfDir, base.format(
+      "FIRST(V.event_id)", "COUNT(V.*)",
+      "\n           SUBSET V = (D, U)")).collect().toSeq
+    val explicit = graft.sqlx.TrinoDialect.sql(spark, sfDir, base.format(
+      "FIRST(D.event_id)", "COUNT(*)", "")).collect().toSeq
+    assert(withSubset.nonEmpty && withSubset == explicit)
+  }
+
   test("MATCH_RECOGNIZE DEFINE subset rejects match-state functions and cross-variable refs") {
     def mr(define: String) =
       s"""SELECT * FROM events MATCH_RECOGNIZE (
