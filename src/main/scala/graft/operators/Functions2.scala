@@ -417,6 +417,51 @@ object Functions2 {
        SELECT c_custkey, CAST(ordinality AS BIGINT) AS ordinality, i, v, tag
        FROM rows_expected ORDER BY c_custkey, ordinality"""
 
+  /** json_table NESTED PATH columns (reference operator/table/json/
+    * JsonTable.java — NESTED COLUMNS with the PLAN clause): a document whose
+    * items carry a nested array, decomposed into parent-child rows. OUTER
+    * plan semantics (parents with empty nested arrays still emit one row
+    * with null child columns) via posexplode_outer; INNER is the `present`
+    * filter. Ordinality at both levels. The oracle states the expected
+    * relational rows directly from the generating columns. */
+  def q_fn_json_table_nested(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = "array<struct<i:bigint,tag:string,evs:array<struct<e:bigint,k:string>>>>"
+    val emptyEvs = array().cast("array<struct<e:bigint,k:string>>")
+    val d = table(s, dir, "customer").filter($"c_custkey" <= 200)
+      .withColumn("doc", to_json(array(
+        struct(lit(1L).as("i"), lit("a").as("tag"),
+          array(struct(lit(10L).as("e"), lit("p").as("k")),
+            struct(lit(11L).as("e"), lit("q").as("k"))).as("evs")),
+        struct(lit(2L).as("i"), lit("b").as("tag"),
+          when($"c_custkey" % 2 === 0,
+            array(struct(lit(20L).as("e"), lit("x").as("k"))))
+            .otherwise(emptyEvs).as("evs")))))
+    d.select($"c_custkey", posexplode(from_json($"doc", lit(schema))))
+      .select($"c_custkey", ($"pos" + 1).cast("long").as("ord"),
+        $"col.i".as("i"), $"col.tag".as("tag"),
+        posexplode_outer($"col.evs").as(Seq("epos", "ev")))
+      .select($"c_custkey", $"ord", $"i", $"tag",
+        ($"epos" + 1).cast("long").as("ev_ord"),
+        $"ev.e".as("e"), $"ev.k".as("k"),
+        $"ev".isNotNull.as("present"))
+      .orderBy($"c_custkey", $"ord", $"ev_ord".asc_nulls_first)
+  }
+  val qFnJsonTableNestedSql: String =
+    """WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey <= 200),
+       expected AS (
+         SELECT c_custkey, 1 AS ord, CAST(1 AS BIGINT) AS i, 'a' AS tag,
+           CAST(1 AS BIGINT) AS ev_ord, CAST(10 AS BIGINT) AS e, 'p' AS k, TRUE AS present
+         FROM c
+         UNION ALL
+         SELECT c_custkey, 1, 1, 'a', 2, 11, 'q', TRUE FROM c
+         UNION ALL
+         SELECT c_custkey, 2, 2, 'b', 1, 20, 'x', TRUE FROM c WHERE c_custkey % 2 = 0
+         UNION ALL
+         SELECT c_custkey, 2, 2, 'b', NULL, NULL, NULL, FALSE FROM c WHERE c_custkey % 2 = 1)
+       SELECT c_custkey, CAST(ord AS BIGINT) AS ord, i, tag, ev_ord, e, k, present
+       FROM expected ORDER BY c_custkey, ord, ev_ord NULLS FIRST"""
+
   /** Geospatial-lite (reference GeoFunctions.java ST_Distance on spherical
     * geography / ST_Contains): synthesized lat/lon points, haversine distance
     * to a fixed point, bbox containment — pure arithmetic, so the oracle
@@ -618,6 +663,7 @@ object Functions2 {
     "q_fn_geo_polygon" -> q_fn_geo_polygon _,
     "q_fn_geo" -> q_fn_geo _,
     "q_fn_json_table" -> q_fn_json_table _,
+    "q_fn_json_table_nested" -> q_fn_json_table_nested _,
     "q_fn_strdist" -> q_fn_strdist _,
     "q_fn_try" -> q_fn_try _,
     "q_fn_interval" -> q_fn_interval _,
@@ -636,6 +682,7 @@ object Functions2 {
     "q_fn_geo_polygon" -> qFnGeoPolygonSql,
     "q_fn_geo" -> qFnGeoSql,
     "q_fn_json_table" -> qFnJsonTableSql,
+    "q_fn_json_table_nested" -> qFnJsonTableNestedSql,
     "q_fn_strdist" -> qFnStrdistSql,
     "q_fn_try" -> qFnTrySql,
     "q_fn_interval" -> qFnIntervalSql,
