@@ -110,6 +110,30 @@ object Sketches {
       }
       means.last
     }
+
+    /** quantile_at_value: the inverse CDF — rank fraction of `v`, linearly
+      * interpolated between centroid midpoints (reference
+      * operator/scalar/TDigestFunctions quantile_at_value; same estimator as
+      * the public t-digest cdf()). */
+    def quantileAtValue(v: Double): Double = {
+      compress()
+      if (means.isEmpty) return Double.NaN
+      if (v <= means(0)) return 0.0
+      if (v >= means.last) return 1.0
+      var cum = 0.0
+      var i = 0
+      while (i < means.length - 1) {
+        if (v >= means(i) && v < means(i + 1)) {
+          val mid = cum + weights(i) / 2
+          val nextMid = cum + weights(i) + weights(i + 1) / 2
+          val frac = (v - means(i)) / (means(i + 1) - means(i))
+          return (mid + frac * (nextMid - mid)) / total
+        }
+        cum += weights(i)
+        i += 1
+      }
+      1.0
+    }
   }
 
   private class TDigestQuantiles(qs: Seq[Double], compression: Double)
@@ -126,6 +150,21 @@ object Sketches {
     * double column at the given q's. */
   def tdigestQuantiles(c: Column, qs: Seq[Double], compression: Double = 200.0): Column =
     udaf(new TDigestQuantiles(qs, compression), Encoders.scalaDouble).apply(c)
+
+  private class TDigestQuantilesAtValues(vs: Seq[Double], compression: Double)
+      extends Aggregator[Double, TDigest, Array[Double]] {
+    def zero: TDigest = new TDigest(compression)
+    def reduce(b: TDigest, x: Double): TDigest = { b.add(x); b }
+    def merge(a: TDigest, b: TDigest): TDigest = { a.merge(b); a }
+    def finish(d: TDigest): Array[Double] = vs.map(d.quantileAtValue).toArray
+    def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+    def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  }
+
+  /** tdigest_agg + quantile_at_value: approximate rank fractions of the given
+    * values (the inverse of [[tdigestQuantiles]]). */
+  def tdigestQuantilesAtValues(c: Column, vs: Seq[Double], compression: Double = 200.0): Column =
+    udaf(new TDigestQuantilesAtValues(vs, compression), Encoders.scalaDouble).apply(c)
 
   // ------------------------------------------------------------ space-saving
 

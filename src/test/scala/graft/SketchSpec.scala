@@ -19,6 +19,27 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("tdigest quantile_at_value inverts value_at_quantile within 2% rank error") {
+    val li = operators.table(spark, sfDir, "lineitem")
+    val vs = li.agg(tdigestQuantiles($"l_extendedprice", Seq(0.25, 0.5, 0.75)))
+      .collect()(0).getSeq[Double](0)
+    val ranks = li.agg(tdigestQuantilesAtValues($"l_extendedprice", vs))
+      .collect()(0).getSeq[Double](0)
+    Seq(0.25, 0.5, 0.75).zip(ranks).foreach { case (q, r) =>
+      assert(math.abs(r - q) < 0.02, s"q=$q rank=$r")
+    }
+    // rank fractions against the exact empirical CDF
+    val n = li.count().toDouble
+    vs.zip(ranks).foreach { case (v, r) =>
+      val exact = li.filter($"l_extendedprice" <= v).count() / n
+      assert(math.abs(r - exact) < 0.02, s"v=$v rank=$r exact=$exact")
+    }
+    // boundary behavior
+    val edges = li.agg(tdigestQuantilesAtValues($"l_extendedprice", Seq(-1e18, 1e18)))
+      .collect()(0).getSeq[Double](0)
+    assert(edges(0) == 0.0 && edges(1) == 1.0)
+  }
+
   test("tdigest is merge-stable across partitionings") {
     val li = operators.table(spark, sfDir, "lineitem").select($"l_quantity")
     def med(parts: Int): Double =
