@@ -105,13 +105,41 @@ object Events {
        CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value
        FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** Kafka-style topic-as-table decode (graft.sources.EventTopic; reference
+    * plugin/trino-kafka internal columns + json message decoder): the events
+    * "broker log" scanned as (internal columns ⊕ decoded fields). Verified:
+    * per-partition row counts, exact decoded value sums (encode → decode is
+    * lossless), and offset contiguity (max(_partition_offset) = rows in the
+    * partition). */
+  def q_topic_decode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.EventTopic.decoded(s, dir)
+      .groupBy($"_partition_id")
+      .agg(
+        count(lit(1)).as("n"),
+        asDouble(sum(dec($"value"))).as("sum_value"),
+        countDistinct($"user_id").as("n_users"),
+        (max($"_partition_offset") === count(lit(1))).as("offsets_contiguous"))
+      .select($"_partition_id".as("partition_id"), $"n", $"sum_value",
+        $"n_users", $"offsets_contiguous")
+      .orderBy($"partition_id")
+  }
+  val qTopicDecodeSql: String =
+    """SELECT user_id % 8 AS partition_id, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users,
+       TRUE AS offsets_contiguous
+       FROM events GROUP BY user_id % 8 ORDER BY partition_id"""
+
   val queries: Map[String, Q] = Map(
+    "q_topic_decode" -> q_topic_decode _,
     "q_events_sessionize" -> q_events_sessionize _,
     "q_events_daily" -> q_events_daily _,
     "q_events_json" -> q_events_json _,
     "q_events_pivot" -> q_events_pivot _)
 
   val oracles: Map[String, String] = Map(
+    "q_topic_decode" -> qTopicDecodeSql,
     "q_events_sessionize" -> qEventsSessionizeSql,
     "q_events_daily" -> qEventsDailySql,
     "q_events_json" -> qEventsJsonSql,

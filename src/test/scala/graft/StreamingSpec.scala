@@ -25,6 +25,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("topic stream decode reconciles with the batch topic table") {
+    val q = sources.EventTopic.stream(spark, sfDir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("topic_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("topic_out")
+    val batch = sources.EventTopic.decoded(spark, sfDir)
+    assert(streamed.count() == batch.count())
+    // decode is lossless on both paths: same per-partition event_id checksums
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("_partition_id").sum("event_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums(streamed) == sums(batch))
+  }
+
   test("streaming sessionization produces bounded per-user sessions") {
     val src = streaming.EventStreams.source(spark, sfDir)
     val q = streaming.EventStreams.sessionize(src)
