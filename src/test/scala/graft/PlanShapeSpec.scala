@@ -65,4 +65,33 @@ class PlanShapeSpec extends SparkSpec {
     // two HashAggregate nodes (partial + final) around one exchange
     assert("HashAggregate".r.findAllIn(plan).length >= 2, s"no partial agg:\n$plan")
   }
+
+  test("match-recognize annotate pipeline shares ONE exchange between DEFINE windows and the matcher") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // DEFINE bool via lag window + annotateMatches over the same spec: the
+    // matcher's internal row_number window must reuse the lag window's
+    // exchange+sort, so the whole pipeline plans a single shuffle
+    val e = graft.sources.Tables.load(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"value")
+      .withColumn("__def_S",
+        expr("value > lag(value) OVER (PARTITION BY user_id ORDER BY event_id)"))
+    val annotated = graft.plans.MatchRecognize.annotateMatches(
+      e, Seq("user_id"), Seq("event_id"), "S+", Map("S" -> "__def_S"))
+    val plan = physicalPlan(annotated)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    val sorts = "Sort \\[".r.findAllIn(plan).length
+    assert(sorts == 1, s"expected 1 sort, got $sorts:\n$plan")
+  }
+
+  test("polygon-containment spatial join is an equi-join on grid cells") {
+    val plan = physicalPlan(operators.Relational2.q_join_geo_contains(spark, sfDir))
+    // the join must key on the (gx, gy) cells — a hash-partitionable
+    // equi-join (broadcast at this size), never a nested-loop cross product
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"spatial join fell back to a cross product:\n$plan")
+    assert(plan.contains("Join") && (plan.contains("gx") && plan.contains("gy")),
+      s"no cell-keyed equi-join:\n$plan")
+  }
 }
