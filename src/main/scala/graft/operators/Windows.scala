@@ -205,7 +205,54 @@ object Windows {
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
        ORDER BY event_id"""
 
+  /** Window frame EXCLUDE clause (reference grammar SqlBase.g4 frameExtent /
+    * EXCLUDE CURRENT ROW | GROUP | TIES; executed by the reference's framing
+    * in operator/window/AggregateWindowFunction): Spark has no EXCLUDE, so
+    * the engine lowers each mode onto exact frame arithmetic over a RANGE
+    * frame (peer-deterministic, unlike ROWS under ties):
+    *   EXCLUDE CURRENT ROW = frame − current
+    *   EXCLUDE GROUP       = frame − peer-group sum
+    *   EXCLUDE TIES        = frame − peer-group sum + current
+    * Decimal money arithmetic keeps every identity exact; DuckDB evaluates
+    * its NATIVE EXCLUDE frames as the oracle. */
+  def q_window_exclude(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val range = Window.partitionBy($"c_mktsegment").orderBy($"c_nationkey")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val peers = Window.partitionBy($"c_mktsegment", $"c_nationkey")
+    val c = table(s, dir, "customer").filter($"c_custkey" <= 2000)
+      .withColumn("bal", dec($"c_acctbal"))
+      .withColumn("frame_sum", sum($"bal").over(range))
+      .withColumn("peer_sum", sum($"bal").over(peers))
+    c.select($"c_custkey", $"c_mktsegment", $"c_nationkey",
+        asDouble($"frame_sum").as("incl_sum"),
+        asDouble($"frame_sum" - $"bal").as("excl_current"),
+        asDouble($"frame_sum" - $"peer_sum").as("excl_group"),
+        asDouble($"frame_sum" - $"peer_sum" + $"bal").as("excl_ties"))
+      .orderBy($"c_custkey")
+  }
+  val qWindowExcludeSql: String =
+    """WITH c AS (
+         SELECT c_custkey, c_mktsegment, c_nationkey,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+         FROM customer WHERE c_custkey <= 2000)
+       SELECT c_custkey, c_mktsegment, c_nationkey,
+         CAST(sum(bal) OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS incl_sum,
+         CAST(coalesce(sum(bal) OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           EXCLUDE CURRENT ROW), 0) AS DOUBLE) AS excl_current,
+         CAST(coalesce(sum(bal) OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           EXCLUDE GROUP), 0) AS DOUBLE) AS excl_group,
+         CAST(coalesce(sum(bal) OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           EXCLUDE TIES), 0) AS DOUBLE) AS excl_ties
+       FROM c ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
+    "q_window_exclude" -> q_window_exclude _,
     "q_window_ignore_nulls" -> q_window_ignore_nulls _,
     "q_window_groups" -> q_window_groups _,
     "q_window_ranking" -> q_window_ranking _,
@@ -215,6 +262,7 @@ object Windows {
     "q_window_topn" -> q_window_topn _)
 
   val oracles: Map[String, String] = Map(
+    "q_window_exclude" -> qWindowExcludeSql,
     "q_window_ignore_nulls" -> qWindowIgnoreNullsSql,
     "q_window_groups" -> qWindowGroupsSql,
     "q_window_ranking" -> qWindowRankingSql,
