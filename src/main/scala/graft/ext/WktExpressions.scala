@@ -136,6 +136,21 @@ object Wkt {
     false
   }
 
+  /** ST_Length of an open path (LINESTRING): Σ segment lengths, no closing
+    * edge — the open-path counterpart of GeoPolygon.perimeter. */
+  def length(xs: ArrayData, ys: ArrayData): Double = {
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n - 1) {
+      val dx = xs.getDouble(i + 1) - xs.getDouble(i)
+      val dy = ys.getDouble(i + 1) - ys.getDouble(i)
+      acc += math.sqrt(dx * dx + dy * dy)
+      i += 1
+    }
+    acc
+  }
+
   def intersects(xa: ArrayData, ya: ArrayData, xb: ArrayData, yb: ArrayData): Boolean =
     anyVertexIn(xa, ya, xb, yb) || anyVertexIn(xb, yb, xa, ya) ||
       anyEdgeCross(xa, ya, xb, yb)
@@ -205,6 +220,20 @@ private[ext] abstract class PolygonPairPredicate extends Expression with Codegen
       e(0).asInstanceOf[ArrayData], e(1).asInstanceOf[ArrayData],
       e(2).asInstanceOf[ArrayData], e(3).asInstanceOf[ArrayData]))
   }
+}
+
+/** ST_Length over (xs, ys) LINESTRING coordinates (open path). */
+case class LineStringLength(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback with DoubleArrayPair {
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkArrays(Seq(left.dataType, right.dataType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_length"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Wkt.length(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** ST_Intersects over two (xs, ys) polygons. */

@@ -55,6 +55,10 @@ object GeoFunctions {
   def stAsText(geom: Column): Column =
     column(graft.ext.WktFormat(expression(geom)))
 
+  /** ST_Length of a LINESTRING (open path, no closing edge). */
+  def stLength(xs: Column, ys: Column): Column =
+    column(graft.ext.LineStringLength(expression(xs), expression(ys)))
+
   /** ST_Intersects over two (xs, ys) polygons. */
   def stIntersects(xa: Column, ya: Column, xb: Column, yb: Column): Column =
     column(graft.ext.PolygonIntersects(

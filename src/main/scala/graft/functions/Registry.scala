@@ -16,7 +16,7 @@ object Registry {
     "poly_fingerprint", "simhash_bands", "word_stem",
     "md5_simhash60", "hmac_md5", "hmac_sha256", "hmac_sha512",
     "to_base32", "from_base32", "st_area", "st_perimeter", "st_contains",
-    "st_geometry_from_text", "st_as_text", "st_intersects", "st_within",
+    "st_geometry_from_text", "st_as_text", "st_intersects", "st_within", "st_length",
     "json_path_value", "json_path_query", "json_path_status",
     "set_digest_cardinality", "jaccard_index", "intersection_cardinality",
     "typeof")
@@ -51,6 +51,8 @@ object Registry {
       es => graft.ext.WktParse(es(0)), "built-in")
     r.createOrReplaceTempFunction("st_as_text",
       es => graft.ext.WktFormat(es(0)), "built-in")
+    r.createOrReplaceTempFunction("st_length",
+      es => graft.ext.LineStringLength(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("st_intersects",
       es => graft.ext.PolygonIntersects(es(0), es(1), es(2), es(3)), "built-in")
     r.createOrReplaceTempFunction("st_within",

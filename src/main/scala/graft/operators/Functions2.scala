@@ -563,6 +563,11 @@ object Functions2 {
         $"x0".cast("string"), lit(" "), $"y1".cast("string"), lit(", "),
         $"x0".cast("string"), lit(" "), $"y0".cast("string"), lit("))")))
       .withColumn("ga", stGeometryFromText($"wkt_a"))
+      .withColumn("gl", stGeometryFromText(concat(
+        lit("LINESTRING ("),
+        $"x0".cast("string"), lit(" "), $"y0".cast("string"), lit(", "),
+        $"x1".cast("string"), lit(" "), $"y0".cast("string"), lit(", "),
+        $"x1".cast("string"), lit(" "), $"y1".cast("string"), lit(")"))))
       .withColumn("bxs", array(lit(4.25), lit(18.25), lit(18.25), lit(4.25)))
       .withColumn("bys", array(lit(4.25), lit(4.25), lit(18.25), lit(18.25)))
     t.select($"c_custkey",
@@ -572,7 +577,8 @@ object Functions2 {
         (stAsText($"ga") === $"wkt_a").as("roundtrip_ok"),
         stWithin($"ga".getField("xs"), $"ga".getField("ys"), $"bxs", $"bys").as("within_b"),
         stIntersects($"ga".getField("xs"), $"ga".getField("ys"), $"bxs", $"bys").as("intersects_b"),
-        stGeometryFromText(lit("MULTIPOLYGON (((0 0)))")).isNull.as("unsupported_null"))
+        stGeometryFromText(lit("MULTIPOLYGON (((0 0)))")).isNull.as("unsupported_null"),
+        stLength($"gl".getField("xs"), $"gl".getField("ys")).as("line_len"))
       .orderBy($"c_custkey")
   }
   val qFnGeoWktSql: String =
@@ -589,7 +595,8 @@ object Functions2 {
          TRUE AS roundtrip_ok,
          (x0 > 4.25 AND x0 + sa < 18.25 AND y0 > 4.25 AND y0 + sa < 18.25) AS within_b,
          (x0 < 18.25 AND x0 + sa > 4.25 AND y0 < 18.25 AND y0 + sa > 4.25) AS intersects_b,
-         TRUE AS unsupported_null
+         TRUE AS unsupported_null,
+         2 * sa AS line_len
        FROM t ORDER BY c_custkey"""
 
   /** Color/diagnostic render functions (reference operator/scalar/
