@@ -218,6 +218,29 @@ object Dialect {
          match_max, first_val
        FROM m ORDER BY user_id, event_id"""
 
+  /** FETCH FIRST n ROWS WITH TIES (reference SqlBase.g4 limitRowCount):
+    * lowered onto rank() over the trailing ORDER BY; the oracle runs DuckDB's
+    * NATIVE WITH TIES. Ordering on o_orderpriority (5 distinct values over
+    * thousands of rows) makes the tie-extension the whole point: the result
+    * is every row of the best priority class, not 10 rows. */
+  def q_sqlx_fetch_ties(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT o_orderkey, o_orderpriority FROM orders
+         WHERE o_orderkey <= 2000
+         ORDER BY o_orderpriority
+         FETCH FIRST 10 ROWS WITH TIES""")
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+  // DuckDB has no WITH TIES — the oracle states its standard definition
+  // (rows whose rank under the ORDER BY is within the fetch count)
+  val qSqlxFetchTiesSql: String =
+    """SELECT o_orderkey, o_orderpriority FROM (
+         SELECT o_orderkey, o_orderpriority,
+           rank() OVER (ORDER BY o_orderpriority) AS r
+         FROM orders WHERE o_orderkey <= 2000)
+       WHERE r <= 10 ORDER BY o_orderpriority, o_orderkey"""
+
   /** SQL routine DDL (reference execution/CreateFunctionTask.java,
     * sql/routine/SqlRoutineCompiler.java): CREATE FUNCTION with routine
     * characteristics, body going through the dialect rewriter (format/strpos
@@ -266,7 +289,8 @@ object Dialect {
     "q_sqlx_match_rows" -> q_sqlx_match_rows _,
     "q_sqlx_match_multikey" -> q_sqlx_match_multikey _,
     "q_sqlx_match_define_expr" -> q_sqlx_match_define_expr _,
-    "q_sqlx_create_function" -> q_sqlx_create_function _)
+    "q_sqlx_create_function" -> q_sqlx_create_function _,
+    "q_sqlx_fetch_ties" -> q_sqlx_fetch_ties _)
 
   val oracles: Map[String, String] = Map(
     "q_tvf_registry" -> qTvfRegistrySql,
@@ -277,5 +301,6 @@ object Dialect {
     "q_sqlx_match_rows" -> qSqlxMatchRowsSql,
     "q_sqlx_match_multikey" -> qSqlxMatchMultikeySql,
     "q_sqlx_match_define_expr" -> qSqlxMatchDefineExprSql,
-    "q_sqlx_create_function" -> qSqlxCreateFunctionSql)
+    "q_sqlx_create_function" -> qSqlxCreateFunctionSql,
+    "q_sqlx_fetch_ties" -> qSqlxFetchTiesSql)
 }

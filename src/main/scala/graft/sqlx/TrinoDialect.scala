@@ -142,6 +142,15 @@ object TrinoDialect {
     s = renameFn(s, "json_extract_scalar", "get_json_object")
     s = renameFn(s, "json_value", "json_path_value")
     s = renameFn(s, "json_query", "json_path_query")
+    // FETCH FIRST n ROWS WITH TIES (reference SqlBase.g4 limitRowCount WITH
+    // TIES): Spark has no WITH TIES — lower onto rank() over the same ORDER
+    // BY around the whole query body. Applies to a trailing
+    // `ORDER BY … FETCH FIRST n ROWS WITH TIES`.
+    s = replaceMasked(s,
+      "(?is)^(.*?)\\s*ORDER\\s+BY\\s+(.+?)\\s+FETCH\\s+FIRST\\s+(\\d+)\\s+ROWS\\s+WITH\\s+TIES\\s*$".r)(
+      (m, g) =>
+        s"SELECT * EXCEPT(__tie_rank) FROM (SELECT *, rank() OVER (ORDER BY ${g(2)}) AS __tie_rank " +
+          s"FROM (${g(1)}) __fft) WHERE __tie_rank <= ${g(3)} ORDER BY ${g(2)}")
     s = replaceMasked(s, "(?i)FETCH\\s+FIRST\\s+(\\d+)\\s+ROWS\\s+ONLY".r)(
       (m, g) => s"LIMIT ${g(1)}")
     s
