@@ -158,7 +158,7 @@ object MatchRecognize {
             while (buf.hasNext && keyOf(buf.head) == key) group += buf.next()
             val part = group.toIndexedSeq
             matcher.findAll(part, skipPastLastRow).zipWithIndex.flatMap { case (m, mi) =>
-              m.steps.map { case (sym, idx) =>
+              m.visibleSteps.map { case (sym, idx) =>
                 val r = part(idx)
                 Row.fromSeq((0 until inWidth).map(r.get) ++ Seq((mi + 1).toLong, sym))
               }
@@ -194,7 +194,7 @@ object MatchRecognize {
           StructField("classifier", org.apache.spark.sql.types.StringType, nullable = false)))
     perGroup(df, partitionCol, orderCol, outSchema) { (key, part) =>
       matcher.findAll(part, skipPastLastRow).zipWithIndex.flatMap { case (m, mi) =>
-        m.steps.map { case (sym, idx) =>
+        m.visibleSteps.map { case (sym, idx) =>
           val r = part(idx)
           Row.fromSeq((key +: includeIdx.map(r.get)) ++ Seq((mi + 1).toLong, sym))
         }

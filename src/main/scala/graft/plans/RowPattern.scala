@@ -26,6 +26,11 @@ object RowPattern {
   final case class Opt(p: Pat) extends Pat
   final case class Star(p: Pat) extends Pat
   final case class Plus(p: Pat) extends Pat
+  /** Exclusion `{- p -}`: rows match and consume normally but are omitted
+    * from ALL ROWS PER MATCH output (reference grammar SqlBase.g4
+    * patternPrimary exclusion; semantics sql/analyzer — exclusions affect
+    * only the per-row output, never measures or navigation). */
+  final case class Excl(p: Pat) extends Pat
 
   /** Parse `"A (B | C)+ D* E?"` into the AST. */
   def parse(s: String): Pat = new Parser(s).parseAll()
@@ -51,6 +56,7 @@ object RowPattern {
       var continue = true
       while (continue) peek match {
         case Some(c) if c.isLetter || c == '(' => ps += rep()
+        case Some('{') if input.startsWith("{-", pos) => ps += rep()
         case _ => continue = false
       }
       require(ps.nonEmpty, s"empty pattern element at $pos in '$input'")
@@ -66,6 +72,13 @@ object RowPattern {
       }
     }
     private def atom(): Pat = peek match {
+      case Some('{') if input.startsWith("{-", pos) =>
+        pos += 2
+        val p = alt()
+        skipWs()
+        require(input.startsWith("-}", pos), s"missing '-}' at $pos in '$input'")
+        pos += 2
+        Excl(p)
       case Some('(') =>
         pos += 1
         val p = alt()
@@ -100,12 +113,18 @@ object RowPattern {
   }
 
   /** One match: [start, end) row span plus the (symbol, rowIndex) trace in
-    * row order — the CLASSIFIER() sequence. */
-  final case class PatternMatch(start: Int, end: Int, steps: IndexedSeq[(String, Int)]) {
+    * row order — the CLASSIFIER() sequence. `excluded` holds row indices
+    * matched inside `{- … -}` exclusions: they consume and participate in
+    * measures/navigation like any matched row but are omitted from
+    * ALL ROWS PER MATCH output (reference exclusion semantics). */
+  final case class PatternMatch(start: Int, end: Int, steps: IndexedSeq[(String, Int)],
+      excluded: Set[Int] = Set.empty) {
     def indicesOf(sym: String): IndexedSeq[Int] = steps.collect { case (`sym`, i) => i }
     def firstIdx(sym: String): Int = indicesOf(sym).head
     def lastIdx(sym: String): Int = indicesOf(sym).last
     def countOf(sym: String): Long = steps.count(_._1 == sym).toLong
+    /** The trace without exclusion-matched rows — the per-row output set. */
+    def visibleSteps: IndexedSeq[(String, Int)] = steps.filterNot(s => excluded(s._2))
   }
 
   /** Symbol predicate: sees the whole ordered partition + the candidate row
@@ -115,34 +134,39 @@ object RowPattern {
 
   final class Matcher(pattern: Pat, define: Map[String, Predicate]) extends Serializable {
 
+    // trace entries: (symbol, rowIndex, insideExclusion)
+    private type Acc = List[(String, Int, Boolean)]
+
     /** Leftmost-greedy anchored match at `pos`; returns (endPos, reversed steps). */
     private def matchAt(part: IndexedSeq[Row], p: Pat, pos: Int,
-        acc: List[(String, Int)],
-        k: (Int, List[(String, Int)]) => Option[(Int, List[(String, Int)])]): Option[(Int, List[(String, Int)])] =
+        acc: Acc, excl: Boolean,
+        k: (Int, Acc) => Option[(Int, Acc)]): Option[(Int, Acc)] =
       p match {
         case Sym(s) =>
           val pred = define.getOrElse(s, (_: IndexedSeq[Row], _: Int) => true)
-          if (pos < part.length && pred(part, pos)) k(pos + 1, (s, pos) :: acc) else None
+          if (pos < part.length && pred(part, pos)) k(pos + 1, (s, pos, excl) :: acc) else None
         case Cat(ps) =>
           ps.foldRight(k) { (sub, kk) =>
-            (pp: Int, aa: List[(String, Int)]) => matchAt(part, sub, pp, aa, kk)
+            (pp: Int, aa: Acc) => matchAt(part, sub, pp, aa, excl, kk)
           }(pos, acc)
         case Alt(l, r) =>
-          matchAt(part, l, pos, acc, k).orElse(matchAt(part, r, pos, acc, k))
+          matchAt(part, l, pos, acc, excl, k).orElse(matchAt(part, r, pos, acc, excl, k))
         case Opt(sub) =>
-          matchAt(part, sub, pos, acc, k).orElse(k(pos, acc))
+          matchAt(part, sub, pos, acc, excl, k).orElse(k(pos, acc))
         case Star(sub) =>
-          def loop(pp: Int, aa: List[(String, Int)]): Option[(Int, List[(String, Int)])] =
-            matchAt(part, sub, pp, aa,
+          def loop(pp: Int, aa: Acc): Option[(Int, Acc)] =
+            matchAt(part, sub, pp, aa, excl,
               (p2, a2) => if (p2 == pp) None else loop(p2, a2)).orElse(k(pp, aa))
           loop(pos, acc)
         case Plus(sub) =>
-          matchAt(part, sub, pos, acc, (p2, a2) => {
-            def loop(pp: Int, aa: List[(String, Int)]): Option[(Int, List[(String, Int)])] =
-              matchAt(part, sub, pp, aa,
+          matchAt(part, sub, pos, acc, excl, (p2, a2) => {
+            def loop(pp: Int, aa: Acc): Option[(Int, Acc)] =
+              matchAt(part, sub, pp, aa, excl,
                 (p3, a3) => if (p3 == pp) None else loop(p3, a3)).orElse(k(pp, aa))
             loop(p2, a2)
           })
+        case Excl(sub) =>
+          matchAt(part, sub, pos, acc, excl = true, k)
       }
 
     /** All matches over the ordered partition. `skipPastLastRow` = the
@@ -153,9 +177,11 @@ object RowPattern {
       val out = scala.collection.mutable.ArrayBuffer[PatternMatch]()
       var pos = 0
       while (pos < part.length) {
-        matchAt(part, pattern, pos, Nil, (e, a) => Some((e, a))) match {
+        matchAt(part, pattern, pos, Nil, excl = false, (e, a) => Some((e, a))) match {
           case Some((end, acc)) if end > pos =>
-            out += PatternMatch(pos, end, acc.reverse.toIndexedSeq)
+            val trace = acc.reverse.toIndexedSeq
+            out += PatternMatch(pos, end, trace.map(t => (t._1, t._2)),
+              trace.collect { case (_, i, true) => i }.toSet)
             pos = if (skipPastLastRow) end else pos + 1
           case _ =>
             pos += 1

@@ -36,10 +36,13 @@ import graft.plans.{MatchRecognize, RowPattern}
   * SUBSET U = (A, B) union variables resolve in MEASURES as
   * classifier-set membership.
   *
+  * Exclusion syntax `{- p -}` omits the enclosed rows from ALL ROWS PER
+  * MATCH output (they still consume and feed measures).
+  *
   * Documented subset: PARTITION BY / ORDER BY take plain ascending column
   * names; DEFINE may not reference other pattern variables or
-  * FIRST/LAST/aggregates (match-state-dependent conditions); exclusion
-  * syntax and navigation occurrence offsets (FIRST(A.x, 2)) are not parsed.
+  * FIRST/LAST/aggregates (match-state-dependent conditions); navigation
+  * occurrence offsets (FIRST(A.x, 2)) are not parsed.
   */
 private[graft] object MatchRecognizeSql {
 
@@ -162,6 +165,7 @@ private[graft] object MatchRecognizeSql {
       case RowPattern.Opt(s) => syms(s)
       case RowPattern.Star(s) => syms(s)
       case RowPattern.Plus(s) => syms(s)
+      case RowPattern.Excl(s) => syms(s)
     }
     syms(RowPattern.parse(mr.pattern)) ++ mr.defines.map(_._1) ++ mr.subsets.keys
   }

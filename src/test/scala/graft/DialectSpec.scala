@@ -143,6 +143,26 @@ class DialectSpec extends SparkSpec {
     assert(both.findAll(IndexedSeq(Row("x"), Row("y"))).head.steps.map(_._1) == Seq("A", "B"))
   }
 
+  test("pattern exclusion {- -} omits rows from per-row output but keeps consumption") {
+    import graft.plans.RowPattern
+    import org.apache.spark.sql.Row
+    val rows = IndexedSeq("a", "b", "c").map(t => Row(t))
+    def tag(sym: String): RowPattern.Predicate =
+      (p: IndexedSeq[Row], i: Int) => p(i).getString(0) == sym.toLowerCase
+    val m = new RowPattern.Matcher(
+      RowPattern.parse("A {- B -} C"),
+      Map("A" -> tag("A"), "B" -> tag("B"), "C" -> tag("C")))
+    val found = m.findAll(rows)
+    assert(found.size == 1)
+    val mm = found.head
+    // full trace covers all three rows; visible output drops the excluded one
+    assert(mm.steps.map(_._1) == Seq("A", "B", "C"))
+    assert(mm.excluded == Set(1))
+    assert(mm.visibleSteps.map(_._1) == Seq("A", "C"))
+    // measures still see the excluded row
+    assert(mm.countOf("B") == 1L)
+  }
+
   test("SUBSET union variables resolve in measures as classifier-set membership") {
     val base =
       """SELECT * FROM events MATCH_RECOGNIZE (
