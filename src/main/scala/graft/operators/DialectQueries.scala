@@ -241,6 +241,40 @@ object Dialect {
          FROM orders WHERE o_orderkey <= 2000)
        WHERE r <= 10 ORDER BY o_orderpriority, o_orderkey"""
 
+  /** AT TIME ZONE (reference SqlBase.g4 valueExpression): instant-preserving
+    * display-zone change, rewritten onto from_utc_timestamp (session zone is
+    * UTC). DuckDB's ICU timezone() is the oracle. */
+  def q_sqlx_at_timezone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT event_id,
+         date_format(ts AT TIME ZONE 'Asia/Tokyo', 'yyyy-MM-dd HH:mm:ss') AS tokyo,
+         date_format(ts AT TIME ZONE 'America/New_York', 'yyyy-MM-dd HH:mm:ss') AS ny
+         FROM events WHERE event_id < 2000 ORDER BY event_id""")
+  }
+  val qSqlxAtTimezoneSql: String =
+    """SELECT event_id,
+       strftime(timezone('Asia/Tokyo', ts::TIMESTAMPTZ), '%Y-%m-%d %H:%M:%S') AS tokyo,
+       strftime(timezone('America/New_York', ts::TIMESTAMPTZ), '%Y-%m-%d %H:%M:%S') AS ny
+       FROM events WHERE event_id < 2000 ORDER BY event_id"""
+
+  /** PREPARE / EXECUTE … USING (reference execution/PrepareTask.java,
+    * grammar EXECUTE): parameter markers bound literal-aware (a '?' inside a
+    * string literal survives), statements registered per session. */
+  def q_sqlx_prepare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """PREPARE top_orders FROM
+         SELECT o_orderkey, o_orderpriority, concat(o_orderstatus, '?') AS tagged
+         FROM orders WHERE o_orderkey <= ? AND o_totalprice > ?
+         ORDER BY o_orderkey""")
+    TrinoDialect.sql(s, dir, "EXECUTE top_orders USING 5000, 150000.0")
+  }
+  val qSqlxPrepareSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_orderstatus || '?' AS tagged
+       FROM orders WHERE o_orderkey <= 5000 AND o_totalprice > 150000.0
+       ORDER BY o_orderkey"""
+
   /** SQL routine DDL (reference execution/CreateFunctionTask.java,
     * sql/routine/SqlRoutineCompiler.java): CREATE FUNCTION with routine
     * characteristics, body going through the dialect rewriter (format/strpos
@@ -290,7 +324,9 @@ object Dialect {
     "q_sqlx_match_multikey" -> q_sqlx_match_multikey _,
     "q_sqlx_match_define_expr" -> q_sqlx_match_define_expr _,
     "q_sqlx_create_function" -> q_sqlx_create_function _,
-    "q_sqlx_fetch_ties" -> q_sqlx_fetch_ties _)
+    "q_sqlx_fetch_ties" -> q_sqlx_fetch_ties _,
+    "q_sqlx_at_timezone" -> q_sqlx_at_timezone _,
+    "q_sqlx_prepare" -> q_sqlx_prepare _)
 
   val oracles: Map[String, String] = Map(
     "q_tvf_registry" -> qTvfRegistrySql,
@@ -302,5 +338,7 @@ object Dialect {
     "q_sqlx_match_multikey" -> qSqlxMatchMultikeySql,
     "q_sqlx_match_define_expr" -> qSqlxMatchDefineExprSql,
     "q_sqlx_create_function" -> qSqlxCreateFunctionSql,
-    "q_sqlx_fetch_ties" -> qSqlxFetchTiesSql)
+    "q_sqlx_fetch_ties" -> qSqlxFetchTiesSql,
+    "q_sqlx_at_timezone" -> qSqlxAtTimezoneSql,
+    "q_sqlx_prepare" -> qSqlxPrepareSql)
 }

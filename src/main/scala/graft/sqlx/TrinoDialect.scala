@@ -44,11 +44,61 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TrinoDialect {
 
+  // PREPARE/EXECUTE/DEALLOCATE statement registry (reference:
+  // execution/PrepareTask.java, DeallocateTask.java, grammar EXECUTE …
+  // USING). Session-scope in the reference; JVM-scope here (one engine
+  // session per JVM in this harness).
+  private val prepared = scala.collection.mutable.Map[String, String]()
+  private val PrepareRe = "(?is)^\\s*PREPARE\\s+(\\w+)\\s+FROM\\s+(.*)$".r
+  private val ExecuteRe = "(?is)^\\s*EXECUTE\\s+(\\w+)(?:\\s+USING\\s+(.*))?\\s*$".r
+  private val DeallocRe = "(?is)^\\s*DEALLOCATE\\s+PREPARE\\s+(\\w+)\\s*$".r
+
+  /** Splice EXECUTE … USING arguments into the statement's `?` parameter
+    * markers (left to right, literal-aware — a '?' inside a string survives). */
+  private def bindParams(stmt: String, argsText: Option[String]): String = {
+    val args = argsText.map(a =>
+      maskLiterals(a).zip(a).foldLeft((Seq(new StringBuilder), 0)) {
+        case ((acc, depth), ((mc, oc))) => mc match {
+          case '(' => acc.last.append(oc); (acc, depth + 1)
+          case ')' => acc.last.append(oc); (acc, depth - 1)
+          case ',' if depth == 0 => (acc :+ new StringBuilder, depth)
+          case _ => acc.last.append(oc); (acc, depth)
+        }
+      }._1.map(_.toString.trim)).getOrElse(Seq.empty)
+    val masked = maskLiterals(stmt)
+    val out = new StringBuilder
+    var argIdx = 0
+    for (i <- stmt.indices) {
+      if (masked(i) == '?') {
+        require(argIdx < args.length, s"EXECUTE: not enough USING arguments for '$stmt'")
+        out.append(args(argIdx)); argIdx += 1
+      } else out.append(stmt(i))
+    }
+    require(argIdx == args.length,
+      s"EXECUTE: ${args.length} USING arguments but $argIdx parameter markers")
+    out.toString
+  }
+
   /** Execute Trino-dialect SQL against the fixture catalog at `dir`. */
   def sql(spark: SparkSession, dir: String, text: String): DataFrame =
     if (graft.functions.SqlRoutines.isCreateFunction(text))
       graft.functions.SqlRoutines.create(spark, text)
-    else MatchRecognizeSql.parse(text) match {
+    else text match {
+      case PrepareRe(name, stmt) =>
+        prepared(name) = stmt.trim
+        spark.emptyDataFrame
+      case DeallocRe(name) =>
+        prepared.remove(name)
+        spark.emptyDataFrame
+      case ExecuteRe(name, argsText) if prepared.contains(name) =>
+        sql(spark, dir, bindParams(prepared(name), Option(argsText)))
+      case ExecuteRe(name, _) =>
+        throw new IllegalArgumentException(s"EXECUTE: no prepared statement '$name'")
+      case _ => sqlDirect(spark, dir, text)
+    }
+
+  private def sqlDirect(spark: SparkSession, dir: String, text: String): DataFrame =
+    MatchRecognizeSql.parse(text) match {
       case Some(mr) => MatchRecognizeSql.lower(spark, dir, mr)
       case None =>
         graft.sources.Tables.registerAll(spark, dir)
@@ -153,6 +203,14 @@ object TrinoDialect {
           s"FROM (${g(1)}) __fft) WHERE __tie_rank <= ${g(3)} ORDER BY ${g(2)}")
     s = replaceMasked(s, "(?i)FETCH\\s+FIRST\\s+(\\d+)\\s+ROWS\\s+ONLY".r)(
       (m, g) => s"LIMIT ${g(1)}")
+    // expr AT TIME ZONE 'z' (reference SqlBase.g4 valueExpression AT TIME
+    // ZONE): instant-preserving display-zone change. Spark timestamps are
+    // instants rendered in the session zone (UTC here), so the wall-clock in
+    // zone z is from_utc_timestamp. Subset: the operand is an identifier or
+    // a parenthesized/call expression directly before the operator.
+    s = replaceMasked(s,
+      "(?i)(\\w+(?:\\([^()]*\\))?)\\s+AT\\s+TIME\\s+ZONE\\s+('[^']+')".r)(
+      (m, g) => s"from_utc_timestamp(${g(1)}, ${g(2)})")
     s
   }
 

@@ -143,6 +143,24 @@ class DialectSpec extends SparkSpec {
     assert(both.findAll(IndexedSeq(Row("x"), Row("y"))).head.steps.map(_._1) == Seq("A", "B"))
   }
 
+  test("PREPARE/EXECUTE binds ? markers literal-aware; DEALLOCATE removes") {
+    TrinoDialect.sql(spark, sfDir,
+      "PREPARE spec_stmt FROM SELECT n_nationkey, concat(n_name, '?') AS q FROM nation WHERE n_nationkey <= ?")
+    val rows = TrinoDialect.sql(spark, sfDir, "EXECUTE spec_stmt USING 3").collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getString(1).endsWith("?"))) // literal '?' untouched
+    // arity mismatch is a clear error
+    val e1 = intercept[IllegalArgumentException] {
+      TrinoDialect.sql(spark, sfDir, "EXECUTE spec_stmt USING 1, 2")
+    }
+    assert(e1.getMessage.contains("USING arguments"))
+    TrinoDialect.sql(spark, sfDir, "DEALLOCATE PREPARE spec_stmt")
+    val e2 = intercept[IllegalArgumentException] {
+      TrinoDialect.sql(spark, sfDir, "EXECUTE spec_stmt USING 3")
+    }
+    assert(e2.getMessage.contains("no prepared statement"))
+  }
+
   test("pattern exclusion {- -} omits rows from per-row output but keeps consumption") {
     import graft.plans.RowPattern
     import org.apache.spark.sql.Row
