@@ -19,7 +19,10 @@ object Registry {
     "st_geometry_from_text", "st_as_text", "st_intersects", "st_within", "st_length",
     "json_path_value", "json_path_query", "json_path_status",
     "set_digest_cardinality", "jaccard_index", "intersection_cardinality",
-    "typeof")
+    "typeof",
+    "to_ieee754_64", "from_ieee754_64", "to_ieee754_32", "from_ieee754_32",
+    "to_big_endian_32", "from_big_endian_32",
+    "split_to_multimap", "multimap_from_entries", "array_histogram")
 
   def registerAll(spark: SparkSession): Unit = {
     VectorFunctions.register(spark)
@@ -71,5 +74,23 @@ object Registry {
       es => graft.functions.KmvJaccard(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("intersection_cardinality",
       es => graft.functions.KmvIntersection(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("to_ieee754_64",
+      es => graft.ext.ToIeee754B64(es(0)), "built-in")
+    r.createOrReplaceTempFunction("from_ieee754_64",
+      es => graft.ext.FromIeee754B64(es(0)), "built-in")
+    r.createOrReplaceTempFunction("to_ieee754_32",
+      es => graft.ext.ToIeee754B32(es(0)), "built-in")
+    r.createOrReplaceTempFunction("from_ieee754_32",
+      es => graft.ext.FromIeee754B32(es(0)), "built-in")
+    r.createOrReplaceTempFunction("to_big_endian_32",
+      es => graft.ext.ToBigEndian32(es(0)), "built-in")
+    r.createOrReplaceTempFunction("from_big_endian_32",
+      es => graft.ext.FromBigEndian32(es(0)), "built-in")
+    r.createOrReplaceTempFunction("split_to_multimap",
+      es => graft.ext.SplitToMultimap(es(0), es(1), es(2)), "built-in")
+    r.createOrReplaceTempFunction("multimap_from_entries",
+      es => graft.ext.MultimapFromEntries(es(0)), "built-in")
+    r.createOrReplaceTempFunction("array_histogram",
+      es => graft.ext.ArrayHistogram(es(0)), "built-in")
   }
 }

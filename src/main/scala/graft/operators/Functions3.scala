@@ -128,6 +128,63 @@ object Functions3 {
          TRUE AS is_scalar_c
        FROM l ORDER BY c_custkey"""
 
-  val queries: Map[String, Q] = Map("q_fn_scalar3" -> q_fn_scalar3 _)
-  val oracles: Map[String, String] = Map("q_fn_scalar3" -> qFnScalar3Sql)
+  /** Scalar sweep 4 — binary codecs and multimap builders (reference
+    * operator/scalar/VarbinaryFunctions.java toIEEE754Binary64/32 +
+    * toBigEndian32, SplitToMultimapFunction.java,
+    * MultimapFromEntriesFunction.java, ArrayHistogramFunction.java).
+    * IEEE-754 bit patterns are checked two ways: constant known-answer
+    * vectors (1.0 → 3FF0…, -0.5 → BF000000) and per-row roundtrips the
+    * oracle can recompute without bit-level SQL. */
+  def q_fn_scalar4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.registerAll(s)
+    table(s, dir, "customer").filter($"c_custkey" <= 300)
+      .withColumn("digits", lpad(($"c_custkey" * 37 % 100000000L).cast("string"), 8, "0"))
+      .withColumn("mm", expr(
+        "split_to_multimap(concat('seg=', c_mktsegment, ';id=', c_custkey, ';seg=', c_name), ';', '=')"))
+      .withColumn("mfe", expr(
+        """multimap_from_entries(array(named_struct('k', 'a', 'v', c_custkey),
+          named_struct('k', 'b', 'v', c_custkey * 2),
+          named_struct('k', 'a', 'v', c_custkey + 1)))"""))
+      .select($"c_custkey",
+        expr("hex(to_ieee754_64(CAST(1.0 AS DOUBLE)))").as("ka_ieee64"),
+        expr("hex(to_ieee754_32(CAST(-0.5 AS DOUBLE)))").as("ka_ieee32"),
+        expr("from_ieee754_64(to_ieee754_64(CAST(c_acctbal AS DOUBLE)))").as("rt64"),
+        expr("from_ieee754_32(to_ieee754_32(CAST(c_custkey AS DOUBLE) + 0.25))").as("rt32"),
+        expr("hex(to_big_endian_32(CAST(c_custkey AS INT)))").as("be32_hex"),
+        expr("hex(to_big_endian_32(CAST(-c_custkey AS INT)))").as("be32_neg_hex"),
+        expr("from_big_endian_32(to_big_endian_32(CAST(c_custkey AS INT) - 150))").as("be32_rt"),
+        expr("array_join(element_at(mm, 'seg'), ',')").as("mm_seg"),
+        expr("array_join(element_at(mm, 'id'), ',')").as("mm_id"),
+        expr("array_join(map_keys(mm), ',')").as("mm_keys"),
+        expr("array_join(transform(element_at(mfe, 'a'), x -> CAST(x AS STRING)), ',')").as("mfe_a"),
+        expr("array_join(transform(element_at(mfe, 'b'), x -> CAST(x AS STRING)), ',')").as("mfe_b"),
+        expr("element_at(array_histogram(split(digits, '')), '7')").as("hist_sevens"))
+      .orderBy($"c_custkey")
+  }
+  val qFnScalar4Sql: String =
+    """SELECT c_custkey,
+         '3FF0000000000000' AS ka_ieee64,
+         'BF000000' AS ka_ieee32,
+         CAST(c_acctbal AS DOUBLE) AS rt64,
+         CAST(CAST(CAST(c_custkey AS DOUBLE) + 0.25 AS REAL) AS DOUBLE) AS rt32,
+         lpad(upper(to_hex(c_custkey)), 8, '0') AS be32_hex,
+         lpad(upper(to_hex((4294967296 - c_custkey) % 4294967296)), 8, '0') AS be32_neg_hex,
+         CAST(c_custkey - 150 AS INT) AS be32_rt,
+         c_mktsegment || ',' || c_name AS mm_seg,
+         CAST(c_custkey AS VARCHAR) AS mm_id,
+         'seg,id' AS mm_keys,
+         CAST(c_custkey AS VARCHAR) || ',' || CAST(c_custkey + 1 AS VARCHAR) AS mfe_a,
+         CAST(c_custkey * 2 AS VARCHAR) AS mfe_b,
+         (SELECT NULLIF(count(*), 0) FROM unnest(string_split(
+            lpad(CAST(c_custkey * 37 % 100000000 AS VARCHAR), 8, '0'), '')) AS t(ch)
+          WHERE ch = '7') AS hist_sevens
+       FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""
+
+  val queries: Map[String, Q] = Map(
+    "q_fn_scalar3" -> q_fn_scalar3 _,
+    "q_fn_scalar4" -> q_fn_scalar4 _)
+  val oracles: Map[String, String] = Map(
+    "q_fn_scalar3" -> qFnScalar3Sql,
+    "q_fn_scalar4" -> qFnScalar4Sql)
 }

@@ -136,4 +136,40 @@ class FunctionSpec extends SparkSpec {
     assert(b1.length == 4)
     assert(b1.forall(x => x >= 0 && x < 256))
   }
+
+  test("ieee754/big-endian codecs: known bit patterns and roundtrips") {
+    graft.functions.Registry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT hex(to_ieee754_64(CAST(1.0 AS DOUBLE))),
+                hex(to_ieee754_32(CAST(1.0 AS DOUBLE))),
+                hex(to_big_endian_32(1)), hex(to_big_endian_32(-1)),
+                from_ieee754_64(to_ieee754_64(CAST(-2.5 AS DOUBLE))),
+                from_ieee754_32(to_ieee754_32(CAST(0.5 AS DOUBLE))),
+                from_big_endian_32(to_big_endian_32(-123456))""").collect()(0)
+    assert(r.getString(0) == "3FF0000000000000")
+    assert(r.getString(1) == "3F800000")
+    assert(r.getString(2) == "00000001")
+    assert(r.getString(3) == "FFFFFFFF")
+    assert(r.getDouble(4) == -2.5)
+    assert(r.getDouble(5) == 0.5)
+    assert(r.getInt(6) == -123456)
+  }
+
+  test("split_to_multimap / multimap_from_entries / array_histogram") {
+    graft.functions.Registry.registerAll(spark)
+    val mm = spark.sql("SELECT split_to_multimap('a=1;b=2;a=3', ';', '=') AS m")
+      .collect()(0).getMap[String, scala.collection.Seq[String]](0)
+    assert(mm("a").toSeq == Seq("1", "3") && mm("b").toSeq == Seq("2"))
+    val mfe = spark.sql(
+      "SELECT multimap_from_entries(array(struct('k1', 1), struct('k2', 2), struct('k1', 3)))")
+      .collect()(0).getMap[String, scala.collection.Seq[Int]](0)
+    assert(mfe("k1").toSeq == Seq(1, 3) && mfe("k2").toSeq == Seq(2))
+    val h = spark.sql("SELECT array_histogram(array('x', 'y', 'x', NULL))")
+      .collect()(0).getMap[String, Long](0)
+    assert(h == Map("x" -> 2L, "y" -> 1L))
+    // null entry / null key are errors, matching the reference
+    intercept[Exception] {
+      spark.sql("SELECT multimap_from_entries(array(struct('k', 1), NULL))").collect()
+    }
+  }
 }
