@@ -132,7 +132,23 @@ object RowPattern {
     * navigation functions. */
   type Predicate = (IndexedSeq[Row], Int) => Boolean
 
-  final class Matcher(pattern: Pat, define: Map[String, Predicate]) extends Serializable {
+  /** Partial-match trace as seen by a state-aware predicate: (symbol,
+    * rowIndex) steps of the match so far, MOST RECENT FIRST. The candidate
+    * row itself is not yet in the trace. */
+  type Trace = List[(String, Int)]
+
+  /** Match-state-aware predicate — the reference's full DEFINE semantics
+    * (conditions over LAST(A.x), COUNT(B.*), etc. need the rows already
+    * mapped in the current partial match; reference
+    * operator/window/matcher/Matcher.java evaluates labels against the
+    * partial ArrayView of previous labels). */
+  type TracePredicate = (IndexedSeq[Row], Int, Trace) => Boolean
+
+  /** Lift a state-independent predicate. */
+  def lift(p: Predicate): TracePredicate = (part, i, _) => p(part, i)
+
+  final class Matcher(pattern: Pat, define: Map[String, TracePredicate])
+      extends Serializable {
 
     // trace entries: (symbol, rowIndex, insideExclusion)
     private type Acc = List[(String, Int, Boolean)]
@@ -143,8 +159,12 @@ object RowPattern {
         k: (Int, Acc) => Option[(Int, Acc)]): Option[(Int, Acc)] =
       p match {
         case Sym(s) =>
-          val pred = define.getOrElse(s, (_: IndexedSeq[Row], _: Int) => true)
-          if (pos < part.length && pred(part, pos)) k(pos + 1, (s, pos, excl) :: acc) else None
+          val pred = define.getOrElse(s,
+            (_: IndexedSeq[Row], _: Int, _: Trace) => true)
+          if (pos < part.length &&
+            pred(part, pos, acc.map(t => (t._1, t._2))))
+            k(pos + 1, (s, pos, excl) :: acc)
+          else None
         case Cat(ps) =>
           ps.foldRight(k) { (sub, kk) =>
             (pp: Int, aa: Acc) => matchAt(part, sub, pp, aa, excl, kk)
