@@ -46,7 +46,15 @@ object Bench {
     val spark = graft.engine.GraftSession.withExtras(
       graft.engine.GraftSession
         .builder(master = s"local[$cpus]", shufflePartitions = shuffle)
-        .config("spark.sql.adaptive.enabled", aqe))
+        .config("spark.sql.adaptive.enabled", aqe)
+        // Bench-only: single-JVM shuffle blocks hit local SSD and are read
+        // back within milliseconds — lz4 costs CPU and buys nothing here.
+        // The library default (GraftSession) keeps Spark's compression
+        // defaults ON, which is what a multi-node 100 TB deployment needs.
+        .config("spark.shuffle.compress",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+        .config("spark.shuffle.spill.compress",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

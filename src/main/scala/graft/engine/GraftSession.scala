@@ -45,14 +45,6 @@ object GraftSession {
       // session conf first (a latent race under concurrent planning).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // Local-mode I/O: shuffle blocks live on local SSD and are consumed by
-      // the same JVM within milliseconds — lz4 costs CPU on the hot path and
-      // buys nothing. A multi-node 100 TB deployment flips these back on
-      // (network + disk pressure dominate there); they are Spark's defaults.
-      .config("spark.shuffle.compress",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
-      .config("spark.shuffle.spill.compress",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
 
   /** Ad-hoc conf overrides for measurement: SPARK_GRAFT_EXTRA="k=v;k2=v2". */
   private[graft] def withExtras(b: SparkSession.Builder): SparkSession.Builder = {

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** IEEE-754 and big-endian binary codecs (SURVEY.md §2.8 binary functions;
   * reference: core/trino-main/src/main/java/io/trino/operator/scalar/
@@ -23,9 +23,9 @@ object BinaryCodecs {
   }
   def floatToBe(v: Double): Array[Byte] =
     java.nio.ByteBuffer.allocate(4).putInt(java.lang.Float.floatToIntBits(v.toFloat)).array()
-  def beToFloat(b: Array[Byte]): Double = {
+  def beToFloat(b: Array[Byte]): Float = {
     require(b.length == 4, s"from_ieee754_32 requires 4 bytes, got ${b.length}")
-    java.lang.Float.intBitsToFloat(java.nio.ByteBuffer.wrap(b).getInt).toDouble
+    java.lang.Float.intBitsToFloat(java.nio.ByteBuffer.wrap(b).getInt)
   }
   def intToBe(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(v).array()
   def beToInt(b: Array[Byte]): Int = {
@@ -65,7 +65,8 @@ case class ToIeee754B32(child: Expression) extends CodecExpr {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
 }
 case class FromIeee754B32(child: Expression) extends CodecExpr {
-  override def sig: (DataType, DataType, String) = (BinaryType, DoubleType, "beToFloat")
+  // REAL in the reference (VarbinaryFunctions.java fromIEEE754Binary32)
+  override def sig: (DataType, DataType, String) = (BinaryType, FloatType, "beToFloat")
   override def prettyName: String = "from_ieee754_32"
   override def nullSafeEval(v: Any): Any = BinaryCodecs.beToFloat(v.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)

@@ -21,6 +21,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * operator/aggregation/multimapagg/MultimapAggregationFunction.java).
   */
 private[ext] object MultimapBuild {
+  /** SQL-equality hash key for a Catalyst value: JVM equality alone would
+    * split -0.0 from 0.0 (boxed Double/Float) and compare binary by array
+    * identity, so normalize both before hashing. Struct/array keys are
+    * restricted by the callers' type checks to atomic element types. */
+  def hashKey(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0 => 0.0
+    case f: java.lang.Float if f.floatValue() == 0.0f => 0.0f
+    case b: Array[Byte] => b.toSeq
+    case other => other
+  }
+
   /** Group (key, value) pairs into a MapData of key → array(values), keys in
     * first-appearance order, values in pair order. */
   def group(pairs: Iterator[(Any, Any)], what: String): ArrayBasedMapData = {
@@ -28,11 +39,13 @@ private[ext] object MultimapBuild {
     val byKey = scala.collection.mutable.HashMap[Any, scala.collection.mutable.ArrayBuffer[Any]]()
     pairs.foreach { case (k, v) =>
       require(k != null, s"$what: map key cannot be null")
-      byKey.getOrElseUpdate(k, { order += k; scala.collection.mutable.ArrayBuffer[Any]() }) += v
+      val hk = hashKey(k)
+      byKey.getOrElseUpdate(hk, { order += k; scala.collection.mutable.ArrayBuffer[Any]() }) += v
     }
     new ArrayBasedMapData(
       new GenericArrayData(order.toArray),
-      new GenericArrayData(order.map(k => new GenericArrayData(byKey(k).toArray): Any).toArray))
+      new GenericArrayData(order.map(k =>
+        new GenericArrayData(byKey(hashKey(k)).toArray): Any).toArray))
   }
 }
 
@@ -50,9 +63,19 @@ case class SplitToMultimap(first: Expression, second: Expression, third: Express
     val entryD = ed.asInstanceOf[UTF8String].toString
     val kvD = kd.asInstanceOf[UTF8String].toString
     require(entryD.nonEmpty && kvD.nonEmpty, s"$prettyName: delimiters may not be empty")
-    val pairs = str.split(java.util.regex.Pattern.quote(entryD), -1).iterator.map { entry =>
+    require(entryD != kvD,
+      s"$prettyName: entryDelimiter and keyValueDelimiter must not be the same")
+    // Reference scan semantics (SplitToMultimapFunction.java): empty input →
+    // empty map; a trailing entry delimiter leaves an empty tail that is
+    // skipped; the key-value delimiter must occur exactly once per entry.
+    val parts = str.split(java.util.regex.Pattern.quote(entryD), -1)
+    val keep =
+      if (parts.length > 1 && parts.last.isEmpty) parts.length - 1 else parts.length
+    val pairs = parts.iterator.take(keep).filterNot(e => str.isEmpty && e.isEmpty).map { entry =>
       val i = entry.indexOf(kvD)
       require(i >= 0, s"$prettyName: entry '$entry' has no key-value delimiter '$kvD'")
+      require(entry.indexOf(kvD, i + kvD.length) < 0,
+        s"$prettyName: entry '$entry' has more than one key-value delimiter '$kvD'")
       (UTF8String.fromString(entry.substring(0, i)): Any,
         UTF8String.fromString(entry.substring(i + kvD.length)): Any)
     }
@@ -112,13 +135,15 @@ case class ArrayHistogram(child: Expression)
     (0 until arr.numElements()).foreach { i =>
       if (!arr.isNullAt(i)) {
         val v = arr.get(i, t)
-        if (!counts.contains(v)) order += v
-        counts(v) = counts.getOrElse(v, 0L) + 1L
+        val hk = MultimapBuild.hashKey(v)
+        if (!counts.contains(hk)) order += v
+        counts(hk) = counts.getOrElse(hk, 0L) + 1L
       }
     }
     new ArrayBasedMapData(
       new GenericArrayData(order.toArray),
-      new GenericArrayData(order.map(counts(_): Any).toArray))
+      new GenericArrayData(order.map(v =>
+        counts(MultimapBuild.hashKey(v)): Any).toArray))
   }
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
 }

@@ -167,7 +167,7 @@ object Functions3 {
          '3FF0000000000000' AS ka_ieee64,
          'BF000000' AS ka_ieee32,
          CAST(c_acctbal AS DOUBLE) AS rt64,
-         CAST(CAST(CAST(c_custkey AS DOUBLE) + 0.25 AS REAL) AS DOUBLE) AS rt32,
+         CAST(CAST(c_custkey AS DOUBLE) + 0.25 AS REAL) AS rt32,
          lpad(upper(to_hex(c_custkey)), 8, '0') AS be32_hex,
          lpad(upper(to_hex((4294967296 - c_custkey) % 4294967296)), 8, '0') AS be32_neg_hex,
          CAST(c_custkey - 150 AS INT) AS be32_rt,

@@ -83,7 +83,7 @@ object MatchRecognize {
       measures: Seq[Measure],
       skipPastLastRow: Boolean = true): DataFrame = {
 
-    val matcher = new RowPattern.Matcher(RowPattern.parse(pattern), define)
+    val matcher = new RowPattern.Matcher(RowPattern.parse(pattern), RowPattern.liftAll(define))
     val keyField = df.schema(partitionCol)
     val outSchema = StructType(
       StructField(keyField.name, keyField.dataType, nullable = false) +:
@@ -136,7 +136,7 @@ object MatchRecognize {
         s"DEFINE column '$c' for symbol '$sym' must be BOOLEAN, got ${schema(i).dataType.simpleString}")
       sym -> ((p: IndexedSeq[Row], r: Int) => !p(r).isNullAt(i) && p(r).getBoolean(i))
     }
-    val matcher = new RowPattern.Matcher(RowPattern.parse(pattern), define)
+    val matcher = new RowPattern.Matcher(RowPattern.parse(pattern), RowPattern.liftAll(define))
     val keyIdx = partitionCols.map(schema.fieldIndex)
     val inWidth = schema.length
     val outSchema = StructType(schema.fields ++ Seq(
@@ -184,7 +184,7 @@ object MatchRecognize {
       includeCols: Seq[String],
       skipPastLastRow: Boolean = true): DataFrame = {
 
-    val matcher = new RowPattern.Matcher(RowPattern.parse(pattern), define)
+    val matcher = new RowPattern.Matcher(RowPattern.parse(pattern), RowPattern.liftAll(define))
     val keyField = df.schema(partitionCol)
     val includeIdx = includeCols.map(df.schema.fieldIndex)
     val outSchema = StructType(

@@ -147,6 +147,10 @@ object RowPattern {
   /** Lift a state-independent predicate. */
   def lift(p: Predicate): TracePredicate = (part, i, _) => p(part, i)
 
+  /** Lift a whole DEFINE map of state-independent predicates. */
+  def liftAll(m: Map[String, Predicate]): Map[String, TracePredicate] =
+    m.map { case (k, v) => k -> lift(v) }
+
   final class Matcher(pattern: Pat, define: Map[String, TracePredicate])
       extends Serializable {
 

@@ -134,12 +134,12 @@ class DialectSpec extends SparkSpec {
     def tag(sym: String): RowPattern.Predicate =
       (p: IndexedSeq[Row], i: Int) => p(i).getString(0) == sym.toLowerCase
     val m = new RowPattern.Matcher(RowPattern.parse("PERMUTE(A, B)"),
-      Map("A" -> tag("A"), "B" -> tag("B")))
+      RowPattern.liftAll(Map("A" -> tag("A"), "B" -> tag("B"))))
     val found = m.findAll(rows).map(mm => mm.steps.map(_._1).mkString)
     assert(found == Seq("AB", "BA"))
     // preferment: on ambiguous input the A-first ordering wins
     val both = new RowPattern.Matcher(RowPattern.parse("PERMUTE(A, B)"),
-      Map.empty) // undefined symbols always match
+      Map.empty[String, RowPattern.TracePredicate]) // undefined symbols always match
     assert(both.findAll(IndexedSeq(Row("x"), Row("y"))).head.steps.map(_._1) == Seq("A", "B"))
   }
 
@@ -169,7 +169,7 @@ class DialectSpec extends SparkSpec {
       (p: IndexedSeq[Row], i: Int) => p(i).getString(0) == sym.toLowerCase
     val m = new RowPattern.Matcher(
       RowPattern.parse("A {- B -} C"),
-      Map("A" -> tag("A"), "B" -> tag("B"), "C" -> tag("C")))
+      RowPattern.liftAll(Map("A" -> tag("A"), "B" -> tag("B"), "C" -> tag("C"))))
     val found = m.findAll(rows)
     assert(found.size == 1)
     val mm = found.head

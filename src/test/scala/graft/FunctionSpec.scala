@@ -151,7 +151,7 @@ class FunctionSpec extends SparkSpec {
     assert(r.getString(2) == "00000001")
     assert(r.getString(3) == "FFFFFFFF")
     assert(r.getDouble(4) == -2.5)
-    assert(r.getDouble(5) == 0.5)
+    assert(r.getFloat(5) == 0.5f) // REAL, matching the reference signature
     assert(r.getInt(6) == -123456)
   }
 
@@ -170,6 +170,18 @@ class FunctionSpec extends SparkSpec {
     // null entry / null key are errors, matching the reference
     intercept[Exception] {
       spark.sql("SELECT multimap_from_entries(array(struct('k', 1), NULL))").collect()
+    }
+    // reference scan semantics: empty input → empty map; trailing entry
+    // delimiter skipped; duplicate kv delimiter and equal delimiters error
+    assert(spark.sql("SELECT split_to_multimap('', ';', '=')")
+      .collect()(0).getMap[String, Any](0).isEmpty)
+    assert(spark.sql("SELECT split_to_multimap('a=1;', ';', '=')")
+      .collect()(0).getMap[String, scala.collection.Seq[String]](0)("a").toSeq == Seq("1"))
+    intercept[Exception] {
+      spark.sql("SELECT split_to_multimap('a=1=2', ';', '=')").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT split_to_multimap('a=1', '=', '=')").collect()
     }
   }
 }

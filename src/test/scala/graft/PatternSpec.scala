@@ -13,11 +13,11 @@ class PatternSpec extends SparkSpec {
     values.map(c => Row(c.toString)).toIndexedSeq
 
   /** DEFINE: each single-letter symbol matches rows carrying that letter. */
-  private def letterDefs(letters: String): Map[String, Predicate] =
-    letters.map { c =>
+  private def letterDefs(letters: String): Map[String, TracePredicate] =
+    liftAll(letters.map { c =>
       val pred: Predicate = (p, i) => p(i).getString(0) == c.toString
       c.toString -> pred
-    }.toMap
+    }.toMap)
 
   test("parser handles concat, alternation, quantifiers, groups") {
     assert(parse("A B C") == Cat(List(Sym("A"), Sym("B"), Sym("C"))))
@@ -39,7 +39,7 @@ class PatternSpec extends SparkSpec {
     val m = new Matcher(parse("A B"), letterDefs("AB"))
     val overlapping = m.findAll(sym("ABAB"), skipPastLastRow = false)
     assert(overlapping.map(_.start) == Seq(0, 2))
-    val m2 = new Matcher(parse("A A"), Map("A" -> ((p: IndexedSeq[Row], i: Int) => true)))
+    val m2 = new Matcher(parse("A A"), liftAll(Map("A" -> ((p: IndexedSeq[Row], i: Int) => true))))
     assert(m2.findAll(sym("xxx"), skipPastLastRow = false).map(_.start) == Seq(0, 1))
   }
 
@@ -48,7 +48,7 @@ class PatternSpec extends SparkSpec {
     val defs: Map[String, Predicate] = Map(
       "B" -> ((p, i) => p(i).getString(0) == "X"),
       "C" -> ((p, i) => p(i).getString(0) == "X"))
-    val m = new Matcher(parse("B | C"), defs)
+    val m = new Matcher(parse("B | C"), liftAll(defs))
     assert(m.findAll(sym("X")).head.steps.map(_._1) == Seq("B"))
   }
 
