@@ -218,6 +218,89 @@ object Dialect {
          match_max, first_val
        FROM m ORDER BY user_id, event_id"""
 
+  /** Match-state-dependent DEFINE #1 — COUNT(B.*) bounds the match length
+    * (reference DEFINE semantics: the candidate row is tentatively mapped,
+    * so the count includes it; operator/window/matcher/Matcher.java). Runs
+    * of value > 50 are chunked into matches of at most 4 rows; the oracle
+    * replays the chunking with gaps-islands + integer division, which is
+    * exact because the count resets deterministically every 4 rows. */
+  def q_sqlx_match_count_define(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES FIRST(B.event_id) AS start_id,
+                    LAST(B.event_id) AS end_id,
+                    COUNT(B.*) AS n
+           ONE ROW PER MATCH
+           PATTERN (B+)
+           DEFINE B AS value > 50 AND COUNT(B.*) <= 4
+         )""")
+      .orderBy($"user_id", $"start_id")
+  }
+  val qSqlxMatchCountDefineSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         FROM events),
+       f AS (
+         SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+         FROM e WHERE value > 50),
+       c AS (
+         SELECT *, CAST(floor((row_number() OVER (PARTITION BY user_id, grp ORDER BY rn) - 1) / 4) AS BIGINT) AS chunk
+         FROM f)
+       SELECT user_id, min(event_id) AS start_id, max(event_id) AS end_id,
+         CAST(count(*) AS BIGINT) AS n
+       FROM c GROUP BY user_id, grp, chunk
+       ORDER BY user_id, start_id"""
+
+  /** Match-state-dependent DEFINE #2 — cross-variable reference: B's
+    * condition navigates the anchor row's value (bare A.value ≡
+    * LAST(A.value) per the standard). Each row ≥ 100 anchors a match whose
+    * followers stay within an anchor-relative band; followers are < 100 so
+    * anchors are never consumed as B, making matches independent per anchor
+    * — which is what lets a DuckDB join replay them exactly. */
+  def q_sqlx_match_anchor_define(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES A.event_id AS anchor_id,
+                    A.value AS anchor_val,
+                    COUNT(B.*) AS n_follow,
+                    COUNT(*) AS n_rows
+           ONE ROW PER MATCH
+           PATTERN (A B*)
+           DEFINE A AS value >= 100,
+                  B AS value < 100 AND value > A.value - 80
+         )""")
+      .orderBy($"user_id", $"anchor_id")
+  }
+  val qSqlxMatchAnchorDefineSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         FROM events),
+       mx AS (SELECT user_id, max(rn) AS maxrn FROM e GROUP BY user_id),
+       a AS (SELECT * FROM e WHERE value >= 100),
+       v AS (
+         SELECT a.user_id, a.rn AS arn,
+           min(CASE WHEN NOT (f.value < 100 AND f.value > a.value - 80) THEN f.rn END) AS vrn
+         FROM a JOIN e f ON f.user_id = a.user_id AND f.rn > a.rn
+         GROUP BY a.user_id, a.rn),
+       n AS (
+         SELECT a.user_id, a.event_id AS anchor_id, a.value AS anchor_val,
+           coalesce(v.vrn, mx.maxrn + 1) - a.rn - 1 AS n_follow
+         FROM a
+         LEFT JOIN v ON v.user_id = a.user_id AND v.arn = a.rn
+         JOIN mx ON mx.user_id = a.user_id)
+       SELECT user_id, anchor_id, anchor_val,
+         CAST(n_follow AS BIGINT) AS n_follow,
+         CAST(n_follow + 1 AS BIGINT) AS n_rows
+       FROM n ORDER BY user_id, anchor_id"""
+
   /** FETCH FIRST n ROWS WITH TIES (reference SqlBase.g4 limitRowCount):
     * lowered onto rank() over the trailing ORDER BY; the oracle runs DuckDB's
     * NATIVE WITH TIES. Ordering on o_orderpriority (5 distinct values over
@@ -323,6 +406,8 @@ object Dialect {
     "q_sqlx_match_rows" -> q_sqlx_match_rows _,
     "q_sqlx_match_multikey" -> q_sqlx_match_multikey _,
     "q_sqlx_match_define_expr" -> q_sqlx_match_define_expr _,
+    "q_sqlx_match_count_define" -> q_sqlx_match_count_define _,
+    "q_sqlx_match_anchor_define" -> q_sqlx_match_anchor_define _,
     "q_sqlx_create_function" -> q_sqlx_create_function _,
     "q_sqlx_fetch_ties" -> q_sqlx_fetch_ties _,
     "q_sqlx_at_timezone" -> q_sqlx_at_timezone _,
@@ -337,6 +422,8 @@ object Dialect {
     "q_sqlx_match_rows" -> qSqlxMatchRowsSql,
     "q_sqlx_match_multikey" -> qSqlxMatchMultikeySql,
     "q_sqlx_match_define_expr" -> qSqlxMatchDefineExprSql,
+    "q_sqlx_match_count_define" -> qSqlxMatchCountDefineSql,
+    "q_sqlx_match_anchor_define" -> qSqlxMatchAnchorDefineSql,
     "q_sqlx_create_function" -> qSqlxCreateFunctionSql,
     "q_sqlx_fetch_ties" -> qSqlxFetchTiesSql,
     "q_sqlx_at_timezone" -> qSqlxAtTimezoneSql,

@@ -125,18 +125,39 @@ object MatchRecognize {
       orderCols: Seq[String],
       pattern: String,
       defineCols: Map[String, String],
-      skipPastLastRow: Boolean = true): DataFrame = {
+      skipPastLastRow: Boolean = true): DataFrame =
+    annotateMatchesWith(df, partitionCols, orderCols, pattern,
+      RowPattern.liftAll(boolColumnPredicates(df.schema, defineCols)), skipPastLastRow)
 
-    require(partitionCols.nonEmpty, "MATCH_RECOGNIZE requires PARTITION BY")
-    require(orderCols.nonEmpty, "MATCH_RECOGNIZE requires ORDER BY")
-    val schema = df.schema
-    val define: Map[String, RowPattern.Predicate] = defineCols.map { case (sym, c) =>
+  /** DEFINE symbols from precomputed boolean columns — the fast path for
+    * match-state-independent conditions (Catalyst evaluates them once per
+    * row, codegen'd, before the NFA walk). */
+  def boolColumnPredicates(
+      schema: StructType, defineCols: Map[String, String]): Map[String, RowPattern.Predicate] =
+    defineCols.map { case (sym, c) =>
       val i = schema.fieldIndex(c)
       require(schema(i).dataType == org.apache.spark.sql.types.BooleanType,
         s"DEFINE column '$c' for symbol '$sym' must be BOOLEAN, got ${schema(i).dataType.simpleString}")
       sym -> ((p: IndexedSeq[Row], r: Int) => !p(r).isNullAt(i) && p(r).getBoolean(i))
     }
-    val matcher = new RowPattern.Matcher(RowPattern.parse(pattern), RowPattern.liftAll(define))
+
+  /** As `annotateMatches`, but DEFINE symbols are arbitrary trace-aware
+    * predicates — the full reference DEFINE semantics where a condition may
+    * navigate rows already mapped in the current partial match
+    * (LAST(A.x), COUNT(B.*); reference operator/window/matcher/Matcher.java
+    * evaluates labels against the partial ArrayView of previous labels). */
+  def annotateMatchesWith(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderCols: Seq[String],
+      pattern: String,
+      define: Map[String, RowPattern.TracePredicate],
+      skipPastLastRow: Boolean = true): DataFrame = {
+
+    require(partitionCols.nonEmpty, "MATCH_RECOGNIZE requires PARTITION BY")
+    require(orderCols.nonEmpty, "MATCH_RECOGNIZE requires ORDER BY")
+    val schema = df.schema
+    val matcher = new RowPattern.Matcher(RowPattern.parse(pattern), define)
     val keyIdx = partitionCols.map(schema.fieldIndex)
     val inWidth = schema.length
     val outSchema = StructType(schema.fields ++ Seq(

@@ -39,10 +39,19 @@ import graft.plans.{MatchRecognize, RowPattern}
   * Exclusion syntax `{- p -}` omits the enclosed rows from ALL ROWS PER
   * MATCH output (they still consume and feed measures).
   *
+  * DEFINE conditions split two ways: state-INdependent ones (current-row
+  * columns + PREV/NEXT) lower to codegen'd boolean lag/lead columns as
+  * above; match-state-DEPENDENT ones — references to other pattern
+  * variables (B.price < A.price), logical navigation with occurrence
+  * offsets (FIRST/LAST(A.x[, n])), COUNT(A.*)/COUNT(*), SUM/MIN/MAX/AVG
+  * over a variable — compile via DefineEval to trace-aware predicates the
+  * NFA evaluates against the partial match (reference DEFINE semantics:
+  * operator/window/matcher/Matcher.java label evaluation).
+  *
   * Documented subset: PARTITION BY / ORDER BY take plain ascending column
-  * names; DEFINE may not reference other pattern variables or
-  * FIRST/LAST/aggregates (match-state-dependent conditions); navigation
-  * occurrence offsets (FIRST(A.x, 2)) are not parsed.
+  * names; navigation arguments in state-dependent DEFINEs are plain or
+  * symbol-qualified columns (not arbitrary expressions); measures do not
+  * parse occurrence offsets.
   */
 private[graft] object MatchRecognizeSql {
 
@@ -97,7 +106,7 @@ private[graft] object MatchRecognizeSql {
   }
 
   /** Split on top-level commas (outside parens and quotes). */
-  private def splitTop(s: String): Seq[String] = {
+  private[sqlx] def splitTop(s: String): Seq[String] = {
     val state = scanState(s)
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var start = 0
@@ -183,7 +192,7 @@ private[graft] object MatchRecognizeSql {
 
   /** Rewrite calls to `names` (word-boundary, outside quotes) via `f(name, argText)`;
     * arguments are rewritten recursively first. */
-  private def rewriteCalls(text: String, names: Set[String])(
+  private[sqlx] def rewriteCalls(text: String, names: Set[String])(
       f: (String, String) => String): String = {
     val re = ("(?i)\\b(" + names.mkString("|") + ")\\s*\\(").r
     val state = scanState(text)
@@ -203,24 +212,18 @@ private[graft] object MatchRecognizeSql {
       .filter(m => syms.exists(_.equalsIgnoreCase(m.group(1))))
       .map(m => (syms.find(_.equalsIgnoreCase(m.group(1))).get, m.group(2)))
 
-  /** DEFINE condition → Spark SQL boolean expression text. */
+  /** State-INdependent DEFINE condition → Spark SQL boolean expression text
+    * (the codegen'd fast path; stateful conditions go to DefineEval). */
   private def rewriteDefine(cond: String, selfSym: String, syms: Set[String],
       navOver: String): String = {
-    val blocked = Set("FIRST", "LAST", "COUNT", "SUM", "AVG", "MIN", "MAX", "CLASSIFIER", "MATCH_NUMBER")
-    ("(?i)\\b(" + blocked.mkString("|") + ")\\s*\\(").r.findFirstIn(cond).foreach(fn =>
-      fail(s"DEFINE subset: match-state functions ($fn...) are not supported in DEFINE — " +
-        "conditions may use current-row columns and PREV/NEXT navigation"))
     val nav = rewriteCalls(cond, Set("PREV", "NEXT")) {
       case ("PREV", arg) => s"lag($arg) $navOver"
       case ("NEXT", arg) => s"lead($arg) $navOver"
       case (other, arg) => s"$other($arg)"
     }
-    // self-qualified refs (D.value inside DEFINE D) are current-row columns;
-    // refs to OTHER pattern variables need match state — unsupported.
+    // self-qualified refs (D.value inside DEFINE D) are current-row columns
     "(\\w+)\\.(\\w+)".r.replaceAllIn(nav, m =>
       if (m.group(1).equalsIgnoreCase(selfSym)) m.group(2)
-      else if (syms.exists(_.equalsIgnoreCase(m.group(1))))
-        fail(s"DEFINE subset: reference to other pattern variable '${m.group(0)}'")
       else m.group(0))
   }
 
@@ -301,18 +304,29 @@ private[graft] object MatchRecognizeSql {
     val keep = (mr.partitionBy ++ mr.orderBy ++ defCols ++ measCols).distinct
     var df = full.select(keep.map(col): _*)
 
-    // DEFINE → boolean columns (lag/lead + arbitrary scalar exprs, codegen'd
-    // in ONE window pass; annotateMatches reuses the same exchange+sort)
+    // DEFINE routing: state-independent conditions → boolean columns
+    // (lag/lead + arbitrary scalar exprs, codegen'd in ONE window pass;
+    // annotateMatchesWith reuses the same exchange+sort); match-state-
+    // dependent conditions (LAST(A.x), COUNT(B.*), cross-variable refs) →
+    // trace-aware predicates compiled by DefineEval.
     val navOver =
       s"OVER (PARTITION BY ${mr.partitionBy.mkString(", ")} ORDER BY ${mr.orderBy.mkString(", ")})"
-    val defBool = mr.defines.map { case (sym, cond) =>
+    val (stateful, simple) =
+      mr.defines.partition(d => DefineEval.isStateful(d._2, d._1, syms))
+    val defBool = simple.map { case (sym, cond) =>
       val boolCol = s"__def_$sym"
       df = df.withColumn(boolCol, expr(rewriteDefine(cond, sym, syms, navOver)))
       sym -> boolCol
     }.toMap
 
-    val annotated = MatchRecognize.annotateMatches(
-        df, mr.partitionBy, mr.orderBy, mr.pattern, defBool, mr.skipPastLastRow)
+    val tracePreds: Map[String, RowPattern.TracePredicate] =
+      RowPattern.liftAll(MatchRecognize.boolColumnPredicates(df.schema, defBool)) ++
+        stateful.map { case (sym, cond) =>
+          sym -> DefineEval.compile(spark, df.schema, cond, sym, syms, mr.subsets)
+        }
+
+    val annotated = MatchRecognize.annotateMatchesWith(
+        df, mr.partitionBy, mr.orderBy, mr.pattern, tracePreds, mr.skipPastLastRow)
       .drop(defBool.values.toSeq: _*)
 
     if (mr.allRows) {

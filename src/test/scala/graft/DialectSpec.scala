@@ -197,18 +197,57 @@ class DialectSpec extends SparkSpec {
     assert(withSubset.nonEmpty && withSubset == explicit)
   }
 
-  test("MATCH_RECOGNIZE DEFINE subset rejects match-state functions and cross-variable refs") {
-    def mr(define: String) =
-      s"""SELECT * FROM events MATCH_RECOGNIZE (
+  /** Fixture dir for the state-dependent DEFINE tests: one user, a known
+    * value sequence at mseq.parquet, loadable by table name. */
+  private lazy val mrFixtureDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mrdefine").toString
+    Seq(95.0, 92.0, 40.0, 10.0, 96.0, 50.0, 44.0, 93.0, 91.0, 20.0)
+      .zipWithIndex.map { case (v, i) => (1L, (i + 1).toLong, v) }
+      .toDF("user_id", "event_id", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/mseq.parquet")
+    dir
+  }
+
+  private def mrRun(measures: String, pattern: String, define: String): Seq[Seq[Any]] =
+    graft.sqlx.TrinoDialect.sql(spark, mrFixtureDir,
+      s"""SELECT * FROM mseq MATCH_RECOGNIZE (
            PARTITION BY user_id ORDER BY event_id
-           PATTERN (A B) DEFINE $define)"""
-    val e1 = intercept[IllegalArgumentException] {
-      graft.sqlx.TrinoDialect.sql(spark, sfDir, mr("A AS value > FIRST(B.value)"))
-    }
-    assert(e1.getMessage.contains("match-state"))
-    val e2 = intercept[IllegalArgumentException] {
-      graft.sqlx.TrinoDialect.sql(spark, sfDir, mr("A AS value > B.value, B AS value > 0"))
-    }
-    assert(e2.getMessage.contains("other pattern variable"))
+           MEASURES $measures
+           ONE ROW PER MATCH
+           PATTERN ($pattern)
+           DEFINE $define)""")
+      .orderBy("s").collect().toSeq.map(_.toSeq.drop(1)) // drop user_id
+
+  test("DEFINE COUNT(B.*) bounds match length (candidate row counts)") {
+    // islands of value > 10: rows 1-3 and 5-10 → chunks of ≤ 3
+    val got = mrRun("FIRST(B.event_id) AS s, COUNT(B.*) AS n", "B+",
+      "B AS value > 10 AND COUNT(B.*) <= 3")
+    assert(got == Seq(Seq(1L, 3L), Seq(5L, 3L), Seq(8L, 3L)))
+  }
+
+  test("DEFINE cross-variable reference: B navigates the anchor's value") {
+    // A anchors at value >= 90; B extends while < 90 and > A.value - 50
+    val got = mrRun("A.event_id AS s, COUNT(B.*) AS n", "A B*",
+      "A AS value >= 90, B AS value < 90 AND value > A.value - 50")
+    assert(got == Seq(Seq(1L, 0L), Seq(2L, 0L), Seq(5L, 1L), Seq(8L, 0L), Seq(9L, 0L)))
+  }
+
+  test("DEFINE LAST occurrence offset: strictly increasing via logical navigation") {
+    // LAST(B.value, 1) = previous row mapped to B (current row is offset 0)
+    val got = mrRun("FIRST(B.event_id) AS s, COUNT(B.*) AS n", "B+",
+      "B AS COUNT(B.*) = 1 OR B.value > LAST(B.value, 1)")
+    // values: 95 | 92 (not > 95) → [95], [92,?] 40 no → ... runs of strict increase
+    // 95 / 92 / 40 / 10,96 / 50,93 wait — replay: [95],[92],[40],[10,96],[50],[44,93],[91],[20]
+    assert(got == Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 2L),
+      Seq(6L, 1L), Seq(7L, 2L), Seq(9L, 1L), Seq(10L, 1L)))
+  }
+
+  test("DEFINE SUM over the matched-so-far rows: cumulative cap chunks") {
+    val got = mrRun("FIRST(B.event_id) AS s, COUNT(B.*) AS n", "B+",
+      "B AS SUM(B.value) <= 200")
+    // cumsums: 95,187,227>200 → [95,92]; 40,50,146,196,240>200 → [40,10,96,50];
+    // 44,137,228>200 → [44,93]; 91,111 → [91,20]
+    assert(got == Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(7L, 2L), Seq(9L, 2L)))
   }
 }
