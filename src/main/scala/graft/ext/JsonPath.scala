@@ -21,12 +21,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *              | '.' method '(' ( '"' pattern '"' )? ')'         — item method
   *              | '[?(' pred ')]'                                 — filter
   *   method    := datetime | size | type | abs | floor | ceiling | double
-  *   pred      := term (('&&' | '||') term)*
-  *   term      := '@' ('.' name)* op operand                      — nested path
-  *   operand   := number | '"' string '"' | '$' name              — path variable
+  *   pred      := andPred ('||' andPred)*
+  *   andPred   := unary ('&&' unary)*
+  *   unary     := '(' pred ')' | '!' '(' pred ')'
+  *              | 'exists' '(' relpath ')' | term
+  *   term      := relpath op operand
+  *              | relpath 'starts with' (string | '$' name)
+  *              | relpath 'like_regex' string
+  *   relpath   := '@' ('.' name)*
+  *   operand   := number | '"' string '"' | '$' name | true | false | null
   *   arith     := op number                 (applied to the final scalar(s))
   *   op        := < <= > >= == != + - * /
   * }}}
+  *
+  * Filter predicates follow the standard's three-valued logic: a failed
+  * navigation, unbound variable, or type-incomparable comparison is UNKNOWN
+  * (not false), Kleene-combined through &&/||/!, and only TRUE keeps the
+  * item (reference: sql/planner/JsonPathEvaluator predicate evaluation).
   *
   * Mode semantics follow the standard: lax auto-unwraps arrays on member
   * access, auto-wraps scalars on subscripts, and turns structural misses into
@@ -41,9 +52,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * passing in sql/planner/JsonPathEvaluator). datetime() parses ISO or an
   * explicit pattern and yields the canonical 'yyyy-MM-dd HH:mm:ss' rendering.
   *
-  * Documented deltas from the full reference engine: filter predicates take
-  * conjunction/disjunction of comparisons (no parenthesized sub-predicates,
-  * no exists()/starts with), and item methods cover the list above.
+  * Documented deltas from the full reference engine: filter relpaths are
+  * member chains (no subscripts/methods inside filters), like_regex uses
+  * Java regex rather than XQuery flavor, and item methods cover the list
+  * above.
   */
 object JsonPath {
 
@@ -59,11 +71,19 @@ object JsonPath {
   final case class Cmp(fields: List[String], op: String, operand: Operand) extends Pred
   final case class And(l: Pred, r: Pred) extends Pred
   final case class Or(l: Pred, r: Pred) extends Pred
+  final case class Not(p: Pred) extends Pred
+  final case class Exists(fields: List[String]) extends Pred
+  final case class StartsWith(fields: List[String], operand: Operand) extends Pred
+  final case class LikeRegex(fields: List[String], regex: String) extends Pred {
+    @transient lazy val compiled: java.util.regex.Pattern = java.util.regex.Pattern.compile(regex)
+  }
 
   sealed trait Operand
   final case class NumLit(v: Double) extends Operand
   final case class StrLit(s: String) extends Operand
   final case class VarRef(name: String) extends Operand
+  final case class BoolLit(v: Boolean) extends Operand
+  case object NullLit extends Operand
 
   final case class Parsed(strict: Boolean, steps: List[Step], arith: Option[(String, Double)])
 
@@ -79,30 +99,96 @@ object JsonPath {
     val steps = scala.collection.mutable.ListBuffer[Step]()
     val MethodRe = """^\.(\w+)\(\s*(?:"([^"]*)")?\s*\)""".r
     val IndexRe = """^\[(\d+)\]""".r
-    val TermRe = """^@((?:\.\w+)*)\s*(<=|>=|==|!=|<|>)\s*(?:(-?[\d.]+)|"([^"]*)"|\$(\w+))\s*""".r
+    val PathRe = """^@((?:\.\w+)*)\s*""".r
+    val OpRe = """^(<=|>=|==|!=|<|>)\s*""".r
+    val OperandRe = """^(?:(-?[\d.]+)|"([^"]*)"|\$(\w+)|(true|false|null)\b)\s*""".r
+    val ExistsRe = """^exists\s*\(\s*@((?:\.\w+)*)\s*\)\s*""".r
     var arith: Option[(String, Double)] = None
     while (s.nonEmpty) {
       if (s.startsWith(".*")) { steps += WildMember; s = s.drop(2) }
       else if (s.startsWith("[*]")) { steps += WildIndex; s = s.drop(3) }
       else if (s.startsWith("[?(")) {
         s = s.drop(3)
-        def term(): Pred = TermRe.findFirstMatchIn(s) match {
+        def skipWs(): Unit = s = s.dropWhile(_.isWhitespace)
+        def badAt(what: String): Nothing =
+          throw new IllegalArgumentException(s"$what at '$s' in: $path")
+        def relpath(): List[String] = PathRe.findFirstMatchIn(s) match {
           case Some(m) =>
             s = s.drop(m.matched.length)
-            val fields = Option(m.group(1)).getOrElse("")
-              .split("\\.").filter(_.nonEmpty).toList
-            val operand =
-              if (m.group(3) != null) NumLit(m.group(3).toDouble)
-              else if (m.group(4) != null) StrLit(m.group(4))
-              else VarRef(m.group(5))
-            Cmp(fields, m.group(2), operand)
-          case None => throw new IllegalArgumentException(s"bad filter term at '$s' in: $path")
+            m.group(1).split("\\.").filter(_.nonEmpty).toList
+          case None => badAt("bad filter term")
         }
-        var pred: Pred = term()
-        while (s.startsWith("&&") || s.startsWith("||")) {
-          val op = s.take(2); s = s.drop(2).dropWhile(_.isWhitespace)
-          pred = if (op == "&&") And(pred, term()) else Or(pred, term())
+        def operand(): Operand = OperandRe.findFirstMatchIn(s) match {
+          case Some(m) =>
+            s = s.drop(m.matched.length)
+            if (m.group(1) != null) NumLit(m.group(1).toDouble)
+            else if (m.group(2) != null) StrLit(m.group(2))
+            else if (m.group(3) != null) VarRef(m.group(3))
+            else m.group(4) match {
+              case "true" => BoolLit(true)
+              case "false" => BoolLit(false)
+              case "null" => NullLit
+            }
+          case None => badAt("bad filter operand")
         }
+        def term(): Pred = {
+          val fields = relpath()
+          val StartsRe = """^starts\s+with\s*""".r
+          val RegexRe = """^like_regex\s*""".r
+          if (StartsRe.findFirstIn(s).isDefined) {
+            s = StartsRe.replaceFirstIn(s, "")
+            StartsWith(fields, operand() match {
+              case o @ (_: StrLit | _: VarRef) => o
+              case o => badAt(s"starts with requires a string or variable, got $o")
+            })
+          } else if (RegexRe.findFirstIn(s).isDefined) {
+            s = RegexRe.replaceFirstIn(s, "")
+            operand() match {
+              case StrLit(re) => LikeRegex(fields, re)
+              case o => badAt(s"like_regex requires a string literal, got $o")
+            }
+          } else OpRe.findFirstMatchIn(s) match {
+            case Some(m) =>
+              s = s.drop(m.matched.length)
+              Cmp(fields, m.group(1), operand())
+            case None => badAt("bad filter comparison")
+          }
+        }
+        def unary(): Pred = {
+          skipWs()
+          if (s.startsWith("!")) {
+            s = s.drop(1); skipWs()
+            if (!s.startsWith("(")) badAt("! requires a parenthesized predicate")
+            s = s.drop(1)
+            val p = orPred(); skipWs()
+            if (!s.startsWith(")")) badAt("expected ')'")
+            s = s.drop(1)
+            Not(p)
+          } else if (s.startsWith("(")) {
+            s = s.drop(1)
+            val p = orPred(); skipWs()
+            if (!s.startsWith(")")) badAt("expected ')'")
+            s = s.drop(1)
+            p
+          } else ExistsRe.findFirstMatchIn(s) match {
+            case Some(m) =>
+              s = s.drop(m.matched.length)
+              Exists(m.group(1).split("\\.").filter(_.nonEmpty).toList)
+            case None => term()
+          }
+        }
+        def andPred(): Pred = {
+          var p = unary(); skipWs()
+          while (s.startsWith("&&")) { s = s.drop(2); p = And(p, unary()); skipWs() }
+          p
+        }
+        def orPred(): Pred = {
+          var p = andPred(); skipWs()
+          while (s.startsWith("||")) { s = s.drop(2); p = Or(p, andPred()); skipWs() }
+          p
+        }
+        val pred = orPred()
+        skipWs()
         require(s.startsWith(")]"), s"expected ')]' at '$s' in: $path")
         s = s.drop(2)
         steps += FilterStep(pred)
@@ -204,31 +290,71 @@ object JsonPath {
         else if (strict) throw StructuralError else Seq(n)
       }
       case MethodStep(name, arg) => nodes.map(n => applyMethod(n, name, arg, strict))
-      case FilterStep(pred) => nodes.flatMap(unwrap).filter(n => evalPred(n, pred, vars))
+      case FilterStep(pred) =>
+        nodes.flatMap(unwrap).filter(n => evalPred(n, pred, vars).contains(true))
     }
   }
 
-  /** Filter predicate over one candidate item; a failing nested navigation or
-    * unbound variable makes the comparison 'unknown' → false, per the
-    * standard's filter error handling. */
+  /** Filter predicate over one candidate item, in the standard's Kleene
+    * three-valued logic: None = UNKNOWN (failed navigation, unbound variable,
+    * incomparable types). Only TRUE keeps the item. */
   private def evalPred(n: JsonNode, pred: Pred,
-      vars: Map[String, Either[Double, String]]): Boolean = pred match {
-    case And(l, r) => evalPred(n, l, vars) && evalPred(n, r, vars)
-    case Or(l, r) => evalPred(n, l, vars) || evalPred(n, r, vars)
-    case Cmp(fields, op, operand) =>
-      val target = fields.foldLeft(Option(n)) {
+      vars: Map[String, Either[Double, String]]): Option[Boolean] = {
+    def nav(fields: List[String]): Option[JsonNode] =
+      fields.foldLeft(Option(n)) {
         case (Some(cur), f) if cur.isObject && cur.has(f) => Some(cur.get(f))
         case _ => None
       }
-      val lit = operand match {
-        case NumLit(v) => Some(Left(v))
-        case StrLit(s) => Some(Right(s))
-        case VarRef(name) => vars.get(name)
+    pred match {
+      case And(l, r) => (evalPred(n, l, vars), evalPred(n, r, vars)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
       }
-      (target, lit) match {
-        case (Some(t), Some(l)) => compare(t, op, l)
-        case _ => false
+      case Or(l, r) => (evalPred(n, l, vars), evalPred(n, r, vars)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
       }
+      case Not(p) => evalPred(n, p, vars).map(!_)
+      case Exists(fields) => Some(nav(fields).isDefined)
+      case StartsWith(fields, operand) =>
+        val prefix = operand match {
+          case StrLit(v) => Some(v)
+          case VarRef(name) => vars.get(name).collect { case Right(v) => v }
+          case _ => None
+        }
+        (nav(fields), prefix) match {
+          case (Some(t), Some(p)) if t.isTextual => Some(t.textValue().startsWith(p))
+          case _ => None
+        }
+      case lr @ LikeRegex(fields, _) => nav(fields) match {
+        case Some(t) if t.isTextual => Some(lr.compiled.matcher(t.textValue()).find())
+        case _ => None
+      }
+      case Cmp(fields, op, operand) =>
+        val target = nav(fields)
+        operand match {
+          case NullLit => target.map(t => if (op == "!=") !t.isNull else t.isNull)
+            .filter(_ => op == "==" || op == "!=")
+          case BoolLit(v) => target match {
+            case Some(t) if t.isBoolean && (op == "==" || op == "!=") =>
+              Some(if (op == "==") t.booleanValue() == v else t.booleanValue() != v)
+            case _ => None
+          }
+          case _ =>
+            val lit = operand match {
+              case NumLit(v) => Some(Left(v))
+              case StrLit(s) => Some(Right(s))
+              case VarRef(name) => vars.get(name)
+              case _ => None
+            }
+            (target, lit) match {
+              case (Some(t), Some(l)) => compare(t, op, l)
+              case _ => None
+            }
+        }
+    }
   }
 
   private val dtPatterns = Seq(
@@ -290,21 +416,22 @@ object JsonPath {
     throw StructuralError
   }
 
-  private def compare(n: JsonNode, op: String, lit: Either[Double, String]): Boolean =
+  /** None = incomparable types (UNKNOWN per the standard). */
+  private def compare(n: JsonNode, op: String, lit: Either[Double, String]): Option[Boolean] =
     (lit, n.isNumber, n.isTextual) match {
       case (Left(v), true, _) =>
         val x = n.doubleValue()
-        op match {
+        Some(op match {
           case "<" => x < v; case "<=" => x <= v; case ">" => x > v
           case ">=" => x >= v; case "==" => x == v; case "!=" => x != v
-        }
+        })
       case (Right(sv), _, true) =>
         val x = n.textValue()
-        op match {
+        Some(op match {
           case "==" => x == sv; case "!=" => x != sv
           case "<" => x < sv; case "<=" => x <= sv; case ">" => x > sv; case ">=" => x >= sv
-        }
-      case _ => false
+        })
+      case _ => None
     }
 
   /** json_value semantics: single scalar → its text; EMPTY/ERROR/multi → null

@@ -175,6 +175,7 @@ object Functions2 {
     val d = table(s, dir, "part")
       .withColumn("doc", to_json(struct(
         $"p_partkey".as("id"),
+        ($"p_size" > 25).as("big"),
         split($"p_type", " ").as("words"),
         struct($"p_size".cast("long").as("size")).as("meta"),
         concat(lit("2024-03-"), lpad(($"p_size" % 28 + 1).cast("string"), 2, "0")).as("d"),
@@ -200,7 +201,14 @@ object Functions2 {
         jsonPathValue($"doc", "lax $.items2[?(@.m.v > 10)].t").as("nested_t"),
         jsonPathValue($"doc", """lax $.items[?(@.v > 10 && @.t == "b")].t""").as("combo_t"),
         jsonPathValue($"doc", "lax $.items[?(@.v > $th)].t",
-          vars = Some("""{"th": 10}""")).as("var_t"))
+          vars = Some("""{"th": 10}""")).as("var_t"),
+        // extended predicate grammar: exists()/negation, parenthesized
+        // sub-predicates with ||, starts with, like_regex, boolean literals
+        jsonPathValue($"doc", "lax $.items[?(!(exists(@.missing)) && @.v > 10)].t").as("ex_t"),
+        jsonPathValue($"doc", """lax $.items[?((@.v > 10 || @.t == "x") && @.v < 26)].t""").as("paren_t"),
+        jsonPathValue($"doc", """lax $.words[?(@ starts with "S")]""").as("sw_word"),
+        jsonPathValue($"doc", """lax $.words[?(@ like_regex "ARD$|OMO$")]""").as("re_word"),
+        jsonPathValue($"doc", "lax $[?(@.big == true)].id").cast("long").as("big_id"))
       .orderBy($"p_partkey")
   }
   val qFnJsonpathSql: String =
@@ -218,7 +226,12 @@ object Functions2 {
        'object' AS meta_type,
        CASE WHEN p_size > 10 THEN 'z' END AS nested_t,
        CASE WHEN p_size > 10 THEN 'b' END AS combo_t,
-       CASE WHEN p_size > 10 THEN 'b' END AS var_t
+       CASE WHEN p_size > 10 THEN 'b' END AS var_t,
+       CASE WHEN p_size > 10 THEN 'b' END AS ex_t,
+       CASE WHEN p_size > 10 AND p_size < 26 THEN 'b' END AS paren_t,
+       CASE WHEN p_type LIKE 'S%' THEN p_type END AS sw_word,
+       CASE WHEN regexp_matches(p_type, 'ARD$|OMO$') THEN p_type END AS re_word,
+       CASE WHEN p_size > 25 THEN CAST(p_partkey AS BIGINT) END AS big_id
        FROM part ORDER BY p_partkey"""
 
   /** Keyed hashes + base32 (reference HmacFunctions.java, StringFunctions.java

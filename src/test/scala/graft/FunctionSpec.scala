@@ -184,4 +184,27 @@ class FunctionSpec extends SparkSpec {
       spark.sql("SELECT split_to_multimap('a=1', '=', '=')").collect()
     }
   }
+
+  test("SQL/JSON filter predicates: exists, starts with, like_regex, Kleene logic") {
+    import graft.ext.JsonPath
+    def v(json: String, path: String): String = JsonPath.value(json, JsonPath.parse(path))
+    val doc = """{"a": [{"x": 1, "t": "alpha"}, {"x": 5}, {"x": 9, "t": "beta"}]}"""
+    // exists() keeps only items carrying the member
+    assert(v(doc, """lax $.a[?(exists(@.t) && @.x > 1)].t""") == "beta")
+    // negated exists
+    assert(v(doc, """lax $.a[?(!(exists(@.t)))].x""") == "5")
+    // parenthesized sub-predicates with || precedence
+    assert(v(doc, """lax $.a[?((@.x == 1 || @.x == 9) && @.t == "beta")].x""") == "9")
+    // starts with / like_regex
+    assert(v(doc, """lax $.a[?(@.t starts with "al")].x""") == "1")
+    assert(v(doc, """lax $.a[?(@.t like_regex "^be.a$")].x""") == "9")
+    // boolean and null literals
+    val doc2 = """{"a": [{"x": 1, "on": true}, {"x": 2, "on": false}, {"x": 3, "on": null}]}"""
+    assert(v(doc2, "lax $.a[?(@.on == true)].x") == "1")
+    assert(v(doc2, "lax $.a[?(@.on == null)].x") == "3")
+    // Kleene: unknown (missing member) is not false — its negation is ALSO
+    // unknown, so !(@.missing > 1) keeps nothing, and unknown || true = true
+    assert(v(doc, """lax $.a[?(!(@.missing > 1) && @.x == 5)].x""") == null)
+    assert(v(doc, """lax $.a[?((@.missing > 1 || @.x == 5))].x""") == "5")
+  }
 }
