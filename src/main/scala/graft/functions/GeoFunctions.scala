@@ -68,4 +68,34 @@ object GeoFunctions {
   def stWithin(xa: Column, ya: Column, xb: Column, yb: Column): Column =
     column(graft.ext.PolygonWithin(
       expression(xa), expression(ya), expression(xb), expression(yb)))
+
+  // ---- ring-aware measures over the geometry struct (holes + MULTI*) ----
+
+  /** ST_Area over the ringed geometry: Σ shells − Σ holes. */
+  def stGeomArea(g: Column): Column = column(graft.ext.GeomArea(expression(g)))
+
+  /** ST_Perimeter counting every ring boundary (holes included). */
+  def stGeomPerimeter(g: Column): Column = column(graft.ext.GeomPerimeter(expression(g)))
+
+  /** ST_Length over LINESTRING / MULTILINESTRING parts. */
+  def stGeomLength(g: Column): Column = column(graft.ext.GeomLength(expression(g)))
+
+  /** ST_Contains(geometry, point): in a shell and not in one of its holes. */
+  def stGeomContains(g: Column, px: Column, py: Column): Column =
+    column(graft.ext.GeomContainsPoint(expression(g), expression(px), expression(py)))
+
+  /** ST_Centroid ordinates (signed-area-weighted over rings). */
+  def stCentroidX(g: Column): Column = column(graft.ext.GeomCentroid(expression(g), 0))
+  def stCentroidY(g: Column): Column = column(graft.ext.GeomCentroid(expression(g), 1))
+
+  /** Envelope corners: ST_XMin / ST_XMax / ST_YMin / ST_YMax. */
+  def stXMin(g: Column): Column = column(graft.ext.GeomEnvelopeBound(expression(g), xAxis = true, isMin = true))
+  def stXMax(g: Column): Column = column(graft.ext.GeomEnvelopeBound(expression(g), xAxis = true, isMin = false))
+  def stYMin(g: Column): Column = column(graft.ext.GeomEnvelopeBound(expression(g), xAxis = false, isMin = true))
+  def stYMax(g: Column): Column = column(graft.ext.GeomEnvelopeBound(expression(g), xAxis = false, isMin = false))
+
+  /** ST_NumGeometries / ST_NumInteriorRing / ST_NumPoints. */
+  def stNumGeometries(g: Column): Column = column(graft.ext.GeomCount(expression(g), "geometries"))
+  def stNumInteriorRing(g: Column): Column = column(graft.ext.GeomCount(expression(g), "interior_ring"))
+  def stNumPoints(g: Column): Column = column(graft.ext.GeomCount(expression(g), "points"))
 }

@@ -612,6 +612,85 @@ object Functions2 {
          2 * sa AS line_len
        FROM t ORDER BY c_custkey"""
 
+  /** Ring-aware geometry (reference plugin/trino-geospatial GeoFunctions.java
+    * ST_Area/ST_Perimeter/ST_Contains/ST_Centroid/ST_XMax/ST_NumGeometries/
+    * ST_NumInteriorRing/ST_NumPoints over polygons WITH HOLES, MULTIPOLYGON,
+    * MULTILINESTRING). Axis-aligned dyadic rectangles make every measure
+    * ANALYTIC (products/sums of dyadics are IEEE-exact, and sqrt of a perfect
+    * square and the final centroid division are correctly rounded on
+    * identical operands in both engines), so the oracle recomputes them in
+    * plain arithmetic. */
+  def q_fn_geo_multi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GeoFunctions._
+    def n(c: org.apache.spark.sql.Column) = c.cast("string")
+    val t = table(s, dir, "part").filter($"p_partkey" <= 400)
+      .withColumn("w", $"p_size".cast("double"))
+      .withColumn("h", ($"p_size" % 7 + 2).cast("double"))
+      // shell (0,0)-(w,h) with hole (w/4,h/4)-(w/2,h/2), closed rings
+      .withColumn("wkt_p", concat(
+        lit("POLYGON ((0.0 0.0, "), n($"w"), lit(" 0.0, "), n($"w"), lit(" "), n($"h"),
+        lit(", 0.0 "), n($"h"), lit(", 0.0 0.0), ("),
+        n($"w" / 4), lit(" "), n($"h" / 4), lit(", "),
+        n($"w" / 2), lit(" "), n($"h" / 4), lit(", "),
+        n($"w" / 2), lit(" "), n($"h" / 2), lit(", "),
+        n($"w" / 4), lit(" "), n($"h" / 2), lit(", "),
+        n($"w" / 4), lit(" "), n($"h" / 4), lit("))")))
+      // two disjoint rectangles
+      .withColumn("wkt_mp", concat(
+        lit("MULTIPOLYGON (((0.0 0.0, "), n($"w"), lit(" 0.0, "), n($"w"), lit(" "), n($"h"),
+        lit(", 0.0 "), n($"h"), lit(", 0.0 0.0)), (("),
+        n($"w" + 2), lit(" 0.0, "), n($"w" + 3), lit(" 0.0, "),
+        n($"w" + 3), lit(" "), n($"h"), lit(", "),
+        n($"w" + 2), lit(" "), n($"h"), lit(", "),
+        n($"w" + 2), lit(" 0.0)))")))
+      .withColumn("wkt_ml", concat(
+        lit("MULTILINESTRING ((0.0 0.0, "), n($"w"), lit(" 0.0), (0.0 "), n($"h"),
+        lit(", "), n($"w"), lit(" "), n($"h"), lit("))")))
+      .withColumn("gp", stGeometryFromText($"wkt_p"))
+      .withColumn("gmp", stGeometryFromText($"wkt_mp"))
+      .withColumn("gml", stGeometryFromText($"wkt_ml"))
+    t.select($"p_partkey",
+        stGeomArea($"gp").as("area_p"),
+        stGeomPerimeter($"gp").as("peri_p"),
+        stGeomArea($"gmp").as("area_mp"),
+        stGeomContains($"gp", $"w" / 8, $"h" / 8).as("c_in"),
+        stGeomContains($"gp", $"w" * 3 / 8, $"h" * 3 / 8).as("c_hole"),
+        stCentroidX($"gp").as("cx_p"),
+        stCentroidY($"gp").as("cy_p"),
+        stXMax($"gmp").as("x_max"),
+        stYMin($"gmp").as("y_min"),
+        stNumGeometries($"gmp").as("n_geoms"),
+        stNumInteriorRing($"gp").as("n_holes"),
+        stNumPoints($"gp").as("n_points"),
+        stGeomLength($"gml").as("ml_len"),
+        (stAsText($"gp") === $"wkt_p").as("rt_p_ok"),
+        (stAsText($"gmp") === $"wkt_mp").as("rt_mp_ok"))
+      .orderBy($"p_partkey")
+  }
+  val qFnGeoMultiSql: String =
+    """WITH t AS (
+         SELECT p_partkey, CAST(p_size AS DOUBLE) AS w,
+           CAST(p_size % 7 + 2 AS DOUBLE) AS h
+         FROM part WHERE p_partkey <= 400)
+       SELECT p_partkey,
+         w*h - (w/4)*(h/4) AS area_p,
+         2*(w+h) + 2*(w/4 + h/4) AS peri_p,
+         w*h + h AS area_mp,
+         TRUE AS c_in,
+         FALSE AS c_hole,
+         (w*h*(w/2) - (w/4)*(h/4)*(3*w/8)) / (w*h - (w/4)*(h/4)) AS cx_p,
+         (w*h*(h/2) - (w/4)*(h/4)*(3*h/8)) / (w*h - (w/4)*(h/4)) AS cy_p,
+         w + 3 AS x_max,
+         0.0 AS y_min,
+         CAST(2 AS INTEGER) AS n_geoms,
+         CAST(1 AS INTEGER) AS n_holes,
+         CAST(10 AS INTEGER) AS n_points,
+         2*w AS ml_len,
+         TRUE AS rt_p_ok,
+         TRUE AS rt_mp_ok
+       FROM t ORDER BY p_partkey"""
+
   /** Color/diagnostic render functions (reference operator/scalar/
     * ColorFunctions.java: rgb, color, bar) — deterministic subset: packed rgb
     * ints, hex rendering, and an ANSI-free bar() (the reference's bar embeds
@@ -679,6 +758,7 @@ object Functions2 {
   val queries: Map[String, Q] = Map(
     "q_fn_session" -> q_fn_session _,
     "q_fn_geo_wkt" -> q_fn_geo_wkt _,
+    "q_fn_geo_multi" -> q_fn_geo_multi _,
     "q_fn_color" -> q_fn_color _,
     "q_fn_geo_polygon" -> q_fn_geo_polygon _,
     "q_fn_geo" -> q_fn_geo _,
@@ -698,7 +778,7 @@ object Functions2 {
   val oracles: Map[String, String] = Map(
     "q_fn_session" -> qFnSessionSql,
     "q_fn_geo_wkt" -> qFnGeoWktSql,
-    "q_fn_color" -> qFnColorSql,
+    "q_fn_geo_multi" -> qFnGeoMultiSql,
     "q_fn_geo_polygon" -> qFnGeoPolygonSql,
     "q_fn_geo" -> qFnGeoSql,
     "q_fn_json_table" -> qFnJsonTableSql,

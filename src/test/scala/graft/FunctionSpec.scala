@@ -102,11 +102,12 @@ class FunctionSpec extends SparkSpec {
 
   test("wkt parse/format roundtrip, subsets, and polygon predicates") {
     import graft.ext.Wkt
-    assert(Wkt.parse("POINT (1.5 2.5)")._1 == "POINT")
-    assert(Wkt.parse("LINESTRING (0 0, 1.5 2, 3 3)")._2.toSeq == Seq(0.0, 1.5, 3.0))
+    assert(Wkt.parse("POINT (1.5 2.5)").kind == "POINT")
+    assert(Wkt.parse("LINESTRING (0 0, 1.5 2, 3 3)").xs.toSeq == Seq(0.0, 1.5, 3.0))
     val p = Wkt.parse("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
-    assert(p._1 == "POLYGON" && p._2.length == 5)
-    assert(Wkt.format(p._1, p._2, p._3) == "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))")
+    assert(p.kind == "POLYGON" && p.xs.length == 5)
+    assert(Wkt.format(p.kind, p.xs, p.ys, p.rings) ==
+      "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 4.0, 0.0 4.0, 0.0 0.0))")
     // unsupported / malformed → null (TRY-compatible)
     assert(Wkt.parse("MULTIPOLYGON (((0 0)))") == null)
     assert(Wkt.parse("POLYGON ((0 0, nope 1))") == null)
@@ -183,6 +184,26 @@ class FunctionSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT split_to_multimap('a=1', '=', '=')").collect()
     }
+  }
+
+  test("WKT ringed model: holes, MULTI*, roundtrips, measures") {
+    import graft.ext.Wkt
+    // polygon with hole: area subtracts, contains respects the hole
+    val p = Wkt.parse("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert(p.kind == "POLYGON" && p.rings.toSeq == Seq(5, -5))
+    assert(Wkt.format(p.kind, p.xs, p.ys, p.rings) ==
+      "POLYGON ((0.0 0.0, 8.0 0.0, 8.0 8.0, 0.0 8.0, 0.0 0.0), (2.0 2.0, 4.0 2.0, 4.0 4.0, 2.0 4.0, 2.0 2.0))")
+    // multipolygon with a hole in the first part
+    val mp = Wkt.parse("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4)), ((10 0, 12 0, 12 2, 10 2)))")
+    assert(mp.kind == "MULTIPOLYGON" && mp.rings.toSeq == Seq(4, 4))
+    // multipoint accepts both syntaxes
+    assert(Wkt.parse("MULTIPOINT (1 2, 3 4)").rings.toSeq == Seq(1, 1))
+    assert(Wkt.parse("MULTIPOINT ((1 2), (3 4))").rings.toSeq == Seq(1, 1))
+    assert(Wkt.parse("MULTILINESTRING ((0 0, 1 0), (0 1, 1 1, 2 1))").rings.toSeq == Seq(2, 3))
+    // malformed stays null
+    assert(Wkt.parse("MULTIPOLYGON (((0 0)))") == null)
+    assert(Wkt.parse("POLYGON (0 0, 1 0, 1 1)") == null)
+    assert(Wkt.parse("TRIANGLE ((0 0, 1 0, 1 1))") == null)
   }
 
   test("SQL/JSON filter predicates: exists, starts with, like_regex, Kleene logic") {
