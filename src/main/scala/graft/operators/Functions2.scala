@@ -779,6 +779,7 @@ object Functions2 {
     "q_fn_session" -> qFnSessionSql,
     "q_fn_geo_wkt" -> qFnGeoWktSql,
     "q_fn_geo_multi" -> qFnGeoMultiSql,
+    "q_fn_color" -> qFnColorSql,
     "q_fn_geo_polygon" -> qFnGeoPolygonSql,
     "q_fn_geo" -> qFnGeoSql,
     "q_fn_json_table" -> qFnJsonTableSql,

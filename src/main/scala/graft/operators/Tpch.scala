@@ -257,8 +257,197 @@ object Tpch {
                          AND o_orderdate >= TIMESTAMP '1999-01-01')
        GROUP BY cntrycode ORDER BY cntrycode"""
 
+  /** Q9: product-type profit by nation and year. The fixture has no partsupp,
+    * so supply cost is restated as 60% of p_retailprice (deterministic, exact
+    * decimal); the join tree (part ⋈ lineitem ⋈ orders ⋈ supplier ⋈ nation)
+    * and the per-nation-per-year profit rollup are the original shape. */
+  def q9_profit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val amount = (dec($"l_extendedprice") * (lit(1) - dec($"l_discount")) -
+      dec($"p_retailprice") * lit(BigDecimal("0.60")) * dec($"l_quantity"))
+      .cast(DecimalType(22, 6))
+    table(s, dir, "lineitem")
+      .join(table(s, dir, "part").filter($"p_name".contains("red")), $"l_partkey" === $"p_partkey")
+      .join(table(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(table(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(table(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("o_year"))
+      .agg(asDouble(sum(amount)).as("profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+  val q9Sql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.60 AS DECIMAL(3,2)) * CAST(l_quantity AS DECIMAL(12,2))
+                 AS DECIMAL(22,6))) AS DOUBLE) AS profit
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE p_name LIKE '%red%'
+       GROUP BY n_name, o_year ORDER BY nation, o_year DESC"""
+
+  /** Q12: shipping-priority classes per "mode". The fixture lacks l_shipmode/
+    * l_commitdate/l_receiptdate, so mode := l_linestatus and the lateness
+    * predicate becomes shipdate ≥ orderdate + 30 days; the conditional
+    * high/low priority counting is the original shape. */
+  def q12_priority_shipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val high = $"o_orderpriority" === "1-URGENT" || $"o_orderpriority" === "2-HIGH"
+    table(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .join(table(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" >= $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+      .groupBy($"l_linestatus")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+  val q12Sql: String =
+    """SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+       GROUP BY l_linestatus ORDER BY l_linestatus"""
+
+  /** Q13: customer order-count distribution — LEFT OUTER join (the join-side
+    * filter stands in for the original o_comment NOT LIKE) feeding a second
+    * aggregation over the first's result. count(o_orderkey) counts matched
+    * rows only, so no-order customers land in the c_count=0 bucket. */
+  def q13_cust_distribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders").filter($"o_orderpriority" =!= "4-NOT SPECIFIED")
+    val perCust = table(s, dir, "customer")
+      .join(o, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer LEFT OUTER JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+             GROUP BY c_custkey) per_cust
+       GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+  /** Q17: small-quantity-order revenue — the correlated per-part average
+    * subquery, decorrelated into a broadcast-joined per-part aggregate. The
+    * threshold test l_quantity < 0.2 * avg(l_quantity) is restated as the
+    * exact cross-multiplied integer/decimal form qty * 5 * cnt < sum_qty so
+    * both engines compare identical exact values (no IEEE-avg boundary). */
+  def q17_small_qty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perPart = table(s, dir, "lineitem")
+      .groupBy($"l_partkey".as("pk"))
+      .agg(count(lit(1)).as("cnt"), sum(dec($"l_quantity")).as("sq"))
+    table(s, dir, "lineitem")
+      .join(table(s, dir, "part").filter($"p_brand" === "Brand#3"), $"l_partkey" === $"p_partkey")
+      .join(perPart, $"l_partkey" === $"pk")
+      .filter(dec($"l_quantity") * lit(5) * $"cnt" < $"sq")
+      .agg((asDouble(sum(dec($"l_extendedprice"))) / 7.0).as("avg_yearly"))
+  }
+  val q17Sql: String =
+    """WITH per_part AS (
+         SELECT l_partkey AS pk, count(*) AS cnt, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+         FROM lineitem GROUP BY l_partkey)
+       SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN per_part ON l_partkey = pk
+       WHERE p_brand = 'Brand#3'
+         AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sq"""
+
+  /** Q20: potential part promotion — nested semi-join chain. Without
+    * partsupp the inner availability test becomes: suppliers who shipped
+    * more than 50 units of some %red% part during 1996 (a grouped HAVING
+    * feeding an IN), then restricted to one nation. */
+  def q20_promotion_parts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val targetParts = table(s, dir, "part").filter($"p_name".contains("red")).select($"p_partkey")
+    val bigShippers = table(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(targetParts), $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(sum(dec($"l_quantity")).as("qty"))
+      .filter($"qty" > lit(BigDecimal(50)))
+      .select($"l_suppkey")
+    table(s, dir, "supplier")
+      .join(broadcast(table(s, dir, "nation").filter($"n_name" === "NATION_3")),
+        $"s_nationkey" === $"n_nationkey", "left_semi")
+      .join(bigShippers, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_suppkey")
+  }
+  val q20Sql: String =
+    """SELECT s_suppkey, s_name
+       FROM supplier
+       WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+         AND s_suppkey IN (
+           SELECT l_suppkey FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+             AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY l_suppkey, l_partkey
+           HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+       ORDER BY s_suppkey"""
+
+  /** Q21: suppliers who kept orders waiting — the EXISTS/NOT-EXISTS pair over
+    * other suppliers' lineitems of the same order. "Late" is restated as
+    * shipdate > orderdate + 60 days (fixture has no commit/receipt dates);
+    * the multi-supplier-order correlation is the original shape: another
+    * supplier participated, and no other supplier was late. */
+  def q21_waiting_suppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = table(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val late = li
+      .join(table(s, dir, "orders").filter($"o_orderstatus" === "F"),
+        $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+      .select($"l_orderkey", $"l_suppkey")
+    val l2 = li.select($"l_orderkey".as("k2"), $"l_suppkey".as("s2"))
+    val lateL3 = late.select($"l_orderkey".as("k3"), $"l_suppkey".as("s3"))
+    late
+      .join(l2, $"l_orderkey" === $"k2" && $"l_suppkey" =!= $"s2", "left_semi")
+      .join(lateL3, $"l_orderkey" === $"k3" && $"l_suppkey" =!= $"s3", "left_anti")
+      .join(table(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(table(s, dir, "nation").filter($"n_name" === "NATION_5")),
+        $"s_nationkey" === $"n_nationkey", "left_semi")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(100)
+  }
+  val q21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+       FROM lineitem l1
+       JOIN orders ON o_orderkey = l1.l_orderkey
+       JOIN supplier ON s_suppkey = l1.l_suppkey
+       WHERE o_orderstatus = 'F'
+         AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                         WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                           AND o3.o_orderstatus = 'F'
+                           AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+         AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_5')
+       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""
+
   val queries: Map[String, Q] = Map(
     "q4_order_priority" -> q4_order_priority _,
+    "q9_profit" -> q9_profit _,
+    "q12_priority_shipping" -> q12_priority_shipping _,
+    "q13_cust_distribution" -> q13_cust_distribution _,
+    "q17_small_qty" -> q17_small_qty _,
+    "q20_promotion_parts" -> q20_promotion_parts _,
+    "q21_waiting_suppliers" -> q21_waiting_suppliers _,
     "q7_volume" -> q7_volume _,
     "q8_market_share" -> q8_market_share _,
     "q10_returns" -> q10_returns _,
@@ -270,6 +459,12 @@ object Tpch {
 
   val oracles: Map[String, String] = Map(
     "q4_order_priority" -> q4Sql,
+    "q9_profit" -> q9Sql,
+    "q12_priority_shipping" -> q12Sql,
+    "q13_cust_distribution" -> q13Sql,
+    "q17_small_qty" -> q17Sql,
+    "q20_promotion_parts" -> q20Sql,
+    "q21_waiting_suppliers" -> q21Sql,
     "q7_volume" -> q7Sql,
     "q8_market_share" -> q8Sql,
     "q10_returns" -> q10Sql,
