@@ -181,10 +181,81 @@ object Functions3 {
           WHERE ch = '7') AS hist_sevens
        FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""
 
+  /** Bing tile family (reference plugin/trino-geospatial/BingTileFunctions
+    * .java:86-344): bing_tile_at / quadkey / coordinates / polygon envelope /
+    * tiles_around, over deterministic per-customer coordinates. The oracle
+    * replays the Microsoft web-mercator projection in DuckDB (same double
+    * math); quadkey⇄tile and parent-prefix relations are checked as
+    * invariants the oracle pins to TRUE. */
+  def q_fn_bing_tiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.BingTiles._
+    val c = table(s, dir, "customer").filter($"c_custkey" <= 2000)
+      .withColumn("lat", (($"c_custkey" * 7 % 170) - 85 + lit(0.5)).cast("double"))
+      .withColumn("lon", (($"c_custkey" * 13 % 360) - 180 + lit(0.5)).cast("double"))
+      .withColumn("zoom", (lit(10) + $"c_custkey" % 6).cast("int"))
+      .withColumn("tile", bingTileAt($"lat", $"lon", $"zoom"))
+      .withColumn("qk", tileQuadkey($"tile"))
+    val parent = bingTile(floor($"tile.x" / 2).cast("int"), floor($"tile.y" / 2).cast("int"),
+      $"tile.zoom" - 1)
+    c.select($"c_custkey",
+        $"tile.x".as("tile_x"), $"tile.y".as("tile_y"),
+        tileZoomLevel($"tile").as("zoom_level"),
+        $"qk".as("quadkey"),
+        (bingTileFromQuadkey($"qk") === $"tile").as("qk_roundtrip_ok"),
+        (tileQuadkey(parent) === $"qk".substr(lit(1), length($"qk") - 1))
+          .as("parent_prefix_ok"),
+        tilePolygon($"tile").getField("min_lon").as("env_min_lon"),
+        tilePolygon($"tile").getField("max_lon").as("env_max_lon"),
+        // mercator y-fractions of the tile edges: exact rational (replayable
+        // bit-for-bit); the atan∘exp latitude corners are engine-side libm
+        // (JVM vs DuckDB differ in the last ulp), so they are verified as
+        // ordering + point-containment invariants instead of raw doubles
+        ($"tile.y" * 256.0 / (lit(256.0) * pow(lit(2.0), $"zoom"))).as("env_y_top"),
+        (($"tile.y" + 1) * 256.0 / (lit(256.0) * pow(lit(2.0), $"zoom"))).as("env_y_bottom"),
+        (tilePolygon($"tile").getField("min_lat") < tilePolygon($"tile").getField("max_lat") &&
+          $"lat" >= tilePolygon($"tile").getField("min_lat") &&
+          $"lat" <= tilePolygon($"tile").getField("max_lat")).as("env_lat_ok"),
+        size(tilesAround($"lat", $"lon", $"zoom")).as("n_around"))
+      .orderBy($"c_custkey")
+  }
+  val qFnBingTilesSql: String =
+    """WITH t AS (
+         SELECT c_custkey,
+           CAST((c_custkey * 7 % 170) - 85 + 0.5 AS DOUBLE) AS lat,
+           CAST((c_custkey * 13 % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+           CAST(10 + c_custkey % 6 AS INT) AS zoom
+         FROM customer WHERE c_custkey <= 2000),
+       xy AS (
+         SELECT *, 256.0 * power(2.0, zoom) AS ms,
+           CAST(floor(greatest(0.0, least((lon + 180.0) / 360.0 * (256.0 * power(2.0, zoom)),
+                256.0 * power(2.0, zoom) - 1)) / 256.0) AS INT) AS tile_x,
+           CAST(floor(greatest(0.0, least(
+                (0.5 - ln((1.0 + sin(lat * pi() / 180.0)) / (1.0 - sin(lat * pi() / 180.0))) / (4.0 * pi()))
+                  * (256.0 * power(2.0, zoom)),
+                256.0 * power(2.0, zoom) - 1)) / 256.0) AS INT) AS tile_y
+         FROM t)
+       SELECT c_custkey, tile_x, tile_y, zoom AS zoom_level,
+         array_to_string(list_transform(range(1, zoom + 1), i ->
+           CAST(CAST(floor(tile_x / power(2.0, zoom - i)) AS INT) % 2
+              + 2 * (CAST(floor(tile_y / power(2.0, zoom - i)) AS INT) % 2) AS VARCHAR)), '') AS quadkey,
+         TRUE AS qk_roundtrip_ok,
+         TRUE AS parent_prefix_ok,
+         (least(tile_x * 256.0, ms) / ms - 0.5) * 360.0 AS env_min_lon,
+         (least((tile_x + 1) * 256.0, ms) / ms - 0.5) * 360.0 AS env_max_lon,
+         tile_y * 256.0 / ms AS env_y_top,
+         (tile_y + 1) * 256.0 / ms AS env_y_bottom,
+         TRUE AS env_lat_ok,
+         CAST((1 + (tile_x > 0)::INT + (tile_x < CAST(power(2.0, zoom) AS BIGINT) - 1)::INT)
+            * (1 + (tile_y > 0)::INT + (tile_y < CAST(power(2.0, zoom) AS BIGINT) - 1)::INT) AS INT) AS n_around
+       FROM xy ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
     "q_fn_scalar3" -> q_fn_scalar3 _,
-    "q_fn_scalar4" -> q_fn_scalar4 _)
+    "q_fn_scalar4" -> q_fn_scalar4 _,
+    "q_fn_bing_tiles" -> q_fn_bing_tiles _)
   val oracles: Map[String, String] = Map(
     "q_fn_scalar3" -> qFnScalar3Sql,
-    "q_fn_scalar4" -> qFnScalar4Sql)
+    "q_fn_scalar4" -> qFnScalar4Sql,
+    "q_fn_bing_tiles" -> qFnBingTilesSql)
 }
