@@ -72,15 +72,24 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
     val names = headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.findFirstIn(n).isDefined))
-    val results = names.map { name =>
-      try {
-        run(name); run(name) // 2 prewarm runs (codegen + file listing + JIT)
-        name -> Seq(timed(name), timed(name), timed(name)).min
-      } catch {
+    // Interleaved passes: prewarm the whole suite twice, then measure the
+    // whole suite three times round-robin and keep the per-query minimum.
+    // Same total work as back-to-back best-of-3, but a transient machine
+    // stall (GC, co-tenant CPU steal) poisons at most one PASS of a query
+    // instead of all of its samples — the min over passes stays clean.
+    val failed = scala.collection.mutable.Set.empty[String]
+    def tryRun(name: String): Double =
+      try { if (failed(name)) -1.0 else timed(name) }
+      catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+          failed += name; -1.0
       }
+    names.foreach(tryRun); names.foreach(tryRun) // 2 prewarm passes (codegen + file listing + JIT)
+    val passes = Seq.fill(3)(names.map(n => n -> tryRun(n)).toMap)
+    val results = names.map { n =>
+      val ts = passes.map(_(n)).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

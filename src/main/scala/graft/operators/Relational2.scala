@@ -175,6 +175,70 @@ object Relational2 {
            cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 200.0
        ORDER BY id_a, id_b"""
 
+  /** KDB-tree partitioned spatial distance join — the reference's actual
+    * partitioned-spatial-join design (lib/trino-geospatial-toolkit/.../
+    * KdbTree.java:39 built by the spatial_partitioning aggregate, consumed by
+    * ExtractSpatialJoins.java:152), upgraded from the fixed-grid variant
+    * above: leaf rectangles ADAPT to the sampled data distribution, so dense
+    * regions get small leaves and empty space costs nothing — at 100 TB this
+    * is the difference between a grid whose hot cells skew the shuffle and a
+    * partitioning whose leaves carry ~equal row counts.
+    *
+    * Spark-first pipeline: bounded deterministic sample → driver-side KDB
+    * build (the same pattern as Spark's RangePartitioner sampling) → leaf
+    * tests compiled into literal codegen'd conditionals → probe side exploded
+    * into bbox-intersecting leaves, build side single-assigned → one shuffle
+    * equi-join on leaf id → exact haversine refine. Pairs are unique by
+    * construction (single assignment of the build side), so there is NO
+    * distinct pass — the candidate stream goes straight to the filter. */
+  def q_join_spatial_kdb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GeoFunctions._
+    import graft.functions.KdbTree
+    val radiusKm = 150.0
+    val pts = table(s, dir, "customer").filter($"c_custkey" <= 1500)
+      .select($"c_custkey".as("id"),
+        (($"c_custkey" % 60) - 30 + 0.5).as("lat"),
+        (($"c_custkey" * 11 % 120) - 60 + 0.5).as("lon"))
+    // bounded sample (≤ ~215 rows) — the spatial_partitioning aggregate's
+    // sampling role; deterministic so the plan (and the oracle) are stable
+    val sample = pts.filter($"id" % 7 === 0).select($"lon", $"lat").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val leaves = KdbTree.build(sample, leafCap = 16)
+    // rigorous probe bbox: dφ ≤ r/R exactly; dλ bounded via
+    // sin(dλ/2) ≤ sin(d/2R)/cos(φmax) — 1.05 margin over the linearization
+    val dLat = radiusKm / 111.0 * 1.05
+    val dLon = lit(radiusKm * 1.05 / 111.0) / cos(radians(abs($"lat") + dLat))
+    val build = pts
+      .withColumn("leaf", KdbTree.pointLeaf(leaves, $"lon", $"lat"))
+      .select($"leaf", $"id".as("id_b"), $"lat".as("lat_b"), $"lon".as("lon_b"))
+    val probe = pts
+      .withColumn("leaf", explode(KdbTree.bboxLeaves(leaves,
+        $"lon" - dLon, $"lon" + dLon, $"lat" - dLat, $"lat" + dLat)))
+      .select($"leaf", $"id".as("id_a"), $"lat".as("lat_a"), $"lon".as("lon_a"))
+    probe.join(build, "leaf")
+      .filter($"id_a" < $"id_b")
+      .withColumn("dist_raw", haversineKm($"lat_a", $"lon_a", $"lat_b", $"lon_b"))
+      .filter($"dist_raw" <= radiusKm)
+      .select($"id_a", $"id_b", round($"dist_raw", 6).as("dist_km"))
+      .orderBy($"id_a", $"id_b")
+  }
+  val qJoinSpatialKdbSql: String =
+    """WITH p AS (
+         SELECT c_custkey AS id,
+           (c_custkey % 60) - 30 + 0.5 AS lat,
+           (c_custkey * 11 % 120) - 60 + 0.5 AS lon
+         FROM customer WHERE c_custkey <= 1500)
+       SELECT a.id AS id_a, b.id AS id_b,
+         round(2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2) +
+           cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2))), 6) AS dist_km
+       FROM p a JOIN p b ON a.id < b.id
+       WHERE 2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2) +
+           cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 150.0
+       ORDER BY id_a, id_b"""
+
   /** Polygon-containment spatial join: points ⋈ polygons via a bbox-cover
     * grid (the distributed stand-in for the reference's R-tree probe —
     * reference: operator/SpatialJoinOperator.java:41, PagesRTreeIndex.java,
@@ -240,6 +304,7 @@ object Relational2 {
   val queries: Map[String, Q] = Map(
     "q_recursive_cte" -> q_recursive_cte _,
     "q_join_spatial" -> q_join_spatial _,
+    "q_join_spatial_kdb" -> q_join_spatial_kdb _,
     "q_join_geo_contains" -> q_join_geo_contains _,
     "q_join_lateral" -> q_join_lateral _,
     "q_subq_quantified" -> q_subq_quantified _,
@@ -248,6 +313,7 @@ object Relational2 {
   val oracles: Map[String, String] = Map(
     "q_recursive_cte" -> qRecursiveCteSql,
     "q_join_spatial" -> qJoinSpatialSql,
+    "q_join_spatial_kdb" -> qJoinSpatialKdbSql,
     "q_join_geo_contains" -> qJoinGeoContainsSql,
     "q_join_lateral" -> qJoinLateralSql,
     "q_subq_quantified" -> qSubqQuantifiedSql,

@@ -94,4 +94,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Join") && (plan.contains("gx") && plan.contains("gy")),
       s"no cell-keyed equi-join:\n$plan")
   }
+
+  test("KDB-tree spatial join is a leaf-keyed equi-join with adaptive leaves") {
+    val plan = physicalPlan(operators.Relational2.q_join_spatial_kdb(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"KDB spatial join fell back to a cross product:\n$plan")
+    assert(plan.contains("leaf"), s"no leaf-keyed equi-join:\n$plan")
+    // the sampled tree must actually split: >1 leaf for the 1500-point fixture
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pts = operators.table(spark, sfDir, "customer").limit(500)
+      .select((col("c_custkey") % 60 - 30).cast("double").as("lat"),
+        (col("c_custkey") * 11 % 120 - 60).cast("double").as("lon"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(0))).toSeq
+    val leaves = functions.KdbTree.build(pts, leafCap = 16)
+    assert(leaves.size > 8, s"tree did not split: ${leaves.size} leaves")
+    // leaves tile the plane: every sample point lands in exactly one leaf
+    pts.foreach { case (x, y) =>
+      val owners = leaves.filter(r => x >= r.xmin && x < r.xmax && y >= r.ymin && y < r.ymax)
+      assert(owners.size == 1, s"point ($x,$y) in ${owners.size} leaves")
+    }
+  }
 }
