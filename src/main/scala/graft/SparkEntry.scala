@@ -32,6 +32,7 @@ object SparkEntry {
       (operators.Similarity.queries, operators.Similarity.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
+      (operators.Ml.queries, operators.Ml.oracles),
       (operators.Approx.queries, operators.Approx.oracles),
       (operators.Types.queries, operators.Types.oracles),
       (operators.Federation.queries, operators.Federation.oracles),

@@ -35,12 +35,17 @@ object Sketches {
     var means: Array[Double] = Array.empty
     var weights: Array[Double] = Array.empty
     private var bufV: Array[Double] = new Array[Double](64)
+    private var bufW: Array[Double] = new Array[Double](64)
     private var bufN = 0
     var total: Double = 0.0
 
-    def add(x: Double): Unit = {
+    def add(x: Double): Unit = add(x, 1.0)
+
+    /** Weighted insertion (reference approx_percentile(x, weight, q) —
+      * operator/aggregation/TDigestAggregationFunction weighted form). */
+    def add(x: Double, w: Double): Unit = {
       if (bufN == bufV.length) compress()
-      bufV(bufN) = x; bufN += 1; total += 1
+      bufV(bufN) = x; bufW(bufN) = w; bufN += 1; total += w
     }
 
     def merge(o: TDigest): Unit = {
@@ -58,9 +63,10 @@ object Sketches {
     def compress(): Unit = {
       if (bufN == 0) return
       val bv = java.util.Arrays.copyOf(bufV, bufN)
+      val bw = java.util.Arrays.copyOf(bufW, bufN)
       bufN = 0
       means = means ++ bv
-      weights = weights ++ Array.fill(bv.length)(1.0)
+      weights = weights ++ bw
       recluster()
     }
 
@@ -165,6 +171,25 @@ object Sketches {
     * values (the inverse of [[tdigestQuantiles]]). */
   def tdigestQuantilesAtValues(c: Column, vs: Seq[Double], compression: Double = 200.0): Column =
     udaf(new TDigestQuantilesAtValues(vs, compression), Encoders.scalaDouble).apply(c)
+
+  private class TDigestQuantilesWeighted(qs: Seq[Double], compression: Double)
+      extends Aggregator[(Double, Double), TDigest, Array[Double]] {
+    def zero: TDigest = new TDigest(compression)
+    def reduce(b: TDigest, xw: (Double, Double)): TDigest = { b.add(xw._1, xw._2); b }
+    def merge(a: TDigest, b: TDigest): TDigest = { a.merge(b); a }
+    def finish(d: TDigest): Array[Double] = qs.map(d.quantile).toArray
+    def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+    def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Weighted approx_percentile (reference approx_percentile(x, weight, qs),
+    * operator/aggregation/TDigestAggregationFunction.java weighted overload):
+    * each x carries an integral/fractional weight — the digest state stays
+    * O(compression) regardless of total weight. */
+  def tdigestQuantilesWeighted(c: Column, w: Column, qs: Seq[Double],
+      compression: Double = 200.0): Column =
+    udaf(new TDigestQuantilesWeighted(qs, compression),
+      ExpressionEncoder[(Double, Double)]()).apply(c, w)
 
   // ------------------------------------------------------------ space-saving
 

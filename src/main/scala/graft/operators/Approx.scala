@@ -51,6 +51,45 @@ object Approx {
          count(*) AS n
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Weighted approx_percentile (reference approx_percentile(x, w, q) —
+    * TDigestAggregationFunction's weighted overload): the exact weighted
+    * quantiles come from Spark's percentile-with-frequency and are replayed
+    * by DuckDB as quantile_cont over the weight-expanded multiset
+    * (generate_series join) — bit-exact; the weighted t-digest estimate is
+    * the usual within-1% boolean. */
+  def q_approx_quantiles_weighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ok = (1 to 3).map(i =>
+      abs(element_at($"qs", i) - element_at($"eqs", i)) <=
+        element_at($"eqs", i) * 0.01).reduce(_ && _)
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        tdigestQuantilesWeighted($"l_extendedprice", $"l_linenumber".cast("double"),
+          Seq(0.25, 0.5, 0.75)).as("qs"),
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), l_linenumber)").as("eqs"),
+        sum($"l_linenumber").as("w"))
+      .select($"l_returnflag",
+        round(element_at($"eqs", 1), 6).as("wq25"),
+        round(element_at($"eqs", 2), 6).as("wq50"),
+        round(element_at($"eqs", 3), 6).as("wq75"),
+        ok.as("tdigest_weighted_ok"),
+        $"w")
+      .orderBy($"l_returnflag")
+  }
+  val qApproxQuantilesWeightedSql: String =
+    """WITH e AS (
+         SELECT l_returnflag, l_extendedprice,
+           unnest(range(1, CAST(l_linenumber AS BIGINT) + 1)) AS rep
+         FROM lineitem)
+       SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.25), 6) AS wq25,
+         round(quantile_cont(l_extendedprice, 0.50), 6) AS wq50,
+         round(quantile_cont(l_extendedprice, 0.75), 6) AS wq75,
+         TRUE AS tdigest_weighted_ok,
+         count(*) AS w
+       FROM e GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** HLL sketch state as a column (reference approx_set / merge /
     * cardinality — HyperLogLogType sketches flowing between aggregations):
     * per-group sketches, estimates, and a re-aggregated union of the group
@@ -150,12 +189,14 @@ object Approx {
 
   val queries: Map[String, Q] = Map(
     "q_approx_quantiles" -> q_approx_quantiles _,
+    "q_approx_quantiles_weighted" -> q_approx_quantiles_weighted _,
     "q_approx_hll" -> q_approx_hll _,
     "q_agg_setdigest" -> q_agg_setdigest _,
     "q_approx_topk" -> q_approx_topk _)
 
   val oracles: Map[String, String] = Map(
     "q_approx_topk" -> qApproxTopkSql,
+    "q_approx_quantiles_weighted" -> qApproxQuantilesWeightedSql,
     "q_agg_setdigest" -> qAggSetdigestSql,
     "q_approx_quantiles" -> qApproxQuantilesSql,
     "q_approx_hll" -> qApproxHllSql)
