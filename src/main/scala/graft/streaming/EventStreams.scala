@@ -82,6 +82,90 @@ object EventStreams {
       .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"), col("value"))
   }
 
+  /** One emitted pattern match (streaming MATCH_RECOGNIZE output row). */
+  final case class StreamMatch(userId: Long, startEventId: Long, endEventId: Long,
+      nRows: Int, sumValue: Double)
+
+  /** CEP input row — `ts` carries the watermark through the projection. */
+  final case class CepEvent(user_id: Long, ts_ms: Long, event_id: Long,
+      event_type: String, value: Double, ts: java.sql.Timestamp)
+
+  /** Streaming MATCH_RECOGNIZE — CEP over the event stream, an extension the
+    * reference cannot express (its MATCH_RECOGNIZE is batch-only;
+    * operator/window/matcher/Matcher.java): the SAME backtracking NFA as the
+    * batch operator (graft.plans.RowPattern.Matcher — one matcher, two
+    * runtimes) applied per user inside gap-bounded session bursts.
+    *
+    * Semantics: rows are pattern-matched within sessions split at > `gap`
+    * quiet periods (a match never spans a session gap — the CEP analogue of
+    * Flink's `within`). A session is MATURE once the watermark passes its
+    * last event by `gap` — no future row can extend it — so emitted matches
+    * are final (append mode, exactly-once w.r.t. event time).
+    *
+    * State per user: the open (immature) session buffer only; matured rows
+    * leave state on emission, and event-time timeouts re-examine keys that
+    * stop receiving data. State is therefore bounded by session length, not
+    * stream length.
+    *
+    * Rows seen by DEFINE predicates: Row(event_id, ts_millis, event_type,
+    * value) — positional, same order as the batch twin in the spec. */
+  def matchRecognizeStream(events: DataFrame, pattern: String,
+      define: Map[String, graft.plans.RowPattern.Predicate],
+      gapMinutes: Int): org.apache.spark.sql.Dataset[StreamMatch] = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.plans.RowPattern
+    val gapMs = gapMinutes * 60000L
+    val matcher = new RowPattern.Matcher(RowPattern.parse(pattern), RowPattern.liftAll(define))
+    implicit val inEnc: Encoder[CepEvent] = Encoders.product[CepEvent]
+    implicit val stateEnc: Encoder[List[(Long, Long, String, Double)]] =
+      Encoders.kryo[List[(Long, Long, String, Double)]]
+    implicit val outEnc: Encoder[StreamMatch] = Encoders.product[StreamMatch]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+
+    def runMatcher(userId: Long, session: Seq[(Long, Long, String, Double)]): Seq[StreamMatch] = {
+      val part: IndexedSeq[Row] = session.map(e => Row(e._2, e._1, e._3, e._4)).toIndexedSeq
+      matcher.findAll(part).map { m =>
+        val rows = session.slice(m.start, m.end)
+        StreamMatch(userId, rows.head._2, rows.last._2, rows.size,
+          rows.map(_._4).sum)
+      }
+    }
+
+    events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 1000").as("ts_ms"),
+        col("event_id"), col("event_type"), col("value"))
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "1 hour")
+      .as[CepEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Long, String, Double)], StreamMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, newRows, state) =>
+          val buffered = state.getOption.getOrElse(Nil)
+          val all = (buffered ++ newRows.map(r => (r.ts_ms, r.event_id, r.event_type, r.value)))
+            .sortBy(e => (e._1, e._2))
+          val wm = state.getCurrentWatermarkMs()
+          // split into gap-bounded sessions, emit the mature ones
+          val sessions = all.foldLeft(List.empty[List[(Long, Long, String, Double)]]) {
+            case (acc, e) => acc match {
+              case cur :: rest if e._1 - cur.last._1 <= gapMs => (cur :+ e) :: rest
+              case _ => List(e) :: acc
+            }
+          }.reverse
+          val (mature, open) = sessions.partition(sess => sess.last._1 + gapMs <= wm)
+          val out = mature.flatMap(sess => runMatcher(userId, sess))
+          val remaining = open.flatten
+          if (remaining.isEmpty) state.remove()
+          else {
+            state.update(remaining)
+            state.setTimeoutTimestamp(math.max(wm, remaining.head._1) + gapMs + 1)
+          }
+          out.iterator
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: per-user running event count
     * and value total. State is one (count, sum) pair per key, partitioned
     * across executors — the arbitrary-stateful-operator surface that windowed

@@ -124,4 +124,68 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
   }
+
+  test("streaming MATCH_RECOGNIZE emits exactly the batch NFA's matches once sessions mature") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.RowPattern
+    // stage the fixture, then a far-future sentinel row as a SECOND file so
+    // the watermark advances across micro-batches and every session matures
+    val tmp = java.nio.file.Files.createTempDirectory("cep").toFile
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/aa_events.parquet"))
+    val maxTsNanos = operators.table(spark, sfDir, "events")
+      .agg(max(expr("unix_micros(ts)"))).collect()(0).getLong(0) * 1000L
+    val sentinelNanos = maxTsNanos + 6L * 3600 * 1000 * 1000 * 1000
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, "view", 0.0, "{}")),
+        streaming.EventStreams.fileSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/zz_sentinel")
+    // flatten the sentinel into the watched dir as a later file
+    val part = new java.io.File(s"$tmp/zz_sentinel").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$tmp/zz_sentinel.parquet"))
+
+    val define: Map[String, RowPattern.Predicate] = Map(
+      "V" -> ((part, i) => part(i).getString(2) == "view"),
+      "P" -> ((part, i) => part(i).getString(2) == "purchase"))
+    val src = spark.readStream.schema(streaming.EventStreams.fileSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = streaming.EventStreams.matchRecognizeStream(src, "V+ P", define, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cep_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cep_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    // batch twin: same gap sessionization + the SAME Matcher, driver-side
+    val matcher = new RowPattern.Matcher(RowPattern.parse("V+ P"), RowPattern.liftAll(define))
+    val rows = operators.table(spark, sfDir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 1000").as("ts_ms"),
+        col("event_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val gapMs = 30 * 60000L
+    val expected = rows.groupBy(_._1).flatMap { case (user, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3)).toList
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Long, String, Double)]]) {
+        case (acc, e) => acc match {
+          case cur :: rest if e._2 - cur.last._2 <= gapMs => (cur :+ e) :: rest
+          case _ => List(e) :: acc
+        }
+      }
+      sessions.flatMap { sess =>
+        val part = sess.map(e => org.apache.spark.sql.Row(e._3, e._2, e._4, e._5)).toIndexedSeq
+        matcher.findAll(part).map { m =>
+          (user, sess(m.start)._3, sess(m.end - 1)._3, m.end - m.start)
+        }
+      }
+    }.toSet
+    assert(expected.nonEmpty, "batch twin found no matches — fixture/pattern mismatch")
+    assert(streamed == expected)
+  }
 }
