@@ -38,6 +38,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  // zero-norm vectors yield null for non-null input — not null-intolerant
+  override def nullIntolerant: Boolean = false
   override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

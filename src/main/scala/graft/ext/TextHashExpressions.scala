@@ -183,6 +183,9 @@ case class MinHashAgreement(left: Expression, right: Expression)
       s"$prettyName requires two ARRAY<BIGINT> arguments")
   }
   override def dataType: DataType = DoubleType
+  // empty signatures yield null for non-null input — not null-intolerant
+  override def nullIntolerant: Boolean = false
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_agreement"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

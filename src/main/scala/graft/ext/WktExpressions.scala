@@ -450,6 +450,10 @@ object Wkt {
 
 /** ST_GeometryFromText(wkt) → geometry struct (NULL on unsupported WKT). */
 case class WktParse(child: Expression) extends UnaryExpression with CodegenFallback {
+  // malformed WKT yields null for a non-null input: the optimizer must not
+  // fold IS NULL checks via Spark 4's default UnaryExpression null-intolerance
+  // nor assume nullability from the child
+  override def nullIntolerant: Boolean = false
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

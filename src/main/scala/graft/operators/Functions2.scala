@@ -724,6 +724,58 @@ object Functions2 {
          '[' || rpad(repeat('#', fill), 20, ' ') || ']' AS bar
        FROM t ORDER BY c_custkey"""
 
+  /** IPADDRESS with IPv6 (reference spi/type/IpAddressType 16-byte encoding +
+    * operator/scalar/IpAddressFunctions.java:40 contains): parse of padded/
+    * uppercase/compressed/v4-mapped forms, RFC 5952 canonical rendering
+    * (longest zero run compressed, first on ties, single groups kept,
+    * v4-mapped rendered dotted), and CIDR containment across both families.
+    * The oracle rebuilds every canonical string with independent hex math. */
+  def q_fn_ipv6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    def toIp(c: org.apache.spark.sql.Column) = column(graft.ext.ToIpAddress(expression(c)))
+    def fmt(c: org.apache.spark.sql.Column) = column(graft.ext.IpAddressFormat(expression(c)))
+    def cont(n: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column) =
+      column(graft.ext.IpContains(expression(n), expression(a)))
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 1000)
+      .withColumn("x", ($"c_custkey" % 65535 + 1).cast("long"))
+      .withColumn("y", ($"c_custkey" * 7 % 65535 + 1).cast("long"))
+      .withColumn("hx", lpad(upper(hex($"x")), 4, "0"))
+      .withColumn("hy", lpad(upper(hex($"y")), 4, "0"))
+      // tie of two 2-zero runs → FIRST compresses
+      .withColumn("raw_tie", concat(lit("2001:0DB8:0:0:"), $"hx", lit(":0:0:"), $"hy"))
+      // single zero group + 3-zero run → only the long run compresses
+      .withColumn("raw_single", concat(lit("2001:0DB8:0000:"), $"hx", lit(":0:0:0:"), $"hy"))
+      .withColumn("dotted", concat(lit("10."), $"c_custkey" % 256, lit("."),
+        $"c_custkey" * 3 % 256, lit(".7")))
+      .withColumn("raw_mapped", concat(lit("::FFFF:"), $"dotted"))
+    t.select($"c_custkey",
+        fmt(toIp($"raw_tie")).as("canon_tie"),
+        fmt(toIp($"raw_single")).as("canon_single"),
+        fmt(toIp($"raw_mapped")).as("canon_mapped"),
+        (fmt(toIp(fmt(toIp($"raw_tie")))) === fmt(toIp($"raw_tie"))).as("roundtrip_ok"),
+        cont(lit("2001:db8::/32"), toIp($"raw_tie")).as("in_db8_32"),
+        cont(lit("2001:db9::/32"), toIp($"raw_tie")).as("in_db9_32"),
+        cont(lit("2001:0DB8:0:0:0:0:0:0/128"), toIp($"raw_tie")).as("in_exact_128"),
+        cont(concat(lit("10."), $"c_custkey" % 256, lit(".0.0/16")), toIp($"dotted")).as("in_own_16"),
+        cont(lit("10.0.0.0/8"), toIp($"raw_tie")).as("v6_in_v4_net"),
+        fmt(toIp(lit("not-an-ip"))).isNull.as("malformed_null"))
+      .orderBy($"c_custkey")
+  }
+  val qFnIpv6Sql: String =
+    """SELECT c_custkey,
+         '2001:db8::' || lower(to_hex(c_custkey % 65535 + 1)) || ':0:0:' || lower(to_hex(c_custkey * 7 % 65535 + 1)) AS canon_tie,
+         '2001:db8:0:' || lower(to_hex(c_custkey % 65535 + 1)) || '::' || lower(to_hex(c_custkey * 7 % 65535 + 1)) AS canon_single,
+         '10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' || CAST(c_custkey * 3 % 256 AS VARCHAR) || '.7' AS canon_mapped,
+         TRUE AS roundtrip_ok,
+         TRUE AS in_db8_32,
+         FALSE AS in_db9_32,
+         FALSE AS in_exact_128,
+         TRUE AS in_own_16,
+         FALSE AS v6_in_v4_net,
+         TRUE AS malformed_null
+       FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey"""
+
   /** Session/system functions (reference operator/scalar/SessionFunctions.java,
     * TypeOfFunction.java, VersionFunction.java): current_user / current
     * catalog / version() / typeof(x) in the reference's type vocabulary.
@@ -769,6 +821,7 @@ object Functions2 {
     "q_fn_interval" -> q_fn_interval _,
     "q_fn_url" -> q_fn_url _,
     "q_fn_uuid_ip" -> q_fn_uuid_ip _,
+    "q_fn_ipv6" -> q_fn_ipv6 _,
     "q_fn_ngrams" -> q_fn_ngrams _,
     "q_fn_sqljson" -> q_fn_sqljson _,
     "q_fn_jsonpath" -> q_fn_jsonpath _,
@@ -789,6 +842,7 @@ object Functions2 {
     "q_fn_interval" -> qFnIntervalSql,
     "q_fn_url" -> qFnUrlSql,
     "q_fn_uuid_ip" -> qFnUuidIpSql,
+    "q_fn_ipv6" -> qFnIpv6Sql,
     "q_fn_ngrams" -> qFnNgramsSql,
     "q_fn_sqljson" -> qFnSqljsonSql,
     "q_fn_jsonpath" -> qFnJsonpathSql,
