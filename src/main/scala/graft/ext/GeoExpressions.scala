@@ -122,3 +122,48 @@ case class PolygonContains(px: Expression, py: Expression, xs: Expression, ys: E
   override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): Expression =
     copy(px = nc(0), py = nc(1), xs = nc(2), ys = nc(3))
 }
+
+/** ST_ConvexHull over (xs, ys) point arrays (reference GeoFunctions.java
+  * ST_ConvexHull): Andrew's monotone chain, collinear vertices dropped,
+  * output CCW starting from the lexicographically-smallest (x, y) vertex —
+  * a canonical form both engines can compare. Returns
+  * struct<xs array<double>, ys array<double>>. */
+case class ConvexHull(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with DoubleArrayPair {
+  override def checkInputDataTypes(): TypeCheckResult = checkArrays(Seq(left.dataType, right.dataType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("xs", ArrayType(DoubleType, containsNull = false)),
+    StructField("ys", ArrayType(DoubleType, containsNull = false))))
+  override def prettyName: String = "st_convex_hull"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]; val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    if (n == 0) return null
+    val pts = Array.tabulate(n)(i => (xs.getDouble(i), ys.getDouble(i)))
+      .distinct.sortBy(identity)
+    def cross(o: (Double, Double), p: (Double, Double), q: (Double, Double)): Double =
+      (p._1 - o._1) * (q._2 - o._2) - (p._2 - o._2) * (q._1 - o._1)
+    def chain(ps: Array[(Double, Double)]): List[(Double, Double)] = {
+      var out = List.empty[(Double, Double)]
+      for (p <- ps) {
+        while (out.lengthCompare(2) >= 0 && cross(out.tail.head, out.head, p) <= 0)
+          out = out.tail
+        out = p :: out
+      }
+      out.reverse
+    }
+    val lower = chain(pts)
+    val upper = chain(pts.reverse)
+    // drop the duplicated endpoints; result is CCW from the smallest vertex
+    val hull =
+      if (pts.length == 1) pts.toList
+      else lower.init ++ upper.init
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    InternalRow(
+      new GenericArrayData(hull.map(_._1).toArray),
+      new GenericArrayData(hull.map(_._2).toArray))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -59,6 +59,11 @@ object GeoFunctions {
   def stLength(xs: Column, ys: Column): Column =
     column(graft.ext.LineStringLength(expression(xs), expression(ys)))
 
+  /** ST_ConvexHull over (xs, ys) point arrays → hull struct<xs, ys>, CCW
+    * from the lexicographically-smallest vertex, collinear points dropped. */
+  def stConvexHull(xs: Column, ys: Column): Column =
+    column(graft.ext.ConvexHull(expression(xs), expression(ys)))
+
   /** ST_Intersects over two (xs, ys) polygons. */
   def stIntersects(xa: Column, ya: Column, xb: Column, yb: Column): Column =
     column(graft.ext.PolygonIntersects(

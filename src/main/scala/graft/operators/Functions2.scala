@@ -724,6 +724,58 @@ object Functions2 {
          '[' || rpad(repeat('#', fill), 20, ' ') || ']' AS bar
        FROM t ORDER BY c_custkey"""
 
+  /** ST_ConvexHull (reference plugin/trino-geospatial GeoFunctions.java
+    * ST_ConvexHull): Andrew's monotone chain over a shuffled complete grid
+    * plus one off-lattice outlier per nation — the hull is analytically a
+    * 5-gon (4 grid corners + the outlier), so the oracle states its exact
+    * area (dyadic shoelace, order-independent), perimeter (replayed in the
+    * kernel's edge order), vertex count, canonical first vertex, and
+    * coordinate sums. The input permutation (i·37 mod w², a bijection since
+    * 37 is prime > w) proves the hull does not depend on point order. */
+  def q_fn_geo_convexhull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GeoFunctions._
+    val t = table(s, dir, "nation")
+      .withColumn("w", ($"n_nationkey" % 3 + 5).cast("int"))
+      .withColumn("gx", ($"n_nationkey" * 20).cast("double"))
+      .withColumn("gy", ($"n_nationkey" * 10).cast("double"))
+      .withColumn("xs", concat(
+        transform(sequence(lit(0), $"w" * $"w" - 1),
+          i => $"gx" + pmod(i * 37, $"w" * $"w") % $"w"),
+        array($"gx" + $"w" + 1)))
+      .withColumn("ys", concat(
+        transform(sequence(lit(0), $"w" * $"w" - 1),
+          i => $"gy" + floor(pmod(i * 37, $"w" * $"w") / $"w")),
+        array($"gy" + ($"w" - 1) / 2.0)))
+      .withColumn("hull", stConvexHull($"xs", $"ys"))
+    t.select($"n_nationkey",
+        size($"hull.xs").as("n_hull"),
+        element_at($"hull.xs", 1).as("first_x"),
+        element_at($"hull.ys", 1).as("first_y"),
+        aggregate($"hull.xs", lit(0.0), (a, x) => a + x).as("sum_xs"),
+        aggregate($"hull.ys", lit(0.0), (a, y) => a + y).as("sum_ys"),
+        stArea($"hull.xs", $"hull.ys").as("hull_area"),
+        stPerimeter($"hull.xs", $"hull.ys").as("hull_perimeter"))
+      .orderBy($"n_nationkey")
+  }
+  val qFnGeoConvexhullSql: String =
+    """WITH t AS (
+         SELECT n_nationkey,
+           CAST(n_nationkey % 3 + 5 AS DOUBLE) AS w,
+           CAST(n_nationkey * 20 AS DOUBLE) AS gx,
+           CAST(n_nationkey * 10 AS DOUBLE) AS gy
+         FROM nation)
+       SELECT n_nationkey,
+         5 AS n_hull,
+         gx AS first_x,
+         gy AS first_y,
+         5 * gx + 3 * w - 1 AS sum_xs,
+         5 * gy + 2 * (w - 1) + (w - 1) / 2.0 AS sum_ys,
+         (w - 1) * (w - 1) + (w - 1) AS hull_area,
+         (((0.0 + (w - 1)) + sqrt(4.0 + ((w - 1) / 2.0) * ((w - 1) / 2.0)))
+            + sqrt(4.0 + ((w - 1) / 2.0) * ((w - 1) / 2.0)) + (w - 1)) + (w - 1) AS hull_perimeter
+       FROM t ORDER BY n_nationkey"""
+
   /** IPADDRESS with IPv6 (reference spi/type/IpAddressType 16-byte encoding +
     * operator/scalar/IpAddressFunctions.java:40 contains): parse of padded/
     * uppercase/compressed/v4-mapped forms, RFC 5952 canonical rendering
@@ -813,6 +865,7 @@ object Functions2 {
     "q_fn_geo_multi" -> q_fn_geo_multi _,
     "q_fn_color" -> q_fn_color _,
     "q_fn_geo_polygon" -> q_fn_geo_polygon _,
+    "q_fn_geo_convexhull" -> q_fn_geo_convexhull _,
     "q_fn_geo" -> q_fn_geo _,
     "q_fn_json_table" -> q_fn_json_table _,
     "q_fn_json_table_nested" -> q_fn_json_table_nested _,
@@ -834,6 +887,7 @@ object Functions2 {
     "q_fn_geo_multi" -> qFnGeoMultiSql,
     "q_fn_color" -> qFnColorSql,
     "q_fn_geo_polygon" -> qFnGeoPolygonSql,
+    "q_fn_geo_convexhull" -> qFnGeoConvexhullSql,
     "q_fn_geo" -> qFnGeoSql,
     "q_fn_json_table" -> qFnJsonTableSql,
     "q_fn_json_table_nested" -> qFnJsonTableNestedSql,
