@@ -417,7 +417,10 @@ object Tpch {
       .join(l2, $"l_orderkey" === $"k2" && $"l_suppkey" =!= $"s2", "left_semi")
       .join(lateL3, $"l_orderkey" === $"k3" && $"l_suppkey" =!= $"s3", "left_anti")
       .join(table(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(table(s, dir, "nation").filter($"n_name" === "NATION_5")),
+      // half the nations — selective enough to exercise the semi-join,
+      // non-empty at every fixture scale factor (a single nation is empty
+      // at sf0.001)
+      .join(broadcast(table(s, dir, "nation").filter($"n_nationkey" < 13)),
         $"s_nationkey" === $"n_nationkey", "left_semi")
       .groupBy($"s_name")
       .agg(count(lit(1)).as("numwait"))
@@ -437,7 +440,7 @@ object Tpch {
                          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
                            AND o3.o_orderstatus = 'F'
                            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
-         AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_5')
+         AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey < 13)
        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""
 
   val queries: Map[String, Q] = Map(

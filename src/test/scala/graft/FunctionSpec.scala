@@ -228,4 +228,37 @@ class FunctionSpec extends SparkSpec {
     assert(v(doc, """lax $.a[?(!(@.missing > 1) && @.x == 5)].x""") == null)
     assert(v(doc, """lax $.a[?((@.missing > 1 || @.x == 5))].x""") == "5")
   }
+
+  test("IPADDRESS codec: RFC 5952 canonicalization and contains vectors") {
+    import graft.ext.IpCodec
+    def canon(s: String): String = IpCodec.format(IpCodec.parse(s))
+    // RFC 5952 §4: lowercase, longest run compressed, first on ties,
+    // single zero groups kept
+    assert(canon("::1") == "::1")
+    assert(canon("0:0:0:0:0:0:0:0") == "::")
+    assert(canon("2001:0DB8:0:0:0:0:0:0") == "2001:db8::")
+    assert(canon("1:0:0:1:0:0:0:1") == "1:0:0:1::1")
+    assert(canon("2001:db8:0:1:1:1:1:1") == "2001:db8:0:1:1:1:1:1")
+    // v4-mapped renders dotted (reference IpAddressType via Inet4Address)
+    assert(canon("::ffff:192.0.2.1") == "192.0.2.1")
+    assert(canon("192.0.2.1") == "192.0.2.1")
+    // embedded dotted tail in a general v6
+    assert(canon("64:ff9b::192.0.2.33") == "64:ff9b::c000:221")
+    // malformed
+    assert(IpCodec.parse("1::2::3") == null)
+    assert(IpCodec.parse("12345::") == null)
+    assert(IpCodec.parse("1:2:3:4:5:6:7") == null)
+    assert(IpCodec.parse("10.0.0.256") == null)
+    assert(IpCodec.parse("10.0.0") == null)
+    // the reference doc's contains() examples (docs/functions/ipaddress.md)
+    def c(net: String, ip: String): Boolean =
+      IpCodec.contains(net, IpCodec.parse(ip)).booleanValue
+    assert(c("10.0.0.0/8", "10.255.255.255"))
+    assert(!c("10.0.0.0/8", "11.255.255.255"))
+    assert(c("2001:0db8:0:0:0:ff00:0042:8329/128", "2001:0db8:0:0:0:ff00:0042:8329"))
+    assert(!c("2001:0db8:0:0:0:ff00:0042:8329/128", "2001:0db8:0:0:0:ff00:0042:8328"))
+    // non-octet-aligned prefix
+    assert(c("2001:db8::/31", "2001:db9::1"))
+    assert(!c("2001:db8::/32", "2001:db9::1"))
+  }
 }
