@@ -117,6 +117,19 @@ object BingTiles {
       cornerLat(tile("y"), z).as("max_lat"))
   }
 
+  /** geometry_to_bing_tiles over an envelope (BingTileFunctions.java:344 —
+    * the reference's spatial-join blocking device): every tile at `zoom`
+    * intersecting [minLon, maxLon] × [minLat, maxLat]. Tile y grows
+    * southward, so the y-range runs from maxLat's tile to minLat's. */
+  def geometryToBingTiles(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column,
+      zoom: Column): Column = {
+    val x1 = tileX(minLon, zoom); val x2 = tileX(maxLon, zoom)
+    val y1 = tileY(maxLat, zoom); val y2 = tileY(minLat, zoom)
+    flatten(transform(sequence(x1, x2), x =>
+      transform(sequence(y1, y2), y =>
+        struct(x.cast("int").as("x"), y.cast("int").as("y"), zoom.cast("int").as("zoom")))))
+  }
+
   /** bing_tiles_around(lat, lon, zoom): the ≤9 neighbors of the containing
     * tile, clipped to the map edge (BingTileFunctions.java:164-190). */
   def tilesAround(lat: Column, lon: Column, zoom: Column): Column = {

@@ -250,12 +250,66 @@ object Functions3 {
             * (1 + (tile_y > 0)::INT + (tile_y < CAST(power(2.0, zoom) AS BIGINT) - 1)::INT) AS INT) AS n_around
        FROM xy ORDER BY c_custkey"""
 
+  /** geometry_to_bing_tiles (BingTileFunctions.java:344) — envelope covers.
+    * The oracle replays the corner-tile projection and derives count and
+    * coordinate sums from the arithmetic series over the tile ranges —
+    * independently verifying every tile in the cover without materializing
+    * them in SQL. */
+  def q_fn_bing_cover(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.BingTiles._
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 1500)
+      .withColumn("lat", (($"c_custkey" * 7 % 140) - 70 + lit(0.25)).cast("double"))
+      .withColumn("lon", (($"c_custkey" * 13 % 340) - 170 + lit(0.25)).cast("double"))
+      .withColumn("zoom", (lit(8) + $"c_custkey" % 4).cast("int"))
+      .withColumn("tiles", geometryToBingTiles(
+        $"lon" - 0.3, $"lat" - 0.2, $"lon" + 0.3, $"lat" + 0.2, $"zoom"))
+    t.select($"c_custkey",
+        size($"tiles").as("n_tiles"),
+        aggregate($"tiles", lit(0L), (a, tl) => a + tl("x")).as("sum_x"),
+        aggregate($"tiles", lit(0L), (a, tl) => a + tl("y")).as("sum_y"),
+        element_at($"tiles", 1).getField("x").as("first_x"),
+        element_at($"tiles", 1).getField("y").as("first_y"))
+      .orderBy($"c_custkey")
+  }
+  val qFnBingCoverSql: String =
+    """WITH t AS (
+         SELECT c_custkey,
+           CAST((c_custkey * 7 % 140) - 70 + 0.25 AS DOUBLE) AS lat,
+           CAST((c_custkey * 13 % 340) - 170 + 0.25 AS DOUBLE) AS lon,
+           CAST(8 + c_custkey % 4 AS INT) AS zoom
+         FROM customer WHERE c_custkey <= 1500),
+       rng AS (
+         SELECT c_custkey,
+           CAST(floor(greatest(0.0, least((lon - 0.3 + 180.0) / 360.0 * 256.0 * power(2.0, zoom),
+                256.0 * power(2.0, zoom) - 1)) / 256.0) AS BIGINT) AS x1,
+           CAST(floor(greatest(0.0, least((lon + 0.3 + 180.0) / 360.0 * 256.0 * power(2.0, zoom),
+                256.0 * power(2.0, zoom) - 1)) / 256.0) AS BIGINT) AS x2,
+           CAST(floor(greatest(0.0, least(
+                (0.5 - ln((1.0 + sin((lat + 0.2) * pi() / 180.0)) / (1.0 - sin((lat + 0.2) * pi() / 180.0))) / (4.0 * pi()))
+                  * 256.0 * power(2.0, zoom),
+                256.0 * power(2.0, zoom) - 1)) / 256.0) AS BIGINT) AS y1,
+           CAST(floor(greatest(0.0, least(
+                (0.5 - ln((1.0 + sin((lat - 0.2) * pi() / 180.0)) / (1.0 - sin((lat - 0.2) * pi() / 180.0))) / (4.0 * pi()))
+                  * 256.0 * power(2.0, zoom),
+                256.0 * power(2.0, zoom) - 1)) / 256.0) AS BIGINT) AS y2
+         FROM t)
+       SELECT c_custkey,
+         CAST((x2 - x1 + 1) * (y2 - y1 + 1) AS INT) AS n_tiles,
+         (x1 + x2) * (x2 - x1 + 1) // 2 * (y2 - y1 + 1) AS sum_x,
+         (y1 + y2) * (y2 - y1 + 1) // 2 * (x2 - x1 + 1) AS sum_y,
+         CAST(x1 AS INT) AS first_x,
+         CAST(y1 AS INT) AS first_y
+       FROM rng ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
     "q_fn_scalar3" -> q_fn_scalar3 _,
     "q_fn_scalar4" -> q_fn_scalar4 _,
-    "q_fn_bing_tiles" -> q_fn_bing_tiles _)
+    "q_fn_bing_tiles" -> q_fn_bing_tiles _,
+    "q_fn_bing_cover" -> q_fn_bing_cover _)
   val oracles: Map[String, String] = Map(
     "q_fn_scalar3" -> qFnScalar3Sql,
     "q_fn_scalar4" -> qFnScalar4Sql,
-    "q_fn_bing_tiles" -> qFnBingTilesSql)
+    "q_fn_bing_tiles" -> qFnBingTilesSql,
+    "q_fn_bing_cover" -> qFnBingCoverSql)
 }
