@@ -46,3 +46,22 @@ case class StringHamming(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** char2hexint: uppercase hex of the UTF-16BE encoding (reference
+  * plugin/trino-teradata-functions TeradataStringFunctions.java:62). */
+case class Char2HexInt(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StringType
+  override def prettyName: String = "char2hexint"
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+    val sb = new StringBuilder(bytes.length * 2)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02X"))
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): Char2HexInt = copy(child = c)
+}

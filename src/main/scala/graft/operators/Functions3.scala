@@ -302,14 +302,62 @@ object Functions3 {
          CAST(y1 AS INT) AS first_y
        FROM rng ORDER BY c_custkey"""
 
+  /** Teradata compatibility bundle (reference plugin/trino-teradata-functions:
+    * index, char2hexint, to_date/to_timestamp/to_char with the Teradata
+    * YYYY/MM/DD/HH24/MI/SS token vocabulary). char2hexint is replayed by
+    * DuckDB per-codepoint (fixture strings are BMP); a non-BMP known-answer
+    * constant pins the surrogate-pair path. */
+  def q_fn_teradata(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TeradataFunctions._
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 500)
+      .withColumn("dt_str", concat(lit("2024-"),
+        lpad(($"c_custkey" % 12 + 1).cast("string"), 2, "0"), lit("-"),
+        lpad(($"c_custkey" % 28 + 1).cast("string"), 2, "0"), lit(" "),
+        lpad(($"c_custkey" % 24).cast("string"), 2, "0"), lit(":"),
+        lpad(($"c_custkey" % 60).cast("string"), 2, "0"), lit(":"),
+        lpad(($"c_custkey" * 7 % 60).cast("string"), 2, "0")))
+    t.select($"c_custkey",
+        tdIndex($"c_name", lit("#")).cast("long").as("idx_hash"),
+        tdIndex($"c_name", lit("zzz")).cast("long").as("idx_missing"),
+        tdChar2HexInt($"c_mktsegment").as("seg_hex"),
+        tdChar2HexInt(lit("A🎉")).as("ka_nonbmp"),
+        unix_timestamp(tdToTimestamp($"dt_str", "yyyy-mm-dd hh24:mi:ss")).as("ts_epoch"),
+        tdToDate($"dt_str", "yyyy-mm-dd hh24:mi:ss").cast("string").as("date_str"),
+        tdToChar(tdToTimestamp($"dt_str", "yyyy-mm-dd hh24:mi:ss"),
+          "dd/mm/yyyy hh24:mi").as("formatted"))
+      .orderBy($"c_custkey")
+  }
+  val qFnTeradataSql: String =
+    """WITH t AS (
+         SELECT c_custkey, c_name, c_mktsegment,
+           '2024-' || lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0') || '-'
+             || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0') || ' '
+             || lpad(CAST(c_custkey % 24 AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST(c_custkey % 60 AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST(c_custkey * 7 % 60 AS VARCHAR), 2, '0') AS dt_str
+         FROM customer WHERE c_custkey <= 500)
+       SELECT c_custkey,
+         CAST(instr(c_name, '#') AS BIGINT) AS idx_hash,
+         CAST(0 AS BIGINT) AS idx_missing,
+         array_to_string([lpad(upper(to_hex(unicode(x))), 4, '0')
+           FOR x IN string_split(c_mktsegment, '')], '') AS seg_hex,
+         '0041D83CDF89' AS ka_nonbmp,
+         epoch(strptime(dt_str, '%Y-%m-%d %H:%M:%S')) AS ts_epoch,
+         CAST(CAST(strptime(dt_str, '%Y-%m-%d %H:%M:%S') AS DATE) AS VARCHAR) AS date_str,
+         strftime(strptime(dt_str, '%Y-%m-%d %H:%M:%S'), '%d/%m/%Y %H:%M') AS formatted
+       FROM t ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
     "q_fn_scalar3" -> q_fn_scalar3 _,
     "q_fn_scalar4" -> q_fn_scalar4 _,
     "q_fn_bing_tiles" -> q_fn_bing_tiles _,
-    "q_fn_bing_cover" -> q_fn_bing_cover _)
+    "q_fn_bing_cover" -> q_fn_bing_cover _,
+    "q_fn_teradata" -> q_fn_teradata _)
   val oracles: Map[String, String] = Map(
     "q_fn_scalar3" -> qFnScalar3Sql,
     "q_fn_scalar4" -> qFnScalar4Sql,
     "q_fn_bing_tiles" -> qFnBingTilesSql,
-    "q_fn_bing_cover" -> qFnBingCoverSql)
+    "q_fn_bing_cover" -> qFnBingCoverSql,
+    "q_fn_teradata" -> qFnTeradataSql)
 }
