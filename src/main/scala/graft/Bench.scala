@@ -86,7 +86,13 @@ object Bench {
           failed += name; -1.0
       }
     names.foreach(tryRun); names.foreach(tryRun) // 2 prewarm passes (codegen + file listing + JIT)
-    val passes = Seq.fill(3)(names.map(n => n -> tryRun(n)).toMap)
+    val passes = Seq.fill(3) {
+      // JMH-style forced GC between passes: without it the later passes
+      // measure allocation-heavy queries (Expand plans) inside the
+      // accumulated old-gen pressure of the whole suite's prior runs
+      System.gc(); Thread.sleep(200)
+      names.map(n => n -> tryRun(n)).toMap
+    }
     val results = names.map { n =>
       val ts = passes.map(_(n)).filter(_ >= 0)
       n -> (if (ts.isEmpty) -1.0 else ts.min)
