@@ -79,4 +79,41 @@ class WriteSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
     assert(got == Seq((1L, "a", 10.0), (2L, "B", 200.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
+
+  test("bucketed tables co-locate a fact-fact join with NO shuffle exchange") {
+    // The 100 TB layout decision the reference expresses through connector
+    // bucketing/partitioned exchanges (SURVEY §2.10, AddExchanges.java:145):
+    // two tables bucketed on the join key satisfy HashClusteredDistribution
+    // from the scan, so the join plans with zero Exchange nodes — at scale
+    // this removes the dominant cost of every repeated fact-fact join.
+    val db = spark.catalog.currentDatabase
+    val li = operators.table(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+    val or = operators.table(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    or.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("or_bucketed")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("or_bucketed").hint("merge"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchangesBeforeAgg = "Exchange hashpartitioning".r
+        .findAllIn(plan.substring(plan.indexOf("Join"))).length
+      assert(exchangesBeforeAgg == 0,
+        s"bucketed join still shuffles ($exchangesBeforeAgg exchanges under the join):\n$plan")
+      // and the result matches the unbucketed join
+      val expected = li.join(or, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+      assert(joined.orderBy($"l_orderkey").collect().toSeq ==
+        expected.orderBy($"l_orderkey").collect().toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS or_bucketed")
+    }
+  }
 }
