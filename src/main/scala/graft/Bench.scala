@@ -23,7 +23,51 @@ object Bench {
     "q_sim_cosine_topk", "q_text_fingerprint",
     "q_match_recognize", "q_agg_percentile_approx", "q_approx_topk")
 
+  /** JDK-17 module opens Spark needs outside spark-submit (mirrors
+    * org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions()). */
+  private val jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Measurement hygiene: a max-heap JVM (observed: 53 GiB in the round-6
+    * driver run) turns the bench into a GC lottery — old-gen fills across the
+    * whole suite and allocation-heavy queries measure 3-9x their isolated
+    * time. A single-JVM local[32] bench at sf0.1 needs ~4-6 GiB; anything
+    * much larger only delays (and then amplifies) collection pauses. If this
+    * JVM's heap is oversized, re-exec the bench in a child JVM with a pinned
+    * moderate heap and stream its stdout through, so the measurement is
+    * reproducible regardless of how the harness JVM was launched.
+    */
+  private def reExecPinnedHeapIfNeeded(): Unit = {
+    val pinned = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAP", "8g")
+    val oversized = Runtime.getRuntime.maxMemory > (12L << 30)
+    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+    val disabled = sys.env.get("SPARK_GRAFT_BENCH_NOFORK").contains("1")
+    if (oversized && !isChild && !disabled) {
+      val java = sys.props("java.home") + "/bin/java"
+      val cmd = Seq(java) ++ jdk17AddOpens ++ Seq(
+        s"-Xmx$pinned",
+        "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", sys.props("java.class.path"),
+        "graft.Bench")
+      System.err.println(
+        s"[bench] heap ${Runtime.getRuntime.maxMemory >> 20} MiB oversized; " +
+        s"re-exec with -Xmx$pinned for stable measurement")
+      val pb = new ProcessBuilder(cmd: _*).inheritIO()
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+      sys.exit(pb.start().waitFor())
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    reExecPinnedHeapIfNeeded()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Reduce-partition sizing: ~8 MB of input per partition, floored at 8 —
@@ -99,7 +143,15 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Raw per-pass samples alongside the min: a contaminated run (co-tenant
+    // steal, GC storm) is then self-evident from the artifact — the poisoned
+    // pass shows up as an outlier sample instead of silently inflating the
+    // reported minimum.
+    val samples = names.map { n =>
+      "\"" + n + "\":" + passes.map(p => f"${p(n)}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val heapMb = Runtime.getRuntime.maxMemory >> 20
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"heap_mb":$heapMb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,6 +31,15 @@ object IpCodec {
       if (part.isEmpty) Array.empty else part.split(":", -1)
     val head = groups(parts(0))
     val tail = if (parts.length == 2) groups(parts(1)) else Array.empty[String]
+    // RFC 4291 §2.2: a dotted quad may appear only as the TERMINAL 32 bits
+    // (the reference's InetAddresses-based cast rejects '1.2.3.4::' and
+    // '::1.2.3.4:ffff' as malformed)
+    def dottedMisplaced(gs: Array[String], terminalAllowed: Boolean): Boolean =
+      gs.zipWithIndex.exists { case (g, i) =>
+        g.contains('.') && !(terminalAllowed && i == gs.length - 1)
+      }
+    if (dottedMisplaced(head, terminalAllowed = parts.length == 1) ||
+        dottedMisplaced(tail, terminalAllowed = true)) return null
     // an embedded dotted-v4 tail counts as two groups
     def expand(gs: Array[String]): Array[Int] = {
       val out = scala.collection.mutable.ArrayBuffer[Int]()
@@ -124,7 +133,10 @@ object IpCodec {
     val netBytes = parse(network.substring(0, slash))
     if (netBytes == null || addr == null) return null
     val declared = try network.substring(slash + 1).toInt catch { case _: Exception => return null }
-    val v4 = !network.substring(0, slash).contains(':')
+    // Family by VALUE, not by spelling: the reference (Guava InetAddresses)
+    // normalizes a v4-mapped address written in v6 notation
+    // ('::ffff:10.0.0.0') to Inet4Address, so its /prefix is a v4 prefix.
+    val v4 = isV4Mapped(netBytes)
     if (declared < 0 || declared > (if (v4) 32 else 128)) return null
     // v4 networks can only contain v4-mapped addresses (and vice versa)
     if (v4 != isV4Mapped(addr)) return false

@@ -53,9 +53,19 @@ object BingTiles {
   def bingTile(x: Column, y: Column, zoom: Column): Column =
     struct(x.cast("int").as("x"), y.cast("int").as("y"), zoom.cast("int").as("zoom"))
 
+  /** Reference domain (BingTileFunctions.java checkLatitude/checkLongitude/
+    * checkZoomLevel): latitude in [-85.05112878, 85.05112878], longitude in
+    * [-180, 180], zoom in [0, 23]. Out-of-domain inputs raise
+    * INVALID_FUNCTION_ARGUMENT there; here they yield NULL (the engine's
+    * TRY-friendly lax form), never a silently-clamped edge tile. */
+  private def inDomain(lat: Column, lon: Column, zoom: Column): Column =
+    lat.between(MinLatitude, MaxLatitude) && lon.between(-180.0, 180.0) &&
+      zoom.between(0, MaxZoom)
+
   /** bing_tile_at(lat, lon, zoom). */
   def bingTileAt(lat: Column, lon: Column, zoom: Column): Column =
-    bingTile(tileX(lon, zoom), tileY(lat, zoom), zoom)
+    when(inDomain(lat, lon, zoom),
+      bingTile(tileX(lon, zoom), tileY(lat, zoom), zoom))
 
   /** bing_tile_coordinates(tile) → (x, y); bing_tile_zoom_level(tile) → zoom. */
   def tileCoordinates(tile: Column): Column = struct(tile("x"), tile("y"))
@@ -125,9 +135,10 @@ object BingTiles {
       zoom: Column): Column = {
     val x1 = tileX(minLon, zoom); val x2 = tileX(maxLon, zoom)
     val y1 = tileY(maxLat, zoom); val y2 = tileY(minLat, zoom)
-    flatten(transform(sequence(x1, x2), x =>
-      transform(sequence(y1, y2), y =>
-        struct(x.cast("int").as("x"), y.cast("int").as("y"), zoom.cast("int").as("zoom")))))
+    when(inDomain(minLat, minLon, zoom) && inDomain(maxLat, maxLon, zoom),
+      flatten(transform(sequence(x1, x2), x =>
+        transform(sequence(y1, y2), y =>
+          struct(x.cast("int").as("x"), y.cast("int").as("y"), zoom.cast("int").as("zoom"))))))
   }
 
   /** bing_tiles_around(lat, lon, zoom): the ≤9 neighbors of the containing
@@ -140,7 +151,8 @@ object BingTiles {
     val candidates = array(offsets.map { case (i, j) =>
       struct((cx + i).cast("int").as("x"), (cy + j).cast("int").as("y"), zoom.cast("int").as("zoom"))
     }: _*)
-    filter(candidates, t =>
-      t("x") >= 0 && t("x") <= maxIdx && t("y") >= 0 && t("y") <= maxIdx)
+    when(inDomain(lat, lon, zoom),
+      filter(candidates, t =>
+        t("x") >= 0 && t("x") <= maxIdx && t("y") >= 0 && t("y") <= maxIdx))
   }
 }

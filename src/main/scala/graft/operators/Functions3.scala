@@ -117,7 +117,7 @@ object Functions3 {
                                  WHEN 'h' THEN 3600 WHEN 'd' THEN 86400 END AS dur_secs,
          CAST(last_day(d) AS VARCHAR) AS month_end,
          strftime(d, '%Y-%m-%d') AS iso_date,
-         epoch(CAST(CAST(d AS VARCHAR) || ' 12:30:00+02:00' AS TIMESTAMPTZ)) AS iso_ts_epoch,
+         CAST(epoch(CAST(CAST(d AS VARCHAR) || ' 12:30:00+02:00' AS TIMESTAMPTZ)) AS BIGINT) AS iso_ts_epoch,
          lpad(upper(to_hex(c_custkey)), 16, '0') AS be64_hex,
          c_custkey AS be64_roundtrip,
          digits[8] AS arr_last,
@@ -343,7 +343,7 @@ object Functions3 {
          array_to_string([lpad(upper(to_hex(unicode(x))), 4, '0')
            FOR x IN string_split(c_mktsegment, '')], '') AS seg_hex,
          '0041D83CDF89' AS ka_nonbmp,
-         epoch(strptime(dt_str, '%Y-%m-%d %H:%M:%S')) AS ts_epoch,
+         CAST(epoch(strptime(dt_str, '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS ts_epoch,
          CAST(CAST(strptime(dt_str, '%Y-%m-%d %H:%M:%S') AS DATE) AS VARCHAR) AS date_str,
          strftime(strptime(dt_str, '%Y-%m-%d %H:%M:%S'), '%d/%m/%Y %H:%M') AS formatted
        FROM t ORDER BY c_custkey"""

@@ -154,7 +154,13 @@ object EventStreams {
               case _ => List(e) :: acc
             }
           }.reverse
-          val (mature, open) = sessions.partition(sess => sess.last._1 + gapMs <= wm)
+          // Maturity is STRICT (last + gap < wm) while membership is
+          // inclusive (ts - last <= gap): a row at exactly last+gap when
+          // wm == last+gap is not late-filtered (watermark drops only
+          // ts < wm), so the session must still be open to absorb it —
+          // otherwise the batch twin would extend a session the stream
+          // already emitted, breaking exactly-once-vs-batch equivalence.
+          val (mature, open) = sessions.partition(sess => sess.last._1 + gapMs < wm)
           val out = mature.flatMap(sess => runMatcher(userId, sess))
           val remaining = open.flatten
           if (remaining.isEmpty) state.remove()

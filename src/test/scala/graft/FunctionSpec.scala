@@ -250,6 +250,12 @@ class FunctionSpec extends SparkSpec {
     assert(IpCodec.parse("1:2:3:4:5:6:7") == null)
     assert(IpCodec.parse("10.0.0.256") == null)
     assert(IpCodec.parse("10.0.0") == null)
+    // RFC 4291 §2.2: a dotted quad is only legal as the TERMINAL 32 bits —
+    // the reference's InetAddresses-based cast rejects these as malformed
+    assert(IpCodec.parse("::1.2.3.4:ffff") == null)
+    assert(IpCodec.parse("1.2.3.4::") == null)
+    assert(IpCodec.parse("1:1.2.3.4:1:1:1:1:1") == null)
+    assert(IpCodec.parse("::ffff:1.2.3.4") != null) // terminal stays legal
     // the reference doc's contains() examples (docs/functions/ipaddress.md)
     def c(net: String, ip: String): Boolean =
       IpCodec.contains(net, IpCodec.parse(ip)).booleanValue
@@ -260,5 +266,11 @@ class FunctionSpec extends SparkSpec {
     // non-octet-aligned prefix
     assert(c("2001:db8::/31", "2001:db9::1"))
     assert(!c("2001:db8::/32", "2001:db9::1"))
+    // a v4-mapped network spelled in v6 notation is a v4 FAMILY network
+    // (Guava InetAddresses normalizes ::ffff:a.b.c.d to Inet4Address), so
+    // its prefix is a v4 prefix: /8 over ::ffff:10.0.0.0 means 10/8
+    assert(c("::ffff:10.0.0.0/8", "10.255.255.255"))
+    assert(!c("::ffff:10.0.0.0/8", "11.0.0.1"))
+    assert(IpCodec.contains("::ffff:10.0.0.0/96", IpCodec.parse("10.0.0.1")) == null) // >32 invalid for v4
   }
 }

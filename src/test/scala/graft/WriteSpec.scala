@@ -102,6 +102,7 @@ class WriteSpec extends SparkSpec {
         .groupBy($"l_orderkey")
         .agg(count(lit(1)).as("n"))
       val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Join"), s"expected a join in the plan:\n$plan")
       val exchangesBeforeAgg = "Exchange hashpartitioning".r
         .findAllIn(plan.substring(plan.indexOf("Join"))).length
       assert(exchangesBeforeAgg == 0,
