@@ -18,6 +18,7 @@ object SparkEntry {
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.Relational2.queries, operators.Relational2.oracles),
       (operators.Tpch.queries, operators.Tpch.oracles),
+      (operators.Tpcds.queries, operators.Tpcds.oracles),
       (operators.Aggregates.queries, operators.Aggregates.oracles),
       (operators.Aggregates2.queries, operators.Aggregates2.oracles),
       (operators.SetOps.queries, operators.SetOps.oracles),
@@ -28,6 +29,7 @@ object SparkEntry {
       (operators.Functions.queries, operators.Functions.oracles),
       (operators.Functions2.queries, operators.Functions2.oracles),
       (operators.Functions3.queries, operators.Functions3.oracles),
+      (operators.Geometry.queries, operators.Geometry.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Similarity.queries, operators.Similarity.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),

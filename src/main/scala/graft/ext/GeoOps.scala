@@ -1,0 +1,436 @@
+package graft.ext
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Planar geometry operations over the [[Wkt]] ringed model (SURVEY.md §2.8
+  * geometry breadth step 2; reference plugin/trino-geospatial/GeoFunctions
+  * .java — ST_Distance:1697, ST_Buffer:736, ST_Union:1122).
+  *
+  * - distance(a, b): minimum planar Euclidean distance — 0 when the
+  *   geometries intersect or one contains the other, else the min over all
+  *   vertex/edge pairs (points are degenerate segments). Only the final
+  *   result takes a sqrt, so dyadic-coordinate fixtures with axis-aligned or
+  *   corner-to-corner nearest features are bit-replayable in the oracle.
+  * - buffer(g, d): Minkowski dilation by a regular octagon of circumradius d
+  *   (offsets (±d,0), (0,±d), (±d·√½,±d·√½)), realized as the convex hull of
+  *   all vertex-plus-offset points. The octagon replaces the reference's
+  *   round (arc) join — every offset is a product of d with 0, 1, or √½, so
+  *   the vertex coordinates (and any shoelace over them) replay exactly in
+  *   the oracle, which a trig-sampled arc would not. Exact Minkowski result
+  *   for convex inputs; the convex hull of the true buffer otherwise.
+  *   Negative distances (the reference's erosion case) are not supported →
+  *   NULL.
+  * - union(a, b): true boolean union for simple hole-free polygons whose
+  *   boundaries cross properly, via the classic augmented-boundary walk
+  *   (insert pairwise edge intersections into both vertex cycles, start at a
+  *   vertex outside the other polygon, switch cycles at every crossing).
+  *   Disjoint parts collect into a canonically-sorted MULTIPOLYGON;
+  *   containment collapses to the container. Touching-but-not-crossing
+  *   boundaries stay separate parts (the reference dissolves shared edges);
+  *   point/line inputs collect into MULTI kinds. Holes or mixed kinds → NULL.
+  *
+  * All kernels are pure double arithmetic on flat arrays — no JTS/ESRI/GEOS
+  * involvement anywhere (zero-dependency rule), which is why the supported
+  * surface is stated per-case instead of delegating to a library.
+  */
+object GeoOps {
+  import Wkt.Geom
+
+  // ------------------------------------------------------------- plumbing
+
+  /** (offset, length, isHole) triples over the rings array. */
+  def parts(g: Geom): Array[(Int, Int, Boolean)] = {
+    val out = new Array[(Int, Int, Boolean)](g.rings.length)
+    var off = 0
+    var i = 0
+    while (i < g.rings.length) {
+      val len = g.rings(i)
+      out(i) = (off, math.abs(len), len < 0)
+      off += math.abs(len)
+      i += 1
+    }
+    out
+  }
+
+  def fromRow(row: InternalRow): Geom = {
+    if (row == null) return null
+    Geom(row.getUTF8String(0).toString,
+      row.getArray(1).toDoubleArray(),
+      row.getArray(2).toDoubleArray(),
+      row.getArray(3).toIntArray())
+  }
+
+  def toRow(g: Geom): InternalRow =
+    if (g == null) null
+    else InternalRow(UTF8String.fromString(g.kind),
+      new GenericArrayData(g.xs), new GenericArrayData(g.ys),
+      new GenericArrayData(g.rings))
+
+  private def isPolygonal(g: Geom): Boolean =
+    g.kind == "POLYGON" || g.kind == "MULTIPOLYGON"
+
+  /** Point-in-polygon over all rings: inside iff inside an odd number of
+    * rings (shells minus holes — correct for non-nested shell sets). */
+  def containsPoint(g: Geom, px: Double, py: Double): Boolean = {
+    if (!isPolygonal(g)) return false
+    var in = false
+    for ((off, len, _) <- parts(g))
+      if (pointInRingArr(px, py, g.xs, g.ys, off, len)) in = !in
+    in
+  }
+
+  def pointInRingArr(px: Double, py: Double,
+      xs: Array[Double], ys: Array[Double], off: Int, len: Int): Boolean = {
+    var in = false
+    var i = 0
+    var j = len - 1
+    while (i < len) {
+      val xi = xs(off + i); val yi = ys(off + i)
+      val xj = xs(off + j); val yj = ys(off + j)
+      if (((yi > py) != (yj > py)) &&
+        (px < (xj - xi) * (py - yi) / (yj - yi) + xi)) in = !in
+      j = i
+      i += 1
+    }
+    in
+  }
+
+  // ------------------------------------------------------------- distance
+
+  /** Squared distance from point to segment; t clamps to the endpoints, so
+    * corner-nearest fixtures stay division-free. */
+  def ptSegDist2(px: Double, py: Double,
+      ax: Double, ay: Double, bx: Double, by: Double): Double = {
+    val dx = bx - ax; val dy = by - ay
+    val l2 = dx * dx + dy * dy
+    val t =
+      if (l2 == 0.0) 0.0
+      else math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / l2))
+    val qx = ax + t * dx; val qy = ay + t * dy
+    (px - qx) * (px - qx) + (py - qy) * (py - qy)
+  }
+
+  private def orient(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double): Double =
+    (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+  def properCross(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    o1 * o2 < 0 && o3 * o4 < 0
+  }
+
+  private def segSegDist2(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Double = {
+    if (properCross(ax, ay, bx, by, cx, cy, dx, dy)) return 0.0
+    math.min(
+      math.min(ptSegDist2(ax, ay, cx, cy, dx, dy), ptSegDist2(bx, by, cx, cy, dx, dy)),
+      math.min(ptSegDist2(cx, cy, ax, ay, bx, by), ptSegDist2(dx, dy, ax, ay, bx, by)))
+  }
+
+  /** Edges of a part: rings wrap, linestrings don't, points are degenerate. */
+  private def edges(g: Geom, off: Int, len: Int): Iterator[(Double, Double, Double, Double)] = {
+    val closedRing = isPolygonal(g)
+    if (len == 1) Iterator((g.xs(off), g.ys(off), g.xs(off), g.ys(off)))
+    else (0 until (if (closedRing) len else len - 1)).iterator.map { i =>
+      val j = (i + 1) % len
+      (g.xs(off + i), g.ys(off + i), g.xs(off + j), g.ys(off + j))
+    }
+  }
+
+  /** ST_Distance (GeoFunctions.java:1697): min planar distance, 0 on
+    * intersection/containment. O(edges(a)·edges(b)). */
+  def distance(a: Geom, b: Geom): Double = {
+    // containment: any vertex of one inside the polygonal other
+    if (isPolygonal(a) && b.xs.indices.exists(i => containsPoint(a, b.xs(i), b.ys(i)))) return 0.0
+    if (isPolygonal(b) && a.xs.indices.exists(i => containsPoint(b, a.xs(i), a.ys(i)))) return 0.0
+    var best = Double.PositiveInfinity
+    for ((offA, lenA, _) <- parts(a); ea <- edges(a, offA, lenA);
+         (offB, lenB, _) <- parts(b); eb <- edges(b, offB, lenB)) {
+      val d2 = segSegDist2(ea._1, ea._2, ea._3, ea._4, eb._1, eb._2, eb._3, eb._4)
+      if (d2 < best) best = d2
+      if (best == 0.0) return 0.0
+    }
+    math.sqrt(best)
+  }
+
+  // ------------------------------------------------------------- hull/buffer
+
+  /** Andrew's monotone chain: CCW hull starting at the lexicographic min,
+    * collinear points dropped, no closing duplicate. */
+  def hull(points: Array[(Double, Double)]): Array[(Double, Double)] = {
+    val ps = points.distinct.sorted
+    if (ps.length <= 2) return ps
+    def cross(o: (Double, Double), p: (Double, Double), q: (Double, Double)): Double =
+      (p._1 - o._1) * (q._2 - o._2) - (p._2 - o._2) * (q._1 - o._1)
+    def chain(src: Seq[(Double, Double)]): List[(Double, Double)] = {
+      var st = List.empty[(Double, Double)]
+      for (p <- src) {
+        while (st.size >= 2 && cross(st.tail.head, st.head, p) <= 0) st = st.tail
+        st = p :: st
+      }
+      st.reverse
+    }
+    val lower = chain(ps)
+    val upper = chain(ps.reverse)
+    (lower.dropRight(1) ++ upper.dropRight(1)).toArray
+  }
+
+  /** ST_Buffer (GeoFunctions.java:736) with an octagonal join; NULL for
+    * negative distance. d == 0 → the input unchanged. */
+  def buffer(g: Geom, d: Double): Geom = {
+    if (d.isNaN || d < 0) return null
+    if (d == 0.0) return g
+    val s = d * math.sqrt(0.5)
+    val offs = Array((d, 0.0), (s, s), (0.0, d), (-s, s), (-d, 0.0), (-s, -s), (0.0, -d), (s, -s))
+    val pts = for (i <- g.xs.indices.toArray; o <- offs) yield (g.xs(i) + o._1, g.ys(i) + o._2)
+    val h = hull(pts)
+    // closed ring (WKT polygon convention: last vertex repeats the first)
+    val xs = new Array[Double](h.length + 1)
+    val ys = new Array[Double](h.length + 1)
+    for (i <- h.indices) { xs(i) = h(i)._1; ys(i) = h(i)._2 }
+    xs(h.length) = h(0)._1; ys(h.length) = h(0)._2
+    Geom("POLYGON", xs, ys, Array(h.length + 1))
+  }
+
+  // ------------------------------------------------------------- union
+
+  /** Open CCW normalization of a ring slice: drop closing duplicate, reverse
+    * clockwise rings. */
+  private def normRing(xs: Array[Double], ys: Array[Double], off: Int, len0: Int):
+      (Array[Double], Array[Double]) = {
+    var len = len0
+    if (len > 1 && xs(off) == xs(off + len - 1) && ys(off) == ys(off + len - 1)) len -= 1
+    var area = 0.0
+    for (i <- 0 until len) {
+      val j = (i + 1) % len
+      area += xs(off + i) * ys(off + j) - xs(off + j) * ys(off + i)
+    }
+    val ix = Array.tabulate(len)(i => i)
+    val order = if (area >= 0) ix else ix.reverse
+    (order.map(i => xs(off + i)), order.map(i => ys(off + i)))
+  }
+
+  /** Normalized open-CCW shells of a hole-free polygonal geometry; empty for
+    * unsupported inputs (non-polygonal kinds, holes). */
+  def shellsOf(g: Geom): Seq[(Array[Double], Array[Double])] =
+    if (g == null || !isPolygonal(g) || g.rings.exists(_ < 0)) Seq.empty
+    else parts(g).toSeq.map { case (off, len, _) => normRing(g.xs, g.ys, off, len) }
+
+  /** Union boundary walk for two simple CCW rings with ≥1 proper boundary
+    * crossing. Returns the union's outer ring, or None when the boundaries
+    * don't properly cross (caller resolves containment/disjointness), or
+    * when the walk fails to close (degenerate contact — caller yields NULL
+    * rather than a wrong answer). */
+  def ringUnion(ax: Array[Double], ay: Array[Double],
+      bx: Array[Double], by: Array[Double]): Option[(Array[Double], Array[Double])] = {
+    val nA = ax.length; val nB = bx.length
+    // nodes per edge: (t, x, y, id)
+    val interA = Array.fill(nA)(List.empty[(Double, Double, Double, Int)])
+    val interB = Array.fill(nB)(List.empty[(Double, Double, Double, Int)])
+    var nextId = 0
+    for (i <- 0 until nA; j <- 0 until nB) {
+      val (x1, y1) = (ax(i), ay(i)); val (x2, y2) = (ax((i + 1) % nA), ay((i + 1) % nA))
+      val (x3, y3) = (bx(j), by(j)); val (x4, y4) = (bx((j + 1) % nB), by((j + 1) % nB))
+      if (properCross(x1, y1, x2, y2, x3, y3, x4, y4)) {
+        val denom = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
+        val tA = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / denom
+        val px = x1 + tA * (x2 - x1); val py = y1 + tA * (y2 - y1)
+        val tB =
+          if (math.abs(x4 - x3) >= math.abs(y4 - y3)) (px - x3) / (x4 - x3)
+          else (py - y3) / (y4 - y3)
+        interA(i) ::= ((tA, px, py, nextId))
+        interB(j) ::= ((tB, px, py, nextId))
+        nextId += 1
+      }
+    }
+    if (nextId == 0) return None
+    // augmented cycles: (x, y, interId | -1)
+    def augment(xs: Array[Double], ys: Array[Double],
+        inter: Array[List[(Double, Double, Double, Int)]]): Array[(Double, Double, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Double, Double, Int)]()
+      for (i <- xs.indices) {
+        out += ((xs(i), ys(i), -1))
+        for ((_, px, py, id) <- inter(i).sortBy(_._1)) out += ((px, py, id))
+      }
+      out.toArray
+    }
+    val cycA = augment(ax, ay, interA)
+    val cycB = augment(bx, by, interB)
+    val posInB: Map[Int, Int] = cycB.zipWithIndex.collect { case ((_, _, id), k) if id >= 0 => id -> k }.toMap
+    val posInA: Map[Int, Int] = cycA.zipWithIndex.collect { case ((_, _, id), k) if id >= 0 => id -> k }.toMap
+    // start: a vertex of A strictly outside B
+    val start = cycA.indexWhere { case (x, y, id) =>
+      id < 0 && !pointInRingArr(x, y, bx, by, 0, nB)
+    }
+    if (start < 0) return None
+    val outX = scala.collection.mutable.ArrayBuffer[Double]()
+    val outY = scala.collection.mutable.ArrayBuffer[Double]()
+    var onA = true
+    var pos = start
+    val maxSteps = 2 * (cycA.length + cycB.length) + 4
+    var steps = 0
+    var done = false
+    while (!done && steps <= maxSteps) {
+      val cyc = if (onA) cycA else cycB
+      val (x, y, id) = cyc(pos)
+      if (steps > 0 && onA && pos == start) done = true
+      else {
+        outX += x; outY += y
+        if (id >= 0) { // switch cycles at every crossing
+          pos = if (onA) posInB(id) else posInA(id)
+          onA = !onA
+        }
+        pos = (pos + 1) % (if (onA) cycA.length else cycB.length)
+      }
+      steps += 1
+    }
+    if (!done) return None
+    Some((outX.toArray, outY.toArray))
+  }
+
+  /** Iteratively merge new open CCW shells into an accumulated list of
+    * pairwise-disjoint parts: each new shell unions with any overlapping /
+    * containing existing part until none overlaps. Also the reduce step of
+    * geometry_union_agg — state size is bounded by the merged boundary, the
+    * same bound the reference's aggregate state carries. */
+  def mergeInto(acc0: List[(Array[Double], Array[Double])],
+      shells: Seq[(Array[Double], Array[Double])]): List[(Array[Double], Array[Double])] = {
+    var acc = acc0
+    for (s0 <- shells) {
+      var cur = s0
+      var merged = true
+      while (merged) {
+        merged = false
+        acc.find { case (qx, qy) =>
+          ringUnion(cur._1, cur._2, qx, qy).isDefined ||
+            pointInRingArr(qx(0), qy(0), cur._1, cur._2, 0, cur._1.length) ||
+            pointInRingArr(cur._1(0), cur._2(0), qx, qy, 0, qx.length)
+        } match {
+          case Some(q) =>
+            acc = acc.filterNot(_ eq q)
+            ringUnion(cur._1, cur._2, q._1, q._2) match {
+              case Some(u) => cur = u
+              case None =>
+                // no proper crossing: pure containment — keep the container
+                cur =
+                  if (pointInRingArr(q._1(0), q._2(0), cur._1, cur._2, 0, cur._1.length)) cur
+                  else q
+            }
+            merged = true
+          case None =>
+        }
+      }
+      acc ::= cur
+    }
+    acc
+  }
+
+  /** Canonical geometry from merged shells: parts sorted by (min x, min y),
+    * each ring closed, single part → POLYGON. */
+  def shellsToGeom(shells: List[(Array[Double], Array[Double])]): Geom = {
+    val sorted = shells.sortBy { case (xs, ys) => (xs.min, ys.min) }
+    val bx = scala.collection.mutable.ArrayBuffer[Double]()
+    val by = scala.collection.mutable.ArrayBuffer[Double]()
+    val lens = scala.collection.mutable.ArrayBuffer[Int]()
+    for ((xs, ys) <- sorted) {
+      // canonical start: lexicographic min vertex
+      val start = xs.indices.minBy(i => (xs(i), ys(i)))
+      val n = xs.length
+      for (k <- 0 to n) { // 0..n closes the ring
+        val i = (start + k) % n
+        bx += xs(i); by += ys(i)
+      }
+      lens += n + 1
+    }
+    Geom(if (sorted.length == 1) "POLYGON" else "MULTIPOLYGON",
+      bx.toArray, by.toArray, lens.toArray)
+  }
+
+  /** ST_Union (GeoFunctions.java:1122) — see object doc for the supported
+    * surface. NULL on holes, mixed kinds, or a degenerate-contact walk. */
+  def union(a: Geom, b: Geom): Geom = {
+    if (a == null || b == null) return null
+    if (isPolygonal(a) && isPolygonal(b)) {
+      if (a.rings.exists(_ < 0) || b.rings.exists(_ < 0)) return null // holes unsupported
+      val shells = (parts(a).map { case (off, len, _) => normRing(a.xs, a.ys, off, len) } ++
+        parts(b).map { case (off, len, _) => normRing(b.xs, b.ys, off, len) }).toSeq
+      shellsToGeom(mergeInto(Nil, shells))
+    } else if ((a.kind == "POINT" || a.kind == "MULTIPOINT") &&
+        (b.kind == "POINT" || b.kind == "MULTIPOINT")) {
+      val pts = (a.xs.zip(a.ys) ++ b.xs.zip(b.ys)).distinct.sorted
+      Geom("MULTIPOINT", pts.map(_._1), pts.map(_._2), Array.fill(pts.length)(1))
+    } else if ((a.kind == "LINESTRING" || a.kind == "MULTILINESTRING") &&
+        (b.kind == "LINESTRING" || b.kind == "MULTILINESTRING")) {
+      // collected, not noded (the reference nodes crossings; documented gap)
+      Geom("MULTILINESTRING", a.xs ++ b.xs, a.ys ++ b.ys, a.rings ++ b.rings)
+    } else null
+  }
+}
+
+// --------------------------------------------------------------- expressions
+
+/** ST_Distance(geom, geom) → double (GeoFunctions.java:1697). */
+case class GeomDistance(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == Wkt.geometryType && right.dataType == Wkt.geometryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("st_distance expects two geometry structs")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = false
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_distance"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeoOps.distance(GeoOps.fromRow(a.asInstanceOf[InternalRow]),
+      GeoOps.fromRow(b.asInstanceOf[InternalRow]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** ST_Buffer(geom, d) → geometry (GeoFunctions.java:736, octagonal join). */
+case class GeomBuffer(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == Wkt.geometryType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("st_buffer expects (geometry, double)")
+  override def dataType: DataType = Wkt.geometryType
+  override def nullIntolerant: Boolean = false
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_buffer"
+  override def nullSafeEval(g: Any, d: Any): Any = {
+    val out = GeoOps.buffer(GeoOps.fromRow(g.asInstanceOf[InternalRow]),
+      d.asInstanceOf[Double])
+    GeoOps.toRow(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** ST_Union(geom, geom) → geometry (GeoFunctions.java:1122). */
+case class GeomUnion(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == Wkt.geometryType && right.dataType == Wkt.geometryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("st_union expects two geometry structs")
+  override def dataType: DataType = Wkt.geometryType
+  override def nullIntolerant: Boolean = false
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_union"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeoOps.toRow(GeoOps.union(GeoOps.fromRow(a.asInstanceOf[InternalRow]),
+      GeoOps.fromRow(b.asInstanceOf[InternalRow])))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -103,4 +103,18 @@ object GeoFunctions {
   def stNumGeometries(g: Column): Column = column(graft.ext.GeomCount(expression(g), "geometries"))
   def stNumInteriorRing(g: Column): Column = column(graft.ext.GeomCount(expression(g), "interior_ring"))
   def stNumPoints(g: Column): Column = column(graft.ext.GeomCount(expression(g), "points"))
+
+  // ---- geometry breadth step 2 (GeoOps: distance / buffer / union) ----
+
+  /** ST_Distance(geom, geom): min planar distance, 0 on intersection. */
+  def stDistance(a: Column, b: Column): Column =
+    column(graft.ext.GeomDistance(expression(a), expression(b)))
+
+  /** ST_Buffer(geom, d): octagonal-join Minkowski dilation (NULL for d<0). */
+  def stBuffer(g: Column, d: Column): Column =
+    column(graft.ext.GeomBuffer(expression(g), expression(d)))
+
+  /** ST_Union(geom, geom): boolean union (see GeoOps for supported surface). */
+  def stUnion(a: Column, b: Column): Column =
+    column(graft.ext.GeomUnion(expression(a), expression(b)))
 }

@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geometry breadth step 2 (SURVEY.md §2.8; reference plugin/trino-geospatial/
+  * GeoFunctions.java ST_Distance:1697, ST_Buffer:736, ST_Union:1122, and
+  * aggregation/GeometryUnionAgg.java + ConvexHullAggregation.java).
+  *
+  * Fixture discipline: all coordinates are integer-valued doubles, nearest
+  * features are corner-to-corner or axis-perpendicular, and all boundary
+  * crossings are proper — so every distance, area, and vertex count has an
+  * exact closed form the oracle states independently. The point-buffer area
+  * is the one genuinely floating-point output; its oracle replays the
+  * kernel's shoelace term-for-term over the analytically-known octagon
+  * vertices (products and left-associated additions in the same order →
+  * bit-equal in any IEEE-754 engine).
+  */
+object Geometry {
+  import graft.functions.GeoFunctions._
+  import graft.functions.GeoAggregates
+
+  /** ST_Distance over containment / perpendicular / corner / overlap cases. */
+  def q_fn_geo_distance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 1500)
+      .withColumn("x", (($"c_custkey" * 7 % 50) * 16).cast("long"))
+      .withColumn("y", (($"c_custkey" * 13 % 40) * 16).cast("long"))
+      .withColumn("a", $"c_custkey" % 5)
+      .withColumn("u", $"c_custkey" % 3 + 1)
+      .withColumn("v", $"c_custkey" % 4 + 1)
+      .withColumn("w", $"c_custkey" % 4)
+      .withColumn("sq", stGeometryFromText(format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        $"x", $"y", $"x" + 2, $"y", $"x" + 2, $"y" + 2, $"x", $"y" + 2, $"x", $"y")))
+      .withColumn("pt", stGeometryFromText(format_string(
+        "POINT (%d %d)", $"x" + 2 + $"a", $"y" + 1)))
+      .withColumn("sq_corner", stGeometryFromText(format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        $"x" + 2 + $"u", $"y" + 2 + $"v", $"x" + 4 + $"u", $"y" + 2 + $"v",
+        $"x" + 4 + $"u", $"y" + 4 + $"v", $"x" + 2 + $"u", $"y" + 4 + $"v",
+        $"x" + 2 + $"u", $"y" + 2 + $"v")))
+      .withColumn("sq_overlap", stGeometryFromText(format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        $"x" + 1, $"y" + 1, $"x" + 3, $"y" + 1, $"x" + 3, $"y" + 3,
+        $"x" + 1, $"y" + 3, $"x" + 1, $"y" + 1)))
+      .withColumn("line", stGeometryFromText(format_string(
+        "LINESTRING (%d %d, %d %d)",
+        $"x" - 2 - $"w", $"y" + 1, $"x" - 2 - $"w", $"y" + 3)))
+    t.select($"c_custkey",
+        stDistance($"sq", $"pt").as("d_point"),
+        stDistance($"sq", $"sq_corner").as("d_corner"),
+        stDistance($"sq", $"sq_overlap").as("d_overlap"),
+        stDistance($"sq", $"line").as("d_line"),
+        stDistance($"pt", $"sq").as("d_sym"))
+      .orderBy($"c_custkey")
+  }
+  val qFnGeoDistanceSql: String =
+    """SELECT c_custkey,
+         CAST(c_custkey % 5 AS DOUBLE) AS d_point,
+         sqrt(CAST((c_custkey % 3 + 1) * (c_custkey % 3 + 1)
+                 + (c_custkey % 4 + 1) * (c_custkey % 4 + 1) AS DOUBLE)) AS d_corner,
+         0.0 AS d_overlap,
+         CAST(2 + c_custkey % 4 AS DOUBLE) AS d_line,
+         CAST(c_custkey % 5 AS DOUBLE) AS d_sym
+       FROM customer WHERE c_custkey <= 1500 ORDER BY c_custkey"""
+
+  /** ST_Buffer: octagonal point buffer with a term-exact shoelace replay,
+    * square dilation invariants, identity at d=0, NULL for d<0. */
+  def q_fn_geo_buffer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 1000)
+      .withColumn("d", ($"c_custkey" % 4 + 1) / 2.0)
+      .withColumn("px", ($"c_custkey" * 7 % 100).cast("long"))
+      .withColumn("py", ($"c_custkey" * 13 % 100).cast("long"))
+      .withColumn("e", $"c_custkey" % 3 + 2)
+      .withColumn("pt", stGeometryFromText(format_string("POINT (%d %d)", $"px", $"py")))
+      .withColumn("sq", stGeometryFromText(format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        $"px", $"py", $"px" + $"e", $"py", $"px" + $"e", $"py" + $"e",
+        $"px", $"py" + $"e", $"px", $"py")))
+      .withColumn("pb", stBuffer($"pt", $"d"))
+      .withColumn("sb", stBuffer($"sq", $"d".cast("double")))
+    val exactOct = abs(stGeomArea($"pb") -
+      (lit(2.0) * sqrt(lit(2.0)) * $"d" * $"d")) < 1e-9
+    val sbAreaOk = abs(stGeomArea($"sb") -
+      ($"e" * $"e" + lit(4.0) * $"e" * $"d" + lit(2.0) * sqrt(lit(2.0)) * $"d" * $"d")) < 1e-9
+    t.select($"c_custkey",
+        stNumPoints($"pb").as("pb_n"),
+        stXMin($"pb").as("pb_xmin"),
+        stXMax($"pb").as("pb_xmax"),
+        stYMin($"pb").as("pb_ymin"),
+        stYMax($"pb").as("pb_ymax"),
+        stGeomArea($"pb").as("pb_area"),
+        exactOct.as("pb_area_octagon_ok"),
+        stNumPoints($"sb").as("sb_n"),
+        stXMin($"sb").as("sb_xmin"),
+        stXMax($"sb").as("sb_xmax"),
+        sbAreaOk.as("sb_area_ok"),
+        stGeomContains($"sb", $"px".cast("double"), $"py".cast("double")).as("sb_contains_corner"),
+        (stAsText(stBuffer($"sq", lit(0.0))) === stAsText($"sq")).as("identity_ok"),
+        stBuffer($"sq", lit(-1.0)).isNull.as("negative_null"))
+      .orderBy($"c_custkey")
+  }
+  val qFnGeoBufferSql: String =
+    """WITH t AS (
+         SELECT c_custkey,
+           (c_custkey % 4 + 1) / 2.0 AS d,
+           CAST(c_custkey * 7 % 100 AS DOUBLE) AS px,
+           CAST(c_custkey * 13 % 100 AS DOUBLE) AS py,
+           CAST(c_custkey % 3 + 2 AS DOUBLE) AS e
+         FROM customer WHERE c_custkey <= 1000),
+       o AS (SELECT *, d * sqrt(0.5) AS s FROM t),
+       -- the kernel's octagon vertices, CCW from the lexicographic min:
+       -- (px-d,py) (px-s,py-s) (px,py-d) (px+s,py-s) (px+d,py) (px+s,py+s)
+       -- (px,py+d) (px-s,py+s); shoelace replayed term-for-term (the
+       -- closing-duplicate edge contributes exactly 0), left-associated
+       -- like the kernel's accumulator
+       w AS (SELECT *,
+           (px-d)*(py-s) - (px-s)*py     AS t1,
+           (px-s)*(py-d) - px*(py-s)     AS t2,
+           px*(py-s) - (px+s)*(py-d)     AS t3,
+           (px+s)*py - (px+d)*(py-s)     AS t4,
+           (px+d)*(py+s) - (px+s)*py     AS t5,
+           (px+s)*(py+d) - px*(py+s)     AS t6,
+           px*(py+s) - (px-s)*(py+d)     AS t7,
+           (px-s)*py - (px-d)*(py+s)     AS t8
+         FROM o),
+       v AS (SELECT *, t1 + t2 + t3 + t4 + t5 + t6 + t7 + t8 AS shoelace FROM w)
+       SELECT c_custkey,
+         9 AS pb_n,
+         px - d AS pb_xmin, px + d AS pb_xmax,
+         py - d AS pb_ymin, py + d AS pb_ymax,
+         abs(shoelace / 2.0) AS pb_area,
+         TRUE AS pb_area_octagon_ok,
+         13 AS sb_n,
+         px - d AS sb_xmin, px + e + d AS sb_xmax,
+         TRUE AS sb_area_ok,
+         TRUE AS sb_contains_corner,
+         TRUE AS identity_ok,
+         TRUE AS negative_null
+       FROM v ORDER BY c_custkey"""
+
+  /** ST_Union: proper-crossing union, disjoint MULTIPOLYGON collection,
+    * containment collapse, multipoint dedup — all analytic. */
+  def q_fn_geo_union(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 800)
+      .withColumn("x0", (($"c_custkey" * 7 % 100) * 20).cast("long"))
+      .withColumn("a", $"c_custkey" % 3 + 3)
+      .withColumn("ga", stGeometryFromText(format_string(
+        "POLYGON ((%d 0, %d 0, %d %d, %d %d, %d 0))",
+        $"x0", $"x0" + $"a", $"x0" + $"a", $"a", $"x0", $"a", $"x0")))
+      .withColumn("gb", stGeometryFromText(format_string(
+        "POLYGON ((%d 1, %d 1, %d %d, %d %d, %d 1))",
+        $"x0" + $"a" - 2, $"x0" + $"a" + 2, $"x0" + $"a" + 2, $"a" - 1,
+        $"x0" + $"a" - 2, $"a" - 1, $"x0" + $"a" - 2)))
+      .withColumn("gd", stGeometryFromText(format_string(
+        "POLYGON ((%d 0, %d 0, %d 2, %d 2, %d 0))",
+        $"x0" + $"a" + 10, $"x0" + $"a" + 12, $"x0" + $"a" + 12,
+        $"x0" + $"a" + 10, $"x0" + $"a" + 10)))
+      .withColumn("gi", stGeometryFromText(format_string(
+        "POLYGON ((%d 1, %d 1, %d 2, %d 2, %d 1))",
+        $"x0" + 1, $"x0" + 2, $"x0" + 2, $"x0" + 1, $"x0" + 1)))
+      .withColumn("mpa", stGeometryFromText(format_string(
+        "MULTIPOINT (%d 0, %d 1)", $"x0", $"x0" + 1)))
+      .withColumn("mpb", stGeometryFromText(format_string(
+        "MULTIPOINT (%d 0, %d 2)", $"x0", $"x0" + 2)))
+      .withColumn("gp", stGeometryFromText(format_string("POINT (%d 0)", $"x0")))
+      .withColumn("u", stUnion($"ga", $"gb"))
+      .withColumn("ud", stUnion($"ga", $"gd"))
+    t.select($"c_custkey",
+        stGeomArea($"u").as("u_area"),
+        stNumGeometries($"u").as("u_nparts"),
+        stNumPoints($"u").as("u_npoints"),
+        stXMax($"u").as("u_xmax"),
+        stYMax($"u").as("u_ymax"),
+        stNumGeometries($"ud").as("ud_nparts"),
+        stGeomArea($"ud").as("ud_area"),
+        stGeomArea(stUnion($"ga", $"gi")).as("uc_area"),
+        stNumPoints(stUnion($"mpa", $"mpb")).as("mp_n"),
+        stUnion($"ga", $"gp").isNull.as("mixed_null"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Aggregates: geometry_union_agg dissolves a staircase of overlapping
+    * cells per nation into one polygon; convex_hull_agg hulls all cell
+    * corners. Cell i: x ∈ [2i, 2i+3] (+nation offset), y ∈ [0,4] for even i,
+    * [1,3] for odd — consecutive cells cross properly, others are disjoint. */
+  def q_geo_union_agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = table(s, dir, "nation")
+      .withColumn("x0", ($"n_nationkey" * 50).cast("long"))
+      .withColumn("k", $"n_nationkey" % 4 + 3)
+      .withColumn("i", explode(sequence(lit(0), $"k" - 1)))
+      .withColumn("cx", $"x0" + $"i" * 2)
+      .withColumn("y0", when($"i" % 2 === 0, 0L).otherwise(1L))
+      .withColumn("y1", when($"i" % 2 === 0, 4L).otherwise(3L))
+      .withColumn("geom", stGeometryFromText(format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+        $"cx", $"y0", $"cx" + 3, $"y0", $"cx" + 3, $"y1", $"cx", $"y1", $"cx", $"y0")))
+    val agged = cells.groupBy($"n_nationkey", $"x0", $"k")
+      .agg(GeoAggregates.geometryUnionAgg($"geom").as("u_wkt"),
+        GeoAggregates.convexHullAgg($"geom").as("h_wkt"))
+      .withColumn("u", stGeometryFromText($"u_wkt"))
+      .withColumn("h", stGeometryFromText($"h_wkt"))
+    agged.select($"n_nationkey",
+        stGeomArea($"u").as("u_area"),
+        stNumGeometries($"u").as("u_nparts"),
+        stXMin($"u").as("u_xmin"),
+        stXMax($"u").as("u_xmax"),
+        stYMin($"u").as("u_ymin"),
+        stYMax($"u").as("u_ymax"),
+        stGeomArea($"h").as("h_area"),
+        stNumPoints($"h").as("h_n"))
+      .orderBy($"n_nationkey")
+  }
+  val qGeoUnionAggSql: String =
+    """WITH t AS (
+         SELECT n_nationkey,
+           CAST(n_nationkey * 50 AS DOUBLE) AS x0,
+           n_nationkey % 4 + 3 AS k
+         FROM nation)
+       SELECT n_nationkey,
+         -- even cells 3x4=12, odd cells 3x2=6, consecutive overlap 1x2=2
+         12.0 * ceil(k / 2.0) + 6.0 * floor(k / 2.0) - 2.0 * (k - 1) AS u_area,
+         1 AS u_nparts,
+         x0 AS u_xmin,
+         x0 + 2 * (k - 1) + 3 AS u_xmax,
+         0.0 AS u_ymin,
+         4.0 AS u_ymax,
+         -- hull of all corners: rectangle [x0, x0+2k+1] x [0,4] when the
+         -- last cell is even (k odd); two clipped corners (area −1 each)
+         -- when the last cell is odd (k even)
+         CASE WHEN k % 2 = 1 THEN (2.0 * k + 1.0) * 4.0
+              ELSE (2.0 * k + 1.0) * 4.0 - 2.0 END AS h_area,
+         CASE WHEN k % 2 = 1 THEN 5 ELSE 7 END AS h_n
+       FROM t ORDER BY n_nationkey"""
+
+  val qFnGeoUnionSql: String =
+    """SELECT c_custkey,
+         CAST(a * a + 2 * (a - 2) AS DOUBLE) AS u_area,
+         1 AS u_nparts,
+         9 AS u_npoints,
+         CAST(x0 + a + 2 AS DOUBLE) AS u_xmax,
+         CAST(a AS DOUBLE) AS u_ymax,
+         2 AS ud_nparts,
+         CAST(a * a + 4 AS DOUBLE) AS ud_area,
+         CAST(a * a AS DOUBLE) AS uc_area,
+         3 AS mp_n,
+         TRUE AS mixed_null
+       FROM (SELECT c_custkey,
+               (c_custkey * 7 % 100) * 20 AS x0,
+               c_custkey % 3 + 3 AS a
+             FROM customer WHERE c_custkey <= 800)
+       ORDER BY c_custkey"""
+
+  val queries: Map[String, Q] = Map(
+    "q_fn_geo_distance" -> q_fn_geo_distance _,
+    "q_fn_geo_buffer" -> q_fn_geo_buffer _,
+    "q_fn_geo_union" -> q_fn_geo_union _,
+    "q_geo_union_agg" -> q_geo_union_agg _)
+
+  val oracles: Map[String, String] = Map(
+    "q_fn_geo_distance" -> qFnGeoDistanceSql,
+    "q_fn_geo_buffer" -> qFnGeoBufferSql,
+    "q_fn_geo_union" -> qFnGeoUnionSql,
+    "q_geo_union_agg" -> qGeoUnionAggSql)
+}

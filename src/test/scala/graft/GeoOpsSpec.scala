@@ -1,0 +1,160 @@
+package graft
+
+import graft.ext.{GeoOps, Wkt}
+import org.apache.spark.sql.functions._
+
+/** Kernel + column specs for GeoOps (ST_Distance / ST_Buffer / ST_Union and
+  * the geometry aggregates). Fixtures use dyadic coordinates with proper
+  * crossings only — the supported surface documented on GeoOps. */
+class GeoOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def g(wkt: String): Wkt.Geom = {
+    val parsed = Wkt.parse(wkt)
+    assert(parsed != null, s"unparseable fixture: $wkt")
+    parsed
+  }
+
+  private def area(geom: Wkt.Geom): Double = {
+    // shoelace over parts (closed rings in our outputs)
+    var acc = 0.0
+    for ((off, len, hole) <- GeoOps.parts(geom)) {
+      var s = 0.0
+      for (i <- 0 until len) {
+        val j = (i + 1) % len
+        s += geom.xs(off + i) * geom.ys(off + j) - geom.xs(off + j) * geom.ys(off + i)
+      }
+      acc += (if (hole) -1 else 1) * math.abs(s / 2)
+    }
+    acc
+  }
+
+  test("st_distance: containment, crossing, perpendicular and corner cases") {
+    val sq = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(GeoOps.distance(sq, g("POINT (2 2)")) == 0.0)               // inside
+    assert(GeoOps.distance(sq, g("POINT (7 2)")) == 3.0)               // perp to right edge
+    assert(GeoOps.distance(sq, g("POINT (6 6)")) == math.sqrt(8.0))    // corner-corner
+    assert(GeoOps.distance(sq, g("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")) == 0.0) // overlap
+    assert(GeoOps.distance(sq, g("POLYGON ((6 6, 8 6, 8 8, 6 8, 6 6))")) == math.sqrt(8.0))
+    assert(GeoOps.distance(sq, g("LINESTRING (-3 1, -3 3)")) == 3.0)   // parallel segment
+    assert(GeoOps.distance(g("POINT (0 0)"), g("POINT (3 4)")) == 5.0)
+    // symmetric
+    assert(GeoOps.distance(g("POINT (7 2)"), sq) == 3.0)
+  }
+
+  test("st_buffer: octagon point buffer, square dilation, identity, negative") {
+    val p = g("POINT (10 10)")
+    val pb = GeoOps.buffer(p, 2.0)
+    assert(pb.kind == "POLYGON" && pb.rings.sameElements(Array(9))) // 8 verts closed
+    assert(pb.xs.min == 8.0 && pb.xs.max == 12.0 && pb.ys.min == 8.0 && pb.ys.max == 12.0)
+    val s = 2.0 * math.sqrt(0.5)
+    assert(math.abs(area(pb) - 2 * math.sqrt(2.0) * 4.0) < 1e-12)
+    assert(pb.xs(0) == 8.0 && pb.ys(0) == 10.0) // canonical lexicographic start
+    assert(pb.xs.contains(10.0 + s) && pb.ys.contains(10.0 - s))
+
+    val sq = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val sb = GeoOps.buffer(sq, 1.0)
+    assert(sb.rings.sameElements(Array(13))) // 12 verts closed
+    // Minkowski area: A + P*d + octagon area
+    assert(math.abs(area(sb) - (16.0 + 16.0 * 1.0 + 2 * math.sqrt(2.0))) < 1e-12)
+    assert(sb.xs.min == -1.0 && sb.xs.max == 5.0)
+    assert(GeoOps.buffer(sq, 0.0) eq sq)
+    assert(GeoOps.buffer(sq, -1.0) == null)
+  }
+
+  test("st_union: crossing, disjoint, containment, multipoint") {
+    // A = [0,4]^2, B = [2,6]x[1,3] → union area 16 + 8 - 4 = 20, 8 verts
+    val a = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val b = g("POLYGON ((2 1, 6 1, 6 3, 2 3, 2 1))")
+    val u = GeoOps.union(a, b)
+    assert(u.kind == "POLYGON", Wkt.format(u.kind, u.xs, u.ys, u.rings))
+    assert(area(u) == 20.0)
+    assert(u.rings.sameElements(Array(9)))
+    assert(u.xs(0) == 0.0 && u.ys(0) == 0.0) // canonical start
+    // commutes
+    val u2 = GeoOps.union(b, a)
+    assert(area(u2) == 20.0 && u2.rings.sameElements(Array(9)))
+    // disjoint → MULTIPOLYGON sorted by (minx, miny)
+    val far = g("POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))")
+    val ud = GeoOps.union(far, a)
+    assert(ud.kind == "MULTIPOLYGON" && ud.rings.length == 2)
+    assert(area(ud) == 20.0 && ud.xs(0) == 0.0)
+    // containment → container
+    val inner = g("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+    val uc = GeoOps.union(a, inner)
+    assert(uc.kind == "POLYGON" && area(uc) == 16.0)
+    // multipoint dedup + sort
+    val mp = GeoOps.union(g("MULTIPOINT (3 4, 1 2)"), g("MULTIPOINT (1 2, 5 6)"))
+    assert(mp.kind == "MULTIPOINT" && mp.xs.toSeq == Seq(1.0, 3.0, 5.0) && mp.ys.toSeq == Seq(2.0, 4.0, 6.0))
+    // holes and mixed kinds unsupported → null
+    assert(GeoOps.union(g("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))"), a) == null)
+    assert(GeoOps.union(a, g("POINT (1 1)")) == null)
+  }
+
+  test("st_union chains a staircase of overlapping cells into one polygon") {
+    // even cells [2i, 2i+3] x [0,4]; odd cells [2i, 2i+3] x [1,3]
+    def cell(i: Int): Wkt.Geom = {
+      val x0 = 2 * i; val x1 = 2 * i + 3
+      val (y0, y1) = if (i % 2 == 0) (0, 4) else (1, 3)
+      g(s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))")
+    }
+    for (k <- 2 to 6) {
+      val merged = (1 until k).foldLeft(cell(0))((acc, i) => GeoOps.union(acc, cell(i)))
+      assert(merged.kind == "POLYGON", s"k=$k")
+      val expected = (0 until k).map(i => if (i % 2 == 0) 12.0 else 6.0).sum - 2.0 * (k - 1)
+      assert(area(merged) == expected, s"k=$k area=${area(merged)} expected=$expected")
+    }
+  }
+
+  test("geometry_union_agg and convex_hull_agg over exploded rows") {
+    import graft.functions.{GeoAggregates, GeoFunctions}
+    val wkts = (0 until 5).map { i =>
+      val x0 = 2 * i; val x1 = 2 * i + 3
+      val (y0, y1) = if (i % 2 == 0) (0, 4) else (1, 3)
+      (i % 2, s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))")
+    }
+    val df = wkts.toDF("grp", "wkt")
+      .withColumn("geom", GeoFunctions.stGeometryFromText($"wkt"))
+    val u = df.agg(GeoAggregates.geometryUnionAgg($"geom").as("u"))
+      .select($"u").as[String].head()
+    val ug = Wkt.parse(u)
+    assert(ug.kind == "POLYGON")
+    assert(area(ug) == 12.0 * 3 + 6.0 * 2 - 2.0 * 4)
+    // grouped: each group's cells are pairwise disjoint → MULTIPOLYGON
+    val grouped = df.groupBy($"grp").agg(GeoAggregates.geometryUnionAgg($"geom").as("u"))
+      .orderBy($"grp").as[(Int, String)].collect()
+    assert(Wkt.parse(grouped(0)._2).kind == "MULTIPOLYGON") // 3 even cells, disjoint
+    assert(area(Wkt.parse(grouped(0)._2)) == 36.0)
+    assert(area(Wkt.parse(grouped(1)._2)) == 12.0)
+
+    // hull of all cell corners: rectangle [0,11] x [0,4] (collinear dropped)
+    val h = df.agg(GeoAggregates.convexHullAgg($"geom").as("h")).select($"h").as[String].head()
+    val hg = Wkt.parse(h)
+    assert(hg.kind == "POLYGON" && hg.rings.sameElements(Array(5)), h)
+    assert(area(hg) == 44.0)
+    assert(hg.xs(0) == 0.0 && hg.ys(0) == 0.0)
+    // degenerate: single point → POINT
+    val hp = Seq("POINT (3 4)").toDF("wkt")
+      .select(GeoFunctions.stGeometryFromText($"wkt").as("geom"))
+      .agg(GeoAggregates.convexHullAgg($"geom")).as[String].head()
+    assert(hp == "POINT (3.0 4.0)")
+  }
+
+  test("st_distance / st_buffer / st_union as columns") {
+    import graft.functions.GeoFunctions._
+    val df = Seq(
+      ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "POINT (7 2)", 1.0),
+      ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "POINT (2 1)", 0.5)
+    ).toDF("wa", "wb", "d")
+      .withColumn("ga", stGeometryFromText($"wa"))
+      .withColumn("gb", stGeometryFromText($"wb"))
+      .select(
+        stDistance($"ga", $"gb").as("dist"),
+        stNumPoints(stBuffer($"gb", $"d")).as("nbuf"),
+        stGeomArea(stUnion($"ga", stBuffer($"gb", lit(8.0)))).isNotNull.as("u_ok"))
+      .collect()
+    assert(df(0).getDouble(0) == 3.0 && df(1).getDouble(0) == 0.0)
+    assert(df.forall(_.getInt(1) == 9))
+    assert(df.forall(_.getBoolean(2)))
+  }
+}

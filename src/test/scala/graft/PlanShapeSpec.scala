@@ -66,6 +66,29 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, s"no partial agg:\n$plan")
   }
 
+  test("TPC-DS shapes: broadcast dims, Expand for rollups, semi joins for EXISTS") {
+    // q76 shape: part dim broadcast above the 3-channel union, partial agg
+    val mc = physicalPlan(operators.Tpcds.q_ds_multichannel(spark, sfDir))
+    assert(mc.contains("BroadcastHashJoin"), s"part not broadcast:\n$mc")
+    assert(mc.contains("Union"), s"no union of channel slices:\n$mc")
+    assert("HashAggregate".r.findAllIn(mc).length >= 2, s"no partial agg:\n$mc")
+    // q5 shape: ROLLUP plans an Expand; customer/nation broadcast
+    val rc = physicalPlan(operators.Tpcds.q_ds_rollup_channels(spark, sfDir))
+    assert(rc.contains("Expand"), s"no Expand for rollup:\n$rc")
+    assert(rc.contains("BroadcastHashJoin"), s"dims not broadcast:\n$rc")
+    // q35 shape: both EXISTS gates become semi joins
+    val ce = physicalPlan(operators.Tpcds.q_ds_correlated_exists(spark, sfDir))
+    assert("LeftSemi".r.findAllIn(ce).length >= 2, s"EXISTS not semi joins:\n$ce")
+    // q74 shape: the year_total self-joins shuffle on the customer key with
+    // partial aggregation below
+    val yy = physicalPlan(operators.Tpcds.q_ds_yoy(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(yy).length >= 2, s"no partial agg:\n$yy")
+    // q67 shape: rollup Expand feeding a ranked window
+    val rr = physicalPlan(operators.Tpcds.q_ds_rollup_rank(spark, sfDir))
+    assert(rr.contains("Expand") && rr.contains("RunningWindowFunction") || rr.contains("Window"),
+      s"no rollup+window pipeline:\n$rr")
+  }
+
   test("match-recognize annotate pipeline shares ONE exchange between DEFINE windows and the matcher") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
