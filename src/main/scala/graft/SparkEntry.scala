@@ -35,6 +35,7 @@ object SparkEntry {
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.Ml.queries, operators.Ml.oracles),
+      (operators.Ai.queries, operators.Ai.oracles),
       (operators.Approx.queries, operators.Approx.oracles),
       (operators.Types.queries, operators.Types.oracles),
       (operators.Federation.queries, operators.Federation.oracles),

@@ -384,6 +384,79 @@ object Dialect {
        printf('%s@%d', substring(p_type, 1, strpos(p_type, ' ') - 1), p_partkey) AS label
        FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""
 
+  /** TRY over a WINDOW expression — the nesting the regex layer could not
+    * place (VERDICT r6 item 3): the parser lowers the arithmetic AROUND the
+    * window call, producing try_divide(sum(...) OVER w, ...). The window sum
+    * runs in exact decimals; the denominator is 0 or 1, so the division is
+    * either exact or the absorbed DIVISION_BY_ZERO → NULL. */
+  def q_sqlx_try_window(s: SparkSession, dir: String): DataFrame =
+    TrinoDialect.sql(s, dir,
+      """SELECT event_id,
+         CAST(sum(CAST(value AS DECIMAL(12,2)))
+              OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS running,
+         CAST(TRY(sum(CAST(value AS DECIMAL(12,2)))
+              OVER (PARTITION BY user_id ORDER BY event_id) / (event_id % 2)) AS DOUBLE) AS ratio
+         FROM events WHERE event_id < 3000 ORDER BY event_id""")
+  val qSqlxTryWindowSql: String =
+    """SELECT event_id,
+       CAST(sum(CAST(value AS DECIMAL(12,2)))
+            OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS running,
+       CASE WHEN event_id % 2 = 0 THEN NULL
+            ELSE CAST(sum(CAST(value AS DECIMAL(12,2)))
+                 OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) END AS ratio
+       FROM events WHERE event_id < 3000 ORDER BY event_id"""
+
+  /** MATCH_RECOGNIZE over a DERIVED TABLE, inside an aggregating outer query
+    * (VERDICT r6 item 3's second nesting case): the parser plans the
+    * subquery input first, runs the NFA over it, and splices the result back
+    * into the enclosing query — patternRecognition as a true relation
+    * production (SqlBase.g4:446), not a statement-level special case. */
+  def q_sqlx_match_subquery(s: SparkSession, dir: String): DataFrame =
+    TrinoDialect.sql(s, dir,
+      """SELECT user_id, count(*) AS n_matches,
+         CAST(sum(n_down) AS BIGINT) AS total_down
+         FROM (
+           SELECT * FROM (
+             SELECT user_id, event_id, value FROM events WHERE value > 10
+           ) MATCH_RECOGNIZE (
+             PARTITION BY user_id
+             ORDER BY event_id
+             MEASURES FIRST(D.event_id) AS start_id,
+                      COUNT(D.*) AS n_down
+             ONE ROW PER MATCH
+             AFTER MATCH SKIP PAST LAST ROW
+             PATTERN (D+ U+)
+             DEFINE D AS value < PREV(value),
+                    U AS value > PREV(value)
+           )
+         ) m
+         WHERE start_id > 100
+         GROUP BY user_id
+         ORDER BY user_id""")
+  val qSqlxMatchSubquerySql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         FROM events WHERE value > 10),
+       c AS (
+         SELECT *, CASE WHEN pv IS NULL THEN 'X' WHEN value < pv THEN 'D'
+                        WHEN value > pv THEN 'U' ELSE 'X' END AS cls
+         FROM e),
+       r AS (
+         SELECT *, rn - row_number() OVER (PARTITION BY user_id, cls ORDER BY rn) AS grp
+         FROM c),
+       runs AS (
+         SELECT user_id, cls, min(rn) AS srn,
+           count(*) AS len, min(event_id) AS sid
+         FROM r GROUP BY user_id, cls, grp),
+       seq AS (
+         SELECT *, lead(cls) OVER w AS ncls
+         FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY srn))
+       SELECT user_id, count(*) AS n_matches, CAST(sum(len) AS BIGINT) AS total_down
+       FROM seq WHERE cls = 'D' AND ncls = 'U' AND sid > 100
+       GROUP BY user_id ORDER BY user_id"""
+
   /** User TVF registry surface (reference ConnectorTableFunction): the
     * sequence TVF resolved from SQL text via graft.functions.TableFunctions. */
   def q_tvf_registry(s: SparkSession, dir: String): DataFrame = {
@@ -411,7 +484,9 @@ object Dialect {
     "q_sqlx_create_function" -> q_sqlx_create_function _,
     "q_sqlx_fetch_ties" -> q_sqlx_fetch_ties _,
     "q_sqlx_at_timezone" -> q_sqlx_at_timezone _,
-    "q_sqlx_prepare" -> q_sqlx_prepare _)
+    "q_sqlx_prepare" -> q_sqlx_prepare _,
+    "q_sqlx_try_window" -> q_sqlx_try_window _,
+    "q_sqlx_match_subquery" -> q_sqlx_match_subquery _)
 
   val oracles: Map[String, String] = Map(
     "q_tvf_registry" -> qTvfRegistrySql,
@@ -427,5 +502,7 @@ object Dialect {
     "q_sqlx_create_function" -> qSqlxCreateFunctionSql,
     "q_sqlx_fetch_ties" -> qSqlxFetchTiesSql,
     "q_sqlx_at_timezone" -> qSqlxAtTimezoneSql,
-    "q_sqlx_prepare" -> qSqlxPrepareSql)
+    "q_sqlx_prepare" -> qSqlxPrepareSql,
+    "q_sqlx_try_window" -> qSqlxTryWindowSql,
+    "q_sqlx_match_subquery" -> qSqlxMatchSubquerySql)
 }

@@ -142,11 +142,90 @@ object Ml {
          2.0 * CAST(tp AS DOUBLE) / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)) AS f1_pos
        FROM c"""
 
+  /** learn_classifier + classify (reference LearnClassifierAggregation.java:28,
+    * ClassifyFunction.java) — the classification half of trino-ml. The
+    * reference delegates to libsvm (opaque, seed-dependent); the exactly-
+    * verifiable substitute here — documented like the regressor's OLS swap —
+    * is MULTINOMIAL NAIVE BAYES over small-cardinality integer features:
+    *
+    *   1. fit = ONE distributed aggregate family of integer counts (class
+    *      priors + per-(feature, value, class) counts — O(classes ×
+    *      cardinality) state, map-side combined; at 100 TB this is two tiny
+    *      reduces);
+    *   2. the fitted tables broadcast back over the data (the reference's
+    *      classify(features, model) application step);
+    *   3. classify = argmax of the Laplace-smoothed posterior, compared by
+    *      CROSS-MULTIPLICATION so the decision is exact BIGINT arithmetic —
+    *      no logs, no floats, no engine-dependent rounding anywhere.
+    *
+    * Label depends on both features plus deterministic noise, so the
+    * classifier is nontrivial and its decision boundary is replayed exactly
+    * by the oracle. */
+  def q_ml_learn_classifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v1 = 5L; val v2 = 7L // feature cardinalities = Laplace smoothing V
+    val labeled = table(s, dir, "customer")
+      .select($"c_custkey",
+        ($"c_custkey" % 5).cast("long").as("x1"),
+        ($"c_custkey" * 3 % 7).cast("long").as("x2"))
+      .withColumn("cls", (($"x1" + $"x2" * 2 + $"c_custkey" % 3) % 2).cast("long"))
+    val priors = labeled.agg(
+      sum(when($"cls" === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when($"cls" === 0, 1L).otherwise(0L)).as("n0"))
+    def valueCounts(c: Column, name: String) = labeled.groupBy(c.as(name))
+      .agg(sum(when($"cls" === 1, 1L).otherwise(0L)).as(s"${name}c1"),
+        sum(when($"cls" === 0, 1L).otherwise(0L)).as(s"${name}c0"))
+    val f1 = valueCounts($"x1", "v1k")
+    val f2 = valueCounts($"x2", "v2k")
+    labeled.filter($"c_custkey" <= 300)
+      .join(broadcast(f1), $"x1" === $"v1k")
+      .join(broadcast(f2), $"x2" === $"v2k")
+      .crossJoin(broadcast(priors))
+      .select($"c_custkey", $"x1", $"x2", $"cls".as("actual"),
+        ($"n1" * ($"v1kc1" + 1) * ($"v2kc1" + 1) * ($"n0" + v1) * ($"n0" + v2)).as("s1"),
+        ($"n0" * ($"v1kc0" + 1) * ($"v2kc0" + 1) * ($"n1" + v1) * ($"n1" + v2)).as("s0"))
+      .withColumn("predicted", ($"s1" > $"s0").cast("long"))
+      .orderBy($"c_custkey")
+  }
+  val qMlLearnClassifierSql: String =
+    """WITH labeled AS (
+         SELECT c_custkey,
+           CAST(c_custkey % 5 AS BIGINT) AS x1,
+           CAST(c_custkey * 3 % 7 AS BIGINT) AS x2,
+           CAST(((c_custkey % 5) + (c_custkey * 3 % 7) * 2 + c_custkey % 3) % 2 AS BIGINT) AS cls
+         FROM customer),
+       priors AS (
+         SELECT CAST(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+         FROM labeled),
+       f1 AS (
+         SELECT x1 AS v1k,
+           CAST(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1kc1,
+           CAST(sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v1kc0
+         FROM labeled GROUP BY x1),
+       f2 AS (
+         SELECT x2 AS v2k,
+           CAST(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v2kc1,
+           CAST(sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v2kc0
+         FROM labeled GROUP BY x2)
+       SELECT c_custkey, x1, x2, cls AS actual,
+         n1 * (v1kc1 + 1) * (v2kc1 + 1) * (n0 + 5) * (n0 + 7) AS s1,
+         n0 * (v1kc0 + 1) * (v2kc0 + 1) * (n1 + 5) * (n1 + 7) AS s0,
+         CAST(n1 * (v1kc1 + 1) * (v2kc1 + 1) * (n0 + 5) * (n0 + 7)
+            > n0 * (v1kc0 + 1) * (v2kc0 + 1) * (n1 + 5) * (n1 + 7) AS BIGINT) AS predicted
+       FROM labeled
+       JOIN f1 ON x1 = v1k
+       JOIN f2 ON x2 = v2k
+       CROSS JOIN priors
+       WHERE c_custkey <= 300 ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
     "q_ml_learn_regressor" -> q_ml_learn_regressor _,
+    "q_ml_learn_classifier" -> q_ml_learn_classifier _,
     "q_ml_evaluate_predictions" -> q_ml_evaluate_predictions _)
 
   val oracles: Map[String, String] = Map(
     "q_ml_learn_regressor" -> qMlLearnRegressorSql,
+    "q_ml_learn_classifier" -> qMlLearnClassifierSql,
     "q_ml_evaluate_predictions" -> qMlEvaluatePredictionsSql)
 }

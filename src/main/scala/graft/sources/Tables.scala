@@ -39,7 +39,12 @@ object Tables {
   }
 
   /** Register every fixture table as a temp view so `spark.sql` queries see the
-    * same names the DuckDB oracle uses. */
+    * same names the DuckDB oracle uses. Tables absent from `dir` are skipped:
+    * dialect callers may point at a spec-built directory holding only the
+    * tables the statement actually references. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      if (new java.io.File(s"$dir/$n.parquet").exists())
+        load(spark, dir, n).createOrReplaceTempView(n)
+    }
 }

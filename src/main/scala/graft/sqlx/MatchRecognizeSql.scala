@@ -294,8 +294,15 @@ private[graft] object MatchRecognizeSql {
 
   // -------------------------------------------------------------- lowering
 
-  def lower(spark: SparkSession, dir: String, mr: Mr): DataFrame = {
-    val full = graft.sources.Tables.load(spark, dir, mr.table)
+  def lower(spark: SparkSession, dir: String, mr: Mr): DataFrame =
+    lowerDf(graft.sources.Tables.load(spark, dir, mr.table), mr)
+
+  /** Generalized lowering over ANY input relation (the parser front door
+    * plans MATCH_RECOGNIZE inside subqueries by materializing the input
+    * first — reference: patternRecognition is a relation production,
+    * SqlBase.g4:446, so it composes under any query nesting). */
+  def lowerDf(full: DataFrame, mr: Mr): DataFrame = {
+    val spark = full.sparkSession
     val syms = patternSymbols(mr)
     val fieldNames = full.schema.fieldNames.toSeq
 

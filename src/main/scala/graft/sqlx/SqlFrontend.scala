@@ -1,0 +1,373 @@
+package graft.sqlx
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import SqlAst._
+
+/** AST passes + Spark-SQL renderer for the parsed dialect front door.
+  *
+  * The regex layer's rewrites become structural transforms here, so they
+  * compose at any nesting depth:
+  *  - function renames and TRY lowering walk the expression tree bottom-up
+  *    (TRY over a window call lowers the arithmetic AROUND the window
+  *    expression — try_divide(sum(x) OVER w, …) — which no flat text pass
+  *    could place correctly);
+  *  - AT TIME ZONE is an expression node → from_utc_timestamp;
+  *  - FETCH FIRST n ROWS WITH TIES wraps ITS OWN query block in a rank()
+  *    subquery wherever it appears, not just at statement tail;
+  *  - MATCH_RECOGNIZE is a relation node: its input relation is planned
+  *    first (recursively — MR over a derived table or another MR works),
+  *    lowered through the NFA machinery, and spliced back as a temp view;
+  *  - quoted identifiers render as backticks, so `"from"` works as a column
+  *    name even where the regex layer would have tripped on the keyword.
+  *
+  * Rendering parenthesizes every binary expression, making operator
+  * precedence a parse-time-only concern.
+  */
+private[graft] object SqlFrontend {
+
+  private val viewCounter = new AtomicInteger(0)
+
+  def run(spark: SparkSession, dir: String, text: String): DataFrame = {
+    val parsed = new SqlParser(text).parseQuery()
+    val rewritten = rewriteQuery(parsed)
+    val planned = planQuery(spark, dir, rewritten)
+    spark.sql(renderQuery(planned))
+  }
+
+  // ------------------------------------------------------------ expr passes
+
+  private val fnRenames = Map(
+    "reduce" -> "aggregate",
+    "format" -> "format_string",
+    "approx_distinct" -> "approx_count_distinct",
+    "arbitrary" -> "any_value",
+    "strpos" -> "instr",
+    "codepoint" -> "ascii",
+    "json_extract_scalar" -> "get_json_object",
+    "json_value" -> "json_path_value",
+    "json_query" -> "json_path_query")
+
+  private val tryFnMap = Map(
+    "element_at" -> "try_element_at",
+    "to_number" -> "try_to_number",
+    "to_timestamp" -> "try_to_timestamp",
+    "to_binary" -> "try_to_binary",
+    "url_decode" -> "try_url_decode",
+    "parse_json" -> "try_parse_json",
+    "json_value" -> "json_path_value",
+    "json_query" -> "json_path_query")
+
+  /** Bottom-up expression rewrite: renames, TRY lowering, AT TIME ZONE. */
+  private def rewriteExpr(e: Expr): Expr = {
+    val r = mapChildren(e, rewriteExpr)
+    r match {
+      case Fn(name, args, d, over) if fnRenames.contains(name.toLowerCase) =>
+        Fn(fnRenames(name.toLowerCase), args, d, over)
+      case AtTimeZone(x, tz) => Fn("from_utc_timestamp", Seq(x, tz), distinct = false, None)
+      case TryExpr(body) =>
+        val lowered = lowerTry(body)
+        if (lowered == body) throw new SqlParseException(
+          s"TRY(${renderExpr(body)}): unsupported body — TRY lowers over " +
+            "arithmetic (+ - * / %), CAST, and " +
+            tryFnMap.keys.toSeq.sorted.mkString("/"))
+        lowered
+      case other => other
+    }
+  }
+
+  /** TRY body: give every arithmetic level its try_ twin; single calls map
+    * through the function table; CAST becomes TRY_CAST. Mirrors the
+    * reference's per-expression error absorption (TRY in SqlBase.g4). */
+  private def lowerTry(e: Expr): Expr = e match {
+    case Bin(op @ ("+" | "-" | "*" | "/" | "%"), l, r) =>
+      val fn = op match {
+        case "+" => "try_add"
+        case "-" => "try_subtract"
+        case "*" => "try_multiply"
+        case "/" => "try_divide"
+        case "%" => "try_mod"
+      }
+      Fn(fn, Seq(lowerTry(l), lowerTry(r)), distinct = false, None)
+    case Cast(x, t, _) => Cast(x, t, isTry = true)
+    case Fn(name, args, d, over) if tryFnMap.contains(name.toLowerCase) =>
+      Fn(tryFnMap(name.toLowerCase), args, d, over)
+    case other => other
+  }
+
+  /** One-level structural map over expression children. */
+  private def mapChildren(e: Expr, f: Expr => Expr): Expr = e match {
+    case Fn(n, args, d, over) =>
+      Fn(n, args.map(f), d, over.map(w =>
+        WindowSpec(w.partitionBy.map(f),
+          w.orderBy.map(s => SortItem(f(s.e), s.dir, s.nulls)), w.frameRaw)))
+    case Lambda(ps, b) => Lambda(ps, f(b))
+    case Cast(x, t, isTry) => Cast(f(x), t, isTry)
+    case TryExpr(x) => TryExpr(f(x))
+    case Bin(op, l, r) => Bin(op, f(l), f(r))
+    case Un(op, x) => Un(op, f(x))
+    case IsNull(x, n) => IsNull(f(x), n)
+    case Between(x, lo, hi, n) => Between(f(x), f(lo), f(hi), n)
+    case InList(x, items, n) => InList(f(x), items.map(f), n)
+    case InSubq(x, q, n) => InSubq(f(x), rewriteQuery(q), n)
+    case LikeExpr(x, pat, n) => LikeExpr(f(x), f(pat), n)
+    case ExistsExpr(q) => ExistsExpr(rewriteQuery(q))
+    case ScalarSubq(q) => ScalarSubq(rewriteQuery(q))
+    case CaseExpr(op, whens, els) =>
+      CaseExpr(op.map(f), whens.map { case (c, v) => (f(c), f(v)) }, els.map(f))
+    case AtTimeZone(x, tz) => AtTimeZone(f(x), f(tz))
+    case Subscript(x, ix) => Subscript(f(x), f(ix))
+    case leaf => leaf
+  }
+
+  // ----------------------------------------------------------- query passes
+
+  private def rewriteQuery(q: Query): Query = q match {
+    case s: Select =>
+      s.copy(
+        items = s.items.map(i => SelectItem(rewriteExpr(i.e), i.alias)),
+        from = s.from.map(rewriteRel),
+        where = s.where.map(rewriteExpr),
+        groupBy = s.groupBy.map(g =>
+          GroupBy(g.kind, g.exprs.map(rewriteExpr), g.sets.map(_.map(rewriteExpr)))),
+        having = s.having.map(rewriteExpr),
+        orderBy = s.orderBy.map(si => SortItem(rewriteExpr(si.e), si.dir, si.nulls)))
+    case SetOpQ(op, all, l, r) => SetOpQ(op, all, rewriteQuery(l), rewriteQuery(r))
+    case WithQ(ctes, body) =>
+      WithQ(ctes.map { case (n, cq) => (n, rewriteQuery(cq)) }, rewriteQuery(body))
+    case ValuesQ(rows) => ValuesQ(rows.map(_.map(rewriteExpr)))
+    case OrderedQ(inner, ob, lim, ties) =>
+      OrderedQ(rewriteQuery(inner), ob.map(si => SortItem(rewriteExpr(si.e), si.dir, si.nulls)), lim, ties)
+  }
+
+  private def rewriteRel(r: Rel): Rel = r match {
+    case JoinRel(k, l, rr, on) => JoinRel(k, rewriteRel(l), rewriteRel(rr), on.map(rewriteExpr))
+    case SubqueryRel(q, a) => SubqueryRel(rewriteQuery(q), a)
+    case MatchRel(input, block, a) => MatchRel(rewriteRel(input), block, a)
+    case TvfRel(n, args, a) => TvfRel(n, args.map(rewriteExpr), a)
+    case UnnestRel(es, alias, cols, ord) => UnnestRel(es.map(rewriteExpr), alias, cols, ord)
+    case t: TableRef => t
+  }
+
+  // -------------------------------------------------- MR/TVF planning pass
+
+  private def planQuery(spark: SparkSession, dir: String, q: Query): Query = q match {
+    case s: Select => s.copy(
+      items = s.items.map(i => SelectItem(planExpr(spark, dir, i.e), i.alias)),
+      from = s.from.map(planRel(spark, dir, _)),
+      where = s.where.map(planExpr(spark, dir, _)),
+      having = s.having.map(planExpr(spark, dir, _)))
+    case SetOpQ(op, all, l, r) =>
+      SetOpQ(op, all, planQuery(spark, dir, l), planQuery(spark, dir, r))
+    case WithQ(ctes, body) =>
+      WithQ(ctes.map { case (n, cq) => (n, planQuery(spark, dir, cq)) },
+        planQuery(spark, dir, body))
+    case v: ValuesQ => v
+    case OrderedQ(inner, ob, lim, ties) => OrderedQ(planQuery(spark, dir, inner), ob, lim, ties)
+  }
+
+  private def planExpr(spark: SparkSession, dir: String, e: Expr): Expr =
+    mapChildren(e, planExpr(spark, dir, _)) match {
+      case InSubq(x, q, n) => InSubq(x, planQuery(spark, dir, q), n)
+      case ExistsExpr(q) => ExistsExpr(planQuery(spark, dir, q))
+      case ScalarSubq(q) => ScalarSubq(planQuery(spark, dir, q))
+      case other => other
+    }
+
+  private def planRel(spark: SparkSession, dir: String, r: Rel): Rel = r match {
+    case JoinRel(k, l, rr, on) =>
+      JoinRel(k, planRel(spark, dir, l), planRel(spark, dir, rr),
+        on.map(planExpr(spark, dir, _)))
+    case SubqueryRel(q, a) => SubqueryRel(planQuery(spark, dir, q), a)
+    case MatchRel(input, blockRaw, alias) =>
+      val planned = planRel(spark, dir, input)
+      val inputDf = planned match {
+        case TableRef(id, None) =>
+          try graft.sources.Tables.load(spark, dir, id.plain)
+          catch { case _: Exception => spark.table(renderId(id)) }
+        case rel => spark.sql("SELECT * FROM " + renderRel(rel))
+      }
+      val mr = MatchRecognizeSql
+        .parse(s"SELECT * FROM __mr_input MATCH_RECOGNIZE ($blockRaw)")
+        .getOrElse(throw new SqlParseException(s"malformed MATCH_RECOGNIZE block: $blockRaw"))
+      val df = MatchRecognizeSql.lowerDf(inputDf, mr)
+      val view = s"__mr_view_${viewCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      TableRef(Id(Seq((view, false))), alias)
+    case TvfRel(name, args, alias) =>
+      val argTexts = args.map(renderExpr)
+      val view = s"__tvf_${name}_${viewCounter.incrementAndGet()}"
+      graft.functions.TableFunctions.invoke(spark, dir, name, argTexts)
+        .createOrReplaceTempView(view)
+      TableRef(Id(Seq((view, false))), alias)
+    case UnnestRel(es, alias, cols, ord) => UnnestRel(es, alias, cols, ord)
+    case t: TableRef => t
+  }
+
+  // --------------------------------------------------------------- renderer
+
+  def renderQuery(q: Query): String = q match {
+    case s: Select => renderSelect(s)
+    case SetOpQ(op, all, l, r) =>
+      s"(${renderQuery(l)}) $op ${if (all) "ALL " else ""}(${renderQuery(r)})"
+    case WithQ(ctes, body) =>
+      val cs = ctes.map { case (n, cq) => s"$n AS (${renderQuery(cq)})" }.mkString(", ")
+      s"WITH $cs ${renderQuery(body)}"
+    case ValuesQ(rows) =>
+      "VALUES " + rows.map(r => "(" + r.map(renderExpr).mkString(", ") + ")").mkString(", ")
+    case OrderedQ(inner, ob, lim, ties) =>
+      ties match {
+        case Some(n) => renderWithTies(s"(${renderQuery(inner)})", ob, n)
+        case None =>
+          s"SELECT * FROM (${renderQuery(inner)})" +
+            orderClause(ob) + lim.map(n => s" LIMIT $n").getOrElse("")
+      }
+  }
+
+  private def orderClause(ob: Seq[SortItem]): String =
+    if (ob.isEmpty) ""
+    else " ORDER BY " + ob.map(renderSortItem).mkString(", ")
+
+  private def renderSortItem(s: SortItem): String =
+    renderExpr(s.e) + s.dir.map(" " + _).getOrElse("") +
+      s.nulls.map(n => s" NULLS $n").getOrElse("")
+
+  /** FETCH FIRST n ROWS WITH TIES lowering: rank() over the same ORDER BY
+    * around this block only (reference SqlBase.g4 limitRowCount WITH TIES;
+    * Spark has no native WITH TIES). */
+  private def renderWithTies(fromSql: String, ob: Seq[SortItem], n: Long): String = {
+    require(ob.nonEmpty, "FETCH ... WITH TIES requires ORDER BY")
+    val ord = ob.map(renderSortItem).mkString(", ")
+    s"SELECT * EXCEPT(__tie_rank) FROM (SELECT *, rank() OVER (ORDER BY $ord) " +
+      s"AS __tie_rank FROM $fromSql __fft) WHERE __tie_rank <= $n ORDER BY $ord"
+  }
+
+  private def renderSelect(s: Select): String = {
+    s.fetchTies match {
+      case Some(n) =>
+        val inner = renderSelect(s.copy(orderBy = Seq.empty, fetchTies = None))
+        renderWithTies(s"($inner)", s.orderBy, n)
+      case None =>
+        val sb = new StringBuilder("SELECT ")
+        if (s.distinct) sb.append("DISTINCT ")
+        sb.append(s.items.map { i =>
+          renderExpr(i.e) + i.alias.map(a => s" AS ${renderAlias(a)}").getOrElse("")
+        }.mkString(", "))
+        s.from.foreach(r => sb.append(" FROM ").append(renderRel(r)))
+        s.where.foreach(w => sb.append(" WHERE ").append(renderExpr(w)))
+        s.groupBy.foreach { g =>
+          sb.append(" GROUP BY ")
+          g.kind match {
+            case "PLAIN" => sb.append(g.exprs.map(renderExpr).mkString(", "))
+            case "ROLLUP" => sb.append("ROLLUP (").append(g.exprs.map(renderExpr).mkString(", ")).append(")")
+            case "CUBE" => sb.append("CUBE (").append(g.exprs.map(renderExpr).mkString(", ")).append(")")
+            case "SETS" => sb.append("GROUPING SETS (")
+              .append(g.sets.map(set => "(" + set.map(renderExpr).mkString(", ") + ")").mkString(", "))
+              .append(")")
+          }
+        }
+        s.having.foreach(h => sb.append(" HAVING ").append(renderExpr(h)))
+        sb.append(orderClause(s.orderBy))
+        s.limit.foreach(n => sb.append(s" LIMIT $n"))
+        sb.toString
+    }
+  }
+
+  private def renderRel(r: Rel): String = r match {
+    case TableRef(id, alias) => renderId(id) + alias.map(" " + renderAlias(_)).getOrElse("")
+    case SubqueryRel(q, alias) =>
+      s"(${renderQuery(q)})" + alias.map(" " + renderAlias(_)).getOrElse(" " + freshAlias())
+    case JoinRel("CROSS", l, u: UnnestRel, None) =>
+      renderRel(l) + " " + renderUnnest(u)
+    case JoinRel(kind, l, rr, on) =>
+      val kw = kind match {
+        case "CROSS" => "CROSS JOIN"
+        case "INNER" => "JOIN"
+        case k => s"$k JOIN"
+      }
+      s"${renderRel(l)} $kw ${renderRel(rr)}" + on.map(c => s" ON ${renderExpr(c)}").getOrElse("")
+    case u: UnnestRel =>
+      throw new SqlParseException("UNNEST is supported as CROSS JOIN UNNEST(...) AS t (c)")
+    case m: MatchRel =>
+      throw new IllegalStateException("MatchRel must be planned before rendering")
+    case t: TvfRel =>
+      throw new IllegalStateException("TvfRel must be planned before rendering")
+  }
+
+  private def renderUnnest(u: UnnestRel): String = {
+    if (u.ordinality) throw new SqlParseException(
+      "UNNEST WITH ORDINALITY: use the posexplode DataFrame surface (q_unnest)")
+    if (u.exprs.length != 1 || u.cols.length != 1) throw new SqlParseException(
+      "UNNEST supports one array expression with one output column here")
+    s"LATERAL VIEW explode(${renderExpr(u.exprs.head)}) ${u.alias} AS ${u.cols.head}"
+  }
+
+  private val aliasCounter = new AtomicInteger(0)
+  private def freshAlias(): String = s"__sq_${aliasCounter.incrementAndGet()}"
+
+  private def renderAlias(a: String): String =
+    if (a.matches("[A-Za-z_][A-Za-z0-9_]*")) a else "`" + a.replace("`", "``") + "`"
+
+  private def renderId(id: Id): String = id.parts.map {
+    case (name, false) => name
+    case (name, true) => "`" + name.replace("`", "``") + "`"
+  }.mkString(".")
+
+  def renderExpr(e: Expr): String = e match {
+    case Lit(sql) => sql
+    case TypedLit(tpe, v) => s"$tpe '$v'"
+    case id: Id => renderId(id)
+    case Star(None) => "*"
+    case Star(Some(q)) => s"$q.*"
+    case Fn(name, args, distinct, over) =>
+      val argStr = args.map(renderExpr).mkString(", ")
+      val base = s"$name(${if (distinct) "DISTINCT " else ""}$argStr)"
+      base + over.map(w => " OVER (" + renderWindow(w) + ")").getOrElse("")
+    case Lambda(ps, body) =>
+      if (ps.length == 1) s"${ps.head} -> ${renderExpr(body)}"
+      else s"(${ps.mkString(", ")}) -> ${renderExpr(body)}"
+    case Cast(x, t, isTry) =>
+      s"${if (isTry) "TRY_CAST" else "CAST"}(${renderExpr(x)} AS $t)"
+    case TryExpr(x) =>
+      throw new IllegalStateException(s"unlowered TRY(${renderExpr(x)})")
+    case Bin(op, l, r) => s"(${renderExpr(l)} $op ${renderExpr(r)})"
+    case Un("NOT", x) => s"(NOT ${renderExpr(x)})"
+    case Un(op, x) => s"($op ${renderExpr(x)})"
+    case IsNull(x, neg) => s"(${renderExpr(x)} IS ${if (neg) "NOT " else ""}NULL)"
+    case Between(x, lo, hi, neg) =>
+      s"(${renderExpr(x)} ${if (neg) "NOT " else ""}BETWEEN ${renderExpr(lo)} AND ${renderExpr(hi)})"
+    case InList(x, items, neg) =>
+      s"(${renderExpr(x)} ${if (neg) "NOT " else ""}IN (${items.map(renderExpr).mkString(", ")}))"
+    case InSubq(x, q, neg) =>
+      s"(${renderExpr(x)} ${if (neg) "NOT " else ""}IN (${renderQuery(q)}))"
+    case LikeExpr(x, pat, neg) =>
+      s"(${renderExpr(x)} ${if (neg) "NOT " else ""}LIKE ${renderExpr(pat)})"
+    case ExistsExpr(q) => s"EXISTS (${renderQuery(q)})"
+    case ScalarSubq(q) => s"(${renderQuery(q)})"
+    case CaseExpr(operand, whens, els) =>
+      val sb = new StringBuilder("CASE")
+      operand.foreach(o => sb.append(" ").append(renderExpr(o)))
+      whens.foreach { case (c, v) =>
+        sb.append(" WHEN ").append(renderExpr(c)).append(" THEN ").append(renderExpr(v))
+      }
+      els.foreach(x => sb.append(" ELSE ").append(renderExpr(x)))
+      sb.append(" END").toString
+    case AtTimeZone(x, _) =>
+      throw new IllegalStateException(s"unlowered AT TIME ZONE over ${renderExpr(x)}")
+    case Subscript(x, ix) => s"${renderExpr(x)}[${renderExpr(ix)}]"
+  }
+
+  private def renderWindow(w: WindowSpec): String = {
+    val parts = Seq(
+      if (w.partitionBy.nonEmpty)
+        Some("PARTITION BY " + w.partitionBy.map(renderExpr).mkString(", "))
+      else None,
+      if (w.orderBy.nonEmpty)
+        Some("ORDER BY " + w.orderBy.map(renderSortItem).mkString(", "))
+      else None,
+      w.frameRaw).flatten
+    parts.mkString(" ")
+  }
+}

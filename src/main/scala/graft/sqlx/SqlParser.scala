@@ -1,0 +1,783 @@
+package graft.sqlx
+
+/** Recursive-descent SQL parser for the dialect front door (SURVEY.md §3;
+  * VERDICT r6 "what's missing" #1). The reference parses its dialect with a
+  * 1554-line ANTLR grammar (reference: core/trino-grammar/src/main/antlr4/io/
+  * trino/grammar/sql/SqlBase.g4 — queryNoWith :239, primaryExpression with
+  * TRY at the function-call production, patternRecognition :446); this is a
+  * hand-written grammar for the statement subset the engine supports,
+  * producing a real AST so the dialect rewrites compose at ANY nesting depth
+  * — the regex layer's blind spot (TRY over a window call, MATCH_RECOGNIZE
+  * inside a derived table, quoted identifiers shadowing keywords).
+  *
+  * Scope: the query language (SELECT/WITH/set-ops/VALUES, joins incl. CROSS
+  * JOIN UNNEST and TABLE(tvf), expressions incl. lambdas, CASE, CAST, TRY,
+  * windows, subqueries, AT TIME ZONE, FETCH FIRST … {ONLY|WITH TIES}).
+  * Statement heads with their own executors (PREPARE/EXECUTE/DEALLOCATE,
+  * CREATE FUNCTION) stay in TrinoDialect; MATCH_RECOGNIZE blocks are
+  * captured as balanced raw spans and handed to MatchRecognizeSql's clause
+  * parser — one owner for that sub-grammar.
+  */
+object SqlAst {
+  sealed trait Expr
+  /** Verbatim literal (number, string, TRUE/FALSE/NULL). */
+  final case class Lit(sql: String) extends Expr
+  /** Typed literal: TIMESTAMP '…', DATE '…', INTERVAL '…' unit. */
+  final case class TypedLit(tpe: String, value: String) extends Expr
+  /** Possibly-qualified identifier; each part remembers if it was quoted. */
+  final case class Id(parts: Seq[(String, Boolean)]) extends Expr {
+    def plain: String = parts.map(_._1).mkString(".")
+  }
+  final case class Star(qualifier: Option[String]) extends Expr
+  final case class Fn(name: String, args: Seq[Expr], distinct: Boolean,
+      over: Option[WindowSpec]) extends Expr
+  final case class Lambda(params: Seq[String], body: Expr) extends Expr
+  final case class Cast(e: Expr, tpe: String, isTry: Boolean) extends Expr
+  final case class TryExpr(e: Expr) extends Expr
+  final case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  final case class Un(op: String, e: Expr) extends Expr
+  final case class IsNull(e: Expr, negated: Boolean) extends Expr
+  final case class Between(e: Expr, lo: Expr, hi: Expr, negated: Boolean) extends Expr
+  final case class InList(e: Expr, items: Seq[Expr], negated: Boolean) extends Expr
+  final case class InSubq(e: Expr, q: Query, negated: Boolean) extends Expr
+  final case class LikeExpr(e: Expr, pattern: Expr, negated: Boolean) extends Expr
+  final case class ExistsExpr(q: Query) extends Expr
+  final case class ScalarSubq(q: Query) extends Expr
+  final case class CaseExpr(operand: Option[Expr], whens: Seq[(Expr, Expr)],
+      els: Option[Expr]) extends Expr
+  final case class AtTimeZone(e: Expr, tz: Expr) extends Expr
+  final case class Subscript(e: Expr, index: Expr) extends Expr
+
+  final case class WindowSpec(partitionBy: Seq[Expr], orderBy: Seq[SortItem],
+      frameRaw: Option[String])
+  final case class SortItem(e: Expr, dir: Option[String], nulls: Option[String])
+
+  sealed trait Rel
+  final case class TableRef(name: Id, alias: Option[String]) extends Rel
+  final case class SubqueryRel(q: Query, alias: Option[String]) extends Rel
+  final case class JoinRel(kind: String, l: Rel, r: Rel, on: Option[Expr]) extends Rel
+  final case class UnnestRel(exprs: Seq[Expr], alias: String, cols: Seq[String],
+      ordinality: Boolean) extends Rel
+  final case class TvfRel(name: String, args: Seq[Expr], alias: Option[String]) extends Rel
+  /** MATCH_RECOGNIZE over any input; `blockRaw` is the balanced-paren body. */
+  final case class MatchRel(input: Rel, blockRaw: String, alias: Option[String]) extends Rel
+
+  sealed trait Query
+  final case class Select(distinct: Boolean, items: Seq[SelectItem],
+      from: Option[Rel], where: Option[Expr], groupBy: Option[GroupBy],
+      having: Option[Expr], orderBy: Seq[SortItem], limit: Option[Long],
+      fetchTies: Option[Long]) extends Query
+  final case class SelectItem(e: Expr, alias: Option[String])
+  /** kind: "PLAIN" | "ROLLUP" | "CUBE"; sets for GROUPING SETS. */
+  final case class GroupBy(kind: String, exprs: Seq[Expr], sets: Seq[Seq[Expr]])
+  final case class SetOpQ(op: String, all: Boolean, l: Query, r: Query) extends Query
+  final case class WithQ(ctes: Seq[(String, Query)], body: Query) extends Query
+  final case class ValuesQ(rows: Seq[Seq[Expr]]) extends Query
+  /** Trailing ORDER BY / LIMIT / FETCH attached to a set-op or WITH body. */
+  final case class OrderedQ(q: Query, orderBy: Seq[SortItem], limit: Option[Long],
+      fetchTies: Option[Long]) extends Query
+}
+
+final class SqlParseException(msg: String) extends IllegalArgumentException(msg)
+
+object SqlLexer {
+  sealed trait Kind
+  case object TIdent extends Kind
+  case object TQIdent extends Kind
+  case object TStr extends Kind
+  case object TNum extends Kind
+  case object TOp extends Kind
+  case object TEof extends Kind
+  final case class Token(kind: Kind, text: String, pos: Int) {
+    def is(s: String): Boolean = kind == TIdent && text.equalsIgnoreCase(s)
+    def isOp(s: String): Boolean = kind == TOp && text == s
+  }
+
+  private val multiOps = Seq("<=", ">=", "<>", "!=", "||", "->", "{-", "-}")
+
+  def lex(s: String): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    var i = 0
+    def err(m: String): Nothing = throw new SqlParseException(s"$m at offset $i in: $s")
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < s.length && s(i + 1) == '-') {
+        while (i < s.length && s(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < s.length && s(i + 1) == '*') {
+        val end = s.indexOf("*/", i + 2)
+        if (end < 0) err("unterminated comment")
+        i = end + 2
+      } else if (c == '\'') {
+        val start = i
+        i += 1
+        val sb = new StringBuilder
+        var done = false
+        while (i < s.length && !done) {
+          if (s(i) == '\'') {
+            if (i + 1 < s.length && s(i + 1) == '\'') { sb.append("''"); i += 2 }
+            else { done = true; i += 1 }
+          } else { sb.append(s(i)); i += 1 }
+        }
+        if (!done) err("unterminated string literal")
+        out += Token(TStr, sb.toString, start)
+      } else if (c == '"') {
+        val start = i
+        i += 1
+        val sb = new StringBuilder
+        var done = false
+        while (i < s.length && !done) {
+          if (s(i) == '"') {
+            if (i + 1 < s.length && s(i + 1) == '"') { sb.append('"'); i += 2 }
+            else { done = true; i += 1 }
+          } else { sb.append(s(i)); i += 1 }
+        }
+        if (!done) err("unterminated quoted identifier")
+        out += Token(TQIdent, sb.toString, start)
+      } else if (c.isDigit || (c == '.' && i + 1 < s.length && s(i + 1).isDigit)) {
+        val start = i
+        while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
+        if (i < s.length && (s(i) == 'e' || s(i) == 'E')) {
+          i += 1
+          if (i < s.length && (s(i) == '+' || s(i) == '-')) i += 1
+          while (i < s.length && s(i).isDigit) i += 1
+        }
+        out += Token(TNum, s.substring(start, i), start)
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+        out += Token(TIdent, s.substring(start, i), start)
+      } else {
+        multiOps.find(op => s.startsWith(op, i)) match {
+          case Some(op) => out += Token(TOp, op, i); i += op.length
+          case None =>
+            if ("+-*/%<>=,().[]?;:".indexOf(c) >= 0) { out += Token(TOp, c.toString, i); i += 1 }
+            else err(s"unexpected character '$c'")
+        }
+      }
+    }
+    out += Token(TEof, "", s.length)
+    out.result()
+  }
+}
+
+/** The parser proper. One instance per statement; not thread-shared. */
+final class SqlParser(src: String) {
+  import SqlAst._
+  import SqlLexer._
+
+  private val tokens = SqlLexer.lex(src)
+  private var p = 0
+
+  private def peek: Token = tokens(p)
+  private def peek2: Token = tokens(math.min(p + 1, tokens.length - 1))
+  private def next(): Token = { val t = tokens(p); p += 1; t }
+  private def err(m: String): Nothing =
+    throw new SqlParseException(s"$m near '${peek.text}' (offset ${peek.pos}) in: $src")
+  private def expectOp(s: String): Unit =
+    if (peek.isOp(s)) p += 1 else err(s"expected '$s'")
+  private def expectKw(s: String): Unit =
+    if (peek.is(s)) p += 1 else err(s"expected $s")
+  private def accept(kw: String): Boolean =
+    if (peek.is(kw)) { p += 1; true } else false
+  private def acceptOp(op: String): Boolean =
+    if (peek.isOp(op)) { p += 1; true } else false
+  private def acceptSeq(kws: String*): Boolean = {
+    val save = p
+    if (kws.forall(k => accept(k))) true else { p = save; false }
+  }
+
+  /** Reserved words that terminate an implicit alias position. */
+  private val reserved = Set(
+    "SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+    "FETCH", "UNION", "INTERSECT", "EXCEPT", "JOIN", "INNER", "LEFT", "RIGHT",
+    "FULL", "CROSS", "ON", "AND", "OR", "NOT", "AS", "BY", "WITH", "CASE",
+    "WHEN", "THEN", "ELSE", "END", "IN", "IS", "NULL", "BETWEEN", "LIKE",
+    "EXISTS", "DISTINCT", "ALL", "USING", "VALUES", "LATERAL", "NATURAL",
+    "MATCH_RECOGNIZE", "AT", "OVER", "ROLLUP", "CUBE", "GROUPING", "WINDOW")
+
+  // ---------------------------------------------------------------- queries
+
+  def parseQuery(): Query = {
+    val q = parseQueryNoFinish()
+    if (!peek.isOp(";") && peek.kind != TEof) err("trailing input after query")
+    q
+  }
+
+  private def parseQueryNoFinish(): Query = {
+    if (accept("WITH")) {
+      val ctes = scala.collection.mutable.ArrayBuffer[(String, Query)]()
+      var more = true
+      while (more) {
+        val name = ident("CTE name")
+        expectKw("AS"); expectOp("(")
+        val q = parseQueryNoFinish()
+        expectOp(")")
+        ctes += ((name, q))
+        more = acceptOp(",")
+      }
+      val body = parseQueryNoFinish()
+      WithQ(ctes.toSeq, body)
+    } else parseSetOps()
+  }
+
+  private def parseSetOps(): Query = {
+    var left = parseQueryTerm()
+    var done = false
+    while (!done) {
+      val op =
+        if (peek.is("UNION")) "UNION"
+        else if (peek.is("INTERSECT")) "INTERSECT"
+        else if (peek.is("EXCEPT")) "EXCEPT"
+        else ""
+      if (op.isEmpty) done = true
+      else {
+        p += 1
+        val all = accept("ALL") || { accept("DISTINCT"); false }
+        val right = parseQueryTerm()
+        left = SetOpQ(op, all, left, right)
+      }
+    }
+    // trailing ORDER BY/LIMIT/FETCH on a set-op chain
+    left match {
+      case _: SetOpQ =>
+        val (ord, lim, ties) = parseOrderLimitFetch()
+        if (ord.nonEmpty || lim.nonEmpty || ties.nonEmpty) OrderedQ(left, ord, lim, ties) else left
+      case q => q
+    }
+  }
+
+  private def parseQueryTerm(): Query =
+    if (peek.isOp("(")) {
+      // either a parenthesized query or a parse error upstream
+      val save = p
+      p += 1
+      if (peek.is("SELECT") || peek.is("WITH") || peek.is("VALUES") || peek.isOp("(")) {
+        val q = parseQueryNoFinish()
+        expectOp(")")
+        q
+      } else { p = save; err("expected subquery") }
+    } else if (accept("VALUES")) {
+      val rows = scala.collection.mutable.ArrayBuffer[Seq[Expr]]()
+      var more = true
+      while (more) {
+        expectOp("(")
+        rows += exprList()
+        expectOp(")")
+        more = acceptOp(",")
+      }
+      ValuesQ(rows.toSeq)
+    } else parseSelect()
+
+  private def parseSelect(): Select = {
+    expectKw("SELECT")
+    val distinct = accept("DISTINCT") || { accept("ALL"); false }
+    val items = scala.collection.mutable.ArrayBuffer[SelectItem]()
+    var more = true
+    while (more) {
+      items += parseSelectItem()
+      more = acceptOp(",")
+    }
+    val from = if (accept("FROM")) Some(parseRelation()) else None
+    val where = if (accept("WHERE")) Some(parseExpr()) else None
+    val groupBy = if (acceptSeq("GROUP", "BY")) Some(parseGroupBy()) else None
+    val having = if (accept("HAVING")) Some(parseExpr()) else None
+    val (ord, lim, ties) = parseOrderLimitFetch()
+    Select(distinct, items.toSeq, from, where, groupBy, having, ord, lim, ties)
+  }
+
+  private def parseOrderLimitFetch(): (Seq[SortItem], Option[Long], Option[Long]) = {
+    val ord =
+      if (acceptSeq("ORDER", "BY")) {
+        val xs = scala.collection.mutable.ArrayBuffer[SortItem]()
+        var more = true
+        while (more) { xs += parseSortItem(); more = acceptOp(",") }
+        xs.toSeq
+      } else Seq.empty
+    var lim: Option[Long] = None
+    var ties: Option[Long] = None
+    if (accept("LIMIT")) {
+      if (peek.kind == TNum) lim = Some(next().text.toLong)
+      else if (accept("ALL")) ()
+      else err("LIMIT expects a number")
+    } else if (accept("FETCH")) {
+      if (!accept("FIRST")) expectKw("NEXT")
+      val n = if (peek.kind == TNum) next().text.toLong else err("FETCH expects a count")
+      accept("ROWS"); accept("ROW")
+      if (accept("ONLY")) lim = Some(n)
+      else if (acceptSeq("WITH", "TIES")) ties = Some(n)
+      else err("FETCH: expected ONLY or WITH TIES")
+    }
+    if (accept("OFFSET")) err("OFFSET is not supported by this front door")
+    (ord, lim, ties)
+  }
+
+  private def parseSortItem(): SortItem = {
+    val e = parseExpr()
+    val dir =
+      if (accept("ASC")) Some("ASC") else if (accept("DESC")) Some("DESC") else None
+    val nulls =
+      if (accept("NULLS")) {
+        if (accept("FIRST")) Some("FIRST") else { expectKw("LAST"); Some("LAST") }
+      } else None
+    SortItem(e, dir, nulls)
+  }
+
+  private def parseGroupBy(): GroupBy = {
+    if (accept("ROLLUP")) { expectOp("("); val es = exprList(); expectOp(")"); GroupBy("ROLLUP", es, Seq.empty) }
+    else if (accept("CUBE")) { expectOp("("); val es = exprList(); expectOp(")"); GroupBy("CUBE", es, Seq.empty) }
+    else if (acceptSeq("GROUPING", "SETS")) {
+      expectOp("(")
+      val sets = scala.collection.mutable.ArrayBuffer[Seq[Expr]]()
+      var more = true
+      while (more) {
+        expectOp("(")
+        sets += (if (peek.isOp(")")) Seq.empty else exprList())
+        expectOp(")")
+        more = acceptOp(",")
+      }
+      expectOp(")")
+      GroupBy("SETS", Seq.empty, sets.toSeq)
+    } else GroupBy("PLAIN", exprList(), Seq.empty)
+  }
+
+  private def parseSelectItem(): SelectItem = {
+    if (peek.isOp("*")) { p += 1; return SelectItem(Star(None), None) }
+    // qualified star: ident.*
+    if (peek.kind == TIdent && peek2.isOp(".") &&
+        tokens(math.min(p + 2, tokens.length - 1)).isOp("*")) {
+      val q = next().text; p += 2
+      return SelectItem(Star(Some(q)), None)
+    }
+    val e = parseExpr()
+    val alias =
+      if (accept("AS")) Some(aliasIdent())
+      else if ((peek.kind == TIdent && !reserved(peek.text.toUpperCase)) || peek.kind == TQIdent)
+        Some(aliasIdent())
+      else None
+    SelectItem(e, alias)
+  }
+
+  private def ident(what: String): String = peek.kind match {
+    case TIdent => next().text
+    case TQIdent => next().text
+    case _ => err(s"expected $what")
+  }
+  private def aliasIdent(): String = ident("alias")
+
+  // -------------------------------------------------------------- relations
+
+  private def parseRelation(): Rel = {
+    var left = parseJoinedRelation()
+    while (acceptOp(",")) { // comma join = cross join
+      val right = parseJoinedRelation()
+      left = JoinRel("CROSS", left, right, None)
+    }
+    left
+  }
+
+  private def parseJoinedRelation(): Rel = {
+    var left = parseRelationPrimary()
+    var done = false
+    while (!done) {
+      val save = p
+      val kind =
+        if (acceptSeq("CROSS", "JOIN")) "CROSS"
+        else if (acceptSeq("INNER", "JOIN") || accept("JOIN")) "INNER"
+        else if (accept("LEFT")) { accept("OUTER"); expectKw("JOIN"); "LEFT" }
+        else if (accept("RIGHT")) { accept("OUTER"); expectKw("JOIN"); "RIGHT" }
+        else if (accept("FULL")) { accept("OUTER"); expectKw("JOIN"); "FULL" }
+        else ""
+      if (kind.isEmpty) { p = save; done = true }
+      else if (kind == "CROSS" && peek.is("UNNEST")) {
+        left = JoinRel("CROSS", left, parseUnnest(), None)
+      } else {
+        val right = parseRelationPrimary()
+        val on = if (kind != "CROSS") { expectKw("ON"); Some(parseExpr()) } else None
+        left = JoinRel(kind, left, right, on)
+      }
+    }
+    left
+  }
+
+  private def parseUnnest(): UnnestRel = {
+    expectKw("UNNEST"); expectOp("(")
+    val es = exprList()
+    expectOp(")")
+    val ordinality = acceptSeq("WITH", "ORDINALITY")
+    expectKw("AS")
+    val alias = ident("UNNEST alias")
+    expectOp("(")
+    val cols = scala.collection.mutable.ArrayBuffer[String]()
+    var more = true
+    while (more) { cols += ident("UNNEST column"); more = acceptOp(",") }
+    expectOp(")")
+    UnnestRel(es, alias, cols.toSeq, ordinality)
+  }
+
+  private def parseRelationPrimary(): Rel = {
+    val base: Rel =
+      if (peek.isOp("(")) {
+        p += 1
+        val q = parseQueryNoFinish()
+        expectOp(")")
+        SubqueryRel(q, relAlias())
+      } else if (peek.is("TABLE") && peek2.isOp("(")) {
+        p += 2
+        val name = ident("table function name")
+        expectOp("(")
+        val args = if (peek.isOp(")")) Seq.empty else exprList()
+        expectOp(")"); expectOp(")")
+        TvfRel(name, args, relAlias())
+      } else {
+        val parts = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+        parts += identPart()
+        while (peek.isOp(".") && (peek2.kind == TIdent || peek2.kind == TQIdent)) {
+          p += 1
+          parts += identPart()
+        }
+        TableRef(Id(parts.toSeq), relAlias())
+      }
+    if (peek.is("MATCH_RECOGNIZE")) {
+      p += 1
+      val blockRaw = rawBalancedParens()
+      MatchRel(base, blockRaw, relAlias())
+    } else base
+  }
+
+  private def identPart(): (String, Boolean) = peek.kind match {
+    case TIdent => (next().text, false)
+    case TQIdent => (next().text, true)
+    case _ => err("expected identifier")
+  }
+
+  private def relAlias(): Option[String] = {
+    if (accept("AS")) Some(aliasIdent())
+    else if ((peek.kind == TIdent && !reserved(peek.text.toUpperCase)) || peek.kind == TQIdent)
+      Some(aliasIdent())
+    else None
+  }
+
+  /** Raw source span of a balanced-paren block starting at the next '('. */
+  private def rawBalancedParens(): String = {
+    if (!peek.isOp("(")) err("expected '('")
+    val startTok = p
+    var depth = 0
+    while (p < tokens.length) {
+      if (peek.isOp("(")) depth += 1
+      else if (peek.isOp(")")) {
+        depth -= 1
+        if (depth == 0) {
+          val startPos = tokens(startTok).pos
+          val endPos = peek.pos
+          p += 1
+          return src.substring(startPos + 1, endPos)
+        }
+      } else if (peek.kind == TEof) err("unbalanced parentheses")
+      p += 1
+    }
+    err("unbalanced parentheses")
+  }
+
+  // ------------------------------------------------------------ expressions
+
+  private def exprList(): Seq[Expr] = {
+    val xs = scala.collection.mutable.ArrayBuffer[Expr]()
+    var more = true
+    while (more) { xs += parseExpr(); more = acceptOp(",") }
+    xs.toSeq
+  }
+
+  def parseExpr(): Expr = parseOr()
+
+  private def parseOr(): Expr = {
+    var l = parseAnd()
+    while (accept("OR")) l = Bin("OR", l, parseAnd())
+    l
+  }
+
+  private def parseAnd(): Expr = {
+    var l = parseNot()
+    while (accept("AND")) l = Bin("AND", l, parseNot())
+    l
+  }
+
+  private def parseNot(): Expr =
+    if (accept("NOT")) Un("NOT", parseNot()) else parsePredicate()
+
+  private def parsePredicate(): Expr = {
+    var e = parseComparison()
+    var done = false
+    while (!done) {
+      if (accept("IS")) {
+        val neg = accept("NOT")
+        expectKw("NULL")
+        e = IsNull(e, neg)
+      } else if (peek.is("BETWEEN") || (peek.is("NOT") && peek2.is("BETWEEN"))) {
+        val neg = accept("NOT"); expectKw("BETWEEN")
+        val lo = parseComparison(); expectKw("AND"); val hi = parseComparison()
+        e = Between(e, lo, hi, neg)
+      } else if (peek.is("IN") || (peek.is("NOT") && peek2.is("IN"))) {
+        val neg = accept("NOT"); expectKw("IN"); expectOp("(")
+        if (peek.is("SELECT") || peek.is("WITH")) {
+          val q = parseQueryNoFinish(); expectOp(")")
+          e = InSubq(e, q, neg)
+        } else {
+          val items = exprList(); expectOp(")")
+          e = InList(e, items, neg)
+        }
+      } else if (peek.is("LIKE") || (peek.is("NOT") && peek2.is("LIKE"))) {
+        val neg = accept("NOT"); expectKw("LIKE")
+        e = LikeExpr(e, parseComparison(), neg)
+      } else done = true
+    }
+    e
+  }
+
+  private def parseComparison(): Expr = {
+    var l = parseConcat()
+    val cmps = Set("=", "<", ">", "<=", ">=", "<>", "!=")
+    while (peek.kind == SqlLexer.TOp && cmps(peek.text)) {
+      val op = next().text
+      l = Bin(if (op == "!=") "<>" else op, l, parseConcat())
+    }
+    l
+  }
+
+  private def parseConcat(): Expr = {
+    var l = parseAdditive()
+    while (acceptOp("||")) l = Bin("||", l, parseAdditive())
+    l
+  }
+
+  private def parseAdditive(): Expr = {
+    var l = parseMultiplicative()
+    var done = false
+    while (!done) {
+      if (acceptOp("+")) l = Bin("+", l, parseMultiplicative())
+      else if (acceptOp("-")) l = Bin("-", l, parseMultiplicative())
+      else done = true
+    }
+    l
+  }
+
+  private def parseMultiplicative(): Expr = {
+    var l = parseAtTimeZone()
+    var done = false
+    while (!done) {
+      if (acceptOp("*")) l = Bin("*", l, parseAtTimeZone())
+      else if (acceptOp("/")) l = Bin("/", l, parseAtTimeZone())
+      else if (acceptOp("%")) l = Bin("%", l, parseAtTimeZone())
+      else done = true
+    }
+    l
+  }
+
+  private def parseAtTimeZone(): Expr = {
+    var e = parseUnary()
+    while (peek.is("AT") && peek2.is("TIME")) {
+      p += 2; expectKw("ZONE")
+      e = AtTimeZone(e, parseUnary())
+    }
+    e
+  }
+
+  private def parseUnary(): Expr =
+    if (acceptOp("-")) Un("-", parseUnary())
+    else if (acceptOp("+")) parseUnary()
+    else parsePostfix()
+
+  private def parsePostfix(): Expr = {
+    var e = parsePrimary()
+    while (peek.isOp("[")) {
+      p += 1
+      val ix = parseExpr()
+      expectOp("]")
+      e = Subscript(e, ix)
+    }
+    e
+  }
+
+  private val typedLitKws = Set("DATE", "TIMESTAMP", "TIME", "INTERVAL")
+
+  private def parsePrimary(): Expr = {
+    val t = peek
+    t.kind match {
+      case TNum => p += 1; Lit(t.text)
+      case TStr => p += 1; Lit("'" + t.text + "'")
+      case TOp if t.text == "(" =>
+        // lambda `(a, b) -> body`, scalar subquery, or grouping parens
+        val save = p
+        p += 1
+        if (peek.is("SELECT") || peek.is("WITH")) {
+          val q = parseQueryNoFinish(); expectOp(")")
+          ScalarSubq(q)
+        } else {
+          // try lambda params
+          val params = scala.collection.mutable.ArrayBuffer[String]()
+          var isLambda = peek.kind == TIdent
+          if (isLambda) {
+            val save2 = p
+            params += next().text
+            while (isLambda && peek.isOp(",")) {
+              p += 1
+              if (peek.kind == TIdent) params += next().text else isLambda = false
+            }
+            if (isLambda && peek.isOp(")") && peek2.isOp("->")) {
+              p += 2
+              return Lambda(params.toSeq, parseExpr())
+            }
+            p = save2
+          }
+          val e = parseExpr()
+          expectOp(")")
+          e
+        }
+      case TOp if t.text == "?" => p += 1; Lit("?")
+      case TOp if t.text == "*" => p += 1; Star(None)
+      case TQIdent => parseIdentOrCall()
+      case TIdent =>
+        val up = t.text.toUpperCase
+        up match {
+          case "CASE" => p += 1; parseCase()
+          case "CAST" | "TRY_CAST" =>
+            p += 1; expectOp("(")
+            val e = parseExpr()
+            expectKw("AS")
+            val tpe = parseTypeRaw()
+            expectOp(")")
+            Cast(e, tpe, isTry = up == "TRY_CAST")
+          case "TRY" if peek2.isOp("(") =>
+            p += 1; expectOp("(")
+            val e = parseExpr()
+            expectOp(")")
+            TryExpr(e)
+          case "EXISTS" if peek2.isOp("(") =>
+            p += 1; expectOp("(")
+            val q = parseQueryNoFinish()
+            expectOp(")")
+            ExistsExpr(q)
+          case "NULL" => p += 1; Lit("NULL")
+          case "TRUE" => p += 1; Lit("TRUE")
+          case "FALSE" => p += 1; Lit("FALSE")
+          case k if typedLitKws(k) && peek2.kind == TStr =>
+            p += 1
+            val v = next().text
+            // INTERVAL '1' DAY — trailing unit idents belong to the literal
+            val unit = new StringBuilder
+            if (k == "INTERVAL") {
+              while (peek.kind == TIdent && !reserved(peek.text.toUpperCase)) {
+                unit.append(' ').append(next().text)
+              }
+            }
+            TypedLit(k + unit.toString, v)
+          case _ => parseIdentOrCall()
+        }
+      case _ => err("expected expression")
+    }
+  }
+
+  /** Identifier, qualified identifier, ident.*, lambda `x -> e`, or call. */
+  private def parseIdentOrCall(): Expr = {
+    val first = identPart()
+    // single-param lambda: x -> body
+    if (peek.isOp("->")) {
+      p += 1
+      return Lambda(Seq(first._1), parseExpr())
+    }
+    if (peek.isOp("(") && !first._2) {
+      return parseCallAfterName(first._1)
+    }
+    val parts = scala.collection.mutable.ArrayBuffer[(String, Boolean)](first)
+    var star = false
+    while (!star && peek.isOp(".")) {
+      if (peek2.isOp("*")) { p += 2; star = true }
+      else { p += 1; parts += identPart() }
+    }
+    if (star) Star(Some(parts.map(_._1).mkString(".")))
+    else Id(parts.toSeq)
+  }
+
+  private def parseCallAfterName(name: String): Expr = {
+    expectOp("(")
+    val distinct = accept("DISTINCT")
+    val args =
+      if (peek.isOp(")")) Seq.empty
+      else if (peek.isOp("*") && peek2.isOp(")")) { p += 1; Seq(Star(None)) }
+      else exprList()
+    expectOp(")")
+    val over =
+      if (accept("OVER")) Some(parseWindowSpec())
+      else None
+    Fn(name, args, distinct, over)
+  }
+
+  private def parseWindowSpec(): WindowSpec = {
+    expectOp("(")
+    val partitionBy =
+      if (acceptSeq("PARTITION", "BY")) exprList() else Seq.empty
+    val orderBy =
+      if (acceptSeq("ORDER", "BY")) {
+        val xs = scala.collection.mutable.ArrayBuffer[SortItem]()
+        var more = true
+        while (more) { xs += parseSortItem(); more = acceptOp(",") }
+        xs.toSeq
+      } else Seq.empty
+    // frame: capture raw until the matching ')'
+    val frame =
+      if (peek.is("ROWS") || peek.is("RANGE") || peek.is("GROUPS")) {
+        val startPos = peek.pos
+        var depth = 1
+        var endPos = startPos
+        while (depth > 0) {
+          if (peek.isOp("(")) depth += 1
+          else if (peek.isOp(")")) depth -= 1
+          else if (peek.kind == TEof) err("unbalanced window frame")
+          if (depth > 0) { endPos = peek.pos + peek.text.length; p += 1 }
+        }
+        Some(src.substring(startPos, endPos).trim)
+      } else None
+    expectOp(")")
+    WindowSpec(partitionBy, orderBy, frame)
+  }
+
+  private def parseCase(): Expr = {
+    val operand = if (peek.is("WHEN")) None else Some(parseExpr())
+    val whens = scala.collection.mutable.ArrayBuffer[(Expr, Expr)]()
+    while (accept("WHEN")) {
+      val c = parseExpr()
+      expectKw("THEN")
+      val v = parseExpr()
+      whens += ((c, v))
+    }
+    val els = if (accept("ELSE")) Some(parseExpr()) else None
+    expectKw("END")
+    CaseExpr(operand, whens.toSeq, els)
+  }
+
+  /** Type text after CAST(… AS: idents plus balanced (…)/<…> payloads. */
+  private def parseTypeRaw(): String = {
+    val sb = new StringBuilder
+    var expectMore = true
+    while (expectMore) {
+      if (peek.kind == TIdent) { sb.append(next().text) }
+      else err("expected type name")
+      if (peek.isOp("(")) {
+        sb.append('(')
+        p += 1
+        var depth = 1
+        while (depth > 0) {
+          if (peek.isOp("(")) depth += 1
+          else if (peek.isOp(")")) depth -= 1
+          if (depth > 0) sb.append(peek.text)
+          else sb.append(')')
+          p += 1
+        }
+      }
+      // ARRAY<INT> style or multi-word types (DOUBLE PRECISION)
+      if (peek.kind == TIdent && !peek.is("AS") && !reserved(peek.text.toUpperCase)) sb.append(' ')
+      else expectMore = false
+    }
+    sb.toString
+  }
+}

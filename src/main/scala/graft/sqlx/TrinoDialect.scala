@@ -97,12 +97,26 @@ object TrinoDialect {
       case _ => sqlDirect(spark, dir, text)
     }
 
-  private def sqlDirect(spark: SparkSession, dir: String, text: String): DataFrame =
+  /** Front door: the recursive-descent parser (graft.sqlx.SqlParser) with
+    * rewrites as AST passes (SqlFrontend) — dialect features compose at any
+    * nesting depth. Statements outside the parsed grammar (or hitting a
+    * documented parser gap) fall back to the legacy literal-aware regex
+    * rewriter, which remains the text-level subset it always was. */
+  private def sqlDirect(spark: SparkSession, dir: String, text: String): DataFrame = {
+    graft.sources.Tables.registerAll(spark, dir)
+    graft.functions.Registry.registerAll(spark)
+    try SqlFrontend.run(spark, dir, text)
+    catch {
+      case e: SqlParseException =>
+        System.err.println(s"[sqlx] parser fallback (${e.getMessage.takeWhile(_ != '\n')})")
+        legacyDirect(spark, dir, text)
+    }
+  }
+
+  private def legacyDirect(spark: SparkSession, dir: String, text: String): DataFrame =
     MatchRecognizeSql.parse(text) match {
       case Some(mr) => MatchRecognizeSql.lower(spark, dir, mr)
       case None =>
-        graft.sources.Tables.registerAll(spark, dir)
-        graft.functions.Registry.registerAll(spark)
         spark.sql(rewrite(lowerTableFunctions(spark, dir, text)))
     }
 

@@ -1,0 +1,76 @@
+package graft
+
+import graft.sqlx.{SqlAst, SqlFrontend, SqlParseException, SqlParser}
+
+/** Parser/renderer unit spec for the dialect front door — cases that are
+  * impossible or fragile for a flat text rewriter and therefore the point of
+  * having a real grammar. */
+class SqlParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quoted identifiers render as backticks, shadowing keywords safely") {
+    val df = Seq((1, "a"), (2, "b")).toDF("from", "select")
+    df.createOrReplaceTempView("kwtab")
+    val out = graft.sqlx.SqlFrontend.run(spark, sfDir,
+      """SELECT "from" + 1 AS f1, "select" FROM kwtab ORDER BY "from"""")
+      .collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(2, 3))
+    assert(out.map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
+  test("TRY lowers recursively and rejects unabsorbable bodies") {
+    // parse structure: TRY around Bin(+, Bin(/..), Cast)
+    new SqlParser("SELECT TRY(a / b + CAST(c AS INT)) FROM t").parseQuery() match {
+      case SqlAst.Select(_, Seq(SqlAst.SelectItem(SqlAst.TryExpr(
+        SqlAst.Bin("+", SqlAst.Bin("/", _, _), SqlAst.Cast(_, _, false))), None)), _, _, _, _, _, _, _) =>
+      case other => fail(s"unexpected parse: $other")
+    }
+    // through the front door the arithmetic gets its try twins
+    val df = Seq((6, 2, "3"), (1, 0, "x")).toDF("a", "b", "c")
+    df.createOrReplaceTempView("trytab")
+    val out = graft.sqlx.SqlFrontend.run(spark, sfDir,
+      "SELECT TRY(a / b + CAST(c AS INT)) AS v FROM trytab ORDER BY a DESC")
+      .collect()
+    assert(out(0).getDouble(0) == 6.0) // 6/2 + 3 (try_divide yields double)
+    assert(out(1).isNullAt(0))         // division by zero absorbed
+    // a body with nothing to absorb is a user error, not a silent no-op
+    intercept[SqlParseException] {
+      graft.sqlx.SqlFrontend.run(spark, sfDir, "SELECT TRY(a) FROM trytab")
+    }
+  }
+
+  test("operator precedence parses conventionally") {
+    val q = new SqlParser("SELECT 1 + 2 * 3 - 4 = 3 AND NOT FALSE").parseQuery()
+    val s = SqlFrontend.renderQuery(q)
+    // 1 + (2*3) - 4, comparison above arithmetic, AND above comparison
+    assert(s.contains("(((1 + (2 * 3)) - 4) = 3)"), s)
+  }
+
+  test("parser fallback: statements outside the grammar still execute") {
+    // LATERAL VIEW is Spark syntax the Trino grammar doesn't have — the
+    // front door rejects it and TrinoDialect falls back to the legacy layer
+    val df = graft.sqlx.TrinoDialect.sql(spark, sfDir,
+      "SELECT n_name, w FROM nation LATERAL VIEW explode(split(n_name, '_')) t AS w " +
+        "WHERE n_nationkey = 0")
+    assert(df.count() >= 1)
+  }
+
+  test("string and identifier edge cases survive the roundtrip") {
+    val q = new SqlParser(
+      "SELECT 'it''s', \"odd name\", x FROM t WHERE y LIKE 'a%' AND z IS NOT NULL").parseQuery()
+    val s = SqlFrontend.renderQuery(q)
+    assert(s.contains("'it''s'"), s)
+    assert(s.contains("`odd name`"), s)
+    assert(s.contains("NOT NULL"), s)
+  }
+
+  test("window frames, lambdas, subscripts, typed literals render faithfully") {
+    val sql = "SELECT sum(x) OVER (PARTITION BY k ORDER BY t ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), " +
+      "transform(a, v -> v + 1), m['k'], TIMESTAMP '2020-01-01 00:00:00' FROM t"
+    val s = SqlFrontend.renderQuery(new SqlParser(sql).parseQuery())
+    assert(s.contains("ROWS BETWEEN 1 PRECEDING AND CURRENT ROW"), s)
+    assert(s.contains("v -> (v + 1)"), s)
+    assert(s.contains("m['k']"), s)
+    assert(s.contains("TIMESTAMP '2020-01-01 00:00:00'"), s)
+  }
+}
