@@ -39,6 +39,7 @@ object SparkEntry {
       (operators.Approx.queries, operators.Approx.oracles),
       (operators.Types.queries, operators.Types.oracles),
       (operators.Federation.queries, operators.Federation.oracles),
+      (operators.DeltaQueries.queries, operators.DeltaQueries.oracles),
       (operators.Dialect.queries, operators.Dialect.oracles),
       (operators.Misc.queries, operators.Misc.oracles))
 

@@ -379,6 +379,102 @@ object GeoOps {
 
 // --------------------------------------------------------------- expressions
 
+/** Geometry accessors (GeoFunctions.java — ST_X:1511 / ST_Y:1524 /
+  * ST_Dimension:814 / ST_IsClosed:823 / ST_IsRing:1378 / ST_IsEmpty:842 /
+  * ST_GeometryType:1989). The reference throws on kind mismatches
+  * (validateType); this engine's TRY-friendly lax form returns NULL. */
+case class GeomAccessor(child: Expression, what: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == Wkt.geometryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"st_$what expects a geometry struct")
+  override def dataType: DataType = what match {
+    case "x" | "y" => DoubleType
+    case "dimension" => IntegerType
+    case "is_closed" | "is_ring" | "is_empty" => BooleanType
+    case "geometry_type" => StringType
+  }
+  override def nullIntolerant: Boolean = false
+  override def nullable: Boolean = true
+  override def prettyName: String = s"st_$what"
+
+  private def isClosedPart(g: Wkt.Geom, off: Int, len: Int): Boolean =
+    g.xs(off) == g.xs(off + len - 1) && g.ys(off) == g.ys(off + len - 1)
+
+  /** JTS isSimple for a closed linestring: no proper crossing between any
+    * edge pair (adjacent edges share an endpoint, so the strict orientation
+    * test already excludes them). */
+  private def isSimpleRing(g: Wkt.Geom): Boolean = {
+    val n = g.xs.length - 1 // closed: last duplicates first
+    val crossings = for {
+      i <- 0 until n
+      j <- (i + 1) until n
+      if GeoOps.properCross(g.xs(i), g.ys(i), g.xs(i + 1), g.ys(i + 1),
+        g.xs(j), g.ys(j), g.xs(j + 1), g.ys(j + 1))
+    } yield (i, j)
+    crossings.isEmpty
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val g = GeoOps.fromRow(input.asInstanceOf[InternalRow])
+    what match {
+      case "x" => if (g.kind == "POINT") g.xs(0) else null
+      case "y" => if (g.kind == "POINT") g.ys(0) else null
+      case "dimension" => g.kind match {
+        case "POINT" | "MULTIPOINT" => 0
+        case "LINESTRING" | "MULTILINESTRING" => 1
+        case "POLYGON" | "MULTIPOLYGON" => 2
+      }
+      case "is_empty" => false // the parser rejects empty geometries
+      case "is_closed" =>
+        if (g.kind != "LINESTRING" && g.kind != "MULTILINESTRING") null
+        else {
+          var off = 0
+          g.rings.forall { len => val ok = isClosedPart(g, off, len); off += len; ok }
+        }
+      case "is_ring" =>
+        if (g.kind != "LINESTRING") null
+        else isClosedPart(g, 0, g.xs.length) && isSimpleRing(g)
+      case "geometry_type" => UTF8String.fromString(g.kind match {
+        case "POINT" => "ST_Point"
+        case "MULTIPOINT" => "ST_MultiPoint"
+        case "LINESTRING" => "ST_LineString"
+        case "MULTILINESTRING" => "ST_MultiLineString"
+        case "POLYGON" => "ST_Polygon"
+        case "MULTIPOLYGON" => "ST_MultiPolygon"
+      })
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ST_PointN / ST_StartPoint / ST_EndPoint (GeoFunctions.java:1315, 1388,
+  * 1456): vertex of a LINESTRING as a POINT geometry; 1-based index, out of
+  * range or non-linestring → NULL. index < 0 counts from the end (our
+  * convenience for EndPoint = -1). */
+case class GeomPointN(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == Wkt.geometryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("st_point_n expects (geometry, int)")
+  override def dataType: DataType = Wkt.geometryType
+  override def nullIntolerant: Boolean = false
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_point_n"
+  override def nullSafeEval(g0: Any, ix0: Any): Any = {
+    val g = GeoOps.fromRow(g0.asInstanceOf[InternalRow])
+    val ix = ix0.asInstanceOf[Int]
+    if (g.kind != "LINESTRING") return null
+    val n = g.xs.length
+    val i = if (ix < 0) n + ix else ix - 1
+    if (i < 0 || i >= n) null
+    else GeoOps.toRow(Wkt.Geom("POINT", Array(g.xs(i)), Array(g.ys(i)), Array(1)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** ST_Distance(geom, geom) → double (GeoFunctions.java:1697). */
 case class GeomDistance(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

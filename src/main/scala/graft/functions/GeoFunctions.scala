@@ -117,4 +117,22 @@ object GeoFunctions {
   /** ST_Union(geom, geom): boolean union (see GeoOps for supported surface). */
   def stUnion(a: Column, b: Column): Column =
     column(graft.ext.GeomUnion(expression(a), expression(b)))
+
+  /** Accessors: ST_X/ST_Y/ST_Dimension/ST_IsClosed/ST_IsRing/ST_IsEmpty/
+    * ST_GeometryType (lax-NULL on kind mismatch where the reference throws). */
+  def stX(g: Column): Column = column(graft.ext.GeomAccessor(expression(g), "x"))
+  def stY(g: Column): Column = column(graft.ext.GeomAccessor(expression(g), "y"))
+  def stDimension(g: Column): Column = column(graft.ext.GeomAccessor(expression(g), "dimension"))
+  def stIsClosed(g: Column): Column = column(graft.ext.GeomAccessor(expression(g), "is_closed"))
+  def stIsRing(g: Column): Column = column(graft.ext.GeomAccessor(expression(g), "is_ring"))
+  def stIsEmpty(g: Column): Column = column(graft.ext.GeomAccessor(expression(g), "is_empty"))
+  def stGeometryType(g: Column): Column =
+    column(graft.ext.GeomAccessor(expression(g), "geometry_type"))
+
+  /** ST_PointN (1-based; negative counts from the end) / ST_StartPoint /
+    * ST_EndPoint over LINESTRING. */
+  def stPointN(g: Column, n: Column): Column =
+    column(graft.ext.GeomPointN(expression(g), expression(n)))
+  def stStartPoint(g: Column): Column = stPointN(g, lit(1))
+  def stEndPoint(g: Column): Column = stPointN(g, lit(-1))
 }

@@ -255,15 +255,76 @@ object Geometry {
              FROM customer WHERE c_custkey <= 800)
        ORDER BY c_custkey"""
 
+  /** Accessor family (GeoFunctions.java ST_X:1511/ST_Y/ST_Dimension:814/
+    * ST_IsClosed:823/ST_IsRing:1378/ST_GeometryType:1989/ST_PointN:1315/
+    * ST_StartPoint/ST_EndPoint): per customer a point, an open path, a
+    * simple closed ring, and a closed-but-self-crossing bowtie — so both
+    * is_ring branches and the kind-mismatch NULLs all occur. */
+  def q_fn_geo_accessors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 1000)
+      .withColumn("x", (($"c_custkey" * 7 % 90) * 8).cast("long"))
+      .withColumn("y", (($"c_custkey" * 13 % 70) * 8).cast("long"))
+      .withColumn("pt", stGeometryFromText(format_string("POINT (%d %d)", $"x", $"y")))
+      .withColumn("path", stGeometryFromText(format_string(
+        "LINESTRING (%d %d, %d %d, %d %d)",
+        $"x", $"y", $"x" + 1, $"y" + 2, $"x" + 3, $"y")))
+      .withColumn("ring", stGeometryFromText(format_string(
+        "LINESTRING (%d %d, %d %d, %d %d, %d %d, %d %d)",
+        $"x", $"y", $"x" + 2, $"y", $"x" + 2, $"y" + 2, $"x", $"y" + 2, $"x", $"y")))
+      .withColumn("bowtie", stGeometryFromText(format_string(
+        "LINESTRING (%d %d, %d %d, %d %d, %d %d, %d %d)",
+        $"x", $"y", $"x" + 2, $"y" + 2, $"x" + 2, $"y", $"x", $"y" + 2, $"x", $"y")))
+    t.select($"c_custkey",
+        stX($"pt").as("px"),
+        stY($"pt").as("py"),
+        stX($"path").isNull.as("x_on_line_null"),
+        stGeometryType($"pt").as("t_point"),
+        stGeometryType($"ring").as("t_line"),
+        stDimension($"pt").as("dim_point"),
+        stDimension($"path").as("dim_line"),
+        stIsClosed($"path").as("path_closed"),
+        stIsClosed($"ring").as("ring_closed"),
+        stIsRing($"ring").as("ring_is_ring"),
+        stIsRing($"bowtie").as("bowtie_is_ring"),
+        stIsEmpty($"pt").as("pt_empty"),
+        stX(stPointN($"path", lit(2))).as("p2_x"),
+        stY(stStartPoint($"path")).as("start_y"),
+        stX(stEndPoint($"path")).as("end_x"),
+        stPointN($"path", lit(9)).isNull.as("oob_null"))
+      .orderBy($"c_custkey")
+  }
+  val qFnGeoAccessorsSql: String =
+    """SELECT c_custkey,
+         CAST((c_custkey * 7 % 90) * 8 AS DOUBLE) AS px,
+         CAST((c_custkey * 13 % 70) * 8 AS DOUBLE) AS py,
+         TRUE AS x_on_line_null,
+         'ST_Point' AS t_point,
+         'ST_LineString' AS t_line,
+         0 AS dim_point,
+         1 AS dim_line,
+         FALSE AS path_closed,
+         TRUE AS ring_closed,
+         TRUE AS ring_is_ring,
+         FALSE AS bowtie_is_ring,
+         FALSE AS pt_empty,
+         CAST((c_custkey * 7 % 90) * 8 + 1 AS DOUBLE) AS p2_x,
+         CAST((c_custkey * 13 % 70) * 8 AS DOUBLE) AS start_y,
+         CAST((c_custkey * 7 % 90) * 8 + 3 AS DOUBLE) AS end_x,
+         TRUE AS oob_null
+       FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
     "q_fn_geo_distance" -> q_fn_geo_distance _,
     "q_fn_geo_buffer" -> q_fn_geo_buffer _,
     "q_fn_geo_union" -> q_fn_geo_union _,
+    "q_fn_geo_accessors" -> q_fn_geo_accessors _,
     "q_geo_union_agg" -> q_geo_union_agg _)
 
   val oracles: Map[String, String] = Map(
     "q_fn_geo_distance" -> qFnGeoDistanceSql,
     "q_fn_geo_buffer" -> qFnGeoBufferSql,
     "q_fn_geo_union" -> qFnGeoUnionSql,
+    "q_fn_geo_accessors" -> qFnGeoAccessorsSql,
     "q_geo_union_agg" -> qGeoUnionAggSql)
 }

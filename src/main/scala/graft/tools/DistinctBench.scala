@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off A/B measurement for VERDICT r6 "what's wrong" #3: Catalyst's
+  * RewriteDistinctAggregates (Expand ×3 of the fact table) vs a pre-aggregate
+  * on (groupkeys, distinct-cols) feeding the distinct counts. Run:
+  * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.DistinctBench"`. */
+object DistinctBench {
+  def expandPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct($"l_partkey").as("n_part"),
+        countDistinct($"l_suppkey", $"l_partkey").as("n_supp_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  def preaggPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.operators.table(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_suppkey", $"l_partkey")
+      .agg(count(lit(1)).as("n"))
+    base.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct($"l_partkey").as("n_part"),
+        count(lit(1)).as("n_supp_part"), // base rows ARE the distinct pairs
+        sum($"n").as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.engine.GraftSession.builder(master = "local[8]", shufflePartitions = 16)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String, f: => DataFrame): Unit = {
+      (1 to 2).foreach(_ => f.write.format("noop").mode("overwrite").save()) // warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[distinct-bench] $name min=${ts.min}%.3f samples=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    // equality check first
+    val a = expandPlan(spark, dir).collect().toSeq
+    val b = preaggPlan(spark, dir).collect().toSeq
+    require(a.map(_.toString) == b.map(_.toString), s"plans disagree:\n$a\n$b")
+    time("expand  ", expandPlan(spark, dir))
+    time("preagg  ", preaggPlan(spark, dir))
+    spark.stop()
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** Protocol-level spec for graft.catalog.DeltaRead: a hand-authored Delta
+  * log (the public delta-io protocol) must replay adds/removes correctly,
+  * attach typed partition values, and refuse the unsupported features
+  * loudly instead of misreading. */
+class DeltaReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTable(name: String): File = {
+    val root = new File(System.getProperty("java.io.tmpdir"), s"graft_deltaspec_$name")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    new File(root, "_delta_log").mkdirs()
+    root
+  }
+
+  private def writeParquet(root: File, rel: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val stage = new File(root, "_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new File(root, rel)
+    dest.getParentFile.mkdirs()
+    Files.move(part.toPath, dest.toPath)
+  }
+
+  private def commit(root: File, version: Int, lines: Seq[String]): Unit =
+    Files.write(Paths.get(root.getAbsolutePath, "_delta_log", f"$version%020d.json"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+  test("delta log replay: remove supersedes add, partition values typed") {
+    val root = newTable("basic")
+    val data = Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 20)).toDF("id", "name", "bucket")
+    val schemaJson = data.schema.json.replace("\"", "\\\"")
+    writeParquet(root, "bucket=10/f0.parquet",
+      data.filter($"bucket" === 10).drop("bucket"))
+    writeParquet(root, "bucket=20/f1.parquet",
+      data.filter($"bucket" === 20).drop("bucket"))
+    commit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["bucket"],"configuration":{}}}""",
+      """{"add":{"path":"bucket=10/f0.parquet","partitionValues":{"bucket":"10"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"bucket=20/f1.parquet","partitionValues":{"bucket":"20"},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    // v1: delete row id=1 by rewriting bucket=10's file
+    writeParquet(root, "bucket=10/f2.parquet",
+      data.filter($"bucket" === 10 && $"id" =!= 1).drop("bucket"))
+    commit(root, 1, Seq(
+      """{"remove":{"path":"bucket=10/f0.parquet","dataChange":true}}""",
+      """{"add":{"path":"bucket=10/f2.parquet","partitionValues":{"bucket":"10"},"size":1,"modificationTime":0,"dataChange":true}}"""))
+
+    val df = catalog.DeltaRead.readTable(spark, root.getAbsolutePath)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name", "bucket"))
+    assert(df.schema("bucket").dataType.typeName == "integer") // typed from schemaString
+    val rows = df.orderBy($"id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L)) // id=1 removed with its file
+    assert(rows.map(_.getInt(2)).toSeq == Seq(10, 20))
+    // filter on the partition column folds each group's literal → only the
+    // matching group's files survive in the plan
+    assert(df.filter($"bucket" === 20).collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("unsupported protocol features fail loudly") {
+    val root = newTable("unsupported")
+    intercept[IllegalArgumentException] { // no log at all
+      catalog.DeltaRead.readTable(spark, root.getAbsolutePath + "_nope")
+    }
+    commit(root, 0, Seq("""{"protocol":{"minReaderVersion":1}}"""))
+    intercept[IllegalArgumentException] { // no metaData action
+      catalog.DeltaRead.readTable(spark, root.getAbsolutePath)
+    }
+    Files.write(Paths.get(root.getAbsolutePath, "_delta_log",
+      "00000000000000000000.checkpoint.parquet"), Array.emptyByteArray)
+    intercept[IllegalArgumentException] { // checkpoints unsupported
+      catalog.DeltaRead.readTable(spark, root.getAbsolutePath)
+    }
+  }
+}
