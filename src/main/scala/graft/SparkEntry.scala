@@ -30,6 +30,7 @@ object SparkEntry {
       (operators.Functions2.queries, operators.Functions2.oracles),
       (operators.Functions3.queries, operators.Functions3.oracles),
       (operators.Geometry.queries, operators.Geometry.oracles),
+      (operators.Stats.queries, operators.Stats.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Similarity.queries, operators.Similarity.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
@@ -40,6 +41,7 @@ object SparkEntry {
       (operators.Types.queries, operators.Types.oracles),
       (operators.Federation.queries, operators.Federation.oracles),
       (operators.DeltaQueries.queries, operators.DeltaQueries.oracles),
+      (operators.IcebergQueries.queries, operators.IcebergQueries.oracles),
       (operators.Dialect.queries, operators.Dialect.oracles),
       (operators.Misc.queries, operators.Misc.oracles))
 

@@ -135,4 +135,18 @@ object GeoFunctions {
     column(graft.ext.GeomPointN(expression(g), expression(n)))
   def stStartPoint(g: Column): Column = stPointN(g, lit(1))
   def stEndPoint(g: Column): Column = stPointN(g, lit(-1))
+
+  // ---- SphericalGeography (to_spherical_geography + metric measures) ----
+
+  /** ST_Distance(sphericalGeography, sphericalGeography) → meters. */
+  def stSphericalDistance(a: Column, b: Column): Column =
+    column(graft.ext.SphericalDistance(expression(a), expression(b)))
+
+  /** ST_Area on SphericalGeography → m² (spherical excess). */
+  def stSphericalArea(g: Column): Column =
+    column(graft.ext.SphericalMeasure(expression(g), "area"))
+
+  /** ST_Length on SphericalGeography → meters (great-circle legs). */
+  def stSphericalLength(g: Column): Column =
+    column(graft.ext.SphericalMeasure(expression(g), "length"))
 }

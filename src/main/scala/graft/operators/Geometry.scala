@@ -314,7 +314,83 @@ object Geometry {
          TRUE AS oob_null
        FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey"""
 
+  /** SphericalGeography measures (GeoFunctions.java spherical ST_Distance
+    * :2227 meters, ST_Length:901, ST_Area:2257 spherical excess; R =
+    * 6371.01 km). Distance/length replay the exact atan2 great-circle
+    * formula in the oracle (round-9 absorbs libm ulps); the excess loop has
+    * no SQL closed form, so area is pinned by a small-patch planar-ratio
+    * bound and strict monotonicity (octant known-answer lives in
+    * GeoOpsSpec). */
+  def q_fn_geo_spherical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 1000)
+      .withColumn("lat", (($"c_custkey" * 7 % 120) - 60 + lit(0.25)).cast("double"))
+      .withColumn("lon", (($"c_custkey" * 13 % 300) - 150 + lit(0.25)).cast("double"))
+      .withColumn("dlat", ($"c_custkey" % 5 + 1).cast("double") / 10.0)
+      .withColumn("dlon", ($"c_custkey" % 7 + 1).cast("double") / 10.0)
+      .withColumn("p1", stGeometryFromText(format_string("POINT (%s %s)", $"lon", $"lat")))
+      .withColumn("p2", stGeometryFromText(format_string(
+        "POINT (%s %s)", $"lon" + $"dlon", $"lat" + $"dlat")))
+      .withColumn("line", stGeometryFromText(format_string(
+        "LINESTRING (%s %s, %s %s, %s %s)",
+        $"lon", $"lat", $"lon" + $"dlon", $"lat" + $"dlat",
+        $"lon" + $"dlon" * 2, $"lat")))
+      .withColumn("patch", stGeometryFromText(format_string(
+        "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+        $"lon", $"lat", $"lon" + lit(0.1), $"lat", $"lon" + lit(0.1), $"lat" + lit(0.1),
+        $"lon", $"lat" + lit(0.1), $"lon", $"lat")))
+      .withColumn("patch2", stGeometryFromText(format_string(
+        "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+        $"lon", $"lat", $"lon" + lit(0.2), $"lat", $"lon" + lit(0.2), $"lat" + lit(0.2),
+        $"lon", $"lat" + lit(0.2), $"lon", $"lat")))
+    // planar small-patch approximation in m²: (Δφ·R)·(Δλ·R·cos φ_mid)
+    val r = graft.ext.SphericalGeo.EarthRadiusM
+    val planar = (radians(lit(0.1)) * r) *
+      (radians(lit(0.1)) * r * cos(radians($"lat" + 0.05)))
+    t.select($"c_custkey",
+        round(stSphericalDistance($"p1", $"p2"), 5).as("d_m"),
+        round(stSphericalLength($"line"), 5).as("len_m"),
+        (abs(stSphericalArea($"patch") - planar) / planar < 0.001).as("patch_area_ok"),
+        (stSphericalArea($"patch2") > stSphericalArea($"patch") * 3.9).as("area_monotone_ok"),
+        stSphericalArea($"p1").isNull.as("area_on_point_null"))
+      .orderBy($"c_custkey")
+  }
+  val qFnGeoSphericalSql: String =
+    """WITH t AS (
+         SELECT c_custkey,
+           CAST((c_custkey * 7 % 120) - 60 + 0.25 AS DOUBLE) AS lat,
+           CAST((c_custkey * 13 % 300) - 150 + 0.25 AS DOUBLE) AS lon,
+           CAST(c_custkey % 5 + 1 AS DOUBLE) / 10.0 AS dlat,
+           CAST(c_custkey % 7 + 1 AS DOUBLE) / 10.0 AS dlon
+         FROM customer WHERE c_custkey <= 1000),
+       d AS (
+         SELECT c_custkey, lat, lon, dlat, dlon,
+           radians(lat) AS phi1, radians(lat + dlat) AS phi2,
+           radians(lon) - radians(lon + dlon) AS dl12,
+           radians(lat + dlat) AS lphi1, radians(lat) AS lphi2,
+           radians(lon + dlon) - radians(lon + dlon * 2) AS dl23
+         FROM t),
+       g AS (
+         SELECT *,
+           atan2(sqrt(pow(cos(phi2) * sin(dl12), 2)
+                    + pow(cos(phi1) * sin(phi2) - sin(phi1) * cos(phi2) * cos(dl12), 2)),
+                 sin(phi1) * sin(phi2) + cos(phi1) * cos(phi2) * cos(dl12))
+             * 6371.01 * 1000 AS leg1,
+           atan2(sqrt(pow(cos(lphi2) * sin(dl23), 2)
+                    + pow(cos(lphi1) * sin(lphi2) - sin(lphi1) * cos(lphi2) * cos(dl23), 2)),
+                 sin(lphi1) * sin(lphi2) + cos(lphi1) * cos(lphi2) * cos(dl23))
+             * 6371.01 * 1000 AS leg2
+         FROM d)
+       SELECT c_custkey,
+         round(leg1, 5) AS d_m,
+         round(leg1 + leg2, 5) AS len_m,
+         TRUE AS patch_area_ok,
+         TRUE AS area_monotone_ok,
+         TRUE AS area_on_point_null
+       FROM g ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
+    "q_fn_geo_spherical" -> q_fn_geo_spherical _,
     "q_fn_geo_distance" -> q_fn_geo_distance _,
     "q_fn_geo_buffer" -> q_fn_geo_buffer _,
     "q_fn_geo_union" -> q_fn_geo_union _,
@@ -322,6 +398,7 @@ object Geometry {
     "q_geo_union_agg" -> q_geo_union_agg _)
 
   val oracles: Map[String, String] = Map(
+    "q_fn_geo_spherical" -> qFnGeoSphericalSql,
     "q_fn_geo_distance" -> qFnGeoDistanceSql,
     "q_fn_geo_buffer" -> qFnGeoBufferSql,
     "q_fn_geo_union" -> qFnGeoUnionSql,

@@ -1,0 +1,161 @@
+package graft.operators
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg interop query (reader: graft.catalog.IcebergRead). The fixture is
+  * a real Iceberg v2 table layout authored action-by-action against the
+  * public spec — metadata JSON with TWO snapshots, avro manifest lists, avro
+  * manifests (with a status=2 DELETED entry the reader must drop). Snapshot
+  * 2 (current) rewrites region 2's file to exclude keys >= 10; snapshot 1
+  * still references the original file, so the query exercises BOTH snapshot
+  * isolation (stale file on disk, never double-read) and time travel (the
+  * prev_n column counts snapshot 1). */
+object IcebergQueries {
+
+  private val entrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+         {"name":"status","type":"int"},
+         {"name":"snapshot_id","type":["null","long"],"default":null},
+         {"name":"data_file","type":{"type":"record","name":"data_file_r","fields":[
+           {"name":"content","type":"int"},
+           {"name":"file_path","type":"string"},
+           {"name":"file_format","type":"string"},
+           {"name":"record_count","type":"long"},
+           {"name":"file_size_in_bytes","type":"long"}]}}]}""")
+
+  private val listSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+         {"name":"manifest_path","type":"string"},
+         {"name":"manifest_length","type":"long"},
+         {"name":"partition_spec_id","type":"int"},
+         {"name":"content","type":"int"},
+         {"name":"added_snapshot_id","type":"long"}]}""")
+
+  private def writeAvro(dest: File, schema: Schema, records: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, dest)
+    try records.foreach(w.append) finally w.close()
+  }
+
+  private def entry(status: Int, path: String, rows: Long): GenericRecord = {
+    val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+    df.put("content", 0)
+    df.put("file_path", path)
+    df.put("file_format", "PARQUET")
+    df.put("record_count", rows)
+    df.put("file_size_in_bytes", 1L)
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", status)
+    e.put("snapshot_id", null)
+    e.put("data_file", df)
+    e
+  }
+
+  private def manifestRef(path: String, snapshotId: Long): GenericRecord = {
+    val m = new GenericData.Record(listSchema)
+    m.put("manifest_path", path)
+    m.put("manifest_length", 1L)
+    m.put("partition_spec_id", 0)
+    m.put("content", 0)
+    m.put("added_snapshot_id", snapshotId)
+    m
+  }
+
+  private def buildIcebergNation(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new File(System.getProperty("java.io.tmpdir"),
+      s"graft_iceberg_nation_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    if (new File(root, "metadata/v1.metadata.json").exists()) return root.getAbsolutePath
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    new File(root, "metadata").mkdirs()
+    new File(root, "data").mkdirs()
+
+    val nation = table(s, dir, "nation")
+    def writeSlice(df: DataFrame, name: String): (String, Long) = {
+      val stage = new File(root, s"_stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      val rel = s"data/$name.parquet"
+      Files.move(part.toPath, new File(root, rel).toPath)
+      rm(stage)
+      (rel, df.count())
+    }
+    val regions = nation.select($"n_regionkey".cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val originals = regions.map { r =>
+      r -> writeSlice(nation.filter($"n_regionkey" === r), s"r$r-full")
+    }.toMap
+    val rewritten = writeSlice(
+      nation.filter($"n_regionkey" === 2 && $"n_nationkey" < 10), "r2-rewrite")
+
+    // snapshot 1: all original files
+    writeAvro(new File(root, "metadata/manifest-1.avro"), entrySchema,
+      regions.toSeq.map(r => entry(1, originals(r)._1, originals(r)._2)))
+    writeAvro(new File(root, "metadata/snap-1.avro"), listSchema,
+      Seq(manifestRef("metadata/manifest-1.avro", 1L)))
+    // snapshot 2: region 2 rewritten — original carried as a DELETED entry
+    writeAvro(new File(root, "metadata/manifest-2.avro"), entrySchema,
+      regions.toSeq.filter(_ != 2).map(r => entry(0, originals(r)._1, originals(r)._2)) ++
+        Seq(entry(2, originals(2)._1, originals(2)._2),
+          entry(1, rewritten._1, rewritten._2)))
+    writeAvro(new File(root, "metadata/snap-2.avro"), listSchema,
+      Seq(manifestRef("metadata/manifest-2.avro", 2L)))
+
+    val metadata =
+      s"""{"format-version":2,"table-uuid":"graft-nation-iceberg","location":"${root.getAbsolutePath}",
+         |"last-sequence-number":2,"last-updated-ms":0,"last-column-id":3,
+         |"current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"n_nationkey","required":false,"type":"long"},
+         |  {"id":2,"name":"n_name","required":false,"type":"string"},
+         |  {"id":3,"name":"n_regionkey","required":false,"type":"long"}]}],
+         |"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |  {"name":"n_regionkey","transform":"identity","source-id":3,"field-id":1000}]}],
+         |"current-snapshot-id":2,
+         |"snapshots":[
+         |  {"snapshot-id":1,"timestamp-ms":0,"manifest-list":"metadata/snap-1.avro","summary":{"operation":"append"}},
+         |  {"snapshot-id":2,"timestamp-ms":1,"manifest-list":"metadata/snap-2.avro","summary":{"operation":"overwrite"}}]}
+         |""".stripMargin
+    Files.write(new File(root, "metadata/v1.metadata.json").toPath,
+      metadata.getBytes(StandardCharsets.UTF_8))
+    root.getAbsolutePath
+  }
+
+  /** Current snapshot joined to a fixture dimension, plus a time-travel
+    * scalar (snapshot 1's row count) — `FOR VERSION AS OF` semantics. */
+  def q_fed_iceberg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = buildIcebergNation(s, dir)
+    val cur = graft.catalog.IcebergRead.readTable(s, path)
+    val prev = graft.catalog.IcebergRead.readTable(s, path, snapshotId = Some(1L))
+      .agg(count(lit(1)).as("prev_n"))
+    cur
+      .join(broadcast(table(s, dir, "region").select($"r_regionkey", $"r_name")),
+        $"n_regionkey" === $"r_regionkey")
+      .crossJoin(broadcast(prev))
+      .select($"n_nationkey", $"n_name", $"n_regionkey", $"r_name", $"prev_n")
+      .orderBy($"n_nationkey")
+  }
+  val qFedIcebergSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey, r_name,
+         (SELECT count(*) FROM nation) AS prev_n
+       FROM nation JOIN region ON n_regionkey = r_regionkey
+       WHERE NOT (n_regionkey = 2 AND n_nationkey >= 10)
+       ORDER BY n_nationkey"""
+
+  val queries: Map[String, Q] = Map("q_fed_iceberg" -> q_fed_iceberg _)
+  val oracles: Map[String, String] = Map("q_fed_iceberg" -> qFedIcebergSql)
+}

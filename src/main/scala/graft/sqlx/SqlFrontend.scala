@@ -138,8 +138,8 @@ private[graft] object SqlFrontend {
     case WithQ(ctes, body) =>
       WithQ(ctes.map { case (n, cq) => (n, rewriteQuery(cq)) }, rewriteQuery(body))
     case ValuesQ(rows) => ValuesQ(rows.map(_.map(rewriteExpr)))
-    case OrderedQ(inner, ob, lim, ties) =>
-      OrderedQ(rewriteQuery(inner), ob.map(si => SortItem(rewriteExpr(si.e), si.dir, si.nulls)), lim, ties)
+    case OrderedQ(inner, ob, lim, ties, off) =>
+      OrderedQ(rewriteQuery(inner), ob.map(si => SortItem(rewriteExpr(si.e), si.dir, si.nulls)), lim, ties, off)
   }
 
   private def rewriteRel(r: Rel): Rel = r match {
@@ -165,7 +165,8 @@ private[graft] object SqlFrontend {
       WithQ(ctes.map { case (n, cq) => (n, planQuery(spark, dir, cq)) },
         planQuery(spark, dir, body))
     case v: ValuesQ => v
-    case OrderedQ(inner, ob, lim, ties) => OrderedQ(planQuery(spark, dir, inner), ob, lim, ties)
+    case OrderedQ(inner, ob, lim, ties, off) =>
+      OrderedQ(planQuery(spark, dir, inner), ob, lim, ties, off)
   }
 
   private def planExpr(spark: SparkSession, dir: String, e: Expr): Expr =
@@ -217,12 +218,13 @@ private[graft] object SqlFrontend {
       s"WITH $cs ${renderQuery(body)}"
     case ValuesQ(rows) =>
       "VALUES " + rows.map(r => "(" + r.map(renderExpr).mkString(", ") + ")").mkString(", ")
-    case OrderedQ(inner, ob, lim, ties) =>
+    case OrderedQ(inner, ob, lim, ties, off) =>
       ties match {
         case Some(n) => renderWithTies(s"(${renderQuery(inner)})", ob, n)
         case None =>
           s"SELECT * FROM (${renderQuery(inner)})" +
-            orderClause(ob) + lim.map(n => s" LIMIT $n").getOrElse("")
+            orderClause(ob) + lim.map(n => s" LIMIT $n").getOrElse("") +
+            off.map(m => s" OFFSET $m").getOrElse("")
       }
   }
 
@@ -271,6 +273,7 @@ private[graft] object SqlFrontend {
         s.having.foreach(h => sb.append(" HAVING ").append(renderExpr(h)))
         sb.append(orderClause(s.orderBy))
         s.limit.foreach(n => sb.append(s" LIMIT $n"))
+        s.offset.foreach(m => sb.append(s" OFFSET $m")) // Spark: OFFSET after LIMIT
         sb.toString
     }
   }

@@ -66,7 +66,7 @@ object SqlAst {
   final case class Select(distinct: Boolean, items: Seq[SelectItem],
       from: Option[Rel], where: Option[Expr], groupBy: Option[GroupBy],
       having: Option[Expr], orderBy: Seq[SortItem], limit: Option[Long],
-      fetchTies: Option[Long]) extends Query
+      fetchTies: Option[Long], offset: Option[Long] = None) extends Query
   final case class SelectItem(e: Expr, alias: Option[String])
   /** kind: "PLAIN" | "ROLLUP" | "CUBE"; sets for GROUPING SETS. */
   final case class GroupBy(kind: String, exprs: Seq[Expr], sets: Seq[Seq[Expr]])
@@ -75,7 +75,7 @@ object SqlAst {
   final case class ValuesQ(rows: Seq[Seq[Expr]]) extends Query
   /** Trailing ORDER BY / LIMIT / FETCH attached to a set-op or WITH body. */
   final case class OrderedQ(q: Query, orderBy: Seq[SortItem], limit: Option[Long],
-      fetchTies: Option[Long]) extends Query
+      fetchTies: Option[Long], offset: Option[Long] = None) extends Query
 }
 
 final class SqlParseException(msg: String) extends IllegalArgumentException(msg)
@@ -238,11 +238,13 @@ final class SqlParser(src: String) {
         left = SetOpQ(op, all, left, right)
       }
     }
-    // trailing ORDER BY/LIMIT/FETCH on a set-op chain
+    // trailing ORDER BY/OFFSET/LIMIT/FETCH on a set-op chain
     left match {
       case _: SetOpQ =>
-        val (ord, lim, ties) = parseOrderLimitFetch()
-        if (ord.nonEmpty || lim.nonEmpty || ties.nonEmpty) OrderedQ(left, ord, lim, ties) else left
+        val (ord, lim, ties, off) = parseOrderLimitFetch()
+        if (ord.nonEmpty || lim.nonEmpty || ties.nonEmpty || off.nonEmpty)
+          OrderedQ(left, ord, lim, ties, off)
+        else left
       case q => q
     }
   }
@@ -282,11 +284,14 @@ final class SqlParser(src: String) {
     val where = if (accept("WHERE")) Some(parseExpr()) else None
     val groupBy = if (acceptSeq("GROUP", "BY")) Some(parseGroupBy()) else None
     val having = if (accept("HAVING")) Some(parseExpr()) else None
-    val (ord, lim, ties) = parseOrderLimitFetch()
-    Select(distinct, items.toSeq, from, where, groupBy, having, ord, lim, ties)
+    val (ord, lim, ties, off) = parseOrderLimitFetch()
+    Select(distinct, items.toSeq, from, where, groupBy, having, ord, lim, ties, off)
   }
 
-  private def parseOrderLimitFetch(): (Seq[SortItem], Option[Long], Option[Long]) = {
+  /** `ORDER BY … [OFFSET m] [LIMIT n | FETCH …]` — Trino grammar order
+    * (SqlBase.g4 queryNoWith: OFFSET precedes the row-count clause); the
+    * Spark-order `LIMIT n OFFSET m` is accepted too. */
+  private def parseOrderLimitFetch(): (Seq[SortItem], Option[Long], Option[Long], Option[Long]) = {
     val ord =
       if (acceptSeq("ORDER", "BY")) {
         val xs = scala.collection.mutable.ArrayBuffer[SortItem]()
@@ -296,6 +301,13 @@ final class SqlParser(src: String) {
       } else Seq.empty
     var lim: Option[Long] = None
     var ties: Option[Long] = None
+    var off: Option[Long] = None
+    def offsetClause(): Unit =
+      if (accept("OFFSET")) {
+        if (peek.kind == TNum) off = Some(next().text.toLong) else err("OFFSET expects a number")
+        accept("ROWS"); accept("ROW")
+      }
+    offsetClause()
     if (accept("LIMIT")) {
       if (peek.kind == TNum) lim = Some(next().text.toLong)
       else if (accept("ALL")) ()
@@ -308,8 +320,8 @@ final class SqlParser(src: String) {
       else if (acceptSeq("WITH", "TIES")) ties = Some(n)
       else err("FETCH: expected ONLY or WITH TIES")
     }
-    if (accept("OFFSET")) err("OFFSET is not supported by this front door")
-    (ord, lim, ties)
+    if (off.isEmpty) offsetClause()
+    (ord, lim, ties, off)
   }
 
   private def parseSortItem(): SortItem = {

@@ -140,6 +140,23 @@ class GeoOpsSpec extends SparkSpec {
     assert(hp == "POINT (3.0 4.0)")
   }
 
+  test("spherical geography: octant known answer, pole enclosure, degenerate kinds") {
+    import graft.ext.SphericalGeo
+    val r = SphericalGeo.EarthRadiusM
+    // octant (equator-equator-pole triangle): exactly 1/8 of the sphere
+    val octant = SphericalGeo.area(g("POLYGON ((0 0, 90 0, 0 90, 0 0))"))
+    assert(math.abs(octant / (math.Pi * r * r / 2) - 1) < 1e-6, octant)
+    // a ring around the pole triggers the course-delta 2π correction and
+    // must cover less than a hemisphere but more than the planar guess
+    val cap = SphericalGeo.area(g("POLYGON ((0 80, 90 80, 180 80, 270 80, 0 80))"))
+    assert(cap > 0 && cap < 2 * math.Pi * r * r, cap)
+    // antipodal-ish distance: equator quarter = πR/2
+    val gc = SphericalGeo.distance(g("POINT (0 0)"), g("POINT (90 0)"))
+    assert(math.abs(gc / (math.Pi * r / 2) - 1) < 1e-9)
+    assert(SphericalGeo.area(g("POINT (1 1)")) == null)
+    assert(SphericalGeo.length(g("POINT (1 1)")) == null)
+  }
+
   test("st_distance / st_buffer / st_union as columns") {
     import graft.functions.GeoFunctions._
     val df = Seq(

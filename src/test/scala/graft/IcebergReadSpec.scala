@@ -1,0 +1,45 @@
+package graft
+
+/** Spec for graft.catalog.IcebergRead over the v2 fixture authored by
+  * IcebergQueries: snapshot isolation, time travel, status-2 manifest-entry
+  * filtering, and loud failures on the unsupported protocol surface. */
+class IcebergReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val path: String = {
+    // the fixture builder is private to the query object; run the query once
+    // (it builds idempotently) and recompute the root it used
+    operators.IcebergQueries.q_fed_iceberg(spark, sfDir).collect()
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_iceberg_nation_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}").getAbsolutePath
+  }
+
+  test("current snapshot drops the rewritten file (status=2) — no double read") {
+    val cur = catalog.IcebergRead.readTable(spark, path)
+    val nation = operators.table(spark, sfDir, "nation")
+    val expect = nation.filter(!($"n_regionkey" === 2 && $"n_nationkey" >= 10)).count()
+    assert(cur.count() == expect)
+    // the stale full region-2 file is still on disk — snapshot isolation,
+    // not deletion, is what keeps it out of the scan
+    val staleOnDisk = new java.io.File(path, "data").listFiles()
+      .exists(_.getName.startsWith("r2-full"))
+    assert(staleOnDisk)
+    assert(cur.filter($"n_regionkey" === 2 && $"n_nationkey" >= 10).count() == 0)
+  }
+
+  test("time travel: snapshot 1 sees the pre-rewrite table") {
+    val prev = catalog.IcebergRead.readTable(spark, path, snapshotId = Some(1L))
+    assert(prev.count() == operators.table(spark, sfDir, "nation").count())
+    // schema from the metadata JSON, not parquet inference
+    assert(prev.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+  }
+
+  test("unsupported surface fails loudly") {
+    intercept[IllegalArgumentException] {
+      catalog.IcebergRead.readTable(spark, path + "_nope")
+    }
+    intercept[IllegalArgumentException] { // unknown snapshot
+      catalog.IcebergRead.readTable(spark, path, snapshotId = Some(99L))
+    }
+  }
+}

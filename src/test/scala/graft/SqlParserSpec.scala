@@ -21,8 +21,11 @@ class SqlParserSpec extends SparkSpec {
   test("TRY lowers recursively and rejects unabsorbable bodies") {
     // parse structure: TRY around Bin(+, Bin(/..), Cast)
     new SqlParser("SELECT TRY(a / b + CAST(c AS INT)) FROM t").parseQuery() match {
-      case SqlAst.Select(_, Seq(SqlAst.SelectItem(SqlAst.TryExpr(
-        SqlAst.Bin("+", SqlAst.Bin("/", _, _), SqlAst.Cast(_, _, false))), None)), _, _, _, _, _, _, _) =>
+      case s: SqlAst.Select => s.items match {
+        case Seq(SqlAst.SelectItem(SqlAst.TryExpr(
+          SqlAst.Bin("+", SqlAst.Bin("/", _, _), SqlAst.Cast(_, _, false))), None)) =>
+        case other => fail(s"unexpected select items: $other")
+      }
       case other => fail(s"unexpected parse: $other")
     }
     // through the front door the arithmetic gets its try twins
@@ -62,6 +65,22 @@ class SqlParserSpec extends SparkSpec {
     assert(s.contains("'it''s'"), s)
     assert(s.contains("`odd name`"), s)
     assert(s.contains("NOT NULL"), s)
+  }
+
+  test("OFFSET parses in both Trino and Spark clause orders") {
+    val a = graft.sqlx.TrinoDialect.sql(spark, sfDir,
+      "SELECT n_nationkey FROM nation ORDER BY n_nationkey OFFSET 3 LIMIT 2")
+      .collect().map(_.get(0).toString.toLong).toSeq
+    assert(a == Seq(3L, 4L))
+    val b = graft.sqlx.TrinoDialect.sql(spark, sfDir,
+      "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 2 OFFSET 3")
+      .collect().map(_.get(0).toString.toLong).toSeq
+    assert(b == Seq(3L, 4L))
+    // Trino also spells it OFFSET n ROWS FETCH FIRST k ROWS ONLY
+    val c = graft.sqlx.TrinoDialect.sql(spark, sfDir,
+      "SELECT n_nationkey FROM nation ORDER BY n_nationkey OFFSET 3 ROWS FETCH FIRST 2 ROWS ONLY")
+      .collect().map(_.get(0).toString.toLong).toSeq
+    assert(c == Seq(3L, 4L))
   }
 
   test("window frames, lambdas, subscripts, typed literals render faithfully") {
