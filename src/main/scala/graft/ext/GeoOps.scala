@@ -448,6 +448,96 @@ case class GeomAccessor(child: Expression, what: String)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** line_locate_point(line, point) (GeoFunctions.java:2135 via JTS
+  * LengthIndexedLine): fraction of total 2D length at the closest point on
+  * the LINESTRING; NULL for other kinds. */
+case class LineLocatePoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == Wkt.geometryType && right.dataType == Wkt.geometryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("line_locate_point expects (geometry, geometry)")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = false
+  override def nullable: Boolean = true
+  override def prettyName: String = "line_locate_point"
+  override def nullSafeEval(l0: Any, p0: Any): Any = {
+    val line = GeoOps.fromRow(l0.asInstanceOf[InternalRow])
+    val pt = GeoOps.fromRow(p0.asInstanceOf[InternalRow])
+    if (line.kind != "LINESTRING" || pt.kind != "POINT") return null
+    val (px, py) = (pt.xs(0), pt.ys(0))
+    val n = line.xs.length
+    var total = 0.0
+    val segLens = new Array[Double](n - 1)
+    for (i <- 0 until n - 1) {
+      val dx = line.xs(i + 1) - line.xs(i); val dy = line.ys(i + 1) - line.ys(i)
+      segLens(i) = math.sqrt(dx * dx + dy * dy)
+      total += segLens(i)
+    }
+    if (total == 0.0) return 0.0
+    var best = Double.PositiveInfinity
+    var bestIndex = 0.0
+    var cum = 0.0
+    for (i <- 0 until n - 1) {
+      val ax = line.xs(i); val ay = line.ys(i)
+      val bx = line.xs(i + 1); val by = line.ys(i + 1)
+      val dx = bx - ax; val dy = by - ay
+      val l2 = dx * dx + dy * dy
+      val t = if (l2 == 0) 0.0
+        else math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / l2))
+      val qx = ax + t * dx; val qy = ay + t * dy
+      val d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+      if (d2 < best) { best = d2; bestIndex = cum + t * segLens(i) }
+      cum += segLens(i)
+    }
+    bestIndex / total
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** line_interpolate_point(line, fraction) (GeoFunctions.java
+  * lineInterpolatePoint): the POINT at the given fraction of total length;
+  * fraction outside [0,1] or non-LINESTRING → NULL (reference errors). */
+case class LineInterpolatePoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == Wkt.geometryType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("line_interpolate_point expects (geometry, double)")
+  override def dataType: DataType = Wkt.geometryType
+  override def nullIntolerant: Boolean = false
+  override def nullable: Boolean = true
+  override def prettyName: String = "line_interpolate_point"
+  override def nullSafeEval(l0: Any, f0: Any): Any = {
+    val line = GeoOps.fromRow(l0.asInstanceOf[InternalRow])
+    val f = f0.asInstanceOf[Double]
+    if (line.kind != "LINESTRING" || f.isNaN || f < 0 || f > 1) return null
+    val n = line.xs.length
+    var total = 0.0
+    for (i <- 0 until n - 1) {
+      val dx = line.xs(i + 1) - line.xs(i); val dy = line.ys(i + 1) - line.ys(i)
+      total += math.sqrt(dx * dx + dy * dy)
+    }
+    def point(x: Double, y: Double) =
+      GeoOps.toRow(Wkt.Geom("POINT", Array(x), Array(y), Array(1)))
+    if (total == 0.0) return point(line.xs(0), line.ys(0))
+    var target = f * total
+    for (i <- 0 until n - 1) {
+      val dx = line.xs(i + 1) - line.xs(i); val dy = line.ys(i + 1) - line.ys(i)
+      val len = math.sqrt(dx * dx + dy * dy)
+      if (target <= len && len > 0) {
+        val t = target / len
+        return point(line.xs(i) + t * dx, line.ys(i) + t * dy)
+      }
+      target -= len
+    }
+    point(line.xs(n - 1), line.ys(n - 1))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** ST_PointN / ST_StartPoint / ST_EndPoint (GeoFunctions.java:1315, 1388,
   * 1456): vertex of a LINESTRING as a POINT geometry; 1-based index, out of
   * range or non-linestring → NULL. index < 0 counts from the end (our

@@ -149,4 +149,22 @@ object GeoFunctions {
   /** ST_Length on SphericalGeography → meters (great-circle legs). */
   def stSphericalLength(g: Column): Column =
     column(graft.ext.SphericalMeasure(expression(g), "length"))
+
+  /** line_locate_point / line_interpolate_point (GeoFunctions.java:2135+). */
+  def lineLocatePoint(line: Column, point: Column): Column =
+    column(graft.ext.LineLocatePoint(expression(line), expression(point)))
+  def lineInterpolatePoint(line: Column, fraction: Column): Column =
+    column(graft.ext.LineInterpolatePoint(expression(line), expression(fraction)))
+
+  /** great_circle_distance(lat1, lon1, lat2, lon2) → KM
+    * (GeoFunctions.java:2100) — pure column arithmetic (codegen'd), the
+    * exact formula the oracle replays. */
+  def greatCircleDistanceKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val phi1 = radians(lat1); val phi2 = radians(lat2)
+    val dLon = radians(lon1) - radians(lon2)
+    val t1 = cos(phi2) * sin(dLon)
+    val t2 = cos(phi1) * sin(phi2) - sin(phi1) * cos(phi2) * cos(dLon)
+    val t3 = sin(phi1) * sin(phi2) + cos(phi1) * cos(phi2) * cos(dLon)
+    atan2(sqrt(t1 * t1 + t2 * t2), t3) * graft.ext.SphericalGeo.EarthRadiusKm
+  }
 }

@@ -389,8 +389,66 @@ object Geometry {
          TRUE AS area_on_point_null
        FROM g ORDER BY c_custkey"""
 
+  /** line_locate_point / line_interpolate_point (GeoFunctions.java:2135,
+    * lineInterpolatePoint) + great_circle_distance (:2100, KM) over an
+    * L-shaped path of total length 8 — locate fractions and interpolated
+    * coordinates are exact dyadic; the great-circle column replays the
+    * formula at round-5. */
+  def q_fn_geo_line(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 1000)
+      .withColumn("x", (($"c_custkey" * 7 % 80) * 10).cast("long"))
+      .withColumn("y", (($"c_custkey" * 13 % 60) * 10).cast("long"))
+      .withColumn("f", ($"c_custkey" % 9).cast("double") / 8.0)
+      .withColumn("line", stGeometryFromText(format_string(
+        "LINESTRING (%d %d, %d %d, %d %d)",
+        $"x", $"y", $"x" + 4, $"y", $"x" + 4, $"y" + 4)))
+      .withColumn("probe", stGeometryFromText(format_string(
+        "POINT (%d %d)", $"x" + 1 + $"c_custkey" % 3, $"y" + 1)))
+      .withColumn("interp", lineInterpolatePoint($"line", $"f"))
+    t.select($"c_custkey",
+        lineLocatePoint($"line", $"probe").as("locate_frac"),
+        stX($"interp").as("interp_x"),
+        stY($"interp").as("interp_y"),
+        lineInterpolatePoint($"line", lit(2.0)).isNull.as("oob_null"),
+        lineLocatePoint($"probe", $"probe").isNull.as("kind_null"),
+        round(greatCircleDistanceKm(
+          lit(10.25), $"c_custkey" % 90, lit(40.5), $"c_custkey" % 120), 5).as("gc_km"))
+      .orderBy($"c_custkey")
+  }
+  val qFnGeoLineSql: String =
+    """WITH t AS (
+         SELECT c_custkey,
+           CAST((c_custkey * 7 % 80) * 10 AS DOUBLE) AS x,
+           CAST((c_custkey * 13 % 60) * 10 AS DOUBLE) AS y,
+           CAST(c_custkey % 9 AS DOUBLE) / 8.0 AS f,
+           CAST(1 + c_custkey % 3 AS DOUBLE) AS px_off,
+           CAST(c_custkey % 90 AS DOUBLE) AS lon1,
+           CAST(c_custkey % 120 AS DOUBLE) AS lon2
+         FROM customer WHERE c_custkey <= 1000),
+       g AS (
+         SELECT *,
+           radians(10.25) AS phi1, radians(40.5) AS phi2,
+           radians(lon1) - radians(lon2) AS dl
+         FROM t)
+       SELECT c_custkey,
+         -- probe (x+1+off, y+1) projects onto the first segment at x-offset
+         -- 1+off of total length 8 (the vertical segment is farther away for
+         -- off in 1..3: d2 >= (4-(1+off))^2+... > 1)
+         px_off / 8.0 AS locate_frac,
+         CASE WHEN f * 8.0 <= 4.0 THEN x + f * 8.0 ELSE x + 4.0 END AS interp_x,
+         CASE WHEN f * 8.0 <= 4.0 THEN y ELSE y + (f * 8.0 - 4.0) END AS interp_y,
+         TRUE AS oob_null,
+         TRUE AS kind_null,
+         round(atan2(sqrt(pow(cos(phi2) * sin(dl), 2)
+                        + pow(cos(phi1) * sin(phi2) - sin(phi1) * cos(phi2) * cos(dl), 2)),
+                     sin(phi1) * sin(phi2) + cos(phi1) * cos(phi2) * cos(dl))
+               * 6371.01, 5) AS gc_km
+       FROM g ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
     "q_fn_geo_spherical" -> q_fn_geo_spherical _,
+    "q_fn_geo_line" -> q_fn_geo_line _,
     "q_fn_geo_distance" -> q_fn_geo_distance _,
     "q_fn_geo_buffer" -> q_fn_geo_buffer _,
     "q_fn_geo_union" -> q_fn_geo_union _,
@@ -399,6 +457,7 @@ object Geometry {
 
   val oracles: Map[String, String] = Map(
     "q_fn_geo_spherical" -> qFnGeoSphericalSql,
+    "q_fn_geo_line" -> qFnGeoLineSql,
     "q_fn_geo_distance" -> qFnGeoDistanceSql,
     "q_fn_geo_buffer" -> qFnGeoBufferSql,
     "q_fn_geo_union" -> qFnGeoUnionSql,
