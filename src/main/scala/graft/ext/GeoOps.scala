@@ -448,6 +448,82 @@ case class GeomAccessor(child: Expression, what: String)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Part/ring decomposition (GeoFunctions.java — ST_GeometryN, ST_ExteriorRing,
+  * ST_InteriorRingN, ST_Envelope): 1-based indices, out-of-range or
+  * kind-mismatch → NULL (the reference's null-or-error contract). */
+case class GeomPart(left: Expression, right: Expression, what: String)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == Wkt.geometryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"st_$what expects (geometry, int)")
+  override def dataType: DataType = Wkt.geometryType
+  override def nullIntolerant: Boolean = false
+  override def nullable: Boolean = true
+  override def prettyName: String = s"st_$what"
+
+  private def slice(g: Wkt.Geom, kind: String, off: Int, lens: Seq[Int]): InternalRow = {
+    val total = lens.map(math.abs).sum
+    GeoOps.toRow(Wkt.Geom(kind,
+      java.util.Arrays.copyOfRange(g.xs, off, off + total),
+      java.util.Arrays.copyOfRange(g.ys, off, off + total),
+      lens.toArray))
+  }
+
+  override def nullSafeEval(g0: Any, n0: Any): Any = {
+    val g = GeoOps.fromRow(g0.asInstanceOf[InternalRow])
+    val n = n0.asInstanceOf[Int]
+    what match {
+      case "geometry_n" =>
+        val singular = Map("MULTIPOINT" -> "POINT", "MULTILINESTRING" -> "LINESTRING",
+          "MULTIPOLYGON" -> "POLYGON")
+        if (!singular.contains(g.kind)) {
+          // singular geometry: itself at n=1 (fresh copy — the input row may
+          // be a reused UnsafeRow buffer)
+          if (n == 1) GeoOps.toRow(g) else null
+        } else {
+          // group rings into parts: a shell plus its trailing holes
+          val groups = scala.collection.mutable.ArrayBuffer[(Int, Seq[Int])]()
+          var off = 0
+          for (len <- g.rings) {
+            if (len > 0 || groups.isEmpty) groups += ((off, Seq(len)))
+            else {
+              val (o, ls) = groups.last
+              groups(groups.length - 1) = (o, ls :+ len)
+            }
+            off += math.abs(len)
+          }
+          if (n < 1 || n > groups.length) null
+          else slice(g, singular(g.kind), groups(n - 1)._1, groups(n - 1)._2)
+        }
+      case "exterior_ring" =>
+        if (g.kind != "POLYGON") null
+        else slice(g, "LINESTRING", 0, Seq(g.rings(0)))
+      case "interior_ring_n" =>
+        if (g.kind != "POLYGON") null
+        else {
+          val holes = g.rings.zipWithIndex.filter(_._1 < 0)
+          if (n < 1 || n > holes.length) null
+          else {
+            val idx = holes(n - 1)._2
+            val off = g.rings.take(idx).map(math.abs).sum
+            slice(g, "LINESTRING", off, Seq(-g.rings(idx)))
+          }
+        }
+      case "envelope" =>
+        if (g.xs.isEmpty) null
+        else {
+          val (x0, x1) = (g.xs.min, g.xs.max)
+          val (y0, y1) = (g.ys.min, g.ys.max)
+          GeoOps.toRow(Wkt.Geom("POLYGON",
+            Array(x0, x1, x1, x0, x0), Array(y0, y0, y1, y1, y0), Array(5)))
+        }
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** line_locate_point(line, point) (GeoFunctions.java:2135 via JTS
   * LengthIndexedLine): fraction of total 2D length at the closest point on
   * the LINESTRING; NULL for other kinds. */

@@ -150,6 +150,16 @@ object GeoFunctions {
   def stSphericalLength(g: Column): Column =
     column(graft.ext.SphericalMeasure(expression(g), "length"))
 
+  /** ST_GeometryN / ST_ExteriorRing / ST_InteriorRingN / ST_Envelope. */
+  def stGeometryN(g: Column, n: Column): Column =
+    column(graft.ext.GeomPart(expression(g), expression(n.cast("int")), "geometry_n"))
+  def stExteriorRing(g: Column): Column =
+    column(graft.ext.GeomPart(expression(g), expression(lit(1)), "exterior_ring"))
+  def stInteriorRingN(g: Column, n: Column): Column =
+    column(graft.ext.GeomPart(expression(g), expression(n.cast("int")), "interior_ring_n"))
+  def stEnvelope(g: Column): Column =
+    column(graft.ext.GeomPart(expression(g), expression(lit(1)), "envelope"))
+
   /** line_locate_point / line_interpolate_point (GeoFunctions.java:2135+). */
   def lineLocatePoint(line: Column, point: Column): Column =
     column(graft.ext.LineLocatePoint(expression(line), expression(point)))

@@ -446,9 +446,59 @@ object Geometry {
                * 6371.01, 5) AS gc_km
        FROM g ORDER BY c_custkey"""
 
+  /** Part/ring decomposition (GeoFunctions.java ST_GeometryN /
+    * ST_ExteriorRing / ST_InteriorRingN / ST_Envelope) over a holed polygon,
+    * a two-part multipolygon, and a diagonal line's envelope — every output
+    * an exact integer measure of the decomposed parts. */
+  def q_fn_geo_parts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 1000)
+      .withColumn("x", (($"c_custkey" * 7 % 70) * 20).cast("long"))
+      .withColumn("y", (($"c_custkey" * 13 % 50) * 20).cast("long"))
+      .withColumn("holed", stGeometryFromText(format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d), (%d %d, %d %d, %d %d, %d %d, %d %d))",
+        $"x", $"y", $"x" + 8, $"y", $"x" + 8, $"y" + 8, $"x", $"y" + 8, $"x", $"y",
+        $"x" + 2, $"y" + 2, $"x" + 2, $"y" + 4, $"x" + 4, $"y" + 4, $"x" + 4, $"y" + 2,
+        $"x" + 2, $"y" + 2)))
+      .withColumn("mp", stGeometryFromText(format_string(
+        "MULTIPOLYGON (((%d %d, %d %d, %d %d, %d %d, %d %d)), ((%d %d, %d %d, %d %d, %d %d, %d %d)))",
+        $"x", $"y", $"x" + 2, $"y", $"x" + 2, $"y" + 2, $"x", $"y" + 2, $"x", $"y",
+        $"x" + 10, $"y", $"x" + 13, $"y", $"x" + 13, $"y" + 3, $"x" + 10, $"y" + 3,
+        $"x" + 10, $"y")))
+      .withColumn("diag", stGeometryFromText(format_string(
+        "LINESTRING (%d %d, %d %d)", $"x", $"y" + 1, $"x" + 5, $"y" + 4)))
+    t.select($"c_custkey",
+        stNumPoints(stExteriorRing($"holed")).as("ext_n"),
+        stGeomLength(stExteriorRing($"holed")).as("ext_len"),
+        stGeomLength(stInteriorRingN($"holed", lit(1))).as("hole_len"),
+        stInteriorRingN($"holed", lit(2)).isNull.as("hole2_null"),
+        stGeomArea(stGeometryN($"mp", lit(2))).as("g2_area"),
+        stGeometryN($"mp", lit(3)).isNull.as("g3_null"),
+        (stGeomArea(stGeometryN($"holed", lit(1))) === stGeomArea($"holed"))
+          .as("self_at_1_ok"),
+        stGeomArea(stEnvelope($"diag")).as("env_area"),
+        stXMin(stEnvelope($"diag")).as("env_xmin"),
+        stYMax(stEnvelope($"diag")).as("env_ymax"))
+      .orderBy($"c_custkey")
+  }
+  val qFnGeoPartsSql: String =
+    """SELECT c_custkey,
+         5 AS ext_n,
+         32.0 AS ext_len,
+         8.0 AS hole_len,
+         TRUE AS hole2_null,
+         9.0 AS g2_area,
+         TRUE AS g3_null,
+         TRUE AS self_at_1_ok,
+         15.0 AS env_area,
+         CAST((c_custkey * 7 % 70) * 20 AS DOUBLE) AS env_xmin,
+         CAST((c_custkey * 13 % 50) * 20 + 4 AS DOUBLE) AS env_ymax
+       FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
     "q_fn_geo_spherical" -> q_fn_geo_spherical _,
     "q_fn_geo_line" -> q_fn_geo_line _,
+    "q_fn_geo_parts" -> q_fn_geo_parts _,
     "q_fn_geo_distance" -> q_fn_geo_distance _,
     "q_fn_geo_buffer" -> q_fn_geo_buffer _,
     "q_fn_geo_union" -> q_fn_geo_union _,
@@ -458,6 +508,7 @@ object Geometry {
   val oracles: Map[String, String] = Map(
     "q_fn_geo_spherical" -> qFnGeoSphericalSql,
     "q_fn_geo_line" -> qFnGeoLineSql,
+    "q_fn_geo_parts" -> qFnGeoPartsSql,
     "q_fn_geo_distance" -> qFnGeoDistanceSql,
     "q_fn_geo_buffer" -> qFnGeoBufferSql,
     "q_fn_geo_union" -> qFnGeoUnionSql,

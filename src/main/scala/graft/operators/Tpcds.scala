@@ -279,7 +279,41 @@ object Tpcds {
        WHERE rk <= 5
        ORDER BY ch, rk"""
 
+  /** q88 shape: a battery of independent scalar-count subqueries (time-slot
+    * counts there; (year, line-parity) buckets here) cross-joined into one
+    * row. Each count is its own two-phase aggregate; the joins are 1-row
+    * broadcasts — q88's signature plan. */
+  def q_ds_multi_scalar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = table(s, dir, "lineitem").select($"l_orderkey", $"l_linenumber")
+      .join(table(s, dir, "orders").select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+    def slot(yr: Int, parity: Int, name: String) =
+      base.filter(year($"o_orderdate") === yr && $"l_linenumber" % 2 === parity)
+        .agg(count(lit(1)).as(name))
+    slot(1995, 0, "s1").crossJoin(broadcast(slot(1995, 1, "s2")))
+      .crossJoin(broadcast(slot(1996, 0, "s3")))
+      .crossJoin(broadcast(slot(1996, 1, "s4")))
+      .crossJoin(broadcast(slot(1997, 0, "s5")))
+      .crossJoin(broadcast(slot(1997, 1, "s6")))
+  }
+  val qDsMultiScalarSql: String =
+    """SELECT * FROM
+         (SELECT count(*) AS s1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE year(o_orderdate) = 1995 AND l_linenumber % 2 = 0),
+         (SELECT count(*) AS s2 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE year(o_orderdate) = 1995 AND l_linenumber % 2 = 1),
+         (SELECT count(*) AS s3 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE year(o_orderdate) = 1996 AND l_linenumber % 2 = 0),
+         (SELECT count(*) AS s4 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE year(o_orderdate) = 1996 AND l_linenumber % 2 = 1),
+         (SELECT count(*) AS s5 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE year(o_orderdate) = 1997 AND l_linenumber % 2 = 0),
+         (SELECT count(*) AS s6 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE year(o_orderdate) = 1997 AND l_linenumber % 2 = 1)"""
+
   val queries: Map[String, Q] = Map(
+    "q_ds_multi_scalar" -> q_ds_multi_scalar _,
     "q_ds_multichannel" -> q_ds_multichannel _,
     "q_ds_rollup_channels" -> q_ds_rollup_channels _,
     "q_ds_correlated_exists" -> q_ds_correlated_exists _,
@@ -287,6 +321,7 @@ object Tpcds {
     "q_ds_rollup_rank" -> q_ds_rollup_rank _)
 
   val oracles: Map[String, String] = Map(
+    "q_ds_multi_scalar" -> qDsMultiScalarSql,
     "q_ds_multichannel" -> qDsMultichannelSql,
     "q_ds_rollup_channels" -> qDsRollupChannelsSql,
     "q_ds_correlated_exists" -> qDsCorrelatedExistsSql,

@@ -157,6 +157,24 @@ class GeoOpsSpec extends SparkSpec {
     assert(SphericalGeo.length(g("POINT (1 1)")) == null)
   }
 
+  test("geometry_n keeps a multipolygon shell grouped with its holes") {
+    import graft.functions.GeoFunctions._
+    val df = Seq(
+      "MULTIPOLYGON (((0 0, 9 0, 9 9, 0 9, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1)), ((20 0, 22 0, 22 2, 20 2, 20 0)))")
+      .toDF("wkt").withColumn("g", stGeometryFromText($"wkt"))
+    val row = df.select(
+      stGeomArea(stGeometryN($"g", lit(1))).as("a1"),       // 81 - 1 hole
+      stNumInteriorRing(stGeometryN($"g", lit(1))).as("h1"),
+      stGeomArea(stGeometryN($"g", lit(2))).as("a2"),
+      stGeometryN($"g", lit(3)).isNull.as("oob"),
+      stGeomArea(stEnvelope($"g")).as("env")).head()
+    assert(row.getDouble(0) == 80.0)
+    assert(row.getInt(1) == 1)
+    assert(row.getDouble(2) == 4.0)
+    assert(row.getBoolean(3))
+    assert(row.getDouble(4) == 22.0 * 9.0) // bbox (0,0)-(22,9)
+  }
+
   test("st_distance / st_buffer / st_union as columns") {
     import graft.functions.GeoFunctions._
     val df = Seq(
