@@ -220,6 +220,97 @@ object GeoOps {
     (order.map(i => xs(off + i)), order.map(i => ys(off + i)))
   }
 
+  /** Intersection boundary walk for two simple CCW rings with proper
+    * crossings (the dual of [[ringUnion]]): from a crossing, follow the ring
+    * whose forward sub-segment runs INSIDE the other polygon, switching at
+    * every crossing. Single-region intersections only (always true for
+    * convex operands); None when the boundaries don't cross. */
+  def ringIntersection(ax: Array[Double], ay: Array[Double],
+      bx: Array[Double], by: Array[Double]): Option[(Array[Double], Array[Double])] = {
+    val nA = ax.length; val nB = bx.length
+    val interA = Array.fill(nA)(List.empty[(Double, Double, Double, Int)])
+    val interB = Array.fill(nB)(List.empty[(Double, Double, Double, Int)])
+    var nextId = 0
+    for (i <- 0 until nA; j <- 0 until nB) {
+      val (x1, y1) = (ax(i), ay(i)); val (x2, y2) = (ax((i + 1) % nA), ay((i + 1) % nA))
+      val (x3, y3) = (bx(j), by(j)); val (x4, y4) = (bx((j + 1) % nB), by((j + 1) % nB))
+      if (properCross(x1, y1, x2, y2, x3, y3, x4, y4)) {
+        val denom = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
+        val tA = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / denom
+        val px = x1 + tA * (x2 - x1); val py = y1 + tA * (y2 - y1)
+        val tB =
+          if (math.abs(x4 - x3) >= math.abs(y4 - y3)) (px - x3) / (x4 - x3)
+          else (py - y3) / (y4 - y3)
+        interA(i) ::= ((tA, px, py, nextId))
+        interB(j) ::= ((tB, px, py, nextId))
+        nextId += 1
+      }
+    }
+    if (nextId == 0) return None
+    def augment(xs: Array[Double], ys: Array[Double],
+        inter: Array[List[(Double, Double, Double, Int)]]): Array[(Double, Double, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Double, Double, Int)]()
+      for (i <- xs.indices) {
+        out += ((xs(i), ys(i), -1))
+        for ((_, px, py, id) <- inter(i).sortBy(_._1)) out += ((px, py, id))
+      }
+      out.toArray
+    }
+    val cycA = augment(ax, ay, interA)
+    val cycB = augment(bx, by, interB)
+    val posInB = cycB.zipWithIndex.collect { case ((_, _, id), k) if id >= 0 => id -> k }.toMap
+    val posInA = cycA.zipWithIndex.collect { case ((_, _, id), k) if id >= 0 => id -> k }.toMap
+    // start at the first crossing in A's cycle; the forward branch that runs
+    // inside B decides which cycle the walk enters on
+    val startA = cycA.indexWhere(_._3 >= 0)
+    val startId = cycA(startA)._3
+    val afterA = cycA((startA + 1) % cycA.length)
+    val midX = (cycA(startA)._1 + afterA._1) / 2
+    val midY = (cycA(startA)._2 + afterA._2) / 2
+    var onA = pointInRingArr(midX, midY, bx, by, 0, nB)
+    var pos = if (onA) (startA + 1) % cycA.length else (posInB(startId) + 1) % cycB.length
+    val outX = scala.collection.mutable.ArrayBuffer[Double](cycA(startA)._1)
+    val outY = scala.collection.mutable.ArrayBuffer[Double](cycA(startA)._2)
+    val maxSteps = 2 * (cycA.length + cycB.length) + 4
+    var steps = 0
+    var done = false
+    while (!done && steps <= maxSteps) {
+      val cyc = if (onA) cycA else cycB
+      val (x, y, id) = cyc(pos)
+      if (id == startId) done = true
+      else {
+        outX += x; outY += y
+        if (id >= 0) {
+          pos = if (onA) posInB(id) else posInA(id)
+          onA = !onA
+        }
+        pos = (pos + 1) % (if (onA) cycA.length else cycB.length)
+      }
+      steps += 1
+    }
+    if (!done) return None
+    Some((outX.toArray, outY.toArray))
+  }
+
+  /** ST_Intersection (GeoFunctions.java delegation to the ESRI/JTS overlay):
+    * supported for hole-free single-shell polygons — proper-crossing walk,
+    * containment collapse to the inner operand; disjoint → NULL (this model
+    * has no empty geometry; documented). */
+  def intersection(a: Geom, b: Geom): Geom = {
+    if (a == null || b == null) return null
+    if (a.kind != "POLYGON" || b.kind != "POLYGON") return null
+    if (a.rings.length != 1 || b.rings.length != 1) return null
+    val (ax, ay) = normRing(a.xs, a.ys, 0, math.abs(a.rings(0)))
+    val (bx, by) = normRing(b.xs, b.ys, 0, math.abs(b.rings(0)))
+    ringIntersection(ax, ay, bx, by) match {
+      case Some((ix, iy)) => shellsToGeom(List((ix, iy)))
+      case None =>
+        if (pointInRingArr(ax(0), ay(0), bx, by, 0, bx.length)) shellsToGeom(List((ax, ay)))
+        else if (pointInRingArr(bx(0), by(0), ax, ay, 0, ax.length)) shellsToGeom(List((bx, by)))
+        else null // disjoint: no empty-geometry representation
+    }
+  }
+
   /** Normalized open-CCW shells of a hole-free polygonal geometry; empty for
     * unsupported inputs (non-polygonal kinds, holes). */
   def shellsOf(g: Geom): Seq[(Array[Double], Array[Double])] =
@@ -675,6 +766,24 @@ case class GeomBuffer(left: Expression, right: Expression)
       d.asInstanceOf[Double])
     GeoOps.toRow(out)
   }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** ST_Intersection(geom, geom) → geometry (see GeoOps.intersection). */
+case class GeomIntersection(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == Wkt.geometryType && right.dataType == Wkt.geometryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("st_intersection expects two geometry structs")
+  override def dataType: DataType = Wkt.geometryType
+  override def nullIntolerant: Boolean = false
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_intersection"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeoOps.toRow(GeoOps.intersection(GeoOps.fromRow(a.asInstanceOf[InternalRow]),
+      GeoOps.fromRow(b.asInstanceOf[InternalRow])))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -118,6 +118,11 @@ object GeoFunctions {
   def stUnion(a: Column, b: Column): Column =
     column(graft.ext.GeomUnion(expression(a), expression(b)))
 
+  /** ST_Intersection(geom, geom): boolean intersection (hole-free
+    * single-shell polygons; disjoint → NULL — no empty geometry). */
+  def stIntersection(a: Column, b: Column): Column =
+    column(graft.ext.GeomIntersection(expression(a), expression(b)))
+
   /** Accessors: ST_X/ST_Y/ST_Dimension/ST_IsClosed/ST_IsRing/ST_IsEmpty/
     * ST_GeometryType (lax-NULL on kind mismatch where the reference throws). */
   def stX(g: Column): Column = column(graft.ext.GeomAccessor(expression(g), "x"))

@@ -179,7 +179,13 @@ object Geometry {
         stGeomArea($"ud").as("ud_area"),
         stGeomArea(stUnion($"ga", $"gi")).as("uc_area"),
         stNumPoints(stUnion($"mpa", $"mpb")).as("mp_n"),
-        stUnion($"ga", $"gp").isNull.as("mixed_null"))
+        stUnion($"ga", $"gp").isNull.as("mixed_null"),
+        stGeomArea(stIntersection($"ga", $"gb")).as("i_area"),
+        ((stGeomArea($"ga") + stGeomArea($"gb")) ===
+          (stGeomArea($"u") + stGeomArea(stIntersection($"ga", $"gb"))))
+          .as("inclusion_exclusion_ok"),
+        stGeomArea(stIntersection($"ga", $"gi")).as("ic_area"),
+        stIntersection($"ga", $"gd").isNull.as("i_disjoint_null"))
       .orderBy($"c_custkey")
   }
 
@@ -248,7 +254,11 @@ object Geometry {
          CAST(a * a + 4 AS DOUBLE) AS ud_area,
          CAST(a * a AS DOUBLE) AS uc_area,
          3 AS mp_n,
-         TRUE AS mixed_null
+         TRUE AS mixed_null,
+         CAST(2 * (a - 2) AS DOUBLE) AS i_area,
+         TRUE AS inclusion_exclusion_ok,
+         1.0 AS ic_area,
+         TRUE AS i_disjoint_null
        FROM (SELECT c_custkey,
                (c_custkey * 7 % 100) * 20 AS x0,
                c_custkey % 3 + 3 AS a

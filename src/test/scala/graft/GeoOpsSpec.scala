@@ -91,6 +91,26 @@ class GeoOpsSpec extends SparkSpec {
     assert(GeoOps.union(a, g("POINT (1 1)")) == null)
   }
 
+  test("st_intersection: crossing, cross-shape (no vertex inside), containment, disjoint") {
+    val a = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val b = g("POLYGON ((2 1, 6 1, 6 3, 2 3, 2 1))")
+    val i = GeoOps.intersection(a, b)
+    assert(i.kind == "POLYGON" && area(i) == 4.0, Wkt.format(i.kind, i.xs, i.ys, i.rings))
+    // inclusion-exclusion against the union
+    val u = GeoOps.union(a, b)
+    assert(area(a) + area(b) == area(u) + area(i))
+    // plus-sign overlap: neither polygon has a vertex inside the other
+    val h = g("POLYGON ((0 4, 10 4, 10 6, 0 6, 0 4))")
+    val v = g("POLYGON ((4 0, 6 0, 6 10, 4 10, 4 0))")
+    val cross = GeoOps.intersection(h, v)
+    assert(cross != null && area(cross) == 4.0,
+      if (cross == null) "null" else Wkt.format(cross.kind, cross.xs, cross.ys, cross.rings))
+    // containment → inner operand; disjoint → NULL
+    val inner = g("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert(area(GeoOps.intersection(a, inner)) == 1.0)
+    assert(GeoOps.intersection(a, g("POLYGON ((20 20, 22 20, 22 22, 20 22, 20 20))")) == null)
+  }
+
   test("st_union chains a staircase of overlapping cells into one polygon") {
     // even cells [2i, 2i+3] x [0,4]; odd cells [2i, 2i+3] x [1,3]
     def cell(i: Int): Wkt.Geom = {
