@@ -65,6 +65,14 @@ object DeltaRead {
             case JArray(cols) => partCols = cols.collect { case JString(c) => c }
             case _ =>
           }
+          // column mapping renames physical parquet columns — reading by
+          // logical name would silently misread, so refuse loudly
+          (json \ "metaData" \ "configuration" \ "delta.columnMapping.mode") match {
+            case JString(mode) if mode != "none" =>
+              throw new IllegalArgumentException(
+                s"Delta column mapping mode '$mode' is not supported by this reader")
+            case _ =>
+          }
         case _ =>
       }
       json \ "add" match {

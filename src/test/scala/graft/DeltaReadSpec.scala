@@ -82,5 +82,14 @@ class DeltaReadSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // checkpoints unsupported
       catalog.DeltaRead.readTable(spark, root.getAbsolutePath)
     }
+    // column mapping renames physical columns → refuse, never misread
+    val cm = newTable("colmap")
+    commit(cm, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      """{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}"""))
+    val e = intercept[IllegalArgumentException] {
+      catalog.DeltaRead.readTable(spark, cm.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("column mapping"))
   }
 }
