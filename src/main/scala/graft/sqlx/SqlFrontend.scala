@@ -68,20 +68,27 @@ private[graft] object SqlFrontend {
         Fn(fnRenames(name.toLowerCase), args, d, over)
       case AtTimeZone(x, tz) => Fn("from_utc_timestamp", Seq(x, tz), distinct = false, None)
       case TryExpr(body) =>
-        val lowered = lowerTry(body)
-        if (lowered == body) throw new SqlParseException(
+        lowerTry(body).getOrElse(throw new SqlParseException(
           s"TRY(${renderExpr(body)}): unsupported body — TRY lowers over " +
             "arithmetic (+ - * / %), CAST, and " +
-            tryFnMap.keys.toSeq.sorted.mkString("/"))
-        lowered
+            tryFnMap.keys.toSeq.sorted.mkString("/")))
       case other => other
     }
   }
 
+  /** Calls that are ALREADY null-on-error when the body reaches TRY (the
+    * rename pass runs first, so json_value is json_path_value here; a user
+    * may also write the try_ twins directly) — TRY over them is an absorbed
+    * no-op, not an error. */
+  private val tryTransparent: Set[String] =
+    Set("json_path_value", "json_path_query") ++ tryFnMap.values.filter(_.startsWith("try_"))
+
   /** TRY body: give every arithmetic level its try_ twin; single calls map
-    * through the function table; CAST becomes TRY_CAST. Mirrors the
-    * reference's per-expression error absorption (TRY in SqlBase.g4). */
-  private def lowerTry(e: Expr): Expr = e match {
+    * through the function table; CAST becomes TRY_CAST. None when nothing
+    * absorbs the error — the caller raises (silently dropping TRY would
+    * change semantics). Mirrors the reference's per-expression error
+    * absorption (TRY in SqlBase.g4). */
+  private def lowerTry(e: Expr): Option[Expr] = e match {
     case Bin(op @ ("+" | "-" | "*" | "/" | "%"), l, r) =>
       val fn = op match {
         case "+" => "try_add"
@@ -90,11 +97,13 @@ private[graft] object SqlFrontend {
         case "/" => "try_divide"
         case "%" => "try_mod"
       }
-      Fn(fn, Seq(lowerTry(l), lowerTry(r)), distinct = false, None)
-    case Cast(x, t, _) => Cast(x, t, isTry = true)
+      Some(Fn(fn, Seq(lowerTry(l).getOrElse(l), lowerTry(r).getOrElse(r)),
+        distinct = false, None))
+    case Cast(x, t, _) => Some(Cast(x, t, isTry = true))
     case Fn(name, args, d, over) if tryFnMap.contains(name.toLowerCase) =>
-      Fn(tryFnMap(name.toLowerCase), args, d, over)
-    case other => other
+      Some(Fn(tryFnMap(name.toLowerCase), args, d, over))
+    case f @ Fn(name, _, _, _) if tryTransparent(name.toLowerCase) => Some(f)
+    case _ => None
   }
 
   /** One-level structural map over expression children. */

@@ -40,6 +40,14 @@ class SqlParserSpec extends SparkSpec {
     intercept[SqlParseException] {
       graft.sqlx.SqlFrontend.run(spark, sfDir, "SELECT TRY(a) FROM trytab")
     }
+    // TRY over an already-null-on-error call is an absorbed no-op even
+    // though the rename pass (json_value -> json_path_value) ran first —
+    // through the FRONT DOOR, no legacy fallback
+    graft.functions.Registry.registerAll(spark) // json_path_value lives here
+    val jv = graft.sqlx.SqlFrontend.run(spark, sfDir,
+      """SELECT TRY(json_value('{"a": 7}', 'lax $.a')) AS v FROM trytab""")
+      .collect()
+    assert(jv.forall(_.getString(0) == "7"), jv.mkString(","))
   }
 
   test("operator precedence parses conventionally") {
