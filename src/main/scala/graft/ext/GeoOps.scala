@@ -539,6 +539,72 @@ case class GeomAccessor(child: Expression, what: String)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** simplify_geometry(geom, tolerance) (GeoFunctions.java simplifyGeometry —
+  * JTS TopologyPreservingSimplifier there; classic Douglas–Peucker here,
+  * PAPERS.md): vertices farther than `tolerance` from the chord survive,
+  * recursively. LINESTRING paths and polygon rings (closure preserved, ring
+  * split at its first vertex); tolerance < 0 → NULL. */
+case class GeomSimplify(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == Wkt.geometryType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("simplify_geometry expects (geometry, double)")
+  override def dataType: DataType = Wkt.geometryType
+  override def nullIntolerant: Boolean = false
+  override def nullable: Boolean = true
+  override def prettyName: String = "simplify_geometry"
+
+  private def dp(xs: Array[Double], ys: Array[Double], tol: Double): (Array[Double], Array[Double]) = {
+    val n = xs.length
+    if (n <= 2) return (xs, ys)
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(n - 1) = true
+    def rec(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 2) return
+      var best = -1
+      var bestD = tol
+      for (i <- lo + 1 until hi) {
+        val d = math.sqrt(GeoOps.ptSegDist2(xs(i), ys(i), xs(lo), ys(lo), xs(hi), ys(hi)))
+        if (d > bestD) { bestD = d; best = i }
+      }
+      if (best >= 0) { keep(best) = true; rec(lo, best); rec(best, hi) }
+    }
+    rec(0, n - 1)
+    val ix = (0 until n).filter(keep)
+    (ix.map(xs).toArray, ix.map(ys).toArray)
+  }
+
+  override def nullSafeEval(g0: Any, t0: Any): Any = {
+    val g = GeoOps.fromRow(g0.asInstanceOf[InternalRow])
+    val tol = t0.asInstanceOf[Double]
+    if (tol.isNaN || tol < 0) return null
+    g.kind match {
+      case "LINESTRING" | "MULTILINESTRING" | "POLYGON" | "MULTIPOLYGON" =>
+        val outX = scala.collection.mutable.ArrayBuffer[Double]()
+        val outY = scala.collection.mutable.ArrayBuffer[Double]()
+        val outLens = scala.collection.mutable.ArrayBuffer[Int]()
+        var off = 0
+        for (len0 <- g.rings) {
+          val len = math.abs(len0)
+          val xs = java.util.Arrays.copyOfRange(g.xs, off, off + len)
+          val ys = java.util.Arrays.copyOfRange(g.ys, off, off + len)
+          val (sx, sy) = dp(xs, ys, tol)
+          // a ring simplified below 4 points (3 + closure) would degenerate;
+          // keep the original ring then (the topology-preserving contract)
+          val (fx, fy) = if (g.kind.endsWith("POLYGON") && sx.length < 4) (xs, ys) else (sx, sy)
+          outX ++= fx; outY ++= fy
+          outLens += (if (len0 < 0) -fx.length else fx.length)
+          off += len
+        }
+        GeoOps.toRow(Wkt.Geom(g.kind, outX.toArray, outY.toArray, outLens.toArray))
+      case _ => GeoOps.toRow(g) // points are already minimal
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Part/ring decomposition (GeoFunctions.java — ST_GeometryN, ST_ExteriorRing,
   * ST_InteriorRingN, ST_Envelope): 1-based indices, out-of-range or
   * kind-mismatch → NULL (the reference's null-or-error contract). */

@@ -155,6 +155,10 @@ object GeoFunctions {
   def stSphericalLength(g: Column): Column =
     column(graft.ext.SphericalMeasure(expression(g), "length"))
 
+  /** simplify_geometry(geom, tolerance): Douglas–Peucker. */
+  def stSimplifyGeometry(g: Column, tolerance: Column): Column =
+    column(graft.ext.GeomSimplify(expression(g), expression(tolerance.cast("double"))))
+
   /** ST_GeometryN / ST_ExteriorRing / ST_InteriorRingN / ST_Envelope. */
   def stGeometryN(g: Column, n: Column): Column =
     column(graft.ext.GeomPart(expression(g), expression(n.cast("int")), "geometry_n"))

@@ -477,6 +477,21 @@ object Geometry {
         $"x" + 10, $"y")))
       .withColumn("diag", stGeometryFromText(format_string(
         "LINESTRING (%d %d, %d %d)", $"x", $"y" + 1, $"x" + 5, $"y" + 4)))
+      // zig: two on-chord vertices around one 3-high bump — their distances
+      // to the POST-SPLIT chords are 1.8 and 9/sqrt(34), so tolerance 2
+      // drops both, 1 keeps both, 10 leaves only the endpoints
+      .withColumn("zig", stGeometryFromText(format_string(
+        "LINESTRING (%d %d, %d %d, %d %d, %d %d, %d %d)",
+        $"x", $"y", $"x" + 3, $"y", $"x" + 4, $"y" + 3, $"x" + 6, $"y", $"x" + 9, $"y")))
+      .withColumn("flat", stGeometryFromText(format_string(
+        "LINESTRING (%d %d, %d %d, %d %d, %d %d)",
+        $"x", $"y", $"x" + 3, $"y", $"x" + 7, $"y", $"x" + 9, $"y")))
+      // square ring with one collinear bottom midpoint (chord distance
+      // sqrt(2) after the diagonal split): tolerance 1.5 removes exactly it
+      .withColumn("ringsq", stGeometryFromText(format_string(
+        "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d, %d %d))",
+        $"x", $"y", $"x" + 2, $"y", $"x" + 4, $"y", $"x" + 4, $"y" + 4,
+        $"x", $"y" + 4, $"x", $"y")))
     t.select($"c_custkey",
         stNumPoints(stExteriorRing($"holed")).as("ext_n"),
         stGeomLength(stExteriorRing($"holed")).as("ext_len"),
@@ -488,7 +503,16 @@ object Geometry {
           .as("self_at_1_ok"),
         stGeomArea(stEnvelope($"diag")).as("env_area"),
         stXMin(stEnvelope($"diag")).as("env_xmin"),
-        stYMax(stEnvelope($"diag")).as("env_ymax"))
+        stYMax(stEnvelope($"diag")).as("env_ymax"),
+        stNumPoints(stSimplifyGeometry($"zig", lit(2.0))).as("s2_n"),
+        stX(stPointN(stSimplifyGeometry($"zig", lit(2.0)), lit(2))).as("s2_mid_x"),
+        stY(stPointN(stSimplifyGeometry($"zig", lit(2.0)), lit(2))).as("s2_mid_y"),
+        stNumPoints(stSimplifyGeometry($"zig", lit(1.0))).as("s1_n"),
+        stNumPoints(stSimplifyGeometry($"zig", lit(10.0))).as("s10_n"),
+        stNumPoints(stSimplifyGeometry($"flat", lit(0.0))).as("flat_n"),
+        stNumPoints(stSimplifyGeometry($"ringsq", lit(1.5))).as("ring_n"),
+        stGeomArea(stSimplifyGeometry($"ringsq", lit(1.5))).as("ring_area"),
+        stSimplifyGeometry($"zig", lit(-1.0)).isNull.as("simplify_neg_null"))
       .orderBy($"c_custkey")
   }
   val qFnGeoPartsSql: String =
@@ -502,7 +526,16 @@ object Geometry {
          TRUE AS self_at_1_ok,
          15.0 AS env_area,
          CAST((c_custkey * 7 % 70) * 20 AS DOUBLE) AS env_xmin,
-         CAST((c_custkey * 13 % 50) * 20 + 4 AS DOUBLE) AS env_ymax
+         CAST((c_custkey * 13 % 50) * 20 + 4 AS DOUBLE) AS env_ymax,
+         3 AS s2_n,
+         CAST((c_custkey * 7 % 70) * 20 + 4 AS DOUBLE) AS s2_mid_x,
+         CAST((c_custkey * 13 % 50) * 20 + 3 AS DOUBLE) AS s2_mid_y,
+         5 AS s1_n,
+         2 AS s10_n,
+         2 AS flat_n,
+         5 AS ring_n,
+         16.0 AS ring_area,
+         TRUE AS simplify_neg_null
        FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey"""
 
   val queries: Map[String, Q] = Map(
