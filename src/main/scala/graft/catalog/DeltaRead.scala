@@ -28,8 +28,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Scale: log replay is driver-side METADATA work, bounded by log size
   * (every Delta reader does this; the reference caches it per-snapshot);
-  * data reading is fully distributed. Supported subset: JSON commits
-  * (no parquet checkpoints), no deletion vectors, no column mapping —
+  * data reading is fully distributed. Supported subset: a complete JSON
+  * commit sequence from version 0 (no checkpoints of any flavor, no cleaned
+  * logs), minReaderVersion 1 (no deletion vectors, no column mapping) —
   * documented gaps, each erroring loudly rather than misreading.
   */
 object DeltaRead {
@@ -41,12 +42,26 @@ object DeltaRead {
     import org.json4s.jackson.JsonMethods
     val logDir = new File(tablePath, "_delta_log")
     require(logDir.isDirectory, s"not a Delta table (no _delta_log): $tablePath")
-    val versions = Option(logDir.listFiles()).getOrElse(Array.empty)
+    val logFiles = Option(logDir.listFiles()).getOrElse(Array.empty)
+    val versions = logFiles
       .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
     require(versions.nonEmpty, s"empty Delta log: $tablePath")
-    require(!Option(logDir.listFiles()).getOrElse(Array.empty)
-      .exists(_.getName.endsWith(".checkpoint.parquet")),
-      "Delta parquet checkpoints are not supported by this reader")
+    // Checkpoints compact the JSON prefix away; replaying only the surviving
+    // JSON suffix would silently return partial data. Refuse on ANY
+    // checkpoint artifact — classic single-part (N.checkpoint.parquet),
+    // multi-part (N.checkpoint.i.of.parquet), v2 (N.checkpoint.<uuid>.json),
+    // or a _last_checkpoint pointer — and require the JSON sequence to be
+    // complete from version 0.
+    require(!logFiles.exists(f => f.getName.contains(".checkpoint.") ||
+        f.getName == "_last_checkpoint"),
+      "Delta checkpoints are not supported by this reader")
+    require(versions.head.getName == "0" * 20 + ".json",
+      s"Delta log does not start at version 0 (earliest: ${versions.head.getName}); " +
+        "a log-cleaned table cannot be replayed by this reader")
+    versions.map(_.getName.stripSuffix(".json").toLong)
+      .zipWithIndex.foreach { case (v, i) =>
+        require(v == i, s"Delta log has a gap before version $v")
+      }
 
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Seq.empty
@@ -55,6 +70,27 @@ object DeltaRead {
          line <- Files.readAllLines(vf.toPath, StandardCharsets.UTF_8).asScala
          if line.trim.nonEmpty) {
       val json = JsonMethods.parse(line)
+      // Protocol actions gate reader capabilities: minReaderVersion > 1 or any
+      // readerFeature outside what this reader implements (none beyond the
+      // base protocol) means the data may require interpretation we don't do
+      // (deletion vectors, column mapping, v2 checkpoints, type widening…).
+      json \ "protocol" match {
+        case JObject(_) =>
+          (json \ "protocol" \ "minReaderVersion") match {
+            case JInt(v) if v > 1 =>
+              (json \ "protocol" \ "readerFeatures") match {
+                case JArray(fs) =>
+                  val names = fs.collect { case JString(f) => f }
+                  throw new IllegalArgumentException(
+                    s"Delta minReaderVersion $v with readerFeatures " +
+                      s"${names.mkString("[", ", ", "]")} is not supported by this reader")
+                case _ => throw new IllegalArgumentException(
+                  s"Delta minReaderVersion $v is not supported by this reader")
+              }
+            case _ =>
+          }
+        case _ =>
+      }
       json \ "metaData" match {
         case JObject(_) =>
           (json \ "metaData" \ "schemaString") match {

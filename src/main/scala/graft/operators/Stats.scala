@@ -13,6 +13,9 @@ import org.apache.spark.sql.types.DecimalType
   * Verification strategy per value class:
   *  - normal_cdf: COLUMN-arithmetic erf (A&S 7.1.26 constants) whose exact
   *    formula the oracle replays; round-9 absorbs libm exp ulps.
+  *  - cos_dist: + 0.0 after the round canonicalizes -0.0 (DuckDB's round is
+  *    sign-preserving on tiny negatives, Spark's is not; raw hashes differ
+  *    on the zero sign even though == equality holds).
   *  - inverse_normal_cdf (Acklam + Halley, ext.StatExpressions): pinned by
   *    the cdf(inverse(p)) ≈ p round-trip at 1e-6 (the forward column cdf is
   *    A&S-accuracy 1.5e-7).
@@ -83,7 +86,11 @@ object Stats {
           .as("beta_monotone_ok"),
         binomialCdf(lit(16), lit(0.5), $"k").as("binom"),
         dot.as("dot"),
-        round(cosDist, 12).as("cos_dist"),
+        // + 0.0 canonicalizes -0.0 → 0.0 (IEEE): DuckDB's round keeps the
+        // sign of a tiny negative (parallel vectors, 1 - ratio ≈ -1e-16)
+        // while Spark's BigDecimal round does not, and the driver's raw hash
+        // distinguishes the two even though == does not.
+        (round(cosDist, 12) + lit(0.0)).as("cos_dist"),
         dsBytes.as("data_size_bytes"))
       .orderBy($"c_custkey")
   }
@@ -131,7 +138,7 @@ object Stats {
                    * power(0.5, 16) FOR j IN range(0, CAST(k AS INT) + 1)]) AS binom,
          ax * bx + ay * "by" AS dot,
          round(1.0 - (ax * bx + ay * "by")
-           / (sqrt(ax * ax + ay * ay) * sqrt(bx * bx + "by" * "by")), 12) AS cos_dist,
+           / (sqrt(ax * ax + ay * ay) * sqrt(bx * bx + "by" * "by")), 12) + 0.0 AS cos_dist,
          CAST(floor(CAST(printf('%.1f', ds_num) AS DECIMAL(18,1)) *
            CASE ds_unit WHEN 'B' THEN 1 WHEN 'kB' THEN 1024
                         WHEN 'MB' THEN 1048576 WHEN 'GB' THEN 1073741824

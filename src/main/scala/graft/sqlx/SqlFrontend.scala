@@ -153,7 +153,7 @@ private[graft] object SqlFrontend {
 
   private def rewriteRel(r: Rel): Rel = r match {
     case JoinRel(k, l, rr, on) => JoinRel(k, rewriteRel(l), rewriteRel(rr), on.map(rewriteExpr))
-    case SubqueryRel(q, a) => SubqueryRel(rewriteQuery(q), a)
+    case SubqueryRel(q, a, c) => SubqueryRel(rewriteQuery(q), a, c)
     case MatchRel(input, block, a) => MatchRel(rewriteRel(input), block, a)
     case TvfRel(n, args, a) => TvfRel(n, args.map(rewriteExpr), a)
     case UnnestRel(es, alias, cols, ord) => UnnestRel(es.map(rewriteExpr), alias, cols, ord)
@@ -190,7 +190,7 @@ private[graft] object SqlFrontend {
     case JoinRel(k, l, rr, on) =>
       JoinRel(k, planRel(spark, dir, l), planRel(spark, dir, rr),
         on.map(planExpr(spark, dir, _)))
-    case SubqueryRel(q, a) => SubqueryRel(planQuery(spark, dir, q), a)
+    case SubqueryRel(q, a, c) => SubqueryRel(planQuery(spark, dir, q), a, c)
     case MatchRel(input, blockRaw, alias) =>
       val planned = planRel(spark, dir, input)
       val inputDf = planned match {
@@ -289,8 +289,9 @@ private[graft] object SqlFrontend {
 
   private def renderRel(r: Rel): String = r match {
     case TableRef(id, alias) => renderId(id) + alias.map(" " + renderAlias(_)).getOrElse("")
-    case SubqueryRel(q, alias) =>
-      s"(${renderQuery(q)})" + alias.map(" " + renderAlias(_)).getOrElse(" " + freshAlias())
+    case SubqueryRel(q, alias, cols) =>
+      val colList = if (cols.nonEmpty) cols.map(renderAlias).mkString("(", ", ", ")") else ""
+      s"(${renderQuery(q)})" + alias.map(" " + renderAlias(_)).getOrElse(" " + freshAlias()) + colList
     case JoinRel("CROSS", l, u: UnnestRel, None) =>
       renderRel(l) + " " + renderUnnest(u)
     case JoinRel(kind, l, rr, on) =>
@@ -368,7 +369,11 @@ private[graft] object SqlFrontend {
       sb.append(" END").toString
     case AtTimeZone(x, _) =>
       throw new IllegalStateException(s"unlowered AT TIME ZONE over ${renderExpr(x)}")
-    case Subscript(x, ix) => s"${renderExpr(x)}[${renderExpr(ix)}]"
+    // Trino subscripts are 1-based on arrays (SqlBase.g4 subscript ->
+    // ElementAt); Spark's `[]` is 0-based, so render via element_at, which
+    // is 1-based for arrays, key-addressed for maps, and throws on
+    // out-of-bounds under ANSI like the reference.
+    case Subscript(x, ix) => s"element_at(${renderExpr(x)}, ${renderExpr(ix)})"
   }
 
   private def renderWindow(w: WindowSpec): String = {

@@ -54,7 +54,8 @@ object SqlAst {
 
   sealed trait Rel
   final case class TableRef(name: Id, alias: Option[String]) extends Rel
-  final case class SubqueryRel(q: Query, alias: Option[String]) extends Rel
+  final case class SubqueryRel(q: Query, alias: Option[String],
+      colAliases: Seq[String] = Nil) extends Rel
   final case class JoinRel(kind: String, l: Rel, r: Rel, on: Option[Expr]) extends Rel
   final case class UnnestRel(exprs: Seq[Expr], alias: String, cols: Seq[String],
       ordinality: Boolean) extends Rel
@@ -222,19 +223,21 @@ final class SqlParser(src: String) {
   }
 
   private def parseSetOps(): Query = {
-    var left = parseQueryTerm()
+    // INTERSECT binds tighter than UNION/EXCEPT (SQL standard; reference
+    // grammar SqlBase.g4 splits queryTerm/queryPrimary the same way), so
+    // `A UNION B INTERSECT C` is `A UNION (B INTERSECT C)`.
+    var left = parseIntersectChain()
     var done = false
     while (!done) {
       val op =
         if (peek.is("UNION")) "UNION"
-        else if (peek.is("INTERSECT")) "INTERSECT"
         else if (peek.is("EXCEPT")) "EXCEPT"
         else ""
       if (op.isEmpty) done = true
       else {
         p += 1
         val all = accept("ALL") || { accept("DISTINCT"); false }
-        val right = parseQueryTerm()
+        val right = parseIntersectChain()
         left = SetOpQ(op, all, left, right)
       }
     }
@@ -247,6 +250,17 @@ final class SqlParser(src: String) {
         else left
       case q => q
     }
+  }
+
+  private def parseIntersectChain(): Query = {
+    var left = parseQueryTerm()
+    while (peek.is("INTERSECT")) {
+      p += 1
+      val all = accept("ALL") || { accept("DISTINCT"); false }
+      val right = parseQueryTerm()
+      left = SetOpQ("INTERSECT", all, left, right)
+    }
+    left
   }
 
   private def parseQueryTerm(): Query =
@@ -433,7 +447,19 @@ final class SqlParser(src: String) {
         p += 1
         val q = parseQueryNoFinish()
         expectOp(")")
-        SubqueryRel(q, relAlias())
+        val a = relAlias()
+        // derived-table column aliases: (SELECT ...) AS t(a, b) / (VALUES ...) t(v)
+        val cols =
+          if (a.isDefined && peek.isOp("(") &&
+              (peek2.kind == TIdent || peek2.kind == TQIdent)) {
+            p += 1
+            val cs = scala.collection.mutable.ArrayBuffer[String]()
+            var more = true
+            while (more) { cs += ident("column alias"); more = acceptOp(",") }
+            expectOp(")")
+            cs.toSeq
+          } else Nil
+        SubqueryRel(q, a, cols)
       } else if (peek.is("TABLE") && peek2.isOp("(")) {
         p += 2
         val name = ident("table function name")

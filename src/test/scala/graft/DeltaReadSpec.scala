@@ -85,11 +85,63 @@ class DeltaReadSpec extends SparkSpec {
     // column mapping renames physical columns → refuse, never misread
     val cm = newTable("colmap")
     commit(cm, 0, Seq(
-      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}""",
       """{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}"""))
     val e = intercept[IllegalArgumentException] {
       catalog.DeltaRead.readTable(spark, cm.getAbsolutePath)
     }
     assert(e.getMessage.contains("column mapping"))
+  }
+
+  test("checkpoint artifacts, cleaned logs, and reader features all refuse") {
+    def freshWithMeta(name: String, startVersion: Int = 0): File = {
+      val t = newTable(name)
+      commit(t, startVersion, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        """{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{}}}"""))
+      t
+    }
+    // multi-part checkpoint (N.checkpoint.i.of.parquet)
+    val mp = freshWithMeta("multipart_ckpt")
+    Files.write(Paths.get(mp.getAbsolutePath, "_delta_log",
+      "00000000000000000000.checkpoint.0000000001.0000000002.parquet"), Array.emptyByteArray)
+    val e1 = intercept[IllegalArgumentException] {
+      catalog.DeltaRead.readTable(spark, mp.getAbsolutePath)
+    }
+    assert(e1.getMessage.contains("checkpoint"))
+    // v2 checkpoint (N.checkpoint.<uuid>.json)
+    val v2 = freshWithMeta("v2_ckpt")
+    Files.write(Paths.get(v2.getAbsolutePath, "_delta_log",
+      "00000000000000000000.checkpoint.80a083e8.json"), Array.emptyByteArray)
+    assert(intercept[IllegalArgumentException] {
+      catalog.DeltaRead.readTable(spark, v2.getAbsolutePath)
+    }.getMessage.contains("checkpoint"))
+    // _last_checkpoint pointer alone (checkpoint file itself already cleaned)
+    val lc = freshWithMeta("last_ckpt")
+    Files.write(Paths.get(lc.getAbsolutePath, "_delta_log", "_last_checkpoint"),
+      """{"version":0,"size":1}""".getBytes(StandardCharsets.UTF_8))
+    assert(intercept[IllegalArgumentException] {
+      catalog.DeltaRead.readTable(spark, lc.getAbsolutePath)
+    }.getMessage.contains("checkpoint"))
+    // log-cleaned table: JSON sequence starts after version 0
+    val cleaned = freshWithMeta("cleaned", startVersion = 3)
+    assert(intercept[IllegalArgumentException] {
+      catalog.DeltaRead.readTable(spark, cleaned.getAbsolutePath)
+    }.getMessage.contains("version 0"))
+    // gap in the middle of the sequence
+    val gapped = freshWithMeta("gapped")
+    commit(gapped, 2, Seq("""{"commitInfo":{}}"""))
+    assert(intercept[IllegalArgumentException] {
+      catalog.DeltaRead.readTable(spark, gapped.getAbsolutePath)
+    }.getMessage.contains("gap"))
+    // reader features beyond the base protocol
+    val rf = newTable("readerfeatures")
+    commit(rf, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      """{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{}}}"""))
+    val e2 = intercept[IllegalArgumentException] {
+      catalog.DeltaRead.readTable(spark, rf.getAbsolutePath)
+    }
+    assert(e2.getMessage.contains("deletionVectors"))
   }
 }

@@ -97,7 +97,28 @@ class SqlParserSpec extends SparkSpec {
     val s = SqlFrontend.renderQuery(new SqlParser(sql).parseQuery())
     assert(s.contains("ROWS BETWEEN 1 PRECEDING AND CURRENT ROW"), s)
     assert(s.contains("v -> (v + 1)"), s)
-    assert(s.contains("m['k']"), s)
+    assert(s.contains("element_at(m, 'k')"), s)
     assert(s.contains("TIMESTAMP '2020-01-01 00:00:00'"), s)
+  }
+
+  test("subscripts are 1-based on arrays like the reference, not Spark 0-based") {
+    val out = graft.sqlx.SqlFrontend.run(spark, sfDir,
+      "SELECT split('alpha beta gamma', ' ')[1] AS first_word").collect()
+    assert(out.head.getString(0) == "alpha", out.mkString(","))
+  }
+
+  test("INTERSECT binds tighter than UNION/EXCEPT") {
+    // A UNION B INTERSECT C must group as A UNION (B INTERSECT C):
+    // {1} UNION ({1,2} ∩ {2,3}) = {1, 2}; left-assoc grouping would give {2}.
+    val rows = graft.sqlx.SqlFrontend.run(spark, sfDir,
+      "SELECT 1 AS v UNION SELECT * FROM (VALUES (1), (2)) t(v) INTERSECT SELECT * FROM (VALUES (2), (3)) u(v)")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(rows == Seq(1, 2), rows.mkString(","))
+    // EXCEPT also groups after the INTERSECT chain:
+    // ({1,2} EXCEPT ({2} ∩ {2})) = {1}; a tighter EXCEPT would leave {1,2}.
+    val rows2 = graft.sqlx.SqlFrontend.run(spark, sfDir,
+      "SELECT * FROM (VALUES (1), (2)) t(v) EXCEPT SELECT 2 AS v INTERSECT SELECT 2 AS v")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(rows2 == Seq(1), rows2.mkString(","))
   }
 }
