@@ -223,10 +223,14 @@ object GeoOps {
   /** Intersection boundary walk for two simple CCW rings with proper
     * crossings (the dual of [[ringUnion]]): from a crossing, follow the ring
     * whose forward sub-segment runs INSIDE the other polygon, switching at
-    * every crossing. Single-region intersections only (always true for
-    * convex operands); None when the boundaries don't cross. */
+    * every crossing. Non-convex operands can intersect in k>1 disjoint
+    * regions; each region's boundary is a disjoint cycle over the crossing
+    * nodes, so the walk restarts from any crossing the previous components
+    * did not visit until all crossings are consumed. Returns all component
+    * rings; None when the boundaries don't cross, or when any walk fails to
+    * close (degenerate contact — caller yields NULL, never a wrong answer). */
   def ringIntersection(ax: Array[Double], ay: Array[Double],
-      bx: Array[Double], by: Array[Double]): Option[(Array[Double], Array[Double])] = {
+      bx: Array[Double], by: Array[Double]): Option[List[(Array[Double], Array[Double])]] = {
     val nA = ax.length; val nB = bx.length
     val interA = Array.fill(nA)(List.empty[(Double, Double, Double, Int)])
     val interB = Array.fill(nB)(List.empty[(Double, Double, Double, Int)])
@@ -260,42 +264,219 @@ object GeoOps {
     val cycB = augment(bx, by, interB)
     val posInB = cycB.zipWithIndex.collect { case ((_, _, id), k) if id >= 0 => id -> k }.toMap
     val posInA = cycA.zipWithIndex.collect { case ((_, _, id), k) if id >= 0 => id -> k }.toMap
-    // start at the first crossing in A's cycle; the forward branch that runs
-    // inside B decides which cycle the walk enters on
-    val startA = cycA.indexWhere(_._3 >= 0)
-    val startId = cycA(startA)._3
-    val afterA = cycA((startA + 1) % cycA.length)
-    val midX = (cycA(startA)._1 + afterA._1) / 2
-    val midY = (cycA(startA)._2 + afterA._2) / 2
-    var onA = pointInRingArr(midX, midY, bx, by, 0, nB)
-    var pos = if (onA) (startA + 1) % cycA.length else (posInB(startId) + 1) % cycB.length
-    val outX = scala.collection.mutable.ArrayBuffer[Double](cycA(startA)._1)
-    val outY = scala.collection.mutable.ArrayBuffer[Double](cycA(startA)._2)
-    val maxSteps = 2 * (cycA.length + cycB.length) + 4
-    var steps = 0
-    var done = false
-    while (!done && steps <= maxSteps) {
-      val cyc = if (onA) cycA else cycB
-      val (x, y, id) = cyc(pos)
-      if (id == startId) done = true
-      else {
-        outX += x; outY += y
-        if (id >= 0) {
-          pos = if (onA) posInB(id) else posInA(id)
-          onA = !onA
+    val visited = new java.util.BitSet(nextId)
+    val rings = scala.collection.mutable.ListBuffer[(Array[Double], Array[Double])]()
+    // each intersection component's boundary is a disjoint cycle over the
+    // crossing nodes: walk one from the first unvisited crossing, repeat
+    var startA = cycA.indexWhere(_._3 >= 0)
+    while (startA >= 0) {
+      val startId = cycA(startA)._3
+      visited.set(startId)
+      // the forward branch that runs inside B decides which cycle the walk enters on
+      val afterA = cycA((startA + 1) % cycA.length)
+      val midX = (cycA(startA)._1 + afterA._1) / 2
+      val midY = (cycA(startA)._2 + afterA._2) / 2
+      var onA = pointInRingArr(midX, midY, bx, by, 0, nB)
+      var pos = if (onA) (startA + 1) % cycA.length else (posInB(startId) + 1) % cycB.length
+      val outX = scala.collection.mutable.ArrayBuffer[Double](cycA(startA)._1)
+      val outY = scala.collection.mutable.ArrayBuffer[Double](cycA(startA)._2)
+      val maxSteps = 2 * (cycA.length + cycB.length) + 4
+      var steps = 0
+      var done = false
+      while (!done && steps <= maxSteps) {
+        val cyc = if (onA) cycA else cycB
+        val (x, y, id) = cyc(pos)
+        if (id == startId) done = true
+        else {
+          outX += x; outY += y
+          if (id >= 0) {
+            visited.set(id)
+            pos = if (onA) posInB(id) else posInA(id)
+            onA = !onA
+          }
+          pos = (pos + 1) % (if (onA) cycA.length else cycB.length)
         }
-        pos = (pos + 1) % (if (onA) cycA.length else cycB.length)
+        steps += 1
       }
-      steps += 1
+      if (!done) return None
+      rings += ((outX.toArray, outY.toArray))
+      startA = cycA.indexWhere(t => t._3 >= 0 && !visited.get(t._3))
     }
-    if (!done) return None
-    Some((outX.toArray, outY.toArray))
+    Some(rings.toList)
+  }
+
+  /** Difference boundary walk A∖B for two simple CCW rings with proper
+    * crossings (Weiler–Atherton / Greiner–Hormann difference rules over the
+    * same augmented cycles as [[ringIntersection]]): classify each crossing
+    * as entry (A's forward sub-segment runs INTO B) or exit; from each
+    * unvisited exit, follow A FORWARD while outside B and B BACKWARD while
+    * inside A, switching at every crossing, until the walk closes. One
+    * component per exit-seeded cycle. None when the boundaries don't cross
+    * (caller resolves containment/disjointness) or when any walk fails to
+    * close / leaves crossings unvisited (degenerate contact — caller yields
+    * NULL rather than a wrong answer). */
+  def ringDifference(ax: Array[Double], ay: Array[Double],
+      bx: Array[Double], by: Array[Double]): Option[List[(Array[Double], Array[Double])]] = {
+    val nA = ax.length; val nB = bx.length
+    val interA = Array.fill(nA)(List.empty[(Double, Double, Double, Int)])
+    val interB = Array.fill(nB)(List.empty[(Double, Double, Double, Int)])
+    var nextId = 0
+    for (i <- 0 until nA; j <- 0 until nB) {
+      val (x1, y1) = (ax(i), ay(i)); val (x2, y2) = (ax((i + 1) % nA), ay((i + 1) % nA))
+      val (x3, y3) = (bx(j), by(j)); val (x4, y4) = (bx((j + 1) % nB), by((j + 1) % nB))
+      if (properCross(x1, y1, x2, y2, x3, y3, x4, y4)) {
+        val denom = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
+        val tA = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / denom
+        val px = x1 + tA * (x2 - x1); val py = y1 + tA * (y2 - y1)
+        val tB =
+          if (math.abs(x4 - x3) >= math.abs(y4 - y3)) (px - x3) / (x4 - x3)
+          else (py - y3) / (y4 - y3)
+        interA(i) ::= ((tA, px, py, nextId))
+        interB(j) ::= ((tB, px, py, nextId))
+        nextId += 1
+      }
+    }
+    if (nextId == 0) return None
+    def augment(xs: Array[Double], ys: Array[Double],
+        inter: Array[List[(Double, Double, Double, Int)]]): Array[(Double, Double, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Double, Double, Int)]()
+      for (i <- xs.indices) {
+        out += ((xs(i), ys(i), -1))
+        for ((_, px, py, id) <- inter(i).sortBy(_._1)) out += ((px, py, id))
+      }
+      out.toArray
+    }
+    val cycA = augment(ax, ay, interA)
+    val cycB = augment(bx, by, interB)
+    val posInB = cycB.zipWithIndex.collect { case ((_, _, id), k) if id >= 0 => id -> k }.toMap
+    val posInA = cycA.zipWithIndex.collect { case ((_, _, id), k) if id >= 0 => id -> k }.toMap
+    // entry(id): A's forward sub-segment after the crossing runs inside B
+    // (between consecutive augmented nodes inside/outside is constant)
+    val entry = new Array[Boolean](nextId)
+    for (k <- cycA.indices if cycA(k)._3 >= 0) {
+      val nxt = cycA((k + 1) % cycA.length)
+      val mx = (cycA(k)._1 + nxt._1) / 2; val my = (cycA(k)._2 + nxt._2) / 2
+      entry(cycA(k)._3) = pointInRingArr(mx, my, bx, by, 0, nB)
+    }
+    val visited = new java.util.BitSet(nextId)
+    val rings = scala.collection.mutable.ListBuffer[(Array[Double], Array[Double])]()
+    def nextSeed(): Int = cycA.indexWhere(t => t._3 >= 0 && !entry(t._3) && !visited.get(t._3))
+    var seedPos = nextSeed()
+    while (seedPos >= 0) {
+      val startId = cycA(seedPos)._3
+      visited.set(startId)
+      val outX = scala.collection.mutable.ArrayBuffer[Double](cycA(seedPos)._1)
+      val outY = scala.collection.mutable.ArrayBuffer[Double](cycA(seedPos)._2)
+      var onA = true
+      var pos = (seedPos + 1) % cycA.length
+      val maxSteps = 2 * (cycA.length + cycB.length) + 4
+      var steps = 0
+      var done = false
+      while (!done && steps <= maxSteps) {
+        if (onA) {
+          val (x, y, id) = cycA(pos)
+          if (id == startId) done = true
+          else {
+            outX += x; outY += y
+            if (id >= 0) { // an entry: continue on B, traversed backward
+              visited.set(id)
+              onA = false
+              pos = (posInB(id) - 1 + cycB.length) % cycB.length
+            } else pos = (pos + 1) % cycA.length
+          }
+        } else {
+          val (x, y, id) = cycB(pos)
+          if (id == startId) done = true
+          else {
+            outX += x; outY += y
+            if (id >= 0) { // an exit: rejoin A, forward
+              visited.set(id)
+              onA = true
+              pos = (posInA(id) + 1) % cycA.length
+            } else pos = (pos - 1 + cycB.length) % cycB.length
+          }
+        }
+        steps += 1
+      }
+      if (!done) return None
+      rings += ((outX.toArray, outY.toArray))
+      seedPos = nextSeed()
+    }
+    // every crossing lies on exactly one difference component's boundary;
+    // anything unvisited means a shape this walk cannot handle
+    if ((0 until nextId).exists(!visited.get(_))) return None
+    Some(rings.toList)
+  }
+
+  /** One closed canonical ring (lexicographic-min start, first vertex
+    * repeated) from an open ring. */
+  private def closedRing(xs: Array[Double], ys: Array[Double]):
+      (Array[Double], Array[Double]) = {
+    val start = xs.indices.minBy(i => (xs(i), ys(i)))
+    val n = xs.length
+    val ox = new Array[Double](n + 1); val oy = new Array[Double](n + 1)
+    for (k <- 0 to n) { val i = (start + k) % n; ox(k) = xs(i); oy(k) = ys(i) }
+    (ox, oy)
+  }
+
+  /** POLYGON with one hole (outer CCW shell, inner ring negated) — the
+    * containment case of difference/symmetric difference. */
+  private def holedPolygon(outerX: Array[Double], outerY: Array[Double],
+      holeX: Array[Double], holeY: Array[Double]): Geom = {
+    val (sx, sy) = closedRing(outerX, outerY)
+    val (hx, hy) = closedRing(holeX, holeY)
+    Geom("POLYGON", sx ++ hx, sy ++ hy, Array(sx.length, -hx.length))
+  }
+
+  /** ST_Difference (GeoFunctions.java:1685 delegation to the overlay):
+    * supported for hole-free single-shell polygons — proper-crossing
+    * difference walk (k>1 regions → MULTIPOLYGON), B-inside-A → A with hole,
+    * disjoint → A, A-inside-B → NULL (empty; this model has no empty
+    * geometry), degenerate contact → NULL. */
+  def difference(a: Geom, b: Geom): Geom = {
+    if (a == null || b == null) return null
+    if (a.kind != "POLYGON" || b.kind != "POLYGON") return null
+    if (a.rings.length != 1 || b.rings.length != 1) return null
+    val (ax, ay) = normRing(a.xs, a.ys, 0, math.abs(a.rings(0)))
+    val (bx, by) = normRing(b.xs, b.ys, 0, math.abs(b.rings(0)))
+    ringDifference(ax, ay, bx, by) match {
+      case Some(shells) => shellsToGeom(shells)
+      case None =>
+        if (pointInRingArr(bx(0), by(0), ax, ay, 0, ax.length))
+          holedPolygon(ax, ay, bx, by) // B strictly inside A
+        else if (pointInRingArr(ax(0), ay(0), bx, by, 0, bx.length))
+          null // A inside B: empty difference
+        else shellsToGeom(List((ax, ay))) // disjoint: A unchanged
+    }
+  }
+
+  /** ST_SymDifference (GeoFunctions.java:1754): (A∖B) ∪ (B∖A) as disjoint
+    * parts (shared single-point corners stay separate parts — the reference
+    * dissolves them; areas agree). Containment → container with a hole;
+    * disjoint → both operands as a MULTIPOLYGON. */
+  def symDifference(a: Geom, b: Geom): Geom = {
+    if (a == null || b == null) return null
+    if (a.kind != "POLYGON" || b.kind != "POLYGON") return null
+    if (a.rings.length != 1 || b.rings.length != 1) return null
+    val (ax, ay) = normRing(a.xs, a.ys, 0, math.abs(a.rings(0)))
+    val (bx, by) = normRing(b.xs, b.ys, 0, math.abs(b.rings(0)))
+    (ringDifference(ax, ay, bx, by), ringDifference(bx, by, ax, ay)) match {
+      case (Some(s1), Some(s2)) => shellsToGeom(s1 ++ s2)
+      case (None, None) =>
+        if (pointInRingArr(bx(0), by(0), ax, ay, 0, ax.length))
+          holedPolygon(ax, ay, bx, by)
+        else if (pointInRingArr(ax(0), ay(0), bx, by, 0, bx.length))
+          holedPolygon(bx, by, ax, ay)
+        else shellsToGeom(List((ax, ay), (bx, by))) // disjoint: both parts
+      case _ => null // one walk degenerate → NULL, never a wrong answer
+    }
   }
 
   /** ST_Intersection (GeoFunctions.java delegation to the ESRI/JTS overlay):
-    * supported for hole-free single-shell polygons — proper-crossing walk,
-    * containment collapse to the inner operand; disjoint → NULL (this model
-    * has no empty geometry; documented). */
+    * supported for hole-free single-shell polygons — proper-crossing walk
+    * (k>1 disjoint regions → MULTIPOLYGON), containment collapse to the
+    * inner operand; disjoint → NULL (this model has no empty geometry;
+    * documented). */
   def intersection(a: Geom, b: Geom): Geom = {
     if (a == null || b == null) return null
     if (a.kind != "POLYGON" || b.kind != "POLYGON") return null
@@ -303,7 +484,7 @@ object GeoOps {
     val (ax, ay) = normRing(a.xs, a.ys, 0, math.abs(a.rings(0)))
     val (bx, by) = normRing(b.xs, b.ys, 0, math.abs(b.rings(0)))
     ringIntersection(ax, ay, bx, by) match {
-      case Some((ix, iy)) => shellsToGeom(List((ix, iy)))
+      case Some(shells) => shellsToGeom(shells)
       case None =>
         if (pointInRingArr(ax(0), ay(0), bx, by, 0, bx.length)) shellsToGeom(List((ax, ay)))
         else if (pointInRingArr(bx(0), by(0), ax, ay, 0, ax.length)) shellsToGeom(List((bx, by)))
@@ -849,6 +1030,42 @@ case class GeomIntersection(left: Expression, right: Expression)
   override def prettyName: String = "st_intersection"
   override def nullSafeEval(a: Any, b: Any): Any =
     GeoOps.toRow(GeoOps.intersection(GeoOps.fromRow(a.asInstanceOf[InternalRow]),
+      GeoOps.fromRow(b.asInstanceOf[InternalRow])))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** ST_Difference(geom, geom) → geometry (GeoFunctions.java:1685). */
+case class GeomDifference(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == Wkt.geometryType && right.dataType == Wkt.geometryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("st_difference expects two geometry structs")
+  override def dataType: DataType = Wkt.geometryType
+  override def nullIntolerant: Boolean = false
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_difference"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeoOps.toRow(GeoOps.difference(GeoOps.fromRow(a.asInstanceOf[InternalRow]),
+      GeoOps.fromRow(b.asInstanceOf[InternalRow])))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** ST_SymDifference(geom, geom) → geometry (GeoFunctions.java:1754). */
+case class GeomSymDifference(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == Wkt.geometryType && right.dataType == Wkt.geometryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("st_symdifference expects two geometry structs")
+  override def dataType: DataType = Wkt.geometryType
+  override def nullIntolerant: Boolean = false
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_symdifference"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeoOps.toRow(GeoOps.symDifference(GeoOps.fromRow(a.asInstanceOf[InternalRow]),
       GeoOps.fromRow(b.asInstanceOf[InternalRow])))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -119,9 +119,19 @@ object GeoFunctions {
     column(graft.ext.GeomUnion(expression(a), expression(b)))
 
   /** ST_Intersection(geom, geom): boolean intersection (hole-free
-    * single-shell polygons; disjoint → NULL — no empty geometry). */
+    * single-shell polygons; k>1 regions → MULTIPOLYGON; disjoint → NULL —
+    * no empty geometry). */
   def stIntersection(a: Column, b: Column): Column =
     column(graft.ext.GeomIntersection(expression(a), expression(b)))
+
+  /** ST_Difference(a, b): A∖B via the Weiler–Atherton difference walk
+    * (B-inside-A → A with hole; empty result → NULL). */
+  def stDifference(a: Column, b: Column): Column =
+    column(graft.ext.GeomDifference(expression(a), expression(b)))
+
+  /** ST_SymDifference(a, b): (A∖B) ∪ (B∖A) as disjoint parts. */
+  def stSymDifference(a: Column, b: Column): Column =
+    column(graft.ext.GeomSymDifference(expression(a), expression(b)))
 
   /** Accessors: ST_X/ST_Y/ST_Dimension/ST_IsClosed/ST_IsRing/ST_IsEmpty/
     * ST_GeometryType (lax-NULL on kind mismatch where the reference throws). */

@@ -265,6 +265,83 @@ object Geometry {
              FROM customer WHERE c_custkey <= 800)
        ORDER BY c_custkey"""
 
+  /** ST_Difference / ST_SymDifference (GeoFunctions.java:1685/:1754):
+    * notch subtraction, complementary overhang, the U-prong multi-region
+    * split, hole punching under containment, disjoint identity, and the
+    * empty → NULL case — every measure a closed form over (x0, a). */
+  def q_fn_geo_difference(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 800)
+      .withColumn("x0", (($"c_custkey" * 7 % 100) * 20).cast("long"))
+      .withColumn("a", $"c_custkey" % 3 + 3)
+      .withColumn("ga", stGeometryFromText(format_string(
+        "POLYGON ((%d 0, %d 0, %d %d, %d %d, %d 0))",
+        $"x0", $"x0" + $"a", $"x0" + $"a", $"a", $"x0", $"a", $"x0")))
+      .withColumn("gb", stGeometryFromText(format_string(
+        "POLYGON ((%d 1, %d 1, %d %d, %d %d, %d 1))",
+        $"x0" + $"a" - 2, $"x0" + $"a" + 2, $"x0" + $"a" + 2, $"a" - 1,
+        $"x0" + $"a" - 2, $"a" - 1, $"x0" + $"a" - 2)))
+      .withColumn("inner", stGeometryFromText(format_string(
+        "POLYGON ((%d 1, %d 1, %d 2, %d 2, %d 1))",
+        $"x0" + 1, $"x0" + 2, $"x0" + 2, $"x0" + 1, $"x0" + 1)))
+      .withColumn("far", stGeometryFromText(format_string(
+        "POLYGON ((%d 0, %d 0, %d 2, %d 2, %d 0))",
+        $"x0" + 50, $"x0" + 52, $"x0" + 52, $"x0" + 50, $"x0" + 50)))
+      .withColumn("strip", stGeometryFromText(format_string(
+        "POLYGON ((%d 0, %d 0, %d 1, %d 1, %d 0))",
+        $"x0", $"x0" + 8, $"x0" + 8, $"x0", $"x0")))
+      .withColumn("uprong", stGeometryFromText(format_string(
+        "POLYGON ((%d 2, %d -2, %d -2, %d 2, %d 2, %d -1, %d -1, %d 2, %d 2))",
+        $"x0" + 1, $"x0" + 1, $"x0" + 7, $"x0" + 7, $"x0" + 5,
+        $"x0" + 5, $"x0" + 3, $"x0" + 3, $"x0" + 1)))
+      .withColumn("d", stDifference($"ga", $"gb"))
+      .withColumn("hole", stDifference($"ga", $"inner"))
+      .withColumn("md", stDifference($"strip", $"uprong"))
+      .withColumn("sd", stSymDifference($"ga", $"gb"))
+    t.select($"c_custkey",
+        stGeomArea($"d").as("d_area"),
+        stNumGeometries($"d").as("d_nparts"),
+        stGeomArea(stDifference($"gb", $"ga")).as("dba_area"),
+        ((stGeomArea($"d") + stGeomArea(stIntersection($"ga", $"gb"))) ===
+          stGeomArea($"ga")).as("d_incl_excl_ok"),
+        stGeomArea($"hole").as("hole_area"),
+        stNumInteriorRing($"hole").as("hole_nrings"),
+        stGeomContains($"hole", ($"x0" + 0.5).cast("double"), lit(0.5)).as("hole_out_ok"),
+        (!stGeomContains($"hole", ($"x0" + 1.5).cast("double"), lit(1.5))).as("hole_in_ok"),
+        stNumGeometries($"md").as("md_nparts"),
+        stGeomArea($"md").as("md_area"),
+        stGeomArea(stDifference($"ga", $"far")).as("disj_area"),
+        stDifference($"inner", $"ga").isNull.as("empty_null"),
+        stGeomArea($"sd").as("sd_area"),
+        stNumGeometries($"sd").as("sd_nparts"),
+        stGeomArea(stSymDifference($"inner", $"ga")).as("sdh_area"),
+        stNumGeometries(stSymDifference($"ga", $"far")).as("sdd_nparts"))
+      .orderBy($"c_custkey")
+  }
+  val qFnGeoDifferenceSql: String =
+    """SELECT c_custkey,
+         CAST(a * a - 2 * (a - 2) AS DOUBLE) AS d_area,
+         1 AS d_nparts,
+         CAST(2 * (a - 2) AS DOUBLE) AS dba_area,
+         TRUE AS d_incl_excl_ok,
+         CAST(a * a - 1 AS DOUBLE) AS hole_area,
+         1 AS hole_nrings,
+         TRUE AS hole_out_ok,
+         TRUE AS hole_in_ok,
+         3 AS md_nparts,
+         4.0 AS md_area,
+         CAST(a * a AS DOUBLE) AS disj_area,
+         TRUE AS empty_null,
+         CAST(a * a AS DOUBLE) AS sd_area,
+         2 AS sd_nparts,
+         CAST(a * a - 1 AS DOUBLE) AS sdh_area,
+         2 AS sdd_nparts
+       FROM (SELECT c_custkey,
+               (c_custkey * 7 % 100) * 20 AS x0,
+               c_custkey % 3 + 3 AS a
+             FROM customer WHERE c_custkey <= 800)
+       ORDER BY c_custkey"""
+
   /** Accessor family (GeoFunctions.java ST_X:1511/ST_Y/ST_Dimension:814/
     * ST_IsClosed:823/ST_IsRing:1378/ST_GeometryType:1989/ST_PointN:1315/
     * ST_StartPoint/ST_EndPoint): per customer a point, an open path, a
@@ -545,6 +622,7 @@ object Geometry {
     "q_fn_geo_distance" -> q_fn_geo_distance _,
     "q_fn_geo_buffer" -> q_fn_geo_buffer _,
     "q_fn_geo_union" -> q_fn_geo_union _,
+    "q_fn_geo_difference" -> q_fn_geo_difference _,
     "q_fn_geo_accessors" -> q_fn_geo_accessors _,
     "q_geo_union_agg" -> q_geo_union_agg _)
 
@@ -555,6 +633,7 @@ object Geometry {
     "q_fn_geo_distance" -> qFnGeoDistanceSql,
     "q_fn_geo_buffer" -> qFnGeoBufferSql,
     "q_fn_geo_union" -> qFnGeoUnionSql,
+    "q_fn_geo_difference" -> qFnGeoDifferenceSql,
     "q_fn_geo_accessors" -> qFnGeoAccessorsSql,
     "q_geo_union_agg" -> qGeoUnionAggSql)
 }

@@ -111,6 +111,66 @@ class GeoOpsSpec extends SparkSpec {
     assert(GeoOps.intersection(a, g("POLYGON ((20 20, 22 20, 22 22, 20 22, 20 20))")) == null)
   }
 
+  test("st_difference: crossing, multi-region, hole punch, disjoint, empty") {
+    val a = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val b = g("POLYGON ((2 1, 6 1, 6 3, 2 3, 2 1))")
+    // A∖B removes [2,4]x[1,3] (area 4) from A (area 16)
+    val d = GeoOps.difference(a, b)
+    assert(d != null && area(d) == 12.0, if (d == null) "null" else Wkt.format(d.kind, d.xs, d.ys, d.rings))
+    // inclusion-exclusion: area(A∖B) + area(A∩B) = area(A)
+    assert(area(d) + area(GeoOps.intersection(a, b)) == area(a))
+    // B∖A is the complementary overhang (area 4)
+    val d2 = GeoOps.difference(b, a)
+    assert(d2 != null && area(d2) == 4.0)
+    // strip minus U-prongs: three pieces left of/between/right of the prongs
+    val strip = g("POLYGON ((0 0, 8 0, 8 1, 0 1, 0 0))")
+    val u = g("POLYGON ((1 2, 1 -2, 7 -2, 7 2, 5 2, 5 -1, 3 -1, 3 2, 1 2))")
+    val md = GeoOps.difference(strip, u)
+    assert(md != null && md.kind == "MULTIPOLYGON" && md.rings.length == 3 && area(md) == 4.0,
+      if (md == null) "null" else Wkt.format(md.kind, md.xs, md.ys, md.rings))
+    // hole punch: B strictly inside A → polygon with hole
+    val inner = g("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+    val holed = GeoOps.difference(a, inner)
+    assert(holed != null && holed.kind == "POLYGON" && holed.rings.length == 2 &&
+      holed.rings(1) < 0 && area(holed) == 15.0)
+    assert(!GeoOps.containsPoint(holed, 1.5, 1.5) && GeoOps.containsPoint(holed, 3.0, 3.0))
+    // disjoint → A unchanged; A⊂B → NULL (empty)
+    val far = g("POLYGON ((20 20, 22 20, 22 22, 20 22, 20 20))")
+    assert(area(GeoOps.difference(a, far)) == 16.0)
+    assert(GeoOps.difference(inner, a) == null)
+  }
+
+  test("st_symdifference: crossing, containment, disjoint") {
+    val a = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val b = g("POLYGON ((2 1, 6 1, 6 3, 2 3, 2 1))")
+    val sd = GeoOps.symDifference(a, b)
+    // 16 + 8 − 2·4 = 16
+    assert(sd != null && sd.kind == "MULTIPOLYGON" && area(sd) == 16.0,
+      if (sd == null) "null" else Wkt.format(sd.kind, sd.xs, sd.ys, sd.rings))
+    // containment → container with hole
+    val inner = g("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+    val sdh = GeoOps.symDifference(inner, a)
+    assert(sdh != null && sdh.kind == "POLYGON" && sdh.rings.length == 2 && area(sdh) == 15.0)
+    // disjoint → both parts
+    val far = g("POLYGON ((20 20, 22 20, 22 22, 20 22, 20 20))")
+    val sdd = GeoOps.symDifference(a, far)
+    assert(sdd != null && sdd.kind == "MULTIPOLYGON" && area(sdd) == 20.0)
+  }
+
+  test("st_intersection with a non-convex operand yields all disjoint regions") {
+    // U-shaped B's two prongs cross strip A → two disjoint rectangles,
+    // [1,3]x[0,1] and [5,7]x[0,1]
+    val strip = g("POLYGON ((0 0, 8 0, 8 1, 0 1, 0 0))")
+    val u = g("POLYGON ((1 2, 1 -2, 7 -2, 7 2, 5 2, 5 -1, 3 -1, 3 2, 1 2))")
+    val i = GeoOps.intersection(strip, u)
+    assert(i != null && i.kind == "MULTIPOLYGON",
+      if (i == null) "null" else Wkt.format(i.kind, i.xs, i.ys, i.rings))
+    assert(i.rings.length == 2 && area(i) == 4.0,
+      Wkt.format(i.kind, i.xs, i.ys, i.rings))
+    // exact component extents: [1,3]x[0,1] and [5,7]x[0,1]
+    assert(i.xs.min == 1.0 && i.xs.max == 7.0 && i.ys.min == 0.0 && i.ys.max == 1.0)
+  }
+
   test("st_union chains a staircase of overlapping cells into one polygon") {
     // even cells [2i, 2i+3] x [0,4]; odd cells [2i, 2i+3] x [1,3]
     def cell(i: Int): Wkt.Geom = {
