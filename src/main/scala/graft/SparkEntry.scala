@@ -17,6 +17,7 @@ object SparkEntry {
     Seq(
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.Relational2.queries, operators.Relational2.oracles),
+      (operators.SpatialIndex.queries, operators.SpatialIndex.oracles),
       (operators.Tpch.queries, operators.Tpch.oracles),
       (operators.Tpcds.queries, operators.Tpcds.oracles),
       (operators.Aggregates.queries, operators.Aggregates.oracles),
