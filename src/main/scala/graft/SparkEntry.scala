@@ -20,6 +20,7 @@ object SparkEntry {
       (operators.SpatialIndex.queries, operators.SpatialIndex.oracles),
       (operators.Tpch.queries, operators.Tpch.oracles),
       (operators.Tpcds.queries, operators.Tpcds.oracles),
+      (operators.Tpcds2.queries, operators.Tpcds2.oracles),
       (operators.Aggregates.queries, operators.Aggregates.oracles),
       (operators.Aggregates2.queries, operators.Aggregates2.oracles),
       (operators.SetOps.queries, operators.SetOps.oracles),

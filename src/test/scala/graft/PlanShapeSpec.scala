@@ -89,6 +89,30 @@ class PlanShapeSpec extends SparkSpec {
       s"no rollup+window pipeline:\n$rr")
   }
 
+  test("TPC-DS shapes part 2: intersects as joins, scalar broadcasts, full outer + windows") {
+    // q14 shape: both INTERSECTs plan as joins (no quadratic set op), the
+    // 1-row totals broadcast, part dim broadcast
+    val cc = physicalPlan(operators.Tpcds2.q_ds_cross_channel(spark, sfDir))
+    assert("LeftSemi".r.findAllIn(cc).length >= 2, s"INTERSECT not a semi-join plan:\n$cc")
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(cc).nonEmpty,
+      s"scalar totals / part dim not broadcast:\n$cc")
+    // q23 shape: max-spend scalar is a 1-row broadcast, both derived filters
+    // plan as semi joins
+    val fb = physicalPlan(operators.Tpcds2.q_ds_frequent_best(spark, sfDir))
+    assert("LeftSemi".r.findAllIn(fb).length >= 2, s"derived filters not semi joins:\n$fb")
+    assert(fb.contains("BroadcastNestedLoopJoin") || fb.contains("BroadcastHashJoin"),
+      s"max-spend scalar not broadcast:\n$fb")
+    // q51 shape: a genuine full outer join feeding running windows
+    val cu = physicalPlan(operators.Tpcds2.q_ds_cumulative(spark, sfDir))
+    assert(cu.contains("FullOuter"), s"no full outer join:\n$cu")
+    assert(cu.contains("Window"), s"no running window:\n$cu")
+    // q47 shape: two window specs (year frame + sequence lag/lead) over ONE
+    // aggregated input, partial agg below the shuffle
+    val md = physicalPlan(operators.Tpcds2.q_ds_moving_dev(spark, sfDir))
+    assert(md.contains("Window"), s"no window:\n$md")
+    assert("HashAggregate".r.findAllIn(md).length >= 2, s"no partial agg:\n$md")
+  }
+
   test("match-recognize annotate pipeline shares ONE exchange between DEFINE windows and the matcher") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
