@@ -273,4 +273,39 @@ class FunctionSpec extends SparkSpec {
     assert(!c("::ffff:10.0.0.0/8", "11.0.0.1"))
     assert(IpCodec.contains("::ffff:10.0.0.0/96", IpCodec.parse("10.0.0.1")) == null) // >32 invalid for v4
   }
+
+  test("scalar-parity batch: murmur3 vectors, t distribution, ISO week-year, json") {
+    graft.functions.Registry.registerAll(spark)
+    // murmur3 x64/128: the reference's own known-answer vectors
+    // (TestVarbinaryFunctions.java:766 — empty input and 'hashme')
+    def mm(s: String): String =
+      graft.ext.ParityMath.murmur3x64128(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02X").mkString
+    assert(mm("") == "00000000000000000000000000000000")
+    assert(mm("hashme") == "93192FE805BE23041C8318F67EC4F2BC")
+    // a >16-byte input exercises the block loop + tail path
+    assert(mm("The quick brown fox jumps over the lazy dog").length == 32)
+    // t distribution: closed forms (df=1 is Cauchy)
+    assert(math.abs(graft.ext.ParityMath.tCdf(0.7, 1.0)
+      - (0.5 + math.atan(0.7) / math.Pi)) < 1e-12)
+    assert(math.abs(graft.ext.ParityMath.tPdf(0.7, 1.0)
+      - 1.0 / (math.Pi * (1 + 0.49))) < 1e-12)
+    assert(math.abs(graft.ext.ParityMath.tCdf(-1.3, 2.0)
+      - (0.5 - 1.3 / (2 * math.sqrt(2 + 1.69)))) < 1e-12)
+    // pdf integrates to cdf spot check: symmetric
+    assert(math.abs(graft.ext.ParityMath.tCdf(2.0, 5.0)
+      + graft.ext.ParityMath.tCdf(-2.0, 5.0) - 1.0) < 1e-12)
+    // ISO year-of-week straddles: 2021-01-01 is ISO week 53 of 2020
+    val r = spark.sql(
+      """SELECT year_of_week(DATE '2021-01-01') AS a,
+         year_of_week(DATE '2019-12-30') AS b,
+         day_of_week(DATE '2024-01-07') AS sunday7,
+         json_format(json_parse(' [1, {"a" : 2}] ')) AS jf,
+         from_iso8601_date('2001-08-22') = DATE '2001-08-22' AS iso_ok""").head()
+    assert(r.getInt(0) == 2020, "2021-01-01 ISO year")
+    assert(r.getInt(1) == 2020, "2019-12-30 ISO year")
+    assert(r.getInt(2) == 7, "ISO Sunday = 7")
+    assert(r.getString(3) == """[1,{"a":2}]""")
+    assert(r.getBoolean(4))
+  }
 }
