@@ -133,6 +133,15 @@ object GeoFunctions {
   def stSymDifference(a: Column, b: Column): Column =
     column(graft.ext.GeomSymDifference(expression(a), expression(b)))
 
+  /** ST_AsBinary: OGC WKB, little-endian (NDR). */
+  def stAsBinary(g: Column): Column =
+    column(graft.ext.GeomAsBinary(expression(g)))
+
+  /** ST_GeomFromBinary: WKB/EWKB reader (either byte order, SRID skipped,
+    * Z/M → NULL). */
+  def stGeomFromBinary(b: Column): Column =
+    column(graft.ext.GeomFromBinary(expression(b)))
+
   /** Accessors: ST_X/ST_Y/ST_Dimension/ST_IsClosed/ST_IsRing/ST_IsEmpty/
     * ST_GeometryType (lax-NULL on kind mismatch where the reference throws). */
   def stX(g: Column): Column = column(graft.ext.GeomAccessor(expression(g), "x"))

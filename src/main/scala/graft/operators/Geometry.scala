@@ -342,6 +342,77 @@ object Geometry {
              FROM customer WHERE c_custkey <= 800)
        ORDER BY c_custkey"""
 
+  /** ST_AsBinary / ST_GeomFromBinary (GeoFunctions.java:726/:480): WKB
+    * lengths are CLOSED FORMS of the geometry's shape (point 21 B,
+    * linestring 9+16n, polygon 9+4r+16n), the NDR header bytes are
+    * constants, and the double payload of POINT(x y) replays through the
+    * existing to_ieee754_64 codec (byte-reversed to little-endian) — so
+    * DuckDB pins the exact bytes, not just a roundtrip. */
+  def q_fn_geo_wkb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.registerAll(s)
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 800)
+      .withColumn("px", (($"c_custkey" * 7 % 100) + 0.25).cast("double"))
+      .withColumn("py", (($"c_custkey" * 13 % 100) + 0.5).cast("double"))
+      .withColumn("k", $"c_custkey" % 5 + 2)
+      .withColumn("pt", stGeometryFromText(format_string("POINT (%s %s)", $"px", $"py")))
+      .withColumn("ln", stGeometryFromText(concat(lit("LINESTRING ("),
+        concat_ws(", ", transform(sequence(lit(0), $"k" - 1),
+          i => concat($"px" + i, lit(" "), $"py" - i))), lit(")"))))
+      .withColumn("pg", stGeometryFromText(format_string(
+        "POLYGON ((%s %s, %s %s, %s %s, %s %s))",
+        $"px", $"py", $"px" + 2, $"py", $"px" + 2, $"py" + 2, $"px", $"py")))
+      .withColumn("pt_wkb", stAsBinary($"pt"))
+      .withColumn("ln_wkb", stAsBinary($"ln"))
+      .withColumn("pg_wkb", stAsBinary($"pg"))
+    t.select($"c_custkey",
+        length($"pt_wkb").cast("long").as("pt_len"),
+        length($"ln_wkb").cast("long").as("ln_len"),
+        length($"pg_wkb").cast("long").as("pg_len"),
+        lower(hex($"pt_wkb")).as("pt_hex"),
+        substring(lower(hex($"ln_wkb")), 1, 18).as("ln_hdr"),
+        (stAsText(stGeomFromBinary($"pt_wkb")) === stAsText($"pt")).as("pt_rt"),
+        (stAsText(stGeomFromBinary($"ln_wkb")) === stAsText($"ln")).as("ln_rt"),
+        (stAsText(stGeomFromBinary($"pg_wkb")) === stAsText($"pg")).as("pg_rt"),
+        stGeomFromBinary(lit(Array[Byte](9, 9))).isNull.as("malformed_null"))
+      .orderBy($"c_custkey")
+  }
+  val qFnGeoWkbSql: String =
+    """WITH t AS (
+         SELECT c_custkey,
+           (c_custkey * 7 % 100) + 0.25 AS px,
+           (c_custkey * 13 % 100) + 0.5 AS py,
+           c_custkey % 5 + 2 AS k
+         FROM customer WHERE c_custkey <= 800),
+       -- IEEE-754 bits of a positive dyadic double in exact BIGINT
+       -- arithmetic: bits = (e+1023)<<52 | (v/2^e * 2^52 - 2^52)
+       b AS (SELECT *,
+           lower(printf('%016x',
+             ((CAST(floor(log2(px)) AS BIGINT) + 1023) << 52)
+             | (CAST(px / power(2, CAST(floor(log2(px)) AS BIGINT))
+                 * 4503599627370496 AS BIGINT) - 4503599627370496))) AS hx,
+           lower(printf('%016x',
+             ((CAST(floor(log2(py)) AS BIGINT) + 1023) << 52)
+             | (CAST(py / power(2, CAST(floor(log2(py)) AS BIGINT))
+                 * 4503599627370496 AS BIGINT) - 4503599627370496))) AS hy
+         FROM t),
+       -- little-endian = byte-reversed big-endian
+       r AS (SELECT *,
+           substr(hx,15,2)||substr(hx,13,2)||substr(hx,11,2)||substr(hx,9,2)
+             ||substr(hx,7,2)||substr(hx,5,2)||substr(hx,3,2)||substr(hx,1,2) AS lx,
+           substr(hy,15,2)||substr(hy,13,2)||substr(hy,11,2)||substr(hy,9,2)
+             ||substr(hy,7,2)||substr(hy,5,2)||substr(hy,3,2)||substr(hy,1,2) AS ly
+         FROM b)
+       SELECT c_custkey,
+         CAST(21 AS BIGINT) AS pt_len,
+         CAST(9 + 16 * k AS BIGINT) AS ln_len,
+         CAST(77 AS BIGINT) AS pg_len,
+         '0101000000' || lx || ly AS pt_hex,
+         '0102000000' || substr(printf('%08x', k), 7, 2) || '000000' AS ln_hdr,
+         TRUE AS pt_rt, TRUE AS ln_rt, TRUE AS pg_rt,
+         TRUE AS malformed_null
+       FROM r ORDER BY c_custkey"""
+
   /** Accessor family (GeoFunctions.java ST_X:1511/ST_Y/ST_Dimension:814/
     * ST_IsClosed:823/ST_IsRing:1378/ST_GeometryType:1989/ST_PointN:1315/
     * ST_StartPoint/ST_EndPoint): per customer a point, an open path, a
@@ -623,6 +694,7 @@ object Geometry {
     "q_fn_geo_buffer" -> q_fn_geo_buffer _,
     "q_fn_geo_union" -> q_fn_geo_union _,
     "q_fn_geo_difference" -> q_fn_geo_difference _,
+    "q_fn_geo_wkb" -> q_fn_geo_wkb _,
     "q_fn_geo_accessors" -> q_fn_geo_accessors _,
     "q_geo_union_agg" -> q_geo_union_agg _)
 
@@ -634,6 +706,7 @@ object Geometry {
     "q_fn_geo_buffer" -> qFnGeoBufferSql,
     "q_fn_geo_union" -> qFnGeoUnionSql,
     "q_fn_geo_difference" -> qFnGeoDifferenceSql,
+    "q_fn_geo_wkb" -> qFnGeoWkbSql,
     "q_fn_geo_accessors" -> qFnGeoAccessorsSql,
     "q_geo_union_agg" -> qGeoUnionAggSql)
 }

@@ -157,6 +157,45 @@ class GeoOpsSpec extends SparkSpec {
     assert(sdd != null && sdd.kind == "MULTIPOLYGON" && area(sdd) == 20.0)
   }
 
+  test("WKB: known vector, roundtrips for every kind, EWKB/XDR read, Z rejected") {
+    import graft.ext.Wkb
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // the standard public NDR vector: POINT(1 2)
+    assert(hex(Wkb.write(g("POINT (1 2)"))) ==
+      "0101000000000000000000f03f0000000000000040")
+    // roundtrip every supported kind, including holes and multi-parts
+    for (wkt <- Seq(
+        "POINT (3.5 -7.25)",
+        "LINESTRING (0 0, 1 2, 3 0)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+        "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))",
+        "MULTIPOINT (1 2, 3 4)",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5), (5.5 5.5, 5.5 6, 6 6, 6 5.5, 5.5 5.5)))")) {
+      val geom = g(wkt)
+      val rt = Wkb.read(Wkb.write(geom))
+      assert(rt != null, s"roundtrip null for $wkt")
+      assert(Wkt.format(rt.kind, rt.xs, rt.ys, rt.rings) ==
+        Wkt.format(geom.kind, geom.xs, geom.ys, geom.rings), wkt)
+    }
+    // XDR (big-endian) POINT(1 2)
+    val xdr = unhex("00000000013ff00000000000004000000000000000")
+    val fromXdr = Wkb.read(xdr)
+    assert(fromXdr != null && fromXdr.xs(0) == 1.0 && fromXdr.ys(0) == 2.0)
+    // EWKB with SRID 4326 (PostGIS): 0101000020E6100000 + coords
+    val ewkb = unhex("0101000020e6100000000000000000f03f0000000000000040")
+    val fromEwkb = Wkb.read(ewkb)
+    assert(fromEwkb != null && fromEwkb.xs(0) == 1.0 && fromEwkb.ys(0) == 2.0)
+    // Z flag (EWKB 0x80000000) and ISO 1001 type → NULL, never dropped ordinates
+    assert(Wkb.read(unhex("0101000080000000000000f03f00000000000000400000000000000840")) == null)
+    assert(Wkb.read(unhex("01e9030000000000000000f03f00000000000000400000000000000840")) == null)
+    // truncated + trailing garbage → NULL
+    assert(Wkb.read(unhex("0101000000000000000000f03f")) == null)
+    assert(Wkb.read(unhex("0101000000000000000000f03f000000000000004000")) == null)
+  }
+
   test("st_intersection with a non-convex operand yields all disjoint regions") {
     // U-shaped B's two prongs cross strip A → two disjoint rectangles,
     // [1,3]x[0,1] and [5,7]x[0,1]
