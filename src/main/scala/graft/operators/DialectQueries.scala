@@ -470,7 +470,54 @@ object Dialect {
     """SELECT range AS sequential_number, range * 2 AS twice
        FROM range(1, 201, 2) ORDER BY sequential_number"""
 
+  /** SQL-text DML through the statement front door (SqlBase.g4 :68/:101/
+    * :103/:119; executors in sqlx.Statements over catalog.CowTable): a full
+    * CTAS → INSERT (with and without column list) → DELETE → UPDATE chain,
+    * with the final SELECT's result pinned by a DuckDB replay of the
+    * chain's net effect as a pure query. CREATE OR REPLACE makes the entry
+    * idempotent across re-invocations in one JVM. */
+  def q_sqlx_statements(s: SparkSession, dir: String): DataFrame = {
+    TrinoDialect.sql(s, dir,
+      """CREATE OR REPLACE TABLE wh_ord AS
+         SELECT o_orderkey AS k, o_custkey AS c,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS p
+         FROM orders WHERE o_orderkey <= 2000""")
+    TrinoDialect.sql(s, dir,
+      """INSERT INTO wh_ord
+         SELECT o_orderkey + 1000000, o_custkey,
+           CAST(o_totalprice AS DECIMAL(12,2))
+         FROM orders WHERE o_orderkey <= 800""")
+    TrinoDialect.sql(s, dir,
+      "INSERT INTO wh_ord (k, c, p) VALUES (9000001, 35, CAST(100.50 AS DECIMAL(12,2)))")
+    TrinoDialect.sql(s, dir, "DELETE FROM wh_ord WHERE k % 10 = 3")
+    TrinoDialect.sql(s, dir,
+      "UPDATE wh_ord SET p = p + 10 WHERE c % 7 = 0")
+    TrinoDialect.sql(s, dir,
+      """SELECT c % 5 AS bucket, count(*) AS cnt,
+         CAST(sum(p) AS DOUBLE) AS total
+         FROM wh_ord GROUP BY c % 5 ORDER BY bucket""")
+  }
+  val qSqlxStatementsSql: String =
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey AS c,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS p
+         FROM orders WHERE o_orderkey <= 2000
+         UNION ALL
+         SELECT o_orderkey + 1000000, o_custkey,
+           CAST(o_totalprice AS DECIMAL(12,2))
+         FROM orders WHERE o_orderkey <= 800
+         UNION ALL
+         SELECT 9000001, 35, CAST(100.50 AS DECIMAL(12,2))),
+       kept AS (SELECT * FROM base WHERE k % 10 <> 3),
+       upd AS (SELECT k, c,
+           CASE WHEN c % 7 = 0 THEN p + 10 ELSE p END AS p
+         FROM kept)
+       SELECT c % 5 AS bucket, count(*) AS cnt,
+         CAST(sum(p) AS DOUBLE) AS total
+       FROM upd GROUP BY c % 5 ORDER BY bucket"""
+
   val queries: Map[String, Q] = Map(
+    "q_sqlx_statements" -> q_sqlx_statements _,
     "q_tvf_registry" -> q_tvf_registry _,
     "q_sqlx_try" -> q_sqlx_try _,
     "q_sqlx_scalar" -> q_sqlx_scalar _,
@@ -489,6 +536,7 @@ object Dialect {
     "q_sqlx_match_subquery" -> q_sqlx_match_subquery _)
 
   val oracles: Map[String, String] = Map(
+    "q_sqlx_statements" -> qSqlxStatementsSql,
     "q_tvf_registry" -> qTvfRegistrySql,
     "q_sqlx_try" -> qSqlxTrySql,
     "q_sqlx_scalar" -> qSqlxScalarSql,

@@ -61,7 +61,7 @@ private[graft] object SqlFrontend {
     "json_query" -> "json_path_query")
 
   /** Bottom-up expression rewrite: renames, TRY lowering, AT TIME ZONE. */
-  private def rewriteExpr(e: Expr): Expr = {
+  private[sqlx] def rewriteExpr(e: Expr): Expr = {
     val r = mapChildren(e, rewriteExpr)
     r match {
       case Fn(name, args, d, over) if fnRenames.contains(name.toLowerCase) =>
@@ -133,7 +133,7 @@ private[graft] object SqlFrontend {
 
   // ----------------------------------------------------------- query passes
 
-  private def rewriteQuery(q: Query): Query = q match {
+  private[sqlx] def rewriteQuery(q: Query): Query = q match {
     case s: Select =>
       s.copy(
         items = s.items.map(i => SelectItem(rewriteExpr(i.e), i.alias)),
@@ -162,7 +162,7 @@ private[graft] object SqlFrontend {
 
   // -------------------------------------------------- MR/TVF planning pass
 
-  private def planQuery(spark: SparkSession, dir: String, q: Query): Query = q match {
+  private[sqlx] def planQuery(spark: SparkSession, dir: String, q: Query): Query = q match {
     case s: Select => s.copy(
       items = s.items.map(i => SelectItem(planExpr(spark, dir, i.e), i.alias)),
       from = s.from.map(planRel(spark, dir, _)),

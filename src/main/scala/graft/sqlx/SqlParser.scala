@@ -77,6 +77,22 @@ object SqlAst {
   /** Trailing ORDER BY / LIMIT / FETCH attached to a set-op or WITH body. */
   final case class OrderedQ(q: Query, orderBy: Seq[SortItem], limit: Option[Long],
       fetchTies: Option[Long], offset: Option[Long] = None) extends Query
+
+  /** Statements beyond queries (SqlBase.g4 statement :54): DML over the
+    * engine's versioned CoW tables, EXPLAIN, and the SHOW/DESCRIBE family. */
+  sealed trait Statement
+  final case class QueryStmt(q: Query) extends Statement
+  final case class CreateTableAs(name: String, orReplace: Boolean,
+      ifNotExists: Boolean, q: Query) extends Statement
+  final case class InsertInto(name: String, cols: Seq[String], q: Query) extends Statement
+  final case class DeleteStmt(name: String, where: Option[Expr]) extends Statement
+  final case class UpdateStmt(name: String, sets: Seq[(String, Expr)],
+      where: Option[Expr]) extends Statement
+  final case class ExplainStmt(analyze: Boolean, q: Query) extends Statement
+  /** kind: "TABLES" | "CATALOGS" | "FUNCTIONS". */
+  final case class ShowStmt(kind: String) extends Statement
+  final case class DescribeStmt(name: String) extends Statement
+  final case class DropTableStmt(name: String, ifExists: Boolean) extends Statement
 }
 
 final class SqlParseException(msg: String) extends IllegalArgumentException(msg)
@@ -203,6 +219,68 @@ final class SqlParser(src: String) {
     val q = parseQueryNoFinish()
     if (!peek.isOp(";") && peek.kind != TEof) err("trailing input after query")
     q
+  }
+
+  // ------------------------------------------------------------- statements
+
+  /** Full-statement entry: queries plus the DML/EXPLAIN/SHOW subset. */
+  def parseStatement(): Statement = {
+    val stmt: Statement =
+      if (acceptSeq("CREATE", "OR", "REPLACE", "TABLE"))
+        parseCtas(orReplace = true, ifNotExists = false)
+      else if (acceptSeq("CREATE", "TABLE")) {
+        val ine = acceptSeq("IF", "NOT", "EXISTS")
+        parseCtas(orReplace = false, ifNotExists = ine)
+      } else if (acceptSeq("INSERT", "INTO")) {
+        val name = ident("table name")
+        val cols =
+          if (peek.isOp("(") && !peek2.is("SELECT") && !peek2.is("WITH") &&
+              !peek2.is("VALUES") && !peek2.isOp("(")) {
+            p += 1
+            val cs = scala.collection.mutable.ArrayBuffer[String]()
+            var more = true
+            while (more) { cs += ident("column name"); more = acceptOp(",") }
+            expectOp(")")
+            cs.toSeq
+          } else Nil
+        InsertInto(name, cols, parseQueryNoFinish())
+      } else if (acceptSeq("DELETE", "FROM")) {
+        val name = ident("table name")
+        DeleteStmt(name, if (accept("WHERE")) Some(parseExpr()) else None)
+      } else if (accept("UPDATE")) {
+        val name = ident("table name")
+        expectKw("SET")
+        val sets = scala.collection.mutable.ArrayBuffer[(String, Expr)]()
+        var more = true
+        while (more) {
+          val col = ident("column name")
+          expectOp("=")
+          sets += ((col, parseExpr()))
+          more = acceptOp(",")
+        }
+        UpdateStmt(name, sets.toSeq,
+          if (accept("WHERE")) Some(parseExpr()) else None)
+      } else if (accept("EXPLAIN")) {
+        val analyze = accept("ANALYZE")
+        ExplainStmt(analyze, parseQueryNoFinish())
+      } else if (acceptSeq("SHOW", "TABLES")) ShowStmt("TABLES")
+      else if (acceptSeq("SHOW", "CATALOGS")) ShowStmt("CATALOGS")
+      else if (acceptSeq("SHOW", "FUNCTIONS")) ShowStmt("FUNCTIONS")
+      else if (acceptSeq("SHOW", "COLUMNS")) {
+        expectKw("FROM"); DescribeStmt(ident("table name"))
+      } else if (accept("DESCRIBE") || accept("DESC")) DescribeStmt(ident("table name"))
+      else if (acceptSeq("DROP", "TABLE")) {
+        val ife = acceptSeq("IF", "EXISTS")
+        DropTableStmt(ident("table name"), ife)
+      } else QueryStmt(parseQueryNoFinish())
+    if (!peek.isOp(";") && peek.kind != TEof) err("trailing input after statement")
+    stmt
+  }
+
+  private def parseCtas(orReplace: Boolean, ifNotExists: Boolean): Statement = {
+    val name = ident("table name")
+    expectKw("AS")
+    CreateTableAs(name, orReplace, ifNotExists, parseQueryNoFinish())
   }
 
   private def parseQueryNoFinish(): Query = {

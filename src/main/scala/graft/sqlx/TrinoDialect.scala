@@ -105,7 +105,8 @@ object TrinoDialect {
   private def sqlDirect(spark: SparkSession, dir: String, text: String): DataFrame = {
     graft.sources.Tables.registerAll(spark, dir)
     graft.functions.Registry.registerAll(spark)
-    try SqlFrontend.run(spark, dir, text)
+    try Statements.run(spark, dir, text) // DML/EXPLAIN/SHOW/DESCRIBE heads
+      .getOrElse(SqlFrontend.run(spark, dir, text))
     catch {
       case e: SqlParseException =>
         System.err.println(s"[sqlx] parser fallback (${e.getMessage.takeWhile(_ != '\n')})")

@@ -250,4 +250,40 @@ class DialectSpec extends SparkSpec {
     // 44,137,228>200 → [44,93]; 91,111 → [91,20]
     assert(got == Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(7L, 2L), Seq(9L, 2L)))
   }
+
+  test("statement front door: EXPLAIN/SHOW/DESCRIBE/DROP and fixture immutability") {
+    import graft.sqlx.TrinoDialect
+    // EXPLAIN returns formatted plan rows mentioning a scan
+    val plan = TrinoDialect.sql(spark, sfDir,
+      "EXPLAIN SELECT n_name FROM nation WHERE n_nationkey < 5")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Scan") && plan.contains("nation"), plan)
+    // EXPLAIN ANALYZE runs the query and reports per-node rows
+    val ean = TrinoDialect.sql(spark, sfDir,
+      "EXPLAIN ANALYZE SELECT count(*) FROM nation")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(ean.nonEmpty)
+    // CTAS + DESCRIBE + SHOW TABLES + DROP
+    TrinoDialect.sql(spark, sfDir,
+      "CREATE OR REPLACE TABLE wh_spec AS SELECT n_nationkey, n_name FROM nation")
+    val desc = TrinoDialect.sql(spark, sfDir, "DESCRIBE wh_spec")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc.map(_._1) == Seq("n_nationkey", "n_name") &&
+      desc(1)._2 == "string", desc.toString)
+    val shown = TrinoDialect.sql(spark, sfDir, "SHOW TABLES")
+      .collect().map(_.getString(0)).toSeq
+    assert(shown.contains("wh_spec") && shown.contains("nation"), shown.mkString(","))
+    TrinoDialect.sql(spark, sfDir, "DROP TABLE wh_spec")
+    assert(intercept[IllegalArgumentException] {
+      TrinoDialect.sql(spark, sfDir, "DROP TABLE wh_spec")
+    }.getMessage.contains("does not exist"))
+    // DML against a fixture table refuses (immutable shared fixtures)
+    assert(intercept[IllegalArgumentException] {
+      TrinoDialect.sql(spark, sfDir, "DELETE FROM nation WHERE n_nationkey = 0")
+    }.getMessage.contains("front-door"))
+    // SHOW FUNCTIONS lists the engine's registered names
+    val fns = TrinoDialect.sql(spark, sfDir, "SHOW FUNCTIONS")
+      .collect().map(_.getString(0)).toSeq
+    assert(fns.contains("murmur3") && fns.contains("st_as_text"), fns.take(5).mkString(","))
+  }
 }
