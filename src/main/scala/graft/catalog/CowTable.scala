@@ -115,7 +115,12 @@ final class CowTable private (root0: String, spark: SparkSession) {
     * WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *. */
   def merge(source: DataFrame, key: String): MutationStats = {
     val cur = read()
-    val affected = probeFiles(cur.join(source.select(key), Seq(key), "left_semi"))
+    // input_file_name() must bind BELOW the join: above it, a multi-source
+    // `source` plan (e.g. a UNION) trips MULTI_SOURCES_UNSUPPORTED
+    val affected = cur.withColumn("__cow_file", input_file_name())
+      .join(source.select(key), Seq(key), "left_semi")
+      .select(col("__cow_file")).distinct()
+      .collect().map(r => CowTable.normalize(r.getString(0))).toSeq
     // rewritten files: affected rows with matches replaced by source rows
     val rewritten =
       if (affected.isEmpty) Seq.empty

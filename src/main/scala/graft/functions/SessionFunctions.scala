@@ -48,6 +48,21 @@ object SessionFunctions {
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction("typeof", es => TrinoTypeOf(es(0)), "built-in")
+    // session identity residuals (SessionFunctions.java): all foldable
+    // literals at plan time, like the reference's @SqlNullable constants
+    r.createOrReplaceTempFunction("current_timezone",
+      _ => org.apache.spark.sql.catalyst.expressions.Literal(
+        spark.sessionState.conf.sessionLocalTimeZone), "built-in")
+    r.createOrReplaceTempFunction("current_catalog",
+      _ => org.apache.spark.sql.catalyst.expressions.Literal(catalogName), "built-in")
+    r.createOrReplaceTempFunction("current_schema",
+      _ => org.apache.spark.sql.catalyst.expressions.Literal("default"), "built-in")
+    r.createOrReplaceTempFunction("current_path",
+      _ => org.apache.spark.sql.catalyst.expressions.Literal(""), "built-in")
+    // local[*] has no group memberships; the reference returns the
+    // enumerating array for the session principal
+    r.createOrReplaceTempFunction("current_groups",
+      _ => org.apache.spark.sql.catalyst.expressions.CreateArray(Seq.empty), "built-in")
   }
 }
 

@@ -17,12 +17,17 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     column(graft.ext.CosineSimilarity(expression(a), expression(b)))
 
-  /** Register SQL surface: cosine_similarity(a, b). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity",
-      exprs => graft.ext.CosineSimilarity(exprs(0), exprs(1)),
-      "built-in")
+  /** Register SQL surface: cosine_similarity / euclidean_distance /
+    * dot_product over ARRAY<FLOAT>. */
+  def register(spark: SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("cosine_similarity",
+      exprs => graft.ext.CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction("euclidean_distance",
+      exprs => graft.ext.EuclideanDistance(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction("dot_product",
+      exprs => graft.ext.DotProduct(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Random-hyperplane LSH signature: `tables` hash tables of `bits` sign-bits
     * each, packed into one long per table. Native compiled kernel with

@@ -93,6 +93,9 @@ object SqlAst {
   final case class ShowStmt(kind: String) extends Statement
   final case class DescribeStmt(name: String) extends Statement
   final case class DropTableStmt(name: String, ifExists: Boolean) extends Statement
+  final case class CreateViewStmt(name: String, orReplace: Boolean, q: Query) extends Statement
+  /** Canonical upsert MERGE (WHEN MATCHED UPDATE SET * / NOT MATCHED INSERT *). */
+  final case class MergeStmt(name: String, source: Query, key: String) extends Statement
 }
 
 final class SqlParseException(msg: String) extends IllegalArgumentException(msg)
@@ -228,7 +231,43 @@ final class SqlParser(src: String) {
     val stmt: Statement =
       if (acceptSeq("CREATE", "OR", "REPLACE", "TABLE"))
         parseCtas(orReplace = true, ifNotExists = false)
-      else if (acceptSeq("CREATE", "TABLE")) {
+      else if (acceptSeq("CREATE", "OR", "REPLACE", "VIEW")) {
+        val name = ident("view name"); expectKw("AS")
+        CreateViewStmt(name, orReplace = true, parseQueryNoFinish())
+      } else if (acceptSeq("CREATE", "VIEW")) {
+        val name = ident("view name"); expectKw("AS")
+        CreateViewStmt(name, orReplace = false, parseQueryNoFinish())
+      } else if (acceptSeq("MERGE", "INTO")) {
+        val name = ident("table name")
+        val tAlias = if (accept("AS")) ident("alias")
+          else if (peek.kind == TIdent && !peek.is("USING")) ident("alias") else name
+        expectKw("USING")
+        val source: Query =
+          if (peek.isOp("(")) { p += 1; val q = parseQueryNoFinish(); expectOp(")"); q }
+          else {
+            val t = ident("source table")
+            Select(distinct = false, Seq(SelectItem(Star(None), None)),
+              Some(TableRef(Id(Seq((t, false))), None)), None, None, None,
+              Seq.empty, None, None)
+          }
+        val sAlias = if (accept("AS")) ident("alias")
+          else if (peek.kind == TIdent && !peek.is("ON")) ident("alias") else "s"
+        expectKw("ON")
+        val key = parseExpr() match {
+          case Bin("=", Id(l), Id(r))
+              if l.last._1.equalsIgnoreCase(r.last._1) &&
+                 Seq(l, r).forall(_.length <= 2) &&
+                 (l.length < 2 || Seq(tAlias, sAlias, name).exists(_.equalsIgnoreCase(l.head._1))) &&
+                 (r.length < 2 || Seq(tAlias, sAlias, name).exists(_.equalsIgnoreCase(r.head._1))) =>
+            l.last._1
+          case other => err("MERGE supports ON t.key = s.key (same column name)")
+        }
+        // only the canonical upsert form maps onto the CoW MERGE kernel
+        if (!(acceptSeq("WHEN", "MATCHED", "THEN", "UPDATE", "SET") && acceptOp("*") &&
+              acceptSeq("WHEN", "NOT", "MATCHED", "THEN", "INSERT") && acceptOp("*")))
+          err("MERGE supports WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+        MergeStmt(name, source, key)
+      } else if (acceptSeq("CREATE", "TABLE")) {
         val ine = acceptSeq("IF", "NOT", "EXISTS")
         parseCtas(orReplace = false, ifNotExists = ine)
       } else if (acceptSeq("INSERT", "INTO")) {

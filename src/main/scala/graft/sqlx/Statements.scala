@@ -180,6 +180,20 @@ private[graft] object Statements {
         StructType(Seq(StructField("column", StringType, nullable = false),
           StructField("type", StringType, nullable = false))))
 
+    case CreateViewStmt(name, orReplace, q) =>
+      if (!orReplace && spark.catalog.tableExists(name))
+        throw new IllegalArgumentException(s"view '$name' already exists")
+      subquery(spark, dir, q).createOrReplaceTempView(name)
+      oneRow(spark, "rows", 0L)
+
+    case MergeStmt(name, source, key) =>
+      val ct = openTable(spark, name)
+      val src = subquery(spark, dir, source)
+      val n = src.count()
+      ct.merge(src, key)
+      refreshView(spark, name)
+      oneRow(spark, "rows", n)
+
     case QueryStmt(_) => throw new IllegalStateException("unreachable")
   }
 }

@@ -286,4 +286,36 @@ class DialectSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(fns.contains("murmur3") && fns.contains("st_as_text"), fns.take(5).mkString(","))
   }
+
+  test("statement front door: MERGE upserts and CREATE VIEW registers") {
+    import graft.sqlx.TrinoDialect
+    TrinoDialect.sql(spark, sfDir,
+      "CREATE OR REPLACE TABLE wh_merge AS SELECT n_nationkey AS k, n_name AS v FROM nation")
+    val before = spark.table("wh_merge").count()
+    // 0..4 updated to 'X', 1000/1001 inserted
+    TrinoDialect.sql(spark, sfDir,
+      """MERGE INTO wh_merge t USING (
+           SELECT n_nationkey AS k, 'X' AS v FROM nation WHERE n_nationkey < 5
+           UNION ALL SELECT 1000 AS k, 'NEW' AS v
+           UNION ALL SELECT 1001 AS k, 'NEW' AS v
+         ) s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    val after = spark.table("wh_merge")
+    assert(after.count() == before + 2)
+    assert(after.filter("v = 'X'").count() == 5)
+    assert(after.filter("k >= 1000").count() == 2)
+    // non-canonical MERGE forms refuse loudly rather than mis-upserting
+    assert(intercept[Exception] {
+      TrinoDialect.sql(spark, sfDir,
+        """MERGE INTO wh_merge t USING nation s ON t.k = s.n_nationkey
+           WHEN MATCHED THEN DELETE""")
+    }.getMessage.toLowerCase.contains("merge"))
+    // CREATE VIEW over a dialect query, then query it back
+    TrinoDialect.sql(spark, sfDir,
+      "CREATE OR REPLACE VIEW v_top AS SELECT k, v FROM wh_merge WHERE k < 3")
+    val rows = TrinoDialect.sql(spark, sfDir,
+      "SELECT count(*) AS c FROM v_top").head().getLong(0)
+    assert(rows == 3, rows.toString)
+    TrinoDialect.sql(spark, sfDir, "DROP TABLE wh_merge")
+  }
 }

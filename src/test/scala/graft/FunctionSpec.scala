@@ -307,5 +307,16 @@ class FunctionSpec extends SparkSpec {
     assert(r.getInt(2) == 7, "ISO Sunday = 7")
     assert(r.getString(3) == """[1,{"a":2}]""")
     assert(r.getBoolean(4))
+    // vector distances (3-4-5 triangle) and session identity
+    val v = spark.sql(
+      """SELECT euclidean_distance(CAST(array(0.0, 0.0) AS ARRAY<FLOAT>),
+           CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS ed,
+         dot_product(CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>),
+           CAST(array(4.0, 5.0, 6.0) AS ARRAY<FLOAT>)) AS dp,
+         current_timezone() AS tz, current_catalog() AS cat,
+         cardinality(current_groups()) AS ng""").head()
+    assert(v.getDouble(0) == 5.0)
+    assert(v.getDouble(1) == 32.0)
+    assert(v.getString(2).nonEmpty && v.getString(3) == "graft" && v.getInt(4) == 0)
   }
 }
