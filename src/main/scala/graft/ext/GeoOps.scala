@@ -643,9 +643,73 @@ object GeoOps {
       Geom("MULTIPOINT", pts.map(_._1), pts.map(_._2), Array.fill(pts.length)(1))
     } else if ((a.kind == "LINESTRING" || a.kind == "MULTILINESTRING") &&
         (b.kind == "LINESTRING" || b.kind == "MULTILINESTRING")) {
-      // collected, not noded (the reference nodes crossings; documented gap)
-      Geom("MULTILINESTRING", a.xs ++ b.xs, a.ys ++ b.ys, a.rings ++ b.rings)
+      nodedLineUnion(a, b)
     } else null
+  }
+
+  /** Noded union of linework (the reference's overlay nodes crossings and
+    * dissolves duplicates): every segment is split at (a) proper crossings
+    * with other segments and (b) other segments' endpoints lying on it
+    * (T-junctions; collinear overlaps fall out of the same device — each
+    * overlapping segment splits at the other's interior endpoints and the
+    * shared middle pieces dedup). Output is the canonical set of minimal
+    * 2-point parts, sorted — a different decomposition than JTS's merged
+    * linestrings but the same point set, with equal total length.
+    * On-segment tests are exact (zero cross product), matching the dyadic
+    * supported surface documented on this object. */
+  def nodedLineUnion(a: Geom, b: Geom): Geom = {
+    // collect directed segments from both inputs
+    val segs = scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double)]()
+    for (g <- Seq(a, b); (off, len, _) <- parts(g); i <- 0 until len - 1)
+      segs += ((g.xs(off + i), g.ys(off + i), g.xs(off + i + 1), g.ys(off + i + 1)))
+    val n = segs.length
+    val cuts = Array.fill(n)(scala.collection.mutable.TreeSet.empty[Double])
+    def onSegmentT(x1: Double, y1: Double, x2: Double, y2: Double,
+        px: Double, py: Double): Double = {
+      // exact collinearity + interior containment → parameter t, else NaN
+      if ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) != 0.0) return Double.NaN
+      val t =
+        if (math.abs(x2 - x1) >= math.abs(y2 - y1)) {
+          if (x2 == x1) return Double.NaN
+          (px - x1) / (x2 - x1)
+        } else (py - y1) / (y2 - y1)
+      if (t > 0.0 && t < 1.0) t else Double.NaN
+    }
+    for (i <- 0 until n; j <- 0 until n if i != j) {
+      val (x1, y1, x2, y2) = segs(i)
+      val (x3, y3, x4, y4) = segs(j)
+      if (properCross(x1, y1, x2, y2, x3, y3, x4, y4)) {
+        val denom = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
+        val t = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / denom
+        cuts(i) += t
+      } else {
+        val t3 = onSegmentT(x1, y1, x2, y2, x3, y3)
+        if (!t3.isNaN) cuts(i) += t3
+        val t4 = onSegmentT(x1, y1, x2, y2, x4, y4)
+        if (!t4.isNaN) cuts(i) += t4
+      }
+    }
+    // split, canonicalize direction, dedup, sort
+    val pieces = scala.collection.mutable.SortedSet.empty[(Double, Double, Double, Double)]
+    for (i <- 0 until n) {
+      val (x1, y1, x2, y2) = segs(i)
+      if (x1 != x2 || y1 != y2) { // degenerate zero-length segments drop
+        val ts = (Iterator(0.0) ++ cuts(i).iterator ++ Iterator(1.0)).toSeq
+        for (k <- 0 until ts.length - 1) {
+          val (ta, tb) = (ts(k), ts(k + 1))
+          val ax = x1 + ta * (x2 - x1); val ay = y1 + ta * (y2 - y1)
+          val bx = x1 + tb * (x2 - x1); val by = y1 + tb * (y2 - y1)
+          if (ax != bx || ay != by)
+            pieces += (if (ax < bx || (ax == bx && ay <= by)) (ax, ay, bx, by)
+              else (bx, by, ax, ay))
+        }
+      }
+    }
+    val ps = pieces.toSeq
+    Geom("MULTILINESTRING",
+      ps.flatMap(s => Seq(s._1, s._3)).toArray,
+      ps.flatMap(s => Seq(s._2, s._4)).toArray,
+      Array.fill(ps.length)(2))
   }
 }
 

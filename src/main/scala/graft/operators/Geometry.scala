@@ -169,6 +169,9 @@ object Geometry {
       .withColumn("gp", stGeometryFromText(format_string("POINT (%d 0)", $"x0")))
       .withColumn("u", stUnion($"ga", $"gb"))
       .withColumn("ud", stUnion($"ga", $"gd"))
+      .withColumn("lu", stUnion(
+        stGeometryFromText(format_string("LINESTRING (%d 0, %d 2)", $"x0", $"x0" + 2)),
+        stGeometryFromText(format_string("LINESTRING (%d 2, %d 0)", $"x0", $"x0" + 2))))
     t.select($"c_custkey",
         stGeomArea($"u").as("u_area"),
         stNumGeometries($"u").as("u_nparts"),
@@ -185,7 +188,10 @@ object Geometry {
           (stGeomArea($"u") + stGeomArea(stIntersection($"ga", $"gb"))))
           .as("inclusion_exclusion_ok"),
         stGeomArea(stIntersection($"ga", $"gi")).as("ic_area"),
-        stIntersection($"ga", $"gd").isNull.as("i_disjoint_null"))
+        stIntersection($"ga", $"gd").isNull.as("i_disjoint_null"),
+        // noded line union: X crossing splits into 4 pieces, length kept
+        stNumGeometries($"lu").as("lu_nparts"),
+        round(stGeomLength($"lu"), 9).as("lu_len"))
       .orderBy($"c_custkey")
   }
 
@@ -258,7 +264,9 @@ object Geometry {
          CAST(2 * (a - 2) AS DOUBLE) AS i_area,
          TRUE AS inclusion_exclusion_ok,
          1.0 AS ic_area,
-         TRUE AS i_disjoint_null
+         TRUE AS i_disjoint_null,
+         4 AS lu_nparts,
+         round(4 * sqrt(2.0), 9) AS lu_len
        FROM (SELECT c_custkey,
                (c_custkey * 7 % 100) * 20 AS x0,
                c_custkey % 3 + 3 AS a

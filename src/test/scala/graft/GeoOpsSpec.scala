@@ -157,6 +157,38 @@ class GeoOpsSpec extends SparkSpec {
     assert(sdd != null && sdd.kind == "MULTIPOLYGON" && area(sdd) == 20.0)
   }
 
+  test("noded line union: crossings, T-junctions, collinear overlap dissolve") {
+    def segs(m: Wkt.Geom): Set[(Double, Double, Double, Double)] = {
+      assert(m.kind == "MULTILINESTRING" && m.rings.forall(_ == 2))
+      (0 until m.rings.length).map { i =>
+        (m.xs(2 * i), m.ys(2 * i), m.xs(2 * i + 1), m.ys(2 * i + 1))
+      }.toSet
+    }
+    def totalLen(m: Wkt.Geom): Double =
+      segs(m).toSeq.map { case (x1, y1, x2, y2) =>
+        math.hypot(x2 - x1, y2 - y1) }.sum
+    // proper crossing: X shape nodes at (1,1), 4 pieces, length preserved
+    val x1 = GeoOps.union(g("LINESTRING (0 0, 2 2)"), g("LINESTRING (0 2, 2 0)"))
+    assert(x1.rings.length == 4, Wkt.format(x1.kind, x1.xs, x1.ys, x1.rings))
+    assert(segs(x1).contains((0.0, 0.0, 1.0, 1.0)) && segs(x1).contains((1.0, 1.0, 2.0, 2.0)))
+    assert(totalLen(x1) == 4 * math.sqrt(2.0) || math.abs(totalLen(x1) - 4 * math.sqrt(2.0)) < 1e-12)
+    // T-junction: endpoint of one line in the interior of the other
+    val t = GeoOps.union(g("LINESTRING (0 0, 4 0)"), g("LINESTRING (2 0, 2 3)"))
+    assert(t.rings.length == 3, Wkt.format(t.kind, t.xs, t.ys, t.rings))
+    assert(segs(t) == Set((0.0, 0.0, 2.0, 0.0), (2.0, 0.0, 4.0, 0.0), (2.0, 0.0, 2.0, 3.0)))
+    // collinear partial overlap dissolves: [0,4]+[2,6] on y=0 → [0,2],[2,4],[4,6]
+    val c = GeoOps.union(g("LINESTRING (0 0, 4 0)"), g("LINESTRING (2 0, 6 0)"))
+    assert(segs(c) == Set((0.0, 0.0, 2.0, 0.0), (2.0, 0.0, 4.0, 0.0), (4.0, 0.0, 6.0, 0.0)))
+    assert(totalLen(c) == 6.0)
+    // exact duplicate segments collapse to one
+    val d = GeoOps.union(g("LINESTRING (0 0, 1 0)"), g("LINESTRING (1 0, 0 0)"))
+    assert(segs(d) == Set((0.0, 0.0, 1.0, 0.0)))
+    // multilinestring inputs + disjoint parts stay
+    val m = GeoOps.union(g("MULTILINESTRING ((0 0, 1 0), (5 5, 6 5))"),
+      g("LINESTRING (10 0, 11 0)"))
+    assert(m.rings.length == 3 && totalLen(m) == 3.0)
+  }
+
   test("WKB: known vector, roundtrips for every kind, EWKB/XDR read, Z rejected") {
     import graft.ext.Wkb
     def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
