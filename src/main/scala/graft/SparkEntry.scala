@@ -19,6 +19,7 @@ object SparkEntry {
       (operators.Relational2.queries, operators.Relational2.oracles),
       (operators.SpatialIndex.queries, operators.SpatialIndex.oracles),
       (operators.Tpch.queries, operators.Tpch.oracles),
+      (operators.Tpch2.queries, operators.Tpch2.oracles),
       (operators.Tpcds.queries, operators.Tpcds.oracles),
       (operators.Tpcds2.queries, operators.Tpcds2.oracles),
       (operators.Aggregates.queries, operators.Aggregates.oracles),
