@@ -503,8 +503,9 @@ object GeoOps {
     * don't properly cross (caller resolves containment/disjointness), or
     * when the walk fails to close (degenerate contact — caller yields NULL
     * rather than a wrong answer). */
-  def ringUnion(ax: Array[Double], ay: Array[Double],
-      bx: Array[Double], by: Array[Double]): Option[(Array[Double], Array[Double])] = {
+  def ringUnionFull(ax: Array[Double], ay: Array[Double],
+      bx: Array[Double], by: Array[Double]):
+      Option[((Array[Double], Array[Double]), List[(Array[Double], Array[Double])])] = {
     val nA = ax.length; val nB = bx.length
     // nodes per edge: (t, x, y, id)
     val interA = Array.fill(nA)(List.empty[(Double, Double, Double, Int)])
@@ -545,6 +546,7 @@ object GeoOps {
       id < 0 && !pointInRingArr(x, y, bx, by, 0, nB)
     }
     if (start < 0) return None
+    val visited = new java.util.BitSet(nextId)
     val outX = scala.collection.mutable.ArrayBuffer[Double]()
     val outY = scala.collection.mutable.ArrayBuffer[Double]()
     var onA = true
@@ -559,6 +561,7 @@ object GeoOps {
       else {
         outX += x; outY += y
         if (id >= 0) { // switch cycles at every crossing
+          visited.set(id)
           pos = if (onA) posInB(id) else posInA(id)
           onA = !onA
         }
@@ -567,8 +570,59 @@ object GeoOps {
       steps += 1
     }
     if (!done) return None
-    Some((outX.toArray, outY.toArray))
+    val outer = (outX.toArray, outY.toArray)
+    // crossings the outer walk never met lie on POCKET boundaries —
+    // exterior regions the two boundaries enclose (think a strip across a
+    // U shape). Each pocket cycle follows both rings BACKWARD (union
+    // interior on the A/B-interior side ⇒ pocket-on-left = reversed
+    // travel), switching cycles at every crossing.
+    val pockets = scala.collection.mutable.ListBuffer[(Array[Double], Array[Double])]()
+    var seed = (0 until nextId).find(!visited.get(_))
+    while (seed.isDefined) {
+      val sid = seed.get
+      visited.set(sid)
+      val cpos = posInA(sid)
+      // start on the cycle whose BACKWARD branch from the seed runs outside
+      // the other polygon (that branch borders the pocket)
+      val prev = cycA((cpos - 1 + cycA.length) % cycA.length)
+      val mx = (cycA(cpos)._1 + prev._1) / 2
+      val my = (cycA(cpos)._2 + prev._2) / 2
+      var pOnA = !pointInRingArr(mx, my, bx, by, 0, nB)
+      var pp = if (pOnA) cpos else posInB(sid)
+      val px = scala.collection.mutable.ArrayBuffer[Double](cycA(cpos)._1)
+      val py = scala.collection.mutable.ArrayBuffer[Double](cycA(cpos)._2)
+      var psteps = 0
+      var pdone = false
+      while (!pdone && psteps <= maxSteps) {
+        val len = if (pOnA) cycA.length else cycB.length
+        pp = (pp - 1 + len) % len
+        val (x, y, id) = (if (pOnA) cycA else cycB)(pp)
+        if (id == sid) pdone = true
+        else {
+          px += x; py += y
+          if (id >= 0) {
+            visited.set(id)
+            pp = if (pOnA) posInB(id) else posInA(id)
+            pOnA = !pOnA
+          }
+        }
+        psteps += 1
+      }
+      if (!pdone) return None
+      pockets += ((px.toArray, py.toArray))
+      seed = (0 until nextId).find(!visited.get(_))
+    }
+    Some((outer, pockets.toList))
   }
+
+  /** Hole-free union outer ring only — None when the union would need holes
+    * (pockets), so no caller can silently overcount. */
+  def ringUnion(ax: Array[Double], ay: Array[Double],
+      bx: Array[Double], by: Array[Double]): Option[(Array[Double], Array[Double])] =
+    ringUnionFull(ax, ay, bx, by) match {
+      case Some((outer, Nil)) => Some(outer)
+      case _ => None
+    }
 
   /** Iteratively merge new open CCW shells into an accumulated list of
     * pairwise-disjoint parts: each new shell unions with any overlapping /
@@ -628,12 +682,125 @@ object GeoOps {
       bx.toArray, by.toArray, lens.toArray)
   }
 
+  /** Components of r1 ∖ r2 over simple rings. "r2 strictly inside r1" is
+    * the caller-excluded island case (annulus — unrepresentable as a flat
+    * hole) → None. */
+  private def regionDiff(r1: (Array[Double], Array[Double]),
+      r2: (Array[Double], Array[Double])): Option[List[(Array[Double], Array[Double])]] =
+    ringDifference(r1._1, r1._2, r2._1, r2._2) match {
+      case some @ Some(_) => some
+      case None =>
+        if (pointInRingArr(r1._1(0), r1._2(0), r2._1, r2._2, 0, r2._1.length))
+          Some(Nil) // r1 inside r2: empty difference
+        else if (pointInRingArr(r2._1(0), r2._2(0), r1._1, r1._2, 0, r1._1.length))
+          None // annulus — caller rules this flow out; refuse, never misstate
+        else Some(List(r1)) // disjoint
+    }
+
+  /** Components of r1 ∩ r2 over simple rings. */
+  private def regionIntersect(r1: (Array[Double], Array[Double]),
+      r2: (Array[Double], Array[Double])): Option[List[(Array[Double], Array[Double])]] =
+    ringIntersection(r1._1, r1._2, r2._1, r2._2) match {
+      case some @ Some(_) => some
+      case None =>
+        if (pointInRingArr(r1._1(0), r1._2(0), r2._1, r2._2, 0, r2._1.length))
+          Some(List(r1))
+        else if (pointInRingArr(r2._1(0), r2._2(0), r1._1, r1._2, 0, r1._1.length))
+          Some(List(r2))
+        else Some(Nil) // disjoint
+    }
+
+  /** One canonical part (shell + holes, closed rings, holes negated). */
+  private def partGeom(shell: (Array[Double], Array[Double]),
+      holes: List[(Array[Double], Array[Double])]):
+      (Array[Double], Array[Double], Array[Int]) = {
+    val bx = scala.collection.mutable.ArrayBuffer[Double]()
+    val by = scala.collection.mutable.ArrayBuffer[Double]()
+    val lens = scala.collection.mutable.ArrayBuffer[Int]()
+    def put(r: (Array[Double], Array[Double]), hole: Boolean): Unit = {
+      val start = r._1.indices.minBy(i => (r._1(i), r._2(i)))
+      val n = r._1.length
+      for (k <- 0 to n) { val i = (start + k) % n; bx += r._1(i); by += r._2(i) }
+      lens += (if (hole) -(n + 1) else n + 1)
+    }
+    put(shell, hole = false)
+    holes.sortBy(h => (h._1.min, h._2.min)).foreach(put(_, hole = true))
+    (bx.toArray, by.toArray, lens.toArray)
+  }
+
+  private def assembleParts(
+      ps: List[((Array[Double], Array[Double]), List[(Array[Double], Array[Double])])]): Geom = {
+    val sorted = ps.sortBy { case (shell, _) => (shell._1.min, shell._2.min) }
+    val built = sorted.map { case (s, hs) => partGeom(s, hs) }
+    Geom(if (built.length == 1) "POLYGON" else "MULTIPOLYGON",
+      built.flatMap(_._1).toArray, built.flatMap(_._2).toArray,
+      built.flatMap(_._3).toArray)
+  }
+
+  /** Union of two single-shell polygons, holes allowed (GeoFunctions.java
+    * :1122 general overlay case). Result holes are exactly the regions of
+    * the merged shell covered by NEITHER interior:
+    * pockets ∪ (hA∖sB) ∪ (hB∖sA) ∪ (hA∩hB) — a disjoint decomposition.
+    * B-inside-a-hole-of-A (and vice versa) is the island case → two
+    * MULTIPOLYGON parts. Any degenerate kernel walk → NULL. */
+  def unionHoled(a: Geom, b: Geom): Geom = {
+    val pa = parts(a); val pb = parts(b)
+    val sA = normRing(a.xs, a.ys, pa(0)._1, pa(0)._2)
+    val sB = normRing(b.xs, b.ys, pb(0)._1, pb(0)._2)
+    val hA = pa.toList.drop(1).map { case (off, len, _) => normRing(a.xs, a.ys, off, len) }
+    val hB = pb.toList.drop(1).map { case (off, len, _) => normRing(b.xs, b.ys, off, len) }
+    def inside(p: (Array[Double], Array[Double]), q: (Array[Double], Array[Double])): Boolean =
+      pointInRingArr(p._1(0), p._2(0), q._1, q._2, 0, q._1.length)
+    def noCross(p: (Array[Double], Array[Double]), q: (Array[Double], Array[Double])): Boolean = {
+      val n = p._1.length; val m = q._1.length
+      !(0 until n).exists { i =>
+        val (x1, y1) = (p._1(i), p._2(i)); val (x2, y2) = (p._1((i + 1) % n), p._2((i + 1) % n))
+        (0 until m).exists { j =>
+          properCross(x1, y1, x2, y2, q._1(j), q._2(j), q._1((j + 1) % m), q._2((j + 1) % m))
+        }
+      }
+    }
+    // island cases: one operand ENTIRELY within a hole of the other (a
+    // vertex inside is only conclusive when the boundaries don't cross)
+    def entirelyInside(p: (Array[Double], Array[Double]), q: (Array[Double], Array[Double])): Boolean =
+      noCross(p, q) && inside(p, q)
+    if (hA.exists(h => entirelyInside(sB, h))) return assembleParts(List((sA, hA), (sB, hB)))
+    if (hB.exists(h => entirelyInside(sA, h))) return assembleParts(List((sA, hA), (sB, hB)))
+    // merged shell (+ pockets) or containment/disjoint
+    val (shell, pockets): ((Array[Double], Array[Double]), List[(Array[Double], Array[Double])]) =
+      ringUnionFull(sA._1, sA._2, sB._1, sB._2) match {
+        case Some(sp) => sp
+        case None =>
+          if (inside(sB, sA)) (sA, Nil)
+          else if (inside(sA, sB)) (sB, Nil)
+          else return assembleParts(List((sA, hA), (sB, hB))) // disjoint
+      }
+    val holes = scala.collection.mutable.ListBuffer[(Array[Double], Array[Double])]()
+    holes ++= pockets
+    for (h <- hA) regionDiff(h, sB) match {
+      case Some(ps) => holes ++= ps
+      case None => return null
+    }
+    for (h <- hB) regionDiff(h, sA) match {
+      case Some(ps) => holes ++= ps
+      case None => return null
+    }
+    for (h1 <- hA; h2 <- hB) regionIntersect(h1, h2) match {
+      case Some(ps) => holes ++= ps
+      case None => return null
+    }
+    assembleParts(List((shell, holes.toList)))
+  }
+
   /** ST_Union (GeoFunctions.java:1122) — see object doc for the supported
-    * surface. NULL on holes, mixed kinds, or a degenerate-contact walk. */
+    * surface. NULL on a degenerate-contact walk or multi-shell holed
+    * operands; single-shell operands may carry holes (unionHoled). */
   def union(a: Geom, b: Geom): Geom = {
     if (a == null || b == null) return null
     if (isPolygonal(a) && isPolygonal(b)) {
-      if (a.rings.exists(_ < 0) || b.rings.exists(_ < 0)) return null // holes unsupported
+      if (a.rings.count(_ > 0) == 1 && b.rings.count(_ > 0) == 1)
+        return unionHoled(a, b)
+      if (a.rings.exists(_ < 0) || b.rings.exists(_ < 0)) return null // multi-shell holed
       val shells = (parts(a).map { case (off, len, _) => normRing(a.xs, a.ys, off, len) } ++
         parts(b).map { case (off, len, _) => normRing(b.xs, b.ys, off, len) }).toSeq
       shellsToGeom(mergeInto(Nil, shells))

@@ -86,8 +86,11 @@ class GeoOpsSpec extends SparkSpec {
     // multipoint dedup + sort
     val mp = GeoOps.union(g("MULTIPOINT (3 4, 1 2)"), g("MULTIPOINT (1 2, 5 6)"))
     assert(mp.kind == "MULTIPOINT" && mp.xs.toSeq == Seq(1.0, 3.0, 5.0) && mp.ys.toSeq == Seq(2.0, 4.0, 6.0))
-    // holes and mixed kinds unsupported → null
-    assert(GeoOps.union(g("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))"), a) == null)
+    // round-8: holed single-shell operands union — a covers the hole, so
+    // the result is the plain outer square
+    val hole = GeoOps.union(g("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))"), a)
+    assert(hole != null && hole.kind == "POLYGON" && area(hole) == 81.0)
+    // mixed kinds stay unsupported → null
     assert(GeoOps.union(a, g("POINT (1 1)")) == null)
   }
 
@@ -155,6 +158,42 @@ class GeoOpsSpec extends SparkSpec {
     val far = g("POLYGON ((20 20, 22 20, 22 22, 20 22, 20 20))")
     val sdd = GeoOps.symDifference(a, far)
     assert(sdd != null && sdd.kind == "MULTIPOLYGON" && area(sdd) == 20.0)
+  }
+
+  test("holed union: pockets become holes, holes clip against the other operand") {
+    // 1. pocket: strip across a U — union must carry the enclosed pocket
+    //    [3,5]x[-1,0] as a hole (area 8 + 18 - 4 = 22), not overcount 24
+    val strip = g("POLYGON ((0 0, 8 0, 8 1, 0 1, 0 0))")
+    val u = g("POLYGON ((1 2, 1 -2, 7 -2, 7 2, 5 2, 5 -1, 3 -1, 3 2, 1 2))")
+    val pu = GeoOps.union(strip, u)
+    assert(pu != null && pu.kind == "POLYGON" && pu.rings.count(_ < 0) == 1,
+      if (pu == null) "null" else Wkt.format(pu.kind, pu.xs, pu.ys, pu.rings))
+    assert(area(pu) == 22.0, area(pu).toString)
+    assert(!GeoOps.containsPoint(pu, 4.0, -0.5) && GeoOps.containsPoint(pu, 4.0, 0.5))
+    // 2. holed A ∪ crossing B that reaches into the hole: hole shrinks to
+    //    hole∖B (area 3), union area 99
+    val aH = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 4 6, 6 6, 6 4, 4 4))")
+    val bStrip = g("POLYGON ((5 4.5, 12 4.5, 12 5.5, 5 5.5, 5 4.5))")
+    val hu = GeoOps.union(aH, bStrip)
+    assert(hu != null && hu.kind == "POLYGON" && hu.rings.count(_ < 0) == 1,
+      if (hu == null) "null" else Wkt.format(hu.kind, hu.xs, hu.ys, hu.rings))
+    assert(area(hu) == 99.0, area(hu).toString)
+    assert(GeoOps.containsPoint(hu, 5.5, 5.0) && !GeoOps.containsPoint(hu, 4.5, 5.8))
+    // 3. both holed, holes overlapping: result holes are hA∖sB and hA∩hB
+    val a2 = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 6, 6 6, 6 2, 2 2))")
+    val b2 = g("POLYGON ((1 1, 11 1, 11 3, 1 3, 1 1), (3 1.5, 3 2.5, 9 2.5, 9 1.5, 3 1.5))")
+    val bu = GeoOps.union(a2, b2)
+    assert(bu != null && bu.kind == "POLYGON" && bu.rings.count(_ < 0) == 2,
+      if (bu == null) "null" else Wkt.format(bu.kind, bu.xs, bu.ys, bu.rings))
+    assert(area(bu) == 88.5, area(bu).toString)
+    // hA∖sB region stays a hole; the covered band does not
+    assert(!GeoOps.containsPoint(bu, 4.0, 5.0) && GeoOps.containsPoint(bu, 4.0, 2.75))
+    // hA∩hB stays a hole
+    assert(!GeoOps.containsPoint(bu, 4.0, 2.25))
+    // 4. island: B fully inside A's hole → two parts, interiors disjoint
+    val isl = GeoOps.union(aH, g("POLYGON ((4.5 4.5, 5.5 4.5, 5.5 5.5, 4.5 5.5, 4.5 4.5))"))
+    assert(isl != null && isl.kind == "MULTIPOLYGON" && area(isl) == 97.0,
+      if (isl == null) "null" else Wkt.format(isl.kind, isl.xs, isl.ys, isl.rings))
   }
 
   test("noded line union: crossings, T-junctions, collinear overlap dissolve") {
