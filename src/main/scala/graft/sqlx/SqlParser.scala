@@ -94,6 +94,9 @@ object SqlAst {
   final case class DescribeStmt(name: String) extends Statement
   final case class DropTableStmt(name: String, ifExists: Boolean) extends Statement
   final case class CreateViewStmt(name: String, orReplace: Boolean, q: Query) extends Statement
+  /** CREATE TABLE t (col type, …) — empty table with a declared schema. */
+  final case class CreateTableCols(name: String, ifNotExists: Boolean,
+      cols: Seq[(String, String)]) extends Statement
   /** Canonical upsert MERGE (WHEN MATCHED UPDATE SET * / NOT MATCHED INSERT *). */
   final case class MergeStmt(name: String, source: Query, key: String) extends Statement
 }
@@ -269,7 +272,21 @@ final class SqlParser(src: String) {
         MergeStmt(name, source, key)
       } else if (acceptSeq("CREATE", "TABLE")) {
         val ine = acceptSeq("IF", "NOT", "EXISTS")
-        parseCtas(orReplace = false, ifNotExists = ine)
+        val name = ident("table name")
+        if (accept("AS")) CreateTableAs(name, orReplace = false, ine, parseQueryNoFinish())
+        else if (peek.isOp("(")) {
+          p += 1
+          val cols = scala.collection.mutable.ArrayBuffer[(String, String)]()
+          var more = true
+          while (more) {
+            val c = ident("column name")
+            val t = parseTypeRaw()
+            cols += ((c, t))
+            more = acceptOp(",")
+          }
+          expectOp(")")
+          CreateTableCols(name, ine, cols.toSeq)
+        } else err("expected AS or a column list")
       } else if (acceptSeq("INSERT", "INTO")) {
         val name = ident("table name")
         val cols =
@@ -303,6 +320,7 @@ final class SqlParser(src: String) {
         val analyze = accept("ANALYZE")
         ExplainStmt(analyze, parseQueryNoFinish())
       } else if (acceptSeq("SHOW", "TABLES")) ShowStmt("TABLES")
+      else if (acceptSeq("SHOW", "SCHEMAS")) ShowStmt("SCHEMAS")
       else if (acceptSeq("SHOW", "CATALOGS")) ShowStmt("CATALOGS")
       else if (acceptSeq("SHOW", "FUNCTIONS")) ShowStmt("FUNCTIONS")
       else if (acceptSeq("SHOW", "COLUMNS")) {

@@ -160,6 +160,10 @@ private[graft] object Statements {
       val views = spark.catalog.listTables().collect().map(_.name).toSeq
       stringRows(spark, "table", (views ++ tables.keys).distinct.sorted)
 
+    case ShowStmt("SCHEMAS") =>
+      stringRows(spark, "schema",
+        spark.catalog.listDatabases().collect().map(_.name).toSeq.sorted)
+
     case ShowStmt("CATALOGS") =>
       val dsv2 = spark.conf.getAll.keys
         .collect { case k if k.matches("spark\\.sql\\.catalog\\.\\w+") =>
@@ -179,6 +183,33 @@ private[graft] object Statements {
           schema.fields.toSeq.map(f => Row(f.name, f.dataType.simpleString))).asJava),
         StructType(Seq(StructField("column", StringType, nullable = false),
           StructField("type", StringType, nullable = false))))
+
+    case CreateTableCols(name, ifNotExists, cols) =>
+      val key = name.toLowerCase
+      if (tables.contains(key)) {
+        if (ifNotExists) return oneRow(spark, "rows", 0L)
+        throw new IllegalArgumentException(s"table '$name' already exists")
+      }
+      // reference type spellings → Spark type strings
+      def sparkType(t: String): String = t.trim.toLowerCase match {
+        case "varchar" => "string"
+        case v if v.startsWith("varchar(") => "string" // unbounded semantics
+        case "varbinary" => "binary"
+        case "real" => "float"
+        case "double precision" => "double"
+        case other => other
+      }
+      val schema = StructType(cols.map { case (c, t) =>
+        StructField(c, org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(sparkType(t)))
+      })
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+      val root = Paths.get(warehouse, key + "_" + System.nanoTime()).toString
+      graft.catalog.CowTable.create(spark, root, empty)
+      tables(key) = root
+      refreshView(spark, name)
+      oneRow(spark, "rows", 0L)
 
     case CreateViewStmt(name, orReplace, q) =>
       if (!orReplace && spark.catalog.tableExists(name))

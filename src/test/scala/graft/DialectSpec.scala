@@ -318,4 +318,21 @@ class DialectSpec extends SparkSpec {
     assert(rows == 3, rows.toString)
     TrinoDialect.sql(spark, sfDir, "DROP TABLE wh_merge")
   }
+
+  test("statement front door: CREATE TABLE with column defs, SHOW SCHEMAS") {
+    import graft.sqlx.TrinoDialect
+    TrinoDialect.sql(spark, sfDir, "DROP TABLE IF EXISTS wh_empty")
+    TrinoDialect.sql(spark, sfDir,
+      "CREATE TABLE wh_empty (id BIGINT, name VARCHAR, price DECIMAL(12,2), w REAL)")
+    assert(spark.table("wh_empty").count() == 0)
+    assert(spark.table("wh_empty").schema.map(_.dataType.simpleString).toSeq ==
+      Seq("bigint", "string", "decimal(12,2)", "float"))
+    TrinoDialect.sql(spark, sfDir,
+      "INSERT INTO wh_empty VALUES (1, 'a', CAST(9.50 AS DECIMAL(12,2)), CAST(0.5 AS REAL))")
+    assert(spark.table("wh_empty").count() == 1)
+    val schemas = TrinoDialect.sql(spark, sfDir, "SHOW SCHEMAS")
+      .collect().map(_.getString(0)).toSeq
+    assert(schemas.contains("default"), schemas.mkString(","))
+    TrinoDialect.sql(spark, sfDir, "DROP TABLE wh_empty")
+  }
 }
