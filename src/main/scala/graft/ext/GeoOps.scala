@@ -206,7 +206,7 @@ object GeoOps {
 
   /** Open CCW normalization of a ring slice: drop closing duplicate, reverse
     * clockwise rings. */
-  private def normRing(xs: Array[Double], ys: Array[Double], off: Int, len0: Int):
+  private[ext] def normRing(xs: Array[Double], ys: Array[Double], off: Int, len0: Int):
       (Array[Double], Array[Double]) = {
     var len = len0
     if (len > 1 && xs(off) == xs(off + len - 1) && ys(off) == ys(off + len - 1)) len -= 1

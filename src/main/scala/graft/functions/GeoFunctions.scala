@@ -142,6 +142,37 @@ object GeoFunctions {
   def stGeomFromBinary(b: Column): Column =
     column(graft.ext.GeomFromBinary(expression(b)))
 
+  /** Relation predicates (GeoFunctions.java ST_Equals/ST_Disjoint/
+    * ST_Touches/ST_Overlaps/ST_Crosses; see ext.GeoRelations for the
+    * supported surface — NULL beyond it). */
+  def stEquals(a: Column, b: Column): Column =
+    column(graft.ext.GeomRelation(expression(a), expression(b), "equals"))
+  def stDisjoint(a: Column, b: Column): Column =
+    column(graft.ext.GeomRelation(expression(a), expression(b), "disjoint"))
+  def stTouches(a: Column, b: Column): Column =
+    column(graft.ext.GeomRelation(expression(a), expression(b), "touches"))
+  def stOverlaps(a: Column, b: Column): Column =
+    column(graft.ext.GeomRelation(expression(a), expression(b), "overlaps"))
+  def stCrosses(a: Column, b: Column): Column =
+    column(graft.ext.GeomRelation(expression(a), expression(b), "crosses"))
+
+  /** ST_Boundary / ST_Points / ST_CoordDim / ST_IsValid /
+    * geometry_invalid_reason / GeoJSON codec. */
+  def stBoundary(g: Column): Column =
+    column(graft.ext.GeomUnaryMisc(expression(g), "boundary"))
+  def stPoints(g: Column): Column =
+    column(graft.ext.GeomUnaryMisc(expression(g), "points"))
+  def stCoordDim(g: Column): Column =
+    column(graft.ext.GeomUnaryMisc(expression(g), "coord_dim"))
+  def stIsValid(g: Column): Column =
+    column(graft.ext.GeomUnaryMisc(expression(g), "is_valid"))
+  def geometryInvalidReason(g: Column): Column =
+    column(graft.ext.GeomUnaryMisc(expression(g), "invalid_reason"))
+  def toGeojsonGeometry(g: Column): Column =
+    column(graft.ext.GeomUnaryMisc(expression(g), "to_geojson"))
+  def fromGeojsonGeometry(j: Column): Column =
+    column(graft.ext.GeomFromGeoJson(expression(j)))
+
   /** Accessors: ST_X/ST_Y/ST_Dimension/ST_IsClosed/ST_IsRing/ST_IsEmpty/
     * ST_GeometryType (lax-NULL on kind mismatch where the reference throws). */
   def stX(g: Column): Column = column(graft.ext.GeomAccessor(expression(g), "x"))

@@ -421,6 +421,91 @@ object Geometry {
          TRUE AS malformed_null
        FROM r ORDER BY c_custkey"""
 
+  /** Relation predicates + validity + boundary/points + GeoJSON roundtrip
+    * (GeoFunctions.java ST_Equals/ST_Disjoint/ST_Touches/ST_Overlaps/
+    * ST_Crosses/ST_IsValid/geometry_invalid_reason/ST_Boundary/ST_Points/
+    * ST_CoordDim + the GeoJson codec): each boolean derives from the
+    * analytic layout — square A at x0, overlapping square B, edge-adjacent
+    * square T, disjoint square D, a crossing line and a contained line, and
+    * a bowtie ring for invalidity. */
+  def q_fn_geo_relations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.registerAll(s)
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 800)
+      .withColumn("x0", (($"c_custkey" * 7 % 100) * 30).cast("long"))
+      .withColumn("ga", stGeometryFromText(format_string(
+        "POLYGON ((%d 0, %d 0, %d 4, %d 4, %d 0))",
+        $"x0", $"x0" + 4, $"x0" + 4, $"x0", $"x0")))
+      .withColumn("gb", stGeometryFromText(format_string(
+        "POLYGON ((%d 2, %d 2, %d 6, %d 6, %d 2))",
+        $"x0" + 2, $"x0" + 6, $"x0" + 6, $"x0" + 2, $"x0" + 2)))
+      .withColumn("gt", stGeometryFromText(format_string(
+        "POLYGON ((%d 0, %d 0, %d 4, %d 4, %d 0))",
+        $"x0" + 4, $"x0" + 8, $"x0" + 8, $"x0" + 4, $"x0" + 4)))
+      .withColumn("gd", stGeometryFromText(format_string(
+        "POLYGON ((%d 0, %d 0, %d 2, %d 2, %d 0))",
+        $"x0" + 20, $"x0" + 22, $"x0" + 22, $"x0" + 20, $"x0" + 20)))
+      .withColumn("ga2", stGeometryFromText(format_string(
+        "POLYGON ((%d 4, %d 0, %d 0, %d 4, %d 4))", // same square, rotated start
+        $"x0", $"x0", $"x0" + 4, $"x0" + 4, $"x0")))
+      .withColumn("lcross", stGeometryFromText(format_string(
+        "LINESTRING (%d 1, %d 1)", $"x0" - 2, $"x0" + 6)))
+      .withColumn("lin", stGeometryFromText(format_string(
+        "LINESTRING (%d 1, %d 3)", $"x0" + 1, $"x0" + 3)))
+      .withColumn("bowtie", stGeometryFromText(format_string(
+        "POLYGON ((%d 0, %d 4, %d 0, %d 4, %d 0))",
+        $"x0" + 40, $"x0" + 44, $"x0" + 44, $"x0" + 40, $"x0" + 40)))
+    t.select($"c_custkey",
+        stEquals($"ga", $"ga2").as("eq_rotated"),
+        stEquals($"ga", $"gb").as("eq_diff"),
+        stDisjoint($"ga", $"gd").as("disj_far"),
+        stDisjoint($"ga", $"gt").as("disj_touching"),
+        stTouches($"ga", $"gt").as("touches_edge"),
+        stTouches($"ga", $"gb").as("touches_overlap"),
+        stOverlaps($"ga", $"gb").as("overlaps_ab"),
+        stOverlaps($"ga", $"gd").as("overlaps_far"),
+        stCrosses($"lcross", $"ga").as("crosses_line"),
+        stCrosses($"lin", $"ga").as("crosses_contained"),
+        stIsValid($"ga").as("valid_square"),
+        stIsValid($"bowtie").as("valid_bowtie"),
+        geometryInvalidReason($"bowtie").as("bowtie_reason"),
+        geometryInvalidReason($"ga").isNull.as("square_no_reason"),
+        stNumGeometries(stBoundary($"ga")).as("bnd_nparts"),
+        round(stGeomLength(stBoundary($"ga")), 9).as("bnd_len"),
+        stNumPoints(stPoints($"ga")).as("pts_n"),
+        stCoordDim($"ga").as("coord_dim"),
+        toGeojsonGeometry(stGeometryFromText(format_string(
+          "POINT (%d 2)", $"x0"))).as("gj_point"),
+        (stAsText(fromGeojsonGeometry(toGeojsonGeometry($"ga"))) ===
+          stAsText($"ga")).as("gj_roundtrip"),
+        fromGeojsonGeometry(lit("{nope")).isNull.as("gj_bad_null"))
+      .orderBy($"c_custkey")
+  }
+  val qFnGeoRelationsSql: String =
+    """SELECT c_custkey,
+         TRUE AS eq_rotated,
+         FALSE AS eq_diff,
+         TRUE AS disj_far,
+         FALSE AS disj_touching,
+         TRUE AS touches_edge,
+         FALSE AS touches_overlap,
+         TRUE AS overlaps_ab,
+         FALSE AS overlaps_far,
+         TRUE AS crosses_line,
+         FALSE AS crosses_contained,
+         TRUE AS valid_square,
+         FALSE AS valid_bowtie,
+         'ring 0 self-intersects' AS bowtie_reason,
+         TRUE AS square_no_reason,
+         1 AS bnd_nparts,
+         16.0 AS bnd_len,
+         CAST(5 AS BIGINT) AS pts_n,
+         2 AS coord_dim,
+         '{"type":"Point","coordinates":[' || CAST((c_custkey * 7 % 100) * 30 AS BIGINT) || ',2]}' AS gj_point,
+         TRUE AS gj_roundtrip,
+         TRUE AS gj_bad_null
+       FROM customer WHERE c_custkey <= 800 ORDER BY c_custkey"""
+
   /** Accessor family (GeoFunctions.java ST_X:1511/ST_Y/ST_Dimension:814/
     * ST_IsClosed:823/ST_IsRing:1378/ST_GeometryType:1989/ST_PointN:1315/
     * ST_StartPoint/ST_EndPoint): per customer a point, an open path, a
@@ -703,6 +788,7 @@ object Geometry {
     "q_fn_geo_union" -> q_fn_geo_union _,
     "q_fn_geo_difference" -> q_fn_geo_difference _,
     "q_fn_geo_wkb" -> q_fn_geo_wkb _,
+    "q_fn_geo_relations" -> q_fn_geo_relations _,
     "q_fn_geo_accessors" -> q_fn_geo_accessors _,
     "q_geo_union_agg" -> q_geo_union_agg _)
 
@@ -715,6 +801,7 @@ object Geometry {
     "q_fn_geo_union" -> qFnGeoUnionSql,
     "q_fn_geo_difference" -> qFnGeoDifferenceSql,
     "q_fn_geo_wkb" -> qFnGeoWkbSql,
+    "q_fn_geo_relations" -> qFnGeoRelationsSql,
     "q_fn_geo_accessors" -> qFnGeoAccessorsSql,
     "q_geo_union_agg" -> qGeoUnionAggSql)
 }
