@@ -33,6 +33,7 @@ object SparkEntry {
       (operators.Functions2.queries, operators.Functions2.oracles),
       (operators.Functions3.queries, operators.Functions3.oracles),
       (operators.Functions4.queries, operators.Functions4.oracles),
+      (operators.Functions5.queries, operators.Functions5.oracles),
       (operators.Geometry.queries, operators.Geometry.oracles),
       (operators.Stats.queries, operators.Stats.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),

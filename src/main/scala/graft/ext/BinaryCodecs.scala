@@ -28,6 +28,11 @@ object BinaryCodecs {
     java.lang.Float.intBitsToFloat(java.nio.ByteBuffer.wrap(b).getInt)
   }
   def intToBe(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+  def longToBe(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+  def beToLong(b: Array[Byte]): Long = {
+    require(b.length == 8, s"expected 8 bytes, got ${b.length}")
+    java.nio.ByteBuffer.wrap(b).getLong
+  }
   def beToInt(b: Array[Byte]): Int = {
     require(b.length == 4, s"from_big_endian_32 requires 4 bytes, got ${b.length}")
     java.nio.ByteBuffer.wrap(b).getInt
@@ -81,5 +86,17 @@ case class FromBigEndian32(child: Expression) extends CodecExpr {
   override def sig: (DataType, DataType, String) = (BinaryType, IntegerType, "beToInt")
   override def prettyName: String = "from_big_endian_32"
   override def nullSafeEval(v: Any): Any = BinaryCodecs.beToInt(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+case class ToBigEndian64(child: Expression) extends CodecExpr {
+  override def sig: (DataType, DataType, String) = (LongType, BinaryType, "longToBe")
+  override def prettyName: String = "to_big_endian_64"
+  override def nullSafeEval(v: Any): Any = BinaryCodecs.longToBe(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+case class FromBigEndian64(child: Expression) extends CodecExpr {
+  override def sig: (DataType, DataType, String) = (BinaryType, LongType, "beToLong")
+  override def prettyName: String = "from_big_endian_64"
+  override def nullSafeEval(v: Any): Any = BinaryCodecs.beToLong(v.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
 }

@@ -33,7 +33,22 @@ object Registry {
     "bitwise_not", "bitwise_left_shift", "bitwise_right_shift",
     "bitwise_right_shift_arithmetic", "t_cdf", "t_pdf", "murmur3",
     "regexp_position", "json_array_contains", "json_parse", "json_format",
-    "title_case")
+    "title_case",
+    // scalar-name parity batch 2 (round 8)
+    "strpos", "starts_with", "ends_with", "codepoint", "normalize",
+    "regexp_split", "split_to_map", "sha256", "sha512",
+    "human_readable_seconds", "json_extract", "json_extract_scalar",
+    "json_size", "json_array_get", "is_json_scalar", "json_array_length",
+    "array_first", "array_last", "array_first_match", "array_last_match",
+    "all_match", "any_match", "none_match", "trim_array", "combinations",
+    "ngrams", "contains_sequence", "last_day_of_month", "millisecond",
+    "to_iso8601", "date_parse", "format_datetime", "parse_datetime",
+    "parse_duration", "to_milliseconds", "parse_data_size",
+    "with_timezone", "at_timezone", "timezone", "timezone_hour",
+    "timezone_minute", "is_nan", "nan", "infinity", "fail", "truncate",
+    "wilson_interval_lower", "wilson_interval_upper", "normal_cdf",
+    "inverse_normal_cdf", "beta_cdf", "inverse_beta_cdf", "binomial_cdf",
+    "to_base", "from_base", "to_big_endian_64", "from_big_endian_64", "rgb")
 
   def registerAll(spark: SparkSession): Unit = {
     VectorFunctions.register(spark)
@@ -187,5 +202,224 @@ object Registry {
       es => Cast(es(0), org.apache.spark.sql.types.StringType), "built-in")
     r.createOrReplaceTempFunction("title_case",
       es => InitCap(es(0)), "built-in")
+
+    // ---- scalar-name parity batch 2 (round 8): the remaining reference
+    // spellings. Compositions stay inline; real semantics live in
+    // ext.ParityExpressions2. Column-level helpers are reused through the
+    // ColumnBridge so SQL names and the Scala API share one implementation.
+    import org.apache.spark.sql.graft.ColumnBridge.{column => asCol, expression => asExpr}
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType => StrT}
+
+    // string
+    r.createOrReplaceTempFunction("strpos", es =>
+      if (es.length <= 2) Cast(StringLocate(es(1), es(0), Literal(1)), LongType)
+      else graft.ext.StrPosInstance(es(0), es(1), Cast(es(2), LongType)), "built-in")
+    r.createOrReplaceTempFunction("starts_with", es => StartsWith(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("ends_with", es => EndsWith(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("codepoint", es => Ascii(es(0)), "built-in")
+    // Trino's form argument is a bare keyword (NFC/NFD/NFKC/NFKD); accept a
+    // bare identifier or a string literal
+    r.createOrReplaceTempFunction("normalize", es => {
+      val form =
+        if (es.length < 2) "NFC"
+        else es(1) match {
+          case Literal(s, StrT) => s.toString
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+          case other => lit(other)
+        }
+      graft.ext.NormalizeForm(es(0), form)
+    }, "built-in")
+    r.createOrReplaceTempFunction("regexp_split",
+      es => StringSplit(es(0), es(1), Literal(-1)), "built-in")
+    r.createOrReplaceTempFunction("split_to_map",
+      es => StringToMap(es(0), es(1), es(2)), "built-in")
+    // Trino sha256/sha512 are varbinary→varbinary; Spark's sha2 renders hex
+    r.createOrReplaceTempFunction("sha256", es => Unhex(Sha2(es(0), Literal(256))), "built-in")
+    r.createOrReplaceTempFunction("sha512", es => Unhex(Sha2(es(0), Literal(512))), "built-in")
+    r.createOrReplaceTempFunction("human_readable_seconds",
+      es => graft.ext.HumanReadableSecondsExpr(Cast(es(0), DoubleType)), "built-in")
+
+    // json (legacy-path dialect; the SQL/JSON 2016 engine is json_path_*)
+    r.createOrReplaceTempFunction("json_extract",
+      es => graft.ext.LegacyJsonExtract(es(0), lit(es(1)), "json"), "built-in")
+    r.createOrReplaceTempFunction("json_extract_scalar",
+      es => graft.ext.LegacyJsonExtract(es(0), lit(es(1)), "scalar"), "built-in")
+    r.createOrReplaceTempFunction("json_size",
+      es => graft.ext.LegacyJsonExtract(es(0), lit(es(1)), "size"), "built-in")
+    r.createOrReplaceTempFunction("json_array_get",
+      es => graft.ext.JsonArrayGet(es(0), Cast(es(1), LongType)), "built-in")
+    r.createOrReplaceTempFunction("is_json_scalar",
+      es => graft.ext.IsJsonScalar(es(0)), "built-in")
+    // json_array_length is a Spark built-in with matching semantics
+
+    // arrays
+    r.createOrReplaceTempFunction("array_first",
+      es => ElementAt(es(0), Literal(1), None, failOnError = false), "built-in")
+    r.createOrReplaceTempFunction("array_last",
+      es => ElementAt(es(0), Literal(-1), None, failOnError = false), "built-in")
+    r.createOrReplaceTempFunction("array_first_match",
+      es => graft.ext.ArrayFirstMatch(es(0), es(1), fromEnd = false), "built-in")
+    r.createOrReplaceTempFunction("array_last_match",
+      es => graft.ext.ArrayFirstMatch(es(0), es(1), fromEnd = true), "built-in")
+    r.createOrReplaceTempFunction("all_match", es => ArrayForAll(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("any_match", es => ArrayExists(es(0), es(1)), "built-in")
+    // none_match = forall over the negated predicate (same 3VL as the
+    // reference's !any_match); the result must itself be a HOF for the
+    // analyzer to accept the lambda argument
+    r.createOrReplaceTempFunction("none_match", es => es(1) match {
+      case l: LambdaFunction => ArrayForAll(es(0), l.copy(function = Not(l.function)))
+      case other => Not(ArrayExists(es(0), other))
+    }, "built-in")
+    r.createOrReplaceTempFunction("trim_array", es =>
+      Slice(es(0), Literal(1), Subtract(Size(es(0)), Cast(es(1), IntegerType))), "built-in")
+    r.createOrReplaceTempFunction("combinations",
+      es => graft.ext.CombinationsExpr(es(0), Cast(es(1), IntegerType)), "built-in")
+    r.createOrReplaceTempFunction("ngrams",
+      es => graft.ext.NgramsExpr(es(0), Cast(es(1), LongType)), "built-in")
+    r.createOrReplaceTempFunction("contains_sequence",
+      es => graft.ext.ContainsSequenceExpr(es(0), es(1)), "built-in")
+
+    // datetime
+    r.createOrReplaceTempFunction("last_day_of_month",
+      es => LastDay(Cast(es(0), DateType)), "built-in")
+    // millisecond-of-second from epoch micros (floor-mod keeps pre-1970 right)
+    r.createOrReplaceTempFunction("millisecond", es =>
+      IntegralDivide(Pmod(UnixMicros(Cast(es(0), TimestampType)), Literal(1000000L)),
+        Literal(1000L)), "built-in")
+    r.createOrReplaceTempFunction("to_iso8601", es => graft.ext.ToIso8601(es(0)), "built-in")
+    r.createOrReplaceTempFunction("date_parse", es =>
+      new ParseToTimestamp(es(0),
+        Literal(ScalarFunctions.translateMySqlPattern(lit(es(1))))), "built-in")
+    r.createOrReplaceTempFunction("format_datetime", es =>
+      DateFormatClass(Cast(es(0), TimestampType),
+        Literal(ScalarFunctions.translateJodaPattern(lit(es(1))))), "built-in")
+    r.createOrReplaceTempFunction("parse_datetime", es =>
+      new ParseToTimestamp(es(0),
+        Literal(ScalarFunctions.translateJodaPattern(lit(es(1))))), "built-in")
+    r.createOrReplaceTempFunction("parse_duration",
+      es => graft.ext.ParseDuration(es(0)), "built-in")
+    r.createOrReplaceTempFunction("to_milliseconds",
+      es => graft.ext.ToMilliseconds(es(0)), "built-in")
+    r.createOrReplaceTempFunction("parse_data_size",
+      es => graft.ext.ParseDataSize(es(0)), "built-in")
+
+    // timestamp-with-time-zone emulation (struct<utc_micros, zone>); built
+    // from raw catalyst nodes — expressions a SQL builder returns must be
+    // analyzer-resolvable, so no Column round-trips here
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    r.createOrReplaceTempFunction("with_timezone", es =>
+      CreateNamedStruct(Seq(
+        Literal("utc_micros"), UnixMicros(ToUTCTimestamp(Cast(es(0), TimestampType), es(1))),
+        Literal("zone"), es(1))), "built-in")
+    r.createOrReplaceTempFunction("at_timezone", es =>
+      CreateNamedStruct(Seq(
+        Literal("utc_micros"), UnresolvedExtractValue(es(0), Literal("utc_micros")),
+        Literal("zone"), es(1))), "built-in")
+    r.createOrReplaceTempFunction("timezone",
+      es => UnresolvedExtractValue(es(0), Literal("zone")), "built-in")
+    // zone offset in whole minutes at the carried instant; integer division
+    // truncates toward zero, so -05:30 renders hour -5, minute -30 as the
+    // reference does
+    def tzOffsetMinutes(e: Expression): Expression = {
+      val micros = UnresolvedExtractValue(e, Literal("utc_micros"))
+      val zone = UnresolvedExtractValue(e, Literal("zone"))
+      val localMicros = UnixMicros(FromUTCTimestamp(MicrosToTimestamp(micros), zone))
+      Cast(Divide(Cast(Subtract(localMicros, micros), DoubleType), Literal(60000000.0)), LongType)
+    }
+    r.createOrReplaceTempFunction("timezone_hour", es =>
+      Cast(Divide(Cast(tzOffsetMinutes(es(0)), DoubleType), Literal(60.0)), LongType), "built-in")
+    r.createOrReplaceTempFunction("timezone_minute", es =>
+      Remainder(tzOffsetMinutes(es(0)), Literal(60L)), "built-in")
+
+    // math / stat
+    r.createOrReplaceTempFunction("is_nan", es => IsNaN(Cast(es(0), DoubleType)), "built-in")
+    r.createOrReplaceTempFunction("nan", _ => Literal(Double.NaN), "built-in")
+    r.createOrReplaceTempFunction("infinity", _ => Literal(Double.PositiveInfinity), "built-in")
+    r.createOrReplaceTempFunction("fail", es => RaiseError(es(0)), "built-in")
+    // truncate toward zero; 2-arg form is digit-scaled (reference
+    // MathFunctions.java truncate)
+    r.createOrReplaceTempFunction("truncate", es => {
+      val x = Cast(es(0), DoubleType)
+      if (es.length == 1)
+        Multiply(Signum(x), Cast(Floor(Abs(x)), DoubleType))
+      else {
+        val p = Pow(Literal(10.0), Cast(es(1), DoubleType))
+        Divide(Multiply(Signum(x), Cast(Floor(Multiply(Abs(x), p)), DoubleType)), p)
+      }
+    }, "built-in")
+    // Wilson score interval, the reference's exact operation order
+    // (WilsonInterval.java: (p + z²/2n ± z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n))
+    def wilson(bound: Double)(es: Seq[Expression]): Expression = {
+      val s = Cast(es(0), DoubleType); val t = Cast(es(1), DoubleType)
+      val z = Cast(es(2), DoubleType)
+      val p = Divide(s, t)
+      val z2 = Multiply(z, z)
+      val num = Add(Add(p, Divide(z2, Multiply(t, Literal(2.0)))),
+        Multiply(Multiply(Literal(bound), z),
+          Sqrt(Add(Divide(Multiply(p, Subtract(Literal(1.0), p)), t),
+            Divide(z2, Multiply(Literal(4.0), Multiply(t, t)))))))
+      Divide(num, Add(Literal(1.0), Divide(z2, t)))
+    }
+    r.createOrReplaceTempFunction("wilson_interval_lower", wilson(-1.0), "built-in")
+    r.createOrReplaceTempFunction("wilson_interval_upper", wilson(1.0), "built-in")
+    // normal_cdf: the A&S 7.1.26 erf kernel in the same operation order as
+    // operators.Stats.normalCdf (bit-identical doubles, oracle-replayable)
+    r.createOrReplaceTempFunction("normal_cdf", es => {
+      val mean = Cast(es(0), DoubleType); val sd = Cast(es(1), DoubleType)
+      val v = Cast(es(2), DoubleType)
+      val x = Divide(Subtract(v, mean), Multiply(sd, Sqrt(Literal(2.0))))
+      val z = Abs(x)
+      val t = Divide(Literal(1.0), Add(Literal(1.0), Multiply(Literal(0.3275911), z)))
+      val poly = Multiply(t, Add(Literal(0.254829592), Multiply(t, Add(Literal(-0.284496736),
+        Multiply(t, Add(Literal(1.421413741), Multiply(t, Add(Literal(-1.453152027),
+          Multiply(t, Literal(1.061405429))))))))))
+      val erfAbs = Subtract(Literal(1.0),
+        Multiply(poly, Exp(Multiply(UnaryMinus(z), z))))
+      val erf = If(GreaterThanOrEqual(x, Literal(0.0)), erfAbs, UnaryMinus(erfAbs))
+      Divide(Add(Literal(1.0), erf), Literal(2.0))
+    }, "built-in")
+    r.createOrReplaceTempFunction("inverse_normal_cdf", es =>
+      graft.ext.InverseNormalCdf(Cast(es(0), DoubleType), Cast(es(1), DoubleType),
+        Cast(es(2), DoubleType)), "built-in")
+    r.createOrReplaceTempFunction("beta_cdf", es =>
+      graft.ext.BetaCdf(Cast(es(0), DoubleType), Cast(es(1), DoubleType),
+        Cast(es(2), DoubleType)), "built-in")
+    r.createOrReplaceTempFunction("inverse_beta_cdf", es =>
+      graft.ext.InverseBetaCdf(Cast(es(0), DoubleType), Cast(es(1), DoubleType),
+        Cast(es(2), DoubleType)), "built-in")
+    r.createOrReplaceTempFunction("binomial_cdf", es =>
+      graft.ext.BinomialCdf(Cast(es(0), IntegerType), Cast(es(1), DoubleType),
+        Cast(es(2), IntegerType)), "built-in")
+
+    // radix / binary
+    // radix must be a literal (Spark's conv takes Int bases); sign handled
+    // explicitly — Spark conv is unsigned-64 (reference to_base/from_base
+    // are signed, MathFunctions.java)
+    r.createOrReplaceTempFunction("to_base", es => {
+      val radix = Cast(es(1), IntegerType)
+      val x = Cast(es(0), LongType)
+      If(LessThan(x, Literal(0L)),
+        Concat(Seq(Literal("-"),
+          Lower(Conv(Cast(UnaryMinus(x), StrT), Literal(10), radix)))),
+        Lower(Conv(Cast(x, StrT), Literal(10), radix)))
+    }, "built-in")
+    r.createOrReplaceTempFunction("from_base", es => {
+      val radix = Cast(es(1), IntegerType)
+      val s = es(0)
+      If(StartsWith(s, Literal("-")),
+        UnaryMinus(Cast(Conv(Substring(s, Literal(2), Literal(Int.MaxValue)), radix,
+          Literal(10)), LongType)),
+        Cast(Conv(s, radix, Literal(10)), LongType))
+    }, "built-in")
+    r.createOrReplaceTempFunction("to_big_endian_64",
+      es => graft.ext.ToBigEndian64(Cast(es(0), LongType)), "built-in")
+    r.createOrReplaceTempFunction("from_big_endian_64",
+      es => graft.ext.FromBigEndian64(es(0)), "built-in")
+    // color family deterministic subset: packed rgb int (ColorFunctions.java)
+    r.createOrReplaceTempFunction("rgb", es =>
+      Cast(Add(Add(ShiftLeft(Cast(es(0), IntegerType), Literal(16)),
+        ShiftLeft(Cast(es(1), IntegerType), Literal(8))), Cast(es(2), IntegerType)),
+        IntegerType), "built-in")
   }
 }

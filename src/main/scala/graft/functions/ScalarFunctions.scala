@@ -80,4 +80,39 @@ object ScalarFunctions {
   /** parse_datetime(str, jodaPattern) → timestamp. */
   def parseDatetime(s: Column, jodaPattern: String): Column =
     to_timestamp(s, translateJodaPattern(jodaPattern))
+
+  // --- MySQL-dialect %-patterns (reference DateTimeFunctions.java
+  //     date_parse/date_format use MySQL tokens). Translated to java.time;
+  //     tokens outside the supported subset are rejected loudly. ---
+  private val mysqlTokens: Map[Char, String] = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'c' -> "M", 'd' -> "dd",
+    'e' -> "d", 'H' -> "HH", 'k' -> "H", 'h' -> "hh", 'I' -> "hh",
+    'i' -> "mm", 's' -> "ss", 'S' -> "ss", 'f' -> "SSSSSS", 'p' -> "a",
+    'M' -> "MMMM", 'b' -> "MMM", 'j' -> "DDD", 'a' -> "EEE", 'W' -> "EEEE",
+    'T' -> "HH:mm:ss", 'r' -> "hh:mm:ss a", '%' -> "%")
+
+  /** Translate a MySQL %-pattern to a java.time one (common subset). */
+  def translateMySqlPattern(p: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '%') {
+        require(i + 1 < p.length, s"dangling % in '$p'")
+        val t = p.charAt(i + 1)
+        sb.append(mysqlTokens.getOrElse(t,
+          throw new IllegalArgumentException(s"%$t not supported in '$p'")))
+        i += 2
+      } else if (c.isLetter) {
+        // literal letters must be quoted for java.time
+        sb.append('\'').append(c).append('\'')
+        i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** date_parse(str, mysqlPattern) → timestamp. */
+  def dateParse(s: Column, mysqlPattern: String): Column =
+    to_timestamp(s, translateMySqlPattern(mysqlPattern))
 }

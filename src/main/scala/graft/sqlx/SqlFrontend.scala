@@ -335,7 +335,16 @@ private[graft] object SqlFrontend {
     case Star(None) => "*"
     case Star(Some(q)) => s"$q.*"
     case Fn(name, args, distinct, over) =>
-      val argStr = args.map(renderExpr).mkString(", ")
+      // normalize(s, NFD): the form is a bare keyword in the reference
+      // grammar (SqlBase.g4 normalForm); quote it for Spark
+      val args2 =
+        if (name.equalsIgnoreCase("normalize") && args.length == 2) args(1) match {
+          case Id(Seq((form, false)))
+              if Set("NFC", "NFD", "NFKC", "NFKD")(form.toUpperCase) =>
+            Seq(args.head, Lit(s"'${form.toUpperCase}'"))
+          case _ => args
+        } else args
+      val argStr = args2.map(renderExpr).mkString(", ")
       val base = s"$name(${if (distinct) "DISTINCT " else ""}$argStr)"
       base + over.map(w => " OVER (" + renderWindow(w) + ")").getOrElse("")
     case Lambda(ps, body) =>

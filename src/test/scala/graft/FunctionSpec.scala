@@ -319,4 +319,81 @@ class FunctionSpec extends SparkSpec {
     assert(v.getDouble(1) == 32.0)
     assert(v.getString(2).nonEmpty && v.getString(3) == "graft" && v.getInt(4) == 0)
   }
+
+  test("scalar-name parity batch 2: edge semantics") {
+    graft.functions.Registry.registerAll(spark)
+    // strpos: Nth occurrence, negative instance, empty substring, 0 errors
+    val sp = spark.sql(
+      """SELECT strpos('banana', 'an', 1) AS a, strpos('banana', 'an', 2) AS b,
+           strpos('banana', 'an', -2) AS c, strpos('banana', '') AS d,
+           strpos('banana', 'xy', 3) AS e""").head()
+    assert(sp.getLong(0) == 2 && sp.getLong(1) == 4)
+    assert(sp.getLong(2) == 2, "second-from-end 'an'")
+    assert(sp.getLong(3) == 1 && sp.getLong(4) == 0)
+    intercept[Exception] { spark.sql("SELECT strpos('x', 'x', 0)").head() }
+    // normalize forms beyond NFC (the oracle covers NFC only)
+    val nf = spark.sql(
+      """SELECT normalize('\u00e9', 'NFD') AS d, normalize('\ufb01', 'NFKC') AS kc,
+           length(normalize('\u00e9', 'NFD')) AS dl""").head()
+    assert(nf.getString(1) == "fi", "NFKC expands the fi ligature")
+    assert(nf.getInt(2) == 2, "NFD decomposes e-acute into two code points")
+    // combinations bounds (reference: n <= 5, non-negative)
+    assert(spark.sql("SELECT cardinality(combinations(sequence(1, 10), 0))")
+      .head().getInt(0) == 1, "C(10,0) = [[]]")
+    assert(spark.sql("SELECT cardinality(combinations(sequence(1, 3), 5))")
+      .head().getInt(0) == 0, "n > len -> empty")
+    intercept[Exception] { spark.sql("SELECT combinations(sequence(1, 3), 6)").head() }
+    // ngrams clamps n to array length; singleton stays whole
+    assert(spark.sql("SELECT ngrams(array('a'), 3)").head()
+      .getSeq[Seq[String]](0) == Seq(Seq("a")))
+    // trim_array over-trim errors (reference INVALID_FUNCTION_ARGUMENT)
+    intercept[Exception] { spark.sql("SELECT trim_array(array(1, 2), 3)").head() }
+    // json legacy paths: quoted fields, misses -> NULL, malformed -> NULL
+    val js = spark.sql(
+      """SELECT json_extract('{"a b":{"c":7}}', '$["a b"].c') AS q,
+           json_extract('{"a":1}', '$.missing') AS m,
+           json_extract('{oops', '$.a') AS bad,
+           json_extract_scalar('{"a":[1]}', '$.a') AS nonscalar,
+           json_array_get('[1,2,3]', 5) AS oob""").head()
+    assert(js.getString(0) == "7" && js.isNullAt(1) && js.isNullAt(2))
+    assert(js.isNullAt(3) && js.isNullAt(4))
+    // parse_data_size: unit ladder + invalid unit errors
+    val ds = spark.sql(
+      """SELECT CAST(parse_data_size('1kB') AS LONG) AS k,
+           CAST(parse_data_size('2.2GB') AS LONG) AS g""").head()
+    assert(ds.getLong(0) == 1024L)
+    assert(ds.getLong(1) == (BigDecimal("2.2") * (1L << 30)).toBigInt.toLong)
+    intercept[Exception] { spark.sql("SELECT parse_data_size('5XB')").head() }
+    // parse_duration units incl. sub-milli rounding; errors on unknown unit
+    assert(spark.sql("SELECT to_milliseconds(parse_duration('1500 us'))")
+      .head().getLong(0) == 1L)
+    intercept[Exception] { spark.sql("SELECT parse_duration('3 fortnights')").head() }
+    // human_readable_seconds singular/plural and rounding
+    val hr = spark.sql(
+      """SELECT human_readable_seconds(CAST(604800 + 86400 + 1 AS DOUBLE)) AS a,
+           human_readable_seconds(59.6) AS b""").head()
+    assert(hr.getString(0) == "1 week, 1 day, 1 second")
+    assert(hr.getString(1) == "1 minute", "59.6 rounds to 60s = 1 minute")
+    // from_base digit validation domain (valid inputs only by contract);
+    // negative radix roundtrip
+    assert(spark.sql("SELECT from_base('-ff', 16)").head().getLong(0) == -255L)
+    // to_iso8601 date form; timestamp form keeps all six micro digits
+    val iso = spark.sql(
+      """SELECT to_iso8601(DATE '2001-08-22') AS d,
+           to_iso8601(TIMESTAMP '2001-08-22 03:04:05.000001') AS t""").head()
+    assert(iso.getString(0) == "2001-08-22")
+    assert(iso.getString(1) == "2001-08-22T03:04:05.000001")
+    // fail() raises; wrapped in try_ it yields NULL (TRY composition)
+    intercept[Exception] { spark.sql("SELECT fail('boom')").head() }
+    // inverse_beta_cdf domain errors + general-parameter roundtrip
+    intercept[Exception] { spark.sql("SELECT inverse_beta_cdf(1.0, 1.0, 2.0)").head() }
+    val rt = spark.sql(
+      "SELECT beta_cdf(2.5, 3.5, inverse_beta_cdf(2.5, 3.5, 0.42))").head().getDouble(0)
+    assert(math.abs(rt - 0.42) < 1e-9, s"beta roundtrip got $rt")
+    // timezone family: half-hour zone and at_timezone instant preservation
+    val tz = spark.sql(
+      """SELECT timezone_hour(with_timezone(TIMESTAMP '2024-01-01 00:00:00', 'America/St_Johns')) AS h,
+           timezone_minute(with_timezone(TIMESTAMP '2024-01-01 00:00:00', 'America/St_Johns')) AS m""").head()
+    assert(tz.getLong(0) == -3 && tz.getLong(1) == -30, "NST is -03:30")
+  }
 }
