@@ -48,7 +48,8 @@ object Registry {
     "timezone_minute", "is_nan", "nan", "infinity", "fail", "truncate",
     "wilson_interval_lower", "wilson_interval_upper", "normal_cdf",
     "inverse_normal_cdf", "beta_cdf", "inverse_beta_cdf", "binomial_cdf",
-    "to_base", "from_base", "to_big_endian_64", "from_big_endian_64", "rgb")
+    "to_base", "from_base", "to_big_endian_64", "from_big_endian_64", "rgb",
+    "spooky_hash_v2_32", "spooky_hash_v2_64")
 
   def registerAll(spark: SparkSession): Unit = {
     VectorFunctions.register(spark)
@@ -421,5 +422,9 @@ object Registry {
       Cast(Add(Add(ShiftLeft(Cast(es(0), IntegerType), Literal(16)),
         ShiftLeft(Cast(es(1), IntegerType), Literal(8))), Cast(es(2), IntegerType)),
         IntegerType), "built-in")
+    r.createOrReplaceTempFunction("spooky_hash_v2_32",
+      es => graft.ext.SpookyHashV2(es(0), 32), "built-in")
+    r.createOrReplaceTempFunction("spooky_hash_v2_64",
+      es => graft.ext.SpookyHashV2(es(0), 64), "built-in")
   }
 }

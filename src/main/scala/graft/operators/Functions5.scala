@@ -76,7 +76,9 @@ object Functions5 {
         expr("to_base(doc_id * 7 + 3, 16)").as("tb"),
         expr("from_base(to_base(doc_id + 1, 8), 8)").as("fb_rt"),
         expr("hex(to_big_endian_64(doc_id * 1000000007))").as("be64hex"),
-        expr("from_big_endian_64(to_big_endian_64(-doc_id - 1))").as("fbe64_rt"))
+        expr("from_big_endian_64(to_big_endian_64(-doc_id - 1))").as("fbe64_rt"),
+        expr("hex(spooky_hash_v2_64(to_utf8('hello')))").as("spooky64_ka"),
+        expr("hex(spooky_hash_v2_32(to_utf8('hello')))").as("spooky32_ka"))
       .orderBy($"doc_id")
   }
 
@@ -125,7 +127,9 @@ object Functions5 {
          lower(to_base(doc_id * 7 + 3, 16)) AS tb,
          doc_id + 1 AS fb_rt,
          upper(printf('%016x', doc_id * 1000000007)) AS be64hex,
-         -doc_id - 1 AS fbe64_rt
+         -doc_id - 1 AS fbe64_rt,
+         '3768826AD382E6CA' AS spooky64_ka,
+         'D382E6CA' AS spooky32_ka
        FROM (SELECT *, string_split(text, ' ') AS toks,
                string_split(text, ' ')[1:6] AS t6
              FROM documents WHERE doc_id < 500)

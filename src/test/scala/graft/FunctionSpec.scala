@@ -396,4 +396,28 @@ class FunctionSpec extends SparkSpec {
            timezone_minute(with_timezone(TIMESTAMP '2024-01-01 00:00:00', 'America/St_Johns')) AS m""").head()
     assert(tz.getLong(0) == -3 && tz.getLong(1) == -30, "NST is -03:30")
   }
+
+  test("spooky_hash_v2: reference vectors and long-path regression") {
+    graft.functions.Registry.registerAll(spark)
+    // the reference's own vectors (TestVarbinaryFunctions.java:782)
+    val r = spark.sql(
+      """SELECT hex(spooky_hash_v2_32(CAST('' AS BINARY))) AS e32,
+           hex(spooky_hash_v2_32(CAST('hello' AS BINARY))) AS h32,
+           hex(spooky_hash_v2_64(CAST('' AS BINARY))) AS e64,
+           hex(spooky_hash_v2_64(CAST('hello' AS BINARY))) AS h64""").head()
+    assert(r.getString(0) == "6BF50919")
+    assert(r.getString(1) == "D382E6CA")
+    assert(r.getString(2) == "232706FC6BF50919")
+    assert(r.getString(3) == "3768826AD382E6CA")
+    // paths by length class: 0-15 (tiny), 16-31 (one mix), 32-191 (blocks),
+    // >= 192 (long 12-lane path). Long-path value is self-pinned — no
+    // published vector exists for it; the kernel follows spooky.cpp verbatim.
+    val big = Array.tabulate[Byte](300)(i => (i % 251).toByte)
+    assert(f"${graft.ext.SpookyHash.hash64(big)}%016X" == "0E2163193BC1F214")
+    val mid = Array.tabulate[Byte](100)(i => i.toByte)
+    assert(graft.ext.SpookyHash.hash64(mid) != graft.ext.SpookyHash.hash64(mid.dropRight(1)))
+    // 191/192/193 straddle the short/long switch without collision
+    val a191 = Array.fill[Byte](191)(7); val a192 = Array.fill[Byte](192)(7)
+    assert(graft.ext.SpookyHash.hash64(a191) != graft.ext.SpookyHash.hash64(a192))
+  }
 }
