@@ -60,10 +60,14 @@ final class CowTable private (root0: String, spark: SparkSession) {
   private def manifestFiles(v: Int): Seq[String] =
     manifestDf(v).select("path").collect().map(_.getString(0)).toSeq
 
-  /** Snapshot read (latest, or a past version for time travel). */
-  def read(asOfVersion: Option[Int] = None): DataFrame = {
+  /** Snapshot read (latest, or a past version for time travel).
+    * `mergeSchema` unions mixed per-file schemas (post-ALTER tables): a
+    * distributed footer merge, paid only by callers that evolved the
+    * schema — the default read keeps the single-footer fast path. */
+  def read(asOfVersion: Option[Int] = None, mergeSchema: Boolean = false): DataFrame = {
     val files = manifestFiles(asOfVersion.getOrElse(currentVersion))
     if (files.isEmpty) spark.emptyDataFrame
+    else if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(files: _*)
     else spark.read.parquet(files: _*)
   }
 

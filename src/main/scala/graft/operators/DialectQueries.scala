@@ -516,8 +516,94 @@ object Dialect {
          CAST(sum(p) AS DOUBLE) AS total
        FROM upd GROUP BY c % 5 ORDER BY bucket"""
 
+  /** Metadata-only ALTER TABLE evolution through the SQL front door
+    * (SqlBase.g4 :84ff; sqlx.Statements declared-schema overlay): CTAS →
+    * ADD COLUMN (old files NULL-fill) → INSERT carrying it → RENAME COLUMN
+    * (reads coalesce both physical generations) → DROP COLUMN. No data file
+    * is rewritten at any step; the oracle replays the net effect as a pure
+    * query. */
+  def q_sqlx_ddl_alter(s: SparkSession, dir: String): DataFrame = {
+    TrinoDialect.sql(s, dir,
+      """CREATE OR REPLACE TABLE wh_alter AS
+         SELECT n_nationkey AS k, n_name AS label, n_regionkey AS r
+         FROM nation""")
+    TrinoDialect.sql(s, dir, "ALTER TABLE wh_alter ADD COLUMN score DOUBLE")
+    TrinoDialect.sql(s, dir,
+      """INSERT INTO wh_alter
+         SELECT n_nationkey + 100, n_name, n_regionkey,
+           CAST(n_nationkey AS DOUBLE) / 4
+         FROM nation WHERE n_nationkey < 10""")
+    TrinoDialect.sql(s, dir, "ALTER TABLE wh_alter RENAME COLUMN label TO nation_name")
+    TrinoDialect.sql(s, dir, "ALTER TABLE wh_alter DROP COLUMN r")
+    TrinoDialect.sql(s, dir,
+      """INSERT INTO wh_alter VALUES (999, 'XANADU', CAST(9.75 AS DOUBLE))""")
+    TrinoDialect.sql(s, dir,
+      """SELECT k, nation_name, score
+         FROM wh_alter ORDER BY k, nation_name""")
+  }
+  val qSqlxDdlAlterSql: String =
+    """SELECT k, nation_name, score FROM (
+         SELECT n_nationkey AS k, n_name AS nation_name,
+           CAST(NULL AS DOUBLE) AS score FROM nation
+         UNION ALL
+         SELECT n_nationkey + 100, n_name, CAST(n_nationkey AS DOUBLE) / 4
+         FROM nation WHERE n_nationkey < 10
+         UNION ALL
+         SELECT 999, 'XANADU', CAST(9.75 AS DOUBLE))
+       ORDER BY k, nation_name"""
+
+  /** SHOW STATS FOR <table> (SqlBase.g4 :141; the reference's
+    * StatisticsAggregationPlanner shape): one exact distributed aggregation
+    * pass — per-column ndv / nulls fraction / min / max / string data size
+    * plus the summary row-count row. DuckDB replays each statistic. */
+  def q_sqlx_show_stats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    TrinoDialect.sql(s, dir, "SHOW STATS FOR customer")
+      .withColumn("nulls_fraction", round(col("nulls_fraction"), 9))
+      .orderBy(col("column_name").asc_nulls_last)
+  }
+  val qSqlxShowStatsSql: String =
+    """WITH s AS (
+         SELECT 'c_acctbal' AS column_name, CAST(NULL AS DOUBLE) AS data_size,
+           CAST(count(DISTINCT c_acctbal) AS DOUBLE) AS distinct_values_count,
+           round(CAST(count(*) - count(c_acctbal) AS DOUBLE) / count(*), 9) AS nulls_fraction,
+           CAST(min(c_acctbal) AS VARCHAR) AS low_value,
+           CAST(max(c_acctbal) AS VARCHAR) AS high_value,
+           CAST(NULL AS DOUBLE) AS row_count
+         FROM customer
+         UNION ALL
+         SELECT 'c_custkey', NULL,
+           CAST(count(DISTINCT c_custkey) AS DOUBLE),
+           round(CAST(count(*) - count(c_custkey) AS DOUBLE) / count(*), 9),
+           CAST(min(c_custkey) AS VARCHAR), CAST(max(c_custkey) AS VARCHAR), NULL
+         FROM customer
+         UNION ALL
+         SELECT 'c_mktsegment', CAST(sum(len(c_mktsegment)) AS DOUBLE),
+           CAST(count(DISTINCT c_mktsegment) AS DOUBLE),
+           round(CAST(count(*) - count(c_mktsegment) AS DOUBLE) / count(*), 9),
+           min(c_mktsegment), max(c_mktsegment), NULL
+         FROM customer
+         UNION ALL
+         SELECT 'c_name', CAST(sum(len(c_name)) AS DOUBLE),
+           CAST(count(DISTINCT c_name) AS DOUBLE),
+           round(CAST(count(*) - count(c_name) AS DOUBLE) / count(*), 9),
+           min(c_name), max(c_name), NULL
+         FROM customer
+         UNION ALL
+         SELECT 'c_nationkey', NULL,
+           CAST(count(DISTINCT c_nationkey) AS DOUBLE),
+           round(CAST(count(*) - count(c_nationkey) AS DOUBLE) / count(*), 9),
+           CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR), NULL
+         FROM customer
+         UNION ALL
+         SELECT NULL, NULL, NULL, NULL, NULL, NULL, CAST(count(*) AS DOUBLE)
+         FROM customer)
+       SELECT * FROM s ORDER BY column_name NULLS LAST"""
+
   val queries: Map[String, Q] = Map(
     "q_sqlx_statements" -> q_sqlx_statements _,
+    "q_sqlx_ddl_alter" -> q_sqlx_ddl_alter _,
+    "q_sqlx_show_stats" -> q_sqlx_show_stats _,
     "q_tvf_registry" -> q_tvf_registry _,
     "q_sqlx_try" -> q_sqlx_try _,
     "q_sqlx_scalar" -> q_sqlx_scalar _,
@@ -537,6 +623,8 @@ object Dialect {
 
   val oracles: Map[String, String] = Map(
     "q_sqlx_statements" -> qSqlxStatementsSql,
+    "q_sqlx_ddl_alter" -> qSqlxDdlAlterSql,
+    "q_sqlx_show_stats" -> qSqlxShowStatsSql,
     "q_tvf_registry" -> qTvfRegistrySql,
     "q_sqlx_try" -> qSqlxTrySql,
     "q_sqlx_scalar" -> qSqlxScalarSql,

@@ -213,6 +213,13 @@ private[graft] object SqlFrontend {
         .createOrReplaceTempView(view)
       TableRef(Id(Seq((view, false))), alias)
     case UnnestRel(es, alias, cols, ord) => UnnestRel(es, alias, cols, ord)
+    // schema-qualified front-door table (CREATE SCHEMA s; s.t): temp views
+    // are single-part, so swap in the mangled view name and keep the table
+    // part as the default alias
+    case TableRef(id @ Id(Seq((schema, _), (table, _))), alias)
+        if Statements.isSchema(schema) =>
+      TableRef(Id(Seq((Statements.viewNameOf(s"${schema.toLowerCase}.${table.toLowerCase}"), false))),
+        alias.orElse(Some(table)))
     case t: TableRef => t
   }
 

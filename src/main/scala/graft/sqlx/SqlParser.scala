@@ -99,6 +99,31 @@ object SqlAst {
       cols: Seq[(String, String)]) extends Statement
   /** Canonical upsert MERGE (WHEN MATCHED UPDATE SET * / NOT MATCHED INSERT *). */
   final case class MergeStmt(name: String, source: Query, key: String) extends Statement
+
+  /** ALTER TABLE ops (SqlBase.g4 :84ff) — all metadata-only on the CoW tables. */
+  sealed trait AlterOp
+  final case class RenameTable(to: String) extends AlterOp
+  final case class AddColumn(col: String, tpe: String, ifNotExists: Boolean) extends AlterOp
+  final case class DropColumn(col: String, ifExists: Boolean) extends AlterOp
+  final case class RenameColumn(from: String, to: String) extends AlterOp
+  final case class AlterTableStmt(name: String, ifExists: Boolean, op: AlterOp) extends Statement
+
+  final case class CreateSchemaStmt(name: String, ifNotExists: Boolean) extends Statement
+  final case class DropSchemaStmt(name: String, ifExists: Boolean) extends Statement
+  final case class UseStmt(schema: String) extends Statement
+  final case class SetSessionStmt(key: String, value: String) extends Statement
+  final case class ResetSessionStmt(key: String) extends Statement
+  /** GRANT/REVOKE privilege recording (reference grants metadata; default
+    * access control allows all, as here). */
+  final case class GrantStmt(revoke: Boolean, privileges: Seq[String],
+      table: String, grantee: String) extends Statement
+  final case class ShowGrantsStmt(table: Option[String]) extends Statement
+  final case class CommentStmt(isColumn: Boolean, target: String,
+      comment: Option[String]) extends Statement
+  final case class ShowCreateTableStmt(name: String) extends Statement
+  final case class DropViewStmt(name: String, ifExists: Boolean) extends Statement
+  /** SHOW STATS FOR t | FOR (query) (SqlBase.g4 :141). */
+  final case class ShowStatsStmt(target: Either[String, Query]) extends Statement
 }
 
 final class SqlParseException(msg: String) extends IllegalArgumentException(msg)
@@ -288,7 +313,7 @@ final class SqlParser(src: String) {
           CreateTableCols(name, ine, cols.toSeq)
         } else err("expected AS or a column list")
       } else if (acceptSeq("INSERT", "INTO")) {
-        val name = ident("table name")
+        val name = qualifiedName()
         val cols =
           if (peek.isOp("(") && !peek2.is("SELECT") && !peek2.is("WITH") &&
               !peek2.is("VALUES") && !peek2.isOp("(")) {
@@ -301,10 +326,10 @@ final class SqlParser(src: String) {
           } else Nil
         InsertInto(name, cols, parseQueryNoFinish())
       } else if (acceptSeq("DELETE", "FROM")) {
-        val name = ident("table name")
+        val name = qualifiedName()
         DeleteStmt(name, if (accept("WHERE")) Some(parseExpr()) else None)
       } else if (accept("UPDATE")) {
-        val name = ident("table name")
+        val name = qualifiedName()
         expectKw("SET")
         val sets = scala.collection.mutable.ArrayBuffer[(String, Expr)]()
         var more = true
@@ -323,12 +348,76 @@ final class SqlParser(src: String) {
       else if (acceptSeq("SHOW", "SCHEMAS")) ShowStmt("SCHEMAS")
       else if (acceptSeq("SHOW", "CATALOGS")) ShowStmt("CATALOGS")
       else if (acceptSeq("SHOW", "FUNCTIONS")) ShowStmt("FUNCTIONS")
-      else if (acceptSeq("SHOW", "COLUMNS")) {
-        expectKw("FROM"); DescribeStmt(ident("table name"))
-      } else if (accept("DESCRIBE") || accept("DESC")) DescribeStmt(ident("table name"))
+      else if (acceptSeq("SHOW", "SESSION")) ShowStmt("SESSION")
+      else if (acceptSeq("SHOW", "GRANTS")) {
+        if (accept("ON")) { accept("TABLE"); ShowGrantsStmt(Some(qualifiedName())) }
+        else ShowGrantsStmt(None)
+      } else if (acceptSeq("SHOW", "CREATE", "TABLE"))
+        ShowCreateTableStmt(qualifiedName())
+      else if (acceptSeq("SHOW", "STATS", "FOR")) {
+        if (peek.isOp("(")) {
+          p += 1; val q = parseQueryNoFinish(); expectOp(")")
+          ShowStatsStmt(Right(q))
+        } else ShowStatsStmt(Left(qualifiedName()))
+      } else if (acceptSeq("SHOW", "COLUMNS")) {
+        expectKw("FROM"); DescribeStmt(qualifiedName())
+      } else if (accept("DESCRIBE") || accept("DESC")) DescribeStmt(qualifiedName())
       else if (acceptSeq("DROP", "TABLE")) {
         val ife = acceptSeq("IF", "EXISTS")
-        DropTableStmt(ident("table name"), ife)
+        DropTableStmt(qualifiedName(), ife)
+      } else if (acceptSeq("DROP", "VIEW")) {
+        val ife = acceptSeq("IF", "EXISTS")
+        DropViewStmt(ident("view name"), ife)
+      } else if (acceptSeq("ALTER", "TABLE")) {
+        val ife = acceptSeq("IF", "EXISTS")
+        val name = qualifiedName()
+        val op: AlterOp =
+          if (acceptSeq("RENAME", "TO")) RenameTable(qualifiedName())
+          else if (acceptSeq("RENAME", "COLUMN")) {
+            val from = ident("column name"); expectKw("TO")
+            RenameColumn(from, ident("column name"))
+          } else if (acceptSeq("ADD", "COLUMN")) {
+            val ine = acceptSeq("IF", "NOT", "EXISTS")
+            val c = ident("column name")
+            AddColumn(c, parseTypeRaw(), ine)
+          } else if (acceptSeq("DROP", "COLUMN")) {
+            val ce = acceptSeq("IF", "EXISTS")
+            DropColumn(ident("column name"), ce)
+          } else err("expected RENAME TO, RENAME COLUMN, ADD COLUMN or DROP COLUMN")
+        AlterTableStmt(name, ife, op)
+      } else if (acceptSeq("CREATE", "SCHEMA")) {
+        val ine = acceptSeq("IF", "NOT", "EXISTS")
+        CreateSchemaStmt(ident("schema name"), ine)
+      } else if (acceptSeq("DROP", "SCHEMA")) {
+        val ife = acceptSeq("IF", "EXISTS")
+        DropSchemaStmt(ident("schema name"), ife)
+      } else if (accept("USE")) UseStmt(ident("schema name"))
+      else if (acceptSeq("SET", "SESSION")) {
+        val key = qualifiedName()
+        expectOp("=")
+        val value = peek.kind match {
+          case TStr => next().text
+          case TNum => next().text
+          case TIdent => next().text // true/false/bare words
+          case _ => err("expected a literal session value")
+        }
+        SetSessionStmt(key, value)
+      } else if (acceptSeq("RESET", "SESSION")) ResetSessionStmt(qualifiedName())
+      else if (accept("GRANT")) parseGrant(revoke = false)
+      else if (accept("REVOKE")) parseGrant(revoke = true)
+      else if (acceptSeq("COMMENT", "ON")) {
+        val isColumn =
+          if (accept("TABLE")) false
+          else if (accept("COLUMN")) true
+          else err("expected TABLE or COLUMN")
+        val target = qualifiedName()
+        expectKw("IS")
+        val comment = peek.kind match {
+          case TStr => Some(next().text)
+          case TIdent if peek.is("NULL") => { next(); None }
+          case _ => err("expected a string literal or NULL")
+        }
+        CommentStmt(isColumn, target, comment)
       } else QueryStmt(parseQueryNoFinish())
     if (!peek.isOp(";") && peek.kind != TEof) err("trailing input after statement")
     stmt
@@ -338,6 +427,28 @@ final class SqlParser(src: String) {
     val name = ident("table name")
     expectKw("AS")
     CreateTableAs(name, orReplace, ifNotExists, parseQueryNoFinish())
+  }
+
+  /** Dotted name (schema.table or catalog-prop key) joined verbatim. */
+  private def qualifiedName(): String = {
+    val sb = new StringBuilder(ident("name"))
+    while (acceptOp(".")) sb.append('.').append(ident("name part"))
+    sb.toString
+  }
+
+  /** GRANT/REVOKE privs ON [TABLE] t TO|FROM [ROLE|USER] grantee. */
+  private def parseGrant(revoke: Boolean): Statement = {
+    val privs = scala.collection.mutable.ArrayBuffer[String]()
+    if (accept("ALL")) { accept("PRIVILEGES"); privs += "ALL" }
+    else {
+      var more = true
+      while (more) { privs += ident("privilege").toUpperCase; more = acceptOp(",") }
+    }
+    expectKw("ON"); accept("TABLE")
+    val table = qualifiedName()
+    if (revoke) expectKw("FROM") else expectKw("TO")
+    accept("ROLE"); accept("USER")
+    GrantStmt(revoke, privs.toSeq, table, ident("grantee"))
   }
 
   private def parseQueryNoFinish(): Query = {

@@ -31,6 +31,43 @@ private[graft] object Statements {
   /** name → CowTable root, per JVM (the front door's session catalog). */
   private val tables = TrieMap[String, String]()
 
+  /** Declared-schema overlay for ALTER TABLE: every op is metadata-only.
+    * A column's `candidates` are its physical names newest-first (grows on
+    * RENAME COLUMN); reads coalesce whichever exist in the merged file
+    * schema, so no data file is ever rewritten — the same
+    * metadata-only evolution the open lake formats use, at any scale. */
+  private final case class ColSpec(name: String,
+      tpe: org.apache.spark.sql.types.DataType, candidates: Seq[String])
+  private final case class TableMeta(declared: Seq[ColSpec],
+      tableComment: Option[String] = None,
+      colComments: Map[String, String] = Map.empty)
+  private val tableMeta = TrieMap[String, TableMeta]()
+
+  /** Schema namespace for the front door; "default" always exists. */
+  private val schemas = TrieMap[String, Unit]("default" -> ())
+  @volatile private var currentSchema: String = "default"
+
+  /** Recorded grants (reference parity: the default system access control
+    * allows everything; grants are catalog metadata surfaced by SHOW
+    * GRANTS — exactly this). (grantee, table) → privileges. */
+  private val grants = TrieMap[(String, String), Set[String]]()
+
+  /** SET SESSION properties; a few keys map onto live Spark conf. */
+  private val sessionProps = TrieMap[String, String]()
+
+  private[graft] def isSchema(name: String): Boolean =
+    schemas.contains(name.toLowerCase)
+
+  /** schema-qualified registry key for a statement-level table name. */
+  private def keyOf(name: String): String = {
+    val lower = name.toLowerCase
+    if (lower.contains(".") || currentSchema == "default") lower
+    else s"$currentSchema.$lower"
+  }
+
+  /** Temp-view name for a registry key (Spark temp views are single-part). */
+  private[graft] def viewNameOf(key: String): String = key.replace(".", "__")
+
   private lazy val warehouse: String = {
     val p = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_sql_warehouse_${ProcessHandle.current().pid()}")
@@ -56,16 +93,44 @@ private[graft] object Statements {
     expr(where.map(w => SqlFrontend.renderExpr(SqlFrontend.rewriteExpr(w)))
       .getOrElse("true"))
 
-  private def openTable(spark: SparkSession, name: String): graft.catalog.CowTable = {
-    val root = tables.getOrElse(name.toLowerCase, throw new IllegalArgumentException(
+  private def lookupKey(name: String): Option[String] =
+    Seq(keyOf(name), name.toLowerCase).distinct.find(tables.contains)
+
+  private def requireKey(name: String): String =
+    lookupKey(name).getOrElse(throw new IllegalArgumentException(
       s"'$name' is not a front-door table — DML applies only to tables " +
         "created via CREATE TABLE AS (fixture tables are immutable)"))
-    graft.catalog.CowTable.open(spark, root)
+
+  private def openTable(spark: SparkSession, name: String): graft.catalog.CowTable =
+    graft.catalog.CowTable.open(spark, tables(requireKey(name)))
+
+  /** Declared-schema projection over the (schema-merged) physical read. */
+  private def projected(spark: SparkSession, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val base = graft.catalog.CowTable.open(spark, tables(key))
+      .read(mergeSchema = true)
+    tableMeta.get(key) match {
+      case None => base
+      case Some(meta) =>
+        val have = base.columns.toSet
+        base.select(meta.declared.map { cs =>
+          cs.candidates.filter(have) match {
+            case Seq() => lit(null).cast(cs.tpe).as(cs.name)
+            case Seq(one) => base(one).cast(cs.tpe).as(cs.name)
+            case many => coalesce(many.map(base(_)): _*).cast(cs.tpe).as(cs.name)
+          }
+        }.toIndexedSeq: _*)
+    }
   }
 
-  private def refreshView(spark: SparkSession, name: String): Unit =
-    graft.catalog.CowTable.open(spark, tables(name.toLowerCase)).read()
-      .createOrReplaceTempView(name)
+  private def refreshView(spark: SparkSession, name: String): Unit = {
+    val key = requireKey(name)
+    projected(spark, key).createOrReplaceTempView(viewNameOf(key))
+  }
+
+  private def seedMeta(key: String, schema: StructType): Unit =
+    tableMeta(key) = TableMeta(schema.fields.toSeq.map(f =>
+      ColSpec(f.name, f.dataType, Seq(f.name))))
 
   private def oneRow(spark: SparkSession, col: String, v: Long): DataFrame =
     spark.createDataFrame(java.util.List.of(Row(v)),
@@ -79,22 +144,25 @@ private[graft] object Statements {
 
   private def execute(spark: SparkSession, dir: String, st: Statement): DataFrame = st match {
     case CreateTableAs(name, orReplace, ifNotExists, q) =>
-      val key = name.toLowerCase
+      val key = keyOf(name)
       if (tables.contains(key) && !orReplace) {
         if (ifNotExists) return oneRow(spark, "rows", 0L)
         throw new IllegalArgumentException(s"table '$name' already exists")
       }
       val df = subquery(spark, dir, q)
-      val root = Paths.get(warehouse, key + "_" + System.nanoTime()).toString
+      val root = Paths.get(warehouse,
+        viewNameOf(key) + "_" + System.nanoTime()).toString
       graft.catalog.CowTable.create(spark, root, df)
       tables(key) = root
+      seedMeta(key, df.schema)
       refreshView(spark, name)
-      oneRow(spark, "rows", spark.table(name).count())
+      oneRow(spark, "rows", spark.table(viewNameOf(key)).count())
 
     case InsertInto(name, cols, q) =>
+      val key = requireKey(name)
       val ct = openTable(spark, name)
       val incoming = subquery(spark, dir, q)
-      val schema = ct.read().schema
+      val schema = projected(spark, key).schema
       val target = schema.fieldNames
       val positioned =
         if (cols.isEmpty) {
@@ -140,9 +208,10 @@ private[graft] object Statements {
       oneRow(spark, "rows", affected)
 
     case DropTableStmt(name, ifExists) =>
-      tables.remove(name.toLowerCase) match {
-        case Some(_) =>
-          spark.catalog.dropTempView(name)
+      lookupKey(name) match {
+        case Some(key) =>
+          tables.remove(key); tableMeta.remove(key)
+          spark.catalog.dropTempView(viewNameOf(key))
           oneRow(spark, "rows", 0L)
         case None if ifExists => oneRow(spark, "rows", 0L)
         case None => throw new IllegalArgumentException(s"table '$name' does not exist")
@@ -173,19 +242,33 @@ private[graft] object Statements {
     case ShowStmt("FUNCTIONS") =>
       stringRows(spark, "function", graft.functions.Registry.customFunctions.sorted)
 
+    case ShowStmt("SESSION") =>
+      spark.createDataFrame(
+        java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(
+          sessionProps.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }).asJava),
+        StructType(Seq(StructField("name", StringType, nullable = false),
+          StructField("value", StringType, nullable = false))))
+
     case ShowStmt(other) =>
       throw new SqlParseException(s"SHOW $other is not supported")
 
     case DescribeStmt(name) =>
-      val schema = spark.table(name).schema
+      val (schema, comments) = lookupKey(name) match {
+        case Some(key) =>
+          (spark.table(viewNameOf(key)).schema,
+            tableMeta.get(key).map(_.colComments).getOrElse(Map.empty[String, String]))
+        case None => (spark.table(name).schema, Map.empty[String, String])
+      }
       spark.createDataFrame(
         java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(
-          schema.fields.toSeq.map(f => Row(f.name, f.dataType.simpleString))).asJava),
+          schema.fields.toSeq.map(f => Row(f.name, f.dataType.simpleString,
+            comments.getOrElse(f.name.toLowerCase, "")))).asJava),
         StructType(Seq(StructField("column", StringType, nullable = false),
-          StructField("type", StringType, nullable = false))))
+          StructField("type", StringType, nullable = false),
+          StructField("comment", StringType, nullable = false))))
 
     case CreateTableCols(name, ifNotExists, cols) =>
-      val key = name.toLowerCase
+      val key = keyOf(name)
       if (tables.contains(key)) {
         if (ifNotExists) return oneRow(spark, "rows", 0L)
         throw new IllegalArgumentException(s"table '$name' already exists")
@@ -205,9 +288,11 @@ private[graft] object Statements {
       })
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
-      val root = Paths.get(warehouse, key + "_" + System.nanoTime()).toString
+      val root = Paths.get(warehouse,
+        viewNameOf(key) + "_" + System.nanoTime()).toString
       graft.catalog.CowTable.create(spark, root, empty)
       tables(key) = root
+      seedMeta(key, schema)
       refreshView(spark, name)
       oneRow(spark, "rows", 0L)
 
@@ -225,6 +310,279 @@ private[graft] object Statements {
       refreshView(spark, name)
       oneRow(spark, "rows", n)
 
+    case AlterTableStmt(name, ifExists, op) =>
+      val keyOpt = lookupKey(name)
+      if (keyOpt.isEmpty) {
+        if (ifExists) return oneRow(spark, "rows", 0L)
+        throw new IllegalArgumentException(s"table '$name' does not exist")
+      }
+      val key = keyOpt.get
+      val meta = tableMeta.getOrElse(key,
+        TableMeta(projected(spark, key).schema.fields.toSeq.map(f =>
+          ColSpec(f.name, f.dataType, Seq(f.name)))))
+      op match {
+        case RenameTable(to) =>
+          val newKey = keyOf(to)
+          if (tables.contains(newKey))
+            throw new IllegalArgumentException(s"table '$to' already exists")
+          tables(newKey) = tables.remove(key).get
+          tableMeta.remove(key).foreach(m => tableMeta(newKey) = m)
+          spark.catalog.dropTempView(viewNameOf(key))
+          refreshView(spark, to)
+        case AddColumn(col, tpe, ifNotExists) =>
+          val exists = meta.declared.exists(_.name.equalsIgnoreCase(col))
+          if (exists && !ifNotExists)
+            throw new IllegalArgumentException(s"column '$col' already exists")
+          if (!exists) {
+            val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(sparkTypeName(tpe))
+            tableMeta(key) = meta.copy(declared =
+              meta.declared :+ ColSpec(col, dt, Seq(col)))
+          }
+          refreshView(spark, name)
+        case DropColumn(col, colIfExists) =>
+          val exists = meta.declared.exists(_.name.equalsIgnoreCase(col))
+          if (!exists && !colIfExists)
+            throw new IllegalArgumentException(s"column '$col' does not exist")
+          val remaining = meta.declared.filterNot(_.name.equalsIgnoreCase(col))
+          if (remaining.isEmpty)
+            throw new IllegalArgumentException("cannot drop the only column")
+          tableMeta(key) = meta.copy(declared = remaining,
+            colComments = meta.colComments - col.toLowerCase)
+          refreshView(spark, name)
+        case RenameColumn(from, to) =>
+          if (!meta.declared.exists(_.name.equalsIgnoreCase(from)))
+            throw new IllegalArgumentException(s"column '$from' does not exist")
+          if (meta.declared.exists(_.name.equalsIgnoreCase(to)))
+            throw new IllegalArgumentException(s"column '$to' already exists")
+          tableMeta(key) = meta.copy(declared = meta.declared.map { cs =>
+            if (cs.name.equalsIgnoreCase(from))
+              // the new name leads the candidate list: files written after
+              // the rename carry it; older files coalesce from the old name
+              cs.copy(name = to, candidates = (to +: cs.candidates).distinct)
+            else cs
+          })
+          refreshView(spark, name)
+      }
+      oneRow(spark, "rows", 0L)
+
+    case CreateSchemaStmt(name, ifNotExists) =>
+      val lower = name.toLowerCase
+      if (schemas.putIfAbsent(lower, ()).isDefined && !ifNotExists)
+        throw new IllegalArgumentException(s"schema '$name' already exists")
+      oneRow(spark, "rows", 0L)
+
+    case DropSchemaStmt(name, ifExists) =>
+      val lower = name.toLowerCase
+      if (lower == "default")
+        throw new IllegalArgumentException("cannot drop the default schema")
+      if (tables.keys.exists(_.startsWith(lower + ".")))
+        throw new IllegalArgumentException(s"schema '$name' is not empty")
+      if (schemas.remove(lower).isEmpty && !ifExists)
+        throw new IllegalArgumentException(s"schema '$name' does not exist")
+      if (currentSchema == lower) currentSchema = "default"
+      oneRow(spark, "rows", 0L)
+
+    case UseStmt(schema) =>
+      val lower = schema.toLowerCase
+      if (!schemas.contains(lower))
+        throw new IllegalArgumentException(s"schema '$schema' does not exist")
+      currentSchema = lower
+      oneRow(spark, "rows", 0L)
+
+    case SetSessionStmt(key, rawValue) =>
+      val value = rawValue.stripPrefix("'").stripSuffix("'")
+      sessionProps(key.toLowerCase) = value
+      // live-mapped properties (reference session properties with a direct
+      // Spark analogue); unknown keys are recorded and surfaced by SHOW
+      // SESSION, as connector session properties are in the reference
+      key.toLowerCase match {
+        case "join_distribution_type" => value.toUpperCase match {
+          case "PARTITIONED" =>
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          case "BROADCAST" | "AUTOMATIC" =>
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+              (64L * 1024 * 1024).toString)
+          case other =>
+            throw new IllegalArgumentException(s"invalid join_distribution_type: $other")
+        }
+        case "task_concurrency" =>
+          spark.conf.set("spark.sql.shuffle.partitions", value)
+        case _ => ()
+      }
+      oneRow(spark, "rows", 0L)
+
+    case ResetSessionStmt(key) =>
+      sessionProps.remove(key.toLowerCase) match {
+        case Some(_) => key.toLowerCase match {
+          case "join_distribution_type" =>
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+              (64L * 1024 * 1024).toString)
+          case "task_concurrency" =>
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+          case _ => ()
+        }
+        case None => ()
+      }
+      oneRow(spark, "rows", 0L)
+
+    case GrantStmt(revoke, privileges, table, grantee) =>
+      val gk = (grantee.toLowerCase, requireKey(table))
+      val before = grants.getOrElse(gk, Set.empty)
+      val after =
+        if (revoke) {
+          if (privileges.contains("ALL")) Set.empty[String]
+          else before -- privileges
+        } else {
+          if (privileges.contains("ALL")) before ++ Seq("SELECT", "INSERT", "UPDATE", "DELETE")
+          else before ++ privileges
+        }
+      if (after.isEmpty) grants.remove(gk) else grants(gk) = after
+      oneRow(spark, "rows", 0L)
+
+    case ShowGrantsStmt(table) =>
+      val keyFilter = table.map(requireKey)
+      val rows = grants.toSeq
+        .filter { case ((_, t), _) => keyFilter.forall(_ == t) }
+        .flatMap { case ((grantee, t), privs) =>
+          privs.toSeq.sorted.map(p => Row(grantee, t, p)) }
+        .sortBy(r => (r.getString(0), r.getString(1), r.getString(2)))
+      spark.createDataFrame(
+        java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        StructType(Seq(StructField("grantee", StringType, nullable = false),
+          StructField("table_name", StringType, nullable = false),
+          StructField("privilege", StringType, nullable = false))))
+
+    case CommentStmt(isColumn, target, comment) =>
+      if (!isColumn) {
+        val key = requireKey(target)
+        val meta = tableMeta.getOrElse(key, TableMeta(Nil))
+        tableMeta(key) = meta.copy(tableComment = comment)
+      } else {
+        val (tbl, col) = target.lastIndexOf('.') match {
+          case -1 => throw new IllegalArgumentException(
+            "COMMENT ON COLUMN expects table.column")
+          case i => (target.substring(0, i), target.substring(i + 1))
+        }
+        val key = requireKey(tbl)
+        val meta = tableMeta.getOrElse(key, TableMeta(Nil))
+        tableMeta(key) = comment match {
+          case Some(c) => meta.copy(colComments =
+            meta.colComments + (col.toLowerCase -> c))
+          case None => meta.copy(colComments = meta.colComments - col.toLowerCase)
+        }
+      }
+      oneRow(spark, "rows", 0L)
+
+    case ShowCreateTableStmt(name) =>
+      val key = requireKey(name)
+      val meta = tableMeta.getOrElse(key,
+        TableMeta(projected(spark, key).schema.fields.toSeq.map(f =>
+          ColSpec(f.name, f.dataType, Seq(f.name)))))
+      val colLines = meta.declared.map { cs =>
+        val cmt = meta.colComments.get(cs.name.toLowerCase)
+          .map(c => s" COMMENT '$c'").getOrElse("")
+        s"   ${cs.name} ${trinoTypeName(cs.tpe)}$cmt"
+      }
+      val ddl =
+        Seq(s"CREATE TABLE $key (") ++
+          colLines.init.map(_ + ",") ++ Seq(colLines.last, ")") ++
+          meta.tableComment.map(c => s"COMMENT '$c'").toSeq
+      stringRows(spark, "create_table", ddl)
+
+    case DropViewStmt(name, ifExists) =>
+      val existed = spark.catalog.dropTempView(name)
+      if (!existed && !ifExists)
+        throw new IllegalArgumentException(s"view '$name' does not exist")
+      oneRow(spark, "rows", 0L)
+
+    case ShowStatsStmt(target) =>
+      val df = target match {
+        case Left(name) =>
+          lookupKey(name).map(k => spark.table(viewNameOf(k)))
+            .getOrElse(
+              try graft.sources.Tables.load(spark, dir, name)
+              catch { case _: Exception => spark.table(name) })
+        case Right(q) => subquery(spark, dir, q)
+      }
+      showStats(spark, df)
+
     case QueryStmt(_) => throw new IllegalStateException("unreachable")
+  }
+
+  /** SHOW STATS output in the reference's shape (sql/analyzer/
+    * StatisticsAggregationPlanner → one row per column + a summary row):
+    * column_name, data_size, distinct_values_count, nulls_fraction,
+    * low_value, high_value, row_count on the summary row. Computed in ONE
+    * distributed aggregation pass over the relation — exact (count
+    * distinct), so the driver oracle can replay it. */
+  private def showStats(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields.toSeq
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val dataSize = f.dataType match {
+        case StringType => sum(length(c)).cast("double").as(s"ds_${f.name}")
+        case BinaryType => sum(length(c)).cast("double").as(s"ds_${f.name}")
+        case _ => lit(null).cast("double").as(s"ds_${f.name}")
+      }
+      val lowHigh = f.dataType match {
+        case _: NumericType | DateType | TimestampType | StringType | BooleanType =>
+          Seq(min(c).cast("string").as(s"lo_${f.name}"),
+            max(c).cast("string").as(s"hi_${f.name}"))
+        case _ =>
+          Seq(lit(null).cast("string").as(s"lo_${f.name}"),
+            lit(null).cast("string").as(s"hi_${f.name}"))
+      }
+      Seq(
+        countDistinct(c).cast("double").as(s"ndv_${f.name}"),
+        sum(when(c.isNull, 1L).otherwise(0L)).cast("double").as(s"nulls_${f.name}"),
+        dataSize) ++ lowHigh
+    } :+ count(lit(1)).as("__rows")
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = r.getAs[Long]("__rows")
+    val out = fields.map { f =>
+      val nulls = r.getAs[Double](s"nulls_${f.name}")
+      Row(f.name,
+        Option(r.getAs[Double](s"ds_${f.name}")).orNull,
+        r.getAs[Double](s"ndv_${f.name}"),
+        if (rows == 0) null else nulls / rows,
+        r.getAs[String](s"lo_${f.name}"),
+        r.getAs[String](s"hi_${f.name}"),
+        null)
+    } :+ Row(null, null, null, null, null, null, rows.toDouble)
+    spark.createDataFrame(
+      java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      StructType(Seq(
+        StructField("column_name", StringType, nullable = true),
+        StructField("data_size", DoubleType, nullable = true),
+        StructField("distinct_values_count", DoubleType, nullable = true),
+        StructField("nulls_fraction", DoubleType, nullable = true),
+        StructField("low_value", StringType, nullable = true),
+        StructField("high_value", StringType, nullable = true),
+        StructField("row_count", DoubleType, nullable = true))))
+  }
+
+  /** Reference type spellings → Spark, and back (SHOW CREATE TABLE). */
+  private def sparkTypeName(t: String): String = t.trim.toLowerCase match {
+    case "varchar" => "string"
+    case v if v.startsWith("varchar(") => "string"
+    case "varbinary" => "binary"
+    case "real" => "float"
+    case "double precision" => "double"
+    case other => other
+  }
+  private def trinoTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => "varchar"
+      case BinaryType => "varbinary"
+      case FloatType => "real"
+      case LongType => "bigint"
+      case IntegerType => "integer"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case other => other.simpleString
+    }
   }
 }

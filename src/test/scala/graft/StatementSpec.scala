@@ -1,0 +1,125 @@
+package graft
+
+import graft.sqlx.TrinoDialect
+
+/** Statement front door beyond DML (SqlBase.g4 :84ff): ALTER TABLE
+  * metadata-only evolution, schema namespace + USE, SET/RESET/SHOW
+  * SESSION, GRANT/REVOKE/SHOW GRANTS recording, COMMENT ON, SHOW CREATE
+  * TABLE, DROP VIEW, SHOW STATS. */
+class StatementSpec extends SparkSpec {
+
+  private def sql(text: String) = TrinoDialect.sql(spark, sfDir, text)
+
+  test("ALTER TABLE: add/rename/drop columns are metadata-only and mixed files read back") {
+    sql("CREATE OR REPLACE TABLE st_alter AS SELECT n_nationkey AS k, n_name AS name FROM nation")
+    // add a column: old files surface NULL, new inserts carry it
+    sql("ALTER TABLE st_alter ADD COLUMN score DOUBLE")
+    sql("INSERT INTO st_alter VALUES (100, 'XANADU', CAST(1.5 AS DOUBLE))")
+    val afterAdd = sql("SELECT count(*) AS n, count(score) AS s FROM st_alter").head()
+    assert(afterAdd.getLong(0) == 26 && afterAdd.getLong(1) == 1)
+    // rename: new name reads both pre- and post-rename files
+    sql("ALTER TABLE st_alter RENAME COLUMN name TO nation_name")
+    sql("INSERT INTO st_alter VALUES (101, 'OZ', CAST(2.5 AS DOUBLE))")
+    val names = sql(
+      "SELECT count(nation_name) AS c FROM st_alter WHERE nation_name IS NOT NULL").head()
+    assert(names.getLong(0) == 27, "both physical column generations readable")
+    intercept[Exception] { sql("SELECT name FROM st_alter").collect() }
+    // drop: column disappears from reads and DESCRIBE
+    sql("ALTER TABLE st_alter DROP COLUMN score")
+    val cols = sql("DESCRIBE st_alter").collect().map(_.getString(0)).toSeq
+    assert(cols == Seq("k", "nation_name"))
+    // rename table
+    sql("ALTER TABLE st_alter RENAME TO st_alter2")
+    assert(sql("SELECT count(*) AS n FROM st_alter2").head().getLong(0) == 27)
+    intercept[Exception] { sql("SELECT * FROM st_alter").collect() }
+    sql("DROP TABLE st_alter2")
+    // IF EXISTS forms are silent no-ops
+    sql("ALTER TABLE IF EXISTS st_alter_missing ADD COLUMN x BIGINT")
+  }
+
+  test("schemas: CREATE/USE/DROP, qualified references resolve through the planner") {
+    sql("CREATE SCHEMA st_s1")
+    sql("USE st_s1")
+    sql("CREATE TABLE t1 AS SELECT r_regionkey AS k FROM region")
+    // qualified reference from the default schema
+    sql("USE default")
+    assert(sql("SELECT count(*) AS n FROM st_s1.t1").head().getLong(0) == 5)
+    intercept[Exception] { sql("DROP SCHEMA st_s1") } // not empty
+    sql("DROP TABLE st_s1.t1")
+    sql("DROP SCHEMA st_s1")
+    intercept[Exception] { sql("USE st_s1") }
+  }
+
+  test("SET/RESET/SHOW SESSION; join_distribution_type maps onto live conf") {
+    sql("SET SESSION join_distribution_type = 'PARTITIONED'")
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1")
+    val shown = sql("SHOW SESSION").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown("join_distribution_type") == "PARTITIONED")
+    sql("RESET SESSION join_distribution_type")
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold").toLong > 0)
+    assert(!sql("SHOW SESSION").collect().exists(_.getString(0) == "join_distribution_type"))
+    // unknown properties are recorded + surfaced (connector-property model)
+    sql("SET SESSION mycatalog.some_knob = 'v1'")
+    assert(sql("SHOW SESSION").collect().exists(_.getString(0) == "mycatalog.some_knob"))
+    sql("RESET SESSION mycatalog.some_knob")
+  }
+
+  test("GRANT/REVOKE recording and SHOW GRANTS") {
+    sql("CREATE OR REPLACE TABLE st_g AS SELECT 1 AS x")
+    sql("GRANT SELECT, INSERT ON TABLE st_g TO alice")
+    sql("GRANT ALL PRIVILEGES ON st_g TO bob")
+    val all = sql("SHOW GRANTS ON st_g").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(all.contains(("alice", "SELECT")) && all.contains(("alice", "INSERT")))
+    assert(all.contains(("bob", "DELETE")) && all.contains(("bob", "UPDATE")))
+    sql("REVOKE INSERT ON st_g FROM alice")
+    val after = sql("SHOW GRANTS ON st_g").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(after.contains(("alice", "SELECT")) && !after.contains(("alice", "INSERT")))
+    sql("REVOKE ALL ON st_g FROM bob")
+    assert(!sql("SHOW GRANTS").collect().exists(_.getString(0) == "bob"))
+    sql("DROP TABLE st_g")
+  }
+
+  test("COMMENT ON + SHOW CREATE TABLE round-trip") {
+    sql("CREATE OR REPLACE TABLE st_c AS SELECT 1 AS id, 'x' AS v")
+    sql("COMMENT ON TABLE st_c IS 'a test table'")
+    sql("COMMENT ON COLUMN st_c.id IS 'the key'")
+    val desc = sql("DESCRIBE st_c").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc("id") == "the key" && desc("v") == "")
+    val ddl = sql("SHOW CREATE TABLE st_c").collect().map(_.getString(0)).mkString("\n")
+    assert(ddl.contains("CREATE TABLE st_c"))
+    assert(ddl.contains("id integer COMMENT 'the key'"))
+    assert(ddl.contains("v varchar"))
+    assert(ddl.contains("COMMENT 'a test table'"))
+    sql("COMMENT ON COLUMN st_c.id IS NULL")
+    assert(sql("DESCRIBE st_c").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap.apply("id") == "")
+    sql("DROP TABLE st_c")
+  }
+
+  test("DROP VIEW") {
+    sql("CREATE VIEW st_v AS SELECT 1 AS one")
+    assert(sql("SELECT * FROM st_v").head().getInt(0) == 1)
+    sql("DROP VIEW st_v")
+    intercept[Exception] { sql("SELECT * FROM st_v").collect() }
+    sql("DROP VIEW IF EXISTS st_v")
+    intercept[Exception] { sql("DROP VIEW st_v") }
+  }
+
+  test("SHOW STATS over a fixture table and a subquery") {
+    val stats = sql("SHOW STATS FOR region").collect()
+    val byCol = stats.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r).toMap
+    assert(byCol("r_regionkey").getDouble(2) == 5.0, "ndv")
+    assert(byCol("r_regionkey").getString(4) == "0" &&
+      byCol("r_regionkey").getString(5) == "4", "low/high")
+    assert(byCol("r_name").getDouble(1) > 0, "string data size")
+    val summary = stats.filter(_.isNullAt(0))
+    assert(summary.length == 1 && summary.head.getDouble(6) == 5.0, "row count")
+    val qstats = sql("SHOW STATS FOR (SELECT r_regionkey FROM region WHERE r_regionkey < 3)")
+      .collect()
+    assert(qstats.filter(_.isNullAt(0)).head.getDouble(6) == 3.0)
+  }
+}
