@@ -194,6 +194,51 @@ final class CowTable private (root0: String, spark: SparkSession) {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     carried
   }
+
+  /** Snapshot rollback (reference plugin/trino-iceberg
+    * RollbackToSnapshotProcedure.java:30 semantics): publish a NEW version
+    * whose file set equals that of `version` — history stays monotonic and
+    * the rolled-back-over versions remain time-travelable. Metadata-only:
+    * no data file is read, written, or deleted, so it is O(manifest) at any
+    * table size. */
+  def rollbackTo(version: Int): Int = {
+    val v = currentVersion
+    require(version >= 0 && version <= v,
+      s"version $version does not exist (current is $v)")
+    if (version == v) v
+    else { commit(manifestDf(version).select("path"), Nil, v); v + 1 }
+  }
+
+  /** Physical cleanup (the open lake formats' expire_snapshots + orphan file
+    * removal, collapsed): drop every manifest below CURRENT and every data
+    * file the current manifest does not reference. Time travel to expired
+    * versions fails loudly afterwards (manifest gone), never misreads.
+    * Returns (data files removed, manifests removed). Driver work is one
+    * directory listing + the current manifest's file-name column — both
+    * already O(file count) structures. */
+  def vacuum(): (Int, Int) = {
+    val v = currentVersion
+    val live = manifestDf(v).select("fname").collect().map(_.getString(0)).toSet
+    var dataRemoved = 0
+    val it = Files.list(dataDir).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (!live.contains(p.getFileName.toString)) {
+        Files.deleteIfExists(p); dataRemoved += 1
+      }
+    }
+    var manifestsRemoved = 0
+    val mit = Files.list(manifestDir).iterator()
+    while (mit.hasNext) {
+      val p = mit.next()
+      val n = p.getFileName.toString
+      if (n.startsWith("v") && n.stripPrefix("v").forall(_.isDigit) &&
+          n.stripPrefix("v").toInt < v) {
+        deleteRecursively(p); manifestsRemoved += 1
+      }
+    }
+    (dataRemoved, manifestsRemoved)
+  }
 }
 
 object CowTable {

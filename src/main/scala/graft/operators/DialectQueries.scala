@@ -552,6 +552,43 @@ object Dialect {
          SELECT 999, 'XANADU', CAST(9.75 AS DOUBLE))
        ORDER BY k, nation_name"""
 
+  /** Multi-statement transactions + CALL procedures through the SQL front
+    * door (SqlBase.g4 :90-94; reference transaction semantics in
+    * core/trino-main io.trino.execution.StartTransactionTask): a rolled-back
+    * transaction leaves NO trace (catalog maps restored, per-table CoW
+    * versions rolled back via a metadata-only snapshot publish), a committed
+    * one is durable, and CALL rollback_to_version rewinds past the commit.
+    * The oracle replays only the surviving effects as a pure query. */
+  def q_sqlx_txn(s: SparkSession, dir: String): DataFrame = {
+    TrinoDialect.sql(s, dir,
+      """CREATE OR REPLACE TABLE wh_txn AS
+         SELECT n_nationkey AS k, n_regionkey AS r FROM nation""")
+    // rolled back: invisible in the final read
+    TrinoDialect.sql(s, dir, "START TRANSACTION")
+    TrinoDialect.sql(s, dir, "INSERT INTO wh_txn VALUES (500, 9)")
+    TrinoDialect.sql(s, dir, "UPDATE wh_txn SET r = r + 100 WHERE k < 10")
+    TrinoDialect.sql(s, dir, "DELETE FROM wh_txn WHERE k >= 20")
+    TrinoDialect.sql(s, dir, "ROLLBACK")
+    // committed: durable
+    TrinoDialect.sql(s, dir, "START TRANSACTION")
+    TrinoDialect.sql(s, dir, "INSERT INTO wh_txn VALUES (600, 3)")
+    TrinoDialect.sql(s, dir, "COMMIT")
+    // version history after the steps above: v1 CTAS … commit-INSERT at the
+    // top; CALL rewinds to the post-rollback snapshot, then the last INSERT
+    // lands on the rewound state
+    TrinoDialect.sql(s, dir,
+      "CALL system.rollback_to_version(table => 'wh_txn', version => 1)")
+    TrinoDialect.sql(s, dir, "INSERT INTO wh_txn VALUES (700, 4)")
+    TrinoDialect.sql(s, dir,
+      """SELECT r AS region_bucket, count(*) AS n, sum(k) AS sum_k
+         FROM wh_txn GROUP BY r ORDER BY region_bucket""")
+  }
+  val qSqlxTxnSql: String =
+    """SELECT r AS region_bucket, count(*) AS n, sum(k) AS sum_k FROM (
+         SELECT n_nationkey AS k, n_regionkey AS r FROM nation
+         UNION ALL SELECT 700, 4)
+       GROUP BY r ORDER BY region_bucket"""
+
   /** SHOW STATS FOR <table> (SqlBase.g4 :141; the reference's
     * StatisticsAggregationPlanner shape): one exact distributed aggregation
     * pass — per-column ndv / nulls fraction / min / max / string data size
@@ -603,6 +640,7 @@ object Dialect {
   val queries: Map[String, Q] = Map(
     "q_sqlx_statements" -> q_sqlx_statements _,
     "q_sqlx_ddl_alter" -> q_sqlx_ddl_alter _,
+    "q_sqlx_txn" -> q_sqlx_txn _,
     "q_sqlx_show_stats" -> q_sqlx_show_stats _,
     "q_tvf_registry" -> q_tvf_registry _,
     "q_sqlx_try" -> q_sqlx_try _,
@@ -624,6 +662,7 @@ object Dialect {
   val oracles: Map[String, String] = Map(
     "q_sqlx_statements" -> qSqlxStatementsSql,
     "q_sqlx_ddl_alter" -> qSqlxDdlAlterSql,
+    "q_sqlx_txn" -> qSqlxTxnSql,
     "q_sqlx_show_stats" -> qSqlxShowStatsSql,
     "q_tvf_registry" -> qTvfRegistrySql,
     "q_sqlx_try" -> qSqlxTrySql,

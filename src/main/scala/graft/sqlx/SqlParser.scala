@@ -124,6 +124,19 @@ object SqlAst {
   final case class DropViewStmt(name: String, ifExists: Boolean) extends Statement
   /** SHOW STATS FOR t | FOR (query) (SqlBase.g4 :141). */
   final case class ShowStatsStmt(target: Either[String, Query]) extends Statement
+  /** CALL [catalog.][schema.]proc(arg, …) with positional or `name => v`
+    * named arguments (SqlBase.g4 :94). */
+  final case class CallStmt(name: Seq[String],
+      args: Seq[(Option[String], Expr)]) extends Statement
+  /** kind: "START" | "COMMIT" | "ROLLBACK" (SqlBase.g4 :90-93). */
+  final case class TransactionStmt(kind: String) extends Statement
+  final case class CreateRoleStmt(name: String) extends Statement
+  final case class DropRoleStmt(name: String) extends Statement
+  /** role: Some(name) | None for SET ROLE NONE; all = SET ROLE ALL. */
+  final case class SetRoleStmt(role: Option[String], all: Boolean) extends Statement
+  final case class ShowRolesStmt(current: Boolean) extends Statement
+  final case class GrantRoleStmt(revoke: Boolean, role: String,
+      grantee: String) extends Statement
 }
 
 final class SqlParseException(msg: String) extends IllegalArgumentException(msg)
@@ -141,7 +154,7 @@ object SqlLexer {
     def isOp(s: String): Boolean = kind == TOp && text == s
   }
 
-  private val multiOps = Seq("<=", ">=", "<>", "!=", "||", "->", "{-", "-}")
+  private val multiOps = Seq("<=", ">=", "<>", "!=", "||", "=>", "->", "{-", "-}")
 
   def lex(s: String): Vector[Token] = {
     val out = Vector.newBuilder[Token]
@@ -418,7 +431,42 @@ final class SqlParser(src: String) {
           case _ => err("expected a string literal or NULL")
         }
         CommentStmt(isColumn, target, comment)
-      } else QueryStmt(parseQueryNoFinish())
+      } else if (accept("CALL")) {
+        val parts = scala.collection.mutable.ArrayBuffer(ident("procedure name"))
+        while (acceptOp(".")) parts += ident("procedure name part")
+        expectOp("(")
+        val args = scala.collection.mutable.ArrayBuffer[(Option[String], Expr)]()
+        if (!peek.isOp(")")) {
+          var more = true
+          while (more) {
+            // named form: ident => expr
+            val nm =
+              if (peek.kind == TIdent && peek2.isOp("=>")) {
+                val n = ident("argument name"); p += 1; Some(n.toLowerCase)
+              } else None
+            args += ((nm, parseExpr()))
+            more = acceptOp(",")
+          }
+        }
+        expectOp(")")
+        CallStmt(parts.toSeq.map(_.toLowerCase), args.toSeq)
+      } else if (acceptSeq("START", "TRANSACTION")) {
+        // transaction modes (ISOLATION LEVEL …, READ ONLY/WRITE) are
+        // accepted and ignored: the engine runs SERIALIZABLE-per-statement
+        // with single-writer tables, stricter than every accepted level
+        while (peek.kind != TEof && !peek.isOp(";")) next()
+        TransactionStmt("START")
+      } else if (accept("COMMIT")) { accept("WORK"); TransactionStmt("COMMIT") }
+      else if (accept("ROLLBACK")) { accept("WORK"); TransactionStmt("ROLLBACK") }
+      else if (acceptSeq("CREATE", "ROLE")) CreateRoleStmt(ident("role name").toLowerCase)
+      else if (acceptSeq("DROP", "ROLE")) DropRoleStmt(ident("role name").toLowerCase)
+      else if (acceptSeq("SET", "ROLE")) {
+        if (accept("NONE")) SetRoleStmt(None, all = false)
+        else if (accept("ALL")) SetRoleStmt(None, all = true)
+        else SetRoleStmt(Some(ident("role name").toLowerCase), all = false)
+      } else if (acceptSeq("SHOW", "CURRENT", "ROLES")) ShowRolesStmt(current = true)
+      else if (acceptSeq("SHOW", "ROLES")) ShowRolesStmt(current = false)
+      else QueryStmt(parseQueryNoFinish())
     if (!peek.isOp(";") && peek.kind != TEof) err("trailing input after statement")
     stmt
   }
@@ -436,13 +484,20 @@ final class SqlParser(src: String) {
     sb.toString
   }
 
-  /** GRANT/REVOKE privs ON [TABLE] t TO|FROM [ROLE|USER] grantee. */
+  /** GRANT/REVOKE privs ON [TABLE] t TO|FROM [ROLE|USER] grantee, or the
+    * role form GRANT role TO [USER] u (SqlBase.g4 :96-99) — disambiguated
+    * by what follows the first identifier (ON/comma → privileges). */
   private def parseGrant(revoke: Boolean): Statement = {
     val privs = scala.collection.mutable.ArrayBuffer[String]()
     if (accept("ALL")) { accept("PRIVILEGES"); privs += "ALL" }
     else {
-      var more = true
-      while (more) { privs += ident("privilege").toUpperCase; more = acceptOp(",") }
+      val first = ident("privilege or role")
+      if ((!revoke && peek.is("TO")) || (revoke && peek.is("FROM"))) {
+        next(); accept("ROLE"); accept("USER")
+        return GrantRoleStmt(revoke, first.toLowerCase, ident("grantee"))
+      }
+      privs += first.toUpperCase
+      while (acceptOp(",")) privs += ident("privilege").toUpperCase
     }
     expectKw("ON"); accept("TABLE")
     val table = qualifiedName()

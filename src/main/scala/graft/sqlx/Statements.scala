@@ -55,6 +55,28 @@ private[graft] object Statements {
   /** SET SESSION properties; a few keys map onto live Spark conf. */
   private val sessionProps = TrieMap[String, String]()
 
+  /** Role registry + per-session enabled set (reference parity:
+    * CREATE/SET ROLE are metadata under the default allow-all access
+    * control; SHOW ROLES surfaces them). */
+  private val roles = TrieMap[String, Unit]()
+  @volatile private var enabledRoles: Set[String] = Set.empty
+
+  /** Open multi-statement transaction: the catalog maps and every
+    * front-door table's CoW version at START TRANSACTION. ROLLBACK
+    * restores the maps and publishes a rollback snapshot per advanced
+    * table (metadata-only — no data file is touched, so transaction
+    * rollback is O(tables), not O(data), at any scale). Single-session
+    * semantics: the engine's tables are single-writer (CowTable's
+    * last-writer-wins CURRENT swap), matching the reference's
+    * one-transaction-per-session model. */
+  private final case class TxnSnapshot(
+      tables: Map[String, String], meta: Map[String, TableMeta],
+      schemaNames: Set[String], schema: String,
+      grantsSnap: Map[(String, String), Set[String]],
+      props: Map[String, String], roleNames: Set[String],
+      enabled: Set[String], versions: Map[String, Int])
+  @volatile private var txn: Option[TxnSnapshot] = None
+
   private[graft] def isSchema(name: String): Boolean =
     schemas.contains(name.toLowerCase)
 
@@ -507,7 +529,129 @@ private[graft] object Statements {
       }
       showStats(spark, df)
 
+    case TransactionStmt("START") =>
+      if (txn.isDefined)
+        throw new IllegalStateException("a transaction is already in progress")
+      txn = Some(TxnSnapshot(tables.toMap, tableMeta.toMap,
+        schemas.keySet.toSet, currentSchema, grants.toMap, sessionProps.toMap,
+        roles.keySet.toSet, enabledRoles,
+        tables.toMap.map { case (k, root) =>
+          k -> graft.catalog.CowTable.open(spark, root).currentVersion }))
+      oneRow(spark, "rows", 0L)
+
+    case TransactionStmt("COMMIT") =>
+      if (txn.isEmpty)
+        throw new IllegalStateException("no transaction in progress")
+      txn = None
+      oneRow(spark, "rows", 0L)
+
+    case TransactionStmt(_) => // ROLLBACK
+      val snap = txn.getOrElse(
+        throw new IllegalStateException("no transaction in progress"))
+      txn = None
+      // tables created inside the transaction lose their views
+      (tables.keySet -- snap.tables.keySet).foreach(k =>
+        spark.catalog.dropTempView(viewNameOf(k)))
+      tables.clear(); tables ++= snap.tables
+      tableMeta.clear(); tableMeta ++= snap.meta
+      schemas.clear(); schemas ++= snap.schemaNames.map(_ -> ())
+      currentSchema = snap.schema
+      grants.clear(); grants ++= snap.grantsSnap
+      sessionProps.clear(); sessionProps ++= snap.props
+      roles.clear(); roles ++= snap.roleNames.map(_ -> ())
+      enabledRoles = snap.enabled
+      snap.tables.foreach { case (k, root) =>
+        val ct = graft.catalog.CowTable.open(spark, root)
+        val saved = snap.versions(k)
+        if (ct.currentVersion != saved) ct.rollbackTo(saved)
+        projected(spark, k).createOrReplaceTempView(viewNameOf(k))
+      }
+      oneRow(spark, "rows", 0L)
+
+    case CallStmt(name, args) => call(spark, name, args)
+
+    case CreateRoleStmt(r) =>
+      if (roles.putIfAbsent(r, ()).isDefined)
+        throw new IllegalArgumentException(s"role '$r' already exists")
+      oneRow(spark, "rows", 0L)
+
+    case DropRoleStmt(r) =>
+      if (roles.remove(r).isEmpty)
+        throw new IllegalArgumentException(s"role '$r' does not exist")
+      enabledRoles -= r
+      oneRow(spark, "rows", 0L)
+
+    case SetRoleStmt(role, all) =>
+      enabledRoles = role match {
+        case Some(r) =>
+          if (!roles.contains(r))
+            throw new IllegalArgumentException(s"role '$r' does not exist")
+          Set(r)
+        case None => if (all) roles.keySet.toSet else Set.empty
+      }
+      oneRow(spark, "rows", 0L)
+
+    case ShowRolesStmt(current) =>
+      stringRows(spark, "role",
+        (if (current) enabledRoles else roles.keySet).toSeq.sorted)
+
+    case GrantRoleStmt(revoke, role, grantee) =>
+      if (!roles.contains(role))
+        throw new IllegalArgumentException(s"role '$role' does not exist")
+      val gk = (grantee.toLowerCase, s"role:$role")
+      if (revoke) grants.remove(gk) else grants(gk) = Set("MEMBER")
+      oneRow(spark, "rows", 0L)
+
     case QueryStmt(_) => throw new IllegalStateException("unreachable")
+  }
+
+  /** CALL procedures (reference SqlBase.g4 :94 + the lake connectors'
+    * system procedures, e.g. plugin/trino-iceberg
+    * RollbackToSnapshotProcedure.java:30): the procedure name's last part
+    * resolves in a fixed registry; catalog/schema qualifiers (system.…)
+    * are accepted and ignored. Args are literals, positional or named. */
+  private def call(spark: SparkSession, name: Seq[String],
+      args: Seq[(Option[String], Expr)]): DataFrame = {
+
+    def scalar(e: Expr): String = e match {
+      case Lit(sql) =>
+        if (sql.startsWith("'") && sql.endsWith("'"))
+          sql.substring(1, sql.length - 1)
+        else sql
+      case other => throw new IllegalArgumentException(
+        s"CALL arguments must be literals, got: $other")
+    }
+    /** named wins; else positional index. */
+    def arg(names: Seq[String], pos: Int): String =
+      args.collectFirst { case (Some(n), e) if names.contains(n) => scalar(e) }
+        .orElse(args.collect { case (None, e) => e }.lift(pos).map(scalar))
+        .getOrElse(throw new IllegalArgumentException(
+          s"missing CALL argument '${names.head}'"))
+
+    name.last match {
+      case "rollback_to_version" | "rollback_to_snapshot" =>
+        val table = arg(Seq("table", "table_name"), 0)
+        val version = arg(Seq("version", "snapshot_id"), 1).toInt
+        val ct = openTable(spark, table)
+        val v = ct.rollbackTo(version)
+        refreshView(spark, table)
+        oneRow(spark, "version", v.toLong)
+
+      case "vacuum" | "expire_snapshots" | "remove_orphan_files" =>
+        val table = arg(Seq("table", "table_name"), 0)
+        if (txn.isDefined) throw new IllegalStateException(
+          "cannot vacuum inside a transaction (rollback would lose history)")
+        val (files, manifests) = openTable(spark, table).vacuum()
+        oneRow(spark, "removed", files.toLong + manifests)
+
+      case "flush_metadata_cache" =>
+        tables.keys.foreach(k =>
+          projected(spark, k).createOrReplaceTempView(viewNameOf(k)))
+        oneRow(spark, "rows", 0L)
+
+      case other => throw new SqlParseException(
+        s"procedure '${name.mkString(".")}' is not registered")
+    }
   }
 
   /** SHOW STATS output in the reference's shape (sql/analyzer/

@@ -109,6 +109,74 @@ class StatementSpec extends SparkSpec {
     intercept[Exception] { sql("DROP VIEW st_v") }
   }
 
+  test("transactions: ROLLBACK restores catalog + table versions, COMMIT keeps them") {
+    sql("CREATE OR REPLACE TABLE st_txn AS SELECT n_nationkey AS k FROM nation")
+    sql("START TRANSACTION")
+    sql("INSERT INTO st_txn VALUES (100)")
+    sql("UPDATE st_txn SET k = k + 1000 WHERE k < 3")
+    sql("CREATE TABLE st_txn_new AS SELECT 1 AS x")
+    assert(sql("SELECT count(*) AS n FROM st_txn").head().getLong(0) == 26)
+    sql("ROLLBACK")
+    // mutations undone, mid-transaction table gone
+    assert(sql("SELECT count(*) AS n FROM st_txn").head().getLong(0) == 25)
+    assert(sql("SELECT max(k) AS m FROM st_txn").head()
+      .getAs[Number](0).longValue == 24)
+    intercept[Exception] { sql("SELECT * FROM st_txn_new").collect() }
+    // COMMIT makes the work durable
+    sql("START TRANSACTION ISOLATION LEVEL SERIALIZABLE, READ WRITE")
+    sql("INSERT INTO st_txn VALUES (200)")
+    sql("COMMIT")
+    assert(sql("SELECT count(*) AS n FROM st_txn").head().getLong(0) == 26)
+    // transaction discipline errors
+    intercept[Exception] { sql("COMMIT") }
+    intercept[Exception] { sql("ROLLBACK") }
+    sql("START TRANSACTION")
+    intercept[Exception] { sql("START TRANSACTION") }
+    sql("ROLLBACK")
+    sql("DROP TABLE st_txn")
+  }
+
+  test("CALL: rollback_to_version, vacuum, flush_metadata_cache") {
+    sql("CREATE OR REPLACE TABLE st_call AS SELECT r_regionkey AS k FROM region")
+    sql("INSERT INTO st_call VALUES (100)")
+    sql("DELETE FROM st_call WHERE k < 2")
+    assert(sql("SELECT count(*) AS n FROM st_call").head().getLong(0) == 4)
+    // named-argument form; version 2 = after the INSERT
+    sql("CALL system.rollback_to_version(table => 'st_call', version => 2)")
+    assert(sql("SELECT count(*) AS n FROM st_call").head().getLong(0) == 6)
+    // positional form back to version 1 (the CTAS)
+    sql("CALL system.rollback_to_version('st_call', 1)")
+    assert(sql("SELECT count(*) AS n FROM st_call").head().getLong(0) == 5)
+    // vacuum drops expired manifests: time travel to them now fails loudly
+    sql("CALL system.vacuum('st_call')")
+    assert(sql("SELECT count(*) AS n FROM st_call").head().getLong(0) == 5)
+    intercept[Exception] {
+      sql("CALL system.rollback_to_version('st_call', 2)")
+      sql("SELECT count(*) AS n FROM st_call").collect()
+    }
+    sql("CALL system.flush_metadata_cache()")
+    intercept[Exception] { sql("CALL system.no_such_proc()") }
+    sql("DROP TABLE IF EXISTS st_call")
+  }
+
+  test("roles: CREATE/SET/SHOW/GRANT role metadata") {
+    sql("CREATE ROLE analyst")
+    sql("CREATE ROLE admin")
+    intercept[Exception] { sql("CREATE ROLE analyst") }
+    assert(sql("SHOW ROLES").collect().map(_.getString(0)).toSet
+      .intersect(Set("analyst", "admin")) == Set("analyst", "admin"))
+    sql("SET ROLE analyst")
+    assert(sql("SHOW CURRENT ROLES").collect().map(_.getString(0)).toSeq == Seq("analyst"))
+    sql("SET ROLE NONE")
+    assert(sql("SHOW CURRENT ROLES").collect().isEmpty)
+    sql("GRANT analyst TO USER carol")
+    intercept[Exception] { sql("GRANT no_such_role TO USER carol") }
+    sql("REVOKE analyst FROM USER carol")
+    sql("DROP ROLE admin")
+    sql("DROP ROLE analyst")
+    intercept[Exception] { sql("SET ROLE analyst") }
+  }
+
   test("SHOW STATS over a fixture table and a subquery") {
     val stats = sql("SHOW STATS FOR region").collect()
     val byCol = stats.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r).toMap
