@@ -49,7 +49,10 @@ object Registry {
     "wilson_interval_lower", "wilson_interval_upper", "normal_cdf",
     "inverse_normal_cdf", "beta_cdf", "inverse_beta_cdf", "binomial_cdf",
     "to_base", "from_base", "to_big_endian_64", "from_big_endian_64", "rgb",
-    "spooky_hash_v2_32", "spooky_hash_v2_64")
+    "spooky_hash_v2_32", "spooky_hash_v2_64",
+    // scalar-name parity batch 3 (round 8)
+    "color", "bar", "render", "day_of_month", "from_unixtime_nanos",
+    "from_iso8601_timestamp_nanos", "parse_presto_data_size")
 
   def registerAll(spark: SparkSession): Unit = {
     VectorFunctions.register(spark)
@@ -426,5 +429,32 @@ object Registry {
       es => graft.ext.SpookyHashV2(es(0), 32), "built-in")
     r.createOrReplaceTempFunction("spooky_hash_v2_64",
       es => graft.ext.SpookyHashV2(es(0), 64), "built-in")
+
+    // ---- scalar-name parity batch 3 (round 8): the last reference
+    // spellings with no prior mapping.
+    // color family full surface (ColorFunctions.java :88/:126/:144/:161/:196)
+    r.createOrReplaceTempFunction("color", es =>
+      if (es.length == 1) graft.ext.ColorParse(es(0))
+      else graft.ext.ColorInterp(es), "built-in")
+    r.createOrReplaceTempFunction("bar",
+      es => graft.ext.ColorBar(es), "built-in")
+    r.createOrReplaceTempFunction("render",
+      es => graft.ext.ColorRender(es), "built-in")
+    // DateTimeFunctions.java day_of_month alias family
+    r.createOrReplaceTempFunction("day_of_month",
+      es => DayOfMonth(Cast(es(0), DateType)), "built-in")
+    // from_unixtime_nanos: floor-division to micros (negative nanos floor
+    // toward -∞, DateTimeFunctions.java fromUnixtimeNanos's roundDiv)
+    r.createOrReplaceTempFunction("from_unixtime_nanos", es => {
+      val n = Cast(es(0), LongType)
+      MicrosToTimestamp(IntegralDivide(
+        Subtract(n, Pmod(n, Literal(1000L))), Literal(1000L),
+        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+    }, "built-in")
+    // micros precision (Spark timestamps): sub-micro digits truncate
+    r.createOrReplaceTempFunction("from_iso8601_timestamp_nanos",
+      es => Cast(es(0), TimestampType), "built-in")
+    r.createOrReplaceTempFunction("parse_presto_data_size",
+      es => graft.ext.ParseDataSize(es(0)), "built-in")
   }
 }

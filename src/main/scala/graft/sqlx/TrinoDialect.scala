@@ -52,6 +52,8 @@ object TrinoDialect {
   private val PrepareRe = "(?is)^\\s*PREPARE\\s+(\\w+)\\s+FROM\\s+(.*)$".r
   private val ExecuteRe = "(?is)^\\s*EXECUTE\\s+(\\w+)(?:\\s+USING\\s+(.*))?\\s*$".r
   private val DeallocRe = "(?is)^\\s*DEALLOCATE\\s+PREPARE\\s+(\\w+)\\s*$".r
+  private val DescInputRe = "(?is)^\\s*DESCRIBE\\s+INPUT\\s+(\\w+)\\s*$".r
+  private val DescOutputRe = "(?is)^\\s*DESCRIBE\\s+OUTPUT\\s+(\\w+)\\s*$".r
 
   /** Splice EXECUTE … USING arguments into the statement's `?` parameter
     * markers (left to right, literal-aware — a '?' inside a string survives). */
@@ -90,6 +92,52 @@ object TrinoDialect {
       case DeallocRe(name) =>
         prepared.remove(name)
         spark.emptyDataFrame
+      // DESCRIBE INPUT/OUTPUT (reference execution/DescribeInputTask.java,
+      // DescribeOutputTask.java): INPUT lists `?` positions (types are
+      // 'unknown' — the reference also reports unknown absent coercion
+      // context); OUTPUT plans the statement WITHOUT executing it — `?`
+      // bound to NULL — and reports the output schema, DML heads as the
+      // single `rows bigint` update-count column.
+      case DescInputRe(name) =>
+        val stmt = prepared.getOrElse(name,
+          throw new IllegalArgumentException(s"no prepared statement '$name'"))
+        val masked = maskLiterals(stmt)
+        val rows = masked.zipWithIndex.collect { case ('?', _) => "unknown" }
+          .zipWithIndex.map { case (t, i) => org.apache.spark.sql.Row(i + 1, t) }
+        spark.createDataFrame(java.util.List.copyOf(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("position",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("type",
+              org.apache.spark.sql.types.StringType, nullable = false))))
+      case DescOutputRe(name) =>
+        val stmt = prepared.getOrElse(name,
+          throw new IllegalArgumentException(s"no prepared statement '$name'"))
+        val masked = maskLiterals(stmt)
+        val bound = stmt.indices.map(i =>
+          if (masked(i) == '?') "NULL" else stmt(i).toString).mkString
+        graft.sources.Tables.registerAll(spark, dir)
+        graft.functions.Registry.registerAll(spark)
+        val schema =
+          try new SqlParser(bound).parseStatement() match {
+            case SqlAst.QueryStmt(q) =>
+              spark.sql(SqlFrontend.renderQuery(SqlFrontend.planQuery(
+                spark, dir, SqlFrontend.rewriteQuery(q)))).schema
+            case _ => org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("rows",
+                org.apache.spark.sql.types.LongType, nullable = false)))
+          } catch { case _: SqlParseException =>
+            sqlDirect(spark, dir, bound).schema }
+        val rows = schema.fields.toSeq.map(f =>
+          org.apache.spark.sql.Row(f.name, f.dataType.simpleString))
+        spark.createDataFrame(java.util.List.copyOf(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("column_name",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("type",
+              org.apache.spark.sql.types.StringType, nullable = false))))
       case ExecuteRe(name, argsText) if prepared.contains(name) =>
         sql(spark, dir, bindParams(prepared(name), Option(argsText)))
       case ExecuteRe(name, _) =>

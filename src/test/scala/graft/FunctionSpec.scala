@@ -420,4 +420,34 @@ class FunctionSpec extends SparkSpec {
     val a191 = Array.fill[Byte](191)(7); val a192 = Array.fill[Byte](192)(7)
     assert(graft.ext.SpookyHash.hash64(a191) != graft.ext.SpookyHash.hash64(a192))
   }
+
+  test("scalar-name parity batch 3: color family, nanos datetimes, data size") {
+    graft.functions.Registry.registerAll(spark)
+    // color encoding vectors (reference TestColorFunctions.java:37-79)
+    val c = spark.sql(
+      """SELECT color('black') AS black, color('red') AS red, color('white') AS white,
+           color('#f00') AS ff00, color('#cde') AS cde,
+           color(0.5D, color('#f00'), color('#00f')) AS mid""").head()
+    assert(c.getLong(0) == -1 && c.getLong(1) == -2 && c.getLong(2) == -8)
+    assert(c.getLong(3) == 0xFF0000L && c.getLong(4) == 0xCCDDEEL)
+    assert(c.getLong(5) >= 0, "interpolated colors are rgb values")
+    intercept[Exception] { spark.sql("SELECT color('no_such_color')").collect() }
+    // bar: the reference's own expected string (TestColorFunctions.java:85)
+    val b = spark.sql(
+      "SELECT bar(0.6D, 5, color('#f0f'), color('#00f')) AS b").head().getString(0)
+    assert(b == "\u001b[38;5;201m\u2588\u001b[38;5;165m\u2588\u001b[38;5;129m\u2588\u001b[0m  ")
+    assert(spark.sql("SELECT bar(0.5D, 10) AS b").head().getString(0).contains("█"))
+    val rTrue = spark.sql("SELECT render(true) AS r").head().getString(0)
+    assert(rTrue.contains("✓") && rTrue.contains("[38;5;"))
+    // day_of_month ≡ day; nanos datetimes land at micros precision
+    val d = spark.sql(
+      """SELECT day_of_month(DATE'2024-02-29') AS dom,
+           CAST(from_unixtime_nanos(1704067200123456789) AS STRING) AS ts,
+           CAST(from_iso8601_timestamp_nanos('2024-01-01T00:00:00.123456789') AS STRING) AS iso,
+           CAST(parse_presto_data_size('2.3MB') AS DECIMAL(38,0)) AS sz""").head()
+    assert(d.getInt(0) == 29)
+    assert(d.getString(1) == "2024-01-01 00:00:00.123456")
+    assert(d.getString(2) == "2024-01-01 00:00:00.123456")
+    assert(d.getDecimal(3).longValue == (2.3 * 1024 * 1024).toLong)
+  }
 }

@@ -177,6 +177,25 @@ class StatementSpec extends SparkSpec {
     intercept[Exception] { sql("SET ROLE analyst") }
   }
 
+  test("DESCRIBE INPUT/OUTPUT over prepared statements") {
+    sql("PREPARE st_p FROM SELECT n_name, n_regionkey + ? AS rk FROM nation WHERE n_nationkey < ?")
+    val in = sql("DESCRIBE INPUT st_p").collect()
+    assert(in.map(_.getInt(0)).toSeq == Seq(1, 2))
+    val out = sql("DESCRIBE OUTPUT st_p").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.contains("n_name") && out.contains("rk"))
+    // DML statements report the update-count column, and are NOT executed
+    sql("CREATE OR REPLACE TABLE st_desc AS SELECT 1 AS x")
+    sql("PREPARE st_pd FROM INSERT INTO st_desc VALUES (?)")
+    val dml = sql("DESCRIBE OUTPUT st_pd").collect()
+    assert(dml.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("rows", "bigint")))
+    assert(sql("SELECT count(*) AS n FROM st_desc").head().getLong(0) == 1,
+      "DESCRIBE OUTPUT must not execute the DML")
+    sql("DEALLOCATE PREPARE st_p")
+    intercept[Exception] { sql("DESCRIBE INPUT st_p").collect() }
+    sql("DROP TABLE st_desc")
+  }
+
   test("SHOW STATS over a fixture table and a subquery") {
     val stats = sql("SHOW STATS FOR region").collect()
     val byCol = stats.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r).toMap
