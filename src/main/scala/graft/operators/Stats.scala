@@ -10,12 +10,14 @@ import org.apache.spark.sql.types.DecimalType
   * (reference operator/scalar/DataSizeFunctions.java — binary 1024-based
   * units).
   *
-  * Verification strategy per value class:
+  * Verification strategy per value class (all float outputs are scaled to
+  * BIGINT before they leave the query — the driver's raw hash can
+  * distinguish float representations even when values compare ==, so the
+  * oracle-facing schema carries no floats at all):
   *  - normal_cdf: COLUMN-arithmetic erf (A&S 7.1.26 constants) whose exact
-  *    formula the oracle replays; round-9 absorbs libm exp ulps.
-  *  - cos_dist: + 0.0 after the round canonicalizes -0.0 (DuckDB's round is
-  *    sign-preserving on tiny negatives, Spark's is not; raw hashes differ
-  *    on the zero sign even though == equality holds).
+  *    formula the oracle replays, emitted as round(x*1e9)::BIGINT.
+  *  - cos_dist: round(x*1e12)::BIGINT — a tiny negative (parallel vectors,
+  *    1 - ratio ≈ -1e-16) rounds to 0 on both engines once integral.
   *  - inverse_normal_cdf (Acklam + Halley, ext.StatExpressions): pinned by
   *    the cdf(inverse(p)) ≈ p round-trip at 1e-6 (the forward column cdf is
   *    A&S-accuracy 1.5e-7).
@@ -75,22 +77,27 @@ object Stats {
     val dot = $"ax" * $"bx" + $"ay" * $"by"
     val cosDist = lit(1.0) - dot /
       (sqrt($"ax" * $"ax" + $"ay" * $"ay") * sqrt($"bx" * $"bx" + $"by" * $"by"))
+    // Every float column is scaled to an exact BIGINT: round-7 shipped this
+    // spec with round(x, 9) doubles that were BIT-IDENTICAL to the oracle's
+    // under the local replica compare (tools/compare.py), yet the driver's
+    // raw hash still flagged it — the hash regime distinguishes float
+    // representations that == does not. Integers leave it nothing to trip
+    // on, and the scaling (1e9 / 1e12 / ×65536-dyadic) preserves exactly
+    // the precision the round(…, 9) verification carried.
     t.select($"c_custkey",
-        round(normalCdf($"mean", $"sd", $"v"), 9).as("ncdf"),
+        round(normalCdf($"mean", $"sd", $"v") * 1e9).cast("long").as("ncdf_e9"),
         (abs(normalCdf($"mean", $"sd",
           inverseNormalCdf($"mean", $"sd", $"p")) - $"p") < 1e-6).as("inv_roundtrip_ok"),
-        round(betaCdf(lit(1.0), lit(1.0), $"xb"), 9).as("beta11"),
-        round(betaCdf(lit(2.0), lit(1.0), $"xb"), 9).as("beta21"),
-        round(betaCdf(lit(2.0), lit(2.0), $"xb"), 9).as("beta22"),
+        round(betaCdf(lit(1.0), lit(1.0), $"xb") * 1e9).cast("long").as("beta11_e9"),
+        round(betaCdf(lit(2.0), lit(1.0), $"xb") * 1e9).cast("long").as("beta21_e9"),
+        round(betaCdf(lit(2.0), lit(2.0), $"xb") * 1e9).cast("long").as("beta22_e9"),
         (betaCdf(lit(2.5), lit(1.5), $"xb") <= betaCdf(lit(2.5), lit(1.5), $"xb" + 0.05))
           .as("beta_monotone_ok"),
-        binomialCdf(lit(16), lit(0.5), $"k").as("binom"),
-        dot.as("dot"),
-        // + 0.0 canonicalizes -0.0 → 0.0 (IEEE): DuckDB's round keeps the
-        // sign of a tiny negative (parallel vectors, 1 - ratio ≈ -1e-16)
-        // while Spark's BigDecimal round does not, and the driver's raw hash
-        // distinguishes the two even though == does not.
-        (round(cosDist, 12) + lit(0.0)).as("cos_dist"),
+        // p = 1/2: every partial sum is an exact multiple of 2^-16, so
+        // ×65536 is an integer with no rounding involved at all.
+        round(binomialCdf(lit(16), lit(0.5), $"k") * 65536).cast("long").as("binom_x64k"),
+        dot.cast("long").as("dot"),
+        round(cosDist * 1e12).cast("long").as("cos_dist_e12"),
         dsBytes.as("data_size_bytes"))
       .orderBy($"c_custkey")
   }
@@ -127,18 +134,19 @@ object Stats {
                 ELSE -(1.0 - poly * exp(-z * z)) END AS erf
          FROM g)
        SELECT c_custkey,
-         round((1.0 + erf) / 2.0, 9) AS ncdf,
+         CAST(round((1.0 + erf) / 2.0 * 1e9) AS BIGINT) AS ncdf_e9,
          TRUE AS inv_roundtrip_ok,
-         round(xb, 9) AS beta11,
-         round(xb * xb, 9) AS beta21,
-         round(3 * xb * xb - 2 * xb * xb * xb, 9) AS beta22,
+         CAST(round(xb * 1e9) AS BIGINT) AS beta11_e9,
+         CAST(round(xb * xb * 1e9) AS BIGINT) AS beta21_e9,
+         CAST(round((3 * xb * xb - 2 * xb * xb * xb) * 1e9) AS BIGINT) AS beta22_e9,
          TRUE AS beta_monotone_ok,
-         -- p = 1/2: every term C(16,j)/2^16 is exact dyadic
-         list_sum([CAST(factorial(16::INT) / (factorial(j::INT) * factorial((16 - j)::INT)) AS DOUBLE)
-                   * power(0.5, 16) FOR j IN range(0, CAST(k AS INT) + 1)]) AS binom,
-         ax * bx + ay * "by" AS dot,
-         round(1.0 - (ax * bx + ay * "by")
-           / (sqrt(ax * ax + ay * ay) * sqrt(bx * bx + "by" * "by")), 12) + 0.0 AS cos_dist,
+         -- p = 1/2: every term C(16,j)/2^16 is exact dyadic, so the sum
+         -- times 65536 is an exact integer on both engines.
+         CAST(round(list_sum([CAST(factorial(16::INT) / (factorial(j::INT) * factorial((16 - j)::INT)) AS DOUBLE)
+                   * power(0.5, 16) FOR j IN range(0, CAST(k AS INT) + 1)]) * 65536) AS BIGINT) AS binom_x64k,
+         CAST(ax * bx + ay * "by" AS BIGINT) AS dot,
+         CAST(round((1.0 - (ax * bx + ay * "by")
+           / (sqrt(ax * ax + ay * ay) * sqrt(bx * bx + "by" * "by"))) * 1e12) AS BIGINT) AS cos_dist_e12,
          CAST(floor(CAST(printf('%.1f', ds_num) AS DECIMAL(18,1)) *
            CASE ds_unit WHEN 'B' THEN 1 WHEN 'kB' THEN 1024
                         WHEN 'MB' THEN 1048576 WHEN 'GB' THEN 1073741824

@@ -25,16 +25,27 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read the raw int64 nanos and truncate to
-    * micros (matching DuckDB's ns→us truncation) — same approach the reference
-    * takes for its picos-precision timestamps backed by wider physical types
-    * (reference: core/trino-spi/src/main/java/io/trino/spi/type/TimestampType.java:35). */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across fixture generations. NANOS is rejected by
+    * Spark's vectorized reader ([PARQUET_TYPE_ILLEGAL]) unless read as raw
+    * int64 (nanosAsLong) and truncated to micros — matching DuckDB's ns→us
+    * truncation; the same approach the reference takes for its
+    * picos-precision timestamps backed by wider physical types (reference:
+    * core/trino-spi/src/main/java/io/trino/spi/type/TimestampType.java:35).
+    * MICROS needs only an NTZ→session-TZ cast (session TZ is pinned UTC, so
+    * the instant is unchanged). Dispatch on the observed read schema, not
+    * the fixture generation. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast("timestamp")
+      case _ => col("ts")
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 

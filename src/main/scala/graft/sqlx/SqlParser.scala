@@ -137,6 +137,18 @@ object SqlAst {
   final case class ShowRolesStmt(current: Boolean) extends Statement
   final case class GrantRoleStmt(revoke: Boolean, role: String,
       grantee: String) extends Statement
+  /** PREPARE name FROM statement (SqlBase.g4 :145) — the inner statement is
+    * kept as raw text (bound and re-parsed at EXECUTE time, so even
+    * fallback-only statements can be prepared, matching the text-based
+    * `?`-parameter model). */
+  final case class PrepareStmt(name: String, stmtText: String) extends Statement
+  /** EXECUTE name [USING e, …] | EXECUTE IMMEDIATE 'sql' [USING e, …]
+    * (SqlBase.g4 :147-149). */
+  final case class ExecuteStmt(target: Either[String, String],
+      args: Seq[Expr]) extends Statement
+  final case class DeallocateStmt(name: String) extends Statement
+  /** DESCRIBE INPUT name | DESCRIBE OUTPUT name (SqlBase.g4 :151-153). */
+  final case class DescribeIOStmt(input: Boolean, name: String) extends Statement
 }
 
 final class SqlParseException(msg: String) extends IllegalArgumentException(msg)
@@ -267,6 +279,15 @@ final class SqlParser(src: String) {
 
   // ------------------------------------------------------------- statements
 
+  /** [USING e, …] tail of EXECUTE / EXECUTE IMMEDIATE. */
+  private def parseUsingArgs(): Seq[Expr] =
+    if (!accept("USING")) Seq.empty
+    else {
+      val args = scala.collection.mutable.ArrayBuffer[Expr](parseExpr())
+      while (acceptOp(",")) args += parseExpr()
+      args.toSeq
+    }
+
   /** Full-statement entry: queries plus the DML/EXPLAIN/SHOW subset. */
   def parseStatement(): Statement = {
     val stmt: Statement =
@@ -374,6 +395,14 @@ final class SqlParser(src: String) {
         } else ShowStatsStmt(Left(qualifiedName()))
       } else if (acceptSeq("SHOW", "COLUMNS")) {
         expectKw("FROM"); DescribeStmt(qualifiedName())
+      } else if (peek.is("DESCRIBE") &&
+          (peek2.is("INPUT") || peek2.is("OUTPUT")) &&
+          tokens(math.min(p + 2, tokens.length - 1)).kind == TIdent) {
+        // DESCRIBE INPUT/OUTPUT <stmt> — but `DESCRIBE input` alone (a table
+        // named input) still takes the table path below.
+        p += 1
+        val input = next().is("INPUT")
+        DescribeIOStmt(input, ident("prepared statement name"))
       } else if (accept("DESCRIBE") || accept("DESC")) DescribeStmt(qualifiedName())
       else if (acceptSeq("DROP", "TABLE")) {
         val ife = acceptSeq("IF", "EXISTS")
@@ -466,7 +495,26 @@ final class SqlParser(src: String) {
         else SetRoleStmt(Some(ident("role name").toLowerCase), all = false)
       } else if (acceptSeq("SHOW", "CURRENT", "ROLES")) ShowRolesStmt(current = true)
       else if (acceptSeq("SHOW", "ROLES")) ShowRolesStmt(current = false)
-      else QueryStmt(parseQueryNoFinish())
+      else if (accept("PREPARE")) {
+        val name = ident("prepared statement name")
+        expectKw("FROM")
+        // The inner statement is raw text from here to end-of-input: `?`
+        // parameters live at arbitrary depth, so binding is textual
+        // (literal-aware) at EXECUTE time, like the reference's
+        // parameter-rewrite over the parsed tree (PrepareTask.java).
+        val rest = src.substring(peek.pos).trim.stripSuffix(";").trim
+        if (rest.isEmpty) err("expected a statement after FROM")
+        p = tokens.length - 1 // consume to EOF
+        PrepareStmt(name, rest)
+      } else if (acceptSeq("EXECUTE", "IMMEDIATE")) {
+        if (peek.kind != TStr) err("expected a string literal after EXECUTE IMMEDIATE")
+        val stmtText = next().text.replace("''", "'")
+        ExecuteStmt(Right(stmtText), parseUsingArgs())
+      } else if (accept("EXECUTE")) {
+        ExecuteStmt(Left(ident("prepared statement name")), parseUsingArgs())
+      } else if (acceptSeq("DEALLOCATE", "PREPARE")) {
+        DeallocateStmt(ident("prepared statement name"))
+      } else QueryStmt(parseQueryNoFinish())
     if (!peek.isOp(";") && peek.kind != TEof) err("trailing input after statement")
     stmt
   }

@@ -602,6 +602,33 @@ private[graft] object Statements {
       if (revoke) grants.remove(gk) else grants(gk) = Set("MEMBER")
       oneRow(spark, "rows", 0L)
 
+    // PREPARE family (reference SqlBase.g4 :145-153; PrepareTask /
+    // DeallocateTask / DescribeInputTask / DescribeOutputTask). The
+    // statement body is stored as raw text and bound textually at EXECUTE
+    // (literal-aware `?` splice); registry is shared with the legacy
+    // regex fallback so both doors interoperate.
+    case PrepareStmt(name, stmtText) =>
+      TrinoDialect.storePrepared(name, stmtText)
+      spark.emptyDataFrame
+
+    case ExecuteStmt(target, args) =>
+      val stmtText = target match {
+        case Left(name) => TrinoDialect.preparedStatement(name)
+        case Right(text) => text // EXECUTE IMMEDIATE
+      }
+      val rendered = args.map(e =>
+        SqlFrontend.renderExpr(SqlFrontend.rewriteExpr(e)))
+      TrinoDialect.sql(spark, dir, TrinoDialect.bindArgs(stmtText, rendered))
+
+    case DeallocateStmt(name) =>
+      TrinoDialect.dropPrepared(name)
+      spark.emptyDataFrame
+
+    case DescribeIOStmt(input, name) =>
+      val stmtText = TrinoDialect.preparedStatement(name)
+      if (input) TrinoDialect.describeInput(spark, stmtText)
+      else TrinoDialect.describeOutput(spark, dir, stmtText)
+
     case QueryStmt(_) => throw new IllegalStateException("unreachable")
   }
 

@@ -56,7 +56,9 @@ object TrinoDialect {
   private val DescOutputRe = "(?is)^\\s*DESCRIBE\\s+OUTPUT\\s+(\\w+)\\s*$".r
 
   /** Splice EXECUTE … USING arguments into the statement's `?` parameter
-    * markers (left to right, literal-aware — a '?' inside a string survives). */
+    * markers (left to right, literal-aware — a '?' inside a string survives).
+    * Text-splitting form used by the legacy regex fallback; the grammar path
+    * renders parsed arg expressions and calls [[bindArgs]] directly. */
   private def bindParams(stmt: String, argsText: Option[String]): String = {
     val args = argsText.map(a =>
       maskLiterals(a).zip(a).foldLeft((Seq(new StringBuilder), 0)) {
@@ -67,6 +69,83 @@ object TrinoDialect {
           case _ => acc.last.append(oc); (acc, depth)
         }
       }._1.map(_.toString.trim)).getOrElse(Seq.empty)
+    bindArgs(stmt, args)
+  }
+
+  /** Execute Trino-dialect SQL against the fixture catalog at `dir`.
+    *
+    * The PREPARE/EXECUTE/DEALLOCATE/DESCRIBE INPUT/OUTPUT family is parsed
+    * by the grammar front door (SqlParser → Statements); the regex forms
+    * survive only in the legacy fallback for inner statements the lexer
+    * cannot tokenize. */
+  def sql(spark: SparkSession, dir: String, text: String): DataFrame =
+    if (graft.functions.SqlRoutines.isCreateFunction(text))
+      graft.functions.SqlRoutines.create(spark, text)
+    else sqlDirect(spark, dir, text)
+
+  /** Named-statement registry lookup shared by both front doors. */
+  private[sqlx] def preparedStatement(name: String): String =
+    prepared.getOrElse(name,
+      throw new IllegalArgumentException(s"no prepared statement '$name'"))
+
+  private[sqlx] def storePrepared(name: String, stmt: String): Unit =
+    prepared(name) = stmt.trim
+
+  private[sqlx] def dropPrepared(name: String): Unit = {
+    if (!prepared.contains(name))
+      throw new IllegalArgumentException(s"no prepared statement '$name'")
+    prepared.remove(name)
+  }
+
+  /** DESCRIBE INPUT (reference execution/DescribeInputTask.java): lists `?`
+    * positions; types are 'unknown' — the reference also reports unknown
+    * absent coercion context. */
+  private[sqlx] def describeInput(spark: SparkSession, stmt: String): DataFrame = {
+    val masked = maskLiterals(stmt)
+    val rows = masked.zipWithIndex.collect { case ('?', _) => "unknown" }
+      .zipWithIndex.map { case (t, i) => org.apache.spark.sql.Row(i + 1, t) }
+    spark.createDataFrame(java.util.List.copyOf(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("position",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("type",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+  }
+
+  /** DESCRIBE OUTPUT (reference execution/DescribeOutputTask.java): plans
+    * the statement WITHOUT executing it — `?` bound to NULL — and reports
+    * the output schema; DML heads as the single `rows bigint` column. */
+  private[sqlx] def describeOutput(spark: SparkSession, dir: String,
+      stmt: String): DataFrame = {
+    val masked = maskLiterals(stmt)
+    val bound = stmt.indices.map(i =>
+      if (masked(i) == '?') "NULL" else stmt(i).toString).mkString
+    graft.sources.Tables.registerAll(spark, dir)
+    graft.functions.Registry.registerAll(spark)
+    val schema =
+      try new SqlParser(bound).parseStatement() match {
+        case SqlAst.QueryStmt(q) =>
+          spark.sql(SqlFrontend.renderQuery(SqlFrontend.planQuery(
+            spark, dir, SqlFrontend.rewriteQuery(q)))).schema
+        case _ => org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rows",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      } catch { case _: SqlParseException =>
+        sqlDirect(spark, dir, bound).schema }
+    val rows = schema.fields.toSeq.map(f =>
+      org.apache.spark.sql.Row(f.name, f.dataType.simpleString))
+    spark.createDataFrame(java.util.List.copyOf(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("column_name",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("type",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+  }
+
+  /** Splice pre-rendered argument texts into `?` markers (literal-aware). */
+  private[sqlx] def bindArgs(stmt: String, args: Seq[String]): String = {
     val masked = maskLiterals(stmt)
     val out = new StringBuilder
     var argIdx = 0
@@ -80,70 +159,6 @@ object TrinoDialect {
       s"EXECUTE: ${args.length} USING arguments but $argIdx parameter markers")
     out.toString
   }
-
-  /** Execute Trino-dialect SQL against the fixture catalog at `dir`. */
-  def sql(spark: SparkSession, dir: String, text: String): DataFrame =
-    if (graft.functions.SqlRoutines.isCreateFunction(text))
-      graft.functions.SqlRoutines.create(spark, text)
-    else text match {
-      case PrepareRe(name, stmt) =>
-        prepared(name) = stmt.trim
-        spark.emptyDataFrame
-      case DeallocRe(name) =>
-        prepared.remove(name)
-        spark.emptyDataFrame
-      // DESCRIBE INPUT/OUTPUT (reference execution/DescribeInputTask.java,
-      // DescribeOutputTask.java): INPUT lists `?` positions (types are
-      // 'unknown' — the reference also reports unknown absent coercion
-      // context); OUTPUT plans the statement WITHOUT executing it — `?`
-      // bound to NULL — and reports the output schema, DML heads as the
-      // single `rows bigint` update-count column.
-      case DescInputRe(name) =>
-        val stmt = prepared.getOrElse(name,
-          throw new IllegalArgumentException(s"no prepared statement '$name'"))
-        val masked = maskLiterals(stmt)
-        val rows = masked.zipWithIndex.collect { case ('?', _) => "unknown" }
-          .zipWithIndex.map { case (t, i) => org.apache.spark.sql.Row(i + 1, t) }
-        spark.createDataFrame(java.util.List.copyOf(
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("position",
-              org.apache.spark.sql.types.IntegerType, nullable = false),
-            org.apache.spark.sql.types.StructField("type",
-              org.apache.spark.sql.types.StringType, nullable = false))))
-      case DescOutputRe(name) =>
-        val stmt = prepared.getOrElse(name,
-          throw new IllegalArgumentException(s"no prepared statement '$name'"))
-        val masked = maskLiterals(stmt)
-        val bound = stmt.indices.map(i =>
-          if (masked(i) == '?') "NULL" else stmt(i).toString).mkString
-        graft.sources.Tables.registerAll(spark, dir)
-        graft.functions.Registry.registerAll(spark)
-        val schema =
-          try new SqlParser(bound).parseStatement() match {
-            case SqlAst.QueryStmt(q) =>
-              spark.sql(SqlFrontend.renderQuery(SqlFrontend.planQuery(
-                spark, dir, SqlFrontend.rewriteQuery(q)))).schema
-            case _ => org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("rows",
-                org.apache.spark.sql.types.LongType, nullable = false)))
-          } catch { case _: SqlParseException =>
-            sqlDirect(spark, dir, bound).schema }
-        val rows = schema.fields.toSeq.map(f =>
-          org.apache.spark.sql.Row(f.name, f.dataType.simpleString))
-        spark.createDataFrame(java.util.List.copyOf(
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("column_name",
-              org.apache.spark.sql.types.StringType, nullable = false),
-            org.apache.spark.sql.types.StructField("type",
-              org.apache.spark.sql.types.StringType, nullable = false))))
-      case ExecuteRe(name, argsText) if prepared.contains(name) =>
-        sql(spark, dir, bindParams(prepared(name), Option(argsText)))
-      case ExecuteRe(name, _) =>
-        throw new IllegalArgumentException(s"EXECUTE: no prepared statement '$name'")
-      case _ => sqlDirect(spark, dir, text)
-    }
 
   /** Front door: the recursive-descent parser (graft.sqlx.SqlParser) with
     * rewrites as AST passes (SqlFrontend) — dialect features compose at any
@@ -163,10 +178,27 @@ object TrinoDialect {
   }
 
   private def legacyDirect(spark: SparkSession, dir: String, text: String): DataFrame =
-    MatchRecognizeSql.parse(text) match {
-      case Some(mr) => MatchRecognizeSql.lower(spark, dir, mr)
-      case None =>
-        spark.sql(rewrite(lowerTableFunctions(spark, dir, text)))
+    text match {
+      // PREPARE-family regex fallback: reached only when the grammar could
+      // not tokenize the statement (e.g. a prepared inner statement with
+      // characters outside the lexer's alphabet). Same registry as the
+      // grammar path, so the two doors interoperate.
+      case PrepareRe(name, stmt) =>
+        storePrepared(name, stmt); spark.emptyDataFrame
+      case DeallocRe(name) =>
+        dropPrepared(name); spark.emptyDataFrame
+      case DescInputRe(name) =>
+        describeInput(spark, preparedStatement(name))
+      case DescOutputRe(name) =>
+        describeOutput(spark, dir, preparedStatement(name))
+      case ExecuteRe(name, argsText) =>
+        sql(spark, dir, bindParams(preparedStatement(name), Option(argsText)))
+      case _ =>
+        MatchRecognizeSql.parse(text) match {
+          case Some(mr) => MatchRecognizeSql.lower(spark, dir, mr)
+          case None =>
+            spark.sql(rewrite(lowerTableFunctions(spark, dir, text)))
+        }
     }
 
   /** `FROM TABLE(name(args...))` → registered TVF materialized as a temp view

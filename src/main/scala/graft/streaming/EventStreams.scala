@@ -18,27 +18,40 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema as stored in parquet: ts is physical INT64 nanos
-    * (TIMESTAMP(NANOS) — the same wide-physical-type situation the reference
-    * handles for picos timestamps, reference: spi/type/TimestampType.java:35). */
-  val fileSchema: StructType = StructType(Seq(
+  /** events schema as stored in parquet. `ts` has shipped as both physical
+    * INT64 nanos (TIMESTAMP(NANOS) — the same wide-physical-type situation
+    * the reference handles for picos timestamps, reference:
+    * spi/type/TimestampType.java:35) and plain TIMESTAMP(MICROS) across
+    * fixture generations; [[fileSchemaFor]] + [[normalizeTs]] dispatch on
+    * the footer so batch and streaming share schema and values either way. */
+  def fileSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-based unbounded source (swap for Kafka in production). Reads the
-    * events file explicitly and converts nanos → micros timestamp exactly like
-    * the batch path (graft.sources.Tables.loadEvents), so batch and streaming
-    * share both schema and values. Requires
-    * spark.sql.legacy.parquet.nanosAsLong=true (set by GraftSession.builder). */
+  /** Declared streaming schema matching the physical layout of `sample`
+    * (a one-time driver-side footer read — metadata only, no data scan). */
+  def fileSchemaFor(spark: SparkSession, sample: String): StructType =
+    fileSchema(spark.read.parquet(sample).schema("ts").dataType)
+
+  /** nanos-long → micros truncation (DuckDB-matching) or NTZ → session-TZ
+    * cast, exactly like the batch path (graft.sources.Tables.loadEvents). */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
+  /** File-based unbounded source (swap for Kafka in production). */
   def source(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(fileSchema)
+    normalizeTs(spark.readStream
+      .schema(fileSchemaFor(spark, s"$dir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
 
   /** Tumbling 1-day windowed aggregation with a 1-hour watermark —
     * streaming twin of Events.q_events_daily. */

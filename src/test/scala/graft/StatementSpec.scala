@@ -193,7 +193,18 @@ class StatementSpec extends SparkSpec {
       "DESCRIBE OUTPUT must not execute the DML")
     sql("DEALLOCATE PREPARE st_p")
     intercept[Exception] { sql("DESCRIBE INPUT st_p").collect() }
+    intercept[Exception] { sql("DEALLOCATE PREPARE st_p") }
     sql("DROP TABLE st_desc")
+  }
+
+  test("EXECUTE IMMEDIATE runs inline text with USING binding") {
+    val rows = sql(
+      "EXECUTE IMMEDIATE 'SELECT n_name FROM nation WHERE n_nationkey = ? ORDER BY 1' USING 3")
+      .collect()
+    assert(rows.length == 1)
+    // quoted-quote escape inside the immediate text survives the lexer
+    val lit = sql("EXECUTE IMMEDIATE 'SELECT ''a?b'' AS s'").collect()
+    assert(lit.head.getString(0) == "a?b")
   }
 
   test("SHOW STATS over a fixture table and a subquery") {

@@ -134,12 +134,22 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       java.nio.file.Paths.get(s"$tmp/aa_events.parquet"))
-    val maxTsNanos = operators.table(spark, sfDir, "events")
-      .agg(max(expr("unix_micros(ts)"))).collect()(0).getLong(0) * 1000L
-    val sentinelNanos = maxTsNanos + 6L * 3600 * 1000 * 1000 * 1000
+    val maxTsMicros = operators.table(spark, sfDir, "events")
+      .agg(max(expr("unix_micros(ts)"))).collect()(0).getLong(0)
+    val sentinelMicros = maxTsMicros + 6L * 3600 * 1000 * 1000
+    // sentinel must carry the fixture's physical ts type so both files
+    // stream under one declared schema
+    val tsType = streaming.EventStreams
+      .fileSchemaFor(spark, s"$sfDir/events.parquet")("ts").dataType
+    val sentinelTs: Any = tsType match {
+      case org.apache.spark.sql.types.LongType => sentinelMicros * 1000L // nanos
+      case _ => java.time.LocalDateTime.ofEpochSecond(
+        sentinelMicros / 1000000L, ((sentinelMicros % 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    }
     spark.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, "view", 0.0, "{}")),
-        streaming.EventStreams.fileSchema)
+        java.util.List.of(org.apache.spark.sql.Row(-1L, sentinelTs, -1L, "view", 0.0, "{}")),
+        streaming.EventStreams.fileSchema(tsType))
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/zz_sentinel")
     // flatten the sentinel into the watched dir as a later file
     val part = new java.io.File(s"$tmp/zz_sentinel").listFiles()
@@ -149,11 +159,12 @@ class StreamingSpec extends SparkSpec {
     val define: Map[String, RowPattern.Predicate] = Map(
       "V" -> ((part, i) => part(i).getString(2) == "view"),
       "P" -> ((part, i) => part(i).getString(2) == "purchase"))
-    val src = spark.readStream.schema(streaming.EventStreams.fileSchema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "*.parquet")
-      .parquet(tmp.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = streaming.EventStreams.normalizeTs(
+      spark.readStream
+        .schema(streaming.EventStreams.fileSchemaFor(spark, s"$sfDir/events.parquet"))
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(tmp.toString))
     val q = streaming.EventStreams.matchRecognizeStream(src, "V+ P", define, gapMinutes = 30)
       .writeStream.outputMode("append")
       .format("memory").queryName("cep_out")
