@@ -52,7 +52,11 @@ object Registry {
     "spooky_hash_v2_32", "spooky_hash_v2_64",
     // scalar-name parity batch 3 (round 8)
     "color", "bar", "render", "day_of_month", "from_unixtime_nanos",
-    "from_iso8601_timestamp_nanos", "parse_presto_data_size")
+    "from_iso8601_timestamp_nanos", "parse_presto_data_size",
+    // scalar-name parity batch 4 (round 8)
+    "date", "random", "url_extract_protocol", "url_extract_host",
+    "url_extract_path", "url_extract_query", "url_extract_fragment",
+    "url_extract_parameter", "empty_approx_set")
 
   def registerAll(spark: SparkSession): Unit = {
     VectorFunctions.register(spark)
@@ -456,5 +460,36 @@ object Registry {
       es => Cast(es(0), TimestampType), "built-in")
     r.createOrReplaceTempFunction("parse_presto_data_size",
       es => graft.ext.ParseDataSize(es(0)), "built-in")
+
+    // ---- scalar-name parity batch 4 (round 8): final sweep residuals.
+    // date(x) (DateTimeFunctions.java date): cast to DATE
+    r.createOrReplaceTempFunction("date",
+      es => Cast(es(0), DateType), "built-in")
+    // random()/random(n) (MathFunctions.java): seed fixed per call site at
+    // analysis, exactly like Spark's own rand() registration
+    r.createOrReplaceTempFunction("random", es =>
+      if (es.isEmpty) new Rand(Literal(new java.util.Random().nextLong()))
+      else Cast(Floor(Multiply(
+        new Rand(Literal(new java.util.Random().nextLong())),
+        Cast(es(0), DoubleType))), LongType), "built-in")
+    // UrlFunctions.java url_extract_* → parse_url parts
+    def urlPart(part: String) = (es: Seq[Expression]) =>
+      ParseUrl(Seq(es(0), Literal(part)))
+    r.createOrReplaceTempFunction("url_extract_protocol", urlPart("PROTOCOL"), "built-in")
+    r.createOrReplaceTempFunction("url_extract_host", urlPart("HOST"), "built-in")
+    r.createOrReplaceTempFunction("url_extract_path", urlPart("PATH"), "built-in")
+    r.createOrReplaceTempFunction("url_extract_query", urlPart("QUERY"), "built-in")
+    r.createOrReplaceTempFunction("url_extract_fragment", urlPart("REF"), "built-in")
+    r.createOrReplaceTempFunction("url_extract_parameter",
+      es => ParseUrl(Seq(es(0), Literal("QUERY"), es(1))), "built-in")
+    // (Trino 3-arg date_add/date_diff live in the SQL front door, not here:
+    // Spark's PARSER owns those names via its timestampadd grammar rule, so
+    // a registry entry is unreachable — SqlFrontend.renderExpr unquotes the
+    // reference's string-literal unit into Spark's bare-keyword form.)
+    // SetDigestFunctions empty_approx_set(): the serialized empty HLL state
+    // (union identity for hll_union_agg; lgK 12 = Spark's aggregate default)
+    r.createOrReplaceTempFunction("empty_approx_set", _ =>
+      Literal(new org.apache.datasketches.hll.HllSketch(12).toUpdatableByteArray,
+        org.apache.spark.sql.types.BinaryType), "built-in")
   }
 }

@@ -137,7 +137,47 @@ object Federation {
        WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 100000.0
        GROUP BY n_name ORDER BY n_name"""
 
+  /** Generated TPC-H catalog (reference plugin/trino-tpch): revenue by
+    * region over five GENERATED tables — the whole pipeline runs with zero
+    * input I/O; dims broadcast off the source's reported statistics. The
+    * oracle replays the generator formulas over DuckDB range() (the 1:1
+    * formula contract in catalog.TpchGen.oracleCte). sf is fixed at 0.01
+    * (independent of `dir`: the source generates, it does not read). */
+  def q_fed_tpch_generated(s: SparkSession, dir: String): DataFrame = {
+    graft.catalog.TpchGen.ensure(s, 0.01)
+    s.sql(
+      """SELECT r.r_name,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM graft_tpch.default.lineitem l
+         JOIN graft_tpch.default.orders o ON l.l_orderkey = o.o_orderkey
+         JOIN graft_tpch.default.customer c ON o.o_custkey = c.c_custkey
+         JOIN graft_tpch.default.nation n ON c.c_nationkey = n.n_nationkey
+         JOIN graft_tpch.default.region r ON n.n_regionkey = r.r_regionkey
+         WHERE o.o_orderstatus = 'F'
+         GROUP BY r.r_name ORDER BY r.r_name""")
+  }
+  val qFedTpchGeneratedSql: String = {
+    import graft.catalog.TpchGen
+    s"""WITH lineitem_g AS (${TpchGen.oracleCte("lineitem", 0.01)}),
+         orders_g AS (${TpchGen.oracleCte("orders", 0.01)}),
+         customer_g AS (${TpchGen.oracleCte("customer", 0.01)}),
+         nation_g AS (${TpchGen.oracleCte("nation", 0.01)}),
+         region_g AS (${TpchGen.oracleCte("region", 0.01)})
+       SELECT r.r_name,
+         count(*) AS n_lines,
+         CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM lineitem_g l
+       JOIN orders_g o ON l.l_orderkey = o.o_orderkey
+       JOIN customer_g c ON o.o_custkey = c.c_custkey
+       JOIN nation_g n ON c.c_nationkey = n.n_nationkey
+       JOIN region_g r ON n.n_regionkey = r.r_regionkey
+       WHERE o.o_orderstatus = 'F'
+       GROUP BY r.r_name ORDER BY r.r_name"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_fed_tpch_generated" -> q_fed_tpch_generated _,
     "q_fed_three_catalogs" -> q_fed_three_catalogs _,
     "q_fed_join" -> q_fed_join _,
     "q_fed_pushdown" -> q_fed_pushdown _,
@@ -145,6 +185,7 @@ object Federation {
     "q_fed_query_passthrough" -> q_fed_query_passthrough _)
 
   val oracles: Map[String, String] = Map(
+    "q_fed_tpch_generated" -> qFedTpchGeneratedSql,
     "q_fed_three_catalogs" -> qFedThreeCatalogsSql,
     "q_fed_join" -> qFedJoinSql,
     "q_fed_pushdown" -> qFedPushdownSql,

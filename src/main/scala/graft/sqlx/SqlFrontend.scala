@@ -213,6 +213,16 @@ private[graft] object SqlFrontend {
         .createOrReplaceTempView(view)
       TableRef(Id(Seq((view, false))), alias)
     case UnnestRel(es, alias, cols, ord) => UnnestRel(es, alias, cols, ord)
+    // information_schema.* / system.runtime.* / system.metadata.*: metadata
+    // relations materialized driver-side (O(tables)) as temp views
+    case TableRef(Id(parts), alias)
+        if parts.length >= 2 &&
+           Set("information_schema", "system")(parts.head._1.toLowerCase) &&
+           Statements.metadataRelation(spark, dir, parts.map(_._1)).isDefined =>
+      val df = Statements.metadataRelation(spark, dir, parts.map(_._1)).get
+      val view = s"__meta_${viewCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      TableRef(Id(Seq((view, false))), alias.orElse(Some(parts.last._1)))
     // schema-qualified front-door table (CREATE SCHEMA s; s.t): temp views
     // are single-part, so swap in the mangled view name and keep the table
     // part as the default alias
@@ -341,6 +351,17 @@ private[graft] object SqlFrontend {
     case id: Id => renderId(id)
     case Star(None) => "*"
     case Star(Some(q)) => s"$q.*"
+    // Trino date_add('day', n, ts) / date_diff('day', a, b): Spark's PARSER
+    // owns these names (visitTimestampadd) and wants the unit as a bare
+    // keyword — unquote the reference's string-literal unit at render time
+    case Fn(name, Seq(Lit(unit), rest @ _*), false, None)
+        if (name.equalsIgnoreCase("date_add") || name.equalsIgnoreCase("date_diff")) &&
+           rest.length == 2 && unit.length > 2 && unit.head == '\'' && unit.last == '\'' &&
+           Set("YEAR", "QUARTER", "MONTH", "WEEK", "DAY", "DAYOFYEAR", "HOUR",
+             "MINUTE", "SECOND", "MILLISECOND", "MICROSECOND")(
+             unit.substring(1, unit.length - 1).toUpperCase) =>
+      s"${name.toLowerCase}(${unit.substring(1, unit.length - 1).toUpperCase}, " +
+        s"${rest.map(renderExpr).mkString(", ")})"
     case Fn(name, args, distinct, over) =>
       // normalize(s, NFD): the form is a bare keyword in the reference
       // grammar (SqlBase.g4 normalForm); quote it for Spark

@@ -6,7 +6,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 
 import SqlAst._
 
@@ -54,6 +54,17 @@ private[graft] object Statements {
 
   /** SET SESSION properties; a few keys map onto live Spark conf. */
   private val sessionProps = TrieMap[String, String]()
+
+  /** CREATE VIEW definitions (name → rendered defining query), surfaced by
+    * information_schema.views. */
+  private val viewDefs = TrieMap[String, String]()
+
+  /** Front-door statement history for system.runtime.queries (reference
+    * system.runtime.queries lists the coordinator's query log). */
+  private val queryLog = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+  private val querySeq = new java.util.concurrent.atomic.AtomicLong()
+  private[sqlx] def logQuery(text: String): Unit =
+    queryLog.add((querySeq.incrementAndGet(), text))
 
   /** Role registry + per-session enabled set (reference parity:
     * CREATE/SET ROLE are metadata under the default allow-all access
@@ -163,6 +174,81 @@ private[graft] object Statements {
       java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(
         vs.map(Row(_))).asJava),
       StructType(Seq(StructField(col, StringType, nullable = false))))
+
+  /** Metadata relations: information_schema.* and the system.* tables
+    * (reference: core/trino-main io.trino.connector.informationschema.
+    * InformationSchemaTable.java:41 column layouts; system.runtime tables
+    * connector/system/NodesSystemTable.java, QuerySystemTable.java).
+    * Returns None for names outside the metadata namespace; driver-side
+    * construction is O(tables), never a data scan. */
+  private[sqlx] def metadataRelation(spark: SparkSession, dir: String,
+      parts: Seq[String]): Option[DataFrame] = {
+    def rows(schema: StructType, vs: Seq[Row]): DataFrame =
+      spark.createDataFrame(java.util.List.copyOf(
+        scala.jdk.CollectionConverters.SeqHasAsJava(vs).asJava), schema)
+    def str(fs: String*) = StructType(fs.map(StructField(_, StringType, nullable = true)))
+    // (schema, name, type, columns-supplier) for every visible table
+    def allTables: Seq[(String, String, String, () => StructType)] = {
+      val fixtures = graft.sources.Tables.all
+        .filter(t => new java.io.File(s"$dir/$t.parquet").exists())
+        .map(t => ("default", t, "BASE TABLE",
+          () => graft.sources.Tables.load(spark, dir, t).schema))
+      val frontDoor = tables.keys.toSeq.map { key =>
+        val (sch, tbl) = key.split("\\.", 2) match {
+          case Array(s, t) => (s, t)
+          case Array(t) => ("default", t)
+        }
+        (sch, tbl, "BASE TABLE", () => projected(spark, key).schema)
+      }
+      val views = viewDefs.keys.toSeq.map(v =>
+        ("default", v, "VIEW", () => spark.table(v).schema))
+      fixtures ++ frontDoor ++ views
+    }
+    parts.map(_.toLowerCase) match {
+      case Seq("information_schema", "schemata") =>
+        Some(rows(str("catalog_name", "schema_name"),
+          (schemas.keys.toSeq :+ "information_schema").distinct.sorted
+            .map(s => Row("graft", s))))
+      case Seq("information_schema", "tables") =>
+        Some(rows(str("table_catalog", "table_schema", "table_name", "table_type"),
+          allTables.sortBy(t => (t._1, t._2))
+            .map { case (s, t, tt, _) => Row("graft", s, t, tt) }))
+      case Seq("information_schema", "columns") =>
+        Some(rows(StructType(str("table_catalog", "table_schema", "table_name",
+            "column_name").fields ++ Seq(
+            StructField("ordinal_position", LongType, nullable = false)) ++
+            str("column_default", "is_nullable", "data_type").fields),
+          allTables.sortBy(t => (t._1, t._2)).flatMap { case (s, t, _, sch) =>
+            sch().fields.zipWithIndex.map { case (f, i) =>
+              Row("graft", s, t, f.name, (i + 1).toLong, null,
+                if (f.nullable) "YES" else "NO", f.dataType.simpleString)
+            }
+          }))
+      case Seq("information_schema", "views") =>
+        Some(rows(str("table_catalog", "table_schema", "table_name", "view_definition"),
+          viewDefs.toSeq.sortBy(_._1).map { case (n, d) => Row("graft", "default", n, d) }))
+      case Seq("system", "runtime", "nodes") =>
+        val sc = spark.sparkContext
+        Some(rows(StructType(str("node_id", "http_uri", "node_version").fields ++
+            Seq(StructField("coordinator", BooleanType, nullable = false)) ++
+            str("state").fields),
+          Seq(Row(sc.applicationId, sc.uiWebUrl.getOrElse("local"),
+            sc.version, true, "active"))))
+      case Seq("system", "runtime", "queries") =>
+        Some(rows(StructType(Seq(StructField("query_id", LongType, nullable = false)) ++
+            str("state", "query").fields),
+          scala.jdk.CollectionConverters.IteratorHasAsScala(queryLog.iterator).asScala
+            .toSeq.sortBy(_._1).map { case (id, q) => Row(id, "FINISHED", q) }))
+      case Seq("system", "metadata", "catalogs") =>
+        val dsv2 = spark.conf.getAll.keys
+          .collect { case k if k.matches("spark\\.sql\\.catalog\\.\\w+") =>
+            k.stripPrefix("spark.sql.catalog.") }.toSeq
+        Some(rows(str("catalog_name", "connector_name"),
+          (("graft", "graft") +: dsv2.map(c => (c, "dsv2"))).distinct.sortBy(_._1)
+            .map { case (c, conn) => Row(c, conn) }))
+      case _ => None
+    }
+  }
 
   private def execute(spark: SparkSession, dir: String, st: Statement): DataFrame = st match {
     case CreateTableAs(name, orReplace, ifNotExists, q) =>
@@ -322,6 +408,7 @@ private[graft] object Statements {
       if (!orReplace && spark.catalog.tableExists(name))
         throw new IllegalArgumentException(s"view '$name' already exists")
       subquery(spark, dir, q).createOrReplaceTempView(name)
+      viewDefs(name.toLowerCase) = SqlFrontend.renderQuery(q)
       oneRow(spark, "rows", 0L)
 
     case MergeStmt(name, source, key) =>
@@ -516,6 +603,7 @@ private[graft] object Statements {
       val existed = spark.catalog.dropTempView(name)
       if (!existed && !ifExists)
         throw new IllegalArgumentException(s"view '$name' does not exist")
+      viewDefs.remove(name.toLowerCase)
       oneRow(spark, "rows", 0L)
 
     case ShowStatsStmt(target) =>

@@ -78,10 +78,12 @@ object TrinoDialect {
     * by the grammar front door (SqlParser → Statements); the regex forms
     * survive only in the legacy fallback for inner statements the lexer
     * cannot tokenize. */
-  def sql(spark: SparkSession, dir: String, text: String): DataFrame =
+  def sql(spark: SparkSession, dir: String, text: String): DataFrame = {
+    Statements.logQuery(text) // system.runtime.queries history
     if (graft.functions.SqlRoutines.isCreateFunction(text))
       graft.functions.SqlRoutines.create(spark, text)
     else sqlDirect(spark, dir, text)
+  }
 
   /** Named-statement registry lookup shared by both front doors. */
   private[sqlx] def preparedStatement(name: String): String =

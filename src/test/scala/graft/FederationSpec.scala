@@ -93,6 +93,37 @@ class FederationSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("generated tpch catalog: pruning at generation, stats-driven broadcast, range splits") {
+    graft.catalog.TpchGen.ensure(spark, 0.01)
+    // pruning: a 2-column projection of the 11-column lineitem reaches the
+    // generator — unprojected columns are never computed
+    val pruned = spark.sql(
+      "SELECT l_orderkey, l_quantity FROM graft_tpch.default.lineitem")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("tpchgen[lineitem") &&
+      scanDesc.contains("cols=l_orderkey,l_quantity"),
+      s"generation-time pruning missing:\n$scanDesc")
+    assert(pruned.count() == 4 * 15000)
+    // stats: generated dims report row counts/bytes → broadcast join
+    val joined = spark.sql(
+      """SELECT n.n_name, count(*) AS c FROM graft_tpch.default.customer c
+         JOIN graft_tpch.default.nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name""")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$plan")
+    assert(joined.count() == 25)
+    // splits are row ranges (catalog options pin split_rows at
+    // initialization, so drive the Scan directly): 60k rows / 10k per split
+    val scan = new graft.catalog.TpchGenScan("lineitem", 0.01, 10000,
+      graft.catalog.TpchGen.schemas("lineitem"))
+    val splits = scan.planInputPartitions()
+    assert(splits.length == 6, s"expected 6 range splits, got ${splits.length}")
+    val ranges = splits.map(_.asInstanceOf[graft.catalog.TpchGenPartition])
+    assert(ranges.head.start == 0 && ranges.last.end == 60000 &&
+      ranges.sliding(2).forall(p => p(0).end == p(1).start),
+      "splits must tile [0, rows) contiguously")
+  }
+
   test("remote pass-through query executes the aggregate in the remote engine") {
     val out = operators.Federation.q_fed_query_passthrough(spark, sfDir)
     val plan = out.queryExecution.executedPlan.toString

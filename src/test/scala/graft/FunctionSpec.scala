@@ -450,4 +450,46 @@ class FunctionSpec extends SparkSpec {
     assert(d.getString(2) == "2024-01-01 00:00:00.123456")
     assert(d.getDecimal(3).longValue == (2.3 * 1024 * 1024).toLong)
   }
+
+  test("scalar-name parity batch 4: date, random, url parts, 3-arg date math, empty hll") {
+    graft.functions.Registry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT date('2024-03-05') AS d,
+           random() AS rnd, random(10) AS rnd10,
+           url_extract_host('https://a.example.com:8443/p/q?x=1&y=2#frag') AS host,
+           url_extract_protocol('https://a.example.com/p') AS proto,
+           url_extract_path('https://a.example.com/p/q?x=1') AS path,
+           url_extract_query('https://a.example.com/p?x=1&y=2') AS q,
+           url_extract_fragment('https://a.example.com/p#frag') AS frag,
+           url_extract_parameter('https://a.example.com/p?x=1&y=2', 'y') AS param,
+           date_add(DAY, 3, TIMESTAMP'2024-01-30 12:00:00') AS plus3,
+           date_add(DATE'2024-01-01', 5) AS spark_form,
+           date_diff(HOUR, TIMESTAMP'2024-01-01 00:00:00',
+                     TIMESTAMP'2024-01-02 06:00:00') AS dh""").head()
+    assert(r.getDate(0).toString == "2024-03-05")
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) < 1.0)
+    assert(r.getLong(2) >= 0L && r.getLong(2) < 10L)
+    assert(r.getString(3) == "a.example.com")
+    assert(r.getString(4) == "https" && r.getString(5) == "/p/q")
+    assert(r.getString(6) == "x=1&y=2" && r.getString(7) == "frag")
+    assert(r.getString(8) == "2")
+    assert(r.getTimestamp(9).toString.startsWith("2024-02-02 12:00:00"))
+    assert(r.getDate(10).toString == "2024-01-06")
+    assert(r.getAs[Number](11).longValue == 30L)
+    // Trino's QUOTED unit spelling reaches Spark through the front door's
+    // unit-unquoting render (Spark's parser owns date_add/date_diff)
+    val fd = graft.sqlx.TrinoDialect.sql(spark, sfDir,
+      """SELECT date_add('day', 3, TIMESTAMP '2024-01-30 12:00:00') AS plus3,
+           date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                     TIMESTAMP '2024-01-02 06:00:00') AS dh""").head()
+    assert(fd.getTimestamp(0).toString.startsWith("2024-02-02 12:00:00"))
+    assert(fd.getLong(1) == 30L)
+    // empty_approx_set is a union identity for the HLL state family
+    import spark.implicits._
+    val est = Seq(1L, 2L, 3L).toDF("x")
+      .selectExpr("hll_sketch_agg(x) AS sk")
+      .selectExpr("hll_sketch_estimate(hll_union(sk, empty_approx_set())) AS n")
+      .head().getLong(0)
+    assert(est == 3L)
+  }
 }

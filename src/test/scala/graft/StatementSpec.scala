@@ -197,6 +197,39 @@ class StatementSpec extends SparkSpec {
     sql("DROP TABLE st_desc")
   }
 
+  test("information_schema and system tables are queryable relations") {
+    // fixture tables appear with their columns
+    val t = sql("""SELECT table_name FROM information_schema.tables
+                   WHERE table_schema = 'default' AND table_type = 'BASE TABLE'""")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("nation", "region", "lineitem").subsetOf(t))
+    val c = sql("""SELECT column_name, data_type, ordinal_position
+                   FROM information_schema.columns WHERE table_name = 'nation'
+                   ORDER BY ordinal_position""").collect()
+    assert(c.map(_.getString(0)).toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(c.head.getLong(2) == 1L)
+    // views carry their definition; dropped views disappear
+    sql("CREATE OR REPLACE VIEW is_v AS SELECT r_name FROM region")
+    val v = sql("SELECT view_definition FROM information_schema.views WHERE table_name = 'is_v'")
+      .collect()
+    assert(v.length == 1 && v.head.getString(0).toLowerCase.contains("r_name"))
+    sql("DROP VIEW is_v")
+    assert(sql("SELECT 1 AS x FROM information_schema.views WHERE table_name = 'is_v'")
+      .collect().isEmpty)
+    // schemata includes created schemas; system tables respond
+    sql("CREATE SCHEMA IF NOT EXISTS meta_s")
+    val schemata = sql("SELECT schema_name FROM information_schema.schemata")
+      .collect().map(_.getString(0)).toSet
+    assert(schemata.contains("meta_s") && schemata.contains("information_schema"))
+    assert(sql("SELECT node_id FROM system.runtime.nodes WHERE coordinator").count() == 1)
+    val q = sql("""SELECT query FROM system.runtime.queries
+                   WHERE query LIKE '%is_v%' AND state = 'FINISHED'""").collect()
+    assert(q.nonEmpty, "front-door statements must appear in the query log")
+    assert(sql("SELECT catalog_name FROM system.metadata.catalogs")
+      .collect().map(_.getString(0)).contains("graft"))
+    sql("DROP SCHEMA IF EXISTS meta_s")
+  }
+
   test("EXECUTE IMMEDIATE runs inline text with USING binding") {
     val rows = sql(
       "EXECUTE IMMEDIATE 'SELECT n_name FROM nation WHERE n_nationkey = ? ORDER BY 1' USING 3")
