@@ -25,8 +25,14 @@ import org.apache.spark.sql.types._
   *
   * Supported subset (all violations error loudly, never misread): format
   * versions 1/2, identity partition transforms, primitive column types,
-  * data manifests only — a positional/equality DELETE file (v2 row-level
-  * deletes, `data_file.content != 0`) is rejected rather than ignored.
+  * data manifests and POSITIONAL delete manifests. v2 position deletes
+  * (content=1: parquet files of (file_path, pos)) are applied as a
+  * broadcast ANTI-JOIN against the scan's hidden (_metadata.file_path,
+  * _metadata.row_index) — the delete set is tiny relative to data, so the
+  * join broadcasts and the data side never shuffles, the same shape the
+  * reference's reader applies per split (plugin/trino-iceberg
+  * IcebergPageSourceProvider delete-filter path). Equality deletes
+  * (content=2) are rejected rather than ignored.
   */
 object IcebergRead {
 
@@ -93,31 +99,58 @@ object IcebergRead {
         s"snapshot $targetSnapshot not found in ${metaFile.getName}"))
     val JString(manifestList) = (snap \ "manifest-list"): @unchecked
 
-    // manifest list avro → manifest paths
-    val manifestPaths = readAvro(resolve(tablePath, manifestList)).map { rec =>
-      val content = Option(rec.get("content")).map(_.toString.toInt).getOrElse(0)
-      require(content == 0, "delete manifests are not supported by this reader")
-      rec.get("manifest_path").toString
-    }
+    // manifest list avro → (data | positional-delete) manifest paths
+    val (deleteManifests, dataManifests) =
+      readAvro(resolve(tablePath, manifestList)).map { rec =>
+        val content = Option(rec.get("content")).map(_.toString.toInt).getOrElse(0)
+        require(content == 0 || content == 1,
+          s"unsupported manifest content $content")
+        (content, rec.get("manifest_path").toString)
+      }.partition(_._1 == 1)
 
-    // manifests → live data files (status 2 = DELETED entries drop out)
-    val dataFiles = manifestPaths.flatMap { mp =>
-      readAvro(resolve(tablePath, mp)).flatMap { entry =>
-        val status = Option(entry.get("status")).map(_.toString.toInt).getOrElse(1)
-        if (status == 2) None
-        else {
-          val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          val content = Option(df.get("content")).map(_.toString.toInt).getOrElse(0)
-          require(content == 0,
-            "row-level delete files (positional/equality) are not supported")
-          val format = df.get("file_format").toString
-          require(format.equalsIgnoreCase("PARQUET"), s"unsupported file format $format")
-          Some(resolve(tablePath, df.get("file_path").toString))
+    // manifests → live files (status 2 = DELETED entries drop out);
+    // expectedContent: 0 = data file, 1 = position-delete file (2 =
+    // equality deletes rejected below)
+    def liveFiles(manifests: Seq[String], expectedContent: Int): Seq[String] =
+      manifests.flatMap { mp =>
+        readAvro(resolve(tablePath, mp)).flatMap { entry =>
+          val status = Option(entry.get("status")).map(_.toString.toInt).getOrElse(1)
+          if (status == 2) None
+          else {
+            val df = entry.get("data_file").asInstanceOf[GenericRecord]
+            val content = Option(df.get("content")).map(_.toString.toInt).getOrElse(0)
+            require(content != 2, "equality delete files are not supported")
+            require(content == expectedContent,
+              s"file content $content in a ${if (expectedContent == 1) "delete" else "data"} manifest")
+            val format = df.get("file_format").toString
+            require(format.equalsIgnoreCase("PARQUET"), s"unsupported file format $format")
+            Some(resolve(tablePath, df.get("file_path").toString))
+          }
         }
       }
-    }
+    val dataFiles = liveFiles(dataManifests.map(_._2), 0)
+    val deleteFiles = liveFiles(deleteManifests.map(_._2), 1)
     require(dataFiles.nonEmpty, s"snapshot $targetSnapshot has no data files")
-    spark.read.schema(sparkSchema).parquet(dataFiles: _*)
+    val base = spark.read.schema(sparkSchema).parquet(dataFiles: _*)
+    if (deleteFiles.isEmpty) base
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+      // position-delete spec columns: file_path (string URI as written by
+      // the writer), pos (0-based row ordinal within that file). URI-scheme
+      // spelling varies across writers — normalize both sides to a plain
+      // absolute path before joining.
+      def norm(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^file:/*", "/")
+      val dels = spark.read.parquet(deleteFiles: _*)
+        .select(norm(col("file_path")).as("_del_fp"), col("pos").as("_del_pos"))
+      base
+        .withColumn("_ib_fp", norm(col("_metadata.file_path")))
+        .withColumn("_ib_pos", col("_metadata.row_index"))
+        .join(broadcast(dels),
+          col("_ib_fp") === col("_del_fp") && col("_ib_pos") === col("_del_pos"),
+          "left_anti")
+        .drop("_ib_fp", "_ib_pos")
+    }
   }
 
   private def icebergPrimitive(t: String): DataType = t match {

@@ -45,9 +45,10 @@ object IcebergQueries {
     try records.foreach(w.append) finally w.close()
   }
 
-  private def entry(status: Int, path: String, rows: Long): GenericRecord = {
+  private def entry(status: Int, path: String, rows: Long,
+      content: Int = 0): GenericRecord = {
     val df = new GenericData.Record(entrySchema.getField("data_file").schema())
-    df.put("content", 0)
+    df.put("content", content)
     df.put("file_path", path)
     df.put("file_format", "PARQUET")
     df.put("record_count", rows)
@@ -59,12 +60,13 @@ object IcebergQueries {
     e
   }
 
-  private def manifestRef(path: String, snapshotId: Long): GenericRecord = {
+  private def manifestRef(path: String, snapshotId: Long,
+      content: Int = 0): GenericRecord = {
     val m = new GenericData.Record(listSchema)
     m.put("manifest_path", path)
     m.put("manifest_length", 1L)
     m.put("partition_spec_id", 0)
-    m.put("content", 0)
+    m.put("content", content)
     m.put("added_snapshot_id", snapshotId)
     m
   }
@@ -73,7 +75,11 @@ object IcebergQueries {
     import s.implicits._
     val root = new File(System.getProperty("java.io.tmpdir"),
       s"graft_iceberg_nation_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
-    if (new File(root, "metadata/v1.metadata.json").exists()) return root.getAbsolutePath
+    // snap-3 (position deletes) is the newest artifact — its presence marks
+    // a complete current-generation fixture; older cached builds rebuild
+    if (new File(root, "metadata/v1.metadata.json").exists() &&
+        new File(root, "metadata/snap-3.avro").exists())
+      return root.getAbsolutePath
     def rm(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete()
@@ -113,6 +119,30 @@ object IcebergQueries {
     writeAvro(new File(root, "metadata/snap-2.avro"), listSchema,
       Seq(manifestRef("metadata/manifest-2.avro", 2L)))
 
+    // snapshot 3: v2 POSITION DELETES over snapshot 2's files — a parquet
+    // delete file of (file_path, pos) rows targeting n_nationkey 1 and 5,
+    // referenced by a content=1 delete manifest. Positions are computed
+    // from the same hidden _metadata columns the reader anti-joins on.
+    val snap2Files = (regions.toSeq.filter(_ != 2).map(r => originals(r)._1) :+
+      rewritten._1).map(rel => new File(root, rel).getAbsolutePath)
+    val delRows = s.read
+      .schema(nation.schema).parquet(snap2Files: _*)
+      .filter($"n_nationkey".isin(1L, 5L))
+      .select($"_metadata.file_path".as("file_path"),
+        $"_metadata.row_index".as("pos"))
+    val delStage = new File(root, "_stage_del")
+    delRows.coalesce(1).write.mode("overwrite").parquet(delStage.getAbsolutePath)
+    val delPart = delStage.listFiles().find(_.getName.endsWith(".parquet")).get
+    val delRel = "data/pos-deletes.parquet"
+    val delCount = delRows.count()
+    Files.move(delPart.toPath, new File(root, delRel).toPath)
+    rm(delStage)
+    writeAvro(new File(root, "metadata/manifest-3-del.avro"), entrySchema,
+      Seq(entry(1, delRel, delCount, content = 1)))
+    writeAvro(new File(root, "metadata/snap-3.avro"), listSchema,
+      Seq(manifestRef("metadata/manifest-2.avro", 2L),
+        manifestRef("metadata/manifest-3-del.avro", 3L, content = 1)))
+
     val metadata =
       s"""{"format-version":2,"table-uuid":"graft-nation-iceberg","location":"${root.getAbsolutePath}",
          |"last-sequence-number":2,"last-updated-ms":0,"last-column-id":3,
@@ -124,10 +154,11 @@ object IcebergQueries {
          |"default-spec-id":0,
          |"partition-specs":[{"spec-id":0,"fields":[
          |  {"name":"n_regionkey","transform":"identity","source-id":3,"field-id":1000}]}],
-         |"current-snapshot-id":2,
+         |"current-snapshot-id":3,
          |"snapshots":[
          |  {"snapshot-id":1,"timestamp-ms":0,"manifest-list":"metadata/snap-1.avro","summary":{"operation":"append"}},
-         |  {"snapshot-id":2,"timestamp-ms":1,"manifest-list":"metadata/snap-2.avro","summary":{"operation":"overwrite"}}]}
+         |  {"snapshot-id":2,"timestamp-ms":1,"manifest-list":"metadata/snap-2.avro","summary":{"operation":"overwrite"}},
+         |  {"snapshot-id":3,"timestamp-ms":2,"manifest-list":"metadata/snap-3.avro","summary":{"operation":"delete"}}]}
          |""".stripMargin
     Files.write(new File(root, "metadata/v1.metadata.json").toPath,
       metadata.getBytes(StandardCharsets.UTF_8))
@@ -139,7 +170,9 @@ object IcebergQueries {
   def q_fed_iceberg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = buildIcebergNation(s, dir)
-    val cur = graft.catalog.IcebergRead.readTable(s, path)
+    // snapshot 2 = the post-rewrite, pre-delete table (current is snapshot
+    // 3, exercised with its position deletes by q_fed_iceberg_deletes)
+    val cur = graft.catalog.IcebergRead.readTable(s, path, snapshotId = Some(2L))
     val prev = graft.catalog.IcebergRead.readTable(s, path, snapshotId = Some(1L))
       .agg(count(lit(1)).as("prev_n"))
     cur
@@ -156,6 +189,29 @@ object IcebergQueries {
        WHERE NOT (n_regionkey = 2 AND n_nationkey >= 10)
        ORDER BY n_nationkey"""
 
-  val queries: Map[String, Q] = Map("q_fed_iceberg" -> q_fed_iceberg _)
-  val oracles: Map[String, String] = Map("q_fed_iceberg" -> qFedIcebergSql)
+  /** Current snapshot (3) with v2 POSITION DELETES applied: the reader
+    * anti-joins the delete file's (file_path, pos) set against the scan's
+    * hidden row positions — broadcast, data side unshuffled. Oracle: the
+    * deleted keys (1, 5) vanish from the snapshot-2 state. */
+  def q_fed_iceberg_deletes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = buildIcebergNation(s, dir)
+    graft.catalog.IcebergRead.readTable(s, path)
+      .groupBy($"n_regionkey")
+      .agg(count(lit(1)).as("n"), sum($"n_nationkey").as("key_sum"))
+      .orderBy($"n_regionkey")
+  }
+  val qFedIcebergDeletesSql: String =
+    """SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+       FROM nation
+       WHERE NOT (n_regionkey = 2 AND n_nationkey >= 10)
+         AND n_nationkey NOT IN (1, 5)
+       GROUP BY n_regionkey ORDER BY n_regionkey"""
+
+  val queries: Map[String, Q] = Map(
+    "q_fed_iceberg" -> q_fed_iceberg _,
+    "q_fed_iceberg_deletes" -> q_fed_iceberg_deletes _)
+  val oracles: Map[String, String] = Map(
+    "q_fed_iceberg" -> qFedIcebergSql,
+    "q_fed_iceberg_deletes" -> qFedIcebergDeletesSql)
 }

@@ -14,8 +14,8 @@ class IcebergReadSpec extends SparkSpec {
       s"graft_iceberg_nation_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}").getAbsolutePath
   }
 
-  test("current snapshot drops the rewritten file (status=2) — no double read") {
-    val cur = catalog.IcebergRead.readTable(spark, path)
+  test("snapshot 2 drops the rewritten file (status=2) — no double read") {
+    val cur = catalog.IcebergRead.readTable(spark, path, snapshotId = Some(2L))
     val nation = operators.table(spark, sfDir, "nation")
     val expect = nation.filter(!($"n_regionkey" === 2 && $"n_nationkey" >= 10)).count()
     assert(cur.count() == expect)
@@ -25,6 +25,18 @@ class IcebergReadSpec extends SparkSpec {
       .exists(_.getName.startsWith("r2-full"))
     assert(staleOnDisk)
     assert(cur.filter($"n_regionkey" === 2 && $"n_nationkey" >= 10).count() == 0)
+  }
+
+  test("current snapshot applies v2 position deletes via broadcast anti-join") {
+    val cur = catalog.IcebergRead.readTable(spark, path)
+    val snap2 = catalog.IcebergRead.readTable(spark, path, snapshotId = Some(2L))
+    assert(cur.count() == snap2.count() - 2)
+    assert(cur.filter($"n_nationkey".isin(1L, 5L)).count() == 0)
+    // plan shape: the delete set broadcasts; the data side never shuffles
+    val plan = cur.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "delete filter must not shuffle the data side")
   }
 
   test("time travel: snapshot 1 sees the pre-rewrite table") {
