@@ -113,6 +113,24 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(md).length >= 2, s"no partial agg:\n$md")
   }
 
+  test("TPC-DS shapes part 3: single-scan wide buckets, no join explosion, banded having") {
+    // q66 shape: 12 CASE buckets + totals in ONE aggregate over ONE fact
+    // scan — not 12 self-joins
+    val wb = physicalPlan(operators.Tpcds3.q_ds_wide_buckets(spark, sfDir))
+    assert("Scan parquet".r.findAllIn(wb).length <= 2, // lineitem + orders
+      s"wide buckets must not multiply scans:\n$wb")
+    assert("HashAggregate".r.findAllIn(wb).length >= 2, s"no partial agg:\n$wb")
+    // q41 shape: the OR-battery IN-subquery plans as ONE semi join of two
+    // scans of the same dim, not a distributed disjunction of joins
+    val ob = physicalPlan(operators.Tpcds3.q_ds_or_battery(spark, sfDir))
+    assert("LeftSemi".r.findAllIn(ob).length == 1, s"OR battery exploded:\n$ob")
+    // q73 shape: HAVING band applies on the aggregated counts BEFORE the
+    // dimension joins (filter above agg, below joins)
+    val tb = physicalPlan(operators.Tpcds3.q_ds_ticket_band(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(tb).length >= 2, s"no partial agg:\n$tb")
+    assert(tb.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$tb")
+  }
+
   test("match-recognize annotate pipeline shares ONE exchange between DEFINE windows and the matcher") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
