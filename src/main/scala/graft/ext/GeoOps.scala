@@ -766,14 +766,50 @@ object GeoOps {
       noCross(p, q) && inside(p, q)
     if (hA.exists(h => entirelyInside(sB, h))) return assembleParts(List((sA, hA), (sB, hB)))
     if (hB.exists(h => entirelyInside(sA, h))) return assembleParts(List((sA, hA), (sB, hB)))
-    // merged shell (+ pockets) or containment/disjoint
+    // merged shell (+ pockets) or containment/disjoint. With NO proper
+    // crossings, classification must be boundary-aware: a single-vertex
+    // parity test silently mis-unions boundary-touching shells (B sticking
+    // out of A along a collinear edge would collapse to A), and
+    // vertex-only tests miss overlaps whose every contact is collinear —
+    // edge MIDPOINTS probe those (dyadic coords stay exact). Anything
+    // still ambiguous → NULL, never a wrong area.
     val (shell, pockets): ((Array[Double], Array[Double]), List[(Array[Double], Array[Double])]) =
       ringUnionFull(sA._1, sA._2, sB._1, sB._2) match {
         case Some(sp) => sp
         case None =>
-          if (inside(sB, sA)) (sA, Nil)
-          else if (inside(sA, sB)) (sB, Nil)
-          else return assembleParts(List((sA, hA), (sB, hB))) // disjoint
+          type Ring = (Array[Double], Array[Double])
+          def onBoundary(px: Double, py: Double, r: Ring): Boolean = {
+            val n = r._1.length
+            (0 until n).exists { i =>
+              val (x1, y1) = (r._1(i), r._2(i))
+              val (x2, y2) = (r._1((i + 1) % n), r._2((i + 1) % n))
+              (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) == 0.0 &&
+                px >= math.min(x1, x2) && px <= math.max(x1, x2) &&
+                py >= math.min(y1, y2) && py <= math.max(y1, y2)
+            }
+          }
+          def strictIn(px: Double, py: Double, r: Ring): Boolean =
+            !onBoundary(px, py, r) && pointInRingArr(px, py, r._1, r._2, 0, r._1.length)
+          def strictOut(px: Double, py: Double, r: Ring): Boolean =
+            !onBoundary(px, py, r) && !pointInRingArr(px, py, r._1, r._2, 0, r._1.length)
+          def counts(p: Ring, q: Ring): (Int, Int) =
+            (p._1.indices.count(i => strictIn(p._1(i), p._2(i), q)),
+             p._1.indices.count(i => strictOut(p._1(i), p._2(i), q)))
+          def midpointDipsInto(p: Ring, q: Ring): Boolean = {
+            val n = p._1.length
+            (0 until n).exists { i =>
+              strictIn((p._1(i) + p._1((i + 1) % n)) / 2,
+                (p._2(i) + p._2((i + 1) % n)) / 2, q)
+            }
+          }
+          val (bSI, bSO) = counts(sB, sA)
+          val (aSI, aSO) = counts(sA, sB)
+          if (bSO == 0 && aSI == 0 && !midpointDipsInto(sA, sB)) (sA, Nil)
+          else if (aSO == 0 && bSI == 0 && !midpointDipsInto(sB, sA)) (sB, Nil)
+          else if (bSI == 0 && aSI == 0 &&
+              !midpointDipsInto(sA, sB) && !midpointDipsInto(sB, sA))
+            return assembleParts(List((sA, hA), (sB, hB))) // disjoint (at most touching)
+          else return null // collinear-contact overlap without proper crossings
       }
     val holes = scala.collection.mutable.ListBuffer[(Array[Double], Array[Double])]()
     holes ++= pockets
@@ -792,15 +828,103 @@ object GeoOps {
     assembleParts(List((shell, holes.toList)))
   }
 
+  /** Split a polygonal geom into per-part single-shell Geoms: each shell
+    * ring with its trailing holes (the WKT/ring-model part grouping). */
+  private def splitParts(g: Geom): List[Geom] = {
+    val ps = parts(g)
+    val out = scala.collection.mutable.ListBuffer[Geom]()
+    var i = 0
+    while (i < ps.length) {
+      val xs = scala.collection.mutable.ArrayBuffer[Double]()
+      val ys = scala.collection.mutable.ArrayBuffer[Double]()
+      val rs = scala.collection.mutable.ArrayBuffer[Int]()
+      def add(off: Int, len: Int, hole: Boolean): Unit = {
+        xs ++= g.xs.slice(off, off + len); ys ++= g.ys.slice(off, off + len)
+        rs += (if (hole) -len else len)
+      }
+      add(ps(i)._1, ps(i)._2, hole = false)
+      i += 1
+      while (i < ps.length && ps(i)._3) { add(ps(i)._1, ps(i)._2, hole = true); i += 1 }
+      out += Geom("POLYGON", xs.toArray, ys.toArray, rs.toArray)
+    }
+    out.toList
+  }
+
+  private def shellRing(g: Geom): (Array[Double], Array[Double]) = {
+    val p = parts(g)(0); normRing(g.xs, g.ys, p._1, p._2)
+  }
+  private def holeRings(g: Geom): List[(Array[Double], Array[Double])] =
+    parts(g).toList.drop(1).map { case (off, len, _) => normRing(g.xs, g.ys, off, len) }
+
+  private def ringsCross(p: (Array[Double], Array[Double]),
+      q: (Array[Double], Array[Double])): Boolean = {
+    val n = p._1.length; val m = q._1.length
+    (0 until n).exists { i =>
+      val (x1, y1) = (p._1(i), p._2(i)); val (x2, y2) = (p._1((i + 1) % n), p._2((i + 1) % n))
+      (0 until m).exists { j =>
+        properCross(x1, y1, x2, y2, q._1(j), q._2(j), q._1((j + 1) % m), q._2((j + 1) % m))
+      }
+    }
+  }
+  private def vertexInside(p: (Array[Double], Array[Double]),
+      q: (Array[Double], Array[Double])): Boolean =
+    pointInRingArr(p._1(0), p._2(0), q._1, q._2, 0, q._1.length)
+
+  /** Two parts interact (must be pairwise-unioned) iff their shells cross,
+    * or one shell sits inside the other WITHOUT being entirely inside one
+    * of its holes (the inside-a-hole island case keeps both parts). */
+  private def partsInteract(p: Geom, q: Geom): Boolean = {
+    val sp = shellRing(p); val sq = shellRing(q)
+    def entirelyInHole(s: (Array[Double], Array[Double]), host: Geom): Boolean =
+      holeRings(host).exists(h => !ringsCross(s, h) && vertexInside(s, h))
+    if (ringsCross(sp, sq)) true
+    else if (!ringsCross(sp, sq) && vertexInside(sq, sp)) !entirelyInHole(sq, p)
+    else if (vertexInside(sp, sq)) !entirelyInHole(sp, q)
+    else false
+  }
+
+  /** Union with MULTI-SHELL HOLED operands (the round-8 closure of the
+    * documented gap): decompose both sides into single-shell parts, then
+    * fold interacting pairs through [[unionHoled]] until no pair interacts.
+    * Each merge strictly reduces the part count (interacting pairs cannot
+    * produce island/disjoint two-part results), so the fold terminates; a
+    * degenerate kernel walk inside any pairwise union → NULL for the whole
+    * union, never a wrong area. */
+  def unionMulti(a: Geom, b: Geom): Geom = {
+    var ps: Vector[Geom] = (splitParts(a) ++ splitParts(b)).toVector
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < ps.length && !changed) {
+        var j = i + 1
+        while (j < ps.length && !changed) {
+          if (partsInteract(ps(i), ps(j))) {
+            val u = unionHoled(ps(i), ps(j))
+            if (u == null) return null
+            val merged = splitParts(u)
+            if (merged.length >= 2) return null // interacting pair must fuse
+            ps = ps.zipWithIndex.collect { case (g, k) if k != i && k != j => g } ++ merged
+            changed = true
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    assembleParts(ps.toList.map(p => (shellRing(p), holeRings(p))))
+  }
+
   /** ST_Union (GeoFunctions.java:1122) — see object doc for the supported
-    * surface. NULL on a degenerate-contact walk or multi-shell holed
-    * operands; single-shell operands may carry holes (unionHoled). */
+    * surface. NULL on a degenerate-contact walk; holed operands may be
+    * single-shell (unionHoled) or multi-shell (unionMulti). */
   def union(a: Geom, b: Geom): Geom = {
     if (a == null || b == null) return null
     if (isPolygonal(a) && isPolygonal(b)) {
       if (a.rings.count(_ > 0) == 1 && b.rings.count(_ > 0) == 1)
         return unionHoled(a, b)
-      if (a.rings.exists(_ < 0) || b.rings.exists(_ < 0)) return null // multi-shell holed
+      if (a.rings.exists(_ < 0) || b.rings.exists(_ < 0))
+        return unionMulti(a, b)
       val shells = (parts(a).map { case (off, len, _) => normRing(a.xs, a.ys, off, len) } ++
         parts(b).map { case (off, len, _) => normRing(b.xs, b.ys, off, len) }).toSeq
       shellsToGeom(mergeInto(Nil, shells))

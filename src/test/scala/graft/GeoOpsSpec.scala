@@ -196,6 +196,36 @@ class GeoOpsSpec extends SparkSpec {
       if (isl == null) "null" else Wkt.format(isl.kind, isl.xs, isl.ys, isl.rings))
   }
 
+  test("multi-shell holed union: pairwise fold, islands preserved, disjoint parts kept") {
+    // A: holed square [0,4]² (hole [1,3]², area 12) + far square [10,14]² (16)
+    val a = g("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1)), ((10 10, 14 10, 14 14, 10 14, 10 10)))")
+    // B properly crosses the holed part's shell: [2,6]x[-1,5]. Shell union
+    // area 16+24-8 = 32, hole remnant [1,2]x[1,3] (2) → 30; + far 16 → 46
+    val b = g("POLYGON ((2 -1, 6 -1, 6 5, 2 5, 2 -1))")
+    val u = GeoOps.union(a, b)
+    assert(u != null && u.kind == "MULTIPOLYGON" && area(u) == 46.0,
+      if (u == null) "null" else s"${area(u)}: " + Wkt.format(u.kind, u.xs, u.ys, u.rings))
+    assert(u.rings.count(_ < 0) == 1 && u.rings.count(_ > 0) == 2)
+    assert(!GeoOps.containsPoint(u, 1.5, 2.0) && GeoOps.containsPoint(u, 2.5, 2.0))
+    // island: C entirely inside A's hole → stays a separate part (3 shells)
+    val c = g("POLYGON ((1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))")
+    val ui = GeoOps.union(a, c)
+    assert(ui != null && ui.kind == "MULTIPOLYGON" && area(ui) == 29.0,
+      if (ui == null) "null" else s"${area(ui)}: " + Wkt.format(ui.kind, ui.xs, ui.ys, ui.rings))
+    assert(ui.rings.count(_ > 0) == 3)
+    // two multi-shell holed operands, one interacting pair: B2's first part
+    // sits in A's interior and reaches INTO the hole (proper crossings of
+    // the hole ring) → hole shrinks by the covered band [1.5,2.5]x[1,1.75]
+    val b2 = g("MULTIPOLYGON (((1.5 0.5, 2.5 0.5, 2.5 1.75, 1.5 1.75, 1.5 0.5)), ((20 0, 21 0, 21 1, 20 1, 20 0), (20.25 0.25, 20.75 0.25, 20.75 0.75, 20.25 0.75, 20.25 0.25)))")
+    val u2 = GeoOps.union(a, b2)
+    // areas: (16 - (4 - 0.75)) + 16 + (1 - 0.25) = 12.75 + 16 + 0.75 = 29.5
+    assert(u2 != null && u2.kind == "MULTIPOLYGON" && area(u2) == 29.5,
+      if (u2 == null) "null" else s"${area(u2)}: " + Wkt.format(u2.kind, u2.xs, u2.ys, u2.rings))
+    assert(u2.rings.count(_ > 0) == 3 && u2.rings.count(_ < 0) == 2)
+    assert(GeoOps.containsPoint(u2, 2.0, 1.4) && !GeoOps.containsPoint(u2, 2.0, 2.5))
+    assert(!GeoOps.containsPoint(u2, 20.5, 0.5))
+  }
+
   test("noded line union: crossings, T-junctions, collinear overlap dissolve") {
     def segs(m: Wkt.Geom): Set[(Double, Double, Double, Double)] = {
       assert(m.kind == "MULTILINESTRING" && m.rings.forall(_ == 2))
