@@ -179,6 +179,36 @@ object Dialect {
     * `col op PREV(col)` regex subset) plus RUNNING/FINAL measures over a
     * pattern variable — DEFINE lowers to a codegen'd boolean lag() column,
     * measures to Catalyst window expressions over (key, match_number). */
+  /** AFTER MATCH SKIP TO LAST <var> (round-8 closure of the skip-mode
+    * subset): with an all-true 3-row pattern, resuming AT the last Z row
+    * yields stride-2 OVERLAPPING triples — distinguishable from both SKIP
+    * PAST LAST ROW (stride 3) and SKIP TO NEXT ROW (stride 1), so the
+    * oracle pins the skip-to-variable semantics specifically. */
+  def q_sqlx_match_skip_to(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES FIRST(X.event_id) AS m_start, LAST(Z.event_id) AS m_end
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP TO LAST Z
+           PATTERN (X Y Z)
+           DEFINE X AS event_id >= 0, Y AS event_id >= 0, Z AS event_id >= 0
+         )""")
+      .orderBy($"user_id", $"m_start")
+  }
+  val qSqlxMatchSkipToSql: String =
+    """WITH numbered AS (
+         SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         FROM events)
+       SELECT a.user_id AS user_id, a.event_id AS m_start, c.event_id AS m_end
+       FROM numbered a JOIN numbered c
+         ON a.user_id = c.user_id AND c.rn = a.rn + 2
+       WHERE a.rn % 2 = 1
+       ORDER BY a.user_id, m_start"""
+
   def q_sqlx_match_define_expr(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TrinoDialect.sql(s, dir,
@@ -649,6 +679,7 @@ object Dialect {
     "q_sqlx_match_recognize" -> q_sqlx_match_recognize _,
     "q_sqlx_match_rows" -> q_sqlx_match_rows _,
     "q_sqlx_match_multikey" -> q_sqlx_match_multikey _,
+    "q_sqlx_match_skip_to" -> q_sqlx_match_skip_to _,
     "q_sqlx_match_define_expr" -> q_sqlx_match_define_expr _,
     "q_sqlx_match_count_define" -> q_sqlx_match_count_define _,
     "q_sqlx_match_anchor_define" -> q_sqlx_match_anchor_define _,
@@ -671,6 +702,7 @@ object Dialect {
     "q_sqlx_match_recognize" -> qSqlxMatchRecognizeSql,
     "q_sqlx_match_rows" -> qSqlxMatchRowsSql,
     "q_sqlx_match_multikey" -> qSqlxMatchMultikeySql,
+    "q_sqlx_match_skip_to" -> qSqlxMatchSkipToSql,
     "q_sqlx_match_define_expr" -> qSqlxMatchDefineExprSql,
     "q_sqlx_match_count_define" -> qSqlxMatchCountDefineSql,
     "q_sqlx_match_anchor_define" -> qSqlxMatchAnchorDefineSql,

@@ -152,7 +152,18 @@ object MatchRecognize {
       orderCols: Seq[String],
       pattern: String,
       define: Map[String, RowPattern.TracePredicate],
-      skipPastLastRow: Boolean = true): DataFrame = {
+      skipPastLastRow: Boolean = true): DataFrame =
+    annotateMatchesWith(df, partitionCols, orderCols, pattern, define,
+      if (skipPastLastRow) RowPattern.SkipPastLastRow else RowPattern.SkipToNextRow)
+
+  /** Full skip-mode variant (SKIP TO [FIRST|LAST] var included). */
+  def annotateMatchesWith(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderCols: Seq[String],
+      pattern: String,
+      define: Map[String, RowPattern.TracePredicate],
+      skip: RowPattern.SkipMode): DataFrame = {
 
     require(partitionCols.nonEmpty, "MATCH_RECOGNIZE requires PARTITION BY")
     require(orderCols.nonEmpty, "MATCH_RECOGNIZE requires ORDER BY")
@@ -178,7 +189,7 @@ object MatchRecognize {
             val group = scala.collection.mutable.ArrayBuffer[Row]()
             while (buf.hasNext && keyOf(buf.head) == key) group += buf.next()
             val part = group.toIndexedSeq
-            matcher.findAll(part, skipPastLastRow).zipWithIndex.flatMap { case (m, mi) =>
+            matcher.findAll(part, skip).zipWithIndex.flatMap { case (m, mi) =>
               m.visibleSteps.map { case (sym, idx) =>
                 val r = part(idx)
                 Row.fromSeq((0 until inWidth).map(r.get) ++ Seq((mi + 1).toLong, sym))

@@ -197,7 +197,17 @@ object RowPattern {
       * reference's AFTER MATCH SKIP PAST LAST ROW (default); false = SKIP TO
       * NEXT ROW (overlapping matches allowed). Empty matches are discarded
       * and the scan advances, mirroring the reference's empty-match handling. */
-    def findAll(part: IndexedSeq[Row], skipPastLastRow: Boolean = true): Seq[PatternMatch] = {
+    def findAll(part: IndexedSeq[Row], skipPastLastRow: Boolean = true): Seq[PatternMatch] =
+      findAll(part, if (skipPastLastRow) SkipPastLastRow else SkipToNextRow)
+
+    /** Full AFTER MATCH skip-mode surface, including SKIP TO [FIRST|LAST]
+      * <variable> (reference SqlBase.g4 skipTo :462; runtime semantics
+      * operator/window/PatternRecognitionPartition resume logic): resume AT
+      * the first/last row the variable (or any member of a SUBSET union)
+      * mapped in the match. Resuming at the match's own first row would
+      * loop forever — the reference raises, and so do we; a variable that
+      * mapped no rows raises too. */
+    def findAll(part: IndexedSeq[Row], skip: SkipMode): Seq[PatternMatch] = {
       val out = scala.collection.mutable.ArrayBuffer[PatternMatch]()
       var pos = 0
       while (pos < part.length) {
@@ -206,7 +216,18 @@ object RowPattern {
             val trace = acc.reverse.toIndexedSeq
             out += PatternMatch(pos, end, trace.map(t => (t._1, t._2)),
               trace.collect { case (_, i, true) => i }.toSet)
-            pos = if (skipPastLastRow) end else pos + 1
+            pos = skip match {
+              case SkipPastLastRow => end
+              case SkipToNextRow => pos + 1
+              case SkipToVar(vars, first, label) =>
+                val hits = trace.collect { case (v, i, _) if vars(v) => i }
+                if (hits.isEmpty) throw new IllegalArgumentException(
+                  s"AFTER MATCH SKIP TO $label: variable mapped no rows in the match")
+                val target = if (first) hits.min else hits.max
+                if (target <= pos) throw new IllegalArgumentException(
+                  s"AFTER MATCH SKIP TO $label: cannot resume at the first row of the match")
+                target
+            }
           case _ =>
             pos += 1
         }
@@ -214,4 +235,13 @@ object RowPattern {
       out.toSeq
     }
   }
+
+  /** AFTER MATCH skip modes (reference SqlBase.g4 skipTo :462). */
+  sealed trait SkipMode
+  case object SkipPastLastRow extends SkipMode
+  case object SkipToNextRow extends SkipMode
+  /** `vars` is the variable's expansion (itself, or its SUBSET members);
+    * `first` selects FIRST vs LAST; `label` is for error messages. */
+  final case class SkipToVar(vars: Set[String], first: Boolean,
+      label: String) extends SkipMode
 }

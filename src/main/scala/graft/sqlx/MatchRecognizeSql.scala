@@ -58,7 +58,7 @@ private[graft] object MatchRecognizeSql {
   final case class Mr(
       table: String, partitionBy: Seq[String], orderBy: Seq[String],
       measures: Seq[(String, String)], // (expr text, alias)
-      allRows: Boolean, skipPastLastRow: Boolean,
+      allRows: Boolean, skip: graft.plans.RowPattern.SkipMode,
       pattern: String, defines: Seq[(String, String)],
       subsets: Map[String, Seq[String]]) // SUBSET U = (A, B) union variables
 
@@ -150,11 +150,23 @@ private[graft] object MatchRecognizeSql {
         (m.group(1).trim, m.group(2))
       }).getOrElse(Seq.empty)
       val allRows = one("ALL ROWS PER MATCH").isDefined
-      val skipPast = one("AFTER MATCH") match {
-        case Some(c) if "(?i)SKIP\\s+TO\\s+NEXT\\s+ROW".r.findFirstIn(c).isDefined => false
-        case Some(c) if "(?i)SKIP\\s+PAST\\s+LAST\\s+ROW".r.findFirstIn(c).isDefined => true
-        case Some(c) => fail(s"AFTER MATCH subset: SKIP PAST LAST ROW | SKIP TO NEXT ROW, got '$c'")
-        case None => true
+      val skipPast: graft.plans.RowPattern.SkipMode = one("AFTER MATCH") match {
+        case Some(c) if "(?i)SKIP\\s+TO\\s+NEXT\\s+ROW".r.findFirstIn(c).isDefined =>
+          graft.plans.RowPattern.SkipToNextRow
+        case Some(c) if "(?i)SKIP\\s+PAST\\s+LAST\\s+ROW".r.findFirstIn(c).isDefined =>
+          graft.plans.RowPattern.SkipPastLastRow
+        case Some(c) =>
+          // SKIP TO [FIRST|LAST] <variable> (SqlBase.g4 skipTo :462); bare
+          // SKIP TO <v> is the standard's alias for SKIP TO LAST <v>
+          val m = "(?i)SKIP\\s+TO\\s+(?:(FIRST|LAST)\\s+)?(\\w+)".r.findFirstMatchIn(c)
+            .getOrElse(fail(
+              s"AFTER MATCH subset: SKIP PAST LAST ROW | SKIP TO NEXT ROW | SKIP TO [FIRST|LAST] var, got '$c'"))
+          val first = Option(m.group(1)).exists(_.equalsIgnoreCase("FIRST"))
+          val v = m.group(2)
+          val expansion = subsets.getOrElse(v, Seq(v)).toSet
+          graft.plans.RowPattern.SkipToVar(expansion, first,
+            s"${if (first) "FIRST" else "LAST"} $v")
+        case None => graft.plans.RowPattern.SkipPastLastRow
       }
       Some(Mr(table, partition, order, measures, allRows, skipPast, pattern, defines, subsets))
     case _ => None
@@ -333,7 +345,7 @@ private[graft] object MatchRecognizeSql {
         }
 
     val annotated = MatchRecognize.annotateMatchesWith(
-        df, mr.partitionBy, mr.orderBy, mr.pattern, tracePreds, mr.skipPastLastRow)
+        df, mr.partitionBy, mr.orderBy, mr.pattern, tracePreds, mr.skip)
       .drop(defBool.values.toSeq: _*)
 
     if (mr.allRows) {

@@ -121,7 +121,7 @@ class DialectSpec extends SparkSpec {
     assert(mr.partitionBy == Seq("user_id", "event_type"))
     assert(mr.orderBy == Seq("ts", "event_id"))
     assert(mr.measures == Seq(("RUNNING count(*)", "c"), ("FINAL max(S.value)", "m")))
-    assert(mr.allRows && !mr.skipPastLastRow)
+    assert(mr.allRows && mr.skip == graft.plans.RowPattern.SkipToNextRow)
     assert(mr.defines == Seq(("S", "value > PREV(value) * 1.02 OR value < 5.0")))
   }
 

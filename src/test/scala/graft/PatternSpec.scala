@@ -43,6 +43,30 @@ class PatternSpec extends SparkSpec {
     assert(m2.findAll(sym("xxx"), skipPastLastRow = false).map(_.start) == Seq(0, 1))
   }
 
+  test("skip to [first|last] variable: overlap at the target row, loud loops") {
+    val any: Predicate = (_, _) => true
+    val m = new Matcher(parse("X Y Z"),
+      liftAll(Map("X" -> any, "Y" -> any, "Z" -> any)))
+    // SKIP TO LAST Z resumes AT the Z row → stride-2 overlapping triples
+    val toLastZ = m.findAll(sym("xxxxxxx"), SkipToVar(Set("Z"), first = false, "LAST Z"))
+    assert(toLastZ.map(x => (x.start, x.end)) == Seq((0, 3), (2, 5), (4, 7)))
+    // SKIP TO FIRST Y ≡ resume at the second row here
+    val toFirstY = m.findAll(sym("xxxxx"), SkipToVar(Set("Y"), first = true, "FIRST Y"))
+    assert(toFirstY.map(_.start) == Seq(0, 1, 2))
+    // resuming at the match's own first row would loop forever → loud error
+    intercept[IllegalArgumentException] {
+      m.findAll(sym("xxx"), SkipToVar(Set("X"), first = true, "FIRST X"))
+    }
+    // a variable that mapped no rows → loud error
+    val opt = new Matcher(parse("A B?"), letterDefs("AB"))
+    intercept[IllegalArgumentException] {
+      opt.findAll(sym("AA"), SkipToVar(Set("B"), first = false, "LAST B"))
+    }
+    // SUBSET expansion: skip to the union's last row
+    val sub = m.findAll(sym("xxxxx"), SkipToVar(Set("Y", "Z"), first = false, "LAST U"))
+    assert(sub.map(_.start) == Seq(0, 2))
+  }
+
   test("alternation prefers the left branch") {
     // both B and C match row 'X' — classifier must record B
     val defs: Map[String, Predicate] = Map(
