@@ -56,7 +56,9 @@ object Registry {
     // scalar-name parity batch 4 (round 8)
     "date", "random", "url_extract_protocol", "url_extract_host",
     "url_extract_path", "url_extract_query", "url_extract_fragment",
-    "url_extract_parameter", "empty_approx_set")
+    "url_extract_parameter", "empty_approx_set",
+    "value_at_quantile", "values_at_quantiles", "quantile_at_value",
+    "tdigest_agg", "merge_tdigest", "hash_counts", "variant_is_null")
 
   def registerAll(spark: SparkSession): Unit = {
     VectorFunctions.register(spark)
@@ -491,5 +493,22 @@ object Registry {
     r.createOrReplaceTempFunction("empty_approx_set", _ =>
       Literal(new org.apache.datasketches.hll.HllSketch(12).toUpdatableByteArray,
         org.apache.spark.sql.types.BinaryType), "built-in")
+    // t-digest VALUE flow (TDigestFunctions.java): aggregates produce the
+    // digest struct; these scalars extract from it
+    r.createOrReplaceTempFunction("value_at_quantile", es =>
+      graft.ext.TDigestValueAtQuantile(es(0), Cast(es(1), DoubleType)), "built-in")
+    r.createOrReplaceTempFunction("values_at_quantiles", es =>
+      graft.ext.TDigestValuesAtQuantiles(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("quantile_at_value", es =>
+      graft.ext.TDigestQuantileAtValue(es(0), Cast(es(1), DoubleType)), "built-in")
+    graft.functions.Sketches.registerAggregates(spark)
+    // SetDigestFunctions hash_counts: the retained-hash multiset (our KMV
+    // digest keeps distinct hashes → every count is 1)
+    r.createOrReplaceTempFunction("hash_counts", es =>
+      MapFromArrays(es(0), ArrayRepeat(Literal(1.toShort), Size(es(0)))), "built-in")
+    // VARIANT family alias onto Spark's own is_variant_null
+    r.createOrReplaceTempFunction("variant_is_null", es =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        Seq("is_variant_null"), es, isDistinct = false), "built-in")
   }
 }

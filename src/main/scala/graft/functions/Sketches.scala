@@ -191,6 +191,66 @@ object Sketches {
     udaf(new TDigestQuantilesWeighted(qs, compression),
       ExpressionEncoder[(Double, Double)]()).apply(c, w)
 
+  // ------------------------------------------------- digest-as-value flow
+
+  /** The t-digest as a first-class VALUE (reference `tdigest` type flowing
+    * between tdigest_agg → merge → the scalar extractors, TDigestFunctions
+    * .java:31): a struct of centroid means/weights + compression, so
+    * digests group, shuffle, and re-aggregate like any column. */
+  final case class TDigestState(means: Array[Double], weights: Array[Double],
+      compression: Double)
+
+  private[graft] def stateOf(d: TDigest): TDigestState = {
+    d.compress()
+    TDigestState(d.means, d.weights, d.compression)
+  }
+  private[graft] def ofState(s: TDigestState): TDigest = {
+    val d = new TDigest(s.compression)
+    var i = 0
+    while (i < s.means.length) { d.add(s.means(i), s.weights(i)); i += 1 }
+    d.compress()
+    d
+  }
+
+  private class TDigestAgg(compression: Double)
+      extends Aggregator[Double, TDigest, TDigestState] {
+    def zero: TDigest = new TDigest(compression)
+    def reduce(b: TDigest, x: Double): TDigest = { b.add(x); b }
+    def merge(a: TDigest, b: TDigest): TDigest = { a.merge(b); a }
+    def finish(d: TDigest): TDigestState = stateOf(d)
+    def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+    def outputEncoder: Encoder[TDigestState] = ExpressionEncoder[TDigestState]()
+  }
+
+  // input is Tuple1-wrapped: udaf() flattens a bare case-class input into
+  // one ARGUMENT per field, but the digest must arrive as ONE struct column
+  private class TDigestMergeAgg
+      extends Aggregator[Tuple1[TDigestState], TDigest, TDigestState] {
+    def zero: TDigest = new TDigest(200.0)
+    def reduce(b: TDigest, s: Tuple1[TDigestState]): TDigest = { b.merge(ofState(s._1)); b }
+    def merge(a: TDigest, b: TDigest): TDigest = { a.merge(b); a }
+    def finish(d: TDigest): TDigestState = stateOf(d)
+    def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+    def outputEncoder: Encoder[TDigestState] = ExpressionEncoder[TDigestState]()
+  }
+
+  /** tdigest_agg(x) → digest value (reference TDigestAggregationFunction). */
+  def tdigestAgg(c: Column, compression: Double = 200.0): Column =
+    udaf(new TDigestAgg(compression), Encoders.scalaDouble).apply(c)
+
+  /** merge(tdigest) → digest value (reference MergeTDigestAggregation). */
+  def tdigestMerge(c: Column): Column =
+    udaf(new TDigestMergeAgg, ExpressionEncoder[Tuple1[TDigestState]]()).apply(c)
+
+  /** SQL-name registration of the digest-value aggregates (the scalar
+    * extractors are native expressions in ext.TDigestExpressions). */
+  def registerAggregates(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("tdigest_agg",
+      udaf(new TDigestAgg(200.0), Encoders.scalaDouble))
+    spark.udf.register("merge_tdigest",
+      udaf(new TDigestMergeAgg, ExpressionEncoder[Tuple1[TDigestState]]()))
+  }
+
   // ------------------------------------------------------------ space-saving
 
   /** Space-saving counter set: value → (count, maxError). */

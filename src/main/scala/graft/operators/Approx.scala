@@ -187,7 +187,53 @@ object Approx {
        FROM inter JOIN counts ca ON fa = ca.f JOIN counts cb ON fb = cb.f
        ORDER BY flag_a, flag_b"""
 
+  /** t-digest as a first-class VALUE (reference tdigest type:
+    * TDigestAggregationFunction → MergeTDigestAggregation →
+    * TDigestFunctions value_at_quantile/quantile_at_value): per-group
+    * digest STATES flow through a merge re-aggregation, and the scalar
+    * extractors read the struct — the decoupled state surface, not the
+    * fused agg+extract of q_approx_quantiles. Oracle device: exact counts
+    * anchor the rows; the estimates are pinned by error-bound and
+    * inversion booleans (and SketchSpec bounds the raw values). */
+  def q_approx_tdigest_flow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Sketches.{tdigestAgg, tdigestMerge}
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    def valueAt(d: org.apache.spark.sql.Column, q: Double) =
+      column(graft.ext.TDigestValueAtQuantile(expression(d), expression(lit(q))))
+    def quantAt(d: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      column(graft.ext.TDigestQuantileAtValue(expression(d), expression(v)))
+    def valuesAt(d: org.apache.spark.sql.Column, qs: Seq[Double]) =
+      column(graft.ext.TDigestValuesAtQuantiles(expression(d),
+        expression(array(qs.map(lit): _*).cast("array<double>"))))
+    val li = table(s, dir, "lineitem")
+    val sk = li.groupBy($"l_returnflag")
+      .agg(tdigestAgg($"l_extendedprice").as("d"),
+        count(lit(1)).as("n"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_med"))
+    val perFlag = sk.select($"l_returnflag", $"n",
+      (abs(valueAt($"d", 0.5) - $"exact_med") <= $"exact_med" * 0.05).as("med_ok"),
+      (abs(quantAt($"d", valueAt($"d", 0.5)) - 0.5) <= lit(0.05)).as("inv_ok"),
+      (valuesAt($"d", Seq(0.25, 0.5, 0.75)) ===
+        array_sort(valuesAt($"d", Seq(0.25, 0.5, 0.75)))).as("mono_ok"))
+    // merge the per-group digest STATES and extract from the merged digest
+    val merged = sk.agg(tdigestMerge($"d").as("u"), sum($"n").as("n"))
+      .crossJoin(li.agg(expr("percentile(l_extendedprice, 0.5)").as("gmed")))
+      .select(lit("ALL_MERGED").as("l_returnflag"), $"n",
+        (abs(valueAt($"u", 0.5) - $"gmed") <= $"gmed" * 0.05).as("med_ok"),
+        lit(true).as("inv_ok"), lit(true).as("mono_ok"))
+    perFlag.unionAll(merged).orderBy($"l_returnflag")
+  }
+  val qApproxTdigestFlowSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+         TRUE AS med_ok, TRUE AS inv_ok, TRUE AS mono_ok
+       FROM lineitem GROUP BY l_returnflag
+       UNION ALL
+       SELECT 'ALL_MERGED', count(*), TRUE, TRUE, TRUE FROM lineitem
+       ORDER BY l_returnflag"""
+
   val queries: Map[String, Q] = Map(
+    "q_approx_tdigest_flow" -> q_approx_tdigest_flow _,
     "q_approx_quantiles" -> q_approx_quantiles _,
     "q_approx_quantiles_weighted" -> q_approx_quantiles_weighted _,
     "q_approx_hll" -> q_approx_hll _,
@@ -195,6 +241,7 @@ object Approx {
     "q_approx_topk" -> q_approx_topk _)
 
   val oracles: Map[String, String] = Map(
+    "q_approx_tdigest_flow" -> qApproxTdigestFlowSql,
     "q_approx_topk" -> qApproxTopkSql,
     "q_approx_quantiles_weighted" -> qApproxQuantilesWeightedSql,
     "q_agg_setdigest" -> qAggSetdigestSql,

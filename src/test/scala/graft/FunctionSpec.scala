@@ -491,5 +491,13 @@ class FunctionSpec extends SparkSpec {
       .selectExpr("hll_sketch_estimate(hll_union(sk, empty_approx_set())) AS n")
       .head().getLong(0)
     assert(est == 3L)
+    // hash_counts: retained-hash multiset of the KMV digest (counts = 1);
+    // variant_is_null: reference spelling onto Spark's is_variant_null
+    val hv = spark.sql(
+      """SELECT hash_counts(array(7L, 9L)) AS hc,
+           variant_is_null(parse_json('null')) AS vn,
+           variant_is_null(parse_json('1')) AS vnn""").head()
+    assert(hv.getMap[Long, Short](0) == Map(7L -> 1.toShort, 9L -> 1.toShort))
+    assert(hv.getBoolean(1) && !hv.getBoolean(2))
   }
 }

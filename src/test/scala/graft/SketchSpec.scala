@@ -88,4 +88,25 @@ class SketchSpec extends SparkSpec {
       .agg(approxMostFrequent($"v", k = 3, capacity = 16)).collect()(0).getString(0)
     assert(out == "a:7,b:5,c:3", out)
   }
+
+  test("tdigest VALUE flow: agg → merge → scalar extractors, incl. SQL names") {
+    graft.functions.Registry.registerAll(spark)
+    val df = (1 to 4000).map(_.toDouble).toDF("x")
+      .withColumn("g", ($"x" % 4).cast("int"))
+    df.createOrReplaceTempView("td_flow")
+    // per-group digests merged == digest of everything (within rank error)
+    val row = spark.sql(
+      """WITH per_g AS (
+           SELECT g, tdigest_agg(x) AS d FROM td_flow GROUP BY g),
+         m AS (SELECT merge_tdigest(d) AS u FROM per_g)
+         SELECT value_at_quantile(u, 0.5D) AS med,
+                quantile_at_value(u, value_at_quantile(u, 0.5D)) AS inv,
+                values_at_quantiles(u, array(0.25D, 0.5D, 0.75D)) AS vs
+         FROM m""").head()
+    assert(math.abs(row.getDouble(0) - 2000.0) <= 80.0, row.getDouble(0).toString)
+    assert(math.abs(row.getDouble(1) - 0.5) <= 0.02)
+    val vs = row.getSeq[Double](2)
+    assert(vs.length == 3 && vs == vs.sorted)
+    assert(math.abs(vs(0) - 1000.0) <= 80.0 && math.abs(vs(2) - 3000.0) <= 80.0)
+  }
 }
