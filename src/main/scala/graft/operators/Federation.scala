@@ -176,7 +176,44 @@ object Federation {
        GROUP BY r.r_name ORDER BY r.r_name"""
   }
 
+  /** Memory connector end-to-end (reference plugin/trino-memory): CTAS a
+    * band of orders into `graft_mem.default`, INSERT a second disjoint band
+    * (append), then run a federated join of the RAM table against the
+    * parquet lineitem fact. The oracle replays the union of both bands
+    * straight from parquet — any lost/duplicated block (a commit bug)
+    * changes the counts. The fact side shuffles once on the join key; the
+    * memory side re-parallelizes into its writer-task blocks. */
+  def q_fed_memory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.catalog.MemoryStore.register(s)
+    s.sql("DROP TABLE IF EXISTS graft_mem.default.top_orders")
+    val orders = table(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    orders.filter($"o_totalprice" > 300000.0)
+      .writeTo("graft_mem.default.top_orders").create()
+    orders.filter($"o_totalprice" > 250000.0 && $"o_totalprice" <= 300000.0)
+      .writeTo("graft_mem.default.top_orders").append()
+    val mem = s.table("graft_mem.default.top_orders")
+    table(s, dir, "lineitem")
+      .join(mem, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("line_count"),
+        countDistinct($"o_orderkey").as("order_count"),
+        asDouble(sum(dec($"l_extendedprice"))).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+  val qFedMemorySql: String =
+    """SELECT o_orderpriority,
+              count(*) AS line_count,
+              count(DISTINCT o_orderkey) AS order_count,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_totalprice > 250000.0
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
   val queries: Map[String, Q] = Map(
+    "q_fed_memory" -> q_fed_memory _,
     "q_fed_tpch_generated" -> q_fed_tpch_generated _,
     "q_fed_three_catalogs" -> q_fed_three_catalogs _,
     "q_fed_join" -> q_fed_join _,
@@ -185,6 +222,7 @@ object Federation {
     "q_fed_query_passthrough" -> q_fed_query_passthrough _)
 
   val oracles: Map[String, String] = Map(
+    "q_fed_memory" -> qFedMemorySql,
     "q_fed_tpch_generated" -> qFedTpchGeneratedSql,
     "q_fed_three_catalogs" -> qFedThreeCatalogsSql,
     "q_fed_join" -> qFedJoinSql,
