@@ -212,7 +212,37 @@ object Federation {
        GROUP BY o_orderpriority
        ORDER BY o_orderpriority"""
 
+  /** Avro-format connector end-to-end (reference lib/trino-hive-formats
+    * avro readers — `STORED AS AVRO` hive tables): the orders fixture is
+    * materialized as avro container files (distributed write, one file per
+    * partition), the catalog resolves the table schema from the avro file
+    * HEADER (self-describing, no declared schema), scans split on sync
+    * markers, and the result joins the parquet fact. Oracle replays from
+    * parquet — any decode or split-boundary bug changes counts/sums. */
+  def q_fed_avro(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.catalog.AvroIO.ensure(s, dir)
+    val av = s.table("graft_avro.default.orders")
+      .filter(year($"o_orderdate") === 1996)
+      .select($"o_orderkey", $"o_orderpriority")
+    table(s, dir, "lineitem")
+      .join(av, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("line_count"),
+        asDouble(sum(dec($"l_extendedprice"))).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+  val qFedAvroSql: String =
+    """SELECT o_orderpriority,
+              count(*) AS line_count,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE year(o_orderdate) = 1996
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
   val queries: Map[String, Q] = Map(
+    "q_fed_avro" -> q_fed_avro _,
     "q_fed_memory" -> q_fed_memory _,
     "q_fed_tpch_generated" -> q_fed_tpch_generated _,
     "q_fed_three_catalogs" -> q_fed_three_catalogs _,
@@ -222,6 +252,7 @@ object Federation {
     "q_fed_query_passthrough" -> q_fed_query_passthrough _)
 
   val oracles: Map[String, String] = Map(
+    "q_fed_avro" -> qFedAvroSql,
     "q_fed_memory" -> qFedMemorySql,
     "q_fed_tpch_generated" -> qFedTpchGeneratedSql,
     "q_fed_three_catalogs" -> qFedThreeCatalogsSql,
