@@ -185,21 +185,314 @@ object GeoOps {
     (lower.dropRight(1) ++ upper.dropRight(1)).toArray
   }
 
-  /** ST_Buffer (GeoFunctions.java:736) with an octagonal join; NULL for
-    * negative distance. d == 0 → the input unchanged. */
+  /** ST_Buffer (GeoFunctions.java:736): exact Minkowski dilation by a
+    * regular OCTAGON of circumradius d — concave inputs included (closing
+    * the former convex-hull over-cover for concave shapes).
+    *
+    * Construction (the support-function offset): every edge is translated
+    * by d times the octagon vertex maximizing the dot product with the
+    * edge's outward normal; at boundary turns that OPEN a gap (cross > 0
+    * under outward traversal, or a line-cap U-turn) the intervening octagon
+    * vertices are inserted around the corner (the octagonal "arc join");
+    * at turns that OVERLAP (reflex corners) the two offset edge lines are
+    * intersected (the exact Minkowski miter). This is the boundary of
+    * `P ⊕ octagon(d)` whenever that boundary is a simple curve; a GLOBAL
+    * interference (a narrow neck or cavity mouth closing at distance < 2d,
+    * where dilation changes topology) makes the offset cycle
+    * self-intersect, which is detected and → NULL — never a wrong answer.
+    * Octagon vs the reference's round join keeps every output coordinate a
+    * product of inputs with {0, 1, √½} (oracle-replayable, as with every
+    * kernel in this file).
+    *
+    * Holes are ERODED with the same construction (the support offset of the
+    * hole boundary under dilation is the Minkowski erosion of the hole);
+    * a hole whose offset ring flips orientation has been swallowed and is
+    * dropped. Multi-part inputs buffer part-wise when parts stay provably
+    * disjoint (original distance > 2d), else NULL.
+    * NULL for negative distance. d == 0 → the input unchanged. */
   def buffer(g: Geom, d: Double): Geom = {
     if (d.isNaN || d < 0) return null
     if (d == 0.0) return g
-    val s = d * math.sqrt(0.5)
-    val offs = Array((d, 0.0), (s, s), (0.0, d), (-s, s), (-d, 0.0), (-s, -s), (0.0, -d), (s, -s))
-    val pts = for (i <- g.xs.indices.toArray; o <- offs) yield (g.xs(i) + o._1, g.ys(i) + o._2)
-    val h = hull(pts)
-    // closed ring (WKT polygon convention: last vertex repeats the first)
-    val xs = new Array[Double](h.length + 1)
-    val ys = new Array[Double](h.length + 1)
-    for (i <- h.indices) { xs(i) = h(i)._1; ys(i) = h(i)._2 }
-    xs(h.length) = h(0)._1; ys(h.length) = h(0)._2
-    Geom("POLYGON", xs, ys, Array(h.length + 1))
+    val s = math.sqrt(0.5)
+    val octX = Array(1.0, s, 0.0, -s, -1.0, -s, 0.0, s)
+    val octY = Array(0.0, s, 1.0, s, 0.0, -s, -1.0, -s)
+
+    def supportIdx(nx: Double, ny: Double): Int = {
+      var best = 0; var bd = octX(0) * nx + octY(0) * ny
+      var i = 1
+      while (i < 8) {
+        val dd = octX(i) * nx + octY(i) * ny
+        if (dd > bd) { bd = dd; best = i }
+        i += 1
+      }
+      best
+    }
+
+    /** Offset a closed traversal cycle (edges end-to-start linked) outward
+      * (right of travel) by the octagon support; None on degenerate or
+      * globally self-intersecting results. */
+    def offsetCycle(eax: Array[Double], eay: Array[Double],
+        ebx: Array[Double], eby: Array[Double]): Option[(Array[Double], Array[Double])] = {
+      val m = eax.length
+      if (m < 1) return None
+      val ux = new Array[Double](m); val uy = new Array[Double](m)
+      val si = new Array[Int](m)
+      var i = 0
+      while (i < m) {
+        val dx = ebx(i) - eax(i); val dy = eby(i) - eay(i)
+        val len = math.sqrt(dx * dx + dy * dy)
+        if (len == 0.0) return None // zero edges filtered by callers
+        ux(i) = dx / len; uy(i) = dy / len
+        si(i) = supportIdx(uy(i), -ux(i)) // right normal of travel
+        i += 1
+      }
+      // effective endpoints, possibly replaced by miters; arc points per joint
+      val sX = Array.tabulate(m)(i => eax(i) + d * octX(si(i)))
+      val sY = Array.tabulate(m)(i => eay(i) + d * octY(si(i)))
+      val eX = Array.tabulate(m)(i => ebx(i) + d * octX(si(i)))
+      val eY = Array.tabulate(m)(i => eby(i) + d * octY(si(i)))
+      val arcs = Array.fill(m)(List.empty[(Double, Double)])
+      var k = 0
+      while (k < m) {
+        val i = k; val j = (k + 1) % m
+        if (si(i) != si(j)) {
+          val cr = ux(i) * uy(j) - uy(i) * ux(j)
+          val dot = ux(i) * ux(j) + uy(i) * uy(j)
+          if (cr > 0 || (cr == 0 && dot < 0)) {
+            // gap: walk octagon vertices CCW from si(i) to si(j) (exclusive)
+            var idx = (si(i) + 1) % 8
+            var pts = List.empty[(Double, Double)]
+            var guard = 0
+            while (idx != si(j) && guard < 8) {
+              pts ::= ((ebx(i) + d * octX(idx), eby(i) + d * octY(idx)))
+              idx = (idx + 1) % 8; guard += 1
+            }
+            arcs(i) = pts.reverse
+          } else if (cr < 0) {
+            // overlap: miter = intersection of the two offset edge lines
+            val px = sX(i); val py = sY(i); val qx = sX(j); val qy = sY(j)
+            val denom = cr
+            if (math.abs(denom) < 1e-14) return None
+            val t = ((qx - px) * uy(j) - (qy - py) * ux(j)) / denom
+            val ix = px + t * ux(i); val iy = py + t * uy(i)
+            eX(i) = ix; eY(i) = iy; sX(j) = ix; sY(j) = iy
+          }
+          // cr == 0 && dot > 0 with distinct supports cannot happen
+          // (identical normals have identical argmax support)
+        }
+        k += 1
+      }
+      // assemble, dropping consecutive duplicates
+      val outX = scala.collection.mutable.ArrayBuffer[Double]()
+      val outY = scala.collection.mutable.ArrayBuffer[Double]()
+      def push(x: Double, y: Double): Unit =
+        if (outX.isEmpty || outX.last != x || outY.last != y) { outX += x; outY += y }
+      i = 0
+      while (i < m) {
+        push(sX(i), sY(i)); push(eX(i), eY(i))
+        arcs(i).foreach { case (x, y) => push(x, y) }
+        i += 1
+      }
+      if (outX.length >= 2 && outX.head == outX.last && outY.head == outY.last) {
+        outX.remove(outX.length - 1); outY.remove(outY.length - 1)
+      }
+      // drop exactly-collinear intermediate vertices (strip continuations)
+      val n0 = outX.length
+      val keep = Array.tabulate(n0) { v =>
+        val p = (v + n0 - 1) % n0; val q = (v + 1) % n0
+        val o = (outX(v) - outX(p)) * (outY(q) - outY(p)) -
+          (outY(v) - outY(p)) * (outX(q) - outX(p))
+        o != 0.0
+      }
+      val rx = (0 until n0).filter(keep).map(outX).toArray
+      val ry = (0 until n0).filter(keep).map(outY).toArray
+      if (rx.length < 3) return None
+      // global interference guard: any proper crossing between
+      // non-adjacent result segments → topology change → give up loudly
+      val n = rx.length
+      var a = 0
+      while (a < n) {
+        val a2 = (a + 1) % n
+        var b = a + 2
+        while (b < n) {
+          val b2 = (b + 1) % n
+          if (!(a == 0 && b2 == 0) &&
+              Wkt.segmentsCross(rx(a), ry(a), rx(a2), ry(a2), rx(b), ry(b), rx(b2), ry(b2)))
+            return None
+          b += 1
+        }
+        a += 1
+      }
+      Some((rx, ry))
+    }
+
+    def ringSignedArea(xs: Array[Double], ys: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < xs.length) {
+        val j = (i + 1) % xs.length
+        acc += xs(i) * ys(j) - xs(j) * ys(i)
+        i += 1
+      }
+      acc / 2
+    }
+
+    /** Closed ring traversal (open vertex list in travel order) → edges. */
+    def cycleEdges(xs: Array[Double], ys: Array[Double]):
+        (Array[Double], Array[Double], Array[Double], Array[Double]) = {
+      val keep = xs.indices.filter { i =>
+        val j = (i + 1) % xs.length
+        xs(i) != xs(j) || ys(i) != ys(j)
+      }.toArray
+      (keep.map(xs), keep.map(ys),
+        keep.map(i => xs((i + 1) % xs.length)), keep.map(i => ys((i + 1) % xs.length)))
+    }
+
+    /** Canonical rotation: lexicographic min first, closed ring appended. */
+    def closedCanonical(xs: Array[Double], ys: Array[Double]): (Array[Double], Array[Double]) = {
+      var mi = 0
+      for (i <- xs.indices)
+        if (xs(i) < xs(mi) || (xs(i) == xs(mi) && ys(i) < ys(mi))) mi = i
+      val n = xs.length
+      val ox = new Array[Double](n + 1); val oy = new Array[Double](n + 1)
+      for (i <- 0 until n) { ox(i) = xs((mi + i) % n); oy(i) = ys((mi + i) % n) }
+      ox(n) = ox(0); oy(n) = oy(0)
+      (ox, oy)
+    }
+
+    def octagonDisc(cx: Double, cy: Double): (Array[Double], Array[Double]) = {
+      val xs = Array.tabulate(8)(i => cx + d * octX(i))
+      val ys = Array.tabulate(8)(i => cy + d * octY(i))
+      closedCanonical(xs, ys)
+    }
+
+    val kind = g.kind.toUpperCase
+    // decompose into per-part Geoms for the pairwise disjointness check
+    def partGeoms: Seq[Geom] = {
+      val ps = parts(g)
+      kind match {
+        case "POINT" | "MULTIPOINT" =>
+          g.xs.indices.map(i => Geom("POINT", Array(g.xs(i)), Array(g.ys(i)), Array(1)))
+        case "LINESTRING" => Seq(g)
+        case "MULTILINESTRING" =>
+          ps.map { case (off, len, _) =>
+            Geom("LINESTRING", g.xs.slice(off, off + len), g.ys.slice(off, off + len), Array(len)) }.toSeq
+        case _ => // POLYGON/MULTIPOLYGON: shell + its holes per part
+          val out = scala.collection.mutable.ArrayBuffer[Geom]()
+          var i = 0
+          while (i < g.rings.length) {
+            if (g.rings(i) > 0) {
+              var j = i + 1
+              while (j < g.rings.length && g.rings(j) < 0) j += 1
+              val off = ps(i)._1
+              val end = if (j < g.rings.length) ps(j)._1 else g.xs.length
+              out += Geom("POLYGON", g.xs.slice(off, end), g.ys.slice(off, end),
+                g.rings.slice(i, j))
+              i = j
+            } else i += 1
+          }
+          out.toSeq
+      }
+    }
+    val pgs = partGeoms
+    if (pgs.isEmpty) return null
+    // merging part buffers is a topology change this kernel does not
+    // construct: require provable disjointness (round or octagonal buffers
+    // of parts farther than 2d apart can never meet)
+    if (pgs.length > 1) {
+      for (i <- pgs.indices; j <- (i + 1) until pgs.length)
+        if (distance(pgs(i), pgs(j)) <= 2 * d) return null
+    }
+
+    val outXs = scala.collection.mutable.ArrayBuffer[Double]()
+    val outYs = scala.collection.mutable.ArrayBuffer[Double]()
+    val outRings = scala.collection.mutable.ArrayBuffer[Int]()
+
+    for (p <- pgs) {
+      p.kind match {
+        case "POINT" =>
+          val (xs, ys) = octagonDisc(p.xs(0), p.ys(0))
+          outXs ++= xs; outYs ++= ys; outRings += xs.length
+        case "LINESTRING" =>
+          // forward edges then backward edges: a closed traversal whose
+          // offset is the two-sided strip with octagonal end caps
+          val keep = (0 until p.xs.length - 1).filter(i =>
+            p.xs(i) != p.xs(i + 1) || p.ys(i) != p.ys(i + 1))
+          if (keep.isEmpty) { // degenerate line: a point
+            val (xs, ys) = octagonDisc(p.xs(0), p.ys(0))
+            outXs ++= xs; outYs ++= ys; outRings += xs.length
+          } else {
+            val fa = keep.map(p.xs).toArray; val fb = keep.map(i => p.xs(i + 1)).toArray
+            val ga = keep.map(p.ys).toArray; val gb = keep.map(i => p.ys(i + 1)).toArray
+            val eax = fa ++ fb.reverse
+            val eay = ga ++ gb.reverse
+            val ebx = fb ++ fa.reverse
+            val eby = gb ++ ga.reverse
+            offsetCycle(eax, eay, ebx, eby) match {
+              case Some((xs, ys)) =>
+                val (cx, cy) = closedCanonical(xs, ys)
+                outXs ++= cx; outYs ++= cy; outRings += cx.length
+              case None => return null
+            }
+          }
+        case _ => // POLYGON part: shell outward, holes eroded
+          val pparts = parts(p)
+          val (ox, oy) = normRing(p.xs, p.ys, pparts(0)._1, pparts(0)._2)
+          val (a1, a2, a3, a4) = cycleEdges(ox, oy)
+          offsetCycle(a1, a2, a3, a4) match {
+            case None => return null
+            case Some((sxs, sys)) =>
+              if (ringSignedArea(sxs, sys) <= 0) return null // shell degenerate
+              val (cx, cy) = closedCanonical(sxs, sys)
+              outXs ++= cx; outYs ++= cy; outRings += cx.length
+          }
+          for (h <- 1 until pparts.length) {
+            val (hx0, hy0) = normRing(p.xs, p.ys, pparts(h)._1, pparts(h)._2)
+            val hx = hx0.reverse; val hy = hy0.reverse // CW traversal = erode
+            val (b1, b2, b3, b4) = cycleEdges(hx, hy)
+            offsetCycle(b1, b2, b3, b4) match {
+              case Some((rxs, rys)) =>
+                // Vanish test. A symmetric over-collapse can produce an
+                // INVERTED ring with unchanged orientation (a square hole
+                // past its inradius), so orientation alone cannot decide.
+                // Exact criterion: the erosion is non-empty iff some point
+                // keeps a whole octagon(d) inside the hole; for a valid
+                // simple eroded ring its centroid is such a point.
+                val holeClosed = Geom("POLYGON",
+                  hx0 :+ hx0(0), hy0 :+ hy0(0), Array(hx0.length + 1))
+                val cx0 = rxs.sum / rxs.length; val cy0 = rys.sum / rys.length
+                val octInside = (0 until 8).forall { oi =>
+                  containsPoint(holeClosed, cx0 + d * octX(oi), cy0 + d * octY(oi))
+                } && {
+                  var ok = true
+                  var oi = 0
+                  while (ok && oi < 8) {
+                    val oj = (oi + 1) % 8
+                    var e = 0
+                    while (ok && e < hx0.length) {
+                      val e2 = (e + 1) % hx0.length
+                      if (Wkt.segmentsCross(
+                          cx0 + d * octX(oi), cy0 + d * octY(oi),
+                          cx0 + d * octX(oj), cy0 + d * octY(oj),
+                          hx0(e), hy0(e), hx0(e2), hy0(e2))) ok = false
+                      e += 1
+                    }
+                    oi += 1
+                  }
+                  ok
+                }
+                if (octInside && ringSignedArea(rxs, rys) < 0) { // still a hole (CW)
+                  val (ccx, ccy) = closedCanonical(rxs, rys)
+                  outXs ++= ccx; outYs ++= ccy; outRings += -ccx.length
+                } // else: the dilation swallowed the hole
+              case None => return null // concave hole mid-collapse
+            }
+          }
+      }
+    }
+    val multi = outRings.count(_ > 0) > 1
+    Geom(if (multi) "MULTIPOLYGON" else "POLYGON",
+      outXs.toArray, outYs.toArray, outRings.toArray)
   }
 
   // ------------------------------------------------------------- union

@@ -102,6 +102,67 @@ object Geometry {
         stBuffer($"sq", lit(-1.0)).isNull.as("negative_null"))
       .orderBy($"c_custkey")
   }
+  /** ST_Buffer on CONCAVE inputs (the exact octagonal-Minkowski offset,
+    * GeoOps.buffer): L-shape dilation with a reflex miter, holed-shell
+    * dilation with hole erosion, hole swallowing, and the loud NULL when a
+    * cavity mouth narrower than 2d closes (topology change). The oracle
+    * replays the closed-form areas: A + P·d + n_convex·(√2/2)d² − n_reflex·d²
+    * for right-angle rings (strip area + octagon corner joins − reflex
+    * overlap), scaled to e9-rounded micro-units so both engines hash
+    * integers. */
+  def q_fn_geo_buffer_concave(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 1000)
+      .withColumn("e", ($"c_custkey" % 3 + 1).cast("long"))
+      .withColumn("d", ($"c_custkey" % 3 + 1) / 4.0)
+      .withColumn("lshape", stGeometryFromText(format_string(
+        "POLYGON ((0 0, %d 0, %d %d, %d %d, %d %d, 0 %d, 0 0))",
+        $"e" * 2, $"e" * 2, $"e", $"e", $"e", $"e", $"e" * 2, $"e" * 2)))
+      .withColumn("holed", stGeometryFromText(format_string(
+        "POLYGON ((0 0, %d 0, %d %d, 0 %d, 0 0), (%d %d, %d %d, %d %d, %d %d, %d %d))",
+        $"e" * 6, $"e" * 6, $"e" * 6, $"e" * 6,
+        $"e" * 2, $"e" * 2, $"e" * 4, $"e" * 2, $"e" * 4, $"e" * 4,
+        $"e" * 2, $"e" * 4, $"e" * 2, $"e" * 2)))
+      .withColumn("tiny_hole", stGeometryFromText(concat(
+        format_string("POLYGON ((0 0, %d 0, %d %d, 0 %d, 0 0), (1 1, ", $"e" * 4, $"e" * 4, $"e" * 4, $"e" * 4),
+        (lit(1.0) + $"d" / 2).cast("string"), lit(" 1, "),
+        (lit(1.0) + $"d" / 2).cast("string"), lit(" "), (lit(1.0) + $"d" / 2).cast("string"),
+        lit(", 1 "), (lit(1.0) + $"d" / 2).cast("string"), lit(", 1 1))"))))
+      .withColumn("ushape", stGeometryFromText(concat(
+        lit("POLYGON ((0 0, 4 0, 4 4, "), (lit(1.0) + $"d").cast("string"),
+        lit(" 4, "), (lit(1.0) + $"d").cast("string"),
+        lit(" 1, 1 1, 1 4, 0 4, 0 0))"))))
+      .withColumn("lb", stBuffer($"lshape", $"d"))
+      .withColumn("hb", stBuffer($"holed", $"d"))
+      .withColumn("tb", stBuffer($"tiny_hole", $"d"))
+    t.select($"c_custkey",
+        round(stGeomArea($"lb") * 1e6).cast("long").as("l_area_e6"),
+        stNumPoints($"lb").as("l_n"),
+        (!stGeomContains($"lb", $"e" + $"d" + $"e" / lit(4.0),
+          $"e" + $"d" + $"e" / lit(4.0))).as("notch_outside"),
+        round(stGeomArea($"hb") * 1e6).cast("long").as("holed_area_e6"),
+        stNumInteriorRing($"hb").as("holed_rings"),
+        round(stGeomArea($"tb") * 1e6).cast("long").as("swallowed_area_e6"),
+        stNumInteriorRing($"tb").as("swallowed_rings"),
+        stBuffer($"ushape", $"d").isNull.as("cavity_null"))
+      .orderBy($"c_custkey")
+  }
+  val qFnGeoBufferConcaveSql: String =
+    """SELECT c_custkey,
+         CAST(round((3*e*e + 8*e*d + 5*(sqrt(2.0)/2)*d*d - d*d) * 1e6) AS BIGINT) AS l_area_e6,
+         17 AS l_n,
+         TRUE AS notch_outside,
+         CAST(round((36*e*e + 24*e*d + 4*(sqrt(2.0)/2)*d*d - (2*e-2*d)*(2*e-2*d)) * 1e6) AS BIGINT) AS holed_area_e6,
+         1 AS holed_rings,
+         CAST(round((16*e*e + 16*e*d + 4*(sqrt(2.0)/2)*d*d) * 1e6) AS BIGINT) AS swallowed_area_e6,
+         0 AS swallowed_rings,
+         TRUE AS cavity_null
+       FROM (SELECT c_custkey,
+               CAST(c_custkey % 3 + 1 AS DOUBLE) AS e,
+               (c_custkey % 3 + 1) / 4.0 AS d
+             FROM customer WHERE c_custkey <= 1000)
+       ORDER BY c_custkey"""
+
   val qFnGeoBufferSql: String =
     """WITH t AS (
          SELECT c_custkey,
@@ -785,6 +846,7 @@ object Geometry {
     "q_fn_geo_parts" -> q_fn_geo_parts _,
     "q_fn_geo_distance" -> q_fn_geo_distance _,
     "q_fn_geo_buffer" -> q_fn_geo_buffer _,
+    "q_fn_geo_buffer_concave" -> q_fn_geo_buffer_concave _,
     "q_fn_geo_union" -> q_fn_geo_union _,
     "q_fn_geo_difference" -> q_fn_geo_difference _,
     "q_fn_geo_wkb" -> q_fn_geo_wkb _,
@@ -798,6 +860,7 @@ object Geometry {
     "q_fn_geo_parts" -> qFnGeoPartsSql,
     "q_fn_geo_distance" -> qFnGeoDistanceSql,
     "q_fn_geo_buffer" -> qFnGeoBufferSql,
+    "q_fn_geo_buffer_concave" -> qFnGeoBufferConcaveSql,
     "q_fn_geo_union" -> qFnGeoUnionSql,
     "q_fn_geo_difference" -> qFnGeoDifferenceSql,
     "q_fn_geo_wkb" -> qFnGeoWkbSql,

@@ -62,6 +62,57 @@ class GeoOpsSpec extends SparkSpec {
     assert(GeoOps.buffer(sq, -1.0) == null)
   }
 
+  test("st_buffer: concave polygon exact (no convex-hull over-cover)") {
+    val r2 = math.sqrt(2.0)
+    // L-shape: A=3, P=8, 5 convex + 1 reflex right angle
+    val L = g("POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))")
+    val d = 0.5
+    val lb = GeoOps.buffer(L, d)
+    assert(lb != null && lb.kind == "POLYGON")
+    val expected = 3.0 + 8.0 * d + 5.0 * (r2 / 2) * d * d - d * d
+    assert(math.abs(area(lb) - expected) < 1e-12,
+      s"area ${area(lb)} vs $expected")
+    // the old hull construction would cover the notch: (1.5,1.5) is outside
+    assert(!GeoOps.containsPoint(lb, 1.75, 1.75))
+    // reflex miter vertex present: offset corner of the notch at (1.5, 1.5)
+    assert(lb.xs.indices.exists(i => lb.xs(i) == 1.5 && lb.ys(i) == 1.5))
+  }
+
+  test("st_buffer: bent linestring strip with octagonal caps") {
+    val r2 = math.sqrt(2.0)
+    val line = g("LINESTRING (0 0, 1 0, 1 1)")
+    val d = 0.25
+    val b = GeoOps.buffer(line, d)
+    assert(b != null && b.kind == "POLYGON")
+    // 2dL + two half-octagon caps + outside 90° join − inside overlap
+    val expected = 2 * d * 2.0 + 2 * r2 * d * d + (r2 / 2) * d * d - d * d
+    assert(math.abs(area(b) - expected) < 1e-12, s"area ${area(b)} vs $expected")
+  }
+
+  test("st_buffer: holes erode; swallowed holes drop; closing cavity is NULL") {
+    val r2 = math.sqrt(2.0)
+    val d = 0.5
+    // 6x6 shell with a centered 2x2 hole: hole shrinks to (2-2d)^2
+    val withHole = g("POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    val hb = GeoOps.buffer(withHole, d)
+    assert(hb != null && hb.rings.count(_ < 0) == 1)
+    val expected = (36.0 + 24 * d + 4 * (r2 / 2) * d * d) - math.pow(2 - 2 * d, 2)
+    assert(math.abs(area(hb) - expected) < 1e-12, s"area ${area(hb)} vs $expected")
+    // 0.8x0.8 hole is swallowed at d=0.5
+    val smallHole = g("POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (2 2, 2.8 2, 2.8 2.8, 2 2.8, 2 2))")
+    val sb = GeoOps.buffer(smallHole, d)
+    assert(sb != null && sb.rings.count(_ < 0) === 0)
+    assert(math.abs(area(sb) - (36.0 + 24 * d + 4 * (r2 / 2) * d * d)) < 1e-12)
+    // U-shape whose mouth (width 0.5 < 2d) closes: topology change → NULL
+    val u = g("POLYGON ((0 0, 2.5 0, 2.5 3, 1.5 3, 1.5 1, 1 1, 1 3, 0 3, 0 0))")
+    assert(GeoOps.buffer(u, 0.5) == null)
+    // ...but a small d that does not close the mouth stays exact
+    val ub = GeoOps.buffer(u, 0.1)
+    assert(ub != null)
+    val uExpected = 6.5 + 15 * 0.1 + 6 * (r2 / 2) * 0.01 - 2 * 0.01
+    assert(math.abs(area(ub) - uExpected) < 1e-12, s"area ${area(ub)} vs $uExpected")
+  }
+
   test("st_union: crossing, disjoint, containment, multipoint") {
     // A = [0,4]^2, B = [2,6]x[1,3] → union area 16 + 8 - 4 = 20, 8 verts
     val a = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
