@@ -85,7 +85,8 @@ object JsonPath {
   final case class BoolLit(v: Boolean) extends Operand
   case object NullLit extends Operand
 
-  final case class Parsed(strict: Boolean, steps: List[Step], arith: Option[(String, Double)])
+  final case class Parsed(strict: Boolean, steps: List[Step], arith: Option[(String, Double)],
+      rootVar: Option[String] = None)
 
   private val methods = Set("datetime", "size", "type", "abs", "floor", "ceiling", "double")
 
@@ -96,6 +97,10 @@ object JsonPath {
     else if (s.startsWith("lax ")) s = s.stripPrefix("lax ").trim
     require(s.startsWith("$"), s"json path must start at '$$': $path")
     s = s.drop(1)
+    // SQL/JSON PASSING: a path may be rooted at a variable ($var.a[*]...),
+    // binding any JSON value — scalar or structural — from the vars object.
+    val rootVar = """^(\w+)""".r.findFirstIn(s)
+    rootVar.foreach(v => s = s.drop(v.length))
     val steps = scala.collection.mutable.ListBuffer[Step]()
     val MethodRe = """^\.(\w+)\(\s*(?:"([^"]*)")?\s*\)""".r
     val IndexRe = """^\[(\d+)\]""".r
@@ -213,7 +218,7 @@ object JsonPath {
         }
       }
     }
-    Parsed(strict, steps.toList, arith)
+    Parsed(strict, steps.toList, arith, rootVar)
   }
 
   private object StructuralError extends RuntimeException { override def fillInStackTrace(): Throwable = this }
@@ -223,22 +228,29 @@ object JsonPath {
   }
 
   /** PASSING analogue: parse a literal JSON object into a variable binding. */
-  def parseVars(json: String): Map[String, Either[Double, String]] = {
+  def parseVars(json: String): Map[String, JsonNode] = {
     import scala.jdk.CollectionConverters._
     val node = mapper.get().readTree(json)
     require(node.isObject, s"path variables must be a JSON object, got: $json")
-    node.properties().asScala.map { e =>
-      val v = e.getValue
-      e.getKey -> (if (v.isNumber) Left(v.doubleValue()) else Right(v.asText()))
-    }.toMap
+    node.properties().asScala.map(e => e.getKey -> e.getValue).toMap
   }
+
+  /** Scalar view of a bound variable for comparisons; None for containers
+    * (incomparable -> unknown, per SQL/JSON 3VL). */
+  private def scalarOf(n: JsonNode): Option[Either[Double, String]] =
+    if (n.isNumber) Some(Left(n.doubleValue()))
+    else if (n.isTextual) Some(Right(n.textValue()))
+    else None
 
   /** Evaluate; Left(()) = structural ERROR, Right(seq) = result sequence
     * (empty = EMPTY). */
   def eval(json: String, p: Parsed,
-      vars: Map[String, Either[Double, String]] = Map.empty): Either[Unit, Seq[JsonNode]] =
+      vars: Map[String, JsonNode] = Map.empty): Either[Unit, Seq[JsonNode]] =
     try {
-      val root = mapper.get().readTree(json)
+      val root = p.rootVar match {
+        case Some(v) => vars.getOrElse(v, throw StructuralError)
+        case None => mapper.get().readTree(json)
+      }
       var cur: Seq[JsonNode] = Seq(root)
       p.steps.foreach { st => cur = applyStep(cur, st, p.strict, vars) }
       p.arith.foreach { case (op, v) =>
@@ -260,7 +272,7 @@ object JsonPath {
     }
 
   private def applyStep(nodes: Seq[JsonNode], st: Step, strict: Boolean,
-      vars: Map[String, Either[Double, String]]): Seq[JsonNode] = {
+      vars: Map[String, JsonNode]): Seq[JsonNode] = {
     import scala.jdk.CollectionConverters._
     def unwrap(n: JsonNode): Seq[JsonNode] =
       if (n.isArray) n.elements().asScala.toSeq else Seq(n)
@@ -299,7 +311,7 @@ object JsonPath {
     * three-valued logic: None = UNKNOWN (failed navigation, unbound variable,
     * incomparable types). Only TRUE keeps the item. */
   private def evalPred(n: JsonNode, pred: Pred,
-      vars: Map[String, Either[Double, String]]): Option[Boolean] = {
+      vars: Map[String, JsonNode]): Option[Boolean] = {
     def nav(fields: List[String]): Option[JsonNode] =
       fields.foldLeft(Option(n)) {
         case (Some(cur), f) if cur.isObject && cur.has(f) => Some(cur.get(f))
@@ -321,7 +333,7 @@ object JsonPath {
       case StartsWith(fields, operand) =>
         val prefix = operand match {
           case StrLit(v) => Some(v)
-          case VarRef(name) => vars.get(name).collect { case Right(v) => v }
+          case VarRef(name) => vars.get(name).filter(_.isTextual).map(_.textValue())
           case _ => None
         }
         (nav(fields), prefix) match {
@@ -334,7 +346,17 @@ object JsonPath {
       }
       case Cmp(fields, op, operand) =>
         val target = nav(fields)
-        operand match {
+        // a variable operand dispatches on its BOUND JSON type (null/bool
+        // compare by identity; containers are incomparable -> unknown)
+        val effective = operand match {
+          case VarRef(name) => vars.get(name) match {
+            case Some(b) if b.isNull => NullLit
+            case Some(b) if b.isBoolean => BoolLit(b.booleanValue())
+            case _ => operand
+          }
+          case o => o
+        }
+        effective match {
           case NullLit => target.map(t => if (op == "!=") !t.isNull else t.isNull)
             .filter(_ => op == "==" || op == "!=")
           case BoolLit(v) => target match {
@@ -343,10 +365,10 @@ object JsonPath {
             case _ => None
           }
           case _ =>
-            val lit = operand match {
+            val lit = effective match {
               case NumLit(v) => Some(Left(v))
               case StrLit(s) => Some(Right(s))
-              case VarRef(name) => vars.get(name)
+              case VarRef(name) => vars.get(name).flatMap(scalarOf)
               case _ => None
             }
             (target, lit) match {
@@ -437,7 +459,7 @@ object JsonPath {
   /** json_value semantics: single scalar → its text; EMPTY/ERROR/multi → null
     * (the reference's default NULL ON EMPTY / NULL ON ERROR behaviors). */
   def value(json: String, p: Parsed,
-      vars: Map[String, Either[Double, String]] = Map.empty): String = eval(json, p, vars) match {
+      vars: Map[String, JsonNode] = Map.empty): String = eval(json, p, vars) match {
     case Right(Seq(n)) if n.isValueNode =>
       if (n.isDouble && n.doubleValue() == n.doubleValue().floor &&
         !n.doubleValue().isInfinite && math.abs(n.doubleValue()) < 1e15)
@@ -448,7 +470,7 @@ object JsonPath {
 
   /** json_query semantics: single node → serialized; else null (no wrapper). */
   def query(json: String, p: Parsed,
-      vars: Map[String, Either[Double, String]] = Map.empty): String = eval(json, p, vars) match {
+      vars: Map[String, JsonNode] = Map.empty): String = eval(json, p, vars) match {
     case Right(Seq(n)) => n.toString
     case _ => null
   }
@@ -456,7 +478,7 @@ object JsonPath {
   /** Outcome classifier — surfaces the lax/strict split: 'value' (≥1 item),
     * 'empty', or 'error'. */
   def status(json: String, p: Parsed,
-      vars: Map[String, Either[Double, String]] = Map.empty): String = eval(json, p, vars) match {
+      vars: Map[String, JsonNode] = Map.empty): String = eval(json, p, vars) match {
     case Left(_) => "error"
     case Right(s) if s.isEmpty => "empty"
     case _ => "value"
@@ -468,7 +490,7 @@ abstract class JsonPathExpression extends UnaryExpression with CodegenFallback {
   /** PASSING analogue: literal JSON object of path-variable bindings. */
   def varsJson: Option[String]
   @transient protected lazy val parsed: JsonPath.Parsed = JsonPath.parse(path)
-  @transient protected lazy val vars: Map[String, Either[Double, String]] =
+  @transient protected lazy val vars: Map[String, JsonNode] =
     varsJson.map(JsonPath.parseVars).getOrElse(Map.empty)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

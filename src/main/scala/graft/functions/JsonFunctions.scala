@@ -50,10 +50,10 @@ object JsonFunctions {
     column(graft.ext.JsonPathValue(expression(json), path, vars))
 
   /** json_query over the lax/strict path engine (single node, no wrapper). */
-  def jsonPathQuery(json: Column, path: String): Column =
-    column(graft.ext.JsonPathQuery(expression(json), path))
+  def jsonPathQuery(json: Column, path: String, vars: Option[String] = None): Column =
+    column(graft.ext.JsonPathQuery(expression(json), path, vars))
 
   /** 'value' | 'empty' | 'error' — observable lax/strict outcome. */
-  def jsonPathStatus(json: Column, path: String): Column =
-    column(graft.ext.JsonPathStatus(expression(json), path))
+  def jsonPathStatus(json: Column, path: String, vars: Option[String] = None): Column =
+    column(graft.ext.JsonPathStatus(expression(json), path, vars))
 }

@@ -208,7 +208,20 @@ object Functions2 {
         jsonPathValue($"doc", """lax $.items[?((@.v > 10 || @.t == "x") && @.v < 26)].t""").as("paren_t"),
         jsonPathValue($"doc", """lax $.words[?(@ starts with "S")]""").as("sw_word"),
         jsonPathValue($"doc", """lax $.words[?(@ like_regex "ARD$|OMO$")]""").as("re_word"),
-        jsonPathValue($"doc", "lax $[?(@.big == true)].id").cast("long").as("big_id"))
+        jsonPathValue($"doc", "lax $[?(@.big == true)].id").cast("long").as("big_id"),
+        // NON-SCALAR PASSING variables (closing the scalar-only limit):
+        // array-valued vars as path ROOTS, structural vars in comparisons
+        // (incomparable → unknown → dropped, SQL/JSON 3VL), bool/null vars
+        jsonPathValue($"doc", "lax $arr[1]",
+          vars = Some("""{"arr": [7, 11, 13]}""")).cast("long").as("rootvar_2nd"),
+        jsonPathValue($"doc", "lax $arr[?(@ > $th)]",
+          vars = Some("""{"arr": [7, 11, 13], "th": 12}""")).as("rootvar_filter"),
+        jsonPathStatus($"doc", "lax $.items[?(@.v == $obj)].t",
+          vars = Some("""{"obj": {"x": 1}}""")).as("objvar_incomparable"),
+        jsonPathValue($"doc", "lax $[?(@.big == $b)].id",
+          vars = Some("""{"b": true}""")).cast("long").as("boolvar_big"),
+        jsonPathValue($"doc", """lax $.items[?(@.t == "b" && @.v != $nothing)].v""",
+          vars = Some("""{"nothing": null}""")).cast("long").as("nullvar_v"))
       .orderBy($"p_partkey")
   }
   val qFnJsonpathSql: String =
@@ -231,7 +244,12 @@ object Functions2 {
        CASE WHEN p_size > 10 AND p_size < 26 THEN 'b' END AS paren_t,
        CASE WHEN p_type LIKE 'S%' THEN p_type END AS sw_word,
        CASE WHEN regexp_matches(p_type, 'ARD$|OMO$') THEN p_type END AS re_word,
-       CASE WHEN p_size > 25 THEN CAST(p_partkey AS BIGINT) END AS big_id
+       CASE WHEN p_size > 25 THEN CAST(p_partkey AS BIGINT) END AS big_id,
+       CAST(11 AS BIGINT) AS rootvar_2nd,
+       '13' AS rootvar_filter,
+       'empty' AS objvar_incomparable,
+       CASE WHEN p_size > 25 THEN CAST(p_partkey AS BIGINT) END AS boolvar_big,
+       CAST(p_size AS BIGINT) AS nullvar_v
        FROM part ORDER BY p_partkey"""
 
   /** Keyed hashes + base32 (reference HmacFunctions.java, StringFunctions.java
