@@ -149,4 +149,66 @@ class PropertySpec extends SparkSpec {
     }
     assert(degenerate < 290, "fixture generator produced almost no proper pairs")
   }
+
+  test("buffer area closed form on random rectilinear concave unions") {
+    // Property: for any RECTILINEAR simple polygon (here: the union of two
+    // properly-crossing rectangles — an 8-corner concave ring in general),
+    // the octagonal-Minkowski buffer area is exactly
+    //   A + P·d + n_convex·(√2/2)·d² − n_reflex·d²
+    // (strip per edge, octagon corner join per convex 90° turn, miter
+    // overlap per reflex 90° turn). d = 0.25 is far below the ≥2 feature
+    // size, so no topology change occurs and the kernel must not NULL.
+    import graft.ext.{GeoOps, Wkt}
+    val rnd = new scala.util.Random(777)
+    val r2 = math.sqrt(2.0)
+    def rect(): Wkt.Geom = {
+      val x0 = rnd.nextInt(20) * 2 + 1; val y0 = rnd.nextInt(20) * 2 + 1
+      val w = rnd.nextInt(10) * 2 + 2; val h = rnd.nextInt(10) * 2 + 2
+      Wkt.parse(s"POLYGON (($x0 $y0, ${x0 + w} $y0, ${x0 + w} ${y0 + h}, $x0 ${y0 + h}, $x0 $y0))")
+    }
+    def ringStats(g: Wkt.Geom): (Double, Double, Int, Int) = {
+      // (area, perimeter, convex corners, reflex corners) of the outer ring
+      val (off, len0, _) = GeoOps.parts(g)(0)
+      var len = len0
+      if (len > 1 && g.xs(off) == g.xs(off + len - 1) && g.ys(off) == g.ys(off + len - 1))
+        len -= 1
+      var signed = 0.0
+      for (i <- 0 until len) {
+        val j = (i + 1) % len
+        signed += g.xs(off + i) * g.ys(off + j) - g.xs(off + j) * g.ys(off + i)
+      }
+      val order = if (signed >= 0) (0 until len).toArray else (0 until len).reverse.toArray
+      val xs = order.map(i => g.xs(off + i)); val ys = order.map(i => g.ys(off + i))
+      val n = xs.length
+      var a = 0.0; var p = 0.0; var nc = 0; var nr = 0
+      for (i <- 0 until n) {
+        val j = (i + 1) % n; val k = (i + 2) % n
+        a += xs(i) * ys(j) - xs(j) * ys(i)
+        p += math.hypot(xs(j) - xs(i), ys(j) - ys(i))
+        val cr = (xs(j) - xs(i)) * (ys(k) - ys(j)) - (ys(j) - ys(i)) * (xs(k) - xs(j))
+        if (cr > 0) nc += 1 else if (cr < 0) nr += 1
+      }
+      (a / 2, p, nc, nr)
+    }
+    val d = 0.25
+    var checked = 0
+    for (_ <- 0 until 1500) {
+      val a = rect(); val b = rect()
+      val sharedAxis = a.xs.exists(x => b.xs.contains(x)) || a.ys.exists(y => b.ys.contains(y))
+      if (!sharedAxis) {
+        val u = GeoOps.union(a, b)
+        if (u != null && u.kind == "POLYGON" && u.rings.length == 1) {
+          val (area0, per, nc, nr) = ringStats(u)
+          val buf = GeoOps.buffer(u, d)
+          assert(buf != null, Wkt.format(u.kind, u.xs, u.ys, u.rings))
+          val (bufArea, _, _, _) = ringStats(buf)
+          val expected = area0 + per * d + nc * (r2 / 2) * d * d - nr * d * d
+          assert(math.abs(bufArea - expected) < 1e-9,
+            s"buffer area $bufArea vs $expected for ${Wkt.format(u.kind, u.xs, u.ys, u.rings)}")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 50, s"only $checked concave unions exercised")
+  }
 }
