@@ -131,6 +131,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(tb.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$tb")
   }
 
+  test("TPC-DS shapes parts 4-5: set ops as joins, full-outer overlap, decorrelated averages") {
+    // q38 shape: both INTERSECTs lower to LeftSemi joins over distinct sets
+    val hc = physicalPlan(operators.Tpcds4.q_ds_hot_cust(spark, sfDir))
+    assert("LeftSemi".r.findAllIn(hc).length >= 2, s"INTERSECT chain not semi joins:\n$hc")
+    // q87 shape: the EXCEPT chain lowers to LeftAnti joins
+    val cc = physicalPlan(operators.Tpcds4.q_ds_cool_cust(spark, sfDir))
+    assert("LeftAnti".r.findAllIn(cc).length >= 2, s"EXCEPT chain not anti joins:\n$cc")
+    // q62 shape: one fact pass, supplier/nation dims broadcast
+    val sl = physicalPlan(operators.Tpcds4.q_ds_ship_latency(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(sl).length >= 2, s"dims not broadcast:\n$sl")
+    assert("HashAggregate".r.findAllIn(sl).length >= 2, s"no partial agg:\n$sl")
+    // q97 shape: a genuine FullOuter equi-join on the composite key
+    val ov = physicalPlan(operators.Tpcds5.q_ds_channel_overlap(spark, sfDir))
+    assert(ov.contains("FullOuter"), s"no full outer join:\n$ov")
+    assert(!ov.contains("CartesianProduct"), s"composite key degraded to cartesian:\n$ov")
+    // q30 shape: the correlated state average decorrelates to ONE broadcast
+    // aggregate joined back — no per-row subquery
+    val ar = physicalPlan(operators.Tpcds5.q_ds_above_avg_returns(spark, sfDir))
+    assert(ar.contains("BroadcastHashJoin"), s"state average not broadcast:\n$ar")
+    assert("HashAggregate".r.findAllIn(ar).length >= 2, s"no partial agg:\n$ar")
+  }
+
   test("match-recognize annotate pipeline shares ONE exchange between DEFINE windows and the matcher") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
