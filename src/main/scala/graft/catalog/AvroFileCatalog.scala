@@ -70,27 +70,117 @@ class AvroFileCatalog extends TableCatalog {
       AvroIO.toStructType(avroSchema))
   }
 
+  /** CREATE TABLE materializes an empty schema-carrier file, so the table
+    * is immediately loadable and stays SELF-describing (the schema lives in
+    * the avro headers, not in catalog state) — the hive-avro convention. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "avro catalog is read-only; produce files with AvroIO.write")
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException("avro catalog: PARTITIONED BY not supported")
+    val dir = new File(root, ident.name.toLowerCase)
+    if (AvroIO.dataFiles(dir).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    dir.mkdirs()
+    val avroSchema = AvroIO.toAvroSchema(schema, "row")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
+    w.create(avroSchema, new File(dir, "part-00000-schema.avro"))
+    w.close()
+    new AvroTable(ident.name.toLowerCase, dir.getAbsolutePath, schema)
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("read-only catalog")
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("read-only catalog")
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("read-only catalog")
+    throw new UnsupportedOperationException("avro catalog: ALTER not supported")
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = new File(root, ident.name.toLowerCase)
+    if (!dir.isDirectory) false
+    else {
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      dir.delete()
+    }
+  }
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = new File(root, oldIdent.name.toLowerCase)
+    val to = new File(root, newIdent.name.toLowerCase)
+    if (!from.isDirectory)
+      throw new NoSuchTableException(Seq(catalogName) ++ oldIdent.namespace() :+ oldIdent.name())
+    if (!from.renameTo(to))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+  }
 }
 
 final class AvroTable(tableName: String, dir: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder { override def build(): Scan = new AvroScan(dir, tableSchema) }
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new AvroBatchWrite(dir, tableSchema)
+        }
+    }
 }
+
+/** Task-side avro writers with a rename-on-commit protocol: each task
+  * writes `_tmp-<uuid>.avro` in the table dir and reports it in its commit
+  * message; the driver commit renames the temp files into `part-…` place
+  * (same-directory rename = atomic on POSIX), abort deletes them — the
+  * TableWriter/TableFinish commit shape (reference
+  * core/trino-main/.../TableFinishOperator.java). */
+final class AvroBatchWrite(dir: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val avroJson = AvroIO.toAvroSchema(schema, "row").toString
+    val d = dir
+    val sch = schema
+    new DataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+        new DataWriter[InternalRow] {
+          private val tmp = new File(d, f"_tmp-$partitionId%05d-$taskId.avro")
+          private val avroSchema = new org.apache.avro.Schema.Parser().parse(avroJson)
+          private val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](avroSchema))
+          w.create(avroSchema, tmp)
+          private var n = 0L
+          override def write(row: InternalRow): Unit = {
+            w.append(AvroIO.toRecord(row, sch, avroSchema)); n += 1
+          }
+          override def commit(): WriterCommitMessage = {
+            w.close()
+            if (n == 0) { tmp.delete(); AvroCommitMessage(None, partitionId) }
+            else AvroCommitMessage(Some(tmp.getName), partitionId)
+          }
+          override def abort(): Unit = { w.close(); tmp.delete() }
+          override def close(): Unit = ()
+        }
+    }
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case AvroCommitMessage(Some(name), pid) =>
+      val tmp = new File(dir, name)
+      val dst = new File(dir, f"part-i$pid%05d-${System.nanoTime()}%x.avro")
+      if (!tmp.renameTo(dst))
+        throw new IllegalStateException(s"avro commit rename $tmp -> $dst failed")
+    }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case AvroCommitMessage(Some(name), _) =>
+      new File(dir, name).delete()
+    }
+}
+
+final case class AvroCommitMessage(tmpName: Option[String], partitionId: Int)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 /** Byte-range splits at maxPartitionBytes boundaries; sync-marker aligned
   * reads make the ranges exact-once. */
@@ -256,32 +346,36 @@ object AvroIO {
       val avroSchema = new Schema.Parser().parse(avroJson)
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
       w.create(avroSchema, new File(outDir, f"part-$idx%05d.avro"))
-      val fields = schema.fields
-      rows.foreach { row =>
-        val rec = new GenericData.Record(avroSchema)
-        var i = 0
-        while (i < fields.length) {
-          if (!row.isNullAt(i)) {
-            val v = fields(i).dataType match {
-              case StringType => new Utf8(row.getUTF8String(i).toString)
-              case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
-              case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
-              case IntegerType | DateType => java.lang.Integer.valueOf(row.getInt(i))
-              case LongType | TimestampType | TimestampNTZType =>
-                java.lang.Long.valueOf(row.getLong(i))
-              case FloatType => java.lang.Float.valueOf(row.getFloat(i))
-              case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
-              case other => throw new UnsupportedOperationException(s"avro write: $other")
-            }
-            rec.put(i, v)
-          }
-          i += 1
-        }
-        w.append(rec)
-      }
+      rows.foreach(row => w.append(toRecord(row, schema, avroSchema)))
       w.close()
       Iterator.empty
     }.count() // force the distributed write
+  }
+
+  /** Catalyst row → avro record (shared by AvroIO.write and the DSv2
+    * INSERT path). */
+  def toRecord(row: InternalRow, schema: StructType, avroSchema: Schema): GenericRecord = {
+    val rec = new GenericData.Record(avroSchema)
+    val fields = schema.fields
+    var i = 0
+    while (i < fields.length) {
+      if (!row.isNullAt(i)) {
+        val v = fields(i).dataType match {
+          case StringType => new Utf8(row.getUTF8String(i).toString)
+          case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
+          case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+          case IntegerType | DateType => java.lang.Integer.valueOf(row.getInt(i))
+          case LongType | TimestampType | TimestampNTZType =>
+            java.lang.Long.valueOf(row.getLong(i))
+          case FloatType => java.lang.Float.valueOf(row.getFloat(i))
+          case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
+          case other => throw new UnsupportedOperationException(s"avro write: $other")
+        }
+        rec.put(i, v)
+      }
+      i += 1
+    }
+    rec
   }
 
   private val populated = scala.collection.mutable.Set.empty[String]

@@ -100,6 +100,22 @@ class AvroFormatSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("SQL write path: CTAS, INSERT INTO appends, DROP removes files") {
+    val root = tmpRoot("write")
+    register("av_write", root)
+    spark.sql("CREATE TABLE av_write.default.wt AS SELECT id, CAST(id * 2 AS DOUBLE) AS v FROM range(0, 1000, 1, 4)")
+    val t = spark.table("av_write.default.wt")
+    assert(t.count() === 1000)
+    spark.sql("INSERT INTO av_write.default.wt SELECT id, CAST(0.5 AS DOUBLE) FROM range(1000, 1500)")
+    assert(spark.table("av_write.default.wt").count() === 1500)
+    assert(spark.table("av_write.default.wt").agg(sum("id")).head.getLong(0) ===
+      (0L until 1500).sum)
+    // no leftover temp files after commit
+    assert(!new File(s"$root/wt").listFiles().exists(_.getName.startsWith("_tmp")))
+    spark.sql("DROP TABLE av_write.default.wt")
+    assert(!new File(s"$root/wt").exists())
+  }
+
   test("schema comes from the file header: no declared schema anywhere") {
     val root = tmpRoot("selfdesc")
     AvroIO.write(spark.range(5).selectExpr("id", "CAST(id AS STRING) AS s"), s"$root/t2")
