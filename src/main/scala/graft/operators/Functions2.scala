@@ -493,6 +493,80 @@ object Functions2 {
        SELECT c_custkey, CAST(ord AS BIGINT) AS ord, i, tag, ev_ord, e, k, present
        FROM expected ORDER BY c_custkey, ord, ev_ord NULLS FIRST"""
 
+  /** json_table SIBLING nested paths with both PLAN combinators (reference
+    * operator/table/json/JsonTable.java; SqlBase.g4 jsonTablePlan — PLAN
+    * (P OUTER (C1 UNION C2)) and PLAN (P INNER (C1 CROSS C2))): each item
+    * carries TWO nested arrays. UNION emits each sibling's child rows with
+    * the other sibling's columns null, plus one all-null row when BOTH
+    * siblings are empty under an OUTER parent; CROSS emits the cartesian
+    * product of the siblings (parents with any empty sibling drop). Both
+    * plans in one result, discriminated by a `plan` column; the oracle
+    * states every expected row from the generating parities. */
+  def q_fn_json_table_siblings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = "array<struct<i:bigint,ms:array<bigint>,ns:array<string>>>"
+    val noM = array().cast("array<bigint>")
+    val noN = array().cast("array<string>")
+    val d = table(s, dir, "customer").filter($"c_custkey" <= 200)
+      .withColumn("doc", to_json(array(
+        struct(lit(1L).as("i"), array(lit(100L)).as("ms"),
+          array(lit("u"), lit("v")).as("ns")),
+        struct(lit(2L).as("i"),
+          when($"c_custkey" % 2 === 0, array(lit(200L), lit(201L))).otherwise(noM).as("ms"),
+          when($"c_custkey" % 3 === 0, array(lit("w"))).otherwise(noN).as("ns")))))
+    val parent = d
+      .select($"c_custkey", posexplode(from_json($"doc", lit(schema))))
+      .select($"c_custkey", ($"pos" + 1).cast("long").as("ord"),
+        $"col.ms".as("ms"), $"col.ns".as("ns"))
+    val nullM = Seq(lit(null).cast("long").as("m_ord"), lit(null).cast("long").as("m"))
+    val nullN = Seq(lit(null).cast("long").as("n_ord"), lit(null).cast("string").as("n"))
+    val mRows = parent.select(Seq($"c_custkey", $"ord") :+
+        posexplode($"ms").as(Seq("mp", "m")): _*)
+      .select(Seq($"c_custkey", $"ord", ($"mp" + 1).cast("long").as("m_ord"), $"m") ++ nullN: _*)
+    val nRows = parent.select(Seq($"c_custkey", $"ord") :+
+        posexplode($"ns").as(Seq("np", "n")): _*)
+      .select(Seq($"c_custkey", $"ord") ++ nullM ++
+        Seq(($"np" + 1).cast("long").as("n_ord"), $"n"): _*)
+    val bothEmpty = parent.filter(size($"ms") === 0 && size($"ns") === 0)
+      .select(Seq($"c_custkey", $"ord") ++ nullM ++ nullN: _*)
+    val unionPlan = mRows.unionByName(nRows).unionByName(bothEmpty)
+      .withColumn("plan", lit("union"))
+    val crossPlan = parent
+      .select(Seq($"c_custkey", $"ord", $"ns") :+ posexplode($"ms").as(Seq("mp", "m")): _*)
+      .select(Seq($"c_custkey", $"ord", ($"mp" + 1).cast("long").as("m_ord"), $"m") :+
+        posexplode($"ns").as(Seq("np", "n")): _*)
+      .select($"c_custkey", $"ord", $"m_ord", $"m",
+        ($"np" + 1).cast("long").as("n_ord"), $"n")
+      .withColumn("plan", lit("cross"))
+    unionPlan.unionByName(crossPlan)
+      .orderBy($"c_custkey", $"plan", $"ord",
+        $"m_ord".asc_nulls_first, $"n_ord".asc_nulls_first)
+  }
+  val qFnJsonTableSiblingsSql: String =
+    """WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey <= 200),
+       u AS (
+         SELECT c_custkey, CAST(1 AS BIGINT) AS ord, CAST(1 AS BIGINT) AS m_ord,
+                CAST(100 AS BIGINT) AS m, CAST(NULL AS BIGINT) AS n_ord, CAST(NULL AS VARCHAR) AS n
+         FROM c
+         UNION ALL SELECT c_custkey, 1, NULL, NULL, 1, 'u' FROM c
+         UNION ALL SELECT c_custkey, 1, NULL, NULL, 2, 'v' FROM c
+         UNION ALL SELECT c_custkey, 2, 1, 200, NULL, NULL FROM c WHERE c_custkey % 2 = 0
+         UNION ALL SELECT c_custkey, 2, 2, 201, NULL, NULL FROM c WHERE c_custkey % 2 = 0
+         UNION ALL SELECT c_custkey, 2, NULL, NULL, 1, 'w' FROM c WHERE c_custkey % 3 = 0
+         UNION ALL SELECT c_custkey, 2, NULL, NULL, NULL, NULL FROM c
+           WHERE c_custkey % 2 = 1 AND c_custkey % 3 <> 0),
+       x AS (
+         SELECT c_custkey, CAST(1 AS BIGINT) AS ord, CAST(1 AS BIGINT) AS m_ord,
+                CAST(100 AS BIGINT) AS m, CAST(1 AS BIGINT) AS n_ord, 'u' AS n
+         FROM c
+         UNION ALL SELECT c_custkey, 1, 1, 100, 2, 'v' FROM c
+         UNION ALL SELECT c_custkey, 2, 1, 200, 1, 'w' FROM c WHERE c_custkey % 6 = 0
+         UNION ALL SELECT c_custkey, 2, 2, 201, 1, 'w' FROM c WHERE c_custkey % 6 = 0)
+       SELECT c_custkey, ord, m_ord, m, n_ord, n, 'union' AS plan FROM u
+       UNION ALL
+       SELECT c_custkey, ord, m_ord, m, n_ord, n, 'cross' AS plan FROM x
+       ORDER BY c_custkey, plan, ord, m_ord NULLS FIRST, n_ord NULLS FIRST"""
+
   /** Geospatial-lite (reference GeoFunctions.java ST_Distance on spherical
     * geography / ST_Contains): synthesized lat/lon points, haversine distance
     * to a fixed point, bbox containment — pure arithmetic, so the oracle
@@ -887,6 +961,7 @@ object Functions2 {
     "q_fn_geo" -> q_fn_geo _,
     "q_fn_json_table" -> q_fn_json_table _,
     "q_fn_json_table_nested" -> q_fn_json_table_nested _,
+    "q_fn_json_table_siblings" -> q_fn_json_table_siblings _,
     "q_fn_strdist" -> q_fn_strdist _,
     "q_fn_try" -> q_fn_try _,
     "q_fn_interval" -> q_fn_interval _,
@@ -909,6 +984,7 @@ object Functions2 {
     "q_fn_geo" -> qFnGeoSql,
     "q_fn_json_table" -> qFnJsonTableSql,
     "q_fn_json_table_nested" -> qFnJsonTableNestedSql,
+    "q_fn_json_table_siblings" -> qFnJsonTableSiblingsSql,
     "q_fn_strdist" -> qFnStrdistSql,
     "q_fn_try" -> qFnTrySql,
     "q_fn_interval" -> qFnIntervalSql,
