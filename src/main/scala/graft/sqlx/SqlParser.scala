@@ -88,7 +88,10 @@ object SqlAst {
   final case class DeleteStmt(name: String, where: Option[Expr]) extends Statement
   final case class UpdateStmt(name: String, sets: Seq[(String, Expr)],
       where: Option[Expr]) extends Statement
-  final case class ExplainStmt(analyze: Boolean, q: Query) extends Statement
+  /** typ: DISTRIBUTED (default) | LOGICAL | VALIDATE | IO;
+    * format: TEXT (default) | JSON (SqlBase.g4 :129 explainOption). */
+  final case class ExplainStmt(analyze: Boolean, q: Query,
+      typ: String = "DISTRIBUTED", format: String = "TEXT") extends Statement
   /** kind: "TABLES" | "CATALOGS" | "FUNCTIONS". */
   final case class ShowStmt(kind: String) extends Statement
   final case class DescribeStmt(name: String) extends Statement
@@ -377,7 +380,26 @@ final class SqlParser(src: String) {
           if (accept("WHERE")) Some(parseExpr()) else None)
       } else if (accept("EXPLAIN")) {
         val analyze = accept("ANALYZE")
-        ExplainStmt(analyze, parseQueryNoFinish())
+        var typ = "DISTRIBUTED"; var format = "TEXT"
+        if (!analyze && acceptOp("(")) {
+          var more = true
+          while (more) {
+            if (accept("TYPE")) {
+              typ = ident("explain type").toUpperCase
+              if (!Set("LOGICAL", "DISTRIBUTED", "VALIDATE", "IO")(typ))
+                throw new SqlParseException(s"unknown EXPLAIN TYPE $typ")
+            } else if (accept("FORMAT")) {
+              format = ident("explain format").toUpperCase
+              if (!Set("TEXT", "JSON")(format))
+                throw new SqlParseException(s"unknown EXPLAIN FORMAT $format")
+            } else throw new SqlParseException(
+              s"expected TYPE or FORMAT in EXPLAIN options, got '${peek.text}'")
+            more = acceptOp(",")
+          }
+          if (!acceptOp(")"))
+            throw new SqlParseException("expected ')' closing EXPLAIN options")
+        }
+        ExplainStmt(analyze, parseQueryNoFinish(), typ, format)
       } else if (acceptSeq("SHOW", "TABLES")) ShowStmt("TABLES")
       else if (acceptSeq("SHOW", "SCHEMAS")) ShowStmt("SCHEMAS")
       else if (acceptSeq("SHOW", "CATALOGS")) ShowStmt("CATALOGS")

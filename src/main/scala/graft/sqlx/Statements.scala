@@ -122,6 +122,61 @@ private[graft] object Statements {
     spark.sql(SqlFrontend.renderQuery(planned))
   }
 
+  /** Base tables referenced by a query AST (EXPLAIN (TYPE IO); reference
+    * io/trino/sql/planner/planprinter/IoPlanPrinter). CTE names shadow base
+    * tables; subqueries in FROM, set ops, and expression subqueries
+    * (IN/EXISTS/scalar) all contribute. */
+  private def referencedTables(q: Query, ctes: Set[String]): Set[String] = {
+    def fromExpr(e: Expr, c: Set[String]): Set[String] = e match {
+      case InSubq(inner, sub, _) => fromExpr(inner, c) ++ referencedTables(sub, c)
+      case ExistsExpr(sub) => referencedTables(sub, c)
+      case ScalarSubq(sub) => referencedTables(sub, c)
+      case Fn(_, args, _, _) => args.flatMap(fromExpr(_, c)).toSet
+      case Bin(_, l, r) => fromExpr(l, c) ++ fromExpr(r, c)
+      case Un(_, inner) => fromExpr(inner, c)
+      case Cast(inner, _, _) => fromExpr(inner, c)
+      case TryExpr(inner) => fromExpr(inner, c)
+      case IsNull(inner, _) => fromExpr(inner, c)
+      case Between(a, lo, hi, _) => fromExpr(a, c) ++ fromExpr(lo, c) ++ fromExpr(hi, c)
+      case InList(a, items, _) => fromExpr(a, c) ++ items.flatMap(fromExpr(_, c))
+      case LikeExpr(a, p, _) => fromExpr(a, c) ++ fromExpr(p, c)
+      case CaseExpr(op, whens, els) =>
+        op.toSeq.flatMap(fromExpr(_, c)).toSet ++
+          whens.flatMap { case (a, b) => fromExpr(a, c) ++ fromExpr(b, c) } ++
+          els.toSeq.flatMap(fromExpr(_, c))
+      case Subscript(a, ix) => fromExpr(a, c) ++ fromExpr(ix, c)
+      case AtTimeZone(a, tz) => fromExpr(a, c) ++ fromExpr(tz, c)
+      case _ => Set.empty
+    }
+    def fromRel(r: Rel, c: Set[String]): Set[String] = r match {
+      case TableRef(name, _) =>
+        val n = name.plain.toLowerCase
+        if (c.contains(n)) Set.empty else Set(n)
+      case SubqueryRel(sub, _, _) => referencedTables(sub, c)
+      case JoinRel(_, l, rr, on) =>
+        fromRel(l, c) ++ fromRel(rr, c) ++ on.toSeq.flatMap(fromExpr(_, c))
+      case MatchRel(input, _, _) => fromRel(input, c)
+      case UnnestRel(exprs, _, _, _) => exprs.flatMap(fromExpr(_, c)).toSet
+      case TvfRel(_, args, _) => args.flatMap(fromExpr(_, c)).toSet
+    }
+    q match {
+      case Select(_, items, from, where, _, having, _, _, _, _) =>
+        items.flatMap(i => fromExpr(i.e, ctes)).toSet ++
+          from.toSeq.flatMap(fromRel(_, ctes)) ++
+          where.toSeq.flatMap(fromExpr(_, ctes)) ++
+          having.toSeq.flatMap(fromExpr(_, ctes))
+      case SetOpQ(_, _, l, r) => referencedTables(l, ctes) ++ referencedTables(r, ctes)
+      case WithQ(cteDefs, body) =>
+        val (acc, names) = cteDefs.foldLeft((Set.empty[String], ctes)) {
+          case ((tabs, known), (name, defn)) =>
+            (tabs ++ referencedTables(defn, known), known + name.toLowerCase)
+        }
+        acc ++ referencedTables(body, names)
+      case OrderedQ(inner, _, _, _, _) => referencedTables(inner, ctes)
+      case ValuesQ(_) => Set.empty
+    }
+  }
+
   private def condColumn(where: Option[Expr]): Column =
     expr(where.map(w => SqlFrontend.renderExpr(SqlFrontend.rewriteExpr(w)))
       .getOrElse("true"))
@@ -325,13 +380,30 @@ private[graft] object Statements {
         case None => throw new IllegalArgumentException(s"table '$name' does not exist")
       }
 
-    case ExplainStmt(analyze, q) =>
-      val df = subquery(spark, dir, q)
-      val textOut =
-        if (analyze) graft.engine.ExplainAnalyze.report(df)
-        else df.queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      stringRows(spark, "plan", textOut.linesIterator.toSeq)
+    case ExplainStmt(analyze, q, typ, format) =>
+      // TYPE VALIDATE / IO resolve without planning work beyond analysis
+      // (reference ExplainTask: io/trino/sql/analyzer + IoPlanPrinter).
+      if (typ == "VALIDATE") {
+        subquery(spark, dir, q).queryExecution.analyzed // force analysis
+        stringRows(spark, "valid", Seq("true"))
+      } else if (typ == "IO") {
+        val names = referencedTables(q, Set.empty).toSeq.sorted
+        val infos = names.map(t => s"""{"table":"$t"}""").mkString(",")
+        stringRows(spark, "io", Seq(s"""{"inputTableColumnInfos":[$infos]}"""))
+      } else {
+        val df = subquery(spark, dir, q)
+        val qe = df.queryExecution
+        val textOut =
+          if (analyze) graft.engine.ExplainAnalyze.report(df)
+          else (typ, format) match {
+            case ("LOGICAL", "JSON") => qe.optimizedPlan.toJSON
+            case ("LOGICAL", _) => qe.optimizedPlan.treeString
+            case (_, "JSON") => qe.executedPlan.toJSON
+            case _ => qe.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          }
+        stringRows(spark, "plan", textOut.linesIterator.toSeq)
+      }
 
     case ShowStmt("TABLES") =>
       val views = spark.catalog.listTables().collect().map(_.name).toSeq

@@ -253,4 +253,30 @@ class StatementSpec extends SparkSpec {
       .collect()
     assert(qstats.filter(_.isNullAt(0)).head.getDouble(6) == 3.0)
   }
+  test("EXPLAIN options: TYPE VALIDATE/IO/LOGICAL/DISTRIBUTED, FORMAT JSON") {
+    val valid = sql("EXPLAIN (TYPE VALIDATE) SELECT n_name FROM nation WHERE n_nationkey < 5")
+    assert(valid.collect().map(_.getString(0)).toSeq == Seq("true"))
+    intercept[Exception] {
+      sql("EXPLAIN (TYPE VALIDATE) SELECT no_such_col FROM nation").collect()
+    }
+
+    val io = sql(
+      """EXPLAIN (TYPE IO) WITH top AS (SELECT o_custkey FROM orders WHERE o_totalprice > 1000)
+         SELECT c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM top)
+           AND c_acctbal > (SELECT avg(s_acctbal) FROM supplier)""")
+      .head().getString(0)
+    assert(io.contains(""""table":"customer"""") && io.contains(""""table":"orders"""")
+      && io.contains(""""table":"supplier""""), io)
+    assert(!io.contains(""""table":"top""""), s"CTE leaked as base table: $io")
+
+    val logical = sql("EXPLAIN (TYPE LOGICAL) SELECT count(*) FROM nation")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(logical.contains("Aggregate"), logical)
+    val dist = sql("EXPLAIN SELECT count(*) FROM nation")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(dist.contains("Exchange") || dist.contains("HashAggregate"), dist)
+    val json = sql("EXPLAIN (TYPE LOGICAL, FORMAT JSON) SELECT count(*) FROM nation")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(json.contains("\"class\""), json)
+  }
 }
