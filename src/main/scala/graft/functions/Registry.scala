@@ -18,6 +18,20 @@ object Registry {
     "to_base32", "from_base32", "st_area", "st_perimeter", "st_contains",
     "st_geometry_from_text", "st_as_text", "st_intersects", "st_within", "st_length",
     "json_path_value", "json_path_query", "json_path_status",
+    // geometry SQL names (round 8: the full Column-level geo surface
+    // exposed to SQL under the reference's call names)
+    "st_geometryfromtext", "st_astext", "st_asbinary", "st_geomfrombinary",
+    "st_convexhull", "st_distance", "st_buffer", "st_union",
+    "st_intersection", "st_difference", "st_symdifference", "st_equals",
+    "st_disjoint", "st_touches", "st_overlaps", "st_crosses", "st_boundary",
+    "st_points", "st_coorddim", "st_isvalid", "geometry_invalid_reason",
+    "to_geojson_geometry", "from_geojson_geometry", "st_x", "st_y",
+    "st_xmin", "st_xmax", "st_ymin", "st_ymax", "st_dimension",
+    "st_isclosed", "st_isring", "st_isempty", "st_geometrytype",
+    "st_numgeometries", "st_numinteriorring", "st_numpoints",
+    "st_startpoint", "st_endpoint", "st_exteriorring", "st_envelope",
+    "st_pointn", "st_geometryn", "st_interiorringn", "simplify_geometry",
+    "line_locate_point", "line_interpolate_point", "st_centroid", "st_point",
     "set_digest_cardinality", "jaccard_index", "intersection_cardinality",
     "typeof",
     "to_ieee754_64", "from_ieee754_64", "to_ieee754_32", "from_ieee754_32",
@@ -510,5 +524,87 @@ object Registry {
     r.createOrReplaceTempFunction("variant_is_null", es =>
       org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
         Seq("is_variant_null"), es, isDistinct = false), "built-in")
+
+    // ---- geometry SQL-name registration (reference names from
+    // plugin/trino-geospatial GeoFunctions.java, lowercased like Trino's
+    // case-insensitive call sites). Pure catalyst constructions — the
+    // Column bridge cannot round-trip inside registry builders. Names that
+    // collide with the legacy raw-array registrations (st_area,
+    // st_perimeter, st_length, st_intersects, st_contains) dispatch on
+    // arity.
+    {
+      import org.apache.spark.sql.catalyst.expressions.{Cast => C, Concat => Cc, Literal => L, Not => N}
+      import org.apache.spark.sql.types.{DoubleType => TD, IntegerType => TI, StringType => TS}
+      import graft.ext._
+      type E = org.apache.spark.sql.catalyst.expressions.Expression
+      def reg(name: String)(f: Seq[E] => E): Unit =
+        r.createOrReplaceTempFunction(name, f, "built-in")
+
+      reg("st_area")(es =>
+        if (es.length == 1) GeomArea(es(0)) else PolygonArea(es(0), es(1)))
+      reg("st_perimeter")(es =>
+        if (es.length == 1) GeomPerimeter(es(0)) else PolygonPerimeter(es(0), es(1)))
+      reg("st_length")(es =>
+        if (es.length == 1) GeomLength(es(0)) else LineStringLength(es(0), es(1)))
+      reg("st_intersects")(es =>
+        if (es.length == 2) N(GeomRelation(es(0), es(1), "disjoint"))
+        else PolygonIntersects(es(0), es(1), es(2), es(3)))
+      reg("st_contains")(es =>
+        if (es.length == 3) GeomContainsPoint(es(0), es(1), es(2))
+        else PolygonContains(es(0), es(1), es(2), es(3)))
+      reg("st_geometryfromtext")(es => WktParse(es(0)))
+      reg("st_astext")(es => WktFormat(es(0)))
+      reg("st_asbinary")(es => GeomAsBinary(es(0)))
+      reg("st_geomfrombinary")(es => GeomFromBinary(es(0)))
+      reg("st_convexhull")(es => ConvexHull(es(0), es(1)))
+      reg("st_distance")(es => GeomDistance(es(0), es(1)))
+      reg("st_buffer")(es => GeomBuffer(es(0), C(es(1), TD)))
+      reg("st_union")(es => GeomUnion(es(0), es(1)))
+      reg("st_intersection")(es => GeomIntersection(es(0), es(1)))
+      reg("st_difference")(es => GeomDifference(es(0), es(1)))
+      reg("st_symdifference")(es => GeomSymDifference(es(0), es(1)))
+      reg("st_equals")(es => GeomRelation(es(0), es(1), "equals"))
+      reg("st_disjoint")(es => GeomRelation(es(0), es(1), "disjoint"))
+      reg("st_touches")(es => GeomRelation(es(0), es(1), "touches"))
+      reg("st_overlaps")(es => GeomRelation(es(0), es(1), "overlaps"))
+      reg("st_crosses")(es => GeomRelation(es(0), es(1), "crosses"))
+      reg("st_boundary")(es => GeomUnaryMisc(es(0), "boundary"))
+      reg("st_points")(es => GeomUnaryMisc(es(0), "points"))
+      reg("st_coorddim")(es => GeomUnaryMisc(es(0), "coord_dim"))
+      reg("st_isvalid")(es => GeomUnaryMisc(es(0), "is_valid"))
+      reg("geometry_invalid_reason")(es => GeomUnaryMisc(es(0), "invalid_reason"))
+      reg("to_geojson_geometry")(es => GeomUnaryMisc(es(0), "to_geojson"))
+      reg("from_geojson_geometry")(es => GeomFromGeoJson(es(0)))
+      reg("st_x")(es => GeomAccessor(es(0), "x"))
+      reg("st_y")(es => GeomAccessor(es(0), "y"))
+      reg("st_xmin")(es => GeomEnvelopeBound(es(0), xAxis = true, isMin = true))
+      reg("st_xmax")(es => GeomEnvelopeBound(es(0), xAxis = true, isMin = false))
+      reg("st_ymin")(es => GeomEnvelopeBound(es(0), xAxis = false, isMin = true))
+      reg("st_ymax")(es => GeomEnvelopeBound(es(0), xAxis = false, isMin = false))
+      reg("st_dimension")(es => GeomAccessor(es(0), "dimension"))
+      reg("st_isclosed")(es => GeomAccessor(es(0), "is_closed"))
+      reg("st_isring")(es => GeomAccessor(es(0), "is_ring"))
+      reg("st_isempty")(es => GeomAccessor(es(0), "is_empty"))
+      reg("st_geometrytype")(es => GeomAccessor(es(0), "geometry_type"))
+      reg("st_numgeometries")(es => GeomCount(es(0), "geometries"))
+      reg("st_numinteriorring")(es => GeomCount(es(0), "interior_ring"))
+      reg("st_numpoints")(es => GeomCount(es(0), "points"))
+      reg("st_startpoint")(es => GeomPointN(es(0), L(1)))
+      reg("st_endpoint")(es => GeomPointN(es(0), L(-1)))
+      reg("st_pointn")(es => GeomPointN(es(0), C(es(1), TI)))
+      reg("st_geometryn")(es => GeomPart(es(0), C(es(1), TI), "geometry_n"))
+      reg("st_exteriorring")(es => GeomPart(es(0), L(1), "exterior_ring"))
+      reg("st_interiorringn")(es => GeomPart(es(0), C(es(1), TI), "interior_ring_n"))
+      reg("st_envelope")(es => GeomPart(es(0), L(1), "envelope"))
+      reg("simplify_geometry")(es => GeomSimplify(es(0), C(es(1), TD)))
+      reg("line_locate_point")(es => LineLocatePoint(es(0), es(1)))
+      reg("line_interpolate_point")(es => LineInterpolatePoint(es(0), C(es(1), TD)))
+      // ST_Centroid / ST_Point return POINT geometries, composed from the
+      // exact ordinates through the WKT reader.
+      def pointOf(x: E, y: E): E = WktParse(Cc(Seq(
+        L("POINT ("), C(C(x, TD), TS), L(" "), C(C(y, TD), TS), L(")"))))
+      reg("st_centroid")(es => pointOf(GeomCentroid(es(0), 0), GeomCentroid(es(0), 1)))
+      reg("st_point")(es => pointOf(es(0), es(1)))
+    }
   }
 }

@@ -667,7 +667,68 @@ object Dialect {
          FROM customer)
        SELECT * FROM s ORDER BY column_name NULLS LAST"""
 
+  /** Geometry through the SQL FRONT DOOR by the reference's call names
+    * (GeoFunctions.java; registered in functions.Registry round 8):
+    * constructors, measures, predicates, overlay ops, and the octagonal
+    * buffer — all as SQL function calls, oracle-replayed in closed form. */
+  def q_sqlx_geo_sql(s: SparkSession, dir: String): DataFrame =
+    TrinoDialect.sql(s, dir,
+      """SELECT c_custkey,
+         CAST(round(ST_Area(sq) * 1e6) AS BIGINT) AS area_e6,
+         CAST(round(ST_Perimeter(sq) * 1e6) AS BIGINT) AS perim_e6,
+         CAST(round(ST_Area(ST_Buffer(sq, 0.5)) * 1e6) AS BIGINT) AS buf_area_e6,
+         CAST(ST_NumPoints(sq) AS BIGINT) AS n_points,
+         ST_GeometryType(sq) AS gtype,
+         ST_IsValid(sq) AS valid,
+         CAST(round(ST_X(ST_Centroid(sq)) * 1e6) AS BIGINT) AS cx_e6,
+         CAST(round(ST_Y(ST_Centroid(sq)) * 1e6) AS BIGINT) AS cy_e6,
+         CAST(round(ST_Distance(ST_Point(px, py), ST_Point(px + 3, py + 4)) * 1e6) AS BIGINT) AS dist_e6,
+         ST_Disjoint(sq, sq2) AS disjoint_far,
+         CAST(round(ST_Area(ST_Union(sq, sq2)) * 1e6) AS BIGINT) AS union_area_e6,
+         CAST(round(ST_XMax(ST_Envelope(sq)) * 1e6) AS BIGINT) AS xmax_e6
+         FROM (
+           SELECT c_custkey,
+             CAST(c_custkey * 7 % 100 AS DOUBLE) AS px,
+             CAST(c_custkey * 13 % 100 AS DOUBLE) AS py,
+             CAST(c_custkey % 3 + 1 AS DOUBLE) AS e,
+             ST_GeometryFromText(format('POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))',
+               c_custkey * 7 % 100, c_custkey * 13 % 100,
+               c_custkey * 7 % 100 + (c_custkey % 3 + 1), c_custkey * 13 % 100,
+               c_custkey * 7 % 100 + (c_custkey % 3 + 1), c_custkey * 13 % 100 + (c_custkey % 3 + 1),
+               c_custkey * 7 % 100, c_custkey * 13 % 100 + (c_custkey % 3 + 1),
+               c_custkey * 7 % 100, c_custkey * 13 % 100)) AS sq,
+             ST_GeometryFromText(format('POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))',
+               c_custkey * 7 % 100 + 500, c_custkey * 13 % 100,
+               c_custkey * 7 % 100 + 501, c_custkey * 13 % 100,
+               c_custkey * 7 % 100 + 501, c_custkey * 13 % 100 + 1,
+               c_custkey * 7 % 100 + 500, c_custkey * 13 % 100 + 1,
+               c_custkey * 7 % 100 + 500, c_custkey * 13 % 100)) AS sq2
+           FROM customer WHERE c_custkey <= 500) t
+         ORDER BY c_custkey""")
+  val qSqlxGeoSqlSql: String =
+    """SELECT c_custkey,
+       CAST(round(e * e * 1e6) AS BIGINT) AS area_e6,
+       CAST(round(4 * e * 1e6) AS BIGINT) AS perim_e6,
+       CAST(round((e*e + 4*e*0.5 + 4*(sqrt(2.0)/2)*0.25) * 1e6) AS BIGINT) AS buf_area_e6,
+       CAST(5 AS BIGINT) AS n_points,
+       'ST_Polygon' AS gtype,
+       TRUE AS valid,
+       CAST(round((px + e/2) * 1e6) AS BIGINT) AS cx_e6,
+       CAST(round((py + e/2) * 1e6) AS BIGINT) AS cy_e6,
+       CAST(5000000 AS BIGINT) AS dist_e6,
+       TRUE AS disjoint_far,
+       CAST(round((e * e + 1) * 1e6) AS BIGINT) AS union_area_e6,
+       CAST(round((px + e) * 1e6) AS BIGINT) AS xmax_e6
+       FROM (
+         SELECT c_custkey,
+           CAST(c_custkey * 7 % 100 AS DOUBLE) AS px,
+           CAST(c_custkey * 13 % 100 AS DOUBLE) AS py,
+           CAST(c_custkey % 3 + 1 AS DOUBLE) AS e
+         FROM customer WHERE c_custkey <= 500) t
+       ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
+    "q_sqlx_geo_sql" -> q_sqlx_geo_sql _,
     "q_sqlx_statements" -> q_sqlx_statements _,
     "q_sqlx_ddl_alter" -> q_sqlx_ddl_alter _,
     "q_sqlx_txn" -> q_sqlx_txn _,
@@ -691,6 +752,7 @@ object Dialect {
     "q_sqlx_match_subquery" -> q_sqlx_match_subquery _)
 
   val oracles: Map[String, String] = Map(
+    "q_sqlx_geo_sql" -> qSqlxGeoSqlSql,
     "q_sqlx_statements" -> qSqlxStatementsSql,
     "q_sqlx_ddl_alter" -> qSqlxDdlAlterSql,
     "q_sqlx_txn" -> qSqlxTxnSql,
