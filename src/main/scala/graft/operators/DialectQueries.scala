@@ -285,6 +285,48 @@ object Dialect {
        FROM c GROUP BY user_id, grp, chunk
        ORDER BY user_id, start_id"""
 
+  /** MEASURES occurrence offsets (closing the former "measures do not
+    * parse occurrence offsets" limit): FIRST(B.x, 1) / LAST(B.x, 1)
+    * navigate to the second / second-from-last row matched to B;
+    * out-of-range navigation is NULL (rewritten onto ordered value lists
+    * with null-safe `get`, sqlx.MatchRecognizeSql.measureNav). */
+  def q_sqlx_match_measure_offset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES FIRST(B.event_id) AS start_id,
+                    FIRST(B.event_id, 1) AS second_id,
+                    LAST(B.event_id, 1) AS second_last_id,
+                    COUNT(B.*) AS n
+           ONE ROW PER MATCH
+           PATTERN (B+)
+           DEFINE B AS value > 50 AND COUNT(B.*) <= 4
+         )""")
+      .orderBy($"user_id", $"start_id")
+  }
+  val qSqlxMatchMeasureOffsetSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         FROM events),
+       f AS (
+         SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+         FROM e WHERE value > 50),
+       c AS (
+         SELECT *, CAST(floor((row_number() OVER (PARTITION BY user_id, grp ORDER BY rn) - 1) / 4) AS BIGINT) AS chunk
+         FROM f),
+       m AS (
+         SELECT user_id, list(event_id ORDER BY rn) AS ids, count(*) AS cnt
+         FROM c GROUP BY user_id, grp, chunk)
+       SELECT user_id,
+         CAST(ids[1] AS BIGINT) AS start_id,
+         CAST(ids[2] AS BIGINT) AS second_id,
+         CAST(ids[CAST(cnt AS INT) - 1] AS BIGINT) AS second_last_id,
+         CAST(cnt AS BIGINT) AS n
+       FROM m ORDER BY user_id, start_id"""
+
   /** Match-state-dependent DEFINE #2 — cross-variable reference: B's
     * condition navigates the anchor row's value (bare A.value ≡
     * LAST(A.value) per the standard). Each row ≥ 100 anchors a match whose
@@ -743,6 +785,7 @@ object Dialect {
     "q_sqlx_match_skip_to" -> q_sqlx_match_skip_to _,
     "q_sqlx_match_define_expr" -> q_sqlx_match_define_expr _,
     "q_sqlx_match_count_define" -> q_sqlx_match_count_define _,
+    "q_sqlx_match_measure_offset" -> q_sqlx_match_measure_offset _,
     "q_sqlx_match_anchor_define" -> q_sqlx_match_anchor_define _,
     "q_sqlx_create_function" -> q_sqlx_create_function _,
     "q_sqlx_fetch_ties" -> q_sqlx_fetch_ties _,
@@ -767,6 +810,7 @@ object Dialect {
     "q_sqlx_match_skip_to" -> qSqlxMatchSkipToSql,
     "q_sqlx_match_define_expr" -> qSqlxMatchDefineExprSql,
     "q_sqlx_match_count_define" -> qSqlxMatchCountDefineSql,
+    "q_sqlx_match_measure_offset" -> qSqlxMatchMeasureOffsetSql,
     "q_sqlx_match_anchor_define" -> qSqlxMatchAnchorDefineSql,
     "q_sqlx_create_function" -> qSqlxCreateFunctionSql,
     "q_sqlx_fetch_ties" -> qSqlxFetchTiesSql,

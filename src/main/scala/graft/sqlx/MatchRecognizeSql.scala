@@ -50,8 +50,9 @@ import graft.plans.{MatchRecognize, RowPattern}
   *
   * Documented subset: PARTITION BY / ORDER BY take plain ascending column
   * names; navigation arguments in state-dependent DEFINEs are plain or
-  * symbol-qualified columns (not arbitrary expressions); measures do not
-  * parse occurrence offsets.
+  * symbol-qualified columns (not arbitrary expressions); measures parse
+  * FIRST/LAST occurrence offsets (round 8: lowered onto ordered value
+  * lists with null-safe get — q_sqlx_match_measure_offset).
   */
 private[graft] object MatchRecognizeSql {
 
@@ -270,14 +271,13 @@ private[graft] object MatchRecognizeSql {
     t = rewriteCalls(t, Set("FIRST", "LAST", "PREV", "NEXT", "COUNT", "SUM", "MIN", "MAX", "AVG")) {
       case ("PREV", arg) => s"lag($arg) $navOver"
       case ("NEXT", arg) => s"lead($arg) $navOver"
-      case ("FIRST", arg) => qualified(arg, syms) match {
-        case Some((sym, c)) => s"first(${only(sym, c)}, true) $frame"
-        case None => s"first($arg) $frame"
-      }
-      case ("LAST", arg) => qualified(arg, syms) match {
-        case Some((sym, c)) => s"last(${only(sym, c)}, true) $frame"
-        case None => s"last($arg) $frame"
-      }
+      // FIRST(A.x[, n]) / LAST(A.x[, n]): the optional occurrence offset
+      // navigates within the variable's matched rows. Lowered onto the
+      // ordered value list of the variable inside the match frame;
+      // `get` (not element_at) so out-of-range navigation is NULL per the
+      // row-pattern standard, never an ANSI index error.
+      case ("FIRST", arg) => measureNav(arg, syms, frame, only, fromEnd = false)
+      case ("LAST", arg) => measureNav(arg, syms, frame, only, fromEnd = true)
       case ("COUNT", arg) =>
         if (arg == "*") s"count(1) $frame"
         else qualified(arg, syms) match {
@@ -296,6 +296,29 @@ private[graft] object MatchRecognizeSql {
         case Some(sym) => s"last(${only(sym, m.group(2))}, true) $frame"
         case None => m.group(0)
       })
+  }
+
+  /** FIRST/LAST measure navigation with an optional occurrence offset. */
+  private def measureNav(arg: String, syms: Set[String], frame: String,
+      only: (String, String) => String, fromEnd: Boolean): String = {
+    val parts = arg.split(",").map(_.trim)
+    val (target, offset) =
+      if (parts.length == 2 && parts(1).matches("\\d+")) (parts(0), parts(1).toInt)
+      else (arg, 0)
+    def simple(c: String): String =
+      if (fromEnd) s"last($c, true) $frame" else s"first($c, true) $frame"
+    val filtered = qualified(target, syms) match {
+      case Some((sym, c)) => only(sym, c)
+      case None => target
+    }
+    if (offset == 0) simple(filtered)
+    else {
+      // ordered matched values of the variable within the frame;
+      // collect_list drops the CASE's NULLs, keeping exactly its rows
+      val lst = s"collect_list($filtered) $frame"
+      if (fromEnd) s"get($lst, size($lst) - 1 - $offset)"
+      else s"get($lst, $offset)"
+    }
   }
 
   /** Column names of the table referenced in an expression string. */
