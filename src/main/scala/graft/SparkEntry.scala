@@ -25,6 +25,7 @@ object SparkEntry {
       (operators.Tpcds3.queries, operators.Tpcds3.oracles),
       (operators.Tpcds4.queries, operators.Tpcds4.oracles),
       (operators.Tpcds5.queries, operators.Tpcds5.oracles),
+      (operators.Tpcds6.queries, operators.Tpcds6.oracles),
       (operators.Aggregates.queries, operators.Aggregates.oracles),
       (operators.Aggregates2.queries, operators.Aggregates2.oracles),
       (operators.SetOps.queries, operators.SetOps.oracles),
