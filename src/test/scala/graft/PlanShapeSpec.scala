@@ -153,6 +153,21 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(ar).length >= 2, s"no partial agg:\n$ar")
   }
 
+  test("TPC-DS shapes part 6: semi joins over the derived self-join set, rank pushdown") {
+    // q95 shape: both IN-subqueries plan as semi joins; the warehouse
+    // self-join is an equi-join on the order key, never a cartesian
+    val mw = physicalPlan(operators.Tpcds6.q_ds_multi_warehouse(spark, sfDir))
+    assert("LeftSemi".r.findAllIn(mw).length >= 2, s"IN-subqueries not semi joins:\n$mw")
+    assert(!mw.contains("CartesianProduct"), s"self-join degraded to cartesian:\n$mw")
+    // q49 shape: rank() <= 10 pushes a WindowGroupLimit below the shuffle
+    val rr = physicalPlan(operators.Tpcds6.q_ds_return_rank(spark, sfDir))
+    assert(rr.contains("WindowGroupLimit"), s"top-N rank not pushed down:\n$rr")
+    // q29 shape: the three-way chain stays composite-key equi-joins
+    val rp = physicalPlan(operators.Tpcds6.q_ds_repeat_purchase(spark, sfDir))
+    assert(!rp.contains("CartesianProduct"), s"fact chain degraded to cartesian:\n$rp")
+    assert(rp.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$rp")
+  }
+
   test("match-recognize annotate pipeline shares ONE exchange between DEFINE windows and the matcher") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
