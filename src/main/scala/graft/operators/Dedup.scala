@@ -243,13 +243,120 @@ object Dedup {
        FROM pairs WHERE hamming <= 3
        GROUP BY doc_a ORDER BY doc_a"""
 
+  /** Near-dup CLUSTER assignment: connected components over the exact
+    * near-dup pair graph (jaccard ≥ 0.8), each document labeled with its
+    * component's minimum doc_id — the "pick one canonical doc per
+    * duplicate cluster" step a training-data pipeline runs after pair
+    * detection.
+    *
+    * Scale: alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — see
+    * PAPERS.md): each round is one shuffle (groupBy node for the local
+    * min) plus one broadcast-or-shuffle join back to the edge list; the
+    * component diameter collapses doubly-exponentially, so even
+    * planet-scale graphs converge in a handful of rounds (vs O(diameter)
+    * for naive label propagation). No driver-side graph state — the edge
+    * list never leaves the cluster; convergence is detected from a
+    * 2-value aggregate (count + order-independent hash sum).
+    *
+    * The oracle replays the SAME pair set in DuckDB (the ngram SQL) and
+    * closes it transitively with a recursive min-label CTE — exact,
+    * including singleton documents keeping their own id. */
+  /** Distributed connected components: alternating large-star/small-star
+    * over an (u, v) edge list until fixpoint; returns (node, label) with
+    * label = the component minimum. Only nodes appearing in edges are
+    * returned. Exposed for direct spec coverage (DedupSpec chains). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    var edges = pairs.toDF("u", "v")
+      .filter($"u" =!= $"v").distinct().localCheckpoint(eager = true)
+
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select($"v".as("u"), $"u".as("v")))
+    /** min(N(u) ∪ {u}) per node. */
+    def minn(e: DataFrame): DataFrame =
+      sym(e).groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+    def largeStar(e: DataFrame): DataFrame =
+      sym(e).join(minn(e), "u").filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v").distinct()
+    def smallStar(e: DataFrame): DataFrame = {
+      val withM = sym(e).join(minn(e), "u")
+      withM.filter($"v" <= $"u").select($"v".as("u"), $"m".as("v"))
+        .union(withM.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v").distinct()
+    }
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(hash($"u", $"v").cast("long")), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(edges)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      rounds += 1
+    }
+    // at the fixpoint every edge points node → its component minimum
+    sym(edges).groupBy($"u".as("node")).agg(min($"v").as("label"))
+      .withColumn("label", least($"label", $"node"))
+  }
+
+  def q_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = q_dedup_ngram(s, dir).select($"doc_a", $"doc_b")
+    val labels = connectedComponents(pairs)
+      .select($"node".as("doc_id"), $"label".as("lbl"))
+    val all = docs(s, dir).select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce($"lbl", $"doc_id"))
+    all.select($"doc_id", $"cluster_id",
+        count(lit(1)).over(Window.partitionBy($"cluster_id")).as("n_members"))
+      .orderBy($"doc_id")
+  }
+  val qDedupClustersSql: String = {
+    // the ngram pair CTEs, re-used verbatim, then transitive closure
+    val pairBody = qDedupNgramSql
+      .substring(qDedupNgramSql.indexOf("WITH ") + 5, qDedupNgramSql.indexOf("SELECT doc_a, doc_b,"))
+    s"""WITH RECURSIVE $pairBody,
+       p2 AS (
+         SELECT doc_a, doc_b
+         FROM pairs
+         JOIN sizes sa ON doc_a = sa.doc_id
+         JOIN sizes sb ON doc_b = sb.doc_id
+         WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8),
+       edges AS (
+         SELECT doc_a AS u, doc_b AS v FROM p2
+         UNION SELECT doc_b, doc_a FROM p2),
+       reach(node, label) AS (
+         SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         UNION
+         SELECT e.v, r.label FROM reach r JOIN edges e ON r.node = e.u),
+       lab AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+       assigned AS (
+         SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN lab l ON d.doc_id = l.node)
+       SELECT doc_id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+       FROM assigned ORDER BY doc_id"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_clusters" -> q_dedup_clusters _,
     "q_dedup_exact" -> q_dedup_exact _,
     "q_dedup_ngram" -> q_dedup_ngram _,
     "q_dedup_minhash" -> q_dedup_minhash _,
     "q_dedup_simhash" -> q_dedup_simhash _)
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram" -> qDedupNgramSql,
     // same exact pair set, reached via LSH candidates + exact verify

@@ -150,6 +150,43 @@ class PropertySpec extends SparkSpec {
     assert(degenerate < 290, "fixture generator produced almost no proper pairs")
   }
 
+  test("connected components match union-find on chains and random graphs") {
+    // the large-star/small-star kernel behind q_dedup_clusters: deep chains
+    // (worst case for naive label propagation) and random sparse graphs,
+    // both checked against a local union-find
+    import spark.implicits._
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n.toLong.toInt)(i => i)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    def check(n: Int, edges: Seq[(Long, Long)]): Unit = {
+      val got = operators.Dedup.connectedComponents(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(n, edges)
+      val nodesInEdges = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      nodesInEdges.foreach { node =>
+        assert(got(node) === want(node), s"node $node: got ${got(node)} want ${want(node)}")
+      }
+    }
+    // a 120-deep chain collapses to label 0
+    check(120, (0L until 119L).map(i => (i, i + 1)))
+    // two disjoint chains, reversed edge order
+    check(100, (0L until 49L).map(i => (i + 1, i)) ++ (50L until 99L).map(i => (i, i + 1)))
+    // random sparse graphs
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 3) {
+      val n = 200
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      check(n, edges)
+    }
+  }
+
   test("buffer area closed form on random rectilinear concave unions") {
     // Property: for any RECTILINEAR simple polygon (here: the union of two
     // properly-crossing rectangles — an 8-corner concave ring in general),
