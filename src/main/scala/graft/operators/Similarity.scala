@@ -290,6 +290,47 @@ object Similarity {
        SELECT vec_a, vec_b, label, sim_r FROM sims WHERE sim_r >= 0.3
        ORDER BY vec_a, vec_b"""
 
+  /** Embedding near-dup CLUSTERS: distributed connected components
+    * (Dedup.connectedComponents — large-star/small-star) over the exact
+    * within-label similarity pair graph; every vector labeled with its
+    * component minimum, the canonical-representative step after pair
+    * detection. Oracle: the same pair SQL closed transitively with a
+    * recursive min-label CTE. */
+  def q_sim_embed_clusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = q_sim_neardup(s, dir).select($"vec_a", $"vec_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .select($"node".as("vec_id"), $"label".as("lbl"))
+    table(s, dir, "embeddings").select($"vec_id")
+      .join(labels, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce($"lbl", $"vec_id"))
+      .select($"vec_id", $"cluster_id",
+        count(lit(1)).over(Window.partitionBy($"cluster_id")).as("n_members"))
+      .orderBy($"vec_id")
+  }
+  val qSimEmbedClustersSql: String = {
+    val simsBody = qSimNeardupSql.substring(
+      qSimNeardupSql.indexOf("WITH ") + 5,
+      qSimNeardupSql.indexOf("SELECT vec_a, vec_b, label, sim_r FROM sims"))
+    s"""WITH RECURSIVE $simsBody,
+       p2 AS (SELECT vec_a, vec_b FROM sims WHERE sim_r >= 0.3),
+       edges AS (
+         SELECT vec_a AS u, vec_b AS v FROM p2
+         UNION SELECT vec_b, vec_a FROM p2),
+       reach(node, label) AS (
+         SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         UNION
+         SELECT e.v, r.label FROM reach r JOIN edges e ON r.node = e.u),
+       lab AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+       assigned AS (
+         SELECT em.vec_id, coalesce(l.cluster, em.vec_id) AS cluster_id
+         FROM embeddings em LEFT JOIN lab l ON em.vec_id = l.node)
+       SELECT vec_id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+       FROM assigned ORDER BY vec_id"""
+  }
+
   /** Scale path for embedding near-dup: label blocking + LSH bucket blocking.
     *
     * q_sim_neardup above is the exact all-pairs-within-label baseline —
@@ -357,6 +398,7 @@ object Similarity {
     "q_sim_ann_lsh" -> q_sim_ann_lsh _,
     "q_sim_ann_ivf" -> q_sim_ann_ivf _,
     "q_sim_neardup" -> q_sim_neardup _,
+    "q_sim_embed_clusters" -> q_sim_embed_clusters _,
     "q_sim_neardup_lsh" -> q_sim_neardup_lsh _)
 
   val oracles: Map[String, String] = Map(
@@ -364,5 +406,6 @@ object Similarity {
     "q_sim_ann_lsh" -> qSimAnnLshSql,
     "q_sim_ann_ivf" -> qSimAnnIvfSql,
     "q_sim_neardup" -> qSimNeardupSql,
+    "q_sim_embed_clusters" -> qSimEmbedClustersSql,
     "q_sim_neardup_lsh" -> qSimNeardupLshSql)
 }
