@@ -144,4 +144,78 @@ class DeltaReadSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("deletionVectors"))
   }
+  test("parquet checkpoints: state restored, cleaned log prefix, JSON suffix applied") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+
+    def buildCheckpointed(name: String, parts: Option[Int]): File = {
+      val root = newTable(name)
+      val data = (1L to 9L).map(i => (i, s"r$i")).toDF("id", "name")
+      val schemaJson = data.schema.json
+      writeParquet(root, "d0.parquet", data.filter($"id" <= 3))
+      writeParquet(root, "d1.parquet", data.filter($"id" > 3 && $"id" <= 6))
+      writeParquet(root, "d2.parquet", data.filter($"id" > 6))
+
+      // checkpoint at version 1 holding protocol + metaData + adds d0, d1
+      val cpSchema = StructType(Seq(
+        StructField("protocol", StructType(Seq(
+          StructField("minReaderVersion", IntegerType)))),
+        StructField("metaData", StructType(Seq(
+          StructField("schemaString", StringType),
+          StructField("partitionColumns", ArrayType(StringType)),
+          StructField("configuration", MapType(StringType, StringType))))),
+        StructField("add", StructType(Seq(
+          StructField("path", StringType),
+          StructField("partitionValues", MapType(StringType, StringType)))))))
+      val cpRows = Seq(
+        Row(Row(1), null, null),
+        Row(null, Row(schemaJson, Seq.empty[String], Map.empty[String, String]), null),
+        Row(null, null, Row("d0.parquet", Map.empty[String, String])),
+        Row(null, null, Row("d1.parquet", Map.empty[String, String])))
+      val cpDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(cpRows, 1), cpSchema)
+      parts match {
+        case None =>
+          writeParquet(root, "_delta_log/00000000000000000001.checkpoint.parquet", cpDf)
+          Files.write(Paths.get(root.getAbsolutePath, "_delta_log", "_last_checkpoint"),
+            """{"version":1,"size":4}""".getBytes(StandardCharsets.UTF_8))
+        case Some(p) =>
+          writeParquet(root,
+            f"_delta_log/00000000000000000001.checkpoint.${1}%010d.$p%010d.parquet",
+            cpDf.filter($"add".isNull))
+          writeParquet(root,
+            f"_delta_log/00000000000000000001.checkpoint.${2}%010d.$p%010d.parquet",
+            cpDf.filter($"add".isNotNull))
+          Files.write(Paths.get(root.getAbsolutePath, "_delta_log", "_last_checkpoint"),
+            s"""{"version":1,"size":4,"parts":$p}""".getBytes(StandardCharsets.UTF_8))
+      }
+      // the cleaned log has NO JSON at or before the checkpoint version —
+      // a reader that needs version 0 cannot read this table at all
+      commit(root, 2, Seq(
+        """{"add":{"path":"d2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+        """{"remove":{"path":"d0.parquet","dataChange":true}}"""))
+      root
+    }
+
+    for ((name, parts) <- Seq(("cp_single", None), ("cp_multi", Some(2)))) {
+      val root = buildCheckpointed(name, parts)
+      val got = graft.catalog.DeltaRead.readTable(spark, root.getAbsolutePath)
+        .select("id").collect().map(_.getLong(0)).sorted
+      // checkpoint contributes d1 (4-6); suffix adds d2 (7-9), removes d0
+      assert(got.toSeq === (4L to 9L), s"$name: ${got.toSeq}")
+    }
+
+    // a _last_checkpoint pointing at a missing classic file (the v2/UUID
+    // layout) still refuses loudly
+    val bad = newTable("cp_v2")
+    Files.write(Paths.get(bad.getAbsolutePath, "_delta_log", "_last_checkpoint"),
+      """{"version":1}""".getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(bad.getAbsolutePath, "_delta_log",
+      "00000000000000000001.checkpoint.0000aaaa-0000-0000-0000-000000000000.json"),
+      "{}".getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      graft.catalog.DeltaRead.readTable(spark, bad.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("not supported") || e.getMessage.contains("not found"))
+  }
 }
