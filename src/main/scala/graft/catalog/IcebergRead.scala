@@ -36,8 +36,20 @@ import org.apache.spark.sql.types._
   */
 object IcebergRead {
 
+  /** Files skipped by manifest-bounds pruning in the most recent plan on
+    * this thread (observability for specs/EXPLAIN-style checks). */
+  val lastPruned = new ThreadLocal[Integer] { override def initialValue(): Integer = 0 }
+
+
+  /** Inclusive column-range prune hint: (column, lo, hi). Files whose
+    * manifest bounds provably fall outside the range are skipped at PLAN
+    * time — the reference's column-stats split pruning
+    * (plugin/trino-iceberg IcebergSplitSource residual evaluation).
+    * Files without recorded bounds are always kept (never wrong). */
+  final case class Prune(column: String, lo: Option[Long], hi: Option[Long])
+
   def readTable(spark: SparkSession, tablePath: String,
-      snapshotId: Option[Long] = None): DataFrame = {
+      snapshotId: Option[Long] = None, prune: Option[Prune] = None): DataFrame = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
 
@@ -111,6 +123,33 @@ object IcebergRead {
     // manifests → live files (status 2 = DELETED entries drop out);
     // expectedContent: 0 = data file, 1 = position-delete file (2 =
     // equality deletes rejected below)
+    // prune target: column name -> (field id, is 8-byte long) from the
+    // metadata schema; iceberg single-value binary is little-endian
+    val pruneField: Option[(Int, Boolean)] = prune.map { pr =>
+      val f = fields.find(f => (f \ "name") == JString(pr.column)).getOrElse(
+        throw new IllegalArgumentException(s"prune column '${pr.column}' not in schema"))
+      val JInt(fid) = (f \ "id"): @unchecked
+      val JString(tn) = (f \ "type"): @unchecked
+      require(tn == "long" || tn == "int" || tn == "date",
+        s"prune supports long/int/date columns, got $tn")
+      (fid.toInt, tn == "long")
+    }
+    def decodeBound(rec: GenericRecord, fieldName: String, fid: Int, isLong: Boolean): Option[Long] = {
+      if (rec.getSchema.getField(fieldName) == null) return None
+      rec.get(fieldName) match {
+        case null => None
+        case arr: java.util.Collection[_] =>
+          arr.asScala.collectFirst {
+            case kv: GenericRecord if kv.get("key").toString.toInt == fid =>
+              val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+                .duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              if (isLong) bb.getLong else bb.getInt.toLong
+          }
+        case _ => None
+      }
+    }
+
+    var prunedFiles = 0
     def liveFiles(manifests: Seq[String], expectedContent: Int): Seq[String] =
       manifests.flatMap { mp =>
         readAvro(resolve(tablePath, mp)).flatMap { entry =>
@@ -124,12 +163,30 @@ object IcebergRead {
               s"file content $content in a ${if (expectedContent == 1) "delete" else "data"} manifest")
             val format = df.get("file_format").toString
             require(format.equalsIgnoreCase("PARQUET"), s"unsupported file format $format")
-            Some(resolve(tablePath, df.get("file_path").toString))
+            // column-stats pruning: skip data files whose recorded bounds
+            // provably miss the requested range
+            val pruned = expectedContent == 0 && (pruneField match {
+              case Some((fid, isLong)) =>
+                val lo = decodeBound(df, "lower_bounds", fid, isLong)
+                val hi = decodeBound(df, "upper_bounds", fid, isLong)
+                val miss =
+                  prune.get.hi.exists(h => lo.exists(_ > h)) ||
+                  prune.get.lo.exists(l => hi.exists(_ < l))
+                if (miss) prunedFiles += 1
+                miss
+              case None => false
+            })
+            if (pruned) None
+            else Some(resolve(tablePath, df.get("file_path").toString))
           }
         }
       }
     val dataFiles = liveFiles(dataManifests.map(_._2), 0)
     val deleteFiles = liveFiles(deleteManifests.map(_._2), 1)
+    lastPruned.set(prunedFiles)
+    if (dataFiles.isEmpty && prunedFiles > 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
     require(dataFiles.nonEmpty, s"snapshot $targetSnapshot has no data files")
     val base = spark.read.schema(sparkSchema).parquet(dataFiles: _*)
     if (deleteFiles.isEmpty) base

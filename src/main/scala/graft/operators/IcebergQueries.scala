@@ -29,7 +29,13 @@ object IcebergQueries {
            {"name":"file_path","type":"string"},
            {"name":"file_format","type":"string"},
            {"name":"record_count","type":"long"},
-           {"name":"file_size_in_bytes","type":"long"}]}}]}""")
+           {"name":"file_size_in_bytes","type":"long"},
+           {"name":"lower_bounds","type":["null",{"type":"array","items":
+             {"type":"record","name":"k_v_lo","fields":[
+               {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null},
+           {"name":"upper_bounds","type":["null",{"type":"array","items":
+             {"type":"record","name":"k_v_hi","fields":[
+               {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null}]}}]}""")
 
   private val listSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -45,14 +51,36 @@ object IcebergQueries {
     try records.foreach(w.append) finally w.close()
   }
 
+  /** Iceberg single-value serialization for long: 8-byte little-endian. */
+  private def leLong(v: Long): java.nio.ByteBuffer = {
+    val bb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(v); bb.flip(); bb
+  }
+
   private def entry(status: Int, path: String, rows: Long,
-      content: Int = 0): GenericRecord = {
+      content: Int = 0, bounds: Map[Int, (Long, Long)] = Map.empty): GenericRecord = {
     val df = new GenericData.Record(entrySchema.getField("data_file").schema())
     df.put("content", content)
     df.put("file_path", path)
     df.put("file_format", "PARQUET")
     df.put("record_count", rows)
     df.put("file_size_in_bytes", 1L)
+    if (bounds.nonEmpty) {
+      val dfSchema = entrySchema.getField("data_file").schema()
+      def kvArr(fieldName: String, pick: ((Long, Long)) => Long): java.util.List[GenericRecord] = {
+        val arrSchema = dfSchema.getField(fieldName).schema().getTypes.get(1)
+        val kvSchema = arrSchema.getElementType
+        val out = new java.util.ArrayList[GenericRecord]()
+        bounds.toSeq.sortBy(_._1).foreach { case (id, b) =>
+          val kv = new GenericData.Record(kvSchema)
+          kv.put("key", id); kv.put("value", leLong(pick(b)))
+          out.add(kv)
+        }
+        out
+      }
+      df.put("lower_bounds", kvArr("lower_bounds", _._1))
+      df.put("upper_bounds", kvArr("upper_bounds", _._2))
+    }
     val e = new GenericData.Record(entrySchema)
     e.put("status", status)
     e.put("snapshot_id", null)
@@ -75,10 +103,10 @@ object IcebergQueries {
     import s.implicits._
     val root = new File(System.getProperty("java.io.tmpdir"),
       s"graft_iceberg_nation_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
-    // snap-3 (position deletes) is the newest artifact — its presence marks
-    // a complete current-generation fixture; older cached builds rebuild
+    // generation marker: bumped whenever the fixture layout grows (bounds
+    // added round 8) so older cached builds rebuild
     if (new File(root, "metadata/v1.metadata.json").exists() &&
-        new File(root, "metadata/snap-3.avro").exists())
+        new File(root, "metadata/.gen-bounds").exists())
       return root.getAbsolutePath
     def rm(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -89,14 +117,17 @@ object IcebergQueries {
     new File(root, "data").mkdirs()
 
     val nation = table(s, dir, "nation")
-    def writeSlice(df: DataFrame, name: String): (String, Long) = {
+    /** (relative path, row count, bounds for field 1 = n_nationkey). */
+    final case class Slice(rel: String, rows: Long, bounds: Map[Int, (Long, Long)])
+    def writeSlice(df: DataFrame, name: String): Slice = {
       val stage = new File(root, s"_stage_$name")
       df.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
       val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
       val rel = s"data/$name.parquet"
       Files.move(part.toPath, new File(root, rel).toPath)
       rm(stage)
-      (rel, df.count())
+      val mm = df.agg(min($"n_nationkey".cast("long")), max($"n_nationkey".cast("long"))).head()
+      Slice(rel, df.count(), Map(1 -> (mm.getLong(0), mm.getLong(1))))
     }
     val regions = nation.select($"n_regionkey".cast("int")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -106,16 +137,19 @@ object IcebergQueries {
     val rewritten = writeSlice(
       nation.filter($"n_regionkey" === 2 && $"n_nationkey" < 10), "r2-rewrite")
 
-    // snapshot 1: all original files
+    // snapshot 1: all original files (manifests carry n_nationkey bounds —
+    // the reference's column-stats split pruning inputs)
     writeAvro(new File(root, "metadata/manifest-1.avro"), entrySchema,
-      regions.toSeq.map(r => entry(1, originals(r)._1, originals(r)._2)))
+      regions.toSeq.map(r =>
+        entry(1, originals(r).rel, originals(r).rows, bounds = originals(r).bounds)))
     writeAvro(new File(root, "metadata/snap-1.avro"), listSchema,
       Seq(manifestRef("metadata/manifest-1.avro", 1L)))
     // snapshot 2: region 2 rewritten — original carried as a DELETED entry
     writeAvro(new File(root, "metadata/manifest-2.avro"), entrySchema,
-      regions.toSeq.filter(_ != 2).map(r => entry(0, originals(r)._1, originals(r)._2)) ++
-        Seq(entry(2, originals(2)._1, originals(2)._2),
-          entry(1, rewritten._1, rewritten._2)))
+      regions.toSeq.filter(_ != 2).map(r =>
+        entry(0, originals(r).rel, originals(r).rows, bounds = originals(r).bounds)) ++
+        Seq(entry(2, originals(2).rel, originals(2).rows),
+          entry(1, rewritten.rel, rewritten.rows, bounds = rewritten.bounds)))
     writeAvro(new File(root, "metadata/snap-2.avro"), listSchema,
       Seq(manifestRef("metadata/manifest-2.avro", 2L)))
 
@@ -123,8 +157,8 @@ object IcebergQueries {
     // delete file of (file_path, pos) rows targeting n_nationkey 1 and 5,
     // referenced by a content=1 delete manifest. Positions are computed
     // from the same hidden _metadata columns the reader anti-joins on.
-    val snap2Files = (regions.toSeq.filter(_ != 2).map(r => originals(r)._1) :+
-      rewritten._1).map(rel => new File(root, rel).getAbsolutePath)
+    val snap2Files = (regions.toSeq.filter(_ != 2).map(r => originals(r).rel) :+
+      rewritten.rel).map(rel => new File(root, rel).getAbsolutePath)
     val delRows = s.read
       .schema(nation.schema).parquet(snap2Files: _*)
       .filter($"n_nationkey".isin(1L, 5L))
@@ -162,6 +196,7 @@ object IcebergQueries {
          |""".stripMargin
     Files.write(new File(root, "metadata/v1.metadata.json").toPath,
       metadata.getBytes(StandardCharsets.UTF_8))
+    Files.write(new File(root, "metadata/.gen-bounds").toPath, Array.emptyByteArray)
     root.getAbsolutePath
   }
 
@@ -208,10 +243,36 @@ object IcebergQueries {
          AND n_nationkey NOT IN (1, 5)
        GROUP BY n_regionkey ORDER BY n_regionkey"""
 
+  /** Manifest column-stats pruning (the reference's split pruning from
+    * per-file lower/upper bounds): a bounded key range plans only the data
+    * files whose recorded n_nationkey bounds intersect it — asserted by
+    * IcebergReadSpec; correctness shown by the oracle on the surviving
+    * rows. The residual filter still applies (bounds are necessary, not
+    * sufficient). */
+  def q_fed_iceberg_pruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = buildIcebergNation(s, dir)
+    graft.catalog.IcebergRead
+      .readTable(s, path, snapshotId = Some(2L),
+        prune = Some(graft.catalog.IcebergRead.Prune("n_nationkey", Some(20L), None)))
+      .filter($"n_nationkey" >= 20)
+      .groupBy($"n_regionkey")
+      .agg(count(lit(1)).as("n"), sum($"n_nationkey").cast("long").as("key_sum"))
+      .orderBy($"n_regionkey")
+  }
+  val qFedIcebergPrunedSql: String =
+    """SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+       FROM nation
+       WHERE NOT (n_regionkey = 2 AND n_nationkey >= 10)
+         AND n_nationkey >= 20
+       GROUP BY n_regionkey ORDER BY n_regionkey"""
+
   val queries: Map[String, Q] = Map(
     "q_fed_iceberg" -> q_fed_iceberg _,
-    "q_fed_iceberg_deletes" -> q_fed_iceberg_deletes _)
+    "q_fed_iceberg_deletes" -> q_fed_iceberg_deletes _,
+    "q_fed_iceberg_pruned" -> q_fed_iceberg_pruned _)
   val oracles: Map[String, String] = Map(
     "q_fed_iceberg" -> qFedIcebergSql,
-    "q_fed_iceberg_deletes" -> qFedIcebergDeletesSql)
+    "q_fed_iceberg_deletes" -> qFedIcebergDeletesSql,
+    "q_fed_iceberg_pruned" -> qFedIcebergPrunedSql)
 }

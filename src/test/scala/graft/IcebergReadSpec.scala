@@ -54,4 +54,29 @@ class IcebergReadSpec extends SparkSpec {
       catalog.IcebergRead.readTable(spark, path, snapshotId = Some(99L))
     }
   }
+  test("manifest bounds prune data files at plan time; residual filter stays exact") {
+    import org.apache.spark.sql.functions._
+    val path2 = path
+    val R = graft.catalog.IcebergRead
+    // region files hold disjoint n_nationkey sets; a tight range must skip
+    // every file whose bounds miss it
+    val all = R.readTable(spark, path2, snapshotId = Some(2L))
+    val prunedNone = R.lastPruned.get().toInt
+    assert(prunedNone === 0, "no prune hint must skip nothing")
+    val keys = all.select("n_nationkey").collect().map(_.getLong(0)).sorted
+
+    val narrow = R.readTable(spark, path2, snapshotId = Some(2L),
+      prune = Some(R.Prune("n_nationkey", Some(20L), None)))
+    val prunedSome = R.lastPruned.get().toInt
+    assert(prunedSome > 0, "bounded range should prune at least one file")
+    // pruning is plan-level only: surviving files + residual filter = exact
+    val got = narrow.filter(col("n_nationkey") >= 20)
+      .select("n_nationkey").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === keys.filter(_ >= 20L).toSeq)
+
+    // a range outside every file's bounds prunes everything → empty, no error
+    val none = R.readTable(spark, path2, snapshotId = Some(2L),
+      prune = Some(R.Prune("n_nationkey", Some(1000L), None)))
+    assert(none.count() === 0 && R.lastPruned.get().toInt > 0)
+  }
 }
