@@ -150,7 +150,8 @@ object IcebergRead {
     }
 
     var prunedFiles = 0
-    def liveFiles(manifests: Seq[String], expectedContent: Int): Seq[String] =
+    /** (path, content, equality field ids) per live entry. */
+    def liveFiles(manifests: Seq[String], isDeleteManifest: Boolean): Seq[(String, Int, Seq[Int])] =
       manifests.flatMap { mp =>
         readAvro(resolve(tablePath, mp)).flatMap { entry =>
           val status = Option(entry.get("status")).map(_.toString.toInt).getOrElse(1)
@@ -158,14 +159,23 @@ object IcebergRead {
           else {
             val df = entry.get("data_file").asInstanceOf[GenericRecord]
             val content = Option(df.get("content")).map(_.toString.toInt).getOrElse(0)
-            require(content != 2, "equality delete files are not supported")
-            require(content == expectedContent,
-              s"file content $content in a ${if (expectedContent == 1) "delete" else "data"} manifest")
+            if (isDeleteManifest)
+              require(content == 1 || content == 2,
+                s"file content $content in a delete manifest")
+            else require(content == 0, s"file content $content in a data manifest")
             val format = df.get("file_format").toString
             require(format.equalsIgnoreCase("PARQUET"), s"unsupported file format $format")
+            val eqIds: Seq[Int] =
+              if (content == 2) {
+                val f = df.getSchema.getField("equality_ids")
+                require(f != null && df.get("equality_ids") != null,
+                  "equality delete file without equality_ids")
+                df.get("equality_ids").asInstanceOf[java.util.Collection[_]]
+                  .asScala.map(_.toString.toInt).toSeq
+              } else Seq.empty
             // column-stats pruning: skip data files whose recorded bounds
             // provably miss the requested range
-            val pruned = expectedContent == 0 && (pruneField match {
+            val pruned = content == 0 && (pruneField match {
               case Some((fid, isLong)) =>
                 val lo = decodeBound(df, "lower_bounds", fid, isLong)
                 val hi = decodeBound(df, "upper_bounds", fid, isLong)
@@ -177,19 +187,21 @@ object IcebergRead {
               case None => false
             })
             if (pruned) None
-            else Some(resolve(tablePath, df.get("file_path").toString))
+            else Some((resolve(tablePath, df.get("file_path").toString), content, eqIds))
           }
         }
       }
-    val dataFiles = liveFiles(dataManifests.map(_._2), 0)
-    val deleteFiles = liveFiles(deleteManifests.map(_._2), 1)
+    val dataFiles = liveFiles(dataManifests.map(_._2), isDeleteManifest = false).map(_._1)
+    val allDeletes = liveFiles(deleteManifests.map(_._2), isDeleteManifest = true)
+    val deleteFiles = allDeletes.filter(_._2 == 1).map(_._1)
+    val eqDeletes = allDeletes.filter(_._2 == 2)
     lastPruned.set(prunedFiles)
     if (dataFiles.isEmpty && prunedFiles > 0)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
     require(dataFiles.nonEmpty, s"snapshot $targetSnapshot has no data files")
     val base = spark.read.schema(sparkSchema).parquet(dataFiles: _*)
-    if (deleteFiles.isEmpty) base
+    val afterPos = if (deleteFiles.isEmpty) base
     else {
       import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
       // position-delete spec columns: file_path (string URI as written by
@@ -207,6 +219,33 @@ object IcebergRead {
           col("_ib_fp") === col("_del_fp") && col("_ib_pos") === col("_del_pos"),
           "left_anti")
         .drop("_ib_fp", "_ib_pos")
+    }
+    if (eqDeletes.isEmpty) afterPos
+    else {
+      import org.apache.spark.sql.functions.broadcast
+      // EQUALITY deletes (content=2): each file's rows name forbidden value
+      // tuples over `equality_ids` columns — applied as a broadcast
+      // null-safe anti-join per distinct id set (the reference builds the
+      // same filter in IcebergPageSourceProvider). This reader applies all
+      // delete files to all data files of the snapshot — exact when
+      // deletes are sequenced after the data they target (the layout the
+      // spec's writers produce); per-sequence-number scoping is out of the
+      // documented subset.
+      val idToName = fields.map { f =>
+        val JInt(fid) = (f \ "id"): @unchecked
+        val JString(name) = (f \ "name"): @unchecked
+        fid.toInt -> name
+      }.toMap
+      eqDeletes.groupBy(_._3).foldLeft(afterPos) { case (acc, (ids, files)) =>
+        val cols = ids.map(id => idToName.getOrElse(id,
+          throw new IllegalArgumentException(s"equality_ids field $id not in schema")))
+        val dels = spark.read.parquet(files.map(_._1): _*)
+          .select(cols.map(c => org.apache.spark.sql.functions.col(c).as(s"_eq_$c")): _*)
+          .distinct()
+        val cond = cols.map(c =>
+          acc(c) <=> org.apache.spark.sql.functions.col(s"_eq_$c")).reduce(_ && _)
+        acc.join(broadcast(dels), cond, "left_anti")
+      }
     }
   }
 

@@ -35,7 +35,8 @@ object IcebergQueries {
                {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null},
            {"name":"upper_bounds","type":["null",{"type":"array","items":
              {"type":"record","name":"k_v_hi","fields":[
-               {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null}]}}]}""")
+               {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null},
+           {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""")
 
   private val listSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -58,7 +59,8 @@ object IcebergQueries {
   }
 
   private def entry(status: Int, path: String, rows: Long,
-      content: Int = 0, bounds: Map[Int, (Long, Long)] = Map.empty): GenericRecord = {
+      content: Int = 0, bounds: Map[Int, (Long, Long)] = Map.empty,
+      equalityIds: Seq[Int] = Seq.empty): GenericRecord = {
     val df = new GenericData.Record(entrySchema.getField("data_file").schema())
     df.put("content", content)
     df.put("file_path", path)
@@ -81,6 +83,8 @@ object IcebergQueries {
       df.put("lower_bounds", kvArr("lower_bounds", _._1))
       df.put("upper_bounds", kvArr("upper_bounds", _._2))
     }
+    if (equalityIds.nonEmpty)
+      df.put("equality_ids", java.util.Arrays.asList(equalityIds.map(Int.box): _*))
     val e = new GenericData.Record(entrySchema)
     e.put("status", status)
     e.put("snapshot_id", null)
@@ -106,7 +110,7 @@ object IcebergQueries {
     // generation marker: bumped whenever the fixture layout grows (bounds
     // added round 8) so older cached builds rebuild
     if (new File(root, "metadata/v1.metadata.json").exists() &&
-        new File(root, "metadata/.gen-bounds").exists())
+        new File(root, "metadata/.gen-bounds-eq").exists())
       return root.getAbsolutePath
     def rm(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -177,6 +181,22 @@ object IcebergQueries {
       Seq(manifestRef("metadata/manifest-2.avro", 2L),
         manifestRef("metadata/manifest-3-del.avro", 3L, content = 1)))
 
+    // snapshot 4: EQUALITY deletes on top of snapshot 3's state — a parquet
+    // file of forbidden n_name values with equality_ids = [2]
+    val eqStage = new File(root, "_stage_eqdel")
+    Seq("CANADA", "KENYA").toDF("n_name")
+      .coalesce(1).write.mode("overwrite").parquet(eqStage.getAbsolutePath)
+    val eqPart = eqStage.listFiles().find(_.getName.endsWith(".parquet")).get
+    val eqRel = "data/eq-deletes.parquet"
+    Files.move(eqPart.toPath, new File(root, eqRel).toPath)
+    rm(eqStage)
+    writeAvro(new File(root, "metadata/manifest-4-eqdel.avro"), entrySchema,
+      Seq(entry(1, eqRel, 2, content = 2, equalityIds = Seq(2))))
+    writeAvro(new File(root, "metadata/snap-4.avro"), listSchema,
+      Seq(manifestRef("metadata/manifest-2.avro", 2L),
+        manifestRef("metadata/manifest-3-del.avro", 3L, content = 1),
+        manifestRef("metadata/manifest-4-eqdel.avro", 4L, content = 1)))
+
     val metadata =
       s"""{"format-version":2,"table-uuid":"graft-nation-iceberg","location":"${root.getAbsolutePath}",
          |"last-sequence-number":2,"last-updated-ms":0,"last-column-id":3,
@@ -192,11 +212,12 @@ object IcebergQueries {
          |"snapshots":[
          |  {"snapshot-id":1,"timestamp-ms":0,"manifest-list":"metadata/snap-1.avro","summary":{"operation":"append"}},
          |  {"snapshot-id":2,"timestamp-ms":1,"manifest-list":"metadata/snap-2.avro","summary":{"operation":"overwrite"}},
-         |  {"snapshot-id":3,"timestamp-ms":2,"manifest-list":"metadata/snap-3.avro","summary":{"operation":"delete"}}]}
+         |  {"snapshot-id":3,"timestamp-ms":2,"manifest-list":"metadata/snap-3.avro","summary":{"operation":"delete"}},
+         |  {"snapshot-id":4,"timestamp-ms":3,"manifest-list":"metadata/snap-4.avro","summary":{"operation":"delete"}}]}
          |""".stripMargin
     Files.write(new File(root, "metadata/v1.metadata.json").toPath,
       metadata.getBytes(StandardCharsets.UTF_8))
-    Files.write(new File(root, "metadata/.gen-bounds").toPath, Array.emptyByteArray)
+    Files.write(new File(root, "metadata/.gen-bounds-eq").toPath, Array.emptyByteArray)
     root.getAbsolutePath
   }
 
@@ -267,12 +288,33 @@ object IcebergQueries {
          AND n_nationkey >= 20
        GROUP BY n_regionkey ORDER BY n_regionkey"""
 
+  /** Snapshot 4 layers EQUALITY deletes (n_name ∈ {CANADA, KENYA},
+    * equality_ids = [2]) on top of snapshot 3's position deletes: the
+    * reader applies a broadcast null-safe anti-join per equality id set. */
+  def q_fed_iceberg_eq_deletes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = buildIcebergNation(s, dir)
+    graft.catalog.IcebergRead.readTable(s, path, snapshotId = Some(4L))
+      .groupBy($"n_regionkey")
+      .agg(count(lit(1)).as("n"), sum($"n_nationkey").cast("long").as("key_sum"))
+      .orderBy($"n_regionkey")
+  }
+  val qFedIcebergEqDeletesSql: String =
+    """SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+       FROM nation
+       WHERE NOT (n_regionkey = 2 AND n_nationkey >= 10)
+         AND n_nationkey NOT IN (1, 5)
+         AND n_name NOT IN ('CANADA', 'KENYA')
+       GROUP BY n_regionkey ORDER BY n_regionkey"""
+
   val queries: Map[String, Q] = Map(
     "q_fed_iceberg" -> q_fed_iceberg _,
     "q_fed_iceberg_deletes" -> q_fed_iceberg_deletes _,
-    "q_fed_iceberg_pruned" -> q_fed_iceberg_pruned _)
+    "q_fed_iceberg_pruned" -> q_fed_iceberg_pruned _,
+    "q_fed_iceberg_eq_deletes" -> q_fed_iceberg_eq_deletes _)
   val oracles: Map[String, String] = Map(
     "q_fed_iceberg" -> qFedIcebergSql,
     "q_fed_iceberg_deletes" -> qFedIcebergDeletesSql,
-    "q_fed_iceberg_pruned" -> qFedIcebergPrunedSql)
+    "q_fed_iceberg_pruned" -> qFedIcebergPrunedSql,
+    "q_fed_iceberg_eq_deletes" -> qFedIcebergEqDeletesSql)
 }
