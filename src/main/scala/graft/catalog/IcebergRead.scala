@@ -84,16 +84,19 @@ object IcebergRead {
       StructField(name, tpe, nullable = !required)
     })
 
-    // identity-only partition spec check (reading doesn't need the values —
-    // Iceberg data files carry all columns — but a non-identity transform
-    // means hidden partitioning we don't interpret)
+    // Partition transforms: Iceberg v2 DATA files carry every source
+    // column, so reading is transform-agnostic — hidden partitioning
+    // (bucket[N]/truncate[W]/year/month/day/hour) only matters for
+    // partition-value pruning, which this reader does not attempt on
+    // transformed specs (manifest column-stats pruning above covers the
+    // same ground). `void` drops information and stays refused.
     (meta \ "partition-specs") match {
       case JArray(specs) => specs.foreach { spec =>
         (spec \ "fields") match {
           case JArray(pfs) => pfs.foreach { pf =>
             val JString(transform) = (pf \ "transform"): @unchecked
-            require(transform == "identity",
-              s"unsupported partition transform '$transform' (identity only)")
+            require(transform != "void",
+              "unsupported partition transform 'void'")
           }
           case _ =>
         }

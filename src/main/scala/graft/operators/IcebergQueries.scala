@@ -110,7 +110,7 @@ object IcebergQueries {
     // generation marker: bumped whenever the fixture layout grows (bounds
     // added round 8) so older cached builds rebuild
     if (new File(root, "metadata/v1.metadata.json").exists() &&
-        new File(root, "metadata/.gen-bounds-eq").exists())
+        new File(root, "metadata/.gen-bounds-eq2").exists())
       return root.getAbsolutePath
     def rm(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -207,7 +207,9 @@ object IcebergQueries {
          |  {"id":3,"name":"n_regionkey","required":false,"type":"long"}]}],
          |"default-spec-id":0,
          |"partition-specs":[{"spec-id":0,"fields":[
-         |  {"name":"n_regionkey","transform":"identity","source-id":3,"field-id":1000}]}],
+         |  {"name":"n_regionkey","transform":"identity","source-id":3,"field-id":1000}]},
+         | {"spec-id":1,"fields":[
+         |  {"name":"n_nationkey_bucket","transform":"bucket[4]","source-id":1,"field-id":1001}]}],
          |"current-snapshot-id":3,
          |"snapshots":[
          |  {"snapshot-id":1,"timestamp-ms":0,"manifest-list":"metadata/snap-1.avro","summary":{"operation":"append"}},
@@ -217,7 +219,7 @@ object IcebergQueries {
          |""".stripMargin
     Files.write(new File(root, "metadata/v1.metadata.json").toPath,
       metadata.getBytes(StandardCharsets.UTF_8))
-    Files.write(new File(root, "metadata/.gen-bounds-eq").toPath, Array.emptyByteArray)
+    Files.write(new File(root, "metadata/.gen-bounds-eq2").toPath, Array.emptyByteArray)
     root.getAbsolutePath
   }
 
