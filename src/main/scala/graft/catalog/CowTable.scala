@@ -216,6 +216,28 @@ final class CowTable private (root0: String, spark: SparkSession) {
     * Returns (data files removed, manifests removed). Driver work is one
     * directory listing + the current manifest's file-name column — both
     * already O(file count) structures. */
+  /** OPTIMIZE (reference: the iceberg/delta connectors' `ALTER TABLE …
+    * EXECUTE optimize` / CALL optimize — small-file compaction): rewrite
+    * every data file smaller than `threshold` into right-sized files,
+    * publishing a new version; untouched files carry over and prior
+    * versions stay time-travelable. File-size inspection is driver-side
+    * METADATA (O(files)); the rewrite itself is one distributed
+    * read→repartition→write of only the small files. Returns
+    * (files compacted, files written). */
+  def optimize(threshold: Long = 32L << 20): (Int, Int) = {
+    val files = manifestFiles(currentVersion)
+    val small = files.filter(p => {
+      val f = new java.io.File(p)
+      f.isFile && f.length() < threshold
+    })
+    if (small.size < 2) return (0, 0)
+    val totalBytes = small.map(new java.io.File(_).length()).sum
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / threshold).toInt)
+    val rewritten = writeData(spark.read.parquet(small: _*).repartition(parts))
+    mutate(small, rewritten)
+    (small.size, rewritten.size)
+  }
+
   def vacuum(): (Int, Int) = {
     val v = currentVersion
     val live = manifestDf(v).select("fname").collect().map(_.getString(0)).toSet

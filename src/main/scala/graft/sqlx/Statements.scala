@@ -831,6 +831,21 @@ private[graft] object Statements {
         val (files, manifests) = openTable(spark, table).vacuum()
         oneRow(spark, "removed", files.toLong + manifests)
 
+      case "optimize" =>
+        // CALL system.optimize(table [, file_size_threshold]) — small-file
+        // compaction (reference: iceberg/delta `ALTER TABLE … EXECUTE
+        // optimize`); publishes a new CoW version, history stays intact
+        val table = arg(Seq("table", "table_name"), 0)
+        if (txn.isDefined) throw new IllegalStateException(
+          "cannot optimize inside a transaction")
+        val threshold = args.collectFirst {
+          case (Some("file_size_threshold"), e) => scalar(e).toLong
+        }.orElse(args.collect { case (None, e) => e }.lift(1).map(e => scalar(e).toLong))
+          .getOrElse(32L << 20)
+        val (compacted, written) = openTable(spark, table).optimize(threshold)
+        refreshView(spark, table)
+        oneRow(spark, "compacted", compacted.toLong)
+
       case "flush_metadata_cache" =>
         tables.keys.foreach(k =>
           projected(spark, k).createOrReplaceTempView(viewNameOf(k)))

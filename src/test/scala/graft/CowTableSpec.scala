@@ -117,4 +117,39 @@ class CowTableSpec extends SparkSpec {
     val noop = t.delete($"o_orderkey" === -999999L)
     assert(noop.affectedFiles.isEmpty)
   }
+  test("OPTIMIZE compacts small files into fewer, data and history intact") {
+    import org.apache.spark.sql.functions._
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_cow_optimize").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val t = graft.catalog.CowTable.create(spark, root,
+      spark.range(0, 100).toDF("id"))
+    // five appends -> many tiny files
+    (1 to 5).foreach(i => t.insert(spark.range(i * 100, i * 100 + 100).toDF("id")))
+    val vBefore = t.currentVersion
+    val filesBefore = t.manifestDf(vBefore).count()
+    val sumBefore = t.read().agg(sum("id")).head.getLong(0)
+
+    val (compacted, written) = t.optimize()
+    assert(compacted > 1 && written < compacted,
+      s"expected compaction, got $compacted -> $written")
+    val after = t.read()
+    assert(t.manifestDf(t.currentVersion).count() === filesBefore - compacted + written)
+    assert(after.count() === 600 && after.agg(sum("id")).head.getLong(0) === sumBefore)
+    // prior version still time-travels with the original file set
+    assert(t.read(asOfVersion = Some(vBefore)).count() === 600)
+    assert(t.manifestDf(vBefore).count() === filesBefore)
+  }
+
+  test("CALL system.optimize through the SQL front door") {
+    import graft.sqlx.TrinoDialect
+    def sql(text: String) = TrinoDialect.sql(spark, sfDir, text)
+    sql("CREATE OR REPLACE TABLE cow_opt AS SELECT n_nationkey AS k FROM nation")
+    sql("INSERT INTO cow_opt VALUES (100)")
+    sql("INSERT INTO cow_opt VALUES (101)")
+    val n = sql("SELECT count(*) AS n FROM cow_opt").head.getLong(0)
+    val compacted = sql("CALL system.optimize('cow_opt')").head.getLong(0)
+    assert(compacted >= 2, s"compacted=$compacted")
+    assert(sql("SELECT count(*) AS n FROM cow_opt").head.getLong(0) === n)
+  }
 }
