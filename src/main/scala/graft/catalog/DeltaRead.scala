@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Delta Lake READ path over the open delta-log protocol (VERDICT r6
   * "what's missing" #4; reference: plugin/trino-delta-lake/ — notably
@@ -54,10 +54,14 @@ object DeltaRead {
         else throw new IllegalArgumentException(
           s"Delta minReaderVersion $minReader is not supported by this reader")
       }
+    var columnMappingMode: String = "none"
     def columnMappingGuard(mode: Option[String]): Unit = mode match {
+      case Some("name") => columnMappingMode = "name"
       case Some(m) if m != "none" => throw new IllegalArgumentException(
-        s"Delta column mapping mode '$m' is not supported by this reader")
-      case _ =>
+        s"Delta column mapping mode '$m' is not supported by this reader " +
+          "(only 'none' and 'name')")
+      case Some(_) => columnMappingMode = "none"
+      case None =>
     }
     def add(path: String, pv: Map[String, String]): Unit = {
       val decoded = java.net.URLDecoder.decode(path, "UTF-8")
@@ -244,7 +248,23 @@ object DeltaRead {
     val schema = DataType.fromJson(st.schemaJson.getOrElse(
       throw new IllegalArgumentException("Delta log has no metaData action")))
       .asInstanceOf[StructType]
-    val dataSchema = StructType(schema.fields.filterNot(f => st.partCols.contains(f.name)))
+    // Column mapping mode 'name': parquet files carry PHYSICAL column
+    // names recorded per-field in the schema metadata
+    // (delta.columnMapping.physicalName); read physically, project back to
+    // logical names. Mode 'id' (parquet field-id resolution) stays refused.
+    val physicalOf: Map[String, String] =
+      if (st.columnMappingMode == "name")
+        schema.fields.map { f =>
+          val pn = if (f.metadata.contains("delta.columnMapping.physicalName"))
+            f.metadata.getString("delta.columnMapping.physicalName")
+          else throw new IllegalArgumentException(
+            s"column mapping mode 'name' but field '${f.name}' has no physicalName")
+          f.name -> pn
+        }.toMap
+      else schema.fieldNames.map(n => n -> n).toMap
+
+    val dataSchema = StructType(schema.fields.filterNot(f => st.partCols.contains(f.name))
+      .map(f => StructField(physicalOf(f.name), f.dataType, f.nullable)))
 
     if (st.active.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
@@ -253,11 +273,16 @@ object DeltaRead {
     // the partition columns, union preserving the declared column order
     val groups = st.active.values.toSeq.groupBy(_.partitionValues)
     groups.map { case (pv, adds) =>
-      val base = spark.read.schema(dataSchema)
+      val base0 = spark.read.schema(dataSchema)
         .parquet(adds.map(a => s"$tablePath/${a.path}"): _*)
+      // physical → logical projection for the data columns
+      val base = base0.select(schema.fields.filterNot(f => st.partCols.contains(f.name))
+        .map(f => col(physicalOf(f.name)).as(f.name)).toIndexedSeq: _*)
       st.partCols.foldLeft(base) { (df, pc) =>
         val tpe = schema(pc).dataType
-        df.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(tpe))
+        // add-action partitionValues are keyed by PHYSICAL name under mapping
+        val v = pv.get(physicalOf(pc)).orElse(pv.get(pc)).orNull
+        df.withColumn(pc, lit(v).cast(tpe))
       }.select(schema.fieldNames.map(col): _*)
     }.reduce(_ unionByName _)
   }

@@ -82,15 +82,35 @@ class DeltaReadSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // checkpoints unsupported
       catalog.DeltaRead.readTable(spark, root.getAbsolutePath)
     }
-    // column mapping renames physical columns → refuse, never misread
+    // column mapping mode 'id' (parquet field-id resolution) → refuse
     val cm = newTable("colmap")
     commit(cm, 0, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}""",
-      """{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}"""))
+      """{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}"""))
     val e = intercept[IllegalArgumentException] {
       catalog.DeltaRead.readTable(spark, cm.getAbsolutePath)
     }
     assert(e.getMessage.contains("column mapping"))
+  }
+
+  test("column mapping mode 'name': physical parquet names project to logical") {
+    val root = newTable("colmap_name")
+    // physical file columns col_aa / col_bb; logical schema id / name
+    val phys = Seq((1L, "x"), (2L, "y")).toDF("col_aa", "col_bb")
+    writeParquet(root, "f0.parquet", phys)
+    val schemaJson =
+      """{\"type\":\"struct\",\"fields\":[
+         {\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":1,\"delta.columnMapping.physicalName\":\"col_aa\"}},
+         {\"name\":\"name\",\"type\":\"string\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":2,\"delta.columnMapping.physicalName\":\"col_bb\"}}]}"""
+        .replaceAll("\\n\\s*", "")
+    commit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = catalog.DeltaRead.readTable(spark, root.getAbsolutePath)
+    assert(got.schema.fieldNames.toSeq === Seq("id", "name"))
+    assert(got.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "x"), (2L, "y")))
   }
 
   test("checkpoint artifacts, cleaned logs, and reader features all refuse") {
