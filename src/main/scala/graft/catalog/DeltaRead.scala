@@ -35,8 +35,10 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * reference caches it per-snapshot). Data reading is fully distributed.
   * Supported subset: classic single- and multi-part parquet checkpoints +
   * complete JSON suffix (v2 UUID checkpoints with sidecars are refused),
-  * minReaderVersion 1 (no deletion vectors, no column mapping) —
-  * documented gaps, each erroring loudly rather than misreading. */
+  * minReaderVersion 1 plus column mapping mode NAME (physical-name
+  * reads projected to the logical schema); deletion vectors and mapping
+  * mode ID are documented gaps, each erroring loudly rather than
+  * misreading. */
 object DeltaRead {
 
   private final case class Add(path: String, partitionValues: Map[String, String])
