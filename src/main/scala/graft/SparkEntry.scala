@@ -26,6 +26,7 @@ object SparkEntry {
       (operators.Tpcds4.queries, operators.Tpcds4.oracles),
       (operators.Tpcds5.queries, operators.Tpcds5.oracles),
       (operators.Tpcds6.queries, operators.Tpcds6.oracles),
+      (operators.Tpcds7.queries, operators.Tpcds7.oracles),
       (operators.Aggregates.queries, operators.Aggregates.oracles),
       (operators.Aggregates2.queries, operators.Aggregates2.oracles),
       (operators.SetOps.queries, operators.SetOps.oracles),
