@@ -150,6 +150,46 @@ class PropertySpec extends SparkSpec {
     assert(degenerate < 290, "fixture generator produced almost no proper pairs")
   }
 
+  test("avro write→catalog read roundtrips random rows across the type surface") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(2024)
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("i", IntegerType),
+      StructField("l", LongType), StructField("f", FloatType),
+      StructField("d", DoubleType), StructField("s", StringType),
+      StructField("bin", BinaryType)))
+    def cell(dt: DataType): Any =
+      if (rnd.nextInt(10) == 0) null
+      else dt match {
+        case BooleanType => rnd.nextBoolean()
+        case IntegerType => rnd.nextInt()
+        case LongType => rnd.nextLong()
+        case FloatType => rnd.nextFloat()
+        case DoubleType => rnd.nextDouble()
+        case StringType => rnd.alphanumeric.take(rnd.nextInt(12)).mkString + "✓"
+        case BinaryType => Array.fill(rnd.nextInt(8))(rnd.nextInt().toByte)
+        case _ => null
+      }
+    val rows = Seq.fill(500)(Row.fromSeq(schema.map(f => cell(f.dataType))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    val root = new java.io.File("target/avrotest/prop").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    graft.catalog.AvroIO.write(df, s"$root/t")
+    spark.conf.set("spark.sql.catalog.av_prop",
+      classOf[graft.catalog.AvroFileCatalog].getName)
+    spark.conf.set("spark.sql.catalog.av_prop.path", root)
+    val back = spark.table("av_prop.default.t")
+    def canon(r: Row): Seq[Any] = r.toSeq.map {
+      case a: Array[Byte] => a.toSeq
+      case x => x
+    }
+    val want = df.collect().map(canon).sortBy(_.toString())
+    val got = back.collect().map(canon).sortBy(_.toString())
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
   test("connected components match union-find on chains and random graphs") {
     // the large-star/small-star kernel behind q_dedup_clusters: deep chains
     // (worst case for naive label propagation) and random sparse graphs,
