@@ -175,7 +175,106 @@ object TextAnalysis {
          array_to_string(bpe[1:5], '|') AS head_tokens
        FROM b ORDER BY doc_id"""
 
+  /** Distributed BPE tokenizer TRAINING (the real merge-learning loop a
+    * tokenizer pipeline runs, not the regex stand-in of q_text_tokens):
+    * start from characters + an end-of-word marker over the corpus word
+    * frequencies, then for R rounds (1) count adjacent symbol pairs in one
+    * distributed aggregation, (2) pick the most frequent pair (ties broken
+    * lexicographically — fully deterministic), (3) apply the merge to
+    * every word with a codegen'd `aggregate` fold (leftmost,
+    * non-overlapping — standard BPE application). Only the R-row merge
+    * table ever reaches the driver (it IS the model artifact); the corpus
+    * stays partitioned through every round.
+    *
+    * The oracle replays ALL R rounds in DuckDB as chained CTEs — pair
+    * counting over split symbol strings, argmax with the same tie-break,
+    * and the same leftmost fold via `list_reduce` over pipe-joined
+    * symbols — so the learned merges AND the post-merge corpus token
+    * count are verified end-to-end, round by round. */
+  def q_text_bpe_train(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rounds = 8
+    var words = table(s, dir, "documents")
+      .select(explode(split(lower($"text"), "[^a-z]+")).as("w"))
+      .filter(length($"w").between(2, 12))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select($"freq", concat(split($"w", ""), array(lit("</w>"))).as("toks"))
+      .localCheckpoint(eager = true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    for (r <- 1 to rounds) {
+      val best = words
+        .select($"freq", explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))")).as("pair"))
+        .groupBy($"pair").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"pair".asc)
+        .limit(1).head()
+      val pair = best.getString(0); val cnt = best.getLong(1)
+      merges += ((r, pair, cnt))
+      val Array(a, b) = pair.split(" ", 2)
+      val merged = concat(lit(a), lit(b))
+      words = words.select($"freq",
+          aggregate($"toks", array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === a && x === b,
+              concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+              .otherwise(concat(acc, array(x)))).as("toks"))
+        .localCheckpoint(eager = true)
+    }
+    val totalTokens = words
+      .agg(sum($"freq" * size($"toks"))).head().getLong(0)
+    val rows = merges.toSeq.map { case (r, p, c) => (r, p, c) } :+
+      ((99, "TOTAL_TOKENS", totalTokens))
+    s.createDataFrame(rows).toDF("round", "pair", "cnt")
+      .orderBy($"round")
+  }
+  val qTextBpeTrainSql: String = {
+    val rounds = 8
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (
+           SELECT freq, '|' || regexp_replace(w, '(.)', '\1|', 'g') || '</w>' AS tok
+           FROM (
+             SELECT w, count(*) AS freq FROM (
+               SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+               FROM documents)
+             WHERE len(w) BETWEEN 2 AND 12 GROUP BY w))""")
+    // w0 tok = "|c|h|a|r|</w>" (leading sentinel pipe; split drops it)
+    for (r <- 1 to rounds) {
+      val prev = s"w${r - 1}"
+      sb.append(s""",
+         p$r AS (
+           SELECT p AS pair, sum(freq) AS cnt FROM (
+             SELECT freq, unnest([sp[i] || ' ' || sp[i+1] for i in range(1, len(sp))]) AS p
+             FROM (SELECT freq, string_split(ltrim(tok, '|'), '|') AS sp FROM $prev))
+           GROUP BY p),
+         b$r AS (
+           SELECT split_part(pair, ' ', 1) AS ba, split_part(pair, ' ', 2) AS bb,
+                  pair, cnt
+           FROM p$r ORDER BY cnt DESC, pair ASC LIMIT 1),
+         w$r AS (
+           SELECT freq,
+             list_reduce(list_prepend('', string_split(ltrim(tok, '|'), '|')),
+               (acc, x) -> CASE
+                 WHEN regexp_extract(acc, '([^|]+)$$', 1) = ba AND x = bb
+                 THEN acc || x
+                 ELSE acc || '|' || x END) AS tok
+           FROM $prev CROSS JOIN b$r)""")
+    }
+    val mergeRows = (1 to rounds)
+      .map(r => s"SELECT $r AS round, pair, CAST(cnt AS BIGINT) AS cnt FROM b$r")
+      .mkString("\n         UNION ALL ")
+    sb.append(s"""
+       $mergeRows
+       UNION ALL
+       SELECT 99, 'TOTAL_TOKENS',
+         CAST(sum(freq * len(string_split(ltrim(tok, '|'), '|'))) AS BIGINT)
+       FROM w$rounds
+       ORDER BY round""")
+    sb.toString
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_bpe_train" -> q_text_bpe_train _,
     "q_text_tokens" -> q_text_tokens _,
     "q_text_stats" -> q_text_stats _,
     "q_text_quality" -> q_text_quality _,
@@ -183,6 +282,7 @@ object TextAnalysis {
     "q_text_fingerprint" -> q_text_fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q_text_bpe_train" -> qTextBpeTrainSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_stats" -> qTextStatsSql,
     "q_text_quality" -> qTextQualitySql,
