@@ -191,14 +191,16 @@ object TextAnalysis {
     * and the same leftmost fold via `list_reduce` over pipe-joined
     * symbols — so the learned merges AND the post-merge corpus token
     * count are verified end-to-end, round by round. */
-  def q_text_bpe_train(s: SparkSession, dir: String): DataFrame = {
+  /** Shared BPE training loop: returns the final per-word state
+    * (w, freq, toks) and the learned merge table. */
+  private def trainBpe(s: SparkSession, dir: String,
+      rounds: Int): (DataFrame, Seq[(Int, String, Long)]) = {
     import s.implicits._
-    val rounds = 8
     var words = table(s, dir, "documents")
       .select(explode(split(lower($"text"), "[^a-z]+")).as("w"))
       .filter(length($"w").between(2, 12))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
-      .select($"freq", concat(split($"w", ""), array(lit("</w>"))).as("toks"))
+      .select($"w", $"freq", concat(split($"w", ""), array(lit("</w>"))).as("toks"))
       .localCheckpoint(eager = true)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
     for (r <- 1 to rounds) {
@@ -212,7 +214,7 @@ object TextAnalysis {
       merges += ((r, pair, cnt))
       val Array(a, b) = pair.split(" ", 2)
       val merged = concat(lit(a), lit(b))
-      words = words.select($"freq",
+      words = words.select($"w", $"freq",
           aggregate($"toks", array().cast("array<string>"),
             (acc, x) => when(size(acc) > 0 &&
                 element_at(acc, -1) === a && x === b,
@@ -220,6 +222,14 @@ object TextAnalysis {
               .otherwise(concat(acc, array(x)))).as("toks"))
         .localCheckpoint(eager = true)
     }
+    (words, merges.toSeq)
+  }
+
+  def q_text_bpe_train(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rounds = 8
+    val (words, merges0) = trainBpe(s, dir, rounds)
+    val merges = merges0
     val totalTokens = words
       .agg(sum($"freq" * size($"toks"))).head().getLong(0)
     val rows = merges.toSeq.map { case (r, p, c) => (r, p, c) } :+
@@ -232,7 +242,7 @@ object TextAnalysis {
     val sb = new StringBuilder
     sb.append(
       """WITH w0 AS (
-           SELECT freq, '|' || regexp_replace(w, '(.)', '\1|', 'g') || '</w>' AS tok
+           SELECT w, freq, '|' || regexp_replace(w, '(.)', '\1|', 'g') || '</w>' AS tok
            FROM (
              SELECT w, count(*) AS freq FROM (
                SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
@@ -252,7 +262,7 @@ object TextAnalysis {
                   pair, cnt
            FROM p$r ORDER BY cnt DESC, pair ASC LIMIT 1),
          w$r AS (
-           SELECT freq,
+           SELECT w, freq,
              list_reduce(list_prepend('', string_split(ltrim(tok, '|'), '|')),
                (acc, x) -> CASE
                  WHEN regexp_extract(acc, '([^|]+)$$', 1) = ba AND x = bb
@@ -273,8 +283,43 @@ object TextAnalysis {
     sb.toString
   }
 
+  /** BPE APPLY: tokenize each document with the learned merge table —
+    * the train→apply loop closed. The per-word merged state doubles as
+    * the tokenizer (word → its BPE token count); per-document counts are
+    * one join + aggregation away. Oracle: the same chained-CTE replay,
+    * joined back to each document's words. */
+  def q_text_bpe_tokenize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (words, _) = trainBpe(s, dir, rounds = 8)
+    val vocab = words.select($"w", size($"toks").cast("long").as("n_bpe"))
+    table(s, dir, "documents")
+      .filter($"doc_id" < 300)
+      .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("w"))
+      .filter(length($"w").between(2, 12))
+      .join(vocab, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_bpe").as("n_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+  val qTextBpeTokenizeSql: String = {
+    val ctes = qTextBpeTrainSql.substring(0,
+      qTextBpeTrainSql.indexOf("\n       SELECT 1 AS round"))
+    s"""$ctes,
+       vocab AS (
+         SELECT w, CAST(len(string_split(ltrim(tok, '|'), '|')) AS BIGINT) AS n_bpe
+         FROM w8),
+       dw AS (
+         SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+         FROM documents WHERE doc_id < 300)
+       SELECT doc_id, count(*) AS n_words, CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+       FROM dw JOIN vocab USING (w)
+       WHERE len(w) BETWEEN 2 AND 12
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_bpe_train" -> q_text_bpe_train _,
+    "q_text_bpe_tokenize" -> q_text_bpe_tokenize _,
     "q_text_tokens" -> q_text_tokens _,
     "q_text_stats" -> q_text_stats _,
     "q_text_quality" -> q_text_quality _,
@@ -283,6 +328,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_text_bpe_train" -> qTextBpeTrainSql,
+    "q_text_bpe_tokenize" -> qTextBpeTokenizeSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_stats" -> qTextStatsSql,
     "q_text_quality" -> qTextQualitySql,
