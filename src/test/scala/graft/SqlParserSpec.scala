@@ -121,4 +121,26 @@ class SqlParserSpec extends SparkSpec {
       .collect().map(_.getInt(0)).sorted.toSeq
     assert(rows2 == Seq(1), rows2.mkString(","))
   }
+  test("fuzz: random token soup never crashes the parser, only SqlParseException") {
+    val rnd = new scala.util.Random(97)
+    val vocab = Seq("SELECT", "FROM", "WHERE", "GROUP", "BY", "ORDER", "(", ")",
+      ",", "+", "-", "*", "/", "'str'", "42", "1.5", "x", "t", "AND", "OR",
+      "JOIN", "ON", "CASE", "WHEN", "THEN", "END", "CAST", "AS", "INT",
+      "NULL", "NOT", "IN", "EXISTS", "UNION", "ALL", "WITH", "OVER",
+      "PARTITION", "LIMIT", "\"q\"", "||", "=", "<", ">", "<=", ".", "?")
+    var parsed = 0
+    for (_ <- 0 until 2000) {
+      val n = 1 + rnd.nextInt(24)
+      val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      try {
+        new graft.sqlx.SqlParser(text).parseStatement()
+        parsed += 1
+      } catch {
+        case _: graft.sqlx.SqlParseException => // the contract
+        case e: Throwable =>
+          fail(s"parser threw ${e.getClass.getName} on: $text\n${e.getMessage}")
+      }
+    }
+    assert(parsed > 0, "fuzzer never produced a parseable statement")
+  }
 }
