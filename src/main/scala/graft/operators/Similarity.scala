@@ -290,6 +290,115 @@ object Similarity {
        SELECT vec_a, vec_b, label, sim_r FROM sims WHERE sim_r >= 0.3
        ORDER BY vec_a, vec_b"""
 
+  /** PQ (product-quantization) ANN — the memory-bound scale path the other
+    * ANN variants don't cover: vectors compress to M=4 one-byte codes
+    * (nearest codebook centroid per 16-dim subspace), and queries score
+    * against CODES via an additive-distance lookup table (ADC), never
+    * touching full corpus vectors until the final top-k rescoring.
+    *
+    * Scale: codebooks are (M×K×16 floats) — broadcast; codes are M bytes
+    * per vector; the ADC join moves only (m, cell) lookup rows and codes.
+    * At 10⁹ vectors that is ~4 GB of codes vs ~256 GB of raw floats.
+    *
+    * Determinism (the oracle replays the ENTIRE pipeline): subspace seed
+    * assignment via md5(vec_id:m), codebooks as exact DECIMAL means (one
+    * IEEE division at the end), squared-distance terms cast to
+    * DECIMAL(25,12) before the order-independent sum, all argmins
+    * tie-broken on the cell / vec_id. Production would Lloyd-refine the
+    * codebooks exactly as the IVF build does; the hash-partitioned means
+    * keep the replay compact without changing the pipeline shape. */
+  def q_sim_ann_pq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = 4; val K = 16; val sub = 16 // 4 × 16 dims, 16 centroids each
+    val e = table(s, dir, "embeddings")
+    val corpus = e.filter($"vec_id" >= NQ).select($"vec_id", $"embedding")
+    def flatOf(df: DataFrame): DataFrame =
+      df.select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
+        .select($"vec_id", $"pos", $"x".cast("double").as("x"),
+          ($"pos" / sub).cast("int").as("m"))
+    val flat = flatOf(corpus)
+    val seeded = flat.withColumn("cell",
+      expr("CAST(conv(substring(md5(concat(CAST(vec_id AS STRING), ':', CAST(m AS STRING))), 1, 15), 16, 10) AS BIGINT)") % K)
+    val centFlat = seeded.groupBy($"m", $"cell", $"pos")
+      .agg((sum($"x".cast("decimal(25,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("c"))
+    // encode: nearest centroid per (vector, subspace), exact decimal sums
+    def sqDistTo(cents: DataFrame, points: DataFrame): DataFrame =
+      points.join(cents, Seq("m", "pos"))
+        .groupBy($"vec_id", $"m", $"cell")
+        .agg(sum((($"x" - $"c") * ($"x" - $"c")).cast("decimal(25,12)")).as("d2"))
+    val codes = sqDistTo(broadcast(centFlat), flat)
+      .groupBy($"vec_id", $"m")
+      .agg(min_by($"cell", struct($"d2", $"cell")).as("cell"))
+    // ADC: per-query lookup table over the same centroids
+    val qflat = flatOf(e.filter($"vec_id" < NQ))
+    val qdist = sqDistTo(broadcast(centFlat), qflat)
+      .select($"vec_id".as("query_id"), $"m", $"cell", $"d2")
+    val w = Window.partitionBy($"query_id").orderBy($"approx", $"vec_id")
+    val top = codes.join(broadcast(qdist), Seq("m", "cell"))
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"d2").as("approx"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+    // exact rescoring of only the survivors
+    top
+      .join(e.select($"vec_id", $"embedding"), "vec_id")
+      .join(e.select($"vec_id".as("query_id"), $"embedding".as("qvec")), "query_id")
+      .select($"query_id", $"rn", $"vec_id",
+        $"approx".cast("double").as("approx_d2"),
+        round(VectorFunctions.cosine($"qvec", $"embedding"), 6).as("sim_r"))
+      .orderBy($"query_id", $"rn")
+  }
+  val qSimAnnPqSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       corpus AS (SELECT vec_id, embedding FROM e WHERE vec_id >= $NQ),
+       flat AS (
+         SELECT vec_id, i.range AS pos, CAST(i.range // 16 AS INT) AS m,
+                CAST(embedding[CAST(i.range + 1 AS INT)] AS DOUBLE) AS x
+         FROM corpus CROSS JOIN range(64) i),
+       seeded AS (
+         SELECT *, ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(m AS VARCHAR)), 1, 15))::BIGINT % 16 AS cell
+         FROM flat),
+       centflat AS (
+         SELECT m, cell, pos,
+           CAST(SUM(CAST(x AS DECIMAL(25,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS c
+         FROM seeded GROUP BY 1, 2, 3),
+       cdist AS (
+         SELECT f.vec_id, f.m, ct.cell,
+           SUM(CAST((f.x - ct.c) * (f.x - ct.c) AS DECIMAL(25,12))) AS d2
+         FROM flat f JOIN centflat ct ON f.m = ct.m AND f.pos = ct.pos
+         GROUP BY 1, 2, 3),
+       codes AS (
+         SELECT vec_id, m, cell FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS rnk
+           FROM cdist) WHERE rnk = 1),
+       qflat AS (
+         SELECT vec_id, i.range AS pos, CAST(i.range // 16 AS INT) AS m,
+                CAST(embedding[CAST(i.range + 1 AS INT)] AS DOUBLE) AS x
+         FROM (SELECT vec_id, embedding FROM e WHERE vec_id < $NQ) q
+         CROSS JOIN range(64) i),
+       qdist AS (
+         SELECT f.vec_id AS query_id, f.m, ct.cell,
+           SUM(CAST((f.x - ct.c) * (f.x - ct.c) AS DECIMAL(25,12))) AS d2
+         FROM qflat f JOIN centflat ct ON f.m = ct.m AND f.pos = ct.pos
+         GROUP BY 1, 2, 3),
+       approx AS (
+         SELECT q.query_id, c.vec_id, SUM(q.d2) AS approx
+         FROM codes c JOIN qdist q ON c.m = q.m AND c.cell = q.cell
+         GROUP BY 1, 2),
+       top AS (
+         SELECT query_id, vec_id, approx,
+           row_number() OVER (PARTITION BY query_id ORDER BY approx, vec_id) AS rn
+         FROM approx)
+       SELECT t.query_id, t.rn, t.vec_id,
+         CAST(t.approx AS DOUBLE) AS approx_d2,
+         round(${cosSql("qe.embedding", "ce.embedding")}, 6) AS sim_r
+       FROM top t
+       JOIN e qe ON qe.vec_id = t.query_id
+       JOIN e ce ON ce.vec_id = t.vec_id
+       WHERE t.rn <= 5
+       ORDER BY t.query_id, t.rn"""
+
   /** Embedding near-dup CLUSTERS: distributed connected components
     * (Dedup.connectedComponents — large-star/small-star) over the exact
     * within-label similarity pair graph; every vector labeled with its
@@ -397,6 +506,7 @@ object Similarity {
     "q_sim_cosine_topk" -> q_sim_cosine_topk _,
     "q_sim_ann_lsh" -> q_sim_ann_lsh _,
     "q_sim_ann_ivf" -> q_sim_ann_ivf _,
+    "q_sim_ann_pq" -> q_sim_ann_pq _,
     "q_sim_neardup" -> q_sim_neardup _,
     "q_sim_embed_clusters" -> q_sim_embed_clusters _,
     "q_sim_neardup_lsh" -> q_sim_neardup_lsh _)
@@ -405,6 +515,7 @@ object Similarity {
     "q_sim_cosine_topk" -> qSimCosineTopkSql,
     "q_sim_ann_lsh" -> qSimAnnLshSql,
     "q_sim_ann_ivf" -> qSimAnnIvfSql,
+    "q_sim_ann_pq" -> qSimAnnPqSql,
     "q_sim_neardup" -> qSimNeardupSql,
     "q_sim_embed_clusters" -> qSimEmbedClustersSql,
     "q_sim_neardup_lsh" -> qSimNeardupLshSql)
