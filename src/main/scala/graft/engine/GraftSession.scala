@@ -21,6 +21,10 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // custom planning: the spatial-join rewrite (the engine's
+      // ExtractSpatialJoins analogue) registers through the public
+      // extensions API like any third-party Catalyst extension
+      .withExtensions(e => e.injectOptimizerRule(_ => graft.plans.SpatialJoinRewrite()))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled",

@@ -225,6 +225,15 @@ object GeoFunctions {
   def lineInterpolatePoint(line: Column, fraction: Column): Column =
     column(graft.ext.LineInterpolatePoint(expression(line), expression(fraction)))
 
+  /** st_within_distance_km predicate — the spatial-join rewrite contract
+    * (graft.plans.StWithinDistanceKm / SpatialJoinRewrite). */
+  def stWithinDistanceKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column,
+      km: Column): Column =
+    column(graft.plans.StWithinDistanceKm(
+      expression(lat1.cast("double")), expression(lon1.cast("double")),
+      expression(lat2.cast("double")), expression(lon2.cast("double")),
+      expression(km.cast("double"))))
+
   /** great_circle_distance(lat1, lon1, lat2, lon2) → KM
     * (GeoFunctions.java:2100) — pure column arithmetic (codegen'd), the
     * exact formula the oracle replays. */

@@ -301,7 +301,48 @@ object Relational2 {
        FROM c JOIN p ON abs(px - cx) + abs(py - cy) < r
        ORDER BY c_custkey, n_nationkey"""
 
+  /** The spatial join written NAIVELY — a plain inner join on the
+    * st_within_distance_km predicate, no manual binning. The optimizer
+    * rule (graft.plans.SpatialJoinRewrite, injected via
+    * SparkSessionExtensions) rewrites it into the latitude-banded
+    * equi-join; PlanShapeSpec asserts the physical plan carries no
+    * cartesian/nested-loop join. Same oracle device as q_join_spatial
+    * (exact O(n²) SQL) at a different radius. */
+  def q_join_spatial_rule(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GeoFunctions.stWithinDistanceKm
+    val pts = table(s, dir, "customer").filter($"c_custkey" <= 500)
+      .select($"c_custkey".as("id"),
+        (($"c_custkey" % 60) - 30 + 0.5).as("lat"),
+        (($"c_custkey" * 11 % 120) - 60 + 0.5).as("lon"))
+    val a = pts.select($"id".as("id_a"), $"lat".as("lat_a"), $"lon".as("lon_a"))
+    val b = pts.select($"id".as("id_b"), $"lat".as("lat_b"), $"lon".as("lon_b"))
+    a.join(b,
+        stWithinDistanceKm($"lat_a", $"lon_a", $"lat_b", $"lon_b", lit(150.0)) &&
+          $"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        round(graft.functions.GeoFunctions.haversineKm(
+          $"lat_a", $"lon_a", $"lat_b", $"lon_b"), 6).as("dist_km"))
+      .orderBy($"id_a", $"id_b")
+  }
+  val qJoinSpatialRuleSql: String =
+    """WITH p AS (
+         SELECT c_custkey AS id,
+           (c_custkey % 60) - 30 + 0.5 AS lat,
+           (c_custkey * 11 % 120) - 60 + 0.5 AS lon
+         FROM customer WHERE c_custkey <= 500)
+       SELECT a.id AS id_a, b.id AS id_b,
+         round(2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2) +
+           cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2))), 6) AS dist_km
+       FROM p a JOIN p b ON a.id < b.id
+       WHERE 2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2) +
+           cos(radians(a.lat)) * cos(radians(b.lat)) * pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 150
+       ORDER BY id_a, id_b"""
+
   val queries: Map[String, Q] = Map(
+    "q_join_spatial_rule" -> q_join_spatial_rule _,
     "q_recursive_cte" -> q_recursive_cte _,
     "q_join_spatial" -> q_join_spatial _,
     "q_join_spatial_kdb" -> q_join_spatial_kdb _,
@@ -311,6 +352,7 @@ object Relational2 {
     "q_agg_salted" -> q_agg_salted _)
 
   val oracles: Map[String, String] = Map(
+    "q_join_spatial_rule" -> qJoinSpatialRuleSql,
     "q_recursive_cte" -> qRecursiveCteSql,
     "q_join_spatial" -> qJoinSpatialSql,
     "q_join_spatial_kdb" -> qJoinSpatialKdbSql,

@@ -131,6 +131,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(tb.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$tb")
   }
 
+  test("spatial-join optimizer rule: naive distance join becomes a banded equi-join") {
+    // the SparkSessionExtensions-injected SpatialJoinRewrite must turn the
+    // nested-loop st_within_distance_km join into a band-keyed equi-join
+    val plan = physicalPlan(operators.Relational2.q_join_spatial_rule(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"distance join not rewritten:\n$plan")
+    assert(plan.contains("__graft_band"), s"band keys missing from the join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no equi-join operator:\n$plan")
+  }
+
   test("TPC-DS shapes parts 4-5: set ops as joins, full-outer overlap, decorrelated averages") {
     // q38 shape: both INTERSECTs lower to LeftSemi joins over distinct sets
     val hc = physicalPlan(operators.Tpcds4.q_ds_hot_cust(spark, sfDir))
