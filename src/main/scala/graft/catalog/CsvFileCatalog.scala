@@ -108,5 +108,10 @@ object CsvFileCatalog {
       "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
     spark.conf.set("spark.sql.catalog.graft_jdbc.url", url)
     spark.conf.set("spark.sql.catalog.graft_jdbc.driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    // DSv2 JDBC pushdown breadth: aggregates/limits compiled into the
+    // remote SQL where Derby's dialect supports them (the reference's
+    // AggregationPushdown / TopNPushdown connector rules)
+    spark.conf.set("spark.sql.catalog.graft_jdbc.pushDownAggregate", "true")
+    spark.conf.set("spark.sql.catalog.graft_jdbc.pushDownLimit", "true")
   }
 }

@@ -131,4 +131,13 @@ class FederationSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), s"aggregate not pushed remote:\n$plan")
     assert(out.count() == 5)
   }
+  test("DSv2 jdbc catalog pushes aggregates into the remote query") {
+    graft.catalog.CsvFileCatalog.ensureJdbcCatalog(spark, sfDir)
+    val df = spark.sql(
+      "SELECT count(*) AS n, max(o_totalprice) AS mx FROM graft_jdbc.APP.ORDERS")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates") || plan.contains("PushedAggregation"),
+      s"aggregate not pushed to the JDBC source:\n$plan")
+    assert(df.head.getLong(0) > 0)
+  }
 }
