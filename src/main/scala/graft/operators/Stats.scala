@@ -15,14 +15,24 @@ import org.apache.spark.sql.types.DecimalType
   * distinguish float representations even when values compare ==, so the
   * oracle-facing schema carries no floats at all):
   *  - normal_cdf: COLUMN-arithmetic erf (A&S 7.1.26 constants) whose exact
-  *    formula the oracle replays, emitted as round(x*1e9)::BIGINT.
+  *    formula the oracle replays, emitted as round(x*1e9)::BIGINT. Round 7
+  *    still hash-failed here because exp(-z²) went through each engine's
+  *    libm (1-ulp exp differences flip round(x*1e9) near .5 boundaries), so
+  *    round 8 replaces it with [[expReplay]]: integer range reduction to a
+  *    26-literal e^-m table + order-13 Taylor on |r|≤0.5 — only IEEE
+  *    +,-,*,/ on identical trees, which both engines round identically, so
+  *    the value is BIT-identical, not merely close.
   *  - cos_dist: round(x*1e12)::BIGINT — a tiny negative (parallel vectors,
   *    1 - ratio ≈ -1e-16) rounds to 0 on both engines once integral.
   *  - inverse_normal_cdf (Acklam + Halley, ext.StatExpressions): pinned by
   *    the cdf(inverse(p)) ≈ p round-trip at 1e-6 (the forward column cdf is
   *    A&S-accuracy 1.5e-7).
   *  - beta_cdf (Lentz continued fraction): checked against CLOSED FORMS at
-  *    integer parameters — I_x(1,1)=x, I_x(2,1)=x², I_x(2,2)=3x²−2x³.
+  *    integer parameters — I_x(1,1)=x, I_x(2,1)=x², I_x(2,2)=3x²−2x³ — as
+  *    tight BOOLEAN asserts (|cf − closed form| < 1e-12; observed error is
+  *    ~1e-15). Scaled-BIGINT emission was abandoned in round 8: the
+  *    continued fraction's convergence error vs the closed form is real,
+  *    so round(cf*1e9) can land one integer off the oracle's closed form.
   *  - binomial_cdf at p=1/2: every term is exact dyadic → raw hash equality.
   *  - dot/byte arithmetic: exact integer/decimal → raw equality.
   */
@@ -39,15 +49,51 @@ object Stats {
     column(graft.ext.BinomialCdf(expression(n.cast("int")),
       expression(p.cast("double")), expression(k.cast("int"))))
 
+  /** e^-m for m = 0..25 (shortest round-trip literals: Scala's and
+    * DuckDB's decimal→double parsing are both correctly rounded, so each
+    * literal denotes the SAME bits in both engines). */
+  private val ExpNegM: Seq[Double] = Seq(
+    1.0, 0.36787944117144233, 0.1353352832366127, 0.049787068367863944,
+    0.01831563888873418, 0.006737946999085467, 0.0024787521766663585,
+    0.0009118819655545162, 0.00033546262790251185, 0.00012340980408667956,
+    4.5399929762484854e-05, 1.670170079024566e-05, 6.14421235332821e-06,
+    2.2603294069810542e-06, 8.315287191035679e-07, 3.059023205018258e-07,
+    1.1253517471925912e-07, 4.139937718785167e-08, 1.522997974471263e-08,
+    5.602796437537268e-09, 2.061153622438558e-09, 7.582560427911907e-10,
+    2.7894680928689246e-10, 1.026187963170189e-10, 3.775134544279098e-11,
+    1.3887943864964021e-11)
+
+  /** Bit-reproducible exp for w ∈ [-25, 0]: m = floor(w + 0.5) (integer),
+    * e^m from the literal table, e^r for r = w − m ∈ [-0.5, 0.5] by
+    * order-13 Taylor in Horner form. Every operation is IEEE-754
+    * +,-,*,/ on an identical expression tree, so Spark and the DuckDB
+    * oracle produce the SAME double — no libm involved. */
+  def expReplay(w: Column): Column = {
+    val m = floor(w + lit(0.5))
+    val r = w - m
+    val er = lit(1.0) + r * (lit(1.0) + (r / 2) * (lit(1.0) + (r / 3) *
+      (lit(1.0) + (r / 4) * (lit(1.0) + (r / 5) * (lit(1.0) + (r / 6) *
+      (lit(1.0) + (r / 7) * (lit(1.0) + (r / 8) * (lit(1.0) + (r / 9) *
+      (lit(1.0) + (r / 10) * (lit(1.0) + (r / 11) * (lit(1.0) + (r / 12) *
+      (lit(1.0) + r / 13))))))))))))
+    val em = element_at(array(ExpNegM.map(lit): _*), (lit(1) - m).cast("int"))
+    em * er
+  }
+
   /** normal_cdf in pure column arithmetic: erf via the A&S 7.1.26 rational
-    * kernel — every constant appears verbatim in the oracle replay. */
+    * kernel over [[expReplay]] — every constant and operation appears
+    * verbatim in the oracle replay, so the double is bit-identical across
+    * engines. z > 5 is capped at erf = 1 (the formula value there rounds
+    * to 1e9 at the emission scale anyway; the cap keeps expReplay's
+    * argument in its reduced range). */
   def normalCdf(mean: Column, sd: Column, v: Column): Column = {
     val x = (v - mean) / (sd * sqrt(lit(2.0)))
     val z = abs(x)
     val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * z)
     val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) +
       t * (lit(1.421413741) + t * (lit(-1.453152027) + t * lit(1.061405429)))))
-    val erfAbs = lit(1.0) - poly * exp(-z * z)
+    val erfAbs = when(z > 5.0, lit(1.0))
+      .otherwise(lit(1.0) - poly * expReplay(-z * z))
     val erf = when(x >= 0, erfAbs).otherwise(-erfAbs)
     (lit(1.0) + erf) / 2.0
   }
@@ -88,9 +134,11 @@ object Stats {
         round(normalCdf($"mean", $"sd", $"v") * 1e9).cast("long").as("ncdf_e9"),
         (abs(normalCdf($"mean", $"sd",
           inverseNormalCdf($"mean", $"sd", $"p")) - $"p") < 1e-6).as("inv_roundtrip_ok"),
-        round(betaCdf(lit(1.0), lit(1.0), $"xb") * 1e9).cast("long").as("beta11_e9"),
-        round(betaCdf(lit(2.0), lit(1.0), $"xb") * 1e9).cast("long").as("beta21_e9"),
-        round(betaCdf(lit(2.0), lit(2.0), $"xb") * 1e9).cast("long").as("beta22_e9"),
+        (abs(betaCdf(lit(1.0), lit(1.0), $"xb") - $"xb") < 1e-12).as("beta11_ok"),
+        (abs(betaCdf(lit(2.0), lit(1.0), $"xb") - $"xb" * $"xb") < 1e-12).as("beta21_ok"),
+        (abs(betaCdf(lit(2.0), lit(2.0), $"xb") -
+          (lit(3.0) * $"xb" * $"xb" - lit(2.0) * $"xb" * $"xb" * $"xb")) < 1e-12)
+          .as("beta22_ok"),
         (betaCdf(lit(2.5), lit(1.5), $"xb") <= betaCdf(lit(2.5), lit(1.5), $"xb" + 0.05))
           .as("beta_monotone_ok"),
         // p = 1/2: every partial sum is an exact multiple of 2^-16, so
@@ -128,17 +176,41 @@ object Stats {
            tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
              + tt * (-1.453152027 + tt * 1.061405429)))) AS poly
          FROM f),
+       -- bit-reproducible exp(-z*z): m = floor(w+0.5), e^m from literal
+       -- table, e^r Taylor-13 — the Spark side computes the IDENTICAL
+       -- IEEE expression tree (Stats.expReplay), no libm on either engine
+       g1 AS (
+         SELECT *, floor(-z * z + 0.5) AS em_m, (-z * z) - floor(-z * z + 0.5) AS em_r
+         FROM g),
+       g2 AS (
+         SELECT *,
+           [1.0, 0.36787944117144233, 0.1353352832366127, 0.049787068367863944,
+            0.01831563888873418, 0.006737946999085467, 0.0024787521766663585,
+            0.0009118819655545162, 0.00033546262790251185, 0.00012340980408667956,
+            4.5399929762484854e-05, 1.670170079024566e-05, 6.14421235332821e-06,
+            2.2603294069810542e-06, 8.315287191035679e-07, 3.059023205018258e-07,
+            1.1253517471925912e-07, 4.139937718785167e-08, 1.522997974471263e-08,
+            5.602796437537268e-09, 2.061153622438558e-09, 7.582560427911907e-10,
+            2.7894680928689246e-10, 1.026187963170189e-10, 3.775134544279098e-11,
+            1.3887943864964021e-11][CAST(1 - em_m AS INT)]
+           * (1.0 + em_r * (1.0 + (em_r / 2) * (1.0 + (em_r / 3) *
+              (1.0 + (em_r / 4) * (1.0 + (em_r / 5) * (1.0 + (em_r / 6) *
+              (1.0 + (em_r / 7) * (1.0 + (em_r / 8) * (1.0 + (em_r / 9) *
+              (1.0 + (em_r / 10) * (1.0 + (em_r / 11) * (1.0 + (em_r / 12) *
+              (1.0 + em_r / 13))))))))))))) AS expzz
+         FROM g1),
        h AS (
          SELECT *,
-           CASE WHEN x >= 0 THEN 1.0 - poly * exp(-z * z)
-                ELSE -(1.0 - poly * exp(-z * z)) END AS erf
-         FROM g)
+           CASE WHEN x >= 0
+                THEN (CASE WHEN z > 5.0 THEN 1.0 ELSE 1.0 - poly * expzz END)
+                ELSE -(CASE WHEN z > 5.0 THEN 1.0 ELSE 1.0 - poly * expzz END) END AS erf
+         FROM g2)
        SELECT c_custkey,
          CAST(round((1.0 + erf) / 2.0 * 1e9) AS BIGINT) AS ncdf_e9,
          TRUE AS inv_roundtrip_ok,
-         CAST(round(xb * 1e9) AS BIGINT) AS beta11_e9,
-         CAST(round(xb * xb * 1e9) AS BIGINT) AS beta21_e9,
-         CAST(round((3 * xb * xb - 2 * xb * xb * xb) * 1e9) AS BIGINT) AS beta22_e9,
+         TRUE AS beta11_ok,
+         TRUE AS beta21_ok,
+         TRUE AS beta22_ok,
          TRUE AS beta_monotone_ok,
          -- p = 1/2: every term C(16,j)/2^16 is exact dyadic, so the sum
          -- times 65536 is an exact integer on both engines.
