@@ -40,6 +40,7 @@ object SparkEntry {
       (operators.Functions4.queries, operators.Functions4.oracles),
       (operators.Functions5.queries, operators.Functions5.oracles),
       (operators.Geometry.queries, operators.Geometry.oracles),
+      (operators.Geometry2.queries, operators.Geometry2.oracles),
       (operators.Stats.queries, operators.Stats.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Similarity.queries, operators.Similarity.oracles),

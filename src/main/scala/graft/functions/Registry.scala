@@ -605,6 +605,50 @@ object Registry {
         L("POINT ("), C(C(x, TD), TS), L(" "), C(C(y, TD), TS), L(")"))))
       reg("st_centroid")(es => pointOf(GeomCentroid(es(0), 0), GeomCentroid(es(0), 1)))
       reg("st_point")(es => pointOf(es(0), es(1)))
+
+      // ---- breadth step 3 (ext.GeoOps3): constructors, converters,
+      // combiners, canonical forms (reference citations in GeoOps3.scala)
+      reg("st_linefromtext")(es => GeomGenParse(es(0), "st_line_from_text"))
+      reg("st_geomfromewkt")(es => GeomGenParse(es(0), "st_geom_from_ewkt"))
+      reg("st_geomfromkml")(es => GeomGenParse(es(0), "st_geom_from_kml"))
+      reg("from_encoded_polyline")(es => GeomGenParse(es(0), "from_encoded_polyline"))
+      reg("st_force2d")(es => GeomGen1(es(0), "force2d"))
+      reg("st_multi")(es => GeomGen1(es(0), "multi"))
+      reg("st_normalize")(es => GeomGen1(es(0), "normalize"))
+      reg("st_linemerge")(es => GeomGen1(es(0), "line_merge"))
+      reg("st_pointonsurface")(es => GeomGen1(es(0), "point_on_surface"))
+      reg("st_orientedenvelope")(es => GeomGen1(es(0), "oriented_envelope"))
+      reg("st_minimumboundingcircle")(es => GeomGen1(es(0), "minimum_bounding_circle"))
+      reg("st_geometries")(es => GeomGen1Arr(es(0), "geometries"))
+      reg("st_interiorrings")(es => GeomGen1Arr(es(0), "interior_rings"))
+      reg("st_envelopeaspts")(es => GeomGen1Arr(es(0), "envelope_as_pts"))
+      reg("st_collect")(es =>
+        if (es.length == 2) GeomCollect2(es(0), es(1))
+        else GeomGenArr1(es(0), "st_collect"))
+      reg("st_makeline")(es =>
+        if (es.length == 2) GeomGenArr1(
+          org.apache.spark.sql.catalyst.expressions.CreateArray(es), "st_make_line")
+        else GeomGenArr1(es(0), "st_make_line"))
+      reg("st_makepolygon")(es =>
+        if (es.length == 2) GeomMakePolygon(es(0), es(1))
+        else GeomMakePolygon(es(0),
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            Array.empty[Any],
+            org.apache.spark.sql.types.ArrayType(Wkt.geometryType, containsNull = false))))
+      reg("st_polygonize")(es => GeomGenArr1(es(0), "st_polygonize"))
+      reg("geometry_union")(es => GeomGenArr1(es(0), "geometry_union"))
+      reg("st_srid")(es => GeomGenScalar(es(0), "srid"))
+      reg("st_setsrid")(es => GeomSetSrid(es(0), C(es(1), TI)))
+      reg("st_z")(es => GeomGenScalar(es(0), "z"))
+      reg("st_issimple")(es => GeomGenScalar(es(0), "is_simple"))
+      reg("st_asewkt")(es => GeomGenScalar(es(0), "as_ewkt"))
+      // EWKB == WKB at SRID 0 (GeoFunctions.java:587 serializes without a
+      // CRS flag for untagged geometry)
+      reg("st_asewkb")(es => GeomAsBinary(es(0)))
+      reg("to_encoded_polyline")(es => GeomGenScalar(es(0), "to_encoded_polyline"))
+      reg("st_reduceprecision")(es => GeomReducePrecision(es(0), C(es(1), TD)))
+      reg("line_interpolate_points")(es => LineInterpolatePoints(es(0), C(es(1), TD)))
+      reg("geometry_nearest_points")(es => GeomNearestPoints(es(0), es(1)))
     }
   }
 }
