@@ -53,6 +53,7 @@ object SparkEntry {
       (operators.Federation.queries, operators.Federation.oracles),
       (operators.DeltaQueries.queries, operators.DeltaQueries.oracles),
       (operators.IcebergQueries.queries, operators.IcebergQueries.oracles),
+      (operators.HudiQueries.queries, operators.HudiQueries.oracles),
       (operators.Dialect.queries, operators.Dialect.oracles),
       (operators.Misc.queries, operators.Misc.oracles))
 

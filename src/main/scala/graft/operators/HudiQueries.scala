@@ -1,0 +1,142 @@
+package graft.operators
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hudi COPY_ON_WRITE interop queries (see graft.catalog.HudiRead for the
+  * layout reader; reference plugin/trino-hudi). The fixture IS a real Hudi
+  * CoW layout written file-by-file against the public naming rules: commit 0
+  * writes one file group per `pk` partition; commit 1 upserts file group 0
+  * (a NEW SLICE of the same fileId — the old base file stays on disk); an
+  * INFLIGHT instant leaves an uncommitted base file behind. A naive
+  * "read all parquet under the directory" scan double-counts group 0 AND
+  * leaks the uncommitted file; the snapshot read must pick exactly the
+  * latest completed slice per file group. */
+object HudiQueries {
+
+  private val C0 = "20260814000000"
+  private val C1 = "20260814000100"
+  private val INFLIGHT = "20260814000200"
+
+  /** Build (idempotently) a partitioned Hudi CoW table from the supplier
+    * fixture. Partition: pk = s_suppkey % 3 (hive-style dirs, partition
+    * field kept in the data files like Hudi does); upsert at C1 deletes
+    * s_suppkey % 7 = 0 rows from group 0 and doubles their s_acctbal. */
+  private def buildHudiSupplier(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new File(System.getProperty("java.io.tmpdir"),
+      s"graft_hudi_supplier_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val marker = new File(root, s".hoodie/$C1.commit")
+    if (marker.exists()) return root.getAbsolutePath
+    def deleteTree(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+      f.delete()
+    }
+    deleteTree(root)
+    new File(root, ".hoodie").mkdirs()
+
+    Files.write(Paths.get(root.getAbsolutePath, ".hoodie", "hoodie.properties"),
+      ("hoodie.table.name=supplier_hudi\n" +
+        "hoodie.table.type=COPY_ON_WRITE\n" +
+        "hoodie.table.version=6\n").getBytes(StandardCharsets.UTF_8))
+
+    val supplier = table(s, dir, "supplier")
+      .withColumn("pk", ($"s_suppkey" % 3).cast("int"))
+
+    def fileId(g: Int) = f"00000000-0000-0000-0000-${g}%012d-0"
+
+    /** Write one base file for a file group; returns nothing (name fixed). */
+    def writeSlice(df: DataFrame, g: Int, token: String, instant: String): Unit = {
+      val stage = new File(root, s"_stage_${g}_$instant")
+      df.withColumn("_hoodie_commit_time", lit(instant))
+        .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = Option(stage.listFiles()).getOrElse(Array.empty)
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new File(root, s"pk=$g/${fileId(g)}_${token}_$instant.parquet")
+      dest.getParentFile.mkdirs()
+      Files.move(part.toPath, dest.toPath)
+      deleteTree(stage)
+    }
+
+    // commit 0: one file group per partition
+    for (g <- 0 until 3)
+      writeSlice(supplier.filter($"pk" === g), g, "0-0-0", C0)
+    Files.write(Paths.get(root.getAbsolutePath, ".hoodie", s"$C0.commit"),
+      s"""{"partitionToWriteStats":{},"operationType":"BULK_INSERT"}"""
+        .getBytes(StandardCharsets.UTF_8))
+
+    // commit 1: upsert rewrites file group 0 as a NEW SLICE (same fileId,
+    // later instant) — the C0 base file is left on disk, as Hudi leaves it
+    // until a clean
+    writeSlice(
+      supplier.filter($"pk" === 0 && $"s_suppkey" % 7 =!= 0)
+        .withColumn("s_acctbal", $"s_acctbal" * 2),
+      g = 0, token = "0-1-0", instant = C1)
+    Files.write(Paths.get(root.getAbsolutePath, ".hoodie", s"$C1.commit"),
+      s"""{"partitionToWriteStats":{},"operationType":"UPSERT"}"""
+        .getBytes(StandardCharsets.UTF_8))
+
+    // an inflight instant with its base file already on disk: must stay
+    // invisible (filterCompletedInstants)
+    writeSlice(supplier.filter($"pk" === 1).limit(3), g = 1, token = "0-2-0",
+      instant = INFLIGHT)
+    Files.write(Paths.get(root.getAbsolutePath, ".hoodie", s"$INFLIGHT.inflight"),
+      Array.empty[Byte])
+    root.getAbsolutePath
+  }
+
+  /** Snapshot read after the upsert: group 0 comes from the C1 slice only. */
+  def q_fed_hudi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = buildHudiSupplier(s, dir)
+    graft.catalog.HudiRead.readTable(s, path)
+      .groupBy($"pk", $"_hoodie_commit_time")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec($"s_acctbal"))).as("bal"),
+        sum($"s_suppkey").as("key_sum"))
+      .orderBy($"pk")
+  }
+  val qFedHudiSql: String =
+    """WITH sup AS (SELECT *, CAST(s_suppkey % 3 AS INT) AS pk FROM supplier),
+       snap AS (
+         SELECT pk, '20260814000100' AS _hoodie_commit_time,
+                s_suppkey, s_acctbal * 2 AS s_acctbal
+         FROM sup WHERE pk = 0 AND s_suppkey % 7 <> 0
+         UNION ALL
+         SELECT pk, '20260814000000', s_suppkey, s_acctbal
+         FROM sup WHERE pk <> 0)
+       SELECT pk, _hoodie_commit_time, count(*) AS n,
+              CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal,
+              CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+       FROM snap GROUP BY pk, _hoodie_commit_time ORDER BY pk"""
+
+  /** Time travel to the first commit: the upsert and the inflight file are
+    * both invisible. */
+  def q_fed_hudi_timetravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = buildHudiSupplier(s, dir)
+    graft.catalog.HudiRead.readTable(s, path, asOf = Some(C0))
+      .groupBy($"pk")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec($"s_acctbal"))).as("bal"),
+        countDistinct($"_hoodie_commit_time").as("commits"))
+      .orderBy($"pk")
+  }
+  val qFedHudiTimetravelSql: String =
+    """SELECT CAST(s_suppkey % 3 AS INT) AS pk, count(*) AS n,
+              CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal,
+              CAST(1 AS BIGINT) AS commits
+       FROM supplier GROUP BY 1 ORDER BY pk"""
+
+  type Q = (SparkSession, String) => DataFrame
+  val queries: Map[String, Q] = Map(
+    "q_fed_hudi" -> q_fed_hudi _,
+    "q_fed_hudi_timetravel" -> q_fed_hudi_timetravel _)
+  val oracles: Map[String, String] = Map(
+    "q_fed_hudi" -> qFedHudiSql,
+    "q_fed_hudi_timetravel" -> qFedHudiTimetravelSql)
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Layout-level spec for graft.catalog.HudiRead: a hand-authored Hudi CoW
+  * table (public .hoodie timeline + FSUtils base-file naming) must resolve
+  * the latest completed file slice per file group, hide uncommitted
+  * instants, honor time travel, and refuse the unsupported layouts loudly
+  * instead of misreading. */
+class HudiReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTable(name: String, tableType: String = "COPY_ON_WRITE"): File = {
+    val root = new File(System.getProperty("java.io.tmpdir"), s"graft_hudispec_$name")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    new File(root, ".hoodie").mkdirs()
+    Files.write(Paths.get(root.getAbsolutePath, ".hoodie", "hoodie.properties"),
+      s"hoodie.table.name=$name\nhoodie.table.type=$tableType\n"
+        .getBytes(StandardCharsets.UTF_8))
+    root
+  }
+
+  private def writeBase(root: File, part: String, fileId: String, token: String,
+      instant: String, values: Seq[Int]): Unit = {
+    val stage = new File(root, "_stage")
+    values.toDF("v").coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val pf = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new File(root,
+      (if (part.isEmpty) "" else s"$part/") + s"${fileId}_${token}_$instant.parquet")
+    dest.getParentFile.mkdirs()
+    Files.move(pf.toPath, dest.toPath)
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(stage)
+  }
+
+  private def commit(root: File, instant: String): Unit =
+    Files.write(Paths.get(root.getAbsolutePath, ".hoodie", s"$instant.commit"),
+      "{}".getBytes(StandardCharsets.UTF_8))
+
+  private val FID = "abc12345-0000-0000-0000-000000000000-0"
+
+  test("latest completed slice wins; uncommitted slice invisible") {
+    val root = newTable("slices")
+    writeBase(root, "", FID, "0-0-0", "001", Seq(1, 2, 3))
+    writeBase(root, "", FID, "0-1-0", "002", Seq(10, 20)) // upsert rewrite
+    writeBase(root, "", FID, "0-2-0", "003", Seq(99)) // inflight
+    commit(root, "001"); commit(root, "002")
+    Files.write(Paths.get(root.getAbsolutePath, ".hoodie", "003.inflight"),
+      Array.empty[Byte])
+    val got = graft.catalog.HudiRead.readTable(spark, root.getAbsolutePath)
+      .as[Int].collect().sorted
+    assert(got.toSeq == Seq(10, 20))
+  }
+
+  test("time travel reads the older slice; missing instant refused") {
+    val root = newTable("travel")
+    writeBase(root, "p=1", FID, "0-0-0", "001", Seq(1, 2))
+    writeBase(root, "p=1", FID, "0-1-0", "002", Seq(5))
+    commit(root, "001"); commit(root, "002")
+    val asOf = graft.catalog.HudiRead
+      .readTable(spark, root.getAbsolutePath, asOf = Some("001"))
+      .as[Int].collect().sorted
+    assert(asOf.toSeq == Seq(1, 2))
+    val e = intercept[IllegalArgumentException] {
+      graft.catalog.HudiRead.readTable(spark, root.getAbsolutePath, asOf = Some("000"))
+    }
+    assert(e.getMessage.contains("no completed Hudi instant"))
+  }
+
+  test("separate file groups both contribute") {
+    val root = newTable("groups")
+    writeBase(root, "p=1", FID, "0-0-0", "001", Seq(1))
+    writeBase(root, "p=2", "def99999-0000-0000-0000-000000000000-0",
+      "0-0-0", "001", Seq(2))
+    commit(root, "001")
+    val got = graft.catalog.HudiRead.readTable(spark, root.getAbsolutePath)
+      .as[Int].collect().sorted
+    assert(got.toSeq == Seq(1, 2))
+  }
+
+  test("MERGE_ON_READ, replacecommit, and 1.x timeline are refused loudly") {
+    val mor = newTable("mor", tableType = "MERGE_ON_READ")
+    writeBase(mor, "", FID, "0-0-0", "001", Seq(1))
+    commit(mor, "001")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.catalog.HudiRead.readTable(spark, mor.getAbsolutePath)
+    }
+    assert(e1.getMessage.contains("MERGE_ON_READ") || e1.getMessage.contains("COPY_ON_WRITE"))
+
+    val rc = newTable("replace")
+    writeBase(rc, "", FID, "0-0-0", "001", Seq(1))
+    commit(rc, "001")
+    Files.write(Paths.get(rc.getAbsolutePath, ".hoodie", "002.replacecommit"),
+      "{}".getBytes(StandardCharsets.UTF_8))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.catalog.HudiRead.readTable(spark, rc.getAbsolutePath)
+    }
+    assert(e2.getMessage.contains("replacecommit"))
+
+    val v1x = newTable("v1x")
+    new File(v1x, ".hoodie/timeline").mkdirs()
+    val e3 = intercept[IllegalArgumentException] {
+      graft.catalog.HudiRead.readTable(spark, v1x.getAbsolutePath)
+    }
+    assert(e3.getMessage.contains("timeline"))
+  }
+}
