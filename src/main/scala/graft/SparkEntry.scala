@@ -45,6 +45,7 @@ object SparkEntry {
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Similarity.queries, operators.Similarity.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
+      (operators.TextPipeline.queries, operators.TextPipeline.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.Ml.queries, operators.Ml.oracles),
       (operators.Ai.queries, operators.Ai.oracles),

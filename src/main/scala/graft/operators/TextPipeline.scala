@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond dedup/quality (SURVEY.md LLM
+  * extensions; same oracle discipline as TextAnalysis): document CHUNKING
+  * into overlapping token windows (the unit a tokenizer/embedding stage
+  * consumes), PII SCRUBBING via deterministic mask rewriting, and benchmark
+  * CONTAMINATION detection by n-gram overlap against a held-out set.
+  *
+  * Scale notes: chunking is a pure map + in-row explode (no shuffle);
+  * scrubbing is a codegen'd regexp_replace chain (no shuffle);
+  * contamination builds the benchmark shingle set — sublinear in the
+  * corpus, it is the HELD-OUT suite — and broadcast-joins it against
+  * corpus shingles, so the corpus is read once and never shuffled on text. */
+object TextPipeline {
+
+  private val ChunkSize = 32
+  private val Stride = 24
+
+  /** Overlapping token-window chunking: size 32, stride 24 (8-token
+    * overlap), short tail kept. One output row per chunk. */
+  def q_text_chunking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = table(s, dir, "documents")
+      .filter($"doc_id" < 300)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n", size($"toks"))
+      .withColumn("n_chunks",
+        when($"n" <= ChunkSize, lit(1))
+          .otherwise(floor(($"n" - ChunkSize + Stride - 1) / lit(Stride)) + 1)
+          .cast("int"))
+      .withColumn("chunk_id", explode(sequence(lit(0), $"n_chunks" - 1)))
+      .withColumn("chunk", slice($"toks", $"chunk_id" * Stride + 1, lit(ChunkSize)))
+    t.select($"doc_id", $"chunk_id", $"n_chunks",
+        size($"chunk").cast("long").as("chunk_tokens"),
+        concat_ws(" ", $"chunk").as("chunk_text"),
+        // stride < size ⇒ consecutive chunks share (size − stride) tokens;
+        // emit the overlap region so the oracle pins the window arithmetic
+        concat_ws(" ", slice($"toks", $"chunk_id" * Stride + 1, lit(ChunkSize - Stride)))
+          .as("overlap_with_prev"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  val qTextChunkingSql: String =
+    s"""WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS toks,
+                len(string_split(text, ' ')) AS n
+         FROM documents WHERE doc_id < 300),
+       c AS (
+         SELECT doc_id, toks, n,
+           CASE WHEN n <= $ChunkSize THEN 1
+                ELSE CAST((n - $ChunkSize + $Stride - 1) // $Stride + 1 AS INT)
+           END AS n_chunks
+         FROM t),
+       e AS (
+         SELECT doc_id, toks, n_chunks,
+                CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+         FROM c)
+       SELECT doc_id, chunk_id, n_chunks,
+         CAST(len(toks[chunk_id * $Stride + 1 : chunk_id * $Stride + $ChunkSize]) AS BIGINT) AS chunk_tokens,
+         array_to_string(toks[chunk_id * $Stride + 1 : chunk_id * $Stride + $ChunkSize], ' ') AS chunk_text,
+         array_to_string(toks[chunk_id * $Stride + 1 : chunk_id * $Stride + ${ChunkSize - Stride}], ' ') AS overlap_with_prev
+       FROM e ORDER BY doc_id, chunk_id"""
+
+  /** PII scrubbing: deterministic synthetic PII (email/phone/IPv4 derived
+    * from doc_id) is injected, then masked by a regexp_replace chain; the
+    * oracle injects and scrubs with the same patterns. */
+  def q_text_pii_scrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = table(s, dir, "documents")
+      .filter($"doc_id" < 400)
+      .withColumn("pii_text", concat($"text",
+        lit(" contact user"), $"doc_id", lit("@example.com"),
+        lit(" or +1-555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), ($"doc_id" % 256).cast("string"),
+        lit(".0."), (($"doc_id" * 7) % 256).cast("string")))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($"pii_text",
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+            "\\+1-555-[0-9]{4}", "[PHONE]"),
+          "10\\.[0-9]{1,3}\\.0\\.[0-9]{1,3}", "[IP]"))
+    t.select($"doc_id",
+        length($"pii_text").cast("long").as("len_with_pii"),
+        length($"scrubbed").cast("long").as("len_scrubbed"),
+        ($"scrubbed").contains("[EMAIL]").as("email_masked"),
+        ($"scrubbed").contains("[PHONE]").as("phone_masked"),
+        ($"scrubbed").contains("[IP]").as("ip_masked"),
+        (!$"scrubbed".contains("@example.com")).as("no_email_left"),
+        substring_index($"scrubbed", " ", -4).as("tail"))
+      .orderBy($"doc_id")
+  }
+  val qTextPiiScrubSql: String =
+    """WITH t AS (
+         SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com'
+                || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS pii_text
+         FROM documents WHERE doc_id < 400),
+       sc AS (
+         SELECT doc_id, pii_text,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(pii_text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\+1-555-[0-9]{4}', '[PHONE]', 'g'),
+             '10\.[0-9]{1,3}\.0\.[0-9]{1,3}', '[IP]', 'g') AS scrubbed
+         FROM t)
+       SELECT doc_id,
+         CAST(length(pii_text) AS BIGINT) AS len_with_pii,
+         CAST(length(scrubbed) AS BIGINT) AS len_scrubbed,
+         contains(scrubbed, '[EMAIL]') AS email_masked,
+         contains(scrubbed, '[PHONE]') AS phone_masked,
+         contains(scrubbed, '[IP]') AS ip_masked,
+         NOT contains(scrubbed, '@example.com') AS no_email_left,
+         array_to_string(string_split(scrubbed, ' ')[-4:], ' ') AS tail
+       FROM sc ORDER BY doc_id"""
+
+  private val Gram = 8
+
+  /** Benchmark-contamination scan: docs with doc_id % 50 = 0 form the
+    * held-out suite; any other doc sharing an 8-token shingle with it is
+    * contaminated. The benchmark shingle set is DISTINCT-reduced and
+    * broadcast; the corpus side streams its shingles through the hash join
+    * without a shuffle of the corpus. */
+  def q_text_contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def shingled(df: DataFrame): DataFrame = df
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n", size($"toks"))
+      .filter($"n" >= Gram)
+      .withColumn("i", explode(sequence(lit(0), $"n" - Gram)))
+      .withColumn("shingle", concat_ws(" ", slice($"toks", $"i" + 1, lit(Gram))))
+    val docs = table(s, dir, "documents")
+    val bench = shingled(docs.filter($"doc_id" % 50 === 0))
+      .select($"shingle").distinct()
+    val corpus = shingled(docs.filter($"doc_id" % 50 =!= 0))
+      .select($"doc_id", $"shingle")
+    corpus.join(broadcast(bench), "shingle")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"shingle").as("hit_shingles"))
+      .join(docs.filter($"doc_id" % 50 =!= 0).select($"doc_id"), Seq("doc_id"), "right")
+      .select($"doc_id",
+        coalesce($"hit_shingles", lit(0L)).as("hit_shingles"),
+        ($"hit_shingles".isNotNull).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+  val qTextContaminationSql: String =
+    s"""WITH sh AS (
+         SELECT doc_id,
+                string_split(text, ' ') AS toks,
+                len(string_split(text, ' ')) AS n
+         FROM documents),
+       g AS (
+         SELECT doc_id,
+                array_to_string(toks[i + 1 : i + $Gram], ' ') AS shingle
+         FROM (SELECT doc_id, toks, CAST(unnest(range(0, n - $Gram + 1)) AS INT) AS i
+               FROM sh WHERE n >= $Gram)),
+       bench AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 50 = 0),
+       hits AS (
+         SELECT g.doc_id, count(DISTINCT g.shingle) AS hit_shingles
+         FROM g JOIN bench USING (shingle)
+         WHERE g.doc_id % 50 <> 0
+         GROUP BY g.doc_id)
+       SELECT d.doc_id,
+              COALESCE(h.hit_shingles, 0) AS hit_shingles,
+              h.hit_shingles IS NOT NULL AS contaminated
+       FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+       LEFT JOIN hits h ON d.doc_id = h.doc_id
+       ORDER BY d.doc_id"""
+
+  type Q = (SparkSession, String) => DataFrame
+  val queries: Map[String, Q] = Map(
+    "q_text_chunking" -> q_text_chunking _,
+    "q_text_pii_scrub" -> q_text_pii_scrub _,
+    "q_text_contamination" -> q_text_contamination _)
+  val oracles: Map[String, String] = Map(
+    "q_text_chunking" -> qTextChunkingSql,
+    "q_text_pii_scrub" -> qTextPiiScrubSql,
+    "q_text_contamination" -> qTextContaminationSql)
+}
