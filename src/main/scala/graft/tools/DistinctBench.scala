@@ -32,6 +32,25 @@ object DistinctBench {
       .orderBy($"l_returnflag")
   }
 
+  /** Three independent single-distinct aggregates (no Expand anywhere; each
+    * single countDistinct plans as partial-distinct + count), joined on the
+    * 4-row group key. */
+  def splitPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = graft.operators.table(s, dir, "lineitem")
+    val supp = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_suppkey").as("n_supp"))
+    val part = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_part"))
+    val pairs = li.groupBy($"l_returnflag", $"l_suppkey", $"l_partkey")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_supp_part"), sum($"n").as("n_rows"))
+    supp.join(part, "l_returnflag").join(pairs, "l_returnflag")
+      .select($"l_returnflag", $"n_supp", $"n_part", $"n_supp_part", $"n_rows")
+      .orderBy($"l_returnflag")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.GraftSession.builder(master = "local[8]", shufflePartitions = 16)
@@ -50,8 +69,11 @@ object DistinctBench {
     val a = expandPlan(spark, dir).collect().toSeq
     val b = preaggPlan(spark, dir).collect().toSeq
     require(a.map(_.toString) == b.map(_.toString), s"plans disagree:\n$a\n$b")
+    val c = splitPlan(spark, dir).collect().toSeq
+    require(a.map(_.toString) == c.map(_.toString), s"split disagrees:\n$a\n$c")
     time("expand  ", expandPlan(spark, dir))
     time("preagg  ", preaggPlan(spark, dir))
+    time("split   ", splitPlan(spark, dir))
     spark.stop()
   }
 }
