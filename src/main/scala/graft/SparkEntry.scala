@@ -46,6 +46,7 @@ object SparkEntry {
       (operators.Similarity.queries, operators.Similarity.oracles),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
       (operators.TextPipeline.queries, operators.TextPipeline.oracles),
+      (operators.Sampling.queries, operators.Sampling.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.Ml.queries, operators.Ml.oracles),
       (operators.Ai.queries, operators.Ai.oracles),
