@@ -32,6 +32,16 @@ object Registry {
     "st_startpoint", "st_endpoint", "st_exteriorring", "st_envelope",
     "st_pointn", "st_geometryn", "st_interiorringn", "simplify_geometry",
     "line_locate_point", "line_interpolate_point", "st_centroid", "st_point",
+    // geometry breadth steps 3-4 (round 8)
+    "st_linefromtext", "st_geomfromewkt", "st_geomfromkml",
+    "from_encoded_polyline", "to_encoded_polyline", "st_force2d", "st_multi",
+    "st_normalize", "st_linemerge", "st_pointonsurface", "st_orientedenvelope",
+    "st_minimumboundingcircle", "st_geometries", "st_interiorrings",
+    "st_envelopeaspts", "st_collect", "st_makeline", "st_makepolygon",
+    "st_polygonize", "geometry_union", "st_srid", "st_setsrid", "st_z",
+    "st_issimple", "st_asewkt", "st_asewkb", "st_reduceprecision",
+    "line_interpolate_points", "geometry_nearest_points",
+    "st_voronoipolygons", "st_relate",
     "set_digest_cardinality", "jaccard_index", "intersection_cardinality",
     "typeof",
     "to_ieee754_64", "from_ieee754_64", "to_ieee754_32", "from_ieee754_32",
@@ -649,6 +659,8 @@ object Registry {
       reg("st_reduceprecision")(es => GeomReducePrecision(es(0), C(es(1), TD)))
       reg("line_interpolate_points")(es => LineInterpolatePoints(es(0), C(es(1), TD)))
       reg("geometry_nearest_points")(es => GeomNearestPoints(es(0), es(1)))
+      reg("st_voronoipolygons")(es => GeomVoronoi(es(0)))
+      reg("st_relate")(es => GeomRelate(es(0), es(1), es(2)))
     }
   }
 }

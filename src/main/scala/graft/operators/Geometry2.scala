@@ -288,13 +288,81 @@ object Geometry2 {
              FROM customer WHERE c_custkey <= 1200)
        ORDER BY c_custkey"""
 
+  /** ST_Relate DE-9IM patterns over every supported operand class, plus
+    * ST_VoronoiPolygons with closed-form cell areas (4-grid → unit cells,
+    * 4-grid + center → 0.5 corner triangles and a 2.0 diamond). */
+  def q_fn_geo_relate_voronoi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.registerAll(s)
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 1200)
+      .withColumn("a", ($"c_custkey" % 5).cast("long"))
+      .withColumn("b", ($"c_custkey" % 7).cast("long"))
+    def sq(x0: String, y0: String, x1: String, y1: String): String =
+      s"st_geometryfromtext(concat('POLYGON ((', $x0, ' ', $y0, ', ', $x1, ' ', $y0, " +
+        s"', ', $x1, ' ', $y1, ', ', $x0, ' ', $y1, ', ', $x0, ' ', $y0, '))'))"
+    val sq1 = sq("a", "b", "a + 2", "b + 2")
+    val sqFar = sq("a + 5", "b + 5", "a + 6", "b + 6")
+    val sqOv = sq("a + 1", "b + 1", "a + 3", "b + 3")
+    val sqIn = sq("concat(a, '.5')", "concat(b, '.5')", "a + 1 || '.5'", "b + 1 || '.5'")
+    val sqTouch = sq("a + 2", "b + 2", "a + 3", "b + 3")
+    val grid4 = "st_collect(array(st_point(a, b), st_point(a + 2, b), " +
+      "st_point(a, b + 2), st_point(a + 2, b + 2)))"
+    val grid5 = "st_collect(array(st_point(a, b), st_point(a + 2, b), " +
+      "st_point(a, b + 2), st_point(a + 2, b + 2), st_point(a + 1, b + 1)))"
+    t.selectExpr(Seq("c_custkey",
+        s"st_relate($sq1, $sqFar, 'FF2FF1212') AS rel_disjoint",
+        s"st_relate($sq1, $sqOv, '212101212') AS rel_overlap",
+        s"st_relate($sq1, $sqOv, 'T********') AS rel_intersects_pat",
+        s"st_relate($sqIn, $sq1, '2FF1FF212') AS rel_within",
+        s"st_relate($sq1, $sqIn, 'T*****FF*') AS rel_contains_pat",
+        s"st_relate($sq1, $sq1, '2FFF1FFF2') AS rel_equals",
+        s"st_relate($sq1, $sqTouch, 'FF2F01212') AS rel_touches",
+        s"st_relate(st_point(a + 1, b + 1), $sq1, '0FFFFF212') AS rel_pt_in",
+        s"st_relate(st_point(a + 9, b), $sq1, 'FF0FFF212') AS rel_pt_out",
+        "st_relate(st_point(a, b), st_point(a, b), '0FFFFFFF2') AS rel_pt_eq",
+        "st_relate(st_point(a, b), st_point(a + 1, b), 'FF0FFF0F2') AS rel_pt_ne",
+        s"st_numgeometries(st_voronoipolygons($grid4)) AS v4_n",
+        s"st_area(st_geometryn(st_voronoipolygons($grid4), 1)) AS v4_cell1",
+        s"st_area(st_geometryn(st_voronoipolygons($grid4), 4)) AS v4_cell4",
+        s"st_area(st_voronoipolygons($grid4)) AS v4_total",
+        s"st_numgeometries(st_voronoipolygons($grid5)) AS v5_n",
+        s"st_area(st_geometryn(st_voronoipolygons($grid5), 1)) AS v5_corner",
+        s"st_area(st_geometryn(st_voronoipolygons($grid5), 5)) AS v5_center",
+        s"st_area(st_voronoipolygons($grid5)) AS v5_total"): _*)
+      .orderBy($"c_custkey")
+  }
+  val qFnGeoRelateVoronoiSql: String =
+    """SELECT c_custkey,
+         TRUE AS rel_disjoint,
+         TRUE AS rel_overlap,
+         TRUE AS rel_intersects_pat,
+         TRUE AS rel_within,
+         TRUE AS rel_contains_pat,
+         TRUE AS rel_equals,
+         TRUE AS rel_touches,
+         TRUE AS rel_pt_in,
+         TRUE AS rel_pt_out,
+         TRUE AS rel_pt_eq,
+         TRUE AS rel_pt_ne,
+         4 AS v4_n,
+         1.0 AS v4_cell1,
+         1.0 AS v4_cell4,
+         4.0 AS v4_total,
+         5 AS v5_n,
+         0.5 AS v5_corner,
+         2.0 AS v5_center,
+         4.0 AS v5_total
+       FROM customer WHERE c_custkey <= 1200 ORDER BY c_custkey"""
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "q_fn_geo_construct" -> q_fn_geo_construct _,
     "q_fn_geo_canonical" -> q_fn_geo_canonical _,
-    "q_fn_geo_hulls" -> q_fn_geo_hulls _)
+    "q_fn_geo_hulls" -> q_fn_geo_hulls _,
+    "q_fn_geo_relate_voronoi" -> q_fn_geo_relate_voronoi _)
   val oracles: Map[String, String] = Map(
     "q_fn_geo_construct" -> qFnGeoConstructSql,
     "q_fn_geo_canonical" -> qFnGeoCanonicalSql,
-    "q_fn_geo_hulls" -> qFnGeoHullsSql)
+    "q_fn_geo_hulls" -> qFnGeoHullsSql,
+    "q_fn_geo_relate_voronoi" -> qFnGeoRelateVoronoiSql)
 }
