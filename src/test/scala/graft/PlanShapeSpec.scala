@@ -228,4 +228,33 @@ class PlanShapeSpec extends SparkSpec {
       assert(owners.size == 1, s"point ($x,$y) in ${owners.size} leaves")
     }
   }
+
+  test("round-8 pipeline shapes: no Expand in distinct split, broadcast contamination, map-only chunking") {
+    // q_agg_distinct re-plan: three single-distinct aggregates — the Expand
+    // operator (row replication) must be GONE from the plan
+    val distinctPlan = physicalPlan(operators.Aggregates.q_agg_distinct(spark, sfDir))
+    assert(!distinctPlan.contains("Expand"),
+      s"distinct split still expands the fact:\n$distinctPlan")
+    // contamination: benchmark shingles broadcast — corpus side must not
+    // sort-merge-shuffle on the shingle text
+    val contamPlan = physicalPlan(operators.TextPipeline.q_text_contamination(spark, sfDir))
+    assert(contamPlan.contains("BroadcastHashJoin"),
+      s"benchmark shingle set not broadcast:\n$contamPlan")
+    def countOf(plan: String, needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    // chunking: a pure map + in-row explode — the only exchange is the
+    // range partition of the final ORDER BY
+    val chunkPlan = physicalPlan(operators.TextPipeline.q_text_chunking(spark, sfDir))
+    assert(countOf(chunkPlan, "Exchange hashpartitioning") == 0,
+      s"chunking shuffled before the presentation sort:\n$chunkPlan")
+    // stratified sampling: exactly one hash exchange (the stratum key),
+    // shared by both window functions
+    val stratPlan = physicalPlan(operators.Sampling.q_sample_stratified(spark, sfDir))
+    assert(countOf(stratPlan, "Exchange hashpartitioning") == 1,
+      s"stratified sampling should shuffle once on the stratum:\n$stratPlan")
+    // hash-Bernoulli sampling: zero hash shuffles — map-only
+    val bernPlan = physicalPlan(operators.Sampling.q_sample_hash_bernoulli(spark, sfDir))
+    assert(countOf(bernPlan, "Exchange hashpartitioning") == 0,
+      s"hash-Bernoulli sampling must be map-only:\n$bernPlan")
+  }
 }
