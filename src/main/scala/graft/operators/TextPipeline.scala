@@ -172,13 +172,98 @@ object TextPipeline {
        LEFT JOIN hits h ON d.doc_id = h.doc_id
        ORDER BY d.doc_id"""
 
+  private val SpanK = 10
+
+  /** Exact-substring span removal (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — the suffix-array exact-substring
+    * method, expressed distributively): token 10-grams appearing in MORE
+    * THAN ONE document mark every token position they cover; covered spans
+    * are cut from each document and the text is rebuilt from the surviving
+    * tokens. Unlike doc-level MinHash dedup this removes the duplicated
+    * PASSAGE while keeping the unique remainder of both documents.
+    *
+    * Scale shape: one shuffle of (shingle → doc, pos) pairs to find
+    * cross-document duplicates (the distributed stand-in for the paper's
+    * suffix array), one position-level anti join, one per-doc rebuild
+    * aggregation — never an all-pairs comparison. */
+  def q_dedup_substring_spans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("n", size($"toks"))
+    val grams = docs.filter($"n" >= SpanK)
+      .withColumn("i", explode(sequence(lit(0), $"n" - SpanK)))
+      .select($"doc_id", $"i",
+        concat_ws(" ", slice($"toks", $"i" + 1, lit(SpanK))).as("shingle"))
+    val dup = grams.groupBy($"shingle")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" > 1)
+      .select($"shingle")
+    val covered = grams.join(dup, "shingle")
+      .withColumn("idx", explode(sequence($"i", $"i" + SpanK - 1)))
+      .select($"doc_id", $"idx").distinct()
+    val toks = docs.select($"doc_id", $"n", posexplode($"toks").as(Seq("idx", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+    kept.groupBy($"doc_id")
+      .agg(first($"n").as("n_tokens"),
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", slice(transform(array_sort(
+          collect_list(struct($"idx", $"tok"))), x => x.getField("tok")), 1, 10))
+          .as("cleaned_head"))
+      .join(docs.select($"doc_id"), Seq("doc_id"), "right")
+      .select($"doc_id",
+        coalesce($"n_tokens", lit(0)).cast("long").as("n_tokens"),
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"cleaned_head", lit("")).as("cleaned_head"))
+      .withColumn("n_removed", $"n_tokens" - $"n_kept")
+      .orderBy($"doc_id")
+  }
+  val qDedupSubstringSpansSql: String =
+    s"""WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS toks,
+                len(string_split(text, ' ')) AS n
+         FROM documents),
+       grams AS (
+         SELECT doc_id, i,
+                array_to_string(toks[i + 1 : i + $SpanK], ' ') AS shingle
+         FROM (SELECT doc_id, toks, CAST(unnest(range(0, n - $SpanK + 1)) AS INT) AS i
+               FROM docs WHERE n >= $SpanK)),
+       dup AS (
+         SELECT shingle FROM grams GROUP BY shingle
+         HAVING count(DISTINCT doc_id) > 1),
+       covered AS (
+         SELECT DISTINCT g.doc_id, g.i + r.off AS idx
+         FROM grams g JOIN dup USING (shingle)
+         CROSS JOIN (SELECT CAST(unnest(range(0, $SpanK)) AS INT) AS off) r),
+       toks AS (
+         SELECT doc_id, n, unnest(toks) AS tok,
+                CAST(unnest(range(0, n)) AS INT) AS idx
+         FROM docs),
+       kept AS (
+         SELECT t.* FROM toks t
+         WHERE NOT EXISTS (SELECT 1 FROM covered c
+                           WHERE c.doc_id = t.doc_id AND c.idx = t.idx)),
+       agg AS (
+         SELECT doc_id, any_value(n) AS n_tokens, count(*) AS n_kept,
+                array_to_string(list(tok ORDER BY idx)[1:10], ' ') AS cleaned_head
+         FROM kept GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+              COALESCE(a.n_kept, 0) AS n_kept,
+              COALESCE(a.cleaned_head, '') AS cleaned_head,
+              CAST(COALESCE(a.n_tokens, 0) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_removed
+       FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       ORDER BY d.doc_id"""
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "q_text_chunking" -> q_text_chunking _,
     "q_text_pii_scrub" -> q_text_pii_scrub _,
-    "q_text_contamination" -> q_text_contamination _)
+    "q_text_contamination" -> q_text_contamination _,
+    "q_dedup_substring_spans" -> q_dedup_substring_spans _)
   val oracles: Map[String, String] = Map(
     "q_text_chunking" -> qTextChunkingSql,
     "q_text_pii_scrub" -> qTextPiiScrubSql,
-    "q_text_contamination" -> qTextContaminationSql)
+    "q_text_contamination" -> qTextContaminationSql,
+    "q_dedup_substring_spans" -> qDedupSubstringSpansSql)
 }
