@@ -205,14 +205,15 @@ object TextPipeline {
     val toks = docs.select($"doc_id", $"n", posexplode($"toks").as(Seq("idx", "tok")))
     val kept = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
     kept.groupBy($"doc_id")
-      .agg(first($"n").as("n_tokens"),
-        count(lit(1)).as("n_kept"),
+      .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", slice(transform(array_sort(
           collect_list(struct($"idx", $"tok"))), x => x.getField("tok")), 1, 10))
           .as("cleaned_head"))
-      .join(docs.select($"doc_id"), Seq("doc_id"), "right")
+      // token count comes from the SOURCE side, so a fully-removed doc
+      // still reports its true size (and n_removed = n_tokens)
+      .join(docs.select($"doc_id", $"n"), Seq("doc_id"), "right")
       .select($"doc_id",
-        coalesce($"n_tokens", lit(0)).cast("long").as("n_tokens"),
+        $"n".cast("long").as("n_tokens"),
         coalesce($"n_kept", lit(0L)).as("n_kept"),
         coalesce($"cleaned_head", lit("")).as("cleaned_head"))
       .withColumn("n_removed", $"n_tokens" - $"n_kept")
@@ -244,14 +245,14 @@ object TextPipeline {
          WHERE NOT EXISTS (SELECT 1 FROM covered c
                            WHERE c.doc_id = t.doc_id AND c.idx = t.idx)),
        agg AS (
-         SELECT doc_id, any_value(n) AS n_tokens, count(*) AS n_kept,
+         SELECT doc_id, count(*) AS n_kept,
                 array_to_string(list(tok ORDER BY idx)[1:10], ' ') AS cleaned_head
          FROM kept GROUP BY doc_id)
        SELECT d.doc_id,
-              CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+              CAST(d.n AS BIGINT) AS n_tokens,
               COALESCE(a.n_kept, 0) AS n_kept,
               COALESCE(a.cleaned_head, '') AS cleaned_head,
-              CAST(COALESCE(a.n_tokens, 0) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_removed
+              CAST(d.n AS BIGINT) - COALESCE(a.n_kept, 0) AS n_removed
        FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
        ORDER BY d.doc_id"""
 
