@@ -47,6 +47,7 @@ object SparkEntry {
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracles),
       (operators.TextPipeline.queries, operators.TextPipeline.oracles),
       (operators.Sampling.queries, operators.Sampling.oracles),
+      (operators.EmbeddingOps.queries, operators.EmbeddingOps.oracles),
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.Ml.queries, operators.Ml.oracles),
       (operators.Ai.queries, operators.Ai.oracles),
