@@ -21,7 +21,10 @@ object Bench {
     "q_events_sessionize",
     "q_dedup_minhash", "q_dedup_ngram",
     "q_sim_cosine_topk", "q_text_fingerprint",
-    "q_match_recognize", "q_agg_percentile_approx", "q_approx_topk")
+    "q_match_recognize", "q_agg_percentile_approx", "q_approx_topk",
+    // round 8: passage-level dedup + contamination scan — the two heaviest
+    // new pipeline operators, benched alongside the originals
+    "q_dedup_substring_spans", "q_text_contamination")
 
   /** JDK-17 module opens Spark needs outside spark-submit (mirrors
     * org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions()). */

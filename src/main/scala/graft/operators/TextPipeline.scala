@@ -188,6 +188,7 @@ object TextPipeline {
     * aggregation — never an all-pairs comparison. */
   def q_dedup_substring_spans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val docs = table(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("toks"))
       .withColumn("n", size($"toks"))
@@ -195,27 +196,25 @@ object TextPipeline {
       .withColumn("i", explode(sequence(lit(0), $"n" - SpanK)))
       .select($"doc_id", $"i",
         concat_ws(" ", slice($"toks", $"i" + 1, lit(SpanK))).as("shingle"))
-    val dup = grams.groupBy($"shingle")
-      .agg(countDistinct($"doc_id").as("nd"))
-      .filter($"nd" > 1)
-      .select($"shingle")
-    val covered = grams.join(dup, "shingle")
+    // cross-document duplicate iff the shingle's doc_id range is non-trivial
+    // — ONE shuffle on the shingle (a window), no groupBy + join-back
+    val w = Window.partitionBy($"shingle")
+    val dupOcc = grams
+      .withColumn("dup", min($"doc_id").over(w) =!= max($"doc_id").over(w))
+      .filter($"dup")
+    // covered positions collapse to one per-doc SET (second shuffle, on the
+    // doc); the rebuild is then an in-row array filter — no position-level
+    // anti join, no rebuild aggregation
+    val covDoc = dupOcc
       .withColumn("idx", explode(sequence($"i", $"i" + SpanK - 1)))
-      .select($"doc_id", $"idx").distinct()
-    val toks = docs.select($"doc_id", $"n", posexplode($"toks").as(Seq("idx", "tok")))
-    val kept = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
-    kept.groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", slice(transform(array_sort(
-          collect_list(struct($"idx", $"tok"))), x => x.getField("tok")), 1, 10))
-          .as("cleaned_head"))
-      // token count comes from the SOURCE side, so a fully-removed doc
-      // still reports its true size (and n_removed = n_tokens)
-      .join(docs.select($"doc_id", $"n"), Seq("doc_id"), "right")
+      .groupBy($"doc_id").agg(collect_set($"idx").as("cov"))
+    docs.join(covDoc, Seq("doc_id"), "left")
+      .withColumn("kept", when($"cov".isNull, $"toks")
+        .otherwise(filter($"toks", (x, i) => !array_contains($"cov", i))))
       .select($"doc_id",
         $"n".cast("long").as("n_tokens"),
-        coalesce($"n_kept", lit(0L)).as("n_kept"),
-        coalesce($"cleaned_head", lit("")).as("cleaned_head"))
+        size($"kept").cast("long").as("n_kept"),
+        concat_ws(" ", slice($"kept", 1, 10)).as("cleaned_head"))
       .withColumn("n_removed", $"n_tokens" - $"n_kept")
       .orderBy($"doc_id")
   }
