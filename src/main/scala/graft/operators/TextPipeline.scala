@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   * corpus shingles, so the corpus is read once and never shuffled on text. */
 object TextPipeline {
 
+  /** The PII mask chain (shared by the batch query and the streaming twin
+    * streaming.DocStreams.piiScrub). */
+  def scrub(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+        "\\+1-555-[0-9]{4}", "[PHONE]"),
+      "10\\.[0-9]{1,3}\\.0\\.[0-9]{1,3}", "[IP]")
+
   private val ChunkSize = 32
   private val Stride = 24
 
@@ -75,13 +85,7 @@ object TextPipeline {
         lit(" or +1-555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
         lit(" from 10."), ($"doc_id" % 256).cast("string"),
         lit(".0."), (($"doc_id" * 7) % 256).cast("string")))
-      .withColumn("scrubbed",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace($"pii_text",
-              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
-            "\\+1-555-[0-9]{4}", "[PHONE]"),
-          "10\\.[0-9]{1,3}\\.0\\.[0-9]{1,3}", "[IP]"))
+      .withColumn("scrubbed", scrub($"pii_text"))
     t.select($"doc_id",
         length($"pii_text").cast("long").as("len_with_pii"),
         length($"scrubbed").cast("long").as("len_scrubbed"),

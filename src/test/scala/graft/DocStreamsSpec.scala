@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming twins of the training-data pipeline (streaming.DocStreams):
+  * a crawl stream is scrubbed, chunked, and contamination-filtered with
+  * the SAME logic as the batch operators; each stage reconciles exactly
+  * against its batch twin. */
+class DocStreamsSpec extends SparkSpec {
+
+  private def runAvailable(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("streaming PII scrub matches the batch mask chain") {
+    val streamed = runAvailable(
+      streaming.DocStreams.piiScrub(streaming.DocStreams.source(spark, sfDir)),
+      "scrub_out")
+    val batch = operators.table(spark, sfDir, "documents")
+      .select(col("doc_id"), operators.TextPipeline.scrub(col("text")).as("scrubbed"))
+    assert(streamed.count() == batch.count())
+    val diff = streamed.join(batch, Seq("doc_id", "scrubbed"), "left_anti").count()
+    assert(diff == 0, s"$diff streamed docs scrubbed differently from batch")
+  }
+
+  test("streaming chunking matches the batch window arithmetic") {
+    val streamed = runAvailable(
+      streaming.DocStreams.chunk(streaming.DocStreams.source(spark, sfDir)),
+      "chunk_out")
+    val batch = streaming.DocStreams.chunk(
+      operators.table(spark, sfDir, "documents"))
+    assert(streamed.count() == batch.count())
+    val diff = streamed.join(batch, Seq("doc_id", "chunk_id", "chunk_text"), "left_anti")
+      .count()
+    assert(diff == 0, s"$diff streamed chunks differ from batch")
+  }
+
+  test("stream-static contamination flags match the batch scan") {
+    import spark.implicits._
+    val docs = operators.table(spark, sfDir, "documents")
+    val gram = 8
+    def shingles(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n", size($"toks"))
+      .filter($"n" >= gram)
+      .withColumn("i", explode(sequence(lit(0), $"n" - gram)))
+      .select(concat_ws(" ", slice($"toks", $"i" + 1, lit(gram))).as("shingle"))
+    val bench = shingles(docs.filter($"doc_id" % 50 === 0)).distinct()
+
+    val streamed = runAvailable(
+      streaming.DocStreams.contaminationFlags(
+        streaming.DocStreams.source(spark, sfDir).filter($"doc_id" % 50 =!= 0),
+        bench),
+      "contam_out", mode = "complete")
+    val batchFlags = streaming.DocStreams.contaminationFlags(
+      docs.filter($"doc_id" % 50 =!= 0), bench)
+    val s = streamed.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val b = batchFlags.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(s == b)
+    assert(b.values.exists(identity), "fixture should contain contaminated docs")
+  }
+}
