@@ -1,0 +1,70 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+/** graft.catalog.DeltaWrite: open-protocol Delta commits (CTAS + appends,
+  * hive-partitioned) that DeltaRead — i.e. any Delta reader — replays. */
+class DeltaWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val root = new File(System.getProperty("java.io.tmpdir"), s"graft_deltaw_$name")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    root.getAbsolutePath
+  }
+
+  test("CTAS + two appends replay to the full row set") {
+    val path = fresh("append")
+    val nation = operators.table(spark, sfDir, "nation")
+    assert(catalog.DeltaWrite.write(nation.filter($"n_nationkey" < 10), path) == 0L)
+    assert(catalog.DeltaWrite.write(nation.filter($"n_nationkey" >= 10 && $"n_nationkey" < 20), path) == 1L)
+    assert(catalog.DeltaWrite.write(nation.filter($"n_nationkey" >= 20), path) == 2L)
+    val back = catalog.DeltaRead.readTable(spark, path)
+    assert(back.count() == nation.count())
+    assert(back.agg(sum($"n_nationkey")).head().getLong(0) ==
+      nation.agg(sum($"n_nationkey")).head().getLong(0))
+  }
+
+  test("partitioned write carries typed partition values through the log") {
+    val path = fresh("part")
+    val nation = operators.table(spark, sfDir, "nation")
+      .withColumn("n_regionkey", $"n_regionkey".cast("int"))
+    catalog.DeltaWrite.write(nation, path, partitionBy = Seq("n_regionkey"))
+    val back = catalog.DeltaRead.readTable(spark, path)
+    assert(back.count() == nation.count())
+    // partition column restored with its declared type and values
+    val perRegion = back.groupBy($"n_regionkey").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expected = nation.groupBy($"n_regionkey").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perRegion == expected)
+    // data files do NOT contain the partition column (the protocol's layout)
+    val aFile = new File(path).listFiles().find(_.getName.startsWith("n_regionkey=")).get
+      .listFiles().find(_.getName.endsWith(".parquet")).get
+    val raw = spark.read.parquet(aFile.getAbsolutePath)
+    assert(!raw.columns.contains("n_regionkey"))
+  }
+
+  test("version race loses loudly, commit never half-applies") {
+    val path = fresh("race")
+    val one = Seq((1L, "a")).toDF("id", "v")
+    catalog.DeltaWrite.write(one, path)
+    // a competitor wins version 1 while our writer still believes it read
+    // version 0: the CAS commit of version 1 must fail loudly
+    val logDir = new File(path, "_delta_log")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(logDir.getAbsolutePath, "00000000000000000001.json"),
+      "{}".getBytes)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      catalog.DeltaWrite.write(one, path, expectedVersion = Some(1L))
+    }
+    // the loser's data files are invisible: replay still returns ONE row
+    assert(catalog.DeltaRead.readTable(spark, path).count() == 1)
+  }
+}
