@@ -846,6 +846,15 @@ private[graft] object Statements {
         refreshView(spark, table)
         oneRow(spark, "compacted", compacted.toLong)
 
+      case "export_to_delta" =>
+        // CALL system.export_to_delta(table, path) — snapshot a warehouse
+        // table as an OPEN-PROTOCOL Delta table (catalog.DeltaWrite); the
+        // returned version is 0 for a fresh path, an append otherwise
+        val table = arg(Seq("table", "table_name"), 0)
+        val path = arg(Seq("path", "location"), 1)
+        val snapshot = projected(spark, requireKey(table))
+        oneRow(spark, "version", graft.catalog.DeltaWrite.write(snapshot, path))
+
       case "flush_metadata_cache" =>
         tables.keys.foreach(k =>
           projected(spark, k).createOrReplaceTempView(viewNameOf(k)))

@@ -159,6 +159,26 @@ class StatementSpec extends SparkSpec {
     sql("DROP TABLE IF EXISTS st_call")
   }
 
+  test("CALL system.export_to_delta snapshots a warehouse table as open Delta") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stmt_delta_export").getAbsolutePath
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(path))
+    sql("CREATE OR REPLACE TABLE st_exp AS SELECT r_regionkey AS k, r_name FROM region")
+    val v = sql(s"CALL system.export_to_delta('st_exp', '$path')").head().getLong(0)
+    assert(v == 0L)
+    val back = catalog.DeltaRead.readTable(spark, path)
+    assert(back.count() == 5)
+    // appended snapshot doubles the replayed rows
+    val v2 = sql(s"CALL system.export_to_delta('st_exp', '$path')").head().getLong(0)
+    assert(v2 == 1L)
+    assert(catalog.DeltaRead.readTable(spark, path).count() == 10)
+    sql("DROP TABLE st_exp")
+  }
+
   test("roles: CREATE/SET/SHOW/GRANT role metadata") {
     sql("CREATE ROLE analyst")
     sql("CREATE ROLE admin")
