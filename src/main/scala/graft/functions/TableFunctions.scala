@@ -40,6 +40,26 @@ object TableFunctions {
     graft.catalog.DerbyCatalog.query(s, dir, unquote(args.head))
   })
 
+  // training-pipeline TVFs: the chunking/scrubbing stages reachable from
+  // SQL text (`FROM TABLE(chunk_documents(32, 24))`), same kernels as the
+  // batch operators and the streaming twins
+  register("chunk_documents", (s, dir, args) => {
+    require(args.length <= 2, "chunk_documents([size [, stride]])")
+    val size = args.headOption.map(_.trim.toInt).getOrElse(32)
+    val stride = args.lift(1).map(_.trim.toInt).getOrElse(24)
+    require(size > 0 && stride > 0 && stride <= size,
+      "chunk_documents: need 0 < stride <= size")
+    graft.streaming.DocStreams.chunk(
+      graft.sources.Tables.load(s, dir, "documents"), size, stride)
+  })
+
+  register("scrub_documents", (s, dir, args) => {
+    require(args.isEmpty, "scrub_documents()")
+    import org.apache.spark.sql.functions.col
+    graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), graft.operators.TextPipeline.scrub(col("text")).as("scrubbed"))
+  })
+
   private def unquote(s: String): String = {
     val t = s.trim
     if (t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1) else t

@@ -542,6 +542,35 @@ object Dialect {
     """SELECT range AS sequential_number, range * 2 AS twice
        FROM range(1, 201, 2) ORDER BY sequential_number"""
 
+  /** Pipeline TVFs from SQL text: the chunking stage as a table function
+    * (`FROM TABLE(chunk_documents(size, stride))` — same kernel as
+    * TextPipeline.q_text_chunking and the streaming twin). */
+  def q_tvf_chunking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT doc_id, chunk_id, chunk_text
+         FROM TABLE(chunk_documents(16, 12))
+         WHERE doc_id < 100""")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  val qTvfChunkingSql: String =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS toks,
+                len(string_split(text, ' ')) AS n
+         FROM documents WHERE doc_id < 100),
+       c AS (
+         SELECT doc_id, toks,
+           CASE WHEN n <= 16 THEN 1
+                ELSE CAST((n - 16 + 12 - 1) // 12 + 1 AS INT) END AS n_chunks
+         FROM t),
+       e AS (
+         SELECT doc_id, toks,
+                CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+         FROM c)
+       SELECT doc_id, chunk_id,
+              array_to_string(toks[chunk_id * 12 + 1 : chunk_id * 12 + 16], ' ') AS chunk_text
+       FROM e ORDER BY doc_id, chunk_id"""
+
   /** SQL-text DML through the statement front door (SqlBase.g4 :68/:101/
     * :103/:119; executors in sqlx.Statements over catalog.CowTable): a full
     * CTAS → INSERT (with and without column list) → DELETE → UPDATE chain,
@@ -776,6 +805,7 @@ object Dialect {
     "q_sqlx_txn" -> q_sqlx_txn _,
     "q_sqlx_show_stats" -> q_sqlx_show_stats _,
     "q_tvf_registry" -> q_tvf_registry _,
+    "q_tvf_chunking" -> q_tvf_chunking _,
     "q_sqlx_try" -> q_sqlx_try _,
     "q_sqlx_scalar" -> q_sqlx_scalar _,
     "q_sqlx_unnest" -> q_sqlx_unnest _,
@@ -801,6 +831,7 @@ object Dialect {
     "q_sqlx_txn" -> qSqlxTxnSql,
     "q_sqlx_show_stats" -> qSqlxShowStatsSql,
     "q_tvf_registry" -> qTvfRegistrySql,
+    "q_tvf_chunking" -> qTvfChunkingSql,
     "q_sqlx_try" -> qSqlxTrySql,
     "q_sqlx_scalar" -> qSqlxScalarSql,
     "q_sqlx_unnest" -> qSqlxUnnestSql,
