@@ -41,7 +41,7 @@ object Registry {
     "st_polygonize", "geometry_union", "st_srid", "st_setsrid", "st_z",
     "st_issimple", "st_asewkt", "st_asewkb", "st_reduceprecision",
     "line_interpolate_points", "geometry_nearest_points",
-    "st_voronoipolygons", "st_relate",
+    "st_voronoipolygons", "st_relate", "st_transform", "st_transformxy",
     "set_digest_cardinality", "jaccard_index", "intersection_cardinality",
     "typeof",
     "to_ieee754_64", "from_ieee754_64", "to_ieee754_32", "from_ieee754_32",
@@ -661,6 +661,15 @@ object Registry {
       reg("geometry_nearest_points")(es => GeomNearestPoints(es(0), es(1)))
       reg("st_voronoipolygons")(es => GeomVoronoi(es(0)))
       reg("st_relate")(es => GeomRelate(es(0), es(1), es(2)))
+      // ST_Transform / ST_TransformXY (GeoFunctions.java:510,519) do CRS
+      // reprojection; the reference ERRORS on SRID-0 input ("Cannot
+      // transform geometry with SRID 0", :530) — and SRID 0 is the only
+      // CRS this model carries, so the lax-NULL twin of that error path is
+      // the full reachable surface.
+      reg("st_transform")(_ =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(null, Wkt.geometryType))
+      reg("st_transformxy")(_ =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(null, Wkt.geometryType))
     }
   }
 }
