@@ -88,13 +88,67 @@ object Sampling {
               CAST(sum(copy_id) AS BIGINT) AS copy_sum
        FROM w GROUP BY lang ORDER BY lang"""
 
+  private val SeqLen = 256
+
+  /** Sequence packing (the concat-and-split batching transform LM training
+    * uses): documents concatenate in doc_id order and the token stream is
+    * cut every 256 tokens. Each document's global offset is ONE window
+    * cumsum; its sequence span and the per-sequence composition follow
+    * from exact integer arithmetic — no per-sequence state, no second
+    * pass. The window is a single global sort at this fixture scale; at
+    * 100 TB the same packing runs per sorted shard with shard-prefix
+    * offsets (an associative fold), so the shape survives. */
+  def q_pack_sequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"doc_id").rowsBetween(Long.MinValue, -1)
+    val d = table(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .withColumn("off", coalesce(sum($"n").over(w), lit(0L)))
+      .withColumn("start_seq", floor($"off" / SeqLen))
+      .withColumn("end_seq", floor(($"off" + $"n" - 1) / SeqLen))
+    d.withColumn("seq_id", explode(sequence($"start_seq", $"end_seq")))
+      .withColumn("overlap",
+        least($"off" + $"n", ($"seq_id" + 1) * SeqLen) -
+          greatest($"off", $"seq_id" * SeqLen))
+      .groupBy($"seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"overlap").as("seq_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"seq_id")
+  }
+  val qPackSequencesSql: String =
+    s"""WITH d AS (
+         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+           COALESCE(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+             OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS off
+         FROM documents),
+       spans AS (
+         SELECT doc_id, n, off,
+           CAST(off // $SeqLen AS BIGINT) AS start_seq,
+           CAST((off + n - 1) // $SeqLen AS BIGINT) AS end_seq
+         FROM d),
+       e AS (
+         SELECT doc_id, n, off,
+           CAST(unnest(range(start_seq, end_seq + 1)) AS BIGINT) AS seq_id
+         FROM spans)
+       SELECT seq_id, count(*) AS n_docs,
+         CAST(sum(least(off + n, (seq_id + 1) * $SeqLen)
+                - greatest(off, seq_id * $SeqLen)) AS BIGINT) AS seq_tokens,
+         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       FROM e GROUP BY seq_id ORDER BY seq_id"""
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "q_sample_stratified" -> q_sample_stratified _,
     "q_sample_hash_bernoulli" -> q_sample_hash_bernoulli _,
-    "q_sample_mixture" -> q_sample_mixture _)
+    "q_sample_mixture" -> q_sample_mixture _,
+    "q_pack_sequences" -> q_pack_sequences _)
   val oracles: Map[String, String] = Map(
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_hash_bernoulli" -> qSampleHashBernoulliSql,
-    "q_sample_mixture" -> qSampleMixtureSql)
+    "q_sample_mixture" -> qSampleMixtureSql,
+    "q_pack_sequences" -> qPackSequencesSql)
 }
