@@ -259,15 +259,73 @@ object TextPipeline {
        FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id
        ORDER BY d.doc_id"""
 
+  /** Intra-document repetition metrics (the Gopher repetition rules'
+    * n-gram half, Rae et al. 2021 — duplicate n-gram fraction and
+    * most-frequent-n-gram share): every emitted number is an integer count,
+    * and the 20% flag is a cross-multiplied integer comparison, so the
+    * oracle is exact with no float in sight. */
+  def q_text_repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("n", size($"toks"))
+    def grams(k: Int) = docs.filter($"n" >= k)
+      .withColumn("i", explode(sequence(lit(0), $"n" - k)))
+      .select($"doc_id", concat_ws(" ", slice($"toks", $"i" + 1, lit(k))).as("g"))
+    val tri = grams(3).groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_3grams"), countDistinct($"g").as("n_distinct_3grams"))
+    val bi = grams(2).groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("max_2gram_count"),
+        count(lit(1)).as("n_distinct_2grams"))
+    tri.join(bi, "doc_id")
+      .withColumn("repetitive",
+        ($"n_3grams" - $"n_distinct_3grams") * 5 > $"n_3grams")
+      .select($"doc_id", $"n_3grams", $"n_distinct_3grams",
+        $"max_2gram_count", $"n_distinct_2grams", $"repetitive")
+      .orderBy($"doc_id")
+  }
+  val qTextRepetitionSql: String =
+    """WITH d AS (
+         SELECT doc_id, string_split(text, ' ') AS toks,
+                len(string_split(text, ' ')) AS n
+         FROM documents),
+       tri AS (
+         SELECT doc_id, count(*) AS n_3grams,
+                count(DISTINCT g) AS n_distinct_3grams
+         FROM (SELECT doc_id,
+                 array_to_string(toks[i + 1 : i + 3], ' ') AS g
+               FROM (SELECT doc_id, toks,
+                       CAST(unnest(range(0, n - 2)) AS INT) AS i
+                     FROM d WHERE n >= 3))
+         GROUP BY doc_id),
+       bi AS (
+         SELECT doc_id, CAST(max(c) AS BIGINT) AS max_2gram_count,
+                count(*) AS n_distinct_2grams
+         FROM (SELECT doc_id, g, count(*) AS c
+               FROM (SELECT doc_id,
+                       array_to_string(toks[i + 1 : i + 2], ' ') AS g
+                     FROM (SELECT doc_id, toks,
+                             CAST(unnest(range(0, n - 1)) AS INT) AS i
+                           FROM d WHERE n >= 2))
+               GROUP BY doc_id, g)
+         GROUP BY doc_id)
+       SELECT tri.doc_id, n_3grams, n_distinct_3grams,
+              max_2gram_count, n_distinct_2grams,
+              (n_3grams - n_distinct_3grams) * 5 > n_3grams AS repetitive
+       FROM tri JOIN bi ON tri.doc_id = bi.doc_id
+       ORDER BY tri.doc_id"""
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "q_text_chunking" -> q_text_chunking _,
     "q_text_pii_scrub" -> q_text_pii_scrub _,
     "q_text_contamination" -> q_text_contamination _,
+    "q_text_repetition" -> q_text_repetition _,
     "q_dedup_substring_spans" -> q_dedup_substring_spans _)
   val oracles: Map[String, String] = Map(
     "q_text_chunking" -> qTextChunkingSql,
     "q_text_pii_scrub" -> qTextPiiScrubSql,
     "q_text_contamination" -> qTextContaminationSql,
+    "q_text_repetition" -> qTextRepetitionSql,
     "q_dedup_substring_spans" -> qDedupSubstringSpansSql)
 }
