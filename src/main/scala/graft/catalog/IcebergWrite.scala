@@ -1,0 +1,262 @@
+package graft.catalog
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iceberg v2 WRITE path over the open spec (the producer half of
+  * [[IcebergRead]]; reference plugin/trino-iceberg IcebergMetadata commit
+  * path + ManifestFiles writing). CREATE and APPEND produce the real
+  * three-layer metadata chain — `metadata/vN.metadata.json` → snapshot →
+  * manifest-list avro → manifest avro → parquet data files — with the
+  * spec's own field names, so any Iceberg reader (including
+  * [[IcebergRead]]) replays it.
+  *
+  * Each appended data file records `record_count`, `file_size_in_bytes`,
+  * and little-endian single-value `lower_bounds`/`upper_bounds` for every
+  * int/long/date column — the stats the reference's split source (and our
+  * reader's Prune) uses for plan-time file skipping, so tables WRITTEN by
+  * this engine get scan pruning everywhere.
+  *
+  * Supported subset (documented): unpartitioned v2 tables, primitive
+  * columns, parquet data, append snapshots only (no deletes/rewrites —
+  * DML stays with CowTable; the reader's delete handling is exercised by
+  * its own fixtures). Snapshot ids are sequential and deterministic. */
+object IcebergWrite {
+
+  private val KvSchema =
+    """{"type":"record","name":"k_v","fields":[
+         {"name":"key","type":"int"},
+         {"name":"value","type":"bytes"}]}"""
+
+  private val ManifestEntrySchema = new Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_entry","fields":[
+          {"name":"status","type":"int"},
+          {"name":"snapshot_id","type":["null","long"],"default":null},
+          {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+            {"name":"content","type":"int"},
+            {"name":"file_path","type":"string"},
+            {"name":"file_format","type":"string"},
+            {"name":"record_count","type":"long"},
+            {"name":"file_size_in_bytes","type":"long"},
+            {"name":"lower_bounds","type":["null",{"type":"array","items":$KvSchema}],"default":null},
+            {"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k_v2","fields":[
+              {"name":"key","type":"int"},
+              {"name":"value","type":"bytes"}]}}],"default":null}
+          ]}}]}""")
+
+  private val ManifestFileSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+         {"name":"manifest_path","type":"string"},
+         {"name":"manifest_length","type":"long"},
+         {"name":"partition_spec_id","type":"int"},
+         {"name":"content","type":"int"},
+         {"name":"added_snapshot_id","type":"long"}]}""")
+
+  private def writeAvro(path: File, schema: Schema, records: Seq[GenericRecord]): Long = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path)
+    try records.foreach(w.append) finally w.close()
+    path.length()
+  }
+
+  private def icebergTypeName(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case BinaryType => "binary"
+    case other => throw new IllegalArgumentException(
+      s"iceberg write: unsupported column type $other")
+  }
+
+  private def q(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def deleteTree(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete()
+  }
+
+  /** CREATE (version 1, snapshot 1) or APPEND (next version/snapshot).
+    * Returns the committed snapshot id. */
+  def write(df: DataFrame, tablePath: String): Long = {
+    val root = new File(tablePath)
+    val metaDir = new File(root, "metadata")
+    metaDir.mkdirs()
+    val versions = Option(metaDir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("v\\d+\\.metadata\\.json"))
+      .map(_.stripPrefix("v").stripSuffix(".metadata.json").toInt).sorted
+    val prevVersion = versions.lastOption
+    val version = prevVersion.map(_ + 1).getOrElse(1)
+    val snapshotId = version.toLong // deterministic, sequential
+
+    // ---- data files: distributed write, then table-relative moves
+    val stage = new File(root, s"_stage_s$snapshotId")
+    deleteTree(stage)
+    df.write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val dataDir = new File(root, "data")
+    dataDir.mkdirs()
+    val moved = Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+      .map { case (f, i) =>
+        val rel = f"data/$snapshotId%05d-$i%05d.parquet"
+        val dest = new File(root, rel)
+        Files.move(f.toPath, dest.toPath)
+        (rel, dest)
+      }.toSeq
+    deleteTree(stage)
+
+    // ---- per-file stats for int/long/date columns (field ids = ordinal+1)
+    val statCols = df.schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == DateType => (f.name, i + 1, f.dataType == LongType)
+    }
+    val spark = df.sparkSession
+    def bounds(file: File): (Seq[(Int, Array[Byte])], Seq[(Int, Array[Byte])], Long) = {
+      if (statCols.isEmpty) {
+        val n = spark.read.parquet(file.getAbsolutePath).count()
+        return (Seq.empty, Seq.empty, n)
+      }
+      val aggs = statCols.flatMap { case (c, _, _) =>
+        Seq(min(col(c)), max(col(c))) } :+ count(lit(1))
+      val row = spark.read.parquet(file.getAbsolutePath)
+        .agg(aggs.head, aggs.tail: _*).head()
+      def enc(v: Any, isLong: Boolean): Array[Byte] = {
+        val bb = ByteBuffer.allocate(if (isLong) 8 else 4).order(ByteOrder.LITTLE_ENDIAN)
+        v match {
+          case l: java.lang.Long => bb.putLong(l)
+          case i: java.lang.Integer => if (isLong) bb.putLong(i.toLong) else bb.putInt(i)
+          case d: java.sql.Date => bb.putInt(d.toLocalDate.toEpochDay.toInt)
+          case d: java.time.LocalDate => bb.putInt(d.toEpochDay.toInt)
+          case other => throw new IllegalStateException(s"unexpected bound $other")
+        }
+        bb.array()
+      }
+      val lows = statCols.zipWithIndex.flatMap { case ((_, fid, isLong), k) =>
+        Option(row.get(2 * k)).map(v => fid -> enc(v, isLong)) }
+      val highs = statCols.zipWithIndex.flatMap { case ((_, fid, isLong), k) =>
+        Option(row.get(2 * k + 1)).map(v => fid -> enc(v, isLong)) }
+      (lows, highs, row.getLong(row.length - 1))
+    }
+
+    // ---- manifest avro for this snapshot's added files
+    val kvSchema = ManifestEntrySchema.getField("data_file").schema()
+      .getField("lower_bounds").schema().getTypes.get(1).getElementType
+    val kvSchemaUp = ManifestEntrySchema.getField("data_file").schema()
+      .getField("upper_bounds").schema().getTypes.get(1).getElementType
+    def kvArray(schema: Schema, kvs: Seq[(Int, Array[Byte])]): GenericData.Array[GenericRecord] = {
+      val arr = new GenericData.Array[GenericRecord](kvs.length,
+        Schema.createArray(schema))
+      kvs.foreach { case (k, v) =>
+        val r = new GenericData.Record(schema)
+        r.put("key", k); r.put("value", ByteBuffer.wrap(v))
+        arr.add(r)
+      }
+      arr
+    }
+    val entries = moved.map { case (rel, dest) =>
+      val (lows, highs, n) = bounds(dest)
+      val dfRec = new GenericData.Record(
+        ManifestEntrySchema.getField("data_file").schema())
+      dfRec.put("content", 0)
+      dfRec.put("file_path", rel)
+      dfRec.put("file_format", "PARQUET")
+      dfRec.put("record_count", n)
+      dfRec.put("file_size_in_bytes", dest.length())
+      dfRec.put("lower_bounds", if (lows.isEmpty) null else kvArray(kvSchema, lows))
+      dfRec.put("upper_bounds", if (highs.isEmpty) null else kvArray(kvSchemaUp, highs))
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("data_file", dfRec)
+      e: GenericRecord
+    }
+    val manifestRel = f"metadata/snap$snapshotId%05d-m0.avro"
+    val manifestLen = writeAvro(new File(root, manifestRel), ManifestEntrySchema, entries)
+
+    // ---- manifest list = previous snapshot's manifests + this one
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val prevManifests: Seq[(String, Long, Long)] = prevVersion.map { pv =>
+      val meta = JsonMethods.parse(new String(Files.readAllBytes(
+        Paths.get(metaDir.getAbsolutePath, s"v$pv.metadata.json")), "UTF-8"))
+      val JInt(cur) = (meta \ "current-snapshot-id"): @unchecked
+      val JArray(snaps) = (meta \ "snapshots"): @unchecked
+      val JString(ml) = (snaps.find(s => (s \ "snapshot-id") == JInt(cur)).get
+        \ "manifest-list"): @unchecked
+      // re-read the previous manifest list for its entries
+      val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+        new File(root, ml),
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try reader.iterator().asScala.toVector.map(r =>
+        (r.get("manifest_path").toString,
+          r.get("manifest_length").toString.toLong,
+          r.get("added_snapshot_id").toString.toLong))
+      finally reader.close()
+    }.getOrElse(Seq.empty)
+
+    val listEntries = (prevManifests :+ ((manifestRel, manifestLen, snapshotId)))
+      .map { case (p, len, addedBy) =>
+        val r = new GenericData.Record(ManifestFileSchema)
+        r.put("manifest_path", p)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("added_snapshot_id", addedBy)
+        r: GenericRecord
+      }
+    val listRel = f"metadata/snap-$snapshotId%d-1-manifest-list.avro"
+    writeAvro(new File(root, listRel), ManifestFileSchema, listEntries)
+
+    // ---- vN.metadata.json (schema field ids = ordinal + 1)
+    val now = System.currentTimeMillis()
+    val schemaFields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":${q(f.name)},"required":${!f.nullable},""" +
+        s""""type":${q(icebergTypeName(f.dataType))}}"""
+    }.mkString(",")
+    val prevSnapshots: Seq[String] = prevVersion.map { pv =>
+      val meta = JsonMethods.parse(new String(Files.readAllBytes(
+        Paths.get(metaDir.getAbsolutePath, s"v$pv.metadata.json")), "UTF-8"))
+      val JArray(snaps) = (meta \ "snapshots"): @unchecked
+      snaps.map(s => JsonMethods.compact(JsonMethods.render(s)))
+    }.getOrElse(Seq.empty)
+    val newSnapshot =
+      s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,""" +
+        s""""sequence-number":$snapshotId,""" +
+        s""""manifest-list":${q(listRel)},"summary":{"operation":"append"}}"""
+    val metaJson =
+      s"""{"format-version":2,
+          "table-uuid":${q(java.util.UUID.nameUUIDFromBytes(tablePath.getBytes).toString)},
+          "location":${q(tablePath)},
+          "last-sequence-number":$snapshotId,
+          "last-updated-ms":$now,
+          "last-column-id":${df.schema.length},
+          "current-schema-id":0,
+          "schemas":[{"schema-id":0,"type":"struct","fields":[$schemaFields]}],
+          "default-spec-id":0,
+          "partition-specs":[{"spec-id":0,"fields":[]}],
+          "current-snapshot-id":$snapshotId,
+          "snapshots":[${(prevSnapshots :+ newSnapshot).mkString(",")}]}"""
+    Files.write(Paths.get(metaDir.getAbsolutePath, s"v$version.metadata.json"),
+      metaJson.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW) // loses a version race loudly
+    snapshotId
+  }
+}

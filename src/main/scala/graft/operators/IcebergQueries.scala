@@ -309,14 +309,52 @@ object IcebergQueries {
          AND n_name NOT IN ('CANADA', 'KENYA')
        GROUP BY n_regionkey ORDER BY n_regionkey"""
 
+  /** Full write→read roundtrip through graft.catalog.IcebergWrite: two
+    * append snapshots of the supplier fixture, replayed by IcebergRead;
+    * the oracle replays supplier directly. The time-travel column pins
+    * snapshot isolation on the self-written table. */
+  def q_fed_iceberg_write(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_iceberg_write_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val marker = new java.io.File(root, "metadata/v2.metadata.json")
+    if (!marker.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(root)
+      val sup = table(s, dir, "supplier")
+      graft.catalog.IcebergWrite.write(sup.filter($"s_suppkey" % 2 === 0), root.getAbsolutePath)
+      graft.catalog.IcebergWrite.write(sup.filter($"s_suppkey" % 2 === 1), root.getAbsolutePath)
+    }
+    val cur = graft.catalog.IcebergRead.readTable(s, root.getAbsolutePath)
+      .groupBy(($"s_suppkey" % 4).as("band"))
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec($"s_acctbal"))).as("bal"))
+    val snap1 = graft.catalog.IcebergRead
+      .readTable(s, root.getAbsolutePath, snapshotId = Some(1L))
+      .groupBy(($"s_suppkey" % 4).as("band"))
+      .agg(count(lit(1)).as("n_snap1"))
+    cur.join(snap1, Seq("band"), "left")
+      .select($"band", $"n", $"bal", coalesce($"n_snap1", lit(0L)).as("n_snap1"))
+      .orderBy($"band")
+  }
+  val qFedIcebergWriteSql: String =
+    """SELECT s_suppkey % 4 AS band, count(*) AS n,
+              CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal,
+              CAST(sum(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_snap1
+       FROM supplier GROUP BY 1 ORDER BY band"""
+
   val queries: Map[String, Q] = Map(
     "q_fed_iceberg" -> q_fed_iceberg _,
     "q_fed_iceberg_deletes" -> q_fed_iceberg_deletes _,
     "q_fed_iceberg_pruned" -> q_fed_iceberg_pruned _,
-    "q_fed_iceberg_eq_deletes" -> q_fed_iceberg_eq_deletes _)
+    "q_fed_iceberg_eq_deletes" -> q_fed_iceberg_eq_deletes _,
+    "q_fed_iceberg_write" -> q_fed_iceberg_write _)
   val oracles: Map[String, String] = Map(
     "q_fed_iceberg" -> qFedIcebergSql,
     "q_fed_iceberg_deletes" -> qFedIcebergDeletesSql,
     "q_fed_iceberg_pruned" -> qFedIcebergPrunedSql,
-    "q_fed_iceberg_eq_deletes" -> qFedIcebergEqDeletesSql)
+    "q_fed_iceberg_eq_deletes" -> qFedIcebergEqDeletesSql,
+    "q_fed_iceberg_write" -> qFedIcebergWriteSql)
 }
