@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, StructType}
 
 /** Delta Lake READ path over the open delta-log protocol (VERDICT r6
   * "what's missing" #4; reference: plugin/trino-delta-lake/ — notably
@@ -34,10 +34,12 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * rows + JSON suffix) — every Delta reader holds this state (the
   * reference caches it per-snapshot). Data reading is fully distributed.
   * Supported subset: classic single- and multi-part parquet checkpoints +
-  * complete JSON suffix (v2 UUID checkpoints with sidecars are refused),
-  * minReaderVersion 1 plus column mapping mode NAME (physical-name
-  * reads projected to the logical schema); deletion vectors and mapping
-  * mode ID are documented gaps, each erroring loudly rather than
+  * complete JSON suffix (v2 UUID checkpoints with sidecars are refused);
+  * protocol reader versions 1-2 and version 3 when every listed reader
+  * feature is implemented (currently: columnMapping); column mapping mode
+  * NAME (physical-name reads projected to the logical schema) and mode ID
+  * (parquet field-id resolution via Spark's fieldId read path). Deletion
+  * vectors remain a documented gap, erroring loudly rather than
   * misreading. */
 object DeltaRead {
 
@@ -48,20 +50,27 @@ object DeltaRead {
     var partCols: Seq[String] = Seq.empty
     val active = scala.collection.mutable.LinkedHashMap[String, Add]()
 
-    def protocolGuard(minReader: BigInt, features: Seq[String]): Unit =
-      if (minReader > 1) {
-        if (features.nonEmpty) throw new IllegalArgumentException(
-          s"Delta minReaderVersion $minReader with readerFeatures " +
-            s"${features.mkString("[", ", ", "]")} is not supported by this reader")
-        else throw new IllegalArgumentException(
-          s"Delta minReaderVersion $minReader is not supported by this reader")
+    def protocolGuard(minReader: BigInt, features: Seq[String]): Unit = {
+      // reader version 2 = column mapping (both modes implemented here);
+      // version 3 = table features — acceptable only when every listed
+      // reader feature is one this reader implements
+      val understood = Set("columnMapping")
+      if (minReader > 3) throw new IllegalArgumentException(
+        s"Delta minReaderVersion $minReader is not supported by this reader")
+      if (minReader == 3) {
+        val unknown = features.filterNot(understood)
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"Delta readerFeatures ${unknown.mkString("[", ", ", "]")} " +
+            "are not supported by this reader")
       }
+    }
     var columnMappingMode: String = "none"
     def columnMappingGuard(mode: Option[String]): Unit = mode match {
       case Some("name") => columnMappingMode = "name"
+      case Some("id") => columnMappingMode = "id"
       case Some(m) if m != "none" => throw new IllegalArgumentException(
         s"Delta column mapping mode '$m' is not supported by this reader " +
-          "(only 'none' and 'name')")
+          "(only 'none', 'name' and 'id')")
       case Some(_) => columnMappingMode = "none"
       case None =>
     }
@@ -253,7 +262,12 @@ object DeltaRead {
     // Column mapping mode 'name': parquet files carry PHYSICAL column
     // names recorded per-field in the schema metadata
     // (delta.columnMapping.physicalName); read physically, project back to
-    // logical names. Mode 'id' (parquet field-id resolution) stays refused.
+    // logical names. Mode 'id': parquet files carry FIELD IDS
+    // (delta.columnMapping.id) — the read schema keeps the LOGICAL names
+    // but annotates each field with `parquet.field.id`, and Spark's
+    // field-id resolution (spark.sql.parquet.fieldId.read.enabled, pinned
+    // on in GraftSession) matches columns by id regardless of their
+    // physical names.
     val physicalOf: Map[String, String] =
       if (st.columnMappingMode == "name")
         schema.fields.map { f =>
@@ -263,10 +277,26 @@ object DeltaRead {
             s"column mapping mode 'name' but field '${f.name}' has no physicalName")
           f.name -> pn
         }.toMap
+      else if (st.columnMappingMode == "id")
+        // partitionValues stay keyed by the PHYSICAL name under id mapping
+        // too; data columns resolve by field id, so logical names pass through
+        schema.fields.map { f =>
+          f.name -> (if (f.metadata.contains("delta.columnMapping.physicalName"))
+            f.metadata.getString("delta.columnMapping.physicalName") else f.name)
+        }.toMap
       else schema.fieldNames.map(n => n -> n).toMap
 
-    val dataSchema = StructType(schema.fields.filterNot(f => st.partCols.contains(f.name))
-      .map(f => StructField(physicalOf(f.name), f.dataType, f.nullable)))
+    val dataSchema =
+      if (st.columnMappingMode == "id")
+        StructType(schema.fields.filterNot(f => st.partCols.contains(f.name)).map { f =>
+          require(f.metadata.contains("delta.columnMapping.id"),
+            s"column mapping mode 'id' but field '${f.name}' has no columnMapping.id")
+          val fid = f.metadata.getLong("delta.columnMapping.id")
+          StructField(f.name, f.dataType, f.nullable,
+            new MetadataBuilder().putLong("parquet.field.id", fid).build())
+        })
+      else StructType(schema.fields.filterNot(f => st.partCols.contains(f.name))
+        .map(f => StructField(physicalOf(f.name), f.dataType, f.nullable)))
 
     if (st.active.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
@@ -277,9 +307,11 @@ object DeltaRead {
     groups.map { case (pv, adds) =>
       val base0 = spark.read.schema(dataSchema)
         .parquet(adds.map(a => s"$tablePath/${a.path}"): _*)
-      // physical → logical projection for the data columns
+      // physical → logical projection for the data columns (id mode reads
+      // under the logical names already — field ids did the matching)
       val base = base0.select(schema.fields.filterNot(f => st.partCols.contains(f.name))
-        .map(f => col(physicalOf(f.name)).as(f.name)).toIndexedSeq: _*)
+        .map(f => col(if (st.columnMappingMode == "id") f.name else physicalOf(f.name))
+          .as(f.name)).toIndexedSeq: _*)
       st.partCols.foldLeft(base) { (df, pc) =>
         val tpe = schema(pc).dataType
         // add-action partitionValues are keyed by PHYSICAL name under mapping

@@ -39,6 +39,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // parquet field-id resolution (used by DeltaRead column mapping mode
+      // 'id'); inert unless a read schema carries parquet.field.id metadata
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
       // Note on split sizing: the fixtures are single-file, SINGLE-rowgroup
       // parquet, so scans are one task regardless of maxPartitionBytes
       // (parquet parallelism is per rowgroup). The default 128 MB is kept —

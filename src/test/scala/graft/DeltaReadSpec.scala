@@ -82,15 +82,52 @@ class DeltaReadSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // checkpoints unsupported
       catalog.DeltaRead.readTable(spark, root.getAbsolutePath)
     }
-    // column mapping mode 'id' (parquet field-id resolution) → refuse
+    // an UNKNOWN column mapping mode → refuse
     val cm = newTable("colmap")
     commit(cm, 0, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}""",
-      """{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}"""))
+      """{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"banana"}}}"""))
     val e = intercept[IllegalArgumentException] {
       catalog.DeltaRead.readTable(spark, cm.getAbsolutePath)
     }
     assert(e.getMessage.contains("column mapping"))
+    // reader version 3 with a feature we do not implement → refuse
+    val dv = newTable("dvfeat")
+    commit(dv, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""))
+    val e2 = intercept[IllegalArgumentException] {
+      catalog.DeltaRead.readTable(spark, dv.getAbsolutePath)
+    }
+    assert(e2.getMessage.contains("deletionVectors"))
+  }
+
+  test("column mapping mode 'id': parquet field ids resolve regardless of names") {
+    import org.apache.spark.sql.types._
+    val root = newTable("mapid")
+    // parquet physical names differ from BOTH the logical names and the
+    // recorded physicalName — only the field ids (7, 9) can match
+    val writeSchema = StructType(Seq(
+      StructField("px", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 7).build()),
+      StructField("py", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 9).build())))
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, "a"), org.apache.spark.sql.Row(2L, "b")),
+      writeSchema)
+    writeParquet(root, "part-0.parquet", df)
+    val schemaJson =
+      """{\"type\":\"struct\",\"fields\":[
+         {\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":7,\"delta.columnMapping.physicalName\":\"col-xyz\"}},
+         {\"name\":\"v\",\"type\":\"string\",\"nullable\":true,\"metadata\":{\"delta.columnMapping.id\":9,\"delta.columnMapping.physicalName\":\"col-qrs\"}}]}"""
+        .replaceAll("\\n\\s*", "")
+    commit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      """{"add":{"path":"part-0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val got = catalog.DeltaRead.readTable(spark, root.getAbsolutePath)
+    assert(got.columns.toSeq == Seq("k", "v"))
+    assert(got.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
   }
 
   test("column mapping mode 'name': physical parquet names project to logical") {
