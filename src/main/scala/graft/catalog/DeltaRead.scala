@@ -38,12 +38,15 @@ import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, Struc
   * protocol reader versions 1-2 and version 3 when every listed reader
   * feature is implemented (currently: columnMapping); column mapping mode
   * NAME (physical-name reads projected to the logical schema) and mode ID
-  * (parquet field-id resolution via Spark's fieldId read path). Deletion
-  * vectors remain a documented gap, erroring loudly rather than
-  * misreading. */
+  * (parquet field-id resolution via Spark's fieldId read path); DELETION
+  * VECTORS on JSON-commit adds ('u' and 'p' storage — decoded by
+  * [[DeltaDeletionVectors]], applied as one broadcast anti-join on
+  * (_metadata.file_path, row_index)). Inline ('i') vectors and vectors
+  * living only in CHECKPOINTED adds stay documented refusals. */
 object DeltaRead {
 
-  private final case class Add(path: String, partitionValues: Map[String, String])
+  private final case class Add(path: String, partitionValues: Map[String, String],
+      dv: Option[DeltaDeletionVectors.Descriptor] = None)
 
   private final class State {
     var schemaJson: Option[String] = None
@@ -54,7 +57,7 @@ object DeltaRead {
       // reader version 2 = column mapping (both modes implemented here);
       // version 3 = table features — acceptable only when every listed
       // reader feature is one this reader implements
-      val understood = Set("columnMapping")
+      val understood = Set("columnMapping", "deletionVectors")
       if (minReader > 3) throw new IllegalArgumentException(
         s"Delta minReaderVersion $minReader is not supported by this reader")
       if (minReader == 3) {
@@ -74,9 +77,10 @@ object DeltaRead {
       case Some(_) => columnMappingMode = "none"
       case None =>
     }
-    def add(path: String, pv: Map[String, String]): Unit = {
+    def add(path: String, pv: Map[String, String],
+        dv: Option[DeltaDeletionVectors.Descriptor]): Unit = {
       val decoded = java.net.URLDecoder.decode(path, "UTF-8")
-      active(decoded) = Add(decoded, pv)
+      active(decoded) = Add(decoded, pv, dv)
     }
     def remove(path: String): Unit =
       active.remove(java.net.URLDecoder.decode(path, "UTF-8"))
@@ -124,18 +128,28 @@ object DeltaRead {
           case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
           case _ => Map.empty[String, String]
         }
-        st.add(path, pv)
+        // deletion vector descriptor (delta PROTOCOL.md): a re-add of the
+        // same path with a new DV supersedes via last-writer-wins above
+        val dv = (json \ "add" \ "deletionVector") match {
+          case JObject(_) =>
+            val JString(st0) = (json \ "add" \ "deletionVector" \ "storageType"): @unchecked
+            val JString(pdv) = (json \ "add" \ "deletionVector" \ "pathOrInlineDv"): @unchecked
+            val off = (json \ "add" \ "deletionVector" \ "offset") match {
+              case JInt(o) => Some(o.toInt)
+              case _ => None
+            }
+            val JInt(sz) = (json \ "add" \ "deletionVector" \ "sizeInBytes"): @unchecked
+            val JInt(card) = (json \ "add" \ "deletionVector" \ "cardinality"): @unchecked
+            Some(DeltaDeletionVectors.Descriptor(st0, pdv, off, sz.toInt, card.toLong))
+          case _ => None
+        }
+        st.add(path, pv, dv)
       case _ =>
     }
     json \ "remove" match {
       case JObject(_) =>
         val JString(path) = (json \ "remove" \ "path"): @unchecked
         st.remove(path)
-      case _ =>
-    }
-    json \ "add" \ "deletionVector" match {
-      case JObject(_) => throw new IllegalArgumentException(
-        "Delta deletion vectors are not supported by this reader")
       case _ =>
     }
   }
@@ -178,17 +192,21 @@ object DeltaRead {
       }
     }
     struct("add").foreach { as =>
+      // JSON-suffix DVs are fully supported; a DV that only exists in
+      // CHECKPOINTED state (no live JSON add) stays a documented refusal —
+      // replaying it would require the checkpoint's struct layout variants
       if (as.fieldNames.contains("deletionVector")) {
         val withDv = cp.where(col("add").isNotNull &&
           col("add.deletionVector").isNotNull).count()
         if (withDv > 0) throw new IllegalArgumentException(
-          "Delta deletion vectors are not supported by this reader")
+          "Delta deletion vectors in CHECKPOINTED adds are not supported by " +
+            "this reader (JSON-commit deletion vectors are)")
       }
       cp.where(col("add").isNotNull).select("add.path", "add.partitionValues")
         .collect().foreach { r =>
           val pv = Option(r.getMap[String, String](1)).map(_.toMap)
             .getOrElse(Map.empty[String, String])
-          st.add(r.getString(0), pv)
+          st.add(r.getString(0), pv, None)
         }
     }
     // checkpoint `remove` rows are vacuum tombstones for paths no longer in
@@ -301,23 +319,59 @@ object DeltaRead {
     if (st.active.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
 
+    // deletion vectors: decode each file's bitmap (driver-side — the same
+    // metadata-scale state the reference's page source materializes per
+    // split) into (absolute file path, deleted row position) pairs, applied
+    // below as ONE broadcast anti-join on (_metadata.file_path, row_index)
+    val dvPairs: Seq[(String, Long)] = st.active.values.toSeq.flatMap { a =>
+      a.dv.toSeq.flatMap { d =>
+        val abs = new File(s"$tablePath/${a.path}").getAbsolutePath
+        DeltaDeletionVectors.read(tablePath, d).map(pos => (abs, pos))
+      }
+    }
+    val hasDv = dvPairs.nonEmpty
+
     // one native parquet scan per partition-value group, typed literals for
     // the partition columns, union preserving the declared column order
     val groups = st.active.values.toSeq.groupBy(_.partitionValues)
-    groups.map { case (pv, adds) =>
+    val unioned = groups.map { case (pv, adds) =>
       val base0 = spark.read.schema(dataSchema)
         .parquet(adds.map(a => s"$tablePath/${a.path}"): _*)
       // physical → logical projection for the data columns (id mode reads
-      // under the logical names already — field ids did the matching)
-      val base = base0.select(schema.fields.filterNot(f => st.partCols.contains(f.name))
+      // under the logical names already — field ids did the matching);
+      // with deletion vectors the scan's row identity rides along
+      val dataCols = schema.fields.filterNot(f => st.partCols.contains(f.name))
         .map(f => col(if (st.columnMappingMode == "id") f.name else physicalOf(f.name))
-          .as(f.name)).toIndexedSeq: _*)
+          .as(f.name)).toIndexedSeq
+      val withId =
+        if (hasDv) dataCols ++ Seq(
+          col("_metadata.file_path").as("_dv_fp"),
+          col("_metadata.row_index").as("_dv_pos"))
+        else dataCols
+      val base = base0.select(withId: _*)
+      val keep = schema.fieldNames.toIndexedSeq ++
+        (if (hasDv) Seq("_dv_fp", "_dv_pos") else Seq.empty)
       st.partCols.foldLeft(base) { (df, pc) =>
         val tpe = schema(pc).dataType
         // add-action partitionValues are keyed by PHYSICAL name under mapping
         val v = pv.get(physicalOf(pc)).orElse(pv.get(pc)).orNull
         df.withColumn(pc, lit(v).cast(tpe))
-      }.select(schema.fieldNames.map(col): _*)
+      }.select(keep.map(col): _*)
     }.reduce(_ unionByName _)
+
+    if (!hasDv) unioned
+    else {
+      import org.apache.spark.sql.functions.{broadcast, regexp_replace}
+      val dels = spark.createDataFrame(dvPairs.map(p => Row(p._1, p._2)).asJava,
+        StructType(Seq(StructField("_del_fp", org.apache.spark.sql.types.StringType),
+          StructField("_del_pos", org.apache.spark.sql.types.LongType))))
+      def norm(c: org.apache.spark.sql.Column) = regexp_replace(c, "^file:/*", "/")
+      unioned
+        .join(broadcast(dels),
+          norm(col("_dv_fp")) === norm(col("_del_fp")) &&
+            col("_dv_pos") === col("_del_pos"),
+          "left_anti")
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
   }
 }

@@ -94,11 +94,11 @@ class DeltaReadSpec extends SparkSpec {
     // reader version 3 with a feature we do not implement → refuse
     val dv = newTable("dvfeat")
     commit(dv, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}"""))
     val e2 = intercept[IllegalArgumentException] {
       catalog.DeltaRead.readTable(spark, dv.getAbsolutePath)
     }
-    assert(e2.getMessage.contains("deletionVectors"))
+    assert(e2.getMessage.contains("v2Checkpoint"))
   }
 
   test("column mapping mode 'id': parquet field ids resolve regardless of names") {
@@ -191,15 +191,16 @@ class DeltaReadSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       catalog.DeltaRead.readTable(spark, gapped.getAbsolutePath)
     }.getMessage.contains("gap"))
-    // reader features beyond the base protocol
+    // reader features beyond the implemented set (deletionVectors and
+    // columnMapping are now understood — use one that is not)
     val rf = newTable("readerfeatures")
     commit(rf, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
       """{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{}}}"""))
     val e2 = intercept[IllegalArgumentException] {
       catalog.DeltaRead.readTable(spark, rf.getAbsolutePath)
     }
-    assert(e2.getMessage.contains("deletionVectors"))
+    assert(e2.getMessage.contains("timestampNtz"))
   }
   test("parquet checkpoints: state restored, cleaned log prefix, JSON suffix applied") {
     import org.apache.spark.sql.Row
@@ -274,5 +275,103 @@ class DeltaReadSpec extends SparkSpec {
       graft.catalog.DeltaRead.readTable(spark, bad.getAbsolutePath)
     }
     assert(e.getMessage.contains("not supported") || e.getMessage.contains("not found"))
+  }
+
+  test("deletion vectors: Z85 uuid naming and hand-built roaring payloads decode") {
+    // known answer from a Databricks-written table (reference test resource
+    // databricks122/deletion_vectors, commit 2's descriptor)
+    assert(catalog.DeltaDeletionVectors.uuidFileName("R7QFX3rGXPFLhHGq&7g<") ==
+      "deletion_vector_a52eda8c-0a57-4636-814b-9c165388f7ca.bin")
+
+    // bytes hand-assembled from the PUBLIC formats (Delta portable envelope
+    // + RoaringFormatSpec), not produced by any writer of ours:
+    import java.nio.{ByteBuffer, ByteOrder}
+    def payload(roaring: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(16 + roaring.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1681511377).putLong(1L).putInt(0) // magic, 1 bitmap, key 0
+      bb.put(roaring)
+      bb.array()
+    }
+    // no-run format: cookie 12346, 1 container, key 0 card 2, offset, [1, 3]
+    val arr = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(12346).putInt(1)
+      .putShort(0).putShort(1) // key, cardinality-1
+      .putInt(16)              // container offset
+      .putShort(1).putShort(3).array()
+    assert(catalog.DeltaDeletionVectors.decodePortable(payload(arr)).toSeq ==
+      Seq(1L, 3L))
+    // run format: cookie 12347 | (count-1)<<16, run flag set, run [5, len 3]
+    val run = ByteBuffer.allocate(15).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(12347) // 1 container → high 16 bits zero
+      .put(1.toByte) // run flag bitset
+      .putShort(0).putShort(3) // key, cardinality-1
+      .putShort(1)             // one run
+      .putShort(5).putShort(3) // start 5, length 3 → 5..8
+      .array()
+    assert(catalog.DeltaDeletionVectors.decodePortable(payload(run)).toSeq ==
+      Seq(5L, 6L, 7L, 8L))
+    // second bitmap key shifts by 2^32
+    val two = ByteBuffer.allocate(16 + 20 + 4 + 20).order(ByteOrder.LITTLE_ENDIAN)
+    two.putInt(1681511377).putLong(2L)
+    two.putInt(0).put(arr)
+    two.putInt(1).put(arr)
+    assert(catalog.DeltaDeletionVectors.decodePortable(two.array()).toSeq ==
+      Seq(1L, 3L, (1L << 32) | 1L, (1L << 32) | 3L))
+  }
+
+  test("deletion vectors: p-type file applied via position anti-join, superseded by re-add") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.util.zip.CRC32
+    val root = newTable("dv")
+    val ids = (0L until 10L)
+    writeParquet(root, "f1.parquet", ids.toDF("id"))
+
+    def dvFile(name: String, positions: Seq[Int]): (String, Int, Int) = {
+      val roaring = ByteBuffer.allocate(16 + 4 * positions.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(12346).putInt(1)
+        .putShort(0).putShort((positions.length - 1).toShort)
+        .putInt(16)
+      positions.foreach(v => roaring.putShort(v.toShort))
+      val data = ByteBuffer.allocate(16 + roaring.array().length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(1681511377).putLong(1L).putInt(0).put(roaring.array()).array()
+      val crc = new CRC32; crc.update(data)
+      val out = ByteBuffer.allocate(1 + 4 + data.length + 4) // BE framing
+        .put(1.toByte).putInt(data.length).put(data).putInt(crc.getValue.toInt)
+      val f = new File(root, name)
+      Files.write(f.toPath, out.array())
+      (f.getAbsolutePath, 1, data.length) // offset = after the version byte
+    }
+
+    val (dv1, off1, sz1) = dvFile("dv1.bin", Seq(0, 2))
+    val schemaJson = """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+    commit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"p","pathOrInlineDv":"$dv1","offset":$off1,"sizeInBytes":$sz1,"cardinality":2}}}"""))
+    val got = catalog.DeltaRead.readTable(spark, root.getAbsolutePath)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L), s"got $got")
+
+    // a later re-add of the same file with a BIGGER vector supersedes
+    val (dv2, off2, sz2) = dvFile("dv2.bin", Seq(0, 1, 2, 3, 4, 5))
+    commit(root, 1, Seq(
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":false,"deletionVector":{"storageType":"p","pathOrInlineDv":"$dv2","offset":$off2,"sizeInBytes":$sz2,"cardinality":6}}}"""))
+    val got2 = catalog.DeltaRead.readTable(spark, root.getAbsolutePath)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got2 == Seq(6L, 7L, 8L, 9L), s"got2 $got2")
+
+    // corrupted checksum fails loudly
+    val f = new File(root, "dv1.bin")
+    val bytes = Files.readAllBytes(f.toPath)
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x01).toByte
+    Files.write(f.toPath, bytes)
+    commit(root, 2, Seq(
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":false,"deletionVector":{"storageType":"p","pathOrInlineDv":"$dv1","offset":$off1,"sizeInBytes":$sz1,"cardinality":2}}}"""))
+    val e = intercept[IllegalArgumentException] {
+      catalog.DeltaRead.readTable(spark, root.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("checksum"))
   }
 }
