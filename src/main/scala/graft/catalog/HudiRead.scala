@@ -11,9 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `getCommitsTimeline().filterCompletedInstants()`; HudiMetadata,
   * TableType.java). This implements the same semantics directly:
   *
-  *  1. `.hoodie/hoodie.properties` must declare
-  *     `hoodie.table.type=COPY_ON_WRITE` — MERGE_ON_READ (log-file
-  *     compaction on read) is refused loudly.
+  *  1. `.hoodie/hoodie.properties` declares the table type: COPY_ON_WRITE
+  *     reads snapshots; MERGE_ON_READ is served READ-OPTIMIZED (base files
+  *     only, `.log` row deltas ignored) — the same contract the reference's
+  *     read-optimized lister provides; snapshot-with-log-merge is out of
+  *     scope.
   *  2. The COMPLETED timeline = instants with a `<instant>.commit` file in
   *     `.hoodie/`. Inflight/requested instants (`.inflight`,
   *     `.commit.requested`) and rolled-back instants (no `.commit`) are
@@ -56,18 +58,22 @@ object HudiRead {
     val in = Files.newInputStream(pf.toPath)
     try props.load(in) finally in.close()
     val tableType = props.getProperty("hoodie.table.type", "COPY_ON_WRITE")
-    require(tableType == "COPY_ON_WRITE",
-      s"Hudi table type $tableType is not supported by this reader (COPY_ON_WRITE only)")
+    require(tableType == "COPY_ON_WRITE" || tableType == "MERGE_ON_READ",
+      s"Hudi table type $tableType is not supported by this reader")
 
     val timeline = Option(hoodie.listFiles()).getOrElse(Array.empty)
     require(!timeline.exists(_.getName.endsWith(".replacecommit")),
       "Hudi replacecommit (clustering/insert_overwrite) is not supported by this reader")
-    require(!timeline.exists(_.getName.endsWith(".deltacommit")),
-      "Hudi deltacommit found: MERGE_ON_READ tables are not supported by this reader")
+    // MERGE_ON_READ is served READ-OPTIMIZED — exactly the reference's
+    // HudiReadOptimizedDirectoryLister: completed instants include the
+    // MOR `.deltacommit`s, base parquet files are scanned, and `.log`
+    // files (unmerged row deltas) are ignored by construction (the walk
+    // only collects parquet). Snapshot-with-log-merge is out of scope.
     val completed: Set[String] = timeline.iterator
       .map(_.getName)
-      .filter(n => n.endsWith(".commit") && !n.contains(".commit."))
-      .map(_.stripSuffix(".commit"))
+      .filter(n => (n.endsWith(".commit") && !n.contains(".commit.")) ||
+        (n.endsWith(".deltacommit") && !n.contains(".deltacommit.")))
+      .map(_.stripSuffix(".deltacommit").stripSuffix(".commit"))
       .filter(i => asOf.forall(i <= _))
       .toSet
     require(asOf.isEmpty || completed.nonEmpty,

@@ -87,15 +87,33 @@ class HudiReadSpec extends SparkSpec {
     assert(got.toSeq == Seq(1, 2))
   }
 
-  test("MERGE_ON_READ, replacecommit, and 1.x timeline are refused loudly") {
+  test("MERGE_ON_READ reads READ-OPTIMIZED: deltacommits count, logs ignored") {
     val mor = newTable("mor", tableType = "MERGE_ON_READ")
-    writeBase(mor, "", FID, "0-0-0", "001", Seq(1))
-    commit(mor, "001")
-    val e1 = intercept[IllegalArgumentException] {
-      graft.catalog.HudiRead.readTable(spark, mor.getAbsolutePath)
-    }
-    assert(e1.getMessage.contains("MERGE_ON_READ") || e1.getMessage.contains("COPY_ON_WRITE"))
+    writeBase(mor, "", FID, "0-0-0", "001", Seq(1, 2))
+    writeBase(mor, "", FID, "0-1-0", "002", Seq(10, 20, 30)) // compacted slice
+    // MOR timeline: deltacommits complete the instants
+    Files.write(Paths.get(mor.getAbsolutePath, ".hoodie", "001.deltacommit"),
+      "{}".getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(mor.getAbsolutePath, ".hoodie", "002.deltacommit"),
+      "{}".getBytes(StandardCharsets.UTF_8))
+    // an unmerged log file sits beside the base file — read-optimized
+    // scans must ignore it
+    Files.write(Paths.get(mor.getAbsolutePath,
+      s".${FID}_20211221.log.1_0-0-0"), Array[Byte](1, 2, 3))
+    val got = graft.catalog.HudiRead.readTable(spark, mor.getAbsolutePath)
+      .as[Int].collect().sorted
+    assert(got.toSeq == Seq(10, 20, 30))
 
+    val unknown = newTable("weird", tableType = "SOMETHING_ELSE")
+    writeBase(unknown, "", FID, "0-0-0", "001", Seq(1))
+    commit(unknown, "001")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.catalog.HudiRead.readTable(spark, unknown.getAbsolutePath)
+    }
+    assert(e1.getMessage.contains("SOMETHING_ELSE"))
+  }
+
+  test("replacecommit and 1.x timeline are refused loudly") {
     val rc = newTable("replace")
     writeBase(rc, "", FID, "0-0-0", "001", Seq(1))
     commit(rc, "001")
