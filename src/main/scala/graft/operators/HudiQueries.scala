@@ -132,11 +132,75 @@ object HudiQueries {
               CAST(1 AS BIGINT) AS commits
        FROM supplier GROUP BY 1 ORDER BY pk"""
 
+  /** Build (idempotently) a MERGE_ON_READ layout: compacted base slices
+    * under deltacommit instants plus an unmerged log file that a
+    * read-optimized scan must ignore. */
+  private def buildHudiMorNation(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new File(System.getProperty("java.io.tmpdir"),
+      s"graft_hudi_mor_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val marker = new File(root, s".hoodie/$C1.deltacommit")
+    if (marker.exists()) return root.getAbsolutePath
+    def deleteTree(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+      f.delete()
+    }
+    deleteTree(root)
+    new File(root, ".hoodie").mkdirs()
+    Files.write(Paths.get(root.getAbsolutePath, ".hoodie", "hoodie.properties"),
+      ("hoodie.table.name=nation_mor\n" +
+        "hoodie.table.type=MERGE_ON_READ\n").getBytes(StandardCharsets.UTF_8))
+    val nation = table(s, dir, "nation")
+    val fid = "00000000-0000-0000-0000-00000000000a-0"
+    def writeSlice(df: DataFrame, token: String, instant: String): Unit = {
+      val stage = new File(root, s"_stage_$instant")
+      df.withColumn("_hoodie_commit_time", lit(instant))
+        .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = Option(stage.listFiles()).getOrElse(Array.empty)
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, new File(root, s"${fid}_${token}_$instant.parquet").toPath)
+      deleteTree(stage)
+    }
+    // base slice at C0, compacted slice at C1 (drops region 4's rows the
+    // way a compaction folding a delete log would)
+    writeSlice(nation, "0-0-0", C0)
+    writeSlice(nation.filter($"n_regionkey" =!= 4), "0-1-0", C1)
+    Files.write(Paths.get(root.getAbsolutePath, ".hoodie", s"$C0.deltacommit"),
+      "{}".getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(root.getAbsolutePath, ".hoodie", s"$C1.deltacommit"),
+      "{}".getBytes(StandardCharsets.UTF_8))
+    // an unmerged log file beside the base — must be invisible
+    Files.write(Paths.get(root.getAbsolutePath, s".${fid}_$C1.log.1_0-1-0"),
+      Array[Byte](1, 2, 3))
+    root.getAbsolutePath
+  }
+
+  /** Read-optimized MOR scan: the latest compacted slice only, log ignored. */
+  def q_fed_hudi_mor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = buildHudiMorNation(s, dir)
+    graft.catalog.HudiRead.readTable(s, path)
+      .groupBy($"n_regionkey")
+      .agg(count(lit(1)).as("n"),
+        CAST_SUM_KEY($"n_nationkey").as("key_sum"),
+        countDistinct($"_hoodie_commit_time").as("commits"))
+      .orderBy($"n_regionkey")
+  }
+  private def CAST_SUM_KEY(c: org.apache.spark.sql.Column) = sum(c).cast("long")
+  val qFedHudiMorSql: String =
+    """SELECT n_regionkey, count(*) AS n,
+              CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+              CAST(1 AS BIGINT) AS commits
+       FROM nation WHERE n_regionkey <> 4
+       GROUP BY n_regionkey ORDER BY n_regionkey"""
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "q_fed_hudi" -> q_fed_hudi _,
-    "q_fed_hudi_timetravel" -> q_fed_hudi_timetravel _)
+    "q_fed_hudi_timetravel" -> q_fed_hudi_timetravel _,
+    "q_fed_hudi_mor" -> q_fed_hudi_mor _)
   val oracles: Map[String, String] = Map(
     "q_fed_hudi" -> qFedHudiSql,
-    "q_fed_hudi_timetravel" -> qFedHudiTimetravelSql)
+    "q_fed_hudi_timetravel" -> qFedHudiTimetravelSql,
+    "q_fed_hudi_mor" -> qFedHudiMorSql)
 }
