@@ -1344,6 +1344,12 @@ case class GeomAccessor(child: Expression, what: String)
         case "POINT" | "MULTIPOINT" => 0
         case "LINESTRING" | "MULTILINESTRING" => 1
         case "POLYGON" | "MULTIPOLYGON" => 2
+        // a collection's dimension is its members' maximum (JTS)
+        case "GEOMETRYCOLLECTION" => graft.ext.Wkt.gcParts(g).map(p => p.kind match {
+          case "POINT" => 0
+          case "LINESTRING" => 1
+          case _ => 2
+        }).max
       }
       case "is_empty" => false // the parser rejects empty geometries
       case "is_closed" =>
@@ -1362,6 +1368,7 @@ case class GeomAccessor(child: Expression, what: String)
         case "MULTILINESTRING" => "ST_MultiLineString"
         case "POLYGON" => "ST_Polygon"
         case "MULTIPOLYGON" => "ST_MultiPolygon"
+        case "GEOMETRYCOLLECTION" => "ST_GeomCollection"
       })
     }
   }
@@ -1463,7 +1470,10 @@ case class GeomPart(left: Expression, right: Expression, what: String)
       case "geometry_n" =>
         val singular = Map("MULTIPOINT" -> "POINT", "MULTILINESTRING" -> "LINESTRING",
           "MULTIPOLYGON" -> "POLYGON")
-        if (!singular.contains(g.kind)) {
+        if (g.kind == "GEOMETRYCOLLECTION") {
+          val parts = graft.ext.Wkt.gcParts(g)
+          if (n < 1 || n > parts.length) null else GeoOps.toRow(parts(n - 1))
+        } else if (!singular.contains(g.kind)) {
           // singular geometry: itself at n=1 (fresh copy — the input row may
           // be a reused UnsafeRow buffer)
           if (n == 1) GeoOps.toRow(g) else null

@@ -28,8 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    ST_AsEWKT/ST_AsEWKB equal ST_AsText/ST_AsBinary exactly as the
   *    reference's do at SRID 0 (GeoFunctions.java:718-722), and
   *    ST_GeomFromEWKT accepts-and-discards an `SRID=n;` prefix.
-  *  - There is no GEOMETRYCOLLECTION kind: ST_Collect of mixed geometry
-  *    types is NULL (same-type collects are exact).
+  *  - ST_Collect of mixed base types builds a GEOMETRYCOLLECTION
+  *    (single-part members; nested collections stay unsupported).
   *  - The model is strictly 2D: ST_Force2D is the identity, ST_Z is NULL.
   *  - ST_Polygonize accepts closed rings (JTS's fully-noded case) and
   *    ignores dangles the way the reference's polygonizer drops them.
@@ -42,6 +42,7 @@ object GeoOps3 {
 
   /** Component list: MULTIX → X parts (polygon parts keep their holes). */
   def components(g: Geom): List[Geom] = g.kind match {
+    case "GEOMETRYCOLLECTION" => Wkt.gcParts(g).toList
     case "MULTIPOINT" =>
       (0 until g.xs.length).map(i =>
         Geom("POINT", Array(g.xs(i)), Array(g.ys(i)), Array(1))).toList
@@ -77,12 +78,13 @@ object GeoOps3 {
     case _ => g
   }
 
-  /** Collect into the MULTI kind; mixed base types → null (no GC kind). */
+  /** Collect: same base type → the MULTI kind; mixed base types → a
+    * GEOMETRYCOLLECTION (the reference's stCollect shape). */
   def collect(gs: Seq[Geom]): Geom = {
     if (gs.isEmpty || gs.contains(null)) return null
     val flat = gs.flatMap(components)
     val kinds = flat.map(_.kind).distinct
-    if (kinds.length != 1) return null
+    if (kinds.length != 1) return Wkt.gcBuild(flat)
     val kind = "MULTI" + kinds.head
     Geom(kind, flat.flatMap(_.xs).toArray, flat.flatMap(_.ys).toArray,
       flat.flatMap(_.rings).toArray)

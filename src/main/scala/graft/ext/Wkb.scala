@@ -32,6 +32,7 @@ object Wkb {
   private val TMultiPoint = 4
   private val TMultiLine = 5
   private val TMultiPolygon = 6
+  private val TGeomCollection = 7
 
   // ------------------------------------------------------------------ write
 
@@ -51,6 +52,8 @@ object Wkb {
     case "MULTIPOLYGON" =>
       // one polygon header per shell (positive ring)
       9 + g.rings.count(_ > 0) * 9 + 4 * g.rings.length + 16 * g.xs.length
+    case "GEOMETRYCOLLECTION" =>
+      9 + Wkt.gcParts(g).map(sizeOf).sum
   }
 
   private def putHeader(buf: ByteBuffer, tpe: Int): Unit = {
@@ -102,6 +105,11 @@ object Wkb {
         putPoints(buf, g, off, len)
         off += len
       }
+    case "GEOMETRYCOLLECTION" =>
+      putHeader(buf, TGeomCollection)
+      val parts = Wkt.gcParts(g)
+      buf.putInt(parts.length)
+      parts.foreach(putGeom(buf, _))
     case "MULTIPOLYGON" =>
       putHeader(buf, TMultiPolygon)
       buf.putInt(g.rings.count(_ > 0))
@@ -192,6 +200,13 @@ object Wkb {
           for (_ <- 0 until m) { bx += buf.getDouble; by += buf.getDouble }
         }
         Geom("MULTILINESTRING", bx.toArray, by.toArray, lens.toArray)
+      case TGeomCollection =>
+        val n = buf.getInt
+        if (n < 1 || n > buf.remaining() / 9) return null
+        val parts = (0 until n).map(_ => readGeom(buf, topLevel = false))
+        if (parts.contains(null)) return null
+        // only single-part members are representable (matches gcBuild)
+        Wkt.gcBuild(parts)
       case TMultiPolygon =>
         val n = buf.getInt
         if (n < 1 || n > buf.remaining() / 9) return null

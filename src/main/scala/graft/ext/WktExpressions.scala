@@ -52,7 +52,50 @@ object Wkt {
   final case class Geom(kind: String, xs: Array[Double], ys: Array[Double], rings: Array[Int])
 
   private val Outer =
-    """(?is)^\s*(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON)\s*\((.*)\)\s*$""".r
+    """(?is)^\s*(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|GEOMETRYCOLLECTION)\s*\((.*)\)\s*$""".r
+
+  // GEOMETRYCOLLECTION rings layout: [N, then per part: typeCode
+  // (1=POINT, 2=LINESTRING, 3=POLYGON), ring count, the part's ring
+  // lengths (holes negative)] — readable only by kind-aware code; every
+  // kernel dispatches on kind first, so non-GC code never sees it.
+  private val GcTypeCode = Map("POINT" -> 1, "LINESTRING" -> 2, "POLYGON" -> 3)
+  private val GcTypeName = GcTypeCode.map(_.swap)
+
+  /** Build a GEOMETRYCOLLECTION from single-part members (POINT /
+    * LINESTRING / POLYGON); anything else (incl. nested collections and
+    * MULTI kinds) → null, never a lossy flattening. */
+  def gcBuild(parts: Seq[Geom]): Geom = {
+    if (parts.isEmpty || parts.exists(p => p == null || !GcTypeCode.contains(p.kind)))
+      return null
+    val rings = scala.collection.mutable.ArrayBuffer[Int](parts.length)
+    parts.foreach { p =>
+      rings += GcTypeCode(p.kind)
+      rings += p.rings.length
+      rings ++= p.rings
+    }
+    Geom("GEOMETRYCOLLECTION", parts.flatMap(_.xs).toArray,
+      parts.flatMap(_.ys).toArray, rings.toArray)
+  }
+
+  /** Decode a GEOMETRYCOLLECTION into its member geometries. */
+  def gcParts(g: Geom): Seq[Geom] = {
+    require(g.kind == "GEOMETRYCOLLECTION", s"not a collection: ${g.kind}")
+    val out = scala.collection.mutable.ArrayBuffer[Geom]()
+    var i = 1 // rings(0) = member count
+    var off = 0
+    while (i < g.rings.length) {
+      val kind = GcTypeName(g.rings(i))
+      val nr = g.rings(i + 1)
+      val lens = (0 until nr).map(k => g.rings(i + 2 + k)).toArray
+      val total = lens.map(math.abs).sum
+      out += Geom(kind,
+        java.util.Arrays.copyOfRange(g.xs, off, off + total),
+        java.util.Arrays.copyOfRange(g.ys, off, off + total), lens)
+      off += total
+      i += 2 + nr
+    }
+    out.toSeq
+  }
 
   /** Split on commas at paren depth 0. */
   private def splitTop(s: String): Array[String] = {
@@ -145,6 +188,11 @@ object Wkt {
           }
           val g = rings(flat.toSeq)
           if (g == null) null else g.copy(kind = "MULTIPOLYGON")
+        case "GEOMETRYCOLLECTION" =>
+          // each top-level element is itself full WKT; nested collections
+          // and MULTI members are out of the supported subset (null)
+          val parts = splitTop(body).map(parse)
+          if (parts.contains(null)) null else gcBuild(parts.toSeq)
       }
       case _ => null
     }
@@ -183,6 +231,10 @@ object Wkt {
           i += 1
         }
         s"MULTIPOLYGON ($sb)"
+      case "GEOMETRYCOLLECTION" =>
+        val g = Geom("GEOMETRYCOLLECTION", xs, ys, rings)
+        "GEOMETRYCOLLECTION (" + gcParts(g).map(p =>
+          format(p.kind, p.xs, p.ys, p.rings)).mkString(", ") + ")"
       case k => s"$k (${ring(xs.length)})"
     }
   }
@@ -262,6 +314,13 @@ object Wkt {
           acc += (if (shell) a else -a)
         }
         acc
+      case "GEOMETRYCOLLECTION" =>
+        gcParts(Geom(kind,
+          Array.tabulate(xs.numElements())(xs.getDouble),
+          Array.tabulate(ys.numElements())(ys.getDouble),
+          Array.tabulate(rings.numElements())(rings.getInt)))
+          .map(p => gArea(p.kind, new GenericArrayData(p.xs),
+            new GenericArrayData(p.ys), new GenericArrayData(p.rings))).sum
       case _ => 0.0
     }
 
@@ -271,6 +330,13 @@ object Wkt {
         var acc = 0.0
         eachRing(rings) { (off, len, _) => acc += ringPerimeter(xs, ys, off, len) }
         acc
+      case "GEOMETRYCOLLECTION" =>
+        gcParts(Geom(kind,
+          Array.tabulate(xs.numElements())(xs.getDouble),
+          Array.tabulate(ys.numElements())(ys.getDouble),
+          Array.tabulate(rings.numElements())(rings.getInt)))
+          .map(p => gPerimeter(p.kind, new GenericArrayData(p.xs),
+            new GenericArrayData(p.ys), new GenericArrayData(p.rings))).sum
       case _ => 0.0
     }
 
@@ -280,6 +346,13 @@ object Wkt {
         var acc = 0.0
         eachRing(rings) { (off, len, _) => acc += pathLength(xs, ys, off, len) }
         acc
+      case "GEOMETRYCOLLECTION" =>
+        gcParts(Geom(kind,
+          Array.tabulate(xs.numElements())(xs.getDouble),
+          Array.tabulate(ys.numElements())(ys.getDouble),
+          Array.tabulate(rings.numElements())(rings.getInt)))
+          .map(p => gLength(p.kind, new GenericArrayData(p.xs),
+            new GenericArrayData(p.ys), new GenericArrayData(p.rings))).sum
       case _ => 0.0
     }
 
@@ -353,6 +426,7 @@ object Wkt {
 
   def gNumGeometries(kind: String, rings: ArrayData): Int = kind match {
     case "POLYGON" | "LINESTRING" | "POINT" => 1
+    case "GEOMETRYCOLLECTION" => rings.getInt(0)
     case "MULTIPOLYGON" =>
       var n = 0
       var i = 0

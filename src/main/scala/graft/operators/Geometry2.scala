@@ -42,7 +42,7 @@ object Geometry2 {
         "st_numpoints(st_makeline(array(st_point(a, b), st_point(a + e, b + 2 * e), st_point(a + 2, b)))) AS ml3_n",
         "st_geometrytype(st_collect(st_point(a, b), st_point(a + e, b))) AS collect_type",
         "st_numgeometries(st_collect(st_point(a, b), st_point(a + e, b))) AS collect_n",
-        "st_collect(st_point(a, b), st_makeline(st_point(a, b), st_point(a + e, b))) IS NULL AS collect_mixed_null",
+        "st_geometrytype(st_collect(st_point(a, b), st_makeline(st_point(a, b), st_point(a + e, b)))) = 'ST_GeomCollection' AS collect_mixed_gc",
         "st_area(st_makepolygon(st_linefromtext(shell_wkt))) AS poly_area",
         "st_area(st_makepolygon(st_linefromtext(shell_wkt), array(st_linefromtext(hole_wkt)))) AS holed_area",
         "st_geometrytype(st_multi(st_makepolygon(st_linefromtext(shell_wkt)))) AS multi_type",
@@ -71,7 +71,7 @@ object Geometry2 {
          3 AS ml3_n,
          'ST_MultiPoint' AS collect_type,
          2 AS collect_n,
-         TRUE AS collect_mixed_null,
+         TRUE AS collect_mixed_gc,
          CAST((e + 2) * (e + 2) AS DOUBLE) AS poly_area,
          CAST((e + 2) * (e + 2) - 1 AS DOUBLE) AS holed_area,
          'ST_MultiPolygon' AS multi_type,
@@ -354,15 +354,69 @@ object Geometry2 {
          4.0 AS v5_total
        FROM customer WHERE c_custkey <= 1200 ORDER BY c_custkey"""
 
+  /** GEOMETRYCOLLECTION: mixed-type ST_Collect, WKT + WKB roundtrips,
+    * member extraction, dimension = max member, area = polygon members. */
+  def q_fn_geo_collection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.registerAll(s)
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 1200)
+      .withColumn("a", ($"c_custkey" % 5).cast("long"))
+      .withColumn("b", ($"c_custkey" % 7).cast("long"))
+      .withColumn("e", ($"c_custkey" % 3 + 1).cast("long"))
+    val gc = "st_collect(st_point(a, b), st_makeline(st_point(a, b), st_point(a + e, b)))"
+    val gc2 = "st_collect(array(st_point(a + 9, b), st_makepolygon(st_linefromtext(" +
+      "concat('LINESTRING (', a, ' ', b, ', ', a + e, ' ', b, ', ', a + e, ' ', b + e, " +
+      "', ', a, ' ', b + e, ', ', a, ' ', b, ')')))))"
+    t.selectExpr("c_custkey",
+        s"st_geometrytype($gc) AS gc_type",
+        s"st_numgeometries($gc) AS gc_n",
+        s"st_astext($gc) AS gc_wkt",
+        s"st_astext(st_geometryfromtext(st_astext($gc))) = st_astext($gc) AS gc_wkt_roundtrip",
+        s"st_astext(st_geomfrombinary(st_asbinary($gc))) = st_astext($gc) AS gc_wkb_roundtrip",
+        s"st_astext(st_geometryn($gc, 2)) AS gc_member2_wkt",
+        s"size(st_geometries($gc)) AS gc_parts",
+        s"st_dimension($gc2) AS gc2_dim",
+        s"st_area($gc2) AS gc2_area",
+        s"st_xmax($gc2) AS gc2_xmax")
+      .orderBy($"c_custkey")
+  }
+  val qFnGeoCollectionSql: String =
+    """WITH b0 AS (
+         SELECT c_custkey, c_custkey % 5 AS a, c_custkey % 7 AS b,
+                c_custkey % 3 + 1 AS e
+         FROM customer WHERE c_custkey <= 1200),
+       strs AS (
+         SELECT *,
+           CAST(CAST(a AS DOUBLE) AS VARCHAR) AS sa,
+           CAST(CAST(b AS DOUBLE) AS VARCHAR) AS sb,
+           CAST(CAST(a + e AS DOUBLE) AS VARCHAR) AS sae
+         FROM b0)
+       SELECT c_custkey,
+         'ST_GeomCollection' AS gc_type,
+         2 AS gc_n,
+         'GEOMETRYCOLLECTION (POINT (' || sa || ' ' || sb || '), LINESTRING ('
+           || sa || ' ' || sb || ', ' || sae || ' ' || sb || '))' AS gc_wkt,
+         TRUE AS gc_wkt_roundtrip,
+         TRUE AS gc_wkb_roundtrip,
+         'LINESTRING (' || sa || ' ' || sb || ', ' || sae || ' ' || sb || ')'
+           AS gc_member2_wkt,
+         2 AS gc_parts,
+         2 AS gc2_dim,
+         CAST(e * e AS DOUBLE) AS gc2_area,
+         CAST(a + 9 AS DOUBLE) AS gc2_xmax
+       FROM strs ORDER BY c_custkey"""
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "q_fn_geo_construct" -> q_fn_geo_construct _,
     "q_fn_geo_canonical" -> q_fn_geo_canonical _,
     "q_fn_geo_hulls" -> q_fn_geo_hulls _,
-    "q_fn_geo_relate_voronoi" -> q_fn_geo_relate_voronoi _)
+    "q_fn_geo_relate_voronoi" -> q_fn_geo_relate_voronoi _,
+    "q_fn_geo_collection" -> q_fn_geo_collection _)
   val oracles: Map[String, String] = Map(
     "q_fn_geo_construct" -> qFnGeoConstructSql,
     "q_fn_geo_canonical" -> qFnGeoCanonicalSql,
     "q_fn_geo_hulls" -> qFnGeoHullsSql,
-    "q_fn_geo_relate_voronoi" -> qFnGeoRelateVoronoiSql)
+    "q_fn_geo_relate_voronoi" -> qFnGeoRelateVoronoiSql,
+    "q_fn_geo_collection" -> qFnGeoCollectionSql)
 }
