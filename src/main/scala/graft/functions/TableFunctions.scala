@@ -60,6 +60,26 @@ object TableFunctions {
       .select(col("doc_id"), graft.operators.TextPipeline.scrub(col("text")).as("scrubbed"))
   })
 
+  // lake-format readers as TVFs: open-format tables reachable from SQL
+  // text without a catalog registration (the reference exposes the same
+  // capability through per-connector catalogs)
+  register("delta_table", (s, _, args) => {
+    require(args.length == 1, "delta_table('<path>')")
+    graft.catalog.DeltaRead.readTable(s, unquote(args.head))
+  })
+  register("iceberg_table", (s, _, args) => {
+    require(args.length == 1 || args.length == 2,
+      "iceberg_table('<path>' [, snapshot_id])")
+    graft.catalog.IcebergRead.readTable(s, unquote(args.head),
+      snapshotId = args.lift(1).map(_.trim.toLong))
+  })
+  register("hudi_table", (s, _, args) => {
+    require(args.length == 1 || args.length == 2,
+      "hudi_table('<path>' [, '<as-of instant>'])")
+    graft.catalog.HudiRead.readTable(s, unquote(args.head),
+      asOf = args.lift(1).map(unquote))
+  })
+
   private def unquote(s: String): String = {
     val t = s.trim
     if (t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1) else t

@@ -67,4 +67,29 @@ class DeltaWriteSpec extends SparkSpec {
     // the loser's data files are invisible: replay still returns ONE row
     assert(catalog.DeltaRead.readTable(spark, path).count() == 1)
   }
+
+  test("lake TVFs reach open-format tables from SQL text") {
+    val dpath = fresh("tvf_delta")
+    val nation = operators.table(spark, sfDir, "nation")
+    catalog.DeltaWrite.write(nation, dpath)
+    val viaSql = sqlx.TrinoDialect.sql(spark, sfDir,
+      s"SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS s " +
+        s"FROM TABLE(delta_table('$dpath'))").head()
+    assert(viaSql.getLong(0) == nation.count())
+
+    val ipath = fresh("tvf_iceberg")
+    catalog.IcebergWrite.write(nation.select(col("n_nationkey"), col("n_name")), ipath)
+    val ice = sqlx.TrinoDialect.sql(spark, sfDir,
+      s"SELECT count(*) AS n FROM TABLE(iceberg_table('$ipath'))").head()
+    assert(ice.getLong(0) == nation.count())
+    // snapshot argument flows through
+    val ice1 = sqlx.TrinoDialect.sql(spark, sfDir,
+      s"SELECT count(*) AS n FROM TABLE(iceberg_table('$ipath', 1))").head()
+    assert(ice1.getLong(0) == nation.count())
+
+    intercept[Exception] {
+      sqlx.TrinoDialect.sql(spark, sfDir,
+        "SELECT * FROM TABLE(hudi_table('/nonexistent/path'))").collect()
+    }
+  }
 }
