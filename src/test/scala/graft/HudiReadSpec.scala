@@ -131,4 +131,28 @@ class HudiReadSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("timeline"))
   }
+
+  test("HudiWrite roundtrip: bulk insert + partition upsert replay read-optimized") {
+    val root = new File(System.getProperty("java.io.tmpdir"), "graft_hudiw_rt")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(root)
+    val df = Seq((1, "a", 10), (2, "b", 20), (3, "a", 30)).toDF("id", "pk", "v")
+    val i0 = graft.catalog.HudiWrite.write(df, root.getAbsolutePath, partitionBy = Some("pk"))
+    val back0 = graft.catalog.HudiRead.readTable(spark, root.getAbsolutePath)
+    assert(back0.count() == 3)
+    // upsert partition a: replaces its file group, b untouched
+    val up = Seq((1, "a", 100), (4, "a", 400)).toDF("id", "pk", "v")
+    val i1 = graft.catalog.HudiWrite.write(up, root.getAbsolutePath, partitionBy = Some("pk"))
+    assert(i1 > i0)
+    val back1 = graft.catalog.HudiRead.readTable(spark, root.getAbsolutePath)
+    val rows = back1.select("id", "v").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(rows == Set((1, 100), (4, 400), (2, 20)), s"got $rows")
+    // time travel to the first instant sees the original partition a
+    val asOf = graft.catalog.HudiRead.readTable(spark, root.getAbsolutePath,
+      asOf = Some(i0))
+    assert(asOf.count() == 3)
+  }
 }
