@@ -160,6 +160,80 @@ object DeltaDeletionVectors {
     decodePortable(data)
   }
 
+  // ------------------------------------------------------------- encoding
+
+  /** 4 bytes → 5 chars per block (the decoder's inverse). */
+  def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0, "Z85 input must be 4-byte aligned")
+    val sb = new StringBuilder
+    val bb = ByteBuffer.wrap(bytes)
+    while (bb.hasRemaining) {
+      var sum = bb.getInt & 0xFFFFFFFFL
+      val block = new Array[Char](5)
+      for (k <- 4 to 0 by -1) { block(k) = Z85Alphabet((sum % 85).toInt); sum /= 85 }
+      sb.appendAll(block)
+    }
+    sb.toString
+  }
+
+  /** One 32-bit roaring bitmap over sorted values — array containers up to
+    * 4096 members, bitmap containers beyond (runs not emitted). */
+  private def writeRoaring32(values: Array[Int]): Array[Byte] = {
+    val byKey = values.map(v => (v >>> 16, v & 0xFFFF)).groupBy(_._1)
+      .toSeq.sortBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sorted) }
+    val size = byKey.length
+    val containers = byKey.map { case (_, vs) =>
+      if (vs.length <= 4096) {
+        val bb = ByteBuffer.allocate(2 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+        vs.foreach(v => bb.putShort(v.toShort))
+        bb.array()
+      } else {
+        val words = new Array[Long](1024)
+        vs.foreach(v => words(v / 64) |= (1L << (v % 64)))
+        val bb = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+        words.foreach(bb.putLong)
+        bb.array()
+      }
+    }
+    val headerLen = 4 + 4 + 4 * size + 4 * size // cookie, size, headers, offsets
+    val bb = ByteBuffer.allocate(headerLen + containers.map(_.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(12346).putInt(size)
+    byKey.foreach { case (k, vs) =>
+      bb.putShort(k.toShort).putShort((vs.length - 1).toShort)
+    }
+    var off = headerLen
+    containers.foreach { c => bb.putInt(off); off += c.length }
+    containers.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Delta's 64-bit portable envelope over sorted positions. */
+  def encodePortable(positions: Array[Long]): Array[Byte] = {
+    val byHigh = positions.sorted.map(p => ((p >>> 32).toInt, (p & 0xFFFFFFFFL).toInt))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val bitmaps = byHigh.map { case (k, ps) => (k, writeRoaring32(ps.map(_._2))) }
+    val bb = ByteBuffer.allocate(12 + bitmaps.map(4 + _._2.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1681511377).putLong(bitmaps.length.toLong)
+    bitmaps.foreach { case (k, data) => bb.putInt(k); bb.put(data) }
+    bb.array()
+  }
+
+  /** Write a `u`-type deletion-vector file under the table root; returns
+    * the descriptor (offset = 1, past the version byte). */
+  def writeUuidFile(tablePath: String, positions: Array[Long]): Descriptor = {
+    val data = encodePortable(positions)
+    val uuid = java.util.UUID.nameUUIDFromBytes(data) // deterministic
+    val uuidBytes = ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits).array()
+    val crc = new CRC32; crc.update(data)
+    val out = ByteBuffer.allocate(1 + 4 + data.length + 4) // BE framing
+      .put(1.toByte).putInt(data.length).put(data).putInt(crc.getValue.toInt)
+    Files.write(new File(tablePath, s"deletion_vector_$uuid.bin").toPath, out.array())
+    Descriptor("u", z85Encode(uuidBytes), Some(1), data.length, positions.length.toLong)
+  }
+
   /** Resolve a descriptor to deleted positions. */
   def read(tablePath: String, d: Descriptor): Array[Long] = d.storageType match {
     case "u" =>

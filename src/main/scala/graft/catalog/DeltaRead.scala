@@ -45,10 +45,10 @@ import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, Struc
   * living only in CHECKPOINTED adds stay documented refusals. */
 object DeltaRead {
 
-  private final case class Add(path: String, partitionValues: Map[String, String],
+  private[catalog] final case class Add(path: String, partitionValues: Map[String, String],
       dv: Option[DeltaDeletionVectors.Descriptor] = None)
 
-  private final class State {
+  private[catalog] final class State {
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Seq.empty
     val active = scala.collection.mutable.LinkedHashMap[String, Add]()
@@ -213,7 +213,9 @@ object DeltaRead {
     // the add set — nothing to subtract from the reconstructed state
   }
 
-  def readTable(spark: SparkSession, tablePath: String): DataFrame = {
+  /** Replay checkpoint + JSON suffix into live state (shared by the plan
+    * builder and the deletion-vector writer). */
+  private[DeltaRead] def replayState(spark: SparkSession, tablePath: String): State = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val logDir = new File(tablePath, "_delta_log")
@@ -273,7 +275,23 @@ object DeltaRead {
          line <- Files.readAllLines(vf.toPath, StandardCharsets.UTF_8).asScala
          if line.trim.nonEmpty)
       applyLine(st, line)
+    st
+  }
 
+  /** Live adds (relative path, partition values, deletion vector) plus the
+    * logical schema — the metadata the DV writer needs. */
+  private[catalog] def activeAdds(spark: SparkSession, tablePath: String):
+      (StructType, Seq[(String, Map[String, String],
+        Option[DeltaDeletionVectors.Descriptor])]) = {
+    val st = replayState(spark, tablePath)
+    val schema = DataType.fromJson(st.schemaJson.getOrElse(
+      throw new IllegalArgumentException("Delta log has no metaData action")))
+      .asInstanceOf[StructType]
+    (schema, st.active.values.toSeq.map(a => (a.path, a.partitionValues, a.dv)))
+  }
+
+  def readTable(spark: SparkSession, tablePath: String): DataFrame = {
+    val st = replayState(spark, tablePath)
     val schema = DataType.fromJson(st.schemaJson.getOrElse(
       throw new IllegalArgumentException("Delta log has no metaData action")))
       .asInstanceOf[StructType]

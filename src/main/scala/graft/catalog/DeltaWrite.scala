@@ -30,6 +30,64 @@ import org.apache.spark.sql.functions._
   * remove-action rewrites (DELETE/UPDATE stay with CowTable). */
 object DeltaWrite {
 
+  /** Row-level DELETE via deletion vectors (the modern Delta DELETE that
+    * rewrites no data): rows matching the predicate are marked in per-file
+    * roaring bitmaps ('u'-type files, Z85-named), each touched file is
+    * re-added with its descriptor (merged with any existing vector — a
+    * second delete unions positions), and the commit carries the
+    * v3/deletionVectors protocol upgrade. Supported subset: unpartitioned,
+    * mapping-mode-none tables (general DML lives on CowTable).
+    *
+    * Scale note: the matched (file, position) set is driver-collected to
+    * build the bitmaps — bounded by the DELETED row count, the same state
+    * any DV writer materializes per file. */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val (schema, adds) = DeltaRead.activeAdds(spark, tablePath)
+    val root = new File(tablePath)
+    val byPath: Map[String, Option[DeltaDeletionVectors.Descriptor]] =
+      adds.map(a => a._1 -> a._3).toMap
+    val absOf: Map[String, String] =
+      adds.map(a => new File(root, a._1).getAbsolutePath -> a._1).toMap
+
+    val matched = spark.read.schema(schema)
+      .parquet(adds.map(a => new File(root, a._1).getAbsolutePath): _*)
+      .withColumn("_fp", col("_metadata.file_path"))
+      .withColumn("_pos", col("_metadata.row_index"))
+      .filter(predicate)
+      .select("_fp", "_pos").collect()
+      .map(r => (r.getString(0).replaceFirst("^file:/*", "/"), r.getLong(1)))
+      .groupBy(_._1).map { case (fp, ps) => fp -> ps.map(_._2).sorted }
+
+    if (matched.isEmpty) return -1L // nothing to delete, no commit
+
+    val logDir = new File(root, "_delta_log")
+    val version = nextVersion(logDir)
+    val actions = matched.toSeq.sortBy(_._1).map { case (absFp, positions) =>
+      val rel = absOf.getOrElse(absFp,
+        throw new IllegalStateException(s"matched file not in the live set: $absFp"))
+      // union with an existing vector: a second delete must not lose the first
+      val existing = byPath(rel).map(d => DeltaDeletionVectors.read(tablePath, d))
+        .getOrElse(Array.empty[Long])
+      val merged = (existing ++ positions).distinct.sorted
+      val d = DeltaDeletionVectors.writeUuidFile(tablePath, merged)
+      s"""{"add":{"path":${q(rel)},"partitionValues":{},"size":1,""" +
+        s""""modificationTime":${System.currentTimeMillis()},"dataChange":false,""" +
+        s""""deletionVector":{"storageType":${q(d.storageType)},""" +
+        s""""pathOrInlineDv":${q(d.pathOrInlineDv)},"offset":${d.offset.get},""" +
+        s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}}}"""
+    }
+    val protocol =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    Files.write(
+      Paths.get(logDir.getAbsolutePath, f"$version%020d.json"),
+      (protocol +: actions).mkString("\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+    version
+  }
+
   private def q(str: String): String =
     "\"" + str.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 

@@ -92,4 +92,28 @@ class DeltaWriteSpec extends SparkSpec {
         "SELECT * FROM TABLE(hudi_table('/nonexistent/path'))").collect()
     }
   }
+
+  test("deleteWhere marks rows in deletion vectors; second delete unions") {
+    val path = fresh("dv_delete")
+    val nation = operators.table(spark, sfDir, "nation")
+    catalog.DeltaWrite.write(nation, path)
+    val v1 = catalog.DeltaWrite.deleteWhere(spark, path,
+      col("n_nationkey") % 5 === 0)
+    assert(v1 == 1L)
+    val after1 = catalog.DeltaRead.readTable(spark, path)
+    assert(after1.count() == nation.filter(col("n_nationkey") % 5 =!= 0).count())
+    // second delete UNIONS with the first vector
+    val v2 = catalog.DeltaWrite.deleteWhere(spark, path,
+      col("n_nationkey") % 5 === 1)
+    assert(v2 == 2L)
+    val after2 = catalog.DeltaRead.readTable(spark, path)
+    val expect = nation.filter(col("n_nationkey") % 5 =!= 0 &&
+      col("n_nationkey") % 5 =!= 1)
+    assert(after2.count() == expect.count())
+    assert(after2.agg(sum(col("n_nationkey"))).head().getLong(0) ==
+      expect.agg(sum(col("n_nationkey"))).head().getLong(0))
+    // no-match delete commits nothing
+    assert(catalog.DeltaWrite.deleteWhere(spark, path,
+      col("n_nationkey") === 9999) == -1L)
+  }
 }
