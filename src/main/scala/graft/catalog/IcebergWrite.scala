@@ -194,7 +194,7 @@ object IcebergWrite {
     // ---- manifest list = previous snapshot's manifests + this one
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val prevManifests: Seq[(String, Long, Long)] = prevVersion.map { pv =>
+    val prevManifests: Seq[(String, Long, Long, Int)] = prevVersion.map { pv =>
       val meta = JsonMethods.parse(new String(Files.readAllBytes(
         Paths.get(metaDir.getAbsolutePath, s"v$pv.metadata.json")), "UTF-8"))
       val JInt(cur) = (meta \ "current-snapshot-id"): @unchecked
@@ -208,17 +208,18 @@ object IcebergWrite {
       try reader.iterator().asScala.toVector.map(r =>
         (r.get("manifest_path").toString,
           r.get("manifest_length").toString.toLong,
-          r.get("added_snapshot_id").toString.toLong))
+          r.get("added_snapshot_id").toString.toLong,
+          Option(r.get("content")).map(_.toString.toInt).getOrElse(0)))
       finally reader.close()
     }.getOrElse(Seq.empty)
 
-    val listEntries = (prevManifests :+ ((manifestRel, manifestLen, snapshotId)))
-      .map { case (p, len, addedBy) =>
+    val listEntries = (prevManifests :+ ((manifestRel, manifestLen, snapshotId, 0)))
+      .map { case (p, len, addedBy, content) =>
         val r = new GenericData.Record(ManifestFileSchema)
         r.put("manifest_path", p)
         r.put("manifest_length", len)
         r.put("partition_spec_id", 0)
-        r.put("content", 0)
+        r.put("content", content)
         r.put("added_snapshot_id", addedBy)
         r: GenericRecord
       }
@@ -257,6 +258,121 @@ object IcebergWrite {
     Files.write(Paths.get(metaDir.getAbsolutePath, s"v$version.metadata.json"),
       metaJson.getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW) // loses a version race loudly
+    snapshotId
+  }
+
+  /** Row-level DELETE via POSITION-DELETE files (Iceberg v2's no-rewrite
+    * DELETE): matched (file_path, pos) rows are written DISTRIBUTED as a
+    * position-delete parquet, recorded in a content=1 delete manifest, and
+    * a new snapshot carries the previous manifests plus the delete —
+    * [[IcebergRead]] (and any v2 reader) applies it as its position
+    * anti-join. Returns the new snapshot id, or -1 when nothing matched. */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = new File(tablePath)
+    val metaDir = new File(root, "metadata")
+    val versions = Option(metaDir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("v\\d+\\.metadata\\.json"))
+      .map(_.stripPrefix("v").stripSuffix(".metadata.json").toInt).sorted
+    require(versions.nonEmpty, s"not an Iceberg table: $tablePath")
+    val pv = versions.last
+    val version = pv + 1
+    val snapshotId = version.toLong
+
+    // the matched row identities, written distributed — never collected
+    val matched = IcebergRead.readTable(spark, tablePath)
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .filter(predicate)
+      .select("file_path", "pos")
+    val deleteCount = matched.count()
+    if (deleteCount == 0) return -1L
+
+    val stage = new File(root, s"_stage_d$snapshotId")
+    deleteTree(stage)
+    matched.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val rel = f"data/delete-$snapshotId%05d.parquet"
+    val dest = new File(root, rel)
+    dest.getParentFile.mkdirs()
+    Files.move(Option(stage.listFiles()).getOrElse(Array.empty)
+      .find(_.getName.endsWith(".parquet")).get.toPath, dest.toPath)
+    deleteTree(stage)
+
+    // content=1 delete manifest
+    val dfRec = new GenericData.Record(
+      ManifestEntrySchema.getField("data_file").schema())
+    dfRec.put("content", 1)
+    dfRec.put("file_path", rel)
+    dfRec.put("file_format", "PARQUET")
+    dfRec.put("record_count", deleteCount)
+    dfRec.put("file_size_in_bytes", dest.length())
+    dfRec.put("lower_bounds", null)
+    dfRec.put("upper_bounds", null)
+    val entry = new GenericData.Record(ManifestEntrySchema)
+    entry.put("status", 1)
+    entry.put("snapshot_id", snapshotId)
+    entry.put("data_file", dfRec)
+    val manifestRel = f"metadata/snap$snapshotId%05d-d0.avro"
+    val manifestLen = writeAvro(new File(root, manifestRel), ManifestEntrySchema,
+      Seq(entry))
+
+    // previous manifests (with their content kinds) + the delete manifest
+    val prevMeta = JsonMethods.parse(new String(Files.readAllBytes(
+      Paths.get(metaDir.getAbsolutePath, s"v$pv.metadata.json")), "UTF-8"))
+    val JInt(cur) = (prevMeta \ "current-snapshot-id"): @unchecked
+    val JArray(snaps) = (prevMeta \ "snapshots"): @unchecked
+    val JString(ml) = (snaps.find(x => (x \ "snapshot-id") == JInt(cur)).get
+      \ "manifest-list"): @unchecked
+    val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+      new File(root, ml),
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    val prevManifests =
+      try reader.iterator().asScala.toVector.map(r =>
+        (r.get("manifest_path").toString,
+          r.get("manifest_length").toString.toLong,
+          r.get("added_snapshot_id").toString.toLong,
+          Option(r.get("content")).map(_.toString.toInt).getOrElse(0)))
+      finally reader.close()
+    val listEntries = (prevManifests :+ ((manifestRel, manifestLen, snapshotId, 1)))
+      .map { case (p0, len, addedBy, content) =>
+        val r = new GenericData.Record(ManifestFileSchema)
+        r.put("manifest_path", p0)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("added_snapshot_id", addedBy)
+        r: GenericRecord
+      }
+    val listRel = f"metadata/snap-$snapshotId%d-1-manifest-list.avro"
+    writeAvro(new File(root, listRel), ManifestFileSchema, listEntries)
+
+    // new metadata: previous schema/specs verbatim, snapshot appended
+    val now = System.currentTimeMillis()
+    val prevSnapshots = snaps.map(x => JsonMethods.compact(JsonMethods.render(x)))
+    val schemasJson = JsonMethods.compact(JsonMethods.render(prevMeta \ "schemas"))
+    val specsJson = JsonMethods.compact(JsonMethods.render(prevMeta \ "partition-specs"))
+    val newSnapshot =
+      s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,""" +
+        s""""sequence-number":$snapshotId,""" +
+        s""""manifest-list":${q(listRel)},"summary":{"operation":"delete"}}"""
+    val metaJson =
+      s"""{"format-version":2,
+          "table-uuid":${q(java.util.UUID.nameUUIDFromBytes(tablePath.getBytes).toString)},
+          "location":${q(tablePath)},
+          "last-sequence-number":$snapshotId,
+          "last-updated-ms":$now,
+          "last-column-id":${JsonMethods.compact(JsonMethods.render(prevMeta \ "last-column-id"))},
+          "current-schema-id":0,
+          "schemas":$schemasJson,
+          "default-spec-id":0,
+          "partition-specs":$specsJson,
+          "current-snapshot-id":$snapshotId,
+          "snapshots":[${(prevSnapshots :+ newSnapshot).mkString(",")}]}"""
+    Files.write(Paths.get(metaDir.getAbsolutePath, s"v$version.metadata.json"),
+      metaJson.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     snapshotId
   }
 }

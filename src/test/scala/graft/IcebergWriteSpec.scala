@@ -58,4 +58,26 @@ class IcebergWriteSpec extends SparkSpec {
       catalog.IcebergWrite.write(df, path)
     }
   }
+
+  test("deleteWhere writes position deletes; composed deletes replay") {
+    val path = fresh("posdel")
+    val df = (1L to 100L).toDF("k").withColumn("v", $"k" * 2)
+    catalog.IcebergWrite.write(df, path)
+    val s2 = catalog.IcebergWrite.deleteWhere(spark, path, $"k" % 10 === 0)
+    assert(s2 == 2L)
+    val after1 = catalog.IcebergRead.readTable(spark, path)
+    assert(after1.count() == 90)
+    // second delete composes with the first
+    val s3 = catalog.IcebergWrite.deleteWhere(spark, path, $"k" % 10 === 1)
+    assert(s3 == 3L)
+    val after2 = catalog.IcebergRead.readTable(spark, path)
+    assert(after2.count() == 80)
+    assert(after2.agg(sum($"k")).head().getLong(0) ==
+      (1L to 100L).filter(k => k % 10 != 0 && k % 10 != 1).sum)
+    // time travel: the pre-delete snapshot still sees all rows
+    assert(catalog.IcebergRead.readTable(spark, path, snapshotId = Some(1L))
+      .count() == 100)
+    // no-match delete commits nothing
+    assert(catalog.IcebergWrite.deleteWhere(spark, path, $"k" === 9999L) == -1L)
+  }
 }
