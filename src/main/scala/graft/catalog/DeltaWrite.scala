@@ -23,11 +23,11 @@ import org.apache.spark.sql.functions._
   * cannot both claim version N (optimistic concurrency, loudly failing the
   * loser rather than corrupting the log).
   *
-  * Supported subset (documented): minReaderVersion 1 / minWriterVersion 2
-  * features only — append-mode add actions, Spark-schema JSON metadata,
-  * hive-style partition values. No checkpointing (readers replay the JSON
-  * suffix; [[DeltaRead]] accepts logs without a checkpoint), no
-  * remove-action rewrites (DELETE/UPDATE stay with CowTable). */
+  * Supported subset (documented): append commits at protocol 1/2,
+  * Spark-schema JSON metadata, hive-style partition values; row-level
+  * DELETE/UPDATE via [[deleteWhere]]/[[updateWhere]] deletion vectors
+  * (protocol 3/7 upgrade). No checkpointing (readers replay the JSON
+  * suffix; [[DeltaRead]] accepts logs without a checkpoint). */
 object DeltaWrite {
 
   /** Row-level DELETE via deletion vectors (the modern Delta DELETE that
@@ -169,5 +169,26 @@ object DeltaWrite {
       (header ++ adds).mkString("\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW)
     version
+  }
+
+  /** Row-level UPDATE composed from the protocol primitives: matching rows
+    * are re-written with the SET expressions applied and appended as a new
+    * file, and the originals are marked deleted in the SAME deletion-vector
+    * pass — two commits (delete, append), never a table rewrite. Returns
+    * the append version, or -1 when nothing matched. */
+  def updateWhere(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column]): Long = {
+    val current = DeltaRead.readTable(spark, tablePath)
+    val updated = sets.foldLeft(current.filter(predicate)) {
+      case (df, (c, e)) => df.withColumn(c, e)
+    }.select(current.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    // materialize the new rows BEFORE the delete commit flips visibility
+    val rows = updated.collect()
+    if (rows.isEmpty) return -1L
+    val snapshot = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), updated.schema)
+    deleteWhere(spark, tablePath, predicate)
+    write(snapshot, tablePath)
   }
 }

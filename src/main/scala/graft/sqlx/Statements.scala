@@ -846,6 +846,24 @@ private[graft] object Statements {
         refreshView(spark, table)
         oneRow(spark, "compacted", compacted.toLong)
 
+      case "delta_delete" =>
+        // CALL system.delta_delete(path, predicate_sql) — the protocol-
+        // native no-rewrite DELETE (catalog.DeltaWrite.deleteWhere)
+        val path = arg(Seq("path", "location"), 0)
+        val pred = arg(Seq("predicate", "where"), 1)
+        oneRow(spark, "version",
+          graft.catalog.DeltaWrite.deleteWhere(spark, path,
+            org.apache.spark.sql.functions.expr(pred)))
+
+      case "iceberg_delete" =>
+        // CALL system.iceberg_delete(path, predicate_sql) — v2 position
+        // deletes (catalog.IcebergWrite.deleteWhere)
+        val path = arg(Seq("path", "location"), 0)
+        val pred = arg(Seq("predicate", "where"), 1)
+        oneRow(spark, "snapshot",
+          graft.catalog.IcebergWrite.deleteWhere(spark, path,
+            org.apache.spark.sql.functions.expr(pred)))
+
       case "export_to_delta" =>
         // CALL system.export_to_delta(table, path) — snapshot a warehouse
         // table as an OPEN-PROTOCOL Delta table (catalog.DeltaWrite); the

@@ -116,4 +116,39 @@ class DeltaWriteSpec extends SparkSpec {
     assert(catalog.DeltaWrite.deleteWhere(spark, path,
       col("n_nationkey") === 9999) == -1L)
   }
+
+  test("updateWhere rewrites matching rows through DV delete + append") {
+    val path = fresh("dv_update")
+    val base = (1L to 20L).toDF("id").withColumn("v", $"id" * 10)
+    catalog.DeltaWrite.write(base, path)
+    val v = catalog.DeltaWrite.updateWhere(spark, path,
+      col("id") % 5 === 0, Map("v" -> (col("v") + 1)))
+    assert(v == 2L) // delete commit 1, append commit 2
+    val after = catalog.DeltaRead.readTable(spark, path)
+    assert(after.count() == 20)
+    val got = after.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 20L).foreach { id =>
+      val expect = if (id % 5 == 0) id * 10 + 1 else id * 10
+      assert(got(id) == expect, s"id $id: ${got(id)} != $expect")
+    }
+    // no-match update is a no-op
+    assert(catalog.DeltaWrite.updateWhere(spark, path,
+      col("id") === 999L, Map("v" -> lit(0L))) == -1L)
+  }
+
+  test("CALL delta_delete / iceberg_delete from SQL text") {
+    val dpath = fresh("call_dv")
+    catalog.DeltaWrite.write((1L to 30L).toDF("id"), dpath)
+    val ver = sqlx.TrinoDialect.sql(spark, sfDir,
+      s"CALL system.delta_delete('$dpath', 'id % 3 = 0')").head().getLong(0)
+    assert(ver == 1L)
+    assert(catalog.DeltaRead.readTable(spark, dpath).count() == 20)
+
+    val ipath = fresh("call_pos")
+    catalog.IcebergWrite.write((1L to 30L).toDF("id"), ipath)
+    val snap = sqlx.TrinoDialect.sql(spark, sfDir,
+      s"CALL system.iceberg_delete('$ipath', 'id % 3 = 0')").head().getLong(0)
+    assert(snap == 2L)
+    assert(catalog.IcebergRead.readTable(spark, ipath).count() == 20)
+  }
 }
