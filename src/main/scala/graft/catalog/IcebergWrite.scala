@@ -39,21 +39,36 @@ object IcebergWrite {
          {"name":"key","type":"int"},
          {"name":"value","type":"bytes"}]}"""
 
-  private val ManifestEntrySchema = new Schema.Parser().parse(
-    s"""{"type":"record","name":"manifest_entry","fields":[
-          {"name":"status","type":"int"},
-          {"name":"snapshot_id","type":["null","long"],"default":null},
-          {"name":"data_file","type":{"type":"record","name":"r2","fields":[
-            {"name":"content","type":"int"},
-            {"name":"file_path","type":"string"},
-            {"name":"file_format","type":"string"},
-            {"name":"record_count","type":"long"},
-            {"name":"file_size_in_bytes","type":"long"},
-            {"name":"lower_bounds","type":["null",{"type":"array","items":$KvSchema}],"default":null},
-            {"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k_v2","fields":[
-              {"name":"key","type":"int"},
-              {"name":"value","type":"bytes"}]}}],"default":null}
-          ]}}]}""")
+  /** Manifest-entry schema; partitioned tables get a typed `partition`
+    * record (one field per identity partition column), unpartitioned
+    * tables omit it. */
+  private def manifestEntrySchema(partitionFields: Seq[(String, String)]): Schema = {
+    val partField =
+      if (partitionFields.isEmpty) ""
+      else {
+        val fs = partitionFields.map { case (n, t) =>
+          s"""{"name":${'"'}$n${'"'},"type":["null","$t"],"default":null}"""
+        }.mkString(",")
+        s"""{"name":"partition","type":{"type":"record","name":"r102","fields":[$fs]}},"""
+      }
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+            {"name":"status","type":"int"},
+            {"name":"snapshot_id","type":["null","long"],"default":null},
+            {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+              {"name":"content","type":"int"},
+              {"name":"file_path","type":"string"},
+              {"name":"file_format","type":"string"},
+              $partField
+              {"name":"record_count","type":"long"},
+              {"name":"file_size_in_bytes","type":"long"},
+              {"name":"lower_bounds","type":["null",{"type":"array","items":$KvSchema}],"default":null},
+              {"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k_v2","fields":[
+                {"name":"key","type":"int"},
+                {"name":"value","type":"bytes"}]}}],"default":null}
+            ]}}]}""")
+  }
+  private val ManifestEntrySchema = manifestEntrySchema(Seq.empty)
 
   private val ManifestFileSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -95,8 +110,13 @@ object IcebergWrite {
   }
 
   /** CREATE (version 1, snapshot 1) or APPEND (next version/snapshot).
-    * Returns the committed snapshot id. */
-  def write(df: DataFrame, tablePath: String): Long = {
+    * `partitionBy` columns become identity partition-spec fields; Iceberg
+    * data files keep ALL columns (identity partitioning does not drop its
+    * source column), so partition slices are written per distinct value —
+    * the value list is a bounded metadata collect, the data writes stay
+    * distributed. Returns the committed snapshot id. */
+  def write(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val root = new File(tablePath)
     val metaDir = new File(root, "metadata")
     metaDir.mkdirs()
@@ -106,22 +126,39 @@ object IcebergWrite {
     val prevVersion = versions.lastOption
     val version = prevVersion.map(_ + 1).getOrElse(1)
     val snapshotId = version.toLong // deterministic, sequential
+    require(partitionBy.forall(df.columns.contains),
+      s"partition columns ${partitionBy.mkString(",")} not all present")
+    require(partitionBy.size <= 1,
+      "iceberg write: at most one identity partition column in this subset")
 
-    // ---- data files: distributed write, then table-relative moves
-    val stage = new File(root, s"_stage_s$snapshotId")
-    deleteTree(stage)
-    df.write.mode("overwrite").parquet(stage.getAbsolutePath)
+    // ---- data files: distributed write, then table-relative moves; a
+    // partitioned table writes one slice per value so the data files KEEP
+    // the partition column (Spark's partitionBy would drop it)
     val dataDir = new File(root, "data")
     dataDir.mkdirs()
-    val moved = Option(stage.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
-      .map { case (f, i) =>
-        val rel = f"data/$snapshotId%05d-$i%05d.parquet"
-        val dest = new File(root, rel)
-        Files.move(f.toPath, dest.toPath)
-        (rel, dest)
-      }.toSeq
-    deleteTree(stage)
+    val slices: Seq[(String, DataFrame, Map[String, Any])] = partitionBy match {
+      case Seq() => Seq(("", df, Map.empty))
+      case Seq(c) =>
+        df.select(col(c)).distinct().collect().toSeq.map(_.get(0)).map { v =>
+          (s"$c=$v/", df.filter(col(c) === v), Map(c -> v))
+        }
+    }
+    val moved = slices.zipWithIndex.flatMap { case ((prefix, slice, pv), si) =>
+      val stage = new File(root, s"_stage_s${snapshotId}_$si")
+      deleteTree(stage)
+      slice.write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val out = Option(stage.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+        .map { case (f, i) =>
+          val rel = f"data/$prefix$snapshotId%05d-$si%03d-$i%05d.parquet"
+          val dest = new File(root, rel)
+          dest.getParentFile.mkdirs()
+          Files.move(f.toPath, dest.toPath)
+          (rel, dest, pv)
+        }.toSeq
+      deleteTree(stage)
+      out
+    }
 
     // ---- per-file stats for int/long/date columns (field ids = ordinal+1)
     val statCols = df.schema.fields.zipWithIndex.collect {
@@ -171,25 +208,47 @@ object IcebergWrite {
       }
       arr
     }
-    val entries = moved.map { case (rel, dest) =>
+    // identity partition fields → the avro `partition` record's types
+    def avroPartType(c: String): String = df.schema(c).dataType match {
+      case LongType => "long"
+      case IntegerType => "int"
+      case StringType => "string"
+      case other => throw new IllegalArgumentException(
+        s"iceberg write: unsupported partition column type $other")
+    }
+    val partFields = partitionBy.map(c => (c, avroPartType(c)))
+    val entrySchema = manifestEntrySchema(partFields)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val kvSchemaP = dfSchema.getField("lower_bounds").schema().getTypes.get(1).getElementType
+    val kvSchemaPU = dfSchema.getField("upper_bounds").schema().getTypes.get(1).getElementType
+    val entries = moved.map { case (rel, dest, pv) =>
       val (lows, highs, n) = bounds(dest)
-      val dfRec = new GenericData.Record(
-        ManifestEntrySchema.getField("data_file").schema())
+      val dfRec = new GenericData.Record(dfSchema)
       dfRec.put("content", 0)
       dfRec.put("file_path", rel)
       dfRec.put("file_format", "PARQUET")
+      if (partFields.nonEmpty) {
+        val pRec = new GenericData.Record(dfSchema.getField("partition").schema())
+        pv.foreach { case (k, v) =>
+          pRec.put(k, v match {
+            case s0: String => s0
+            case other => other
+          })
+        }
+        dfRec.put("partition", pRec)
+      }
       dfRec.put("record_count", n)
       dfRec.put("file_size_in_bytes", dest.length())
-      dfRec.put("lower_bounds", if (lows.isEmpty) null else kvArray(kvSchema, lows))
-      dfRec.put("upper_bounds", if (highs.isEmpty) null else kvArray(kvSchemaUp, highs))
-      val e = new GenericData.Record(ManifestEntrySchema)
+      dfRec.put("lower_bounds", if (lows.isEmpty) null else kvArray(kvSchemaP, lows))
+      dfRec.put("upper_bounds", if (highs.isEmpty) null else kvArray(kvSchemaPU, highs))
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
       e.put("data_file", dfRec)
       e: GenericRecord
     }
     val manifestRel = f"metadata/snap$snapshotId%05d-m0.avro"
-    val manifestLen = writeAvro(new File(root, manifestRel), ManifestEntrySchema, entries)
+    val manifestLen = writeAvro(new File(root, manifestRel), entrySchema, entries)
 
     // ---- manifest list = previous snapshot's manifests + this one
     import org.json4s._
@@ -242,6 +301,9 @@ object IcebergWrite {
       s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,""" +
         s""""sequence-number":$snapshotId,""" +
         s""""manifest-list":${q(listRel)},"summary":{"operation":"append"}}"""
+    val specFieldsJson = partitionBy.zipWithIndex.map { case (c, i) =>
+      s"""{"name":${q(c)},"transform":"identity","source-id":${df.schema.fieldIndex(c) + 1},"field-id":${1000 + i}}"""
+    }.mkString(",")
     val metaJson =
       s"""{"format-version":2,
           "table-uuid":${q(java.util.UUID.nameUUIDFromBytes(tablePath.getBytes).toString)},
@@ -252,7 +314,7 @@ object IcebergWrite {
           "current-schema-id":0,
           "schemas":[{"schema-id":0,"type":"struct","fields":[$schemaFields]}],
           "default-spec-id":0,
-          "partition-specs":[{"spec-id":0,"fields":[]}],
+          "partition-specs":[{"spec-id":0,"fields":[$specFieldsJson]}],
           "current-snapshot-id":$snapshotId,
           "snapshots":[${(prevSnapshots :+ newSnapshot).mkString(",")}]}"""
     Files.write(Paths.get(metaDir.getAbsolutePath, s"v$version.metadata.json"),

@@ -80,4 +80,29 @@ class IcebergWriteSpec extends SparkSpec {
     // no-match delete commits nothing
     assert(catalog.IcebergWrite.deleteWhere(spark, path, $"k" === 9999L) == -1L)
   }
+
+  test("identity-partitioned write: spec fields, typed partition record, full columns") {
+    val path = fresh("partitioned")
+    val nation = operators.table(spark, sfDir, "nation")
+      .select($"n_nationkey", $"n_name", $"n_regionkey".cast("int").as("n_regionkey"))
+    catalog.IcebergWrite.write(nation, path, partitionBy = Seq("n_regionkey"))
+    val back = catalog.IcebergRead.readTable(spark, path)
+    // identity partitioning keeps the source column in the data files
+    assert(back.columns.contains("n_regionkey"))
+    assert(back.count() == nation.count())
+    val perRegion = back.groupBy($"n_regionkey").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expect = nation.groupBy($"n_regionkey").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perRegion == expect)
+    // the metadata declares the identity spec field
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      new File(path, "metadata/v1.metadata.json").toPath))
+    assert(meta.contains("\"transform\":\"identity\""))
+    assert(meta.contains("\"name\":\"n_regionkey\""))
+    // delete composes with the partitioned layout
+    catalog.IcebergWrite.deleteWhere(spark, path, $"n_regionkey" === 0)
+    assert(catalog.IcebergRead.readTable(spark, path).count() ==
+      nation.filter($"n_regionkey" =!= 0).count())
+  }
 }
