@@ -180,9 +180,12 @@ object DeltaWrite {
       predicate: org.apache.spark.sql.Column,
       sets: Map[String, org.apache.spark.sql.Column]): Long = {
     val current = DeltaRead.readTable(spark, tablePath)
+    // SET expressions can widen types (decimal + int, for one); the
+    // appended rows must match the table schema exactly
     val updated = sets.foldLeft(current.filter(predicate)) {
       case (df, (c, e)) => df.withColumn(c, e)
-    }.select(current.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    }.select(current.schema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toIndexedSeq: _*)
     // materialize the new rows BEFORE the delete commit flips visibility
     val rows = updated.collect()
     if (rows.isEmpty) return -1L

@@ -94,6 +94,51 @@ object DeltaQueries {
        WHERE n_regionkey <> 0 OR n_nationkey < 20
        ORDER BY n_nationkey"""
 
-  val queries: Map[String, Q] = Map("q_fed_delta" -> q_fed_delta _)
-  val oracles: Map[String, String] = Map("q_fed_delta" -> qFedDeltaSql)
+  /** Deletion-vector DML through the open protocol (catalog.DeltaWrite
+    * deleteWhere/updateWhere): build a fresh Delta supplier table, DELETE
+    * every 7th supplier via a roaring deletion vector, UPDATE every 5th's
+    * balance via DV-delete + append; the oracle replays the net effect. */
+  def q_fed_delta_dv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = new File(System.getProperty("java.io.tmpdir"),
+      s"graft_delta_dv_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val marker = new File(root, "_delta_log/00000000000000000003.json")
+    if (!marker.exists()) {
+      def rm(f: File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(root)
+      val sup = table(s, dir, "supplier")
+        .select($"s_suppkey", $"s_nationkey", dec($"s_acctbal").as("s_acctbal"))
+      graft.catalog.DeltaWrite.write(sup, root.getAbsolutePath)       // v0
+      graft.catalog.DeltaWrite.deleteWhere(s, root.getAbsolutePath,   // v1
+        $"s_suppkey" % 7 === 0)
+      graft.catalog.DeltaWrite.updateWhere(s, root.getAbsolutePath,   // v2+v3
+        $"s_suppkey" % 5 === 0, Map("s_acctbal" -> ($"s_acctbal" + 100)))
+    }
+    graft.catalog.DeltaRead.readTable(s, root.getAbsolutePath)
+      .groupBy(($"s_suppkey" % 3).as("band"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum($"s_acctbal")).as("bal"),
+        sum($"s_suppkey").cast("long").as("key_sum"))
+      .orderBy($"band")
+  }
+  val qFedDeltaDvSql: String =
+    """WITH net AS (
+         SELECT s_suppkey,
+           CAST(s_acctbal AS DECIMAL(12,2))
+             + CASE WHEN s_suppkey % 5 = 0 THEN 100 ELSE 0 END AS bal
+         FROM supplier WHERE s_suppkey % 7 <> 0)
+       SELECT s_suppkey % 3 AS band, count(*) AS n,
+              CAST(sum(bal) AS DOUBLE) AS bal,
+              CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+       FROM net GROUP BY 1 ORDER BY band"""
+
+  val queries: Map[String, Q] = Map(
+    "q_fed_delta" -> q_fed_delta _,
+    "q_fed_delta_dv" -> q_fed_delta_dv _)
+  val oracles: Map[String, String] = Map(
+    "q_fed_delta" -> qFedDeltaSql,
+    "q_fed_delta_dv" -> qFedDeltaDvSql)
 }

@@ -345,14 +345,46 @@ object IcebergQueries {
               CAST(sum(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_snap1
        FROM supplier GROUP BY 1 ORDER BY band"""
 
+  /** The write-side position-delete path (IcebergWrite.deleteWhere) under
+    * the driver gate: a self-written two-snapshot table loses its every-6th
+    * row to a distributed position-delete file; the oracle replays the net
+    * effect from the fixture. */
+  def q_fed_iceberg_posdelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_iceberg_pd_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val marker = new java.io.File(root, "metadata/v3.metadata.json")
+    if (!marker.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(root)
+      val sup = table(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+      graft.catalog.IcebergWrite.write(sup.filter($"s_suppkey" % 2 === 0), root.getAbsolutePath)
+      graft.catalog.IcebergWrite.write(sup.filter($"s_suppkey" % 2 === 1), root.getAbsolutePath)
+      graft.catalog.IcebergWrite.deleteWhere(s, root.getAbsolutePath, $"s_suppkey" % 6 === 0)
+    }
+    graft.catalog.IcebergRead.readTable(s, root.getAbsolutePath)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n"), sum($"s_suppkey").cast("long").as("key_sum"))
+      .orderBy($"s_nationkey")
+  }
+  val qFedIcebergPosdeleteSql: String =
+    """SELECT s_nationkey, count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+       FROM supplier WHERE s_suppkey % 6 <> 0
+       GROUP BY s_nationkey ORDER BY s_nationkey"""
+
   val queries: Map[String, Q] = Map(
     "q_fed_iceberg" -> q_fed_iceberg _,
+    "q_fed_iceberg_posdelete" -> q_fed_iceberg_posdelete _,
     "q_fed_iceberg_deletes" -> q_fed_iceberg_deletes _,
     "q_fed_iceberg_pruned" -> q_fed_iceberg_pruned _,
     "q_fed_iceberg_eq_deletes" -> q_fed_iceberg_eq_deletes _,
     "q_fed_iceberg_write" -> q_fed_iceberg_write _)
   val oracles: Map[String, String] = Map(
     "q_fed_iceberg" -> qFedIcebergSql,
+    "q_fed_iceberg_posdelete" -> qFedIcebergPosdeleteSql,
     "q_fed_iceberg_deletes" -> qFedIcebergDeletesSql,
     "q_fed_iceberg_pruned" -> qFedIcebergPrunedSql,
     "q_fed_iceberg_eq_deletes" -> qFedIcebergEqDeletesSql,
