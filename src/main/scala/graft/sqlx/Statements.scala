@@ -864,6 +864,14 @@ private[graft] object Statements {
           graft.catalog.IcebergWrite.deleteWhere(spark, path,
             org.apache.spark.sql.functions.expr(pred)))
 
+      case "export_to_iceberg" =>
+        // CALL system.export_to_iceberg(table, path) — snapshot a warehouse
+        // table as an open Iceberg v2 table (catalog.IcebergWrite)
+        val table0 = arg(Seq("table", "table_name"), 0)
+        val path0 = arg(Seq("path", "location"), 1)
+        oneRow(spark, "snapshot",
+          graft.catalog.IcebergWrite.write(projected(spark, requireKey(table0)), path0))
+
       case "export_to_delta" =>
         // CALL system.export_to_delta(table, path) — snapshot a warehouse
         // table as an OPEN-PROTOCOL Delta table (catalog.DeltaWrite); the

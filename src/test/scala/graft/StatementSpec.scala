@@ -176,6 +176,12 @@ class StatementSpec extends SparkSpec {
     val v2 = sql(s"CALL system.export_to_delta('st_exp', '$path')").head().getLong(0)
     assert(v2 == 1L)
     assert(catalog.DeltaRead.readTable(spark, path).count() == 10)
+    // iceberg twin
+    val ipath = path + "_ice"
+    rm(new java.io.File(ipath))
+    val s1 = sql(s"CALL system.export_to_iceberg('st_exp', '$ipath')").head().getLong(0)
+    assert(s1 == 1L)
+    assert(catalog.IcebergRead.readTable(spark, ipath).count() == 5)
     sql("DROP TABLE st_exp")
   }
 
