@@ -222,8 +222,12 @@ object DeltaDeletionVectors {
 
   /** Write a `u`-type deletion-vector file under the table root; returns
     * the descriptor (offset = 1, past the version byte). */
-  def writeUuidFile(tablePath: String, positions: Array[Long]): Descriptor = {
-    val data = encodePortable(positions)
+  def writeUuidFile(tablePath: String, positions: Array[Long]): Descriptor =
+    writeUuidBytes(tablePath, encodePortable(positions), positions.length.toLong)
+
+  /** Same, from a PRE-ENCODED portable bitmap (built on executors so the
+    * driver never sees per-row position state — only the compressed bytes). */
+  def writeUuidBytes(tablePath: String, data: Array[Byte], cardinality: Long): Descriptor = {
     val uuid = java.util.UUID.nameUUIDFromBytes(data) // deterministic
     val uuidBytes = ByteBuffer.allocate(16)
       .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits).array()
@@ -231,7 +235,7 @@ object DeltaDeletionVectors {
     val out = ByteBuffer.allocate(1 + 4 + data.length + 4) // BE framing
       .put(1.toByte).putInt(data.length).put(data).putInt(crc.getValue.toInt)
     Files.write(new File(tablePath, s"deletion_vector_$uuid.bin").toPath, out.array())
-    Descriptor("u", z85Encode(uuidBytes), Some(1), data.length, positions.length.toLong)
+    Descriptor("u", z85Encode(uuidBytes), Some(1), data.length, cardinality)
   }
 
   /** Resolve a descriptor to deleted positions. */

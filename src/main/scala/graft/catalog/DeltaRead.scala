@@ -215,7 +215,7 @@ object DeltaRead {
 
   /** Replay checkpoint + JSON suffix into live state (shared by the plan
     * builder and the deletion-vector writer). */
-  private[DeltaRead] def replayState(spark: SparkSession, tablePath: String): State = {
+  private[catalog] def replayState(spark: SparkSession, tablePath: String): State = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val logDir = new File(tablePath, "_delta_log")

@@ -36,56 +36,88 @@ object DeltaWrite {
     * re-added with its descriptor (merged with any existing vector — a
     * second delete unions positions), and the commit carries the
     * v3/deletionVectors protocol upgrade. Supported subset: unpartitioned,
-    * mapping-mode-none tables (general DML lives on CowTable).
+    * mapping-mode-none tables — ENFORCED loudly below, because on a
+    * partitioned table the re-add would null partition values and on a
+    * column-mapped table the predicate would see physical columns (general
+    * DML lives on CowTable).
     *
-    * Scale note: the matched (file, position) set is driver-collected to
-    * build the bitmaps — bounded by the DELETED row count, the same state
-    * any DV writer materializes per file. */
+    * Scale: the bitmaps are built ON EXECUTORS (one shuffle keyed by file,
+    * existing vectors unioned executor-side); the driver collects only the
+    * per-file compressed bitmap bytes + descriptors, never row positions. */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.col
-    val (schema, adds) = DeltaRead.activeAdds(spark, tablePath)
-    val root = new File(tablePath)
-    val byPath: Map[String, Option[DeltaDeletionVectors.Descriptor]] =
-      adds.map(a => a._1 -> a._3).toMap
-    val absOf: Map[String, String] =
-      adds.map(a => new File(root, a._1).getAbsolutePath -> a._1).toMap
+    val actions = dvReAddActions(spark, tablePath, predicate)
+    if (actions.isEmpty) return -1L // nothing to delete, no commit
+    val logDir = new File(new File(tablePath), "_delta_log")
+    val version = nextVersion(logDir)
+    Files.write(
+      Paths.get(logDir.getAbsolutePath, f"$version%020d.json"),
+      (dvProtocol +: actions).mkString("\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+    version
+  }
 
-    val matched = spark.read.schema(schema)
-      .parquet(adds.map(a => new File(root, a._1).getAbsolutePath): _*)
+  private val dvProtocol: String =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+
+  /** Distributed deletion-vector build: returns one re-add action per file
+    * holding matched rows (empty when the predicate matches nothing).
+    * One Spark job: scan live files, filter, shuffle (file → positions),
+    * encode the merged roaring bitmap per file on the executor. */
+  private def dvReAddActions(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, predicate: org.apache.spark.sql.Column): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val st = DeltaRead.replayState(spark, tablePath)
+    require(st.partCols.isEmpty,
+      "deletion-vector DML on a PARTITIONED Delta table is not supported by this " +
+        "writer (the re-add would need per-file partitionValues; use CowTable DML)")
+    require(st.columnMappingMode == "none",
+      s"deletion-vector DML on a column-mapped Delta table (mode '${st.columnMappingMode}') " +
+        "is not supported by this writer: the predicate would be evaluated against " +
+        "physical parquet columns")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(st.schemaJson.getOrElse(
+      throw new IllegalArgumentException("Delta log has no metaData action")))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val adds = st.active.values.toSeq
+    if (adds.isEmpty) return Seq.empty
+    val root = new File(tablePath)
+    val rootAbs = root.getAbsolutePath
+    val dvByRel = adds.map(a => a.path -> a.dv).toMap
+    val dvB = spark.sparkContext.broadcast(dvByRel)
+    val tp = tablePath
+
+    import spark.implicits._
+    // (rel path, portable bitmap bytes, merged cardinality) per touched file
+    val perFile: Array[(String, Array[Byte], Long)] = spark.read.schema(schema)
+      .parquet(adds.map(a => new File(root, a.path).getAbsolutePath): _*)
       .withColumn("_fp", col("_metadata.file_path"))
       .withColumn("_pos", col("_metadata.row_index"))
       .filter(predicate)
-      .select("_fp", "_pos").collect()
-      .map(r => (r.getString(0).replaceFirst("^file:/*", "/"), r.getLong(1)))
-      .groupBy(_._1).map { case (fp, ps) => fp -> ps.map(_._2).sorted }
+      .select(col("_fp"), col("_pos")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (fp, rows) =>
+        val abs = fp.replaceFirst("^file:/*", "/")
+        val rel = abs.stripPrefix(rootAbs).stripPrefix("/")
+        // union with an existing vector ON THE EXECUTOR: a second delete
+        // must not lose the first
+        val existing = dvB.value.getOrElse(rel, None)
+          .map(d => DeltaDeletionVectors.read(tp, d)).getOrElse(Array.empty[Long])
+        val merged = (existing ++ rows.map(_._2)).distinct.sorted
+        (rel, DeltaDeletionVectors.encodePortable(merged), merged.length.toLong)
+      }.collect()
 
-    if (matched.isEmpty) return -1L // nothing to delete, no commit
-
-    val logDir = new File(root, "_delta_log")
-    val version = nextVersion(logDir)
-    val actions = matched.toSeq.sortBy(_._1).map { case (absFp, positions) =>
-      val rel = absOf.getOrElse(absFp,
-        throw new IllegalStateException(s"matched file not in the live set: $absFp"))
-      // union with an existing vector: a second delete must not lose the first
-      val existing = byPath(rel).map(d => DeltaDeletionVectors.read(tablePath, d))
-        .getOrElse(Array.empty[Long])
-      val merged = (existing ++ positions).distinct.sorted
-      val d = DeltaDeletionVectors.writeUuidFile(tablePath, merged)
-      s"""{"add":{"path":${q(rel)},"partitionValues":{},"size":1,""" +
+    perFile.toSeq.sortBy(_._1).map { case (rel, bytes, cardinality) =>
+      require(dvByRel.contains(rel),
+        s"matched file not in the live set: $rel")
+      val d = DeltaDeletionVectors.writeUuidBytes(tablePath, bytes, cardinality)
+      val dataFile = new File(root, rel)
+      s"""{"add":{"path":${q(rel)},"partitionValues":{},"size":${dataFile.length()},""" +
         s""""modificationTime":${System.currentTimeMillis()},"dataChange":false,""" +
         s""""deletionVector":{"storageType":${q(d.storageType)},""" +
         s""""pathOrInlineDv":${q(d.pathOrInlineDv)},"offset":${d.offset.get},""" +
         s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}}}"""
     }
-    val protocol =
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
-    Files.write(
-      Paths.get(logDir.getAbsolutePath, f"$version%020d.json"),
-      (protocol +: actions).mkString("\n").getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE_NEW)
-    version
   }
 
   private def q(str: String): String =
@@ -96,27 +128,13 @@ object DeltaWrite {
     f.delete()
   }
 
-  private def nextVersion(logDir: File): Long =
-    Option(logDir.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).filter(_.matches("\\d{20}\\.json"))
-      .map(_.stripSuffix(".json").toLong)
-      .sorted.lastOption.map(_ + 1).getOrElse(0L)
-
-  /** Write one commit: stages the dataframe as parquet, moves the part
-    * files under the table, appends the action JSON. Returns the committed
-    * version. */
-  def write(df: DataFrame, tablePath: String,
-      partitionBy: Seq[String] = Seq.empty,
-      expectedVersion: Option[Long] = None): Long = {
-    val root = new File(tablePath)
-    val logDir = new File(root, "_delta_log")
-    logDir.mkdirs()
-    // optimistic concurrency: a caller that read at version V commits V+1
-    // explicitly; if a competitor won the version, CREATE_NEW below fails
-    // loudly instead of silently skipping ahead
-    val version = expectedVersion.getOrElse(nextVersion(logDir))
-
-    // distributed data write into a stage dir, then table-relative moves
+  /** Distributed data write into a stage dir under the table root, then
+    * table-relative renames; returns (relPath, partitionValues, size) per
+    * data file. Files moved here are INVISIBLE until a commit names them —
+    * a crash leaves only orphans (the visibility rule every Delta writer
+    * relies on). */
+  private def stageDataFiles(df: DataFrame, root: File, version: Long,
+      partitionBy: Seq[String]): Seq[(String, Map[String, String], Long)] = {
     val stage = new File(root, s"_stage_v$version")
     deleteTree(stage)
     val writer = df.write.mode("overwrite")
@@ -145,6 +163,47 @@ object DeltaWrite {
       (relPath, pv, dest.length())
     }
     deleteTree(stage)
+    moved
+  }
+
+  private def nextVersion(logDir: File): Long =
+    Option(logDir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong)
+      .sorted.lastOption.map(_ + 1).getOrElse(0L)
+
+  /** Write one commit: stages the dataframe as parquet, moves the part
+    * files under the table, appends the action JSON. Returns the committed
+    * version. */
+  def write(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String] = Seq.empty,
+      expectedVersion: Option[Long] = None): Long = {
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    logDir.mkdirs()
+    // optimistic concurrency: a caller that read at version V commits V+1
+    // explicitly; if a competitor won the version, CREATE_NEW below fails
+    // loudly instead of silently skipping ahead
+    val version = expectedVersion.getOrElse(nextVersion(logDir))
+    if (version > 0L) {
+      // APPEND: the incoming frame must match the table's recorded schema
+      // and partitioning — a mismatch would silently null columns on read
+      val st = DeltaRead.replayState(df.sparkSession, tablePath)
+      val existing = org.apache.spark.sql.types.DataType.fromJson(
+        st.schemaJson.getOrElse(throw new IllegalArgumentException(
+          s"append to $tablePath: log has no metaData action")))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val incoming = df.schema
+      require(incoming.fields.map(f => (f.name, f.dataType)).toSeq ==
+          existing.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"append schema mismatch for $tablePath:\n  table:    ${existing.simpleString}\n" +
+          s"  incoming: ${incoming.simpleString}")
+      require(partitionBy == st.partCols,
+        s"append partitioning mismatch for $tablePath: table is partitioned by " +
+          s"${st.partCols.mkString("[", ",", "]")}, append asked for " +
+          s"${partitionBy.mkString("[", ",", "]")}")
+    }
+    val moved = stageDataFiles(df, root, version, partitionBy)
 
     val now = System.currentTimeMillis()
     val header: Seq[String] =
@@ -171,14 +230,20 @@ object DeltaWrite {
     version
   }
 
-  /** Row-level UPDATE composed from the protocol primitives: matching rows
-    * are re-written with the SET expressions applied and appended as a new
-    * file, and the originals are marked deleted in the SAME deletion-vector
-    * pass — two commits (delete, append), never a table rewrite. Returns
-    * the append version, or -1 when nothing matched. */
+  /** Row-level UPDATE composed from the protocol primitives in ONE commit:
+    * matching rows are re-written with the SET expressions applied and
+    * staged as new data files (distributed — the driver never materializes
+    * rows), the originals are marked deleted via executor-built deletion
+    * vectors, and a single log entry carries both the DV re-adds and the
+    * new-file adds — a reader sees either the old rows or the new, never
+    * both/neither. Returns the commit version, or -1 when nothing matched. */
   def updateWhere(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       predicate: org.apache.spark.sql.Column,
       sets: Map[String, org.apache.spark.sql.Column]): Long = {
+    // DV pass first: both jobs read the PRE-commit snapshot; empty ⇒ no-op
+    val dvActions = dvReAddActions(spark, tablePath, predicate)
+    if (dvActions.isEmpty) return -1L
+
     val current = DeltaRead.readTable(spark, tablePath)
     // SET expressions can widen types (decimal + int, for one); the
     // appended rows must match the table schema exactly
@@ -186,12 +251,23 @@ object DeltaWrite {
       case (df, (c, e)) => df.withColumn(c, e)
     }.select(current.schema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toIndexedSeq: _*)
-    // materialize the new rows BEFORE the delete commit flips visibility
-    val rows = updated.collect()
-    if (rows.isEmpty) return -1L
-    val snapshot = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), updated.schema)
-    deleteWhere(spark, tablePath, predicate)
-    write(snapshot, tablePath)
+
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    val version = nextVersion(logDir)
+    // distributed staging: invisible until the commit JSON below names them
+    val now = System.currentTimeMillis()
+    val addActions = stageDataFiles(updated, root, version, Seq.empty)
+      .map { case (rel, pv, sz) =>
+        val pvJson = pv.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(",")
+        s"""{"add":{"path":${q(rel)},"partitionValues":{$pvJson},""" +
+          s""""size":$sz,"modificationTime":$now,"dataChange":true}}"""
+      }
+    Files.write(
+      Paths.get(logDir.getAbsolutePath, f"$version%020d.json"),
+      (dvProtocol +: (dvActions ++ addActions)).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+    version
   }
 }

@@ -16,11 +16,15 @@ import org.apache.spark.sql.types._
 
 /** Iceberg v2 WRITE path over the open spec (the producer half of
   * [[IcebergRead]]; reference plugin/trino-iceberg IcebergMetadata commit
-  * path + ManifestFiles writing). CREATE and APPEND produce the real
+  * path + ManifestFiles writing). CREATE and APPEND produce the
   * three-layer metadata chain — `metadata/vN.metadata.json` → snapshot →
   * manifest-list avro → manifest avro → parquet data files — with the
-  * spec's own field names, so any Iceberg reader (including
-  * [[IcebergRead]]) replays it.
+  * spec's own field names. Fidelity subset (documented): the avro carries
+  * the spec's field NAMES but not its field-id props, the manifest-list
+  * omits v2-optional counts (sequence numbers, added/deleted file tallies),
+  * and file paths are table-relative — tables written here are replayed by
+  * THIS ENGINE's [[IcebergRead]] (round-trip specs), not guaranteed byte-
+  * compatible with every external v2 reader.
   *
   * Each appended data file records `record_count`, `file_size_in_bytes`,
   * and little-endian single-value `lower_bounds`/`upper_bounds` for every
@@ -130,68 +134,136 @@ object IcebergWrite {
       s"partition columns ${partitionBy.mkString(",")} not all present")
     require(partitionBy.size <= 1,
       "iceberg write: at most one identity partition column in this subset")
+    prevVersion.foreach { pvn =>
+      // APPEND: the new commit regenerates schemas/partition-specs in the
+      // metadata json, so a mismatched append would silently rewrite table
+      // metadata out from under the existing data files — fail loudly
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val meta = JsonMethods.parse(new String(Files.readAllBytes(
+        Paths.get(metaDir.getAbsolutePath, s"v$pvn.metadata.json")), "UTF-8"))
+      val JArray(schemas) = (meta \ "schemas"): @unchecked
+      val existingFields = (schemas.head \ "fields") match {
+        case JArray(fs) => fs.map { f =>
+          val JString(n) = (f \ "name"): @unchecked
+          val JString(t) = (f \ "type"): @unchecked
+          val JBool(r) = (f \ "required"): @unchecked
+          (n, t, r)
+        }
+        case _ => Seq.empty
+      }
+      val incomingFields = df.schema.fields.toSeq.map(f =>
+        (f.name, icebergTypeName(f.dataType), !f.nullable))
+      require(incomingFields == existingFields,
+        s"iceberg append schema mismatch for $tablePath:\n" +
+          s"  table:    $existingFields\n  incoming: $incomingFields")
+      val existingSpecCols = (meta \ "partition-specs") match {
+        case JArray(specs) => (specs.head \ "fields") match {
+          case JArray(fs) => fs.map { f =>
+            val JString(n) = (f \ "name"): @unchecked
+            n
+          }
+          case _ => Seq.empty
+        }
+        case _ => Seq.empty
+      }
+      require(partitionBy == existingSpecCols,
+        s"iceberg append partitioning mismatch for $tablePath: table spec is " +
+          s"${existingSpecCols.mkString("[", ",", "]")}, append asked for " +
+          s"${partitionBy.mkString("[", ",", "]")}")
+    }
 
-    // ---- data files: distributed write, then table-relative moves; a
-    // partitioned table writes one slice per value so the data files KEEP
-    // the partition column (Spark's partitionBy would drop it)
+    // ---- data files: ONE distributed job regardless of partition count.
+    // Iceberg identity partitioning must KEEP the source column in the data
+    // files, so we duplicate it into a throwaway directory column: Spark's
+    // partitionBy consumes the duplicate while every data file retains the
+    // original — no per-value driver loop.
     val dataDir = new File(root, "data")
     dataDir.mkdirs()
-    val slices: Seq[(String, DataFrame, Map[String, Any])] = partitionBy match {
-      case Seq() => Seq(("", df, Map.empty))
-      case Seq(c) =>
-        df.select(col(c)).distinct().collect().toSeq.map(_.get(0)).map { v =>
-          (s"$c=$v/", df.filter(col(c) === v), Map(c -> v))
-        }
+    val stage = new File(root, s"_stage_s$snapshotId")
+    deleteTree(stage)
+    partitionBy match {
+      case Seq() => df.write.mode("overwrite").parquet(stage.getAbsolutePath)
+      case Seq(c) => df.withColumn("__gpart", col(c)).write.mode("overwrite")
+        .partitionBy("__gpart").parquet(stage.getAbsolutePath)
     }
-    val moved = slices.zipWithIndex.flatMap { case ((prefix, slice, pv), si) =>
-      val stage = new File(root, s"_stage_s${snapshotId}_$si")
-      deleteTree(stage)
-      slice.write.mode("overwrite").parquet(stage.getAbsolutePath)
-      val out = Option(stage.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
-        .map { case (f, i) =>
-          val rel = f"data/$prefix$snapshotId%05d-$si%03d-$i%05d.parquet"
+    def typedPartValue(c: String, raw: String): Any = {
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else df.schema(c).dataType match {
+        case LongType => java.lang.Long.valueOf(raw)
+        case IntegerType => java.lang.Integer.valueOf(raw)
+        case StringType => raw
+        case other => throw new IllegalArgumentException(
+          s"iceberg write: unsupported partition column type $other")
+      }
+    }
+    def stagedFiles(dir: File, partRaw: Option[String]): Seq[(File, Option[String])] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory && f.getName.startsWith("__gpart="))
+          stagedFiles(f, Some(java.net.URLDecoder.decode(
+            f.getName.stripPrefix("__gpart="), "UTF-8")))
+        else if (f.getName.endsWith(".parquet")) Seq((f, partRaw))
+        else Seq.empty
+      }
+    val moved: Seq[(String, File, Map[String, Any])] =
+      stagedFiles(stage, None).sortBy(_._1.getPath).zipWithIndex.map {
+        case ((f, partRaw), i) =>
+          val pv: Map[String, Any] = (partitionBy, partRaw) match {
+            case (Seq(c), Some(raw)) => Map(c -> typedPartValue(c, raw))
+            case _ => Map.empty
+          }
+          val prefix = (partitionBy, partRaw) match {
+            case (Seq(c), Some(raw)) => s"$c=$raw/"
+            case _ => ""
+          }
+          val rel = f"data/$prefix$snapshotId%05d-$i%05d.parquet"
           val dest = new File(root, rel)
           dest.getParentFile.mkdirs()
           Files.move(f.toPath, dest.toPath)
           (rel, dest, pv)
-        }.toSeq
-      deleteTree(stage)
-      out
-    }
+      }
+    deleteTree(stage)
 
-    // ---- per-file stats for int/long/date columns (field ids = ordinal+1)
+    // ---- per-file stats for int/long/date columns (field ids = ordinal+1):
+    // ONE aggregation pass grouped on _metadata.file_path covers every data
+    // file — job count stays constant as file/partition counts grow
     val statCols = df.schema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == IntegerType || f.dataType == LongType ||
         f.dataType == DateType => (f.name, i + 1, f.dataType == LongType)
     }
     val spark = df.sparkSession
-    def bounds(file: File): (Seq[(Int, Array[Byte])], Seq[(Int, Array[Byte])], Long) = {
-      if (statCols.isEmpty) {
-        val n = spark.read.parquet(file.getAbsolutePath).count()
-        return (Seq.empty, Seq.empty, n)
+    def enc(v: Any, isLong: Boolean): Array[Byte] = {
+      val bb = ByteBuffer.allocate(if (isLong) 8 else 4).order(ByteOrder.LITTLE_ENDIAN)
+      v match {
+        case l: java.lang.Long => bb.putLong(l)
+        case i: java.lang.Integer => if (isLong) bb.putLong(i.toLong) else bb.putInt(i)
+        case d: java.sql.Date => bb.putInt(d.toLocalDate.toEpochDay.toInt)
+        case d: java.time.LocalDate => bb.putInt(d.toEpochDay.toInt)
+        case other => throw new IllegalStateException(s"unexpected bound $other")
       }
-      val aggs = statCols.flatMap { case (c, _, _) =>
-        Seq(min(col(c)), max(col(c))) } :+ count(lit(1))
-      val row = spark.read.parquet(file.getAbsolutePath)
-        .agg(aggs.head, aggs.tail: _*).head()
-      def enc(v: Any, isLong: Boolean): Array[Byte] = {
-        val bb = ByteBuffer.allocate(if (isLong) 8 else 4).order(ByteOrder.LITTLE_ENDIAN)
-        v match {
-          case l: java.lang.Long => bb.putLong(l)
-          case i: java.lang.Integer => if (isLong) bb.putLong(i.toLong) else bb.putInt(i)
-          case d: java.sql.Date => bb.putInt(d.toLocalDate.toEpochDay.toInt)
-          case d: java.time.LocalDate => bb.putInt(d.toEpochDay.toInt)
-          case other => throw new IllegalStateException(s"unexpected bound $other")
-        }
-        bb.array()
-      }
-      val lows = statCols.zipWithIndex.flatMap { case ((_, fid, isLong), k) =>
-        Option(row.get(2 * k)).map(v => fid -> enc(v, isLong)) }
-      val highs = statCols.zipWithIndex.flatMap { case ((_, fid, isLong), k) =>
-        Option(row.get(2 * k + 1)).map(v => fid -> enc(v, isLong)) }
-      (lows, highs, row.getLong(row.length - 1))
+      bb.array()
     }
+    val statsByAbs: Map[String, (Seq[(Int, Array[Byte])], Seq[(Int, Array[Byte])], Long)] =
+      if (moved.isEmpty) Map.empty
+      else {
+        val aggs = statCols.toSeq.flatMap { case (c, _, _) =>
+          Seq(min(col(c)), max(col(c))) } :+ count(lit(1))
+        spark.read.parquet(moved.map(_._2.getAbsolutePath): _*)
+          .groupBy(col("_metadata.file_path").as("__fp"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect() // one row per data file: bounded metadata, not row data
+          .map { row =>
+            val abs = row.getString(0).replaceFirst("^file:/*", "/")
+            val lows = statCols.zipWithIndex.toSeq.flatMap { case ((_, fid, isLong), k) =>
+              Option(row.get(1 + 2 * k)).map(v => fid -> enc(v, isLong)) }
+            val highs = statCols.zipWithIndex.toSeq.flatMap { case ((_, fid, isLong), k) =>
+              Option(row.get(2 + 2 * k)).map(v => fid -> enc(v, isLong)) }
+            abs -> ((lows, highs, row.getLong(row.length - 1)))
+          }.toMap
+      }
+    def bounds(file: File): (Seq[(Int, Array[Byte])], Seq[(Int, Array[Byte])], Long) =
+      statsByAbs.getOrElse(file.getAbsolutePath,
+        throw new IllegalStateException(s"no stats row for data file $file"))
 
     // ---- manifest avro for this snapshot's added files
     val kvSchema = ManifestEntrySchema.getField("data_file").schema()

@@ -685,7 +685,7 @@ object Dialect {
          FROM wh_txn GROUP BY r ORDER BY region_bucket""")
   }
   val qSqlxTxnSql: String =
-    """SELECT r AS region_bucket, count(*) AS n, sum(k) AS sum_k FROM (
+    """SELECT r AS region_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k FROM (
          SELECT n_nationkey AS k, n_regionkey AS r FROM nation
          UNION ALL SELECT 700, 4)
        GROUP BY r ORDER BY region_bucket"""

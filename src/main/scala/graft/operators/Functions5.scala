@@ -153,7 +153,7 @@ object Functions5 {
         expr("to_milliseconds(parse_duration(concat(CAST(c_custkey % 500 AS STRING), ' m')))").as("pd_ms"),
         expr("to_milliseconds(parse_duration('3.81 d'))").as("pd2"),
         expr("human_readable_seconds(CAST(c_custkey * 97 % 2000000 AS DOUBLE))").as("hrs"),
-        expr("CAST(parse_data_size(concat(CAST(c_custkey % 97 AS STRING), '.', CAST(c_custkey % 10 AS STRING), 'MB')) AS DECIMAL(38,0))").as("pds"),
+        expr("CAST(CAST(parse_data_size(concat(CAST(c_custkey % 97 AS STRING), '.', CAST(c_custkey % 10 AS STRING), 'MB')) AS DECIMAL(38,0)) AS BIGINT)").as("pds"),
         expr("truncate(CAST(c_acctbal AS DOUBLE) / 7.0)").as("trunc1"),
         expr("truncate(CAST(c_acctbal AS DOUBLE) / 7.0, 2)").as("trunc2"),
         expr("round(wilson_interval_lower(c_custkey % 50, 100, 1.96), 9)").as("wl"),
@@ -188,7 +188,7 @@ object Functions5 {
                 CASE WHEN (sec % 3600) // 60 > 0 THEN ((sec % 3600) // 60) || ' minute' || (CASE WHEN (sec % 3600) // 60 = 1 THEN '' ELSE 's' END) END,
                 CASE WHEN sec % 60 > 0 THEN (sec % 60) || ' second' || (CASE WHEN sec % 60 = 1 THEN '' ELSE 's' END) END
               ], x -> x IS NOT NULL), ', '), ''), ''), '0 seconds') AS hrs,
-         CAST(CAST(CAST(c_custkey % 97 AS VARCHAR) || '.' || CAST(c_custkey % 10 AS VARCHAR) AS DECIMAL(18,1)) * 1048576 AS DECIMAL(38,0)) AS pds,
+         CAST(floor(CAST(CAST(c_custkey % 97 AS VARCHAR) || '.' || CAST(c_custkey % 10 AS VARCHAR) AS DECIMAL(18,1)) * 1048576) AS BIGINT) AS pds,
          trunc(CAST(c_acctbal AS DOUBLE) / 7.0) + 0.0 AS trunc1,
          (CASE WHEN sign(CAST(c_acctbal AS DOUBLE) / 7.0) < 0 THEN -1.0 ELSE 1.0 END)
            * floor(abs(CAST(c_acctbal AS DOUBLE) / 7.0) * pow(10.0, 2.0)) / pow(10.0, 2.0) + 0.0 AS trunc2,

@@ -123,7 +123,7 @@ class DeltaWriteSpec extends SparkSpec {
     catalog.DeltaWrite.write(base, path)
     val v = catalog.DeltaWrite.updateWhere(spark, path,
       col("id") % 5 === 0, Map("v" -> (col("v") + 1)))
-    assert(v == 2L) // delete commit 1, append commit 2
+    assert(v == 1L) // ONE commit carries both the DV re-adds and the new adds
     val after = catalog.DeltaRead.readTable(spark, path)
     assert(after.count() == 20)
     val got = after.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -16,6 +16,47 @@ import numpy as np
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
+def numeric_kind(a: np.ndarray) -> str:
+    """Classify a column the way the driver's hash distinguishes values:
+    int-family, float, bool, temporal (dates/timestamps hash by value), or
+    object (strings, Decimal, arrays...).  Object columns are sub-classified by
+    their first non-null element so Decimal-vs-float and date-vs-string
+    mismatches are caught."""
+    k = a.dtype.kind
+    if k in 'iu':
+        return 'int'
+    if k == 'f':
+        return 'float'
+    if k == 'b':
+        return 'bool'
+    if k in 'mM':
+        return 'temporal'
+    if k == 'O':
+        import decimal, datetime
+        first = next((x for x in a if x is not None and not (isinstance(x, float) and pd.isna(x))), None)
+        if isinstance(first, decimal.Decimal):
+            return 'decimal'
+        if isinstance(first, (datetime.date, datetime.datetime, pd.Timestamp)):
+            return 'temporal'
+        if isinstance(first, bool):
+            return 'bool'
+        if isinstance(first, (int, np.integer)):
+            return 'int'
+        if isinstance(first, (float, np.floating)):
+            return 'float'
+    return 'object'
+
+def iso_strings(a: np.ndarray) -> list:
+    out = []
+    for x in a:
+        if x is None or (isinstance(x, float) and pd.isna(x)) or x is pd.NaT:
+            out.append(None)
+        else:
+            ts = pd.Timestamp(x)
+            # dates normalize to midnight timestamps on both sides
+            out.append(ts.isoformat())
+    return out
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
@@ -53,9 +94,27 @@ def main(outdir: str, sfdir: str) -> int:
         ok = True
         for c in g.columns:
             a, b = g[c].to_numpy(), w[c].to_numpy()
+            ka, kb = numeric_kind(a), numeric_kind(b)
+            # The driver's hash is dtype-sensitive: an int64 column on one side
+            # and float64 on the other (DuckDB HUGEINT/DECIMAL -> float64 via
+            # .df()) hash-differ even when values are numerically equal.  Fail
+            # loudly on kind mismatches instead of silently coercing.
+            if ka != kb:
+                print(f"FAIL {name}: column {c} dtype-kind mismatch "
+                      f"spark={ka}({a.dtype}) duckdb={kb}({b.dtype}) — driver hash would differ")
+                ok = False
+                break
             try:
-                if a.dtype.kind == 'f' or b.dtype.kind == 'f':
-                    eq = np.array_equal(a.astype('f8'), b.astype('f8'), equal_nan=True)
+                if ka == 'float':
+                    af, bf = a.astype('f8'), b.astype('f8')
+                    eq = (np.array_equal(af, bf, equal_nan=True)
+                          and np.array_equal(np.signbit(af), np.signbit(bf)))
+                    if not eq and np.array_equal(af, bf, equal_nan=True):
+                        print(f"FAIL {name}: column {c} float signbit differs (-0.0 vs 0.0)")
+                        ok = False
+                        break
+                elif ka == 'temporal':
+                    eq = iso_strings(a) == iso_strings(b)
                 else:
                     eq = (pd.Series(a).astype(object).where(pd.notna(a), None).tolist() ==
                           pd.Series(b).astype(object).where(pd.notna(b), None).tolist())
