@@ -13,9 +13,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *  1. `.hoodie/hoodie.properties` declares the table type: COPY_ON_WRITE
   *     reads snapshots; MERGE_ON_READ is served READ-OPTIMIZED (base files
-  *     only, `.log` row deltas ignored) — the same contract the reference's
-  *     read-optimized lister provides; snapshot-with-log-merge is out of
-  *     scope.
+  *     only, `.log` row deltas ignored) by [[readTable]] — the reference's
+  *     read-optimized lister contract — or MERGED via [[readTableSnapshot]],
+  *     which applies the `.log` avro blocks ([[HudiLogFormat]]) over the
+  *     base files.
   *  2. The COMPLETED timeline = instants with a `<instant>.commit` file in
   *     `.hoodie/`. Inflight/requested instants (`.inflight`,
   *     `.commit.requested`) and rolled-back instants (no `.commit`) are
@@ -43,9 +44,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object HudiRead {
 
   private val BaseFile = """(.+)_([0-9]+-[0-9]+-[0-9]+)_([0-9]+)\.parquet""".r
+  private val LogFile = """\.(.+)_([0-9]+)\.log\.([0-9]+)_(.+)""".r
+
+  /** MERGE_ON_READ snapshot read: base files merged with the `.log` row
+    * deltas (reference plugin/trino-hudi serves read-optimized; the merge
+    * semantics are Hudi's own — latest record per (_hoodie_partition_path,
+    * _hoodie_record_key) wins, log over base, later blocks over earlier).
+    *
+    * Scale shape: log blocks are parsed ON EXECUTORS (one task per log
+    * file); the per-key latest-record reduction shuffles ONLY the delta
+    * rows (bounded by the compaction interval, not the table); the base is
+    * never shuffled — the delta key set broadcasts into an anti-join.
+    * Delete blocks are refused loudly; command blocks skip (their rollback
+    * effect is subsumed by the completed-instant filter). */
+  def readTableSnapshot(spark: SparkSession, tablePath: String,
+      asOf: Option[String] = None): DataFrame =
+    readTable(spark, tablePath, asOf, logMerge = true)
 
   def readTable(spark: SparkSession, tablePath: String,
-      asOf: Option[String] = None): DataFrame = {
+      asOf: Option[String] = None): DataFrame =
+    readTable(spark, tablePath, asOf, logMerge = false)
+
+  private def readTable(spark: SparkSession, tablePath: String,
+      asOf: Option[String], logMerge: Boolean): DataFrame = {
     val root = new File(tablePath)
     val hoodie = new File(root, ".hoodie")
     require(hoodie.isDirectory, s"$tablePath is not a Hudi table (no .hoodie)")
@@ -64,11 +85,10 @@ object HudiRead {
     val timeline = Option(hoodie.listFiles()).getOrElse(Array.empty)
     require(!timeline.exists(_.getName.endsWith(".replacecommit")),
       "Hudi replacecommit (clustering/insert_overwrite) is not supported by this reader")
-    // MERGE_ON_READ is served READ-OPTIMIZED — exactly the reference's
-    // HudiReadOptimizedDirectoryLister: completed instants include the
-    // MOR `.deltacommit`s, base parquet files are scanned, and `.log`
-    // files (unmerged row deltas) are ignored by construction (the walk
-    // only collects parquet). Snapshot-with-log-merge is out of scope.
+    // MERGE_ON_READ: readTable serves READ-OPTIMIZED — exactly the
+    // reference's HudiReadOptimizedDirectoryLister (completed instants
+    // include the MOR `.deltacommit`s, base parquet files are scanned,
+    // `.log` row deltas ignored); readTableSnapshot merges the logs.
     val completed: Set[String] = timeline.iterator
       .map(_.getName)
       .filter(n => (n.endsWith(".commit") && !n.contains(".commit.")) ||
@@ -79,34 +99,106 @@ object HudiRead {
     require(asOf.isEmpty || completed.nonEmpty,
       s"no completed Hudi instant at or before ${asOf.get}")
 
-    // recursive listing of base files outside .hoodie
+    // recursive listing of base + log files outside .hoodie
     def walk(dir: File, rel: String): Seq[(String, File)] =
       Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
         if (f.isDirectory) {
           if (f.getName == ".hoodie") Seq.empty
           else walk(f, if (rel.isEmpty) f.getName else s"$rel/${f.getName}")
-        } else if (f.getName.endsWith(".parquet")) Seq((rel, f))
+        } else if (f.getName.endsWith(".parquet") ||
+          (f.getName.startsWith(".") && f.getName.contains(".log."))) Seq((rel, f))
         else Seq.empty
       }
+    val listed = walk(root, "")
 
     // per (partition, fileId) keep the latest completed slice
-    val latest = walk(root, "")
+    val latestSlices: Seq[((String, String), (String, File))] = listed
       .flatMap { case (part, f) =>
         f.getName match {
           case BaseFile(fileId, _, instant) if completed(instant) =>
             Some(((part, fileId), (instant, f)))
-          case _ => None // uncommitted / rolled-back / foreign files
+          case _ => None // uncommitted / rolled-back / foreign / log files
         }
       }
       .groupBy(_._1)
-      .map { case (_, slices) => slices.map(_._2).maxBy(_._1)._2 }
+      .map { case (k, slices) => k -> slices.map(_._2).maxBy(_._1) }
       .toSeq
+    val latest = latestSlices.map(_._2._2)
 
     if (latest.isEmpty) {
       // completed-but-empty table: no schema source without a commit file
       throw new IllegalArgumentException(
         s"Hudi table $tablePath has no visible base files")
     }
-    spark.read.parquet(latest.map(_.getAbsolutePath).sorted: _*)
+    val base = spark.read.parquet(latest.map(_.getAbsolutePath).sorted: _*)
+    if (!logMerge || tableType != "MERGE_ON_READ") return base
+
+    // log files attach to the latest slice of their file group: name pattern
+    // .{fileId}_{baseInstant}.log.{version}_{writeToken}
+    val sliceInstant: Map[(String, String), String] =
+      latestSlices.map { case (k, (instant, _)) => k -> instant }.toMap
+    val logFiles: Seq[(String, Int)] = listed.flatMap { case (part, f) =>
+      f.getName match {
+        case LogFile(fileId, baseInstant, version, _)
+          if sliceInstant.get((part, fileId)).contains(baseInstant) =>
+          Some((f.getAbsolutePath, version.toInt))
+        case _ => None
+      }
+    }
+    if (logFiles.isEmpty) return base
+    mergeLogs(spark, base, logFiles, completed)
+  }
+
+  /** Apply log deltas over the base: per (_hoodie_partition_path,
+    * _hoodie_record_key) the record with the highest (instant, logVersion,
+    * blockIdx, recordIdx) wins; base rows whose key has a delta are
+    * replaced. */
+  private def mergeLogs(spark: SparkSession, base: DataFrame,
+      logFiles: Seq[(String, Int)], completed: Set[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = base.schema
+    require(schema.fieldNames.contains("_hoodie_record_key") &&
+      schema.fieldNames.contains("_hoodie_partition_path"),
+      "Hudi MOR snapshot merge needs the _hoodie_record_key/_hoodie_partition_path " +
+        "meta columns in the base files")
+    val completedB = spark.sparkContext.broadcast(completed)
+    val withOrd = schema.add("__ord",
+      org.apache.spark.sql.types.StringType, nullable = false)
+    // log parsing runs ON EXECUTORS, one task per log file
+    val rows = spark.sparkContext
+      .parallelize(logFiles, math.max(1, math.min(logFiles.size, 64)))
+      .flatMap { case (path, logVersion) =>
+        HudiLogFormat.readBlocks(new File(path)).zipWithIndex.flatMap {
+          case (b, blockIdx) => b.blockType match {
+            case 0 => Seq.empty // command block: rollback target already
+                                // excluded by the completed-instant filter
+            case 3 =>
+              val instant = b.headers.getOrElse(0, "")
+              if (!completedB.value.contains(instant)) Seq.empty
+              else HudiLogFormat.decodeAvroBlock(b, schema).zipWithIndex.map {
+                case (r, recIdx) => org.apache.spark.sql.Row.fromSeq(
+                  r.toSeq :+ (("0" * 20 + instant).takeRight(20) +
+                    f"|$logVersion%010d|$blockIdx%010d|$recIdx%010d"))
+              }
+            case 1 => throw new IllegalArgumentException(
+              s"Hudi DELETE log blocks are not supported by this reader ($path)")
+            case other => throw new IllegalArgumentException(
+              s"Hudi log block type $other is not supported by this reader ($path)")
+          }
+        }
+      }
+    val logDf = spark.createDataFrame(rows, withOrd)
+    val dataCols = struct(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val latestLog = logDf
+      .groupBy(col("_hoodie_partition_path"), col("_hoodie_record_key"))
+      .agg(max_by(dataCols, col("__ord")).as("__r"))
+      .select(col("__r.*"))
+    // the delta key set is bounded by the compaction interval, never the
+    // table: broadcast it so the base is not shuffled
+    base.join(
+      broadcast(latestLog.select("_hoodie_partition_path", "_hoodie_record_key")),
+      Seq("_hoodie_partition_path", "_hoodie_record_key"), "left_anti")
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .unionByName(latestLog)
   }
 }

@@ -194,13 +194,104 @@ object HudiQueries {
        FROM nation WHERE n_regionkey <> 4
        GROUP BY n_regionkey ORDER BY n_regionkey"""
 
+  private val C2 = "20260814000300"
+
+  /** Build (idempotently) a MOR table whose latest state lives partly in a
+    * LOG file: base slice at C0, an avro log block at C1 (updates + two
+    * inserts, written in Hudi's binary block format by [[graft.catalog
+    * .HudiLogFormat]]), and an UNCOMMITTED log at C2 that must stay
+    * invisible. Read-optimized provably returns the stale C0 rows; only
+    * the snapshot read merges C1. The 25-row nation collect is fixture
+    * building, not query execution. */
+  private def buildHudiMorSnapNation(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new File(System.getProperty("java.io.tmpdir"),
+      s"graft_hudi_morsnap_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val marker = new File(root, s".hoodie/$C1.deltacommit")
+    if (marker.exists()) return root.getAbsolutePath
+    def deleteTree(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+      f.delete()
+    }
+    deleteTree(root)
+    new File(root, ".hoodie").mkdirs()
+    Files.write(Paths.get(root.getAbsolutePath, ".hoodie", "hoodie.properties"),
+      ("hoodie.table.name=nation_morsnap\n" +
+        "hoodie.table.type=MERGE_ON_READ\n").getBytes(StandardCharsets.UTF_8))
+    val fid = "00000000-0000-0000-0000-00000000000b-0"
+    val base = table(s, dir, "nation")
+      .select(
+        lit(C0).as("_hoodie_commit_time"),
+        $"n_nationkey".cast("string").as("_hoodie_record_key"),
+        lit("").as("_hoodie_partition_path"),
+        $"n_nationkey".cast("long").as("n_nationkey"), $"n_name",
+        $"n_regionkey".cast("long").as("n_regionkey"))
+    val stage = new File(root, s"_stage_$C0")
+    base.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val pf = Option(stage.listFiles()).getOrElse(Array.empty)
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(pf.toPath, new File(root, s"${fid}_0-0-0_$C0.parquet").toPath)
+    deleteTree(stage)
+    Files.write(Paths.get(root.getAbsolutePath, ".hoodie", s"$C0.deltacommit"),
+      "{}".getBytes(StandardCharsets.UTF_8))
+
+    val schema = org.apache.spark.sql.types.StructType(base.schema.fields.map(
+      _.copy(nullable = true)))
+    def logRow(key: Long, name: String, region: Long): org.apache.spark.sql.Row =
+      org.apache.spark.sql.Row(C1, key.toString, "", key, name, region)
+    val updates = table(s, dir, "nation")
+      .filter($"n_nationkey" % 5 === 0)
+      .select($"n_nationkey".cast("long"), $"n_name", $"n_regionkey".cast("long"))
+      .collect().toSeq // 5 rows of the 25-row nation: fixture building
+      .map(r => logRow(r.getLong(0), "upd:" + r.getString(1), r.getLong(2)))
+    val inserts = Seq(logRow(900L, "ins:alpha", 2L), logRow(901L, "ins:beta", 2L))
+    graft.catalog.HudiLogFormat.writeLogFile(root, fid, C0,
+      logVersion = 1, writeToken = "0-1-0", instant = C1, schema,
+      updates ++ inserts)
+    Files.write(Paths.get(root.getAbsolutePath, ".hoodie", s"$C1.deltacommit"),
+      "{}".getBytes(StandardCharsets.UTF_8))
+    // a log under an instant that never completed: must stay invisible
+    graft.catalog.HudiLogFormat.writeLogFile(root, fid, C0,
+      logVersion = 2, writeToken = "0-2-0", instant = C2, schema,
+      Seq(logRow(999L, "ghost", 9L)))
+    root.getAbsolutePath
+  }
+
+  /** MOR SNAPSHOT read: the C1 log's updates and inserts are visible (a
+    * read-optimized scan of the same table returns the stale C0 state —
+    * proven in HudiReadSpec). */
+  def q_fed_hudi_mor_snapshot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = buildHudiMorSnapNation(s, dir)
+    graft.catalog.HudiRead.readTableSnapshot(s, path)
+      .groupBy($"n_regionkey".as("region_bucket"))
+      .agg(count(lit(1)).as("n"),
+        CAST_SUM_KEY($"n_nationkey").as("key_sum"),
+        sum(when($"n_name".startsWith("upd:"), 1L).otherwise(0L)).as("updated_n"))
+      .orderBy($"region_bucket")
+  }
+  val qFedHudiMorSnapshotSql: String =
+    """WITH merged AS (
+         SELECT CAST(n_nationkey AS BIGINT) AS k, CAST(n_regionkey AS BIGINT) AS r,
+                CASE WHEN n_nationkey % 5 = 0 THEN 'upd:' || n_name ELSE n_name END AS nm
+         FROM nation
+         UNION ALL SELECT 900, 2, 'ins:alpha'
+         UNION ALL SELECT 901, 2, 'ins:beta')
+       SELECT r AS region_bucket, count(*) AS n,
+              CAST(sum(k) AS BIGINT) AS key_sum,
+              CAST(sum(CASE WHEN starts_with(nm, 'upd:') THEN 1 ELSE 0 END) AS BIGINT)
+                AS updated_n
+       FROM merged GROUP BY r ORDER BY region_bucket"""
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "q_fed_hudi" -> q_fed_hudi _,
     "q_fed_hudi_timetravel" -> q_fed_hudi_timetravel _,
-    "q_fed_hudi_mor" -> q_fed_hudi_mor _)
+    "q_fed_hudi_mor" -> q_fed_hudi_mor _,
+    "q_fed_hudi_mor_snapshot" -> q_fed_hudi_mor_snapshot _)
   val oracles: Map[String, String] = Map(
     "q_fed_hudi" -> qFedHudiSql,
     "q_fed_hudi_timetravel" -> qFedHudiTimetravelSql,
-    "q_fed_hudi_mor" -> qFedHudiMorSql)
+    "q_fed_hudi_mor" -> qFedHudiMorSql,
+    "q_fed_hudi_mor_snapshot" -> qFedHudiMorSnapshotSql)
 }
