@@ -1,0 +1,132 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Drives the loopback HTTP statement endpoint end-to-end: submit SQL with
+  * POST /v1/statement, poll nextUri until it disappears, concatenate data
+  * pages — the reference client loop — and check the result matches the
+  * in-process front door. Also a DML statement (CTAS + INSERT + read-back)
+  * and the error/cancel paths. */
+class StatementServerSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  private lazy val handle = server.StatementServer.start(spark, sfDir)
+  private lazy val http = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = handle.stop()
+
+  /** The reference client loop: POST, then follow nextUri, collecting data. */
+  private def runStatement(sql: String):
+      (Seq[(String, String)], Seq[Seq[Any]], Option[String]) = {
+    var resp = http.send(
+      HttpRequest.newBuilder(URI.create(s"${handle.uri}/v1/statement"))
+        .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    var json = JsonMethods.parse(resp.body())
+    var columns: Seq[(String, String)] = Seq.empty
+    val data = Seq.newBuilder[Seq[Any]]
+    var error: Option[String] = None
+    var spins = 0
+    var done = false
+    while (!done) {
+      json \ "columns" match {
+        case JArray(cols) =>
+          columns = cols.map { c =>
+            val JString(n) = (c \ "name"): @unchecked
+            val JString(t) = (c \ "type"): @unchecked
+            (n, t)
+          }
+        case _ =>
+      }
+      json \ "data" match {
+        case JArray(rows) => rows.foreach { case JArray(vs) =>
+          data += vs.map {
+            case JString(s) => s
+            case JInt(i) => i.toLong
+            case JLong(l) => l
+            case JDouble(d) => d
+            case JDecimal(d) => d.toDouble
+            case JBool(b) => b
+            case JNull => null
+            case other => other
+          }
+        case other => fail(s"row is not an array: $other")
+        }
+        case _ =>
+      }
+      json \ "error" \ "message" match {
+        case JString(m) => error = Some(m)
+        case _ =>
+      }
+      json \ "nextUri" match {
+        case JString(next) =>
+          spins += 1
+          assert(spins < 600, "statement did not finish")
+          if ((json \ "stats" \ "state") == JString("QUEUED") ||
+            (json \ "stats" \ "state") == JString("RUNNING")) Thread.sleep(50)
+          resp = http.send(
+            HttpRequest.newBuilder(URI.create(s"${handle.uri}$next")).GET().build(),
+            HttpResponse.BodyHandlers.ofString())
+          json = JsonMethods.parse(resp.body())
+        case _ => done = true
+      }
+    }
+    (columns, data.result(), error)
+  }
+
+  test("query over HTTP matches the in-process front door") {
+    val sql = """SELECT n_regionkey AS r, count(*) AS n
+                 FROM nation GROUP BY n_regionkey ORDER BY r"""
+    val (cols, rows, err) = runStatement(sql)
+    assert(err.isEmpty, err)
+    assert(cols.map(_._1) == Seq("r", "n"))
+    assert(cols.map(_._2).forall(t => t == "bigint" || t == "integer"))
+    val inProc = sqlx.TrinoDialect.sql(spark, sfDir, sql).collect()
+      .map(r => (r.get(0).toString.toLong, r.getLong(1))).toSeq
+    val overHttp = rows.map(r =>
+      (r(0).toString.toLong, r(1).toString.toLong))
+    assert(overHttp == inProc)
+  }
+
+  test("multi-page result concatenates to the full relation") {
+    val sql = "SELECT o_orderkey FROM orders ORDER BY o_orderkey"
+    val (_, rows, err) = runStatement(sql)
+    assert(err.isEmpty, err)
+    val expect = sqlx.TrinoDialect.sql(spark, sfDir, sql).count()
+    assert(rows.length.toLong == expect)
+    assert(expect > 1000, "fixture too small to exercise paging")
+    // pages concatenate in order
+    val keys = rows.map(_.head.toString.toLong)
+    assert(keys == keys.sorted)
+  }
+
+  test("DML over HTTP: CTAS + INSERT visible to a follow-up query") {
+    val (_, _, e1) = runStatement(
+      """CREATE OR REPLACE TABLE wh_http AS
+         SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 10""")
+    assert(e1.isEmpty, e1)
+    val (_, _, e2) = runStatement("INSERT INTO wh_http VALUES (500)")
+    assert(e2.isEmpty, e2)
+    val (_, rows, e3) = runStatement(
+      "SELECT count(*) AS n, sum(k) AS s FROM wh_http")
+    assert(e3.isEmpty, e3)
+    assert(rows.head.map(_.toString.toLong) == Seq(11L, 545L))
+  }
+
+  test("a broken statement surfaces an error, not a hang") {
+    val (_, _, err) = runStatement("SELECT FROM WHERE")
+    assert(err.nonEmpty)
+  }
+
+  test("unknown query id is a 404") {
+    val resp = http.send(
+      HttpRequest.newBuilder(
+        URI.create(s"${handle.uri}/v1/statement/executing/nope/x/0")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 404)
+  }
+}
