@@ -85,23 +85,29 @@ object IcebergRead {
     })
 
     // Partition transforms: Iceberg v2 DATA files carry every source
-    // column, so reading is transform-agnostic — hidden partitioning
-    // (bucket[N]/truncate[W]/year/month/day/hour) only matters for
-    // partition-value pruning, which this reader does not attempt on
-    // transformed specs (manifest column-stats pruning above covers the
-    // same ground). `void` drops information and stays refused.
-    (meta \ "partition-specs") match {
-      case JArray(specs) => specs.foreach { spec =>
+    // column, so READING is transform-agnostic (hidden partitioning).
+    // The spec fields matter for partition-value pruning: identity /
+    // bucket[N] / truncate[W] prune below ([[IcebergTransforms.mayMatch]]);
+    // other transforms read fine but never prune. `void` drops information
+    // and stays refused.
+    val specFields: Seq[(String, String, Int)] = (meta \ "partition-specs") match {
+      case JArray(specs) => specs.flatMap { spec =>
         (spec \ "fields") match {
-          case JArray(pfs) => pfs.foreach { pf =>
+          case JArray(pfs) => pfs.map { pf =>
             val JString(transform) = (pf \ "transform"): @unchecked
             require(transform != "void",
               "unsupported partition transform 'void'")
+            val JString(pname) = (pf \ "name"): @unchecked
+            val sourceId = (pf \ "source-id") match {
+              case JInt(sid) => sid.toInt
+              case _ => -1
+            }
+            (pname, transform, sourceId)
           }
-          case _ =>
+          case _ => Seq.empty
         }
       }
-      case _ =>
+      case _ => Seq.empty
     }
 
     val targetSnapshot: BigInt = snapshotId.map(BigInt(_)).getOrElse {
@@ -176,15 +182,29 @@ object IcebergRead {
                 df.get("equality_ids").asInstanceOf[java.util.Collection[_]]
                   .asScala.map(_.toString.toInt).toSeq
               } else Seq.empty
-            // column-stats pruning: skip data files whose recorded bounds
-            // provably miss the requested range
+            // plan-time file skipping, two independent evidences (either
+            // alone suffices, mirroring the reference's split source):
+            //  1. column-stats bounds provably missing the range
+            //  2. the PARTITION VALUE under its transform (identity range,
+            //     bucket equality, truncate range) — IcebergTransforms
             val pruned = content == 0 && (pruneField match {
               case Some((fid, isLong)) =>
                 val lo = decodeBound(df, "lower_bounds", fid, isLong)
                 val hi = decodeBound(df, "upper_bounds", fid, isLong)
-                val miss =
+                val statsMiss =
                   prune.get.hi.exists(h => lo.exists(_ > h)) ||
                   prune.get.lo.exists(l => hi.exists(_ < l))
+                val partMiss = specFields.exists { case (pname, transform, sid) =>
+                  sid == fid && df.getSchema.getField("partition") != null &&
+                  (df.get("partition") match {
+                    case pr: GenericRecord
+                      if pr.getSchema.getField(pname) != null && pr.get(pname) != null =>
+                      !IcebergTransforms.mayMatch(transform,
+                        pr.get(pname).toString.toLong, prune.get.lo, prune.get.hi)
+                    case _ => false // no partition value recorded: never prune
+                  })
+                }
+                val miss = statsMiss || partMiss
                 if (miss) prunedFiles += 1
                 miss
               case None => false

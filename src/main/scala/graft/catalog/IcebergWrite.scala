@@ -114,13 +114,14 @@ object IcebergWrite {
   }
 
   /** CREATE (version 1, snapshot 1) or APPEND (next version/snapshot).
-    * `partitionBy` columns become identity partition-spec fields; Iceberg
-    * data files keep ALL columns (identity partitioning does not drop its
-    * source column), so partition slices are written per distinct value —
-    * the value list is a bounded metadata collect, the data writes stay
-    * distributed. Returns the committed snapshot id. */
+    * `partitionBy` columns become partition-spec fields under `transform`
+    * ("identity" | "bucket[N]" | "truncate[W]" — [[IcebergTransforms]]);
+    * Iceberg data files keep ALL columns (hidden partitioning never drops
+    * its source column). One distributed write job regardless of partition
+    * count. Returns the committed snapshot id. */
   def write(df: DataFrame, tablePath: String,
-      partitionBy: Seq[String] = Seq.empty): Long = {
+      partitionBy: Seq[String] = Seq.empty,
+      transform: String = "identity"): Long = {
     val root = new File(tablePath)
     val metaDir = new File(root, "metadata")
     metaDir.mkdirs()
@@ -157,20 +158,23 @@ object IcebergWrite {
       require(incomingFields == existingFields,
         s"iceberg append schema mismatch for $tablePath:\n" +
           s"  table:    $existingFields\n  incoming: $incomingFields")
-      val existingSpecCols = (meta \ "partition-specs") match {
+      val existingSpec = (meta \ "partition-specs") match {
         case JArray(specs) => (specs.head \ "fields") match {
           case JArray(fs) => fs.map { f =>
             val JString(n) = (f \ "name"): @unchecked
-            n
+            val JString(t) = (f \ "transform"): @unchecked
+            (n, t)
           }
           case _ => Seq.empty
         }
         case _ => Seq.empty
       }
-      require(partitionBy == existingSpecCols,
+      val incomingSpec = partitionBy.map(c =>
+        (IcebergTransforms.fieldName(c, transform), transform))
+      require(incomingSpec == existingSpec,
         s"iceberg append partitioning mismatch for $tablePath: table spec is " +
-          s"${existingSpecCols.mkString("[", ",", "]")}, append asked for " +
-          s"${partitionBy.mkString("[", ",", "]")}")
+          s"${existingSpec.mkString("[", ",", "]")}, append asked for " +
+          s"${incomingSpec.mkString("[", ",", "]")}")
     }
 
     // ---- data files: ONE distributed job regardless of partition count.
@@ -184,17 +188,24 @@ object IcebergWrite {
     deleteTree(stage)
     partitionBy match {
       case Seq() => df.write.mode("overwrite").parquet(stage.getAbsolutePath)
-      case Seq(c) => df.withColumn("__gpart", col(c)).write.mode("overwrite")
+      case Seq(c) => df
+        .withColumn("__gpart", IcebergTransforms.transformColumn(col(c), transform))
+        .write.mode("overwrite")
         .partitionBy("__gpart").parquet(stage.getAbsolutePath)
     }
     def typedPartValue(c: String, raw: String): Any = {
+      import IcebergTransforms.{Bucket, Truncate}
       if (raw == "__HIVE_DEFAULT_PARTITION__") null
-      else df.schema(c).dataType match {
-        case LongType => java.lang.Long.valueOf(raw)
-        case IntegerType => java.lang.Integer.valueOf(raw)
-        case StringType => raw
-        case other => throw new IllegalArgumentException(
-          s"iceberg write: unsupported partition column type $other")
+      else transform match {
+        case Bucket(_) => java.lang.Integer.valueOf(raw)
+        case Truncate(_) => java.lang.Long.valueOf(raw)
+        case _ => df.schema(c).dataType match {
+          case LongType => java.lang.Long.valueOf(raw)
+          case IntegerType => java.lang.Integer.valueOf(raw)
+          case StringType => raw
+          case other => throw new IllegalArgumentException(
+            s"iceberg write: unsupported partition column type $other")
+        }
       }
     }
     def stagedFiles(dir: File, partRaw: Option[String]): Seq[(File, Option[String])] =
@@ -209,11 +220,13 @@ object IcebergWrite {
       stagedFiles(stage, None).sortBy(_._1.getPath).zipWithIndex.map {
         case ((f, partRaw), i) =>
           val pv: Map[String, Any] = (partitionBy, partRaw) match {
-            case (Seq(c), Some(raw)) => Map(c -> typedPartValue(c, raw))
+            case (Seq(c), Some(raw)) =>
+              Map(IcebergTransforms.fieldName(c, transform) -> typedPartValue(c, raw))
             case _ => Map.empty
           }
           val prefix = (partitionBy, partRaw) match {
-            case (Seq(c), Some(raw)) => s"$c=$raw/"
+            case (Seq(c), Some(raw)) =>
+              s"${IcebergTransforms.fieldName(c, transform)}=$raw/"
             case _ => ""
           }
           val rel = f"data/$prefix$snapshotId%05d-$i%05d.parquet"
@@ -280,15 +293,24 @@ object IcebergWrite {
       }
       arr
     }
-    // identity partition fields → the avro `partition` record's types
-    def avroPartType(c: String): String = df.schema(c).dataType match {
-      case LongType => "long"
-      case IntegerType => "int"
-      case StringType => "string"
-      case other => throw new IllegalArgumentException(
-        s"iceberg write: unsupported partition column type $other")
+    // partition fields → the avro `partition` record's types: identity
+    // keeps the source type; bucket is always int; truncate stores long
+    def avroPartType(c: String): String = {
+      import IcebergTransforms.{Bucket, Truncate}
+      transform match {
+        case Bucket(_) => "int"
+        case Truncate(_) => "long"
+        case _ => df.schema(c).dataType match {
+          case LongType => "long"
+          case IntegerType => "int"
+          case StringType => "string"
+          case other => throw new IllegalArgumentException(
+            s"iceberg write: unsupported partition column type $other")
+        }
+      }
     }
-    val partFields = partitionBy.map(c => (c, avroPartType(c)))
+    val partFields = partitionBy.map(c =>
+      (IcebergTransforms.fieldName(c, transform), avroPartType(c)))
     val entrySchema = manifestEntrySchema(partFields)
     val dfSchema = entrySchema.getField("data_file").schema()
     val kvSchemaP = dfSchema.getField("lower_bounds").schema().getTypes.get(1).getElementType
@@ -374,7 +396,9 @@ object IcebergWrite {
         s""""sequence-number":$snapshotId,""" +
         s""""manifest-list":${q(listRel)},"summary":{"operation":"append"}}"""
     val specFieldsJson = partitionBy.zipWithIndex.map { case (c, i) =>
-      s"""{"name":${q(c)},"transform":"identity","source-id":${df.schema.fieldIndex(c) + 1},"field-id":${1000 + i}}"""
+      s"""{"name":${q(IcebergTransforms.fieldName(c, transform))},""" +
+        s""""transform":${q(transform)},""" +
+        s""""source-id":${df.schema.fieldIndex(c) + 1},"field-id":${1000 + i}}"""
     }.mkString(",")
     val metaJson =
       s"""{"format-version":2,

@@ -375,18 +375,86 @@ object IcebergQueries {
        FROM supplier WHERE s_suppkey % 6 <> 0
        GROUP BY s_nationkey ORDER BY s_nationkey"""
 
+  /** bucket[8] hidden partitioning (IcebergTransforms: spec murmur3 bucket
+    * hash): a point lookup reads ONE bucket's files — manifest partition
+    * values prune the other seven (prune counts pinned in IcebergReadSpec;
+    * column stats alone cannot, every bucket spans the key range). */
+  def q_fed_iceberg_bucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_iceberg_bucket_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val marker = new java.io.File(root, "metadata/v1.metadata.json")
+    if (!marker.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(root)
+      val cust = table(s, dir, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"),
+          $"c_nationkey".cast("long").as("c_nationkey"))
+      graft.catalog.IcebergWrite.write(cust, root.getAbsolutePath,
+        partitionBy = Seq("c_custkey"), transform = "bucket[8]")
+    }
+    graft.catalog.IcebergRead.readTable(s, root.getAbsolutePath,
+        prune = Some(graft.catalog.IcebergRead.Prune("c_custkey", Some(42L), Some(42L))))
+      .filter($"c_custkey" === 42L)
+      .select($"c_custkey", $"c_nationkey")
+      .orderBy($"c_custkey")
+  }
+  val qFedIcebergBucketSql: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+              CAST(c_nationkey AS BIGINT) AS c_nationkey
+       FROM customer WHERE c_custkey = 42 ORDER BY c_custkey"""
+
+  /** truncate[100] hidden partitioning: a range scan keeps only the
+    * overlapping width-100 slabs (truncate pruning is range-aware, unlike
+    * bucket). */
+  def q_fed_iceberg_truncate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_iceberg_trunc_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val marker = new java.io.File(root, "metadata/v1.metadata.json")
+    if (!marker.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(root)
+      val ord = table(s, dir, "orders")
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"))
+        .filter($"o_orderkey" <= 800)
+      graft.catalog.IcebergWrite.write(ord, root.getAbsolutePath,
+        partitionBy = Seq("o_orderkey"), transform = "truncate[100]")
+    }
+    graft.catalog.IcebergRead.readTable(s, root.getAbsolutePath,
+        prune = Some(graft.catalog.IcebergRead.Prune("o_orderkey", Some(250L), Some(449L))))
+      .filter($"o_orderkey".between(250L, 449L))
+      .agg(count(lit(1)).as("n"), sum($"o_orderkey").cast("long").as("key_sum"),
+        sum($"o_custkey").cast("long").as("cust_sum"))
+  }
+  val qFedIcebergTruncateSql: String =
+    """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+              CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+       FROM orders WHERE o_orderkey BETWEEN 250 AND 449 AND o_orderkey <= 800"""
+
   val queries: Map[String, Q] = Map(
     "q_fed_iceberg" -> q_fed_iceberg _,
     "q_fed_iceberg_posdelete" -> q_fed_iceberg_posdelete _,
     "q_fed_iceberg_deletes" -> q_fed_iceberg_deletes _,
     "q_fed_iceberg_pruned" -> q_fed_iceberg_pruned _,
     "q_fed_iceberg_eq_deletes" -> q_fed_iceberg_eq_deletes _,
-    "q_fed_iceberg_write" -> q_fed_iceberg_write _)
+    "q_fed_iceberg_write" -> q_fed_iceberg_write _,
+    "q_fed_iceberg_bucket" -> q_fed_iceberg_bucket _,
+    "q_fed_iceberg_truncate" -> q_fed_iceberg_truncate _)
   val oracles: Map[String, String] = Map(
     "q_fed_iceberg" -> qFedIcebergSql,
     "q_fed_iceberg_posdelete" -> qFedIcebergPosdeleteSql,
     "q_fed_iceberg_deletes" -> qFedIcebergDeletesSql,
     "q_fed_iceberg_pruned" -> qFedIcebergPrunedSql,
     "q_fed_iceberg_eq_deletes" -> qFedIcebergEqDeletesSql,
-    "q_fed_iceberg_write" -> qFedIcebergWriteSql)
+    "q_fed_iceberg_write" -> qFedIcebergWriteSql,
+    "q_fed_iceberg_bucket" -> qFedIcebergBucketSql,
+    "q_fed_iceberg_truncate" -> qFedIcebergTruncateSql)
 }

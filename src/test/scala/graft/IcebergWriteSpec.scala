@@ -105,4 +105,49 @@ class IcebergWriteSpec extends SparkSpec {
     assert(catalog.IcebergRead.readTable(spark, path).count() ==
       nation.filter($"n_regionkey" =!= 0).count())
   }
+
+  test("bucket transform: spec murmur3 vector, roundtrip, equality pruning") {
+    // Iceberg spec's published vector: hash(34) = 2017239379
+    assert(catalog.IcebergTransforms.hashLong(34L) == 2017239379)
+    val path = fresh("ib_bucket")
+    val df = (1L to 400L).toDF("k").withColumn("v", $"k" * 7)
+    catalog.IcebergWrite.write(df, path, partitionBy = Seq("k"),
+      transform = "bucket[8]")
+    val back = catalog.IcebergRead.readTable(spark, path)
+    assert(back.count() == 400)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"v")).head().getLong(0) ==
+      (1L to 400L).map(_ * 7).sum)
+    // equality lookup prunes every other bucket: stats can't (each bucket
+    // file spans nearly the whole 1..400 key range)
+    val hit = catalog.IcebergRead.readTable(spark, path,
+      prune = Some(catalog.IcebergRead.Prune("k", Some(42L), Some(42L))))
+    assert(hit.filter($"k" === 42L).count() == 1)
+    assert(catalog.IcebergRead.lastPruned.get() >= 6,
+      s"expected >=6 of 8 bucket files pruned, got ${catalog.IcebergRead.lastPruned.get()}")
+    // a RANGE over a bucketed column must NOT partition-prune (order is
+    // destroyed) — every row of the range still comes back
+    val range = catalog.IcebergRead.readTable(spark, path,
+      prune = Some(catalog.IcebergRead.Prune("k", Some(100L), Some(200L))))
+    assert(range.filter($"k".between(100L, 200L)).count() == 101)
+  }
+
+  test("truncate transform: range pruning keeps only overlapping slabs") {
+    val path = fresh("ib_trunc")
+    val df = (0L until 1000L).toDF("k").repartition(1) // one file per slab
+    catalog.IcebergWrite.write(df, path, partitionBy = Seq("k"),
+      transform = "truncate[100]")
+    assert(catalog.IcebergRead.readTable(spark, path).count() == 1000)
+    val got = catalog.IcebergRead.readTable(spark, path,
+      prune = Some(catalog.IcebergRead.Prune("k", Some(250L), Some(449L))))
+    assert(got.filter($"k".between(250L, 449L)).count() == 200)
+    // 10 slabs of width 100; [250,449] overlaps slabs 200/300/400 → 7 pruned
+    assert(catalog.IcebergRead.lastPruned.get() == 7,
+      s"expected 7 of 10 slabs pruned, got ${catalog.IcebergRead.lastPruned.get()}")
+    // appends validate the TRANSFORMED spec, not just column names
+    val e = intercept[IllegalArgumentException] {
+      catalog.IcebergWrite.write(df, path, partitionBy = Seq("k"),
+        transform = "truncate[50]")
+    }
+    assert(e.getMessage.contains("partitioning mismatch"))
+  }
 }
