@@ -230,6 +230,159 @@ object DeltaWrite {
     version
   }
 
+  /** Write a CLASSIC parquet checkpoint of the current state (reference
+    * plugin/trino-delta-lake/.../checkpoint/CheckpointWriter shape): one
+    * row per action in columnar form — protocol, metaData (the table's
+    * LAST metaData action replayed verbatim from the JSON log), and one
+    * `add` per live file — then `_last_checkpoint` naming it. Readers
+    * (including [[DeltaRead]]) replay checkpoint state + the JSON suffix
+    * only, so log growth stops costing read time.
+    *
+    * Refused loudly when live adds carry deletion vectors: checkpointed
+    * DV state is outside this engine's read subset — run [[optimize]]
+    * first (it materializes deletes). The action rows are driver-built —
+    * bounded by file-count metadata, the state every checkpoint writer
+    * materializes. */
+  def checkpoint(spark: org.apache.spark.sql.SparkSession, tablePath: String): Long = {
+    import org.apache.spark.sql.types._
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    val st = DeltaRead.replayState(spark, tablePath)
+    require(!st.active.values.exists(_.dv.isDefined),
+      s"checkpoint of $tablePath: live adds carry deletion vectors; " +
+        "OPTIMIZE first (checkpointed DV state is not in the supported read subset)")
+    val version = nextVersion(logDir) - 1
+    require(version >= 0, s"no commits to checkpoint at $tablePath")
+
+    // replay the raw JSON for the last protocol/metaData action objects, so
+    // the checkpoint carries them verbatim (id, createdTime, configuration)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    var lastMeta: Option[JValue] = None
+    var lastProto: Option[JValue] = None
+    Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
+      .foreach { vf =>
+        java.nio.file.Files.readAllLines(vf.toPath, StandardCharsets.UTF_8)
+          .forEach { line =>
+            if (line.trim.nonEmpty) {
+              val j = JsonMethods.parse(line)
+              (j \ "metaData") match { case m: JObject => lastMeta = Some(m); case _ => }
+              (j \ "protocol") match { case p: JObject => lastProto = Some(p); case _ => }
+            }
+          }
+      }
+    val meta = lastMeta.getOrElse(
+      throw new IllegalArgumentException(s"$tablePath has no metaData action"))
+    def js(v: JValue, field: String): Option[String] = (v \ field) match {
+      case JString(s0) => Some(s0); case _ => None
+    }
+    def ji(v: JValue, field: String, dflt: Int): Int = (v \ field) match {
+      case JInt(i) => i.toInt; case _ => dflt
+    }
+
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val cpSchema = StructType(Seq(
+      StructField("protocol", protoType),
+      StructField("metaData", metaType),
+      StructField("add", addType)))
+
+    import org.apache.spark.sql.Row
+    val protoRow = Row(Row(
+      lastProto.map(ji(_, "minReaderVersion", 1)).getOrElse(1),
+      lastProto.map(ji(_, "minWriterVersion", 2)).getOrElse(2)), null, null)
+    val configuration: Map[String, String] = (meta \ "configuration") match {
+      case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+    val metaRow = Row(null, Row(
+      js(meta, "id").getOrElse(java.util.UUID.nameUUIDFromBytes(
+        tablePath.getBytes(StandardCharsets.UTF_8)).toString),
+      Row("parquet", Map.empty[String, String]),
+      st.schemaJson.orNull,
+      st.partCols,
+      configuration,
+      (meta \ "createdTime") match { case JInt(t) => t.toLong; case _ => 0L }), null)
+    val addRows = st.active.values.toSeq.map { a =>
+      val f = new File(root, a.path)
+      Row(null, null, Row(a.path, a.partitionValues, f.length(),
+        f.lastModified(), false))
+    }
+
+    val rows = protoRow +: metaRow +: addRows
+    val cpDf = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), cpSchema).coalesce(1)
+    val stage = new File(root, s"_stage_cp$version")
+    deleteTree(stage)
+    cpDf.write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val part = Option(stage.listFiles()).getOrElse(Array.empty)
+      .find(_.getName.endsWith(".parquet")).getOrElse(
+        throw new IllegalStateException("checkpoint stage produced no parquet"))
+    Files.move(part.toPath,
+      Paths.get(logDir.getAbsolutePath, f"$version%020d.checkpoint.parquet"))
+    deleteTree(stage)
+    // _last_checkpoint LAST: readers only trust a checkpoint it names
+    Files.write(Paths.get(logDir.getAbsolutePath, "_last_checkpoint"),
+      s"""{"version":$version,"size":${rows.length}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    version
+  }
+
+  /** OPTIMIZE on the open format (the reference's ALTER TABLE EXECUTE
+    * optimize / bin-packing compaction): rewrites the live state into
+    * `targetFiles` compacted data files, MATERIALIZING deletion vectors
+    * (deleted rows vanish physically), and commits one log entry of
+    * `remove` tombstones for every old file plus the new adds with
+    * dataChange=false. Data movement is fully distributed. Supported
+    * subset: unpartitioned, mapping-mode-none tables. */
+  def optimize(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      targetFiles: Int = 1): Long = {
+    val st = DeltaRead.replayState(spark, tablePath)
+    require(st.partCols.isEmpty,
+      "optimize on a partitioned Delta table is not supported by this writer")
+    require(st.columnMappingMode == "none",
+      "optimize on a column-mapped Delta table is not supported by this writer")
+    val oldAdds = st.active.values.toSeq
+    require(oldAdds.nonEmpty, s"optimize of $tablePath: no live files")
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    val version = nextVersion(logDir)
+    val now = System.currentTimeMillis()
+    val compacted = DeltaRead.readTable(spark, tablePath)
+      .repartition(math.max(1, targetFiles))
+    val adds = stageDataFiles(compacted, root, version, Seq.empty)
+      .map { case (rel, _, sz) =>
+        s"""{"add":{"path":${q(rel)},"partitionValues":{},"size":$sz,""" +
+          s""""modificationTime":$now,"dataChange":false}}"""
+      }
+    val removes = oldAdds.map { a =>
+      s"""{"remove":{"path":${q(a.path)},"deletionTimestamp":$now,""" +
+        s""""dataChange":false}}"""
+    }
+    Files.write(
+      Paths.get(logDir.getAbsolutePath, f"$version%020d.json"),
+      (removes ++ adds).mkString("\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+    version
+  }
+
   /** Row-level UPDATE composed from the protocol primitives in ONE commit:
     * matching rows are re-written with the SET expressions applied and
     * staged as new data files (distributed — the driver never materializes

@@ -102,7 +102,8 @@ object DeltaQueries {
     import s.implicits._
     val root = new File(System.getProperty("java.io.tmpdir"),
       s"graft_delta_dv_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
-    val marker = new File(root, "_delta_log/00000000000000000003.json")
+    // updateWhere commits DV re-adds + new adds in ONE log entry → v2 last
+    val marker = new File(root, "_delta_log/00000000000000000002.json")
     if (!marker.exists()) {
       def rm(f: File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -135,10 +136,48 @@ object DeltaQueries {
               CAST(sum(s_suppkey) AS BIGINT) AS key_sum
        FROM net GROUP BY 1 ORDER BY band"""
 
+  /** OPTIMIZE + checkpoint lifecycle under the driver gate: appends + a DV
+    * delete are compacted (deletes materialized, removes tombstoned), a
+    * classic parquet checkpoint is cut, and the read replays CHECKPOINT +
+    * SUFFIX; the oracle replays the net row set. */
+  def q_fed_delta_optimize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = new File(System.getProperty("java.io.tmpdir"),
+      s"graft_delta_opt_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val marker = new File(root, "_delta_log/_last_checkpoint")
+    if (!marker.exists()) {
+      def rm(f: File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(root)
+      val cust = table(s, dir, "customer")
+        .select($"c_custkey".cast("long").as("c_custkey"),
+          $"c_nationkey".cast("long").as("c_nationkey"))
+      val p = root.getAbsolutePath
+      graft.catalog.DeltaWrite.write(cust.filter($"c_custkey" % 2 === 0), p) // v0
+      graft.catalog.DeltaWrite.write(cust.filter($"c_custkey" % 2 === 1), p) // v1
+      graft.catalog.DeltaWrite.deleteWhere(s, p, $"c_custkey" % 9 === 0)     // v2
+      graft.catalog.DeltaWrite.optimize(s, p)                                // v3
+      graft.catalog.DeltaWrite.checkpoint(s, p)
+    }
+    graft.catalog.DeltaRead.readTable(s, root.getAbsolutePath)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"), sum($"c_custkey").cast("long").as("key_sum"))
+      .orderBy($"c_nationkey")
+  }
+  val qFedDeltaOptimizeSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n,
+              CAST(sum(c_custkey) AS BIGINT) AS key_sum
+       FROM customer WHERE c_custkey % 9 <> 0
+       GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   val queries: Map[String, Q] = Map(
     "q_fed_delta" -> q_fed_delta _,
-    "q_fed_delta_dv" -> q_fed_delta_dv _)
+    "q_fed_delta_dv" -> q_fed_delta_dv _,
+    "q_fed_delta_optimize" -> q_fed_delta_optimize _)
   val oracles: Map[String, String] = Map(
     "q_fed_delta" -> qFedDeltaSql,
-    "q_fed_delta_dv" -> qFedDeltaDvSql)
+    "q_fed_delta_dv" -> qFedDeltaDvSql,
+    "q_fed_delta_optimize" -> qFedDeltaOptimizeSql)
 }

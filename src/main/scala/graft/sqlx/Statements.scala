@@ -809,11 +809,12 @@ private[graft] object Statements {
         s"CALL arguments must be literals, got: $other")
     }
     /** named wins; else positional index. */
-    def arg(names: Seq[String], pos: Int): String =
+    def argOpt(names: Seq[String], pos: Int): Option[String] =
       args.collectFirst { case (Some(n), e) if names.contains(n) => scalar(e) }
         .orElse(args.collect { case (None, e) => e }.lift(pos).map(scalar))
-        .getOrElse(throw new IllegalArgumentException(
-          s"missing CALL argument '${names.head}'"))
+    def arg(names: Seq[String], pos: Int): String =
+      argOpt(names, pos).getOrElse(throw new IllegalArgumentException(
+        s"missing CALL argument '${names.head}'"))
 
     name.last match {
       case "rollback_to_version" | "rollback_to_snapshot" =>
@@ -880,6 +881,21 @@ private[graft] object Statements {
         val path = arg(Seq("path", "location"), 1)
         val snapshot = projected(spark, requireKey(table))
         oneRow(spark, "version", graft.catalog.DeltaWrite.write(snapshot, path))
+
+      case "delta_optimize" =>
+        // CALL system.delta_optimize(path[, target_files]) — open-format
+        // bin-packing compaction that also materializes deletion vectors
+        val path = arg(Seq("path", "location"), 0)
+        val target = argOpt(Seq("target_files"), 1).map(_.toInt).getOrElse(1)
+        oneRow(spark, "version",
+          graft.catalog.DeltaWrite.optimize(spark, path, target))
+
+      case "delta_checkpoint" =>
+        // CALL system.delta_checkpoint(path) — classic parquet checkpoint
+        // + _last_checkpoint, so readers replay the JSON suffix only
+        val path = arg(Seq("path", "location"), 0)
+        oneRow(spark, "version",
+          graft.catalog.DeltaWrite.checkpoint(spark, path))
 
       case "flush_metadata_cache" =>
         tables.keys.foreach(k =>

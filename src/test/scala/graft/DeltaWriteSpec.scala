@@ -136,6 +136,59 @@ class DeltaWriteSpec extends SparkSpec {
       col("id") === 999L, Map("v" -> lit(0L))) == -1L)
   }
 
+  test("optimize compacts, materializes DVs; checkpoint enables suffix-only replay") {
+    val path = fresh("opt_cp")
+    val base = (1L to 300L).toDF("id").withColumn("v", $"id" * 3)
+    // three commits → three+ files, then a DV delete
+    catalog.DeltaWrite.write(base.filter($"id" <= 100), path)
+    catalog.DeltaWrite.write(base.filter($"id" > 100 && $"id" <= 200), path)
+    catalog.DeltaWrite.write(base.filter($"id" > 200), path)
+    catalog.DeltaWrite.deleteWhere(spark, path, col("id") % 3 === 0)
+    val expectIds = (1L to 300L).filter(_ % 3 != 0)
+    // checkpoint refuses while DVs are live
+    val e = intercept[IllegalArgumentException] {
+      catalog.DeltaWrite.checkpoint(spark, path)
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+
+    // OPTIMIZE: one compacted file, deletes materialized, removes tombstone
+    val optVersion = catalog.DeltaWrite.optimize(spark, path, targetFiles = 1)
+    assert(optVersion == 4L)
+    val after = catalog.DeltaRead.readTable(spark, path)
+    assert(after.count() == expectIds.length)
+    assert(after.agg(sum($"id")).head().getLong(0) == expectIds.sum)
+    val log4 = new java.io.File(path, f"_delta_log/${4L}%020d.json")
+    val text = new String(java.nio.file.Files.readAllBytes(log4.toPath))
+    assert(text.contains("\"remove\""))
+
+    // checkpoint now succeeds; readers replay the JSON SUFFIX only —
+    // proven by deleting every commit file at or before the checkpoint
+    val cpVersion = catalog.DeltaWrite.checkpoint(spark, path)
+    assert(cpVersion == 4L)
+    catalog.DeltaWrite.write(Seq((2000L, 6000L)).toDF("id", "v"), path)
+    (0L to 4L).foreach { v =>
+      val f = new java.io.File(path, f"_delta_log/$v%020d.json")
+      assert(f.delete(), s"commit $v missing")
+    }
+    val replayed = catalog.DeltaRead.readTable(spark, path)
+    assert(replayed.count() == expectIds.length + 1)
+    assert(replayed.filter($"id" === 2000L).count() == 1)
+  }
+
+  test("CALL delta_optimize / delta_checkpoint from SQL text") {
+    val path = fresh("call_optcp")
+    catalog.DeltaWrite.write((1L to 50L).toDF("id"), path)
+    catalog.DeltaWrite.write((51L to 90L).toDF("id"), path)
+    val v = sqlx.TrinoDialect.sql(spark, sfDir,
+      s"CALL system.delta_optimize('$path')").head().getLong(0)
+    assert(v == 2L)
+    val cp = sqlx.TrinoDialect.sql(spark, sfDir,
+      s"CALL system.delta_checkpoint('$path')").head().getLong(0)
+    assert(cp == 2L)
+    assert(new java.io.File(path, "_delta_log/_last_checkpoint").isFile)
+    assert(catalog.DeltaRead.readTable(spark, path).count() == 90)
+  }
+
   test("CALL delta_delete / iceberg_delete from SQL text") {
     val dpath = fresh("call_dv")
     catalog.DeltaWrite.write((1L to 30L).toDF("id"), dpath)
