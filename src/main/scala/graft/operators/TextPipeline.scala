@@ -139,13 +139,17 @@ object TextPipeline {
       .withColumn("i", explode(sequence(lit(0), $"n" - Gram)))
       .withColumn("shingle", concat_ws(" ", slice($"toks", $"i" + 1, lit(Gram))))
     val docs = table(s, dir, "documents")
+    // shingles reduce to 64-bit hashes BEFORE the distinct/join: the
+    // broadcast set and the probe stream carry 8 bytes per shingle instead
+    // of the text (boilerplate shingles stop being hot long keys at 100 TB);
+    // distinct-hash counts equal distinct-text counts modulo 2^-64 collisions
     val bench = shingled(docs.filter($"doc_id" % 50 === 0))
-      .select($"shingle").distinct()
+      .select(xxhash64($"shingle").as("sh")).distinct()
     val corpus = shingled(docs.filter($"doc_id" % 50 =!= 0))
-      .select($"doc_id", $"shingle")
-    corpus.join(broadcast(bench), "shingle")
+      .select($"doc_id", xxhash64($"shingle").as("sh"))
+    corpus.join(broadcast(bench), "sh")
       .groupBy($"doc_id")
-      .agg(countDistinct($"shingle").as("hit_shingles"))
+      .agg(countDistinct($"sh").as("hit_shingles"))
       .join(docs.filter($"doc_id" % 50 =!= 0).select($"doc_id"), Seq("doc_id"), "right")
       .select($"doc_id",
         coalesce($"hit_shingles", lit(0L)).as("hit_shingles"),
@@ -196,13 +200,16 @@ object TextPipeline {
     val docs = table(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("toks"))
       .withColumn("n", size($"toks"))
+    // the shingle reduces to a 64-bit hash BEFORE the shuffle: the window
+    // exchange carries (doc, pos, 8-byte key) instead of the 10-token text —
+    // smaller shuffle bytes and no long-text hot keys from boilerplate
     val grams = docs.filter($"n" >= SpanK)
       .withColumn("i", explode(sequence(lit(0), $"n" - SpanK)))
       .select($"doc_id", $"i",
-        concat_ws(" ", slice($"toks", $"i" + 1, lit(SpanK))).as("shingle"))
+        xxhash64(concat_ws(" ", slice($"toks", $"i" + 1, lit(SpanK)))).as("sh"))
     // cross-document duplicate iff the shingle's doc_id range is non-trivial
-    // — ONE shuffle on the shingle (a window), no groupBy + join-back
-    val w = Window.partitionBy($"shingle")
+    // — ONE shuffle on the shingle hash (a window), no groupBy + join-back
+    val w = Window.partitionBy($"sh")
     val dupOcc = grams
       .withColumn("dup", min($"doc_id").over(w) =!= max($"doc_id").over(w))
       .filter($"dup")
