@@ -255,8 +255,21 @@ object DeltaDeletionVectors {
       readFromFile(f, d.offset.getOrElse(
         throw new IllegalArgumentException("p-type deletion vector without offset")),
         d.sizeInBytes)
-    case "i" => throw new IllegalArgumentException(
-      "inline ('i') deletion vectors are not supported by this reader")
+    case "i" =>
+      // INLINE vectors (PROTOCOL.md deletion-vector-descriptor): the
+      // z85 payload IS the portable bitmap, no file, no offset. The codec
+      // pads to 4-byte groups, so decode then trim to sizeInBytes. (The
+      // reference engine refuses these; the open spec defines them.)
+      val decoded = z85Decode(d.pathOrInlineDv)
+      require(decoded.length >= d.sizeInBytes &&
+        decoded.length - d.sizeInBytes < 4,
+        s"inline deletion vector size mismatch: ${decoded.length} vs ${d.sizeInBytes}")
+      val data = decoded.take(d.sizeInBytes)
+      val positions = decodePortable(data)
+      require(positions.length == d.cardinality,
+        s"inline deletion vector cardinality mismatch: " +
+          s"${positions.length} vs ${d.cardinality}")
+      positions
     case other => throw new IllegalArgumentException(
       s"unknown deletion vector storage type '$other'")
   }

@@ -41,8 +41,9 @@ import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, Struc
   * (parquet field-id resolution via Spark's fieldId read path); DELETION
   * VECTORS on JSON-commit adds ('u' and 'p' storage — decoded by
   * [[DeltaDeletionVectors]], applied as one broadcast anti-join on
-  * (_metadata.file_path, row_index)). Inline ('i') vectors and vectors
-  * living only in CHECKPOINTED adds stay documented refusals. */
+  * (_metadata.file_path, row_index)) — 'u', 'p' AND inline 'i' storage
+  * (the reference refuses 'i'; the open spec defines it). Vectors living
+  * only in CHECKPOINTED adds stay a documented refusal. */
 object DeltaRead {
 
   private[catalog] final case class Add(path: String, partitionValues: Map[String, String],

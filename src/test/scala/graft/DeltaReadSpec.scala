@@ -374,4 +374,22 @@ class DeltaReadSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("checksum"))
   }
+
+  test("deletion vectors: INLINE 'i' storage decodes the z85 payload directly") {
+    val root = newTable("dv_inline")
+    writeParquet(root, "f1.parquet", (0L until 10L).toDF("id"))
+    // spec: pathOrInlineDv IS the z85 of the portable bitmap (padded to
+    // 4-byte groups for the codec; sizeInBytes names the true length)
+    val data = catalog.DeltaDeletionVectors.encodePortable(Array(1L, 4L, 7L))
+    val padded = data ++ Array.fill[Byte]((4 - data.length % 4) % 4)(0)
+    val inline = catalog.DeltaDeletionVectors.z85Encode(padded)
+    val schemaJson = """{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}"""
+    commit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${data.length},"cardinality":3}}}"""))
+    val got = catalog.DeltaRead.readTable(spark, root.getAbsolutePath)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 2L, 3L, 5L, 6L, 8L, 9L), s"got $got")
+  }
 }
