@@ -33,8 +33,9 @@ import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, Struc
   * Scale: log replay is driver-side METADATA work, bounded by (checkpoint
   * rows + JSON suffix) — every Delta reader holds this state (the
   * reference caches it per-snapshot). Data reading is fully distributed.
-  * Supported subset: classic single- and multi-part parquet checkpoints +
-  * complete JSON suffix (v2 UUID checkpoints with sidecars are refused);
+  * Supported subset: classic single- and multi-part parquet checkpoints,
+  * V2 UUID checkpoints (json or parquet manifest + `_sidecars/` parquets,
+  * validated against Databricks-written fixtures) + complete JSON suffix;
   * protocol reader versions 1-2 and version 3 when every listed reader
   * feature is implemented (currently: columnMapping); column mapping mode
   * NAME (physical-name reads projected to the logical schema) and mode ID
@@ -58,7 +59,7 @@ object DeltaRead {
       // reader version 2 = column mapping (both modes implemented here);
       // version 3 = table features — acceptable only when every listed
       // reader feature is one this reader implements
-      val understood = Set("columnMapping", "deletionVectors")
+      val understood = Set("columnMapping", "deletionVectors", "v2Checkpoint")
       if (minReader > 3) throw new IllegalArgumentException(
         s"Delta minReaderVersion $minReader is not supported by this reader")
       if (minReader == 3) {
@@ -214,6 +215,61 @@ object DeltaRead {
     // the add set — nothing to subtract from the reconstructed state
   }
 
+  /** V2 (UUID) checkpoint: `_last_checkpoint.v2Checkpoint` names a manifest
+    * `N.checkpoint.<uuid>.{json,parquet}` whose file actions live in SIDECAR
+    * parquets under `_delta_log/_sidecars/` (Databricks-written fixtures in
+    * the reference's public test resources validate all three shapes: json
+    * manifest, parquet manifest, multipart sidecars). The pointer may inline
+    * `nonFileActions` + `sidecarFiles`; otherwise the manifest supplies
+    * them. */
+  private def applyV2Checkpoint(spark: SparkSession, st: State, logDir: File,
+      v2: org.json4s.JValue): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val JString(manifestRel) = (v2 \ "path"): @unchecked
+    val manifest = new File(logDir, manifestRel)
+    require(manifest.isFile, s"v2 checkpoint manifest not found: $manifest")
+    val pointerSidecars: Option[Seq[String]] = (v2 \ "sidecarFiles") match {
+      case JArray(xs) => Some(xs.map { s =>
+        val JString(p) = (s \ "path"): @unchecked; p
+      })
+      case _ => None
+    }
+    val pointerActions: Option[Seq[JValue]] = (v2 \ "nonFileActions") match {
+      case JArray(xs) => Some(xs)
+      case _ => None
+    }
+    val sidecarPaths: Seq[String] = (pointerActions, pointerSidecars) match {
+      case (Some(actions), Some(sidecars)) =>
+        actions.foreach(a =>
+          applyLine(st, JsonMethods.compact(JsonMethods.render(a))))
+        sidecars
+      case _ if manifest.getName.endsWith(".json") =>
+        val sc = Seq.newBuilder[String]
+        Files.readAllLines(manifest.toPath, StandardCharsets.UTF_8).forEach { line =>
+          if (line.trim.nonEmpty) {
+            (JsonMethods.parse(line) \ "sidecar" \ "path") match {
+              case JString(p) => sc += p
+              case _ => applyLine(st, line) // protocol/metaData/add/remove…
+            }
+          }
+        }
+        sc.result()
+      case _ =>
+        // parquet manifest: non-file (and any embedded file) actions go
+        // through the classic columnar loader; sidecar refs read separately
+        applyCheckpoint(spark, st, Seq(manifest))
+        val df = spark.read.parquet(manifest.getAbsolutePath)
+        if (df.schema.fieldNames.contains("sidecar"))
+          df.where(org.apache.spark.sql.functions.col("sidecar").isNotNull)
+            .select("sidecar.path").collect().map(_.getString(0)).toSeq
+        else Seq.empty
+    }
+    val sidecarFiles = sidecarPaths.map(p => new File(new File(logDir, "_sidecars"), p))
+    sidecarFiles.foreach(f => require(f.isFile, s"v2 checkpoint sidecar not found: $f"))
+    if (sidecarFiles.nonEmpty) applyCheckpoint(spark, st, sidecarFiles)
+  }
+
   /** Replay checkpoint + JSON suffix into live state (shared by the plan
     * builder and the deletion-vector writer). */
   private[catalog] def replayState(spark: SparkSession, tablePath: String): State = {
@@ -241,18 +297,21 @@ object DeltaRead {
           case JInt(p) => Some(p.toInt)
           case _ => None
         }
-        val cpFiles = parts match {
-          case Some(p) => (1 to p).map(i =>
-            new File(logDir, f"$version%020d.checkpoint.$i%010d.$p%010d.parquet"))
-          case None => Seq(new File(logDir, f"$version%020d.checkpoint.parquet"))
+        (cpJson \ "v2Checkpoint") match {
+          case v2: JObject =>
+            applyV2Checkpoint(spark, st, logDir, v2)
+          case _ =>
+            val cpFiles = parts match {
+              case Some(p) => (1 to p).map(i =>
+                new File(logDir, f"$version%020d.checkpoint.$i%010d.$p%010d.parquet"))
+              case None => Seq(new File(logDir, f"$version%020d.checkpoint.parquet"))
+            }
+            val missing = cpFiles.filterNot(_.isFile)
+            if (missing.nonEmpty) throw new IllegalArgumentException(
+              s"checkpoint file(s) ${missing.map(_.getName).mkString(", ")} not found " +
+                "(and _last_checkpoint names no v2Checkpoint)")
+            applyCheckpoint(spark, st, cpFiles)
         }
-        val missing = cpFiles.filterNot(_.isFile)
-        if (missing.nonEmpty) throw new IllegalArgumentException(
-          // v2 UUID checkpoints (N.checkpoint.<uuid>.json + sidecars) land
-          // here: the classic file the pointer implies does not exist
-          s"checkpoint file(s) ${missing.map(_.getName).mkString(", ")} not found " +
-            "(v2/UUID checkpoints are not supported by this reader)")
-        applyCheckpoint(spark, st, cpFiles)
         version + 1
       } else {
         require(!logFiles.exists(_.getName.contains(".checkpoint.")),
