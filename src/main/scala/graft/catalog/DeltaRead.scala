@@ -194,21 +194,26 @@ object DeltaRead {
       }
     }
     struct("add").foreach { as =>
-      // JSON-suffix DVs are fully supported; a DV that only exists in
-      // CHECKPOINTED state (no live JSON add) stays a documented refusal —
-      // replaying it would require the checkpoint's struct layout variants
-      if (as.fieldNames.contains("deletionVector")) {
-        val withDv = cp.where(col("add").isNotNull &&
-          col("add.deletionVector").isNotNull).count()
-        if (withDv > 0) throw new IllegalArgumentException(
-          "Delta deletion vectors in CHECKPOINTED adds are not supported by " +
-            "this reader (JSON-commit deletion vectors are)")
-      }
-      cp.where(col("add").isNotNull).select("add.path", "add.partitionValues")
+      val hasDv = as.fieldNames.contains("deletionVector")
+      val cols = Seq(col("add.path"), col("add.partitionValues")) ++
+        (if (hasDv) Seq(col("add.deletionVector")) else Seq.empty)
+      cp.where(col("add").isNotNull).select(cols: _*)
         .collect().foreach { r =>
           val pv = Option(r.getMap[String, String](1)).map(_.toMap)
             .getOrElse(Map.empty[String, String])
-          st.add(r.getString(0), pv, None)
+          // checkpointed DV descriptors replay exactly like JSON-commit ones
+          val dv = if (hasDv && !r.isNullAt(2)) {
+            val d = r.getStruct(2)
+            def fs(n: String) = d.getAs[String](n)
+            Some(DeltaDeletionVectors.Descriptor(
+              fs("storageType"), fs("pathOrInlineDv"),
+              if (d.schema.fieldNames.contains("offset") &&
+                !d.isNullAt(d.fieldIndex("offset")))
+                Some(d.getInt(d.fieldIndex("offset"))) else None,
+              d.getInt(d.fieldIndex("sizeInBytes")),
+              d.getLong(d.fieldIndex("cardinality"))))
+          } else None
+          st.add(r.getString(0), pv, dv)
         }
     }
     // checkpoint `remove` rows are vacuum tombstones for paths no longer in

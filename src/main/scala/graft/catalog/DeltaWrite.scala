@@ -238,19 +238,15 @@ object DeltaWrite {
     * (including [[DeltaRead]]) replay checkpoint state + the JSON suffix
     * only, so log growth stops costing read time.
     *
-    * Refused loudly when live adds carry deletion vectors: checkpointed
-    * DV state is outside this engine's read subset — run [[optimize]]
-    * first (it materializes deletes). The action rows are driver-built —
-    * bounded by file-count metadata, the state every checkpoint writer
-    * materializes. */
+    * Live adds carrying deletion vectors checkpoint WITH their descriptor
+    * struct, replayed by [[DeltaRead]] exactly like JSON-commit vectors.
+    * The action rows are driver-built — bounded by file-count metadata,
+    * the state every checkpoint writer materializes. */
   def checkpoint(spark: org.apache.spark.sql.SparkSession, tablePath: String): Long = {
     import org.apache.spark.sql.types._
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
     val st = DeltaRead.replayState(spark, tablePath)
-    require(!st.active.values.exists(_.dv.isDefined),
-      s"checkpoint of $tablePath: live adds carry deletion vectors; " +
-        "OPTIMIZE first (checkpointed DV state is not in the supported read subset)")
     val version = nextVersion(logDir) - 1
     require(version >= 0, s"no commits to checkpoint at $tablePath")
 
@@ -293,12 +289,19 @@ object DeltaWrite {
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration", MapType(StringType, StringType)),
       StructField("createdTime", LongType)))
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addType = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvType)))
     val cpSchema = StructType(Seq(
       StructField("protocol", protoType),
       StructField("metaData", metaType),
@@ -322,8 +325,10 @@ object DeltaWrite {
       (meta \ "createdTime") match { case JInt(t) => t.toLong; case _ => 0L }), null)
     val addRows = st.active.values.toSeq.map { a =>
       val f = new File(root, a.path)
+      val dvRow = a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(Integer.valueOf).orNull, d.sizeInBytes, d.cardinality)).orNull
       Row(null, null, Row(a.path, a.partitionValues, f.length(),
-        f.lastModified(), false))
+        f.lastModified(), false, dvRow))
     }
 
     val rows = protoRow +: metaRow +: addRows

@@ -145,11 +145,11 @@ class DeltaWriteSpec extends SparkSpec {
     catalog.DeltaWrite.write(base.filter($"id" > 200), path)
     catalog.DeltaWrite.deleteWhere(spark, path, col("id") % 3 === 0)
     val expectIds = (1L to 300L).filter(_ % 3 != 0)
-    // checkpoint refuses while DVs are live
-    val e = intercept[IllegalArgumentException] {
-      catalog.DeltaWrite.checkpoint(spark, path)
-    }
-    assert(e.getMessage.contains("deletion vectors"))
+    // a checkpoint cut WHILE DVs are live carries their descriptors:
+    // replay from checkpoint state alone applies the deletes
+    val cpDv = catalog.DeltaWrite.checkpoint(spark, path)
+    assert(cpDv == 3L)
+    assert(catalog.DeltaRead.readTable(spark, path).count() == expectIds.length)
 
     // OPTIMIZE: one compacted file, deletes materialized, removes tombstone
     val optVersion = catalog.DeltaWrite.optimize(spark, path, targetFiles = 1)
