@@ -13,6 +13,7 @@ object IcebergTransforms {
 
   val Bucket = """bucket\[(\d+)\]""".r
   val Truncate = """truncate\[(\d+)\]""".r
+  val Temporal = Set("year", "month", "day")
 
   /** Spark's Murmur3_x86_32.hashLong consumes the long as two little-endian
     * int blocks — exactly the spec's hashBytes(littleEndian(v)); asserted
@@ -30,6 +31,7 @@ object IcebergTransforms {
     case "identity" => source
     case Bucket(_) => s"${source}_bucket"
     case Truncate(_) => s"${source}_trunc"
+    case t if Temporal(t) => s"${source}_$t"
     case other => throw new IllegalArgumentException(
       s"unsupported partition transform '$other'")
   }
@@ -48,6 +50,10 @@ object IcebergTransforms {
     case Truncate(w) =>
       val lw = lit(w.toLong)
       (c.cast("long") - (((c.cast("long") % lw) + lw) % lw))
+    // temporal transforms over DATE sources (spec: counts from 1970)
+    case "year" => (year(c) - lit(1970)).cast("int")
+    case "month" => ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1)).cast("int")
+    case "day" => datediff(c, to_date(lit("1970-01-01"))).cast("int")
     case other => throw new IllegalArgumentException(
       s"unsupported partition transform '$other'")
   }
@@ -67,6 +73,21 @@ object IcebergTransforms {
     case Truncate(w) =>
       val width = w.toLong
       !(hi.exists(pv > _) || lo.exists(pv + width - 1 < _))
+    // temporal: pv covers a DAY RANGE of the source date column (prune
+    // bounds for date columns are epoch days, matching the stats codec)
+    case "year" =>
+      val first = java.time.LocalDate.of(1970 + pv.toInt, 1, 1).toEpochDay
+      val last = java.time.LocalDate.of(1970 + pv.toInt, 12, 31).toEpochDay
+      !(hi.exists(first > _) || lo.exists(last < _))
+    case "month" =>
+      val y = 1970 + java.lang.Math.floorDiv(pv.toInt, 12)
+      val m = java.lang.Math.floorMod(pv.toInt, 12) + 1
+      val firstD = java.time.LocalDate.of(y, m, 1)
+      val first = firstD.toEpochDay
+      val last = firstD.plusMonths(1).minusDays(1).toEpochDay
+      !(hi.exists(first > _) || lo.exists(last < _))
+    case "day" =>
+      !(hi.exists(pv > _) || lo.exists(pv < _))
     case _ => true // unknown transforms never prune (never wrong)
   }
 }

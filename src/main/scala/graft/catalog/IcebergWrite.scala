@@ -198,6 +198,7 @@ object IcebergWrite {
       if (raw == "__HIVE_DEFAULT_PARTITION__") null
       else transform match {
         case Bucket(_) => java.lang.Integer.valueOf(raw)
+        case t if IcebergTransforms.Temporal(t) => java.lang.Integer.valueOf(raw)
         case Truncate(_) => java.lang.Long.valueOf(raw)
         case _ => df.schema(c).dataType match {
           case LongType => java.lang.Long.valueOf(raw)
@@ -299,6 +300,7 @@ object IcebergWrite {
       import IcebergTransforms.{Bucket, Truncate}
       transform match {
         case Bucket(_) => "int"
+        case t if IcebergTransforms.Temporal(t) => "int"
         case Truncate(_) => "long"
         case _ => df.schema(c).dataType match {
           case LongType => "long"

@@ -439,8 +439,43 @@ object IcebergQueries {
               CAST(sum(o_custkey) AS BIGINT) AS cust_sum
        FROM orders WHERE o_orderkey BETWEEN 250 AND 449 AND o_orderkey <= 800"""
 
+  /** month(date) hidden partitioning: a quarter-long date range keeps only
+    * its three month partitions (temporal transform pruning over the spec's
+    * months-from-1970 partition values). */
+  def q_fed_iceberg_month(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_iceberg_month_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val marker = new java.io.File(root, "metadata/v1.metadata.json")
+    if (!marker.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(root)
+      val ord = table(s, dir, "orders")
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_orderdate".cast("date").as("o_orderdate"))
+        .filter($"o_orderdate" >= lit("1995-01-01") && $"o_orderdate" < lit("1996-01-01"))
+      graft.catalog.IcebergWrite.write(ord, root.getAbsolutePath,
+        partitionBy = Seq("o_orderdate"), transform = "month")
+    }
+    val lo = java.time.LocalDate.of(1995, 4, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1995, 6, 30).toEpochDay
+    graft.catalog.IcebergRead.readTable(s, root.getAbsolutePath,
+        prune = Some(graft.catalog.IcebergRead.Prune("o_orderdate", Some(lo), Some(hi))))
+      .filter($"o_orderdate".between(lit("1995-04-01"), lit("1995-06-30")))
+      .agg(count(lit(1)).as("n"), sum($"o_orderkey").cast("long").as("key_sum"))
+  }
+  val qFedIcebergMonthSql: String =
+    """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+       FROM orders
+       WHERE CAST(o_orderdate AS DATE)
+             BETWEEN DATE '1995-04-01' AND DATE '1995-06-30'"""
+
   val queries: Map[String, Q] = Map(
     "q_fed_iceberg" -> q_fed_iceberg _,
+    "q_fed_iceberg_month" -> q_fed_iceberg_month _,
     "q_fed_iceberg_posdelete" -> q_fed_iceberg_posdelete _,
     "q_fed_iceberg_deletes" -> q_fed_iceberg_deletes _,
     "q_fed_iceberg_pruned" -> q_fed_iceberg_pruned _,
@@ -450,6 +485,7 @@ object IcebergQueries {
     "q_fed_iceberg_truncate" -> q_fed_iceberg_truncate _)
   val oracles: Map[String, String] = Map(
     "q_fed_iceberg" -> qFedIcebergSql,
+    "q_fed_iceberg_month" -> qFedIcebergMonthSql,
     "q_fed_iceberg_posdelete" -> qFedIcebergPosdeleteSql,
     "q_fed_iceberg_deletes" -> qFedIcebergDeletesSql,
     "q_fed_iceberg_pruned" -> qFedIcebergPrunedSql,

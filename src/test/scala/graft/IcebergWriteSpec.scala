@@ -150,4 +150,22 @@ class IcebergWriteSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("partitioning mismatch"))
   }
+
+  test("month transform: temporal pruning keeps only overlapping months") {
+    val path = fresh("ib_month")
+    val df = (0 until 365).map(d =>
+      java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1, 1).plusDays(d)))
+      .toDF("d").repartition(1)
+    catalog.IcebergWrite.write(df, path, partitionBy = Seq("d"),
+      transform = "month")
+    assert(catalog.IcebergRead.readTable(spark, path).count() == 365)
+    val lo = java.time.LocalDate.of(2023, 4, 10).toEpochDay
+    val hi = java.time.LocalDate.of(2023, 5, 20).toEpochDay
+    val got = catalog.IcebergRead.readTable(spark, path,
+      prune = Some(catalog.IcebergRead.Prune("d", Some(lo), Some(hi))))
+    assert(got.count() == 61) // all rows of the two surviving month files
+    // 12 month partitions; [Apr 10, May 20] overlaps April + May → 10 pruned
+    assert(catalog.IcebergRead.lastPruned.get() == 10,
+      s"expected 10 of 12 months pruned, got ${catalog.IcebergRead.lastPruned.get()}")
+  }
 }
