@@ -57,6 +57,7 @@ object SparkEntry {
       (operators.DeltaQueries.queries, operators.DeltaQueries.oracles),
       (operators.IcebergQueries.queries, operators.IcebergQueries.oracles),
       (operators.HudiQueries.queries, operators.HudiQueries.oracles),
+      (operators.HiveQueries.queries, operators.HiveQueries.oracles),
       (operators.Dialect.queries, operators.Dialect.oracles),
       (operators.Misc.queries, operators.Misc.oracles))
 
