@@ -1340,17 +1340,16 @@ case class GeomAccessor(child: Expression, what: String)
     what match {
       case "x" => if (g.kind == "POINT") g.xs(0) else null
       case "y" => if (g.kind == "POINT") g.ys(0) else null
-      case "dimension" => g.kind match {
-        case "POINT" | "MULTIPOINT" => 0
-        case "LINESTRING" | "MULTILINESTRING" => 1
-        case "POLYGON" | "MULTIPOLYGON" => 2
-        // a collection's dimension is its members' maximum (JTS)
-        case "GEOMETRYCOLLECTION" => graft.ext.Wkt.gcParts(g).map(p => p.kind match {
-          case "POINT" => 0
-          case "LINESTRING" => 1
-          case _ => 2
-        }).max
-      }
+      case "dimension" =>
+        // a collection's dimension is its members' maximum (JTS), recursing
+        // through MULTI kinds and nested collections
+        def dimOf(p: graft.ext.Wkt.Geom): Int = p.kind match {
+          case "POINT" | "MULTIPOINT" => 0
+          case "LINESTRING" | "MULTILINESTRING" => 1
+          case "POLYGON" | "MULTIPOLYGON" => 2
+          case "GEOMETRYCOLLECTION" => graft.ext.Wkt.gcParts(p).map(dimOf).max
+        }
+        dimOf(g)
       case "is_empty" => false // the parser rejects empty geometries
       case "is_closed" =>
         if (g.kind != "LINESTRING" && g.kind != "MULTILINESTRING") null

@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *    reference's do at SRID 0 (GeoFunctions.java:718-722), and
   *    ST_GeomFromEWKT accepts-and-discards an `SRID=n;` prefix.
   *  - ST_Collect of mixed base types builds a GEOMETRYCOLLECTION
-  *    (single-part members; nested collections stay unsupported).
+  *    (members of any kind, including MULTIs and nested collections).
   *  - The model is strictly 2D: ST_Force2D is the identity, ST_Z is NULL.
   *  - ST_Polygonize accepts closed rings (JTS's fully-noded case) and
   *    ignores dangles the way the reference's polygonizer drops them.

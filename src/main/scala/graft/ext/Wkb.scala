@@ -205,7 +205,7 @@ object Wkb {
         if (n < 1 || n > buf.remaining() / 9) return null
         val parts = (0 until n).map(_ => readGeom(buf, topLevel = false))
         if (parts.contains(null)) return null
-        // only single-part members are representable (matches gcBuild)
+        // members of any kind, including MULTIs and nested collections
         Wkt.gcBuild(parts)
       case TMultiPolygon =>
         val n = buf.getInt

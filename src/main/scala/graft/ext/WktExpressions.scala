@@ -55,15 +55,35 @@ object Wkt {
     """(?is)^\s*(POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|GEOMETRYCOLLECTION)\s*\((.*)\)\s*$""".r
 
   // GEOMETRYCOLLECTION rings layout: [N, then per part: typeCode
-  // (1=POINT, 2=LINESTRING, 3=POLYGON), ring count, the part's ring
-  // lengths (holes negative)] — readable only by kind-aware code; every
-  // kernel dispatches on kind first, so non-GC code never sees it.
-  private val GcTypeCode = Map("POINT" -> 1, "LINESTRING" -> 2, "POLYGON" -> 3)
+  // (1=POINT, 2=LINESTRING, 3=POLYGON, 4=MULTIPOINT, 5=MULTILINESTRING,
+  // 6=MULTIPOLYGON, 7=nested GEOMETRYCOLLECTION), ring-array length, the
+  // part's rings array verbatim (for code 7 that is itself a nested
+  // layout)] — readable only by kind-aware code; every kernel dispatches
+  // on kind first, so non-GC code never sees it.
+  private val GcTypeCode = Map(
+    "POINT" -> 1, "LINESTRING" -> 2, "POLYGON" -> 3,
+    "MULTIPOINT" -> 4, "MULTILINESTRING" -> 5, "MULTIPOLYGON" -> 6,
+    "GEOMETRYCOLLECTION" -> 7)
   private val GcTypeName = GcTypeCode.map(_.swap)
 
-  /** Build a GEOMETRYCOLLECTION from single-part members (POINT /
-    * LINESTRING / POLYGON); anything else (incl. nested collections and
-    * MULTI kinds) → null, never a lossy flattening. */
+  /** Coordinates a geometry's rings array accounts for (recursive for the
+    * collection layout, where rings is a mixed type/length stream). */
+  private def coordTotal(kind: String, rings: Array[Int]): Int =
+    if (kind != "GEOMETRYCOLLECTION") rings.map(math.abs).sum
+    else {
+      var i = 1
+      var tot = 0
+      while (i < rings.length) {
+        val k = GcTypeName(rings(i))
+        val nr = rings(i + 1)
+        tot += coordTotal(k, java.util.Arrays.copyOfRange(rings, i + 2, i + 2 + nr))
+        i += 2 + nr
+      }
+      tot
+    }
+
+  /** Build a GEOMETRYCOLLECTION from members of ANY kind, including MULTI
+    * geometries and nested collections. */
   def gcBuild(parts: Seq[Geom]): Geom = {
     if (parts.isEmpty || parts.exists(p => p == null || !GcTypeCode.contains(p.kind)))
       return null
@@ -77,7 +97,8 @@ object Wkt {
       parts.flatMap(_.ys).toArray, rings.toArray)
   }
 
-  /** Decode a GEOMETRYCOLLECTION into its member geometries. */
+  /** Decode a GEOMETRYCOLLECTION into its member geometries (one level;
+    * nested members come back as collections to recurse into). */
   def gcParts(g: Geom): Seq[Geom] = {
     require(g.kind == "GEOMETRYCOLLECTION", s"not a collection: ${g.kind}")
     val out = scala.collection.mutable.ArrayBuffer[Geom]()
@@ -86,8 +107,8 @@ object Wkt {
     while (i < g.rings.length) {
       val kind = GcTypeName(g.rings(i))
       val nr = g.rings(i + 1)
-      val lens = (0 until nr).map(k => g.rings(i + 2 + k)).toArray
-      val total = lens.map(math.abs).sum
+      val lens = java.util.Arrays.copyOfRange(g.rings, i + 2, i + 2 + nr)
+      val total = coordTotal(kind, lens)
       out += Geom(kind,
         java.util.Arrays.copyOfRange(g.xs, off, off + total),
         java.util.Arrays.copyOfRange(g.ys, off, off + total), lens)
@@ -189,8 +210,9 @@ object Wkt {
           val g = rings(flat.toSeq)
           if (g == null) null else g.copy(kind = "MULTIPOLYGON")
         case "GEOMETRYCOLLECTION" =>
-          // each top-level element is itself full WKT; nested collections
-          // and MULTI members are out of the supported subset (null)
+          // each top-level element is itself full WKT — including MULTI
+          // members and nested collections (parse recursion handles them);
+          // "GEOMETRYCOLLECTION EMPTY" has no Outer match and stays null
           val parts = splitTop(body).map(parse)
           if (parts.contains(null)) null else gcBuild(parts.toSeq)
       }

@@ -377,7 +377,18 @@ object Geometry2 {
         s"size(st_geometries($gc)) AS gc_parts",
         s"st_dimension($gc2) AS gc2_dim",
         s"st_area($gc2) AS gc2_area",
-        s"st_xmax($gc2) AS gc2_xmax")
+        s"st_xmax($gc2) AS gc2_xmax",
+        // NESTED collection with a MULTI member: parse → accessors → both
+        // codec roundtrips (the WKT below matches this engine's own
+        // formatting so roundtrip equality is exact string equality)
+        s"concat('GEOMETRYCOLLECTION (', st_astext($gc), ', MULTIPOINT (', " +
+          "CAST(CAST(b AS DOUBLE) AS STRING), ' ', CAST(CAST(a AS DOUBLE) AS STRING), " +
+          "'))') AS ngc_in",
+        s"st_numgeometries(st_geometryfromtext(concat('GEOMETRYCOLLECTION (', st_astext($gc), ', MULTIPOINT (', CAST(CAST(b AS DOUBLE) AS STRING), ' ', CAST(CAST(a AS DOUBLE) AS STRING), '))'))) AS ngc_n",
+        s"st_astext(st_geometryn(st_geometryfromtext(concat('GEOMETRYCOLLECTION (', st_astext($gc), ', MULTIPOINT (', CAST(CAST(b AS DOUBLE) AS STRING), ' ', CAST(CAST(a AS DOUBLE) AS STRING), '))')), 1)) AS ngc_first",
+        s"st_astext(st_geometryfromtext(concat('GEOMETRYCOLLECTION (', st_astext($gc), ', MULTIPOINT (', CAST(CAST(b AS DOUBLE) AS STRING), ' ', CAST(CAST(a AS DOUBLE) AS STRING), '))'))) = concat('GEOMETRYCOLLECTION (', st_astext($gc), ', MULTIPOINT (', CAST(CAST(b AS DOUBLE) AS STRING), ' ', CAST(CAST(a AS DOUBLE) AS STRING), '))') AS ngc_wkt_roundtrip",
+        s"st_astext(st_geomfrombinary(st_asbinary(st_geometryfromtext(concat('GEOMETRYCOLLECTION (', st_astext($gc), ', MULTIPOINT (', CAST(CAST(b AS DOUBLE) AS STRING), ' ', CAST(CAST(a AS DOUBLE) AS STRING), '))'))))) = concat('GEOMETRYCOLLECTION (', st_astext($gc), ', MULTIPOINT (', CAST(CAST(b AS DOUBLE) AS STRING), ' ', CAST(CAST(a AS DOUBLE) AS STRING), '))') AS ngc_wkb_roundtrip",
+        s"st_dimension(st_geometryfromtext(concat('GEOMETRYCOLLECTION (', st_astext($gc), ', MULTIPOINT (', CAST(CAST(b AS DOUBLE) AS STRING), ' ', CAST(CAST(a AS DOUBLE) AS STRING), '))'))) AS ngc_dim")
       .orderBy($"c_custkey")
   }
   val qFnGeoCollectionSql: String =
@@ -403,7 +414,16 @@ object Geometry2 {
          2 AS gc_parts,
          2 AS gc2_dim,
          CAST(e * e AS DOUBLE) AS gc2_area,
-         CAST(a + 9 AS DOUBLE) AS gc2_xmax
+         CAST(a + 9 AS DOUBLE) AS gc2_xmax,
+         'GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (' || sa || ' ' || sb
+           || '), LINESTRING (' || sa || ' ' || sb || ', ' || sae || ' ' || sb
+           || ')), MULTIPOINT (' || sb || ' ' || sa || '))' AS ngc_in,
+         2 AS ngc_n,
+         'GEOMETRYCOLLECTION (POINT (' || sa || ' ' || sb || '), LINESTRING ('
+           || sa || ' ' || sb || ', ' || sae || ' ' || sb || '))' AS ngc_first,
+         TRUE AS ngc_wkt_roundtrip,
+         TRUE AS ngc_wkb_roundtrip,
+         1 AS ngc_dim
        FROM strs ORDER BY c_custkey"""
 
   type Q = (SparkSession, String) => DataFrame
