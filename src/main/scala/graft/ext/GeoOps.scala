@@ -207,8 +207,10 @@ object GeoOps {
     * Holes are ERODED with the same construction (the support offset of the
     * hole boundary under dilation is the Minkowski erosion of the hole);
     * a hole whose offset ring flips orientation has been swallowed and is
-    * dropped. Multi-part inputs buffer part-wise when parts stay provably
-    * disjoint (original distance > 2d), else NULL.
+    * dropped. Multi-part inputs buffer part-wise; disjoint part buffers
+    * (original distance > 2d) concatenate exactly, interacting ones MERGE
+    * through the overlay union kernel (the topology change constructed,
+    * not refused) — NULL only on a degenerate-contact union walk.
     * NULL for negative distance. d == 0 → the input unchanged. */
   def buffer(g: Geom, d: Double): Geom = {
     if (d.isNaN || d < 0) return null
@@ -396,17 +398,18 @@ object GeoOps {
     }
     val pgs = partGeoms
     if (pgs.isEmpty) return null
-    // merging part buffers is a topology change this kernel does not
-    // construct: require provable disjointness (round or octagonal buffers
-    // of parts farther than 2d apart can never meet)
-    if (pgs.length > 1) {
-      for (i <- pgs.indices; j <- (i + 1) until pgs.length)
-        if (distance(pgs(i), pgs(j)) <= 2 * d) return null
-    }
 
+    // each part buffers to one POLYGON; parts whose buffers can meet are
+    // MERGED afterwards with the overlay union kernel (topology change via
+    // union, not refusal) — null only on a degenerate-contact union walk
+    val buffered = scala.collection.mutable.ArrayBuffer[Geom]()
     val outXs = scala.collection.mutable.ArrayBuffer[Double]()
     val outYs = scala.collection.mutable.ArrayBuffer[Double]()
     val outRings = scala.collection.mutable.ArrayBuffer[Int]()
+    def flushPart(): Unit = {
+      buffered += Geom("POLYGON", outXs.toArray, outYs.toArray, outRings.toArray)
+      outXs.clear(); outYs.clear(); outRings.clear()
+    }
 
     for (p <- pgs) {
       p.kind match {
@@ -489,10 +492,21 @@ object GeoOps {
             }
           }
       }
+      flushPart()
     }
-    val multi = outRings.count(_ > 0) > 1
-    Geom(if (multi) "MULTIPOLYGON" else "POLYGON",
-      outXs.toArray, outYs.toArray, outRings.toArray)
+    if (buffered.length == 1) return buffered(0)
+    // fast path: provably disjoint buffers (octagonal buffers of parts
+    // farther than 2d apart can never meet) concatenate exactly
+    val anyClose = pgs.indices.exists(i => ((i + 1) until pgs.length).exists(j =>
+      distance(pgs(i), pgs(j)) <= 2 * d))
+    if (!anyClose) {
+      val xs = buffered.flatMap(_.xs).toArray
+      val ys = buffered.flatMap(_.ys).toArray
+      val rings = buffered.flatMap(_.rings).toArray
+      Geom("MULTIPOLYGON", xs, ys, rings)
+    } else
+      buffered.reduce[Geom]((a, b) =>
+        if (a == null || b == null) null else union(a, b))
   }
 
   // ------------------------------------------------------------- union

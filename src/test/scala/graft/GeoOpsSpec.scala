@@ -62,6 +62,22 @@ class GeoOpsSpec extends SparkSpec {
     assert(GeoOps.buffer(sq, -1.0) == null)
   }
 
+  test("st_buffer: interacting multi-part buffers MERGE through union") {
+    // two points 2 apart, buffer d=2 → octagons overlap → one fused polygon
+    val mp = g("MULTIPOINT ((0 0), (2 0))")
+    val fused = GeoOps.buffer(mp, 2.0)
+    assert(fused != null, "interacting part buffers must merge, not refuse")
+    assert(fused.kind == "POLYGON", s"got ${fused.kind}")
+    // area: two octagons minus their overlap — strictly between one and two
+    val oct = 2 * math.sqrt(2.0) * 4.0
+    assert(area(fused) > oct && area(fused) < 2 * oct, s"area ${area(fused)}")
+    assert(fused.xs.min == -2.0 && fused.xs.max == 4.0)
+    // far-apart parts still concatenate exactly (disjoint fast path)
+    val far = GeoOps.buffer(g("MULTIPOINT ((0 0), (100 0))"), 2.0)
+    assert(far.kind == "MULTIPOLYGON" && far.rings.length == 2)
+    assert(math.abs(area(far) - 2 * oct) < 1e-12)
+  }
+
   test("st_buffer: concave polygon exact (no convex-hull over-cover)") {
     val r2 = math.sqrt(2.0)
     // L-shape: A=3, P=8, 5 convex + 1 reflex right angle
