@@ -58,6 +58,7 @@ object SparkEntry {
       (operators.IcebergQueries.queries, operators.IcebergQueries.oracles),
       (operators.HudiQueries.queries, operators.HudiQueries.oracles),
       (operators.HiveQueries.queries, operators.HiveQueries.oracles),
+      (operators.HttpQueries.queries, operators.HttpQueries.oracles),
       (operators.Dialect.queries, operators.Dialect.oracles),
       (operators.Misc.queries, operators.Misc.oracles))
 

@@ -33,6 +33,17 @@ object StatementServer {
 
   private val PageSize = 1000
 
+  // daemon threads: the server must never hold a finished JVM open (Verify
+  // and the driver gate exit by main-thread return, not System.exit)
+  private def daemonPool(n: Int, name: String) =
+    Executors.newFixedThreadPool(n, new java.util.concurrent.ThreadFactory {
+      private val i = new AtomicLong(0L)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"$name-${i.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    })
+
   private sealed trait State
   private case object Queued extends State
   private case object Running extends State
@@ -51,7 +62,7 @@ object StatementServer {
     * the fixture catalog at `dir`. */
   def start(spark: SparkSession, dir: String, port: Int = 0): Handle = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    val pool = Executors.newFixedThreadPool(4)
+    val pool = daemonPool(4, "graft-statement-exec")
     val nextId = new AtomicLong(0L)
     val queries = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicReference[State]]()
 
@@ -136,8 +147,14 @@ object StatementServer {
         case e: Throwable => respond(ex, 500, s"""{"error":${jstr(String.valueOf(e))}}""")
       }
     })
-    server.setExecutor(Executors.newFixedThreadPool(4))
-    server.start()
+    server.setExecutor(daemonPool(4, "graft-statement-http"))
+    // the JDK server's internal HTTP-Dispatcher thread inherits daemon
+    // status from its creator and is otherwise non-daemon — start from a
+    // daemon thread so an un-stopped server never pins a finished JVM
+    val starter = new Thread(() => server.start(), "graft-statement-start")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
     new Handle(server, pool)
   }
 
