@@ -1,0 +1,126 @@
+package graft.client
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Client half of the statement protocol (reference:
+  * client/trino-client/src/main/java/io/trino/client/StatementClientV1.java —
+  * POST the SQL text to `/v1/statement`, follow `nextUri` until it
+  * disappears, concatenate each page's `data`, surface `error` as a
+  * failure). This is the walker the JDBC driver, the CLI, and the gate
+  * query all share, so every consumer sees identical protocol behavior.
+  *
+  * Values arrive as the server's JSON encoding and are coerced by the
+  * column's declared type name (bigint → Long, decimal → BigDecimal,
+  * varbinary → base64-decoded bytes, date/timestamp → java.time); nested
+  * array/map/row values stay as parsed JSON shapes.
+  */
+object StatementClient {
+
+  final case class Column(name: String, typeName: String)
+  final case class Result(columns: Vector[Column], rows: Vector[Vector[Any]],
+      updateCount: Option[Long])
+
+  final class StatementFailed(message: String) extends RuntimeException(message)
+
+  /** Run one statement to completion against `base` (e.g.
+    * `http://127.0.0.1:8080`). Blocks; polls RUNNING states at 25 ms. */
+  def execute(base: String, sql: String): Result = {
+    val http = HttpClient.newBuilder()
+      .executor(java.util.concurrent.Executors.newFixedThreadPool(1, r => {
+        val t = new Thread(r, "graft-client-http"); t.setDaemon(true); t
+      }))
+      .build()
+    var resp = http.send(
+      HttpRequest.newBuilder(URI.create(s"$base/v1/statement"))
+        .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    var json = JsonMethods.parse(resp.body())
+    var columns = Vector.empty[Column]
+    val rows = Vector.newBuilder[Vector[Any]]
+    var done = false
+    var spins = 0
+    while (!done) {
+      json \ "error" \ "message" match {
+        case JString(m) => throw new StatementFailed(m)
+        case _ =>
+      }
+      if (columns.isEmpty) json \ "columns" match {
+        case JArray(cols) => columns = cols.map { c =>
+          val JString(n) = (c \ "name"): @unchecked
+          val JString(t) = (c \ "type"): @unchecked
+          Column(n, t)
+        }.toVector
+        case _ =>
+      }
+      json \ "data" match {
+        case JArray(pageRows) => pageRows.foreach {
+          case JArray(vs) =>
+            rows += vs.iterator.zipWithIndex.map { case (v, i) =>
+              coerce(v, if (i < columns.length) columns(i).typeName else "varchar")
+            }.toVector
+          case other => throw new StatementFailed(s"row is not an array: $other")
+        }
+        case _ =>
+      }
+      json \ "nextUri" match {
+        case JString(next) =>
+          spins += 1
+          if (spins > 2400) throw new StatementFailed("statement did not finish")
+          if ((json \ "stats" \ "state") != JString("FINISHED")) Thread.sleep(25)
+          resp = http.send(
+            HttpRequest.newBuilder(URI.create(s"$base$next")).GET().build(),
+            HttpResponse.BodyHandlers.ofString())
+          json = JsonMethods.parse(resp.body())
+        case _ => done = true
+      }
+    }
+    val out = rows.result()
+    // DML/DDL through the front door answer a single-row count relation
+    val updateCount =
+      if (columns.map(_.name) == Vector("rows") && out.length == 1)
+        out.head.head match {
+          case l: Long => Some(l)
+          case _ => None
+        }
+      else None
+    Result(columns, out, updateCount)
+  }
+
+  /** JSON → client value, by the server's declared type spelling. */
+  private def coerce(v: JValue, typeName: String): Any = v match {
+    case JNull => null
+    case JString(s) =>
+      val base = typeName.takeWhile(c => c != '(')
+      base match {
+        case "decimal" => new java.math.BigDecimal(s)
+        case "varbinary" => java.util.Base64.getDecoder.decode(s)
+        case "date" => java.time.LocalDate.parse(s)
+        case "timestamp" => s // server spelling kept; getTimestamp parses
+        case "double" | "real" => s match { // NaN / ±Infinity travel as strings
+          case "NaN" => Double.NaN
+          case "Infinity" => Double.PositiveInfinity
+          case "-Infinity" => Double.NegativeInfinity
+          case other => other.toDouble
+        }
+        case _ => s
+      }
+    case JInt(i) => typeName match {
+      case "integer" => i.toInt
+      case "smallint" => i.toShort
+      case "tinyint" => i.toByte
+      case "double" | "real" => i.toDouble
+      case _ => i.toLong
+    }
+    case JLong(l) => l
+    case JDouble(d) => d
+    case JDecimal(d) => d.bigDecimal
+    case JBool(b) => b
+    case JArray(vs) => vs.map(coerce(_, "varchar")).toVector
+    case JObject(fields) => fields.map { case (k, fv) => k -> coerce(fv, "varchar") }.toMap
+    case other => other.toString
+  }
+}
