@@ -115,13 +115,22 @@ object IcebergWrite {
 
   /** CREATE (version 1, snapshot 1) or APPEND (next version/snapshot).
     * `partitionBy` columns become partition-spec fields under `transform`
-    * ("identity" | "bucket[N]" | "truncate[W]" — [[IcebergTransforms]]);
+    * ("identity" | "bucket[N]" | "truncate[W]" | year/month/day —
+    * [[IcebergTransforms]]); use [[writeSpec]] for per-column transforms.
     * Iceberg data files keep ALL columns (hidden partitioning never drops
     * its source column). One distributed write job regardless of partition
     * count. Returns the committed snapshot id. */
   def write(df: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Seq.empty,
-      transform: String = "identity"): Long = {
+      transform: String = "identity"): Long =
+    writeSpec(df, tablePath, partitionBy.map(_ -> transform))
+
+  /** Multi-field partition specs: `spec` is (source column, transform) in
+    * spec-field order, e.g. `Seq("region" -> "identity", "o_orderdate" ->
+    * "month", "o_custkey" -> "bucket[8]")`. */
+  def writeSpec(df: DataFrame, tablePath: String,
+      spec: Seq[(String, String)]): Long = {
+    val partitionBy = spec.map(_._1)
     val root = new File(tablePath)
     val metaDir = new File(root, "metadata")
     metaDir.mkdirs()
@@ -133,8 +142,8 @@ object IcebergWrite {
     val snapshotId = version.toLong // deterministic, sequential
     require(partitionBy.forall(df.columns.contains),
       s"partition columns ${partitionBy.mkString(",")} not all present")
-    require(partitionBy.size <= 1,
-      "iceberg write: at most one identity partition column in this subset")
+    require(partitionBy.distinct == partitionBy,
+      s"iceberg write: one spec field per source column (${partitionBy.mkString(",")})")
     prevVersion.foreach { pvn =>
       // APPEND: the new commit regenerates schemas/partition-specs in the
       // metadata json, so a mismatched append would silently rewrite table
@@ -169,8 +178,8 @@ object IcebergWrite {
         }
         case _ => Seq.empty
       }
-      val incomingSpec = partitionBy.map(c =>
-        (IcebergTransforms.fieldName(c, transform), transform))
+      val incomingSpec = spec.map { case (c, t) =>
+        (IcebergTransforms.fieldName(c, t), t) }
       require(incomingSpec == existingSpec,
         s"iceberg append partitioning mismatch for $tablePath: table spec is " +
           s"${existingSpec.mkString("[", ",", "]")}, append asked for " +
@@ -186,19 +195,20 @@ object IcebergWrite {
     dataDir.mkdirs()
     val stage = new File(root, s"_stage_s$snapshotId")
     deleteTree(stage)
-    partitionBy match {
-      case Seq() => df.write.mode("overwrite").parquet(stage.getAbsolutePath)
-      case Seq(c) => df
-        .withColumn("__gpart", IcebergTransforms.transformColumn(col(c), transform))
-        .write.mode("overwrite")
-        .partitionBy("__gpart").parquet(stage.getAbsolutePath)
-    }
-    def typedPartValue(c: String, raw: String): Any = {
+    // one throwaway directory column per spec field, in spec order; Spark
+    // nests the staged directories __gp0=…/__gp1=…/…
+    val gpCols = spec.indices.map(i => s"__gp$i")
+    if (spec.isEmpty) df.write.mode("overwrite").parquet(stage.getAbsolutePath)
+    else spec.zipWithIndex.foldLeft(df) { case (d, ((c, t), i)) =>
+      d.withColumn(gpCols(i), IcebergTransforms.transformColumn(col(c), t))
+    }.write.mode("overwrite")
+      .partitionBy(gpCols: _*).parquet(stage.getAbsolutePath)
+    def typedPartValue(c: String, t: String, raw: String): Any = {
       import IcebergTransforms.{Bucket, Truncate}
       if (raw == "__HIVE_DEFAULT_PARTITION__") null
-      else transform match {
+      else t match {
         case Bucket(_) => java.lang.Integer.valueOf(raw)
-        case t if IcebergTransforms.Temporal(t) => java.lang.Integer.valueOf(raw)
+        case tt if IcebergTransforms.Temporal(tt) => java.lang.Integer.valueOf(raw)
         case Truncate(_) => java.lang.Long.valueOf(raw)
         case _ => df.schema(c).dataType match {
           case LongType => java.lang.Long.valueOf(raw)
@@ -209,27 +219,27 @@ object IcebergWrite {
         }
       }
     }
-    def stagedFiles(dir: File, partRaw: Option[String]): Seq[(File, Option[String])] =
+    // walk the nested staging dirs, accumulating this file's raw value per
+    // spec field (depth == field index)
+    def stagedFiles(dir: File, raws: List[String]): Seq[(File, List[String])] =
       Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
-        if (f.isDirectory && f.getName.startsWith("__gpart="))
-          stagedFiles(f, Some(java.net.URLDecoder.decode(
-            f.getName.stripPrefix("__gpart="), "UTF-8")))
-        else if (f.getName.endsWith(".parquet")) Seq((f, partRaw))
+        if (f.isDirectory && f.getName.startsWith("__gp"))
+          stagedFiles(f, raws :+ java.net.URLDecoder.decode(
+            f.getName.dropWhile(_ != '=').drop(1), "UTF-8"))
+        else if (f.getName.endsWith(".parquet")) Seq((f, raws))
         else Seq.empty
       }
     val moved: Seq[(String, File, Map[String, Any])] =
-      stagedFiles(stage, None).sortBy(_._1.getPath).zipWithIndex.map {
-        case ((f, partRaw), i) =>
-          val pv: Map[String, Any] = (partitionBy, partRaw) match {
-            case (Seq(c), Some(raw)) =>
-              Map(IcebergTransforms.fieldName(c, transform) -> typedPartValue(c, raw))
-            case _ => Map.empty
-          }
-          val prefix = (partitionBy, partRaw) match {
-            case (Seq(c), Some(raw)) =>
-              s"${IcebergTransforms.fieldName(c, transform)}=$raw/"
-            case _ => ""
-          }
+      stagedFiles(stage, Nil).sortBy(_._1.getPath).zipWithIndex.map {
+        case ((f, raws), i) =>
+          require(raws.length == spec.length,
+            s"staging depth ${raws.length} != spec arity ${spec.length} for $f")
+          val pv: Map[String, Any] = spec.zip(raws).map { case ((c, t), raw) =>
+            IcebergTransforms.fieldName(c, t) -> typedPartValue(c, t, raw)
+          }.toMap
+          val prefix = spec.zip(raws).map { case ((c, t), raw) =>
+            s"${IcebergTransforms.fieldName(c, t)}=$raw/"
+          }.mkString
           val rel = f"data/$prefix$snapshotId%05d-$i%05d.parquet"
           val dest = new File(root, rel)
           dest.getParentFile.mkdirs()
@@ -296,11 +306,11 @@ object IcebergWrite {
     }
     // partition fields → the avro `partition` record's types: identity
     // keeps the source type; bucket is always int; truncate stores long
-    def avroPartType(c: String): String = {
+    def avroPartType(c: String, t: String): String = {
       import IcebergTransforms.{Bucket, Truncate}
-      transform match {
+      t match {
         case Bucket(_) => "int"
-        case t if IcebergTransforms.Temporal(t) => "int"
+        case tt if IcebergTransforms.Temporal(tt) => "int"
         case Truncate(_) => "long"
         case _ => df.schema(c).dataType match {
           case LongType => "long"
@@ -311,8 +321,8 @@ object IcebergWrite {
         }
       }
     }
-    val partFields = partitionBy.map(c =>
-      (IcebergTransforms.fieldName(c, transform), avroPartType(c)))
+    val partFields = spec.map { case (c, t) =>
+      (IcebergTransforms.fieldName(c, t), avroPartType(c, t)) }
     val entrySchema = manifestEntrySchema(partFields)
     val dfSchema = entrySchema.getField("data_file").schema()
     val kvSchemaP = dfSchema.getField("lower_bounds").schema().getTypes.get(1).getElementType
@@ -397,9 +407,9 @@ object IcebergWrite {
       s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,""" +
         s""""sequence-number":$snapshotId,""" +
         s""""manifest-list":${q(listRel)},"summary":{"operation":"append"}}"""
-    val specFieldsJson = partitionBy.zipWithIndex.map { case (c, i) =>
-      s"""{"name":${q(IcebergTransforms.fieldName(c, transform))},""" +
-        s""""transform":${q(transform)},""" +
+    val specFieldsJson = spec.zipWithIndex.map { case ((c, t), i) =>
+      s"""{"name":${q(IcebergTransforms.fieldName(c, t))},""" +
+        s""""transform":${q(t)},""" +
         s""""source-id":${df.schema.fieldIndex(c) + 1},"field-id":${1000 + i}}"""
     }.mkString(",")
     val metaJson =

@@ -473,8 +473,49 @@ object IcebergQueries {
        WHERE CAST(o_orderdate AS DATE)
              BETWEEN DATE '1995-04-01' AND DATE '1995-06-30'"""
 
+  /** Multi-field partition spec — identity(o_orderstatus) + month
+    * (o_orderdate) + bucket[4](o_custkey) on one table (IcebergWrite
+    * .writeSpec); the read prunes on the month field while the other two
+    * fields ride along in every partition record. */
+  def q_fed_iceberg_multipart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_iceberg_multipart_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val marker = new java.io.File(root, "metadata/v1.metadata.json")
+    if (!marker.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(root)
+      val ord = table(s, dir, "orders")
+        .select($"o_orderkey".cast("long").as("o_orderkey"),
+          $"o_custkey".cast("long").as("o_custkey"),
+          $"o_orderstatus".cast("string").as("o_orderstatus"),
+          $"o_orderdate".cast("date").as("o_orderdate"))
+        .filter($"o_orderdate" >= lit("1995-01-01") && $"o_orderdate" < lit("1995-07-01"))
+      graft.catalog.IcebergWrite.writeSpec(ord, root.getAbsolutePath,
+        Seq("o_orderstatus" -> "identity", "o_orderdate" -> "month",
+          "o_custkey" -> "bucket[4]"))
+    }
+    val lo = java.time.LocalDate.of(1995, 2, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1995, 3, 31).toEpochDay
+    graft.catalog.IcebergRead.readTable(s, root.getAbsolutePath,
+        prune = Some(graft.catalog.IcebergRead.Prune("o_orderdate", Some(lo), Some(hi))))
+      .filter($"o_orderdate".between(lit("1995-02-01"), lit("1995-03-31")))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum($"o_orderkey").cast("long").as("key_sum"))
+      .orderBy($"o_orderstatus")
+  }
+  val qFedIcebergMultipartSql: String =
+    """SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+       FROM orders
+       WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-02-01' AND DATE '1995-03-31'
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val queries: Map[String, Q] = Map(
     "q_fed_iceberg" -> q_fed_iceberg _,
+    "q_fed_iceberg_multipart" -> q_fed_iceberg_multipart _,
     "q_fed_iceberg_month" -> q_fed_iceberg_month _,
     "q_fed_iceberg_posdelete" -> q_fed_iceberg_posdelete _,
     "q_fed_iceberg_deletes" -> q_fed_iceberg_deletes _,
@@ -485,6 +526,7 @@ object IcebergQueries {
     "q_fed_iceberg_truncate" -> q_fed_iceberg_truncate _)
   val oracles: Map[String, String] = Map(
     "q_fed_iceberg" -> qFedIcebergSql,
+    "q_fed_iceberg_multipart" -> qFedIcebergMultipartSql,
     "q_fed_iceberg_month" -> qFedIcebergMonthSql,
     "q_fed_iceberg_posdelete" -> qFedIcebergPosdeleteSql,
     "q_fed_iceberg_deletes" -> qFedIcebergDeletesSql,

@@ -5,9 +5,9 @@ import java.io.File
 import org.apache.spark.sql.functions._
 
 /** graft.catalog.IcebergWrite: spec-shaped v2 metadata (metadata JSON →
-  * manifest list avro → manifest avro → parquet) that IcebergRead — i.e.
-  * any Iceberg reader — replays, including the written column stats
-  * driving plan-time file pruning. */
+  * manifest list avro → manifest avro → parquet) that this engine's
+  * IcebergRead replays (documented subset — see IcebergWrite's header),
+  * including the written column stats driving plan-time file pruning. */
 class IcebergWriteSpec extends SparkSpec {
   import spark.implicits._
 
@@ -167,5 +167,36 @@ class IcebergWriteSpec extends SparkSpec {
     // 12 month partitions; [Apr 10, May 20] overlaps April + May → 10 pruned
     assert(catalog.IcebergRead.lastPruned.get() == 10,
       s"expected 10 of 12 months pruned, got ${catalog.IcebergRead.lastPruned.get()}")
+  }
+
+  test("multi-field spec: identity + month + bucket in one partition tuple") {
+    val path = fresh("ib_multi")
+    val df = (0 until 120).map { i =>
+      (i.toLong, s"g${i % 2}",
+        java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1 + i % 4, 5)))
+    }.toDF("k", "g", "d").repartition(1)
+    catalog.IcebergWrite.writeSpec(df, path,
+      Seq("g" -> "identity", "d" -> "month", "k" -> "bucket[4]"))
+    // full replay
+    val back = catalog.IcebergRead.readTable(spark, path)
+    assert(back.count() == 120)
+    assert(back.columns.toSet == Set("k", "g", "d")) // sources all retained
+    // month pruning still works with the two sibling fields in the record:
+    // 2 groups × 4 months × ≤4 buckets; [Feb] keeps only month files
+    val lo = java.time.LocalDate.of(2023, 2, 1).toEpochDay
+    val hi = java.time.LocalDate.of(2023, 2, 28).toEpochDay
+    val feb = catalog.IcebergRead.readTable(spark, path,
+      prune = Some(catalog.IcebergRead.Prune("d", Some(lo), Some(hi))))
+    assert(feb.count() == 30)
+    assert(catalog.IcebergRead.lastPruned.get() > 0)
+    // append with a DIFFERENT spec arity fails loudly (metadata guard)
+    val e = intercept[IllegalArgumentException] {
+      catalog.IcebergWrite.writeSpec(df, path, Seq("g" -> "identity"))
+    }
+    assert(e.getMessage.contains("partitioning mismatch"))
+    // append with the SAME spec lands a second snapshot
+    assert(catalog.IcebergWrite.writeSpec(df, path,
+      Seq("g" -> "identity", "d" -> "month", "k" -> "bucket[4]")) == 2L)
+    assert(catalog.IcebergRead.readTable(spark, path).count() == 240)
   }
 }
