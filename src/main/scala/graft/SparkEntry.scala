@@ -59,6 +59,7 @@ object SparkEntry {
       (operators.HudiQueries.queries, operators.HudiQueries.oracles),
       (operators.HiveQueries.queries, operators.HiveQueries.oracles),
       (operators.HttpQueries.queries, operators.HttpQueries.oracles),
+      (operators.LakehouseQueries.queries, operators.LakehouseQueries.oracles),
       (operators.Dialect.queries, operators.Dialect.oracles),
       (operators.Misc.queries, operators.Misc.oracles))
 

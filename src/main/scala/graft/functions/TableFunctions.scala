@@ -79,6 +79,10 @@ object TableFunctions {
     graft.catalog.HudiRead.readTable(s, unquote(args.head),
       asOf = args.lift(1).map(unquote))
   })
+  register("lakehouse_table", (s, _, args) => {
+    require(args.length == 1, "lakehouse_table('<path>')")
+    graft.catalog.LakehouseCatalog.read(s, unquote(args.head))
+  })
 
   private def unquote(s: String): String = {
     val t = s.trim
