@@ -60,6 +60,7 @@ object SparkEntry {
       (operators.HiveQueries.queries, operators.HiveQueries.oracles),
       (operators.HttpQueries.queries, operators.HttpQueries.oracles),
       (operators.LakehouseQueries.queries, operators.LakehouseQueries.oracles),
+      (operators.HttpCatalogQueries.queries, operators.HttpCatalogQueries.oracles),
       (operators.Dialect.queries, operators.Dialect.oracles),
       (operators.Misc.queries, operators.Misc.oracles))
 
