@@ -19,12 +19,15 @@ import org.apache.spark.sql.types._
   * path + ManifestFiles writing). CREATE and APPEND produce the
   * three-layer metadata chain — `metadata/vN.metadata.json` → snapshot →
   * manifest-list avro → manifest avro → parquet data files — with the
-  * spec's own field names. Fidelity subset (documented): the avro carries
-  * the spec's field NAMES but not its field-id props, the manifest-list
-  * omits v2-optional counts (sequence numbers, added/deleted file tallies),
-  * and file paths are table-relative — tables written here are replayed by
-  * THIS ENGINE's [[IcebergRead]] (round-trip specs), not guaranteed byte-
-  * compatible with every external v2 reader.
+  * spec's field names, the spec's avro `field-id` props on every manifest
+  * and manifest-list field (entries 0-4/100-134, list 500-517, partition
+  * fields 1000+), all v2-required manifest_file fields (sequence numbers
+  * and file/row tallies), and fully-qualified `file:` paths; position-
+  * delete files record byte-identical paths to the manifests. Validation
+  * honesty: round-trips are proven against THIS ENGINE's [[IcebergRead]]
+  * (no external Iceberg library exists in this environment to
+  * countersign), though the layout now carries everything the spec
+  * requires of a v2 writer.
   *
   * Each appended data file records `record_count`, `file_size_in_bytes`,
   * and little-endian single-value `lower_bounds`/`upper_bounds` for every
@@ -32,55 +35,133 @@ import org.apache.spark.sql.types._
   * reader's Prune) uses for plan-time file skipping, so tables WRITTEN by
   * this engine get scan pruning everywhere.
   *
-  * Supported subset (documented): unpartitioned v2 tables, primitive
-  * columns, parquet data, append snapshots only (no deletes/rewrites —
-  * DML stays with CowTable; the reader's delete handling is exercised by
-  * its own fixtures). Snapshot ids are sequential and deterministic. */
+  * Supported subset (documented): v2 tables, primitive columns, parquet
+  * data, append + position-delete snapshots; partitioning via identity /
+  * bucket / truncate / temporal transform specs ([[writeSpec]]).
+  * Snapshot ids are sequential and deterministic. */
 object IcebergWrite {
 
+  // bounds maps as the spec stores them: array-of-k_v with logicalType map
+  // and the spec's field-ids (lower: 125/126/127, upper: 128/129/130)
   private val KvSchema =
-    """{"type":"record","name":"k_v","fields":[
-         {"name":"key","type":"int"},
-         {"name":"value","type":"bytes"}]}"""
+    """{"type":"array","logicalType":"map","items":
+         {"type":"record","name":"k_v","fields":[
+           {"name":"key","type":"int","field-id":126},
+           {"name":"value","type":"bytes","field-id":127}]}}"""
+  private val KvSchemaUpper =
+    """{"type":"array","logicalType":"map","items":
+         {"type":"record","name":"k_v2","fields":[
+           {"name":"key","type":"int","field-id":129},
+           {"name":"value","type":"bytes","field-id":130}]}}"""
 
-  /** Manifest-entry schema; partitioned tables get a typed `partition`
-    * record (one field per identity partition column), unpartitioned
-    * tables omit it. */
+  /** Manifest-entry schema with the spec's field-ids (Iceberg spec
+    * §Manifests); partitioned tables get a typed `partition` record (one
+    * field per spec field, ids 1000+), unpartitioned tables an EMPTY
+    * required record (the spec's shape — readers resolve by field-id). */
   private def manifestEntrySchema(partitionFields: Seq[(String, String)]): Schema = {
+    val fs = partitionFields.zipWithIndex.map { case ((n, t), i) =>
+      s"""{"name":${'"'}$n${'"'},"type":["null","$t"],"default":null,"field-id":${1000 + i}}"""
+    }.mkString(",")
     val partField =
-      if (partitionFields.isEmpty) ""
-      else {
-        val fs = partitionFields.map { case (n, t) =>
-          s"""{"name":${'"'}$n${'"'},"type":["null","$t"],"default":null}"""
-        }.mkString(",")
-        s"""{"name":"partition","type":{"type":"record","name":"r102","fields":[$fs]}},"""
-      }
+      s"""{"name":"partition","field-id":102,
+           "type":{"type":"record","name":"r102","fields":[$fs]}},"""
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
-            {"name":"status","type":"int"},
-            {"name":"snapshot_id","type":["null","long"],"default":null},
-            {"name":"data_file","type":{"type":"record","name":"r2","fields":[
-              {"name":"content","type":"int"},
-              {"name":"file_path","type":"string"},
-              {"name":"file_format","type":"string"},
+            {"name":"status","type":"int","field-id":0},
+            {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+            {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+            {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+            {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+              {"name":"content","type":"int","field-id":134},
+              {"name":"file_path","type":"string","field-id":100},
+              {"name":"file_format","type":"string","field-id":101},
               $partField
-              {"name":"record_count","type":"long"},
-              {"name":"file_size_in_bytes","type":"long"},
-              {"name":"lower_bounds","type":["null",{"type":"array","items":$KvSchema}],"default":null},
-              {"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k_v2","fields":[
-                {"name":"key","type":"int"},
-                {"name":"value","type":"bytes"}]}}],"default":null}
+              {"name":"record_count","type":"long","field-id":103},
+              {"name":"file_size_in_bytes","type":"long","field-id":104},
+              {"name":"lower_bounds","type":["null",$KvSchema],"default":null,"field-id":125},
+              {"name":"upper_bounds","type":["null",$KvSchemaUpper],"default":null,"field-id":128}
             ]}}]}""")
   }
   private val ManifestEntrySchema = manifestEntrySchema(Seq.empty)
 
+  /** Manifest-list entry with every v2-required manifest_file field
+    * (Iceberg spec §Manifest Lists: 500-517). */
   private val ManifestFileSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
-         {"name":"manifest_path","type":"string"},
-         {"name":"manifest_length","type":"long"},
-         {"name":"partition_spec_id","type":"int"},
-         {"name":"content","type":"int"},
-         {"name":"added_snapshot_id","type":"long"}]}""")
+         {"name":"manifest_path","type":"string","field-id":500},
+         {"name":"manifest_length","type":"long","field-id":501},
+         {"name":"partition_spec_id","type":"int","field-id":502},
+         {"name":"content","type":"int","field-id":517},
+         {"name":"sequence_number","type":"long","field-id":515},
+         {"name":"min_sequence_number","type":"long","field-id":516},
+         {"name":"added_snapshot_id","type":"long","field-id":503},
+         {"name":"added_files_count","type":"int","field-id":504},
+         {"name":"existing_files_count","type":"int","field-id":505},
+         {"name":"deleted_files_count","type":"int","field-id":506},
+         {"name":"added_rows_count","type":"long","field-id":512},
+         {"name":"existing_rows_count","type":"long","field-id":513},
+         {"name":"deleted_rows_count","type":"long","field-id":514}]}""")
+
+  /** One manifest-list row (all v2-required fields carried through
+    * appends and deletes). */
+  private final case class ManifestRef(path: String, length: Long,
+      addedSnapshotId: Long, content: Int, sequenceNumber: Long,
+      minSequenceNumber: Long, addedFiles: Int, existingFiles: Int,
+      deletedFiles: Int, addedRows: Long, existingRows: Long, deletedRows: Long)
+
+  private def manifestRefRecord(m: ManifestRef): GenericRecord = {
+    val r = new GenericData.Record(ManifestFileSchema)
+    r.put("manifest_path", m.path)
+    r.put("manifest_length", m.length)
+    r.put("partition_spec_id", 0)
+    r.put("content", m.content)
+    r.put("sequence_number", m.sequenceNumber)
+    r.put("min_sequence_number", m.minSequenceNumber)
+    r.put("added_snapshot_id", m.addedSnapshotId)
+    r.put("added_files_count", m.addedFiles)
+    r.put("existing_files_count", m.existingFiles)
+    r.put("deleted_files_count", m.deletedFiles)
+    r.put("added_rows_count", m.addedRows)
+    r.put("existing_rows_count", m.existingRows)
+    r.put("deleted_rows_count", m.deletedRows)
+    r
+  }
+
+  /** Reread a manifest list's rows; tolerates pre-upgrade lists missing
+    * the count fields (falls back to added_snapshot_id / zero). */
+  private def readManifestRefs(root: File, listPath: String): Seq[ManifestRef] = {
+    val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+      resolveFile(root, listPath),
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    def opt(r: GenericRecord, f: String): Option[AnyRef] =
+      if (r.getSchema.getField(f) == null) None else Option(r.get(f))
+    try reader.iterator().asScala.toVector.map { r =>
+      val addedBy = r.get("added_snapshot_id").toString.toLong
+      ManifestRef(
+        r.get("manifest_path").toString,
+        r.get("manifest_length").toString.toLong,
+        addedBy,
+        opt(r, "content").map(_.toString.toInt).getOrElse(0),
+        opt(r, "sequence_number").map(_.toString.toLong).getOrElse(addedBy),
+        opt(r, "min_sequence_number").map(_.toString.toLong).getOrElse(addedBy),
+        opt(r, "added_files_count").map(_.toString.toInt).getOrElse(0),
+        opt(r, "existing_files_count").map(_.toString.toInt).getOrElse(0),
+        opt(r, "deleted_files_count").map(_.toString.toInt).getOrElse(0),
+        opt(r, "added_rows_count").map(_.toString.toLong).getOrElse(0L),
+        opt(r, "existing_rows_count").map(_.toString.toLong).getOrElse(0L),
+        opt(r, "deleted_rows_count").map(_.toString.toLong).getOrElse(0L))
+    } finally reader.close()
+  }
+
+  /** Fully-qualified `file:` URI for a path under the table root (what the
+    * spec's readers expect; our reader accepts both forms). */
+  private def qualify(root: File, rel: String): String =
+    s"file:${new File(root, rel).getAbsolutePath}"
+
+  private def resolveFile(root: File, p: String): File = {
+    val stripped = p.stripPrefix("file:")
+    if (new File(stripped).isAbsolute) new File(stripped) else new File(root, stripped)
+  }
 
   private def writeAvro(path: File, schema: Schema, records: Seq[GenericRecord]): Long = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
@@ -331,18 +412,16 @@ object IcebergWrite {
       val (lows, highs, n) = bounds(dest)
       val dfRec = new GenericData.Record(dfSchema)
       dfRec.put("content", 0)
-      dfRec.put("file_path", rel)
+      dfRec.put("file_path", qualify(root, rel))
       dfRec.put("file_format", "PARQUET")
-      if (partFields.nonEmpty) {
-        val pRec = new GenericData.Record(dfSchema.getField("partition").schema())
-        pv.foreach { case (k, v) =>
-          pRec.put(k, v match {
-            case s0: String => s0
-            case other => other
-          })
-        }
-        dfRec.put("partition", pRec)
+      val pRec = new GenericData.Record(dfSchema.getField("partition").schema())
+      pv.foreach { case (k, v) =>
+        pRec.put(k, v match {
+          case s0: String => s0
+          case other => other
+        })
       }
+      dfRec.put("partition", pRec) // empty record when unpartitioned (spec shape)
       dfRec.put("record_count", n)
       dfRec.put("file_size_in_bytes", dest.length())
       dfRec.put("lower_bounds", if (lows.isEmpty) null else kvArray(kvSchemaP, lows))
@@ -350,44 +429,36 @@ object IcebergWrite {
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
+      // null sequence numbers on ADDED entries: inherited from the
+      // manifest-list row per the spec's inheritance rule
+      e.put("sequence_number", null)
+      e.put("file_sequence_number", null)
       e.put("data_file", dfRec)
       e: GenericRecord
     }
     val manifestRel = f"metadata/snap$snapshotId%05d-m0.avro"
     val manifestLen = writeAvro(new File(root, manifestRel), entrySchema, entries)
+    val addedRows = moved.map(m => bounds(m._2)._3).sum
 
     // ---- manifest list = previous snapshot's manifests + this one
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val prevManifests: Seq[(String, Long, Long, Int)] = prevVersion.map { pv =>
+    val prevManifests: Seq[ManifestRef] = prevVersion.map { pv =>
       val meta = JsonMethods.parse(new String(Files.readAllBytes(
         Paths.get(metaDir.getAbsolutePath, s"v$pv.metadata.json")), "UTF-8"))
       val JInt(cur) = (meta \ "current-snapshot-id"): @unchecked
       val JArray(snaps) = (meta \ "snapshots"): @unchecked
       val JString(ml) = (snaps.find(s => (s \ "snapshot-id") == JInt(cur)).get
         \ "manifest-list"): @unchecked
-      // re-read the previous manifest list for its entries
-      val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
-        new File(root, ml),
-        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
-      try reader.iterator().asScala.toVector.map(r =>
-        (r.get("manifest_path").toString,
-          r.get("manifest_length").toString.toLong,
-          r.get("added_snapshot_id").toString.toLong,
-          Option(r.get("content")).map(_.toString.toInt).getOrElse(0)))
-      finally reader.close()
+      readManifestRefs(root, ml)
     }.getOrElse(Seq.empty)
 
-    val listEntries = (prevManifests :+ ((manifestRel, manifestLen, snapshotId, 0)))
-      .map { case (p, len, addedBy, content) =>
-        val r = new GenericData.Record(ManifestFileSchema)
-        r.put("manifest_path", p)
-        r.put("manifest_length", len)
-        r.put("partition_spec_id", 0)
-        r.put("content", content)
-        r.put("added_snapshot_id", addedBy)
-        r: GenericRecord
-      }
+    val newRef = ManifestRef(qualify(root, manifestRel), manifestLen,
+      snapshotId, content = 0, sequenceNumber = snapshotId,
+      minSequenceNumber = snapshotId, addedFiles = entries.length,
+      existingFiles = 0, deletedFiles = 0, addedRows = addedRows,
+      existingRows = 0L, deletedRows = 0L)
+    val listEntries = (prevManifests :+ newRef).map(manifestRefRecord)
     val listRel = f"metadata/snap-$snapshotId%d-1-manifest-list.avro"
     writeAvro(new File(root, listRel), ManifestFileSchema, listEntries)
 
@@ -406,7 +477,7 @@ object IcebergWrite {
     val newSnapshot =
       s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,""" +
         s""""sequence-number":$snapshotId,""" +
-        s""""manifest-list":${q(listRel)},"summary":{"operation":"append"}}"""
+        s""""manifest-list":${q(qualify(root, listRel))},"summary":{"operation":"append"}}"""
     val specFieldsJson = spec.zipWithIndex.map { case ((c, t), i) =>
       s"""{"name":${q(IcebergTransforms.fieldName(c, t))},""" +
         s""""transform":${q(t)},""" +
@@ -451,9 +522,13 @@ object IcebergWrite {
     val version = pv + 1
     val snapshotId = version.toLong
 
-    // the matched row identities, written distributed — never collected
+    // the matched row identities, written distributed — never collected.
+    // file_path is canonicalized to the single-slash `file:/...` form the
+    // manifests record, so delete paths byte-equal data-file paths (the
+    // spec's matching rule)
     val matched = IcebergRead.readTable(spark, tablePath)
-      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("file_path",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "file:/"))
       .withColumn("pos", col("_metadata.row_index"))
       .filter(predicate)
       .select("file_path", "pos")
@@ -474,8 +549,11 @@ object IcebergWrite {
     val dfRec = new GenericData.Record(
       ManifestEntrySchema.getField("data_file").schema())
     dfRec.put("content", 1)
-    dfRec.put("file_path", rel)
+    dfRec.put("file_path", qualify(root, rel))
     dfRec.put("file_format", "PARQUET")
+    dfRec.put("partition", new GenericData.Record(
+      ManifestEntrySchema.getField("data_file").schema()
+        .getField("partition").schema()))
     dfRec.put("record_count", deleteCount)
     dfRec.put("file_size_in_bytes", dest.length())
     dfRec.put("lower_bounds", null)
@@ -483,6 +561,8 @@ object IcebergWrite {
     val entry = new GenericData.Record(ManifestEntrySchema)
     entry.put("status", 1)
     entry.put("snapshot_id", snapshotId)
+    entry.put("sequence_number", null)
+    entry.put("file_sequence_number", null)
     entry.put("data_file", dfRec)
     val manifestRel = f"metadata/snap$snapshotId%05d-d0.avro"
     val manifestLen = writeAvro(new File(root, manifestRel), ManifestEntrySchema,
@@ -495,26 +575,13 @@ object IcebergWrite {
     val JArray(snaps) = (prevMeta \ "snapshots"): @unchecked
     val JString(ml) = (snaps.find(x => (x \ "snapshot-id") == JInt(cur)).get
       \ "manifest-list"): @unchecked
-    val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
-      new File(root, ml),
-      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
-    val prevManifests =
-      try reader.iterator().asScala.toVector.map(r =>
-        (r.get("manifest_path").toString,
-          r.get("manifest_length").toString.toLong,
-          r.get("added_snapshot_id").toString.toLong,
-          Option(r.get("content")).map(_.toString.toInt).getOrElse(0)))
-      finally reader.close()
-    val listEntries = (prevManifests :+ ((manifestRel, manifestLen, snapshotId, 1)))
-      .map { case (p0, len, addedBy, content) =>
-        val r = new GenericData.Record(ManifestFileSchema)
-        r.put("manifest_path", p0)
-        r.put("manifest_length", len)
-        r.put("partition_spec_id", 0)
-        r.put("content", content)
-        r.put("added_snapshot_id", addedBy)
-        r: GenericRecord
-      }
+    val prevManifests = readManifestRefs(root, ml)
+    val newRef = ManifestRef(qualify(root, manifestRel), manifestLen,
+      snapshotId, content = 1, sequenceNumber = snapshotId,
+      minSequenceNumber = snapshotId, addedFiles = 1, existingFiles = 0,
+      deletedFiles = 0, addedRows = deleteCount, existingRows = 0L,
+      deletedRows = 0L)
+    val listEntries = (prevManifests :+ newRef).map(manifestRefRecord)
     val listRel = f"metadata/snap-$snapshotId%d-1-manifest-list.avro"
     writeAvro(new File(root, listRel), ManifestFileSchema, listEntries)
 
@@ -526,7 +593,7 @@ object IcebergWrite {
     val newSnapshot =
       s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,""" +
         s""""sequence-number":$snapshotId,""" +
-        s""""manifest-list":${q(listRel)},"summary":{"operation":"delete"}}"""
+        s""""manifest-list":${q(qualify(root, listRel))},"summary":{"operation":"delete"}}"""
     val metaJson =
       s"""{"format-version":2,
           "table-uuid":${q(java.util.UUID.nameUUIDFromBytes(tablePath.getBytes).toString)},

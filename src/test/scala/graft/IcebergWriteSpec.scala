@@ -169,6 +169,54 @@ class IcebergWriteSpec extends SparkSpec {
       s"expected 10 of 12 months pruned, got ${catalog.IcebergRead.lastPruned.get()}")
   }
 
+  test("v2 layout: field-ids, manifest_file counts, byte-equal delete paths") {
+    import scala.jdk.CollectionConverters._
+    val path = fresh("v2layout")
+    val df = (1L to 40L).map(i => (i, s"n$i")).toDF("k", "v").repartition(1)
+    catalog.IcebergWrite.write(df, path)
+    catalog.IcebergWrite.deleteWhere(spark, path, $"k" % 10L === 0L)
+
+    def avro(f: java.io.File) = {
+      val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+        f, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      try (r.getSchema, r.iterator().asScala.toVector) finally r.close()
+    }
+    val metaDir = new java.io.File(path, "metadata")
+    val list = new java.io.File(metaDir, "snap-2-1-manifest-list.avro")
+    val (listSchema, listRows) = avro(list)
+    // spec field-ids present on manifest_file fields
+    assert(listSchema.getField("manifest_path").getObjectProp("field-id") == 500)
+    assert(listSchema.getField("sequence_number").getObjectProp("field-id") == 515)
+    // v2-required tallies populated
+    val dataRow = listRows.find(_.get("content").toString == "0").get
+    assert(dataRow.get("added_files_count").toString.toInt == 1)
+    assert(dataRow.get("added_rows_count").toString.toLong == 40L)
+    val delRow = listRows.find(_.get("content").toString == "1").get
+    assert(delRow.get("sequence_number").toString.toLong == 2L)
+    assert(delRow.get("added_rows_count").toString.toLong == 4L)
+    // manifest paths fully qualified; entry field-ids present
+    val mp = dataRow.get("manifest_path").toString
+    assert(mp.startsWith("file:/"), mp)
+    val (entrySchema, entries) = avro(new java.io.File(mp.stripPrefix("file:")))
+    assert(entrySchema.getField("status").getObjectProp("field-id") == 0)
+    val dfField = entrySchema.getField("data_file")
+    assert(dfField.getObjectProp("field-id") == 2)
+    assert(dfField.schema().getField("file_path").getObjectProp("field-id") == 100)
+    // delete parquet's file_path byte-equals the manifest's data-file path
+    val dataFilePath = entries.head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord].get("file_path").toString
+    val (_, delEntries) = avro(new java.io.File(
+      delRow.get("manifest_path").toString.stripPrefix("file:")))
+    val delParquet = delEntries.head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord].get("file_path").toString
+    val recorded = spark.read.parquet(delParquet.stripPrefix("file:"))
+      .select("file_path").distinct().collect().map(_.getString(0)).toSet
+    assert(recorded == Set(dataFilePath),
+      s"delete paths $recorded != manifest path $dataFilePath")
+    // and the table still reads correctly
+    assert(catalog.IcebergRead.readTable(spark, path).count() == 36)
+  }
+
   test("multi-field spec: identity + month + bucket in one partition tuple") {
     val path = fresh("ib_multi")
     val df = (0 until 120).map { i =>
