@@ -112,17 +112,35 @@ object StatementServer {
             val id = f"graft_${nextId.incrementAndGet()}%08d"
             val ref = new java.util.concurrent.atomic.AtomicReference[State](Queued)
             queries.put(id, ref)
+            val createMs = System.currentTimeMillis()
+            EventListeners.fireCreated(
+              s"""{"metadata":{"queryId":${jstr(id)},"query":${jstr(sql)},""" +
+                s""""state":"QUEUED"},"createTime":$createMs}""")
             pool.submit(new Runnable {
               override def run(): Unit = {
                 if (!ref.compareAndSet(Queued, Running)) return // cancelled
+                val t0 = System.nanoTime()
+                def completed(state: String, rows: Long, failure: String): Unit = {
+                  val elapsedMs = (System.nanoTime() - t0) / 1000000L
+                  val fail = if (failure == null) ""
+                    else s""","failureInfo":{"message":${jstr(failure)}}"""
+                  EventListeners.fireCompleted(
+                    s"""{"metadata":{"queryId":${jstr(id)},"query":${jstr(sql)},""" +
+                      s""""state":${jstr(state)}},""" +
+                      s""""statistics":{"elapsedMs":$elapsedMs,"totalRows":$rows},""" +
+                      s""""createTime":$createMs,""" +
+                      s""""endTime":${System.currentTimeMillis()}$fail}""")
+                }
                 try {
                   val df = graft.sqlx.TrinoDialect.sql(spark, dir, sql)
                   val rows = df.collect()
                   ref.compareAndSet(Running, Finished(df.schema, rows))
+                  completed("FINISHED", rows.length.toLong, null)
                 } catch {
                   case e: Throwable =>
-                    ref.compareAndSet(Running, Failed(
-                      Option(e.getMessage).getOrElse(e.getClass.getName)))
+                    val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+                    ref.compareAndSet(Running, Failed(msg))
+                    completed("FAILED", 0L, msg)
                 }
               }
             })
