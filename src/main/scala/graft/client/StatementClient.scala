@@ -27,8 +27,10 @@ object StatementClient {
   final class StatementFailed(message: String) extends RuntimeException(message)
 
   /** Run one statement to completion against `base` (e.g.
-    * `http://127.0.0.1:8080`). Blocks; polls RUNNING states at 25 ms. */
-  def execute(base: String, sql: String): Result = {
+    * `http://127.0.0.1:8080`). Blocks; polls RUNNING states at 25 ms.
+    * `user` travels as the protocol's `X-Trino-User` header (resource-group
+    * selection server-side). */
+  def execute(base: String, sql: String, user: String = "graft"): Result = {
     val http = HttpClient.newBuilder()
       .executor(java.util.concurrent.Executors.newFixedThreadPool(1, r => {
         val t = new Thread(r, "graft-client-http"); t.setDaemon(true); t
@@ -36,6 +38,7 @@ object StatementClient {
       .build()
     var resp = http.send(
       HttpRequest.newBuilder(URI.create(s"$base/v1/statement"))
+        .header("X-Trino-User", user)
         .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
       HttpResponse.BodyHandlers.ofString())
     var json = JsonMethods.parse(resp.body())

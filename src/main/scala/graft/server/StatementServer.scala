@@ -48,7 +48,8 @@ object StatementServer {
   private case object Queued extends State
   private case object Running extends State
   private final case class Finished(schema: StructType, rows: Array[Row]) extends State
-  private final case class Failed(message: String) extends State
+  private final case class Failed(message: String,
+      errorName: String = "GENERIC_INTERNAL_ERROR") extends State
   private case object Cancelled extends State
 
   final class Handle private[StatementServer] (
@@ -59,8 +60,14 @@ object StatementServer {
   }
 
   /** Start on 127.0.0.1:`port` (0 = ephemeral); statements execute against
-    * the fixture catalog at `dir`. */
-  def start(spark: SparkSession, dir: String, port: Int = 0): Handle = {
+    * the fixture catalog at `dir`. With `resourceGroups` set, every
+    * submission is admitted through [[ResourceGroups.Manager]] (the
+    * reference's dispatcher admission): over-concurrency queues, over-queue
+    * fails with QUERY_QUEUE_FULL; the submitting user is the protocol's
+    * `X-Trino-User` header. */
+  def start(spark: SparkSession, dir: String, port: Int = 0,
+      resourceGroups: Option[ResourceGroups.Config] = None): Handle = {
+    val rgManager = resourceGroups.map(new ResourceGroups.Manager(_))
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     val pool = daemonPool(4, "graft-statement-exec")
     val nextId = new AtomicLong(0L)
@@ -84,9 +91,9 @@ object StatementServer {
         case Cancelled =>
           (200, s"""{$base,"stats":{"state":"FAILED"},""" +
             s""""error":{"message":"Query was canceled","errorName":"USER_CANCELED"}}""")
-        case Failed(msg) =>
+        case Failed(msg, errorName) =>
           (200, s"""{$base,"stats":{"state":"FAILED"},""" +
-            s""""error":{"message":${jstr(msg)},"errorName":"GENERIC_INTERNAL_ERROR"}}""")
+            s""""error":{"message":${jstr(msg)},"errorName":${jstr(errorName)}}}""")
         case Finished(schema, rows) =>
           val from = (token * PageSize).toInt
           val page = rows.slice(from, from + PageSize)
@@ -109,6 +116,8 @@ object StatementServer {
         (ex.getRequestMethod, path) match {
           case ("POST", "/v1/statement") =>
             val sql = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            val user = Option(ex.getRequestHeaders.getFirst("X-Trino-User"))
+              .getOrElse("graft")
             val id = f"graft_${nextId.incrementAndGet()}%08d"
             val ref = new java.util.concurrent.atomic.AtomicReference[State](Queued)
             queries.put(id, ref)
@@ -116,34 +125,54 @@ object StatementServer {
             EventListeners.fireCreated(
               s"""{"metadata":{"queryId":${jstr(id)},"query":${jstr(sql)},""" +
                 s""""state":"QUEUED"},"createTime":$createMs}""")
-            pool.submit(new Runnable {
-              override def run(): Unit = {
-                if (!ref.compareAndSet(Queued, Running)) return // cancelled
-                val t0 = System.nanoTime()
-                def completed(state: String, rows: Long, failure: String): Unit = {
-                  val elapsedMs = (System.nanoTime() - t0) / 1000000L
-                  val fail = if (failure == null) ""
-                    else s""","failureInfo":{"message":${jstr(failure)}}"""
-                  EventListeners.fireCompleted(
-                    s"""{"metadata":{"queryId":${jstr(id)},"query":${jstr(sql)},""" +
-                      s""""state":${jstr(state)}},""" +
-                      s""""statistics":{"elapsedMs":$elapsedMs,"totalRows":$rows},""" +
-                      s""""createTime":$createMs,""" +
-                      s""""endTime":${System.currentTimeMillis()}$fail}""")
-                }
-                try {
-                  val df = graft.sqlx.TrinoDialect.sql(spark, dir, sql)
-                  val rows = df.collect()
-                  ref.compareAndSet(Running, Finished(df.schema, rows))
-                  completed("FINISHED", rows.length.toLong, null)
-                } catch {
-                  case e: Throwable =>
-                    val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-                    ref.compareAndSet(Running, Failed(msg))
-                    completed("FAILED", 0L, msg)
-                }
-              }
-            })
+            val admission = rgManager.map(_.admit(user))
+            admission match {
+              case Some(ResourceGroups.Reject(message)) =>
+                ref.set(Failed(message, "QUERY_QUEUE_FULL"))
+              case _ =>
+                pool.submit(new Runnable {
+                  override def run(): Unit = {
+                    val group = admission.collect {
+                      case ResourceGroups.RunNow(g) => g
+                      case ResourceGroups.Queue(g) => g
+                    }
+                    try {
+                      admission.foreach {
+                        case q: ResourceGroups.Queue => rgManager.get.await(q)
+                        case _ =>
+                      }
+                      if (!ref.compareAndSet(Queued, Running)) return // cancelled
+                      val t0 = System.nanoTime()
+                      def completed(state: String, rows: Long, failure: String): Unit = {
+                        val elapsedMs = (System.nanoTime() - t0) / 1000000L
+                        val fail = if (failure == null) ""
+                          else s""","failureInfo":{"message":${jstr(failure)}}"""
+                        EventListeners.fireCompleted(
+                          s"""{"metadata":{"queryId":${jstr(id)},"query":${jstr(sql)},""" +
+                            s""""state":${jstr(state)}},""" +
+                            s""""statistics":{"elapsedMs":$elapsedMs,"totalRows":$rows},""" +
+                            s""""createTime":$createMs,""" +
+                            s""""endTime":${System.currentTimeMillis()}$fail}""")
+                      }
+                      try {
+                        val df = graft.sqlx.TrinoDialect.sql(spark, dir, sql)
+                        val rows = df.collect()
+                        ref.compareAndSet(Running, Finished(df.schema, rows))
+                        completed("FINISHED", rows.length.toLong, null)
+                      } catch {
+                        case e: Throwable =>
+                          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+                          ref.compareAndSet(Running, Failed(msg))
+                          completed("FAILED", 0L, msg)
+                      }
+                    } finally {
+                      // slot held whether pre-acquired (RunNow) or awaited
+                      // (Queue); released exactly once at terminal state
+                      group.foreach(g => rgManager.get.release(g))
+                    }
+                  }
+                })
+            }
             val (code, body) = resultsJson(id, 0L, ref.get())
             respond(ex, code, body)
           case ("GET", ExecutingPath(id, token)) =>
