@@ -29,18 +29,22 @@ object StatementClient {
   /** Run one statement to completion against `base` (e.g.
     * `http://127.0.0.1:8080`). Blocks; polls RUNNING states at 25 ms.
     * `user` travels as the protocol's `X-Trino-User` header (resource-group
-    * selection server-side). */
-  def execute(base: String, sql: String, user: String = "graft"): Result = {
+    * selection server-side). `encoding = Some("json")` opts into the
+    * spooled protocol (reference client/trino-client EncodedQueryData):
+    * results arrive as inline-or-spooled segments; spooled segments are
+    * fetched from their URIs and ACKed after decode. */
+  def execute(base: String, sql: String, user: String = "graft",
+      encoding: Option[String] = None): Result = {
     val http = HttpClient.newBuilder()
       .executor(java.util.concurrent.Executors.newFixedThreadPool(1, r => {
         val t = new Thread(r, "graft-client-http"); t.setDaemon(true); t
       }))
       .build()
-    var resp = http.send(
-      HttpRequest.newBuilder(URI.create(s"$base/v1/statement"))
-        .header("X-Trino-User", user)
-        .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
-      HttpResponse.BodyHandlers.ofString())
+    val post = HttpRequest.newBuilder(URI.create(s"$base/v1/statement"))
+      .header("X-Trino-User", user)
+      .POST(HttpRequest.BodyPublishers.ofString(sql))
+    encoding.foreach(e => post.header("X-Trino-Query-Data-Encoding", e))
+    var resp = http.send(post.build(), HttpResponse.BodyHandlers.ofString())
     var json = JsonMethods.parse(resp.body())
     var columns = Vector.empty[Column]
     val rows = Vector.newBuilder[Vector[Any]]
@@ -59,14 +63,47 @@ object StatementClient {
         }.toVector
         case _ =>
       }
+      def addRows(pageRows: List[JValue]): Unit = pageRows.foreach {
+        case JArray(vs) =>
+          rows += vs.iterator.zipWithIndex.map { case (v, i) =>
+            coerce(v, if (i < columns.length) columns(i).typeName else "varchar")
+          }.toVector
+        case other => throw new StatementFailed(s"row is not an array: $other")
+      }
       json \ "data" match {
-        case JArray(pageRows) => pageRows.foreach {
-          case JArray(vs) =>
-            rows += vs.iterator.zipWithIndex.map { case (v, i) =>
-              coerce(v, if (i < columns.length) columns(i).typeName else "varchar")
-            }.toVector
-          case other => throw new StatementFailed(s"row is not an array: $other")
-        }
+        case JArray(pageRows) => addRows(pageRows)
+        case data: JObject => // EncodedQueryData: inline + spooled segments
+          (data \ "encoding") match {
+            case JString("json") =>
+            case other => throw new StatementFailed(s"unsupported encoding $other")
+          }
+          val JArray(segments) = (data \ "segments"): @unchecked
+          segments.foreach { seg =>
+            val bytes = (seg \ "type") match {
+              case JString("inline") =>
+                val JString(b64) = (seg \ "data"): @unchecked
+                java.util.Base64.getDecoder.decode(b64)
+              case JString("spooled") =>
+                val JString(uri) = (seg \ "uri"): @unchecked
+                val got = http.send(
+                  HttpRequest.newBuilder(URI.create(s"$base$uri")).GET().build(),
+                  HttpResponse.BodyHandlers.ofByteArray())
+                if (got.statusCode() != 200)
+                  throw new StatementFailed(s"segment fetch $uri: ${got.statusCode()}")
+                // acknowledge AFTER a successful fetch: releases the spool
+                (seg \ "ackUri") match {
+                  case JString(ack) => http.send(
+                    HttpRequest.newBuilder(URI.create(s"$base$ack")).GET().build(),
+                    HttpResponse.BodyHandlers.discarding())
+                  case _ =>
+                }
+                got.body()
+              case other => throw new StatementFailed(s"unknown segment type $other")
+            }
+            val JArray(segRows) = JsonMethods.parse(
+              new String(bytes, java.nio.charset.StandardCharsets.UTF_8)): @unchecked
+            addRows(segRows)
+          }
         case _ =>
       }
       json \ "nextUri" match {

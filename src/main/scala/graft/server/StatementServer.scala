@@ -72,6 +72,11 @@ object StatementServer {
     val pool = daemonPool(4, "graft-statement-exec")
     val nextId = new AtomicLong(0L)
     val queries = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicReference[State]]()
+    // spooled-protocol state: queries that asked for an encoding (via the
+    // X-Trino-Query-Data-Encoding header) and their spooled segment files
+    val encodings = new ConcurrentHashMap[String, String]()
+    val spoolDir = java.nio.file.Files.createTempDirectory("graft-spool").toFile
+    spoolDir.deleteOnExit()
 
     def respond(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -95,22 +100,50 @@ object StatementServer {
           (200, s"""{$base,"stats":{"state":"FAILED"},""" +
             s""""error":{"message":${jstr(msg)},"errorName":${jstr(errorName)}}}""")
         case Finished(schema, rows) =>
-          val from = (token * PageSize).toInt
-          val page = rows.slice(from, from + PageSize)
-          val hasMore = from + PageSize < rows.length
           val columns = schema.fields.map(f =>
             s"""{"name":${jstr(f.name)},"type":${jstr(trinoTypeName(f.dataType))}}""")
             .mkString("[", ",", "]")
-          val data = page.map(r => rowJson(r, schema)).mkString("[", ",", "]")
-          val next =
-            if (hasMore) s""""nextUri":${jstr(s"/v1/statement/executing/$id/x/${token + 1}")},"""
-            else ""
-          (200, s"""{$base,$next"columns":$columns,"data":$data,""" +
-            s""""stats":{"state":"FINISHED"}}""")
+          encodings.get(id) match {
+            case "json" =>
+              // spooled protocol (client/trino-client EncodedQueryData):
+              // ALL segments in one response — small results ride inline
+              // (base64 of the row-array JSON), larger ones spool to
+              // segment files fetched out-of-band and ACKed by the client.
+              // Subset: loopback URIs, no signing, one encoding ("json").
+              val chunks = rows.grouped(PageSize).toVector
+              val segs = chunks.zipWithIndex.map { case (chunk, i) =>
+                val bytes = chunk.map(r => rowJson(r, schema))
+                  .mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
+                val meta = s""""metadata":{"rowOffset":${i.toLong * PageSize},""" +
+                  s""""rowsCount":${chunk.length},"segmentSize":${bytes.length}}"""
+                if (rows.length <= PageSize)
+                  s"""{"type":"inline","data":${jstr(
+                    java.util.Base64.getEncoder.encodeToString(bytes))},$meta}"""
+                else {
+                  val f = new java.io.File(spoolDir, s"$id-$i.json")
+                  java.nio.file.Files.write(f.toPath, bytes)
+                  s"""{"type":"spooled","uri":${jstr(s"/v1/spooled/download/$id/$i")},""" +
+                    s""""ackUri":${jstr(s"/v1/spooled/ack/$id/$i")},$meta}"""
+                }
+              }
+              (200, s"""{$base,"columns":$columns,"data":{"encoding":"json",""" +
+                s""""segments":${segs.mkString("[", ",", "]")}},""" +
+                s""""stats":{"state":"FINISHED"}}""")
+            case _ =>
+              val from = (token * PageSize).toInt
+              val page = rows.slice(from, from + PageSize)
+              val hasMore = from + PageSize < rows.length
+              val data = page.map(r => rowJson(r, schema)).mkString("[", ",", "]")
+              val next =
+                if (hasMore) s""""nextUri":${jstr(s"/v1/statement/executing/$id/x/${token + 1}")},"""
+                else ""
+              (200, s"""{$base,$next"columns":$columns,"data":$data,""" +
+                s""""stats":{"state":"FINISHED"}}""")
+          }
       }
     }
 
-    server.createContext("/v1/statement", new HttpHandler {
+    server.createContext("/v1", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = try {
         val path = ex.getRequestURI.getPath
         (ex.getRequestMethod, path) match {
@@ -119,6 +152,9 @@ object StatementServer {
             val user = Option(ex.getRequestHeaders.getFirst("X-Trino-User"))
               .getOrElse("graft")
             val id = f"graft_${nextId.incrementAndGet()}%08d"
+            Option(ex.getRequestHeaders.getFirst("X-Trino-Query-Data-Encoding"))
+              .filter(_ == "json") // the one encoding this subset speaks
+              .foreach(enc => encodings.put(id, enc))
             val ref = new java.util.concurrent.atomic.AtomicReference[State](Queued)
             queries.put(id, ref)
             val createMs = System.currentTimeMillis()
@@ -188,6 +224,20 @@ object StatementServer {
                 ref.set(Cancelled)
                 ex.sendResponseHeaders(204, -1); ex.close()
             }
+          case ("GET", SpooledPath("download", qid, seg)) =>
+            val f = new java.io.File(spoolDir, s"$qid-$seg.json")
+            if (!f.isFile) respond(ex, 404, s"""{"error":"no spooled segment"}""")
+            else {
+              val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+              ex.getResponseHeaders.set("Content-Type", "application/json")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              val os: OutputStream = ex.getResponseBody
+              try os.write(bytes) finally os.close()
+            }
+          case (m, SpooledPath("ack", qid, seg)) if m == "GET" || m == "DELETE" =>
+            // the client's acknowledgement releases the segment's storage
+            new java.io.File(spoolDir, s"$qid-$seg.json").delete()
+            ex.sendResponseHeaders(204, -1); ex.close()
           case (m, p) => respond(ex, 404, s"""{"error":"no route $m $p"}""")
         }
       } catch {
@@ -203,6 +253,14 @@ object StatementServer {
     starter.start()
     starter.join()
     new Handle(server, pool)
+  }
+
+  private object SpooledPath {
+    private val Re = """/v1/spooled/(download|ack)/([A-Za-z0-9_]+)/([0-9]+)""".r
+    def unapply(path: String): Option[(String, String, String)] = path match {
+      case Re(op, qid, seg) => Some((op, qid, seg))
+      case _ => None
+    }
   }
 
   private object ExecutingPath {
