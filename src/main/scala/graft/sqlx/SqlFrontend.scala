@@ -40,6 +40,7 @@ private[graft] object SqlFrontend {
   // ------------------------------------------------------------ expr passes
 
   private val fnRenames = Map(
+    "row" -> "struct", // ROW(...) constructor; CAST names the fields
     "reduce" -> "aggregate",
     "format" -> "format_string",
     "approx_distinct" -> "approx_count_distinct",
@@ -121,13 +122,14 @@ private[graft] object SqlFrontend {
     case Between(x, lo, hi, n) => Between(f(x), f(lo), f(hi), n)
     case InList(x, items, n) => InList(f(x), items.map(f), n)
     case InSubq(x, q, n) => InSubq(f(x), rewriteQuery(q), n)
-    case LikeExpr(x, pat, n) => LikeExpr(f(x), f(pat), n)
+    case LikeExpr(x, pat, n, esc) => LikeExpr(f(x), f(pat), n, esc.map(f))
     case ExistsExpr(q) => ExistsExpr(rewriteQuery(q))
     case ScalarSubq(q) => ScalarSubq(rewriteQuery(q))
     case CaseExpr(op, whens, els) =>
       CaseExpr(op.map(f), whens.map { case (c, v) => (f(c), f(v)) }, els.map(f))
     case AtTimeZone(x, tz) => AtTimeZone(f(x), f(tz))
     case Subscript(x, ix) => Subscript(f(x), f(ix))
+    case FieldRef(x, n) => FieldRef(f(x), n)
     case leaf => leaf
   }
 
@@ -155,6 +157,7 @@ private[graft] object SqlFrontend {
     case JoinRel(k, l, rr, on) => JoinRel(k, rewriteRel(l), rewriteRel(rr), on.map(rewriteExpr))
     case SubqueryRel(q, a, c) => SubqueryRel(rewriteQuery(q), a, c)
     case MatchRel(input, block, a) => MatchRel(rewriteRel(input), block, a)
+    case SampleRel(input, m, pct) => SampleRel(rewriteRel(input), m, rewriteExpr(pct))
     case TvfRel(n, args, a) => TvfRel(n, args.map(rewriteExpr), a)
     case UnnestRel(es, alias, cols, ord) => UnnestRel(es.map(rewriteExpr), alias, cols, ord)
     case t: TableRef => t
@@ -213,6 +216,7 @@ private[graft] object SqlFrontend {
         .createOrReplaceTempView(view)
       TableRef(Id(Seq((view, false))), alias)
     case UnnestRel(es, alias, cols, ord) => UnnestRel(es, alias, cols, ord)
+    case SampleRel(input, m, pct) => SampleRel(planRel(spark, dir, input), m, pct)
     // information_schema.* / system.runtime.* / system.metadata.*: metadata
     // relations materialized driver-side (O(tables)) as temp views
     case TableRef(Id(parts), alias)
@@ -304,6 +308,38 @@ private[graft] object SqlFrontend {
     }
   }
 
+  /** Cast-target type at the dialect boundary: Trino ROW(name type, ...)
+    * becomes Spark STRUCT<name: type> (recursively); every other spelling
+    * passes through to Spark's own type parser. */
+  private[sqlx] def renderCastType(t: String): String = {
+    val trimmed = t.trim
+    trimmed.toUpperCase match {
+      // unparameterized spellings Spark's type parser refuses
+      case "VARCHAR" => return "STRING"
+      case "VARBINARY" => return "BINARY"
+      case _ =>
+    }
+    if (!trimmed.toUpperCase.startsWith("ROW(")) return t
+    val inner = trimmed.substring(4, trimmed.length - 1)
+    // split top-level commas (nesting-aware)
+    val fields = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0; var start = 0
+    for (i <- inner.indices) inner.charAt(i) match {
+      case '(' | '<' => depth += 1
+      case ')' | '>' => depth -= 1
+      case ',' if depth == 0 => fields += inner.substring(start, i); start = i + 1
+      case _ =>
+    }
+    fields += inner.substring(start)
+    val rendered = fields.map { f =>
+      val ft = f.trim
+      val cut = ft.indexOf(' ')
+      require(cut > 0, s"ROW field needs 'name type': '$ft'")
+      s"${ft.substring(0, cut)}: ${renderCastType(ft.substring(cut + 1))}"
+    }
+    rendered.mkString("STRUCT<", ", ", ">")
+  }
+
   private def renderRel(r: Rel): String = r match {
     case TableRef(id, alias) => renderId(id) + alias.map(" " + renderAlias(_)).getOrElse("")
     case SubqueryRel(q, alias, cols) =>
@@ -324,6 +360,11 @@ private[graft] object SqlFrontend {
       throw new IllegalStateException("MatchRel must be planned before rendering")
     case t: TvfRel =>
       throw new IllegalStateException("TvfRel must be planned before rendering")
+    // BERNOULLI is Spark's row-Bernoulli PERCENT sampling exactly; SYSTEM
+    // (block sampling) is approximated the same way — both are
+    // probabilistic samples with the same expected fraction
+    case SampleRel(input, _, pct) =>
+      s"${renderRel(input)} TABLESAMPLE (${renderExpr(pct)} PERCENT)"
   }
 
   private def renderUnnest(u: UnnestRel): String = {
@@ -379,7 +420,7 @@ private[graft] object SqlFrontend {
       if (ps.length == 1) s"${ps.head} -> ${renderExpr(body)}"
       else s"(${ps.mkString(", ")}) -> ${renderExpr(body)}"
     case Cast(x, t, isTry) =>
-      s"${if (isTry) "TRY_CAST" else "CAST"}(${renderExpr(x)} AS $t)"
+      s"${if (isTry) "TRY_CAST" else "CAST"}(${renderExpr(x)} AS ${renderCastType(t)})"
     case TryExpr(x) =>
       throw new IllegalStateException(s"unlowered TRY(${renderExpr(x)})")
     case Bin(op, l, r) => s"(${renderExpr(l)} $op ${renderExpr(r)})"
@@ -392,8 +433,9 @@ private[graft] object SqlFrontend {
       s"(${renderExpr(x)} ${if (neg) "NOT " else ""}IN (${items.map(renderExpr).mkString(", ")}))"
     case InSubq(x, q, neg) =>
       s"(${renderExpr(x)} ${if (neg) "NOT " else ""}IN (${renderQuery(q)}))"
-    case LikeExpr(x, pat, neg) =>
-      s"(${renderExpr(x)} ${if (neg) "NOT " else ""}LIKE ${renderExpr(pat)})"
+    case LikeExpr(x, pat, neg, esc) =>
+      s"(${renderExpr(x)} ${if (neg) "NOT " else ""}LIKE ${renderExpr(pat)}" +
+        esc.map(e => s" ESCAPE ${renderExpr(e)}").getOrElse("") + ")"
     case ExistsExpr(q) => s"EXISTS (${renderQuery(q)})"
     case ScalarSubq(q) => s"(${renderQuery(q)})"
     case CaseExpr(operand, whens, els) =>
@@ -411,6 +453,7 @@ private[graft] object SqlFrontend {
     // is 1-based for arrays, key-addressed for maps, and throws on
     // out-of-bounds under ANSI like the reference.
     case Subscript(x, ix) => s"element_at(${renderExpr(x)}, ${renderExpr(ix)})"
+    case FieldRef(x, n) => s"(${renderExpr(x)}).$n"
   }
 
   private def renderWindow(w: WindowSpec): String = {

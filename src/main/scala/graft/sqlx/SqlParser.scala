@@ -40,13 +40,16 @@ object SqlAst {
   final case class Between(e: Expr, lo: Expr, hi: Expr, negated: Boolean) extends Expr
   final case class InList(e: Expr, items: Seq[Expr], negated: Boolean) extends Expr
   final case class InSubq(e: Expr, q: Query, negated: Boolean) extends Expr
-  final case class LikeExpr(e: Expr, pattern: Expr, negated: Boolean) extends Expr
+  final case class LikeExpr(e: Expr, pattern: Expr, negated: Boolean,
+      escape: Option[Expr] = None) extends Expr
   final case class ExistsExpr(q: Query) extends Expr
   final case class ScalarSubq(q: Query) extends Expr
   final case class CaseExpr(operand: Option[Expr], whens: Seq[(Expr, Expr)],
       els: Option[Expr]) extends Expr
   final case class AtTimeZone(e: Expr, tz: Expr) extends Expr
   final case class Subscript(e: Expr, index: Expr) extends Expr
+  /** Row-field dereference on a computed value (`expr.field`). */
+  final case class FieldRef(e: Expr, field: String) extends Expr
 
   final case class WindowSpec(partitionBy: Seq[Expr], orderBy: Seq[SortItem],
       frameRaw: Option[String])
@@ -62,6 +65,8 @@ object SqlAst {
   final case class TvfRel(name: String, args: Seq[Expr], alias: Option[String]) extends Rel
   /** MATCH_RECOGNIZE over any input; `blockRaw` is the balanced-paren body. */
   final case class MatchRel(input: Rel, blockRaw: String, alias: Option[String]) extends Rel
+  /** TABLESAMPLE BERNOULLI/SYSTEM (percentage) over a relation. */
+  final case class SampleRel(input: Rel, method: String, percent: Expr) extends Rel
 
   sealed trait Query
   final case class Select(distinct: Boolean, items: Seq[SelectItem],
@@ -270,7 +275,8 @@ final class SqlParser(src: String) {
     "FULL", "CROSS", "ON", "AND", "OR", "NOT", "AS", "BY", "WITH", "CASE",
     "WHEN", "THEN", "ELSE", "END", "IN", "IS", "NULL", "BETWEEN", "LIKE",
     "EXISTS", "DISTINCT", "ALL", "USING", "VALUES", "LATERAL", "NATURAL",
-    "MATCH_RECOGNIZE", "AT", "OVER", "ROLLUP", "CUBE", "GROUPING", "WINDOW")
+    "MATCH_RECOGNIZE", "AT", "OVER", "ROLLUP", "CUBE", "GROUPING", "WINDOW",
+    "TABLESAMPLE")
 
   // ---------------------------------------------------------------- queries
 
@@ -851,6 +857,16 @@ final class SqlParser(src: String) {
       p += 1
       val blockRaw = rawBalancedParens()
       MatchRel(base, blockRaw, relAlias())
+    } else if (peek.is("TABLESAMPLE")) {
+      // TABLESAMPLE BERNOULLI|SYSTEM (percentage) — SqlBase.g4 sampleType
+      p += 1
+      val method = next().text.toUpperCase
+      if (method != "BERNOULLI" && method != "SYSTEM")
+        err(s"TABLESAMPLE method BERNOULLI | SYSTEM, got '$method'")
+      expectOp("(")
+      val pct = parseExpr()
+      expectOp(")")
+      SampleRel(base, method, pct)
     } else base
   }
 
@@ -937,7 +953,9 @@ final class SqlParser(src: String) {
         }
       } else if (peek.is("LIKE") || (peek.is("NOT") && peek2.is("LIKE"))) {
         val neg = accept("NOT"); expectKw("LIKE")
-        e = LikeExpr(e, parseComparison(), neg)
+        val pat = parseComparison()
+        val esc = if (accept("ESCAPE")) Some(parseComparison()) else None
+        e = LikeExpr(e, pat, neg, esc)
       } else done = true
     }
     e
@@ -998,11 +1016,21 @@ final class SqlParser(src: String) {
 
   private def parsePostfix(): Expr = {
     var e = parsePrimary()
-    while (peek.isOp("[")) {
-      p += 1
-      val ix = parseExpr()
-      expectOp("]")
-      e = Subscript(e, ix)
+    var postfix = true
+    while (postfix) {
+      if (peek.isOp("[")) {
+        p += 1
+        val ix = parseExpr()
+        expectOp("]")
+        e = Subscript(e, ix)
+      } else if (peek.isOp(".") &&
+          (peek2.kind == TIdent || peek2.kind == TQIdent) &&
+          !e.isInstanceOf[Id]) {
+        // row-field dereference on a computed value: CAST(... AS ROW(...)).f
+        // (Id chains keep their own qualified-name parse)
+        p += 1
+        e = FieldRef(e, identPart()._1)
+      } else postfix = false
     }
     e
   }
@@ -1013,7 +1041,9 @@ final class SqlParser(src: String) {
     val t = peek
     t.kind match {
       case TNum => p += 1; Lit(t.text)
-      case TStr => p += 1; Lit("'" + t.text + "'")
+      // Trino string literals carry backslashes literally; Spark treats \
+      // as an escape inside '...' — re-escape at the dialect boundary
+      case TStr => p += 1; Lit("'" + t.text.replace("\\", "\\\\") + "'")
       case TOp if t.text == "(" =>
         // lambda `(a, b) -> body`, scalar subquery, or grouping parens
         val save = p
@@ -1069,6 +1099,12 @@ final class SqlParser(src: String) {
           case "NULL" => p += 1; Lit("NULL")
           case "TRUE" => p += 1; Lit("TRUE")
           case "FALSE" => p += 1; Lit("FALSE")
+          case "ARRAY" if peek2.isOp("[") =>
+            // ARRAY[e, ...] literal (SqlBase.g4 arrayConstructor)
+            p += 2
+            val items = if (peek.isOp("]")) Seq.empty else exprList()
+            expectOp("]")
+            Fn("array", items, distinct = false, over = None)
           case k if typedLitKws(k) && peek2.kind == TStr =>
             p += 1
             val v = next().text
@@ -1178,8 +1214,13 @@ final class SqlParser(src: String) {
         while (depth > 0) {
           if (peek.isOp("(")) depth += 1
           else if (peek.isOp(")")) depth -= 1
-          if (depth > 0) sb.append(peek.text)
-          else sb.append(')')
+          if (depth > 0) {
+            // keep word boundaries: ROW(x BIGINT, y VARCHAR) must not
+            // reconstruct as ROW(xBIGINT,yVARCHAR)
+            if (peek.kind == TIdent && sb.nonEmpty &&
+                (sb.last.isLetterOrDigit || sb.last == '_')) sb.append(' ')
+            sb.append(peek.text)
+          } else sb.append(')')
           p += 1
         }
       }

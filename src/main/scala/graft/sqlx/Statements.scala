@@ -139,7 +139,7 @@ private[graft] object Statements {
       case IsNull(inner, _) => fromExpr(inner, c)
       case Between(a, lo, hi, _) => fromExpr(a, c) ++ fromExpr(lo, c) ++ fromExpr(hi, c)
       case InList(a, items, _) => fromExpr(a, c) ++ items.flatMap(fromExpr(_, c))
-      case LikeExpr(a, p, _) => fromExpr(a, c) ++ fromExpr(p, c)
+      case LikeExpr(a, p, _, _) => fromExpr(a, c) ++ fromExpr(p, c)
       case CaseExpr(op, whens, els) =>
         op.toSeq.flatMap(fromExpr(_, c)).toSet ++
           whens.flatMap { case (a, b) => fromExpr(a, c) ++ fromExpr(b, c) } ++
@@ -158,6 +158,7 @@ private[graft] object Statements {
       case MatchRel(input, _, _) => fromRel(input, c)
       case UnnestRel(exprs, _, _, _) => exprs.flatMap(fromExpr(_, c)).toSet
       case TvfRel(_, args, _) => args.flatMap(fromExpr(_, c)).toSet
+      case SampleRel(input, _, _) => fromRel(input, c)
     }
     q match {
       case Select(_, items, from, where, _, having, _, _, _, _) =>

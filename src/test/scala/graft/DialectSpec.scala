@@ -335,4 +335,33 @@ class DialectSpec extends SparkSpec {
     assert(schemas.contains("default"), schemas.mkString(","))
     TrinoDialect.sql(spark, sfDir, "DROP TABLE wh_empty")
   }
+
+  test("grammar breadth: ARRAY literal + subscript, LIKE ESCAPE, ROW cast, TABLESAMPLE") {
+    // ARRAY[...] literal and 1-based subscript
+    assert(TrinoDialect.sql(spark, sfDir, "SELECT ARRAY[10,20,30][2] AS el")
+      .collect()(0).getInt(0) == 20)
+    // nested in UNNEST args through CROSS JOIN form
+    val un = TrinoDialect.sql(spark, sfDir,
+      "SELECT x FROM (VALUES (1)) AS t(d) CROSS JOIN UNNEST(ARRAY[7,8]) AS u(x) ORDER BY x")
+      .collect().map(_.getInt(0)).toSeq
+    assert(un == Seq(7, 8))
+    // LIKE ESCAPE with a Trino-literal backslash escape character
+    val esc = TrinoDialect.sql(spark, sfDir,
+      "SELECT v FROM (VALUES ('50%'), ('50x')) AS t(v) WHERE v LIKE '50\\%' ESCAPE '\\'")
+      .collect().map(_.getString(0)).toSeq
+    assert(esc == Seq("50%"), esc)
+    // ROW-typed cast renders to a struct; field deref on the computed value
+    val row = TrinoDialect.sql(spark, sfDir,
+      "SELECT CAST(ROW(1, 'a') AS ROW(x BIGINT, y VARCHAR)).x AS rx")
+      .collect()(0).getLong(0)
+    assert(row == 1L)
+    // TABLESAMPLE parses and samples (row count within [0, total])
+    val n = TrinoDialect.sql(spark, sfDir,
+      "SELECT count(*) AS n FROM (SELECT * FROM nation TABLESAMPLE BERNOULLI (50)) s")
+      .collect()(0).getLong(0)
+    assert(n >= 0L && n <= 25L)
+    // strings keep Trino literal-backslash semantics through the parser
+    assert(TrinoDialect.sql(spark, sfDir, raw"SELECT length('a\nb') AS l")
+      .collect()(0).getInt(0) == 4)
+  }
 }
