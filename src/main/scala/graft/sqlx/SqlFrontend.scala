@@ -158,6 +158,7 @@ private[graft] object SqlFrontend {
     case SubqueryRel(q, a, c) => SubqueryRel(rewriteQuery(q), a, c)
     case MatchRel(input, block, a) => MatchRel(rewriteRel(input), block, a)
     case SampleRel(input, m, pct) => SampleRel(rewriteRel(input), m, rewriteExpr(pct))
+    case tt: TimeTravelRel => tt
     case TvfRel(n, args, a) => TvfRel(n, args.map(rewriteExpr), a)
     case UnnestRel(es, alias, cols, ord) => UnnestRel(es.map(rewriteExpr), alias, cols, ord)
     case t: TableRef => t
@@ -217,6 +218,17 @@ private[graft] object SqlFrontend {
       TableRef(Id(Seq((view, false))), alias)
     case UnnestRel(es, alias, cols, ord) => UnnestRel(es, alias, cols, ord)
     case SampleRel(input, m, pct) => SampleRel(planRel(spark, dir, input), m, pct)
+    case TimeTravelRel(name, kind, value, alias) =>
+      val raw = value match {
+        case TypedLit(_, s0) => s0
+        case Lit(s0) => s0
+        case other => throw new SqlParseException(
+          s"FOR $kind AS OF takes a literal, got ${renderExpr(other)}")
+      }
+      val df = Statements.timeTravelRead(spark, name.plain, kind, raw)
+      val view = s"__asof_${viewCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      TableRef(Id(Seq((view, false))), alias.orElse(Some(name.plain)))
     // information_schema.* / system.runtime.* / system.metadata.*: metadata
     // relations materialized driver-side (O(tables)) as temp views
     case TableRef(Id(parts), alias)
@@ -365,6 +377,8 @@ private[graft] object SqlFrontend {
     // probabilistic samples with the same expected fraction
     case SampleRel(input, _, pct) =>
       s"${renderRel(input)} TABLESAMPLE (${renderExpr(pct)} PERCENT)"
+    case _: TimeTravelRel =>
+      throw new IllegalStateException("TimeTravelRel must be planned before rendering")
   }
 
   private def renderUnnest(u: UnnestRel): String = {

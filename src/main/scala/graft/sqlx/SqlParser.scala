@@ -67,6 +67,9 @@ object SqlAst {
   final case class MatchRel(input: Rel, blockRaw: String, alias: Option[String]) extends Rel
   /** TABLESAMPLE BERNOULLI/SYSTEM (percentage) over a relation. */
   final case class SampleRel(input: Rel, method: String, percent: Expr) extends Rel
+  /** FOR VERSION|TIMESTAMP AS OF over a table (SqlBase.g4 queryPeriod). */
+  final case class TimeTravelRel(name: Id, kind: String, value: Expr,
+      alias: Option[String]) extends Rel
 
   sealed trait Query
   final case class Select(distinct: Boolean, items: Seq[SelectItem],
@@ -851,7 +854,12 @@ final class SqlParser(src: String) {
           p += 1
           parts += identPart()
         }
-        TableRef(Id(parts.toSeq), relAlias())
+        if (peek.is("FOR") && (peek2.is("VERSION") || peek2.is("TIMESTAMP"))) {
+          p += 1
+          val kind = next().text.toUpperCase
+          expectKw("AS"); expectKw("OF")
+          TimeTravelRel(Id(parts.toSeq), kind, parsePrimary(), relAlias())
+        } else TableRef(Id(parts.toSeq), relAlias())
       }
     if (peek.is("MATCH_RECOGNIZE")) {
       p += 1

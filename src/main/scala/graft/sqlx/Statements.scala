@@ -159,6 +159,7 @@ private[graft] object Statements {
       case UnnestRel(exprs, _, _, _) => exprs.flatMap(fromExpr(_, c)).toSet
       case TvfRel(_, args, _) => args.flatMap(fromExpr(_, c)).toSet
       case SampleRel(input, _, _) => fromRel(input, c)
+      case TimeTravelRel(name, _, _, _) => Set(name.plain.toLowerCase)
     }
     q match {
       case Select(_, items, from, where, _, having, _, _, _, _) =>
@@ -192,6 +193,31 @@ private[graft] object Statements {
 
   private def openTable(spark: SparkSession, name: String): graft.catalog.CowTable =
     graft.catalog.CowTable.open(spark, tables(requireKey(name)))
+
+  /** `FOR VERSION|TIMESTAMP AS OF` over a front-door table (reference
+    * SqlBase.g4 queryPeriod; connectors resolve the snapshot). VERSION is
+    * the CoW manifest version; TIMESTAMP resolves to the newest version
+    * whose manifest commit time (the atomic-rename mtime) is ≤ the given
+    * instant — failing loudly when the instant predates the table. */
+  private[sqlx] def timeTravelRead(spark: SparkSession, name: String,
+      kind: String, raw: String): DataFrame = {
+    val key = requireKey(name)
+    val ct = graft.catalog.CowTable.open(spark, tables(key))
+    kind match {
+      case "VERSION" => ct.read(asOfVersion = Some(raw.trim.toInt))
+      case "TIMESTAMP" =>
+        val instant = java.sql.Timestamp.valueOf(raw.trim.replace("T", " ")).getTime
+        val manifests = Paths.get(tables(key), "_manifests")
+        val versions = (0 to ct.currentVersion).filter { v =>
+          Files.getLastModifiedTime(manifests.resolve(s"v$v")).toMillis <= instant
+        }
+        require(versions.nonEmpty,
+          s"no version of '$name' exists at or before $raw")
+        ct.read(asOfVersion = Some(versions.max))
+      case other => throw new IllegalArgumentException(
+        s"FOR $other AS OF: VERSION | TIMESTAMP")
+    }
+  }
 
   /** Declared-schema projection over the (schema-merged) physical read. */
   private def projected(spark: SparkSession, key: String): DataFrame = {

@@ -170,6 +170,16 @@ object TrinoDialect {
   private def sqlDirect(spark: SparkSession, dir: String, text: String): DataFrame = {
     graft.sources.Tables.registerAll(spark, dir)
     graft.functions.Registry.registerAll(spark)
+    // WITH FUNCTION f(...) RETURNS t RETURN e [, FUNCTION ...] <query>
+    // (SqlBase.g4 functionSpecification at query head): register each
+    // inline routine through the CREATE FUNCTION path, then run the query.
+    // Scope subset: temporary-function (session) rather than
+    // statement-local — the nearest Spark scoping.
+    if ("(?is)^\\s*WITH\\s+FUNCTION\\b".r.findFirstIn(text).isDefined) {
+      val (defs, query) = splitInlineFunctions(text)
+      defs.foreach(d => graft.functions.SqlRoutines.create(spark, "CREATE " + d))
+      return sqlDirect(spark, dir, query)
+    }
     try Statements.run(spark, dir, text) // DML/EXPLAIN/SHOW/DESCRIBE heads
       .getOrElse(SqlFrontend.run(spark, dir, text))
     catch {
@@ -177,6 +187,49 @@ object TrinoDialect {
         System.err.println(s"[sqlx] parser fallback (${e.getMessage.takeWhile(_ != '\n')})")
         legacyDirect(spark, dir, text)
     }
+  }
+
+  /** Split `WITH FUNCTION d1 [, FUNCTION d2 ...] <query>` into the routine
+    * definitions and the query text. The query begins at the first
+    * depth-0 SELECT/VALUES/TABLE keyword after a definition's RETURN body
+    * (subqueries in bodies stay parenthesized, so depth-0 is unambiguous);
+    * `, FUNCTION` at depth 0 starts the next definition. */
+  private def splitInlineFunctions(text: String): (Seq[String], String) = {
+    val afterWith = text.replaceFirst("(?is)^\\s*WITH\\s+", "")
+    val defs = scala.collection.mutable.ArrayBuffer[String]()
+    var rest = afterWith
+    val queryHeads = Set("SELECT", "VALUES", "TABLE", "WITH")
+    while ("(?is)^FUNCTION\\b".r.findFirstIn(rest).isDefined) {
+      var i = 0; var depth = 0; var inQ = false
+      var cut = -1; var sawReturn = false
+      while (cut < 0 && i < rest.length) {
+        val c = rest.charAt(i)
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && (c == '(')) depth += 1
+        else if (!inQ && (c == ')')) depth -= 1
+        else if (!inQ && depth == 0 && (c.isLetter || c == ',')) {
+          if (c == ',') {
+            // `, FUNCTION` at depth 0 → next definition
+            val after = rest.substring(i + 1).dropWhile(_.isWhitespace)
+            if (sawReturn && after.toUpperCase.startsWith("FUNCTION")) cut = i - 1
+          } else {
+            val word = rest.substring(i).takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+            val up = word.toUpperCase
+            if (up == "RETURN") sawReturn = true
+            else if (sawReturn && queryHeads(up) &&
+                (i == 0 || rest.charAt(i - 1).isWhitespace)) cut = i - 1
+            i += math.max(0, word.length - 1)
+          }
+        }
+        i += 1
+      }
+      require(cut >= 0, "WITH FUNCTION: could not find the query after the definitions")
+      defs += rest.substring(0, cut + 1).trim
+      rest = rest.substring(cut + 1).dropWhile(_.isWhitespace)
+      if (rest.startsWith(",")) rest = rest.substring(1).dropWhile(_.isWhitespace)
+    }
+    require(defs.nonEmpty, "WITH FUNCTION: no definitions parsed")
+    (defs.toSeq, rest)
   }
 
   private def legacyDirect(spark: SparkSession, dir: String, text: String): DataFrame =

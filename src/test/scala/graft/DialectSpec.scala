@@ -364,4 +364,49 @@ class DialectSpec extends SparkSpec {
     assert(TrinoDialect.sql(spark, sfDir, raw"SELECT length('a\nb') AS l")
       .collect()(0).getInt(0) == 4)
   }
+
+  test("FOR VERSION / TIMESTAMP AS OF time travel on front-door tables") {
+    TrinoDialect.sql(spark, sfDir,
+      "CREATE TABLE tt_spec AS SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0")
+    val v0Count = TrinoDialect.sql(spark, sfDir,
+      "SELECT count(*) AS c FROM tt_spec").collect()(0).getLong(0)
+    Thread.sleep(1100) // commit-mtime resolution is 1 s on some filesystems
+    val cut = new java.sql.Timestamp(System.currentTimeMillis())
+    TrinoDialect.sql(spark, sfDir,
+      "INSERT INTO tt_spec SELECT n_nationkey FROM nation WHERE n_regionkey = 1")
+    // VERSION AS OF: version 1 is the CTAS snapshot
+    val atV1 = TrinoDialect.sql(spark, sfDir,
+      "SELECT count(*) AS c FROM tt_spec FOR VERSION AS OF 1").collect()(0).getLong(0)
+    assert(atV1 == v0Count, s"v1 $atV1 != ctas $v0Count")
+    // latest sees the insert
+    val latest = TrinoDialect.sql(spark, sfDir,
+      "SELECT count(*) AS c FROM tt_spec").collect()(0).getLong(0)
+    assert(latest > v0Count)
+    // TIMESTAMP AS OF between the commits resolves to the CTAS snapshot
+    val atTs = TrinoDialect.sql(spark, sfDir,
+      s"SELECT count(*) AS c FROM tt_spec FOR TIMESTAMP AS OF TIMESTAMP '$cut'")
+      .collect()(0).getLong(0)
+    assert(atTs == v0Count, s"asof $atTs != ctas $v0Count")
+    // a pre-table instant fails loudly
+    intercept[Exception] {
+      TrinoDialect.sql(spark, sfDir,
+        "SELECT * FROM tt_spec FOR TIMESTAMP AS OF TIMESTAMP '1990-01-01 00:00:00'")
+        .collect()
+    }
+    TrinoDialect.sql(spark, sfDir, "DROP TABLE tt_spec")
+  }
+
+  test("WITH FUNCTION: inline routines at the query head") {
+    val one = TrinoDialect.sql(spark, sfDir,
+      "WITH FUNCTION wf_dbl(x bigint) RETURNS bigint RETURN x * 2 SELECT wf_dbl(21) AS y")
+      .collect()(0).getLong(0)
+    assert(one == 42L)
+    // two definitions, second referencing data; characteristics stripped
+    val rows = TrinoDialect.sql(spark, sfDir,
+      """WITH FUNCTION wf_inc(x bigint) RETURNS bigint DETERMINISTIC RETURN x + 1,
+         FUNCTION wf_sq(x bigint) RETURNS bigint RETURN x * x
+         SELECT wf_sq(wf_inc(n_regionkey)) AS v FROM nation
+         WHERE n_nationkey = 0""").collect()
+    assert(rows(0).getLong(0) == 1L) // region 0 → (0+1)^2
+  }
 }
