@@ -367,7 +367,8 @@ private[graft] object SqlFrontend {
       }
       s"${renderRel(l)} $kw ${renderRel(rr)}" + on.map(c => s" ON ${renderExpr(c)}").getOrElse("")
     case u: UnnestRel =>
-      throw new SqlParseException("UNNEST is supported as CROSS JOIN UNNEST(...) AS t (c)")
+      // bare UNNEST in FROM: a one-row anchor carries the lateral view
+      s"(SELECT 1) ${freshAlias()} " + renderUnnest(u)
     case m: MatchRel =>
       throw new IllegalStateException("MatchRel must be planned before rendering")
     case t: TvfRel =>
@@ -382,11 +383,23 @@ private[graft] object SqlFrontend {
   }
 
   private def renderUnnest(u: UnnestRel): String = {
-    if (u.ordinality) throw new SqlParseException(
-      "UNNEST WITH ORDINALITY: use the posexplode DataFrame surface (q_unnest)")
-    if (u.exprs.length != 1 || u.cols.length != 1) throw new SqlParseException(
-      "UNNEST supports one array expression with one output column here")
-    s"LATERAL VIEW explode(${renderExpr(u.exprs.head)}) ${u.alias} AS ${u.cols.head}"
+    if (u.exprs.length != 1) throw new SqlParseException(
+      "UNNEST supports one array expression here")
+    if (u.ordinality) {
+      // WITH ORDINALITY: posexplode's 0-based pos becomes the 1-based
+      // ordinal through a second (constant-array) lateral view, so the
+      // declared column name binds the +1 value directly
+      if (u.cols.length != 2) throw new SqlParseException(
+        "UNNEST WITH ORDINALITY names two columns: (value, ordinal)")
+      val ord = s"__ord_${aliasCounter.incrementAndGet()}"
+      s"LATERAL VIEW posexplode(${renderExpr(u.exprs.head)}) ${u.alias} " +
+        s"AS $ord, ${u.cols.head} " +
+        s"LATERAL VIEW explode(array($ord + 1)) ${ord}_v AS ${u.cols(1)}"
+    } else {
+      if (u.cols.length != 1) throw new SqlParseException(
+        "UNNEST supports one output column here")
+      s"LATERAL VIEW explode(${renderExpr(u.exprs.head)}) ${u.alias} AS ${u.cols.head}"
+    }
   }
 
   private val aliasCounter = new AtomicInteger(0)

@@ -840,6 +840,8 @@ final class SqlParser(src: String) {
             cs.toSeq
           } else Nil
         SubqueryRel(q, a, cols)
+      } else if (peek.is("UNNEST") && peek2.isOp("(")) {
+        parseUnnest() // bare UNNEST in FROM (one-row anchor at render)
       } else if (peek.is("TABLE") && peek2.isOp("(")) {
         p += 2
         val name = ident("table function name")

@@ -409,4 +409,23 @@ class DialectSpec extends SparkSpec {
          WHERE n_nationkey = 0""").collect()
     assert(rows(0).getLong(0) == 1L) // region 0 → (0+1)^2
   }
+
+  test("bare UNNEST in FROM and WITH ORDINALITY") {
+    val bare = TrinoDialect.sql(spark, sfDir,
+      "SELECT x FROM UNNEST(ARRAY[7, 8, 9]) AS t(x) ORDER BY x")
+      .collect().map(_.getInt(0)).toSeq
+    assert(bare == Seq(7, 8, 9))
+    // WITH ORDINALITY: 1-based ordinal in declaration order (value, ord)
+    val ord = TrinoDialect.sql(spark, sfDir,
+      "SELECT x, o FROM UNNEST(ARRAY[30, 10, 20]) WITH ORDINALITY AS t(x, o) ORDER BY o")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(ord == Seq((30, 1), (10, 2), (20, 3)), ord)
+    // correlated CROSS JOIN form still works with ordinality
+    val corr = TrinoDialect.sql(spark, sfDir,
+      """SELECT n_nationkey AS k, w, o
+         FROM nation CROSS JOIN UNNEST(ARRAY[n_nationkey, n_regionkey]) WITH ORDINALITY AS u(w, o)
+         WHERE n_nationkey = 3 ORDER BY o""")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(corr.map(_._3) == Seq(1, 2) && corr.head._2 == 3)
+  }
 }
