@@ -157,6 +157,11 @@ object StatementServer {
               .foreach(enc => encodings.put(id, enc))
             val ref = new java.util.concurrent.atomic.AtomicReference[State](Queued)
             queries.put(id, ref)
+            // kill affects live statements only: a Finished/Failed result
+            // is never clobbered retroactively
+            QueryRegistry.register(id, () =>
+              ref.compareAndSet(Queued, Cancelled) ||
+                ref.compareAndSet(Running, Cancelled))
             val createMs = System.currentTimeMillis()
             EventListeners.fireCreated(
               s"""{"metadata":{"queryId":${jstr(id)},"query":${jstr(sql)},""" +

@@ -929,6 +929,15 @@ private[graft] object Statements {
           projected(spark, k).createOrReplaceTempView(viewNameOf(k)))
         oneRow(spark, "rows", 0L)
 
+      case "kill_query" =>
+        // CALL system.runtime.kill_query(query_id) — cancels a statement
+        // running on this JVM's statement server (reference:
+        // connector/system/KillQueryProcedure.java)
+        val qid = arg(Seq("query_id", "id"), 0)
+        require(graft.server.QueryRegistry.kill(qid),
+          s"query '$qid' is not running on this server")
+        oneRow(spark, "rows", 0L)
+
       case other => throw new SqlParseException(
         s"procedure '${name.mkString(".")}' is not registered")
     }

@@ -14,6 +14,32 @@ import org.json4s.jackson.JsonMethods
 class StatementServerSpec extends SparkSpec
     with org.scalatest.BeforeAndAfterAll {
 
+  test("CALL system.runtime.kill_query cancels a live server statement") {
+    spark.udf.register("spec_kill_block", (ms: Long) => { Thread.sleep(ms); ms })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val fut = pool.submit(new java.util.concurrent.Callable[String] {
+      override def call(): String =
+        try { client.StatementClient.execute(handle.uri,
+          "SELECT spec_kill_block(30000) AS v"); "finished" }
+        catch { case e: client.StatementClient.StatementFailed => e.getMessage }
+    })
+    // the submitted query got the next sequential id; find it via kill result
+    Thread.sleep(500)
+    val killed = (1 to 200).reverse.find { n =>
+      graft.server.QueryRegistry.kill(f"graft_$n%08d")
+    }
+    assert(killed.isDefined, "no live query found to kill")
+    val outcome = fut.get(30, java.util.concurrent.TimeUnit.SECONDS)
+    assert(outcome.contains("cancel"), outcome)
+    // killing an unknown id reports failure through the CALL door
+    val e = intercept[Exception] {
+      sqlx.TrinoDialect.sql(spark, sfDir,
+        "CALL system.runtime.kill_query('graft_99999999')")
+    }
+    assert(e.getMessage.contains("not running"))
+    pool.shutdownNow()
+  }
+
   private lazy val handle = server.StatementServer.start(spark, sfDir)
   private lazy val http = HttpClient.newHttpClient()
 
