@@ -1,22 +1,29 @@
 package graft.client
 
 /** Interactive SQL shell over the statement protocol (reference:
-  * client/trino-cli — `trino --server host:port [--execute sql]` reads
-  * `;`-terminated statements, drives StatementClientV1, prints an aligned
-  * table and a row count). Usage:
+  * client/trino-cli — `trino --server host:port [--execute sql]
+  * [--output-format fmt]` reads `;`-terminated statements, drives
+  * StatementClientV1, prints results). Usage:
   *
   *   graft.client.Cli http://127.0.0.1:PORT            # REPL on stdin
   *   graft.client.Cli http://127.0.0.1:PORT --execute "SELECT ..."
+  *   graft.client.Cli ... --execute "..." --output-format CSV|TSV|CSV_HEADER|TSV_HEADER|ALIGNED
   *
-  * Numeric columns right-align, everything else left-aligns; NULL prints
-  * as the reference's empty-cell convention. Exit with `quit`/`exit`. */
+  * ALIGNED (default): numeric columns right-align, NULL prints, a row
+  * count trails. CSV quotes per RFC 4180; TSV escapes tabs/newlines.
+  * Exit with `quit`/`exit`. */
 object Cli {
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Cli <server-uri> [--execute <sql>]")
+    require(args.nonEmpty, "usage: Cli <server-uri> [--execute <sql>] [--output-format <fmt>]")
     val base = args(0).stripSuffix("/")
-    args.drop(1).toList match {
-      case "--execute" :: sql :: Nil => runOne(base, sql, System.out)
+    val rest = args.drop(1).toList
+    val idx = rest.indexOf("--output-format")
+    val format =
+      if (idx >= 0 && idx + 1 < rest.length) rest(idx + 1).toUpperCase else "ALIGNED"
+    val noFormat = if (idx >= 0) rest.patch(idx, Nil, 2) else rest
+    noFormat match {
+      case "--execute" :: sql :: Nil => runOne(base, sql, System.out, format)
       case Nil => repl(base)
       case other => sys.error(s"unrecognized arguments: $other")
     }
@@ -57,10 +64,34 @@ object Cli {
     !inQ && lastMeaningful == ';'
   }
 
-  private[graft] def runOne(base: String, sql: String, out: java.io.PrintStream): Unit = {
+  private[graft] def runOne(base: String, sql: String, out: java.io.PrintStream,
+      format: String = "ALIGNED"): Unit = {
     val res = StatementClient.execute(base, sql)
-    out.println(render(res))
+    format match {
+      case "ALIGNED" => out.println(render(res))
+      case "CSV" | "CSV_HEADER" =>
+        if (format == "CSV_HEADER")
+          out.println(res.columns.map(c => csvCell(c.name)).mkString(","))
+        res.rows.foreach(r => out.println(
+          r.map(v => csvCell(if (v == null) "" else formatCell(v))).mkString(",")))
+      case "TSV" | "TSV_HEADER" =>
+        if (format == "TSV_HEADER")
+          out.println(res.columns.map(c => tsvCell(c.name)).mkString("\t"))
+        res.rows.foreach(r => out.println(
+          r.map(v => tsvCell(if (v == null) "" else formatCell(v))).mkString("\t")))
+      case other => sys.error(
+        s"--output-format ALIGNED | CSV | CSV_HEADER | TSV | TSV_HEADER (got $other)")
+    }
   }
+
+  /** RFC 4180: quote when the cell holds a delimiter/quote/newline. */
+  private def csvCell(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  private def tsvCell(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
 
   private val numericBases =
     Set("bigint", "integer", "smallint", "tinyint", "double", "real", "decimal")

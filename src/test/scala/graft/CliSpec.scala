@@ -34,6 +34,22 @@ class CliSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(out.trim.endsWith("(1 row)"))
   }
 
+  test("CSV and TSV output formats, header variants, quoting") {
+    def capturedAs(sql: String, fmt: String): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      client.Cli.runOne(handle.uri, sql, new java.io.PrintStream(bos, true, "UTF-8"), fmt)
+      bos.toString("UTF-8")
+    }
+    val sql = "SELECT 'a,b' AS v, 'q\"t' AS w, CAST(NULL AS BIGINT) AS n"
+    val csv = capturedAs(sql, "CSV_HEADER").linesIterator.toVector
+    assert(csv(0) == "v,w,n")
+    assert(csv(1) == "\"a,b\",\"q\"\"t\",", csv(1)) // RFC 4180 quoting, NULL empty
+    val tsv = capturedAs("SELECT n_name FROM nation WHERE n_regionkey = 0 ORDER BY 1", "TSV")
+      .linesIterator.toVector
+    assert(tsv.length == 5 && !tsv.head.contains("n_name")) // no header, no trailer
+    intercept[RuntimeException] { capturedAs("SELECT 1", "YAML") }
+  }
+
   test("--execute main path prints without a REPL") {
     // exercise main() argument parsing (stdout briefly redirected)
     val bos = new java.io.ByteArrayOutputStream()
