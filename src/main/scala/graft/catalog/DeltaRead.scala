@@ -276,18 +276,46 @@ object DeltaRead {
   }
 
   /** Replay checkpoint + JSON suffix into live state (shared by the plan
-    * builder and the deletion-vector writer). */
-  private[catalog] def replayState(spark: SparkSession, tablePath: String): State = {
+    * builder and the deletion-vector writer). `asOfVersion` truncates the
+    * replay at that commit (Delta time travel, reference
+    * plugin/trino-delta-lake TableSnapshot.load at a given version): when
+    * the version predates the checkpoint the JSON history is replayed from
+    * version 0 instead — failing loudly if the log was cleaned. */
+  private[catalog] def replayState(spark: SparkSession, tablePath: String,
+      asOfVersion: Option[Long] = None): State = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val logDir = new File(tablePath, "_delta_log")
     require(logDir.isDirectory, s"not a Delta table (no _delta_log): $tablePath")
     val logFiles = Option(logDir.listFiles()).getOrElse(Array.empty)
-    val jsonVersions = logFiles
+    val allJson = logFiles
       .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
+    asOfVersion.foreach { v =>
+      require(allJson.exists(_.getName.stripSuffix(".json").toLong == v) ||
+          logFiles.exists(_.getName.startsWith(f"$v%020d.checkpoint")),
+        s"Delta version $v does not exist in $logDir")
+    }
+    val jsonVersions = asOfVersion match {
+      case Some(v) => allJson.filter(_.getName.stripSuffix(".json").toLong <= v)
+      case None => allJson
+    }
 
     val st = new State
-    val lastCp = new File(logDir, "_last_checkpoint")
+    val lastCp0 = new File(logDir, "_last_checkpoint")
+    // time travel to a pre-checkpoint version: replay JSON from 0 instead
+    val lastCp = if (lastCp0.exists() && asOfVersion.exists { v =>
+        import org.json4s._
+        (JsonMethods.parse(new String(Files.readAllBytes(lastCp0.toPath),
+          StandardCharsets.UTF_8)) \ "version") match {
+          case JInt(cpv) => cpv.toLong > v
+          case _ => false
+        }
+      }) {
+      require(jsonVersions.headOption.exists(_.getName == "0" * 20 + ".json"),
+        s"Delta time travel to version ${asOfVersion.get} needs the JSON log " +
+          "from version 0, which has been cleaned")
+      new File(logDir, "__no_checkpoint__")
+    } else lastCp0
     val fromVersion: Long =
       if (lastCp.exists()) {
         // classic checkpoint: `_last_checkpoint` = {"version":N[,"parts":P]}
@@ -319,7 +347,8 @@ object DeltaRead {
         }
         version + 1
       } else {
-        require(!logFiles.exists(_.getName.contains(".checkpoint.")),
+        require((lastCp ne lastCp0) ||
+            !logFiles.exists(_.getName.contains(".checkpoint.")),
           "Delta checkpoint files without a _last_checkpoint pointer are not " +
             "supported by this reader")
         require(jsonVersions.nonEmpty, s"empty Delta log: $tablePath")
@@ -355,8 +384,28 @@ object DeltaRead {
     (schema, st.active.values.toSeq.map(a => (a.path, a.partitionValues, a.dv)))
   }
 
-  def readTable(spark: SparkSession, tablePath: String): DataFrame = {
-    val st = replayState(spark, tablePath)
+  def readTable(spark: SparkSession, tablePath: String): DataFrame =
+    readTable(spark, tablePath, asOfVersion = None, asOfTimestampMs = None)
+
+  /** Time-travel read (reference queryPeriod on Delta tables): VERSION is
+    * the commit version; TIMESTAMP resolves to the newest commit whose
+    * file modification time is ≤ the instant — the Delta protocol's
+    * commit-timestamp rule for ICT-less tables. */
+  def readTable(spark: SparkSession, tablePath: String,
+      asOfVersion: Option[Long], asOfTimestampMs: Option[Long]): DataFrame = {
+    require(asOfVersion.isEmpty || asOfTimestampMs.isEmpty,
+      "FOR VERSION AS OF and FOR TIMESTAMP AS OF are mutually exclusive")
+    val version = asOfVersion.orElse(asOfTimestampMs.map { ts =>
+      val logDir = new File(tablePath, "_delta_log")
+      val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("\\d{20}\\.json"))
+        .filter(_.lastModified() <= ts)
+        .map(_.getName.stripSuffix(".json").toLong)
+      require(commits.nonEmpty,
+        s"no Delta commit at or before timestamp $ts in $tablePath")
+      commits.max
+    })
+    val st = replayState(spark, tablePath, version)
     val schema = DataType.fromJson(st.schemaJson.getOrElse(
       throw new IllegalArgumentException("Delta log has no metaData action")))
       .asInstanceOf[StructType]

@@ -350,6 +350,108 @@ object DeltaWrite {
     version
   }
 
+  /** Write a V2 (UUID) checkpoint (reference plugin/trino-delta-lake
+    * checkpoint writer's v2 counterpart; the read half —
+    * [[DeltaRead]].applyV2Checkpoint — is validated against
+    * Databricks-written fixtures): file actions go to a SIDECAR parquet
+    * under `_delta_log/_sidecars/<uuid>.parquet`, the manifest
+    * `N.checkpoint.<uuid>.json` carries the protocol/metaData lines plus
+    * one `sidecar` action per sidecar file, and `_last_checkpoint` names
+    * the manifest through its `v2Checkpoint` pointer. After this, readers
+    * replay manifest + sidecars + JSON suffix — the version-0 JSON prefix
+    * can be log-cleaned away. */
+  def checkpointV2(spark: org.apache.spark.sql.SparkSession, tablePath: String): Long = {
+    import org.apache.spark.sql.types._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    val st = DeltaRead.replayState(spark, tablePath)
+    val version = nextVersion(logDir) - 1
+    require(version >= 0, s"no commits to checkpoint at $tablePath")
+
+    // last protocol/metaData actions verbatim from the JSON log
+    var lastMeta: Option[JValue] = None
+    var lastProto: Option[JValue] = None
+    Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
+      .foreach { vf =>
+        java.nio.file.Files.readAllLines(vf.toPath, StandardCharsets.UTF_8)
+          .forEach { line =>
+            if (line.trim.nonEmpty) {
+              val j = JsonMethods.parse(line)
+              (j \ "metaData") match { case m: JObject => lastMeta = Some(m); case _ => }
+              (j \ "protocol") match { case p: JObject => lastProto = Some(p); case _ => }
+            }
+          }
+      }
+    val meta = lastMeta.getOrElse(
+      throw new IllegalArgumentException(s"$tablePath has no metaData action"))
+    val proto = lastProto.getOrElse(JsonMethods.parse(
+      """{"minReaderVersion":1,"minWriterVersion":2}"""))
+
+    // ---- sidecar parquet: the file actions (add rows incl. DV structs)
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvType)))
+    val sidecarSchema = StructType(Seq(StructField("add", addType)))
+    import org.apache.spark.sql.Row
+    val addRows = st.active.values.toSeq.map { a =>
+      val f = new File(root, a.path)
+      val dvRow = a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(Integer.valueOf).orNull, d.sizeInBytes, d.cardinality)).orNull
+      Row(Row(a.path, a.partitionValues, f.length(), f.lastModified(), false, dvRow))
+    }
+    val stage = new File(root, s"_stage_cpv2_$version")
+    deleteTree(stage)
+    spark.createDataFrame(java.util.Arrays.asList(addRows: _*), sidecarSchema)
+      .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val part = Option(stage.listFiles()).getOrElse(Array.empty)
+      .find(_.getName.endsWith(".parquet")).getOrElse(
+        throw new IllegalStateException("v2 checkpoint stage produced no parquet"))
+    val sidecarName = s"${java.util.UUID.nameUUIDFromBytes(
+      (tablePath + "#" + version).getBytes(StandardCharsets.UTF_8))}.parquet"
+    val sidecarDir = new File(logDir, "_sidecars")
+    sidecarDir.mkdirs()
+    val sidecarFile = new File(sidecarDir, sidecarName)
+    Files.move(part.toPath, sidecarFile.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    deleteTree(stage)
+
+    // ---- json manifest: protocol + metaData + sidecar action lines
+    def line(field: String, v: JValue): String =
+      JsonMethods.compact(JsonMethods.render(JObject(field -> v)))
+    val manifestUuid = java.util.UUID.nameUUIDFromBytes(
+      (tablePath + "#manifest#" + version).getBytes(StandardCharsets.UTF_8))
+    val manifestName = f"$version%020d.checkpoint.$manifestUuid.json"
+    val manifestLines = Seq(
+      line("protocol", proto),
+      line("metaData", meta),
+      line("sidecar", JObject(
+        "path" -> JString(sidecarName),
+        "sizeInBytes" -> JInt(BigInt(sidecarFile.length())),
+        "modificationTime" -> JInt(BigInt(sidecarFile.lastModified())))))
+    Files.write(Paths.get(logDir.getAbsolutePath, manifestName),
+      (manifestLines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+
+    // _last_checkpoint LAST: readers only trust a checkpoint it names
+    Files.write(Paths.get(logDir.getAbsolutePath, "_last_checkpoint"),
+      (s"""{"version":$version,"size":${addRows.length + 2},""" +
+        s""""v2Checkpoint":{"path":"$manifestName"}}""")
+        .getBytes(StandardCharsets.UTF_8))
+    version
+  }
+
   /** OPTIMIZE on the open format (the reference's ALTER TABLE EXECUTE
     * optimize / bin-packing compaction): rewrites the live state into
     * `targetFiles` compacted data files, MATERIALIZING deletion vectors

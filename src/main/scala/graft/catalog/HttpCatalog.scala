@@ -23,12 +23,15 @@ object HttpCatalog {
   final case class Col(name: String, tpe: String)
   final case class TableDef(name: String, columns: Seq[Col], sources: Seq[String])
 
+  // ONE shared client per JVM (a per-fetch client leaks its executor
+  // thread across a long session); idle cached-pool threads are reclaimed
+  private lazy val http = HttpClient.newBuilder()
+    .executor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-http-catalog"); t.setDaemon(true); t
+    }))
+    .build()
+
   private def get(uri: String): String = {
-    val http = HttpClient.newBuilder()
-      .executor(java.util.concurrent.Executors.newFixedThreadPool(1, r => {
-        val t = new Thread(r, "graft-http-catalog"); t.setDaemon(true); t
-      }))
-      .build()
     val resp = http.send(
       HttpRequest.newBuilder(URI.create(uri)).GET().build(),
       HttpResponse.BodyHandlers.ofString())

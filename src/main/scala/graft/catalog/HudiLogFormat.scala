@@ -31,10 +31,12 @@ import org.apache.spark.sql.types._
   * Avro-data content: formatVersion BE i32, recordCount BE i32, then per
   * record { len BE i32, avro-binary (writer schema = SCHEMA header) }.
   *
-  * Supported subset (documented): avro-data blocks merge; command blocks
-  * are skipped (their rollback effect is subsumed by the completed-instant
-  * filter: records of a rolled-back instant fail that filter); delete and
-  * hfile/parquet blocks are refused loudly. */
+  * Supported subset (documented): avro-data blocks merge; delete blocks
+  * decode via the version-3 avro HoodieDeleteRecordList payload (Kryo
+  * versions 1/2 refused loudly); command blocks are skipped (their
+  * rollback effect is subsumed by the completed-instant filter: records
+  * of a rolled-back instant fail that filter); hfile/parquet blocks are
+  * refused loudly. */
 object HudiLogFormat {
 
   private val Magic = "#HUDI#".getBytes("UTF-8")
@@ -74,6 +76,40 @@ object HudiLogFormat {
       out += Block(blockType, headers, content)
     }
     out.result()
+  }
+
+  /** Avro schema of Hudi's delete-block payload (HoodieDeleteRecordList,
+    * the version-3 serialization of HoodieDeleteBlock; earlier versions
+    * are Kryo-serialized and refused loudly). */
+  private val DeleteRecordListSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"HoodieDeleteRecordList","namespace":"org.apache.hudi.avro.model",
+       "fields":[{"name":"deleteRecordList","type":{"type":"array","items":
+         {"type":"record","name":"HoodieDeleteRecord","fields":[
+           {"name":"recordKey","type":["null","string"],"default":null},
+           {"name":"partitionPath","type":["null","string"],"default":null},
+           {"name":"orderingVal","type":["null","string"],"default":null}]}}}]}""")
+
+  /** Decode a delete block's keys → (partitionPath, recordKey). Content:
+    * version BE i32 (3 = avro HoodieDeleteRecordList), payload length BE
+    * i32, avro binary. Kryo-serialized versions (1/2) are refused. */
+  def decodeDeleteBlock(b: Block): Seq[(String, String)] = {
+    require(b.blockType == 1, s"not a delete block: type ${b.blockType}")
+    val bb = ByteBuffer.wrap(b.content)
+    val version = bb.getInt
+    require(version == 3,
+      s"Hudi delete block version $version is Kryo-serialized and not " +
+        "supported by this reader (avro version 3 only)")
+    val len = bb.getInt
+    val payload = new Array[Byte](len); bb.get(payload)
+    val reader = new GenericDatumReader[GenericRecord](DeleteRecordListSchema)
+    val decoder = DecoderFactory.get().binaryDecoder(payload, null)
+    val rec = reader.read(null, decoder)
+    val list = rec.get("deleteRecordList")
+      .asInstanceOf[java.util.List[GenericRecord]]
+    (0 until list.size()).map { i =>
+      val r = list.get(i)
+      (String.valueOf(r.get("partitionPath")), String.valueOf(r.get("recordKey")))
+    }
   }
 
   /** Decode one avro-data block's records through the writer schema carried
@@ -157,11 +193,51 @@ object HudiLogFormat {
     }
     val headers: Seq[(Int, String)] =
       Seq(2 -> avroSchema.toString, 0 -> instant) // SCHEMA, INSTANT_TIME
+    writeFramedBlock(dir, fileId, baseInstant, logVersion, writeToken,
+      blockType = 3, headers, content)
+  }
+
+  /** Append one DELETE block tombstoning `keys` (partitionPath, recordKey)
+    * under `instant` — the version-3 (avro HoodieDeleteRecordList)
+    * serialization [[decodeDeleteBlock]] reads back. */
+  def writeDeleteLogFile(dir: File, fileId: String, baseInstant: String,
+      logVersion: Int, writeToken: String, instant: String,
+      keys: Seq[(String, String)]): File = {
+    val itemSchema = DeleteRecordListSchema.getField("deleteRecordList")
+      .schema().getElementType
+    val listRec = new GenericData.Record(DeleteRecordListSchema)
+    val arr = new java.util.ArrayList[GenericRecord](keys.length)
+    keys.foreach { case (part, key) =>
+      val r = new GenericData.Record(itemSchema)
+      r.put("recordKey", key); r.put("partitionPath", part)
+      arr.add(r)
+    }
+    listRec.put("deleteRecordList", arr)
+    val writer = new GenericDatumWriter[GenericRecord](DeleteRecordListSchema)
+    val bos = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(bos, null)
+    writer.write(listRec, enc); enc.flush()
+    val payload = bos.toByteArray
+    val content = {
+      val cos = new ByteArrayOutputStream()
+      val d = new DataOutputStream(cos)
+      d.writeInt(3) // delete block serialization version (avro)
+      d.writeInt(payload.length)
+      d.write(payload)
+      d.flush(); cos.toByteArray
+    }
+    writeFramedBlock(dir, fileId, baseInstant, logVersion, writeToken,
+      blockType = 1, Seq(0 -> instant), content)
+  }
+
+  private def writeFramedBlock(dir: File, fileId: String, baseInstant: String,
+      logVersion: Int, writeToken: String, blockType: Int,
+      headers: Seq[(Int, String)], content: Array[Byte]): File = {
     val body = {
       val bos = new ByteArrayOutputStream()
       val d = new DataOutputStream(bos)
       d.writeInt(1) // log format version
-      d.writeInt(3) // AVRO_DATA_BLOCK
+      d.writeInt(blockType)
       d.writeInt(headers.length)
       headers.foreach { case (k, v) =>
         val vb = v.getBytes("UTF-8")
@@ -182,7 +258,10 @@ object HudiLogFormat {
     d.writeLong((Magic.length + 8 + body.length).toLong)
     d.flush()
     val f = new File(dir, s".${fileId}_$baseInstant.log.${logVersion}_$writeToken")
-    Files.write(f.toPath, out.toByteArray)
+    if (f.isFile) {
+      // appending to an existing log file: blocks concatenate
+      Files.write(f.toPath, out.toByteArray, java.nio.file.StandardOpenOption.APPEND)
+    } else Files.write(f.toPath, out.toByteArray)
     f
   }
 

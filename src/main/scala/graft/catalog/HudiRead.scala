@@ -21,11 +21,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     `.hoodie/`. Inflight/requested instants (`.inflight`,
   *     `.commit.requested`) and rolled-back instants (no `.commit`) are
   *     NOT completed, so base files written under them are invisible —
-  *     exactly the filterCompletedInstants() contract. A
-  *     `<instant>.replacecommit` (clustering / insert_overwrite) changes
-  *     file-group membership through replace semantics this reader does not
-  *     implement → refused loudly. A Hudi 1.x `.hoodie/timeline/` layout is
-  *     refused loudly.
+  *     exactly the filterCompletedInstants() contract. A completed
+  *     `<instant>.replacecommit` (clustering / insert_overwrite,
+  *     HoodieReplaceCommitMetadata) retires the file groups its
+  *     `partitionToReplaceFileIds` lists — they drop out of the snapshot
+  *     view from that instant on (time travel before it still sees them).
+  *     A Hudi 1.x `.hoodie/timeline/` layout is refused loudly.
   *  3. Base files are named `<fileId>_<writeToken>_<instant>.parquet`
   *     (Hudi's FSUtils naming). The snapshot view groups files by
   *     (partition path, fileId) and keeps, per file group, the single base
@@ -46,6 +47,21 @@ object HudiRead {
   private val BaseFile = """(.+)_([0-9]+-[0-9]+-[0-9]+)_([0-9]+)\.parquet""".r
   private val LogFile = """\.(.+)_([0-9]+)\.log\.([0-9]+)_(.+)""".r
 
+  /** `partitionToReplaceFileIds` of a HoodieReplaceCommitMetadata JSON →
+    * the (partitionPath, fileId) groups it retires. An empty/absent map
+    * (e.g. a clustering commit with no replacements) retires nothing. */
+  private[catalog] def parseReplacedFileIds(json: String): Set[(String, String)] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(json) \ "partitionToReplaceFileIds" match {
+      case JObject(parts) => parts.iterator.flatMap {
+        case (part, JArray(ids)) => ids.collect { case JString(id) => (part, id) }
+        case _ => Seq.empty
+      }.toSet
+      case _ => Set.empty
+    }
+  }
+
   /** MERGE_ON_READ snapshot read: base files merged with the `.log` row
     * deltas (reference plugin/trino-hudi serves read-optimized; the merge
     * semantics are Hudi's own — latest record per (_hoodie_partition_path,
@@ -55,8 +71,10 @@ object HudiRead {
     * file); the per-key latest-record reduction shuffles ONLY the delta
     * rows (bounded by the compaction interval, not the table); the base is
     * never shuffled — the delta key set broadcasts into an anti-join.
-    * Delete blocks are refused loudly; command blocks skip (their rollback
-    * effect is subsumed by the completed-instant filter). */
+    * Delete blocks tombstone their keys (latest action per key wins, so a
+    * delete erases earlier data records and the base row); command blocks
+    * skip (their rollback effect is subsumed by the completed-instant
+    * filter). */
   def readTableSnapshot(spark: SparkSession, tablePath: String,
       asOf: Option[String] = None): DataFrame =
     readTable(spark, tablePath, asOf, logMerge = true)
@@ -83,8 +101,6 @@ object HudiRead {
       s"Hudi table type $tableType is not supported by this reader")
 
     val timeline = Option(hoodie.listFiles()).getOrElse(Array.empty)
-    require(!timeline.exists(_.getName.endsWith(".replacecommit")),
-      "Hudi replacecommit (clustering/insert_overwrite) is not supported by this reader")
     // MERGE_ON_READ: readTable serves READ-OPTIMIZED — exactly the
     // reference's HudiReadOptimizedDirectoryLister (completed instants
     // include the MOR `.deltacommit`s, base parquet files are scanned,
@@ -92,12 +108,29 @@ object HudiRead {
     val completed: Set[String] = timeline.iterator
       .map(_.getName)
       .filter(n => (n.endsWith(".commit") && !n.contains(".commit.")) ||
-        (n.endsWith(".deltacommit") && !n.contains(".deltacommit.")))
-      .map(_.stripSuffix(".deltacommit").stripSuffix(".commit"))
+        (n.endsWith(".deltacommit") && !n.contains(".deltacommit.")) ||
+        (n.endsWith(".replacecommit") && !n.contains(".replacecommit.")))
+      .map(_.stripSuffix(".deltacommit").stripSuffix(".replacecommit")
+        .stripSuffix(".commit"))
       .filter(i => asOf.forall(i <= _))
       .toSet
     require(asOf.isEmpty || completed.nonEmpty,
       s"no completed Hudi instant at or before ${asOf.get}")
+    // replacecommit (insert_overwrite / clustering,
+    // HoodieReplaceCommitMetadata): a completed replacecommit's
+    // partitionToReplaceFileIds lists file GROUPS that are dead from that
+    // instant on — drop them from the snapshot view. Time travel before
+    // the replacecommit never sees the exclusion (completed-filter above).
+    val replacedGroups: Set[(String, String)] = timeline.iterator
+      .filter { f =>
+        val n = f.getName
+        n.endsWith(".replacecommit") && !n.contains(".replacecommit.") &&
+          completed(n.stripSuffix(".replacecommit"))
+      }
+      .flatMap(f => parseReplacedFileIds(
+        new String(Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)))
+      .toSet
 
     // recursive listing of base + log files outside .hoodie
     def walk(dir: File, rel: String): Seq[(String, File)] =
@@ -111,13 +144,15 @@ object HudiRead {
       }
     val listed = walk(root, "")
 
-    // per (partition, fileId) keep the latest completed slice
+    // per (partition, fileId) keep the latest completed slice; groups
+    // shadowed by a completed replacecommit are gone from the view
     val latestSlices: Seq[((String, String), (String, File))] = listed
       .flatMap { case (part, f) =>
         f.getName match {
-          case BaseFile(fileId, _, instant) if completed(instant) =>
+          case BaseFile(fileId, _, instant)
+            if completed(instant) && !replacedGroups((part, fileId)) =>
             Some(((part, fileId), (instant, f)))
-          case _ => None // uncommitted / rolled-back / foreign / log files
+          case _ => None // uncommitted / rolled-back / replaced / log files
         }
       }
       .groupBy(_._1)
@@ -162,8 +197,11 @@ object HudiRead {
       "Hudi MOR snapshot merge needs the _hoodie_record_key/_hoodie_partition_path " +
         "meta columns in the base files")
     val completedB = spark.sparkContext.broadcast(completed)
-    val withOrd = schema.add("__ord",
-      org.apache.spark.sql.types.StringType, nullable = false)
+    val withOrd = schema
+      .add("__ord", org.apache.spark.sql.types.StringType, nullable = false)
+      .add("__del", org.apache.spark.sql.types.BooleanType, nullable = false)
+    val keyIdx = schema.fieldIndex("_hoodie_record_key")
+    val partIdx = schema.fieldIndex("_hoodie_partition_path")
     // log parsing runs ON EXECUTORS, one task per log file
     val rows = spark.sparkContext
       .parallelize(logFiles, math.max(1, math.min(logFiles.size, 64)))
@@ -177,28 +215,47 @@ object HudiRead {
               if (!completedB.value.contains(instant)) Seq.empty
               else HudiLogFormat.decodeAvroBlock(b, schema).zipWithIndex.map {
                 case (r, recIdx) => org.apache.spark.sql.Row.fromSeq(
-                  r.toSeq :+ (("0" * 20 + instant).takeRight(20) +
-                    f"|$logVersion%010d|$blockIdx%010d|$recIdx%010d"))
+                  r.toSeq :+ ordKey(instant, logVersion, blockIdx, recIdx)
+                    :+ false)
               }
-            case 1 => throw new IllegalArgumentException(
-              s"Hudi DELETE log blocks are not supported by this reader ($path)")
+            case 1 =>
+              // delete block: tombstone rows carrying only the key columns;
+              // the per-key latest-wins reduction erases older data records
+              val instant = b.headers.getOrElse(0, "")
+              if (!completedB.value.contains(instant)) Seq.empty
+              else HudiLogFormat.decodeDeleteBlock(b).zipWithIndex.map {
+                case ((part, key), recIdx) =>
+                  val cells = Array.fill[Any](schema.length)(null)
+                  cells(keyIdx) = key
+                  cells(partIdx) = part
+                  org.apache.spark.sql.Row.fromSeq(cells.toSeq
+                    :+ ordKey(instant, logVersion, blockIdx, recIdx) :+ true)
+              }
             case other => throw new IllegalArgumentException(
               s"Hudi log block type $other is not supported by this reader ($path)")
           }
         }
       }
     val logDf = spark.createDataFrame(rows, withOrd)
-    val dataCols = struct(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val dataCols = struct((schema.fieldNames :+ "__del").map(col).toIndexedSeq: _*)
     val latestLog = logDf
       .groupBy(col("_hoodie_partition_path"), col("_hoodie_record_key"))
       .agg(max_by(dataCols, col("__ord")).as("__r"))
       .select(col("__r.*"))
     // the delta key set is bounded by the compaction interval, never the
-    // table: broadcast it so the base is not shuffled
+    // table: broadcast it so the base is not shuffled. A key whose LATEST
+    // log action is a delete contributes the anti-join (erasing the base
+    // row) and no replacement record — Hudi's delete merge semantics.
     base.join(
       broadcast(latestLog.select("_hoodie_partition_path", "_hoodie_record_key")),
       Seq("_hoodie_partition_path", "_hoodie_record_key"), "left_anti")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      .unionByName(latestLog)
+      .unionByName(latestLog.filter(!col("__del"))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*))
   }
+
+  private def ordKey(instant: String, logVersion: Int, blockIdx: Int,
+      recIdx: Int): String =
+    ("0" * 20 + instant).takeRight(20) +
+      f"|$logVersion%010d|$blockIdx%010d|$recIdx%010d"
 }

@@ -49,7 +49,8 @@ object IcebergRead {
   final case class Prune(column: String, lo: Option[Long], hi: Option[Long])
 
   def readTable(spark: SparkSession, tablePath: String,
-      snapshotId: Option[Long] = None, prune: Option[Prune] = None): DataFrame = {
+      snapshotId: Option[Long] = None, prune: Option[Prune] = None,
+      asOfTimestampMs: Option[Long] = None): DataFrame = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
 
@@ -110,7 +111,28 @@ object IcebergRead {
       case _ => Seq.empty
     }
 
-    val targetSnapshot: BigInt = snapshotId.map(BigInt(_)).getOrElse {
+    require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
+      "snapshotId and asOfTimestampMs are mutually exclusive")
+    // TIMESTAMP AS OF: newest snapshot-log entry at or before the instant
+    // (the spec's snapshot-log [{timestamp-ms, snapshot-id}] history —
+    // reference plugin/trino-iceberg IcebergUtil.getSnapshotIdAsOfTime)
+    val timestampSnapshot: Option[BigInt] = asOfTimestampMs.map { ts =>
+      val entries = (meta \ "snapshot-log") match {
+        case JArray(xs) => xs.flatMap { e =>
+          ((e \ "timestamp-ms"), (e \ "snapshot-id")) match {
+            case (JInt(t), JInt(sid)) => Some((t.toLong, sid))
+            case _ => None
+          }
+        }
+        case _ => Nil
+      }
+      val eligible = entries.filter(_._1 <= ts)
+      require(eligible.nonEmpty,
+        s"no Iceberg snapshot at or before timestamp $ts in ${metaFile.getName}")
+      eligible.maxBy(_._1)._2
+    }
+    val targetSnapshot: BigInt = snapshotId.map(BigInt(_))
+      .orElse(timestampSnapshot).getOrElse {
       val JInt(cur) = (meta \ "current-snapshot-id"): @unchecked
       cur
     }

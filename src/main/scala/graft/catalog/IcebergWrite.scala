@@ -522,7 +522,11 @@ object IcebergWrite {
     val version = pv + 1
     val snapshotId = version.toLong
 
-    // the matched row identities, written distributed — never collected.
+    // the matched row identities, written DISTRIBUTED — never collected,
+    // never funneled into one task: the write keeps the scan's natural
+    // partitioning and each task file becomes its own position-delete
+    // file (the spec's content=1 manifest lists many). Rows are sorted by
+    // (file_path, pos) within each file, as the spec requires.
     // file_path is canonicalized to the single-slash `file:/...` form the
     // manifests record, so delete paths byte-equal data-file paths (the
     // spec's matching rule)
@@ -532,41 +536,58 @@ object IcebergWrite {
       .withColumn("pos", col("_metadata.row_index"))
       .filter(predicate)
       .select("file_path", "pos")
-    val deleteCount = matched.count()
-    if (deleteCount == 0) return -1L
-
     val stage = new File(root, s"_stage_d$snapshotId")
     deleteTree(stage)
-    matched.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
-    val rel = f"data/delete-$snapshotId%05d.parquet"
-    val dest = new File(root, rel)
-    dest.getParentFile.mkdirs()
-    Files.move(Option(stage.listFiles()).getOrElse(Array.empty)
-      .find(_.getName.endsWith(".parquet")).get.toPath, dest.toPath)
+    matched.sortWithinPartitions("file_path", "pos")
+      .write.mode("overwrite").parquet(stage.getAbsolutePath)
+    // per-file record counts from one bounded read-back of the staged
+    // deletes (empty task files are dropped by the groupBy)
+    val stagedCounts: Seq[(String, Long)] = spark.read
+      .parquet(stage.getAbsolutePath)
+      .groupBy(col("_metadata.file_path").as("p")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val deleteCount = stagedCounts.map(_._2).sum
+    if (deleteCount == 0) { deleteTree(stage); return -1L }
+    val nameOf = stagedCounts.map { case (p, n) =>
+      p.substring(p.lastIndexOf('/') + 1) -> n
+    }.toMap
+    val moved: Seq[(String, File, Long)] = Option(stage.listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => nameOf.contains(f.getName)).sortBy(_.getName).zipWithIndex
+      .map { case (f, i) =>
+        val rel = f"data/delete-$snapshotId%05d-$i%05d.parquet"
+        val dest = new File(root, rel)
+        dest.getParentFile.mkdirs()
+        Files.move(f.toPath, dest.toPath)
+        (rel, dest, nameOf(f.getName))
+      }
     deleteTree(stage)
 
-    // content=1 delete manifest
-    val dfRec = new GenericData.Record(
-      ManifestEntrySchema.getField("data_file").schema())
-    dfRec.put("content", 1)
-    dfRec.put("file_path", qualify(root, rel))
-    dfRec.put("file_format", "PARQUET")
-    dfRec.put("partition", new GenericData.Record(
-      ManifestEntrySchema.getField("data_file").schema()
-        .getField("partition").schema()))
-    dfRec.put("record_count", deleteCount)
-    dfRec.put("file_size_in_bytes", dest.length())
-    dfRec.put("lower_bounds", null)
-    dfRec.put("upper_bounds", null)
-    val entry = new GenericData.Record(ManifestEntrySchema)
-    entry.put("status", 1)
-    entry.put("snapshot_id", snapshotId)
-    entry.put("sequence_number", null)
-    entry.put("file_sequence_number", null)
-    entry.put("data_file", dfRec)
+    // content=1 delete manifest: one entry PER delete file
+    val entries = moved.map { case (rel, dest, rows) =>
+      val dfRec = new GenericData.Record(
+        ManifestEntrySchema.getField("data_file").schema())
+      dfRec.put("content", 1)
+      dfRec.put("file_path", qualify(root, rel))
+      dfRec.put("file_format", "PARQUET")
+      dfRec.put("partition", new GenericData.Record(
+        ManifestEntrySchema.getField("data_file").schema()
+          .getField("partition").schema()))
+      dfRec.put("record_count", rows)
+      dfRec.put("file_size_in_bytes", dest.length())
+      dfRec.put("lower_bounds", null)
+      dfRec.put("upper_bounds", null)
+      val entry = new GenericData.Record(ManifestEntrySchema)
+      entry.put("status", 1)
+      entry.put("snapshot_id", snapshotId)
+      entry.put("sequence_number", null)
+      entry.put("file_sequence_number", null)
+      entry.put("data_file", dfRec)
+      entry
+    }
     val manifestRel = f"metadata/snap$snapshotId%05d-d0.avro"
     val manifestLen = writeAvro(new File(root, manifestRel), ManifestEntrySchema,
-      Seq(entry))
+      entries)
 
     // previous manifests (with their content kinds) + the delete manifest
     val prevMeta = JsonMethods.parse(new String(Files.readAllBytes(
@@ -578,9 +599,9 @@ object IcebergWrite {
     val prevManifests = readManifestRefs(root, ml)
     val newRef = ManifestRef(qualify(root, manifestRel), manifestLen,
       snapshotId, content = 1, sequenceNumber = snapshotId,
-      minSequenceNumber = snapshotId, addedFiles = 1, existingFiles = 0,
-      deletedFiles = 0, addedRows = deleteCount, existingRows = 0L,
-      deletedRows = 0L)
+      minSequenceNumber = snapshotId, addedFiles = moved.length,
+      existingFiles = 0, deletedFiles = 0, addedRows = deleteCount,
+      existingRows = 0L, deletedRows = 0L)
     val listEntries = (prevManifests :+ newRef).map(manifestRefRecord)
     val listRel = f"metadata/snap-$snapshotId%d-1-manifest-list.avro"
     writeAvro(new File(root, listRel), ManifestFileSchema, listEntries)

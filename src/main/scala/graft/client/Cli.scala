@@ -32,6 +32,9 @@ object Cli {
   private def repl(base: String): Unit = {
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
     val buf = new StringBuilder
+    // one client-carried session for the whole REPL: SET SESSION / USE /
+    // PREPARE accumulate here and travel as headers on later statements
+    val sess = new StatementClient.Session
     print("graft> "); Console.flush()
     var line = in.readLine()
     while (line != null) {
@@ -42,8 +45,8 @@ object Cli {
       // statements end at `;` outside single quotes (multi-line friendly)
       val text = buf.toString
       if (completeStatement(text)) {
-        text.split(';').map(_.trim).filter(_.nonEmpty).foreach { sql =>
-          try runOne(base, sql, System.out)
+        splitStatements(text).foreach { sql =>
+          try runOne(base, sql, System.out, session = Some(sess))
           catch { case e: Exception => System.out.println(s"error: ${e.getMessage}") }
         }
         buf.clear()
@@ -64,9 +67,26 @@ object Cli {
     !inQ && lastMeaningful == ';'
   }
 
+  /** Split buffered input at `;` OUTSIDE single quotes — the same
+    * quote-tracking scan completeStatement uses, so `SELECT 'a;b';` stays
+    * one statement. */
+  private[client] def splitStatements(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    text.foreach { c =>
+      if (c == '\'') { inQ = !inQ; cur += c }
+      else if (c == ';' && !inQ) { out += cur.toString; cur.clear() }
+      else cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   private[graft] def runOne(base: String, sql: String, out: java.io.PrintStream,
-      format: String = "ALIGNED"): Unit = {
-    val res = StatementClient.execute(base, sql)
+      format: String = "ALIGNED",
+      session: Option[StatementClient.Session] = None): Unit = {
+    val res = StatementClient.execute(base, sql, session = session)
     format match {
       case "ALIGNED" => out.println(render(res))
       case "CSV" | "CSV_HEADER" =>

@@ -81,10 +81,13 @@ object GraftDriver {
 
   private[client] def connection(base: String, url: String): Connection = {
     val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // one client-carried session per connection (reference TrinoConnection
+    // holds the session the statement client mutates via response headers)
+    val sess = new StatementClient.Session
     lazy val conn: Connection = proxy(classOf[Connection], {
-      case ("createStatement", _) => statement(base, conn)
+      case ("createStatement", _) => statement(base, conn, sess)
       case ("prepareStatement", Array(sql: String)) =>
-        prepared(base, conn, sql)
+        prepared(base, conn, sql, sess)
       case ("close", _) => closed.set(true); ()
       case ("isClosed", _) => closed.get()
       case ("isValid", _) => !closed.get()
@@ -94,8 +97,8 @@ object GraftDriver {
       case ("rollback", _) => ()
       case ("getCatalog", _) => "graft"
       case ("setCatalog", _) => ()
-      case ("getSchema", _) => "default"
-      case ("setSchema", _) => ()
+      case ("getSchema", _) => sess.schema.getOrElse("default")
+      case ("setSchema", Array(s: String)) => sess.schema = Some(s); ()
       case ("getTransactionIsolation", _) => Connection.TRANSACTION_READ_COMMITTED
       case ("clearWarnings", _) => ()
       case ("getWarnings", _) => null
@@ -104,11 +107,12 @@ object GraftDriver {
     conn
   }
 
-  private def statement(base: String, conn: Connection): Statement = {
+  private def statement(base: String, conn: Connection,
+      sess: StatementClient.Session): Statement = {
     val last = new java.util.concurrent.atomic.AtomicReference[StatementClient.Result](null)
     val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def run(sql: String): StatementClient.Result = {
-      val r = try StatementClient.execute(base, sql) catch {
+      val r = try StatementClient.execute(base, sql, session = Some(sess)) catch {
         case e: StatementClient.StatementFailed => throw new SQLException(e.getMessage)
       }
       last.set(r); r
@@ -139,9 +143,10 @@ object GraftDriver {
 
   /** Client-side binding: `?` placeholders outside quotes become SQL
     * literals at execute time. */
-  private def prepared(base: String, conn: Connection, sql: String): PreparedStatement = {
+  private def prepared(base: String, conn: Connection, sql: String,
+      sess: StatementClient.Session): PreparedStatement = {
     val params = new java.util.HashMap[Int, Any]() // nullable values (setNull)
-    val inner = statement(base, conn)
+    val inner = statement(base, conn, sess)
     def bound: String = {
       val sb = new StringBuilder
       var i = 0; var inQ = false; var n = 0

@@ -2,6 +2,7 @@ package graft.client
 
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
 
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -12,6 +13,13 @@ import org.json4s.jackson.JsonMethods
   * disappears, concatenate each page's `data`, surface `error` as a
   * failure). This is the walker the JDBC driver, the CLI, and the gate
   * query all share, so every consumer sees identical protocol behavior.
+  *
+  * Session state is CLIENT-carried (reference ProtocolHeaders.java:73): a
+  * [[Session]] accumulates `X-Trino-Set-Session` / `X-Trino-Set-Schema` /
+  * `X-Trino-Added-Prepare` response headers and replays them as
+  * `X-Trino-Session` / `X-Trino-Schema` / `X-Trino-Prepared-Statement` on
+  * every subsequent request — the server stays stateless, so two clients'
+  * sessions can never interfere.
   *
   * Values arrive as the server's JSON encoding and are coerced by the
   * column's declared type name (bigint → Long, decimal → BigDecimal,
@@ -26,25 +34,72 @@ object StatementClient {
 
   final class StatementFailed(message: String) extends RuntimeException(message)
 
+  /** Mutable client-side session: properties, schema, and prepared
+    * statements set by earlier statements on the same logical session
+    * (one per JDBC connection / CLI REPL). */
+  final class Session {
+    val props = scala.collection.mutable.LinkedHashMap[String, String]()
+    var schema: Option[String] = None
+    val prepared = scala.collection.mutable.LinkedHashMap[String, String]()
+  }
+
+  // ONE shared HttpClient for every statement in the JVM (a per-call client
+  // leaks its executor thread); the cached pool reclaims idle threads
+  private lazy val http = HttpClient.newBuilder()
+    .executor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-client-http"); t.setDaemon(true); t
+    }))
+    .build()
+
+  private def urlEnc(s: String) = java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def urlDec(s: String) = java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  /** Fold one response's session-mutating headers into `session`. */
+  private def absorbHeaders(resp: HttpResponse[_], session: Session): Unit = {
+    val h = resp.headers()
+    h.allValues("X-Trino-Set-Session").forEach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => session.props(k.trim) = urlDec(v.trim)
+        case _ =>
+      }
+    }
+    h.allValues("X-Trino-Clear-Session").forEach(k => session.props.remove(k.trim))
+    h.firstValue("X-Trino-Set-Schema").ifPresent(s => session.schema = Some(s))
+    h.allValues("X-Trino-Added-Prepare").forEach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => session.prepared(k.trim) = urlDec(v.trim)
+        case _ =>
+      }
+    }
+    h.allValues("X-Trino-Deallocated-Prepare").forEach(k => session.prepared.remove(k.trim))
+  }
+
   /** Run one statement to completion against `base` (e.g.
-    * `http://127.0.0.1:8080`). Blocks; polls RUNNING states at 25 ms.
-    * `user` travels as the protocol's `X-Trino-User` header (resource-group
+    * `http://127.0.0.1:8080`). Blocks; polls empty RUNNING responses at
+    * 25 ms (a response that carried data is followed up immediately — the
+    * server streams pages as fast as the client takes them). `user`
+    * travels as the protocol's `X-Trino-User` header (resource-group
     * selection server-side). `encoding = Some("json")` opts into the
     * spooled protocol (reference client/trino-client EncodedQueryData):
     * results arrive as inline-or-spooled segments; spooled segments are
-    * fetched from their URIs and ACKed after decode. */
+    * fetched from their URIs and ACKed after decode. `session`, when
+    * given, carries and accumulates client-side session state. */
   def execute(base: String, sql: String, user: String = "graft",
-      encoding: Option[String] = None): Result = {
-    val http = HttpClient.newBuilder()
-      .executor(java.util.concurrent.Executors.newFixedThreadPool(1, r => {
-        val t = new Thread(r, "graft-client-http"); t.setDaemon(true); t
-      }))
-      .build()
+      encoding: Option[String] = None,
+      session: Option[Session] = None): Result = {
     val post = HttpRequest.newBuilder(URI.create(s"$base/v1/statement"))
       .header("X-Trino-User", user)
       .POST(HttpRequest.BodyPublishers.ofString(sql))
     encoding.foreach(e => post.header("X-Trino-Query-Data-Encoding", e))
+    session.foreach { s =>
+      if (s.props.nonEmpty) post.header("X-Trino-Session",
+        s.props.map { case (k, v) => s"$k=${urlEnc(v)}" }.mkString(","))
+      s.schema.foreach(sc => post.header("X-Trino-Schema", sc))
+      if (s.prepared.nonEmpty) post.header("X-Trino-Prepared-Statement",
+        s.prepared.map { case (k, v) => s"$k=${urlEnc(v)}" }.mkString(","))
+    }
     var resp = http.send(post.build(), HttpResponse.BodyHandlers.ofString())
+    session.foreach(absorbHeaders(resp, _))
     var json = JsonMethods.parse(resp.body())
     var columns = Vector.empty[Column]
     val rows = Vector.newBuilder[Vector[Any]]
@@ -70,9 +125,11 @@ object StatementClient {
           }.toVector
         case other => throw new StatementFailed(s"row is not an array: $other")
       }
+      var hadData = false
       json \ "data" match {
-        case JArray(pageRows) => addRows(pageRows)
+        case JArray(pageRows) => hadData = true; addRows(pageRows)
         case data: JObject => // EncodedQueryData: inline + spooled segments
+          hadData = true
           (data \ "encoding") match {
             case JString("json") =>
             case other => throw new StatementFailed(s"unsupported encoding $other")
@@ -101,7 +158,7 @@ object StatementClient {
               case other => throw new StatementFailed(s"unknown segment type $other")
             }
             val JArray(segRows) = JsonMethods.parse(
-              new String(bytes, java.nio.charset.StandardCharsets.UTF_8)): @unchecked
+              new String(bytes, StandardCharsets.UTF_8)): @unchecked
             addRows(segRows)
           }
         case _ =>
@@ -110,7 +167,8 @@ object StatementClient {
         case JString(next) =>
           spins += 1
           if (spins > 2400) throw new StatementFailed("statement did not finish")
-          if ((json \ "stats" \ "state") != JString("FINISHED")) Thread.sleep(25)
+          if (!hadData && (json \ "stats" \ "state") != JString("FINISHED"))
+            Thread.sleep(25)
           resp = http.send(
             HttpRequest.newBuilder(URI.create(s"$base$next")).GET().build(),
             HttpResponse.BodyHandlers.ofString())

@@ -82,7 +82,11 @@ object Registry {
     "url_extract_path", "url_extract_query", "url_extract_fragment",
     "url_extract_parameter", "empty_approx_set",
     "value_at_quantile", "values_at_quantiles", "quantile_at_value",
-    "tdigest_agg", "merge_tdigest", "hash_counts", "variant_is_null")
+    "tdigest_agg", "merge_tdigest", "hash_counts", "variant_is_null",
+    // theta sketch family (round 10)
+    "theta_sketch_agg", "theta_sketch_union", "theta_sketch_intersection",
+    "theta_sketch_cardinality", "theta_sketch_union_of",
+    "theta_sketch_intersect_of", "theta_sketch_a_not_b")
 
   def registerAll(spark: SparkSession): Unit = {
     VectorFunctions.register(spark)
@@ -130,6 +134,22 @@ object Registry {
       es => graft.ext.JsonPathStatus(es(0), lit(es(1)), es.drop(2).headOption.map(lit)), "built-in")
     r.createOrReplaceTempFunction("set_digest_cardinality",
       es => graft.functions.KmvCardinality(es(0)), "built-in")
+    // theta sketch family (plugin/trino-datasketches/theta): scalar algebra
+    // as Catalyst expressions, aggregates as udaf registrations below
+    r.createOrReplaceTempFunction("theta_sketch_cardinality",
+      es => graft.functions.ThetaCardinality(es(0)), "built-in")
+    r.createOrReplaceTempFunction("theta_sketch_union_of",
+      es => graft.functions.ThetaSetOp(es(0), es(1), "union"), "built-in")
+    r.createOrReplaceTempFunction("theta_sketch_intersect_of",
+      es => graft.functions.ThetaSetOp(es(0), es(1), "intersect"), "built-in")
+    r.createOrReplaceTempFunction("theta_sketch_a_not_b",
+      es => graft.functions.ThetaSetOp(es(0), es(1), "a_not_b"), "built-in")
+    spark.udf.register("theta_sketch_agg",
+      org.apache.spark.sql.functions.udaf(new ThetaSketch.AggFromHashes))
+    spark.udf.register("theta_sketch_union",
+      org.apache.spark.sql.functions.udaf(new ThetaSketch.UnionAgg))
+    spark.udf.register("theta_sketch_intersection",
+      org.apache.spark.sql.functions.udaf(new ThetaSketch.IntersectAgg))
     r.createOrReplaceTempFunction("jaccard_index",
       es => graft.functions.KmvJaccard(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("intersection_cardinality",

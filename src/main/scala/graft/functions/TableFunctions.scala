@@ -26,6 +26,53 @@ object TableFunctions {
         s"unknown table function '$name' (registered: ${registered.toSeq.sorted.mkString(", ")})"))
       .apply(spark, dir, args)
 
+  /** queryPeriod over a lake TVF (SqlBase.g4 composes FOR VERSION|TIMESTAMP
+    * AS OF with table functions; the reference resolves the snapshot in the
+    * connector). Only the lake readers have versioned state to travel to. */
+  def invokeAsOf(spark: SparkSession, name: String, args: Seq[String],
+      kind: String, raw: String): DataFrame = {
+    require(args.length == 1, s"$name('<path>') FOR $kind AS OF <literal>")
+    val path = unquote(args.head)
+    require(kind == "VERSION" || kind == "TIMESTAMP",
+      s"FOR $kind AS OF: VERSION | TIMESTAMP")
+    def tsMillis: Long =
+      java.sql.Timestamp.valueOf(unquote(raw).trim.replace("T", " ")).getTime
+    def version: Long = unquote(raw).trim.toLong
+    name.toLowerCase match {
+      case "delta_table" =>
+        if (kind == "VERSION")
+          graft.catalog.DeltaRead.readTable(spark, path, Some(version), None)
+        else graft.catalog.DeltaRead.readTable(spark, path, None, Some(tsMillis))
+      case "iceberg_table" =>
+        if (kind == "VERSION") // VERSION AS OF = snapshot id (Trino semantics)
+          graft.catalog.IcebergRead.readTable(spark, path, snapshotId = Some(version))
+        else graft.catalog.IcebergRead.readTable(spark, path,
+          asOfTimestampMs = Some(tsMillis))
+      case "hudi_table" =>
+        require(kind == "TIMESTAMP",
+          "hudi_table supports FOR TIMESTAMP AS OF (instant time) only")
+        // Hudi instants are yyyyMMddHHmmssSSS in table-local time; accept
+        // either a raw instant string or an ISO timestamp
+        val instant = unquote(raw).trim
+        val asOf = if (instant.forall(_.isDigit)) instant
+          else new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
+            .format(new java.util.Date(tsMillis))
+        graft.catalog.HudiRead.readTableSnapshot(spark, path, Some(asOf))
+      case "lakehouse_table" =>
+        import graft.catalog.LakehouseCatalog._
+        detect(path) match {
+          case Delta | Iceberg => invokeAsOf(spark,
+            if (detect(path) == Delta) "delta_table" else "iceberg_table",
+            args, kind, raw)
+          case Hudi => invokeAsOf(spark, "hudi_table", args, kind, raw)
+          case Hive => throw new IllegalArgumentException(
+            "FOR VERSION/TIMESTAMP AS OF: Hive-layout tables are unversioned")
+        }
+      case other => throw new IllegalArgumentException(
+        s"FOR $kind AS OF is not supported on table function '$other'")
+    }
+  }
+
   // built-ins
   register("sequence", (s, _, args) => {
     require(args.length == 2 || args.length == 3, "sequence(start, stop [, step])")

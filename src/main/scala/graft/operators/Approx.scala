@@ -232,8 +232,63 @@ object Approx {
        SELECT 'ALL_MERGED', count(*), TRUE, TRUE, TRUE FROM lineitem
        ORDER BY l_returnflag"""
 
+  /** Theta sketch family (reference plugin/trino-datasketches: theta_sketch_agg,
+    * theta_sketch_union, theta_sketch_cardinality — plus the set algebra that
+    * distinguishes theta from HLL: intersection and A-not-B). Sketches are built
+    * per return flag, merged as STATES via the union aggregate, and compared
+    * pairwise through the scalar set ops; the oracle carries exact set
+    * statistics and expects every estimator's error-bound boolean TRUE.
+    * K = 4096 → RSE ≈ 1.6%, so the 6% cardinality bound is ~4σ. */
+  def q_agg_theta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.ThetaSketch._
+    val li = table(s, dir, "lineitem")
+    val digests = li.groupBy($"l_returnflag")
+      .agg(thetaSketchAgg(xxhash64($"l_orderkey")).as("sk"),
+        countDistinct($"l_orderkey").as("exact_n"))
+    // merged union of the per-group sketch STATES vs the global exact count
+    val mergedOk = digests.agg(thetaSketchUnion($"sk").as("u"))
+      .crossJoin(li.agg(countDistinct($"l_orderkey").as("exact_all")))
+      .select((abs(thetaSketchCardinality($"u") - $"exact_all") <=
+        $"exact_all" * 0.06).as("merged_ok"))
+    val sets = li.select($"l_returnflag".as("f"), $"l_orderkey".as("k")).distinct()
+    val inter = sets.as("x").join(sets.as("y"), $"x.k" === $"y.k" && $"x.f" < $"y.f")
+      .groupBy($"x.f".as("fa"), $"y.f".as("fb")).agg(count(lit(1)).as("inter_n"))
+    digests.as("a").join(digests.as("b"), $"a.l_returnflag" < $"b.l_returnflag")
+      .select($"a.l_returnflag".as("flag_a"), $"b.l_returnflag".as("flag_b"),
+        $"a.sk".as("sk_a"), $"b.sk".as("sk_b"),
+        $"a.exact_n".as("n_a"), $"b.exact_n".as("n_b"))
+      .join(inter, $"flag_a" === $"fa" && $"flag_b" === $"fb")
+      .crossJoin(mergedOk)
+      .select($"flag_a", $"flag_b", $"n_a", $"n_b", $"inter_n",
+        (abs(thetaSketchCardinality($"sk_a") - $"n_a") <= $"n_a" * 0.06).as("card_a_ok"),
+        (abs(thetaSketchCardinality($"sk_b") - $"n_b") <= $"n_b" * 0.06).as("card_b_ok"),
+        (abs(thetaSketchCardinality(thetaSketchUnion2($"sk_a", $"sk_b")) -
+          ($"n_a" + $"n_b" - $"inter_n")) <=
+          ($"n_a" + $"n_b" - $"inter_n") * 0.06 + lit(50.0)).as("union_ok"),
+        (abs(thetaSketchCardinality(thetaSketchIntersect2($"sk_a", $"sk_b")) -
+          $"inter_n") <= $"inter_n" * 0.25 + lit(50.0)).as("inter_ok"),
+        (abs(thetaSketchCardinality(thetaSketchANotB($"sk_a", $"sk_b")) -
+          ($"n_a" - $"inter_n")) <=
+          ($"n_a" - $"inter_n") * 0.25 + lit(50.0)).as("anotb_ok"),
+        $"merged_ok")
+      .orderBy($"flag_a", $"flag_b")
+  }
+  val qAggThetaSql: String =
+    """WITH sets AS (SELECT DISTINCT l_returnflag AS f, l_orderkey AS k FROM lineitem),
+       counts AS (SELECT f, count(*) AS n FROM sets GROUP BY f),
+       inter AS (
+         SELECT x.f AS fa, y.f AS fb, count(*) AS inter_n
+         FROM sets x JOIN sets y ON x.k = y.k AND x.f < y.f GROUP BY 1, 2)
+       SELECT fa AS flag_a, fb AS flag_b, ca.n AS n_a, cb.n AS n_b, inter_n,
+         TRUE AS card_a_ok, TRUE AS card_b_ok, TRUE AS union_ok,
+         TRUE AS inter_ok, TRUE AS anotb_ok, TRUE AS merged_ok
+       FROM inter JOIN counts ca ON fa = ca.f JOIN counts cb ON fb = cb.f
+       ORDER BY flag_a, flag_b"""
+
   val queries: Map[String, Q] = Map(
     "q_approx_tdigest_flow" -> q_approx_tdigest_flow _,
+    "q_agg_theta" -> q_agg_theta _,
     "q_approx_quantiles" -> q_approx_quantiles _,
     "q_approx_quantiles_weighted" -> q_approx_quantiles_weighted _,
     "q_approx_hll" -> q_approx_hll _,
@@ -242,6 +297,7 @@ object Approx {
 
   val oracles: Map[String, String] = Map(
     "q_approx_tdigest_flow" -> qApproxTdigestFlowSql,
+    "q_agg_theta" -> qAggThetaSql,
     "q_approx_topk" -> qApproxTopkSql,
     "q_approx_quantiles_weighted" -> qApproxQuantilesWeightedSql,
     "q_agg_setdigest" -> qAggSetdigestSql,

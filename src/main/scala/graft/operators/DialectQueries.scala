@@ -66,6 +66,53 @@ object Dialect {
          (acc, x) -> acc + x) AS BIGINT) AS total_chars
        FROM part ORDER BY p_partkey, word"""
 
+  /** Multi-array UNNEST zip WITH ORDINALITY (reference
+    * operator/unnest/UnnestOperator.java:45): unequal lengths pad the
+    * shorter array with NULL up to the longest. */
+  def q_sqlx_unnest_zip(s: SparkSession, dir: String): DataFrame =
+    TrinoDialect.sql(s, dir,
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+                CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+                CAST(ord AS BIGINT) AS ord
+         FROM nation
+         CROSS JOIN UNNEST(
+           ARRAY[n_nationkey, n_regionkey, n_nationkey + 100],
+           ARRAY[length(n_name), n_regionkey * 2]
+         ) WITH ORDINALITY AS t (x, y, ord)
+         WHERE n_nationkey < 5
+         ORDER BY k, ord""")
+  val qSqlxUnnestZipSql: String =
+    """WITH base AS (
+         SELECT CAST(n_nationkey AS BIGINT) AS k,
+                [n_nationkey, n_regionkey, n_nationkey + 100] AS a,
+                [length(n_name), n_regionkey * 2] AS b
+         FROM nation WHERE n_nationkey < 5)
+       SELECT k, CAST(unnest(a) AS BIGINT) AS x, CAST(unnest(b) AS BIGINT) AS y,
+              CAST(unnest(generate_series(1, greatest(len(a), len(b)))) AS BIGINT) AS ord
+       FROM base ORDER BY k, ord"""
+
+  /** UNNEST over a MAP argument: two output columns (key, value). */
+  def q_sqlx_unnest_map(s: SparkSession, dir: String): DataFrame =
+    TrinoDialect.sql(s, dir,
+      """SELECT CAST(n_nationkey AS BIGINT) AS k, mk,
+                CAST(mv AS BIGINT) AS mv
+         FROM nation
+         CROSS JOIN UNNEST(
+           map_from_arrays(ARRAY['n', 'r'], ARRAY[n_nationkey, n_regionkey])
+         ) AS t (mk, mv)
+         WHERE n_nationkey < 5
+         ORDER BY k, mk""")
+  val qSqlxUnnestMapSql: String =
+    """SELECT k, mk, mv FROM (
+         SELECT CAST(n_nationkey AS BIGINT) AS k, 'n' AS mk,
+                CAST(n_nationkey AS BIGINT) AS mv
+         FROM nation WHERE n_nationkey < 5
+         UNION ALL
+         SELECT CAST(n_nationkey AS BIGINT), 'r',
+                CAST(n_regionkey AS BIGINT)
+         FROM nation WHERE n_nationkey < 5)
+       ORDER BY k, mk"""
+
   /** Text-SQL MATCH_RECOGNIZE, ONE ROW PER MATCH with measures. */
   def q_sqlx_match_recognize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -809,6 +856,8 @@ object Dialect {
     "q_sqlx_try" -> q_sqlx_try _,
     "q_sqlx_scalar" -> q_sqlx_scalar _,
     "q_sqlx_unnest" -> q_sqlx_unnest _,
+    "q_sqlx_unnest_zip" -> q_sqlx_unnest_zip _,
+    "q_sqlx_unnest_map" -> q_sqlx_unnest_map _,
     "q_sqlx_match_recognize" -> q_sqlx_match_recognize _,
     "q_sqlx_match_rows" -> q_sqlx_match_rows _,
     "q_sqlx_match_multikey" -> q_sqlx_match_multikey _,
@@ -835,6 +884,8 @@ object Dialect {
     "q_sqlx_try" -> qSqlxTrySql,
     "q_sqlx_scalar" -> qSqlxScalarSql,
     "q_sqlx_unnest" -> qSqlxUnnestSql,
+    "q_sqlx_unnest_zip" -> qSqlxUnnestZipSql,
+    "q_sqlx_unnest_map" -> qSqlxUnnestMapSql,
     "q_sqlx_match_recognize" -> qSqlxMatchRecognizeSql,
     "q_sqlx_match_rows" -> qSqlxMatchRowsSql,
     "q_sqlx_match_multikey" -> qSqlxMatchMultikeySql,

@@ -196,18 +196,22 @@ object HudiQueries {
 
   private val C2 = "20260814000300"
 
-  /** Build (idempotently) a MOR table whose latest state lives partly in a
-    * LOG file: base slice at C0, an avro log block at C1 (updates + two
+  private val C3 = "20260814000400"
+
+  /** Build (idempotently) a MOR table whose latest state lives partly in
+    * LOG files: base slice at C0, an avro log block at C1 (updates + two
     * inserts, written in Hudi's binary block format by [[graft.catalog
-    * .HudiLogFormat]]), and an UNCOMMITTED log at C2 that must stay
-    * invisible. Read-optimized provably returns the stale C0 rows; only
-    * the snapshot read merges C1. The 25-row nation collect is fixture
-    * building, not query execution. */
+    * .HudiLogFormat]]), a DELETE log block at C3 (tombstoning the
+    * n_nationkey % 7 = 3 keys — including one the C1 log had updated, so
+    * latest-action-wins is exercised), and an UNCOMMITTED log at C2 that
+    * must stay invisible. Read-optimized provably returns the stale C0
+    * rows; only the snapshot read merges the logs. The 25-row nation
+    * collect is fixture building, not query execution. */
   private def buildHudiMorSnapNation(s: SparkSession, dir: String): String = {
     import s.implicits._
     val root = new File(System.getProperty("java.io.tmpdir"),
       s"graft_hudi_morsnap_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
-    val marker = new File(root, s".hoodie/$C1.deltacommit")
+    val marker = new File(root, s".hoodie/$C3.deltacommit")
     if (marker.exists()) return root.getAbsolutePath
     def deleteTree(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
@@ -254,6 +258,13 @@ object HudiQueries {
     graft.catalog.HudiLogFormat.writeLogFile(root, fid, C0,
       logVersion = 2, writeToken = "0-2-0", instant = C2, schema,
       Seq(logRow(999L, "ghost", 9L)))
+    // C3: DELETE block tombstones the %7=3 keys; key 10 was updated at C1
+    // — the later delete must win and remove the base row entirely
+    graft.catalog.HudiLogFormat.writeDeleteLogFile(root, fid, C0,
+      logVersion = 3, writeToken = "0-3-0", instant = C3,
+      keys = Seq(3L, 10L, 17L, 24L).map(k => ("", k.toString)))
+    Files.write(Paths.get(root.getAbsolutePath, ".hoodie", s"$C3.deltacommit"),
+      "{}".getBytes(StandardCharsets.UTF_8))
     root.getAbsolutePath
   }
 
@@ -274,7 +285,7 @@ object HudiQueries {
     """WITH merged AS (
          SELECT CAST(n_nationkey AS BIGINT) AS k, CAST(n_regionkey AS BIGINT) AS r,
                 CASE WHEN n_nationkey % 5 = 0 THEN 'upd:' || n_name ELSE n_name END AS nm
-         FROM nation
+         FROM nation WHERE n_nationkey % 7 <> 3
          UNION ALL SELECT 900, 2, 'ins:alpha'
          UNION ALL SELECT 901, 2, 'ins:beta')
        SELECT r AS region_bucket, count(*) AS n,

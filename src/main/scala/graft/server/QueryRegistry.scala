@@ -19,4 +19,8 @@ object QueryRegistry {
 
   /** Fire the cancel hook; false when the id is unknown or already done. */
   def kill(id: String): Boolean = Option(hooks.get(id)).exists(_.apply())
+
+  /** Evict a terminal statement's hook (StatementServer's post-grace
+    * cleanup) — the registry is bounded by live + recently-finished ids. */
+  private[server] def unregister(id: String): Unit = hooks.remove(id)
 }

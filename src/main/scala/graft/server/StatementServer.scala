@@ -3,12 +3,14 @@ package graft.server
 import java.io.OutputStream
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.atomic.AtomicLong
-import java.util.concurrent.{ConcurrentHashMap, Executors}
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
 
 /** The network front door: a loopback HTTP server speaking the reference's
   * statement protocol (reference: dispatcher/QueuedStatementResource.java:111
@@ -19,35 +21,146 @@ import org.apache.spark.sql.types._
   * `nextUri` until it disappears, and concatenates each page's `data` —
   * exactly how the reference CLI/JDBC drive a query.
   *
-  * Execution: statements run asynchronously on a bounded pool through the
-  * same [[graft.sqlx.TrinoDialect]] front door the in-process API uses, so
-  * every SQL-text capability (queries, DML, DDL, CALL, transactions,
-  * PREPARE) is reachable over the wire. Results are paged 1000 rows at a
-  * time. The driver-side collect is the result-serving boundary every
-  * coordinator has — bounded by the result size, not the input.
+  * Scale design (the two properties that make a coordinator survive 100 TB):
   *
-  * Subset (documented): no authentication (loopback bind), no session
-  * headers/catalog switching, one page size; `DELETE` on the executing URI
-  * cancels a queued/running statement best-effort. */
+  *  1. '''Results stream through a bounded buffer, never a full collect.'''
+  *     The worker drives `df.toLocalIterator()` into a [[PageBuffer]] of at
+  *     most [[BufferPages]] pages; the producer BLOCKS when the client falls
+  *     behind (the reference's bounded output buffers,
+  *     ExecutingStatementResource.java:69 + spooling). Server memory per
+  *     query is O(page), not O(result) — the first page is served while
+  *     slow tail partitions are still computing. Spooled-encoding results
+  *     drain to segment FILES one page at a time, so they are disk-bounded.
+  *
+  *  2. '''Session state is client-carried, the server is stateless.'''
+  *     `SET SESSION` / `USE` / `PREPARE` never mutate server state: the
+  *     server answers with `X-Trino-Set-Session` / `X-Trino-Set-Schema` /
+  *     `X-Trino-Added-Prepare` and the CLIENT replays the state on every
+  *     subsequent request via `X-Trino-Session` / `X-Trino-Schema` /
+  *     `X-Trino-Prepared-Statement` (reference ProtocolHeaders.java:73,
+  *     QuerySessionSupplier.java:41). Statements execute inside a
+  *     thread-scoped [[graft.sqlx.SessionContext]], so two concurrent
+  *     clients can never observe each other's session — and a fleet of
+  *     coordinators could serve one client interchangeably.
+  *
+  * Queries reaching a terminal state are evicted after `evictAfterMs` (all
+  * registries: results, encodings, kill hooks), so a long-running server's
+  * memory is bounded by its live queries, not its history. Cancellation
+  * (DELETE on the executing URI, or `kill_query`) cancels the statement's
+  * Spark job group, freeing executor resources, and never clobbers an
+  * already-finished result.
+  *
+  * Subset (documented): no authentication (loopback bind), one page size,
+  * one spool encoding ("json"). */
 object StatementServer {
 
   private val PageSize = 1000
 
+  /** Pages the producer may run ahead of the consumer before blocking —
+    * the server's per-query memory bound is BufferPages × PageSize rows. */
+  private val BufferPages = 4
+
+  /** Producer gives up (cancels the query) if the client stops paging for
+    * this long — an abandoned client must not pin a worker forever. */
+  private val AbandonMs = 5 * 60 * 1000L
+
   // daemon threads: the server must never hold a finished JVM open (Verify
   // and the driver gate exit by main-thread return, not System.exit)
+  private def daemonFactory(name: String) = new java.util.concurrent.ThreadFactory {
+    private val i = new AtomicLong(0L)
+    def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, s"$name-${i.incrementAndGet()}")
+      t.setDaemon(true); t
+    }
+  }
   private def daemonPool(n: Int, name: String) =
-    Executors.newFixedThreadPool(n, new java.util.concurrent.ThreadFactory {
-      private val i = new AtomicLong(0L)
-      def newThread(r: Runnable): Thread = {
-        val t = new Thread(r, s"$name-${i.incrementAndGet()}")
-        t.setDaemon(true); t
+    Executors.newFixedThreadPool(n, daemonFactory(name))
+
+  /** Shared eviction timer for every server instance in the JVM. */
+  private lazy val evictor =
+    Executors.newSingleThreadScheduledExecutor(daemonFactory("graft-statement-evict"))
+
+  /** Bounded page pipe between one statement's producer (the execution
+    * worker draining `toLocalIterator`) and its consumer (HTTP paging).
+    * The consumer pulls by token; the page BEHIND the requested token is
+    * released (a one-page retry window — the reference client retries the
+    * same nextUri on transport failure, never an older one). */
+  private final class PageBuffer {
+    private val lock = new Object
+    private val pages = scala.collection.mutable.LongMap[Array[Row]]()
+    private var produced = 0L
+    private var watermark = 0L // lowest token still retained
+    private var totalPages = -1L // set by complete()
+    private var rows = 0L
+    private var failMsg: Option[String] = None
+    @volatile private var cancelledFlag = false
+
+    /** Producer: enqueue one page; blocks while the buffer is full.
+      * Returns false when the query was cancelled or abandoned. */
+    def put(page: Array[Row]): Boolean = lock.synchronized {
+      val deadline = System.nanoTime() + AbandonMs * 1000000L
+      while (!cancelledFlag && produced - watermark >= BufferPages) {
+        val leftMs = (deadline - System.nanoTime()) / 1000000L
+        if (leftMs <= 0L) { cancelledFlag = true; lock.notifyAll(); return false }
+        lock.wait(math.max(1L, leftMs))
       }
-    })
+      if (cancelledFlag) return false
+      pages(produced) = page
+      produced += 1
+      rows += page.length
+      lock.notifyAll()
+      true
+    }
+    def complete(): Unit = lock.synchronized { totalPages = produced; lock.notifyAll() }
+    def fail(msg: String): Unit = lock.synchronized { failMsg = Some(msg); lock.notifyAll() }
+    def cancel(): Unit = lock.synchronized { cancelledFlag = true; lock.notifyAll() }
+    def isComplete: Boolean = lock.synchronized(
+      totalPages >= 0 && failMsg.isEmpty && !cancelledFlag)
+    def isCancelled: Boolean = cancelledFlag
+    def rowCount: Long = lock.synchronized(rows)
+
+    /** Consumer: the page at `token`, or Pending while the producer is
+      * still computing it. Requesting token N releases every page < N. */
+    def get(token: Long): Got = lock.synchronized {
+      failMsg match {
+        case Some(m) => PageError(m, "GENERIC_INTERNAL_ERROR")
+        case None if token >= produced =>
+          if (totalPages >= 0 && token >= totalPages) Ready(Array.empty, last = true)
+          else if (cancelledFlag) PageError("Query was canceled", "USER_CANCELED")
+          else Pending
+        case None =>
+          if (token > watermark) {
+            var t = watermark
+            while (t < token) { pages.remove(t); t += 1 }
+            watermark = token
+            lock.notifyAll() // room freed: wake a blocked producer
+          }
+          pages.get(token) match {
+            case Some(p) => Ready(p, last = totalPages == token + 1)
+            case None => PageError(s"result page $token expired", "GENERIC_INTERNAL_ERROR")
+          }
+      }
+    }
+  }
+
+  private sealed trait Got
+  private final case class Ready(page: Array[Row], last: Boolean) extends Got
+  private case object Pending extends Got
+  private final case class PageError(message: String, errorName: String) extends Got
+
+  /** One spooled-result segment: inline payload for one-page results,
+    * otherwise an index into the spool directory's files. */
+  private final case class Segment(inlineB64: Option[String], index: Int,
+      rowOffset: Long, rowsCount: Int, size: Long)
 
   private sealed trait State
   private case object Queued extends State
   private case object Running extends State
-  private final case class Finished(schema: StructType, rows: Array[Row]) extends State
+  private final case class Streaming(schema: StructType, buf: PageBuffer) extends State
+  private final case class SpooledDone(schema: StructType,
+      segments: Vector[Segment], totalRows: Long) extends State
+  /** Small protocol-level result answered synchronously (SET SESSION & co). */
+  private final case class Static(schema: StructType, rows: Array[Row]) extends State
   private final case class Failed(message: String,
       errorName: String = "GENERIC_INTERNAL_ERROR") extends State
   private case object Cancelled extends State
@@ -64,19 +177,30 @@ object StatementServer {
     * submission is admitted through [[ResourceGroups.Manager]] (the
     * reference's dispatcher admission): over-concurrency queues, over-queue
     * fails with QUERY_QUEUE_FULL; the submitting user is the protocol's
-    * `X-Trino-User` header. */
+    * `X-Trino-User` header. Terminal queries are evicted `evictAfterMs`
+    * after completion. */
   def start(spark: SparkSession, dir: String, port: Int = 0,
-      resourceGroups: Option[ResourceGroups.Config] = None): Handle = {
+      resourceGroups: Option[ResourceGroups.Config] = None,
+      evictAfterMs: Long = 5 * 60 * 1000L): Handle = {
     val rgManager = resourceGroups.map(new ResourceGroups.Manager(_))
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     val pool = daemonPool(4, "graft-statement-exec")
     val nextId = new AtomicLong(0L)
-    val queries = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicReference[State]]()
+    val queries = new ConcurrentHashMap[String, AtomicReference[State]]()
     // spooled-protocol state: queries that asked for an encoding (via the
     // X-Trino-Query-Data-Encoding header) and their spooled segment files
     val encodings = new ConcurrentHashMap[String, String]()
     val spoolDir = java.nio.file.Files.createTempDirectory("graft-spool").toFile
     spoolDir.deleteOnExit()
+
+    def evictLater(id: String): Unit =
+      evictor.schedule(new Runnable {
+        override def run(): Unit = {
+          queries.remove(id)
+          encodings.remove(id)
+          QueryRegistry.unregister(id)
+        }
+      }, evictAfterMs, TimeUnit.MILLISECONDS)
 
     def respond(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -85,6 +209,11 @@ object StatementServer {
       val os: OutputStream = ex.getResponseBody
       try os.write(bytes) finally os.close()
     }
+
+    def columnsJson(schema: StructType): String =
+      schema.fields.map(f =>
+        s"""{"name":${jstr(f.name)},"type":${jstr(trinoTypeName(f.dataType))}}""")
+        .mkString("[", ",", "]")
 
     def resultsJson(id: String, token: Long, st: State): (Int, String) = {
       val base = s""""id":${jstr(id)},"infoUri":${jstr(s"/v1/query/$id")}"""
@@ -99,123 +228,73 @@ object StatementServer {
         case Failed(msg, errorName) =>
           (200, s"""{$base,"stats":{"state":"FAILED"},""" +
             s""""error":{"message":${jstr(msg)},"errorName":${jstr(errorName)}}}""")
-        case Finished(schema, rows) =>
-          val columns = schema.fields.map(f =>
-            s"""{"name":${jstr(f.name)},"type":${jstr(trinoTypeName(f.dataType))}}""")
-            .mkString("[", ",", "]")
-          encodings.get(id) match {
-            case "json" =>
-              // spooled protocol (client/trino-client EncodedQueryData):
-              // ALL segments in one response — small results ride inline
-              // (base64 of the row-array JSON), larger ones spool to
-              // segment files fetched out-of-band and ACKed by the client.
-              // Subset: loopback URIs, no signing, one encoding ("json").
-              val chunks = rows.grouped(PageSize).toVector
-              val segs = chunks.zipWithIndex.map { case (chunk, i) =>
-                val bytes = chunk.map(r => rowJson(r, schema))
-                  .mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
-                val meta = s""""metadata":{"rowOffset":${i.toLong * PageSize},""" +
-                  s""""rowsCount":${chunk.length},"segmentSize":${bytes.length}}"""
-                if (rows.length <= PageSize)
-                  s"""{"type":"inline","data":${jstr(
-                    java.util.Base64.getEncoder.encodeToString(bytes))},$meta}"""
-                else {
-                  val f = new java.io.File(spoolDir, s"$id-$i.json")
-                  java.nio.file.Files.write(f.toPath, bytes)
-                  s"""{"type":"spooled","uri":${jstr(s"/v1/spooled/download/$id/$i")},""" +
-                    s""""ackUri":${jstr(s"/v1/spooled/ack/$id/$i")},$meta}"""
-                }
-              }
-              (200, s"""{$base,"columns":$columns,"data":{"encoding":"json",""" +
-                s""""segments":${segs.mkString("[", ",", "]")}},""" +
-                s""""stats":{"state":"FINISHED"}}""")
-            case _ =>
-              val from = (token * PageSize).toInt
-              val page = rows.slice(from, from + PageSize)
-              val hasMore = from + PageSize < rows.length
+        case Static(schema, rows) =>
+          val data = rows.map(r => rowJson(r, schema)).mkString("[", ",", "]")
+          (200, s"""{$base,"columns":${columnsJson(schema)},"data":$data,""" +
+            s""""stats":{"state":"FINISHED"}}""")
+        case SpooledDone(schema, segments, _) =>
+          val segs = segments.map { s =>
+            val meta = s""""metadata":{"rowOffset":${s.rowOffset},""" +
+              s""""rowsCount":${s.rowsCount},"segmentSize":${s.size}}"""
+            s.inlineB64 match {
+              case Some(b64) => s"""{"type":"inline","data":${jstr(b64)},$meta}"""
+              case None =>
+                s"""{"type":"spooled","uri":${jstr(s"/v1/spooled/download/$id/${s.index}")},""" +
+                  s""""ackUri":${jstr(s"/v1/spooled/ack/$id/${s.index}")},$meta}"""
+            }
+          }
+          (200, s"""{$base,"columns":${columnsJson(schema)},"data":{"encoding":"json",""" +
+            s""""segments":${segs.mkString("[", ",", "]")}},""" +
+            s""""stats":{"state":"FINISHED"}}""")
+        case Streaming(schema, buf) =>
+          buf.get(token) match {
+            case Pending =>
+              (200, s"""{$base,"nextUri":${jstr(s"/v1/statement/executing/$id/x/$token")},""" +
+                s""""stats":{"state":"RUNNING"}}""")
+            case PageError(msg, name) =>
+              (200, s"""{$base,"stats":{"state":"FAILED"},""" +
+                s""""error":{"message":${jstr(msg)},"errorName":${jstr(name)}}}""")
+            case Ready(page, last) =>
               val data = page.map(r => rowJson(r, schema)).mkString("[", ",", "]")
-              val next =
-                if (hasMore) s""""nextUri":${jstr(s"/v1/statement/executing/$id/x/${token + 1}")},"""
-                else ""
-              (200, s"""{$base,$next"columns":$columns,"data":$data,""" +
-                s""""stats":{"state":"FINISHED"}}""")
+              val next = if (last) ""
+                else s""""nextUri":${jstr(s"/v1/statement/executing/$id/x/${token + 1}")},"""
+              val state = if (last) "FINISHED" else "RUNNING"
+              (200, s"""{$base,$next"columns":${columnsJson(schema)},"data":$data,""" +
+                s""""stats":{"state":${jstr(state)}}}""")
           }
       }
     }
+
+    /** CAS a live statement to Cancelled (Queued, Running, or Streaming
+      * with an unfinished buffer); finished results are never clobbered.
+      * Cancelling also kills the statement's Spark job group, so executor
+      * work actually stops. */
+    @annotation.tailrec
+    def cancelLive(id: String, ref: AtomicReference[State]): Boolean =
+      ref.get() match {
+        case Queued =>
+          if (ref.compareAndSet(Queued, Cancelled)) {
+            spark.sparkContext.cancelJobGroup(jobGroup(id)); true
+          } else cancelLive(id, ref)
+        case Running =>
+          if (ref.compareAndSet(Running, Cancelled)) {
+            spark.sparkContext.cancelJobGroup(jobGroup(id)); true
+          } else cancelLive(id, ref)
+        case st @ Streaming(_, buf) if !buf.isComplete =>
+          buf.cancel()
+          ref.compareAndSet(st, Cancelled)
+          spark.sparkContext.cancelJobGroup(jobGroup(id))
+          true
+        case _ => false
+      }
 
     server.createContext("/v1", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = try {
         val path = ex.getRequestURI.getPath
         (ex.getRequestMethod, path) match {
           case ("POST", "/v1/statement") =>
-            val sql = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-            val user = Option(ex.getRequestHeaders.getFirst("X-Trino-User"))
-              .getOrElse("graft")
-            val id = f"graft_${nextId.incrementAndGet()}%08d"
-            Option(ex.getRequestHeaders.getFirst("X-Trino-Query-Data-Encoding"))
-              .filter(_ == "json") // the one encoding this subset speaks
-              .foreach(enc => encodings.put(id, enc))
-            val ref = new java.util.concurrent.atomic.AtomicReference[State](Queued)
-            queries.put(id, ref)
-            // kill affects live statements only: a Finished/Failed result
-            // is never clobbered retroactively
-            QueryRegistry.register(id, () =>
-              ref.compareAndSet(Queued, Cancelled) ||
-                ref.compareAndSet(Running, Cancelled))
-            val createMs = System.currentTimeMillis()
-            EventListeners.fireCreated(
-              s"""{"metadata":{"queryId":${jstr(id)},"query":${jstr(sql)},""" +
-                s""""state":"QUEUED"},"createTime":$createMs}""")
-            val admission = rgManager.map(_.admit(user))
-            admission match {
-              case Some(ResourceGroups.Reject(message)) =>
-                ref.set(Failed(message, "QUERY_QUEUE_FULL"))
-              case _ =>
-                pool.submit(new Runnable {
-                  override def run(): Unit = {
-                    val group = admission.collect {
-                      case ResourceGroups.RunNow(g) => g
-                      case ResourceGroups.Queue(g) => g
-                    }
-                    try {
-                      admission.foreach {
-                        case q: ResourceGroups.Queue => rgManager.get.await(q)
-                        case _ =>
-                      }
-                      if (!ref.compareAndSet(Queued, Running)) return // cancelled
-                      val t0 = System.nanoTime()
-                      def completed(state: String, rows: Long, failure: String): Unit = {
-                        val elapsedMs = (System.nanoTime() - t0) / 1000000L
-                        val fail = if (failure == null) ""
-                          else s""","failureInfo":{"message":${jstr(failure)}}"""
-                        EventListeners.fireCompleted(
-                          s"""{"metadata":{"queryId":${jstr(id)},"query":${jstr(sql)},""" +
-                            s""""state":${jstr(state)}},""" +
-                            s""""statistics":{"elapsedMs":$elapsedMs,"totalRows":$rows},""" +
-                            s""""createTime":$createMs,""" +
-                            s""""endTime":${System.currentTimeMillis()}$fail}""")
-                      }
-                      try {
-                        val df = graft.sqlx.TrinoDialect.sql(spark, dir, sql)
-                        val rows = df.collect()
-                        ref.compareAndSet(Running, Finished(df.schema, rows))
-                        completed("FINISHED", rows.length.toLong, null)
-                      } catch {
-                        case e: Throwable =>
-                          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-                          ref.compareAndSet(Running, Failed(msg))
-                          completed("FAILED", 0L, msg)
-                      }
-                    } finally {
-                      // slot held whether pre-acquired (RunNow) or awaited
-                      // (Queue); released exactly once at terminal state
-                      group.foreach(g => rgManager.get.release(g))
-                    }
-                  }
-                })
-            }
-            val (code, body) = resultsJson(id, 0L, ref.get())
-            respond(ex, code, body)
+            handlePost(spark, dir, ex, pool, nextId, queries, encodings, spoolDir,
+              rgManager, cancelLive, resultsJson, respond, evictLater)
           case ("GET", ExecutingPath(id, token)) =>
             queries.get(id) match {
               case null => respond(ex, 404, s"""{"error":"unknown query $id"}""")
@@ -226,7 +305,9 @@ object StatementServer {
             queries.get(id) match {
               case null => respond(ex, 404, s"""{"error":"unknown query $id"}""")
               case ref =>
-                ref.set(Cancelled)
+                // CAS like the kill hook: a finished result is never
+                // clobbered under a client still paging it
+                cancelLive(id, ref)
                 ex.sendResponseHeaders(204, -1); ex.close()
             }
           case ("GET", SpooledPath("download", qid, seg)) =>
@@ -258,6 +339,281 @@ object StatementServer {
     starter.start()
     starter.join()
     new Handle(server, pool)
+  }
+
+  private def jobGroup(id: String): String = s"graft-stmt-$id"
+
+  // ------------------------------------------------- session protocol
+
+  /** `k1=v1,k2=v2` header (values URL-encoded) → ordered map. */
+  private def parseKvHeader(values: java.util.List[String]): Map[String, String] =
+    Option(values).map(_.asScala.toSeq).getOrElse(Seq.empty)
+      .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k.trim ->
+            java.net.URLDecoder.decode(v.trim, StandardCharsets.UTF_8))
+          case _ => None
+        }
+      }.toMap
+
+  private def urlEnc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+
+  // session-managing statements are answered at the protocol level (the
+  // reference's SetSessionTask & co set response headers; the client
+  // carries the state). Literal-aware enough for the header surface:
+  // values are single-token or quoted literals.
+  private val SetSessionRe =
+    "(?is)^\\s*SET\\s+SESSION\\s+([\\w.]+)\\s*=\\s*(.+?)\\s*$".r
+  private val ResetSessionRe = "(?is)^\\s*RESET\\s+SESSION\\s+([\\w.]+)\\s*$".r
+  private val UseRe = "(?is)^\\s*USE\\s+([\\w.]+)\\s*$".r
+  private val PrepareHdrRe = "(?is)^\\s*PREPARE\\s+(\\w+)\\s+FROM\\s+(.+)$".r
+  private val DeallocHdrRe = "(?is)^\\s*DEALLOCATE\\s+PREPARE\\s+(\\w+)\\s*$".r
+
+  private val oneColSchema =
+    StructType(Seq(StructField("result", BooleanType, nullable = false)))
+
+  /** Handle POST /v1/statement: session-managing statements answer
+    * synchronously with protocol headers; everything else executes on the
+    * worker pool inside the request's [[graft.sqlx.SessionContext]]. */
+  private def handlePost(spark: SparkSession, dir: String, ex: HttpExchange,
+      pool: java.util.concurrent.ExecutorService,
+      nextId: AtomicLong,
+      queries: ConcurrentHashMap[String, AtomicReference[State]],
+      encodings: ConcurrentHashMap[String, String],
+      spoolDir: java.io.File,
+      rgManager: Option[ResourceGroups.Manager],
+      cancelLive: (String, AtomicReference[State]) => Boolean,
+      resultsJson: (String, Long, State) => (Int, String),
+      respond: (HttpExchange, Int, String) => Unit,
+      evictLater: String => Unit): Unit = {
+    val sql = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val hdrs = ex.getRequestHeaders
+    val user = Option(hdrs.getFirst("X-Trino-User")).getOrElse("graft")
+    val ctx = graft.sqlx.SessionContext.Ctx(
+      props = parseKvHeader(hdrs.get("X-Trino-Session")),
+      schema = Option(hdrs.getFirst("X-Trino-Schema")),
+      prepared = parseKvHeader(hdrs.get("X-Trino-Prepared-Statement")))
+    val id = f"graft_${nextId.incrementAndGet()}%08d"
+    val createMs = System.currentTimeMillis()
+
+    def fireCreated(): Unit = EventListeners.fireCreated(
+      s"""{"metadata":{"queryId":${jstr(id)},"query":${jstr(sql)},""" +
+        s""""state":"QUEUED"},"createTime":$createMs}""")
+    def fireCompleted(state: String, rows: Long, failure: String,
+        startNanos: Long): Unit = {
+      val elapsedMs = (System.nanoTime() - startNanos) / 1000000L
+      val fail = if (failure == null) ""
+        else s""","failureInfo":{"message":${jstr(failure)}}"""
+      EventListeners.fireCompleted(
+        s"""{"metadata":{"queryId":${jstr(id)},"query":${jstr(sql)},""" +
+          s""""state":${jstr(state)}},""" +
+          s""""statistics":{"elapsedMs":$elapsedMs,"totalRows":$rows},""" +
+          s""""createTime":$createMs,""" +
+          s""""endTime":${System.currentTimeMillis()}$fail}""")
+    }
+
+    // --- stateless session statements: answer now, mutate nothing
+    val trueRow = Array(Row(true))
+    def answerStatic(setHeader: Option[(String, String)]): Unit = {
+      fireCreated()
+      val ref = new AtomicReference[State](Static(oneColSchema, trueRow))
+      queries.put(id, ref)
+      evictLater(id)
+      setHeader.foreach { case (h, v) => ex.getResponseHeaders.set(h, v) }
+      fireCompleted("FINISHED", 1L, null, System.nanoTime())
+      val (code, body) = resultsJson(id, 0L, ref.get())
+      respond(ex, code, body)
+    }
+    sql match {
+      case SetSessionRe(key, rawValue) =>
+        val value = rawValue.trim.stripPrefix("'").stripSuffix("'")
+        return answerStatic(Some("X-Trino-Set-Session" -> s"$key=${urlEnc(value)}"))
+      case ResetSessionRe(key) =>
+        return answerStatic(Some("X-Trino-Clear-Session" -> key))
+      case UseRe(schema) =>
+        return answerStatic(Some("X-Trino-Set-Schema" -> schema))
+      case PrepareHdrRe(name, stmt) =>
+        return answerStatic(Some("X-Trino-Added-Prepare" -> s"$name=${urlEnc(stmt.trim)}"))
+      case DeallocHdrRe(name) =>
+        return answerStatic(Some("X-Trino-Deallocated-Prepare" -> name))
+      case _ =>
+    }
+
+    // --- executed statements
+    Option(hdrs.getFirst("X-Trino-Query-Data-Encoding"))
+      .filter(_ == "json") // the one encoding this subset speaks
+      .foreach(enc => encodings.put(id, enc))
+    val ref = new AtomicReference[State](Queued)
+    queries.put(id, ref)
+    QueryRegistry.register(id, () => cancelLive(id, ref))
+    fireCreated()
+    val admission = rgManager.map(_.admit(user))
+    admission match {
+      case Some(ResourceGroups.Reject(message)) =>
+        ref.set(Failed(message, "QUERY_QUEUE_FULL"))
+        fireCompleted("FAILED", 0L, message, System.nanoTime())
+        evictLater(id)
+      case _ =>
+        pool.submit(new Runnable {
+          override def run(): Unit = runStatement(spark, dir, id, sql, ctx, ref,
+            encodings.get(id) != null, spoolDir, rgManager, admission,
+            fireCompleted, evictLater)
+        })
+    }
+    val (code, body) = resultsJson(id, 0L, ref.get())
+    respond(ex, code, body)
+  }
+
+  /** Execute one statement on a worker thread: plan under the request's
+    * session context, then stream result pages through the bounded buffer
+    * (or drain to spool segments). Fires queryCompleted with the ACTUAL
+    * terminal state, exactly once, including the cancelled-while-queued
+    * path. */
+  private def runStatement(spark: SparkSession, dir: String, id: String,
+      sql: String, ctx: graft.sqlx.SessionContext.Ctx,
+      ref: AtomicReference[State], spooled: Boolean, spoolDir: java.io.File,
+      rgManager: Option[ResourceGroups.Manager],
+      admission: Option[ResourceGroups.Admission],
+      fireCompleted: (String, Long, String, Long) => Unit,
+      evictLater: String => Unit): Unit = {
+    val group = admission.collect {
+      case ResourceGroups.RunNow(g) => g
+      case ResourceGroups.Queue(g) => g
+    }
+    val t0 = System.nanoTime()
+    try {
+      admission.foreach {
+        case q: ResourceGroups.Queue => rgManager.get.await(q)
+        case _ =>
+      }
+      if (!ref.compareAndSet(Queued, Running)) {
+        // cancelled while queued still completes (listener contract)
+        fireCompleted("FAILED", 0L, "Query was canceled", t0)
+        evictLater(id)
+        return
+      }
+      val exec = scopedSession(spark, ctx)
+      spark.sparkContext.setJobGroup(jobGroup(id), sql, interruptOnCancel = true)
+      try {
+        graft.sqlx.SessionContext.within(ctx) {
+          val df = graft.sqlx.TrinoDialect.sql(exec, dir, sql)
+          val schema = df.schema
+          val it = df.toLocalIterator().asScala
+          if (spooled) {
+            // drain to disk one page at a time: memory O(page), spool O(result)
+            val (segments, total) = drainToSpool(id, schema, it, spoolDir, ref)
+            if (ref.compareAndSet(Running, SpooledDone(schema, segments, total))) {
+              fireCompleted("FINISHED", total, null, t0)
+            } else fireCompleted("FAILED", total, "Query was canceled", t0)
+          } else {
+            val buf = new PageBuffer
+            if (!ref.compareAndSet(Running, Streaming(schema, buf))) {
+              fireCompleted("FAILED", 0L, "Query was canceled", t0)
+              evictLater(id)
+              return
+            }
+            var live = true
+            val chunks = it.grouped(PageSize).map(_.toArray)
+            while (live && chunks.hasNext) live = buf.put(chunks.next())
+            if (live) {
+              // completed fires BEFORE the buffer reports the last page,
+              // so a listener always sees the event no later than the
+              // client sees FINISHED
+              fireCompleted("FINISHED", buf.rowCount, null, t0)
+              buf.complete()
+            } else {
+              fireCompleted("FAILED", buf.rowCount, "Query was canceled", t0)
+            }
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          val wasCancelled = ref.get() == Cancelled ||
+            (ref.get() match {
+              case Streaming(_, b) => b.isCancelled
+              case _ => false
+            })
+          ref.get() match {
+            case st @ Streaming(_, b) => b.fail(msg); ref.compareAndSet(st, Failed(msg))
+            case _ => ref.compareAndSet(Running, Failed(msg))
+          }
+          if (wasCancelled) fireCompleted("FAILED", 0L, "Query was canceled", t0)
+          else fireCompleted("FAILED", 0L, msg, t0)
+      } finally {
+        spark.sparkContext.clearJobGroup()
+      }
+    } finally {
+      // slot held whether pre-acquired (RunNow) or awaited (Queue);
+      // released exactly once at terminal state
+      group.foreach(g => rgManager.get.release(g))
+      evictLater(id)
+    }
+  }
+
+  /** Live-conf-mapped session properties execute on a scoped child
+    * SparkSession (own SQLConf; shared SparkContext and warehouse), so a
+    * property set by one client can never bleed into another's plan. */
+  private def scopedSession(spark: SparkSession,
+      ctx: graft.sqlx.SessionContext.Ctx): SparkSession = {
+    val confMapped = ctx.props.view.filterKeys(
+      Set("join_distribution_type", "task_concurrency")).toMap
+    if (confMapped.isEmpty) spark
+    else {
+      val s = spark.newSession()
+      // inherit the parent's tuned defaults, then overlay
+      Seq("spark.sql.shuffle.partitions", "spark.sql.autoBroadcastJoinThreshold")
+        .foreach(k => spark.conf.getOption(k).foreach(v => s.conf.set(k, v)))
+      confMapped.get("join_distribution_type").foreach {
+        _.toUpperCase match {
+          case "PARTITIONED" => s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          case "BROADCAST" | "AUTOMATIC" =>
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+          case other =>
+            throw new IllegalArgumentException(s"invalid join_distribution_type: $other")
+        }
+      }
+      confMapped.get("task_concurrency").foreach(v =>
+        s.conf.set("spark.sql.shuffle.partitions", v))
+      // temp views are per-SparkSession: re-register the front door's
+      graft.sqlx.Statements.registerFrontDoorViews(s)
+      s
+    }
+  }
+
+  /** Drain `it` to spool segment files one page at a time. A one-page
+    * result stays inline (base64 in the response). Checks for cancellation
+    * between pages. Returns (segments, totalRows). */
+  private def drainToSpool(id: String, schema: StructType, it: Iterator[Row],
+      spoolDir: java.io.File,
+      ref: AtomicReference[State]): (Vector[Segment], Long) = {
+    val chunks = it.grouped(PageSize)
+    val first: Array[Row] = if (chunks.hasNext) chunks.next().toArray else Array.empty
+    def pageBytes(page: Array[Row]): Array[Byte] =
+      page.map(r => rowJson(r, schema)).mkString("[", ",", "]")
+        .getBytes(StandardCharsets.UTF_8)
+    if (!chunks.hasNext) {
+      val bytes = pageBytes(first)
+      (Vector(Segment(Some(java.util.Base64.getEncoder.encodeToString(bytes)),
+        0, 0L, first.length, bytes.length.toLong)), first.length.toLong)
+    } else {
+      var segments = Vector.empty[Segment]
+      var offset = 0L
+      def spill(page: Array[Row]): Unit = {
+        val bytes = pageBytes(page)
+        val f = new java.io.File(spoolDir, s"$id-${segments.length}.json")
+        java.nio.file.Files.write(f.toPath, bytes)
+        segments :+= Segment(None, segments.length, offset, page.length, bytes.length.toLong)
+        offset += page.length
+      }
+      spill(first)
+      while (chunks.hasNext && ref.get() != Cancelled) spill(chunks.next().toArray)
+      if (ref.get() == Cancelled)
+        throw new IllegalStateException("Query was canceled")
+      (segments, offset)
+    }
   }
 
   private object SpooledPath {

@@ -159,7 +159,7 @@ private[graft] object SqlFrontend {
     case MatchRel(input, block, a) => MatchRel(rewriteRel(input), block, a)
     case SampleRel(input, m, pct) => SampleRel(rewriteRel(input), m, rewriteExpr(pct))
     case tt: TimeTravelRel => tt
-    case TvfRel(n, args, a) => TvfRel(n, args.map(rewriteExpr), a)
+    case TvfRel(n, args, a, per) => TvfRel(n, args.map(rewriteExpr), a, per)
     case UnnestRel(es, alias, cols, ord) => UnnestRel(es.map(rewriteExpr), alias, cols, ord)
     case t: TableRef => t
   }
@@ -210,11 +210,21 @@ private[graft] object SqlFrontend {
       val view = s"__mr_view_${viewCounter.incrementAndGet()}"
       df.createOrReplaceTempView(view)
       TableRef(Id(Seq((view, false))), alias)
-    case TvfRel(name, args, alias) =>
+    case TvfRel(name, args, alias, period) =>
       val argTexts = args.map(renderExpr)
       val view = s"__tvf_${name}_${viewCounter.incrementAndGet()}"
-      graft.functions.TableFunctions.invoke(spark, dir, name, argTexts)
-        .createOrReplaceTempView(view)
+      val df = period match {
+        case None => graft.functions.TableFunctions.invoke(spark, dir, name, argTexts)
+        case Some((kind, value)) =>
+          val raw = value match {
+            case TypedLit(_, s0) => s0
+            case Lit(s0) => s0
+            case other => throw new SqlParseException(
+              s"FOR $kind AS OF takes a literal, got ${renderExpr(other)}")
+          }
+          graft.functions.TableFunctions.invokeAsOf(spark, name, argTexts, kind, raw)
+      }
+      df.createOrReplaceTempView(view)
       TableRef(Id(Seq((view, false))), alias)
     case UnnestRel(es, alias, cols, ord) => UnnestRel(es, alias, cols, ord)
     case SampleRel(input, m, pct) => SampleRel(planRel(spark, dir, input), m, pct)
@@ -245,6 +255,14 @@ private[graft] object SqlFrontend {
     case TableRef(id @ Id(Seq((schema, _), (table, _))), alias)
         if Statements.isSchema(schema) =>
       TableRef(Id(Seq((Statements.viewNameOf(s"${schema.toLowerCase}.${table.toLowerCase}"), false))),
+        alias.orElse(Some(table)))
+    // unqualified front-door table under a session schema (X-Trino-Schema
+    // header or USE): the registry key is schema-qualified — swap in the
+    // mangled single-part temp-view name
+    case TableRef(Id(Seq((table, _))), alias)
+        if Statements.resolveTableKey(table).exists(_.contains(".")) =>
+      TableRef(Id(Seq((Statements.viewNameOf(
+        Statements.resolveTableKey(table).get), false))),
         alias.orElse(Some(table)))
     case t: TableRef => t
   }
@@ -367,8 +385,11 @@ private[graft] object SqlFrontend {
       }
       s"${renderRel(l)} $kw ${renderRel(rr)}" + on.map(c => s" ON ${renderExpr(c)}").getOrElse("")
     case u: UnnestRel =>
-      // bare UNNEST in FROM: a one-row anchor carries the lateral view
-      s"(SELECT 1) ${freshAlias()} " + renderUnnest(u)
+      // bare UNNEST in FROM: a one-row anchor carries the lateral view,
+      // wrapped so only the DECLARED columns escape — `SELECT *` must not
+      // see the anchor's constant or the ordinal helper columns
+      s"(SELECT ${u.cols.map(renderAlias).mkString(", ")} FROM " +
+        s"(SELECT 1) ${freshAlias()} ${renderUnnest(u)}) ${renderAlias(u.alias)}"
     case m: MatchRel =>
       throw new IllegalStateException("MatchRel must be planned before rendering")
     case t: TvfRel =>
@@ -382,24 +403,65 @@ private[graft] object SqlFrontend {
       throw new IllegalStateException("TimeTravelRel must be planned before rendering")
   }
 
+  /** UNNEST → LATERAL VIEW lowering (reference
+    * operator/unnest/UnnestOperator.java:45):
+    *  - one array, one column           → explode
+    *  - one MAP argument, two columns   → explode(map) (Spark's native
+    *    key/value expansion)
+    *  - N arrays zipped, N columns      → transform+sequence zip with
+    *    NULL padding to the longest array (try_element_at), the
+    *    reference's unequal-length semantics
+    *  - WITH ORDINALITY: posexplode's 0-based pos becomes the 1-based
+    *    ordinal through a constant-array lateral view, so the declared
+    *    column name binds the +1 value directly. */
   private def renderUnnest(u: UnnestRel): String = {
-    if (u.exprs.length != 1) throw new SqlParseException(
-      "UNNEST supports one array expression here")
-    if (u.ordinality) {
-      // WITH ORDINALITY: posexplode's 0-based pos becomes the 1-based
-      // ordinal through a second (constant-array) lateral view, so the
-      // declared column name binds the +1 value directly
-      if (u.cols.length != 2) throw new SqlParseException(
-        "UNNEST WITH ORDINALITY names two columns: (value, ordinal)")
-      val ord = s"__ord_${aliasCounter.incrementAndGet()}"
-      s"LATERAL VIEW posexplode(${renderExpr(u.exprs.head)}) ${u.alias} " +
-        s"AS $ord, ${u.cols.head} " +
-        s"LATERAL VIEW explode(array($ord + 1)) ${ord}_v AS ${u.cols(1)}"
-    } else {
-      if (u.cols.length != 1) throw new SqlParseException(
-        "UNNEST supports one output column here")
-      s"LATERAL VIEW explode(${renderExpr(u.exprs.head)}) ${u.alias} AS ${u.cols.head}"
+    val valueCols = if (u.ordinality) u.cols.dropRight(1) else u.cols
+    if (u.ordinality && u.cols.length < 2) throw new SqlParseException(
+      "UNNEST WITH ORDINALITY names the value column(s) plus an ordinal column")
+    val n = u.exprs.length
+    def ordTail(posVar: String): String = {
+      val v = s"__ordv_${aliasCounter.incrementAndGet()}"
+      s" LATERAL VIEW explode(array($posVar + 1)) $v AS ${renderAlias(u.cols.last)}"
     }
+    if (n == 1 && valueCols.length == 1) {
+      if (u.ordinality) {
+        val ord = s"__ord_${aliasCounter.incrementAndGet()}"
+        s"LATERAL VIEW posexplode(${renderExpr(u.exprs.head)}) ${u.alias} " +
+          s"AS $ord, ${renderAlias(valueCols.head)}" + ordTail(ord)
+      } else
+        s"LATERAL VIEW explode(${renderExpr(u.exprs.head)}) ${u.alias} " +
+          s"AS ${renderAlias(valueCols.head)}"
+    } else if (n == 1 && valueCols.length == 2) {
+      // UNNEST(map) AS t(k, v): Spark's explode on a map yields key, value
+      if (u.ordinality) {
+        val ord = s"__ord_${aliasCounter.incrementAndGet()}"
+        s"LATERAL VIEW posexplode(${renderExpr(u.exprs.head)}) ${u.alias} " +
+          s"AS $ord, ${valueCols.map(renderAlias).mkString(", ")}" + ordTail(ord)
+      } else
+        s"LATERAL VIEW explode(${renderExpr(u.exprs.head)}) ${u.alias} " +
+          s"AS ${valueCols.map(renderAlias).mkString(", ")}"
+    } else if (n >= 2 && valueCols.length == n) {
+      // zip: one row per index up to the LONGEST array, shorter arrays
+      // padded with NULL (try_element_at past the end is NULL; a NULL
+      // array contributes nothing to greatest())
+      val rendered = u.exprs.map(renderExpr)
+      val longest = rendered.map(e => s"size($e)").mkString("greatest(", ", ", ")")
+      val idx = s"__zi_${aliasCounter.incrementAndGet()}"
+      val fields = rendered.zipWithIndex
+        .map { case (e, i) => s"'c$i', try_element_at($e, $idx)" }.mkString(", ")
+      val zipped = s"if(coalesce($longest, 0) < 1, array(), " +
+        s"transform(sequence(1, $longest), $idx -> named_struct($fields)))"
+      val pos = s"__zp_${aliasCounter.incrementAndGet()}"
+      val zs = s"__zs_${aliasCounter.incrementAndGet()}"
+      val head = s"LATERAL VIEW posexplode($zipped) ${u.alias} AS $pos, $zs"
+      val binds = valueCols.zipWithIndex.map { case (c, i) =>
+        val v = s"__zb_${aliasCounter.incrementAndGet()}"
+        s" LATERAL VIEW explode(array($zs.c$i)) $v AS ${renderAlias(c)}"
+      }.mkString
+      head + binds + (if (u.ordinality) ordTail(pos) else "")
+    } else throw new SqlParseException(
+      s"UNNEST: $n expression(s) cannot bind ${valueCols.length} output column(s) " +
+        "(one array → one column, one map → two columns, N arrays → N zipped columns)")
   }
 
   private val aliasCounter = new AtomicInteger(0)

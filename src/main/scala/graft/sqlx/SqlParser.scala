@@ -62,7 +62,10 @@ object SqlAst {
   final case class JoinRel(kind: String, l: Rel, r: Rel, on: Option[Expr]) extends Rel
   final case class UnnestRel(exprs: Seq[Expr], alias: String, cols: Seq[String],
       ordinality: Boolean) extends Rel
-  final case class TvfRel(name: String, args: Seq[Expr], alias: Option[String]) extends Rel
+  /** `period` carries a trailing FOR VERSION|TIMESTAMP AS OF (SqlBase.g4
+    * queryPeriod composes with table functions for the lake TVFs). */
+  final case class TvfRel(name: String, args: Seq[Expr], alias: Option[String],
+      period: Option[(String, Expr)] = None) extends Rel
   /** MATCH_RECOGNIZE over any input; `blockRaw` is the balanced-paren body. */
   final case class MatchRel(input: Rel, blockRaw: String, alias: Option[String]) extends Rel
   /** TABLESAMPLE BERNOULLI/SYSTEM (percentage) over a relation. */
@@ -848,7 +851,15 @@ final class SqlParser(src: String) {
         expectOp("(")
         val args = if (peek.isOp(")")) Seq.empty else exprList()
         expectOp(")"); expectOp(")")
-        TvfRel(name, args, relAlias())
+        // queryPeriod on a table function (lake TVF time travel)
+        val period =
+          if (peek.is("FOR") && (peek2.is("VERSION") || peek2.is("TIMESTAMP"))) {
+            p += 1
+            val kind = next().text.toUpperCase
+            expectKw("AS"); expectKw("OF")
+            Some((kind, parsePrimary()))
+          } else None
+        TvfRel(name, args, relAlias(), period)
       } else {
         val parts = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
         parts += identPart()

@@ -91,12 +91,22 @@ private[graft] object Statements {
   private[graft] def isSchema(name: String): Boolean =
     schemas.contains(name.toLowerCase)
 
-  /** schema-qualified registry key for a statement-level table name. */
+  /** schema-qualified registry key for a statement-level table name. A
+    * request-scoped `X-Trino-Schema` header overrides the global USE state. */
   private def keyOf(name: String): String = {
     val lower = name.toLowerCase
-    if (lower.contains(".") || currentSchema == "default") lower
-    else s"$currentSchema.$lower"
+    val schema = SessionContext.schemaOverride.map(_.toLowerCase)
+      .getOrElse(currentSchema)
+    if (lower.contains(".") || schema == "default") lower
+    else s"$schema.$lower"
   }
+
+  /** Re-register every front-door table's temp view onto `spark` — needed
+    * when the statement server executes on a scoped `newSession()` (temp
+    * views are per-SparkSession; the CowTable registry is JVM-global). */
+  private[graft] def registerFrontDoorViews(spark: SparkSession): Unit =
+    tables.keys.foreach(k =>
+      projected(spark, k).createOrReplaceTempView(viewNameOf(k)))
 
   /** Temp-view name for a registry key (Spark temp views are single-part). */
   private[graft] def viewNameOf(key: String): String = key.replace(".", "__")
@@ -185,6 +195,11 @@ private[graft] object Statements {
 
   private def lookupKey(name: String): Option[String] =
     Seq(keyOf(name), name.toLowerCase).distinct.find(tables.contains)
+
+  /** Front-door registry key for a (possibly unqualified) table name,
+    * resolved through the effective schema — SqlFrontend's SELECT-path
+    * twin of the DML path's lookupKey. */
+  private[sqlx] def resolveTableKey(name: String): Option[String] = lookupKey(name)
 
   private def requireKey(name: String): String =
     lookupKey(name).getOrElse(throw new IllegalArgumentException(
@@ -450,9 +465,12 @@ private[graft] object Statements {
       stringRows(spark, "function", graft.functions.Registry.customFunctions.sorted)
 
     case ShowStmt("SESSION") =>
+      // header-carried sessions (statement server) see their own overlay;
+      // in-process callers see the JVM-global map (SessionContext scaladoc)
       spark.createDataFrame(
         java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(
-          sessionProps.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }).asJava),
+          SessionContext.effectiveProps(sessionProps.toMap)
+            .toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }).asJava),
         StructType(Seq(StructField("name", StringType, nullable = false),
           StructField("value", StringType, nullable = false))))
 

@@ -85,10 +85,14 @@ object TrinoDialect {
     else sqlDirect(spark, dir, text)
   }
 
-  /** Named-statement registry lookup shared by both front doors. */
+  /** Named-statement registry lookup shared by both front doors. A
+    * request-scoped `X-Trino-Prepared-Statement` header (stateless-server
+    * protocol) shadows the JVM-global registry. */
   private[sqlx] def preparedStatement(name: String): String =
-    prepared.getOrElse(name,
-      throw new IllegalArgumentException(s"no prepared statement '$name'"))
+    SessionContext.preparedOverride(name)
+      .orElse(prepared.get(name))
+      .getOrElse(
+        throw new IllegalArgumentException(s"no prepared statement '$name'"))
 
   private[sqlx] def storePrepared(name: String, stmt: String): Unit =
     prepared(name) = stmt.trim

@@ -175,6 +175,36 @@ class DeltaWriteSpec extends SparkSpec {
     assert(replayed.filter($"id" === 2000L).count() == 1)
   }
 
+  test("v2 UUID checkpoint: self-written manifest+sidecar replays with the JSON prefix deleted") {
+    val path = fresh("cp_v2")
+    val base = (1L to 400L).toDF("id").withColumn("v", $"id" * 7)
+    catalog.DeltaWrite.write(base.filter($"id" <= 200), path)
+    catalog.DeltaWrite.write(base.filter($"id" > 200), path)
+    // a live deletion vector must survive the checkpoint round-trip
+    catalog.DeltaWrite.deleteWhere(spark, path, col("id") % 4 === 0)
+    val expectIds = (1L to 400L).filter(_ % 4 != 0)
+    val cp = catalog.DeltaWrite.checkpointV2(spark, path)
+    assert(cp == 2L)
+    // the layout is the v2 shape: UUID json manifest + _sidecars parquet
+    val logDir = new java.io.File(path, "_delta_log")
+    val manifest = logDir.listFiles().filter(_.getName.matches(
+      "\\d{20}\\.checkpoint\\.[0-9a-f-]{36}\\.json"))
+    assert(manifest.length == 1, logDir.listFiles().map(_.getName).mkString(","))
+    assert(new java.io.File(logDir, "_sidecars").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    // a later commit rides the JSON suffix; then log-clean the prefix
+    catalog.DeltaWrite.write(Seq((9000L, 1L)).toDF("id", "v"), path)
+    (0L to 2L).foreach { v =>
+      val f = new java.io.File(path, f"_delta_log/$v%020d.json")
+      assert(f.delete(), s"commit $v missing")
+    }
+    val replayed = catalog.DeltaRead.readTable(spark, path)
+    assert(replayed.count() == expectIds.length + 1)
+    assert(replayed.filter($"id" === 9000L).count() == 1)
+    assert(replayed.filter($"id" % 4 === 0 && $"id" =!= 9000L).count() == 0)
+    assert(replayed.agg(sum($"id")).head().getLong(0) == expectIds.sum + 9000L)
+  }
+
   test("CALL delta_optimize / delta_checkpoint from SQL text") {
     val path = fresh("call_optcp")
     catalog.DeltaWrite.write((1L to 50L).toDF("id"), path)

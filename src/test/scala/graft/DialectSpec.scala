@@ -428,4 +428,37 @@ class DialectSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
     assert(corr.map(_._3) == Seq(1, 2) && corr.head._2 == 3)
   }
+
+  test("SELECT * over bare UNNEST leaks neither anchor nor ordinal helpers") {
+    val df = TrinoDialect.sql(spark, sfDir,
+      "SELECT * FROM UNNEST(ARRAY[3, 1, 2]) WITH ORDINALITY AS t(v, ord)")
+    assert(df.columns.toSeq == Seq("v", "ord"), df.columns.toSeq)
+    assert(df.collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(_._2).toSeq ==
+      Seq((3, 1), (1, 2), (2, 3)))
+    val plain = TrinoDialect.sql(spark, sfDir,
+      "SELECT * FROM UNNEST(ARRAY['a', 'b']) AS t(v)")
+    assert(plain.columns.toSeq == Seq("v"))
+  }
+
+  test("multi-array UNNEST zips with NULL padding to the longest array") {
+    val rows = TrinoDialect.sql(spark, sfDir,
+      """SELECT x, y, ord
+         FROM UNNEST(ARRAY[10, 20, 30], ARRAY['a', 'b']) WITH ORDINALITY AS t(x, y, ord)
+         ORDER BY ord""").collect()
+      .map(r => (r.get(0), r.get(1), r.get(2))).toSeq
+    assert(rows == Seq((10, "a", 1), (20, "b", 2), (30, null, 3)), rows)
+    // without ordinality, three arrays zip positionally
+    val three = TrinoDialect.sql(spark, sfDir,
+      """SELECT a, b, c FROM UNNEST(ARRAY[1], ARRAY[2, 22], ARRAY[3]) AS t(a, b, c)
+         ORDER BY b""").collect().map(r => (r.get(0), r.get(1), r.get(2))).toSeq
+    assert(three == Seq((1, 2, 3), (null, 22, null)), three)
+  }
+
+  test("UNNEST over a MAP argument yields key and value columns") {
+    val rows = TrinoDialect.sql(spark, sfDir,
+      """SELECT k, v FROM UNNEST(map_from_arrays(ARRAY['x', 'y'], ARRAY[1, 2]))
+         AS t(k, v) ORDER BY k""").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(rows == Seq(("x", 1), ("y", 2)))
+  }
 }

@@ -113,16 +113,27 @@ class HudiReadSpec extends SparkSpec {
     assert(e1.getMessage.contains("SOMETHING_ELSE"))
   }
 
-  test("replacecommit and 1.x timeline are refused loudly") {
+  test("replacecommit retires listed file groups; 1.x timeline refused") {
     val rc = newTable("replace")
-    writeBase(rc, "", FID, "0-0-0", "001", Seq(1))
+    writeBase(rc, "p=1", FID, "0-0-0", "001", Seq(1))
     commit(rc, "001")
+    // a replacecommit with NO replacements (pure clustering metadata)
+    // retires nothing
     Files.write(Paths.get(rc.getAbsolutePath, ".hoodie", "002.replacecommit"),
       "{}".getBytes(StandardCharsets.UTF_8))
-    val e2 = intercept[IllegalArgumentException] {
-      graft.catalog.HudiRead.readTable(spark, rc.getAbsolutePath)
-    }
-    assert(e2.getMessage.contains("replacecommit"))
+    assert(graft.catalog.HudiRead.readTable(spark, rc.getAbsolutePath)
+      .as[Int].collect().toSeq == Seq(1))
+    // one that lists the group (insert_overwrite): the group is dead...
+    val nf = "def99999-0000-0000-0000-000000000000-0"
+    writeBase(rc, "p=1", nf, "0-0-0", "003", Seq(7))
+    Files.write(Paths.get(rc.getAbsolutePath, ".hoodie", "003.replacecommit"),
+      s"""{"partitionToReplaceFileIds":{"p=1":["$FID"]},"operationType":"INSERT_OVERWRITE"}"""
+        .getBytes(StandardCharsets.UTF_8))
+    assert(graft.catalog.HudiRead.readTable(spark, rc.getAbsolutePath)
+      .as[Int].collect().toSeq == Seq(7))
+    // ...but time travel BEFORE the replacecommit still sees it
+    assert(graft.catalog.HudiRead.readTable(spark, rc.getAbsolutePath,
+      asOf = Some("002")).as[Int].collect().toSeq == Seq(1))
 
     val v1x = newTable("v1x")
     new File(v1x, ".hoodie/timeline").mkdirs()
@@ -132,28 +143,84 @@ class HudiReadSpec extends SparkSpec {
     assert(e3.getMessage.contains("timeline"))
   }
 
-  test("HudiWrite roundtrip: bulk insert + partition upsert replay read-optimized") {
+  test("MOR snapshot applies DELETE log blocks as tombstones") {
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    val mor = newTable("mordel", tableType = "MERGE_ON_READ")
+    val schema = StructType(Seq(
+      StructField("_hoodie_record_key", StringType),
+      StructField("_hoodie_partition_path", StringType),
+      StructField("v", IntegerType)))
+    val base = spark.createDataFrame(java.util.Arrays.asList(
+      SRow("k1", "", 1), SRow("k2", "", 2), SRow("k3", "", 3)), schema)
+    val stage = new File(mor, "_stage")
+    base.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val pf = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.move(pf.toPath, new File(mor, s"${FID}_0-0-0_001.parquet").toPath)
+    Files.write(Paths.get(mor.getAbsolutePath, ".hoodie", "001.deltacommit"),
+      "{}".getBytes(StandardCharsets.UTF_8))
+    // log 1: update k2, delete k1
+    graft.catalog.HudiLogFormat.writeLogFile(mor, FID, "001", 1, "0-0-0",
+      "002", schema, Seq(SRow("k2", "", 20)))
+    graft.catalog.HudiLogFormat.writeDeleteLogFile(mor, FID, "001", 2, "0-0-0",
+      "002", Seq(("", "k1")))
+    Files.write(Paths.get(mor.getAbsolutePath, ".hoodie", "002.deltacommit"),
+      "{}".getBytes(StandardCharsets.UTF_8))
+    val snap = graft.catalog.HudiRead.readTableSnapshot(spark, mor.getAbsolutePath)
+      .select("_hoodie_record_key", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    // k1 deleted, k2 updated, k3 untouched
+    assert(snap == Set(("k2", 20), ("k3", 3)), s"got $snap")
+    // a LATER data record resurrects a deleted key (latest action wins)
+    graft.catalog.HudiLogFormat.writeLogFile(mor, FID, "001", 3, "0-0-0",
+      "003", schema, Seq(SRow("k1", "", 111)))
+    Files.write(Paths.get(mor.getAbsolutePath, ".hoodie", "003.deltacommit"),
+      "{}".getBytes(StandardCharsets.UTF_8))
+    val snap2 = graft.catalog.HudiRead.readTableSnapshot(spark, mor.getAbsolutePath)
+      .select("_hoodie_record_key", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(snap2 == Set(("k1", 111), ("k2", 20), ("k3", 3)), s"got $snap2")
+  }
+
+  test("HudiWrite roundtrip: bulk insert + partition upsert, one job per commit") {
     val root = new File(System.getProperty("java.io.tmpdir"), "graft_hudiw_rt")
     def rm(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete()
     }
     rm(root)
-    val df = Seq((1, "a", 10), (2, "b", 20), (3, "a", 30)).toDF("id", "pk", "v")
-    val i0 = graft.catalog.HudiWrite.write(df, root.getAbsolutePath, partitionBy = Some("pk"))
+    // job counter: the write must be ONE distributed job regardless of
+    // partition count (no per-partition-value job loop)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val df = Seq((1, "a", 10), (2, "b", 20), (3, "a", 30), (5, "c", 50),
+      (6, "d", 60)).toDF("id", "pk", "v")
+    spark.sparkContext.addSparkListener(counter)
+    val i0 = try {
+      val i = graft.catalog.HudiWrite.write(df, root.getAbsolutePath,
+        partitionBy = Some("pk"))
+      Thread.sleep(500) // listener bus drains asynchronously
+      i
+    } finally spark.sparkContext.removeSparkListener(counter)
+    assert(jobs.get() <= 2, // the write job (+ at most one AQE prep job)
+      s"HudiWrite ran ${jobs.get()} jobs for 4 partitions — per-partition loop?")
     val back0 = graft.catalog.HudiRead.readTable(spark, root.getAbsolutePath)
-    assert(back0.count() == 3)
-    // upsert partition a: replaces its file group, b untouched
+    assert(back0.count() == 5)
+    // upsert partition a: replaces its file groups, others untouched
     val up = Seq((1, "a", 100), (4, "a", 400)).toDF("id", "pk", "v")
     val i1 = graft.catalog.HudiWrite.write(up, root.getAbsolutePath, partitionBy = Some("pk"))
     assert(i1 > i0)
     val back1 = graft.catalog.HudiRead.readTable(spark, root.getAbsolutePath)
     val rows = back1.select("id", "v").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
-    assert(rows == Set((1, 100), (4, 400), (2, 20)), s"got $rows")
+    assert(rows == Set((1, 100), (4, 400), (2, 20), (5, 50), (6, 60)), s"got $rows")
     // time travel to the first instant sees the original partition a
     val asOf = graft.catalog.HudiRead.readTable(spark, root.getAbsolutePath,
       asOf = Some(i0))
-    assert(asOf.count() == 3)
+    assert(asOf.count() == 5)
   }
 
   test("MOR snapshot merges a REAL Hudi-written log (stock_ticks_mor fixture)") {

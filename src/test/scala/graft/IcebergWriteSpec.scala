@@ -81,6 +81,33 @@ class IcebergWriteSpec extends SparkSpec {
     assert(catalog.IcebergWrite.deleteWhere(spark, path, $"k" === 9999L) == -1L)
   }
 
+  test("position deletes stay distributed: many delete files, all applied") {
+    val path = fresh("posdel_dist")
+    val df = (1L to 2000L).toDF("k").withColumn("v", $"k" * 2)
+    catalog.IcebergWrite.write(df.repartition(4), path)
+    // force the delete scan into multiple tasks so the natural-partitioning
+    // write provably emits >1 position-delete file (no coalesce(1) funnel)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      catalog.IcebergWrite.deleteWhere(spark, path, $"k" % 3 === 0)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevAqe)
+    }
+    val deleteFiles = Option(new File(path, "data").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("delete-"))
+    assert(deleteFiles.length > 1,
+      s"expected >1 position-delete file, got ${deleteFiles.length}")
+    // the reader applies ALL of them
+    val back = catalog.IcebergRead.readTable(spark, path)
+    assert(back.count() == (1L to 2000L).count(_ % 3 != 0))
+    assert(back.agg(sum($"k")).head().getLong(0) ==
+      (1L to 2000L).filter(_ % 3 != 0).sum)
+  }
+
   test("identity-partitioned write: spec fields, typed partition record, full columns") {
     val path = fresh("partitioned")
     val nation = operators.table(spark, sfDir, "nation")
