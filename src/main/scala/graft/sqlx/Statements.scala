@@ -167,7 +167,9 @@ private[graft] object Statements {
         fromRel(l, c) ++ fromRel(rr, c) ++ on.toSeq.flatMap(fromExpr(_, c))
       case MatchRel(input, _, _) => fromRel(input, c)
       case UnnestRel(exprs, _, _, _) => exprs.flatMap(fromExpr(_, c)).toSet
-      case TvfRel(_, args, _) => args.flatMap(fromExpr(_, c)).toSet
+      case TvfRel(_, args, _, period) =>
+        args.flatMap(fromExpr(_, c)).toSet ++
+          period.toSeq.flatMap(p => fromExpr(p._2, c))
       case SampleRel(input, _, _) => fromRel(input, c)
       case TimeTravelRel(name, _, _, _) => Set(name.plain.toLowerCase)
     }
