@@ -81,11 +81,11 @@ object DeltaRead {
     }
     def add(path: String, pv: Map[String, String],
         dv: Option[DeltaDeletionVectors.Descriptor]): Unit = {
-      val decoded = java.net.URLDecoder.decode(path, "UTF-8")
+      val decoded = PathCodec.unescape(path)
       active(decoded) = Add(decoded, pv, dv)
     }
     def remove(path: String): Unit =
-      active.remove(java.net.URLDecoder.decode(path, "UTF-8"))
+      active.remove(PathCodec.unescape(path))
   }
 
   /** Apply one JSON commit line. */

@@ -158,7 +158,7 @@ object DeltaWrite {
       // partition values from the hive-style path segments
       val pv = rel.split("/").filter(_.contains("=")).map { seg =>
         val Array(k, v) = seg.split("=", 2)
-        k -> java.net.URLDecoder.decode(v, "UTF-8")
+        k -> PathCodec.unescape(v)
       }.toMap
       (relPath, pv, dest.length())
     }

@@ -167,8 +167,7 @@ object HiveFileCatalog {
           Option(dir.listFiles()).getOrElse(Array.empty).toSeq
             .filter(d => d.isDirectory && d.getName.startsWith(s"$key="))
             .flatMap { d =>
-              val v = java.net.URLDecoder.decode(
-                d.getName.stripPrefix(s"$key="), "UTF-8")
+              val v = PathCodec.unescape(d.getName.stripPrefix(s"$key="))
               walk(d, depth + 1, acc + (key -> v))
             }
         }

@@ -305,8 +305,8 @@ object IcebergWrite {
     def stagedFiles(dir: File, raws: List[String]): Seq[(File, List[String])] =
       Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
         if (f.isDirectory && f.getName.startsWith("__gp"))
-          stagedFiles(f, raws :+ java.net.URLDecoder.decode(
-            f.getName.dropWhile(_ != '=').drop(1), "UTF-8"))
+          stagedFiles(f, raws :+ PathCodec.unescape(
+            f.getName.dropWhile(_ != '=').drop(1)))
         else if (f.getName.endsWith(".parquet")) Seq((f, raws))
         else Seq.empty
       }
