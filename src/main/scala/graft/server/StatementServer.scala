@@ -165,6 +165,55 @@ object StatementServer {
       errorName: String = "GENERIC_INTERNAL_ERROR") extends State
   private case object Cancelled extends State
 
+  /** Per-query metadata backing the `/v1/query` info endpoints (reference:
+    * core/trino-main server/QueryResource.java serves BasicQueryInfo /
+    * QueryInfo from the QueryManager; this subset tracks the fields the
+    * Web UI actually renders). Volatile fields are written once by the
+    * worker at terminal state. */
+  private final class Meta(val sql: String, val user: String,
+      val createMs: Long) {
+    @volatile var endMs: Long = 0L
+    @volatile var rows: Long = 0L
+    @volatile var terminalState: String = null // FINISHED | FAILED
+    @volatile var failure: String = null
+  }
+
+  /** Server security configuration (reference: password-file authenticator
+    * plugin + file-based SystemAccessControl).
+    *
+    *  - `enforceGrants`: non-admin users need ownership or a recorded
+    *    GRANT for every table their statements touch ([[graft.sqlx
+    *    .Statements]] accessCheck); admins (and everything when this is
+    *    false) keep the reference's default allow-all.
+    *  - `passwords`: user → SHA-256 hex of the password. When set, every
+    *    /v1/statement request must carry HTTP Basic credentials; the
+    *    authenticated identity becomes the session user, and a conflicting
+    *    `X-Trino-User` is rejected (impersonation is not in this subset —
+    *    the reference gates it through impersonation rules). */
+  final case class Security(
+      enforceGrants: Boolean = false,
+      admins: Set[String] = Set.empty,
+      passwords: Option[Map[String, String]] = None)
+
+  object Security {
+    /** Parse a reference-style password file: one `user:sha256hex` line
+      * each (the reference's file uses bcrypt/PBKDF2; this subset uses
+      * SHA-256, documented). */
+    def passwordFile(f: java.io.File): Map[String, String] =
+      java.nio.file.Files.readAllLines(f.toPath).asScala
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val i = l.indexOf(':')
+          require(i > 0, s"malformed password file line: $l")
+          l.substring(0, i) -> l.substring(i + 1).toLowerCase
+        }.toMap
+
+    def sha256Hex(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes(StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+  }
+
   final class Handle private[StatementServer] (
       val server: HttpServer, pool: java.util.concurrent.ExecutorService) {
     def port: Int = server.getAddress.getPort
@@ -181,7 +230,8 @@ object StatementServer {
     * after completion. */
   def start(spark: SparkSession, dir: String, port: Int = 0,
       resourceGroups: Option[ResourceGroups.Config] = None,
-      evictAfterMs: Long = 5 * 60 * 1000L): Handle = {
+      evictAfterMs: Long = 5 * 60 * 1000L,
+      security: Option[Security] = None): Handle = {
     val rgManager = resourceGroups.map(new ResourceGroups.Manager(_))
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     val pool = daemonPool(4, "graft-statement-exec")
@@ -190,6 +240,7 @@ object StatementServer {
     // spooled-protocol state: queries that asked for an encoding (via the
     // X-Trino-Query-Data-Encoding header) and their spooled segment files
     val encodings = new ConcurrentHashMap[String, String]()
+    val metas = new ConcurrentHashMap[String, Meta]()
     val spoolDir = java.nio.file.Files.createTempDirectory("graft-spool").toFile
     spoolDir.deleteOnExit()
 
@@ -198,7 +249,12 @@ object StatementServer {
         override def run(): Unit = {
           queries.remove(id)
           encodings.remove(id)
+          metas.remove(id)
           QueryRegistry.unregister(id)
+          // reclaim spooled segments a client never downloaded/acked —
+          // deleteOnExit on a non-empty temp dir does not remove them
+          Option(spoolDir.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith(s"$id-")).foreach(_.delete())
         }
       }, evictAfterMs, TimeUnit.MILLISECONDS)
 
@@ -265,6 +321,40 @@ object StatementServer {
       }
     }
 
+    /** `/v1/query/{id}` payload (reference: server/QueryResource.java
+      * getQueryInfo — the Web UI's query-detail fetch; BasicQueryInfo
+      * field spellings). State for a live query comes from the State ref;
+      * a terminal query reads the Meta written by fireCompleted. */
+    def queryInfoJson(qid: String, m: Meta, st: Option[State]): String = {
+      val state = Option(m.terminalState).getOrElse(st match {
+        case Some(Queued) => "QUEUED"
+        case Some(Running) | Some(Streaming(_, _)) => "RUNNING"
+        case Some(Static(_, _)) | Some(SpooledDone(_, _, _)) => "FINISHED"
+        case Some(Failed(_, _)) | Some(Cancelled) => "FAILED"
+        case None => "FAILED" // meta without state: evicted mid-read
+      })
+      val endMs = if (m.endMs > 0) m.endMs else System.currentTimeMillis()
+      val err = (Option(m.failure), st) match {
+        case (Some(f), _) =>
+          s""","errorType":"USER_ERROR","failureInfo":{"message":${jstr(f)}}"""
+        case (None, Some(Failed(msg, name))) =>
+          s""","errorType":"USER_ERROR","errorName":${jstr(name)},""" +
+            s""""failureInfo":{"message":${jstr(msg)}}"""
+        case (None, Some(Cancelled)) =>
+          s""","errorType":"USER_CANCELED","failureInfo":{"message":"Query was canceled"}"""
+        case _ => ""
+      }
+      val iso = java.time.format.DateTimeFormatter.ISO_INSTANT
+      def ts(ms: Long) = jstr(iso.format(java.time.Instant.ofEpochMilli(ms)))
+      s"""{"queryId":${jstr(qid)},"state":${jstr(state)},""" +
+        s""""query":${jstr(m.sql)},"session":{"user":${jstr(m.user)}},""" +
+        s""""self":${jstr(s"/v1/query/$qid")},"scheduled":true,""" +
+        s""""queryStats":{"createTime":${ts(m.createMs)},""" +
+        s""""endTime":${if (m.endMs > 0) ts(m.endMs) else "null"},""" +
+        s""""elapsedTime":${jstr(s"${endMs - m.createMs}ms")},""" +
+        s""""totalRows":${m.rows}}$err}"""
+    }
+
     /** CAS a live statement to Cancelled (Queued, Running, or Streaming
       * with an unfinished buffer); finished results are never clobbered.
       * Cancelling also kills the statement's Spark job group, so executor
@@ -293,8 +383,30 @@ object StatementServer {
         val path = ex.getRequestURI.getPath
         (ex.getRequestMethod, path) match {
           case ("POST", "/v1/statement") =>
-            handlePost(spark, dir, ex, pool, nextId, queries, encodings, spoolDir,
-              rgManager, cancelLive, resultsJson, respond, evictLater)
+            handlePost(spark, dir, ex, pool, nextId, queries, encodings, metas,
+              spoolDir, rgManager, security, cancelLive, resultsJson, respond,
+              evictLater)
+          // --- query info endpoints (the advertised infoUri; reference
+          // server/QueryResource.java + the Web UI's data source)
+          case ("GET", "/v1/query") =>
+            val items = metas.asScala.toSeq.sortBy(_._1).map { case (qid, m) =>
+              queryInfoJson(qid, m, Option(queries.get(qid)).map(_.get()))
+            }
+            respond(ex, 200, items.mkString("[", ",", "]"))
+          case ("GET", QueryPath(qid)) =>
+            metas.get(qid) match {
+              case null => respond(ex, 404, s"""{"error":"unknown query $qid"}""")
+              case m => respond(ex, 200,
+                queryInfoJson(qid, m, Option(queries.get(qid)).map(_.get())))
+            }
+          case ("DELETE", QueryPath(qid)) =>
+            // the UI's kill path — same CAS as DELETE on the executing URI
+            queries.get(qid) match {
+              case null => respond(ex, 404, s"""{"error":"unknown query $qid"}""")
+              case ref =>
+                cancelLive(qid, ref)
+                ex.sendResponseHeaders(204, -1); ex.close()
+            }
           case ("GET", ExecutingPath(id, token)) =>
             queries.get(id) match {
               case null => respond(ex, 404, s"""{"error":"unknown query $id"}""")
@@ -328,6 +440,18 @@ object StatementServer {
         }
       } catch {
         case e: Throwable => respond(ex, 500, s"""{"error":${jstr(String.valueOf(e))}}""")
+      }
+    })
+    // Minimal Web UI (reference: core/trino-web-ui — the query-list page):
+    // one static HTML page that polls /v1/query and offers kill. All data
+    // flows through the public info endpoints above; the page holds no state.
+    server.createContext("/ui", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val bytes = UiHtml.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        val os: OutputStream = ex.getResponseBody
+        try os.write(bytes) finally os.close()
       }
     })
     server.setExecutor(daemonPool(4, "graft-statement-http"))
@@ -382,21 +506,60 @@ object StatementServer {
       nextId: AtomicLong,
       queries: ConcurrentHashMap[String, AtomicReference[State]],
       encodings: ConcurrentHashMap[String, String],
+      metas: ConcurrentHashMap[String, Meta],
       spoolDir: java.io.File,
       rgManager: Option[ResourceGroups.Manager],
+      security: Option[Security],
       cancelLive: (String, AtomicReference[State]) => Boolean,
       resultsJson: (String, Long, State) => (Int, String),
       respond: (HttpExchange, Int, String) => Unit,
       evictLater: String => Unit): Unit = {
     val sql = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val hdrs = ex.getRequestHeaders
-    val user = Option(hdrs.getFirst("X-Trino-User")).getOrElse("graft")
+    val headerUser = Option(hdrs.getFirst("X-Trino-User"))
+    // password authentication (reference: password-file authenticator):
+    // when configured, Basic credentials are REQUIRED and the
+    // authenticated identity is the session user
+    val authUser: Option[String] = security.flatMap(_.passwords) match {
+      case None => None
+      case Some(pwds) =>
+        val ok = Option(hdrs.getFirst("Authorization"))
+          .filter(_.startsWith("Basic ")).flatMap { h =>
+            try {
+              val dec = new String(java.util.Base64.getDecoder.decode(
+                h.stripPrefix("Basic ").trim), StandardCharsets.UTF_8)
+              val i = dec.indexOf(':')
+              if (i <= 0) None
+              else {
+                val (u, p) = (dec.take(i), dec.drop(i + 1))
+                if (pwds.get(u).contains(Security.sha256Hex(p))) Some(u) else None
+              }
+            } catch { case _: IllegalArgumentException => None }
+          }
+        ok match {
+          case None =>
+            ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"graft\"")
+            respond(ex, 401, """{"error":"authentication required"}""")
+            return
+          case some => some
+        }
+    }
+    if (authUser.isDefined && headerUser.exists(_ != authUser.get)) {
+      respond(ex, 403,
+        """{"error":"X-Trino-User does not match the authenticated user"}""")
+      return
+    }
+    val user = authUser.orElse(headerUser).getOrElse("graft")
     val ctx = graft.sqlx.SessionContext.Ctx(
       props = parseKvHeader(hdrs.get("X-Trino-Session")),
       schema = Option(hdrs.getFirst("X-Trino-Schema")),
-      prepared = parseKvHeader(hdrs.get("X-Trino-Prepared-Statement")))
+      prepared = parseKvHeader(hdrs.get("X-Trino-Prepared-Statement")),
+      user = Some(user),
+      enforce = security.exists(s => s.enforceGrants && !s.admins.contains(user)))
     val id = f"graft_${nextId.incrementAndGet()}%08d"
     val createMs = System.currentTimeMillis()
+    val meta = new Meta(sql, user, createMs)
+    metas.put(id, meta)
 
     def fireCreated(): Unit = EventListeners.fireCreated(
       s"""{"metadata":{"queryId":${jstr(id)},"query":${jstr(sql)},""" +
@@ -404,6 +567,10 @@ object StatementServer {
     def fireCompleted(state: String, rows: Long, failure: String,
         startNanos: Long): Unit = {
       val elapsedMs = (System.nanoTime() - startNanos) / 1000000L
+      meta.rows = rows
+      meta.failure = failure
+      meta.endMs = System.currentTimeMillis()
+      meta.terminalState = state // write LAST: readers key liveness off it
       val fail = if (failure == null) ""
         else s""","failureInfo":{"message":${jstr(failure)}}"""
       EventListeners.fireCompleted(
@@ -531,20 +698,35 @@ object StatementServer {
       } catch {
         case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          val errName = e match {
+            case _: graft.sqlx.AccessDeniedException => "PERMISSION_DENIED"
+            case _ => "GENERIC_INTERNAL_ERROR"
+          }
           val wasCancelled = ref.get() == Cancelled ||
             (ref.get() match {
               case Streaming(_, b) => b.isCancelled
               case _ => false
             })
           ref.get() match {
-            case st @ Streaming(_, b) => b.fail(msg); ref.compareAndSet(st, Failed(msg))
-            case _ => ref.compareAndSet(Running, Failed(msg))
+            case st @ Streaming(_, b) =>
+              b.fail(msg); ref.compareAndSet(st, Failed(msg, errName))
+            case _ => ref.compareAndSet(Running, Failed(msg, errName))
           }
           if (wasCancelled) fireCompleted("FAILED", 0L, "Query was canceled", t0)
           else fireCompleted("FAILED", 0L, msg, t0)
       } finally {
         spark.sparkContext.clearJobGroup()
       }
+    } catch {
+      // failures BEFORE the inner try (admission await, scopedSession
+      // rejecting an invalid conf-mapped property) must still reach a
+      // terminal state + completion event, else the client polls RUNNING
+      // forever; the inner catch never rethrows, so this fires at most once
+      case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        if (ref.compareAndSet(Running, Failed(msg)) ||
+            ref.compareAndSet(Queued, Failed(msg)))
+          fireCompleted("FAILED", 0L, msg, t0)
     } finally {
       // slot held whether pre-acquired (RunNow) or awaited (Queue);
       // released exactly once at terminal state
@@ -620,6 +802,48 @@ object StatementServer {
     private val Re = """/v1/spooled/(download|ack)/([A-Za-z0-9_]+)/([0-9]+)""".r
     def unapply(path: String): Option[(String, String, String)] = path match {
       case Re(op, qid, seg) => Some((op, qid, seg))
+      case _ => None
+    }
+  }
+
+  /** The single-page query list UI. Vanilla JS over /v1/query; no assets. */
+  private val UiHtml: String =
+    """<!doctype html><html><head><meta charset="utf-8"><title>graft</title>
+      |<style>
+      | body{font-family:monospace;margin:2em;background:#111;color:#ddd}
+      | table{border-collapse:collapse;width:100%} td,th{padding:4px 10px;
+      | border-bottom:1px solid #333;text-align:left;vertical-align:top}
+      | .FINISHED{color:#7c7} .FAILED{color:#e77} .RUNNING{color:#7af}
+      | .QUEUED{color:#cc7} button{background:#400;color:#fcc;border:1px
+      | solid #633;cursor:pointer} .q{max-width:48em;overflow:hidden;
+      | white-space:nowrap;text-overflow:ellipsis}
+      |</style></head><body>
+      |<h2>graft — queries</h2>
+      |<table><thead><tr><th>id</th><th>state</th><th>user</th>
+      |<th>elapsed</th><th>rows</th><th>query</th><th></th></tr></thead>
+      |<tbody id="t"></tbody></table>
+      |<script>
+      |async function kill(id){await fetch('/v1/query/'+id,{method:'DELETE'});refresh();}
+      |async function refresh(){
+      |  const qs=await (await fetch('/v1/query')).json();
+      |  document.getElementById('t').innerHTML=qs.map(q=>
+      |    '<tr><td><a style="color:#9bf" href="/v1/query/'+q.queryId+'">'+q.queryId+
+      |    '</a></td><td class="'+q.state+'">'+q.state+'</td><td>'+q.session.user+
+      |    '</td><td>'+q.queryStats.elapsedTime+'</td><td>'+q.queryStats.totalRows+
+      |    '</td><td class="q"></td>'+
+      |    ((q.state=='RUNNING'||q.state=='QUEUED')?
+      |      '<td><button onclick="kill(\''+q.queryId+'\')">kill</button></td>':'<td></td>')+
+      |    '</tr>').join('');
+      |  // query text via textContent — never innerHTML (it is user input)
+      |  document.querySelectorAll('#t .q').forEach((c,i)=>c.textContent=qs[i].query);
+      |}
+      |refresh();setInterval(refresh,2000);
+      |</script></body></html>""".stripMargin
+
+  private object QueryPath {
+    private val Re = """/v1/query/([A-Za-z0-9_]+)""".r
+    def unapply(path: String): Option[String] = path match {
+      case Re(qid) => Some(qid)
       case _ => None
     }
   }

@@ -20,11 +20,21 @@ private[graft] object SessionContext {
 
   /** One request's session view: properties from `X-Trino-Session`, the
     * current schema from `X-Trino-Schema`, prepared statements from
-    * `X-Trino-Prepared-Statement` (name → SQL text). */
+    * `X-Trino-Prepared-Statement` (name → SQL text). `user` is the
+    * request's (possibly authenticated) identity; `enforce` marks it as
+    * subject to grant enforcement (the server sets it false for
+    * configured admins and when access control is off — in-process
+    * callers never carry a context, so they are never enforced). */
   final case class Ctx(
       props: Map[String, String] = Map.empty,
       schema: Option[String] = None,
-      prepared: Map[String, String] = Map.empty)
+      prepared: Map[String, String] = Map.empty,
+      user: Option[String] = None,
+      enforce: Boolean = false)
+
+  /** Identity subject to grant enforcement for this thread, if any. */
+  def enforcedUser: Option[String] =
+    current.filter(_.enforce).flatMap(_.user)
 
   private val tl = new ThreadLocal[Ctx]
 

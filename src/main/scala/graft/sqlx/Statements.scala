@@ -49,8 +49,76 @@ private[graft] object Statements {
 
   /** Recorded grants (reference parity: the default system access control
     * allows everything; grants are catalog metadata surfaced by SHOW
-    * GRANTS — exactly this). (grantee, table) → privileges. */
+    * GRANTS — exactly this). (grantee, table) → privileges. When the
+    * statement server runs with access control enabled, [[accessCheck]]
+    * ENFORCES these for non-admin users (reference:
+    * core/trino-main security/AccessControlManager.java dispatching to
+    * the configured SystemAccessControl). */
   private val grants = TrieMap[(String, String), Set[String]]()
+
+  /** Table/view ownership: key → creating user (recorded only when the
+    * creation ran under an enforced session; in-process callers leave
+    * tables unowned, i.e. admin-only under enforcement). */
+  private val owners = TrieMap[String, String]()
+
+  private def recordOwner(key: String): Unit =
+    SessionContext.enforcedUser.foreach(u => owners(key) = u)
+
+  /** Grant enforcement (reference AccessControlManager semantics, file-
+    * based access control's deny-by-default): a non-admin user may read a
+    * table only with a SELECT grant (or ownership), write only with the
+    * matching DML grant (or ownership); DROP/ALTER/COMMENT/GRANT require
+    * ownership. In-process callers and admins carry no enforced user, so
+    * every historical path is unaffected. */
+  private def accessCheck(st: Statement): Unit = {
+    val user = SessionContext.enforcedUser.getOrElse(return)
+    def allowed(priv: String, key: String): Boolean =
+      owners.get(key).contains(user) ||
+        grants.getOrElse((user, key), Set.empty)
+          .exists(p => p == priv || p == "ALL PRIVILEGES" || p == "ALL")
+    def check(priv: String, what: String, rawName: String): Unit = {
+      val key = keyOf(rawName)
+      if (!allowed(priv, key))
+        throw new AccessDeniedException(s"Cannot $what $key")
+    }
+    def ownerOnly(what: String, rawName: String): Unit = {
+      val key = keyOf(rawName)
+      if (!owners.get(key).contains(user))
+        throw new AccessDeniedException(s"Cannot $what $key")
+    }
+    def checkQuery(q: Query): Unit =
+      referencedTables(q, Set.empty).foreach(t =>
+        check("SELECT", "select from table", t))
+    st match {
+      case QueryStmt(q) => checkQuery(q)
+      case ExplainStmt(_, q, _, _) => checkQuery(q)
+      case CreateTableAs(_, _, _, q) => checkQuery(q) // creator owns the target
+      case CreateViewStmt(_, _, q) => checkQuery(q)
+      case InsertInto(name, _, q) =>
+        check("INSERT", "insert into table", name); checkQuery(q)
+      case DeleteStmt(name, _) => check("DELETE", "delete from table", name)
+      case UpdateStmt(name, _, _) => check("UPDATE", "update table", name)
+      case MergeStmt(name, source, _) =>
+        // reference MERGE demands the union of its constituent privileges
+        check("INSERT", "merge into table", name)
+        check("UPDATE", "merge into table", name)
+        check("DELETE", "merge into table", name)
+        checkQuery(source)
+      case DropTableStmt(name, _) => ownerOnly("drop table", name)
+      case DropViewStmt(name, _) => ownerOnly("drop view", name)
+      case AlterTableStmt(name, _, _) => ownerOnly("alter table", name)
+      case CommentStmt(isColumn, target, _) =>
+        val parts = target.split("\\.")
+        val tbl = if (isColumn) parts.dropRight(1).mkString(".") else target
+        ownerOnly("comment on", tbl)
+      case GrantStmt(_, _, table, _) => ownerOnly("grant on table", table)
+      case ShowStatsStmt(Left(name)) =>
+        check("SELECT", "show stats for table", name)
+      case ShowStatsStmt(Right(q)) => checkQuery(q)
+      case _ => // creation (creator becomes owner), session/metadata
+                // statements: allowed for every authenticated user
+    }
+  }
 
   /** SET SESSION properties; a few keys map onto live Spark conf. */
   private val sessionProps = TrieMap[String, String]()
@@ -84,6 +152,7 @@ private[graft] object Statements {
       tables: Map[String, String], meta: Map[String, TableMeta],
       schemaNames: Set[String], schema: String,
       grantsSnap: Map[(String, String), Set[String]],
+      ownersSnap: Map[String, String],
       props: Map[String, String], roleNames: Set[String],
       enabled: Set[String], versions: Map[String, Int])
   @volatile private var txn: Option[TxnSnapshot] = None
@@ -121,11 +190,14 @@ private[graft] object Statements {
   /** Execute `text` if it parses as a non-query statement; None → caller
     * runs the ordinary query path. Throws SqlParseException upward only
     * for statements the grammar doesn't cover at all. */
-  def run(spark: SparkSession, dir: String, text: String): Option[DataFrame] =
-    new SqlParser(text).parseStatement() match {
+  def run(spark: SparkSession, dir: String, text: String): Option[DataFrame] = {
+    val st = new SqlParser(text).parseStatement()
+    accessCheck(st)
+    st match {
       case QueryStmt(_) => None
-      case st => Some(execute(spark, dir, st))
+      case other => Some(execute(spark, dir, other))
     }
+  }
 
   private def subquery(spark: SparkSession, dir: String, q: Query): DataFrame = {
     val planned = SqlFrontend.planQuery(spark, dir, SqlFrontend.rewriteQuery(q))
@@ -361,6 +433,7 @@ private[graft] object Statements {
         viewNameOf(key) + "_" + System.nanoTime()).toString
       graft.catalog.CowTable.create(spark, root, df)
       tables(key) = root
+      recordOwner(key)
       seedMeta(key, df.schema)
       refreshView(spark, name)
       oneRow(spark, "rows", spark.table(viewNameOf(key)).count())
@@ -519,6 +592,7 @@ private[graft] object Statements {
         viewNameOf(key) + "_" + System.nanoTime()).toString
       graft.catalog.CowTable.create(spark, root, empty)
       tables(key) = root
+      recordOwner(key)
       seedMeta(key, schema)
       refreshView(spark, name)
       oneRow(spark, "rows", 0L)
@@ -528,6 +602,7 @@ private[graft] object Statements {
         throw new IllegalArgumentException(s"view '$name' already exists")
       subquery(spark, dir, q).createOrReplaceTempView(name)
       viewDefs(name.toLowerCase) = SqlFrontend.renderQuery(q)
+      recordOwner(keyOf(name))
       oneRow(spark, "rows", 0L)
 
     case MergeStmt(name, source, key) =>
@@ -740,8 +815,8 @@ private[graft] object Statements {
       if (txn.isDefined)
         throw new IllegalStateException("a transaction is already in progress")
       txn = Some(TxnSnapshot(tables.toMap, tableMeta.toMap,
-        schemas.keySet.toSet, currentSchema, grants.toMap, sessionProps.toMap,
-        roles.keySet.toSet, enabledRoles,
+        schemas.keySet.toSet, currentSchema, grants.toMap, owners.toMap,
+        sessionProps.toMap, roles.keySet.toSet, enabledRoles,
         tables.toMap.map { case (k, root) =>
           k -> graft.catalog.CowTable.open(spark, root).currentVersion }))
       oneRow(spark, "rows", 0L)
@@ -764,6 +839,7 @@ private[graft] object Statements {
       schemas.clear(); schemas ++= snap.schemaNames.map(_ -> ())
       currentSchema = snap.schema
       grants.clear(); grants ++= snap.grantsSnap
+      owners.clear(); owners ++= snap.ownersSnap
       sessionProps.clear(); sessionProps ++= snap.props
       roles.clear(); roles ++= snap.roleNames.map(_ -> ())
       enabledRoles = snap.enabled

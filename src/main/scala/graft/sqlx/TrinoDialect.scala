@@ -188,6 +188,11 @@ object TrinoDialect {
       .getOrElse(SqlFrontend.run(spark, dir, text))
     catch {
       case e: SqlParseException =>
+        // the legacy text-rewriter cannot classify table accesses, so an
+        // enforced user may not reach it (deny-by-default)
+        SessionContext.enforcedUser.foreach(u => throw new AccessDeniedException(
+          s"Cannot execute this statement as user $u (not coverable by " +
+            "grant enforcement)"))
         System.err.println(s"[sqlx] parser fallback (${e.getMessage.takeWhile(_ != '\n')})")
         legacyDirect(spark, dir, text)
     }

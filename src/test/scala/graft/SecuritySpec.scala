@@ -1,0 +1,147 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.server.StatementServer
+
+/** Authentication + grant enforcement on the statement endpoint
+  * (reference: password-file authenticator plugin; AccessControlManager
+  * dispatching table accesses to the configured access control — two
+  * users, one granted, one denied with the PERMISSION_DENIED shape). */
+class SecuritySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  private lazy val handle = StatementServer.start(spark, sfDir,
+    security = Some(StatementServer.Security(
+      enforceGrants = true,
+      admins = Set("admin"),
+      passwords = Some(Map(
+        "admin" -> StatementServer.Security.sha256Hex("s3cret"),
+        "alice" -> StatementServer.Security.sha256Hex("pw-a"),
+        "bob" -> StatementServer.Security.sha256Hex("pw-b"))))))
+  private lazy val http = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = handle.stop()
+
+  private def basic(user: String, pass: String): String =
+    "Basic " + java.util.Base64.getEncoder.encodeToString(
+      s"$user:$pass".getBytes("UTF-8"))
+
+  /** POST + poll to completion; returns (finalState, errorName, errorMsg). */
+  private def run(sql: String, auth: Option[(String, String)]):
+      (String, Option[String], Option[String]) = {
+    val b = HttpRequest.newBuilder(URI.create(s"${handle.uri}/v1/statement"))
+      .POST(HttpRequest.BodyPublishers.ofString(sql))
+    auth.foreach { case (u, p) => b.header("Authorization", basic(u, p)) }
+    var resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200, s"${resp.statusCode()} ${resp.body()}")
+    var json = JsonMethods.parse(resp.body())
+    var spins = 0
+    while (true) {
+      (json \ "error") match {
+        case JObject(_) =>
+          val JString(m) = (json \ "error" \ "message"): @unchecked
+          val name = json \ "error" \ "errorName" match {
+            case JString(n) => Some(n)
+            case _ => None
+          }
+          return ("FAILED", name, Some(m))
+        case _ =>
+      }
+      json \ "nextUri" match {
+        case JString(next) =>
+          spins += 1
+          assert(spins < 400, s"statement did not finish: $sql")
+          Thread.sleep(25)
+          resp = http.send(HttpRequest.newBuilder(
+            URI.create(s"${handle.uri}$next")).GET().build(),
+            HttpResponse.BodyHandlers.ofString())
+          json = JsonMethods.parse(resp.body())
+        case _ => return ("FINISHED", None, None)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  test("unauthenticated and wrong-password requests are 401") {
+    for (auth <- Seq(None, Some("Basic " + java.util.Base64.getEncoder
+        .encodeToString("alice:WRONG".getBytes("UTF-8"))))) {
+      val b = HttpRequest.newBuilder(URI.create(s"${handle.uri}/v1/statement"))
+        .POST(HttpRequest.BodyPublishers.ofString("SELECT 1"))
+      auth.foreach(a => b.header("Authorization", a))
+      val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 401, resp.body())
+      assert(resp.headers().firstValue("WWW-Authenticate").isPresent)
+    }
+  }
+
+  test("X-Trino-User conflicting with the authenticated identity is 403") {
+    val resp = http.send(
+      HttpRequest.newBuilder(URI.create(s"${handle.uri}/v1/statement"))
+        .header("Authorization", basic("alice", "pw-a"))
+        .header("X-Trino-User", "bob")
+        .POST(HttpRequest.BodyPublishers.ofString("SELECT 1")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 403, resp.body())
+  }
+
+  test("grants gate SELECT: granted user reads, ungranted user is denied") {
+    // admin (unenforced) materializes a table and grants alice SELECT
+    val (s1, _, e1) = run(
+      "CREATE OR REPLACE TABLE sec_t1 AS SELECT n_nationkey AS k FROM nation",
+      Some("admin" -> "s3cret"))
+    assert(s1 == "FINISHED", e1)
+    assert(run("GRANT SELECT ON sec_t1 TO alice",
+      Some("admin" -> "s3cret"))._1 == "FINISHED")
+    // alice: granted
+    val (sa, _, ea) = run("SELECT count(*) AS n FROM sec_t1",
+      Some("alice" -> "pw-a"))
+    assert(sa == "FINISHED", ea)
+    // bob: denied with the reference's shape
+    val (sb, nameB, msgB) = run("SELECT count(*) AS n FROM sec_t1",
+      Some("bob" -> "pw-b"))
+    assert(sb == "FAILED")
+    assert(nameB.contains("PERMISSION_DENIED"), nameB)
+    assert(msgB.exists(_.startsWith("Access Denied")), msgB)
+    // ...and bob cannot read the fixture tables either (deny-by-default)
+    val (sn, nameN, _) = run("SELECT count(*) AS n FROM nation",
+      Some("bob" -> "pw-b"))
+    assert(sn == "FAILED" && nameN.contains("PERMISSION_DENIED"))
+  }
+
+  test("ownership: creator writes freely, non-owner writes need a grant") {
+    // alice creates (and so owns) a table
+    assert(run("CREATE OR REPLACE TABLE sec_alice AS SELECT 1 AS v",
+      Some("alice" -> "pw-a"))._1 == "FINISHED")
+    assert(run("INSERT INTO sec_alice VALUES (2)",
+      Some("alice" -> "pw-a"))._1 == "FINISHED")
+    // bob: denied INSERT, denied DROP
+    val (si, ni, _) = run("INSERT INTO sec_alice VALUES (3)",
+      Some("bob" -> "pw-b"))
+    assert(si == "FAILED" && ni.contains("PERMISSION_DENIED"))
+    val (sd, nd, _) = run("DROP TABLE sec_alice", Some("bob" -> "pw-b"))
+    assert(sd == "FAILED" && nd.contains("PERMISSION_DENIED"))
+    // alice grants INSERT (owner may grant); bob can then insert but
+    // still cannot SELECT
+    assert(run("GRANT INSERT ON sec_alice TO bob",
+      Some("alice" -> "pw-a"))._1 == "FINISHED")
+    assert(run("INSERT INTO sec_alice VALUES (3)",
+      Some("bob" -> "pw-b"))._1 == "FINISHED")
+    val (ss, ns, _) = run("SELECT v FROM sec_alice", Some("bob" -> "pw-b"))
+    assert(ss == "FAILED" && ns.contains("PERMISSION_DENIED"))
+    // bob may not grant on alice's table
+    val (sg, ng, _) = run("GRANT SELECT ON sec_alice TO bob",
+      Some("bob" -> "pw-b"))
+    assert(sg == "FAILED" && ng.contains("PERMISSION_DENIED"))
+  }
+
+  test("admin bypasses enforcement everywhere") {
+    assert(run("SELECT count(*) AS n FROM nation",
+      Some("admin" -> "s3cret"))._1 == "FINISHED")
+    assert(run("INSERT INTO sec_t1 VALUES (999)",
+      Some("admin" -> "s3cret"))._1 == "FINISHED")
+  }
+}

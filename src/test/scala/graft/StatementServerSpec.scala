@@ -148,6 +148,116 @@ class StatementServerSpec extends SparkSpec
     assert(err.nonEmpty)
   }
 
+  private def getJson(path: String): (Int, JValue) = {
+    val resp = http.send(
+      HttpRequest.newBuilder(URI.create(s"${handle.uri}$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), JsonMethods.parse(resp.body()))
+  }
+
+  test("infoUri serves query state through RUNNING to FINISHED") {
+    spark.udf.register("spec_info_block", (ms: Long) => { Thread.sleep(ms); ms })
+    // submit directly so we hold the id while the query runs
+    val resp = http.send(
+      HttpRequest.newBuilder(URI.create(s"${handle.uri}/v1/statement"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "SELECT spec_info_block(2000) AS v")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    val json = JsonMethods.parse(resp.body())
+    val JString(id) = (json \ "id"): @unchecked
+    val JString(infoUri) = (json \ "infoUri"): @unchecked
+    assert(infoUri == s"/v1/query/$id")
+    // live: the info endpoint reports a non-terminal state with the SQL text
+    val (c1, live) = getJson(infoUri)
+    assert(c1 == 200)
+    val JString(liveState) = (live \ "state"): @unchecked
+    assert(Set("QUEUED", "RUNNING").contains(liveState), liveState)
+    assert((live \ "query") == JString("SELECT spec_info_block(2000) AS v"))
+    assert((live \ "session" \ "user") == JString("graft"))
+    // drain the statement to completion through the normal client loop
+    var next = json \ "nextUri"
+    var spins = 0
+    while (next.isInstanceOf[JString] && spins < 600) {
+      val JString(n) = next: @unchecked
+      val (_, page) = getJson(n)
+      next = page \ "nextUri"
+      spins += 1
+      Thread.sleep(20)
+    }
+    val (c2, fin) = getJson(infoUri)
+    assert(c2 == 200)
+    assert((fin \ "state") == JString("FINISHED"))
+    assert((fin \ "queryStats" \ "totalRows") == JInt(1))
+    assert((fin \ "queryStats" \ "endTime") != JNull)
+    // and the list endpoint carries it
+    val (c3, list) = getJson("/v1/query")
+    val JArray(items) = list: @unchecked
+    assert(items.exists(q => (q \ "queryId") == JString(id)))
+    assert(c3 == 200)
+  }
+
+  test("DELETE /v1/query/{id} kills a running query (the UI kill path)") {
+    spark.udf.register("spec_ui_block", (ms: Long) => { Thread.sleep(ms); ms })
+    val resp = http.send(
+      HttpRequest.newBuilder(URI.create(s"${handle.uri}/v1/statement"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "SELECT spec_ui_block(30000) AS v")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    val JString(id) = (JsonMethods.parse(resp.body()) \ "id"): @unchecked
+    Thread.sleep(300)
+    val del = http.send(
+      HttpRequest.newBuilder(URI.create(s"${handle.uri}/v1/query/$id"))
+        .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+    assert(del.statusCode() == 204)
+    // terminal state reaches the info endpoint (worker CAS may take a beat)
+    var state = ""
+    var spins = 0
+    while (state != "FAILED" && spins < 100) {
+      val (_, info) = getJson(s"/v1/query/$id")
+      state = info \ "state" match { case JString(s) => s; case _ => "" }
+      spins += 1; Thread.sleep(50)
+    }
+    assert(state == "FAILED")
+  }
+
+  test("an invalid conf-mapped session property fails the query, not hangs") {
+    val resp = http.send(
+      HttpRequest.newBuilder(URI.create(s"${handle.uri}/v1/statement"))
+        .header("X-Trino-Session", "join_distribution_type=bogus")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "SELECT count(*) AS n FROM nation")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    var json = JsonMethods.parse(resp.body())
+    var spins = 0
+    var error: Option[String] = None
+    var done = false
+    while (!done) {
+      json \ "error" \ "message" match {
+        case JString(m) => error = Some(m); done = true
+        case _ =>
+          json \ "nextUri" match {
+            case JString(n) =>
+              spins += 1
+              assert(spins < 200, "query with invalid session property hung")
+              Thread.sleep(50)
+              json = getJson(n)._2
+            case _ => done = true
+          }
+      }
+    }
+    assert(error.exists(_.contains("join_distribution_type")), error)
+  }
+
+  test("/ui serves the query-list page") {
+    val resp = http.send(
+      HttpRequest.newBuilder(URI.create(s"${handle.uri}/ui")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200)
+    assert(resp.headers().firstValue("Content-Type").orElse("")
+      .startsWith("text/html"))
+    assert(resp.body().contains("/v1/query"))
+  }
+
   test("unknown query id is a 404") {
     val resp = http.send(
       HttpRequest.newBuilder(

@@ -78,7 +78,9 @@ class StatementSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(2))).toSet
     assert(after.contains(("alice", "SELECT")) && !after.contains(("alice", "INSERT")))
     sql("REVOKE ALL ON st_g FROM bob")
-    assert(!sql("SHOW GRANTS").collect().exists(_.getString(0) == "bob"))
+    // scoped to st_g: the grants registry is JVM-global and other suites
+    // (SecuritySpec) legitimately hold grants for the same grantee
+    assert(!sql("SHOW GRANTS ON st_g").collect().exists(_.getString(0) == "bob"))
     sql("DROP TABLE st_g")
   }
 
