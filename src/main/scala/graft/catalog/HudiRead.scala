@@ -83,23 +83,55 @@ object HudiRead {
       asOf: Option[String] = None): DataFrame =
     readTable(spark, tablePath, asOf, logMerge = false)
 
-  private def readTable(spark: SparkSession, tablePath: String,
-      asOf: Option[String], logMerge: Boolean): DataFrame = {
-    val root = new File(tablePath)
+  /** One MOR log file, resolved to the file group it attaches to. */
+  private[catalog] final case class LogRef(path: String, partition: String,
+      fileId: String, baseInstant: String, version: Int)
+
+  /** The snapshot view's inputs: completed instants, the latest base slice
+    * per live file group, and the log files attached to those slices —
+    * shared between the readers and [[HudiWrite]]'s upsert routing. */
+  private[catalog] final case class TableView(completed: Set[String],
+      latestSlices: Seq[((String, String), (String, File))],
+      logFiles: Seq[LogRef])
+
+  private[catalog] def loadProps(root: File): java.util.Properties = {
     val hoodie = new File(root, ".hoodie")
-    require(hoodie.isDirectory, s"$tablePath is not a Hudi table (no .hoodie)")
+    require(hoodie.isDirectory, s"$root is not a Hudi table (no .hoodie)")
     require(!new File(hoodie, "timeline").isDirectory,
       "Hudi 1.x timeline layout (.hoodie/timeline) is not supported by this reader")
-
     val props = new java.util.Properties
     val pf = new File(hoodie, "hoodie.properties")
     require(pf.isFile, "Hudi table has no hoodie.properties")
     val in = Files.newInputStream(pf.toPath)
     try props.load(in) finally in.close()
+    props
+  }
+
+  private def readTable(spark: SparkSession, tablePath: String,
+      asOf: Option[String], logMerge: Boolean): DataFrame = {
+    val root = new File(tablePath)
+    val props = loadProps(root)
     val tableType = props.getProperty("hoodie.table.type", "COPY_ON_WRITE")
     require(tableType == "COPY_ON_WRITE" || tableType == "MERGE_ON_READ",
       s"Hudi table type $tableType is not supported by this reader")
 
+    val view = tableView(root, asOf)
+    val latest = view.latestSlices.map(_._2._2)
+    if (latest.isEmpty) {
+      // completed-but-empty table: no schema source without a commit file
+      throw new IllegalArgumentException(
+        s"Hudi table $tablePath has no visible base files")
+    }
+    val base = spark.read.parquet(latest.map(_.getAbsolutePath).sorted: _*)
+    if (!logMerge || tableType != "MERGE_ON_READ") return base
+    if (view.logFiles.isEmpty) return base
+    mergeLogs(spark, base, view.logFiles, view.completed)
+  }
+
+  /** Build the snapshot view (driver-side metadata, bounded by timeline +
+    * file count). */
+  private[catalog] def tableView(root: File, asOf: Option[String]): TableView = {
+    val hoodie = new File(root, ".hoodie")
     val timeline = Option(hoodie.listFiles()).getOrElse(Array.empty)
     // MERGE_ON_READ: readTable serves READ-OPTIMIZED — exactly the
     // reference's HudiReadOptimizedDirectoryLister (completed instants
@@ -158,38 +190,94 @@ object HudiRead {
       .groupBy(_._1)
       .map { case (k, slices) => k -> slices.map(_._2).maxBy(_._1) }
       .toSeq
-    val latest = latestSlices.map(_._2._2)
-
-    if (latest.isEmpty) {
-      // completed-but-empty table: no schema source without a commit file
-      throw new IllegalArgumentException(
-        s"Hudi table $tablePath has no visible base files")
-    }
-    val base = spark.read.parquet(latest.map(_.getAbsolutePath).sorted: _*)
-    if (!logMerge || tableType != "MERGE_ON_READ") return base
 
     // log files attach to the latest slice of their file group: name pattern
     // .{fileId}_{baseInstant}.log.{version}_{writeToken}
     val sliceInstant: Map[(String, String), String] =
       latestSlices.map { case (k, (instant, _)) => k -> instant }.toMap
-    val logFiles: Seq[(String, Int)] = listed.flatMap { case (part, f) =>
+    val logFiles: Seq[LogRef] = listed.flatMap { case (part, f) =>
       f.getName match {
         case LogFile(fileId, baseInstant, version, _)
           if sliceInstant.get((part, fileId)).contains(baseInstant) =>
-          Some((f.getAbsolutePath, version.toInt))
+          Some(LogRef(f.getAbsolutePath, part, fileId, baseInstant, version.toInt))
         case _ => None
       }
     }
-    if (logFiles.isEmpty) return base
-    mergeLogs(spark, base, logFiles, completed)
+    TableView(completed, latestSlices, logFiles)
   }
 
-  /** Apply log deltas over the base: per (_hoodie_partition_path,
-    * _hoodie_record_key) the record with the highest (instant, logVersion,
-    * blockIdx, recordIdx) wins; base rows whose key has a delta are
-    * replaced. */
+  /** (record key, partition path) → the file group owning that key's
+    * LATEST record action, for [[HudiWrite]]'s MOR upsert routing
+    * (reference: Hudi's record index / bloom index role). Columns:
+    * `__k, __p, __fid, __bi`. Keys whose latest action is a delete are
+    * ABSENT (a re-upsert of such a key is an insert). Distributed: base
+    * files contribute through the parquet scan (meta columns only — column
+    * pruning keeps the scan narrow), log files parse on executors; only
+    * the delta rows shuffle. */
+  private[catalog] def keyToGroup(spark: SparkSession,
+      tablePath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = new File(tablePath)
+    val view = tableView(root, None)
+    require(view.latestSlices.nonEmpty,
+      s"Hudi table $tablePath has no visible base files")
+    val fileRe = "(.+)_[0-9]+-[0-9]+-[0-9]+_([0-9]+)\\.parquet$"
+    val fname = element_at(split(input_file_name(), "/"), -1)
+    // base rows: ord "" sorts before every log ordKey (zero-padded digits)
+    val baseRouting = spark.read
+      .parquet(view.latestSlices.map(_._2._2.getAbsolutePath).sorted: _*)
+      .select(col("_hoodie_record_key").as("__k"),
+        col("_hoodie_partition_path").as("__p"),
+        regexp_extract(fname, fileRe, 1).as("__fid"),
+        regexp_extract(fname, fileRe, 2).as("__bi"),
+        lit("").as("__ord"), lit(false).as("__del"))
+    val routingSchema = baseRouting.schema
+    val completedB = spark.sparkContext.broadcast(view.completed)
+    val keyOnly = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_hoodie_record_key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_hoodie_partition_path",
+        org.apache.spark.sql.types.StringType)))
+    val logRows = spark.sparkContext
+      .parallelize(view.logFiles, math.max(1, math.min(view.logFiles.size, 64)))
+      .flatMap { ref =>
+        HudiLogFormat.readBlocks(new File(ref.path)).zipWithIndex.flatMap {
+          case (b, blockIdx) =>
+            val instant = b.headers.getOrElse(0, "")
+            if (!completedB.value.contains(instant)) Seq.empty
+            else b.blockType match {
+              case 3 => HudiLogFormat.decodeAvroBlock(b, keyOnly).zipWithIndex
+                .map { case (r, i) => org.apache.spark.sql.Row(
+                  r.getString(0), r.getString(1), ref.fileId, ref.baseInstant,
+                  ordKey(instant, ref.version, blockIdx, i), false) }
+              case 1 => HudiLogFormat.decodeDeleteBlock(b).zipWithIndex
+                .map { case ((part, key), i) => org.apache.spark.sql.Row(
+                  key, part, ref.fileId, ref.baseInstant,
+                  ordKey(instant, ref.version, blockIdx, i), true) }
+              case _ => Seq.empty // command blocks carry no records
+            }
+        }
+      }
+    val logRouting = spark.createDataFrame(logRows, routingSchema)
+    val payload = struct(col("__fid"), col("__bi"), col("__del"))
+    baseRouting.unionByName(logRouting)
+      .groupBy(col("__k"), col("__p"))
+      .agg(max_by(payload, col("__ord")).as("__r"))
+      .filter(!col("__r.__del"))
+      .select(col("__k"), col("__p"), col("__r.__fid").as("__fid"),
+        col("__r.__bi").as("__bi"))
+  }
+
+  /** Apply log deltas over the base, PER FILE SLICE (Hudi's merge unit —
+    * a log attaches to one file group's latest slice): per
+    * (_hoodie_partition_path, _hoodie_record_key, file group) the record
+    * with the highest (instant, logVersion, blockIdx, recordIdx) wins;
+    * base rows whose (key, group) has a delta are replaced. Keying the
+    * reduction on the GROUP as well as the key is what lets a key deleted
+    * in one group be re-inserted as a new base group later: the old
+    * delete tombstone erases only its own group's base row. */
   private def mergeLogs(spark: SparkSession, base: DataFrame,
-      logFiles: Seq[(String, Int)], completed: Set[String]): DataFrame = {
+      logFiles: Seq[LogRef], completed: Set[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val schema = base.schema
     require(schema.fieldNames.contains("_hoodie_record_key") &&
@@ -198,6 +286,7 @@ object HudiRead {
         "meta columns in the base files")
     val completedB = spark.sparkContext.broadcast(completed)
     val withOrd = schema
+      .add("__fid", org.apache.spark.sql.types.StringType, nullable = false)
       .add("__ord", org.apache.spark.sql.types.StringType, nullable = false)
       .add("__del", org.apache.spark.sql.types.BooleanType, nullable = false)
     val keyIdx = schema.fieldIndex("_hoodie_record_key")
@@ -205,8 +294,8 @@ object HudiRead {
     // log parsing runs ON EXECUTORS, one task per log file
     val rows = spark.sparkContext
       .parallelize(logFiles, math.max(1, math.min(logFiles.size, 64)))
-      .flatMap { case (path, logVersion) =>
-        HudiLogFormat.readBlocks(new File(path)).zipWithIndex.flatMap {
+      .flatMap { ref =>
+        HudiLogFormat.readBlocks(new File(ref.path)).zipWithIndex.flatMap {
           case (b, blockIdx) => b.blockType match {
             case 0 => Seq.empty // command block: rollback target already
                                 // excluded by the completed-instant filter
@@ -215,12 +304,14 @@ object HudiRead {
               if (!completedB.value.contains(instant)) Seq.empty
               else HudiLogFormat.decodeAvroBlock(b, schema).zipWithIndex.map {
                 case (r, recIdx) => org.apache.spark.sql.Row.fromSeq(
-                  r.toSeq :+ ordKey(instant, logVersion, blockIdx, recIdx)
+                  r.toSeq :+ ref.fileId
+                    :+ ordKey(instant, ref.version, blockIdx, recIdx)
                     :+ false)
               }
             case 1 =>
               // delete block: tombstone rows carrying only the key columns;
-              // the per-key latest-wins reduction erases older data records
+              // the per-(key, group) latest-wins reduction erases older
+              // data records of the same group
               val instant = b.headers.getOrElse(0, "")
               if (!completedB.value.contains(instant)) Seq.empty
               else HudiLogFormat.decodeDeleteBlock(b).zipWithIndex.map {
@@ -228,27 +319,34 @@ object HudiRead {
                   val cells = Array.fill[Any](schema.length)(null)
                   cells(keyIdx) = key
                   cells(partIdx) = part
-                  org.apache.spark.sql.Row.fromSeq(cells.toSeq
-                    :+ ordKey(instant, logVersion, blockIdx, recIdx) :+ true)
+                  org.apache.spark.sql.Row.fromSeq(cells.toSeq :+ ref.fileId
+                    :+ ordKey(instant, ref.version, blockIdx, recIdx) :+ true)
               }
             case other => throw new IllegalArgumentException(
-              s"Hudi log block type $other is not supported by this reader ($path)")
+              s"Hudi log block type $other is not supported by this reader (${ref.path})")
           }
         }
       }
     val logDf = spark.createDataFrame(rows, withOrd)
     val dataCols = struct((schema.fieldNames :+ "__del").map(col).toIndexedSeq: _*)
     val latestLog = logDf
-      .groupBy(col("_hoodie_partition_path"), col("_hoodie_record_key"))
+      .groupBy(col("_hoodie_partition_path"), col("_hoodie_record_key"),
+        col("__fid"))
       .agg(max_by(dataCols, col("__ord")).as("__r"))
-      .select(col("__r.*"))
+      .select(col("__fid"), col("__r.*"))
+    // base rows join on their OWN group (from the file name), so a delta
+    // only ever replaces rows of the slice its log attaches to
+    val fileRe = "(.+)_[0-9]+-[0-9]+-[0-9]+_[0-9]+\\.parquet$"
+    val baseWithFid = base.withColumn("__fid",
+      regexp_extract(element_at(split(input_file_name(), "/"), -1), fileRe, 1))
     // the delta key set is bounded by the compaction interval, never the
     // table: broadcast it so the base is not shuffled. A key whose LATEST
     // log action is a delete contributes the anti-join (erasing the base
     // row) and no replacement record — Hudi's delete merge semantics.
-    base.join(
-      broadcast(latestLog.select("_hoodie_partition_path", "_hoodie_record_key")),
-      Seq("_hoodie_partition_path", "_hoodie_record_key"), "left_anti")
+    baseWithFid.join(
+      broadcast(latestLog.select("_hoodie_partition_path",
+        "_hoodie_record_key", "__fid")),
+      Seq("_hoodie_partition_path", "_hoodie_record_key", "__fid"), "left_anti")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .unionByName(latestLog.filter(!col("__del"))
         .select(schema.fieldNames.map(col).toIndexedSeq: _*))

@@ -294,15 +294,73 @@ object HudiQueries {
                 AS updated_n
        FROM merged GROUP BY r ORDER BY region_bucket"""
 
+  /** Build (idempotently) a PARTITIONED MOR table entirely through the
+    * [[graft.catalog.HudiWrite]] MOR writer — createMor (base deltacommit),
+    * upsertMor (updates append avro log blocks routed per file group + two
+    * inserted keys becoming new base groups), deleteMor (DELETE log
+    * blocks) — then snapshot-read it back. Key 0 is updated then deleted:
+    * latest-action-wins across self-written deltacommits. */
+  private def buildHudiMorWriterNation(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val root = new File(System.getProperty("java.io.tmpdir"),
+      s"graft_hudi_morwrite_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    // instants are count-based: create=00, upsert=01, delete=02
+    val marker = new File(root, ".hoodie/20260814000002000.deltacommit")
+    if (marker.exists()) return root.getAbsolutePath
+    def deleteTree(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+      f.delete()
+    }
+    deleteTree(root)
+    val base = table(s, dir, "nation").select(
+      $"n_nationkey".cast("long").as("k"), $"n_name".as("nm"),
+      $"n_regionkey".cast("long").as("r"))
+    graft.catalog.HudiWrite.createMor(base, root.getAbsolutePath, "k",
+      partitionBy = Some("r"))
+    val updates = base.filter($"k" % 4 === 0)
+      .select($"k", concat(lit("upd:"), $"nm").as("nm"), $"r")
+    val inserts = Seq((800L, "ins:a", 1L), (801L, "ins:b", 1L)).toDF("k", "nm", "r")
+    graft.catalog.HudiWrite.upsertMor(s, updates.unionByName(inserts),
+      root.getAbsolutePath)
+    graft.catalog.HudiWrite.deleteMor(s, root.getAbsolutePath, col("k") % 6 === 0)
+    root.getAbsolutePath
+  }
+
+  /** Snapshot over a table written end-to-end by the MOR writer. */
+  def q_fed_hudi_mor_write(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = buildHudiMorWriterNation(s, dir)
+    graft.catalog.HudiRead.readTableSnapshot(s, path)
+      .groupBy($"r".as("region_bucket"))
+      .agg(count(lit(1)).as("n"),
+        CAST_SUM_KEY($"k").as("key_sum"),
+        sum(when($"nm".startsWith("upd:"), 1L).otherwise(0L)).as("updated_n"))
+      .orderBy($"region_bucket")
+  }
+  val qFedHudiMorWriteSql: String =
+    """WITH merged AS (
+         SELECT CAST(n_nationkey AS BIGINT) AS k, CAST(n_regionkey AS BIGINT) AS r,
+                CASE WHEN n_nationkey % 4 = 0 THEN 'upd:' || n_name ELSE n_name END AS nm
+         FROM nation
+         UNION ALL SELECT 800, 1, 'ins:a'
+         UNION ALL SELECT 801, 1, 'ins:b')
+       SELECT r AS region_bucket, count(*) AS n,
+              CAST(sum(k) AS BIGINT) AS key_sum,
+              CAST(sum(CASE WHEN starts_with(nm, 'upd:') THEN 1 ELSE 0 END) AS BIGINT)
+                AS updated_n
+       FROM merged WHERE k % 6 <> 0 GROUP BY r ORDER BY region_bucket"""
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "q_fed_hudi" -> q_fed_hudi _,
     "q_fed_hudi_timetravel" -> q_fed_hudi_timetravel _,
     "q_fed_hudi_mor" -> q_fed_hudi_mor _,
-    "q_fed_hudi_mor_snapshot" -> q_fed_hudi_mor_snapshot _)
+    "q_fed_hudi_mor_snapshot" -> q_fed_hudi_mor_snapshot _,
+    "q_fed_hudi_mor_write" -> q_fed_hudi_mor_write _)
   val oracles: Map[String, String] = Map(
     "q_fed_hudi" -> qFedHudiSql,
     "q_fed_hudi_timetravel" -> qFedHudiTimetravelSql,
     "q_fed_hudi_mor" -> qFedHudiMorSql,
-    "q_fed_hudi_mor_snapshot" -> qFedHudiMorSnapshotSql)
+    "q_fed_hudi_mor_snapshot" -> qFedHudiMorSnapshotSql,
+    "q_fed_hudi_mor_write" -> qFedHudiMorWriteSql)
 }
