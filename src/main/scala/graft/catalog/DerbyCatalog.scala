@@ -62,46 +62,63 @@ object DerbyCatalog {
   private val populated = scala.collection.mutable.Set.empty[String]
 
   /** Populate ORDERS in the embedded catalog from the parquet fixture — once per
-    * JVM per scale factor. Strings are pinned to VARCHAR (Spark's Derby dialect
-    * would default them to CLOB, which Derby cannot compare or index). */
-  def ensureOrders(spark: SparkSession, sfDir: String): String = synchronized {
+    * JVM per scale factor AND dialect. Strings are pinned via the dialect's
+    * type map (Spark's Derby dialect would default them to CLOB, which Derby
+    * cannot compare or index); column names go through the dialect (the
+    * fold-to-upper dialect stores upper-case identifiers). */
+  def ensureOrders(spark: SparkSession, sfDir: String,
+      dialect: JdbcSqlDialect = JdbcSqlDialect.Quoted): String = synchronized {
     val url = urlFor(sfDir)
-    val key = s"$url#orders"
+    val key = s"$url#${dialect.tableName("orders")}"
     if (!populated.contains(key)) {
-      graft.sources.Tables.load(spark, sfDir, "orders")
+      val df = graft.sources.Tables.load(spark, sfDir, "orders")
+      df.toDF(df.columns.map(dialect.columnName).toIndexedSeq: _*)
         .coalesce(1) // embedded Derby is single-writer; real remote DBs take parallel writers
         .write.mode("overwrite")
         .option("driver", DriverClass)
-        .option("createTableColumnTypes",
-          "o_orderstatus VARCHAR(4), o_orderpriority VARCHAR(20)")
-        .jdbc(url, "orders", props)
+        .option("createTableColumnTypes", dialect.stringColumnTypes)
+        .jdbc(url, dialect.tableName("orders"), props)
       populated += key
     }
     url
   }
 
-  /** Plain federated read — pushdown/pruning handled by the JDBC relation. */
-  def orders(spark: SparkSession, sfDir: String): DataFrame = {
-    val url = ensureOrders(spark, sfDir)
-    spark.read.option("driver", DriverClass).jdbc(url, "orders", props)
+  /** Plain federated read — pushdown/pruning handled by the JDBC relation.
+    * Columns come back dialect-normalized to the engine's lower-case names. */
+  def orders(spark: SparkSession, sfDir: String,
+      dialect: JdbcSqlDialect = JdbcSqlDialect.Quoted): DataFrame = {
+    val url = ensureOrders(spark, sfDir, dialect)
+    lowered(spark.read.option("driver", DriverClass)
+      .jdbc(url, dialect.tableName("orders"), props))
   }
 
   /** Split-enumerated federated read: one metadata query for bounds, then
     * `numPartitions` range-disjoint slice queries executed in parallel. */
-  def ordersPartitioned(spark: SparkSession, sfDir: String, numPartitions: Int = 4): DataFrame = {
-    val url = ensureOrders(spark, sfDir)
-    val (lo, hi) = bounds(url, "orders", "o_orderkey")
-    spark.read
+  def ordersPartitioned(spark: SparkSession, sfDir: String,
+      numPartitions: Int = 4,
+      dialect: JdbcSqlDialect = JdbcSqlDialect.Quoted): DataFrame = {
+    val url = ensureOrders(spark, sfDir, dialect)
+    val (lo, hi) = bounds(url, "orders", "o_orderkey", dialect)
+    lowered(spark.read
       .option("driver", DriverClass)
-      .jdbc(url, "orders", "o_orderkey", lo, hi, numPartitions, props)
+      .jdbc(url, dialect.tableName("orders"),
+        dialect.columnName("o_orderkey"), lo, hi, numPartitions, props))
+  }
+
+  private def lowered(df: DataFrame): DataFrame = {
+    val lower = df.columns.map(_.toLowerCase)
+    if (java.util.Arrays.equals(lower.asInstanceOf[Array[AnyRef]],
+        df.columns.asInstanceOf[Array[AnyRef]])) df
+    else df.toDF(lower.toIndexedSeq: _*)
   }
 
   /** Pass-through query execution in the remote engine — the analog of the
     * reference's `TABLE(system.query(...))` table function
     * (reference: plugin/trino-base-jdbc/src/main/java/io/trino/plugin/jdbc/procedure/... query TVF):
     * the SQL text runs entirely remote-side; Spark sees only the result schema. */
-  def query(spark: SparkSession, sfDir: String, remoteSql: String): DataFrame = {
-    val url = ensureOrders(spark, sfDir)
+  def query(spark: SparkSession, sfDir: String, remoteSql: String,
+      dialect: JdbcSqlDialect = JdbcSqlDialect.Quoted): DataFrame = {
+    val url = ensureOrders(spark, sfDir, dialect)
     spark.read
       .option("driver", DriverClass)
       .option("url", url)
@@ -123,29 +140,31 @@ object DerbyCatalog {
   def indexLookupJoin(
       spark: SparkSession, sfDir: String,
       probe: DataFrame, probeKey: String,
-      maxKeys: Int = 10000): DataFrame = {
+      maxKeys: Int = 10000,
+      dialect: JdbcSqlDialect = JdbcSqlDialect.Quoted): DataFrame = {
     import org.apache.spark.sql.functions.col
     val keys = probe.select(col(probeKey)).distinct().limit(maxKeys + 1)
       .collect().map(_.getLong(0))
     if (keys.length > maxKeys) {
-      ordersPartitioned(spark, sfDir).join(probe, col("o_orderkey") === col(probeKey))
+      ordersPartitioned(spark, sfDir, dialect = dialect)
+        .join(probe, col("o_orderkey") === col(probeKey))
     } else {
-      val inList = keys.sorted.mkString(", ")
-      // Derby folds unquoted identifiers to upper case; Spark's JDBC writer
-      // creates case-sensitive lower-case columns — quote them in remote SQL.
-      val lookup = query(spark, sfDir,
-        s"""SELECT * FROM orders WHERE "o_orderkey" IN ($inList)""")
+      // identifier handling is the dialect's: double-quoted case-sensitive
+      // names vs unquoted fold-to-upper render differently here
+      val lookup = lowered(query(spark, sfDir,
+        dialect.inListLookup("orders", "o_orderkey", keys.toSeq), dialect))
       lookup.join(probe, col("o_orderkey") === col(probeKey))
     }
   }
 
   /** One-row metadata query for split bounds (split-enumeration analog). */
-  private def bounds(url: String, table: String, col: String): (Long, Long) = {
+  private def bounds(url: String, table: String, col: String,
+      dialect: JdbcSqlDialect): (Long, Long) = {
     Class.forName(DriverClass)
     val conn = DriverManager.getConnection(url)
     try {
       val rs = conn.createStatement()
-        .executeQuery(s"""SELECT MIN("$col"), MAX("$col") FROM $table""")
+        .executeQuery(dialect.boundsQuery(table, col))
       rs.next()
       (rs.getLong(1), rs.getLong(2))
     } finally conn.close()
