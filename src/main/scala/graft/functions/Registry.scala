@@ -681,13 +681,18 @@ object Registry {
       reg("geometry_nearest_points")(es => GeomNearestPoints(es(0), es(1)))
       reg("st_voronoipolygons")(es => GeomVoronoi(es(0)))
       reg("st_relate")(es => GeomRelate(es(0), es(1), es(2)))
-      // ST_Transform / ST_TransformXY (GeoFunctions.java:510,519) do CRS
-      // reprojection; the reference ERRORS on SRID-0 input ("Cannot
-      // transform geometry with SRID 0", :530) — and SRID 0 is the only
-      // CRS this model carries, so the lax-NULL twin of that error path is
-      // the full reachable surface.
-      reg("st_transform")(_ =>
-        org.apache.spark.sql.catalyst.expressions.Literal.create(null, Wkt.geometryType))
+      // ST_Transform (GeoFunctions.java:510; lib/trino-geospatial's EPSG
+      // registry role): the 3-arg form st_transform(geom, from_srid,
+      // to_srid) reprojects through the embedded EPSG subset (4326/3857/
+      // UTM — graft.ext.Epsg); the source CRS is explicit because this
+      // model carries SRID 0. The reference's 2-arg form ERRORS on SRID-0
+      // input ("Cannot transform geometry with SRID 0", :530) — its
+      // lax-NULL twin stays for that arity.
+      reg("st_transform") {
+        case es if es.length == 3 => GeomTransform(es(0), C(es(1), TI), C(es(2), TI))
+        case _ =>
+          org.apache.spark.sql.catalyst.expressions.Literal.create(null, Wkt.geometryType)
+      }
       reg("st_transformxy")(_ =>
         org.apache.spark.sql.catalyst.expressions.Literal.create(null, Wkt.geometryType))
     }

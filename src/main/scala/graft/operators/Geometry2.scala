@@ -426,17 +426,66 @@ object Geometry2 {
          1 AS ngc_dim
        FROM strs ORDER BY c_custkey"""
 
+  /** ST_Transform through the embedded EPSG subset (graft.ext.Epsg —
+    * lib/trino-geospatial's EPSG registry role). Web-Mercator forward is
+    * replayed closed-form in the oracle (published formulas are plain
+    * SQL); the UTM Krüger series is oracle-checked by invariants: exact
+    * round-trip within series truncation, easting in the zone's band,
+    * and the loud-NULL contract for an unlisted SRID. */
+  def q_fn_geo_transform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.registerAll(s)
+    val t = table(s, dir, "customer").filter($"c_custkey" <= 800)
+      .withColumn("lat", (($"c_custkey" * 7 % 160) - 80 + lit(0.25)).cast("double"))
+      .withColumn("lon", (($"c_custkey" * 13 % 300) - 150 + lit(0.25)).cast("double"))
+      .withColumn("p", expr("st_point(lon, lat)"))
+      .withColumn("m", expr("st_transform(p, 4326, 3857)"))
+      .withColumn("back", expr("st_transform(m, 3857, 4326)"))
+      .withColumn("zone", (floor(($"lon" + 180) / 6) + 1).cast("int"))
+      .withColumn("srid",
+        when($"lat" >= 0, $"zone" + 32600).otherwise($"zone" + 32700))
+      .withColumn("u", expr("st_transform(p, 4326, srid)"))
+      .withColumn("uback", expr("st_transform(u, srid, 4326)"))
+    t.select($"c_custkey",
+        round(expr("st_x(m)"), 4).as("merc_x"),
+        round(expr("st_y(m)"), 4).as("merc_y"),
+        (abs(expr("st_x(back)") - $"lon") < 1e-9 &&
+          abs(expr("st_y(back)") - $"lat") < 1e-9).as("merc_roundtrip_ok"),
+        (abs(expr("st_x(uback)") - $"lon") < 1e-7 &&
+          abs(expr("st_y(uback)") - $"lat") < 1e-7).as("utm_roundtrip_ok"),
+        (expr("st_x(u)") > 100000.0 && expr("st_x(u)") < 900000.0)
+          .as("utm_easting_in_band"),
+        expr("st_transform(p, 4326, 999)").isNull.as("unlisted_srid_null"))
+      .orderBy($"c_custkey")
+  }
+  val qFnGeoTransformSql: String =
+    """WITH t AS (
+         SELECT c_custkey,
+           CAST((c_custkey * 7 % 160) - 80 + 0.25 AS DOUBLE) AS lat,
+           CAST((c_custkey * 13 % 300) - 150 + 0.25 AS DOUBLE) AS lon
+         FROM customer WHERE c_custkey <= 800)
+       SELECT c_custkey,
+         round(6378137.0 * radians(lon), 4) AS merc_x,
+         round(6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)), 4) AS merc_y,
+         TRUE AS merc_roundtrip_ok,
+         TRUE AS utm_roundtrip_ok,
+         TRUE AS utm_easting_in_band,
+         TRUE AS unlisted_srid_null
+       FROM t ORDER BY c_custkey"""
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "q_fn_geo_construct" -> q_fn_geo_construct _,
     "q_fn_geo_canonical" -> q_fn_geo_canonical _,
     "q_fn_geo_hulls" -> q_fn_geo_hulls _,
     "q_fn_geo_relate_voronoi" -> q_fn_geo_relate_voronoi _,
-    "q_fn_geo_collection" -> q_fn_geo_collection _)
+    "q_fn_geo_collection" -> q_fn_geo_collection _,
+    "q_fn_geo_transform" -> q_fn_geo_transform _)
   val oracles: Map[String, String] = Map(
     "q_fn_geo_construct" -> qFnGeoConstructSql,
     "q_fn_geo_canonical" -> qFnGeoCanonicalSql,
     "q_fn_geo_hulls" -> qFnGeoHullsSql,
     "q_fn_geo_relate_voronoi" -> qFnGeoRelateVoronoiSql,
-    "q_fn_geo_collection" -> qFnGeoCollectionSql)
+    "q_fn_geo_collection" -> qFnGeoCollectionSql,
+    "q_fn_geo_transform" -> qFnGeoTransformSql)
 }
