@@ -67,6 +67,33 @@ class PatternSpec extends SparkSpec {
     assert(sub.map(_.start) == Seq(0, 2))
   }
 
+  test("SKIP TO a variable inside an alternation branch") {
+    // r10 residue closed: the skip target lives in ONE branch of
+    // PATTERN (A (B | C) D); the trace-driven skip resolves it whenever
+    // the matched branch bound it, and errors loudly (the standard's
+    // unmatched-variable behavior) when the OTHER branch matched.
+    val m = new Matcher(parse("A (B | C) D"), letterDefs("ABCD"))
+    assert(m.findAll(sym("ABDACD")).map(x => (x.start, x.end)) ==
+      Seq((0, 3), (3, 6))) // both branches exercised
+    // second match took the C branch → SKIP TO LAST B has no B row: loud
+    intercept[IllegalArgumentException] {
+      m.findAll(sym("ABDACD"), SkipToVar(Set("B"), first = false, "LAST B"))
+    }
+    // SUBSET U = (B, C) skips to whichever branch variable matched
+    val viaSubset = m.findAll(sym("ABDACD"),
+      SkipToVar(Set("B", "C"), first = false, "LAST U"))
+    assert(viaSubset.map(_.start) == Seq(0, 3))
+    // resume happens AT the in-branch row: overlapping matches
+    val any: Predicate = (_, _) => true
+    val over = new Matcher(parse("X (B | C) Z"), liftAll(Map(
+      "X" -> any, "Z" -> any,
+      "B" -> ((p: IndexedSeq[Row], i: Int) => p(i).getString(0) == "B"),
+      "C" -> ((p: IndexedSeq[Row], i: Int) => p(i).getString(0) == "C"))))
+    val laps = over.findAll(sym("aBBz"),
+      SkipToVar(Set("B"), first = false, "LAST B"))
+    assert(laps.map(x => (x.start, x.end)) == Seq((0, 3), (1, 4)))
+  }
+
   test("alternation prefers the left branch") {
     // both B and C match row 'X' — classifier must record B
     val defs: Map[String, Predicate] = Map(
