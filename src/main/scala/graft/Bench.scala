@@ -24,7 +24,12 @@ object Bench {
     "q_match_recognize", "q_agg_percentile_approx", "q_approx_topk",
     // round 8: passage-level dedup + contamination scan — the two heaviest
     // new pipeline operators, benched alongside the originals
-    "q_dedup_substring_spans", "q_text_contamination")
+    "q_dedup_substring_spans", "q_text_contamination",
+    // round 11: the heaviest federation/protocol surfaces — lakehouse
+    // three-way join (Delta+Iceberg+Hudi layout detection), Hudi MOR
+    // snapshot log merge, and a full HTTP statement round-trip — so a
+    // regression in any of them shows in the artifact
+    "q_fed_lakehouse", "q_fed_hudi_mor_snapshot", "q_http_statement")
 
   /** JDK-17 module opens Spark needs outside spark-submit (mirrors
     * org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions()). */

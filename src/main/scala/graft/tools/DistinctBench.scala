@@ -51,6 +51,27 @@ object DistinctBench {
       .orderBy($"l_returnflag")
   }
 
+  /** One fact scan + ONE pair-set shuffle, persisted, then three tiny
+    * re-aggregations over the pair set (each a distinct() + count, no
+    * Expand). The fact is read once instead of split's three column-pruned
+    * scans; everything downstream is pair-set-sized. */
+  def reusedBasePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.operators.table(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_suppkey", $"l_partkey")
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val supp = base.select($"l_returnflag", $"l_suppkey").distinct()
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n_supp"))
+    val part = base.select($"l_returnflag", $"l_partkey").distinct()
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n_part"))
+    val pairs = base.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_supp_part"), sum($"n").as("n_rows"))
+    supp.join(part, "l_returnflag").join(pairs, "l_returnflag")
+      .select($"l_returnflag", $"n_supp", $"n_part", $"n_supp_part", $"n_rows")
+      .orderBy($"l_returnflag")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.GraftSession.builder(master = "local[8]", shufflePartitions = 16)
@@ -71,9 +92,12 @@ object DistinctBench {
     require(a.map(_.toString) == b.map(_.toString), s"plans disagree:\n$a\n$b")
     val c = splitPlan(spark, dir).collect().toSeq
     require(a.map(_.toString) == c.map(_.toString), s"split disagrees:\n$a\n$c")
+    val d = reusedBasePlan(spark, dir).collect().toSeq
+    require(a.map(_.toString) == d.map(_.toString), s"reused disagrees:\n$a\n$d")
     time("expand  ", expandPlan(spark, dir))
     time("preagg  ", preaggPlan(spark, dir))
     time("split   ", splitPlan(spark, dir))
+    time("reused  ", reusedBasePlan(spark, dir))
     spark.stop()
   }
 }
