@@ -124,9 +124,15 @@ object HiveFileCatalog {
     * time (values as named in the hive paths). */
   def readTable(spark: SparkSession, catalogDir: String, db: String,
       table: String,
+      partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame =
+    readLoaded(spark, loadTable(catalogDir, db, table), partitionFilter)
+
+  /** Same read path over an already-resolved [[HiveTable]] — the thrift
+    * metastore client ([[ThriftHiveMetastore]]) resolves metadata over the
+    * wire and feeds it here, so both metastore protocols share one scan. */
+  def readLoaded(spark: SparkSession, t: HiveTable,
       partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
     import org.apache.spark.sql.functions._
-    val t = loadTable(catalogDir, db, table)
     val dataSchema = StructType(t.dataColumns.map(c =>
       StructField(c.name, hiveTypeToSpark(c.hiveType), nullable = true)))
 

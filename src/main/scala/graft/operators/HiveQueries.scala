@@ -69,11 +69,36 @@ object HiveQueries {
     """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
        FROM region ORDER BY r_regionkey"""
 
+  /** Same warehouse served over the Hive metastore THRIFT WIRE PROTOCOL
+    * (graft.catalog.ThriftHiveMetastore; reference plugin/trino-hive
+    * metastore/thrift/ThriftHiveMetastore.java): a loopback HMS speaks
+    * TBinaryProtocol over the file layout, and the read resolves schema,
+    * storage format, partition keys, and location entirely over the wire
+    * before the shared pruned scan runs. */
+  def q_fed_hive_thrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = warehouse(s, dir)
+    val hms = graft.catalog.ThriftHiveMetastore.serve(wh)
+    try {
+      graft.catalog.ThriftHiveMetastore.readTable(s, "127.0.0.1", hms.port,
+          "sales", "part_supp", partitionFilter = pv => pv("region_band") == "1")
+        .agg(count(lit(1)).as("n"),
+          sum($"s_suppkey").cast("long").as("key_sum"),
+          sum($"bal".cast("decimal(12,2)")).cast("double").as("bal_sum"))
+    } finally hms.stop()
+  }
+  val qFedHiveThriftSql: String =
+    """SELECT count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+              CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum
+       FROM supplier WHERE s_nationkey % 5 = 1"""
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "q_fed_hive" -> q_fed_hive _,
-    "q_fed_hive_text" -> q_fed_hive_text _)
+    "q_fed_hive_text" -> q_fed_hive_text _,
+    "q_fed_hive_thrift" -> q_fed_hive_thrift _)
   val oracles: Map[String, String] = Map(
     "q_fed_hive" -> qFedHiveSql,
-    "q_fed_hive_text" -> qFedHiveTextSql)
+    "q_fed_hive_text" -> qFedHiveTextSql,
+    "q_fed_hive_thrift" -> qFedHiveThriftSql)
 }
