@@ -88,16 +88,14 @@ object IcebergRead {
     // Partition transforms: Iceberg v2 DATA files carry every source
     // column, so READING is transform-agnostic (hidden partitioning).
     // The spec fields matter for partition-value pruning: identity /
-    // bucket[N] / truncate[W] prune below ([[IcebergTransforms.mayMatch]]);
-    // other transforms read fine but never prune. `void` drops information
-    // and stays refused.
+    // bucket[N] / truncate[W] / year/month/day prune below
+    // ([[IcebergTransforms.mayMatch]]); other transforms (hour, void)
+    // read fine but never prune — void carries no information by design.
     val specFields: Seq[(String, String, Int)] = (meta \ "partition-specs") match {
       case JArray(specs) => specs.flatMap { spec =>
         (spec \ "fields") match {
           case JArray(pfs) => pfs.map { pf =>
             val JString(transform) = (pf \ "transform"): @unchecked
-            require(transform != "void",
-              "unsupported partition transform 'void'")
             val JString(pname) = (pf \ "name"): @unchecked
             val sourceId = (pf \ "source-id") match {
               case JInt(sid) => sid.toInt
@@ -303,6 +301,7 @@ object IcebergRead {
     case "date" => DateType
     case "string" => StringType
     case "binary" => BinaryType
+    case "timestamp" | "timestamptz" => TimestampType
     case d if d.startsWith("decimal(") =>
       val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
       DecimalType(p, s)

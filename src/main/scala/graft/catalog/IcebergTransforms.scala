@@ -13,7 +13,7 @@ object IcebergTransforms {
 
   val Bucket = """bucket\[(\d+)\]""".r
   val Truncate = """truncate\[(\d+)\]""".r
-  val Temporal = Set("year", "month", "day")
+  val Temporal = Set("year", "month", "day", "hour")
 
   /** Spark's Murmur3_x86_32.hashLong consumes the long as two little-endian
     * int blocks — exactly the spec's hashBytes(littleEndian(v)); asserted
@@ -32,6 +32,7 @@ object IcebergTransforms {
     case Bucket(_) => s"${source}_bucket"
     case Truncate(_) => s"${source}_trunc"
     case t if Temporal(t) => s"${source}_$t"
+    case "void" => s"${source}_null" // spec: void's field name suffix
     case other => throw new IllegalArgumentException(
       s"unsupported partition transform '$other'")
   }
@@ -54,6 +55,14 @@ object IcebergTransforms {
     case "year" => (year(c) - lit(1970)).cast("int")
     case "month" => ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1)).cast("int")
     case "day" => datediff(c, to_date(lit("1970-01-01"))).cast("int")
+    // hour counts from 1970-01-01 00:00:00 over a TIMESTAMP source
+    // (spec §Partition Transforms); exact floorDiv on epoch seconds
+    case "hour" =>
+      val secs = c.cast("long")
+      val w = lit(3600L)
+      ((secs - (((secs % w) + w) % w)) / w).cast("int")
+    // void always produces null — the spec's drop-a-field evolution tool
+    case "void" => lit(null).cast("int")
     case other => throw new IllegalArgumentException(
       s"unsupported partition transform '$other'")
   }
@@ -88,6 +97,9 @@ object IcebergTransforms {
       !(hi.exists(first > _) || lo.exists(last < _))
     case "day" =>
       !(hi.exists(pv > _) || lo.exists(pv < _))
+    // hour/void: no pruning — hour's source bounds are timestamp-encoded
+    // (a convention no caller passes yet) and void carries no information;
+    // returning true is never wrong
     case _ => true // unknown transforms never prune (never wrong)
   }
 }

@@ -291,6 +291,7 @@ object IcebergWrite {
         case Bucket(_) => java.lang.Integer.valueOf(raw)
         case tt if IcebergTransforms.Temporal(tt) => java.lang.Integer.valueOf(raw)
         case Truncate(_) => java.lang.Long.valueOf(raw)
+        case "void" => null // void's partition value is always null
         case _ => df.schema(c).dataType match {
           case LongType => java.lang.Long.valueOf(raw)
           case IntegerType => java.lang.Integer.valueOf(raw)
@@ -393,6 +394,7 @@ object IcebergWrite {
         case Bucket(_) => "int"
         case tt if IcebergTransforms.Temporal(tt) => "int"
         case Truncate(_) => "long"
+        case "void" => "int" // nullable int, value always null
         case _ => df.schema(c).dataType match {
           case LongType => "long"
           case IntegerType => "int"

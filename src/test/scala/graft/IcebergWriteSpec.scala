@@ -196,6 +196,41 @@ class IcebergWriteSpec extends SparkSpec {
       s"expected 10 of 12 months pruned, got ${catalog.IcebergRead.lastPruned.get()}")
   }
 
+  test("hour transform: timestamps partition by hours since epoch") {
+    val path = fresh("ib_hour")
+    val df = (0 until 48).map(h =>
+      java.sql.Timestamp.valueOf(java.time.LocalDateTime
+        .of(2023, 6, 1, 0, 0).plusHours(h).plusMinutes(17)))
+      .toDF("ts").repartition(1)
+    catalog.IcebergWrite.write(df, path, partitionBy = Seq("ts"),
+      transform = "hour")
+    assert(catalog.IcebergRead.readTable(spark, path).count() == 48)
+    // 48 distinct hour partitions, field name per the spec convention
+    val meta = new File(path, "metadata").listFiles()
+      .filter(_.getName.endsWith(".metadata.json"))
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath))).mkString
+    assert(meta.contains("\"transform\":\"hour\""))
+    assert(meta.contains("ts_hour"))
+    val dataDirs = new File(path, "data").listFiles().filter(_.isDirectory)
+    assert(dataDirs.length == 48, s"expected 48 hour dirs, got ${dataDirs.length}")
+  }
+
+  test("void transform: every row lands in the single null partition") {
+    val path = fresh("ib_void")
+    val df = (1 to 10).toDF("v").repartition(1)
+    catalog.IcebergWrite.write(df, path, partitionBy = Seq("v"),
+      transform = "void")
+    assert(catalog.IcebergRead.readTable(spark, path)
+      .agg(sum($"v")).collect().head.getLong(0) == 55)
+    val meta = new File(path, "metadata").listFiles()
+      .filter(_.getName.endsWith(".metadata.json"))
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath))).mkString
+    assert(meta.contains("\"transform\":\"void\""))
+    assert(meta.contains("v_null"))
+    val dataDirs = new File(path, "data").listFiles().filter(_.isDirectory)
+    assert(dataDirs.length == 1, s"void must produce ONE partition dir: ${dataDirs.toSeq}")
+  }
+
   test("v2 layout: field-ids, manifest_file counts, byte-equal delete paths") {
     import scala.jdk.CollectionConverters._
     val path = fresh("v2layout")
