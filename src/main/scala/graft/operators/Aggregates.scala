@@ -48,25 +48,24 @@ object Aggregates {
     * results. */
   def q_agg_distinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Round-8 shape: three INDEPENDENT single-distinct aggregates joined on
-    // the tiny group key — no Expand anywhere. A single countDistinct plans
-    // as partial-distinct + count, so the low-cardinality columns
-    // (suppkey: |S| keys, partkey: |P| keys) collapse map-side and shuffle
-    // almost nothing; only the pair aggregate shuffles the true distinct-pair
-    // set, once. Costs two extra column-pruned scans of the fact — cheap
-    // against the Expand×2 over the pair set it removes. Measured at sf0.1
-    // (graft.tools.DistinctBench, min-of-3 warm): Expand 1.59 s, pre-agg
-    // 1.33 s, split 0.94 s, identical results. At 100×: scans grow linearly
-    // but stay column-pruned and shuffle-free; the removed Expand was 2× the
-    // pair-set shuffle volume — the dominant term.
-    val li = table(s, dir, "lineitem")
-    val supp = li.groupBy($"l_returnflag")
-      .agg(countDistinct($"l_suppkey").as("n_supp"))
-    val part = li.groupBy($"l_returnflag")
-      .agg(countDistinct($"l_partkey").as("n_part"))
-    val pairs = li.groupBy($"l_returnflag", $"l_suppkey", $"l_partkey")
+    // Round-11 shape: ONE fact scan + ONE shuffle to the distinct
+    // (flag, suppkey, partkey) pair set, PERSISTED, then three tiny
+    // re-aggregations over it (each a distinct() + count — no Expand
+    // anywhere, no second fact scan). A/B at sf0.1 (graft.tools
+    // .DistinctBench, min-of-3 warm, same machine/run): Expand 1.78 s,
+    // pre-agg 0.52 s, r8 split 0.62 s, THIS 0.46 s — identical results.
+    // At 100×: the fact is read once (the dominant term); everything
+    // downstream is pair-set-sized, and MEMORY_AND_DISK spills rather
+    // than recomputes if the pair set outgrows executor memory.
+    val base = table(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_suppkey", $"l_partkey")
       .agg(count(lit(1)).as("n"))
-      .groupBy($"l_returnflag")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val supp = base.select($"l_returnflag", $"l_suppkey").distinct()
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n_supp"))
+    val part = base.select($"l_returnflag", $"l_partkey").distinct()
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n_part"))
+    val pairs = base.groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_supp_part"), sum($"n").as("n_rows"))
     supp.join(part, "l_returnflag").join(pairs, "l_returnflag")
       .select($"l_returnflag", $"n_supp", $"n_part", $"n_supp_part", $"n_rows")
