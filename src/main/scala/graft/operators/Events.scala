@@ -131,8 +131,61 @@ object Events {
        TRUE AS offsets_contiguous
        FROM events GROUP BY user_id % 8 ORDER BY partition_id"""
 
+  /** One loopback wire broker per fixture dir (JVM lifetime; daemon
+    * threads). The log build collects the events fixture ONCE — fixture
+    * building bounded by the sf table, standing in for the broker's own
+    * log; a real deployment has the log already. */
+  private val wireBrokers =
+    scala.collection.mutable.Map[String, graft.sources.KafkaWire.Handle]()
+  private def ensureWireBroker(s: SparkSession, dir: String): Int = synchronized {
+    wireBrokers.getOrElseUpdate(dir, {
+      import graft.sources.KafkaWire.Msg
+      val raw = graft.sources.EventTopic.raw(s, dir).collect()
+      val byPart = (0 until graft.sources.EventTopic.partitions).map { p =>
+        raw.filter(_.getAs[Long]("_partition_id") == p.toLong)
+          .sortBy(_.getAs[Long]("_partition_offset"))
+          .map(r => Msg(
+            r.getAs[String]("_key").getBytes("UTF-8"),
+            r.getAs[String]("_message").getBytes("UTF-8"),
+            r.getAs[java.sql.Timestamp]("_timestamp").getTime))
+          .toIndexedSeq
+      }
+      graft.sources.KafkaWire.serve(Map("events" -> byPart))
+    }).port
+  }
+
+  /** Same topic shape as [[q_topic_decode]], but consumed over the KAFKA
+    * WIRE PROTOCOL (graft.sources.KafkaWire; reference plugin/trino-kafka
+    * real-broker consumption): driver Metadata for split enumeration,
+    * one executor connection per partition draining Fetch v0 message
+    * sets (CRC-validated), then the declared JSON decode. Wire offsets
+    * are 0-based, proving the log sequence survives the round trip. */
+  def q_topic_wire(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = ensureWireBroker(s, dir)
+    graft.sources.KafkaWire.read(s, "127.0.0.1", port, "events")
+      .withColumn("m", from_json($"_message", graft.sources.EventTopic.messageSchema))
+      .select($"_partition_id", $"_partition_offset", $"m.*")
+      .groupBy($"_partition_id")
+      .agg(
+        count(lit(1)).as("n"),
+        asDouble(sum(dec($"value"))).as("sum_value"),
+        countDistinct($"user_id").as("n_users"),
+        (max($"_partition_offset") === count(lit(1)) - 1).as("offsets_contiguous"))
+      .select($"_partition_id".cast("long").as("partition_id"), $"n",
+        $"sum_value", $"n_users", $"offsets_contiguous")
+      .orderBy($"partition_id")
+  }
+  val qTopicWireSql: String =
+    """SELECT user_id % 8 AS partition_id, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users,
+       TRUE AS offsets_contiguous
+       FROM events GROUP BY user_id % 8 ORDER BY partition_id"""
+
   val queries: Map[String, Q] = Map(
     "q_topic_decode" -> q_topic_decode _,
+    "q_topic_wire" -> q_topic_wire _,
     "q_events_sessionize" -> q_events_sessionize _,
     "q_events_daily" -> q_events_daily _,
     "q_events_json" -> q_events_json _,
@@ -140,6 +193,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "q_topic_decode" -> qTopicDecodeSql,
+    "q_topic_wire" -> qTopicWireSql,
     "q_events_sessionize" -> qEventsSessionizeSql,
     "q_events_daily" -> qEventsDailySql,
     "q_events_json" -> qEventsJsonSql,
