@@ -37,6 +37,17 @@ object KafkaWire {
 
   final case class Msg(key: Array[Byte], value: Array[Byte], timestamp: Long)
 
+  /** A live topic whose partitions can grow while served (the broker's
+    * mutable log; the streaming source polls its end offsets). */
+  final class Topic(val partitions: Int) {
+    @volatile private var state: Vector[Vector[Msg]] =
+      Vector.fill(partitions)(Vector.empty)
+    def append(partition: Int, msgs: Msg*): Unit = synchronized {
+      state = state.updated(partition, state(partition) ++ msgs)
+    }
+    def log(partition: Int): Vector[Msg] = state(partition)
+  }
+
   // ------------------------------------------------------------- framing
 
   private def frame(body: Array[Byte]): Array[Byte] = {
@@ -133,14 +144,23 @@ object KafkaWire {
     def stop(): Unit = server.close()
   }
 
-  /** Serve `logs` (topic → partitions → messages) over the Kafka protocol
-    * on a loopback port. One daemon thread per connection. */
-  def serve(logs: Map[String, IndexedSeq[IndexedSeq[Msg]]], port: Int = 0): Handle = {
+  /** Serve immutable `logs` (topic → partitions → messages). */
+  def serve(logs: Map[String, IndexedSeq[IndexedSeq[Msg]]], port: Int = 0): Handle =
+    serveTopics(logs.map { case (name, parts) =>
+      val t = new Topic(parts.size)
+      parts.indices.foreach(p => t.append(p, parts(p): _*))
+      name -> t
+    }, port)
+
+  /** Serve live [[Topic]]s over the Kafka protocol on a loopback port —
+    * appends become visible to Fetch/ListOffsets immediately (the
+    * streaming source's feed). One daemon thread per connection. */
+  def serveTopics(topics: Map[String, Topic], port: Int = 0): Handle = {
     val server = new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
     val accept = new Thread(() => {
       try while (!server.isClosed) {
         val sock = server.accept()
-        val t = new Thread(() => serveConnection(logs, server.getLocalPort, sock),
+        val t = new Thread(() => serveConnection(topics, server.getLocalPort, sock),
           "graft-kafka-conn")
         t.setDaemon(true)
         t.start()
@@ -151,7 +171,7 @@ object KafkaWire {
     new Handle(server)
   }
 
-  private def serveConnection(logs: Map[String, IndexedSeq[IndexedSeq[Msg]]],
+  private def serveConnection(topics: Map[String, Topic],
       port: Int, sock: Socket): Unit = {
     try {
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
@@ -163,10 +183,11 @@ object KafkaWire {
         val correlation = req.getInt
         rStr(req) // client_id
         val resp = (apiKey, apiVersion) match {
-          case (3, 0) => metadataResponse(logs, port, req)
-          case (1, 0) => fetchResponse(logs, req)
+          case (3, 0) => metadataResponse(topics, port, req)
+          case (1, 0) => fetchResponse(topics, req)
+          case (2, 0) => listOffsetsResponse(topics, req)
           case other => throw new IllegalArgumentException(
-            s"kafka api $other not served (Metadata v0 and Fetch v0 only)")
+            s"kafka api $other not served (Metadata/Fetch/ListOffsets v0 only)")
         }
         val body = ByteBuffer.allocate(4 + resp.length)
         body.putInt(correlation).put(resp)
@@ -179,24 +200,24 @@ object KafkaWire {
     } finally sock.close()
   }
 
-  private def metadataResponse(logs: Map[String, IndexedSeq[IndexedSeq[Msg]]],
+  private def metadataResponse(topics: Map[String, Topic],
       port: Int, req: ByteBuffer): Array[Byte] = {
     val nTopics = req.getInt
     val asked = (0 until nTopics).map(_ => rStr(req))
-    val topics = if (asked.isEmpty) logs.keys.toSeq.sorted else asked
+    val names = if (asked.isEmpty) topics.keys.toSeq.sorted else asked
     val bb = ByteBuffer.allocate(1 << 20)
     // brokers: [node_id, host, port]
     bb.putInt(1)
     bb.putInt(0); wStr(bb, "127.0.0.1"); bb.putInt(port)
     // topic metadata
-    bb.putInt(topics.size)
-    topics.foreach { t =>
-      val parts = logs.get(t)
-      bb.putShort(if (parts.isDefined) 0 else 3) // 3 = UNKNOWN_TOPIC_OR_PARTITION
+    bb.putInt(names.size)
+    names.foreach { t =>
+      val topic = topics.get(t)
+      bb.putShort(if (topic.isDefined) 0 else 3) // 3 = UNKNOWN_TOPIC_OR_PARTITION
       wStr(bb, t)
-      val ps = parts.getOrElse(IndexedSeq.empty)
-      bb.putInt(ps.size)
-      ps.indices.foreach { p =>
+      val n = topic.map(_.partitions).getOrElse(0)
+      bb.putInt(n)
+      (0 until n).foreach { p =>
         bb.putShort(0)    // partition error
         bb.putInt(p)      // partition id
         bb.putInt(0)      // leader = node 0
@@ -207,7 +228,36 @@ object KafkaWire {
     java.util.Arrays.copyOf(bb.array(), bb.position())
   }
 
-  private def fetchResponse(logs: Map[String, IndexedSeq[IndexedSeq[Msg]]],
+  /** ListOffsets v0 (api_key 2): timestamp -1 = log-end, -2 = earliest. */
+  private def listOffsetsResponse(topics: Map[String, Topic],
+      req: ByteBuffer): Array[Byte] = {
+    req.getInt // replica_id
+    val nTopics = req.getInt
+    val wanted = (0 until nTopics).map { _ =>
+      val topic = rStr(req)
+      val nParts = req.getInt
+      (topic, (0 until nParts).map(_ => (req.getInt, req.getLong, req.getInt)))
+    }
+    val bb = ByteBuffer.allocate(1 << 20)
+    bb.putInt(wanted.size)
+    wanted.foreach { case (name, parts) =>
+      wStr(bb, name)
+      bb.putInt(parts.size)
+      parts.foreach { case (pid, time, _) =>
+        bb.putInt(pid)
+        topics.get(name).filter(t => pid >= 0 && pid < t.partitions) match {
+          case None => bb.putShort(3); bb.putInt(0)
+          case Some(t) =>
+            bb.putShort(0)
+            bb.putInt(1)
+            bb.putLong(if (time == -2L) 0L else t.log(pid).size.toLong)
+        }
+      }
+    }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  private def fetchResponse(topics: Map[String, Topic],
       req: ByteBuffer): Array[Byte] = {
     req.getInt // replica_id
     req.getInt // max_wait_ms
@@ -228,13 +278,13 @@ object KafkaWire {
       bb.putInt(parts.size)
       parts.foreach { case (pid, offset, maxBytes) =>
         bb.putInt(pid)
-        logs.get(topic).filter(ps => pid >= 0 && pid < ps.size) match {
+        topics.get(topic).filter(t => pid >= 0 && pid < t.partitions) match {
           case None =>
             bb.putShort(3) // UNKNOWN_TOPIC_OR_PARTITION
             bb.putLong(-1L)
             bb.putInt(0)
-          case Some(ps) =>
-            val log = ps(pid)
+          case Some(t) =>
+            val log = t.log(pid)
             if (offset < 0 || offset > log.size) {
               bb.putShort(1) // OFFSET_OUT_OF_RANGE
               bb.putLong(log.size.toLong)
@@ -307,6 +357,26 @@ object KafkaWire {
       val name = rStr(r)
       require(err == 0, s"kafka metadata error $err for topic $name")
       r.getInt // partition count... consume entries to validate
+    }
+
+    /** ListOffsets v0: the partition's log-end offset (timestamp -1). */
+    def logEndOffset(topic: String, partition: Int): Long = {
+      val body = ByteBuffer.allocate(256)
+      body.putInt(-1) // replica_id
+      body.putInt(1); wStr(body, topic)
+      body.putInt(1); body.putInt(partition); body.putLong(-1L); body.putInt(1)
+      val r = request(2, body)
+      val nTopics = r.getInt
+      require(nTopics == 1)
+      rStr(r)
+      val nParts = r.getInt
+      require(nParts == 1)
+      r.getInt // partition id
+      val err = r.getShort
+      require(err == 0, s"kafka list_offsets error $err for $topic/$partition")
+      val n = r.getInt
+      require(n == 1, s"expected one offset, got $n")
+      r.getLong
     }
 
     /** One Fetch round → (high watermark, messages from `offset`). */
