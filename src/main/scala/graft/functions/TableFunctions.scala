@@ -131,6 +131,22 @@ object TableFunctions {
     graft.catalog.LakehouseCatalog.read(s, unquote(args.head))
   })
 
+  // wire-protocol connectors as TVFs: a Kafka topic and a thrift-metastore
+  // hive table reachable from SQL text (reference: trino-kafka topics and
+  // trino-hive tables surface through catalogs; the TVF spelling makes the
+  // wire clients first-class in this front door too)
+  register("kafka_topic", (s, _, args) => {
+    require(args.length == 3, "kafka_topic('<host>', <port>, '<topic>')")
+    graft.sources.KafkaWire.read(s, unquote(args(0)), args(1).trim.toInt,
+      unquote(args(2)))
+  })
+  register("hive_thrift_table", (s, _, args) => {
+    require(args.length == 4,
+      "hive_thrift_table('<host>', <port>, '<db>', '<table>')")
+    graft.catalog.ThriftHiveMetastore.readTable(s, unquote(args(0)),
+      args(1).trim.toInt, unquote(args(2)), unquote(args(3)))
+  })
+
   private def unquote(s: String): String = {
     val t = s.trim
     if (t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1) else t

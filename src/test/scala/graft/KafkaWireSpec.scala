@@ -74,6 +74,15 @@ class KafkaWireSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally c.close()
   }
 
+  test("kafka_topic TVF reaches the wire client from SQL text") {
+    val df = sqlx.TrinoDialect.sql(spark, sfDir,
+      s"""SELECT _partition_id, count(*) AS n
+          FROM TABLE(kafka_topic('127.0.0.1', ${broker.port}, 't'))
+          GROUP BY _partition_id ORDER BY _partition_id""")
+    assert(df.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((0, 100L), (1, 7L)))
+  }
+
   test("distributed spark read drains every partition over the wire") {
     val df = KafkaWire.read(spark, "127.0.0.1", broker.port, "t")
     assert(df.count() == 107)

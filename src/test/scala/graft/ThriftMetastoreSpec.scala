@@ -83,6 +83,14 @@ class ThriftMetastoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll
     } finally c.close()
   }
 
+  test("hive_thrift_table TVF reaches the wire client from SQL text") {
+    val df = sqlx.TrinoDialect.sql(spark, sfDir,
+      s"""SELECT count(*) AS n, count(DISTINCT band) AS bands
+          FROM TABLE(hive_thrift_table('127.0.0.1', ${hms.port}, 'wh', 'supp_part'))""")
+    val r = df.collect().head
+    assert(r.getLong(0) > 0 && r.getLong(1) == 3)
+  }
+
   test("full read resolves all metadata over the wire and matches the file path") {
     import spark.implicits._
     val wire = ThriftHiveMetastore.readTable(spark, "127.0.0.1", hms.port,
