@@ -43,8 +43,87 @@ object SqlRoutines {
     case other => other.toUpperCase
   }
 
+  private val PyHandler = "(?i)handler\\s*=\\s*'([^']+)'".r
+  private val PyBody = "(?is)\\bAS\\s*\\$\\$(.*)\\$\\$\\s*$".r
+
+  /** Split a parameter list on top-level commas only (decimal(10,2) and
+    * array(…) keep their inner commas). */
+  private def splitParams(params: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0; val cur = new StringBuilder
+    params.foreach {
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c =>
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        cur.append(c)
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Strip the common leading indentation from a $$-quoted guest body
+    * (reference TestPythonFunctions `testStripIndent`). */
+  private def dedent(body: String): String = {
+    val lines = body.linesIterator.toVector
+    val indents = lines.filter(_.trim.nonEmpty).map(_.takeWhile(_ == ' ').length)
+    val cut = if (indents.isEmpty) 0 else indents.min
+    lines.map(l => if (l.length >= cut) l.substring(cut) else l).mkString("\n")
+  }
+
+  /** `CREATE FUNCTION … LANGUAGE PYTHON WITH (handler='…') AS $$…$$`
+    * (reference: plugin/trino-functions-python). Registers the guest body
+    * through PythonFunctions' worker-subprocess engine; the handler property
+    * defaults to the function name, as in the reference. */
+  private def createPython(spark: SparkSession, name: String, params: String,
+      retType: String, rest: String): DataFrame = {
+    val handler = PyHandler.findFirstMatchIn(rest).map(_.group(1)).getOrElse(name)
+    val body = PyBody.findFirstMatchIn(rest).map(m => dedent(m.group(1)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE FUNCTION $name: LANGUAGE PYTHON needs AS $$$$…$$$$ body"))
+    val paramTypes = splitParams(params).map { p =>
+      val parts = p.split("\\s+", 2)
+      require(parts.length == 2, s"CREATE FUNCTION $name: parameter '$p' needs <name> <type>")
+      parts(1)
+    }
+    try PythonFunctions.register(spark, name, body, handler, paramTypes, retType)
+    catch {
+      case e: IllegalStateException => throw new IllegalArgumentException(
+        s"Invalid function '$name': ${e.getMessage}", e)
+    }
+    spark.emptyDataFrame
+  }
+
+  /** Head parse with balanced-paren parameters (the Ddl regex stops at the
+    * first ')', breaking on nested types like array(bigint)). Returns
+    * (name, params, retType, rest). */
+  private def parseHead(text: String): Option[(String, String, String, String)] = {
+    val Head = "(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+(\\w+)\\s*\\(".r
+    Head.findFirstMatchIn(text).flatMap { m =>
+      var i = m.end; var depth = 1
+      while (depth > 0 && i < text.length) {
+        val c = text.charAt(i)
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        i += 1
+      }
+      if (depth != 0) None
+      else {
+        val params = text.substring(m.end, i - 1)
+        val after = text.substring(i)
+        val Ret = "(?is)^\\s*RETURNS\\s+(\\w+(?:\\s*\\([\\w\\s(),]*\\))?)\\s+(.*)$".r
+        Ret.findFirstMatchIn(after).map(r => (m.group(1), params, r.group(1), r.group(2)))
+      }
+    }
+  }
+
   /** Lower the reference DDL onto Spark's SQL UDF DDL and execute it. */
   def create(spark: SparkSession, text: String): DataFrame = text.trim match {
+    case t if "(?is)\\bLANGUAGE\\s+PYTHON\\b".r.findFirstIn(t).isDefined =>
+      parseHead(t) match {
+        case Some((name, params, retType, rest)) =>
+          createPython(spark, name, params, retType, rest)
+        case None => throw new IllegalArgumentException(
+          "CREATE FUNCTION … LANGUAGE PYTHON: could not parse the function head")
+      }
     case Ddl(name, params, retType, rest) =>
       var tail = rest.trim
       var changed = true

@@ -503,6 +503,37 @@ object Dialect {
        printf('%s@%d', substring(p_type, 1, strpos(p_type, ' ') - 1), p_partkey) AS label
        FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""
 
+  /** LANGUAGE PYTHON functions (reference plugin/trino-functions-python,
+    * TestPythonFunctions.java): a durable CREATE FUNCTION and an inline
+    * WITH FUNCTION, both $$-bodied, executed by PythonFunctions' persistent
+    * python3 worker subprocesses (one per executor thread, row protocol =
+    * newline JSON). The arithmetic is pure IEEE-double on both sides so the
+    * DuckDB oracle hashes identically. */
+  def q_sqlx_python_udf(s: SparkSession, dir: String): DataFrame = {
+    TrinoDialect.sql(s, dir,
+      "CREATE FUNCTION py_tag(status varchar, k bigint) RETURNS varchar " +
+        "LANGUAGE PYTHON WITH (handler = 'tag') AS $$\n" +
+        "def tag(status, k):\n" +
+        "    return '%s#%d' % (status, k * 2)\n" +
+        "$$")
+    TrinoDialect.sql(s, dir,
+      """WITH FUNCTION py_margin(price double, disc double)
+         RETURNS double
+         LANGUAGE PYTHON
+         WITH (handler = 'margin')
+         AS $$
+         def margin(price, disc):
+             return price * (1.0 - disc)
+         $$
+         SELECT l_orderkey, py_margin(l_extendedprice, l_discount) AS margin,
+                py_tag(l_returnflag, l_orderkey) AS tag
+         FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, margin""")
+  }
+  val qSqlxPythonUdfSql: String =
+    """SELECT l_orderkey, l_extendedprice * (1.0 - l_discount) AS margin,
+       l_returnflag || '#' || CAST(l_orderkey * 2 AS VARCHAR) AS tag
+       FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, margin"""
+
   /** TRY over a WINDOW expression — the nesting the regex layer could not
     * place (VERDICT r6 item 3): the parser lowers the arithmetic AROUND the
     * window call, producing try_divide(sum(...) OVER w, ...). The window sum
@@ -867,6 +898,7 @@ object Dialect {
     "q_sqlx_match_measure_offset" -> q_sqlx_match_measure_offset _,
     "q_sqlx_match_anchor_define" -> q_sqlx_match_anchor_define _,
     "q_sqlx_create_function" -> q_sqlx_create_function _,
+    "q_sqlx_python_udf" -> q_sqlx_python_udf _,
     "q_sqlx_fetch_ties" -> q_sqlx_fetch_ties _,
     "q_sqlx_at_timezone" -> q_sqlx_at_timezone _,
     "q_sqlx_prepare" -> q_sqlx_prepare _,
@@ -895,6 +927,7 @@ object Dialect {
     "q_sqlx_match_measure_offset" -> qSqlxMatchMeasureOffsetSql,
     "q_sqlx_match_anchor_define" -> qSqlxMatchAnchorDefineSql,
     "q_sqlx_create_function" -> qSqlxCreateFunctionSql,
+    "q_sqlx_python_udf" -> qSqlxPythonUdfSql,
     "q_sqlx_fetch_ties" -> qSqlxFetchTiesSql,
     "q_sqlx_at_timezone" -> qSqlxAtTimezoneSql,
     "q_sqlx_prepare" -> qSqlxPrepareSql,

@@ -213,7 +213,15 @@ object TrinoDialect {
       var cut = -1; var sawReturn = false
       while (cut < 0 && i < rest.length) {
         val c = rest.charAt(i)
-        if (c == '\'') inQ = !inQ
+        if (!inQ && c == '$' && i + 1 < rest.length && rest.charAt(i + 1) == '$') {
+          // LANGUAGE PYTHON body: $$…$$ is opaque (may hold quotes/parens/
+          // keywords); its end completes the definition like RETURN does
+          val close = rest.indexOf("$$", i + 2)
+          require(close >= 0, "WITH FUNCTION: unterminated $$ body")
+          i = close + 1
+          sawReturn = true
+        }
+        else if (c == '\'') inQ = !inQ
         else if (!inQ && (c == '(')) depth += 1
         else if (!inQ && (c == ')')) depth -= 1
         else if (!inQ && depth == 0 && (c.isLetter || c == ',')) {
