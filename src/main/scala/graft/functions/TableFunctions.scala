@@ -140,6 +140,34 @@ object TableFunctions {
     graft.sources.KafkaWire.read(s, unquote(args(0)), args(1).trim.toInt,
       unquote(args(2)))
   })
+  register("redis_scan", (s, _, args) => {
+    require(args.length == 2 || args.length == 3,
+      "redis_scan('<host>', <port>[, '<match>'])")
+    graft.sources.RedisWire.read(s, Seq((unquote(args(0)), args(1).trim.toInt)),
+      if (args.length == 3) Some(unquote(args(2))) else None)
+  })
+  register("es_search", (s, _, args) => {
+    // reference trino-elasticsearch raw_query ptf: the optional 4th arg is
+    // a literal query-DSL document ANDed with any pushed-down filters
+    require(args.length == 3 || args.length == 4,
+      "es_search('<host>', <port>, '<index>'[, '<query dsl json>'])")
+    val r = s.read.format(graft.catalog.EsCatalog.format)
+      .option("host", unquote(args(0))).option("port", args(1).trim.toInt.toString)
+      .option("index", unquote(args(2)))
+    (if (args.length == 4) r.option("query", unquote(args(3))) else r).load()
+  })
+  register("pg_table", (s, _, args) => {
+    require(args.length == 3 || args.length == 4,
+      "pg_table('<host>', <port>, '<table>'[, '<partition column>'])")
+    graft.catalog.PgCatalog.read(s, unquote(args(0)), args(1).trim.toInt,
+      unquote(args(2)), args.lift(3).map(unquote))
+  })
+  register("pg_query", (s, _, args) => {
+    // reference trino-postgresql `query` ptf: raw SQL shipped as written
+    require(args.length == 3, "pg_query('<host>', <port>, '<sql>')")
+    graft.catalog.PgCatalog.readQuery(s, unquote(args(0)), args(1).trim.toInt,
+      unquote(args(2)))
+  })
   register("hive_thrift_table", (s, _, args) => {
     require(args.length == 4,
       "hive_thrift_table('<host>', <port>, '<db>', '<table>')")

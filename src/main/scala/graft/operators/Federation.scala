@@ -241,7 +241,176 @@ object Federation {
        GROUP BY o_orderpriority
        ORDER BY o_orderpriority"""
 
+  /** One loopback Redis node per testdata dir, seeded once: customers with
+    * account balance > 0 as STRING values (JSON, key `customer:<key>`) and
+    * nations as HASH values (key `nation:<key>`). Bounded fixture build —
+    * sf0.01 customer is 1.5k rows here; a real deployment points the same
+    * wire client at real nodes. */
+  private val redisNodes = scala.collection.mutable.Map[String, graft.sources.RedisWire.Server]()
+  private def ensureRedis(s: SparkSession, dir: String): Int = synchronized {
+    redisNodes.getOrElseUpdate(dir, {
+      import s.implicits._
+      val srv = new graft.sources.RedisWire.Server()
+      table(s, dir, "customer")
+        .filter($"c_acctbal" > 0.0)
+        .select($"c_custkey", to_json(struct($"c_custkey", $"c_name",
+          $"c_nationkey", $"c_acctbal")))
+        .collect()
+        .foreach(r => srv.set(s"customer:${r.getLong(0)}", r.getString(1)))
+      table(s, dir, "nation").collect().foreach { r =>
+        srv.hset(s"nation:${r.getAs[Long]("n_nationkey")}", Map(
+          "n_nationkey" -> r.getAs[Long]("n_nationkey").toString,
+          "n_name" -> r.getAs[String]("n_name"),
+          "n_regionkey" -> r.getAs[Long]("n_regionkey").toString))
+      }
+      srv
+    }).port
+  }
+
+  /** Redis key/value connector over the RESP WIRE PROTOCOL
+    * (graft.sources.RedisWire; reference plugin/trino-redis —
+    * RedisSplitManager's node splits + RedisRecordCursor's SCAN/MGET/
+    * HGETALL consumption, internal columns `_key`/`_value`/lengths).
+    * STRING values decode as declared JSON; HASH values arrive as the
+    * field map (re-encoded JSON here) — both decode with from_json and
+    * join. The SCAN MATCH prefix prunes server-side, like the reference's
+    * `schema:table:*` key-prefix scan. */
+  def q_fed_redis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = ensureRedis(s, dir)
+    val nodes = Seq(("127.0.0.1", port))
+    val customers = graft.sources.RedisWire
+      .read(s, nodes, keyPattern = Some("customer:*"))
+      .withColumn("m", from_json($"_value", org.apache.spark.sql.types.StructType.fromDDL(
+        "c_custkey LONG, c_name STRING, c_nationkey LONG, c_acctbal DOUBLE")))
+      .select($"m.*", $"_value_length")
+    // hash fields arrive as JSON string values — parse as strings, then cast
+    val nations = graft.sources.RedisWire
+      .read(s, nodes, keyPattern = Some("nation:*"))
+      .withColumn("m", from_json($"_value", org.apache.spark.sql.types.StructType.fromDDL(
+        "n_nationkey STRING, n_name STRING, n_regionkey STRING")))
+      .select($"m.n_nationkey".cast("long").as("n_nationkey"), $"m.n_name".as("n_name"))
+    customers
+      .join(broadcast(nations), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        asDouble(sum(dec($"c_acctbal"))).as("total_balance"),
+        sum($"_value_length").as("value_bytes"))
+      .filter($"n_customers" > 0)
+      .select($"n_name", $"n_customers", $"total_balance")
+      .orderBy($"n_name")
+  }
+  val qFedRedisSql: String =
+    """SELECT n_name, count(*) AS n_customers,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       WHERE c_acctbal > 0.0
+       GROUP BY n_name
+       ORDER BY n_name"""
+
+  /** One loopback Elasticsearch node per testdata dir, seeded once from
+    * orders (3 shards, hash-routed by _id). Bounded fixture build; a real
+    * deployment points the same wire client at a live cluster. */
+  private val esNodes = scala.collection.mutable.Map[String, graft.sources.EsWire.Server]()
+  private def ensureEs(s: SparkSession, dir: String): Int = synchronized {
+    esNodes.getOrElseUpdate(dir, {
+      val srv = new graft.sources.EsWire.Server()
+      srv.createIndex("orders_idx", Seq(
+        "o_orderkey" -> "long", "o_custkey" -> "long",
+        "o_orderstatus" -> "keyword", "o_orderpriority" -> "keyword",
+        "o_totalprice" -> "double"), shards = 3)
+      table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_totalprice")
+        .collect()
+        .foreach { r =>
+          srv.index("orders_idx", r.getLong(0).toString, Map(
+            "o_orderkey" -> r.getLong(0), "o_custkey" -> r.getLong(1),
+            "o_orderstatus" -> r.getString(2), "o_orderpriority" -> r.getString(3),
+            "o_totalprice" -> r.getDouble(4)))
+        }
+      srv
+    }).port
+  }
+
+  /** Elasticsearch connector over the REST wire protocol
+    * (graft.catalog.EsCatalog; reference plugin/trino-elasticsearch —
+    * split per shard from `_search_shards`, per-shard scroll, query-DSL
+    * pushdown). The status filter and the totalprice range below are
+    * PUSHED into the bool/filter query and evaluated server-side; the
+    * aggregation runs in Spark over only the matching documents. */
+  def q_fed_es(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = ensureEs(s, dir)
+    graft.catalog.EsCatalog.read(s, "127.0.0.1", port, "orders_idx")
+      .filter($"o_orderstatus" === "F" && $"o_totalprice" > 150000.0)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(dec($"o_totalprice"))).as("total"))
+      .orderBy($"o_orderpriority")
+  }
+  val qFedEsSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM orders
+       WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
+  /** One loopback PostgreSQL node per testdata dir, seeded once from part.
+    * Bounded fixture build; a real deployment points the wire client at a
+    * live server. */
+  private val pgNodes = scala.collection.mutable.Map[String, graft.sources.PgWire.Server]()
+  private def ensurePg(s: SparkSession, dir: String): Int = synchronized {
+    pgNodes.getOrElseUpdate(dir, {
+      import graft.sources.PgWire
+      val srv = new PgWire.Server()
+      val rows = table(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_type", "p_size", "p_retailprice")
+        .collect()
+        .map(r => Array[Any](r.getLong(0), r.getString(1), r.getString(2),
+          r.getInt(3), r.getDouble(4)))
+        .toVector
+      srv.createTable("part", Seq(
+        PgWire.Column("p_partkey", PgWire.OidInt8),
+        PgWire.Column("p_brand", PgWire.OidVarchar),
+        PgWire.Column("p_type", PgWire.OidVarchar),
+        PgWire.Column("p_size", PgWire.OidInt4),
+        PgWire.Column("p_retailprice", PgWire.OidFloat8)), rows)
+      srv
+    }).port
+  }
+
+  /** PostgreSQL connector over wire protocol v3 (graft.catalog.PgCatalog;
+    * reference plugin/trino-postgresql over trino-base-jdbc). The size and
+    * brand predicates are rendered into each split's remote SQL and
+    * evaluated in the remote engine; splits are p_partkey ranges from one
+    * MIN/MAX metadata query, each streamed on its own executor socket. */
+  def q_fed_pg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = ensurePg(s, dir)
+    graft.catalog.PgCatalog.read(s, "127.0.0.1", port, "part",
+      partitionColumn = Some("p_partkey"), numPartitions = 4)
+      .filter($"p_size" >= 20 && $"p_brand" =!= "Brand#45")
+      .groupBy($"p_type")
+      .agg(count(lit(1)).as("n_parts"),
+        asDouble(sum(dec($"p_retailprice"))).as("retail"))
+      .filter($"n_parts" > 1)
+      .orderBy($"p_type")
+  }
+  val qFedPgSql: String =
+    """SELECT p_type, count(*) AS n_parts,
+              CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS retail
+       FROM part
+       WHERE p_size >= 20 AND p_brand <> 'Brand#45'
+       GROUP BY p_type
+       HAVING count(*) > 1
+       ORDER BY p_type"""
+
   val queries: Map[String, Q] = Map(
+    "q_fed_redis" -> q_fed_redis _,
+    "q_fed_es" -> q_fed_es _,
+    "q_fed_pg" -> q_fed_pg _,
     "q_fed_avro" -> q_fed_avro _,
     "q_fed_memory" -> q_fed_memory _,
     "q_fed_tpch_generated" -> q_fed_tpch_generated _,
@@ -252,6 +421,9 @@ object Federation {
     "q_fed_query_passthrough" -> q_fed_query_passthrough _)
 
   val oracles: Map[String, String] = Map(
+    "q_fed_redis" -> qFedRedisSql,
+    "q_fed_es" -> qFedEsSql,
+    "q_fed_pg" -> qFedPgSql,
     "q_fed_avro" -> qFedAvroSql,
     "q_fed_memory" -> qFedMemorySql,
     "q_fed_tpch_generated" -> qFedTpchGeneratedSql,
