@@ -77,4 +77,44 @@ object EventListeners {
     override def queryCreated(json: String): Unit = post(json)
     override def queryCompleted(json: String): Unit = post(json)
   }
+
+  /** Publish each event to a Kafka topic over the wire protocol
+    * (reference: plugin/trino-kafka-event-listener —
+    * KafkaEventListener routes created/completed events to configured
+    * topics keyed by query id; consumers read them back as a stream).
+    * Partition = hash(queryId) % partitionCount, so one query's lifecycle
+    * events stay ordered within a partition. The producer connection is
+    * lazy and re-opened on failure; a broker outage never fails queries
+    * (fire* already isolates listener errors). */
+  final class KafkaEventListener(host: String, port: Int, topic: String)
+      extends Listener {
+    private var client: graft.sources.KafkaWire.Client = _
+    private var partitions: Int = 0
+
+    private val QueryId = """"queryId"\s*:\s*"([^"]+)"""".r
+
+    private def publish(json: String): Unit = synchronized {
+      if (client == null) {
+        client = new graft.sources.KafkaWire.Client(host, port)
+        partitions = client.partitionCount(topic)
+      }
+      val key = QueryId.findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+      val p = math.floorMod(key.hashCode, math.max(1, partitions))
+      try {
+        client.produce(topic, p, Seq(graft.sources.KafkaWire.Msg(
+          key.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          System.currentTimeMillis())))
+        ()
+      } catch {
+        case e: Exception =>
+          try client.close() catch { case _: Exception => () }
+          client = null
+          throw e
+      }
+    }
+
+    override def queryCreated(json: String): Unit = publish(json)
+    override def queryCompleted(json: String): Unit = publish(json)
+  }
 }

@@ -183,11 +183,12 @@ object KafkaWire {
         val correlation = req.getInt
         rStr(req) // client_id
         val resp = (apiKey, apiVersion) match {
+          case (0, 0) => produceResponse(topics, req)
           case (3, 0) => metadataResponse(topics, port, req)
           case (1, 0) => fetchResponse(topics, req)
           case (2, 0) => listOffsetsResponse(topics, req)
           case other => throw new IllegalArgumentException(
-            s"kafka api $other not served (Metadata/Fetch/ListOffsets v0 only)")
+            s"kafka api $other not served (Produce/Metadata/Fetch/ListOffsets v0 only)")
         }
         val body = ByteBuffer.allocate(4 + resp.length)
         body.putInt(correlation).put(resp)
@@ -198,6 +199,43 @@ object KafkaWire {
       case _: EOFException =>
       case _: java.net.SocketException =>
     } finally sock.close()
+  }
+
+  /** Produce v0 (api_key 0): append each partition's message set to the
+    * live Topic log; reply [topic, [partition, error, base_offset]]. */
+  private def produceResponse(topics: Map[String, Topic],
+      req: ByteBuffer): Array[Byte] = {
+    req.getShort // required_acks (loopback always acks like acks=1)
+    req.getInt   // timeout_ms
+    val nTopics = req.getInt
+    val results = (0 until nTopics).map { _ =>
+      val topic = rStr(req)
+      val nParts = req.getInt
+      val parts = (0 until nParts).map { _ =>
+        val pid = req.getInt
+        val setSize = req.getInt
+        val set = new Array[Byte](setSize); req.get(set)
+        topics.get(topic).filter(t => pid >= 0 && pid < t.partitions) match {
+          case None => (pid, 3.toShort, -1L) // UNKNOWN_TOPIC_OR_PARTITION
+          case Some(t) => t.synchronized {
+            val base = t.log(pid).size.toLong
+            t.append(pid, decodeMessageSet(set).map(_._2): _*)
+            (pid, 0.toShort, base)
+          }
+        }
+      }
+      (topic, parts)
+    }
+    val bb = ByteBuffer.allocate(1 << 20)
+    bb.putInt(results.size)
+    results.foreach { case (topic, parts) =>
+      wStr(bb, topic)
+      bb.putInt(parts.size)
+      parts.foreach { case (pid, err, base) =>
+        bb.putInt(pid); bb.putShort(err); bb.putLong(base)
+      }
+    }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
   }
 
   private def metadataResponse(topics: Map[String, Topic],
@@ -376,6 +414,28 @@ object KafkaWire {
       require(err == 0, s"kafka list_offsets error $err for $topic/$partition")
       val n = r.getInt
       require(n == 1, s"expected one offset, got $n")
+      r.getLong
+    }
+
+    /** Produce v0: append `msgs` to one partition; returns the base offset
+      * the broker assigned. */
+    def produce(topic: String, partition: Int, msgs: Seq[Msg]): Long = {
+      val set = encodeMessageSet(msgs, 0L)
+      val body = ByteBuffer.allocate(64 + set.length)
+      body.putShort(1)   // required_acks
+      body.putInt(5000)  // timeout_ms
+      body.putInt(1); wStr(body, topic)
+      body.putInt(1); body.putInt(partition)
+      body.putInt(set.length); body.put(set)
+      val r = request(0, body)
+      val nTopics = r.getInt
+      require(nTopics == 1)
+      rStr(r)
+      val nParts = r.getInt
+      require(nParts == 1)
+      r.getInt // partition id
+      val err = r.getShort
+      require(err == 0, s"kafka produce error $err for $topic/$partition")
       r.getLong
     }
 
