@@ -168,6 +168,31 @@ object TableFunctions {
     graft.catalog.PgCatalog.readQuery(s, unquote(args(0)), args(1).trim.toInt,
       unquote(args(2)))
   })
+  register("prom_query_range", (s, _, args) => {
+    require(args.length == 6 || args.length == 7,
+      "prom_query_range('<host>', <port>, '<selector>', <start>, <end>, <step>[, <chunks>])")
+    graft.sources.PromWire.read(s, unquote(args(0)), args(1).trim.toInt,
+      unquote(args(2)), args(3).trim.toLong, args(4).trim.toLong,
+      args(5).trim.toLong,
+      args.lift(6).map(_.trim.toInt).getOrElse(8))
+  })
+  register("mongo_collection", (s, _, args) => {
+    require(args.length == 4 || args.length == 5,
+      "mongo_collection('<host>', <port>, '<db>', '<collection>'[, '<schema ddl>'])")
+    graft.catalog.MongoCatalog.read(s, unquote(args(0)), args(1).trim.toInt,
+      unquote(args(2)), unquote(args(3)), args.lift(4).map(unquote))
+  })
+  register("ch_table", (s, _, args) => {
+    require(args.length == 3 || args.length == 4,
+      "ch_table('<host>', <port>, '<table>'[, '<partition column>'])")
+    graft.catalog.ChCatalog.read(s, unquote(args(0)), args(1).trim.toInt,
+      unquote(args(2)), args.lift(3).map(unquote))
+  })
+  register("ch_query", (s, _, args) => {
+    require(args.length == 3, "ch_query('<host>', <port>, '<sql>')")
+    graft.catalog.ChCatalog.readQuery(s, unquote(args(0)), args(1).trim.toInt,
+      unquote(args(2)))
+  })
   register("hive_thrift_table", (s, _, args) => {
     require(args.length == 4,
       "hive_thrift_table('<host>', <port>, '<db>', '<table>')")

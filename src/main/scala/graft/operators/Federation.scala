@@ -407,10 +407,157 @@ object Federation {
        HAVING count(*) > 1
        ORDER BY p_type"""
 
+  /** One loopback Prometheus node per testdata dir: one series per nation
+    * (`graft_customers{n_name=…}`), DENSE minute-grid samples at
+    * base + slot·60s where value = COUNT of that nation's customers with
+    * c_custkey % 60 == slot (zeros included, so range evaluation returns
+    * exactly the seeded grid — no staleness interpolation ambiguity). */
+  private val promBase = 1700000000L
+  private val promNodes = scala.collection.mutable.Map[String, graft.sources.PromWire.Server]()
+  private def ensureProm(s: SparkSession, dir: String): Int = synchronized {
+    promNodes.getOrElseUpdate(dir, {
+      import s.implicits._
+      val srv = new graft.sources.PromWire.Server()
+      val counts = table(s, dir, "customer")
+        .join(table(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name", ($"c_custkey" % 60).as("slot"))
+        .count()
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2).toDouble))
+      val byNation = counts.groupBy(_._1)
+      byNation.foreach { case (nation, cells) =>
+        val bySlot = cells.map(c => c._2 -> c._3).toMap
+        srv.addSeries(graft.sources.PromWire.Series("graft_customers",
+          Map("n_name" -> nation),
+          (0L until 60L).map(m =>
+            (promBase + m * 60L, bySlot.getOrElse(m, 0.0))).toVector))
+      }
+      srv
+    }).port
+  }
+
+  /** Prometheus connector over the HTTP API (graft.sources.PromWire;
+    * reference plugin/trino-prometheus — query_range matrix responses,
+    * TIME-CHUNK SPLITS so each executor fetches its own sub-range, rows =
+    * (labels, timestamp, value)). The selector is the pushed "table";
+    * zero-count grid cells are filtered in Spark. */
+  def q_fed_prom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = ensureProm(s, dir)
+    graft.sources.PromWire.read(s, "127.0.0.1", port, "graft_customers",
+      start = promBase, end = promBase + 59 * 60L, step = 60L, chunks = 6)
+      .filter($"value" > 0.0)
+      .select($"labels".getItem("n_name").as("n_name"),
+        (($"ts" - promBase) / 60L).cast("long").as("slot"),
+        $"value")
+      .orderBy($"n_name", $"slot")
+  }
+  val qFedPromSql: String =
+    """SELECT n_name, CAST(c_custkey % 60 AS BIGINT) AS slot,
+              CAST(count(*) AS DOUBLE) AS value
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name, c_custkey % 60
+       ORDER BY n_name, slot"""
+
+  /** One loopback MongoDB node per testdata dir, seeded once from
+    * supplier. Bounded fixture build; a real deployment points the wire
+    * client at a live replica set. */
+  private val mongoNodes = scala.collection.mutable.Map[String, graft.sources.MongoWire.Server]()
+  private def ensureMongo(s: SparkSession, dir: String): Int = synchronized {
+    mongoNodes.getOrElseUpdate(dir, {
+      val srv = new graft.sources.MongoWire.Server()
+      val docs = table(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .collect()
+        .map(r => Seq[(String, Any)]("s_suppkey" -> r.getLong(0),
+          "s_name" -> r.getString(1), "s_nationkey" -> r.getInt(2).toLong,
+          "s_acctbal" -> r.getDouble(3)))
+      srv.insert("graft", "supplier", docs.toSeq)
+      srv
+    }).port
+  }
+
+  /** MongoDB connector over the OP_MSG wire protocol
+    * (graft.catalog.MongoCatalog; reference plugin/trino-mongodb). The
+    * balance predicate is pushed as a `$gt` filter document and evaluated
+    * server-side; the projection document prunes to the three used fields;
+    * the cursor streams batches through O(batch) executor memory. */
+  def q_fed_mongo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = ensureMongo(s, dir)
+    graft.catalog.MongoCatalog.read(s, "127.0.0.1", port, "graft", "supplier",
+      schemaDdl = Some("s_suppkey LONG, s_name STRING, s_nationkey LONG, s_acctbal DOUBLE"))
+      .filter($"s_acctbal" > 1000.0)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        asDouble(sum(dec($"s_acctbal"))).as("total_balance"))
+      .orderBy($"s_nationkey")
+  }
+  val qFedMongoSql: String =
+    """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n_suppliers,
+              CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+       FROM supplier
+       WHERE s_acctbal > 1000.0
+       GROUP BY s_nationkey
+       ORDER BY s_nationkey"""
+
+  /** One loopback ClickHouse node per testdata dir, seeded once from
+    * lineitem's first 20k rows by orderkey (bounded fixture build). */
+  private val chNodes = scala.collection.mutable.Map[String, graft.sources.ClickHouseWire.Server]()
+  private def ensureCh(s: SparkSession, dir: String): Int = synchronized {
+    chNodes.getOrElseUpdate(dir, {
+      import s.implicits._
+      import graft.sources.PgWire
+      val srv = new graft.sources.ClickHouseWire.Server()
+      val rows = table(s, dir, "lineitem")
+        .filter($"l_orderkey" <= 20000L)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+        .collect()
+        .map(r => Array[Any](r.getLong(0), r.getInt(1).toLong, r.getString(2),
+          r.getDouble(3), r.getDouble(4)))
+        .toVector
+      srv.createTable("lineitem", Seq(
+        PgWire.Column("l_orderkey", PgWire.OidInt8),
+        PgWire.Column("l_linenumber", PgWire.OidInt8),
+        PgWire.Column("l_returnflag", PgWire.OidVarchar),
+        PgWire.Column("l_quantity", PgWire.OidFloat8),
+        PgWire.Column("l_extendedprice", PgWire.OidFloat8)), rows)
+      srv
+    }).port
+  }
+
+  /** ClickHouse connector over the HTTP interface
+    * (graft.catalog.ChCatalog; reference plugin/trino-clickhouse). The
+    * quantity filter renders into each split's remote SQL; splits are
+    * l_orderkey ranges; each split STREAMS its TSV response line by line
+    * on its executor. */
+  def q_fed_clickhouse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = ensureCh(s, dir)
+    graft.catalog.ChCatalog.read(s, "127.0.0.1", port, "lineitem",
+      partitionColumn = Some("l_orderkey"), numPartitions = 4)
+      .filter($"l_quantity" >= 45.0)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        asDouble(sum(dec($"l_extendedprice"))).as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+  val qFedClickhouseSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE l_orderkey <= 20000 AND l_quantity >= 45.0
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag"""
+
   val queries: Map[String, Q] = Map(
     "q_fed_redis" -> q_fed_redis _,
     "q_fed_es" -> q_fed_es _,
     "q_fed_pg" -> q_fed_pg _,
+    "q_fed_prom" -> q_fed_prom _,
+    "q_fed_mongo" -> q_fed_mongo _,
+    "q_fed_clickhouse" -> q_fed_clickhouse _,
     "q_fed_avro" -> q_fed_avro _,
     "q_fed_memory" -> q_fed_memory _,
     "q_fed_tpch_generated" -> q_fed_tpch_generated _,
@@ -424,6 +571,9 @@ object Federation {
     "q_fed_redis" -> qFedRedisSql,
     "q_fed_es" -> qFedEsSql,
     "q_fed_pg" -> qFedPgSql,
+    "q_fed_prom" -> qFedPromSql,
+    "q_fed_mongo" -> qFedMongoSql,
+    "q_fed_clickhouse" -> qFedClickhouseSql,
     "q_fed_avro" -> qFedAvroSql,
     "q_fed_memory" -> qFedMemorySql,
     "q_fed_tpch_generated" -> qFedTpchGeneratedSql,

@@ -1,0 +1,77 @@
+package graft.sqlx
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+/** Open Policy Agent access control (reference: plugin/trino-opa —
+  * OpaAccessControl POSTs each authorization decision to the agent's
+  * Data API, `POST <opa.policy.uri>` with
+  * `{"input":{"context":{"identity":{"user":…}},"action":{"operation":…,
+  * "resource":{"table":{…}}}}}`, and reads `{"result": true|false}`;
+  * OpaHighLevelClient.java builds exactly this envelope). When an agent
+  * is configured it REPLACES the built-in grant checks, like installing
+  * the reference plugin replaces the default system access control.
+  *
+  * Decisions FAIL CLOSED: an unreachable agent or a malformed response
+  * denies (reference OpaQueryException semantics — never fail open). */
+object OpaPolicy {
+
+  @volatile private var endpoint: Option[String] = None
+
+  /** Point enforcement at an agent's policy decision URI
+    * (e.g. `http://host:port/v1/data/trino/allow`). */
+  def configure(uri: String): Unit = endpoint = Some(uri)
+  def clear(): Unit = endpoint = None
+  def isConfigured: Boolean = endpoint.isDefined
+
+  private lazy val http = HttpClient.newBuilder()
+    .executor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-opa-client"); t.setDaemon(true); t
+    }))
+    .build()
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** One authorization decision. `operation` uses the reference's
+    * operation names (SelectFromColumns, InsertIntoTable, DropTable, …);
+    * `table` is the fully-qualified table key. */
+  def allow(user: String, operation: String, table: String): Boolean =
+    endpoint match {
+      case None => true // not configured: built-in checks decide
+      case Some(uri) =>
+        val input =
+          s"""{"input":{"context":{"identity":{"user":${jstr(user)}}},""" +
+            s""""action":{"operation":${jstr(operation)},""" +
+            s""""resource":{"table":{"tableName":${jstr(table)}}}}}}"""
+        try {
+          val resp = http.send(
+            HttpRequest.newBuilder(URI.create(uri))
+              .header("Content-Type", "application/json")
+              .POST(HttpRequest.BodyPublishers.ofString(input)).build(),
+            HttpResponse.BodyHandlers.ofString())
+          resp.statusCode() == 200 &&
+            parseResult(resp.body()).contains(true)
+        } catch {
+          case _: Exception => false // fail closed
+        }
+    }
+
+  /** `{"result": true}` → Some(true); anything else → None (deny). An
+    * OPA response with no `result` key means the policy path is
+    * undefined — the reference denies that too. */
+  private[sqlx] def parseResult(body: String): Option[Boolean] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    try JsonMethods.parse(body) \ "result" match {
+      case JBool(b) => Some(b)
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+}

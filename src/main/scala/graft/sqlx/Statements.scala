@@ -72,8 +72,15 @@ private[graft] object Statements {
     * every historical path is unaffected. */
   private def accessCheck(st: Statement): Unit = {
     val user = SessionContext.enforcedUser.getOrElse(return)
+    // reference operation names per privilege (OpaAccessControl.java)
+    val opaOps = Map("SELECT" -> "SelectFromColumns",
+      "INSERT" -> "InsertIntoTable", "DELETE" -> "DeleteFromTable",
+      "UPDATE" -> "UpdateTableColumns")
     def allowed(priv: String, key: String): Boolean =
-      owners.get(key).contains(user) ||
+      // a configured agent REPLACES the built-in grant checks
+      if (OpaPolicy.isConfigured)
+        OpaPolicy.allow(user, opaOps.getOrElse(priv, priv), key)
+      else owners.get(key).contains(user) ||
         grants.getOrElse((user, key), Set.empty)
           .exists(p => p == priv || p == "ALL PRIVILEGES" || p == "ALL")
     def check(priv: String, what: String, rawName: String): Unit = {
@@ -83,7 +90,18 @@ private[graft] object Statements {
     }
     def ownerOnly(what: String, rawName: String): Unit = {
       val key = keyOf(rawName)
-      if (!owners.get(key).contains(user))
+      val ok =
+        if (OpaPolicy.isConfigured) {
+          val op = what match {
+            case w if w.startsWith("drop") => "DropTable"
+            case w if w.startsWith("alter") => "AlterTable"
+            case w if w.startsWith("comment") => "SetTableComment"
+            case w if w.startsWith("grant") => "GrantTablePrivilege"
+            case _ => "OwnTable"
+          }
+          OpaPolicy.allow(user, op, key)
+        } else owners.get(key).contains(user)
+      if (!ok)
         throw new AccessDeniedException(s"Cannot $what $key")
     }
     def checkQuery(q: Query): Unit =

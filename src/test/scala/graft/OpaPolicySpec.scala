@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.CopyOnWriteArrayList
+
+import scala.jdk.CollectionConverters._
+
+import graft.sqlx.{AccessDeniedException, OpaPolicy, SessionContext, TrinoDialect}
+
+/** OPA access control over the agent's Data API: decision envelopes POST
+  * to the policy URI, allow/deny enforce on the front door, unreachable
+  * agents fail closed (reference plugin/trino-opa). */
+class OpaPolicySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  // loopback agent: decodes the reference envelope, answers a canned rego
+  // policy (alice may read any table; everyone else denied; writes denied)
+  private val requests = new CopyOnWriteArrayList[String]()
+  private lazy val agent = {
+    val s = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    s.createContext("/v1/data/trino/allow", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        requests.add(body)
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val in = JsonMethods.parse(body) \ "input"
+        val JString(user) = (in \ "context" \ "identity" \ "user"): @unchecked
+        val JString(op) = (in \ "action" \ "operation"): @unchecked
+        val allow = user == "alice" && op == "SelectFromColumns"
+        val resp = s"""{"result":$allow}""".getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, resp.length.toLong)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+      val t = new Thread(r, "opa-agent"); t.setDaemon(true); t
+    }))
+    val st = new Thread(() => s.start()); st.setDaemon(true); st.start(); st.join()
+    s
+  }
+
+  override def afterAll(): Unit = {
+    OpaPolicy.clear()
+    agent.stop(0)
+  }
+
+  private def as[A](user: String)(f: => A): A =
+    SessionContext.within(SessionContext.Ctx(user = Some(user), enforce = true))(f)
+
+  test("decision envelope carries identity, operation, and table resource") {
+    OpaPolicy.configure(
+      s"http://127.0.0.1:${agent.getAddress.getPort}/v1/data/trino/allow")
+    requests.clear()
+    as("alice") {
+      TrinoDialect.sql(spark, sfDir, "SELECT count(*) AS n FROM nation").collect()
+    }
+    val sent = requests.asScala.toVector
+    assert(sent.nonEmpty)
+    assert(sent.head.contains(""""user":"alice""""))
+    assert(sent.head.contains(""""operation":"SelectFromColumns""""))
+    assert(sent.head.contains(""""tableName""""))
+  }
+
+  test("allowed user reads; denied user gets the reference error shape") {
+    OpaPolicy.configure(
+      s"http://127.0.0.1:${agent.getAddress.getPort}/v1/data/trino/allow")
+    as("alice") {
+      assert(TrinoDialect.sql(spark, sfDir,
+        "SELECT count(*) AS n FROM nation").collect().head.getLong(0) == 25L)
+    }
+    val e = intercept[AccessDeniedException] {
+      as("mallory") {
+        TrinoDialect.sql(spark, sfDir, "SELECT count(*) AS n FROM nation").collect()
+      }
+    }
+    assert(e.getMessage.startsWith("Access Denied:"))
+  }
+
+  test("writes hit the agent with DML operations and deny") {
+    OpaPolicy.configure(
+      s"http://127.0.0.1:${agent.getAddress.getPort}/v1/data/trino/allow")
+    requests.clear()
+    intercept[AccessDeniedException] {
+      as("alice") {
+        TrinoDialect.sql(spark, sfDir, "DELETE FROM nation WHERE n_nationkey = 0")
+      }
+    }
+    assert(requests.asScala.exists(_.contains(""""operation":"DeleteFromTable"""")))
+  }
+
+  test("an unreachable agent fails closed") {
+    OpaPolicy.configure("http://127.0.0.1:1/v1/data/trino/allow") // nothing there
+    intercept[AccessDeniedException] {
+      as("alice") {
+        TrinoDialect.sql(spark, sfDir, "SELECT count(*) AS n FROM nation").collect()
+      }
+    }
+    OpaPolicy.clear()
+  }
+
+  test("unconfigured agent leaves the built-in grant checks in force") {
+    OpaPolicy.clear()
+    // no grants for this user → deny by the built-in path, no HTTP involved
+    intercept[AccessDeniedException] {
+      as("nobody") {
+        TrinoDialect.sql(spark, sfDir, "SELECT count(*) AS n FROM nation").collect()
+      }
+    }
+  }
+}
