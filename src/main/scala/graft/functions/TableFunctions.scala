@@ -193,6 +193,23 @@ object TableFunctions {
     graft.catalog.ChCatalog.readQuery(s, unquote(args(0)), args(1).trim.toInt,
       unquote(args(2)))
   })
+  register("cassandra_table", (s, _, args) => {
+    require(args.length == 4 || args.length == 5,
+      "cassandra_table('<host>', <port>, '<keyspace>', '<table>'[, <splits>])")
+    graft.catalog.CassandraCatalog.read(s, unquote(args(0)), args(1).trim.toInt,
+      unquote(args(2)), unquote(args(3)),
+      args.lift(4).map(_.trim.toInt).getOrElse(4))
+  })
+  register("pinot_table", (s, _, args) => {
+    require(args.length == 3, "pinot_table('<host>', <port>, '<table>')")
+    graft.catalog.PinotCatalog.read(s, unquote(args(0)), args(1).trim.toInt,
+      unquote(args(2)))
+  })
+  register("pinot_query", (s, _, args) => {
+    require(args.length == 3, "pinot_query('<host>', <port>, '<sql>')")
+    graft.catalog.PinotCatalog.readQuery(s, unquote(args(0)), args(1).trim.toInt,
+      unquote(args(2)))
+  })
   register("hive_thrift_table", (s, _, args) => {
     require(args.length == 4,
       "hive_thrift_table('<host>', <port>, '<db>', '<table>')")

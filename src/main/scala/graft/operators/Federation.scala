@@ -551,6 +551,93 @@ object Federation {
        GROUP BY l_returnflag
        ORDER BY l_returnflag"""
 
+  /** One loopback Cassandra node per testdata dir, seeded once from
+    * customer (partition key c_custkey → murmur3 ring placement). */
+  private val cassNodes = scala.collection.mutable.Map[String, graft.sources.CassandraWire.Server]()
+  private def ensureCassandra(s: SparkSession, dir: String): Int = synchronized {
+    cassNodes.getOrElseUpdate(dir, {
+      import graft.sources.CassandraWire
+      val srv = new CassandraWire.Server()
+      val rows = table(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+        .collect()
+        .map(r => Array[Any](r.getLong(0), r.getString(1), r.getInt(2),
+          r.getDouble(3)))
+        .toVector
+      srv.createTable("graft", "customer", Seq(
+        CassandraWire.CqlColumn("c_custkey", CassandraWire.TBigint),
+        CassandraWire.CqlColumn("c_mktsegment", CassandraWire.TVarchar),
+        CassandraWire.CqlColumn("c_nationkey", CassandraWire.TInt),
+        CassandraWire.CqlColumn("c_acctbal", CassandraWire.TDouble)), rows)
+      srv
+    }).port
+  }
+
+  /** Cassandra connector over the CQL native protocol
+    * (graft.catalog.CassandraCatalog; reference plugin/trino-cassandra).
+    * Splits are MURMUR3 TOKEN RANGES — each executor drives its own paged
+    * QUERY for one ring slice, so every customer row crosses the wire in
+    * exactly one split; the balance predicate rides each split's CQL. */
+  def q_fed_cassandra(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = ensureCassandra(s, dir)
+    graft.catalog.CassandraCatalog.read(s, "127.0.0.1", port,
+      "graft", "customer", splits = 4)
+      .filter($"c_acctbal" < 0.0)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        asDouble(sum(dec($"c_acctbal"))).as("debt"))
+      .orderBy($"c_mktsegment")
+  }
+  val qFedCassandraSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS debt
+       FROM customer
+       WHERE c_acctbal < 0.0
+       GROUP BY c_mktsegment
+       ORDER BY c_mktsegment"""
+
+  /** One loopback Pinot broker per testdata dir, seeded once from orders. */
+  private val pinotNodes = scala.collection.mutable.Map[String, graft.sources.PinotWire.Server]()
+  private def ensurePinot(s: SparkSession, dir: String): Int = synchronized {
+    pinotNodes.getOrElseUpdate(dir, {
+      import graft.sources.PgWire
+      val srv = new graft.sources.PinotWire.Server()
+      val rows = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+        .map(r => Array[Any](r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toVector
+      srv.createTable("orders", Seq(
+        PgWire.Column("o_orderkey", PgWire.OidInt8),
+        PgWire.Column("o_orderstatus", PgWire.OidVarchar),
+        PgWire.Column("o_totalprice", PgWire.OidFloat8)), rows)
+      srv
+    }).port
+  }
+
+  /** Pinot connector over the broker API (graft.catalog.PinotCatalog;
+    * reference plugin/trino-pinot). The price range renders into the
+    * broker SQL — Pinot's own servers do the segment fan-out, Spark sees
+    * only matching rows. */
+  def q_fed_pinot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = ensurePinot(s, dir)
+    graft.catalog.PinotCatalog.read(s, "127.0.0.1", port, "orders")
+      .filter($"o_totalprice" >= 100000.0 && $"o_totalprice" < 200000.0)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(dec($"o_totalprice"))).as("total"))
+      .orderBy($"o_orderstatus")
+  }
+  val qFedPinotSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM orders
+       WHERE o_totalprice >= 100000.0 AND o_totalprice < 200000.0
+       GROUP BY o_orderstatus
+       ORDER BY o_orderstatus"""
+
   val queries: Map[String, Q] = Map(
     "q_fed_redis" -> q_fed_redis _,
     "q_fed_es" -> q_fed_es _,
@@ -558,6 +645,8 @@ object Federation {
     "q_fed_prom" -> q_fed_prom _,
     "q_fed_mongo" -> q_fed_mongo _,
     "q_fed_clickhouse" -> q_fed_clickhouse _,
+    "q_fed_cassandra" -> q_fed_cassandra _,
+    "q_fed_pinot" -> q_fed_pinot _,
     "q_fed_avro" -> q_fed_avro _,
     "q_fed_memory" -> q_fed_memory _,
     "q_fed_tpch_generated" -> q_fed_tpch_generated _,
@@ -574,6 +663,8 @@ object Federation {
     "q_fed_prom" -> qFedPromSql,
     "q_fed_mongo" -> qFedMongoSql,
     "q_fed_clickhouse" -> qFedClickhouseSql,
+    "q_fed_cassandra" -> qFedCassandraSql,
+    "q_fed_pinot" -> qFedPinotSql,
     "q_fed_avro" -> qFedAvroSql,
     "q_fed_memory" -> qFedMemorySql,
     "q_fed_tpch_generated" -> qFedTpchGeneratedSql,
