@@ -210,6 +210,23 @@ object TableFunctions {
     graft.catalog.PinotCatalog.readQuery(s, unquote(args(0)), args(1).trim.toInt,
       unquote(args(2)))
   })
+  register("loki_query_range", (s, _, args) => {
+    require(args.length == 5 || args.length == 6,
+      "loki_query_range('<host>', <port>, '<logql>', <startNs>, <endNs>[, <chunks>])")
+    graft.sources.LokiWire.read(s, unquote(args(0)), args(1).trim.toInt,
+      unquote(args(2)), args(3).trim.toLong, args(4).trim.toLong,
+      args.lift(5).map(_.trim.toInt).getOrElse(8))
+  })
+  register("druid_table", (s, _, args) => {
+    require(args.length == 3, "druid_table('<host>', <port>, '<table>')")
+    graft.catalog.DruidCatalog.read(s, unquote(args(0)), args(1).trim.toInt,
+      unquote(args(2)))
+  })
+  register("druid_query", (s, _, args) => {
+    require(args.length == 3, "druid_query('<host>', <port>, '<sql>')")
+    graft.catalog.DruidCatalog.readQuery(s, unquote(args(0)), args(1).trim.toInt,
+      unquote(args(2)))
+  })
   register("hive_thrift_table", (s, _, args) => {
     require(args.length == 4,
       "hive_thrift_table('<host>', <port>, '<db>', '<table>')")

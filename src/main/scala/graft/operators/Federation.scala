@@ -638,7 +638,96 @@ object Federation {
        GROUP BY o_orderstatus
        ORDER BY o_orderstatus"""
 
+  /** One loopback Loki node per testdata dir: one stream per order
+    * priority, entry ts = base + o_orderkey nanos, line carrying the
+    * status + price. */
+  private val lokiBase = 1700000000000000000L
+  private val lokiNodes = scala.collection.mutable.Map[String, graft.sources.LokiWire.Server]()
+  private def ensureLoki(s: SparkSession, dir: String): (Int, Long) = synchronized {
+    val srv = lokiNodes.getOrElseUpdate(dir, {
+      val node = new graft.sources.LokiWire.Server()
+      val rows = table(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+        .collect()
+      rows.groupBy(_.getString(1)).foreach { case (prio, rs) =>
+        node.addStream(graft.sources.LokiWire.Stream(
+          Map("app" -> "orders", "priority" -> prio),
+          rs.map(r => (lokiBase + r.getLong(0),
+            s"order key=${r.getLong(0)} status=${r.getString(2)}")).toVector))
+      }
+      node
+    })
+    (srv.port, lokiBase)
+  }
+
+  /** Loki connector over the HTTP API (graft.sources.LokiWire; reference
+    * plugin/trino-loki — LogQL streams, time-chunk splits). The
+    * `status=F` line filter is part of the pushed LogQL and evaluated
+    * server-side; Spark only counts the surviving lines per stream. */
+  def q_fed_loki(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (port, base) = ensureLoki(s, dir)
+    graft.sources.LokiWire.read(s, "127.0.0.1", port,
+      """{app="orders"} |= "status=F"""",
+      base, base + 10000000000L, chunks = 6) // orderkeys < 10^10
+      .select($"labels".getItem("priority").as("o_orderpriority"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_f_orders"))
+      .orderBy($"o_orderpriority")
+  }
+  val qFedLokiSql: String =
+    """SELECT o_orderpriority, count(*) AS n_f_orders
+       FROM orders
+       WHERE o_orderstatus = 'F'
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
+  /** One loopback Druid broker per testdata dir, seeded once from
+    * customer. */
+  private val druidNodes = scala.collection.mutable.Map[String, graft.sources.DruidWire.Server]()
+  private def ensureDruid(s: SparkSession, dir: String): Int = synchronized {
+    druidNodes.getOrElseUpdate(dir, {
+      import graft.sources.PgWire
+      val srv = new graft.sources.DruidWire.Server()
+      val rows = table(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+        .collect()
+        .map(r => Array[Any](r.getLong(0), r.getString(1), r.getInt(2).toLong,
+          r.getDouble(3)))
+        .toVector
+      srv.createTable("customer", Seq(
+        PgWire.Column("c_custkey", PgWire.OidInt8),
+        PgWire.Column("c_mktsegment", PgWire.OidVarchar),
+        PgWire.Column("c_nationkey", PgWire.OidInt8),
+        PgWire.Column("c_acctbal", PgWire.OidFloat8)), rows)
+      srv
+    }).port
+  }
+
+  /** Druid connector over the SQL HTTP API (graft.catalog.DruidCatalog;
+    * reference plugin/trino-druid). The segment predicate renders into
+    * the pushed SQL; Druid's own broker does the fan-out. */
+  def q_fed_druid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = ensureDruid(s, dir)
+    graft.catalog.DruidCatalog.read(s, "127.0.0.1", port, "customer")
+      .filter($"c_mktsegment" === "BUILDING" && $"c_acctbal" > 0.0)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        asDouble(sum(dec($"c_acctbal"))).as("total_balance"))
+      .orderBy($"c_nationkey")
+  }
+  val qFedDruidSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_customers,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+       FROM customer
+       WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0.0
+       GROUP BY c_nationkey
+       ORDER BY c_nationkey"""
+
   val queries: Map[String, Q] = Map(
+    "q_fed_loki" -> q_fed_loki _,
+    "q_fed_druid" -> q_fed_druid _,
     "q_fed_redis" -> q_fed_redis _,
     "q_fed_es" -> q_fed_es _,
     "q_fed_pg" -> q_fed_pg _,
@@ -657,6 +746,8 @@ object Federation {
     "q_fed_query_passthrough" -> q_fed_query_passthrough _)
 
   val oracles: Map[String, String] = Map(
+    "q_fed_loki" -> qFedLokiSql,
+    "q_fed_druid" -> qFedDruidSql,
     "q_fed_redis" -> qFedRedisSql,
     "q_fed_es" -> qFedEsSql,
     "q_fed_pg" -> qFedPgSql,
