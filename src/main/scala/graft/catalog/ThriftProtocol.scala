@@ -52,6 +52,7 @@ object ThriftProtocol {
     def i16(v: Int): Unit = out.writeShort(v)
     def i32(v: Int): Unit = out.writeInt(v)
     def i64(v: Long): Unit = out.writeLong(v)
+    def double(v: Double): Unit = out.writeDouble(v)
     def listBegin(elemType: Byte, size: Int): Unit = { out.writeByte(elemType); out.writeInt(size) }
     def mapBegin(kType: Byte, vType: Byte, size: Int): Unit = {
       out.writeByte(kType); out.writeByte(vType); out.writeInt(size)

@@ -227,6 +227,12 @@ object TableFunctions {
     graft.catalog.DruidCatalog.readQuery(s, unquote(args(0)), args(1).trim.toInt,
       unquote(args(2)))
   })
+  register("thrift_table", (s, _, args) => {
+    require(args.length == 4,
+      "thrift_table('<host>', <port>, '<schema>', '<table>')")
+    graft.sources.ThriftConnector.read(s, unquote(args(0)), args(1).trim.toInt,
+      unquote(args(2)), unquote(args(3)))
+  })
   register("hive_thrift_table", (s, _, args) => {
     require(args.length == 4,
       "hive_thrift_table('<host>', <port>, '<db>', '<table>')")

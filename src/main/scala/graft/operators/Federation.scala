@@ -725,9 +725,58 @@ object Federation {
        GROUP BY c_nationkey
        ORDER BY c_nationkey"""
 
+  /** One loopback thrift data-source node per testdata dir, serving
+    * supplier through the five TrinoThriftService methods. */
+  private val thriftNodes = scala.collection.mutable.Map[String, graft.sources.ThriftConnector.Server]()
+  private def ensureThrift(s: SparkSession, dir: String): Int = synchronized {
+    thriftNodes.getOrElseUpdate(dir, {
+      import graft.sources.ThriftConnector.{Col, Server, TableData}
+      val srv = new Server(rowsPerSplit = 40)
+      val rows = table(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .collect()
+        .map(r => Array[Any](r.getLong(0), r.getString(1),
+          r.getInt(2).toLong, r.getDouble(3)))
+        .toVector
+      srv.register(TableData("tpch", "supplier", Seq(
+        Col("s_suppkey", "bigint"), Col("s_name", "varchar"),
+        Col("s_nationkey", "bigint"), Col("s_acctbal", "double")), rows))
+      srv
+    }).port
+  }
+
+  /** Generic thrift connector (graft.sources.ThriftConnector; reference
+    * plugin/trino-thrift): suppliers arrive through per-split
+    * typed-column-block pages and join a broadcast parquet nation —
+    * column pruning travels on the wire (only the three used columns are
+    * requested), splits are the server's opaque ids. */
+  def q_fed_thrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = ensureThrift(s, dir)
+    val suppliers = graft.sources.ThriftConnector
+      .read(s, "127.0.0.1", port, "tpch", "supplier")
+      .select("s_nationkey", "s_acctbal")
+    suppliers
+      .join(broadcast(table(s, dir, "nation")),
+        $"s_nationkey" === $"n_nationkey")
+      .filter($"s_acctbal" > 2000.0)
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        asDouble(sum(dec($"s_acctbal"))).as("total_balance"))
+      .orderBy($"n_name")
+  }
+  val qFedThriftSql: String =
+    """SELECT n_name, count(*) AS n_suppliers,
+              CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       WHERE s_acctbal > 2000.0
+       GROUP BY n_name
+       ORDER BY n_name"""
+
   val queries: Map[String, Q] = Map(
     "q_fed_loki" -> q_fed_loki _,
     "q_fed_druid" -> q_fed_druid _,
+    "q_fed_thrift" -> q_fed_thrift _,
     "q_fed_redis" -> q_fed_redis _,
     "q_fed_es" -> q_fed_es _,
     "q_fed_pg" -> q_fed_pg _,
@@ -748,6 +797,7 @@ object Federation {
   val oracles: Map[String, String] = Map(
     "q_fed_loki" -> qFedLokiSql,
     "q_fed_druid" -> qFedDruidSql,
+    "q_fed_thrift" -> qFedThriftSql,
     "q_fed_redis" -> qFedRedisSql,
     "q_fed_es" -> qFedEsSql,
     "q_fed_pg" -> qFedPgSql,

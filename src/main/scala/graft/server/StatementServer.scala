@@ -551,7 +551,11 @@ object StatementServer {
     }
     val user = authUser.orElse(headerUser).getOrElse("graft")
     val ctx = graft.sqlx.SessionContext.Ctx(
-      props = parseKvHeader(hdrs.get("X-Trino-Session")),
+      // configured defaults under the request's explicit properties
+      // (reference session-property-managers contract: explicit wins)
+      props = SessionPropertyDefaults(user,
+        Option(hdrs.getFirst("X-Trino-Source")),
+        parseKvHeader(hdrs.get("X-Trino-Session"))),
       schema = Option(hdrs.getFirst("X-Trino-Schema")),
       prepared = parseKvHeader(hdrs.get("X-Trino-Prepared-Statement")),
       user = Some(user),
