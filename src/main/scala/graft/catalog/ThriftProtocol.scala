@@ -49,6 +49,8 @@ object ThriftProtocol {
       out.writeInt(b.length); out.write(b)
     }
     def bool(b: Boolean): Unit = out.writeByte(if (b) 1 else 0)
+    /** thrift `binary` shares STRING's wire shape: i32 length + raw bytes. */
+    def binary(b: Array[Byte]): Unit = { out.writeInt(b.length); out.write(b) }
     def i16(v: Int): Unit = out.writeShort(v)
     def i32(v: Int): Unit = out.writeInt(v)
     def i64(v: Long): Unit = out.writeLong(v)
@@ -85,6 +87,13 @@ object ThriftProtocol {
       require(len >= 0 && len < (1 << 26), s"thrift string length $len out of range")
       val b = new Array[Byte](len); in.readFully(b)
       new String(b, StandardCharsets.UTF_8)
+    }
+    /** thrift `binary` shares STRING's wire shape: i32 length + raw bytes. */
+    def binary(): Array[Byte] = {
+      val len = in.readInt()
+      require(len >= 0 && len < (1 << 26), s"thrift binary length $len out of range")
+      val b = new Array[Byte](len); in.readFully(b)
+      b
     }
     def bool(): Boolean = in.readByte() != 0
     def i16(): Int = in.readShort().toInt

@@ -94,13 +94,16 @@ object EventListeners {
     private val QueryId = """"queryId"\s*:\s*"([^"]+)"""".r
 
     private def publish(json: String): Unit = synchronized {
-      if (client == null) {
-        client = new graft.sources.KafkaWire.Client(host, port)
-        partitions = client.partitionCount(topic)
-      }
-      val key = QueryId.findFirstMatchIn(json).map(_.group(1)).getOrElse("")
-      val p = math.floorMod(key.hashCode, math.max(1, partitions))
+      // any failure — including a partitionCount probe against a not-yet-
+      // known topic — resets the connection so the NEXT event retries the
+      // whole init (stale partition counts never stick)
       try {
+        if (client == null) {
+          client = new graft.sources.KafkaWire.Client(host, port)
+          partitions = client.partitionCount(topic)
+        }
+        val key = QueryId.findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+        val p = math.floorMod(key.hashCode, math.max(1, partitions))
         client.produce(topic, p, Seq(graft.sources.KafkaWire.Msg(
           key.getBytes(java.nio.charset.StandardCharsets.UTF_8),
           json.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -108,8 +111,11 @@ object EventListeners {
         ()
       } catch {
         case e: Exception =>
-          try client.close() catch { case _: Exception => () }
+          if (client != null) {
+            try client.close() catch { case _: Exception => () }
+          }
           client = null
+          partitions = 0
           throw e
       }
     }

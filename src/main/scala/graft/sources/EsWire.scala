@@ -232,14 +232,19 @@ object EsWire {
       }
     }
 
-    private def cmp(a: Any, b: JValue): Int = (a, b) match {
-      case (null, _) => -2 // null never matches a range/term
-      case (x: String, JString(s)) => x.compareTo(s)
-      case (x: Boolean, JBool(s)) => x.compareTo(s)
-      case (x: Number, JInt(n)) => BigDecimal(x.doubleValue).compare(BigDecimal(n))
-      case (x: Number, JDouble(d)) => java.lang.Double.compare(x.doubleValue, d)
-      case (x: Number, JDecimal(d)) => BigDecimal(x.doubleValue).compare(d)
-      case _ => -2
+    /** None = incomparable (null operand or type mismatch) — a range/term
+      * never matches it. Signs are normalized so callers can test <0/==0/>0
+      * (String.compareTo returns arbitrary magnitudes). */
+    private def cmp(a: Any, b: JValue): Option[Int] = (a, b) match {
+      case (null, _) => None
+      case (x: String, JString(s)) => Some(Integer.signum(x.compareTo(s)))
+      case (x: Boolean, JBool(s)) => Some(Integer.signum(x.compareTo(s)))
+      case (x: Number, JInt(n)) =>
+        Some(BigDecimal(x.doubleValue).compare(BigDecimal(n)))
+      case (x: Number, JDouble(d)) =>
+        Some(java.lang.Double.compare(x.doubleValue, d))
+      case (x: Number, JDecimal(d)) => Some(BigDecimal(x.doubleValue).compare(d))
+      case _ => None
     }
 
     private def compileQuery(q: JValue): Map[String, Any] => Boolean = q match {
@@ -247,9 +252,9 @@ object EsWire {
         case List(("match_all", _)) => _ => true
         case List(("term", JObject(List((f, spec))))) =>
           val v = spec match { case JObject(o) => o.toMap.getOrElse("value", spec); case _ => spec }
-          d => cmp(d.getOrElse(f, null), v) == 0
+          d => cmp(d.getOrElse(f, null), v).contains(0)
         case List(("terms", JObject(List((f, JArray(vs)))))) =>
-          d => vs.exists(v => cmp(d.getOrElse(f, null), v) == 0)
+          d => vs.exists(v => cmp(d.getOrElse(f, null), v).contains(0))
         case List(("exists", o)) =>
           val JString(f) = (o \ "field"): @unchecked
           d => d.get(f).exists(_ != null)
@@ -259,10 +264,10 @@ object EsWire {
             val x = d.getOrElse(f, null)
             if (x == null) false
             else bm.forall {
-              case ("gt", v) => cmp(x, v) > 0 && cmp(x, v) != -2
-              case ("gte", v) => { val c = cmp(x, v); c >= 0 }
-              case ("lt", v) => cmp(x, v) == -1
-              case ("lte", v) => { val c = cmp(x, v); c == 0 || c == -1 }
+              case ("gt", v) => cmp(x, v).exists(_ > 0)
+              case ("gte", v) => cmp(x, v).exists(_ >= 0)
+              case ("lt", v) => cmp(x, v).exists(_ < 0)
+              case ("lte", v) => cmp(x, v).exists(_ <= 0)
               case _ => true
             }
           }

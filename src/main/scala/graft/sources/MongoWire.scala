@@ -305,6 +305,10 @@ object MongoWire {
       case (field, ops) if isOperatorDoc(ops) =>
         val v = get(d, field).orNull
         ops.asInstanceOf[Doc].forall {
+          // mongo semantics: {$eq:null} matches null AND missing fields,
+          // {$ne:null} excludes them (cmpVals cannot see null equality)
+          case ("$eq", null) => v == null
+          case ("$ne", null) => v != null
           case ("$eq", x) => cmpVals(v, x).contains(0)
           case ("$ne", x) => !cmpVals(v, x).contains(0)
           case ("$gt", x) => cmpVals(v, x).exists(_ > 0)

@@ -223,8 +223,12 @@ object PgWire {
       def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
       def peekWord(w: String): Boolean = {
         ws()
-        s.regionMatches(true, i, w, 0, w.length) &&
-          (i + w.length >= s.length || !Character.isLetterOrDigit(s.charAt(i + w.length)))
+        s.regionMatches(true, i, w, 0, w.length) && {
+          // '_' continues an identifier: NOT must not match not_active
+          val next = i + w.length
+          next >= s.length ||
+            (!Character.isLetterOrDigit(s.charAt(next)) && s.charAt(next) != '_')
+        }
       }
       def word(w: String): Boolean = { if (peekWord(w)) { i += w.length; true } else false }
       def expect(c: Char): Unit = {
@@ -430,9 +434,12 @@ object PgWire {
         case Some(w) => table.rows.filter(r => eval(w, colIx, r))
         case None => table.rows
       }
-      val filtered = limit.map(filtered0.take).getOrElse(filtered0)
+      val hasAgg = items.exists(_.isInstanceOf[AggItem])
+      // SQL applies LIMIT to OUTPUT rows: after aggregation, not before
+      val filtered =
+        if (hasAgg) filtered0 else limit.map(filtered0.take).getOrElse(filtered0)
 
-      if (items.exists(_.isInstanceOf[AggItem])) {
+      if (hasAgg) {
         val outCols = items.map {
           case AggItem("COUNT", _) => Column("count", OidInt8)
           case AggItem(fn, c) =>
@@ -449,7 +456,8 @@ object PgWire {
             else vals.maxBy(v => sortKey(v))
           case _ => null
         }
-        (outCols.toSeq, Vector(row.toSeq))
+        (outCols.toSeq, limit.map(Vector(row.toSeq).take(_))
+          .getOrElse(Vector(row.toSeq)))
       } else {
         // -1 marks a literal item (its value indexed separately)
         val lits = items.collect { case LitItem(v) => v }

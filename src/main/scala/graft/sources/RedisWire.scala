@@ -291,11 +291,16 @@ object RedisWire {
       .flatMap { case (host, port) =>
         new Iterator[Seq[Row]] {
           private val c = new Client(host, port)
+          // close on task completion too: a LIMIT (or any early stop)
+          // abandons the iterator before exhaustion
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ =>
+              try c.close() catch { case _: Exception => () }))
           private var cursor = "0"
           private var first = true
           def hasNext: Boolean = {
             val more = first || cursor != "0"
-            if (!more) c.close()
+            if (!more) { try c.close() catch { case _: Exception => () } }
             more
           }
           def next(): Seq[Row] = {

@@ -279,8 +279,8 @@ object ThriftConnector {
           }
           w.fieldBegin(LIST, 2); w.listBegin(I32, bytes.size)
           bytes.foreach(b => w.i32(b.length))
-          w.fieldBegin(STRING, 3)
-          w.string(bytes.map(new String(_, StandardCharsets.ISO_8859_1)).mkString)
+          w.fieldBegin(STRING, 3) // thrift binary: raw bytes on the wire
+          w.binary(bytes.toArray.flatten)
         case "boolean" =>
           w.fieldBegin(LIST, 2); w.listBegin(BOOL, values.size)
           values.foreach {
@@ -510,7 +510,7 @@ object ThriftConnector {
               }
               sizes = raw.collect { case i: Int => i } // reused when varchar
             case (STRING, 3) =>
-              bytes = r.string().getBytes(StandardCharsets.ISO_8859_1)
+              bytes = r.binary() // raw bytes: sizes index into these directly
             case _ => r.skip(t2)
           }
         }

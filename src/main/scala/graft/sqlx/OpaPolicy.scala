@@ -41,16 +41,18 @@ object OpaPolicy {
 
   /** One authorization decision. `operation` uses the reference's
     * operation names (SelectFromColumns, InsertIntoTable, DropTable, …);
-    * `table` is the fully-qualified table key. */
-  def allow(user: String, operation: String, table: String): Boolean =
+    * `table` is the fully-qualified table key. Returns None when no agent
+    * is configured AT THE SNAPSHOT — callers fall back to the built-in
+    * checks, so a concurrent clear() can never fail OPEN. */
+  def decide(user: String, operation: String, table: String): Option[Boolean] =
     endpoint match {
-      case None => true // not configured: built-in checks decide
+      case None => None // not configured: built-in checks decide
       case Some(uri) =>
         val input =
           s"""{"input":{"context":{"identity":{"user":${jstr(user)}}},""" +
             s""""action":{"operation":${jstr(operation)},""" +
             s""""resource":{"table":{"tableName":${jstr(table)}}}}}}"""
-        try {
+        Some(try {
           val resp = http.send(
             HttpRequest.newBuilder(URI.create(uri))
               .header("Content-Type", "application/json")
@@ -60,7 +62,7 @@ object OpaPolicy {
             parseResult(resp.body()).contains(true)
         } catch {
           case _: Exception => false // fail closed
-        }
+        })
     }
 
   /** `{"result": true}` → Some(true); anything else → None (deny). An

@@ -77,12 +77,13 @@ private[graft] object Statements {
       "INSERT" -> "InsertIntoTable", "DELETE" -> "DeleteFromTable",
       "UPDATE" -> "UpdateTableColumns")
     def allowed(priv: String, key: String): Boolean =
-      // a configured agent REPLACES the built-in grant checks
-      if (OpaPolicy.isConfigured)
-        OpaPolicy.allow(user, opaOps.getOrElse(priv, priv), key)
-      else owners.get(key).contains(user) ||
-        grants.getOrElse((user, key), Set.empty)
-          .exists(p => p == priv || p == "ALL PRIVILEGES" || p == "ALL")
+      // a configured agent REPLACES the built-in grant checks; the
+      // endpoint is snapshotted in one call so a concurrent clear()
+      // falls back to the built-in path, never open
+      OpaPolicy.decide(user, opaOps.getOrElse(priv, priv), key).getOrElse(
+        owners.get(key).contains(user) ||
+          grants.getOrElse((user, key), Set.empty)
+            .exists(p => p == priv || p == "ALL PRIVILEGES" || p == "ALL"))
     def check(priv: String, what: String, rawName: String): Unit = {
       val key = keyOf(rawName)
       if (!allowed(priv, key))
@@ -90,17 +91,15 @@ private[graft] object Statements {
     }
     def ownerOnly(what: String, rawName: String): Unit = {
       val key = keyOf(rawName)
-      val ok =
-        if (OpaPolicy.isConfigured) {
-          val op = what match {
-            case w if w.startsWith("drop") => "DropTable"
-            case w if w.startsWith("alter") => "AlterTable"
-            case w if w.startsWith("comment") => "SetTableComment"
-            case w if w.startsWith("grant") => "GrantTablePrivilege"
-            case _ => "OwnTable"
-          }
-          OpaPolicy.allow(user, op, key)
-        } else owners.get(key).contains(user)
+      val op = what match {
+        case w if w.startsWith("drop") => "DropTable"
+        case w if w.startsWith("alter") => "AlterTable"
+        case w if w.startsWith("comment") => "SetTableComment"
+        case w if w.startsWith("grant") => "GrantTablePrivilege"
+        case _ => "OwnTable"
+      }
+      val ok = OpaPolicy.decide(user, op, key)
+        .getOrElse(owners.get(key).contains(user))
       if (!ok)
         throw new AccessDeniedException(s"Cannot $what $key")
     }

@@ -61,6 +61,20 @@ class EsWireSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(total("""{"bool":{"must_not":[{"term":{"live":true}}]}}""") == 50)
   }
 
+  test("string ranges compare lexicographically, not by compareTo magnitude") {
+    val c = new EsWire.Client("127.0.0.1", srv.port)
+    // '1-URGENT' < '3-MEDIUM' has a first-char gap of 2: a sign-normalized
+    // comparator must still match it (regression: -2 was a sentinel)
+    srv.createIndex("prio", Seq("p" -> "keyword"), shards = 1)
+    srv.index("prio", "a", Map("p" -> "1-URGENT"))
+    srv.index("prio", "b", Map("p" -> "3-MEDIUM"))
+    srv.index("prio", "c", Map("p" -> "5-LOW"))
+    def total(q: String): Long = c.count("prio", 0, q)
+    assert(total("""{"range":{"p":{"lt":"3-MEDIUM"}}}""") == 1)
+    assert(total("""{"range":{"p":{"lte":"3-MEDIUM"}}}""") == 2)
+    assert(total("""{"range":{"p":{"gt":"1-URGENT"}}}""") == 2)
+  }
+
   test("spark read: schema from _mapping plus builtin _id; values decode") {
     val df = EsCatalog.read(spark, "127.0.0.1", srv.port, "docs")
     assert(df.schema.fieldNames.toSet ==

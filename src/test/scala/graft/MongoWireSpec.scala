@@ -65,6 +65,26 @@ class MongoWireSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally c.close()
   }
 
+  test("null operators: $eq:null matches null/missing, $ne:null excludes") {
+    srv.insert("shop", "maybe", Seq(
+      Seq[(String, Any)]("k" -> 1L, "v" -> "x"),
+      Seq[(String, Any)]("k" -> 2L, "v" -> null),
+      Seq[(String, Any)]("k" -> 3L))) // v missing entirely
+    val c = new MongoWire.Client("127.0.0.1", srv.port)
+    try {
+      assert(c.find("shop", "maybe", Seq("v" -> Seq("$eq" -> null)))
+        .map(d => MongoWire.get(d, "k").get).toSet == Set(2L, 3L))
+      assert(c.find("shop", "maybe", Seq("v" -> Seq("$ne" -> null)))
+        .map(d => MongoWire.get(d, "k").get).toSet == Set(1L))
+    } finally c.close()
+    // the pushed IsNull/IsNotNull filters ride these operators
+    import org.apache.spark.sql.functions.col
+    val df = MongoCatalog.read(spark, "127.0.0.1", srv.port, "shop", "maybe",
+      schemaDdl = Some("k LONG, v STRING"))
+    assert(df.filter(col("v").isNull).count() == 2)
+    assert(df.filter(col("v").isNotNull).count() == 1)
+  }
+
   test("spark read: sampled schema, pushdown filter + projection + limit") {
     val df = MongoCatalog.read(spark, "127.0.0.1", srv.port, "shop", "products")
     assert(df.schema.fieldNames.toSet == Set("sku", "qty", "price", "active"))

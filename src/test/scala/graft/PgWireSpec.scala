@@ -57,6 +57,21 @@ class PgWireSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally c.close()
   }
 
+  test("keyword-prefixed identifiers and LIMIT-with-aggregate semantics") {
+    srv.createTable("flags",
+      Seq(PgWire.Column("not_active", PgWire.OidBool),
+        PgWire.Column("count_x", PgWire.OidInt8)),
+      (1 to 20).map(i => Array[Any](i % 2 == 0, i.toLong)).toVector)
+    val c = new PgWire.Client("127.0.0.1", srv.port)
+    try {
+      // 'not_active'/'count_x' must parse as identifiers, not NOT/COUNT(
+      assert(c.query("SELECT count_x FROM flags WHERE not_active = TRUE")._2.size == 10)
+      // LIMIT applies to the aggregate OUTPUT row, not the input rows
+      assert(c.query("SELECT COUNT(*) FROM items LIMIT 10")._2.head.head == "100")
+      assert(c.query("SELECT MAX(id) FROM items LIMIT 1")._2.head.head == "100")
+    } finally c.close()
+  }
+
   test("spark read: schema, typed decode, and range splits") {
     val df = PgCatalog.read(spark, "127.0.0.1", srv.port, "items",
       partitionColumn = Some("id"), numPartitions = 4)
