@@ -56,8 +56,10 @@ object CassandraCatalog {
     case s: String => Some("'" + s.replace("'", "''") + "'")
     case b: Boolean => Some(if (b) "TRUE" else "FALSE")
     case n @ (_: Long | _: Int | _: Short | _: Byte) => Some(n.toString)
-    case d: Double => Some(d.toString)
-    case f: Float => Some(f.toDouble.toString)
+    // NaN/Infinity have no CQL literal — evaluate in Spark instead
+    case d: Double => if (java.lang.Double.isFinite(d)) Some(d.toString) else None
+    case f: Float =>
+      if (java.lang.Float.isFinite(f)) Some(f.toDouble.toString) else None
     case _ => None
   }
 
@@ -86,18 +88,32 @@ class CassandraSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val c = new CassandraWire.Client(options.get("host"), options.get("port").toInt)
     try {
-      // schema discovery over the wire, like a driver
+      // schema discovery over the wire, like a driver. system_schema.columns
+      // clusters rows BY COLUMN NAME, so key membership must come from the
+      // `kind` column, never from row order (reference CassandraMetadata
+      // reads kind/position the same way); fields are presented key-first
+      // (partition key by position, clustering by position, then regular
+      // alphabetically), the canonical CQL layout.
       val (_, rows) = c.queryAll(
-        s"""SELECT column_name, type FROM system_schema.columns
+        s"""SELECT column_name, type, kind, position FROM system_schema.columns
             WHERE keyspace_name = '${options.get("keyspace")}'
             AND table_name = '${options.get("table")}' ALLOW FILTERING""")
-      val fields = rows.toVector.map { r =>
-        StructField(r(0).asInstanceOf[String],
-          CassandraCatalog.sparkType(r(1).asInstanceOf[String]))
+      val cols = rows.toVector.map { r =>
+        (r(0).asInstanceOf[String], r(1).asInstanceOf[String],
+          r(2).asInstanceOf[String], r(3).asInstanceOf[Long])
       }
-      require(fields.nonEmpty,
+      require(cols.nonEmpty,
         s"cassandra: no such table ${options.get("keyspace")}.${options.get("table")}")
-      StructType(fields)
+      def field(name: String, tpe: String, kind: String, pos: Long) =
+        StructField(name, CassandraCatalog.sparkType(tpe), nullable = true,
+          metadata = new MetadataBuilder()
+            .putString("cassandra.kind", kind)
+            .putLong("cassandra.position", pos).build())
+      val pk = cols.filter(_._3 == "partition_key").sortBy(_._4)
+      val clustering = cols.filter(_._3 == "clustering").sortBy(_._4)
+      val regular = cols.filterNot(c3 =>
+        c3._3 == "partition_key" || c3._3 == "clustering").sortBy(_._1)
+      StructType((pk ++ clustering ++ regular).map((field _).tupled))
     } finally c.close()
   }
 
@@ -136,13 +152,25 @@ final class CassandraTable(tableSchema: StructType, host: String, port: Int,
         projected = requiredSchema
       override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
 
-      override def build(): Scan = new CassandraScan(host, port, keyspace, table,
-        tableSchema.fieldNames.head, projected, clauses, limit, splits)
+      override def build(): Scan = {
+        // token() target = the partition key columns by kind/position
+        // metadata (composite keys render token("a", "b")); a schema with
+        // no kind metadata (hand-declared) falls back to the first field
+        val pk = tableSchema.fields
+          .filter(f => f.metadata.contains("cassandra.kind") &&
+            f.metadata.getString("cassandra.kind") == "partition_key")
+          .sortBy(_.metadata.getLong("cassandra.position"))
+          .map(_.name).toSeq
+        val tokenArgs = (if (pk.nonEmpty) pk else Seq(tableSchema.fieldNames.head))
+          .map(n => "\"" + n + "\"").mkString(", ")
+        new CassandraScan(host, port, keyspace, table,
+          tokenArgs, projected, clauses, limit, splits)
+      }
     }
 }
 
 final class CassandraScan(host: String, port: Int, keyspace: String,
-    table: String, partitionKey: String, projected: StructType,
+    table: String, tokenArgs: String, projected: StructType,
     clauses: Seq[String], limit: Option[Int], splits: Int)
     extends Scan with Batch with Serializable {
 
@@ -150,15 +178,16 @@ final class CassandraScan(host: String, port: Int, keyspace: String,
   override def toBatch: Batch = this
 
   private def selectList: String =
-    if (projected.isEmpty) "\"" + partitionKey + "\""
+    if (projected.isEmpty) tokenArgs
     else projected.fieldNames.map(f => "\"" + f + "\"").mkString(", ")
 
-  /** One token range's CQL — the reference's split query shape. */
+  /** One token range's CQL — the reference's split query shape.
+    * `tokenArgs` is the pre-rendered partition-key column list. */
   private[catalog] def splitCql(range: (Long, Long, Boolean)): String = {
     val (lo, hi, first) = range
     val tokenCond =
-      if (first) s"token(\"$partitionKey\") >= $lo AND token(\"$partitionKey\") <= $hi"
-      else s"token(\"$partitionKey\") > $lo AND token(\"$partitionKey\") <= $hi"
+      if (first) s"token($tokenArgs) >= $lo AND token($tokenArgs) <= $hi"
+      else s"token($tokenArgs) > $lo AND token($tokenArgs) <= $hi"
     val conds = tokenCond +: clauses
     val lim = limit.map(l => s" LIMIT $l").getOrElse("")
     s"SELECT $selectList FROM $keyspace.$table WHERE ${conds.mkString(" AND ")}$lim ALLOW FILTERING"

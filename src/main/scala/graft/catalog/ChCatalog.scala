@@ -8,6 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
@@ -55,7 +56,8 @@ class ChSource extends TableProvider {
     val client = new ClickHouseWire.Client(options.get("host"), options.get("port").toInt)
     val probe = Option(options.get("query")) match {
       case Some(q) => s"SELECT * FROM ($q) probe LIMIT 0"
-      case None => s"SELECT * FROM ${options.get("table")} LIMIT 0"
+      case None =>
+        s"SELECT * FROM ${PgCatalog.dialect.tableName(options.get("table"))} LIMIT 0"
     }
     val (cols, _) = client.query(probe)
     StructType(cols.map(c => StructField(c.name, ChCatalog.sparkType(c.oid))))
@@ -80,12 +82,15 @@ final class ChTable(tableSchema: StructType, host: String, port: Int,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
-        with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+        with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+        with SupportsPushDownAggregates {
       private val fields = tableSchema.fieldNames.toSet
       private var pushed: Array[Filter] = Array.empty
       private var clauses: Seq[String] = Nil
       private var projected: StructType = tableSchema
       private var limit: Option[Int] = None
+      private var agg: Option[AggPushdown.Pushed] = None
+      private var aggSchema: StructType = _
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         if (rawQuery.isDefined) return filters // passthrough runs as written
@@ -97,26 +102,57 @@ final class ChTable(tableSchema: StructType, host: String, port: Int,
       }
       override def pushedFilters(): Array[Filter] = pushed
       override def pruneColumns(requiredSchema: StructType): Unit =
-        projected = requiredSchema
+        if (agg.isEmpty) projected = requiredSchema
       override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
 
+      /** Same complete/partial split as the PG scan: one split → the
+        * remote GROUP BY is the answer; range splits → per-split partials
+        * merged by Spark (see [[AggPushdown]]). */
+      override def supportCompletePushDown(a: Aggregation): Boolean =
+        rawQuery.isEmpty && partitionColumn.isEmpty &&
+          AggPushdown.translate(a, fields, PgCatalog.dialect.quote).isDefined
+
+      override def pushAggregation(a: Aggregation): Boolean = {
+        if (rawQuery.isDefined) return false
+        AggPushdown.translate(a, fields, PgCatalog.dialect.quote) match {
+          case None => false
+          case Some(p) =>
+            val client = new ClickHouseWire.Client(host, port)
+            try {
+              val (cols, _) = client.query(
+                s"SELECT ${p.selectList.mkString(", ")} FROM " +
+                  s"${PgCatalog.dialect.tableName(table.get)}${p.groupByClause} LIMIT 0")
+              aggSchema = StructType(cols.zipWithIndex.map { case (c, i) =>
+                StructField(s"_pushed_$i", ChCatalog.sparkType(c.oid))
+              })
+              agg = Some(p)
+              true
+            } catch { case _: Exception => false }
+        }
+      }
+
       override def build(): Scan = new ChScan(host, port, table, rawQuery,
-        if (rawQuery.isDefined) tableSchema else projected,
-        clauses, limit, partitionColumn.filter(_ => rawQuery.isEmpty), numPartitions)
+        if (rawQuery.isDefined) tableSchema
+        else if (agg.isDefined) aggSchema else projected,
+        clauses, limit, partitionColumn.filter(_ => rawQuery.isEmpty),
+        numPartitions, agg)
     }
 }
 
 final class ChScan(host: String, port: Int, table: Option[String],
     rawQuery: Option[String], projected: StructType, clauses: Seq[String],
-    limit: Option[Int], partitionColumn: Option[String], numPartitions: Int)
+    limit: Option[Int], partitionColumn: Option[String], numPartitions: Int,
+    agg: Option[AggPushdown.Pushed] = None)
     extends Scan with Batch with Serializable {
 
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
 
   private def selectList: String =
-    if (projected.isEmpty) "1"
-    else projected.fieldNames.map(PgCatalog.dialect.quote).mkString(", ")
+    agg.map(_.selectList.mkString(", ")).getOrElse {
+      if (projected.isEmpty) "1"
+      else projected.fieldNames.map(PgCatalog.dialect.quote).mkString(", ")
+    }
 
   private[catalog] def splitSql(range: Option[(Long, Long, Boolean)]): String =
     rawQuery.getOrElse {
@@ -125,8 +161,9 @@ final class ChScan(host: String, port: Int, table: Option[String],
         if (last) s"($c >= $lo AND $c <= $hi)" else s"($c >= $lo AND $c < $hi)"
       }
       val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+      val groupBy = agg.map(_.groupByClause).getOrElse("")
       val lim = limit.map(l => s" LIMIT $l").getOrElse("")
-      s"SELECT $selectList FROM ${table.get}$where$lim"
+      s"SELECT $selectList FROM ${PgCatalog.dialect.tableName(table.get)}$where$groupBy$lim"
     }
 
   override def description(): String = s"ChScan(${splitSql(None)})"
@@ -136,7 +173,8 @@ final class ChScan(host: String, port: Int, table: Option[String],
       case Some(pc) if rawQuery.isEmpty =>
         val client = new ClickHouseWire.Client(host, port)
         val (_, rows) = client.query(
-          s"SELECT MIN(${PgCatalog.dialect.quote(pc)}), MAX(${PgCatalog.dialect.quote(pc)}) FROM ${table.get}")
+          s"SELECT MIN(${PgCatalog.dialect.quote(pc)}), MAX(${PgCatalog.dialect.quote(pc)}) " +
+            s"FROM ${PgCatalog.dialect.tableName(table.get)}")
         val (minS, maxS) = (rows.head.head, rows.head(1))
         if (minS == null || maxS == null) Array(ChPartition(None): InputPartition)
         else {
@@ -193,5 +231,6 @@ final class ChSplitReader(host: String, port: Int, sql: String,
     }
   }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  // releases the streaming HTTP body even on early termination (LIMIT)
+  override def close(): Unit = client.close()
 }

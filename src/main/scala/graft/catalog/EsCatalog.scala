@@ -64,8 +64,9 @@ object EsCatalog {
     case s: UTF8String => Some(JsonMethods.compact(JString(s.toString)))
     case b: Boolean => Some(b.toString)
     case n @ (_: Long | _: Int | _: Short | _: Byte) => Some(n.toString)
-    case d: Double => Some(d.toString)
-    case f: Float => Some(f.toString)
+    // NaN/Infinity are not valid JSON — evaluate in Spark instead
+    case d: Double => if (java.lang.Double.isFinite(d)) Some(d.toString) else None
+    case f: Float => if (java.lang.Float.isFinite(f)) Some(f.toString) else None
     case _ => None // decimals, dates, binaries: evaluate in Spark
   }
 
@@ -112,7 +113,13 @@ class EsSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val mapped = client(options).mapping(options.get("index")).map { case (f, t) =>
-      StructField(f, EsCatalog.sparkType(t))
+      // `text` fields are ANALYZED: a server-side term/terms/range query on
+      // them matches tokens, not the stored value, silently dropping rows —
+      // so they are tagged here and NEVER pushed (the reference restricts
+      // predicate pushdown to keyword/raw types the same way,
+      // plugin/trino-elasticsearch ElasticsearchMetadata supportsPredicates)
+      val meta = new MetadataBuilder().putBoolean("es.analyzed", t == "text").build()
+      StructField(f, EsCatalog.sparkType(t), nullable = true, metadata = meta)
     }
     StructType(StructField("_id", StringType, nullable = false) +: mapped)
   }
@@ -136,7 +143,13 @@ final class EsTable(tableSchema: StructType, host: String, port: Int, index: Str
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
         with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
-      private val mappedFields = tableSchema.fieldNames.filterNot(_ == "_id").toSet
+      // pushable = mapped, non-analyzed fields; analyzed (`text`) fields
+      // stay as residual Spark filters so exact semantics are preserved
+      private val mappedFields = tableSchema.fields
+        .filterNot(_.name == "_id")
+        .filterNot(f => f.metadata.contains("es.analyzed") &&
+          f.metadata.getBoolean("es.analyzed"))
+        .map(_.name).toSet
       private var pushed: Array[Filter] = Array.empty
       private var clauses: Seq[String] = Nil
       private var projected: StructType = tableSchema

@@ -8,6 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -69,8 +70,10 @@ object PgCatalog {
     case s: UTF8String => sqlLit(s.toString)
     case b: Boolean => Some(if (b) "TRUE" else "FALSE")
     case n @ (_: Long | _: Int | _: Short | _: Byte) => Some(n.toString)
-    case d: Double => Some(d.toString)
-    case f: Float => Some(f.toString)
+    // NaN/Infinity have no SQL literal — keep the filter in Spark, where it
+    // evaluates fine, instead of shipping invalid remote SQL
+    case d: Double => if (java.lang.Double.isFinite(d)) Some(d.toString) else None
+    case f: Float => if (java.lang.Float.isFinite(f)) Some(f.toString) else None
     case _ => None // decimals/dates/timestamps: evaluate in Spark
   }
 
@@ -132,12 +135,15 @@ final class PgTable(tableSchema: StructType, host: String, port: Int,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
-        with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+        with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+        with SupportsPushDownAggregates {
       private val fields = tableSchema.fieldNames.toSet
       private var pushed: Array[Filter] = Array.empty
       private var clauses: Seq[String] = Nil
       private var projected: StructType = tableSchema
       private var limit: Option[Int] = None
+      private var agg: Option[AggPushdown.Pushed] = None
+      private var aggSchema: StructType = _
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         // raw-query passthrough takes no extra predicates (reference `query`
@@ -151,28 +157,66 @@ final class PgTable(tableSchema: StructType, host: String, port: Int,
       }
       override def pushedFilters(): Array[Filter] = pushed
       override def pruneColumns(requiredSchema: StructType): Unit =
-        projected = requiredSchema
+        // with an aggregate pushed, the scan output IS the agg schema
+        if (agg.isEmpty) projected = requiredSchema
       override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
 
+      /** Single-split scans (no range partitioning) push COMPLETE: the
+        * remote GROUP BY is the global answer, Spark's aggregate vanishes.
+        * Range-split scans push PARTIAL: each split aggregates its range
+        * remotely, Spark merges |groups|-sized partials. */
+      override def supportCompletePushDown(a: Aggregation): Boolean =
+        rawQuery.isEmpty && partitionColumn.isEmpty &&
+          AggPushdown.translate(a, fields, PgCatalog.dialect.quote).isDefined
+
+      override def pushAggregation(a: Aggregation): Boolean = {
+        if (rawQuery.isDefined) return false
+        AggPushdown.translate(a, fields, PgCatalog.dialect.quote) match {
+          case None => false
+          case Some(p) =>
+            // one bounded LIMIT-0 probe for the remote result types (the
+            // same trick the schema probe uses; Spark casts as needed)
+            val client = new PgWire.Client(host, port)
+            try {
+              val (cols, _) = client.query(
+                s"SELECT ${p.selectList.mkString(", ")} FROM " +
+                  s"${PgCatalog.dialect.tableName(table.get)}${p.groupByClause} LIMIT 0")
+              aggSchema = StructType(cols.zipWithIndex.map { case (c, i) =>
+                StructField(s"_pushed_$i", PgCatalog.sparkType(c.oid))
+              })
+              agg = Some(p)
+              true
+            } catch { case _: Exception => false } finally client.close()
+        }
+      }
+
       override def build(): Scan = new PgScan(host, port, table, rawQuery,
-        if (rawQuery.isDefined) tableSchema else projected,
-        clauses, limit, partitionColumn.filter(_ => rawQuery.isEmpty), numPartitions)
+        if (rawQuery.isDefined) tableSchema
+        else if (agg.isDefined) aggSchema else projected,
+        clauses, limit, partitionColumn.filter(_ => rawQuery.isEmpty),
+        numPartitions, agg)
     }
 }
 
 final class PgScan(host: String, port: Int, table: Option[String],
     rawQuery: Option[String], projected: StructType, clauses: Seq[String],
-    limit: Option[Int], partitionColumn: Option[String], numPartitions: Int)
+    limit: Option[Int], partitionColumn: Option[String], numPartitions: Int,
+    agg: Option[AggPushdown.Pushed] = None)
     extends Scan with Batch with Serializable {
 
   override def readSchema(): StructType = projected
+
   override def toBatch: Batch = this
 
   private def selectList: String =
-    if (projected.isEmpty) "1"
-    else projected.fieldNames.map(PgCatalog.dialect.quote).mkString(", ")
+    agg.map(_.selectList.mkString(", ")).getOrElse {
+      if (projected.isEmpty) "1"
+      else projected.fieldNames.map(PgCatalog.dialect.quote).mkString(", ")
+    }
 
-  /** The remote SQL for one split — the observable pushdown artifact. */
+  /** The remote SQL for one split — the observable pushdown artifact. With
+    * an aggregate pushed, each split ships its own GROUP BY (restricted to
+    * its range) and only |groups| rows come back per split. */
   private[catalog] def splitSql(range: Option[(Long, Long, Boolean)]): String =
     rawQuery.getOrElse {
       val conds = clauses ++ range.map { case (lo, hi, last) =>
@@ -180,8 +224,9 @@ final class PgScan(host: String, port: Int, table: Option[String],
         if (last) s"($c >= $lo AND $c <= $hi)" else s"($c >= $lo AND $c < $hi)"
       }
       val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+      val groupBy = agg.map(_.groupByClause).getOrElse("")
       val lim = limit.map(l => s" LIMIT $l").getOrElse("")
-      s"SELECT $selectList FROM ${PgCatalog.dialect.tableName(table.get)}$where$lim"
+      s"SELECT $selectList FROM ${PgCatalog.dialect.tableName(table.get)}$where$groupBy$lim"
     }
 
   override def description(): String = s"PgScan(${splitSql(None)})"

@@ -66,10 +66,13 @@ object PythonFunctions {
   private val mapper = new ObjectMapper()
   private val nodes = JsonNodeFactory.instance
 
-  /** One live worker process. NOT thread-safe — owned by a single thread. */
+  /** One live worker process. NOT thread-safe — owned by a single thread.
+    * stderr is discarded: guest prints/warnings must never fill the pipe
+    * buffer (~64 KiB) and block the interpreter — errors travel on the
+    * stdout JSON channel as tracebacks, never on stderr. */
   private final class Worker(code: String, handler: String) {
     private val proc = new ProcessBuilder("python3", "-c", Harness)
-      .redirectErrorStream(false).start()
+      .redirectError(ProcessBuilder.Redirect.DISCARD).start()
     liveProcs.add(proc)
     private val out = new BufferedWriter(
       new OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8))

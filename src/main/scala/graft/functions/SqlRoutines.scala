@@ -76,6 +76,19 @@ object SqlRoutines {
     * defaults to the function name, as in the reference. */
   private def createPython(spark: SparkSession, name: String, params: String,
       retType: String, rest: String): DataFrame = {
+    // Trust-model divergence from the reference (documented): the reference
+    // runs guest code in an embedded WASM CPython sandbox; here the guest
+    // runs in a plain local python3 subprocess with full process privileges.
+    // Therefore LANGUAGE PYTHON is ADMIN-ONLY when the statement server
+    // enforces access control: an enforced (non-admin) SQL user must not be
+    // able to reach arbitrary host code execution through CREATE FUNCTION.
+    // Admins and in-process callers carry no enforced identity — unchanged.
+    graft.sqlx.SessionContext.enforcedUser.foreach { u =>
+      throw new graft.sqlx.AccessDeniedException(
+        s"Cannot create function $name: LANGUAGE PYTHON requires " +
+          s"administrative privileges (user '$u' is grant-enforced; the " +
+          "guest engine is not sandboxed in this build)")
+    }
     val handler = PyHandler.findFirstMatchIn(rest).map(_.group(1)).getOrElse(name)
     val body = PyBody.findFirstMatchIn(rest).map(m => dedent(m.group(1)))
       .getOrElse(throw new IllegalArgumentException(

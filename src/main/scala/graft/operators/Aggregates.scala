@@ -67,8 +67,16 @@ object Aggregates {
       .groupBy($"l_returnflag").agg(count(lit(1)).as("n_part"))
     val pairs = base.groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_supp_part"), sum($"n").as("n_rows"))
-    supp.join(part, "l_returnflag").join(pairs, "l_returnflag")
+    val joined = supp.join(part, "l_returnflag").join(pairs, "l_returnflag")
       .select($"l_returnflag", $"n_supp", $"n_part", $"n_supp_part", $"n_rows")
+      .orderBy($"l_returnflag")
+    // Materialize the result (|distinct l_returnflag| rows — bounded at 3
+    // for TPC-H data at ANY scale) so the pair set can be UNPERSISTED here
+    // rather than pinned for the life of a server session; the caller gets
+    // a one-partition local relation that re-executes nothing.
+    val rows = joined.collect()
+    base.unpersist()
+    s.createDataFrame(java.util.List.of(rows: _*), joined.schema)
       .orderBy($"l_returnflag")
   }
   val qAggDistinctSql: String =

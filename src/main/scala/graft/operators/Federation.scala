@@ -407,6 +407,36 @@ object Federation {
        HAVING count(*) > 1
        ORDER BY p_type"""
 
+  /** Aggregate pushdown into the SQL-speaking connector (reference
+    * core/trino-main PushAggregationIntoTableScan.java:65; Spark DSv2
+    * SupportsPushDownAggregates). The whole GROUP BY executes REMOTELY:
+    * each p_partkey-range split ships `SELECT p_brand, COUNT(*), SUM(…),
+    * MIN(…), MAX(…) … GROUP BY p_brand` to its socket and only |brands|
+    * rows cross the wire per split — at 100 TB federation scale this is
+    * the difference between moving the table and moving the answer. All
+    * pushed aggregates here are EXACT in any evaluation order (count,
+    * integer sum, min/max), so the hash oracle holds. */
+  def q_fed_pg_agg_pushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = ensurePg(s, dir)
+    graft.catalog.PgCatalog.read(s, "127.0.0.1", port, "part",
+      partitionColumn = Some("p_partkey"), numPartitions = 4)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"p_size").as("size_sum"),
+        min($"p_retailprice").as("lo_price"),
+        max($"p_retailprice").as("hi_price"))
+      .orderBy($"p_brand")
+  }
+  val qFedPgAggPushdownSql: String =
+    """SELECT p_brand, count(*) AS n_parts,
+              CAST(sum(p_size) AS BIGINT) AS size_sum,
+              min(p_retailprice) AS lo_price,
+              max(p_retailprice) AS hi_price
+       FROM part
+       GROUP BY p_brand
+       ORDER BY p_brand"""
+
   /** One loopback Prometheus node per testdata dir: one series per nation
     * (`graft_customers{n_name=…}`), DENSE minute-grid samples at
     * base + slot·60s where value = COUNT of that nation's customers with
@@ -780,6 +810,7 @@ object Federation {
     "q_fed_redis" -> q_fed_redis _,
     "q_fed_es" -> q_fed_es _,
     "q_fed_pg" -> q_fed_pg _,
+    "q_fed_pg_agg_pushdown" -> q_fed_pg_agg_pushdown _,
     "q_fed_prom" -> q_fed_prom _,
     "q_fed_mongo" -> q_fed_mongo _,
     "q_fed_clickhouse" -> q_fed_clickhouse _,
@@ -801,6 +832,7 @@ object Federation {
     "q_fed_redis" -> qFedRedisSql,
     "q_fed_es" -> qFedEsSql,
     "q_fed_pg" -> qFedPgSql,
+    "q_fed_pg_agg_pushdown" -> qFedPgAggPushdownSql,
     "q_fed_prom" -> qFedPromSql,
     "q_fed_mongo" -> qFedMongoSql,
     "q_fed_clickhouse" -> qFedClickhouseSql,

@@ -167,18 +167,27 @@ object CassandraWire {
     }
 
     /** system_schema.columns, served as a real queryable table (how a
-      * driver discovers schemas over the wire). */
+      * driver discovers schemas over the wire). Faithful to a real server:
+      * rows are CLUSTERED BY column_name (alphabetical, NOT table order)
+      * and carry `kind` (partition_key / regular) and `position` — a client
+      * that assumes the first row is the partition key reads garbage, just
+      * like against real Cassandra. */
     private def refreshSystemSchema(): Unit = {
       import scala.jdk.CollectionConverters._
       val rows = tables.asScala.toVector
         .filterNot(_._1.startsWith("system_schema."))
         .flatMap { case (key, (cols, _)) =>
           val Array(ks, tbl) = key.split("\\.", 2)
-          cols.map(c => Array[Any](ks, tbl, c.name, cqlTypeName(c.cqlType)))
+          cols.zipWithIndex.map { case (c, i) =>
+            val kind = if (i == 0) "partition_key" else "regular"
+            val pos: Long = if (i == 0) 0L else -1L
+            Array[Any](ks, tbl, c.name, cqlTypeName(c.cqlType), kind, pos)
+          }.sortBy(_(2).asInstanceOf[String])
         }
       val schemaCols = Seq(CqlColumn("keyspace_name", TVarchar),
         CqlColumn("table_name", TVarchar), CqlColumn("column_name", TVarchar),
-        CqlColumn("type", TVarchar))
+        CqlColumn("type", TVarchar), CqlColumn("kind", TVarchar),
+        CqlColumn("position", TBigint))
       val pcols = schemaCols.map(c => PCol(c.name, oidOf(c.cqlType)))
       tables.put("system_schema.columns",
         (schemaCols, TableDef(pcols, rows.map(_ :+ (0L: Any)))))

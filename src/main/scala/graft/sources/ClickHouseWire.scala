@@ -140,6 +140,17 @@ object ClickHouseWire {
     .build()
 
   final class Client(host: String, port: Int) extends Serializable {
+    /** The most recent response's line stream, so an early-terminating
+      * consumer (pushed LIMIT) can release the HTTP body via [[close]]. */
+    @transient private var openBody: java.util.stream.Stream[String] = _
+
+    /** Close the in-flight response body, if any (idempotent). */
+    def close(): Unit = {
+      val b = openBody
+      openBody = null
+      if (b != null) { try b.close() catch { case _: Throwable => () } }
+    }
+
     /** POST the SQL; STREAM the TabSeparatedWithNamesAndTypes response —
       * the name and type rows are read eagerly, data rows decode as the
       * iterator is pulled (memory O(row), the HTTP body is not
@@ -150,6 +161,7 @@ object ClickHouseWire {
           URI.create(s"http://$host:$port/?default_format=TabSeparatedWithNamesAndTypes"))
           .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
         HttpResponse.BodyHandlers.ofLines())
+      openBody = resp.body()
       val lines = resp.body().iterator().asScala
       require(resp.statusCode() == 200,
         s"clickhouse: ${resp.statusCode()}: ${lines.take(5).mkString(" | ").take(500)}")
@@ -168,7 +180,7 @@ object ClickHouseWire {
     /** Materialized variant for bounded metadata/fixture queries. */
     def query(sql: String): (Seq[Column], Vector[Seq[String]]) = {
       val (cols, it) = queryStream(sql)
-      (cols, it.toVector)
+      try (cols, it.toVector) finally close()
     }
   }
 }

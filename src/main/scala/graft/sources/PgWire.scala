@@ -77,6 +77,10 @@ object PgWire {
     @volatile private var running = true
     def port: Int = sock.getLocalPort
 
+    /** DataRows sent since startup — lets tests assert how many rows
+      * actually crossed the wire (the pushdown evidence). */
+    val rowsServed = new java.util.concurrent.atomic.AtomicLong()
+
     def createTable(name: String, columns: Seq[Column], rows: Vector[Array[Any]]): Unit =
       tables.put(name.toLowerCase, TableDef(columns, rows))
 
@@ -145,6 +149,7 @@ object PgWire {
               val (cols, rows) = MiniSql.execute(sql, n => Option(tables.get(n)))
               sendRowDescription(out, cols)
               rows.foreach(r => sendDataRow(out, r))
+              rowsServed.addAndGet(rows.size.toLong)
               send(out, 'C', cstr(s"SELECT ${rows.size}"))
             } catch {
               case e: Throwable => sendError(out, String.valueOf(e.getMessage))
@@ -387,6 +392,8 @@ object PgWire {
             if (p.word("MIN")) "MIN"
             else if (p.word("MAX")) "MAX"
             else if (p.word("COUNT")) "COUNT"
+            else if (p.word("SUM")) "SUM"
+            else if (p.word("AVG")) "AVG"
             else ""
           if (fn.nonEmpty) {
             p.expect('(')
@@ -423,6 +430,13 @@ object PgWire {
       }
       val colIx = table.columns.map(_.name.toLowerCase).zipWithIndex.toMap
       val where = if (p.word("WHERE")) Some(parseExpr(p)) else None
+      val groupBy: Seq[String] =
+        if (p.word("GROUP")) {
+          require(p.word("BY"), s"pg: expected BY after GROUP in: $sql")
+          val gs = mutable.ArrayBuffer[String](p.ident())
+          while (p.tryChar(',')) gs += p.ident()
+          gs.toSeq.map(_.toLowerCase)
+        } else Nil
       val limit = if (p.word("LIMIT")) Some(p.literal() match {
         case n: java.lang.Long => n.toInt
         case other => String.valueOf(other).toInt
@@ -434,30 +448,62 @@ object PgWire {
         case Some(w) => table.rows.filter(r => eval(w, colIx, r))
         case None => table.rows
       }
-      val hasAgg = items.exists(_.isInstanceOf[AggItem])
+      val hasAgg = items.exists(_.isInstanceOf[AggItem]) || groupBy.nonEmpty
       // SQL applies LIMIT to OUTPUT rows: after aggregation, not before
       val filtered =
         if (hasAgg) filtered0 else limit.map(filtered0.take).getOrElse(filtered0)
 
       if (hasAgg) {
+        // SUM over integer columns types as int8, over floats as float8;
+        // AVG is always float8; COUNT int8; MIN/MAX keep the column type
+        def intOid(oid: Int): Boolean =
+          oid == OidInt2 || oid == OidInt4 || oid == OidInt8
         val outCols = items.map {
           case AggItem("COUNT", _) => Column("count", OidInt8)
+          case AggItem("AVG", _) => Column("avg", OidFloat8)
+          case AggItem("SUM", c) =>
+            val oid = table.columns(colIx(c.toLowerCase)).oid
+            Column("sum", if (intOid(oid)) OidInt8 else OidFloat8)
           case AggItem(fn, c) =>
             Column(fn.toLowerCase, table.columns(colIx(c.toLowerCase)).oid)
+          case ColItem(n) =>
+            require(groupBy.contains(n.toLowerCase),
+              s"""pg: column "$n" must appear in the GROUP BY clause""")
+            table.columns(colIx(n.toLowerCase))
           case other => throw new IllegalArgumentException(
             s"pg: cannot mix $other with aggregates")
         }
-        val row = items.map {
-          case AggItem("COUNT", _) => java.lang.Long.valueOf(filtered.size.toLong)
-          case AggItem(fn, c) =>
-            val vals = filtered.map(_(colIx(c.toLowerCase))).filter(_ != null)
-            if (vals.isEmpty) null
-            else if (fn == "MIN") vals.minBy(v => sortKey(v))
-            else vals.maxBy(v => sortKey(v))
-          case _ => null
-        }
-        (outCols.toSeq, limit.map(Vector(row.toSeq).take(_))
-          .getOrElse(Vector(row.toSeq)))
+        def lt(a: Any, b: Any): Boolean = cmpVals(a, b).exists(_ < 0)
+        def aggRow(rows: Vector[Array[Any]], key: Seq[Any]): Seq[Any] =
+          items.toSeq.map {
+            case AggItem("COUNT", "*") => java.lang.Long.valueOf(rows.size.toLong)
+            case AggItem(fn, c) =>
+              val vals = rows.map(_(colIx(c.toLowerCase))).filter(_ != null)
+              fn match {
+                case "COUNT" => java.lang.Long.valueOf(vals.size.toLong)
+                case _ if vals.isEmpty => null
+                case "MIN" => vals.reduce((a, b) => if (lt(b, a)) b else a)
+                case "MAX" => vals.reduce((a, b) => if (lt(a, b)) b else a)
+                case "SUM" =>
+                  if (intOid(table.columns(colIx(c.toLowerCase)).oid))
+                    java.lang.Long.valueOf(
+                      vals.map(_.asInstanceOf[Number].longValue).sum)
+                  else java.lang.Double.valueOf(
+                    vals.map(_.asInstanceOf[Number].doubleValue).sum)
+                case "AVG" => java.lang.Double.valueOf(
+                  vals.map(_.asInstanceOf[Number].doubleValue).sum / vals.size)
+              }
+            case ColItem(n) => key(groupBy.indexOf(n.toLowerCase))
+            case _ => null
+          }
+        val rows: Vector[Seq[Any]] =
+          if (groupBy.isEmpty) Vector(aggRow(filtered, Nil))
+          else filtered
+            .groupBy(r => groupBy.map(g => r(colIx(g))))
+            .toVector
+            .sortBy(_._1.map(String.valueOf).mkString(" "))
+            .map { case (key, rs) => aggRow(rs, key) }
+        (outCols.toSeq, limit.map(rows.take).getOrElse(rows))
       } else {
         // -1 marks a literal item (its value indexed separately)
         val lits = items.collect { case LitItem(v) => v }
@@ -483,11 +529,6 @@ object PgWire {
       }
     }
 
-    private def sortKey(v: Any): Double = v match {
-      case n: Number => n.doubleValue // the connector only MIN/MAXes split columns
-      case b: Boolean => if (b) 1.0 else 0.0
-      case other => throw new IllegalArgumentException(s"pg: MIN/MAX on $other")
-    }
   }
 
   // ---------------------------------------------------------------- client

@@ -124,6 +124,11 @@ object SqlAst {
 
   final case class CreateSchemaStmt(name: String, ifNotExists: Boolean) extends Statement
   final case class DropSchemaStmt(name: String, ifExists: Boolean) extends Statement
+  /** CREATE CATALOG name USING connector [WITH (k = 'v', …)]
+    * (SqlBase.g4:58; executed over the persisted catalog store). */
+  final case class CreateCatalogStmt(name: String, ifNotExists: Boolean,
+      connector: String, props: Seq[(String, String)]) extends Statement
+  final case class DropCatalogStmt(name: String, ifExists: Boolean) extends Statement
   final case class UseStmt(schema: String) extends Statement
   final case class SetSessionStmt(key: String, value: String) extends Statement
   final case class ResetSessionStmt(key: String) extends Statement
@@ -467,6 +472,31 @@ final class SqlParser(src: String) {
       } else if (acceptSeq("DROP", "SCHEMA")) {
         val ife = acceptSeq("IF", "EXISTS")
         DropSchemaStmt(ident("schema name"), ife)
+      } else if (acceptSeq("CREATE", "CATALOG")) {
+        val ine = acceptSeq("IF", "NOT", "EXISTS")
+        val name = ident("catalog name").toLowerCase
+        expectKw("USING")
+        val connector = ident("connector name").toLowerCase
+        val props = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        if (accept("WITH")) {
+          expectOp("(")
+          var more = true
+          while (more) {
+            val k = qualifiedName() // dotted keys: e.g. "split_rows"
+            expectOp("=")
+            val v = peek.kind match {
+              case TStr | TNum | TIdent => next().text
+              case _ => err("expected a literal catalog property value")
+            }
+            props += ((k, v))
+            more = acceptOp(",")
+          }
+          expectOp(")")
+        }
+        CreateCatalogStmt(name, ine, connector, props.toSeq)
+      } else if (acceptSeq("DROP", "CATALOG")) {
+        val ife = acceptSeq("IF", "EXISTS")
+        DropCatalogStmt(ident("catalog name").toLowerCase, ife)
       } else if (accept("USE")) UseStmt(ident("schema name"))
       else if (acceptSeq("SET", "SESSION")) {
         val key = qualifiedName()

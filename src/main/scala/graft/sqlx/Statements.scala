@@ -132,6 +132,15 @@ private[graft] object Statements {
       case ShowStatsStmt(Left(name)) =>
         check("SELECT", "show stats for table", name)
       case ShowStatsStmt(Right(q)) => checkQuery(q)
+      // catalog DDL is an administrative operation (reference
+      // SystemAccessControl.checkCanCreateCatalog): enforced users are
+      // denied unless an OPA agent explicitly allows it
+      case CreateCatalogStmt(name, _, _, _) =>
+        if (!OpaPolicy.decide(user, "CreateCatalog", name).getOrElse(false))
+          throw new AccessDeniedException(s"Cannot create catalog $name")
+      case DropCatalogStmt(name, _) =>
+        if (!OpaPolicy.decide(user, "DropCatalog", name).getOrElse(false))
+          throw new AccessDeniedException(s"Cannot drop catalog $name")
       case _ => // creation (creator becomes owner), session/metadata
                 // statements: allowed for every authenticated user
     }
@@ -708,6 +717,26 @@ private[graft] object Statements {
       if (!schemas.contains(lower))
         throw new IllegalArgumentException(s"schema '$schema' does not exist")
       currentSchema = lower
+      oneRow(spark, "rows", 0L)
+
+    // CREATE/DROP CATALOG over the persisted store (reference SqlBase.g4:58,
+    // CreateCatalogTask/DropCatalogTask over CatalogStore). The created
+    // catalog is a live Spark CatalogPlugin: `<name>.<schema>.<table>`
+    // resolves through Spark's own multi-part resolution immediately, and
+    // SHOW CATALOGS / system.metadata.catalogs reflect it (they scan the
+    // same spark.sql.catalog.* conf space).
+    case CreateCatalogStmt(name, ifNotExists, connector, props) =>
+      if (graft.catalog.CatalogStore.exists(spark, name)) {
+        if (!ifNotExists)
+          throw new IllegalArgumentException(s"Catalog '$name' already exists")
+      } else graft.catalog.CatalogStore.create(spark, name, connector, props)
+      oneRow(spark, "rows", 0L)
+
+    case DropCatalogStmt(name, ifExists) =>
+      if (!graft.catalog.CatalogStore.exists(spark, name)) {
+        if (!ifExists)
+          throw new IllegalArgumentException(s"Catalog '$name' does not exist")
+      } else graft.catalog.CatalogStore.drop(spark, name)
       oneRow(spark, "rows", 0L)
 
     case SetSessionStmt(key, rawValue) =>

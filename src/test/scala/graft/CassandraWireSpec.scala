@@ -82,7 +82,10 @@ class CassandraWireSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   test("spark read: wire schema, token splits, pushdown") {
     val df = CassandraCatalog.read(spark, "127.0.0.1", srv.port,
       "shop", "events", splits = 4)
-    assert(df.schema.fieldNames.toSeq == Seq("id", "kind", "qty", "score", "ok"))
+    // canonical CQL layout: partition key first, then regular columns
+    // alphabetically (system_schema.columns clusters by column_name, so
+    // fixture declaration order must NOT leak through)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "kind", "ok", "qty", "score"))
     assert(df.rdd.getNumPartitions == 4)
     assert(df.count() == 300) // ranges cover the ring exactly once
     val filtered = df.filter(col("score") >= 100.0 && col("kind") === "k0")
@@ -91,6 +94,29 @@ class CassandraWireSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(plan.contains("CassandraScan"), plan)
     assert(plan.contains("\"score\" >= 100.0"), plan)
     assert(filtered.count() == (200 to 300).count(_ % 5 == 0))
+  }
+
+  test("partition key is discovered via kind, not column order") {
+    // pk 'zkey' sorts LAST alphabetically: a client that assumes the first
+    // system_schema.columns row is the key would token() a non-key column
+    srv.createTable("shop", "bykind",
+      Seq(CassandraWire.CqlColumn("zkey", CassandraWire.TBigint),
+        CassandraWire.CqlColumn("alpha", CassandraWire.TVarchar)),
+      (1 to 50).map(i => Array[Any](i.toLong, s"a$i")).toVector)
+    val df = CassandraCatalog.read(spark, "127.0.0.1", srv.port,
+      "shop", "bykind", splits = 3)
+    assert(df.schema.fieldNames.toSeq == Seq("zkey", "alpha"))
+    assert(df.count() == 50) // token("zkey") splits cover the ring
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("CassandraScan"), scan)
+  }
+
+  test("NaN comparison is not pushed as invalid CQL") {
+    val df = CassandraCatalog.read(spark, "127.0.0.1", srv.port,
+      "shop", "events", splits = 2)
+    // NaN has no CQL literal: the filter must stay in Spark (answer: 0 rows)
+    assert(df.filter(col("score") === Double.NaN).count() == 0)
+    assert(df.filter(col("score") =!= Double.PositiveInfinity).count() == 300)
   }
 
   test("cassandra_table TVF from SQL text") {

@@ -54,6 +54,25 @@ class ClickHouseWireSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll 
     assert(df.limit(3).collect().length == 3)
   }
 
+  test("aggregate pushdown renders remote GROUP BY") {
+    // complete (single split): Spark's aggregate disappears
+    val whole = ChCatalog.read(spark, "127.0.0.1", srv.port, "metrics")
+      .groupBy(col("ok")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val plan = whole.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(plan.contains("GROUP BY"), plan)
+    val rows = whole.collect()
+    assert(rows.find(_.getAs[Boolean]("ok")).get.getAs[Long]("n") == 20L)
+    // partial (range splits): remote SQL still groups per split
+    val split = ChCatalog.read(spark, "127.0.0.1", srv.port, "metrics",
+      partitionColumn = Some("id"), numPartitions = 4)
+      .groupBy(col("ok")).agg(max(col("v")).as("mx"))
+    assert(split.queryExecution.executedPlan.toString.contains("GROUP BY"))
+    assert(split.collect().map(r =>
+      (r.getAs[Boolean]("ok"), r.getAs[Double]("mx"))).toMap ==
+      Map(true -> 40.0, false -> 39.5))
+  }
+
   test("ch_query TVF from SQL text") {
     val df = graft.sqlx.TrinoDialect.sql(spark, sfDir,
       s"""SELECT label FROM TABLE(ch_query('127.0.0.1', ${srv.port},

@@ -101,6 +101,27 @@ class EsWireSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       s"server served ${srv.hitsServed.get() - before} hits for a 5-hit query")
   }
 
+  test("analyzed text fields are never pushed; keyword fields are") {
+    // `body` is analyzed (`text`): a server-side term query on it would
+    // match tokens, not the stored value — the filter must stay in Spark.
+    srv.createIndex("posts", Seq("tag" -> "keyword", "body" -> "text",
+      "n" -> "long"), shards = 1)
+    (1 to 10).foreach(i => srv.index("posts", i.toString, Map(
+      "tag" -> s"t${i % 3}", "body" -> s"hello world $i", "n" -> i.toLong)))
+    val df = EsCatalog.read(spark, "127.0.0.1", srv.port, "posts")
+      .filter(col("body") === "hello world 4" && col("tag") === "t1")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("""{"term":{"tag":"t1"}}"""), plan)
+    assert(!plan.contains(""""body""""), plan) // text filter stays residual
+    assert(df.count() == 1) // Spark evaluates the residual exactly
+  }
+
+  test("NaN comparison is not pushed as invalid query-DSL JSON") {
+    val df = EsCatalog.read(spark, "127.0.0.1", srv.port, "docs")
+    assert(df.filter(col("price") === Double.NaN).count() == 0)
+    assert(df.filter(col("price") < Double.PositiveInfinity).count() == 100)
+  }
+
   test("limit pushdown caps the scroll") {
     val before = srv.hitsServed.get()
     val df = EsCatalog.read(spark, "127.0.0.1", srv.port, "docs").limit(4)

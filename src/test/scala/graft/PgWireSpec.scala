@@ -102,6 +102,64 @@ class PgWireSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(plan.contains("LIMIT 5"), plan)
   }
 
+  test("COMPLETE aggregate pushdown: no Spark aggregate, groups cross the wire") {
+    // single split (no partitionColumn) → the remote GROUP BY is the global
+    // answer and Spark's aggregate disappears entirely
+    val before = srv.rowsServed.get()
+    val df = PgCatalog.read(spark, "127.0.0.1", srv.port, "items")
+      .filter(col("live") === true)
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("total"),
+        min(col("id")).as("lo"), max(col("id")).as("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(plan.contains("GROUP BY"), plan)
+    val rows = df.collect()
+    assert(rows.length == 5) // live=even → sizes 0,2,4,6,8
+    // only 5 group rows crossed the wire, not 50 matching items
+    assert(srv.rowsServed.get() - before <= 6,
+      s"served ${srv.rowsServed.get() - before} rows for a 5-group aggregate")
+    val s4 = rows.find(_.getAs[Int]("size") == 4).get
+    assert(s4.getAs[Long]("n") == 10L)
+    assert(s4.getAs[Long]("lo") == 4L && s4.getAs[Long]("hi") == 94L)
+    assert(s4.getAs[Double]("total") == (4 to 94 by 10).map(_ * 2.5).sum)
+  }
+
+  test("PARTIAL aggregate pushdown: each range split aggregates remotely") {
+    val before = srv.rowsServed.get()
+    val df = PgCatalog.read(spark, "127.0.0.1", srv.port, "items",
+      partitionColumn = Some("id"), numPartitions = 4)
+      .groupBy(col("live"))
+      .agg(count(lit(1)).as("n"), sum(col("size")).as("ssum"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GROUP BY"), plan) // each split's remote SQL groups
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.find(_.getAs[Boolean]("live")).get.getAs[Long]("n") == 50L)
+    // ≤ 2 groups × 4 splits + the MIN/MAX bounds row crossed, not 100 rows
+    assert(srv.rowsServed.get() - before <= 10,
+      s"served ${srv.rowsServed.get() - before} rows for a partial-agg scan")
+  }
+
+  test("global aggregate (no GROUP BY) pushes complete") {
+    val df = PgCatalog.read(spark, "127.0.0.1", srv.port, "items")
+      .agg(count(lit(1)).as("n"), avg(col("price")).as("p"))
+    assert(!df.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    val r = df.collect().head
+    assert(r.getAs[Long]("n") == 100L)
+    assert(math.abs(r.getAs[Double]("p") - (1 to 100).map(_ * 2.5).sum / 100) < 1e-9)
+  }
+
+  test("NaN/Infinity comparisons stay in Spark, never invalid remote SQL") {
+    val df = PgCatalog.read(spark, "127.0.0.1", srv.port, "items")
+    // Double.toString(NaN) = "NaN" is not a SQL literal: the filter must be
+    // evaluated by Spark (a residual), returning the exact answer
+    val nan = df.filter(col("price") === Double.NaN)
+    assert(!nan.queryExecution.executedPlan.toString.contains("NaN AND"), "pushed NaN")
+    assert(nan.count() == 0)
+    assert(df.filter(col("price") < Double.PositiveInfinity).count() == 100)
+  }
+
   test("pg_query TVF: raw passthrough from SQL text") {
     val df = graft.sqlx.TrinoDialect.sql(spark, sfDir,
       s"""SELECT name FROM TABLE(pg_query('127.0.0.1', ${srv.port},

@@ -39,6 +39,40 @@ class PythonFunctionSpec extends SparkSpec {
     assert(rows == rows.sorted)
   }
 
+  test("grant-enforced users cannot CREATE FUNCTION LANGUAGE PYTHON") {
+    // the guest engine is an unsandboxed subprocess (divergence from the
+    // reference's WASM CPython, documented in SqlRoutines): reaching it
+    // must require an unenforced (admin / in-process) identity
+    import graft.sqlx.SessionContext
+    val e = intercept[graft.sqlx.AccessDeniedException] {
+      SessionContext.within(SessionContext.Ctx(
+        user = Some("alice"), enforce = true)) {
+        run("CREATE FUNCTION py_evil(x bigint) RETURNS bigint " +
+          "LANGUAGE PYTHON AS $$\ndef py_evil(x):\n    return x\n$$")
+      }
+    }
+    assert(e.getMessage.contains("administrative privileges"))
+  }
+
+  test("guest stderr flood cannot deadlock the worker") {
+    // >64 KiB to stderr would fill the pipe and hang the interpreter if
+    // the JVM never drained it (stderr is redirected to DISCARD)
+    val rows = run(
+      """WITH FUNCTION noisy(x bigint)
+         RETURNS bigint
+         LANGUAGE PYTHON
+         AS $$
+         import sys
+         def noisy(x):
+             sys.stderr.write('y' * 200000)
+             sys.stderr.flush()
+             return x + 1
+         $$
+         SELECT noisy(n_nationkey) AS v FROM nation WHERE n_nationkey < 2 ORDER BY v""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L, 2L))
+  }
+
   test("CREATE FUNCTION LANGUAGE PYTHON persists for later statements") {
     run("CREATE FUNCTION py_add3(a bigint, b bigint, c bigint) RETURNS bigint " +
       "LANGUAGE PYTHON WITH (handler = 'add3') AS $$\n" +
