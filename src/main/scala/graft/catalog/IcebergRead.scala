@@ -140,13 +140,19 @@ object IcebergRead {
         s"snapshot $targetSnapshot not found in ${metaFile.getName}"))
     val JString(manifestList) = (snap \ "manifest-list"): @unchecked
 
-    // manifest list avro → (data | positional-delete) manifest paths
+    // manifest list avro → (data | positional-delete) manifest paths, each
+    // with its DATA SEQUENCE NUMBER (v2 field; writers that equate sequence
+    // and snapshot ids — ours included — fall back to added_snapshot_id)
     val (deleteManifests, dataManifests) =
       readAvro(resolve(tablePath, manifestList)).map { rec =>
         val content = Option(rec.get("content")).map(_.toString.toInt).getOrElse(0)
         require(content == 0 || content == 1,
           s"unsupported manifest content $content")
-        (content, rec.get("manifest_path").toString)
+        val seq = Option(rec.getSchema.getField("sequence_number"))
+          .flatMap(_ => Option(rec.get("sequence_number")))
+          .orElse(Option(rec.get("added_snapshot_id")))
+          .map(_.toString.toLong).getOrElse(0L)
+        (content, rec.get("manifest_path").toString, seq)
       }.partition(_._1 == 1)
 
     // manifests → live files (status 2 = DELETED entries drop out);
@@ -179,10 +185,16 @@ object IcebergRead {
     }
 
     var prunedFiles = 0
-    /** (path, content, equality field ids) per live entry. */
-    def liveFiles(manifests: Seq[String], isDeleteManifest: Boolean): Seq[(String, Int, Seq[Int])] =
-      manifests.flatMap { mp =>
+    /** (path, content, equality field ids, data sequence number) per live
+      * entry. The entry's own sequence_number wins when present; null (the
+      * ADDED-entry inheritance rule) takes the manifest's. */
+    def liveFiles(manifests: Seq[(String, Long)],
+        isDeleteManifest: Boolean): Seq[(String, Int, Seq[Int], Long)] =
+      manifests.flatMap { case (mp, manifestSeq) =>
         readAvro(resolve(tablePath, mp)).flatMap { entry =>
+          val entrySeq = Option(entry.getSchema.getField("sequence_number"))
+            .flatMap(_ => Option(entry.get("sequence_number")))
+            .map(_.toString.toLong).getOrElse(manifestSeq)
           val status = Option(entry.get("status")).map(_.toString.toInt).getOrElse(1)
           if (status == 2) None
           else {
@@ -230,12 +242,16 @@ object IcebergRead {
               case None => false
             })
             if (pruned) None
-            else Some((resolve(tablePath, df.get("file_path").toString), content, eqIds))
+            else Some((resolve(tablePath, df.get("file_path").toString),
+              content, eqIds, entrySeq))
           }
         }
       }
-    val dataFiles = liveFiles(dataManifests.map(_._2), isDeleteManifest = false).map(_._1)
-    val allDeletes = liveFiles(deleteManifests.map(_._2), isDeleteManifest = true)
+    val dataEntries = liveFiles(dataManifests.map(m => (m._2, m._3)),
+      isDeleteManifest = false)
+    val dataFiles = dataEntries.map(_._1)
+    val allDeletes = liveFiles(deleteManifests.map(m => (m._2, m._3)),
+      isDeleteManifest = true)
     val deleteFiles = allDeletes.filter(_._2 == 1).map(_._1)
     val eqDeletes = allDeletes.filter(_._2 == 2)
     lastPruned.set(prunedFiles)
@@ -265,30 +281,53 @@ object IcebergRead {
     }
     if (eqDeletes.isEmpty) afterPos
     else {
-      import org.apache.spark.sql.functions.broadcast
+      import org.apache.spark.sql.functions.{broadcast, col, lit, max, regexp_replace}
       // EQUALITY deletes (content=2): each file's rows name forbidden value
       // tuples over `equality_ids` columns — applied as a broadcast
       // null-safe anti-join per distinct id set (the reference builds the
-      // same filter in IcebergPageSourceProvider). This reader applies all
-      // delete files to all data files of the snapshot — exact when
-      // deletes are sequenced after the data they target (the layout the
-      // spec's writers produce); per-sequence-number scoping is out of the
-      // documented subset.
+      // same filter in IcebergPageSourceProvider), SCOPED BY SEQUENCE
+      // NUMBER per the v2 spec: a delete with data sequence number S
+      // applies only to data files with sequence number STRICTLY BELOW S,
+      // so a row re-appended after the delete survives it. Both side maps
+      // (data file → seq, delete tuple → max seq) are manifest-sized
+      // broadcasts — O(files), never O(rows), at any scale.
       val idToName = fields.map { f =>
         val JInt(fid) = (f \ "id"): @unchecked
         val JString(name) = (f \ "name"): @unchecked
         fid.toInt -> name
       }.toMap
-      eqDeletes.groupBy(_._3).foldLeft(afterPos) { case (acc, (ids, files)) =>
-        val cols = ids.map(id => idToName.getOrElse(id,
-          throw new IllegalArgumentException(s"equality_ids field $id not in schema")))
-        val dels = spark.read.parquet(files.map(_._1): _*)
-          .select(cols.map(c => org.apache.spark.sql.functions.col(c).as(s"_eq_$c")): _*)
-          .distinct()
-        val cond = cols.map(c =>
-          acc(c) <=> org.apache.spark.sql.functions.col(s"_eq_$c")).reduce(_ && _)
-        acc.join(broadcast(dels), cond, "left_anti")
+      def normS(p: String) = p.replaceFirst("^file:/*", "/")
+      def normC(c: org.apache.spark.sql.Column) = regexp_replace(c, "^file:/*", "/")
+      val seqSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_ib_fp2",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_ib_dseq",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val seqDf = spark.createDataFrame(java.util.List.of(
+        dataEntries.map(e =>
+          org.apache.spark.sql.Row(normS(e._1), e._4)): _*), seqSchema)
+      val withSeq = afterPos
+        .withColumn("_ib_fp2", normC(col("_metadata.file_path")))
+        .join(broadcast(seqDf), Seq("_ib_fp2"))
+      val applied = eqDeletes.groupBy(_._3).foldLeft(withSeq) {
+        case (acc, (ids, files)) =>
+          val cols = ids.map(id => idToName.getOrElse(id,
+            throw new IllegalArgumentException(s"equality_ids field $id not in schema")))
+          // forbidden tuple → the NEWEST sequence that forbids it; a data
+          // row dies iff its tuple matches AND that sequence is newer than
+          // the row's file
+          val dels = files.map { case (p, _, _, dseq) =>
+            spark.read.parquet(p)
+              .select(cols.map(c => col(c).as(s"_eq_$c")) :+
+                lit(dseq).as("_eq_seq"): _*)
+          }.reduce(_ unionByName _)
+            .groupBy(cols.map(c => col(s"_eq_$c")): _*)
+            .agg(max(col("_eq_seq")).as("_eq_seq"))
+          val cond = cols.map(c => acc(c) <=> col(s"_eq_$c"))
+            .reduce(_ && _) && col("_eq_seq") > acc("_ib_dseq")
+          acc.join(broadcast(dels), cond, "left_anti")
       }
+      applied.drop("_ib_fp2", "_ib_dseq")
     }
   }
 

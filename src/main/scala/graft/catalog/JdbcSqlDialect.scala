@@ -62,4 +62,20 @@ object JdbcSqlDialect {
     val stringColumnTypes =
       "O_ORDERSTATUS CHAR(4), O_ORDERPRIORITY VARCHAR(32)"
   }
+
+  /** MySQL-family style (reference: plugin/trino-mysql
+    * MySqlClient.java — BACKTICK identifier quoting, case-preserved,
+    * VARCHAR(n) string map). Derby cannot parse backticks, so this
+    * dialect's matrix evidence runs against the loopback wire engine
+    * (whose SQL subset accepts backtick quoting, as MySQL and ClickHouse
+    * do) — same logical query, third distinct rendering, identical
+    * results (DialectMatrixSpec). */
+  object BacktickMySql extends JdbcSqlDialect {
+    val name = "mysql"
+    def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
+    def columnName(ident: String): String = ident
+    def tableName(base: String): String = base
+    val stringColumnTypes =
+      "o_orderstatus VARCHAR(4), o_orderpriority VARCHAR(255)"
+  }
 }

@@ -137,6 +137,34 @@ object Federation {
        WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 100000.0
        GROUP BY n_name ORDER BY n_name"""
 
+  /** CREATE CATALOG DDL end to end (reference SqlBase.g4:58 +
+    * CreateCatalogTask over CatalogStore): the catalog named `ddlcat` is
+    * created FROM SQL TEXT with connector properties, becomes a live Spark
+    * CatalogPlugin, and the very same statement session queries through it
+    * with multi-part names — no programmatic registration anywhere. The
+    * registration is also persisted to the catalog-store directory, the
+    * restart contract (CatalogDdlSpec covers reload + DROP + the unknown-
+    * connector error shape). */
+  def q_sqlx_create_catalog(s: SparkSession, dir: String): DataFrame = {
+    graft.catalog.CsvFileCatalog.ensure(s, dir) // stages the CSV files
+    val root = s.conf.get("spark.sql.catalog.graft_csv.path")
+    graft.sqlx.TrinoDialect.sql(s, dir,
+      s"CREATE CATALOG IF NOT EXISTS ddlcat USING csv WITH (path = '$root')")
+    graft.sqlx.TrinoDialect.sql(s, dir,
+      """SELECT c_mktsegment,
+         count(*) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS balance
+         FROM ddlcat.default.customer
+         WHERE c_acctbal > 0.0
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+  val qSqlxCreateCatalogSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS balance
+       FROM customer
+       WHERE c_acctbal > 0.0
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   /** Generated TPC-H catalog (reference plugin/trino-tpch): revenue by
     * region over five GENERATED tables — the whole pipeline runs with zero
     * input I/O; dims broadcast off the source's reported statistics. The
@@ -820,6 +848,7 @@ object Federation {
     "q_fed_memory" -> q_fed_memory _,
     "q_fed_tpch_generated" -> q_fed_tpch_generated _,
     "q_fed_three_catalogs" -> q_fed_three_catalogs _,
+    "q_sqlx_create_catalog" -> q_sqlx_create_catalog _,
     "q_fed_join" -> q_fed_join _,
     "q_fed_pushdown" -> q_fed_pushdown _,
     "q_fed_index_join" -> q_fed_index_join _,
@@ -842,6 +871,7 @@ object Federation {
     "q_fed_memory" -> qFedMemorySql,
     "q_fed_tpch_generated" -> qFedTpchGeneratedSql,
     "q_fed_three_catalogs" -> qFedThreeCatalogsSql,
+    "q_sqlx_create_catalog" -> qSqlxCreateCatalogSql,
     "q_fed_join" -> qFedJoinSql,
     "q_fed_pushdown" -> qFedPushdownSql,
     "q_fed_index_join" -> qFedIndexJoinSql,

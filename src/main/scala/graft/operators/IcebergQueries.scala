@@ -110,7 +110,7 @@ object IcebergQueries {
     // generation marker: bumped whenever the fixture layout grows (bounds
     // added round 8) so older cached builds rebuild
     if (new File(root, "metadata/v1.metadata.json").exists() &&
-        new File(root, "metadata/.gen-bounds-eq2").exists())
+        new File(root, "metadata/.gen-eqseq5").exists())
       return root.getAbsolutePath
     def rm(f: File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -197,9 +197,27 @@ object IcebergQueries {
         manifestRef("metadata/manifest-3-del.avro", 3L, content = 1),
         manifestRef("metadata/manifest-4-eqdel.avro", 4L, content = 1)))
 
+    // snapshot 5: RE-APPEND a row whose n_name ('CANADA', key 100) the
+    // snapshot-4 equality delete forbids — but this file's data sequence
+    // number (5) is ABOVE the delete's (4), so per the v2 spec the delete
+    // does NOT apply to it. A reader that applies every delete file to
+    // every data file wrongly drops this row (the bug this snapshot pins).
+    val readded = writeSlice(
+      nation.filter($"n_nationkey" === 3L)
+        .select(lit(100L).as("n_nationkey"), lit("CANADA").as("n_name"),
+          $"n_regionkey".cast("long").as("n_regionkey")),
+      "r-readded")
+    writeAvro(new File(root, "metadata/manifest-5.avro"), entrySchema,
+      Seq(entry(1, readded.rel, readded.rows)))
+    writeAvro(new File(root, "metadata/snap-5.avro"), listSchema,
+      Seq(manifestRef("metadata/manifest-2.avro", 2L),
+        manifestRef("metadata/manifest-5.avro", 5L),
+        manifestRef("metadata/manifest-3-del.avro", 3L, content = 1),
+        manifestRef("metadata/manifest-4-eqdel.avro", 4L, content = 1)))
+
     val metadata =
       s"""{"format-version":2,"table-uuid":"graft-nation-iceberg","location":"${root.getAbsolutePath}",
-         |"last-sequence-number":2,"last-updated-ms":0,"last-column-id":3,
+         |"last-sequence-number":5,"last-updated-ms":0,"last-column-id":3,
          |"current-schema-id":0,
          |"schemas":[{"type":"struct","schema-id":0,"fields":[
          |  {"id":1,"name":"n_nationkey","required":false,"type":"long"},
@@ -215,11 +233,12 @@ object IcebergQueries {
          |  {"snapshot-id":1,"timestamp-ms":0,"manifest-list":"metadata/snap-1.avro","summary":{"operation":"append"}},
          |  {"snapshot-id":2,"timestamp-ms":1,"manifest-list":"metadata/snap-2.avro","summary":{"operation":"overwrite"}},
          |  {"snapshot-id":3,"timestamp-ms":2,"manifest-list":"metadata/snap-3.avro","summary":{"operation":"delete"}},
-         |  {"snapshot-id":4,"timestamp-ms":3,"manifest-list":"metadata/snap-4.avro","summary":{"operation":"delete"}}]}
+         |  {"snapshot-id":4,"timestamp-ms":3,"manifest-list":"metadata/snap-4.avro","summary":{"operation":"delete"}},
+         |  {"snapshot-id":5,"timestamp-ms":4,"manifest-list":"metadata/snap-5.avro","summary":{"operation":"append"}}]}
          |""".stripMargin
     Files.write(new File(root, "metadata/v1.metadata.json").toPath,
       metadata.getBytes(StandardCharsets.UTF_8))
-    Files.write(new File(root, "metadata/.gen-bounds-eq2").toPath, Array.emptyByteArray)
+    Files.write(new File(root, "metadata/.gen-eqseq5").toPath, Array.emptyByteArray)
     root.getAbsolutePath
   }
 
@@ -307,6 +326,33 @@ object IcebergQueries {
        WHERE NOT (n_regionkey = 2 AND n_nationkey >= 10)
          AND n_nationkey NOT IN (1, 5)
          AND n_name NOT IN ('CANADA', 'KENYA')
+       GROUP BY n_regionkey ORDER BY n_regionkey"""
+
+  /** Equality-delete SEQUENCE-NUMBER scoping (v2 spec: an equality delete
+    * applies only to data files with a strictly LOWER data sequence
+    * number). Snapshot 5 re-appends a 'CANADA' row (key 100) AFTER the
+    * snapshot-4 equality delete that forbids 'CANADA': correct scoping
+    * keeps the new row while the old CANADA stays deleted — apply-to-all
+    * readers get this wrong, which is exactly what the oracle checks. */
+  def q_fed_iceberg_eq_seq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = buildIcebergNation(s, dir)
+    graft.catalog.IcebergRead.readTable(s, path, snapshotId = Some(5L))
+      .groupBy($"n_regionkey")
+      .agg(count(lit(1)).as("n"), sum($"n_nationkey").cast("long").as("key_sum"))
+      .orderBy($"n_regionkey")
+  }
+  val qFedIcebergEqSeqSql: String =
+    """SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+       FROM (
+         SELECT n_nationkey, n_name, n_regionkey FROM nation
+         WHERE NOT (n_regionkey = 2 AND n_nationkey >= 10)
+           AND n_nationkey NOT IN (1, 5)
+           AND n_name NOT IN ('CANADA', 'KENYA')
+         UNION ALL
+         SELECT 100 AS n_nationkey, 'CANADA' AS n_name, n_regionkey
+         FROM nation WHERE n_nationkey = 3
+       ) t
        GROUP BY n_regionkey ORDER BY n_regionkey"""
 
   /** Full write→read roundtrip through graft.catalog.IcebergWrite: two
@@ -521,6 +567,7 @@ object IcebergQueries {
     "q_fed_iceberg_deletes" -> q_fed_iceberg_deletes _,
     "q_fed_iceberg_pruned" -> q_fed_iceberg_pruned _,
     "q_fed_iceberg_eq_deletes" -> q_fed_iceberg_eq_deletes _,
+    "q_fed_iceberg_eq_seq" -> q_fed_iceberg_eq_seq _,
     "q_fed_iceberg_write" -> q_fed_iceberg_write _,
     "q_fed_iceberg_bucket" -> q_fed_iceberg_bucket _,
     "q_fed_iceberg_truncate" -> q_fed_iceberg_truncate _)
@@ -532,6 +579,7 @@ object IcebergQueries {
     "q_fed_iceberg_deletes" -> qFedIcebergDeletesSql,
     "q_fed_iceberg_pruned" -> qFedIcebergPrunedSql,
     "q_fed_iceberg_eq_deletes" -> qFedIcebergEqDeletesSql,
+    "q_fed_iceberg_eq_seq" -> qFedIcebergEqSeqSql,
     "q_fed_iceberg_write" -> qFedIcebergWriteSql,
     "q_fed_iceberg_bucket" -> qFedIcebergBucketSql,
     "q_fed_iceberg_truncate" -> qFedIcebergTruncateSql)

@@ -251,6 +251,19 @@ object PgWire {
           val start = i
           while (s.charAt(i) != '"') i += 1
           val r = s.substring(start, i); i += 1; r
+        } else if (tryChar('`')) {
+          // MySQL-family backtick quoting (ClickHouse accepts it too) —
+          // case-preserved, `` escapes a literal backtick
+          val sb = new StringBuilder
+          var done = false
+          while (!done) {
+            val c = s.charAt(i); i += 1
+            if (c == '`') {
+              if (i < s.length && s.charAt(i) == '`') { sb.append('`'); i += 1 }
+              else done = true
+            } else sb.append(c)
+          }
+          sb.toString
         } else {
           val start = i
           while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1

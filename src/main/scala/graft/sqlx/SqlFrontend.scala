@@ -32,7 +32,11 @@ private[graft] object SqlFrontend {
 
   def run(spark: SparkSession, dir: String, text: String): DataFrame = {
     val parsed = new SqlParser(text).parseQuery()
-    val rewritten = rewriteQuery(parsed)
+    // row filters / column masks splice in BEFORE planning, so the policy
+    // predicate optimizes (and pushes down) like any user WHERE clause
+    val secured = SessionContext.enforcedUser
+      .map(u => RowSecurity.secure(parsed, u, spark)).getOrElse(parsed)
+    val rewritten = rewriteQuery(secured)
     val planned = planQuery(spark, dir, rewritten)
     spark.sql(renderQuery(planned))
   }

@@ -226,7 +226,11 @@ private[graft] object Statements {
   }
 
   private def subquery(spark: SparkSession, dir: String, q: Query): DataFrame = {
-    val planned = SqlFrontend.planQuery(spark, dir, SqlFrontend.rewriteQuery(q))
+    // policy splice for enforced users (CTAS/INSERT/EXPLAIN sources read
+    // through row filters and column masks exactly like direct queries)
+    val secured = SessionContext.enforcedUser
+      .map(u => RowSecurity.secure(q, u, spark)).getOrElse(q)
+    val planned = SqlFrontend.planQuery(spark, dir, SqlFrontend.rewriteQuery(secured))
     spark.sql(SqlFrontend.renderQuery(planned))
   }
 
@@ -234,6 +238,29 @@ private[graft] object Statements {
     * io/trino/sql/planner/planprinter/IoPlanPrinter). CTE names shadow base
     * tables; subqueries in FROM, set ops, and expression subqueries
     * (IN/EXISTS/scalar) all contribute. */
+  /** (input tables, output tables) of a statement text, for lineage
+    * listeners (reference plugin/trino-openlineage derives datasets from
+    * the same metadata walk EXPLAIN (TYPE IO) uses). Unparseable texts
+    * contribute no lineage rather than failing the listener. */
+  private[graft] def ioTables(text: String): (Seq[String], Seq[String]) =
+    try {
+      new SqlParser(text).parseStatement() match {
+        case QueryStmt(q) => (referencedTables(q, Set.empty).toSeq.sorted, Nil)
+        case ExplainStmt(_, q, _, _) => (referencedTables(q, Set.empty).toSeq.sorted, Nil)
+        case CreateTableAs(name, _, _, q) =>
+          (referencedTables(q, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
+        case CreateViewStmt(name, _, q) =>
+          (referencedTables(q, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
+        case InsertInto(name, _, q) =>
+          (referencedTables(q, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
+        case MergeStmt(name, source, _) =>
+          (referencedTables(source, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
+        case DeleteStmt(name, _) => (Nil, Seq(name.toLowerCase))
+        case UpdateStmt(name, _, _) => (Nil, Seq(name.toLowerCase))
+        case _ => (Nil, Nil)
+      }
+    } catch { case _: Exception => (Nil, Nil) }
+
   private def referencedTables(q: Query, ctes: Set[String]): Set[String] = {
     def fromExpr(e: Expr, c: Set[String]): Set[String] = e match {
       case InSubq(inner, sub, _) => fromExpr(inner, c) ++ referencedTables(sub, c)

@@ -46,6 +46,21 @@ class IcebergReadSpec extends SparkSpec {
     assert(prev.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
   }
 
+  test("equality deletes scope by sequence number: re-appended rows survive") {
+    // snapshot 4: eq-delete forbids n_name ∈ {CANADA, KENYA} (seq 4)
+    // snapshot 5: re-appends a CANADA row at seq 5 → the delete must NOT
+    // apply to it (v2 spec: delete seq must be STRICTLY above data seq)
+    val s4 = catalog.IcebergRead.readTable(spark, path, snapshotId = Some(4L))
+    assert(s4.filter($"n_name" === "CANADA").count() == 0)
+    val s5 = catalog.IcebergRead.readTable(spark, path, snapshotId = Some(5L))
+    val canada = s5.filter($"n_name" === "CANADA").collect()
+    assert(canada.length == 1, "re-appended CANADA row wrongly deleted")
+    assert(canada.head.getAs[Long]("n_nationkey") == 100L)
+    // the ORIGINAL CANADA row (seq 2 < delete seq 4) stays deleted
+    assert(s5.filter($"n_name" === "KENYA").count() == 0)
+    assert(s5.count() == s4.count() + 1)
+  }
+
   test("unsupported surface fails loudly") {
     intercept[IllegalArgumentException] {
       catalog.IcebergRead.readTable(spark, path + "_nope")

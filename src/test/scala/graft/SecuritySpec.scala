@@ -144,4 +144,105 @@ class SecuritySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(run("INSERT INTO sec_t1 VALUES (999)",
       Some("admin" -> "s3cret"))._1 == "FINISHED")
   }
+
+  // ---- row filters + column masks (ConnectorAccessControl.java:835,848) ---
+
+  private def asUser(user: String)(sql: String) =
+    graft.sqlx.SessionContext.within(graft.sqlx.SessionContext.Ctx(
+      user = Some(user), enforce = true)) {
+      graft.sqlx.TrinoDialect.sql(spark, sfDir, sql)
+    }
+
+  private def sql(text: String) = graft.sqlx.TrinoDialect.sql(spark, sfDir, text)
+
+  /** One owned table seeded from nation, granted to the policy users. */
+  private lazy val secNat: Unit = {
+    sql("CREATE OR REPLACE TABLE sec_nat AS " +
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    Seq("carol", "dave", "erin", "grace").foreach(u =>
+      sql(s"GRANT SELECT ON sec_nat TO $u"))
+  }
+
+  test("row filter: filtered user sees a subset, owner sees everything") {
+    secNat
+    graft.sqlx.RowSecurity.setRowFilter("carol", "sec_nat", "n_regionkey = 1")
+    try {
+      val carol = asUser("carol")("SELECT count(*) AS n FROM sec_nat")
+        .collect().head.getLong(0)
+      assert(carol == 5L, s"filtered user saw $carol rows")
+      // unenforced (admin / in-process) identity: unchanged
+      val all = sql("SELECT count(*) AS n FROM sec_nat")
+        .collect().head.getLong(0)
+      assert(all == 25L)
+      // the filter composes with the user's own predicates
+      val both = asUser("carol")(
+        "SELECT count(*) AS n FROM sec_nat WHERE n_nationkey > 10")
+        .collect().head.getLong(0)
+      assert(both < 5L && both > 0L)
+      // joins read through the filter too
+      val joined = asUser("carol")(
+        """SELECT count(*) AS n FROM sec_nat a JOIN sec_nat b
+           ON a.n_regionkey = b.n_regionkey""").collect().head.getLong(0)
+      assert(joined == 25L) // 5 filtered rows x 5
+    } finally graft.sqlx.RowSecurity.dropRowFilter("carol", "sec_nat")
+  }
+
+  test("column mask: masked user sees the mask, owner sees the value") {
+    secNat
+    graft.sqlx.RowSecurity.setColumnMask("dave", "sec_nat", "n_name",
+      "CASE WHEN n_regionkey = 0 THEN n_name ELSE NULL END")
+    try {
+      val rows = asUser("dave")(
+        "SELECT n_regionkey, n_name FROM sec_nat ORDER BY n_nationkey")
+        .collect()
+      assert(rows.length == 25) // masking hides values, not rows
+      assert(rows.filter(_.getInt(0) == 0).forall(!_.isNullAt(1)))
+      assert(rows.filter(_.getInt(0) != 0).forall(_.isNullAt(1)))
+      // owner path unchanged
+      val clear = sql("SELECT n_name FROM sec_nat").collect()
+      assert(clear.forall(!_.isNullAt(0)))
+    } finally graft.sqlx.RowSecurity.dropColumnMask("dave", "sec_nat", "n_name")
+  }
+
+  test("EXPLAIN under a filtered user shows the injected predicate") {
+    secNat
+    graft.sqlx.RowSecurity.setRowFilter("erin", "sec_nat", "n_regionkey = 2")
+    try {
+      val plan = asUser("erin")("EXPLAIN SELECT n_name FROM sec_nat")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(plan.contains("n_regionkey"), plan)
+      assert(plan.contains("2"), plan)
+    } finally graft.sqlx.RowSecurity.dropRowFilter("erin", "sec_nat")
+  }
+
+  test("an oracle query re-run under a filtered user returns the filtered answer") {
+    sql("CREATE OR REPLACE TABLE sec_cust AS " +
+      "SELECT c_custkey, c_mktsegment FROM customer")
+    sql("GRANT SELECT ON sec_cust TO frank")
+    graft.sqlx.RowSecurity.setRowFilter("frank", "sec_cust",
+      "c_mktsegment = 'BUILDING'")
+    try {
+      val filtered = asUser("frank")(
+        """SELECT c_mktsegment, count(*) AS n FROM sec_cust
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""").collect()
+      assert(filtered.length == 1 && filtered.head.getString(0) == "BUILDING")
+      val expected = sql(
+        "SELECT count(*) AS n FROM sec_cust WHERE c_mktsegment = 'BUILDING'")
+        .collect().head.getLong(0)
+      assert(filtered.head.getLong(1) == expected)
+    } finally graft.sqlx.RowSecurity.dropRowFilter("frank", "sec_cust")
+  }
+
+  test("CTE names shadow filtered base tables") {
+    secNat
+    graft.sqlx.RowSecurity.setRowFilter("grace", "sec_nat", "n_regionkey = 1")
+    try {
+      // `sec_nat` inside the WITH body is filtered; the CTE NAME then
+      // shadows the base table, and reading it is NOT double-filtered
+      val n = asUser("grace")(
+        """WITH sec_nat AS (SELECT * FROM sec_nat)
+           SELECT count(*) AS n FROM sec_nat""").collect().head.getLong(0)
+      assert(n == 5L)
+    } finally graft.sqlx.RowSecurity.dropRowFilter("grace", "sec_nat")
+  }
 }
