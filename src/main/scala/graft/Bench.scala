@@ -31,6 +31,16 @@ object Bench {
     // regression in any of them shows in the artifact
     "q_fed_lakehouse", "q_fed_hudi_mor_snapshot", "q_http_statement")
 
+  /** Queries whose DuckDB oracle REPLAYS only the final computation over
+    * the raw parquet, while the Spark side does strictly more real work
+    * (builds loopback fixtures, drives a wire protocol, runs a full
+    * statement round-trip). Their Spark-vs-DuckDB ratios are not
+    * like-for-like and must be excluded from letter-grade comparisons —
+    * the flag ships IN the artifact so the exclusion is mechanical, not
+    * judgment (BASELINE.md "replay-only oracles"). */
+  val replayOnly: Set[String] =
+    Set("q_fed_lakehouse", "q_fed_hudi_mor_snapshot", "q_http_statement")
+
   /** JDK-17 module opens Spark needs outside spark-submit (mirrors
     * org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions()). */
   private val jdk17AddOpens: Seq[String] = Seq(
@@ -159,7 +169,9 @@ object Bench {
       "\"" + n + "\":" + passes.map(p => f"${p(n)}%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val heapMb = Runtime.getRuntime.maxMemory >> 20
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"heap_mb":$heapMb,"sf":"$sfDir"}""")
+    val replay = names.map(n =>
+      "\"" + n + "\":" + replayOnly.contains(n)).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"replay_only":$replay,"heap_mb":$heapMb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

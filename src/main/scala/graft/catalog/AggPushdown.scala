@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate._
 
 /** Aggregate pushdown translation shared by the SQL-speaking connectors
@@ -62,5 +62,26 @@ private[catalog] object AggPushdown {
     if (aggs.exists(_.isEmpty) || (aggs.isEmpty && groups.isEmpty)) None
     else Some(Pushed(groups.flatten.map(quote) ++ aggs.flatten,
       groups.flatten.map(quote)))
+  }
+
+  /** TopN pushdown (reference PushTopNIntoTableScan.java:42; Spark DSv2
+    * SupportsPushDownTopN): render the sort keys as remote ORDER BY items,
+    * or None when any key is not a plain pushable column. Each split then
+    * ships `ORDER BY … LIMIT n` — only n rows cross the wire per split,
+    * and a single-split scan removes Spark's sort entirely. */
+  def orderBySql(orders: Seq[SortOrder], fields: Set[String],
+      quote: String => String): Option[Seq[String]] = {
+    if (orders.isEmpty) return None
+    val rendered = orders.map { o =>
+      columnOf(o.expression(), fields).map { c =>
+        val dir =
+          if (o.direction() == SortDirection.ASCENDING) "ASC" else "DESC"
+        val nulls =
+          if (o.nullOrdering() == NullOrdering.NULLS_FIRST) "NULLS FIRST"
+          else "NULLS LAST"
+        s"${quote(c)} $dir $nulls"
+      }
+    }
+    if (rendered.exists(_.isEmpty)) None else Some(rendered.flatten)
   }
 }

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.Filter
@@ -83,12 +83,13 @@ final class ChTable(tableSchema: StructType, host: String, port: Int,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
         with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-        with SupportsPushDownAggregates {
+        with SupportsPushDownAggregates with SupportsPushDownTopN {
       private val fields = tableSchema.fieldNames.toSet
       private var pushed: Array[Filter] = Array.empty
       private var clauses: Seq[String] = Nil
       private var projected: StructType = tableSchema
       private var limit: Option[Int] = None
+      private var orderBy: Seq[String] = Nil
       private var agg: Option[AggPushdown.Pushed] = None
       private var aggSchema: StructType = _
 
@@ -104,6 +105,16 @@ final class ChTable(tableSchema: StructType, host: String, port: Int,
       override def pruneColumns(requiredSchema: StructType): Unit =
         if (agg.isEmpty) projected = requiredSchema
       override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
+
+      /** TopN pushdown, same shape as the PG scan (see PgCatalog). */
+      override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+        if (rawQuery.isDefined || agg.isDefined) return false
+        AggPushdown.orderBySql(orders.toSeq, fields, PgCatalog.dialect.quote) match {
+          case Some(os) => orderBy = os; limit = Some(l); true
+          case None => false
+        }
+      }
+      override def isPartiallyPushed(): Boolean = partitionColumn.isDefined
 
       /** Same complete/partial split as the PG scan: one split → the
         * remote GROUP BY is the answer; range splits → per-split partials
@@ -135,14 +146,14 @@ final class ChTable(tableSchema: StructType, host: String, port: Int,
         if (rawQuery.isDefined) tableSchema
         else if (agg.isDefined) aggSchema else projected,
         clauses, limit, partitionColumn.filter(_ => rawQuery.isEmpty),
-        numPartitions, agg)
+        numPartitions, agg, orderBy)
     }
 }
 
 final class ChScan(host: String, port: Int, table: Option[String],
     rawQuery: Option[String], projected: StructType, clauses: Seq[String],
     limit: Option[Int], partitionColumn: Option[String], numPartitions: Int,
-    agg: Option[AggPushdown.Pushed] = None)
+    agg: Option[AggPushdown.Pushed] = None, orderBy: Seq[String] = Nil)
     extends Scan with Batch with Serializable {
 
   override def readSchema(): StructType = projected
@@ -162,8 +173,10 @@ final class ChScan(host: String, port: Int, table: Option[String],
       }
       val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
       val groupBy = agg.map(_.groupByClause).getOrElse("")
+      val order =
+        if (orderBy.isEmpty) "" else orderBy.mkString(" ORDER BY ", ", ", "")
       val lim = limit.map(l => s" LIMIT $l").getOrElse("")
-      s"SELECT $selectList FROM ${PgCatalog.dialect.tableName(table.get)}$where$groupBy$lim"
+      s"SELECT $selectList FROM ${PgCatalog.dialect.tableName(table.get)}$where$groupBy$order$lim"
     }
 
   override def description(): String = s"ChScan(${splitSql(None)})"

@@ -139,7 +139,8 @@ object Events {
     scala.collection.mutable.Map[String, graft.sources.KafkaWire.Handle]()
   private def ensureWireBroker(s: SparkSession, dir: String): Int = synchronized {
     wireBrokers.getOrElseUpdate(dir, {
-      import graft.sources.KafkaWire.Msg
+      import graft.sources.KafkaWire
+      import KafkaWire.Msg
       val raw = graft.sources.EventTopic.raw(s, dir).collect()
       val byPart = (0 until graft.sources.EventTopic.partitions).map { p =>
         raw.filter(_.getAs[Long]("_partition_id") == p.toLong)
@@ -150,9 +151,69 @@ object Events {
             r.getAs[java.sql.Timestamp]("_timestamp").getTime))
           .toIndexedSeq
       }
-      graft.sources.KafkaWire.serve(Map("events" -> byPart))
+      val events = new KafkaWire.Topic(byPart.size)
+      byPart.indices.foreach(p => events.append(p, byPart(p): _*))
+      // `ingest` starts EMPTY: the INSERT surface's target (q_topic_write)
+      KafkaWire.serveTopics(Map("events" -> events,
+        "ingest" -> new KafkaWire.Topic(4)))
     }).port
   }
+
+  /** One write per JVM per fixture dir (the broker log is append-only, so
+    * repeated query invocations must not re-produce). */
+  private val ingestWritten = scala.collection.mutable.Set[String]()
+  private def ensureIngestWritten(s: SparkSession, dir: String, port: Int): Unit =
+    synchronized {
+      if (!ingestWritten.contains(dir)) {
+        import s.implicits._
+        // encode orders rows as JSON values, partitioned EXPLICITLY by
+        // o_orderkey % 4 so the oracle can replay the routing exactly
+        table(s, dir, "orders")
+          .filter($"o_orderkey" <= 2000L)
+          .select(
+            $"o_orderkey".cast("string").as("key"),
+            to_json(struct($"o_orderkey", $"o_orderstatus", $"o_totalprice"))
+              .as("value"),
+            ($"o_orderkey" % 4).cast("int").as("partition"))
+          .write.format(classOf[graft.sources.KafkaWireProvider].getName)
+          .option("host", "127.0.0.1").option("port", port.toString)
+          .option("topic", "ingest")
+          .mode("append").save()
+        ingestWritten += dir
+      }
+    }
+
+  /** Kafka INSERT surface over Produce v0 (reference plugin/trino-kafka
+    * KafkaPageSinkProvider): orders rows are JSON-encoded and PRODUCED to
+    * the wire broker's `ingest` topic by executor tasks (each with its own
+    * connection, keyed routing), then read back over the same wire and
+    * decoded — the write is proven by the read's oracle equality. */
+  def q_topic_write(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = ensureWireBroker(s, dir)
+    ensureIngestWritten(s, dir, port)
+    val decoded = graft.sources.KafkaWire.read(s, "127.0.0.1", port, "ingest")
+      .withColumn("m", from_json($"_message",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")))
+      .select($"_partition_id", $"m.*")
+    decoded
+      .groupBy($"_partition_id")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"o_orderkey").as("n_orders"),
+        asDouble(sum(dec($"o_totalprice"))).as("total"),
+        max($"o_orderstatus").as("max_status"))
+      .select($"_partition_id".cast("long").as("partition_id"),
+        $"n", $"n_orders", $"total", $"max_status")
+      .orderBy($"partition_id")
+  }
+  val qTopicWriteSql: String =
+    """SELECT o_orderkey % 4 AS partition_id, count(*) AS n,
+       count(DISTINCT o_orderkey) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+       max(o_orderstatus) AS max_status
+       FROM orders WHERE o_orderkey <= 2000
+       GROUP BY o_orderkey % 4 ORDER BY partition_id"""
 
   /** Same topic shape as [[q_topic_decode]], but consumed over the KAFKA
     * WIRE PROTOCOL (graft.sources.KafkaWire; reference plugin/trino-kafka
@@ -186,6 +247,7 @@ object Events {
   val queries: Map[String, Q] = Map(
     "q_topic_decode" -> q_topic_decode _,
     "q_topic_wire" -> q_topic_wire _,
+    "q_topic_write" -> q_topic_write _,
     "q_events_sessionize" -> q_events_sessionize _,
     "q_events_daily" -> q_events_daily _,
     "q_events_json" -> q_events_json _,
@@ -194,6 +256,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "q_topic_decode" -> qTopicDecodeSql,
     "q_topic_wire" -> qTopicWireSql,
+    "q_topic_write" -> qTopicWriteSql,
     "q_events_sessionize" -> qEventsSessionizeSql,
     "q_events_daily" -> qEventsDailySql,
     "q_events_json" -> qEventsJsonSql,

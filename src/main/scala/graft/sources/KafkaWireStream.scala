@@ -4,11 +4,12 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -38,14 +39,119 @@ class KafkaWireProvider extends TableProvider {
 }
 
 final class KafkaWireTable(host: String, port: Int, topic: String,
-    maxBytes: Int) extends Table with SupportsRead {
+    maxBytes: Int) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"kafka-wire:$topic"
   override def schema(): StructType = KafkaWire.rawSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new KafkaWireScan(host, port, topic, maxBytes)
+    }
+
+  /** INSERT surface over Produce v0 (reference: plugin/trino-kafka
+    * KafkaPageSinkProvider — INSERT INTO a topic-table encodes each row
+    * and produces it to the broker). Accepted input columns (by name):
+    * `value` (string, required), `key` (string, nullable), `partition`
+    * (int, an explicit override), `timestamp` (long millis or timestamp).
+    * Without an explicit partition, rows route by key hash — one query's
+    * key always lands on one partition, the broker-side ordering
+    * guarantee producers rely on. Each TASK owns its own broker
+    * connection and flushes bounded batches: no driver fan-in, no
+    * unbounded buffering, at-least-once (the broker append is the commit
+    * point, like the reference's page sink). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val in = info.schema()
+    require(in.fieldNames.exists(_.equalsIgnoreCase("value")),
+      "kafka write requires a 'value' column")
+    val bad = in.fields.filterNot(f =>
+      Set("value", "key", "partition", "timestamp")(f.name.toLowerCase))
+    require(bad.isEmpty,
+      s"kafka write: unsupported columns ${bad.map(_.name).mkString(", ")} " +
+        "(accepted: value, key, partition, timestamp)")
+    in.fields.filter(f => Set("value", "key")(f.name.toLowerCase)).foreach(f =>
+      require(f.dataType == StringType,
+        s"kafka write: column ${f.name} must be STRING, got ${f.dataType}"))
+    in.fields.filter(_.name.equalsIgnoreCase("partition")).foreach(f =>
+      require(f.dataType == IntegerType,
+        s"kafka write: partition must be INT, got ${f.dataType}"))
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              pinfo: PhysicalWriteInfo): DataWriterFactory = {
+            // one bounded driver metadata call for the partition count
+            val c = new KafkaWire.Client(host, port)
+            val n = try c.partitionCount(topic) finally c.close()
+            new KafkaWireWriterFactory(host, port, topic, in, n)
+          }
+          override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+  }
+}
+
+private final case class KafkaWireCommit(records: Long) extends WriterCommitMessage
+
+private final class KafkaWireWriterFactory(host: String, port: Int,
+    topic: String, schema: StructType, partitions: Int)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val client = new KafkaWire.Client(host, port)
+      private def ix(name: String): Int =
+        schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      private val valueIx = ix("value")
+      private val keyIx = ix("key")
+      private val partIx = ix("partition")
+      private val tsIx = ix("timestamp")
+      private val buffers = Array.fill(partitions)(
+        scala.collection.mutable.ArrayBuffer[KafkaWire.Msg]())
+      private var written = 0L
+      private val FlushAt = 500
+
+      private def flush(p: Int): Unit = if (buffers(p).nonEmpty) {
+        client.produce(topic, p, buffers(p).toSeq)
+        buffers(p).clear()
+      }
+
+      override def write(row: InternalRow): Unit = {
+        val value =
+          if (row.isNullAt(valueIx)) null
+          else row.getUTF8String(valueIx).getBytes
+        val key =
+          if (keyIx < 0 || row.isNullAt(keyIx)) null
+          else row.getUTF8String(keyIx).getBytes
+        val ts =
+          if (tsIx < 0 || row.isNullAt(tsIx)) -1L
+          else schema.fields(tsIx).dataType match {
+            case TimestampType => row.getLong(tsIx) / 1000L // micros → millis
+            case LongType => row.getLong(tsIx)
+            case IntegerType => row.getInt(tsIx).toLong
+            case other => throw new IllegalArgumentException(
+              s"kafka write: timestamp column of type $other")
+          }
+        val p =
+          if (partIx >= 0 && !row.isNullAt(partIx))
+            math.floorMod(row.getInt(partIx), partitions)
+          else if (key != null)
+            math.floorMod(java.util.Arrays.hashCode(key), partitions)
+          else math.floorMod(taskId.toInt, partitions)
+        buffers(p) += KafkaWire.Msg(key, value, ts)
+        written += 1
+        if (buffers(p).length >= FlushAt) flush(p)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        buffers.indices.foreach(flush)
+        KafkaWireCommit(written)
+      }
+      override def abort(): Unit = ()
+      override def close(): Unit = client.close()
     }
 }
 

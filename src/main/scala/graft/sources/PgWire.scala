@@ -450,6 +450,27 @@ object PgWire {
           while (p.tryChar(',')) gs += p.ident()
           gs.toSeq.map(_.toLowerCase)
         } else Nil
+      // ORDER BY col [ASC|DESC] [NULLS FIRST|LAST] — the connector's
+      // TopN pushdown shape; sorts the TABLE rows (the key need not be
+      // projected, like real SQL)
+      val orderBy: Seq[(String, Boolean, Boolean)] =
+        if (p.word("ORDER")) {
+          require(p.word("BY"), s"pg: expected BY after ORDER in: $sql")
+          val os = mutable.ArrayBuffer[(String, Boolean, Boolean)]()
+          var more = true
+          while (more) {
+            val c = p.ident().toLowerCase
+            val asc = if (p.word("DESC")) false else { p.word("ASC"); true }
+            val nullsFirst =
+              if (p.word("NULLS")) {
+                if (p.word("FIRST")) true
+                else { require(p.word("LAST"), "pg: expected FIRST/LAST"); false }
+              } else !asc // engine default: NULLS LAST for ASC, FIRST for DESC
+            os += ((c, asc, nullsFirst))
+            more = p.tryChar(',')
+          }
+          os.toSeq
+        } else Nil
       val limit = if (p.word("LIMIT")) Some(p.literal() match {
         case n: java.lang.Long => n.toInt
         case other => String.valueOf(other).toInt
@@ -462,9 +483,30 @@ object PgWire {
         case None => table.rows
       }
       val hasAgg = items.exists(_.isInstanceOf[AggItem]) || groupBy.nonEmpty
+      require(orderBy.isEmpty || !hasAgg,
+        "pg: ORDER BY with aggregates not supported by this subset")
+      val sorted0 =
+        if (orderBy.isEmpty) filtered0
+        else filtered0.sortWith { (a, b) =>
+          var r = 0
+          val it = orderBy.iterator
+          while (r == 0 && it.hasNext) {
+            val (c, asc, nullsFirst) = it.next()
+            val (va, vb) = (a(colIx(c)), b(colIx(c)))
+            r = (va, vb) match {
+              case (null, null) => 0
+              case (null, _) => if (nullsFirst) -1 else 1
+              case (_, null) => if (nullsFirst) 1 else -1
+              case _ =>
+                val c0 = cmpVals(va, vb).getOrElse(0)
+                if (asc) c0 else -c0
+            }
+          }
+          r < 0
+        }
       // SQL applies LIMIT to OUTPUT rows: after aggregation, not before
       val filtered =
-        if (hasAgg) filtered0 else limit.map(filtered0.take).getOrElse(filtered0)
+        if (hasAgg) sorted0 else limit.map(sorted0.take).getOrElse(sorted0)
 
       if (hasAgg) {
         // SUM over integer columns types as int8, over floats as float8;

@@ -102,6 +102,25 @@ class PgWireSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(plan.contains("LIMIT 5"), plan)
   }
 
+  test("TopN pushdown ships ORDER BY + LIMIT to the remote engine") {
+    // single split → fully pushed: only 3 rows cross the wire, in order
+    val before = srv.rowsServed.get()
+    val top = PgCatalog.read(spark, "127.0.0.1", srv.port, "items")
+      .orderBy(col("price").desc).limit(3)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("ORDER BY"), plan)
+    val rows = top.collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(100L, 99L, 98L))
+    assert(srv.rowsServed.get() - before <= 3,
+      s"served ${srv.rowsServed.get() - before} rows for a top-3 query")
+    // range splits → partially pushed: per-split top-3, Spark merges;
+    // the global answer is identical
+    val split = PgCatalog.read(spark, "127.0.0.1", srv.port, "items",
+      partitionColumn = Some("id"), numPartitions = 4)
+      .orderBy(col("price").desc).limit(3)
+    assert(split.collect().map(_.getAs[Long]("id")).toSeq == Seq(100L, 99L, 98L))
+  }
+
   test("COMPLETE aggregate pushdown: no Spark aggregate, groups cross the wire") {
     // single split (no partitionColumn) → the remote GROUP BY is the global
     // answer and Spark's aggregate disappears entirely
