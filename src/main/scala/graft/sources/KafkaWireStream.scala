@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -44,7 +45,8 @@ final class KafkaWireTable(host: String, port: Int, topic: String,
   override def schema(): StructType = KafkaWire.rawSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new KafkaWireScan(host, port, topic, maxBytes)
@@ -78,16 +80,36 @@ final class KafkaWireTable(host: String, port: Int, topic: String,
         s"kafka write: partition must be INT, got ${f.dataType}"))
     new WriteBuilder {
       override def build(): Write = new Write {
+        // one bounded driver metadata call for the partition count
+        private def factory(): KafkaWireWriterFactory = {
+          val c = new KafkaWire.Client(host, port)
+          val n = try c.partitionCount(topic) finally c.close()
+          new KafkaWireWriterFactory(host, port, topic, in, n)
+        }
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
-              pinfo: PhysicalWriteInfo): DataWriterFactory = {
-            // one bounded driver metadata call for the partition count
-            val c = new KafkaWire.Client(host, port)
-            val n = try c.partitionCount(topic) finally c.close()
-            new KafkaWireWriterFactory(host, port, topic, in, n)
-          }
+              pinfo: PhysicalWriteInfo): DataWriterFactory = factory()
           override def commit(messages: Array[WriterCommitMessage]): Unit = ()
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+        /** Structured-Streaming SINK twin (writeStream → Produce): each
+          * micro-batch's tasks produce like batch tasks do — the broker
+          * append is the commit point, at-least-once across epoch
+          * retries (Spark's own kafka sink contract). */
+        override def toStreaming: StreamingWrite = new StreamingWrite {
+          override def createStreamingWriterFactory(
+              pinfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
+            val f = factory()
+            new StreamingDataWriterFactory {
+              override def createWriter(partitionId: Int, taskId: Long,
+                  epochId: Long): DataWriter[InternalRow] =
+                f.createWriter(partitionId, taskId)
+            }
+          }
+          override def commit(epochId: Long,
+              messages: Array[WriterCommitMessage]): Unit = ()
+          override def abort(epochId: Long,
+              messages: Array[WriterCommitMessage]): Unit = ()
         }
       }
     }

@@ -18,12 +18,27 @@ import java.nio.charset.StandardCharsets
 object OpaPolicy {
 
   @volatile private var endpoint: Option[String] = None
+  @volatile private var rowFiltersEndpoint: Option[String] = None
+  @volatile private var columnMaskEndpoint: Option[String] = None
 
   /** Point enforcement at an agent's policy decision URI
     * (e.g. `http://host:port/v1/data/trino/allow`). */
   def configure(uri: String): Unit = endpoint = Some(uri)
-  def clear(): Unit = endpoint = None
+
+  /** Optional row-filters document (reference opa.policy.row-filters-uri;
+    * unset = the agent shapes no rows). */
+  def configureRowFilters(uri: String): Unit = rowFiltersEndpoint = Some(uri)
+
+  /** Optional column-masking document (reference
+    * opa.policy.column-masking-uri). */
+  def configureColumnMask(uri: String): Unit = columnMaskEndpoint = Some(uri)
+
+  def clear(): Unit = {
+    endpoint = None; rowFiltersEndpoint = None; columnMaskEndpoint = None
+  }
   def isConfigured: Boolean = endpoint.isDefined
+  def shapesRows: Boolean =
+    rowFiltersEndpoint.isDefined || columnMaskEndpoint.isDefined
 
   private lazy val http = HttpClient.newBuilder()
     .executor(java.util.concurrent.Executors.newCachedThreadPool(r => {
@@ -76,4 +91,56 @@ object OpaPolicy {
       case _ => None
     } catch { case _: Exception => None }
   }
+
+  private def postForResult(uri: String, input: String): org.json4s.JValue = {
+    import org.json4s.jackson.JsonMethods
+    val resp = http.send(
+      HttpRequest.newBuilder(URI.create(uri))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(input)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    // an agent error on a POLICY-SHAPING document fails the query loudly
+    // (reference OpaQueryException) — silently skipping a filter would
+    // leak the very rows the policy hides
+    require(resp.statusCode() == 200,
+      s"opa: $uri returned ${resp.statusCode()}")
+    JsonMethods.parse(resp.body()) \ "result"
+  }
+
+  /** Row-filter expressions the agent defines for (user, table)
+    * (reference OpaAccessControl.getRowFilters over the rowFilters
+    * document: result = array of ViewExpression {"expression": sql}).
+    * None = no agent configured; Nil = agent defines none. */
+  def rowFilters(user: String, table: String): Option[Seq[String]] =
+    rowFiltersEndpoint.map { uri =>
+      import org.json4s._
+      val input =
+        s"""{"input":{"context":{"identity":{"user":${jstr(user)}}},""" +
+          s""""action":{"operation":"GetRowFilters",""" +
+          s""""resource":{"table":{"tableName":${jstr(table)}}}}}}"""
+      postForResult(uri, input) match {
+        case JArray(xs) => xs.flatMap(x => x \ "expression" match {
+          case JString(e) => Some(e)
+          case _ => None
+        })
+        case _ => Nil // undefined document: no filters
+      }
+    }
+
+  /** Column mask the agent defines for (user, table, column) (reference
+    * OpaAccessControl.getColumnMask over the columnMask document:
+    * result = ViewExpression {"expression": sql} or undefined). */
+  def columnMask(user: String, table: String, column: String): Option[Option[String]] =
+    columnMaskEndpoint.map { uri =>
+      import org.json4s._
+      val input =
+        s"""{"input":{"context":{"identity":{"user":${jstr(user)}}},""" +
+          s""""action":{"operation":"GetColumnMask",""" +
+          s""""resource":{"column":{"tableName":${jstr(table)},""" +
+          s""""columnName":${jstr(column)}}}}}}"""
+      postForResult(uri, input) \ "expression" match {
+        case JString(e) => Some(e)
+        case _ => None
+      }
+    }
 }

@@ -55,7 +55,8 @@ private[graft] object RowSecurity {
 
   private def hasPolicy(user: String): Boolean =
     rowFilters.keysIterator.exists(_._1 == user) ||
-      columnMasks.keysIterator.exists(_._1 == user)
+      columnMasks.keysIterator.exists(_._1 == user) ||
+      OpaPolicy.shapesRows // a configured agent may shape any table
 
   /** Table key for a TableRef's name parts, mirroring the resolution the
     * grant checks use: schema-qualified front-door names stay two-part,
@@ -113,25 +114,41 @@ private[graft] object RowSecurity {
       if (names.length == 1 && ctes.contains(names.head.toLowerCase)) t
       else {
         val key = keyFor(names)
-        val filter = rowFilters.get((user, key))
-        val masks = columnMasks.getOrElse((user, key), Map.empty)
-        if (filter.isEmpty && masks.isEmpty) t
+        // local registrations plus whatever a configured OPA agent defines
+        // for this (user, table) — the agent's answers are bounded
+        // plan-time metadata calls (reference getRowFilters/getColumnMask
+        // are invoked at analysis time the same way)
+        val filters = rowFilters.get((user, key)).toSeq ++
+          OpaPolicy.rowFilters(user, key).getOrElse(Nil)
+        val localMasks = columnMasks.getOrElse((user, key), Map.empty)
+        val probeOpaMasks = OpaPolicy.shapesRows
+        if (filters.isEmpty && localMasks.isEmpty && !probeOpaMasks) t
         else {
           val cols = columnsOf(spark, names)
-          val items = cols.map { c =>
-            masks.get(c.toLowerCase) match {
-              case Some(maskSql) =>
-                SelectItem(new SqlParser(maskSql).parseExpr(), Some(c))
-              case None => SelectItem(Id(Seq((c, false))), None)
+          val opaMasks: Map[String, String] =
+            if (!probeOpaMasks) Map.empty
+            else cols.flatMap(c => OpaPolicy.columnMask(user, key, c)
+              .flatten.map(m => c.toLowerCase -> m)).toMap
+          val masks = opaMasks ++ localMasks // local wins on conflict
+          if (filters.isEmpty && masks.isEmpty) t
+          else {
+            val items = cols.map { c =>
+              masks.get(c.toLowerCase) match {
+                case Some(maskSql) =>
+                  SelectItem(new SqlParser(maskSql).parseExpr(), Some(c))
+                case None => SelectItem(Id(Seq((c, false))), None)
+              }
             }
+            // several filters (local + agent) compose conjunctively
+            val where = filters.map(f => new SqlParser(f).parseExpr())
+              .reduceOption((a, b) => Bin("AND", a, b))
+            val inner = Select(distinct = false, items,
+              Some(TableRef(Id(parts), None)), where, None, None,
+              Seq.empty, None, None)
+            // keep the original alias (or table name) so qualified column
+            // references through the wrapper still resolve
+            SubqueryRel(inner, alias.orElse(Some(names.last)), Nil)
           }
-          val where = filter.map(f => new SqlParser(f).parseExpr())
-          val inner = Select(distinct = false, items,
-            Some(TableRef(Id(parts), None)), where, None, None,
-            Seq.empty, None, None)
-          // keep the original alias (or table name) so qualified column
-          // references through the wrapper still resolve
-          SubqueryRel(inner, alias.orElse(Some(names.last)), Nil)
         }
       }
     case JoinRel(k, l, rr, on) =>

@@ -79,11 +79,15 @@ private[graft] object Statements {
     def allowed(priv: String, key: String): Boolean =
       // a configured agent REPLACES the built-in grant checks; the
       // endpoint is snapshotted in one call so a concurrent clear()
-      // falls back to the built-in path, never open
+      // falls back to the built-in path, never open. Built-in grants
+      // evaluate against the user AND every group a configured group
+      // provider resolves for them (reference GroupProvider SPI — a
+      // GRANT … TO analysts takes effect through membership).
       OpaPolicy.decide(user, opaOps.getOrElse(priv, priv), key).getOrElse(
         owners.get(key).contains(user) ||
-          grants.getOrElse((user, key), Set.empty)
-            .exists(p => p == priv || p == "ALL PRIVILEGES" || p == "ALL"))
+          (Iterator(user) ++ Groups.groupsOf(user).iterator).exists(p =>
+            grants.getOrElse((p, key), Set.empty)
+              .exists(g => g == priv || g == "ALL PRIVILEGES" || g == "ALL")))
     def check(priv: String, what: String, rawName: String): Unit = {
       val key = keyOf(rawName)
       if (!allowed(priv, key))

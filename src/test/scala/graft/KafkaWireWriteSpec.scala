@@ -64,6 +64,39 @@ class KafkaWireWriteSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll 
     assert(perKey.map(_.getAs[Long]("n")).sum == 200L)
   }
 
+  test("streaming sink: writeStream produces each micro-batch to the broker") {
+    val src = new KafkaWire.Topic(2)
+    (0 until 6).foreach(i => src.append(i % 2, KafkaWire.Msg(
+      s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8"), 1000L + i)))
+    val srcBroker = KafkaWire.serveTopics(
+      Map("in" -> src, "out" -> new KafkaWire.Topic(2)))
+    try {
+      // wire topic → transform → wire topic, all over Produce/Fetch
+      val q = spark.readStream.format(classOf[graft.sources.KafkaWireProvider].getName)
+        .option("host", "127.0.0.1").option("port", srcBroker.port.toString)
+        .option("topic", "in").load()
+        .select($"_key".as("key"), upper($"_message").as("value"))
+        .writeStream.format(classOf[graft.sources.KafkaWireProvider].getName)
+        .option("host", "127.0.0.1").option("port", srcBroker.port.toString)
+        .option("topic", "out")
+        .option("checkpointLocation", s"/tmp/graft_kwsink_${System.nanoTime()}")
+        .start()
+      try {
+        q.processAllAvailable()
+        val out = KafkaWire.read(spark, "127.0.0.1", srcBroker.port, "out")
+        assert(out.count() == 6)
+        assert(out.filter($"_key" === "k3").collect().head
+          .getAs[String]("_message") == "V3")
+        // appends flow through subsequent micro-batches
+        src.append(0, KafkaWire.Msg("k9".getBytes("UTF-8"),
+          "v9".getBytes("UTF-8"), 2000L))
+        q.processAllAvailable()
+        assert(KafkaWire.read(spark, "127.0.0.1", srcBroker.port, "out")
+          .count() == 7)
+      } finally q.stop()
+    } finally srcBroker.stop()
+  }
+
   test("invalid write schemas are rejected loudly") {
     val noValue = Seq(("k", 1)).toDF("key", "nope")
     val e = intercept[Exception](writeDf(noValue, "sink"))

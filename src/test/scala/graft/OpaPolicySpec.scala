@@ -110,4 +110,69 @@ class OpaPolicySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       }
     }
   }
+
+  // --- OPA-defined row filters + column masks (OpaAccessControl
+  //     getRowFilters/getColumnMask over the optional policy documents) ---
+
+  private lazy val shapingAgent = {
+    val s = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def ctx(path: String)(answer: String => String): Unit = {
+      s.createContext(path, new com.sun.net.httpserver.HttpHandler {
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val resp = answer(body).getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, resp.length.toLong)
+          ex.getResponseBody.write(resp)
+          ex.close()
+        }
+      })
+      ()
+    }
+    ctx("/v1/data/trino/allow")(_ => """{"result":true}""")
+    // rego policy: hank sees only region 1 of nation; others unshaped
+    ctx("/v1/data/trino/rowFilters") { body =>
+      if (body.contains(""""user":"hank"""") && body.contains("nation"))
+        """{"result":[{"expression":"n_regionkey = 1"}]}"""
+      else """{"result":[]}"""
+    }
+    // rego policy: hank sees n_name masked to its first letter
+    ctx("/v1/data/trino/columnMask") { body =>
+      if (body.contains(""""user":"hank"""") &&
+          body.contains(""""columnName":"n_name""""))
+        """{"result":{"expression":"substring(n_name, 1, 1)"}}"""
+      else """{}"""
+    }
+    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+      val t = new Thread(r, "opa-shaping-agent"); t.setDaemon(true); t
+    }))
+    s.start()
+    s
+  }
+
+  test("agent-defined row filters and column masks shape enforced reads") {
+    val base = s"http://127.0.0.1:${shapingAgent.getAddress.getPort}/v1/data/trino"
+    OpaPolicy.configure(s"$base/allow")
+    OpaPolicy.configureRowFilters(s"$base/rowFilters")
+    OpaPolicy.configureColumnMask(s"$base/columnMask")
+    try {
+      val rows = as("hank") {
+        TrinoDialect.sql(spark, sfDir,
+          "SELECT n_name, n_regionkey FROM nation ORDER BY n_name").collect()
+      }
+      assert(rows.length == 5) // the agent's filter kept region 1 only
+      assert(rows.forall(_.getInt(1) == 1))
+      assert(rows.forall(_.getString(0).length == 1)) // masked to initial
+      // a user the policy does not name is unshaped
+      val other = as("alice") {
+        TrinoDialect.sql(spark, sfDir,
+          "SELECT count(*) AS n FROM nation").collect().head.getLong(0)
+      }
+      assert(other == 25L)
+    } finally {
+      OpaPolicy.clear()
+      shapingAgent.stop(0)
+    }
+  }
 }

@@ -230,11 +230,23 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("round-8 pipeline shapes: no Expand in distinct split, broadcast contamination, map-only chunking") {
-    // q_agg_distinct re-plan: three single-distinct aggregates — the Expand
-    // operator (row replication) must be GONE from the plan
+    // q_agg_distinct (round-12 plan): the fact is reduced to its distinct
+    // (flag, supp, part) PAIR SET first — Expand may apply only ABOVE that
+    // reduction (pair-set-sized rows), never to the fact scan. The shape
+    // evidence: the scan feeds a plain hash aggregate (the reduction)
+    // BEFORE any Expand appears in the plan text.
     val distinctPlan = physicalPlan(operators.Aggregates.q_agg_distinct(spark, sfDir))
-    assert(!distinctPlan.contains("Expand"),
-      s"distinct split still expands the fact:\n$distinctPlan")
+    val expandIx = distinctPlan.indexOf("Expand")
+    val scanIx = distinctPlan.lastIndexOf("Scan parquet")
+    assert(scanIx >= 0, distinctPlan)
+    // plan text prints top-down: the scan (bottom) must come AFTER the
+    // Expand (top) — i.e. Expand consumes the aggregated pair set, and
+    // between them sits the reducing HashAggregate
+    assert(expandIx >= 0 && expandIx < scanIx,
+      s"distinct plan shape unexpected:\n$distinctPlan")
+    val between = distinctPlan.substring(expandIx, scanIx)
+    assert(between.contains("HashAggregate"),
+      s"Expand applies directly to the fact scan (no pair-set reduction):\n$distinctPlan")
     // contamination: benchmark shingles broadcast — corpus side must not
     // sort-merge-shuffle on the shingle text
     val contamPlan = physicalPlan(operators.TextPipeline.q_text_contamination(spark, sfDir))
