@@ -35,7 +35,13 @@ object CatalogStore {
     "tpch" -> (classOf[TpchGenCatalog].getName, Nil),
     "faker" -> (classOf[FakerCatalog].getName, Nil),
     "jdbc" -> ("org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
-      Seq("url")))
+      Seq("url")),
+    // wire connectors as catalogs: connection properties → multi-part
+    // names over the wire read paths (the reference's principal
+    // CREATE CATALOG use case)
+    "postgresql" -> (classOf[PgWireCatalog].getName, Seq("host", "port")),
+    "clickhouse" -> (classOf[ChWireCatalog].getName, Seq("host", "port")),
+    "elasticsearch" -> (classOf[EsWireCatalog].getName, Seq("host", "port")))
 
   /** Store directory (one .properties file per catalog). Overridable for
     * tests/deployments via -Dgraft.catalog.store; defaults per-process. */
@@ -48,6 +54,12 @@ object CatalogStore {
   }
 
   private def fileOf(name: String): Path = storeDir.resolve(s"$name.properties")
+
+  /** name → connector for catalogs created through this store (what
+    * system.metadata.catalogs reports as connector_name). */
+  private val live = scala.collection.concurrent.TrieMap[String, String]()
+
+  def connectorOf(name: String): Option[String] = live.get(name)
 
   def exists(spark: SparkSession, name: String): Boolean =
     spark.conf.getOption(s"spark.sql.catalog.$name").isDefined
@@ -72,6 +84,7 @@ object CatalogStore {
     props.foreach { case (k, v) => p.setProperty(k, v) }
     val out = Files.newOutputStream(fileOf(name))
     try p.store(out, null) finally out.close()
+    live(name) = connector.toLowerCase
   }
 
   /** Unregister + remove the persisted file. */
@@ -81,6 +94,7 @@ object CatalogStore {
         k.startsWith(s"spark.sql.catalog.$name."))
       .foreach(spark.conf.unset)
     Files.deleteIfExists(fileOf(name))
+    live.remove(name)
     ()
   }
 

@@ -83,12 +83,14 @@ final class ChTable(tableSchema: StructType, host: String, port: Int,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
         with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-        with SupportsPushDownAggregates with SupportsPushDownTopN {
+        with SupportsPushDownAggregates with SupportsPushDownTopN
+        with SupportsPushDownOffset {
       private val fields = tableSchema.fieldNames.toSet
       private var pushed: Array[Filter] = Array.empty
       private var clauses: Seq[String] = Nil
       private var projected: StructType = tableSchema
       private var limit: Option[Int] = None
+      private var offset: Option[Int] = None
       private var orderBy: Seq[String] = Nil
       private var agg: Option[AggPushdown.Pushed] = None
       private var aggSchema: StructType = _
@@ -105,6 +107,11 @@ final class ChTable(tableSchema: StructType, host: String, port: Int,
       override def pruneColumns(requiredSchema: StructType): Unit =
         if (agg.isEmpty) projected = requiredSchema
       override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
+
+      /** OFFSET pushdown, single-split only (see PgCatalog). */
+      override def pushOffset(o: Int): Boolean =
+        if (rawQuery.isDefined || partitionColumn.isDefined) false
+        else { offset = Some(o); true }
 
       /** TopN pushdown, same shape as the PG scan (see PgCatalog). */
       override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
@@ -146,14 +153,15 @@ final class ChTable(tableSchema: StructType, host: String, port: Int,
         if (rawQuery.isDefined) tableSchema
         else if (agg.isDefined) aggSchema else projected,
         clauses, limit, partitionColumn.filter(_ => rawQuery.isEmpty),
-        numPartitions, agg, orderBy)
+        numPartitions, agg, orderBy, offset)
     }
 }
 
 final class ChScan(host: String, port: Int, table: Option[String],
     rawQuery: Option[String], projected: StructType, clauses: Seq[String],
     limit: Option[Int], partitionColumn: Option[String], numPartitions: Int,
-    agg: Option[AggPushdown.Pushed] = None, orderBy: Seq[String] = Nil)
+    agg: Option[AggPushdown.Pushed] = None, orderBy: Seq[String] = Nil,
+    offset: Option[Int] = None)
     extends Scan with Batch with Serializable {
 
   override def readSchema(): StructType = projected
@@ -175,8 +183,11 @@ final class ChScan(host: String, port: Int, table: Option[String],
       val groupBy = agg.map(_.groupByClause).getOrElse("")
       val order =
         if (orderBy.isEmpty) "" else orderBy.mkString(" ORDER BY ", ", ", "")
-      val lim = limit.map(l => s" LIMIT $l").getOrElse("")
-      s"SELECT $selectList FROM ${PgCatalog.dialect.tableName(table.get)}$where$groupBy$order$lim"
+      // the pushed limit is Spark's PRE-OFFSET cap (see PgScan.splitSql)
+      val lim = limit.map(l =>
+        s" LIMIT ${math.max(0, l - offset.getOrElse(0))}").getOrElse("")
+      val off = offset.map(o => s" OFFSET $o").getOrElse("")
+      s"SELECT $selectList FROM ${PgCatalog.dialect.tableName(table.get)}$where$groupBy$order$lim$off"
     }
 
   override def description(): String = s"ChScan(${splitSql(None)})"

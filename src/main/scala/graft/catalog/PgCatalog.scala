@@ -136,12 +136,14 @@ final class PgTable(tableSchema: StructType, host: String, port: Int,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
         with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-        with SupportsPushDownAggregates with SupportsPushDownTopN {
+        with SupportsPushDownAggregates with SupportsPushDownTopN
+        with SupportsPushDownOffset {
       private val fields = tableSchema.fieldNames.toSet
       private var pushed: Array[Filter] = Array.empty
       private var clauses: Seq[String] = Nil
       private var projected: StructType = tableSchema
       private var limit: Option[Int] = None
+      private var offset: Option[Int] = None
       private var orderBy: Seq[String] = Nil
       private var agg: Option[AggPushdown.Pushed] = None
       private var aggSchema: StructType = _
@@ -161,6 +163,14 @@ final class PgTable(tableSchema: StructType, host: String, port: Int,
         // with an aggregate pushed, the scan output IS the agg schema
         if (agg.isEmpty) projected = requiredSchema
       override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
+
+      /** OFFSET pushdown (reference PushOffsetIntoTableScan rule family):
+        * a global row skip is only meaningful when ONE split serves the
+        * whole ordered result — range-split scans refuse it (a per-split
+        * OFFSET would skip rows from every split). */
+      override def pushOffset(o: Int): Boolean =
+        if (rawQuery.isDefined || partitionColumn.isDefined) false
+        else { offset = Some(o); true }
 
       /** TopN pushdown (reference PushTopNIntoTableScan.java:42): each
         * split ships ORDER BY + LIMIT remotely; a single-split scan is
@@ -208,14 +218,15 @@ final class PgTable(tableSchema: StructType, host: String, port: Int,
         if (rawQuery.isDefined) tableSchema
         else if (agg.isDefined) aggSchema else projected,
         clauses, limit, partitionColumn.filter(_ => rawQuery.isEmpty),
-        numPartitions, agg, orderBy)
+        numPartitions, agg, orderBy, offset)
     }
 }
 
 final class PgScan(host: String, port: Int, table: Option[String],
     rawQuery: Option[String], projected: StructType, clauses: Seq[String],
     limit: Option[Int], partitionColumn: Option[String], numPartitions: Int,
-    agg: Option[AggPushdown.Pushed] = None, orderBy: Seq[String] = Nil)
+    agg: Option[AggPushdown.Pushed] = None, orderBy: Seq[String] = Nil,
+    offset: Option[Int] = None)
     extends Scan with Batch with Serializable {
 
   override def readSchema(): StructType = projected
@@ -241,8 +252,13 @@ final class PgScan(host: String, port: Int, table: Option[String],
       val groupBy = agg.map(_.groupByClause).getOrElse("")
       val order =
         if (orderBy.isEmpty) "" else orderBy.mkString(" ORDER BY ", ", ", "")
-      val lim = limit.map(l => s" LIMIT $l").getOrElse("")
-      s"SELECT $selectList FROM ${PgCatalog.dialect.tableName(table.get)}$where$groupBy$order$lim"
+      // Spark pushes the PRE-OFFSET cap as the limit (limit' = limit +
+      // offset); SQL's LIMIT applies after OFFSET, so the remote clause is
+      // LIMIT (limit' − offset) OFFSET offset
+      val lim = limit.map(l =>
+        s" LIMIT ${math.max(0, l - offset.getOrElse(0))}").getOrElse("")
+      val off = offset.map(o => s" OFFSET $o").getOrElse("")
+      s"SELECT $selectList FROM ${PgCatalog.dialect.tableName(table.get)}$where$groupBy$order$lim$off"
     }
 
   override def description(): String = s"PgScan(${splitSql(None)})"

@@ -475,6 +475,10 @@ object PgWire {
         case n: java.lang.Long => n.toInt
         case other => String.valueOf(other).toInt
       }) else None
+      val offset = if (p.word("OFFSET")) (p.literal() match {
+        case n: java.lang.Long => n.toInt
+        case other => String.valueOf(other).toInt
+      }) else 0
       p.ws()
       require(p.i >= p.s.length, s"pg: trailing input at ${p.i} in: $sql")
 
@@ -504,9 +508,11 @@ object PgWire {
           }
           r < 0
         }
-      // SQL applies LIMIT to OUTPUT rows: after aggregation, not before
+      // SQL applies OFFSET then LIMIT to OUTPUT rows: after aggregation
       val filtered =
-        if (hasAgg) sorted0 else limit.map(sorted0.take).getOrElse(sorted0)
+        if (hasAgg) sorted0
+        else limit.map(l => sorted0.drop(offset).take(l))
+          .getOrElse(sorted0.drop(offset))
 
       if (hasAgg) {
         // SUM over integer columns types as int8, over floats as float8;
@@ -558,7 +564,9 @@ object PgWire {
             .toVector
             .sortBy(_._1.map(String.valueOf).mkString(" "))
             .map { case (key, rs) => aggRow(rs, key) }
-        (outCols.toSeq, limit.map(rows.take).getOrElse(rows))
+        (outCols.toSeq,
+          limit.map(l => rows.drop(offset).take(l))
+            .getOrElse(rows.drop(offset)))
       } else {
         // -1 marks a literal item (its value indexed separately)
         val lits = items.collect { case LitItem(v) => v }

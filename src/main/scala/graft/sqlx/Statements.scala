@@ -468,11 +468,15 @@ private[graft] object Statements {
           scala.jdk.CollectionConverters.IteratorHasAsScala(queryLog.iterator).asScala
             .toSeq.sortBy(_._1).map { case (id, q) => Row(id, "FINISHED", q) }))
       case Seq("system", "metadata", "catalogs") =>
+        // connector_name: the store's record for DDL-created catalogs,
+        // "dsv2" for programmatic CatalogPlugin registrations
         val dsv2 = spark.conf.getAll.keys
           .collect { case k if k.matches("spark\\.sql\\.catalog\\.\\w+") =>
             k.stripPrefix("spark.sql.catalog.") }.toSeq
         Some(rows(str("catalog_name", "connector_name"),
-          (("graft", "graft") +: dsv2.map(c => (c, "dsv2"))).distinct.sortBy(_._1)
+          (("graft", "graft") +: dsv2.map(c =>
+            (c, graft.catalog.CatalogStore.connectorOf(c).getOrElse("dsv2"))))
+            .distinct.sortBy(_._1)
             .map { case (c, conn) => Row(c, conn) }))
       case _ => None
     }

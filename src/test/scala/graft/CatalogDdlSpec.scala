@@ -19,6 +19,10 @@ class CatalogDdlSpec extends SparkSpec {
     // SHOW CATALOGS reflects the new catalog
     val cats = run("SHOW CATALOGS").collect().map(_.getString(0)).toSet
     assert(cats.contains("ddl_csv"), cats)
+    // system.metadata.catalogs reports the STORE's connector name
+    val meta = run("SELECT * FROM system.metadata.catalogs")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(meta.get("ddl_csv").contains("csv"), meta)
     // a statement-session query resolves through the DDL-created catalog
     val n = run("SELECT count(*) AS n FROM ddl_csv.default.nation")
       .collect().head.getLong(0)
@@ -55,6 +59,27 @@ class CatalogDdlSpec extends SparkSpec {
     val n = spark.table("ddl_tpch.region").count()
     assert(n == 5L)
     run("DROP CATALOG ddl_tpch")
+  }
+
+  test("CREATE CATALOG USING postgresql: wire connector behind multi-part names") {
+    val srv = new graft.sources.PgWire.Server()
+    try {
+      srv.createTable("widgets", Seq(
+        graft.sources.PgWire.Column("id", graft.sources.PgWire.OidInt8),
+        graft.sources.PgWire.Column("grade", graft.sources.PgWire.OidVarchar)),
+        (1 to 40).map(i => Array[Any](i.toLong, s"g${i % 4}")).toVector)
+      run("CREATE CATALOG ddl_pg USING postgresql WITH " +
+        s"(host = '127.0.0.1', port = '${srv.port}')")
+      // catalog-qualified SQL resolves the wire table; the aggregate
+      // pushes COMPLETE into the remote engine through the DDL catalog
+      val before = srv.rowsServed.get()
+      val agg = spark.sql(
+        "SELECT grade, count(*) AS n FROM ddl_pg.default.widgets GROUP BY grade")
+      assert(!agg.queryExecution.executedPlan.toString.contains("HashAggregate"))
+      assert(agg.collect().map(_.getAs[Long]("n")).sum == 40L)
+      assert(srv.rowsServed.get() - before <= 5)
+      run("DROP CATALOG ddl_pg")
+    } finally srv.close()
   }
 
   test("persisted catalogs reload after conf loss (restart contract)") {

@@ -121,6 +121,24 @@ class PgWireSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(split.collect().map(_.getAs[Long]("id")).toSeq == Seq(100L, 99L, 98L))
   }
 
+  test("OFFSET pushdown ships LIMIT/OFFSET remotely on single-split scans") {
+    val before = srv.rowsServed.get()
+    val page = PgCatalog.read(spark, "127.0.0.1", srv.port, "items")
+      .orderBy(col("id")).offset(10).limit(5)
+    val ids = page.collect().map(_.getAs[Long]("id")).toSeq
+    assert(ids == Seq(11L, 12L, 13L, 14L, 15L))
+    // pagination is remote: only the page crossed the wire
+    assert(srv.rowsServed.get() - before <= 5,
+      s"served ${srv.rowsServed.get() - before} rows for a 5-row page")
+    // range-split scans refuse the offset (a per-split skip would be
+    // wrong) — the answer stays exact with Spark applying it
+    val split = PgCatalog.read(spark, "127.0.0.1", srv.port, "items",
+      partitionColumn = Some("id"), numPartitions = 4)
+      .orderBy(col("id")).offset(10).limit(5)
+    assert(split.collect().map(_.getAs[Long]("id")).toSeq ==
+      Seq(11L, 12L, 13L, 14L, 15L))
+  }
+
   test("COMPLETE aggregate pushdown: no Spark aggregate, groups cross the wire") {
     // single split (no partitionColumn) → the remote GROUP BY is the global
     // answer and Spark's aggregate disappears entirely
