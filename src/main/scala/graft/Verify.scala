@@ -40,5 +40,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // hard exit: loopback fixture servers may hold non-daemon JDK threads
+    // (e.g. an HttpServer dispatcher); the dump is complete and fsync'd,
+    // so the harness must never hang on JVM teardown
+    sys.exit(0)
   }
 }

@@ -50,17 +50,28 @@ object IcebergRead {
 
   def readTable(spark: SparkSession, tablePath: String,
       snapshotId: Option[Long] = None, prune: Option[Prune] = None,
-      asOfTimestampMs: Option[Long] = None): DataFrame = {
+      asOfTimestampMs: Option[Long] = None,
+      metadataLocation: Option[String] = None): DataFrame = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
 
-    val metaDir = new File(tablePath, "metadata")
-    require(metaDir.isDirectory, s"not an Iceberg table (no metadata/): $tablePath")
-    val metaFile = Option(metaDir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
-      .sortBy(f => f.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt)
-      .lastOption.getOrElse(throw new IllegalArgumentException(
-        s"no vN.metadata.json under $metaDir"))
+    // metadataLocation: a CATALOG-provided pointer (the REST catalog's
+    // LoadTableResult names the current metadata file directly — no
+    // directory listing, the spec's contract); without one, fall back to
+    // the hadoop-style newest-vN discovery
+    val metaFile = metadataLocation.map { loc =>
+      val f = new File(loc)
+      require(f.isFile, s"metadata-location does not exist: $loc")
+      f
+    }.getOrElse {
+      val metaDir = new File(tablePath, "metadata")
+      require(metaDir.isDirectory, s"not an Iceberg table (no metadata/): $tablePath")
+      Option(metaDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+        .sortBy(f => f.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+        .lastOption.getOrElse(throw new IllegalArgumentException(
+          s"no vN.metadata.json under $metaDir"))
+    }
     val meta = JsonMethods.parse(new String(
       java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8"))
 

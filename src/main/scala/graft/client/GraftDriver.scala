@@ -377,11 +377,26 @@ object GraftDriver {
       case ("supportsTransactions", _) => true
       case ("getIdentifierQuoteString", _) => "\""
       case ("getSQLKeywords", _) => ""
+      // the reference's TrinoDatabaseMetaData answers these from the
+      // system.jdbc relations with the JDBC-spec column spellings
+      case ("getCatalogs", _) =>
+        resultSet(StatementClient.execute(base,
+          "SELECT table_cat AS TABLE_CAT FROM system.jdbc.catalogs ORDER BY 1"))
+      case ("getSchemas", _) =>
+        resultSet(StatementClient.execute(base,
+          "SELECT table_schem AS TABLE_SCHEM, table_catalog AS TABLE_CATALOG " +
+            "FROM system.jdbc.schemas ORDER BY 1"))
       case ("getTables", _) =>
         resultSet(StatementClient.execute(base,
-          "SELECT table_name AS TABLE_NAME FROM information_schema.tables ORDER BY 1"))
+          "SELECT table_cat AS TABLE_CAT, table_schem AS TABLE_SCHEM, " +
+            "table_name AS TABLE_NAME, table_type AS TABLE_TYPE " +
+            "FROM system.jdbc.tables ORDER BY table_name"))
       case ("getColumns", args) =>
         val table = args(2).asInstanceOf[String]
-        resultSet(StatementClient.execute(base, s"DESCRIBE $table"))
+        resultSet(StatementClient.execute(base,
+          "SELECT table_name AS TABLE_NAME, column_name AS COLUMN_NAME, " +
+            "type_name AS TYPE_NAME, ordinal_position AS ORDINAL_POSITION, " +
+            "is_nullable AS IS_NULLABLE FROM system.jdbc.columns " +
+            s"WHERE table_name = '$table' ORDER BY ordinal_position"))
     })
 }

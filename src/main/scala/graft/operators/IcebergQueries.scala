@@ -328,6 +328,40 @@ object IcebergQueries {
          AND n_name NOT IN ('CANADA', 'KENYA')
        GROUP BY n_regionkey ORDER BY n_regionkey"""
 
+  /** One loopback Iceberg REST catalog per fixture dir, serving the
+    * on-disk nation table under graft.nation. */
+  private val restServers =
+    scala.collection.mutable.Map[String, graft.catalog.IcebergRestCatalog.Server]()
+  private def ensureRest(s: SparkSession, dir: String): Int = synchronized {
+    restServers.getOrElseUpdate(dir, {
+      val srv = new graft.catalog.IcebergRestCatalog.Server()
+      srv.register("graft", "nation", buildIcebergNation(s, dir))
+      srv
+    }).port
+  }
+
+  /** Iceberg REST CATALOG protocol (reference plugin/trino-iceberg with
+    * iceberg.catalog.type=rest — TrinoRestCatalog over the public REST
+    * spec): the CATALOG, not a directory listing, names the current
+    * metadata file (`GET /v1/namespaces/graft/tables/nation` →
+    * LoadTableResult.metadata-location); the data path is the ordinary
+    * manifest replay with position deletes applied. One bounded metadata
+    * GET per query; splits/scans unchanged. */
+  def q_fed_iceberg_rest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = ensureRest(s, dir)
+    graft.catalog.IcebergRestCatalog.read(s, "127.0.0.1", port, "graft", "nation")
+      .groupBy($"n_regionkey")
+      .agg(count(lit(1)).as("n"), sum($"n_nationkey").cast("long").as("key_sum"))
+      .orderBy($"n_regionkey")
+  }
+  val qFedIcebergRestSql: String =
+    """SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+       FROM nation
+       WHERE NOT (n_regionkey = 2 AND n_nationkey >= 10)
+         AND n_nationkey NOT IN (1, 5)
+       GROUP BY n_regionkey ORDER BY n_regionkey"""
+
   /** Equality-delete SEQUENCE-NUMBER scoping (v2 spec: an equality delete
     * applies only to data files with a strictly LOWER data sequence
     * number). Snapshot 5 re-appends a 'CANADA' row (key 100) AFTER the
@@ -568,6 +602,7 @@ object IcebergQueries {
     "q_fed_iceberg_pruned" -> q_fed_iceberg_pruned _,
     "q_fed_iceberg_eq_deletes" -> q_fed_iceberg_eq_deletes _,
     "q_fed_iceberg_eq_seq" -> q_fed_iceberg_eq_seq _,
+    "q_fed_iceberg_rest" -> q_fed_iceberg_rest _,
     "q_fed_iceberg_write" -> q_fed_iceberg_write _,
     "q_fed_iceberg_bucket" -> q_fed_iceberg_bucket _,
     "q_fed_iceberg_truncate" -> q_fed_iceberg_truncate _)
@@ -580,6 +615,7 @@ object IcebergQueries {
     "q_fed_iceberg_pruned" -> qFedIcebergPrunedSql,
     "q_fed_iceberg_eq_deletes" -> qFedIcebergEqDeletesSql,
     "q_fed_iceberg_eq_seq" -> qFedIcebergEqSeqSql,
+    "q_fed_iceberg_rest" -> qFedIcebergRestSql,
     "q_fed_iceberg_write" -> qFedIcebergWriteSql,
     "q_fed_iceberg_bucket" -> qFedIcebergBucketSql,
     "q_fed_iceberg_truncate" -> qFedIcebergTruncateSql)

@@ -467,6 +467,30 @@ private[graft] object Statements {
             str("state", "query").fields),
           scala.jdk.CollectionConverters.IteratorHasAsScala(queryLog.iterator).asScala
             .toSeq.sortBy(_._1).map { case (id, q) => Row(id, "FINISHED", q) }))
+      // system.jdbc.* — the relations JDBC clients introspect
+      // (reference: core/trino-main io.trino.connector.system.jdbc —
+      // CatalogJdbcTable, SchemaJdbcTable, TableJdbcTable,
+      // ColumnJdbcTable, with the JDBC-spec column spellings)
+      case Seq("system", "jdbc", "catalogs") =>
+        Some(rows(str("table_cat"), Seq(Row("graft"))))
+      case Seq("system", "jdbc", "schemas") =>
+        Some(rows(str("table_schem", "table_catalog"),
+          (schemas.keys.toSeq :+ "information_schema").distinct.sorted
+            .map(s => Row(s, "graft"))))
+      case Seq("system", "jdbc", "tables") =>
+        Some(rows(str("table_cat", "table_schem", "table_name", "table_type"),
+          allTables.sortBy(t => (t._1, t._2)).map { case (s, t, tt, _) =>
+            Row("graft", s, t, if (tt == "BASE TABLE") "TABLE" else tt) }))
+      case Seq("system", "jdbc", "columns") =>
+        Some(rows(StructType(
+          str("table_cat", "table_schem", "table_name", "column_name",
+            "type_name").fields ++ Seq(
+            StructField("ordinal_position", LongType, nullable = false),
+            StructField("is_nullable", StringType, nullable = false))),
+          allTables.sortBy(t => (t._1, t._2)).flatMap { case (s, t, _, sch) =>
+            sch().fields.zipWithIndex.map { case (f, i) =>
+              Row("graft", s, t, f.name, f.dataType.simpleString,
+                (i + 1).toLong, if (f.nullable) "YES" else "NO") } }))
       case Seq("system", "metadata", "catalogs") =>
         // connector_name: the store's record for DDL-created catalogs,
         // "dsv2" for programmatic CatalogPlugin registrations

@@ -61,6 +61,32 @@ class IcebergReadSpec extends SparkSpec {
     assert(s5.count() == s4.count() + 1)
   }
 
+  test("REST catalog: config, listings, LoadTableResult, 404 shape") {
+    val srv = new catalog.IcebergRestCatalog.Server()
+    try {
+      srv.register("graft", "nation", path)
+      val R = catalog.IcebergRestCatalog
+      assert(R.config("127.0.0.1", srv.port) == Map.empty)
+      assert(R.listNamespaces("127.0.0.1", srv.port) == Seq("graft"))
+      assert(R.listTables("127.0.0.1", srv.port, "graft") == Seq("nation"))
+      val (metaLoc, root) = R.loadTable("127.0.0.1", srv.port, "graft", "nation")
+      assert(metaLoc.endsWith(".metadata.json"))
+      assert(root == path) // the metadata's own location field
+      // read THROUGH the catalog == direct read (same snapshot)
+      val viaRest = R.read(spark, "127.0.0.1", srv.port, "graft", "nation")
+      val direct = catalog.IcebergRead.readTable(spark, path)
+      assert(viaRest.count() == direct.count())
+      // the catalog is consulted once per load, not per split
+      val before = srv.requests.get()
+      R.read(spark, "127.0.0.1", srv.port, "graft", "nation").count()
+      assert(srv.requests.get() - before == 1L)
+      // spec error envelope for unknown tables
+      val e = intercept[IllegalArgumentException](
+        R.loadTable("127.0.0.1", srv.port, "graft", "nope"))
+      assert(e.getMessage.contains("NoSuchTableException"), e.getMessage)
+    } finally srv.close()
+  }
+
   test("unsupported surface fails loudly") {
     intercept[IllegalArgumentException] {
       catalog.IcebergRead.readTable(spark, path + "_nope")

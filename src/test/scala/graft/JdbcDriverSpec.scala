@@ -113,12 +113,27 @@ class JdbcDriverSpec extends SparkSpec
     conn.close()
   }
 
-  test("metadata: getTables lists front-door tables") {
+  test("metadata: getTables answers the JDBC-spec column layout") {
     val conn = DriverManager.getConnection(url)
+    // reference TrinoDatabaseMetaData serves these from system.jdbc.*:
+    // TABLE_CAT, TABLE_SCHEM, TABLE_NAME, TABLE_TYPE
     val rs = conn.getMetaData.getTables(null, null, "%", null)
-    val tables = Iterator.continually(rs).takeWhile(_.next())
-      .map(_.getString(1).toLowerCase).toSet
+    val rows = Iterator.continually(rs).takeWhile(_.next())
+      .map(r => (r.getString(1), r.getString(2),
+        r.getString(3).toLowerCase, r.getString(4))).toSeq
+    val tables = rows.map(_._3).toSet
     assert(tables.contains("nation") && tables.contains("customer"))
+    assert(rows.forall(_._1 == "graft")) // TABLE_CAT
+    // fixture tables report TABLE (views created by other suites may
+    // coexist in a shared-session run and report their own type)
+    assert(rows.filter(r => Set("nation", "customer")(r._3))
+      .forall(_._4 == "TABLE"))
+    // getColumns: JDBC spellings with ordinal positions
+    val cols = conn.getMetaData.getColumns(null, null, "nation", "%")
+    val colRows = Iterator.continually(cols).takeWhile(_.next())
+      .map(r => (r.getString(2), r.getLong(4))).toSeq
+    assert(colRows.map(_._1) == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(colRows.head._2 == 1L)
     conn.close()
   }
 }

@@ -258,6 +258,27 @@ class StatementSpec extends SparkSpec {
     sql("DROP SCHEMA IF EXISTS meta_s")
   }
 
+  test("system.jdbc relations answer JDBC-spec introspection") {
+    // reference io.trino.connector.system.jdbc.* — the exact relations
+    // TrinoDatabaseMetaData queries, with JDBC column spellings
+    assert(sql("SELECT table_cat FROM system.jdbc.catalogs")
+      .collect().map(_.getString(0)).toSeq == Seq("graft"))
+    val schemas = sql("SELECT table_schem FROM system.jdbc.schemas")
+      .collect().map(_.getString(0)).toSet
+    assert(schemas.contains("default") && schemas.contains("information_schema"))
+    val tabs = sql("""SELECT table_name, table_type FROM system.jdbc.tables
+                      WHERE table_schem = 'default'""").collect()
+    assert(tabs.map(_.getString(0)).toSet.contains("nation"))
+    assert(tabs.forall(_.getString(1) == "TABLE"))
+    val cols = sql("""SELECT column_name, type_name, ordinal_position, is_nullable
+                      FROM system.jdbc.columns WHERE table_name = 'nation'
+                      ORDER BY ordinal_position""").collect()
+    assert(cols.map(_.getString(0)).toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(cols.head.getLong(2) == 1L)
+    assert(cols.forall(r => Set("YES", "NO")(r.getString(3))))
+  }
+
   test("EXECUTE IMMEDIATE runs inline text with USING binding") {
     val rows = sql(
       "EXECUTE IMMEDIATE 'SELECT n_name FROM nation WHERE n_nationkey = ? ORDER BY 1' USING 3")
