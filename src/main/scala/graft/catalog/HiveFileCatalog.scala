@@ -243,6 +243,40 @@ object HiveFileCatalog {
       meta.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Declare a table's METADATA only (the HMS create_table semantic: data
+    * files are staged by the caller; registration makes them visible).
+    * `externalLocation` marks an EXTERNAL_TABLE over staged files. */
+  def declareTable(catalogDir: String, db: String, table: String,
+      tableType: String, dataColumns: Seq[HiveColumn],
+      partitionColumns: Seq[HiveColumn], format: String,
+      externalLocation: Option[String]): Unit = {
+    val dbDir = new File(catalogDir, db)
+    if (!new File(dbDir, ".trinoSchema").isFile) {
+      dbDir.mkdirs()
+      Files.write(Paths.get(dbDir.getAbsolutePath, ".trinoSchema"),
+        s"""{"databaseName":${jq(db)},"parameters":{}}"""
+          .getBytes(StandardCharsets.UTF_8))
+    }
+    val dir = new File(dbDir, table)
+    require(!new File(dir, ".trinoSchema").isFile,
+      s"AlreadyExistsException: table $db.$table already exists")
+    dir.mkdirs()
+    def colJson(c: HiveColumn): String =
+      s"""{"name":${jq(c.name)},"type":${jq(c.hiveType)}}"""
+    val ext = externalLocation
+      .map(l => s""""externalLocation":${jq(l)},""").getOrElse("")
+    val meta =
+      s"""{"tableType":${jq(tableType)},
+           "dataColumns":[${dataColumns.map(colJson).mkString(",")}],
+           "partitionColumns":[${partitionColumns.map(colJson).mkString(",")}],
+           "parameters":{},$ext
+           "storageFormat":${jq(format.toUpperCase)},
+           "serdeParameters":{}}"""
+    Files.write(Paths.get(dir.getAbsolutePath, ".trinoSchema"),
+      meta.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
   private def jq(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 }

@@ -103,13 +103,6 @@ object ThriftHiveMetastore {
   private def handleCall(catalogDir: String, method: String, seqid: Int,
       r: Reader, w: Writer): Unit = {
 
-    // read the args struct fields we understand; skip the rest
-    var args = Vector.empty[String]
-    r.readStruct { (t, _) =>
-      if (t == STRING) args :+= r.string()
-      else r.skip(t)
-    }
-
     def reply(body: Writer => Unit): Unit = {
       w.messageBegin(method, REPLY, seqid)
       body(w); w.stop()
@@ -117,6 +110,48 @@ object ThriftHiveMetastore {
     def noSuchObject(msg: String): Unit = reply { w =>
       w.fieldBegin(STRUCT, 1) // o1: NoSuchObjectException
       w.stringField(1, msg); w.stop()
+    }
+
+    // create_table carries a STRUCT argument — parse it before the
+    // string-only generic args pass below would skip it
+    if (method == "create_table") {
+      var tbl: Option[ThriftTable] = None
+      r.readStruct { (t, id) =>
+        if (t == STRUCT && id == 1) tbl = Some(readTableStruct(r)) else r.skip(t)
+      }
+      tbl match {
+        case None => noSuchObject("create_table: no Table argument")
+        case Some(t) =>
+          try {
+            val cols = t.dataColumns.map(c =>
+              HiveFileCatalog.HiveColumn(c.name, c.hiveType))
+            val parts = t.partitionKeys.map(c =>
+              HiveFileCatalog.HiveColumn(c.name, c.hiveType))
+            // a location outside the metastore's own directory makes an
+            // EXTERNAL table over staged files (the CTAS commit shape)
+            val defaultDir = new File(new File(catalogDir, t.dbName),
+              t.tableName).getAbsolutePath
+            val ext = Option(t.location).map(_.stripPrefix("file:"))
+              .filter(l => l.nonEmpty && l != defaultDir)
+            HiveFileCatalog.declareTable(catalogDir, t.dbName, t.tableName,
+              if (ext.isDefined) "EXTERNAL_TABLE" else t.tableType,
+              cols, parts, t.storageFormat, ext.map("file:" + _))
+            reply(_ => ()) // void success: empty result struct
+          } catch {
+            case e: Exception => reply { w =>
+              w.fieldBegin(STRUCT, 1) // o1: AlreadyExistsException shape
+              w.stringField(1, String.valueOf(e.getMessage)); w.stop()
+            }
+          }
+      }
+      return
+    }
+
+    // read the args struct fields we understand; skip the rest
+    var args = Vector.empty[String]
+    r.readStruct { (t, _) =>
+      if (t == STRING) args :+= r.string()
+      else r.skip(t)
     }
 
     method match {
@@ -253,6 +288,62 @@ object ThriftHiveMetastore {
       storageFormat: String)
   final case class ThriftPartition(values: Seq[String], location: String)
 
+  // shared Table-struct codec (the client reads get_table replies; the
+  // server reads create_table arguments — same wire shape both ways)
+
+  private def readFieldSchemas(r: Reader): Seq[ThriftColumn] = {
+    val (et, n) = r.listBegin()
+    require(et == STRUCT, s"expected list<FieldSchema>, got $et")
+    (0 until n).map { _ =>
+      var name = ""; var tpe = ""
+      r.readStruct { (t, id) =>
+        (t, id) match {
+          case (STRING, 1) => name = r.string()
+          case (STRING, 2) => tpe = r.string()
+          case _ => r.skip(t)
+        }
+      }
+      ThriftColumn(name, tpe)
+    }
+  }
+
+  private def readSd(r: Reader): (Seq[ThriftColumn], String, String) = {
+    var cols = Seq.empty[ThriftColumn]
+    var location = ""
+    var serde = ""
+    r.readStruct { (t, id) =>
+      (t, id) match {
+        case (LIST, 1) => cols = readFieldSchemas(r)
+        case (STRING, 2) => location = r.string()
+        case (STRUCT, 7) =>
+          r.readStruct { (ft, fid) =>
+            if (ft == STRING && fid == 2) serde = r.string() else r.skip(ft)
+          }
+        case _ => r.skip(t)
+      }
+    }
+    (cols, location, serde)
+  }
+
+  private def readTableStruct(r: Reader): ThriftTable = {
+    var tableName = ""; var dbName = ""; var tableType = ""
+    var cols = Seq.empty[ThriftColumn]; var parts = Seq.empty[ThriftColumn]
+    var location = ""; var serde = ""
+    r.readStruct { (t, id) =>
+      (t, id) match {
+        case (STRING, 1) => tableName = r.string()
+        case (STRING, 2) => dbName = r.string()
+        case (STRUCT, 7) =>
+          val (c, l, s) = readSd(r); cols = c; location = l; serde = s
+        case (LIST, 8) => parts = readFieldSchemas(r)
+        case (STRING, 12) => tableType = r.string()
+        case _ => r.skip(t)
+      }
+    }
+    ThriftTable(dbName, tableName, tableType, cols, parts, location,
+      formatFromSerde(serde))
+  }
+
   final class NoSuchObject(msg: String) extends RuntimeException(msg)
 
   /** One-connection blocking HMS client (the reference pools these; one
@@ -317,8 +408,69 @@ object ThriftHiveMetastore {
     def getTable(db: String, tbl: String): ThriftTable =
       call("get_table",
         w => { w.stringField(1, db); w.stringField(2, tbl) }) { (t, id, r) =>
-        if (t == STRUCT && id == 0) Some(readTable(r)) else None
+        if (t == STRUCT && id == 0) Some(readTableStruct(r)) else None
       }
+
+    /** HMS `void create_table(1: Table tbl)` — registration makes staged
+      * files visible (reference HiveMetadata.finishCreateTable commits
+      * through exactly this call). Declared exceptions (AlreadyExists…)
+      * surface as [[NoSuchObject]]-style remote errors. */
+    def createTable(t: ThriftTable): Unit =
+      callVoid("create_table", w => {
+        w.fieldBegin(STRUCT, 1)
+        w.stringField(1, t.tableName)
+        w.stringField(2, t.dbName)
+        w.stringField(3, "graft")
+        w.fieldBegin(STRUCT, 7) // sd
+        w.fieldBegin(LIST, 1)
+        w.listBegin(STRUCT, t.dataColumns.size)
+        t.dataColumns.foreach { c =>
+          w.stringField(1, c.name); w.stringField(2, c.hiveType); w.stop()
+        }
+        w.stringField(2, t.location)
+        w.fieldBegin(STRUCT, 7) // serdeInfo: serializationLib names the format
+        w.stringField(2, FormatClasses(t.storageFormat.toUpperCase)._3)
+        w.stop()
+        w.stop() // sd
+        w.fieldBegin(LIST, 8)
+        w.listBegin(STRUCT, t.partitionKeys.size)
+        t.partitionKeys.foreach { c =>
+          w.stringField(1, c.name); w.stringField(2, c.hiveType); w.stop()
+        }
+        w.stringField(12, t.tableType)
+        w.stop() // table
+      })
+
+    /** Like [[call]] but for void methods: an empty result struct is
+      * success; declared exception fields still raise. */
+    private def callVoid(method: String, writeArgs: Writer => Unit): Unit = {
+      seq += 1
+      w.messageBegin(method, CALL, seq)
+      writeArgs(w)
+      w.stop()
+      w.flush()
+      val (name, msgType, seqid) = r.messageBegin()
+      require(seqid == seq && name == method,
+        s"thrift reply mismatch: $name#$seqid for $method#$seq")
+      if (msgType == EXCEPTION) {
+        var msg = "thrift application exception"
+        r.readStruct { (t, id) =>
+          if (t == STRING && id == 1) msg = r.string() else r.skip(t)
+        }
+        throw new IllegalStateException(msg)
+      }
+      var error: Option[String] = None
+      r.readStruct { (t, id) =>
+        if (t == STRUCT && id >= 1) {
+          var msg = "remote exception"
+          r.readStruct { (ft, fid) =>
+            if (ft == STRING && fid == 1) msg = r.string() else r.skip(ft)
+          }
+          error = Some(msg)
+        } else r.skip(t)
+      }
+      error.foreach(m => throw new NoSuchObject(m))
+    }
 
     def getPartitions(db: String, tbl: String,
         max: Int = Short.MaxValue): Seq[ThriftPartition] =
@@ -332,59 +484,6 @@ object ThriftHiveMetastore {
           Some((0 until n).map(_ => readPartition(r)))
         } else None
       }
-
-    private def readFieldSchemas(r: Reader): Seq[ThriftColumn] = {
-      val (et, n) = r.listBegin()
-      require(et == STRUCT, s"expected list<FieldSchema>, got $et")
-      (0 until n).map { _ =>
-        var name = ""; var tpe = ""
-        r.readStruct { (t, id) =>
-          (t, id) match {
-            case (STRING, 1) => name = r.string()
-            case (STRING, 2) => tpe = r.string()
-            case _ => r.skip(t)
-          }
-        }
-        ThriftColumn(name, tpe)
-      }
-    }
-
-    private def readSd(r: Reader): (Seq[ThriftColumn], String, String) = {
-      var cols = Seq.empty[ThriftColumn]
-      var location = ""
-      var serde = ""
-      r.readStruct { (t, id) =>
-        (t, id) match {
-          case (LIST, 1) => cols = readFieldSchemas(r)
-          case (STRING, 2) => location = r.string()
-          case (STRUCT, 7) =>
-            r.readStruct { (ft, fid) =>
-              if (ft == STRING && fid == 2) serde = r.string() else r.skip(ft)
-            }
-          case _ => r.skip(t)
-        }
-      }
-      (cols, location, serde)
-    }
-
-    private def readTable(r: Reader): ThriftTable = {
-      var tableName = ""; var dbName = ""; var tableType = ""
-      var cols = Seq.empty[ThriftColumn]; var parts = Seq.empty[ThriftColumn]
-      var location = ""; var serde = ""
-      r.readStruct { (t, id) =>
-        (t, id) match {
-          case (STRING, 1) => tableName = r.string()
-          case (STRING, 2) => dbName = r.string()
-          case (STRUCT, 7) =>
-            val (c, l, s) = readSd(r); cols = c; location = l; serde = s
-          case (LIST, 8) => parts = readFieldSchemas(r)
-          case (STRING, 12) => tableType = r.string()
-          case _ => r.skip(t)
-        }
-      }
-      ThriftTable(dbName, tableName, tableType, cols, parts, location,
-        formatFromSerde(serde))
-    }
 
     private def readPartition(r: Reader): ThriftPartition = {
       var values = Seq.empty[String]; var location = ""

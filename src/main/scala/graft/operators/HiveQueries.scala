@@ -92,13 +92,60 @@ object HiveQueries {
               CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum
        FROM supplier WHERE s_nationkey % 5 = 1"""
 
+  /** HMS WRITE over the thrift wire (reference HiveMetadata
+    * beginCreateTable/finishCreateTable → ThriftHiveMetastore
+    * createTable): data files are STAGED first, then `create_table`
+    * registers them — the wire call is the commit that makes the rows
+    * visible; the same wire read then serves them. Idempotent per
+    * fixture dir (a re-run's AlreadyExistsException is the proof the
+    * commit stuck). */
+  def q_fed_hive_thrift_write(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.catalog.ThriftHiveMetastore
+    import ThriftHiveMetastore.{ThriftColumn, ThriftTable}
+    val wh = warehouse(s, dir)
+    val hms = ThriftHiveMetastore.serve(wh)
+    try {
+      val staged = new File(System.getProperty("java.io.tmpdir"),
+        s"graft_thrift_ctas_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      if (!new File(staged, "_SUCCESS").exists()) {
+        table(s, dir, "orders").filter($"o_orderkey" <= 5000L)
+          .select($"o_orderkey".cast("long").as("o_orderkey"),
+            $"o_orderstatus",
+            $"o_totalprice".cast("double").as("o_totalprice"))
+          .write.mode("overwrite").parquet(staged.getAbsolutePath)
+      }
+      val c = new ThriftHiveMetastore.Client("127.0.0.1", hms.port)
+      try c.createTable(ThriftTable("sales", "wired_orders", "MANAGED_TABLE",
+        Seq(ThriftColumn("o_orderkey", "bigint"),
+          ThriftColumn("o_orderstatus", "string"),
+          ThriftColumn("o_totalprice", "double")),
+        Nil, "file:" + staged.getAbsolutePath, "PARQUET"))
+      catch { case _: ThriftHiveMetastore.NoSuchObject => () } // committed
+      finally c.close()
+      ThriftHiveMetastore.readTable(s, "127.0.0.1", hms.port,
+          "sales", "wired_orders")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(14,2)")).cast("double").as("total"))
+        .orderBy($"o_orderstatus")
+    } finally hms.stop()
+  }
+  val qFedHiveThriftWriteSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+       FROM orders WHERE o_orderkey <= 5000
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "q_fed_hive" -> q_fed_hive _,
     "q_fed_hive_text" -> q_fed_hive_text _,
-    "q_fed_hive_thrift" -> q_fed_hive_thrift _)
+    "q_fed_hive_thrift" -> q_fed_hive_thrift _,
+    "q_fed_hive_thrift_write" -> q_fed_hive_thrift_write _)
   val oracles: Map[String, String] = Map(
     "q_fed_hive" -> qFedHiveSql,
     "q_fed_hive_text" -> qFedHiveTextSql,
-    "q_fed_hive_thrift" -> qFedHiveThriftSql)
+    "q_fed_hive_thrift" -> qFedHiveThriftSql,
+    "q_fed_hive_thrift_write" -> qFedHiveThriftWriteSql)
 }

@@ -91,6 +91,40 @@ class ThriftMetastoreSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll
     assert(r.getLong(0) > 0 && r.getLong(1) == 3)
   }
 
+  test("create_table over the wire commits staged files (CTAS shape)") {
+    import spark.implicits._
+    import ThriftHiveMetastore.{ThriftColumn, ThriftTable}
+    // stage data files FIRST (reference HiveMetadata.beginCreateTable),
+    // then register them through the wire — registration is the commit
+    val staged = new File("/tmp/graft_thrift_ctas_stage")
+    val nat = graft.sources.Tables.load(spark, sfDir, "nation")
+      .select($"n_nationkey".cast("long").as("k"), $"n_name".as("name"))
+    nat.write.mode("overwrite").parquet(staged.getAbsolutePath)
+    val c = new ThriftHiveMetastore.Client("127.0.0.1", hms.port)
+    try {
+      c.createTable(ThriftTable("wh", "wired_nation", "MANAGED_TABLE",
+        Seq(ThriftColumn("k", "bigint"), ThriftColumn("name", "string")),
+        Nil, "file:" + staged.getAbsolutePath, "PARQUET"))
+      // visible in listings; metadata round-trips
+      assert(c.getAllTables("wh").contains("wired_nation"))
+      val t = c.getTable("wh", "wired_nation")
+      assert(t.dataColumns.map(_.name) == Seq("k", "name"))
+      assert(t.storageFormat == "PARQUET")
+      assert(t.tableType == "EXTERNAL_TABLE") // staged-location commit
+      // the wire read path sees the committed rows
+      val back = ThriftHiveMetastore.readTable(spark, "127.0.0.1", hms.port,
+        "wh", "wired_nation")
+      assert(back.count() == 25L)
+      assert(back.agg(sum($"k")).head().getLong(0) == (0L until 25L).sum)
+      // duplicate create raises the declared exception
+      val dup = intercept[ThriftHiveMetastore.NoSuchObject](
+        c.createTable(ThriftTable("wh", "wired_nation", "MANAGED_TABLE",
+          Seq(ThriftColumn("k", "bigint")), Nil,
+          "file:" + staged.getAbsolutePath, "PARQUET")))
+      assert(dup.getMessage.contains("AlreadyExists"), dup.getMessage)
+    } finally c.close()
+  }
+
   test("full read resolves all metadata over the wire and matches the file path") {
     import spark.implicits._
     val wire = ThriftHiveMetastore.readTable(spark, "127.0.0.1", hms.port,
