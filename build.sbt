@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// tests use a scratch catalog store so runs never see (or pollute) the
+// user-level default at ~/.graft/catalog
+Test / javaOptions += s"-Dgraft.catalog.store=${(ThisBuild / baseDirectory).value}/target/test-catalog-store"

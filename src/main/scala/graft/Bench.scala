@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{lit, pmod, sum, xxhash64}
 
 /** Benchmark harness (driver contract): one JSON line on stdout.
   *
@@ -171,7 +172,37 @@ object Bench {
     val heapMb = Runtime.getRuntime.maxMemory >> 20
     val replay = names.map(n =>
       "\"" + n + "\":" + replayOnly.contains(n)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"replay_only":$replay,"heap_mb":$heapMb,"sf":"$sfDir"}""")
+    // Fixed-work calibration (round-12 advice: r12's board-wide +18% on
+    // untouched queries made round-over-round comparison guesswork). Two
+    // constant-work probes, independent of SF and of the repo's code:
+    //   cpu    — sum(xxhash64(id)) over 200M rows, 32 partitions: pure
+    //            compute, no shuffle; tracks CPU steal/JIT/GC condition.
+    //   shuffle— 20M rows → groupBy(id % 100k) count: one full exchange;
+    //            tracks disk+scheduler condition.
+    // Ratios between rounds normalize machine drift: if BENCH_rN's
+    // calibration is k× BENCH_rM's, k is the machine, not the code.
+    def calCpu(): Unit = {
+      import spark.implicits._
+      // modular sum: 2e8 summands < 2^30 each cannot overflow ANSI long
+      spark.range(0, 200L * 1000 * 1000, 1, 32)
+        .select(sum(pmod(xxhash64($"id"), lit(1000000007L))))
+        .write.format("noop").mode("overwrite").save()
+    }
+    def calShuffle(): Unit = {
+      import spark.implicits._
+      spark.range(0, 20L * 1000 * 1000, 1, 32)
+        .groupBy(($"id" % 100000).as("k")).count()
+        .write.format("noop").mode("overwrite").save()
+    }
+    def calTimed(f: () => Unit): Double = {
+      f() // warm
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val calibration =
+      s"""{"cpu_hash_200m":${f"${calTimed(() => calCpu())}%.3f"},"shuffle_20m":${f"${calTimed(() => calShuffle())}%.3f"}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"replay_only":$replay,"calibration":$calibration,"heap_mb":$heapMb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,14 +44,27 @@ object CatalogStore {
     "elasticsearch" -> (classOf[EsWireCatalog].getName, Seq("host", "port")))
 
   /** Store directory (one .properties file per catalog). Overridable for
-    * tests/deployments via -Dgraft.catalog.store; defaults per-process. */
+    * tests/deployments via -Dgraft.catalog.store; the DEFAULT is a stable
+    * per-user path (round-12 advice: a PID-suffixed tmp dir meant load()
+    * could never see a previous process's catalogs, defeating the
+    * restart-reload contract — and catalog properties may hold credentials,
+    * so the files live under the user's home with owner-only permissions,
+    * mirroring the reference's etc/catalog directory). */
   private def storeDir: Path = {
     val p = sys.props.get("graft.catalog.store").map(Paths.get(_)).getOrElse(
-      Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_catalog_store_${ProcessHandle.current().pid()}"))
+      Paths.get(System.getProperty("user.home"), ".graft", "catalog"))
     Files.createDirectories(p)
+    restrictToOwner(p)
     p
   }
+
+  /** Best-effort POSIX rwx------ / rw------- (no-op on non-POSIX stores). */
+  private def restrictToOwner(p: Path): Unit =
+    try {
+      import java.nio.file.attribute.PosixFilePermissions
+      Files.setPosixFilePermissions(p, PosixFilePermissions.fromString(
+        if (Files.isDirectory(p)) "rwx------" else "rw-------"))
+    } catch { case _: UnsupportedOperationException => }
 
   private def fileOf(name: String): Path = storeDir.resolve(s"$name.properties")
 
@@ -84,6 +97,7 @@ object CatalogStore {
     props.foreach { case (k, v) => p.setProperty(k, v) }
     val out = Files.newOutputStream(fileOf(name))
     try p.store(out, null) finally out.close()
+    restrictToOwner(fileOf(name)) // properties may carry credentials
     live(name) = connector.toLowerCase
   }
 

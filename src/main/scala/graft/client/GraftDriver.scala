@@ -392,7 +392,9 @@ object GraftDriver {
             "table_name AS TABLE_NAME, table_type AS TABLE_TYPE " +
             "FROM system.jdbc.tables ORDER BY table_name"))
       case ("getColumns", args) =>
-        val table = args(2).asInstanceOf[String]
+        // escape quotes: a caller-supplied name must never inject SQL
+        // (the reference JDBC driver escapes metadata pattern arguments)
+        val table = args(2).asInstanceOf[String].replace("'", "''")
         resultSet(StatementClient.execute(base,
           "SELECT table_name AS TABLE_NAME, column_name AS COLUMN_NAME, " +
             "type_name AS TYPE_NAME, ordinal_position AS ORDINAL_POSITION, " +

@@ -57,6 +57,41 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** POSITIONAL n-gram hashes (length = tokens−n+1, not distinct-reduced):
+    * hash of the space-joined n-gram at every position, bit-identical to
+    * `xxhash64(concat_ws(' ', slice(toks, i+1, n)))` (Spark's xxhash64 on a
+    * string = XXH64 over its UTF-8 bytes, seed 42 = SeedA) — but computed by
+    * copying token bytes into ONE reusable byte buffer per row instead of
+    * materializing every shingle as a UTF8String. The round-12 verdict
+    * measured the concat_ws materialization as the only work-dominated bench
+    * entry above the 2× letter (q_text_contamination); at 100 TB the
+    * transient shingle strings are pure allocation pressure. */
+  def ngramHashSeq(toks: ArrayData, n: Int): GenericArrayData = {
+    val sz = toks.numElements()
+    if (sz < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](sz - n + 1)
+    var buf = new Array[Byte](256)
+    val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    var i = 0
+    while (i <= sz - n) {
+      var pos = 0
+      var j = 0
+      while (j < n) {
+        val t = toks.getUTF8String(i + j)
+        val tb = if (t == null) 0 else t.numBytes
+        if (pos + tb + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(pos + tb + 1, buf.length * 2))
+        if (t != null) t.writeToMemory(buf, base + pos)
+        pos += tb
+        if (j < n - 1) { buf(pos) = ' '.toByte; pos += 1 }
+        j += 1
+      }
+      out(i) = XXH64.hashUnsafeBytes(buf, base, pos, SeedA)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def joinTokens(toks: ArrayData, start: Int, len: Int): UTF8String = {
     val parts = new Array[UTF8String](len)
     var i = 0
@@ -84,6 +119,28 @@ case class WordNGramHashes(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any =
     TextHash.ngramHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → array<long> POSITIONAL word-n-gram hashes (one per
+  * window position, not distinct-reduced) — the string-free contamination
+  * shingle kernel (TextHash.ngramHashSeq). */
+case class WordNGramHashSeq(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_ngram_hash_seq"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.ngramHashSeq(input.asInstanceOf[ArrayData], n)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -37,6 +37,13 @@ object TextFunctions {
   def shingleHashes3(toks: Column): Column =
     column(WordNGramHashes(expression(toks), 3))
 
+  /** POSITIONAL word-n-gram hashes (array<bigint>, one per window position —
+    * NOT distinct-reduced). Bit-identical to
+    * `xxhash64(concat_ws(' ', slice(toks, i+1, n)))` per position, without
+    * materializing the shingle strings (contamination-scan hot path). */
+  def shingleHashSeq(toks: Column, n: Int): Column =
+    column(WordNGramHashSeq(expression(toks), n))
+
   /** k-wide minhash signature of a shingle array (array<bigint>, length k). */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     column(MinHashSignature(expression(shingleCol), k))

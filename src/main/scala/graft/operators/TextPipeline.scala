@@ -132,21 +132,22 @@ object TextPipeline {
     * without a shuffle of the corpus. */
   def q_text_contamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def shingled(df: DataFrame): DataFrame = df
-      .withColumn("toks", split($"text", " "))
-      .withColumn("n", size($"toks"))
-      .filter($"n" >= Gram)
-      .withColumn("i", explode(sequence(lit(0), $"n" - Gram)))
-      .withColumn("shingle", concat_ws(" ", slice($"toks", $"i" + 1, lit(Gram))))
-    val docs = table(s, dir, "documents")
+    import graft.functions.TextFunctions.shingleHashSeq
     // shingles reduce to 64-bit hashes BEFORE the distinct/join: the
     // broadcast set and the probe stream carry 8 bytes per shingle instead
     // of the text (boilerplate shingles stop being hot long keys at 100 TB);
-    // distinct-hash counts equal distinct-text counts modulo 2^-64 collisions
+    // distinct-hash counts equal distinct-text counts modulo 2^-64 collisions.
+    // The hash is computed by a compiled byte-buffer kernel (WordNGramHashSeq,
+    // value-identical to xxhash64(concat_ws(' ', slice(toks, i+1, 8)))) —
+    // no shingle string is ever materialized (round-12 verdict: the
+    // concat_ws strings were the kernel's allocation bottleneck).
+    def shingled(df: DataFrame): DataFrame = df
+      .select($"doc_id",
+        explode(shingleHashSeq(split($"text", " "), Gram)).as("sh"))
+    val docs = table(s, dir, "documents")
     val bench = shingled(docs.filter($"doc_id" % 50 === 0))
-      .select(xxhash64($"shingle").as("sh")).distinct()
+      .select($"sh").distinct()
     val corpus = shingled(docs.filter($"doc_id" % 50 =!= 0))
-      .select($"doc_id", xxhash64($"shingle").as("sh"))
     corpus.join(broadcast(bench), "sh")
       .groupBy($"doc_id")
       .agg(countDistinct($"sh").as("hit_shingles"))

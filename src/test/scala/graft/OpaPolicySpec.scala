@@ -133,12 +133,16 @@ class OpaPolicySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     ctx("/v1/data/trino/allow")(_ => """{"result":true}""")
     // rego policy: hank sees only region 1 of nation; others unshaped
     ctx("/v1/data/trino/rowFilters") { body =>
+      filterProbes.incrementAndGet()
+      probedTables.add(body)
       if (body.contains(""""user":"hank"""") && body.contains("nation"))
         """{"result":[{"expression":"n_regionkey = 1"}]}"""
       else """{"result":[]}"""
     }
     // rego policy: hank sees n_name masked to its first letter
     ctx("/v1/data/trino/columnMask") { body =>
+      maskProbes.incrementAndGet()
+      probedTables.add(body)
       if (body.contains(""""user":"hank"""") &&
           body.contains(""""columnName":"n_name""""))
         """{"result":{"expression":"substring(n_name, 1, 1)"}}"""

@@ -67,6 +67,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("shingleHashSeq is bit-identical to xxhash64(concat_ws) per position") {
+    // the contamination kernel replaced string materialization with a
+    // byte-buffer hash (round-12 verdict); this pins the value contract
+    import graft.functions.TextFunctions._
+    val words = Gen.listOfN(30, Gen.alphaLowerStr.map(w => if (w.isEmpty) "w" else w.take(6)))
+    (1 to 8).foreach { i =>
+      val doc = draw(words, i + 500).mkString(" ")
+      for (n <- Seq(1, 3, 8)) {
+        val df = Seq(doc).toDF("text")
+          .withColumn("toks", split($"text", " "))
+          .withColumn("fast", shingleHashSeq($"toks", n))
+          .withColumn("slow", when(size($"toks") >= n,
+            transform(sequence(lit(0), size($"toks") - n), j =>
+              xxhash64(concat_ws(" ", slice($"toks", j + 1, lit(n))))))
+            .otherwise(array().cast("array<bigint>")))
+        val r = df.select($"fast", $"slow").collect()(0)
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"seed $i n=$n")
+      }
+    }
+  }
+
   test("ipToLong matches octet arithmetic across the domain") {
     import graft.functions.ScalarFunctions._
     val octet = Gen.chooseNum(0, 255)

@@ -245,4 +245,47 @@ class SecuritySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(n == 5L)
     } finally graft.sqlx.RowSecurity.dropRowFilter("grace", "sec_nat")
   }
+
+  test("chained CTEs: later siblings see earlier CTE names, not base tables") {
+    secNat
+    // r12 advice: in WITH a AS (...), b AS (SELECT FROM a), the `a` inside
+    // b must resolve to the CTE — a policy on a real table named `a` must
+    // NOT be spliced onto the CTE output
+    graft.sqlx.RowSecurity.setRowFilter("grace", "sec_nat", "n_regionkey = 1")
+    try {
+      val n = asUser("grace")(
+        """WITH sec_nat AS (SELECT * FROM sec_nat),
+                b AS (SELECT * FROM sec_nat)
+           SELECT count(*) AS n FROM b""").collect().head.getLong(0)
+      assert(n == 5L, s"chained CTE read $n rows (double-filter or resolution error)")
+    } finally graft.sqlx.RowSecurity.dropRowFilter("grace", "sec_nat")
+  }
+
+  test("time travel reads through row filters and column masks") {
+    // r12 advice (high): FOR VERSION AS OF bypassed secureRel entirely —
+    // an enforced user could read every hidden row of the current version
+    sql("CREATE OR REPLACE TABLE sec_tt AS " +
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    sql("GRANT SELECT ON sec_tt TO heidi")
+    graft.sqlx.RowSecurity.setRowFilter("heidi", "sec_tt", "n_regionkey = 1")
+    graft.sqlx.RowSecurity.setColumnMask("heidi", "sec_tt", "n_name",
+      "CAST(NULL AS VARCHAR)")
+    try {
+      val latestV = asUser("heidi")(
+        "SELECT count(*) AS n FROM sec_tt FOR VERSION AS OF 1")
+        .collect().head.getLong(0)
+      assert(latestV == 5L, s"versioned read saw $latestV rows past the filter")
+      val masked = asUser("heidi")(
+        "SELECT n_name FROM sec_tt FOR VERSION AS OF 1").collect()
+      assert(masked.nonEmpty && masked.forall(_.isNullAt(0)),
+        "versioned read saw unmasked values")
+      // owner path unchanged
+      val all = sql("SELECT count(*) AS n FROM sec_tt FOR VERSION AS OF 1")
+        .collect().head.getLong(0)
+      assert(all == 25L)
+    } finally {
+      graft.sqlx.RowSecurity.dropRowFilter("heidi", "sec_tt")
+      graft.sqlx.RowSecurity.dropColumnMask("heidi", "sec_tt", "n_name")
+    }
+  }
 }
