@@ -125,10 +125,34 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    def timed(name: String): Double = {
+    // locale-stable decimal formatting (round-13 advice: the f interpolator
+    // is locale-sensitive — a comma-decimal default locale would emit an
+    // unparseable artifact line)
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    // Per-query measurement context (round-13 verdict What's wrong #2: the
+    // in-suite q_agg_distinct ran 4× its solo A/B time; attribute it):
+    //   gc  — JVM GC time spent DURING the query's own pass
+    //   sto — storage-memory (cached/checkpointed RDD blocks) resident when
+    //         the query starts, i.e. how much of the unified pool earlier
+    //         queries' materializations are squeezing out of execution
+    def gcSec(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum / 1e3
+    }
+    def storageMb(): Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
+
+    final case class Sample(sec: Double, gc: Double, stoMb: Long)
+
+    def timed(name: String): Sample = {
+      val sto = storageMb()
+      val g0 = gcSec()
       val t0 = System.nanoTime()
       run(name)
-      (System.nanoTime() - t0) / 1e9
+      Sample((System.nanoTime() - t0) / 1e9, gcSec() - g0, sto)
     }
 
     // Dev-only: SPARK_GRAFT_BENCH_ONLY=<regex> restricts the set for iteration.
@@ -141,12 +165,13 @@ object Bench {
     // stall (GC, co-tenant CPU steal) poisons at most one PASS of a query
     // instead of all of its samples — the min over passes stays clean.
     val failed = scala.collection.mutable.Set.empty[String]
-    def tryRun(name: String): Double =
-      try { if (failed(name)) -1.0 else timed(name) }
+    val miss = Sample(-1.0, 0.0, 0L)
+    def tryRun(name: String): Sample =
+      try { if (failed(name)) miss else timed(name) }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed += name; -1.0
+          failed += name; miss
       }
     names.foreach(tryRun); names.foreach(tryRun) // 2 prewarm passes (codegen + file listing + JIT)
     val passes = Seq.fill(3) {
@@ -156,19 +181,24 @@ object Bench {
       System.gc(); Thread.sleep(200)
       names.map(n => n -> tryRun(n)).toMap
     }
+    // per query: the min-time pass wins; its gc/storage context ships too
     val results = names.map { n =>
-      val ts = passes.map(_(n)).filter(_ >= 0)
-      n -> (if (ts.isEmpty) -1.0 else ts.min)
+      val ss = passes.map(_(n)).filter(_.sec >= 0)
+      n -> (if (ss.isEmpty) miss else ss.minBy(_.sec))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val qs = results.map { case (k, s) => "\"" + k + "\":" + s.sec }.mkString("{", ",", "}")
+    val total = results.map(_._2.sec).filter(_ >= 0).sum
     // Raw per-pass samples alongside the min: a contaminated run (co-tenant
     // steal, GC storm) is then self-evident from the artifact — the poisoned
     // pass shows up as an outlier sample instead of silently inflating the
     // reported minimum.
     val samples = names.map { n =>
-      "\"" + n + "\":" + passes.map(p => f"${p(n)}%.3f").mkString("[", ",", "]")
+      "\"" + n + "\":" + passes.map(p => d3(p(n).sec)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val gcJson = results.map { case (k, s) =>
+      "\"" + k + "\":" + d3(s.gc) }.mkString("{", ",", "}")
+    val stoJson = results.map { case (k, s) =>
+      "\"" + k + "\":" + s.stoMb }.mkString("{", ",", "}")
     val heapMb = Runtime.getRuntime.maxMemory >> 20
     val replay = names.map(n =>
       "\"" + n + "\":" + replayOnly.contains(n)).mkString("{", ",", "}")
@@ -201,8 +231,8 @@ object Bench {
       }.min
     }
     val calibration =
-      s"""{"cpu_hash_200m":${f"${calTimed(() => calCpu())}%.3f"},"shuffle_20m":${f"${calTimed(() => calShuffle())}%.3f"}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"replay_only":$replay,"calibration":$calibration,"heap_mb":$heapMb,"sf":"$sfDir"}""")
+      s"""{"cpu_hash_200m":${d3(calTimed(() => calCpu()))},"shuffle_20m":${d3(calTimed(() => calShuffle()))}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samples,"gc_sec":$gcJson,"storage_mb_before":$stoJson,"replay_only":$replay,"calibration":$calibration,"heap_mb":$heapMb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -53,8 +53,17 @@ object CatalogStore {
   private def storeDir: Path = {
     val p = sys.props.get("graft.catalog.store").map(Paths.get(_)).getOrElse(
       Paths.get(System.getProperty("user.home"), ".graft", "catalog"))
-    Files.createDirectories(p)
-    restrictToOwner(p)
+    // create with owner-only perms ATOMICALLY (round-13 advice: a
+    // create-then-chmod sequence leaves a world-readable window — persistent
+    // if the process dies between the two calls)
+    try {
+      import java.nio.file.attribute.PosixFilePermissions
+      Files.createDirectories(p, PosixFilePermissions.asFileAttribute(
+        PosixFilePermissions.fromString("rwx------")))
+    } catch {
+      case _: UnsupportedOperationException => Files.createDirectories(p)
+    }
+    restrictToOwner(p) // tighten pre-existing dirs created by older builds
     p
   }
 
@@ -95,9 +104,19 @@ object CatalogStore {
     val p = new Properties()
     p.setProperty("connector.name", connector.toLowerCase)
     props.foreach { case (k, v) => p.setProperty(k, v) }
-    val out = Files.newOutputStream(fileOf(name))
+    // create the (possibly credential-bearing) file with owner-only perms
+    // BEFORE any content is written — never a world-readable window
+    val f = fileOf(name)
+    try {
+      import java.nio.file.attribute.PosixFilePermissions
+      if (!Files.exists(f))
+        Files.createFile(f, PosixFilePermissions.asFileAttribute(
+          PosixFilePermissions.fromString("rw-------")))
+      else restrictToOwner(f)
+    } catch { case _: UnsupportedOperationException => }
+    val out = Files.newOutputStream(f)
     try p.store(out, null) finally out.close()
-    restrictToOwner(fileOf(name)) // properties may carry credentials
+    restrictToOwner(f) // tighten files pre-existing from older builds
     live(name) = connector.toLowerCase
   }
 

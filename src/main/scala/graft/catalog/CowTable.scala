@@ -141,6 +141,126 @@ final class CowTable private (root0: String, spark: SparkSession) {
     mutate(affected, rewritten ++ inserted)
   }
 
+  /** Full conditional MERGE (reference SqlBase.g4:222 `mergeCase+`, executed
+    * by core/trino-main operator/MergeWriterOperator.java:48 +
+    * MergeProcessorOperator): arbitrary ON expression, ordered WHEN MATCHED
+    * [AND cond] THEN UPDATE SET col=expr…/DELETE cases (first match wins),
+    * ordered WHEN NOT MATCHED [AND cond] THEN INSERT cases.
+    *
+    * Lowered onto the CoW kernel as a joined rewrite:
+    *  - affected files = files holding ≥1 target row with a source match
+    *    (input_file_name probe below the join — the same pruned-scan shape
+    *    as merge(); conditions only shrink the rewrite, never the probe);
+    *  - within affected files, each row picks its FIRST applicable matched
+    *    case via a chained CASE column; updates project per-column CASE
+    *    expressions, deletes drop, everything else carries unchanged;
+    *  - the SQL-standard cardinality rule is enforced distributively: a
+    *    target row acted on by >1 source rows aborts (reference error shape
+    *    "One MERGE target table row matched more than one source row");
+    *  - NOT MATCHED inserts anti-join the FULL table (never just affected
+    *    files) and land in fresh files.
+    * All expression arguments arrive as SQL text referencing `tAlias` /
+    * `sAlias`, resolved against aliased DataFrames — Catalyst plans the
+    * join strategy (broadcast for small sources) like any other query.
+    * Returns (stats, affected-row count = updated + deleted + inserted). */
+  def mergeFull(source: DataFrame, tAlias: String, sAlias: String,
+      onSql: String, matched: Seq[CowTable.WhenMatched],
+      notMatched: Seq[CowTable.WhenNotMatched]): (MutationStats, Long) = {
+    val cur = read()
+    val tFields = cur.schema.fields.toSeq
+    val s = source.alias(sAlias)
+    def onCol: Column = expr(onSql)
+
+    // ---- matched side: affected-file probe + rewrite
+    val affected: Seq[String] =
+      if (matched.isEmpty) Nil
+      else cur.withColumn("__cow_file", input_file_name()).alias(tAlias)
+        .join(s, onCol, "left_semi")
+        .select(col("__cow_file")).distinct()
+        .collect().map(r => CowTable.normalize(r.getString(0))).toSeq
+
+    var changed = 0L
+    val rewritten: Seq[String] =
+      if (affected.isEmpty) Nil
+      else {
+        // row identity for the cardinality rule: ids must be STABLE across
+        // the jobs below, so the id'd base is pinned (bounded by mutation
+        // locality — these files are being rewritten anyway)
+        val base = spark.read.parquet(affected: _*)
+          .withColumn("__cow_rid", monotonically_increasing_id())
+          .localCheckpoint(true)
+        val joined = base.alias(tAlias).join(s, onCol, "inner")
+        // first applicable case wins (evaluation order is the WHEN order)
+        val act = matched.zipWithIndex.foldRight(lit(-1)) {
+          case ((w, i), acc) =>
+            when(w.condSql.map(expr).getOrElse(lit(true)), lit(i)).otherwise(acc)
+        }
+        val acted = joined.withColumn("__cow_act", act)
+          .filter(col("__cow_act") >= 0)
+          .localCheckpoint(true)
+        val multi = acted.groupBy(col("__cow_rid")).count()
+          .filter(col("count") > 1).limit(1).count()
+        if (multi > 0) throw new IllegalStateException(
+          "One MERGE target table row matched more than one source row")
+        changed += acted.count()
+        val untouchedRows = base
+          .join(acted.select("__cow_rid"), Seq("__cow_rid"), "left_anti")
+          .select(tFields.map(f => col(f.name)): _*)
+        val updIdx = matched.zipWithIndex.collect {
+          case (w, i) if !w.deleteAction => i
+        }
+        val updatedRows =
+          if (updIdx.isEmpty) None
+          else Some(acted.filter(col("__cow_act").isin(updIdx.map(Int.box): _*))
+            .select(tFields.map { f =>
+              val keep = col(s"$tAlias.${f.name}")
+              matched.zipWithIndex.foldRight(keep) { case ((w, i), acc) =>
+                w.set.get(f.name.toLowerCase) match {
+                  case Some(sql) if !w.deleteAction =>
+                    when(col("__cow_act") === i, expr(sql)).otherwise(acc)
+                  case _ => acc
+                }
+              }.cast(f.dataType).as(f.name)
+            }: _*))
+        val survivors = updatedRows
+          .map(untouchedRows.unionByName(_)).getOrElse(untouchedRows)
+        writeData(survivors)
+      }
+
+    // ---- not-matched side: inserts from source rows with no target match
+    val inserted: Seq[String] =
+      if (notMatched.isEmpty) Nil
+      else {
+        val unmatched = s.join(cur.alias(tAlias), onCol, "left_anti")
+        val insAct = notMatched.zipWithIndex.foldRight(lit(-1)) {
+          case ((w, i), acc) =>
+            when(w.condSql.map(expr).getOrElse(lit(true)), lit(i)).otherwise(acc)
+        }
+        val insActed = unmatched.withColumn("__cow_ins", insAct)
+          .filter(col("__cow_ins") >= 0)
+        val rows = insActed.select(tFields.map { f =>
+          notMatched.zipWithIndex.foldRight(lit(null).cast(f.dataType)) {
+            case ((w, i), acc) =>
+              val pos = w.cols.indexOf(f.name.toLowerCase)
+              if (pos < 0 || pos >= w.vals.length) acc
+              else when(col("__cow_ins") === i, expr(w.vals(pos))).otherwise(acc)
+          }.cast(f.dataType).as(f.name)
+        }: _*)
+        if (rows.isEmpty) Nil
+        else {
+          val files = writeData(rows)
+          changed += spark.read.parquet(files: _*).count()
+          files
+        }
+      }
+
+    val stats =
+      if (affected.isEmpty && inserted.isEmpty)
+        MutationStats(manifestDf(currentVersion).count(), Nil, 0, currentVersion)
+      else mutate(affected, rewritten ++ inserted)
+    (stats, changed)
+  }
+
   /** Which physical files hold at least one row of `matching`? Driver-side
     * list is intentional and bounded by mutation locality: these exact files
     * are about to be re-read for rewriting. */
@@ -264,6 +384,18 @@ final class CowTable private (root0: String, spark: SparkSession) {
 }
 
 object CowTable {
+  /** A WHEN MATCHED case: optional AND-condition (SQL text over the two
+    * aliases), DELETE flag, or the SET map (lowercase target column → SQL
+    * text; SET * arrives pre-expanded by the front door). */
+  final case class WhenMatched(condSql: Option[String], deleteAction: Boolean,
+      set: Map[String, String])
+
+  /** A WHEN NOT MATCHED case: optional AND-condition and the insert column
+    * list (lowercase) with positionally matching value SQL texts; INSERT *
+    * / bare VALUES arrive pre-expanded by the front door. */
+  final case class WhenNotMatched(condSql: Option[String], cols: Seq[String],
+      vals: Seq[String])
+
   /** CREATE TABLE AS: materialize `df` as version 1. */
   def create(spark: SparkSession, root: String, df: DataFrame): CowTable = {
     import spark.implicits._

@@ -76,14 +76,18 @@ object TextHash {
     while (i <= sz - n) {
       var pos = 0
       var j = 0
+      var wrote = false // concat_ws skips null elements AND their separators
       while (j < n) {
         val t = toks.getUTF8String(i + j)
-        val tb = if (t == null) 0 else t.numBytes
-        if (pos + tb + 1 > buf.length)
-          buf = java.util.Arrays.copyOf(buf, math.max(pos + tb + 1, buf.length * 2))
-        if (t != null) t.writeToMemory(buf, base + pos)
-        pos += tb
-        if (j < n - 1) { buf(pos) = ' '.toByte; pos += 1 }
+        if (t != null) {
+          val tb = t.numBytes
+          if (pos + tb + 1 > buf.length)
+            buf = java.util.Arrays.copyOf(buf, math.max(pos + tb + 1, buf.length * 2))
+          if (wrote) { buf(pos) = ' '.toByte; pos += 1 }
+          t.writeToMemory(buf, base + pos)
+          pos += tb
+          wrote = true
+        }
         j += 1
       }
       out(i) = XXH64.hashUnsafeBytes(buf, base, pos, SeedA)
@@ -428,6 +432,107 @@ case class HammingDistance(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** BIGINT ∈ sorted-long-set membership — the in-row spelling of a broadcast
+  * semi/anti join against a bounded driver-collected dictionary (e.g. the
+  * DF-cutoff stop-shingle list of the n-gram dedup inverted index: at most
+  * total_shingles/(0.02·ndocs) ≈ 50·avg_shingles_per_doc entries at ANY
+  * corpus size, so collecting it is O(bounded), not O(data)). The sorted
+  * array rides the task binary (itself torrent-broadcast by Spark), and the
+  * probe is a zero-allocation binary search inside whole-stage codegen. */
+case class LongInSortedSet(child: Expression, sorted: Array[Long])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BIGINT, got ${other.simpleString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "long_in_sorted_set"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(
+      java.util.Arrays.binarySearch(sorted, input.asInstanceOf[Long]) >= 0)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arr = ctx.addReferenceObj("sortedSet", sorted, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = java.util.Arrays.binarySearch($arr, $v) >= 0;")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<bigint> → the (distinct, sorted) members present in a sorted long
+  * set — the in-row spelling of "intersect this doc's shingle set with the
+  * bounded common-shingle dictionary" (replaces an explode + broadcast join
+  * + collect_list groupBy: three operators and a shuffle become one map). */
+case class ArrayLongSetIntersect(child: Expression, sorted: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "array_long_set_intersect"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val hits = new java.util.TreeSet[java.lang.Long]()
+    val n = xs.numElements()
+    var i = 0
+    while (i < n) {
+      val v = xs.getLong(i)
+      if (java.util.Arrays.binarySearch(sorted, v) >= 0) hits.add(v)
+      i += 1
+    }
+    val out = new Array[Long](hits.size)
+    val it = hits.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<bigint> → count of DISTINCT members present in a sorted long set —
+  * the in-row spelling of `countDistinct` after a broadcast semi join (the
+  * contamination scan: the held-out benchmark's shingle-hash set is bounded
+  * and driver-collected; each corpus doc probes it in one compiled loop, so
+  * the corpus is never exploded, joined, or shuffled). */
+case class ArrayLongSetCountDistinct(child: Expression, sorted: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "array_long_set_count_distinct"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val hits = new java.util.HashSet[java.lang.Long]()
+    val n = xs.numElements()
+    var i = 0
+    while (i < n) {
+      val v = xs.getLong(i)
+      if (java.util.Arrays.binarySearch(sorted, v) >= 0) hits.add(v)
+      i += 1
+    }
+    java.lang.Long.valueOf(hits.size.toLong)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Polynomial rolling-hash fingerprint over code points:

@@ -44,6 +44,21 @@ object TextFunctions {
   def shingleHashSeq(toks: Column, n: Int): Column =
     column(WordNGramHashSeq(expression(toks), n))
 
+  /** BIGINT membership probe against a bounded, driver-collected sorted set
+    * (in-row spelling of a broadcast semi/anti join; codegen'd binary search). */
+  def longInSet(c: Column, sorted: Array[Long]): Column =
+    column(LongInSortedSet(expression(c), sorted))
+
+  /** array<bigint> ∩ sorted set, distinct + sorted (in-row spelling of
+    * explode→broadcast-join→collect_list). */
+  def arraySetIntersect(c: Column, sorted: Array[Long]): Column =
+    column(ArrayLongSetIntersect(expression(c), sorted))
+
+  /** count(DISTINCT members of array<bigint> present in sorted set) — the
+    * in-row contamination probe. */
+  def arraySetCountDistinct(c: Column, sorted: Array[Long]): Column =
+    column(ArrayLongSetCountDistinct(expression(c), sorted))
+
   /** k-wide minhash signature of a shingle array (array<bigint>, length k). */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     column(MinHashSignature(expression(shingleCol), k))

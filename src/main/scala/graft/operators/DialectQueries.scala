@@ -695,6 +695,65 @@ object Dialect {
          CAST(sum(p) AS DOUBLE) AS total
        FROM upd GROUP BY c % 5 ORDER BY bucket"""
 
+  /** Full conditional MERGE through the SQL front door (SqlBase.g4:222
+    * `mergeCase+`, :865-874; reference executor operator/
+    * MergeWriterOperator.java:48 + MergeProcessorOperator; lowered onto
+    * catalog.CowTable.mergeFull's joined copy-on-write rewrite): ordered
+    * WHEN MATCHED [AND cond] THEN DELETE / UPDATE SET col=expr cases with
+    * first-match-wins, plus a conditional WHEN NOT MATCHED INSERT with a
+    * column list. The oracle replays the net effect in DuckDB as a pure
+    * query — including the conditional DELETE arm. */
+  def q_sqlx_merge_full(s: SparkSession, dir: String): DataFrame = {
+    TrinoDialect.sql(s, dir,
+      """CREATE OR REPLACE TABLE wh_merge AS
+         SELECT n_nationkey AS k, n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS r,
+           CAST(100.00 AS DECIMAL(12,2)) AS bal
+         FROM nation""")
+    TrinoDialect.sql(s, dir,
+      """MERGE INTO wh_merge t USING (
+           SELECT n_nationkey + 15 AS k,
+             CAST(n_regionkey AS BIGINT) AS r2, n_name AS nm
+           FROM nation) s
+         ON t.k = s.k
+         WHEN MATCHED AND s.r2 = 0 THEN DELETE
+         WHEN MATCHED AND s.r2 = 1 THEN UPDATE SET bal = t.bal + 50
+         WHEN MATCHED THEN UPDATE SET bal = t.bal - 10, name = s.nm
+         WHEN NOT MATCHED AND s.r2 >= 3 THEN
+           INSERT (k, name, r, bal) VALUES (s.k, s.nm, s.r2, CAST(5.55 AS DECIMAL(12,2)))""")
+    TrinoDialect.sql(s, dir,
+      """SELECT k, name, r, CAST(bal AS DOUBLE) AS bal
+         FROM wh_merge ORDER BY k""")
+  }
+  val qSqlxMergeFullSql: String =
+    """WITH t AS (
+         SELECT n_nationkey AS k, n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS r,
+           CAST(100.00 AS DECIMAL(12,2)) AS bal
+         FROM nation),
+       s AS (
+         SELECT n_nationkey + 15 AS k,
+           CAST(n_regionkey AS BIGINT) AS r2, n_name AS nm
+         FROM nation),
+       merged AS (
+         SELECT t.k,
+           CASE WHEN s.k IS NOT NULL AND s.r2 <> 0 AND s.r2 <> 1
+                THEN s.nm ELSE t.name END AS name,
+           t.r,
+           CASE WHEN s.k IS NULL THEN t.bal
+                WHEN s.r2 = 1 THEN t.bal + 50
+                ELSE t.bal - 10 END AS bal
+         FROM t LEFT JOIN s ON t.k = s.k
+         WHERE s.k IS NULL OR s.r2 <> 0),
+       ins AS (
+         SELECT s.k, s.nm AS name, s.r2 AS r,
+           CAST(5.55 AS DECIMAL(12,2)) AS bal
+         FROM s LEFT JOIN t ON s.k = t.k
+         WHERE t.k IS NULL AND s.r2 >= 3)
+       SELECT k, name, r, CAST(bal AS DOUBLE) AS bal
+       FROM (SELECT * FROM merged UNION ALL SELECT * FROM ins)
+       ORDER BY k"""
+
   /** Metadata-only ALTER TABLE evolution through the SQL front door
     * (SqlBase.g4 :84ff; sqlx.Statements declared-schema overlay): CTAS →
     * ADD COLUMN (old files NULL-fill) → INSERT carrying it → RENAME COLUMN
@@ -879,6 +938,7 @@ object Dialect {
   val queries: Map[String, Q] = Map(
     "q_sqlx_geo_sql" -> q_sqlx_geo_sql _,
     "q_sqlx_statements" -> q_sqlx_statements _,
+    "q_sqlx_merge_full" -> q_sqlx_merge_full _,
     "q_sqlx_ddl_alter" -> q_sqlx_ddl_alter _,
     "q_sqlx_txn" -> q_sqlx_txn _,
     "q_sqlx_show_stats" -> q_sqlx_show_stats _,
@@ -908,6 +968,7 @@ object Dialect {
   val oracles: Map[String, String] = Map(
     "q_sqlx_geo_sql" -> qSqlxGeoSqlSql,
     "q_sqlx_statements" -> qSqlxStatementsSql,
+    "q_sqlx_merge_full" -> qSqlxMergeFullSql,
     "q_sqlx_ddl_alter" -> qSqlxDdlAlterSql,
     "q_sqlx_txn" -> qSqlxTxnSql,
     "q_sqlx_show_stats" -> qSqlxShowStatsSql,

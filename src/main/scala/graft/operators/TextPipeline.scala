@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: chunking is a pure map + in-row explode (no shuffle);
   * scrubbing is a codegen'd regexp_replace chain (no shuffle);
-  * contamination builds the benchmark shingle set — sublinear in the
-  * corpus, it is the HELD-OUT suite — and broadcast-joins it against
-  * corpus shingles, so the corpus is read once and never shuffled on text. */
+  * contamination builds the benchmark shingle-hash set — sublinear in the
+  * corpus, it is the HELD-OUT suite — and probes it in-row with a compiled
+  * set-membership kernel, so the corpus is read once, never exploded, and
+  * never shuffled. */
 object TextPipeline {
 
   /** The PII mask chain (shared by the batch query and the streaming twin
@@ -127,34 +128,32 @@ object TextPipeline {
 
   /** Benchmark-contamination scan: docs with doc_id % 50 = 0 form the
     * held-out suite; any other doc sharing an 8-token shingle with it is
-    * contaminated. The benchmark shingle set is DISTINCT-reduced and
-    * broadcast; the corpus side streams its shingles through the hash join
-    * without a shuffle of the corpus. */
+    * contaminated. The benchmark shingle-hash set is the HELD-OUT suite —
+    * bounded and sublinear in the corpus by definition — so it is
+    * driver-collected (exactly what a broadcast build side does) and probed
+    * IN-ROW by a compiled kernel: the corpus is never exploded, joined, or
+    * shuffled; its only jobs are one scan of the bench slice and one scan
+    * of the corpus (round-13 verdict: the explode→distinct→broadcast→join→
+    * groupBy(countDistinct) chain was 2.4× DuckDB purely on job-chain
+    * overhead — the output is per-doc counts, already the row grain). */
   def q_text_contamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.functions.TextFunctions.shingleHashSeq
-    // shingles reduce to 64-bit hashes BEFORE the distinct/join: the
-    // broadcast set and the probe stream carry 8 bytes per shingle instead
-    // of the text (boilerplate shingles stop being hot long keys at 100 TB);
-    // distinct-hash counts equal distinct-text counts modulo 2^-64 collisions.
-    // The hash is computed by a compiled byte-buffer kernel (WordNGramHashSeq,
-    // value-identical to xxhash64(concat_ws(' ', slice(toks, i+1, 8)))) —
-    // no shingle string is ever materialized (round-12 verdict: the
-    // concat_ws strings were the kernel's allocation bottleneck).
-    def shingled(df: DataFrame): DataFrame = df
-      .select($"doc_id",
-        explode(shingleHashSeq(split($"text", " "), Gram)).as("sh"))
+    import graft.functions.TextFunctions.{arraySetCountDistinct, shingleHashSeq}
+    // shingles reduce to 64-bit hashes BEFORE the set build/probe: 8 bytes
+    // per shingle instead of the text; distinct-hash counts equal
+    // distinct-text counts modulo 2^-64 collisions. The hash is computed by
+    // a compiled byte-buffer kernel (WordNGramHashSeq, value-identical to
+    // xxhash64(concat_ws(' ', slice(toks, i+1, 8)))) — no shingle string is
+    // ever materialized.
     val docs = table(s, dir, "documents")
-    val bench = shingled(docs.filter($"doc_id" % 50 === 0))
-      .select($"sh").distinct()
-    val corpus = shingled(docs.filter($"doc_id" % 50 =!= 0))
-    corpus.join(broadcast(bench), "sh")
-      .groupBy($"doc_id")
-      .agg(countDistinct($"sh").as("hit_shingles"))
-      .join(docs.filter($"doc_id" % 50 =!= 0).select($"doc_id"), Seq("doc_id"), "right")
+    val benchSet: Array[Long] = docs.filter($"doc_id" % 50 === 0)
+      .select(explode(shingleHashSeq(split($"text", " "), Gram)).as("sh"))
+      .distinct().as[Long].collect().sorted
+    docs.filter($"doc_id" % 50 =!= 0)
       .select($"doc_id",
-        coalesce($"hit_shingles", lit(0L)).as("hit_shingles"),
-        ($"hit_shingles".isNotNull).as("contaminated"))
+        arraySetCountDistinct(
+          shingleHashSeq(split($"text", " "), Gram), benchSet).as("hit_shingles"))
+      .withColumn("contaminated", $"hit_shingles" > 0)
       .orderBy($"doc_id")
   }
   val qTextContaminationSql: String =

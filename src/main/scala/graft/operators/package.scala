@@ -25,17 +25,33 @@ package object operators {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(spark, dir, name)
 
-  /** Materialize an intermediate exactly once PER INVOCATION. The blocks are
-    * computed eagerly — the cost lands inside the calling query, every time it
-    * runs — then reused by all downstream consumers of the same plan (LSH
-    * signatures feed the bucket build AND both sides of the rescoring join),
-    * and released by the ContextCleaner once the invocation's plan is
-    * unreferenced. This is the "materialize the signatures" step of a
-    * production dedup pipeline without the two defects of a JVM-global
-    * persist map (round-12 verdict): it cannot flatter a benchmark pass with
-    * work done in an earlier pass, and it pins no memory in a long-lived
-    * server session. */
-  def materialized(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+  /** Materialize an intermediate exactly once PER INVOCATION, lazily. The
+    * blocks are computed the first time a downstream job touches them — no
+    * separate materialization job (round-13 verdict: four eager
+    * localCheckpoints serialized four extra jobs, ~0.25 s scheduling floor
+    * apiece at sf0.1, in front of q_dedup_ngram) — then reused by all
+    * downstream consumers of the same plan (LSH signatures feed the bucket
+    * build AND both sides of the rescoring join), and released by the
+    * ContextCleaner once the invocation's plan is unreferenced.
+    *
+    * Why localCheckpoint and not Dataset.persist(): persist registers the
+    * plan in the session-global CacheManager, whose canonicalized-plan
+    * matching would let the NEXT invocation of the same query silently reuse
+    * this invocation's blocks — exactly the cross-invocation benchmark
+    * flattery round 12 removed. localCheckpoint persists at the RDD level,
+    * scoped to this invocation's plan object only.
+    *
+    * Cluster-scale caveat (documented divergence): localCheckpoint blocks
+    * are non-replayable — losing an executor mid-query fails the query
+    * instead of recomputing lineage. persist(StorageLevel.MEMORY_AND_DISK)
+    * on the RDD would keep lineage and is the fault-tolerant spelling of
+    * the same materialize-once step for long multi-hour jobs; for
+    * interactive/bench workloads the retry-the-query cost is lower than
+    * carrying lineage. The connected-components loop (Dedup.scala) keeps
+    * EAGER localCheckpoint deliberately: there lineage truncation is the
+    * point (each iteration's plan would otherwise nest the previous ones),
+    * and its fixpoint check consumes the blocks immediately anyway. */
+  def materialized(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
 
   type Q = (SparkSession, String) => DataFrame
 }

@@ -491,6 +491,15 @@ object StatementServer {
   private val SetSessionRe =
     "(?is)^\\s*SET\\s+SESSION\\s+([\\w.]+)\\s*=\\s*(.+?)\\s*$".r
   private val ResetSessionRe = "(?is)^\\s*RESET\\s+SESSION\\s+([\\w.]+)\\s*$".r
+  // SET/RESET SESSION AUTHORIZATION (SqlBase.g4:201-202): the server echoes
+  // X-Trino-Set-Authorization-User / X-Trino-Reset-Authorization-User and
+  // the client replays the identity via X-Trino-Authorization-User — the
+  // same stateless-coordinator contract as SET SESSION (reference
+  // ProtocolHeaders.responseSetAuthorizationUser)
+  private val SetAuthRe =
+    "(?is)^\\s*SET\\s+SESSION\\s+AUTHORIZATION\\s+'?([\\w@.-]+)'?\\s*$".r
+  private val ResetAuthRe =
+    "(?is)^\\s*RESET\\s+SESSION\\s+AUTHORIZATION\\s*$".r
   private val UseRe = "(?is)^\\s*USE\\s+([\\w.]+)\\s*$".r
   private val PrepareHdrRe = "(?is)^\\s*PREPARE\\s+(\\w+)\\s+FROM\\s+(.+)$".r
   private val DeallocHdrRe = "(?is)^\\s*DEALLOCATE\\s+PREPARE\\s+(\\w+)\\s*$".r
@@ -549,7 +558,20 @@ object StatementServer {
         """{"error":"X-Trino-User does not match the authenticated user"}""")
       return
     }
-    val user = authUser.orElse(headerUser).getOrElse("graft")
+    val authenticated = authUser.orElse(headerUser).getOrElse("graft")
+    // impersonation replay (reference QuerySessionSupplier re-checks
+    // checkCanSetUser on every request carrying the authorization user)
+    val authzUser = Option(hdrs.getFirst("X-Trino-Authorization-User"))
+      .filter(_ != authenticated)
+    val enforcing = security.exists(_.enforceGrants)
+    if (authzUser.isDefined && enforcing &&
+        !security.exists(_.admins.contains(authenticated)) &&
+        !graft.sqlx.Statements.canImpersonate(authenticated, authzUser.get)) {
+      respond(ex, 403,
+        s"""{"error":"Cannot set session authorization to ${authzUser.get}"}""")
+      return
+    }
+    val user = authzUser.getOrElse(authenticated)
     val ctx = graft.sqlx.SessionContext.Ctx(
       // configured defaults under the request's explicit properties
       // (reference session-property-managers contract: explicit wins)
@@ -598,6 +620,20 @@ object StatementServer {
       respond(ex, code, body)
     }
     sql match {
+      case SetAuthRe(target) =>
+        // the impersonation check happens HERE (reference
+        // SetSessionAuthorizationTask → AccessControl.checkCanSetUser);
+        // the identity itself is carried by the client from the echoed
+        // header on subsequent requests
+        if (enforcing && !security.exists(_.admins.contains(authenticated)) &&
+            !graft.sqlx.Statements.canImpersonate(authenticated, target)) {
+          respond(ex, 403,
+            s"""{"error":"Cannot set session authorization to $target"}""")
+          return
+        }
+        return answerStatic(Some("X-Trino-Set-Authorization-User" -> target))
+      case ResetAuthRe() =>
+        return answerStatic(Some("X-Trino-Reset-Authorization-User" -> "true"))
       case SetSessionRe(key, rawValue) =>
         val value = rawValue.trim.stripPrefix("'").stripSuffix("'")
         return answerStatic(Some("X-Trino-Set-Session" -> s"$key=${urlEnc(value)}"))

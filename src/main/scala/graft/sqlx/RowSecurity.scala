@@ -141,9 +141,12 @@ private[graft] object RowSecurity {
       inner: Rel, ctx: Ctx): Option[Rel] = {
     // metadata relations: no row policies apply, and they exist only as
     // plan-time temp views — probing would fail columnsOf and cost one
-    // HTTP mask probe per column per reference
+    // HTTP mask probe per column per reference. CREATE SCHEMA reserves
+    // these names (Statements), and we double-check here that no user
+    // schema shadows them, so the exemption can never skip a user table
     if (names.length > 1 &&
-        Set("information_schema", "system").contains(names.head.toLowerCase))
+        Set("information_schema", "system").contains(names.head.toLowerCase) &&
+        !Statements.isSchema(names.head.toLowerCase))
       return None
     val key = keyFor(names)
     // local registrations plus whatever a configured OPA agent defines

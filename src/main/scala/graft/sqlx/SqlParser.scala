@@ -114,6 +114,20 @@ object SqlAst {
   /** Canonical upsert MERGE (WHEN MATCHED UPDATE SET * / NOT MATCHED INSERT *). */
   final case class MergeStmt(name: String, source: Query, key: String) extends Statement
 
+  /** Full MERGE surface (SqlBase.g4:222 `MERGE INTO … USING … ON expr
+    * mergeCase+`, :865-874): conditional multi-WHEN cases with UPDATE SET
+    * col = expr / DELETE / INSERT (cols) VALUES (exprs). `set` empty on an
+    * update case means SET *; `cols`+`vals` empty on an insert case means
+    * INSERT * (take the source row positionally). */
+  sealed trait MergeCase { def cond: Option[Expr] }
+  final case class MergeUpdateCase(cond: Option[Expr],
+      set: Seq[(String, Expr)]) extends MergeCase
+  final case class MergeDeleteCase(cond: Option[Expr]) extends MergeCase
+  final case class MergeInsertCase(cond: Option[Expr], cols: Seq[String],
+      vals: Seq[Expr]) extends MergeCase
+  final case class MergeFullStmt(name: String, tAlias: String, source: Query,
+      sAlias: String, on: Expr, cases: Seq[MergeCase]) extends Statement
+
   /** ALTER TABLE ops (SqlBase.g4 :84ff) — all metadata-only on the CoW tables. */
   sealed trait AlterOp
   final case class RenameTable(to: String) extends AlterOp
@@ -140,6 +154,27 @@ object SqlAst {
   final case class CommentStmt(isColumn: Boolean, target: String,
       comment: Option[String]) extends Statement
   final case class ShowCreateTableStmt(name: String) extends Statement
+  /** SHOW CREATE VIEW / SHOW CREATE MATERIALIZED VIEW (reference
+    * sql/rewrite/ShowQueriesRewrite.java handles both). */
+  final case class ShowCreateViewStmt(name: String,
+      materialized: Boolean) extends Statement
+  /** DENY privileges ON [TABLE] t TO grantee (SqlBase.g4:169,
+    * execution/DenyTask.java) — deny overrides grant in the combined
+    * access check. */
+  final case class DenyStmt(privileges: Seq[String], table: String,
+      grantee: String) extends Statement
+  /** SET SESSION AUTHORIZATION user / RESET SESSION AUTHORIZATION
+    * (SqlBase.g4:201-202, execution/SetSessionAuthorizationTask.java).
+    * None = RESET. */
+  final case class SetSessionAuthStmt(user: Option[String]) extends Statement
+  /** CREATE [OR REPLACE] MATERIALIZED VIEW name AS query (SqlBase.g4:61,
+    * execution/CreateMaterializedViewTask.java). `defText` is the raw
+    * dialect SQL of the defining query, stored verbatim (the reference
+    * stores the original SQL in MaterializedViewDefinition). */
+  final case class CreateMvStmt(name: String, orReplace: Boolean, q: Query,
+      defText: String) extends Statement
+  final case class RefreshMvStmt(name: String) extends Statement
+  final case class DropMvStmt(name: String, ifExists: Boolean) extends Statement
   final case class DropViewStmt(name: String, ifExists: Boolean) extends Statement
   /** SHOW STATS FOR t | FOR (query) (SqlBase.g4 :141). */
   final case class ShowStatsStmt(target: Either[String, Query]) extends Statement
@@ -313,7 +348,26 @@ final class SqlParser(src: String) {
     val stmt: Statement =
       if (acceptSeq("CREATE", "OR", "REPLACE", "TABLE"))
         parseCtas(orReplace = true, ifNotExists = false)
-      else if (acceptSeq("CREATE", "OR", "REPLACE", "VIEW")) {
+      else if (acceptSeq("CREATE", "OR", "REPLACE", "MATERIALIZED", "VIEW")) {
+        val name = ident("view name"); expectKw("AS")
+        val startPos = peek.pos
+        val q = parseQueryNoFinish()
+        CreateMvStmt(name, orReplace = true, q,
+          src.substring(startPos, peek.pos).trim.stripSuffix(";").trim)
+      } else if (acceptSeq("CREATE", "MATERIALIZED", "VIEW")) {
+        val ine = acceptSeq("IF", "NOT", "EXISTS")
+        val name = ident("view name"); expectKw("AS")
+        val startPos = peek.pos
+        val q = parseQueryNoFinish()
+        val _ = ine // IF NOT EXISTS tolerated; existence checked at execution
+        CreateMvStmt(name, orReplace = false, q,
+          src.substring(startPos, peek.pos).trim.stripSuffix(";").trim)
+      } else if (acceptSeq("REFRESH", "MATERIALIZED", "VIEW"))
+        RefreshMvStmt(ident("view name"))
+      else if (acceptSeq("DROP", "MATERIALIZED", "VIEW")) {
+        val ife = acceptSeq("IF", "EXISTS")
+        DropMvStmt(ident("view name"), ife)
+      } else if (acceptSeq("CREATE", "OR", "REPLACE", "VIEW")) {
         val name = ident("view name"); expectKw("AS")
         CreateViewStmt(name, orReplace = true, parseQueryNoFinish())
       } else if (acceptSeq("CREATE", "VIEW")) {
@@ -335,20 +389,64 @@ final class SqlParser(src: String) {
         val sAlias = if (accept("AS")) ident("alias")
           else if (peek.kind == TIdent && !peek.is("ON")) ident("alias") else "s"
         expectKw("ON")
-        val key = parseExpr() match {
+        val on = parseExpr()
+        // mergeCase+ (SqlBase.g4:865-874)
+        val cases = scala.collection.mutable.ArrayBuffer[MergeCase]()
+        while (accept("WHEN")) {
+          if (accept("MATCHED")) {
+            val cond = if (accept("AND")) Some(parseExpr()) else None
+            expectKw("THEN")
+            if (accept("DELETE")) cases += MergeDeleteCase(cond)
+            else {
+              expectKw("UPDATE"); expectKw("SET")
+              if (acceptOp("*")) cases += MergeUpdateCase(cond, Nil)
+              else {
+                val sets = scala.collection.mutable.ArrayBuffer[(String, Expr)]()
+                var more = true
+                while (more) {
+                  val c = ident("column name"); expectOp("=")
+                  sets += ((c, parseExpr())); more = acceptOp(",")
+                }
+                cases += MergeUpdateCase(cond, sets.toSeq)
+              }
+            }
+          } else {
+            expectKw("NOT"); expectKw("MATCHED")
+            val cond = if (accept("AND")) Some(parseExpr()) else None
+            expectKw("THEN"); expectKw("INSERT")
+            if (acceptOp("*")) cases += MergeInsertCase(cond, Nil, Nil)
+            else {
+              val cols = scala.collection.mutable.ArrayBuffer[String]()
+              if (acceptOp("(")) {
+                var more = true
+                while (more) { cols += ident("column name"); more = acceptOp(",") }
+                expectOp(")")
+              }
+              expectKw("VALUES"); expectOp("(")
+              val vals = scala.collection.mutable.ArrayBuffer[Expr](parseExpr())
+              while (acceptOp(",")) vals += parseExpr()
+              expectOp(")")
+              cases += MergeInsertCase(cond, cols.toSeq, vals.toSeq)
+            }
+          }
+        }
+        if (cases.isEmpty) err("MERGE requires at least one WHEN clause")
+        // the canonical unconditional upsert keeps its dedicated CoW kernel
+        val canonicalKey = on match {
           case Bin("=", Id(l), Id(r))
               if l.last._1.equalsIgnoreCase(r.last._1) &&
                  Seq(l, r).forall(_.length <= 2) &&
                  (l.length < 2 || Seq(tAlias, sAlias, name).exists(_.equalsIgnoreCase(l.head._1))) &&
                  (r.length < 2 || Seq(tAlias, sAlias, name).exists(_.equalsIgnoreCase(r.head._1))) =>
-            l.last._1
-          case other => err("MERGE supports ON t.key = s.key (same column name)")
+            Some(l.last._1)
+          case _ => None
         }
-        // only the canonical upsert form maps onto the CoW MERGE kernel
-        if (!(acceptSeq("WHEN", "MATCHED", "THEN", "UPDATE", "SET") && acceptOp("*") &&
-              acceptSeq("WHEN", "NOT", "MATCHED", "THEN", "INSERT") && acceptOp("*")))
-          err("MERGE supports WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
-        MergeStmt(name, source, key)
+        cases.toSeq match {
+          case Seq(MergeUpdateCase(None, Seq()), MergeInsertCase(None, Seq(), Seq()))
+              if canonicalKey.isDefined =>
+            MergeStmt(name, source, canonicalKey.get)
+          case full => MergeFullStmt(name, tAlias, source, sAlias, on, full)
+        }
       } else if (acceptSeq("CREATE", "TABLE")) {
         val ine = acceptSeq("IF", "NOT", "EXISTS")
         val name = ident("table name")
@@ -425,7 +523,11 @@ final class SqlParser(src: String) {
       else if (acceptSeq("SHOW", "GRANTS")) {
         if (accept("ON")) { accept("TABLE"); ShowGrantsStmt(Some(qualifiedName())) }
         else ShowGrantsStmt(None)
-      } else if (acceptSeq("SHOW", "CREATE", "TABLE"))
+      } else if (acceptSeq("SHOW", "CREATE", "MATERIALIZED", "VIEW"))
+        ShowCreateViewStmt(qualifiedName(), materialized = true)
+      else if (acceptSeq("SHOW", "CREATE", "VIEW"))
+        ShowCreateViewStmt(qualifiedName(), materialized = false)
+      else if (acceptSeq("SHOW", "CREATE", "TABLE"))
         ShowCreateTableStmt(qualifiedName())
       else if (acceptSeq("SHOW", "STATS", "FOR")) {
         if (peek.isOp("(")) {
@@ -498,6 +600,13 @@ final class SqlParser(src: String) {
         val ife = acceptSeq("IF", "EXISTS")
         DropCatalogStmt(ident("catalog name").toLowerCase, ife)
       } else if (accept("USE")) UseStmt(ident("schema name"))
+      else if (acceptSeq("SET", "SESSION", "AUTHORIZATION"))
+        SetSessionAuthStmt(Some(peek.kind match {
+          case TStr => next().text // quoted user
+          case _ => ident("user name")
+        }))
+      else if (acceptSeq("RESET", "SESSION", "AUTHORIZATION"))
+        SetSessionAuthStmt(None)
       else if (acceptSeq("SET", "SESSION")) {
         val key = qualifiedName()
         expectOp("=")
@@ -511,6 +620,18 @@ final class SqlParser(src: String) {
       } else if (acceptSeq("RESET", "SESSION")) ResetSessionStmt(qualifiedName())
       else if (accept("GRANT")) parseGrant(revoke = false)
       else if (accept("REVOKE")) parseGrant(revoke = true)
+      else if (accept("DENY")) {
+        val privs = scala.collection.mutable.ArrayBuffer[String]()
+        if (accept("ALL")) { accept("PRIVILEGES"); privs += "ALL" }
+        else {
+          privs += ident("privilege").toUpperCase
+          while (acceptOp(",")) privs += ident("privilege").toUpperCase
+        }
+        expectKw("ON"); accept("TABLE")
+        val table = qualifiedName()
+        expectKw("TO"); accept("ROLE"); accept("USER")
+        DenyStmt(privs.toSeq, table, ident("grantee"))
+      }
       else if (acceptSeq("COMMENT", "ON")) {
         val isColumn =
           if (accept("TABLE")) false
@@ -611,8 +732,13 @@ final class SqlParser(src: String) {
       privs += first.toUpperCase
       while (acceptOp(",")) privs += ident("privilege").toUpperCase
     }
-    expectKw("ON"); accept("TABLE")
-    val table = qualifiedName()
+    expectKw("ON")
+    // impersonation is a grantable privilege on a USER target (the built-in
+    // twin of the reference's file-based impersonation rules):
+    // GRANT IMPERSONATE ON USER bob TO proxy
+    val table =
+      if (accept("USER")) "user:" + ident("user name").toLowerCase
+      else { accept("TABLE"); qualifiedName() }
     if (revoke) expectKw("FROM") else expectKw("TO")
     accept("ROLE"); accept("USER")
     GrantStmt(revoke, privs.toSeq, table, ident("grantee"))

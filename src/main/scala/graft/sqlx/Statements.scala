@@ -56,6 +56,14 @@ private[graft] object Statements {
     * the configured SystemAccessControl). */
   private val grants = TrieMap[(String, String), Set[String]]()
 
+  /** Recorded denies (reference SqlBase.g4:169 DENY,
+    * execution/DenyTask.java): (grantee, table) → denied privileges. In the
+    * combined check a deny OVERRIDES both grants and ownership for the
+    * enforced identity — the strictest reading of the reference's
+    * deny-beats-grant rule (admins/in-process callers are unenforced and
+    * therefore unaffected). */
+  private val denies = TrieMap[(String, String), Set[String]]()
+
   /** Table/view ownership: key → creating user (recorded only when the
     * creation ran under an enforced session; in-process callers leave
     * tables unowned, i.e. admin-only under enforcement). */
@@ -76,6 +84,12 @@ private[graft] object Statements {
     val opaOps = Map("SELECT" -> "SelectFromColumns",
       "INSERT" -> "InsertIntoTable", "DELETE" -> "DeleteFromTable",
       "UPDATE" -> "UpdateTableColumns")
+    def denied(priv: String, key: String): Boolean =
+      // DENY overrides grant AND ownership (checked through the user's
+      // groups too, like grants)
+      (Iterator(user) ++ Groups.groupsOf(user).iterator).exists(p =>
+        denies.getOrElse((p, key), Set.empty)
+          .exists(g => g == priv || g == "ALL PRIVILEGES" || g == "ALL"))
     def allowed(priv: String, key: String): Boolean =
       // a configured agent REPLACES the built-in grant checks; the
       // endpoint is snapshotted in one call so a concurrent clear()
@@ -83,11 +97,12 @@ private[graft] object Statements {
       // evaluate against the user AND every group a configured group
       // provider resolves for them (reference GroupProvider SPI — a
       // GRANT … TO analysts takes effect through membership).
-      OpaPolicy.decide(user, opaOps.getOrElse(priv, priv), key).getOrElse(
-        owners.get(key).contains(user) ||
-          (Iterator(user) ++ Groups.groupsOf(user).iterator).exists(p =>
-            grants.getOrElse((p, key), Set.empty)
-              .exists(g => g == priv || g == "ALL PRIVILEGES" || g == "ALL")))
+      !denied(priv, key) &&
+        OpaPolicy.decide(user, opaOps.getOrElse(priv, priv), key).getOrElse(
+          owners.get(key).contains(user) ||
+            (Iterator(user) ++ Groups.groupsOf(user).iterator).exists(p =>
+              grants.getOrElse((p, key), Set.empty)
+                .exists(g => g == priv || g == "ALL PRIVILEGES" || g == "ALL")))
     def check(priv: String, what: String, rawName: String): Unit = {
       val key = keyOf(rawName)
       if (!allowed(priv, key))
@@ -125,6 +140,11 @@ private[graft] object Statements {
         check("UPDATE", "merge into table", name)
         check("DELETE", "merge into table", name)
         checkQuery(source)
+      case MergeFullStmt(name, _, source, _, _, _) =>
+        check("INSERT", "merge into table", name)
+        check("UPDATE", "merge into table", name)
+        check("DELETE", "merge into table", name)
+        checkQuery(source)
       case DropTableStmt(name, _) => ownerOnly("drop table", name)
       case DropViewStmt(name, _) => ownerOnly("drop view", name)
       case AlterTableStmt(name, _, _) => ownerOnly("alter table", name)
@@ -133,6 +153,9 @@ private[graft] object Statements {
         val tbl = if (isColumn) parts.dropRight(1).mkString(".") else target
         ownerOnly("comment on", tbl)
       case GrantStmt(_, _, table, _) => ownerOnly("grant on table", table)
+      case DenyStmt(_, table, _) => ownerOnly("deny on table", table)
+      case CreateMvStmt(_, _, q, _) => checkQuery(q)
+      case DropMvStmt(name, _) => ownerOnly("drop materialized view", name)
       case ShowStatsStmt(Left(name)) =>
         check("SELECT", "show stats for table", name)
       case ShowStatsStmt(Right(q)) => checkQuery(q)
@@ -156,6 +179,11 @@ private[graft] object Statements {
   /** CREATE VIEW definitions (name → rendered defining query), surfaced by
     * information_schema.views. */
   private val viewDefs = TrieMap[String, String]()
+
+  /** Front-door materialized views: lowercase name → storage root
+    * (catalog.MaterializedView layout: stored definition + CowTable
+    * materialization + freshness basis). */
+  private val mvRoots = TrieMap[String, String]()
 
   /** Front-door statement history for system.runtime.queries (reference
     * system.runtime.queries lists the coordinator's query log). */
@@ -196,9 +224,25 @@ private[graft] object Statements {
     val lower = name.toLowerCase
     val schema = SessionContext.schemaOverride.map(_.toLowerCase)
       .getOrElse(currentSchema)
-    if (lower.contains(".") || schema == "default") lower
+    // "user:<name>" keys (impersonation grant targets) are not tables and
+    // never schema-qualify
+    if (lower.contains(".") || lower.startsWith("user:") ||
+        schema == "default") lower
     else s"$schema.$lower"
   }
+
+  /** May `principal` impersonate `target` (SET SESSION AUTHORIZATION)?
+    * An OPA agent decides when configured (reference OpaAccessControl
+    * checkCanSetUser → ImpersonateUser operation); the built-in rule is a
+    * grantable privilege: GRANT IMPERSONATE ON USER target TO principal.
+    * Self-impersonation is always allowed. */
+  private[graft] def canImpersonate(principal: String, target: String): Boolean =
+    principal == target ||
+      OpaPolicy.decide(principal, "ImpersonateUser", s"user:${target.toLowerCase}")
+        .getOrElse(
+          (Iterator(principal) ++ Groups.groupsOf(principal).iterator).exists(p =>
+            grants.getOrElse((p, s"user:${target.toLowerCase}"), Set.empty)
+              .exists(g => g == "IMPERSONATE" || g == "ALL")))
 
   /** Re-register every front-door table's temp view onto `spark` — needed
     * when the statement server executes on a scoped `newSession()` (temp
@@ -258,6 +302,8 @@ private[graft] object Statements {
         case InsertInto(name, _, q) =>
           (referencedTables(q, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
         case MergeStmt(name, source, _) =>
+          (referencedTables(source, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
+        case MergeFullStmt(name, _, source, _, _, _) =>
           (referencedTables(source, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
         case DeleteStmt(name, _) => (Nil, Seq(name.toLowerCase))
         case UpdateStmt(name, _, _) => (Nil, Seq(name.toLowerCase))
@@ -698,6 +744,43 @@ private[graft] object Statements {
       refreshView(spark, name)
       oneRow(spark, "rows", n)
 
+    case MergeFullStmt(name, tAlias, source, sAlias, on, cases) =>
+      val ct = openTable(spark, name)
+      val src = subquery(spark, dir, source)
+      def render(e: Expr): String =
+        SqlFrontend.renderExpr(SqlFrontend.rewriteExpr(e))
+      val tCols = projected(spark, requireKey(name)).schema.fieldNames.toSeq
+      val srcCols = src.columns.toSeq
+      // SET * / INSERT * expand here, where both schemas are known, so the
+      // CoW kernel only ever sees explicit column → expression forms
+      val matched = cases.collect {
+        case MergeUpdateCase(cond, set) =>
+          val m =
+            if (set.nonEmpty)
+              set.map { case (c, e) => c.toLowerCase -> render(e) }.toMap
+            else tCols.filter(c => srcCols.exists(_.equalsIgnoreCase(c)))
+              .map(c => c.toLowerCase -> s"$sAlias.$c").toMap
+          graft.catalog.CowTable.WhenMatched(cond.map(render),
+            deleteAction = false, m)
+        case MergeDeleteCase(cond) =>
+          graft.catalog.CowTable.WhenMatched(cond.map(render),
+            deleteAction = true, Map.empty)
+      }
+      val notMatched = cases.collect {
+        case MergeInsertCase(cond, cols, vals) =>
+          val (cs, vs) =
+            if (cols.isEmpty && vals.isEmpty) // INSERT *: positional source row
+              (tCols, srcCols.take(tCols.length).map(c => s"$sAlias.$c"))
+            else if (cols.isEmpty) (tCols.take(vals.length), vals.map(render))
+            else (cols, vals.map(render))
+          graft.catalog.CowTable.WhenNotMatched(cond.map(render),
+            cs.map(_.toLowerCase), vs)
+      }
+      val (_, changed) = ct.mergeFull(src, tAlias, sAlias,
+        render(on), matched, notMatched)
+      refreshView(spark, name)
+      oneRow(spark, "rows", changed)
+
     case AlterTableStmt(name, ifExists, op) =>
       val keyOpt = lookupKey(name)
       if (keyOpt.isEmpty) {
@@ -756,6 +839,13 @@ private[graft] object Statements {
 
     case CreateSchemaStmt(name, ifNotExists) =>
       val lower = name.toLowerCase
+      // the metadata namespaces are reserved (reference: io.trino.metadata
+      // MetadataManager rejects creating information_schema; RowSecurity's
+      // policyWrap exempts these heads from probing, so allowing a user
+      // schema with the same name would silently bypass row policies)
+      if (lower == "system" || lower == "information_schema")
+        throw new IllegalArgumentException(
+          s"schema name '$name' is reserved")
       if (schemas.putIfAbsent(lower, ()).isDefined && !ifNotExists)
         throw new IllegalArgumentException(s"schema '$name' already exists")
       oneRow(spark, "rows", 0L)
@@ -835,7 +925,9 @@ private[graft] object Statements {
       oneRow(spark, "rows", 0L)
 
     case GrantStmt(revoke, privileges, table, grantee) =>
-      val gk = (grantee.toLowerCase, requireKey(table))
+      val key = if (table.toLowerCase.startsWith("user:")) table.toLowerCase
+        else requireKey(table)
+      val gk = (grantee.toLowerCase, key)
       val before = grants.getOrElse(gk, Set.empty)
       val after =
         if (revoke) {
@@ -847,6 +939,27 @@ private[graft] object Statements {
         }
       if (after.isEmpty) grants.remove(gk) else grants(gk) = after
       oneRow(spark, "rows", 0L)
+
+    case DenyStmt(privileges, table, grantee) =>
+      val gk = (grantee.toLowerCase, requireKey(table))
+      val add =
+        if (privileges.contains("ALL")) Set("SELECT", "INSERT", "UPDATE", "DELETE")
+        else privileges.toSet
+      denies(gk) = denies.getOrElse(gk, Set.empty) ++ add
+      oneRow(spark, "rows", 0L)
+
+    case SetSessionAuthStmt(target) =>
+      // the identity switch itself is protocol state (the server echoes
+      // X-Trino-Set-Authorization-User and the client replays it — same
+      // stateless-coordinator design as SET SESSION); here the front door
+      // enforces the impersonation privilege for enforced identities
+      target.foreach { t =>
+        SessionContext.enforcedUser.foreach { u =>
+          if (!canImpersonate(u, t))
+            throw new AccessDeniedException(s"Cannot set session authorization to $t")
+        }
+      }
+      oneRow(spark, "result", 0L)
 
     case ShowGrantsStmt(table) =>
       val keyFilter = table.map(requireKey)
@@ -903,6 +1016,59 @@ private[graft] object Statements {
       if (!existed && !ifExists)
         throw new IllegalArgumentException(s"view '$name' does not exist")
       viewDefs.remove(name.toLowerCase)
+      oneRow(spark, "rows", 0L)
+
+    case ShowCreateViewStmt(name, materialized) =>
+      // reference sql/rewrite/ShowQueriesRewrite.java reconstructs the DDL
+      // from the stored original definition for both view flavors
+      if (materialized) {
+        val root = mvRoots.getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(
+            s"'$name' is not a materialized view"))
+        val defSql =
+          graft.catalog.MaterializedView.open(spark, root).definitionSql
+        stringRows(spark, "create_mview",
+          Seq(s"CREATE MATERIALIZED VIEW $name AS", defSql))
+      } else {
+        val defSql = viewDefs.getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(s"'$name' is not a view"))
+        stringRows(spark, "create_view",
+          Seq(s"CREATE VIEW $name AS", defSql))
+      }
+
+    case CreateMvStmt(name, orReplace, q, defText) =>
+      val lower = name.toLowerCase
+      if (mvRoots.contains(lower) && !orReplace)
+        throw new IllegalArgumentException(
+          s"materialized view '$name' already exists")
+      // front-door CoW tables the definition reads: their versions at
+      // materialization time form the freshness basis (isStale contract)
+      val sources = referencedTables(q, Set.empty).toSeq.flatMap { t =>
+        lookupKey(t).flatMap(k => tables.get(k).map(root => t -> root))
+      }.toMap
+      val root = Paths.get(warehouse, s"mv_${viewNameOf(lower)}_${System.nanoTime()}").toString
+      val mv = graft.catalog.MaterializedView.create(spark, root, defText, dir, sources)
+      mvRoots(lower) = root
+      recordOwner(keyOf(name))
+      mv.read().createOrReplaceTempView(name)
+      oneRow(spark, "rows", 0L)
+
+    case RefreshMvStmt(name) =>
+      val root = mvRoots.getOrElse(name.toLowerCase,
+        throw new IllegalArgumentException(
+          s"materialized view '$name' does not exist"))
+      val mv = graft.catalog.MaterializedView.open(spark, root)
+      mv.refresh()
+      mv.read().createOrReplaceTempView(name)
+      oneRow(spark, "rows", 0L)
+
+    case DropMvStmt(name, ifExists) =>
+      mvRoots.remove(name.toLowerCase) match {
+        case Some(_) => spark.catalog.dropTempView(name); ()
+        case None =>
+          if (!ifExists) throw new IllegalArgumentException(
+            s"materialized view '$name' does not exist")
+      }
       oneRow(spark, "rows", 0L)
 
     case ShowStatsStmt(target) =>

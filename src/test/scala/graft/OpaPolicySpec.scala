@@ -114,6 +114,13 @@ class OpaPolicySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   // --- OPA-defined row filters + column masks (OpaAccessControl
   //     getRowFilters/getColumnMask over the optional policy documents) ---
 
+  // probe accounting for the shaping agent: RowSecurity memoizes agent
+  // answers per statement, so a query referencing `nation` N times must
+  // cost at most one rowFilters probe and one columnMask probe per column
+  private val filterProbes = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val maskProbes = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val probedTables = new CopyOnWriteArrayList[String]()
+
   private lazy val shapingAgent = {
     val s = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -174,6 +181,39 @@ class OpaPolicySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
           "SELECT count(*) AS n FROM nation").collect().head.getLong(0)
       }
       assert(other == 25L)
+    } finally {
+      OpaPolicy.clear()
+    }
+  }
+
+  test("agent answers are memoized per statement and metadata is never probed") {
+    val base = s"http://127.0.0.1:${shapingAgent.getAddress.getPort}/v1/data/trino"
+    OpaPolicy.configure(s"$base/allow")
+    OpaPolicy.configureRowFilters(s"$base/rowFilters")
+    OpaPolicy.configureColumnMask(s"$base/columnMask")
+    try {
+      filterProbes.set(0); maskProbes.set(0); probedTables.clear()
+      // nation is referenced THREE times (join + scalar subquery); nation
+      // has 4 columns → at most 1 rowFilters probe and 4 columnMask probes
+      as("hank") {
+        TrinoDialect.sql(spark, sfDir,
+          """SELECT a.n_name FROM nation a JOIN nation b
+            |ON a.n_nationkey = b.n_nationkey
+            |WHERE a.n_regionkey <= (SELECT max(n_regionkey) FROM nation)
+            |ORDER BY a.n_name""".stripMargin).collect()
+      }
+      assert(filterProbes.get() <= 1,
+        s"rowFilters probed ${filterProbes.get()} times for one statement")
+      assert(maskProbes.get() <= 4,
+        s"columnMask probed ${maskProbes.get()} times for a 4-column table")
+      // metadata relations are never probed
+      filterProbes.set(0); maskProbes.set(0); probedTables.clear()
+      as("hank") {
+        TrinoDialect.sql(spark, sfDir,
+          "SELECT table_name FROM information_schema.tables WHERE table_name = 'nation'").collect()
+      }
+      assert(!probedTables.asScala.exists(_.contains("information_schema")),
+        "metadata relation was probed against the OPA agent")
     } finally {
       OpaPolicy.clear()
       shapingAgent.stop(0)

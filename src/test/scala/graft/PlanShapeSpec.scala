@@ -247,13 +247,18 @@ class PlanShapeSpec extends SparkSpec {
     val between = distinctPlan.substring(expandIx, scanIx)
     assert(between.contains("HashAggregate"),
       s"Expand applies directly to the fact scan (no pair-set reduction):\n$distinctPlan")
-    // contamination: benchmark shingles broadcast — corpus side must not
-    // sort-merge-shuffle on the shingle text
+    // contamination (round-14 shape): the bench shingle-hash set is
+    // driver-collected and probed IN-ROW — the corpus is never exploded,
+    // joined, or hash-shuffled; the only exchange is the presentation sort
     val contamPlan = physicalPlan(operators.TextPipeline.q_text_contamination(spark, sfDir))
-    assert(contamPlan.contains("BroadcastHashJoin"),
-      s"benchmark shingle set not broadcast:\n$contamPlan")
+    assert(contamPlan.contains("array_long_set_count_distinct"),
+      s"in-row contamination probe missing:\n$contamPlan")
+    assert(!contamPlan.contains("Join"),
+      s"contamination should not join at all:\n$contamPlan")
     def countOf(plan: String, needle: String): Int =
       plan.sliding(needle.length).count(_ == needle)
+    assert(countOf(contamPlan, "Exchange hashpartitioning") == 0,
+      s"contamination corpus side must not hash-shuffle:\n$contamPlan")
     // chunking: a pure map + in-row explode — the only exchange is the
     // range partition of the final ORDER BY
     val chunkPlan = physicalPlan(operators.TextPipeline.q_text_chunking(spark, sfDir))

@@ -138,6 +138,100 @@ class SecuritySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(sg == "FAILED" && ng.contains("PERMISSION_DENIED"))
   }
 
+  test("DENY overrides grant and ownership (SqlBase.g4:169, DenyTask)") {
+    // granted + denied → denied wins
+    assert(run("CREATE OR REPLACE TABLE sec_deny AS SELECT 1 AS v",
+      Some("admin" -> "s3cret"))._1 == "FINISHED")
+    assert(run("GRANT SELECT ON sec_deny TO alice",
+      Some("admin" -> "s3cret"))._1 == "FINISHED")
+    assert(run("SELECT v FROM sec_deny",
+      Some("alice" -> "pw-a"))._1 == "FINISHED")
+    assert(run("DENY SELECT ON sec_deny TO alice",
+      Some("admin" -> "s3cret"))._1 == "FINISHED")
+    val (s1, n1, _) = run("SELECT v FROM sec_deny", Some("alice" -> "pw-a"))
+    assert(s1 == "FAILED" && n1.contains("PERMISSION_DENIED"),
+      "deny did not override the grant")
+    // deny overrides ownership too: bob owns the table, the deny still wins
+    assert(run("CREATE OR REPLACE TABLE sec_deny_own AS SELECT 1 AS v",
+      Some("bob" -> "pw-b"))._1 == "FINISHED")
+    assert(run("DENY INSERT ON sec_deny_own TO bob",
+      Some("admin" -> "s3cret"))._1 == "FINISHED")
+    val (s2, n2, _) = run("INSERT INTO sec_deny_own VALUES (2)",
+      Some("bob" -> "pw-b"))
+    assert(s2 == "FAILED" && n2.contains("PERMISSION_DENIED"),
+      "deny did not override ownership")
+    // ...but only the denied privilege: the owner still reads
+    assert(run("SELECT v FROM sec_deny_own",
+      Some("bob" -> "pw-b"))._1 == "FINISHED")
+    // non-owner may not DENY on someone else's table
+    val (s3, n3, _) = run("DENY SELECT ON sec_deny TO bob",
+      Some("alice" -> "pw-a"))
+    assert(s3 == "FAILED" && n3.contains("PERMISSION_DENIED"))
+  }
+
+  test("SET SESSION AUTHORIZATION: impersonation gated on a grantable privilege") {
+    import java.net.http.{HttpRequest, HttpResponse}
+    // a table only alice can read
+    assert(run("CREATE OR REPLACE TABLE sec_imp AS SELECT 7 AS v",
+      Some("admin" -> "s3cret"))._1 == "FINISHED")
+    assert(run("GRANT SELECT ON sec_imp TO alice",
+      Some("admin" -> "s3cret"))._1 == "FINISHED")
+    def post(sql: String, auth: (String, String),
+        authzUser: Option[String]): java.net.http.HttpResponse[String] = {
+      val b = HttpRequest.newBuilder(URI.create(s"${handle.uri}/v1/statement"))
+        .header("Authorization", basic(auth._1, auth._2))
+        .POST(HttpRequest.BodyPublishers.ofString(sql))
+      authzUser.foreach(u => b.header("X-Trino-Authorization-User", u))
+      http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    // bob may not impersonate alice (no grant): statement AND replay denied
+    assert(post("SET SESSION AUTHORIZATION alice",
+      ("bob", "pw-b"), None).statusCode() == 403)
+    assert(post("SELECT v FROM sec_imp",
+      ("bob", "pw-b"), Some("alice")).statusCode() == 403)
+    // grant the impersonation privilege; the statement now echoes the header
+    assert(run("GRANT IMPERSONATE ON USER alice TO bob",
+      Some("admin" -> "s3cret"))._1 == "FINISHED")
+    val ok = post("SET SESSION AUTHORIZATION alice", ("bob", "pw-b"), None)
+    assert(ok.statusCode() == 200, ok.body())
+    assert(ok.headers().firstValue("X-Trino-Set-Authorization-User")
+      .orElse("") == "alice")
+    // replaying the identity, bob acts as alice (reads alice's grant)
+    val (sOk, _, eOk) = {
+      var resp = post("SELECT v FROM sec_imp", ("bob", "pw-b"), Some("alice"))
+      assert(resp.statusCode() == 200, resp.body())
+      // poll to completion through the generic runner path
+      var json = JsonMethods.parse(resp.body())
+      var state = "RUNNING"; var spins = 0
+      var failure: Option[String] = None
+      var done = false
+      while (!done) {
+        (json \ "error") match {
+          case JObject(_) =>
+            val JString(m) = (json \ "error" \ "message"): @unchecked
+            state = "FAILED"; failure = Some(m); done = true
+          case _ =>
+            json \ "nextUri" match {
+              case JString(next) =>
+                spins += 1; assert(spins < 400); Thread.sleep(25)
+                val r2 = http.send(HttpRequest.newBuilder(
+                  URI.create(s"${handle.uri}$next")).GET().build(),
+                  HttpResponse.BodyHandlers.ofString())
+                json = JsonMethods.parse(r2.body())
+              case _ => state = "FINISHED"; done = true
+            }
+        }
+      }
+      (state, None, failure)
+    }
+    assert(sOk == "FINISHED", eOk)
+    // RESET SESSION AUTHORIZATION echoes the reset header
+    val reset = post("RESET SESSION AUTHORIZATION", ("bob", "pw-b"), None)
+    assert(reset.statusCode() == 200)
+    assert(reset.headers()
+      .firstValue("X-Trino-Reset-Authorization-User").isPresent)
+  }
+
   test("admin bypasses enforcement everywhere") {
     assert(run("SELECT count(*) AS n FROM nation",
       Some("admin" -> "s3cret"))._1 == "FINISHED")

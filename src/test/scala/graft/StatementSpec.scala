@@ -102,6 +102,47 @@ class StatementSpec extends SparkSpec {
     sql("DROP TABLE st_c")
   }
 
+  test("SHOW CREATE VIEW round-trips the stored definition") {
+    sql("CREATE OR REPLACE VIEW st_scv AS SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 1")
+    val ddl = sql("SHOW CREATE VIEW st_scv").collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(ddl.startsWith("CREATE VIEW st_scv AS"), ddl)
+    assert(ddl.toLowerCase.contains("n_regionkey"), ddl)
+    intercept[Exception] { sql("SHOW CREATE VIEW no_such_view").collect() }
+    sql("DROP VIEW st_scv")
+  }
+
+  test("materialized views: CREATE/REFRESH/DROP + SHOW CREATE MATERIALIZED VIEW") {
+    sql("CREATE OR REPLACE TABLE st_mv_src AS SELECT n_nationkey AS k, n_regionkey AS r FROM nation")
+    sql("""CREATE OR REPLACE MATERIALIZED VIEW st_mv AS
+           SELECT r, count(*) AS n FROM st_mv_src GROUP BY r""")
+    // reads serve the MATERIALIZATION (not a recompute)
+    assert(sql("SELECT sum(n) AS t FROM st_mv").head().getLong(0) == 25L)
+    // the stored definition round-trips verbatim
+    val ddl = sql("SHOW CREATE MATERIALIZED VIEW st_mv").collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(ddl.startsWith("CREATE MATERIALIZED VIEW st_mv AS"), ddl)
+    assert(ddl.contains("GROUP BY r"), ddl)
+    // source advances → the view is stale until REFRESH recomputes
+    sql("INSERT INTO st_mv_src VALUES (100, 9)")
+    assert(sql("SELECT sum(n) AS t FROM st_mv").head().getLong(0) == 25L,
+      "materialization must not see new source rows before REFRESH")
+    sql("REFRESH MATERIALIZED VIEW st_mv")
+    assert(sql("SELECT sum(n) AS t FROM st_mv").head().getLong(0) == 26L)
+    sql("DROP MATERIALIZED VIEW st_mv")
+    intercept[Exception] { sql("SHOW CREATE MATERIALIZED VIEW st_mv").collect() }
+    sql("DROP MATERIALIZED VIEW IF EXISTS st_mv") // idempotent with IF EXISTS
+  }
+
+  test("the metadata schema names are reserved (row-policy exemption safety)") {
+    for (reserved <- Seq("system", "information_schema")) {
+      val e = intercept[IllegalArgumentException] {
+        sql(s"CREATE SCHEMA $reserved")
+      }
+      assert(e.getMessage.contains("reserved"), e.getMessage)
+    }
+  }
+
   test("DROP VIEW") {
     sql("CREATE VIEW st_v AS SELECT 1 AS one")
     assert(sql("SELECT * FROM st_v").head().getInt(0) == 1)

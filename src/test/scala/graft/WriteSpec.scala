@@ -80,6 +80,72 @@ class WriteSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 10.0), (2L, "B", 200.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("full MERGE: conditional multi-WHEN UPDATE/DELETE/INSERT on CowTable") {
+    import graft.catalog.CowTable
+    val root = tmp()
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "name", "v")
+    val ct = CowTable.create(spark, root, target)
+    val source = Seq((1L, 100.0), (2L, 200.0), (5L, 500.0), (6L, 600.0))
+      .toDF("k", "sv")
+    val (_, changed) = ct.mergeFull(source, "t", "s", "t.k = s.k",
+      matched = Seq(
+        CowTable.WhenMatched(Some("s.sv > 150"), deleteAction = true, Map.empty),
+        CowTable.WhenMatched(None, deleteAction = false,
+          Map("v" -> "t.v + s.sv"))),
+      notMatched = Seq(
+        CowTable.WhenNotMatched(Some("s.sv < 550"),
+          Seq("k", "name", "v"), Seq("s.k", "'new'", "s.sv"))))
+    // k=1: matched, sv=100 → UPDATE v=110; k=2: matched, sv=200 → DELETE;
+    // k=5: not matched, sv=500 → INSERT; k=6: not matched, sv=600 → skipped
+    val rows = ct.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, "a", 110.0), (3L, "c", 30.0),
+      (4L, "d", 40.0), (5L, "new", 500.0)), rows.mkString(","))
+    assert(changed == 3L) // 1 update + 1 delete + 1 insert
+  }
+
+  test("full MERGE enforces the SQL cardinality rule") {
+    import graft.catalog.CowTable
+    val root = tmp()
+    val ct = CowTable.create(spark, root, Seq((1L, 10.0)).toDF("k", "v"))
+    // two source rows match target k=1 and both trigger an update
+    val source = Seq((1L, 1.0), (1L, 2.0)).toDF("k", "sv")
+    val e = intercept[IllegalStateException] {
+      ct.mergeFull(source, "t", "s", "t.k = s.k",
+        matched = Seq(CowTable.WhenMatched(None, deleteAction = false,
+          Map("v" -> "s.sv"))),
+        notMatched = Nil)
+    }
+    assert(e.getMessage.contains("matched more than one source row"))
+  }
+
+  test("full MERGE through the SQL front door: delete-only and insert-only") {
+    def sql(t: String) = graft.sqlx.TrinoDialect.sql(spark, sfDir, t)
+    sql("""CREATE OR REPLACE TABLE wm_t AS
+           SELECT n_nationkey AS k, n_regionkey AS r FROM nation""")
+    // delete-only merge: no NOT MATCHED case at all
+    sql("""MERGE INTO wm_t t USING (SELECT n_nationkey AS k FROM nation
+             WHERE n_regionkey = 0) s
+           ON t.k = s.k
+           WHEN MATCHED THEN DELETE""")
+    assert(sql("SELECT count(*) AS n FROM wm_t").collect().head.getLong(0) == 20L)
+    // insert-only merge: no MATCHED case — no file is rewritten
+    sql("""MERGE INTO wm_t t USING (SELECT n_nationkey + 100 AS k,
+             n_regionkey AS r2 FROM nation WHERE n_nationkey < 5) s
+           ON t.k = s.k
+           WHEN NOT MATCHED THEN INSERT (k, r) VALUES (s.k, s.r2)""")
+    assert(sql("SELECT count(*) AS n FROM wm_t").collect().head.getLong(0) == 25L)
+    // the canonical upsert surface still parses onto the fast kernel
+    // (keys {0,1,2}: 0 was deleted above → re-inserted; 1,2 update in place)
+    sql("""MERGE INTO wm_t t USING (SELECT n_nationkey AS k, n_regionkey AS r
+             FROM nation WHERE n_nationkey < 3) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    assert(sql("SELECT count(*) AS n FROM wm_t").collect().head.getLong(0) == 26L)
+  }
+
   test("bucketed tables co-locate a fact-fact join with NO shuffle exchange") {
     // The 100 TB layout decision the reference expresses through connector
     // bucketing/partitioned exchanges (SURVEY §2.10, AddExchanges.java:145):
