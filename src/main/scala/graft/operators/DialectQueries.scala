@@ -158,6 +158,52 @@ object Dialect {
        FROM seq WHERE cls = 'D' AND ncls = 'U'
        ORDER BY user_id, start_id"""
 
+  /** Row-pattern recognition in a WINDOW specification (SqlBase.g4:876-880
+    * windowSpecification → patternRecognition; runtime operator/window/
+    * pattern/ — the one MATCH_RECOGNIZE grammar production beyond the
+    * FROM-clause relation): every row anchors its own match attempt
+    * (INITIAL), measures evaluate FINAL over the anchored match or NULL.
+    * The pattern is a greedy descending run (D+), so the oracle replays
+    * the exact semantics with run-group window arithmetic: for a row
+    * whose value descends, the match is the remainder of its descending
+    * run — n_down = rows to the run's end, end_val = the run's last
+    * value; non-descending rows match nothing. */
+  def q_sqlx_match_window(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT user_id, event_id, n_down OVER w AS n_down, end_val OVER w AS end_val
+         FROM events
+         WINDOW w AS (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES COUNT(D.*) AS n_down, LAST(D.value) AS end_val
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (D+)
+           DEFINE D AS value < PREV(value))""")
+      .orderBy($"user_id", $"event_id")
+  }
+  val qSqlxMatchWindowSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         FROM events),
+       f AS (
+         SELECT *, (pv IS NOT NULL AND value < pv) AS d FROM e),
+       g AS (
+         SELECT *, rn - row_number() OVER (PARTITION BY user_id, d ORDER BY rn) AS grp
+         FROM f),
+       runs AS (
+         SELECT user_id, grp, d, max(rn) AS mx, arg_max(value, rn) AS last_val
+         FROM g GROUP BY user_id, grp, d)
+       SELECT g.user_id, g.event_id,
+         CASE WHEN g.d THEN CAST(r.mx - g.rn + 1 AS BIGINT) END AS n_down,
+         CASE WHEN g.d THEN r.last_val END AS end_val
+       FROM g JOIN runs r
+         ON g.user_id = r.user_id AND g.grp = r.grp AND g.d = r.d
+       ORDER BY g.user_id, g.event_id"""
+
   /** Text-SQL MATCH_RECOGNIZE, ALL ROWS PER MATCH (classifier + match number). */
   def q_sqlx_match_rows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -705,13 +751,13 @@ object Dialect {
     * query — including the conditional DELETE arm. */
   def q_sqlx_merge_full(s: SparkSession, dir: String): DataFrame = {
     TrinoDialect.sql(s, dir,
-      """CREATE OR REPLACE TABLE wh_merge AS
+      """CREATE OR REPLACE TABLE wh_mergef AS
          SELECT n_nationkey AS k, n_name AS name,
            CAST(n_regionkey AS BIGINT) AS r,
            CAST(100.00 AS DECIMAL(12,2)) AS bal
          FROM nation""")
     TrinoDialect.sql(s, dir,
-      """MERGE INTO wh_merge t USING (
+      """MERGE INTO wh_mergef t USING (
            SELECT n_nationkey + 15 AS k,
              CAST(n_regionkey AS BIGINT) AS r2, n_name AS nm
            FROM nation) s
@@ -723,7 +769,7 @@ object Dialect {
            INSERT (k, name, r, bal) VALUES (s.k, s.nm, s.r2, CAST(5.55 AS DECIMAL(12,2)))""")
     TrinoDialect.sql(s, dir,
       """SELECT k, name, r, CAST(bal AS DOUBLE) AS bal
-         FROM wh_merge ORDER BY k""")
+         FROM wh_mergef ORDER BY k""")
   }
   val qSqlxMergeFullSql: String =
     """WITH t AS (
@@ -950,6 +996,7 @@ object Dialect {
     "q_sqlx_unnest_zip" -> q_sqlx_unnest_zip _,
     "q_sqlx_unnest_map" -> q_sqlx_unnest_map _,
     "q_sqlx_match_recognize" -> q_sqlx_match_recognize _,
+    "q_sqlx_match_window" -> q_sqlx_match_window _,
     "q_sqlx_match_rows" -> q_sqlx_match_rows _,
     "q_sqlx_match_multikey" -> q_sqlx_match_multikey _,
     "q_sqlx_match_skip_to" -> q_sqlx_match_skip_to _,
@@ -980,6 +1027,7 @@ object Dialect {
     "q_sqlx_unnest_zip" -> qSqlxUnnestZipSql,
     "q_sqlx_unnest_map" -> qSqlxUnnestMapSql,
     "q_sqlx_match_recognize" -> qSqlxMatchRecognizeSql,
+    "q_sqlx_match_window" -> qSqlxMatchWindowSql,
     "q_sqlx_match_rows" -> qSqlxMatchRowsSql,
     "q_sqlx_match_multikey" -> qSqlxMatchMultikeySql,
     "q_sqlx_match_skip_to" -> qSqlxMatchSkipToSql,

@@ -193,6 +193,19 @@ object RowPattern {
           matchAt(part, sub, pos, acc, excl = true, k)
       }
 
+    /** Anchored match attempt AT `pos` (the row-pattern-in-window-spec
+      * contract, SqlBase.g4:876-880 windowSpecification → patternRecognition:
+      * each row of the partition anchors its own match attempt — INITIAL
+      * semantics). Empty matches are discarded like findAll's. */
+    def anchoredAt(part: IndexedSeq[Row], pos: Int): Option[PatternMatch] =
+      matchAt(part, pattern, pos, Nil, excl = false, (e, a) => Some((e, a))) match {
+        case Some((end, acc)) if end > pos =>
+          val trace = acc.reverse.toIndexedSeq
+          Some(PatternMatch(pos, end, trace.map(t => (t._1, t._2)),
+            trace.collect { case (_, i, true) => i }.toSet))
+        case _ => None
+      }
+
     /** All matches over the ordered partition. `skipPastLastRow` = the
       * reference's AFTER MATCH SKIP PAST LAST ROW (default); false = SKIP TO
       * NEXT ROW (overlapping matches allowed). Empty matches are discarded

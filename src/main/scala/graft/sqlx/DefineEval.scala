@@ -147,6 +147,159 @@ private[graft] object DefineEval {
     val bound = BindReferences.bindReference(resolved, AttributeSeq(attrs))
     new CompiledDefine(bound, schema, navs.toArray, selfSym).predicate
   }
+
+  /** CLASSIFIER() inside a measure: the label of the match's LAST row
+    * (FINAL semantics — measures over a completed match). */
+  final case class ClassifierNav() extends Nav {
+    def dataType: DataType = StringType
+  }
+
+  /** Compiled measure over a COMPLETED match (row-pattern window specs,
+    * SqlBase.g4:876-880): evaluated with FINAL semantics — navigation and
+    * aggregates see the whole match trace, plain column references and
+    * PREV/NEXT physical navigation evaluate at the match's LAST row (the
+    * same point ONE ROW PER MATCH measures evaluate at). */
+  final case class CompiledMeasure(dataType: DataType,
+      eval: (IndexedSeq[Row], List[(String, Int)], Int) => Any)
+
+  /** Compile a MEASURES expression into a FINAL-semantics evaluator over
+    * (partition rows, complete match trace most-recent-first, last row
+    * index). Same Catalyst division of labor as `compile`: the scalar
+    * expression is parsed/analyzed/bound by Catalyst with navigation terms
+    * as placeholder columns the matcher resolves per match. */
+  def compileMeasure(spark: SparkSession, schema: StructType, exprText: String,
+      syms: Set[String], subsets: Map[String, Seq[String]]): CompiledMeasure = {
+
+    def colIdx(name: String): Int = {
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      if (i < 0) fail(s"unknown column '$name' in measure '$exprText' " +
+        "(navigation arguments must be plain or symbol-qualified columns)")
+      i
+    }
+    def canonical(s: String): Option[String] = syms.find(_.equalsIgnoreCase(s))
+    def members(s: String): Set[String] =
+      subsets.collectFirst { case (k, v) if k.equalsIgnoreCase(s) => v.toSet }
+        .getOrElse(Set(canonical(s).getOrElse(fail(s"unknown pattern variable '$s'"))))
+
+    val navs = scala.collection.mutable.ArrayBuffer[Nav]()
+    def ph(n: Nav): String = { navs += n; s"__nav${navs.length - 1}" }
+
+    def navTarget(argCol: String): (Option[String], Int) =
+      "(?s)^(\\w+)\\.(\\w+)$".r.findFirstMatchIn(argCol.trim) match {
+        case Some(m) if canonical(m.group(1)).isDefined => (Some(m.group(1)), colIdx(m.group(2)))
+        case Some(m) => fail(s"unknown pattern variable '${m.group(1)}' in '$argCol'")
+        case None => (None, colIdx(argCol.trim))
+      }
+
+    // RUNNING/FINAL prefixes: a completed match makes them coincide
+    val noPrefix = "(?is)^(?:RUNNING|FINAL)\\s+(.*)$".r
+      .findFirstMatchIn(exprText.trim).map(_.group(1)).getOrElse(exprText.trim)
+    val noClassifier = "(?i)\\bCLASSIFIER\\s*\\(\\s*\\)".r
+      .replaceAllIn(noPrefix, _ => ph(ClassifierNav()))
+
+    val rewritten = MatchRecognizeSql.rewriteCalls(
+        noClassifier, Set("PREV", "NEXT", "FIRST", "LAST", "COUNT", "SUM", "MIN", "MAX", "AVG")) {
+      case (fn @ ("PREV" | "NEXT"), arg) =>
+        val parts = MatchRecognizeSql.splitTop(arg)
+        val off = if (parts.length > 1) parts(1).trim.toInt else 1
+        val (_, ci) = navTarget(parts.head)
+        ph(PhysNav(ci, schema(ci).dataType, off, fn == "PREV"))
+      case (fn @ ("FIRST" | "LAST"), arg) =>
+        val parts = MatchRecognizeSql.splitTop(arg)
+        val occ = if (parts.length > 1) parts(1).trim.toInt else 0
+        val (symOpt, ci) = navTarget(parts.head)
+        ph(LogNav(symOpt.map(members), ci, schema(ci).dataType, occ, fn == "LAST"))
+      case ("COUNT", arg) =>
+        arg.trim match {
+          case "*" => ph(CountNav(None))
+          case a => "(?s)^(\\w+)\\.\\*$".r.findFirstMatchIn(a) match {
+            case Some(m) => ph(CountNav(Some(members(m.group(1)))))
+            case None => fail(s"COUNT in a window measure takes * or Sym.*, got '$a'")
+          }
+        }
+      case (agg, arg) =>
+        val (symOpt, ci) = navTarget(arg)
+        ph(AggNav(agg.toLowerCase, symOpt.map(members), ci))
+    }
+
+    // bare symbol-qualified refs: A.col ≡ LAST(A.col) per the standard
+    val finalText = "(\\w+)\\.(\\w+)".r.replaceAllIn(rewritten, m =>
+      canonical(m.group(1)) match {
+        case Some(_) =>
+          val ci = colIdx(m.group(2))
+          ph(LogNav(Some(members(m.group(1))), ci, schema(ci).dataType, 0, last = true))
+        case None => m.group(0)
+      })
+
+    val attrs: IndexedSeq[AttributeReference] =
+      (schema.fields.map(f => AttributeReference(f.name, f.dataType, f.nullable)()) ++
+        navs.zipWithIndex.map { case (nv, i) =>
+          AttributeReference(s"__nav$i", nv.dataType, nv.nullable)()
+        }).toIndexedSeq
+    val parsed = spark.sessionState.sqlParser.parseExpression(finalText)
+    val analyzed = spark.sessionState.analyzer.executeAndCheck(
+      Project(Seq(Alias(parsed, "__m")()), LocalRelation(attrs)),
+      new QueryPlanningTracker())
+    val resolved = analyzed.asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child
+    val bound = BindReferences.bindReference(resolved, AttributeSeq(attrs))
+    CompiledMeasure(resolved.dataType,
+      new CompiledMeasureEval(bound, schema, navs.toArray, resolved.dataType).eval)
+  }
+}
+
+/** Measure twin of CompiledDefine: evaluates the bound expression against a
+  * COMPLETED match (trace most-recent-first, `i` = last matched row index)
+  * and converts the Catalyst-internal result back to an external value for
+  * the output Row. */
+private final class CompiledMeasureEval(
+    bound: Expression, schema: StructType, navs: Array[DefineEval.Nav],
+    resultType: DataType) extends Serializable {
+  import DefineEval._
+
+  private val nFields = schema.length
+  @transient private lazy val fieldConv: Array[Any => Any] =
+    schema.fields.map(f => CatalystTypeConverters.createToCatalystConverter(f.dataType))
+  @transient private lazy val navConv: Array[Any => Any] =
+    navs.map(nv => CatalystTypeConverters.createToCatalystConverter(nv.dataType))
+  @transient private lazy val outConv: Any => Any =
+    CatalystTypeConverters.createToScalaConverter(resultType)
+
+  private def sees(symbols: Option[Set[String]], e: (String, Int)): Boolean =
+    symbols.forall(_.contains(e._1))
+
+  def eval(part: IndexedSeq[Row], trace: List[(String, Int)], i: Int): Any = {
+    val values = new Array[Any](nFields + navs.length)
+    val row = part(i)
+    var j = 0
+    while (j < nFields) { values(j) = fieldConv(j)(row.get(j)); j += 1 }
+    var k = 0
+    while (k < navs.length) {
+      val v = navs(k) match {
+        case ClassifierNav() => trace.headOption.map(_._1).orNull
+        case PhysNav(c, _, off, prev) =>
+          val p = if (prev) i - off else i + off
+          if (p < 0 || p >= part.length) null else part(p).get(c)
+        case LogNav(symbols, c, _, occ, last) =>
+          val hits = trace.iterator.filter(sees(symbols, _)).map(_._2).toIndexedSeq
+          val ordered = if (last) hits else hits.reverse
+          if (occ < ordered.length) part(ordered(occ)).get(c) else null
+        case CountNav(symbols) => trace.count(sees(symbols, _)).toLong
+        case AggNav(kind, symbols, c) =>
+          val vals = trace.iterator.filter(sees(symbols, _)).map(e => part(e._2).get(c))
+            .filter(_ != null).map(_.asInstanceOf[Number].doubleValue()).toSeq
+          if (vals.isEmpty) null
+          else kind match {
+            case "sum" => vals.sum
+            case "min" => vals.min
+            case "max" => vals.max
+            case "avg" => vals.sum / vals.length
+          }
+      }
+      values(nFields + k) = if (v == null) null else navConv(k)(v)
+      k += 1
+    }
+    outConv(bound.eval(InternalRow.fromSeq(values.toIndexedSeq)))
+  }
 }
 
 /** Serializable carrier: the bound Catalyst expression + navigation specs.

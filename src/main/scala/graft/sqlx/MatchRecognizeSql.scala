@@ -91,10 +91,13 @@ private[graft] object MatchRecognizeSql {
     "PARTITION BY", "ORDER BY", "MEASURES", "ONE ROW PER MATCH",
     "ALL ROWS PER MATCH", "AFTER MATCH", "PATTERN", "SUBSET", "DEFINE")
 
-  /** Top-level clauses of the MATCH_RECOGNIZE block, in textual order. */
-  private def clauses(block: String): Seq[(String, String)] = {
+  /** Top-level clauses of the MATCH_RECOGNIZE block, in textual order.
+    * `kws` defaults to the FROM-clause production's keywords; the window
+    * specification production (MatchWindowSql) passes its own set. */
+  private[sqlx] def clauses(block: String,
+      kws: Seq[String] = clauseKeywords): Seq[(String, String)] = {
     val state = scanState(block)
-    val hits = clauseKeywords.flatMap { kw =>
+    val hits = kws.flatMap { kw =>
       ("(?i)\\b" + kw.replace(" ", "\\s+") + "\\b").r
         .findAllMatchIn(block)
         .filter(m => state(m.start) == 0)
@@ -117,7 +120,7 @@ private[graft] object MatchRecognizeSql {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  private def identList(clause: String, what: String): Seq[String] =
+  private[sqlx] def identList(clause: String, what: String): Seq[String] =
     splitTop(clause).map { c =>
       val m = "(?i)^(\\w+)(\\s+ASC)?$".r.findFirstMatchIn(c).getOrElse(
         fail(s"$what supports plain ascending column names, got '$c'"))
@@ -179,7 +182,7 @@ private[graft] object MatchRecognizeSql {
   // ------------------------------------------------------------- rewriting
 
   /** Pattern variables: DEFINE'd symbols plus symbols appearing in PATTERN. */
-  private def patternSymbols(mr: Mr): Set[String] = {
+  private[sqlx] def patternSymbols(mr: Mr): Set[String] = {
     def syms(p: RowPattern.Pat): Set[String] = p match {
       case RowPattern.Sym(n) => Set(n)
       case RowPattern.Cat(ps) => ps.flatMap(syms).toSet
@@ -227,7 +230,7 @@ private[graft] object MatchRecognizeSql {
 
   /** State-INdependent DEFINE condition → Spark SQL boolean expression text
     * (the codegen'd fast path; stateful conditions go to DefineEval). */
-  private def rewriteDefine(cond: String, selfSym: String, syms: Set[String],
+  private[sqlx] def rewriteDefine(cond: String, selfSym: String, syms: Set[String],
       navOver: String): String = {
     val nav = rewriteCalls(cond, Set("PREV", "NEXT")) {
       case ("PREV", arg) => s"lag($arg) $navOver"

@@ -171,8 +171,8 @@ object SqlAst {
     * execution/CreateMaterializedViewTask.java). `defText` is the raw
     * dialect SQL of the defining query, stored verbatim (the reference
     * stores the original SQL in MaterializedViewDefinition). */
-  final case class CreateMvStmt(name: String, orReplace: Boolean, q: Query,
-      defText: String) extends Statement
+  final case class CreateMvStmt(name: String, orReplace: Boolean,
+      ifNotExists: Boolean, q: Query, defText: String) extends Statement
   final case class RefreshMvStmt(name: String) extends Statement
   final case class DropMvStmt(name: String, ifExists: Boolean) extends Statement
   final case class DropViewStmt(name: String, ifExists: Boolean) extends Statement
@@ -352,15 +352,14 @@ final class SqlParser(src: String) {
         val name = ident("view name"); expectKw("AS")
         val startPos = peek.pos
         val q = parseQueryNoFinish()
-        CreateMvStmt(name, orReplace = true, q,
+        CreateMvStmt(name, orReplace = true, ifNotExists = false, q,
           src.substring(startPos, peek.pos).trim.stripSuffix(";").trim)
       } else if (acceptSeq("CREATE", "MATERIALIZED", "VIEW")) {
         val ine = acceptSeq("IF", "NOT", "EXISTS")
         val name = ident("view name"); expectKw("AS")
         val startPos = peek.pos
         val q = parseQueryNoFinish()
-        val _ = ine // IF NOT EXISTS tolerated; existence checked at execution
-        CreateMvStmt(name, orReplace = false, q,
+        CreateMvStmt(name, orReplace = false, ifNotExists = ine, q,
           src.substring(startPos, peek.pos).trim.stripSuffix(";").trim)
       } else if (acceptSeq("REFRESH", "MATERIALIZED", "VIEW"))
         RefreshMvStmt(ident("view name"))

@@ -154,7 +154,7 @@ private[graft] object Statements {
         ownerOnly("comment on", tbl)
       case GrantStmt(_, _, table, _) => ownerOnly("grant on table", table)
       case DenyStmt(_, table, _) => ownerOnly("deny on table", table)
-      case CreateMvStmt(_, _, q, _) => checkQuery(q)
+      case CreateMvStmt(_, _, _, q, _) => checkQuery(q)
       case DropMvStmt(name, _) => ownerOnly("drop materialized view", name)
       case ShowStatsStmt(Left(name)) =>
         check("SELECT", "show stats for table", name)
@@ -548,6 +548,16 @@ private[graft] object Statements {
             (c, graft.catalog.CatalogStore.connectorOf(c).getOrElse("dsv2"))))
             .distinct.sortBy(_._1)
             .map { case (c, conn) => Row(c, conn) }))
+      case Seq("system", "metadata", "materialized_views") =>
+        // reference io.trino.connector.system.MaterializedViewSystemTable:
+        // catalog/schema/name, freshness, and the stored definition
+        Some(rows(str("catalog_name", "schema_name", "name", "freshness",
+            "definition"),
+          mvRoots.toSeq.sortBy(_._1).map { case (n, root) =>
+            val mv = graft.catalog.MaterializedView.open(spark, root)
+            Row("graft", "default", n,
+              if (mv.isStale) "STALE" else "FRESH", mv.definitionSql)
+          }))
       case _ => None
     }
   }
@@ -1036,11 +1046,13 @@ private[graft] object Statements {
           Seq(s"CREATE VIEW $name AS", defSql))
       }
 
-    case CreateMvStmt(name, orReplace, q, defText) =>
+    case CreateMvStmt(name, orReplace, ifNotExists, q, defText) =>
       val lower = name.toLowerCase
-      if (mvRoots.contains(lower) && !orReplace)
+      if (mvRoots.contains(lower) && !orReplace) {
+        if (ifNotExists) return oneRow(spark, "rows", 0L)
         throw new IllegalArgumentException(
           s"materialized view '$name' already exists")
+      }
       // front-door CoW tables the definition reads: their versions at
       // materialization time form the freshness basis (isStale contract)
       val sources = referencedTables(q, Set.empty).toSeq.flatMap { t =>

@@ -266,10 +266,16 @@ object TrinoDialect {
       case ExecuteRe(name, argsText) =>
         sql(spark, dir, bindParams(preparedStatement(name), Option(argsText)))
       case _ =>
-        MatchRecognizeSql.parse(text) match {
-          case Some(mr) => MatchRecognizeSql.lower(spark, dir, mr)
-          case None =>
-            spark.sql(rewrite(lowerTableFunctions(spark, dir, text)))
+        // row-pattern window specifications (SqlBase.g4:876-880) first:
+        // their WINDOW … PATTERN shape is outside both the grammar parser
+        // and Spark's own WINDOW clause
+        MatchWindowSql.parse(text) match {
+          case Some(mw) => MatchWindowSql.lower(spark, dir, mw)
+          case None => MatchRecognizeSql.parse(text) match {
+            case Some(mr) => MatchRecognizeSql.lower(spark, dir, mr)
+            case None =>
+              spark.sql(rewrite(lowerTableFunctions(spark, dir, text)))
+          }
         }
     }
 

@@ -304,12 +304,17 @@ class DialectSpec extends SparkSpec {
     assert(after.count() == before + 2)
     assert(after.filter("v = 'X'").count() == 5)
     assert(after.filter("k >= 1000").count() == 2)
-    // non-canonical MERGE forms refuse loudly rather than mis-upserting
-    assert(intercept[Exception] {
-      TrinoDialect.sql(spark, sfDir,
-        """MERGE INTO wh_merge t USING nation s ON t.k = s.n_nationkey
-           WHEN MATCHED THEN DELETE""")
-    }.getMessage.toLowerCase.contains("merge"))
+    // non-canonical MERGE forms execute via the full conditional path
+    // (r14, CowTable.mergeFull): a delete-only merge removes every key
+    // present in the source, leaving only the freshly inserted rows
+    TrinoDialect.sql(spark, sfDir,
+      """MERGE INTO wh_merge t USING nation s ON t.k = s.n_nationkey
+         WHEN MATCHED THEN DELETE""")
+    assert(spark.table("wh_merge").count() == 2)
+    assert(after.filter("k >= 1000").count() == 2)
+    // repopulate so the view assertions below keep their expected counts
+    TrinoDialect.sql(spark, sfDir,
+      "INSERT INTO wh_merge SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5")
     // CREATE VIEW over a dialect query, then query it back
     TrinoDialect.sql(spark, sfDir,
       "CREATE OR REPLACE VIEW v_top AS SELECT k, v FROM wh_merge WHERE k < 3")

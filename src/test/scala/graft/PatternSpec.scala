@@ -120,6 +120,94 @@ class PatternSpec extends SparkSpec {
     assert(matches.head.countOf("A") == 3)
   }
 
+  test("anchoredAt: per-row INITIAL matches, empty discarded") {
+    val defs = letterDefs("AB")
+    val m = new Matcher(parse("A+ B"), defs)
+    val part = sym("AABCA")
+    // anchor 0: AAB (greedy); anchor 1: AB; anchor 2: none (starts at B)
+    assert(m.anchoredAt(part, 0).map(x => (x.start, x.end)) == Some((0, 3)))
+    assert(m.anchoredAt(part, 1).map(x => (x.start, x.end)) == Some((1, 3)))
+    assert(m.anchoredAt(part, 2).isEmpty)
+    assert(m.anchoredAt(part, 4).isEmpty) // trailing A without B
+    // empty-capable pattern yields no match rather than an empty one
+    val opt = new Matcher(parse("B?"), defs)
+    assert(opt.anchoredAt(part, 0).isEmpty)
+  }
+
+  test("row-pattern window spec: anchored measures, NULL for unmatched rows") {
+    import graft.sqlx.TrinoDialect
+    val df = TrinoDialect.sql(spark, sfDir,
+      """SELECT user_id, event_id, n_down OVER w AS n_down, end_val OVER w AS end_val
+         FROM events
+         WINDOW w AS (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES COUNT(D.*) AS n_down, LAST(D.value) AS end_val
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           PATTERN (D+)
+           DEFINE D AS value < PREV(value))""")
+    val out = df.collect()
+    val in = operators.table(spark, sfDir, "events")
+      .select("user_id", "event_id", "value").collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.sortBy(_.getLong(1)) }
+    // EVERY input row appears exactly once
+    assert(out.length == in.values.map(_.length).sum)
+    // replay the anchored semantics row by row against the raw data
+    val byKey = out.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    in.foreach { case (u, rs) =>
+      rs.indices.foreach { i =>
+        val r = byKey((u, rs(i).getLong(1)))
+        def desc(j: Int): Boolean =
+          j > 0 && rs(j).getDouble(2) < rs(j - 1).getDouble(2)
+        if (!desc(i)) {
+          assert(r.isNullAt(2) && r.isNullAt(3), s"row $u/$i should be unmatched")
+        } else {
+          var j = i
+          while (j + 1 < rs.length && desc(j + 1)) j += 1
+          assert(r.getLong(2) == (j - i + 1).toLong, s"run length at $u/$i")
+          assert(r.getDouble(3) == rs(j).getDouble(2), s"end_val at $u/$i")
+        }
+      }
+    }
+    // SEEK is rejected (INITIAL-only subset), unknown measures are rejected
+    intercept[IllegalArgumentException] {
+      TrinoDialect.sql(spark, sfDir,
+        """SELECT m OVER w FROM events WINDOW w AS (
+           PARTITION BY user_id ORDER BY event_id
+           MEASURES COUNT(D.*) AS m SEEK PATTERN (D+) DEFINE D AS value > 0)""")
+    }
+    intercept[IllegalArgumentException] {
+      TrinoDialect.sql(spark, sfDir,
+        """SELECT nope OVER w FROM events WINDOW w AS (
+           PARTITION BY user_id ORDER BY event_id
+           MEASURES COUNT(D.*) AS m PATTERN (D+) DEFINE D AS value > 0)""")
+    }
+  }
+
+  test("row-pattern window spec: CLASSIFIER and multi-symbol measures") {
+    import graft.sqlx.TrinoDialect
+    // D then U: anchored V-shape start; CLASSIFIER() = label of last row
+    val df = TrinoDialect.sql(spark, sfDir,
+      """SELECT user_id, event_id, lbl OVER w AS lbl, nu OVER w AS n_up
+         FROM events
+         WINDOW w AS (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES CLASSIFIER() AS lbl, COUNT(U.*) AS nu
+           PATTERN (D+ U+)
+           DEFINE D AS value < PREV(value), U AS value > PREV(value))""")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val matched = rows.filter(!_.isNullAt(2))
+    assert(matched.nonEmpty)
+    // the last row of a D+ U+ match is always classified U, with >= 1 U rows
+    assert(matched.forall(_.getString(2) == "U"))
+    assert(matched.forall(_.getLong(3) >= 1L))
+    // and some rows are unmatched (NULL measures)
+    assert(rows.exists(_.isNullAt(2)))
+  }
+
   test("match_recognize over events agrees with window-derived V-shapes") {
     val df = operators.Patterns.q_match_recognize(spark, sfDir)
     val rows = df.collect()

@@ -127,8 +127,15 @@ class StatementSpec extends SparkSpec {
     sql("INSERT INTO st_mv_src VALUES (100, 9)")
     assert(sql("SELECT sum(n) AS t FROM st_mv").head().getLong(0) == 25L,
       "materialization must not see new source rows before REFRESH")
+    // system.metadata.materialized_views surfaces name + freshness
+    def mvRow() = sql("""SELECT freshness, definition
+                         FROM system.metadata.materialized_views
+                         WHERE name = 'st_mv'""").collect()
+    assert(mvRow().head.getString(0) == "STALE")
     sql("REFRESH MATERIALIZED VIEW st_mv")
     assert(sql("SELECT sum(n) AS t FROM st_mv").head().getLong(0) == 26L)
+    assert(mvRow().head.getString(0) == "FRESH")
+    assert(mvRow().head.getString(1).contains("GROUP BY r"))
     sql("DROP MATERIALIZED VIEW st_mv")
     intercept[Exception] { sql("SHOW CREATE MATERIALIZED VIEW st_mv").collect() }
     sql("DROP MATERIALIZED VIEW IF EXISTS st_mv") // idempotent with IF EXISTS
@@ -310,7 +317,12 @@ class StatementSpec extends SparkSpec {
     val tabs = sql("""SELECT table_name, table_type FROM system.jdbc.tables
                       WHERE table_schem = 'default'""").collect()
     assert(tabs.map(_.getString(0)).toSet.contains("nation"))
-    assert(tabs.forall(_.getString(1) == "TABLE"))
+    // JDBC spelling: BASE TABLE surfaces as TABLE; views (other suites may
+    // have registered some concurrently) as VIEW — never anything else
+    assert(tabs.forall(r => Set("TABLE", "VIEW")(r.getString(1))))
+    assert(tabs.filter(r =>
+      Set("nation", "region", "customer")(r.getString(0)))
+      .forall(_.getString(1) == "TABLE"))
     val cols = sql("""SELECT column_name, type_name, ordinal_position, is_nullable
                       FROM system.jdbc.columns WHERE table_name = 'nation'
                       ORDER BY ordinal_position""").collect()
