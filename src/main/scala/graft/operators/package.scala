@@ -25,33 +25,40 @@ package object operators {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(spark, dir, name)
 
-  /** Materialize an intermediate exactly once PER INVOCATION, lazily. The
-    * blocks are computed the first time a downstream job touches them — no
-    * separate materialization job (round-13 verdict: four eager
-    * localCheckpoints serialized four extra jobs, ~0.25 s scheduling floor
-    * apiece at sf0.1, in front of q_dedup_ngram) — then reused by all
-    * downstream consumers of the same plan (LSH signatures feed the bucket
-    * build AND both sides of the rescoring join), and released by the
-    * ContextCleaner once the invocation's plan is unreferenced.
+  /** Materialize an intermediate exactly once PER INVOCATION, lazily, with
+    * lineage INTACT. The plan's InternalRow RDD is persisted
+    * (MEMORY_AND_DISK) and wrapped back into a DataFrame:
     *
-    * Why localCheckpoint and not Dataset.persist(): persist registers the
-    * plan in the session-global CacheManager, whose canonicalized-plan
-    * matching would let the NEXT invocation of the same query silently reuse
-    * this invocation's blocks — exactly the cross-invocation benchmark
-    * flattery round 12 removed. localCheckpoint persists at the RDD level,
-    * scoped to this invocation's plan object only.
+    *  - LAZY: blocks compute inside the first consuming job — no separate
+    *    materialization job (round-13 verdict: four eager localCheckpoints
+    *    serialized four extra jobs, ~0.25 s scheduling floor apiece at
+    *    sf0.1, in front of q_dedup_ngram); all downstream consumers of the
+    *    returned frame (LSH signatures feed the bucket build AND both sides
+    *    of the rescoring join) then read the persisted blocks.
+    *  - NOT Dataset.persist(): that registers the plan in the
+    *    session-global CacheManager, whose CANONICALIZED-plan matching
+    *    would let the NEXT invocation of the same query silently reuse this
+    *    invocation's blocks — the cross-invocation benchmark flattery
+    *    round 12 removed (and the exact defect that contaminated
+    *    tools/DistinctBench until round 14, see BASELINE.md). RDD-level
+    *    persistence is scoped to this invocation's RDD object only, and the
+    *    ContextCleaner releases the blocks once it is unreferenced.
+    *  - NOT localCheckpoint: its blocks are non-replayable — on a real
+    *    cluster, losing one executor mid-query kills the query instead of
+    *    recomputing lineage (round-13 verdict's one remaining 100-TB
+    *    caveat). Persisting the RDD keeps lineage, so a lost block
+    *    recomputes from the original scan like any other Spark failure.
     *
-    * Cluster-scale caveat (documented divergence): localCheckpoint blocks
-    * are non-replayable — losing an executor mid-query fails the query
-    * instead of recomputing lineage. persist(StorageLevel.MEMORY_AND_DISK)
-    * on the RDD would keep lineage and is the fault-tolerant spelling of
-    * the same materialize-once step for long multi-hour jobs; for
-    * interactive/bench workloads the retry-the-query cost is lower than
-    * carrying lineage. The connected-components loop (Dedup.scala) keeps
-    * EAGER localCheckpoint deliberately: there lineage truncation is the
-    * point (each iteration's plan would otherwise nest the previous ones),
-    * and its fixpoint check consumes the blocks immediately anyway. */
-  def materialized(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+    * The connected-components loop (Dedup.scala) keeps EAGER localCheckpoint
+    * deliberately: there lineage TRUNCATION is the point (each iteration's
+    * plan would otherwise nest all previous ones), and its fixpoint check
+    * consumes the blocks immediately anyway. */
+  def materialized(df: DataFrame): DataFrame = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    org.apache.spark.sql.graft.DataFrameBridge
+      .internalCreate(df.sparkSession, rdd, df.schema)
+  }
 
   type Q = (SparkSession, String) => DataFrame
 }
