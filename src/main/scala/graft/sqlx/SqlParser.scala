@@ -103,8 +103,12 @@ object SqlAst {
     * format: TEXT (default) | JSON (SqlBase.g4 :129 explainOption). */
   final case class ExplainStmt(analyze: Boolean, q: Query,
       typ: String = "DISTRIBUTED", format: String = "TEXT") extends Statement
-  /** kind: "TABLES" | "CATALOGS" | "FUNCTIONS". */
-  final case class ShowStmt(kind: String) extends Statement
+  /** kind: "TABLES" | "CATALOGS" | "FUNCTIONS" | "SCHEMAS" | "SESSION".
+    * `like`/`escape`: the optional `LIKE pattern [ESCAPE ch]` filter the
+    * reference grammar allows on every SHOW listing (SqlBase.g4
+    * showTables/showSchemas/showCatalogs/showFunctions/showSession). */
+  final case class ShowStmt(kind: String, like: Option[String] = None,
+      escape: Option[String] = None) extends Statement
   final case class DescribeStmt(name: String) extends Statement
   final case class DropTableStmt(name: String, ifExists: Boolean) extends Statement
   final case class CreateViewStmt(name: String, orReplace: Boolean, q: Query) extends Statement
@@ -134,6 +138,11 @@ object SqlAst {
   final case class AddColumn(col: String, tpe: String, ifNotExists: Boolean) extends AlterOp
   final case class DropColumn(col: String, ifExists: Boolean) extends AlterOp
   final case class RenameColumn(from: String, to: String) extends AlterOp
+  /** ALTER TABLE t EXECUTE proc[(name => expr, …)] (SqlBase.g4 :86
+    * `EXECUTE procedureName (callArgument…)` — the reference spelling of
+    * table-maintenance procedures like optimize). */
+  final case class ExecuteTableProc(proc: String,
+      args: Seq[(Option[String], Expr)]) extends AlterOp
   final case class AlterTableStmt(name: String, ifExists: Boolean, op: AlterOp) extends Statement
 
   final case class CreateSchemaStmt(name: String, ifNotExists: Boolean) extends Statement
@@ -147,9 +156,12 @@ object SqlAst {
   final case class SetSessionStmt(key: String, value: String) extends Statement
   final case class ResetSessionStmt(key: String) extends Statement
   /** GRANT/REVOKE privilege recording (reference grants metadata; default
-    * access control allows all, as here). */
+    * access control allows all, as here). `grantOption`: on GRANT, the
+    * `WITH GRANT OPTION` tail; on REVOKE, the `GRANT OPTION FOR` head
+    * (revoke only the grantability, keep the privilege). */
   final case class GrantStmt(revoke: Boolean, privileges: Seq[String],
-      table: String, grantee: String) extends Statement
+      table: String, grantee: String,
+      grantOption: Boolean = false) extends Statement
   final case class ShowGrantsStmt(table: Option[String]) extends Statement
   final case class CommentStmt(isColumn: Boolean, target: String,
       comment: Option[String]) extends Statement
@@ -514,11 +526,11 @@ final class SqlParser(src: String) {
             throw new SqlParseException("expected ')' closing EXPLAIN options")
         }
         ExplainStmt(analyze, parseQueryNoFinish(), typ, format)
-      } else if (acceptSeq("SHOW", "TABLES")) ShowStmt("TABLES")
-      else if (acceptSeq("SHOW", "SCHEMAS")) ShowStmt("SCHEMAS")
-      else if (acceptSeq("SHOW", "CATALOGS")) ShowStmt("CATALOGS")
-      else if (acceptSeq("SHOW", "FUNCTIONS")) ShowStmt("FUNCTIONS")
-      else if (acceptSeq("SHOW", "SESSION")) ShowStmt("SESSION")
+      } else if (acceptSeq("SHOW", "TABLES")) showWithLike("TABLES")
+      else if (acceptSeq("SHOW", "SCHEMAS")) showWithLike("SCHEMAS")
+      else if (acceptSeq("SHOW", "CATALOGS")) showWithLike("CATALOGS")
+      else if (acceptSeq("SHOW", "FUNCTIONS")) showWithLike("FUNCTIONS")
+      else if (acceptSeq("SHOW", "SESSION")) showWithLike("SESSION")
       else if (acceptSeq("SHOW", "GRANTS")) {
         if (accept("ON")) { accept("TABLE"); ShowGrantsStmt(Some(qualifiedName())) }
         else ShowGrantsStmt(None)
@@ -565,7 +577,25 @@ final class SqlParser(src: String) {
           } else if (acceptSeq("DROP", "COLUMN")) {
             val ce = acceptSeq("IF", "EXISTS")
             DropColumn(ident("column name"), ce)
-          } else err("expected RENAME TO, RENAME COLUMN, ADD COLUMN or DROP COLUMN")
+          } else if (accept("EXECUTE")) {
+            val proc = ident("procedure name").toLowerCase
+            val args = scala.collection.mutable.ArrayBuffer[(Option[String], Expr)]()
+            if (acceptOp("(")) {
+              if (!peek.isOp(")")) {
+                var more = true
+                while (more) {
+                  val nm =
+                    if (peek.kind == TIdent && peek2.isOp("=>")) {
+                      val n = ident("argument name"); p += 1; Some(n.toLowerCase)
+                    } else None
+                  args += ((nm, parseExpr()))
+                  more = acceptOp(",")
+                }
+              }
+              expectOp(")")
+            }
+            ExecuteTableProc(proc, args.toSeq)
+          } else err("expected RENAME TO, RENAME COLUMN, ADD COLUMN, DROP COLUMN or EXECUTE")
         AlterTableStmt(name, ife, op)
       } else if (acceptSeq("CREATE", "SCHEMA")) {
         val ine = acceptSeq("IF", "NOT", "EXISTS")
@@ -719,7 +749,26 @@ final class SqlParser(src: String) {
   /** GRANT/REVOKE privs ON [TABLE] t TO|FROM [ROLE|USER] grantee, or the
     * role form GRANT role TO [USER] u (SqlBase.g4 :96-99) — disambiguated
     * by what follows the first identifier (ON/comma → privileges). */
+  /** `[LIKE 'pattern' [ESCAPE 'ch']]` tail of a SHOW listing. */
+  private def showWithLike(kind: String): ShowStmt =
+    if (!accept("LIKE")) ShowStmt(kind)
+    else {
+      val pat = peek.kind match {
+        case TStr => next().text
+        case _ => err("expected a string pattern after LIKE")
+      }
+      val esc =
+        if (!accept("ESCAPE")) None
+        else peek.kind match {
+          case TStr => Some(next().text)
+          case _ => err("expected a one-character string after ESCAPE")
+        }
+      ShowStmt(kind, Some(pat), esc)
+    }
+
   private def parseGrant(revoke: Boolean): Statement = {
+    // REVOKE GRANT OPTION FOR privs … — revoke grantability only
+    val optionForHead = revoke && acceptSeq("GRANT", "OPTION", "FOR")
     val privs = scala.collection.mutable.ArrayBuffer[String]()
     if (accept("ALL")) { accept("PRIVILEGES"); privs += "ALL" }
     else {
@@ -740,7 +789,10 @@ final class SqlParser(src: String) {
       else { accept("TABLE"); qualifiedName() }
     if (revoke) expectKw("FROM") else expectKw("TO")
     accept("ROLE"); accept("USER")
-    GrantStmt(revoke, privs.toSeq, table, ident("grantee"))
+    val grantee = ident("grantee")
+    val withOption = !revoke && acceptSeq("WITH", "GRANT", "OPTION")
+    GrantStmt(revoke, privs.toSeq, table, grantee,
+      grantOption = optionForHead || withOption)
   }
 
   private def parseQueryNoFinish(): Query = {

@@ -64,6 +64,11 @@ private[graft] object Statements {
     * therefore unaffected). */
   private val denies = TrieMap[(String, String), Set[String]]()
 
+  /** Privileges held WITH GRANT OPTION (SqlBase.g4 grant rule's
+    * `WITH GRANT OPTION` tail): (grantee, table) → grantable privileges.
+    * A non-owner may GRANT/REVOKE exactly the privileges they hold here. */
+  private val grantOptions = TrieMap[(String, String), Set[String]]()
+
   /** Table/view ownership: key → creating user (recorded only when the
     * creation ran under an enforced session; in-process callers leave
     * tables unowned, i.e. admin-only under enforcement). */
@@ -152,7 +157,17 @@ private[graft] object Statements {
         val parts = target.split("\\.")
         val tbl = if (isColumn) parts.dropRight(1).mkString(".") else target
         ownerOnly("comment on", tbl)
-      case GrantStmt(_, _, table, _) => ownerOnly("grant on table", table)
+      case GrantStmt(_, privileges, table, _, _) =>
+        // a non-owner may (re-)grant exactly the privileges they hold
+        // WITH GRANT OPTION (reference AccessControl.checkCanGrantTablePrivilege)
+        val key = keyOf(table)
+        val wanted =
+          if (privileges.contains("ALL"))
+            Set("SELECT", "INSERT", "UPDATE", "DELETE")
+          else privileges.toSet
+        val held = (Iterator(user) ++ Groups.groupsOf(user).iterator)
+          .flatMap(g => grantOptions.getOrElse((g, key), Set.empty)).toSet
+        if (!wanted.subsetOf(held)) ownerOnly("grant on table", table)
       case DenyStmt(_, table, _) => ownerOnly("deny on table", table)
       case CreateMvStmt(_, _, _, q, _) => checkQuery(q)
       case DropMvStmt(name, _) => ownerOnly("drop materialized view", name)
@@ -210,6 +225,8 @@ private[graft] object Statements {
       tables: Map[String, String], meta: Map[String, TableMeta],
       schemaNames: Set[String], schema: String,
       grantsSnap: Map[(String, String), Set[String]],
+      deniesSnap: Map[(String, String), Set[String]],
+      grantOptsSnap: Map[(String, String), Set[String]],
       ownersSnap: Map[String, String],
       props: Map[String, String], roleNames: Set[String],
       enabled: Set[String], versions: Map[String, Int])
@@ -365,6 +382,35 @@ private[graft] object Statements {
       case ValuesQ(_) => Set.empty
     }
   }
+
+  /** SQL LIKE semantics for SHOW … LIKE filters (reference
+    * metadata/MetadataListing pattern matching): % = any run, _ = one
+    * char, optional ESCAPE character quotes the next char literally. */
+  private def likeMatch(s: String, pattern: String,
+      escape: Option[String]): Boolean = {
+    val esc = escape.flatMap(_.headOption)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern(i)
+      if (esc.contains(c) && i + 1 < pattern.length) {
+        sb.append(java.util.regex.Pattern.quote(pattern(i + 1).toString))
+        i += 2
+      } else {
+        c match {
+          case '%' => sb.append("(?s).*")
+          case '_' => sb.append("(?s).")
+          case other => sb.append(java.util.regex.Pattern.quote(other.toString))
+        }
+        i += 1
+      }
+    }
+    s.matches(sb.toString)
+  }
+
+  private def likeFilter(vals: Seq[String], like: Option[String],
+      escape: Option[String]): Seq[String] =
+    like.map(p => vals.filter(likeMatch(_, p, escape))).getOrElse(vals)
 
   private def condColumn(where: Option[Expr]): Column =
     expr(where.map(w => SqlFrontend.renderExpr(SqlFrontend.rewriteExpr(w)))
@@ -663,34 +709,40 @@ private[graft] object Statements {
         stringRows(spark, "plan", textOut.linesIterator.toSeq)
       }
 
-    case ShowStmt("TABLES") =>
+    case ShowStmt("TABLES", like, esc) =>
       val views = spark.catalog.listTables().collect().map(_.name).toSeq
-      stringRows(spark, "table", (views ++ tables.keys).distinct.sorted)
+      stringRows(spark, "table",
+        likeFilter((views ++ tables.keys).distinct.sorted, like, esc))
 
-    case ShowStmt("SCHEMAS") =>
-      stringRows(spark, "schema",
-        spark.catalog.listDatabases().collect().map(_.name).toSeq.sorted)
+    case ShowStmt("SCHEMAS", like, esc) =>
+      stringRows(spark, "schema", likeFilter(
+        spark.catalog.listDatabases().collect().map(_.name).toSeq.sorted,
+        like, esc))
 
-    case ShowStmt("CATALOGS") =>
+    case ShowStmt("CATALOGS", like, esc) =>
       val dsv2 = spark.conf.getAll.keys
         .collect { case k if k.matches("spark\\.sql\\.catalog\\.\\w+") =>
           k.stripPrefix("spark.sql.catalog.") }.toSeq
-      stringRows(spark, "catalog", ("graft" +: dsv2).distinct.sorted)
+      stringRows(spark, "catalog",
+        likeFilter(("graft" +: dsv2).distinct.sorted, like, esc))
 
-    case ShowStmt("FUNCTIONS") =>
-      stringRows(spark, "function", graft.functions.Registry.customFunctions.sorted)
+    case ShowStmt("FUNCTIONS", like, esc) =>
+      stringRows(spark, "function",
+        likeFilter(graft.functions.Registry.customFunctions.sorted, like, esc))
 
-    case ShowStmt("SESSION") =>
+    case ShowStmt("SESSION", like, esc) =>
       // header-carried sessions (statement server) see their own overlay;
       // in-process callers see the JVM-global map (SessionContext scaladoc)
       spark.createDataFrame(
         java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(
           SessionContext.effectiveProps(sessionProps.toMap)
-            .toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }).asJava),
+            .toSeq.sortBy(_._1)
+            .filter { case (k, _) => like.forall(p => likeMatch(k, p, esc)) }
+            .map { case (k, v) => Row(k, v) }).asJava),
         StructType(Seq(StructField("name", StringType, nullable = false),
           StructField("value", StringType, nullable = false))))
 
-    case ShowStmt(other) =>
+    case ShowStmt(other, _, _) =>
       throw new SqlParseException(s"SHOW $other is not supported")
 
     case DescribeStmt(name) =>
@@ -844,6 +896,13 @@ private[graft] object Statements {
             else cs
           })
           refreshView(spark, name)
+        case ExecuteTableProc(proc, pArgs) =>
+          // reference spelling of table-maintenance procedures
+          // (SqlBase.g4:86 `ALTER TABLE t EXECUTE optimize(...)`, iceberg/
+          // delta connectors' TableProcedureMetadata) — delegates to the
+          // same registry CALL system.<proc>(table => ...) uses
+          return call(spark, Seq(proc),
+            (Some("table"), Lit(s"'$name'")) +: pArgs)
       }
       oneRow(spark, "rows", 0L)
 
@@ -934,20 +993,30 @@ private[graft] object Statements {
       }
       oneRow(spark, "rows", 0L)
 
-    case GrantStmt(revoke, privileges, table, grantee) =>
+    case GrantStmt(revoke, privileges, table, grantee, grantOption) =>
       val key = if (table.toLowerCase.startsWith("user:")) table.toLowerCase
         else requireKey(table)
       val gk = (grantee.toLowerCase, key)
-      val before = grants.getOrElse(gk, Set.empty)
-      val after =
-        if (revoke) {
-          if (privileges.contains("ALL")) Set.empty[String]
+      val expanded =
+        if (privileges.contains("ALL")) Set("SELECT", "INSERT", "UPDATE", "DELETE")
+        else privileges.toSet
+      def apply(m: TrieMap[(String, String), Set[String]], add: Boolean): Unit = {
+        val before = m.getOrElse(gk, Set.empty)
+        val after =
+          if (add) before ++ expanded
+          else if (privileges.contains("ALL")) Set.empty[String]
           else before -- privileges
-        } else {
-          if (privileges.contains("ALL")) before ++ Seq("SELECT", "INSERT", "UPDATE", "DELETE")
-          else before ++ privileges
-        }
-      if (after.isEmpty) grants.remove(gk) else grants(gk) = after
+        if (after.isEmpty) m.remove(gk) else m(gk) = after
+        ()
+      }
+      if (revoke) {
+        // GRANT OPTION FOR: revoke only the grantability; otherwise both
+        apply(grantOptions, add = false)
+        if (!grantOption) apply(grants, add = false)
+      } else {
+        apply(grants, add = true)
+        if (grantOption) apply(grantOptions, add = true)
+      }
       oneRow(spark, "rows", 0L)
 
     case DenyStmt(privileges, table, grantee) =>
@@ -976,13 +1045,15 @@ private[graft] object Statements {
       val rows = grants.toSeq
         .filter { case ((_, t), _) => keyFilter.forall(_ == t) }
         .flatMap { case ((grantee, t), privs) =>
-          privs.toSeq.sorted.map(p => Row(grantee, t, p)) }
+          privs.toSeq.sorted.map(p => Row(grantee, t, p,
+            grantOptions.getOrElse((grantee, t), Set.empty).contains(p))) }
         .sortBy(r => (r.getString(0), r.getString(1), r.getString(2)))
       spark.createDataFrame(
         java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
         StructType(Seq(StructField("grantee", StringType, nullable = false),
           StructField("table_name", StringType, nullable = false),
-          StructField("privilege", StringType, nullable = false))))
+          StructField("privilege", StringType, nullable = false),
+          StructField("grant_option", BooleanType, nullable = false))))
 
     case CommentStmt(isColumn, target, comment) =>
       if (!isColumn) {
@@ -1098,7 +1169,8 @@ private[graft] object Statements {
       if (txn.isDefined)
         throw new IllegalStateException("a transaction is already in progress")
       txn = Some(TxnSnapshot(tables.toMap, tableMeta.toMap,
-        schemas.keySet.toSet, currentSchema, grants.toMap, owners.toMap,
+        schemas.keySet.toSet, currentSchema, grants.toMap, denies.toMap,
+        grantOptions.toMap, owners.toMap,
         sessionProps.toMap, roles.keySet.toSet, enabledRoles,
         tables.toMap.map { case (k, root) =>
           k -> graft.catalog.CowTable.open(spark, root).currentVersion }))
@@ -1122,6 +1194,8 @@ private[graft] object Statements {
       schemas.clear(); schemas ++= snap.schemaNames.map(_ -> ())
       currentSchema = snap.schema
       grants.clear(); grants ++= snap.grantsSnap
+      denies.clear(); denies ++= snap.deniesSnap
+      grantOptions.clear(); grantOptions ++= snap.grantOptsSnap
       owners.clear(); owners ++= snap.ownersSnap
       sessionProps.clear(); sessionProps ++= snap.props
       roles.clear(); roles ++= snap.roleNames.map(_ -> ())

@@ -169,6 +169,31 @@ class SecuritySpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(s3 == "FAILED" && n3.contains("PERMISSION_DENIED"))
   }
 
+  test("WITH GRANT OPTION: holder may re-grant; GRANT OPTION FOR revokes only grantability") {
+    assert(run("CREATE OR REPLACE TABLE sec_go AS SELECT 1 AS v",
+      Some("admin" -> "s3cret"))._1 == "FINISHED")
+    // alice: SELECT without option → cannot re-grant
+    assert(run("GRANT SELECT ON sec_go TO alice",
+      Some("admin" -> "s3cret"))._1 == "FINISHED")
+    val (s1, n1, _) = run("GRANT SELECT ON sec_go TO bob", Some("alice" -> "pw-a"))
+    assert(s1 == "FAILED" && n1.contains("PERMISSION_DENIED"))
+    // with the option, the re-grant works and bob can read
+    assert(run("GRANT SELECT ON sec_go TO alice WITH GRANT OPTION",
+      Some("admin" -> "s3cret"))._1 == "FINISHED")
+    assert(run("GRANT SELECT ON sec_go TO bob",
+      Some("alice" -> "pw-a"))._1 == "FINISHED")
+    assert(run("SELECT v FROM sec_go", Some("bob" -> "pw-b"))._1 == "FINISHED")
+    // but only the privileges actually held with option
+    val (s2, n2, _) = run("GRANT INSERT ON sec_go TO bob", Some("alice" -> "pw-a"))
+    assert(s2 == "FAILED" && n2.contains("PERMISSION_DENIED"))
+    // GRANT OPTION FOR: alice keeps SELECT but loses grantability
+    assert(run("REVOKE GRANT OPTION FOR SELECT ON sec_go FROM alice",
+      Some("admin" -> "s3cret"))._1 == "FINISHED")
+    assert(run("SELECT v FROM sec_go", Some("alice" -> "pw-a"))._1 == "FINISHED")
+    val (s3, n3, _) = run("GRANT SELECT ON sec_go TO carol", Some("alice" -> "pw-a"))
+    assert(s3 == "FAILED" && n3.contains("PERMISSION_DENIED"))
+  }
+
   test("SET SESSION AUTHORIZATION: impersonation gated on a grantable privilege") {
     import java.net.http.{HttpRequest, HttpResponse}
     // a table only alice can read

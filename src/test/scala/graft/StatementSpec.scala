@@ -141,6 +141,48 @@ class StatementSpec extends SparkSpec {
     sql("DROP MATERIALIZED VIEW IF EXISTS st_mv") // idempotent with IF EXISTS
   }
 
+  test("ALTER TABLE ... EXECUTE optimize compacts small files (reference spelling)") {
+    sql("CREATE OR REPLACE TABLE st_exec AS SELECT n_nationkey AS k FROM nation")
+    // several tiny files: append in slices
+    (0 until 3).foreach(i =>
+      sql(s"INSERT INTO st_exec SELECT n_nationkey + ${100 * (i + 1)} FROM nation"))
+    val before = sql("SELECT count(*) AS n FROM st_exec").head().getLong(0)
+    val compacted = sql(
+      "ALTER TABLE st_exec EXECUTE optimize(file_size_threshold => 33554432)")
+      .head().getLong(0)
+    assert(compacted >= 2, s"expected small files compacted, got $compacted")
+    // contents unchanged, new version published
+    assert(sql("SELECT count(*) AS n FROM st_exec").head().getLong(0) == before)
+    sql("DROP TABLE st_exec")
+  }
+
+  test("SHOW ... LIKE filters listings with SQL pattern semantics") {
+    // tables: % wildcard
+    sql("CREATE OR REPLACE TABLE st_like_a AS SELECT 1 AS v")
+    sql("CREATE OR REPLACE TABLE st_like_b AS SELECT 2 AS v")
+    val tabs = sql("SHOW TABLES LIKE 'st!_like!_%' ESCAPE '!'")
+      .collect().map(_.getString(0)).toSet
+    assert(tabs == Set("st_like_a", "st_like_b"), tabs.mkString(","))
+    // _ matches exactly one character; escape makes it literal
+    val one = sql("SHOW TABLES LIKE 'st!_like!_a' ESCAPE '!'")
+      .collect().map(_.getString(0)).toSet
+    assert(one == Set("st_like_a"))
+    // unescaped _ is a wildcard: st_like_a and st_like_b both match stXlikeXa-shapes
+    val wild = sql("SHOW TABLES LIKE 'st_like__'")
+      .collect().map(_.getString(0)).toSet
+    assert(wild == Set("st_like_a", "st_like_b"))
+    // catalogs + functions + schemas accept the same tail (other suites may
+    // register graft_* catalogs concurrently — assert the FILTER, not the set)
+    val cats = sql("SHOW CATALOGS LIKE 'graft'")
+      .collect().map(_.getString(0)).toSeq
+    assert(cats == Seq("graft"), cats.mkString(","))
+    assert(sql("SHOW CATALOGS LIKE 'zzz%'").collect().isEmpty)
+    assert(sql("SHOW FUNCTIONS LIKE 'st!_as!_%' ESCAPE '!'")
+      .collect().map(_.getString(0)).forall(_.startsWith("st_as_")))
+    assert(sql("SHOW SCHEMAS LIKE 'no_such%'").collect().isEmpty)
+    sql("DROP TABLE st_like_a"); sql("DROP TABLE st_like_b")
+  }
+
   test("the metadata schema names are reserved (row-policy exemption safety)") {
     for (reserved <- Seq("system", "information_schema")) {
       val e = intercept[IllegalArgumentException] {
