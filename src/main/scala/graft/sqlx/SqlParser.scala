@@ -188,6 +188,11 @@ object SqlAst {
   final case class RefreshMvStmt(name: String) extends Statement
   final case class DropMvStmt(name: String, ifExists: Boolean) extends Statement
   final case class DropViewStmt(name: String, ifExists: Boolean) extends Statement
+  /** TRUNCATE TABLE t (SqlBase.g4:120, execution/TruncateTableTask.java) —
+    * publishes an empty snapshot; history stays time-travelable. */
+  final case class TruncateStmt(name: String) extends Statement
+  /** ALTER VIEW v RENAME TO w (SqlBase.g4:83). */
+  final case class AlterViewRenameStmt(from: String, to: String) extends Statement
   /** SHOW STATS FOR t | FOR (query) (SqlBase.g4 :141). */
   final case class ShowStatsStmt(target: Either[String, Query]) extends Statement
   /** CALL [catalog.][schema.]proc(arg, …) with positional or `name => v`
@@ -562,6 +567,12 @@ final class SqlParser(src: String) {
       } else if (acceptSeq("DROP", "VIEW")) {
         val ife = acceptSeq("IF", "EXISTS")
         DropViewStmt(ident("view name"), ife)
+      } else if (acceptSeq("TRUNCATE", "TABLE"))
+        TruncateStmt(qualifiedName())
+      else if (acceptSeq("ALTER", "VIEW")) {
+        val from = ident("view name")
+        expectKw("RENAME"); expectKw("TO")
+        AlterViewRenameStmt(from, ident("view name"))
       } else if (acceptSeq("ALTER", "TABLE")) {
         val ife = acceptSeq("IF", "EXISTS")
         val name = qualifiedName()

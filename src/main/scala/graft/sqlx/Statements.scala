@@ -152,6 +152,10 @@ private[graft] object Statements {
         checkQuery(source)
       case DropTableStmt(name, _) => ownerOnly("drop table", name)
       case DropViewStmt(name, _) => ownerOnly("drop view", name)
+      case TruncateStmt(name) =>
+        // reference checkCanTruncateTable ≈ a whole-table DELETE
+        check("DELETE", "truncate table", name)
+      case AlterViewRenameStmt(from, _) => ownerOnly("alter view", from)
       case AlterTableStmt(name, _, _) => ownerOnly("alter table", name)
       case CommentStmt(isColumn, target, _) =>
         val parts = target.split("\\.")
@@ -1099,6 +1103,26 @@ private[graft] object Statements {
       viewDefs.remove(name.toLowerCase)
       oneRow(spark, "rows", 0L)
 
+    case TruncateStmt(name) =>
+      // reference TruncateTableTask: remove all rows, keep the table;
+      // CoW spelling = publish an empty snapshot (history stays
+      // time-travelable, rollback_to_version restores)
+      val ct = openTable(spark, name)
+      ct.replace(ct.read().limit(0))
+      refreshView(spark, name)
+      oneRow(spark, "rows", 0L)
+
+    case AlterViewRenameStmt(from, to) =>
+      val defSql = viewDefs.remove(from.toLowerCase).getOrElse(
+        throw new IllegalArgumentException(s"view '$from' does not exist"))
+      if (spark.catalog.tableExists(to))
+        throw new IllegalArgumentException(s"'$to' already exists")
+      viewDefs(to.toLowerCase) = defSql
+      spark.table(from).createOrReplaceTempView(to)
+      spark.catalog.dropTempView(from)
+      recordOwner(keyOf(to))
+      oneRow(spark, "rows", 0L)
+
     case ShowCreateViewStmt(name, materialized) =>
       // reference sql/rewrite/ShowQueriesRewrite.java reconstructs the DDL
       // from the stored original definition for both view flavors
@@ -1361,6 +1385,16 @@ private[graft] object Statements {
         val path = arg(Seq("path", "location"), 1)
         val snapshot = projected(spark, requireKey(table))
         oneRow(spark, "version", graft.catalog.DeltaWrite.write(snapshot, path))
+
+      case "export_to_hudi" =>
+        // CALL system.export_to_hudi(table, path) — snapshot a warehouse
+        // table as an open Hudi CoW table (catalog.HudiWrite; completes the
+        // export trio alongside export_to_delta / export_to_iceberg)
+        val table1 = arg(Seq("table", "table_name"), 0)
+        val path1 = arg(Seq("path", "location"), 1)
+        val instant = graft.catalog.HudiWrite.write(
+          projected(spark, requireKey(table1)), path1)
+        stringRows(spark, "instant", Seq(instant))
 
       case "delta_optimize" =>
         // CALL system.delta_optimize(path[, target_files]) — open-format

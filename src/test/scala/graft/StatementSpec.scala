@@ -156,6 +156,30 @@ class StatementSpec extends SparkSpec {
     sql("DROP TABLE st_exec")
   }
 
+  test("TRUNCATE TABLE empties but keeps the table; history rewinds") {
+    sql("CREATE OR REPLACE TABLE st_trunc AS SELECT n_nationkey AS k FROM nation")
+    sql("TRUNCATE TABLE st_trunc")
+    assert(sql("SELECT count(*) AS n FROM st_trunc").head().getLong(0) == 0L)
+    // the table still exists and accepts inserts
+    sql("INSERT INTO st_trunc VALUES (7)")
+    assert(sql("SELECT count(*) AS n FROM st_trunc").head().getLong(0) == 1L)
+    // pre-truncate snapshot stays time-travelable
+    sql("CALL system.rollback_to_version(table => 'st_trunc', version => 1)")
+    assert(sql("SELECT count(*) AS n FROM st_trunc").head().getLong(0) == 25L)
+    sql("DROP TABLE st_trunc")
+  }
+
+  test("ALTER VIEW RENAME TO moves the definition and the relation") {
+    sql("CREATE OR REPLACE VIEW st_avr AS SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 2")
+    sql("ALTER VIEW st_avr RENAME TO st_avr2")
+    assert(sql("SELECT count(*) AS n FROM st_avr2").head().getLong(0) == 5L)
+    intercept[Exception] { sql("SELECT count(*) AS n FROM st_avr").collect() }
+    val ddl = sql("SHOW CREATE VIEW st_avr2").collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(ddl.toLowerCase.contains("n_regionkey"), ddl)
+    sql("DROP VIEW st_avr2")
+  }
+
   test("SHOW ... LIKE filters listings with SQL pattern semantics") {
     // tables: % wildcard
     sql("CREATE OR REPLACE TABLE st_like_a AS SELECT 1 AS v")
@@ -274,6 +298,14 @@ class StatementSpec extends SparkSpec {
     val s1 = sql(s"CALL system.export_to_iceberg('st_exp', '$ipath')").head().getLong(0)
     assert(s1 == 1L)
     assert(catalog.IcebergRead.readTable(spark, ipath).count() == 5)
+    // hudi twin (completes the export trio)
+    val hpath = path + "_hudi"
+    rm(new java.io.File(hpath))
+    val inst = sql(s"CALL system.export_to_hudi('st_exp', '$hpath')").head().getString(0)
+    assert(inst.nonEmpty)
+    val hback = catalog.HudiRead.readTable(spark, hpath)
+    assert(hback.count() == 5)
+    assert(hback.columns.contains("k") && hback.columns.contains("r_name"))
     sql("DROP TABLE st_exp")
   }
 
