@@ -204,6 +204,61 @@ object Dialect {
          ON g.user_id = r.user_id AND g.grp = r.grp AND g.d = r.d
        ORDER BY g.user_id, g.event_id"""
 
+  /** Row-pattern window spec, TWO symbols (D+ U+): the anchored V-shape —
+    * a row matches iff its descending run is immediately followed by an
+    * ascending run. Strict inequalities make the greedy NFA deterministic
+    * here (a D row can never satisfy U), so the oracle replays exactly:
+    * per anchor, n_down = rows to the end of its descending run, n_up =
+    * the length of the ascending run starting right after — NULL measures
+    * when either leg is missing. */
+  def q_sqlx_match_window2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT user_id, event_id, nd OVER w AS n_down, nu OVER w AS n_up
+         FROM events
+         WINDOW w AS (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES COUNT(D.*) AS nd, COUNT(U.*) AS nu
+           PATTERN (D+ U+)
+           DEFINE D AS value < PREV(value), U AS value > PREV(value))""")
+      .orderBy($"user_id", $"event_id")
+  }
+  val qSqlxMatchWindow2Sql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         FROM events),
+       f AS (
+         SELECT *, (pv IS NOT NULL AND value < pv) AS d,
+                   (pv IS NOT NULL AND value > pv) AS u
+         FROM e),
+       gd AS (
+         SELECT *, rn - row_number() OVER (PARTITION BY user_id, d ORDER BY rn) AS gdk
+         FROM f),
+       gu AS (
+         SELECT user_id, rn, u,
+           rn - row_number() OVER (PARTITION BY user_id, u ORDER BY rn) AS guk
+         FROM f),
+       druns AS (
+         SELECT user_id, gdk, max(rn) AS dmx FROM gd WHERE d GROUP BY user_id, gdk),
+       uruns AS (
+         SELECT user_id, min(rn) AS umn, max(rn) AS umx
+         FROM gu WHERE u GROUP BY user_id, guk),
+       base AS (
+         SELECT g.user_id, g.event_id, g.rn, g.d, d1.dmx
+         FROM gd g LEFT JOIN druns d1
+           ON g.user_id = d1.user_id AND g.gdk = d1.gdk AND g.d),
+       j AS (
+         SELECT b.*, u1.umx
+         FROM base b LEFT JOIN uruns u1
+           ON b.user_id = u1.user_id AND u1.umn = b.dmx + 1)
+       SELECT user_id, event_id,
+         CASE WHEN d AND umx IS NOT NULL THEN CAST(dmx - rn + 1 AS BIGINT) END AS n_down,
+         CASE WHEN d AND umx IS NOT NULL THEN CAST(umx - dmx AS BIGINT) END AS n_up
+       FROM j ORDER BY user_id, event_id"""
+
   /** Text-SQL MATCH_RECOGNIZE, ALL ROWS PER MATCH (classifier + match number). */
   def q_sqlx_match_rows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -997,6 +1052,7 @@ object Dialect {
     "q_sqlx_unnest_map" -> q_sqlx_unnest_map _,
     "q_sqlx_match_recognize" -> q_sqlx_match_recognize _,
     "q_sqlx_match_window" -> q_sqlx_match_window _,
+    "q_sqlx_match_window2" -> q_sqlx_match_window2 _,
     "q_sqlx_match_rows" -> q_sqlx_match_rows _,
     "q_sqlx_match_multikey" -> q_sqlx_match_multikey _,
     "q_sqlx_match_skip_to" -> q_sqlx_match_skip_to _,
@@ -1028,6 +1084,7 @@ object Dialect {
     "q_sqlx_unnest_map" -> qSqlxUnnestMapSql,
     "q_sqlx_match_recognize" -> qSqlxMatchRecognizeSql,
     "q_sqlx_match_window" -> qSqlxMatchWindowSql,
+    "q_sqlx_match_window2" -> qSqlxMatchWindow2Sql,
     "q_sqlx_match_rows" -> qSqlxMatchRowsSql,
     "q_sqlx_match_multikey" -> qSqlxMatchMultikeySql,
     "q_sqlx_match_skip_to" -> qSqlxMatchSkipToSql,
