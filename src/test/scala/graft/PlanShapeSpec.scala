@@ -229,6 +229,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("row-pattern window spec costs exactly one exchange (DEFINE lag/lead reuses it)") {
+    // the internal row_number pin + the DEFINE boolean's lag/lead windows
+    // share one hash exchange on the partition keys (EnsureRequirements
+    // reuse) — the minimum for ANY order-sensitive per-key computation
+    val df = graft.sqlx.TrinoDialect.sql(spark, sfDir,
+      """SELECT user_id, event_id, m OVER w AS m
+         FROM events
+         WINDOW w AS (
+           PARTITION BY user_id ORDER BY event_id
+           MEASURES COUNT(D.*) AS m
+           PATTERN (D+)
+           DEFINE D AS value < PREV(value))""")
+    val plan = physicalPlan(df)
+    def countOf(needle: String): Int = plan.sliding(needle.length).count(_ == needle)
+    assert(countOf("Exchange hashpartitioning") == 1,
+      s"window row-pattern should shuffle once on the partition key:\n$plan")
+  }
+
   test("round-8 pipeline shapes: no Expand in distinct split, broadcast contamination, map-only chunking") {
     // q_agg_distinct (round-12 plan): the fact is reduced to its distinct
     // (flag, supp, part) PAIR SET first — Expand may apply only ABOVE that
