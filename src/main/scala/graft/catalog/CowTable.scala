@@ -52,6 +52,109 @@ final class CowTable private (root0: String, spark: SparkSession) {
   def currentVersion: Int =
     new String(Files.readAllBytes(manifestDir.resolve("CURRENT"))).trim.toInt
 
+  // ------------------------------------------------------------- branches
+  // (reference: SqlBase.g4:135-142 CREATE/DROP/ALTER BRANCH … FAST FORWARD,
+  // SHOW BRANCHES, '@branch' on INSERT/DELETE — the iceberg connector's
+  // branch refs. Here a branch is a named head pointer over the SAME linear
+  // version history: refs/<name> holds the branch's head version; "main" IS
+  // the CURRENT pointer. Version numbers are allocated globally
+  // (max over all manifests + 1), so two branches never collide; every
+  // branch head stays time-travelable like any version.)
+
+  private def refsDir = manifestDir.resolve("refs")
+
+  /** Highest committed version across ALL branches. */
+  private def maxVersion: Int = {
+    var mx = 0
+    val it = Files.list(manifestDir).iterator()
+    while (it.hasNext) {
+      val n = it.next().getFileName.toString
+      if (n.startsWith("v") && n.stripPrefix("v").forall(_.isDigit))
+        mx = math.max(mx, n.stripPrefix("v").toInt)
+    }
+    mx
+  }
+
+  def branchExists(name: String): Boolean =
+    name.equalsIgnoreCase("main") || Files.exists(refsDir.resolve(name.toLowerCase))
+
+  /** Head version of `branch` ("main" = CURRENT). */
+  def branchHead(branch: String): Int =
+    if (branch.equalsIgnoreCase("main")) currentVersion
+    else {
+      val f = refsDir.resolve(branch.toLowerCase)
+      require(Files.exists(f), s"branch '$branch' does not exist")
+      new String(Files.readAllBytes(f)).trim.toInt
+    }
+
+  private def setHead(branch: String, v: Int): Unit =
+    if (branch.equalsIgnoreCase("main")) {
+      val tmp = manifestDir.resolve(s"CURRENT.tmp${java.util.UUID.randomUUID()}")
+      Files.write(tmp, v.toString.getBytes)
+      Files.move(tmp, manifestDir.resolve("CURRENT"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else {
+      Files.createDirectories(refsDir)
+      val tmp = refsDir.resolve(s".tmp${java.util.UUID.randomUUID()}")
+      Files.write(tmp, v.toString.getBytes)
+      Files.move(tmp, refsDir.resolve(branch.toLowerCase),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
+  /** All branches with their heads, "main" first. */
+  def branches: Seq[(String, Int)] = {
+    val named =
+      if (!Files.isDirectory(refsDir)) Nil
+      else {
+        val out = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+        val it = Files.list(refsDir).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (!p.getFileName.toString.startsWith("."))
+            out += ((p.getFileName.toString,
+              new String(Files.readAllBytes(p)).trim.toInt))
+        }
+        out.toSeq.sortBy(_._1)
+      }
+    ("main", currentVersion) +: named
+  }
+
+  /** CREATE [OR REPLACE] BRANCH name [FROM from] — the new branch points
+    * at `from`'s head (default main). */
+  def createBranch(name: String, from: Option[String] = None,
+      orReplace: Boolean = false, ifNotExists: Boolean = false): Unit = {
+    require(!name.equalsIgnoreCase("main"), "branch name 'main' is reserved")
+    if (branchExists(name) && !orReplace) {
+      if (ifNotExists) return
+      throw new IllegalArgumentException(s"branch '$name' already exists")
+    }
+    setHead(name, branchHead(from.getOrElse("main")))
+  }
+
+  def dropBranch(name: String, ifExists: Boolean = false): Unit = {
+    require(!name.equalsIgnoreCase("main"), "cannot drop branch 'main'")
+    if (!Files.deleteIfExists(refsDir.resolve(name.toLowerCase)) && !ifExists)
+      throw new IllegalArgumentException(s"branch '$name' does not exist")
+  }
+
+  /** ALTER BRANCH source FAST FORWARD TO target: source takes target's
+    * head. History is linear, so "ancestor" = a lower-or-equal version;
+    * moving a head backwards is not a fast-forward and fails loudly
+    * (reference iceberg fastForward procedure semantics). */
+  def fastForward(source: String, target: String): Int = {
+    val tv = branchHead(target)
+    require(tv >= branchHead(source),
+      s"cannot fast-forward '$source' to '$target': target is behind")
+    setHead(source, tv)
+    tv
+  }
+
+  /** Branch-head snapshot read. */
+  def readBranch(branch: String): DataFrame =
+    read(asOfVersion = Some(branchHead(branch)))
+
   /** Snapshot file list as a DataFrame {path, fname} — the scalable handle. */
   def manifestDf(v: Int): DataFrame =
     spark.read.parquet(manifestDir.resolve(s"v$v").toString)
@@ -76,29 +179,33 @@ final class CowTable private (root0: String, spark: SparkSession) {
       manifestSizeBefore: Long, affectedFiles: Seq[String],
       untouchedCarried: Long, version: Int)
 
-  /** Append-only insert: new files, no rewrites. */
-  def insert(df: DataFrame): Unit = {
-    val v = currentVersion
+  /** Append-only insert: new files, no rewrites. `branch` scopes the commit
+    * to that branch's head (the reference's `INSERT INTO t@branch`). */
+  def insert(df: DataFrame, branch: String = "main"): Unit = {
+    val v = branchHead(branch)
     val newFiles = writeData(df)
-    commit(manifestDf(v).select("path"), newFiles, v)
+    commit(manifestDf(v).select("path"), newFiles, branch)
+    ()
   }
 
   /** Full-refresh replace: publish a snapshot containing only `df` (the
     * materialized-view refresh primitive) — prior snapshots stay readable. */
   def replace(df: DataFrame): Unit = {
     import spark.implicits._
-    val v = currentVersion
     val newFiles = writeData(df)
-    commit(Seq.empty[String].toDF("path"), newFiles, v)
+    commit(Seq.empty[String].toDF("path"), newFiles, "main")
+    ()
   }
 
-  /** Copy-on-write DELETE. */
-  def delete(cond: Column): MutationStats = {
-    val affected = probeFiles(read().filter(cond))
-    if (affected.isEmpty) MutationStats(manifestDf(currentVersion).count(), Nil, 0, currentVersion)
+  /** Copy-on-write DELETE, optionally against a branch head
+    * (`DELETE FROM t@branch`). */
+  def delete(cond: Column, branch: String = "main"): MutationStats = {
+    val affected = probeFiles(readBranch(branch).filter(cond))
+    if (affected.isEmpty)
+      MutationStats(manifestDf(branchHead(branch)).count(), Nil, 0, branchHead(branch))
     else {
       val survivors = spark.read.parquet(affected: _*).filter(!cond)
-      mutate(affected, writeData(survivors))
+      mutate(affected, writeData(survivors), branch)
     }
   }
 
@@ -270,17 +377,17 @@ final class CowTable private (root0: String, spark: SparkSession) {
 
   /** Publish: untouched = manifest ANTI-JOIN affected (distributed — the full
     * manifest never lands on the driver), plus the freshly written files. */
-  private def mutate(affected: Seq[String], newFiles: Seq[String]): MutationStats = {
-    val v = currentVersion
-    val before = manifestDf(v)
+  private def mutate(affected: Seq[String], newFiles: Seq[String],
+      branch: String = "main"): MutationStats = {
+    val before = manifestDf(branchHead(branch))
     val affectedNames = affected.map(p => p.substring(p.lastIndexOf('/') + 1))
     val affectedDf = spark.createDataFrame(
       spark.sparkContext.parallelize(affectedNames.map(org.apache.spark.sql.Row(_)), 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("fname", org.apache.spark.sql.types.StringType))))
     val untouched = before.join(broadcast(affectedDf), Seq("fname"), "left_anti").select("path")
-    val carried = commit(untouched, newFiles, v)
-    MutationStats(before.count(), affected, carried, v + 1)
+    val (carried, v) = commit(untouched, newFiles, branch)
+    MutationStats(before.count(), affected, carried, v)
   }
 
   private def writeData(df: DataFrame): Seq[String] = {
@@ -300,19 +407,18 @@ final class CowTable private (root0: String, spark: SparkSession) {
     out.toSeq
   }
 
-  /** Write manifest v+1 = carriedDf ∪ newFiles as a parquet dataset, then
-    * atomically advance CURRENT. Returns the carried-file count. */
-  private def commit(carriedDf: DataFrame, newFiles: Seq[String], fromVersion: Int): Long = {
+  /** Write a NEW manifest (version = global max + 1, unique across all
+    * branches) = carriedDf ∪ newFiles as a parquet dataset, then atomically
+    * advance `branch`'s head. Returns (carried-file count, new version). */
+  private def commit(carriedDf: DataFrame, newFiles: Seq[String],
+      branch: String): (Long, Int) = {
     import spark.implicits._
-    val v = fromVersion + 1
+    val v = maxVersion + 1
     val next = carriedDf.unionByName(newFiles.toDF("path"))
     next.write.mode("overwrite").parquet(manifestDir.resolve(s"v$v").toString)
     val carried = carriedDf.count()
-    val tmp = manifestDir.resolve(s"CURRENT.tmp${java.util.UUID.randomUUID()}")
-    Files.write(tmp, v.toString.getBytes)
-    Files.move(tmp, manifestDir.resolve("CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    carried
+    setHead(branch, v)
+    (carried, v)
   }
 
   /** Snapshot rollback (reference plugin/trino-iceberg
@@ -326,7 +432,7 @@ final class CowTable private (root0: String, spark: SparkSession) {
     require(version >= 0 && version <= v,
       s"version $version does not exist (current is $v)")
     if (version == v) v
-    else { commit(manifestDf(version).select("path"), Nil, v); v + 1 }
+    else commit(manifestDf(version).select("path"), Nil, "main")._2
   }
 
   /** Physical cleanup (the open lake formats' expire_snapshots + orphan file
@@ -359,8 +465,12 @@ final class CowTable private (root0: String, spark: SparkSession) {
   }
 
   def vacuum(): (Int, Int) = {
-    val v = currentVersion
-    val live = manifestDf(v).select("fname").collect().map(_.getString(0)).toSet
+    // every branch head stays readable after vacuum (reference
+    // expire_snapshots retains ref'd snapshots); only non-head history is
+    // expired and only data files unreferenced by EVERY head are removed
+    val heads = branches.map(_._2).toSet
+    val live = heads.flatMap(v =>
+      manifestDf(v).select("fname").collect().map(_.getString(0)))
     var dataRemoved = 0
     val it = Files.list(dataDir).iterator()
     while (it.hasNext) {
@@ -375,7 +485,7 @@ final class CowTable private (root0: String, spark: SparkSession) {
       val p = mit.next()
       val n = p.getFileName.toString
       if (n.startsWith("v") && n.stripPrefix("v").forall(_.isDigit) &&
-          n.stripPrefix("v").toInt < v) {
+          !heads.contains(n.stripPrefix("v").toInt)) {
         deleteRecursively(p); manifestsRemoved += 1
       }
     }

@@ -855,6 +855,41 @@ object Dialect {
        FROM (SELECT * FROM merged UNION ALL SELECT * FROM ins)
        ORDER BY k"""
 
+  /** Table BRANCHES through the SQL front door (SqlBase.g4:135-142
+    * CREATE/DROP/ALTER BRANCH … FAST FORWARD, '@branch' DML at :80/:82 —
+    * the iceberg connector's branch refs, here named head pointers over
+    * the CoW table's linear version history): writes to wh_br@dev leave
+    * main untouched until FAST FORWARD publishes the branch head as main.
+    * The oracle replays the net effect of the branch edits as a pure
+    * query. */
+  def q_sqlx_branches(s: SparkSession, dir: String): DataFrame = {
+    TrinoDialect.sql(s, dir,
+      """CREATE OR REPLACE TABLE wh_br AS
+         SELECT n_nationkey AS k, n_regionkey AS r FROM nation""")
+    TrinoDialect.sql(s, dir, "CREATE OR REPLACE BRANCH dev IN TABLE wh_br")
+    TrinoDialect.sql(s, dir,
+      """INSERT INTO wh_br@dev
+         SELECT n_nationkey + 100, n_regionkey FROM nation WHERE n_nationkey < 10""")
+    TrinoDialect.sql(s, dir, "DELETE FROM wh_br@dev WHERE r = 0")
+    // main is still the untouched CTAS snapshot here (branch isolation);
+    // FAST FORWARD then publishes dev's head as main
+    val mainBefore = TrinoDialect.sql(s, dir,
+      "SELECT count(*) AS n FROM wh_br").head().getLong(0)
+    require(mainBefore == 25L,
+      s"branch writes leaked into main: $mainBefore rows")
+    TrinoDialect.sql(s, dir,
+      "ALTER BRANCH main IN TABLE wh_br FAST FORWARD TO dev")
+    TrinoDialect.sql(s, dir,
+      """SELECT r, count(*) AS n, sum(k) AS sum_k
+         FROM wh_br GROUP BY r ORDER BY r""")
+  }
+  val qSqlxBranchesSql: String =
+    """SELECT r, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k FROM (
+         SELECT n_nationkey AS k, n_regionkey AS r FROM nation
+         UNION ALL
+         SELECT n_nationkey + 100, n_regionkey FROM nation WHERE n_nationkey < 10)
+       WHERE r <> 0 GROUP BY r ORDER BY r"""
+
   /** Metadata-only ALTER TABLE evolution through the SQL front door
     * (SqlBase.g4 :84ff; sqlx.Statements declared-schema overlay): CTAS →
     * ADD COLUMN (old files NULL-fill) → INSERT carrying it → RENAME COLUMN
@@ -1040,6 +1075,7 @@ object Dialect {
     "q_sqlx_geo_sql" -> q_sqlx_geo_sql _,
     "q_sqlx_statements" -> q_sqlx_statements _,
     "q_sqlx_merge_full" -> q_sqlx_merge_full _,
+    "q_sqlx_branches" -> q_sqlx_branches _,
     "q_sqlx_ddl_alter" -> q_sqlx_ddl_alter _,
     "q_sqlx_txn" -> q_sqlx_txn _,
     "q_sqlx_show_stats" -> q_sqlx_show_stats _,
@@ -1072,6 +1108,7 @@ object Dialect {
     "q_sqlx_geo_sql" -> qSqlxGeoSqlSql,
     "q_sqlx_statements" -> qSqlxStatementsSql,
     "q_sqlx_merge_full" -> qSqlxMergeFullSql,
+    "q_sqlx_branches" -> qSqlxBranchesSql,
     "q_sqlx_ddl_alter" -> qSqlxDdlAlterSql,
     "q_sqlx_txn" -> qSqlxTxnSql,
     "q_sqlx_show_stats" -> qSqlxShowStatsSql,

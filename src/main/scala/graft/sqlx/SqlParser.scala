@@ -95,8 +95,20 @@ object SqlAst {
   final case class QueryStmt(q: Query) extends Statement
   final case class CreateTableAs(name: String, orReplace: Boolean,
       ifNotExists: Boolean, q: Query) extends Statement
-  final case class InsertInto(name: String, cols: Seq[String], q: Query) extends Statement
-  final case class DeleteStmt(name: String, where: Option[Expr]) extends Statement
+  /** `branch`: the optional `@branch` target (SqlBase.g4:80,82 — the
+    * iceberg connector's branch-scoped INSERT/DELETE). */
+  final case class InsertInto(name: String, cols: Seq[String], q: Query,
+      branch: Option[String] = None) extends Statement
+  final case class DeleteStmt(name: String, where: Option[Expr],
+      branch: Option[String] = None) extends Statement
+  /** CREATE/DROP/ALTER BRANCH + SHOW BRANCHES (SqlBase.g4:135-142). */
+  final case class CreateBranchStmt(branch: String, orReplace: Boolean,
+      ifNotExists: Boolean, table: String, from: Option[String]) extends Statement
+  final case class DropBranchStmt(branch: String, ifExists: Boolean,
+      table: String) extends Statement
+  final case class FastForwardStmt(source: String, table: String,
+      target: String) extends Statement
+  final case class ShowBranchesStmt(table: String) extends Statement
   final case class UpdateStmt(name: String, sets: Seq[(String, Expr)],
       where: Option[Expr]) extends Statement
   /** typ: DISTRIBUTED (default) | LOGICAL | VALIDATE | IO;
@@ -295,7 +307,7 @@ object SqlLexer {
         multiOps.find(op => s.startsWith(op, i)) match {
           case Some(op) => out += Token(TOp, op, i); i += op.length
           case None =>
-            if ("+-*/%<>=,().[]?;:".indexOf(c) >= 0) { out += Token(TOp, c.toString, i); i += 1 }
+            if ("+-*/%<>=,().[]?;:@".indexOf(c) >= 0) { out += Token(TOp, c.toString, i); i += 1 }
             else err(s"unexpected character '$c'")
         }
       }
@@ -482,6 +494,7 @@ final class SqlParser(src: String) {
         } else err("expected AS or a column list")
       } else if (acceptSeq("INSERT", "INTO")) {
         val name = qualifiedName()
+        val branch = if (acceptOp("@")) Some(ident("branch name")) else None
         val cols =
           if (peek.isOp("(") && !peek2.is("SELECT") && !peek2.is("WITH") &&
               !peek2.is("VALUES") && !peek2.isOp("(")) {
@@ -492,10 +505,39 @@ final class SqlParser(src: String) {
             expectOp(")")
             cs.toSeq
           } else Nil
-        InsertInto(name, cols, parseQueryNoFinish())
+        InsertInto(name, cols, parseQueryNoFinish(), branch)
       } else if (acceptSeq("DELETE", "FROM")) {
         val name = qualifiedName()
-        DeleteStmt(name, if (accept("WHERE")) Some(parseExpr()) else None)
+        val branch = if (acceptOp("@")) Some(ident("branch name")) else None
+        DeleteStmt(name, if (accept("WHERE")) Some(parseExpr()) else None, branch)
+      } else if (acceptSeq("SHOW", "BRANCHES")) {
+        if (!accept("FROM")) expectKw("IN")
+        expectKw("TABLE")
+        ShowBranchesStmt(qualifiedName())
+      } else if (acceptSeq("CREATE", "OR", "REPLACE", "BRANCH")) {
+        val b = ident("branch name")
+        expectKw("IN"); expectKw("TABLE")
+        val t = qualifiedName()
+        CreateBranchStmt(b, orReplace = true, ifNotExists = false, t,
+          if (accept("FROM")) Some(ident("branch name")) else None)
+      } else if (acceptSeq("CREATE", "BRANCH")) {
+        val ine = acceptSeq("IF", "NOT", "EXISTS")
+        val b = ident("branch name")
+        expectKw("IN"); expectKw("TABLE")
+        val t = qualifiedName()
+        CreateBranchStmt(b, orReplace = false, ifNotExists = ine, t,
+          if (accept("FROM")) Some(ident("branch name")) else None)
+      } else if (acceptSeq("DROP", "BRANCH")) {
+        val ife = acceptSeq("IF", "EXISTS")
+        val b = ident("branch name")
+        expectKw("IN"); expectKw("TABLE")
+        DropBranchStmt(b, ife, qualifiedName())
+      } else if (acceptSeq("ALTER", "BRANCH")) {
+        val src = ident("branch name")
+        expectKw("IN"); expectKw("TABLE")
+        val t = qualifiedName()
+        expectKw("FAST"); expectKw("FORWARD"); expectKw("TO")
+        FastForwardStmt(src, t, ident("branch name"))
       } else if (accept("UPDATE")) {
         val name = qualifiedName()
         expectKw("SET")

@@ -135,9 +135,9 @@ private[graft] object Statements {
       case ExplainStmt(_, q, _, _) => checkQuery(q)
       case CreateTableAs(_, _, _, q) => checkQuery(q) // creator owns the target
       case CreateViewStmt(_, _, q) => checkQuery(q)
-      case InsertInto(name, _, q) =>
+      case InsertInto(name, _, q, _) =>
         check("INSERT", "insert into table", name); checkQuery(q)
-      case DeleteStmt(name, _) => check("DELETE", "delete from table", name)
+      case DeleteStmt(name, _, _) => check("DELETE", "delete from table", name)
       case UpdateStmt(name, _, _) => check("UPDATE", "update table", name)
       case MergeStmt(name, source, _) =>
         // reference MERGE demands the union of its constituent privileges
@@ -155,6 +155,12 @@ private[graft] object Statements {
       case TruncateStmt(name) =>
         // reference checkCanTruncateTable ≈ a whole-table DELETE
         check("DELETE", "truncate table", name)
+      // branch DDL mutates table metadata → owner-only, like ALTER
+      case CreateBranchStmt(_, _, _, table, _) => ownerOnly("alter table", table)
+      case DropBranchStmt(_, _, table) => ownerOnly("alter table", table)
+      case FastForwardStmt(_, table, _) => ownerOnly("alter table", table)
+      case ShowBranchesStmt(table) =>
+        check("SELECT", "show branches of table", table)
       case AlterViewRenameStmt(from, _) => ownerOnly("alter view", from)
       case AlterTableStmt(name, _, _) => ownerOnly("alter table", name)
       case CommentStmt(isColumn, target, _) =>
@@ -320,13 +326,13 @@ private[graft] object Statements {
           (referencedTables(q, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
         case CreateViewStmt(name, _, q) =>
           (referencedTables(q, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
-        case InsertInto(name, _, q) =>
+        case InsertInto(name, _, q, _) =>
           (referencedTables(q, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
         case MergeStmt(name, source, _) =>
           (referencedTables(source, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
         case MergeFullStmt(name, _, source, _, _, _) =>
           (referencedTables(source, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
-        case DeleteStmt(name, _) => (Nil, Seq(name.toLowerCase))
+        case DeleteStmt(name, _, _) => (Nil, Seq(name.toLowerCase))
         case UpdateStmt(name, _, _) => (Nil, Seq(name.toLowerCase))
         case _ => (Nil, Nil)
       }
@@ -446,7 +452,12 @@ private[graft] object Statements {
     val key = requireKey(name)
     val ct = graft.catalog.CowTable.open(spark, tables(key))
     kind match {
-      case "VERSION" => ct.read(asOfVersion = Some(raw.trim.toInt))
+      case "VERSION" =>
+        val t = raw.trim.stripPrefix("'").stripSuffix("'")
+        // a numeric literal is a version; a string names a BRANCH head
+        // (reference iceberg: FOR VERSION AS OF 'branch-name')
+        if (t.forall(_.isDigit)) ct.read(asOfVersion = Some(t.toInt))
+        else ct.readBranch(t)
       case "TIMESTAMP" =>
         val instant = java.sql.Timestamp.valueOf(raw.trim.replace("T", " ")).getTime
         val manifests = Paths.get(tables(key), "_manifests")
@@ -629,7 +640,7 @@ private[graft] object Statements {
       refreshView(spark, name)
       oneRow(spark, "rows", spark.table(viewNameOf(key)).count())
 
-    case InsertInto(name, cols, q) =>
+    case InsertInto(name, cols, q, branch) =>
       val key = requireKey(name)
       val ct = openTable(spark, name)
       val incoming = subquery(spark, dir, q)
@@ -657,16 +668,22 @@ private[graft] object Statements {
       val aligned = positioned.select(schema.fields.toIndexedSeq.map(f =>
         positioned(f.name).cast(f.dataType).as(f.name)): _*)
       val n = aligned.count()
-      ct.insert(aligned)
+      val b = branch.getOrElse("main")
+      if (!ct.branchExists(b))
+        throw new IllegalArgumentException(s"branch '$b' does not exist")
+      ct.insert(aligned, b)
       refreshView(spark, name)
       oneRow(spark, "rows", n)
 
-    case DeleteStmt(name, where) =>
+    case DeleteStmt(name, where, branch) =>
       val ct = openTable(spark, name)
-      val before = ct.read().count()
-      ct.delete(condColumn(where))
+      val b = branch.getOrElse("main")
+      if (!ct.branchExists(b))
+        throw new IllegalArgumentException(s"branch '$b' does not exist")
+      val before = ct.readBranch(b).count()
+      ct.delete(condColumn(where), b)
       refreshView(spark, name)
-      oneRow(spark, "rows", before - ct.read().count())
+      oneRow(spark, "rows", before - ct.readBranch(b).count())
 
     case UpdateStmt(name, sets, where) =>
       val ct = openTable(spark, name)
@@ -1102,6 +1119,28 @@ private[graft] object Statements {
         throw new IllegalArgumentException(s"view '$name' does not exist")
       viewDefs.remove(name.toLowerCase)
       oneRow(spark, "rows", 0L)
+
+    case CreateBranchStmt(b, orReplace, ifNotExists, table, from) =>
+      openTable(spark, table).createBranch(b, from, orReplace, ifNotExists)
+      oneRow(spark, "rows", 0L)
+
+    case DropBranchStmt(b, ifExists, table) =>
+      openTable(spark, table).dropBranch(b, ifExists)
+      oneRow(spark, "rows", 0L)
+
+    case FastForwardStmt(source, table, target) =>
+      val ct = openTable(spark, table)
+      val v = ct.fastForward(source, target)
+      if (source.equalsIgnoreCase("main")) refreshView(spark, table)
+      oneRow(spark, "version", v.toLong)
+
+    case ShowBranchesStmt(table) =>
+      val rows = openTable(spark, table).branches.map { case (b, v) =>
+        Row(b, v.toLong) }
+      spark.createDataFrame(
+        java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        StructType(Seq(StructField("branch", StringType, nullable = false),
+          StructField("head_version", LongType, nullable = false))))
 
     case TruncateStmt(name) =>
       // reference TruncateTableTask: remove all rows, keep the table;

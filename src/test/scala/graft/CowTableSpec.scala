@@ -141,6 +141,39 @@ class CowTableSpec extends SparkSpec {
     assert(t.manifestDf(vBefore).count() === filesBefore)
   }
 
+  test("branches: isolated heads, fast-forward, vacuum retains every head") {
+    val t = CowTable.create(spark, freshRoot(),
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    t.createBranch("dev")
+    assert(t.branches.map(_._1) == Seq("main", "dev"))
+    // branch writes don't move main
+    t.insert(Seq((10L, "x")).toDF("k", "v"), "dev")
+    t.delete(col("k") === 2L, "dev")
+    assert(t.read().count() == 3, "main must be untouched by branch writes")
+    assert(t.readBranch("dev").count() == 3) // 3 + 1 - 1
+    assert(t.readBranch("dev").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 10L))
+    // fast-forward refuses to move a head BACKWARDS (dev is ahead of main)
+    intercept[IllegalArgumentException] { t.fastForward("dev", "main") }
+    // main writes don't move dev either
+    t.insert(Seq((20L, "y")).toDF("k", "v"))
+    assert(t.readBranch("dev").count() == 3)
+    // advance dev past main, then publish it as main
+    t.insert(Seq((11L, "z")).toDF("k", "v"), "dev")
+    t.fastForward("main", "dev")
+    assert(t.read().collect().map(_.getLong(0)).toSet == Set(1L, 3L, 10L, 11L))
+    // vacuum keeps every branch head readable
+    t.createBranch("keepme", from = Some("dev"))
+    t.insert(Seq((30L, "w")).toDF("k", "v"))
+    t.vacuum()
+    assert(t.readBranch("keepme").count() == 4)
+    assert(t.read().count() == 5)
+    // drop: main is protected, named branches go
+    intercept[IllegalArgumentException] { t.dropBranch("main") }
+    t.dropBranch("keepme")
+    assert(!t.branchExists("keepme"))
+    intercept[IllegalArgumentException] { t.dropBranch("keepme") }
+  }
+
   test("CALL system.optimize through the SQL front door") {
     import graft.sqlx.TrinoDialect
     def sql(text: String) = TrinoDialect.sql(spark, sfDir, text)

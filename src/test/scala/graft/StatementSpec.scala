@@ -156,6 +156,34 @@ class StatementSpec extends SparkSpec {
     sql("DROP TABLE st_exec")
   }
 
+  test("branches through the SQL front door: DDL, @branch DML, branch reads") {
+    sql("CREATE OR REPLACE TABLE st_br AS SELECT n_nationkey AS k FROM nation")
+    sql("CREATE BRANCH dev IN TABLE st_br")
+    sql("CREATE BRANCH IF NOT EXISTS dev IN TABLE st_br") // idempotent
+    intercept[Exception] { sql("CREATE BRANCH dev IN TABLE st_br") }
+    // @branch DML stays off main
+    sql("INSERT INTO st_br@dev VALUES (100)")
+    sql("DELETE FROM st_br@dev WHERE k < 5")
+    assert(sql("SELECT count(*) AS n FROM st_br").head().getLong(0) == 25L)
+    // branch read: FOR VERSION AS OF '<branch>'
+    assert(sql("SELECT count(*) AS n FROM st_br FOR VERSION AS OF 'dev'")
+      .head().getLong(0) == 21L) // 25 + 1 - 5
+    // SHOW BRANCHES lists main + dev with heads
+    val brs = sql("SHOW BRANCHES IN TABLE st_br").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(brs.keySet == Set("main", "dev"))
+    assert(brs("dev") > brs("main"))
+    // unknown branch targets fail loudly
+    intercept[Exception] { sql("INSERT INTO st_br@nope VALUES (1)") }
+    // fast-forward publishes dev as main
+    sql("ALTER BRANCH main IN TABLE st_br FAST FORWARD TO dev")
+    assert(sql("SELECT count(*) AS n FROM st_br").head().getLong(0) == 21L)
+    sql("DROP BRANCH dev IN TABLE st_br")
+    assert(sql("SHOW BRANCHES IN TABLE st_br").collect()
+      .map(_.getString(0)).toSet == Set("main"))
+    sql("DROP TABLE st_br")
+  }
+
   test("TRUNCATE TABLE empties but keeps the table; history rewinds") {
     sql("CREATE OR REPLACE TABLE st_trunc AS SELECT n_nationkey AS k FROM nation")
     sql("TRUNCATE TABLE st_trunc")
