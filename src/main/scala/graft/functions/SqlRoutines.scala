@@ -23,6 +23,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlRoutines {
 
+  /** Original DDL text per routine (lowercase name), surfaced by
+    * SHOW CREATE FUNCTION (reference stores the original SQL in its
+    * routine metadata). */
+  private val definitions = scala.collection.concurrent.TrieMap[String, String]()
+  def definitionOf(name: String): Option[String] = definitions.get(name.toLowerCase)
+  private[functions] def record(name: String, text: String): Unit =
+    definitions(name.toLowerCase) = text.trim
+
   private val Ddl =
     ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+(\\w+)\\s*\\(([^)]*)\\)\\s+" +
       "RETURNS\\s+(\\w+(?:\\s*\\(\\s*\\d+\\s*(?:,\\s*\\d+\\s*)?\\))?)\\s+(.*)$").r
@@ -133,11 +141,13 @@ object SqlRoutines {
     case t if "(?is)\\bLANGUAGE\\s+PYTHON\\b".r.findFirstIn(t).isDefined =>
       parseHead(t) match {
         case Some((name, params, retType, rest)) =>
+          record(name, text)
           createPython(spark, name, params, retType, rest)
         case None => throw new IllegalArgumentException(
           "CREATE FUNCTION … LANGUAGE PYTHON: could not parse the function head")
       }
     case Ddl(name, params, retType, rest) =>
+      record(name, text)
       var tail = rest.trim
       var changed = true
       while (changed) {

@@ -155,10 +155,13 @@ object SqlAst {
     * table-maintenance procedures like optimize). */
   final case class ExecuteTableProc(proc: String,
       args: Seq[(Option[String], Expr)]) extends AlterOp
+  /** ALTER TABLE t SET AUTHORIZATION u (SqlBase.g4:111) — ownership transfer. */
+  final case class SetAuthorizationOp(principal: String) extends AlterOp
   final case class AlterTableStmt(name: String, ifExists: Boolean, op: AlterOp) extends Statement
 
   final case class CreateSchemaStmt(name: String, ifNotExists: Boolean) extends Statement
-  final case class DropSchemaStmt(name: String, ifExists: Boolean) extends Statement
+  final case class DropSchemaStmt(name: String, ifExists: Boolean,
+      cascade: Boolean = false) extends Statement
   /** CREATE CATALOG name USING connector [WITH (k = 'v', …)]
     * (SqlBase.g4:58; executed over the persisted catalog store). */
   final case class CreateCatalogStmt(name: String, ifNotExists: Boolean,
@@ -203,8 +206,26 @@ object SqlAst {
   /** TRUNCATE TABLE t (SqlBase.g4:120, execution/TruncateTableTask.java) —
     * publishes an empty snapshot; history stays time-travelable. */
   final case class TruncateStmt(name: String) extends Statement
-  /** ALTER VIEW v RENAME TO w (SqlBase.g4:83). */
+  /** ALTER VIEW v RENAME TO w (SqlBase.g4:130). */
   final case class AlterViewRenameStmt(from: String, to: String) extends Statement
+  /** ALTER VIEW v REFRESH (SqlBase.g4:131) — a no-op here: temp views
+    * re-evaluate on every read, so the freshness contract always holds. */
+  final case class RefreshViewStmt(name: String) extends Statement
+  /** ALTER SCHEMA s RENAME TO t (SqlBase.g4:69). */
+  final case class AlterSchemaRenameStmt(from: String, to: String) extends Statement
+  /** ALTER TABLE|VIEW t SET AUTHORIZATION u (SqlBase.g4:111,
+    * execution/SetAuthorizationTask) — ownership transfer. */
+  final case class SetTableAuthStmt(table: String, principal: String) extends Statement
+  /** ANALYZE t (SqlBase.g4:112, execution/AnalyzeTask → stats collection). */
+  final case class AnalyzeStmt(name: String) extends Statement
+  /** SHOW CREATE SCHEMA / SHOW CREATE FUNCTION (SqlBase.g4:179,182). */
+  final case class ShowCreateSchemaStmt(name: String) extends Statement
+  final case class ShowCreateFunctionStmt(name: String) extends Statement
+  /** COMMENT ON VIEW v IS '…' (SqlBase.g4:86). */
+  final case class CommentViewStmt(name: String,
+      comment: Option[String]) extends Statement
+  /** SHOW ROLE GRANTS (SqlBase.g4:194) — roles granted to the session user. */
+  final case class ShowRoleGrantsStmt() extends Statement
   /** SHOW STATS FOR t | FOR (query) (SqlBase.g4 :141). */
   final case class ShowStatsStmt(target: Either[String, Query]) extends Statement
   /** CALL [catalog.][schema.]proc(arg, …) with positional or `name => v`
@@ -587,6 +608,11 @@ final class SqlParser(src: String) {
         ShowCreateViewStmt(qualifiedName(), materialized = false)
       else if (acceptSeq("SHOW", "CREATE", "TABLE"))
         ShowCreateTableStmt(qualifiedName())
+      else if (acceptSeq("SHOW", "CREATE", "SCHEMA"))
+        ShowCreateSchemaStmt(ident("schema name"))
+      else if (acceptSeq("SHOW", "CREATE", "FUNCTION"))
+        ShowCreateFunctionStmt(ident("function name"))
+      else if (acceptSeq("SHOW", "ROLE", "GRANTS")) ShowRoleGrantsStmt()
       else if (acceptSeq("SHOW", "STATS", "FOR")) {
         if (peek.isOp("(")) {
           p += 1; val q = parseQueryNoFinish(); expectOp(")")
@@ -613,8 +639,31 @@ final class SqlParser(src: String) {
         TruncateStmt(qualifiedName())
       else if (acceptSeq("ALTER", "VIEW")) {
         val from = ident("view name")
+        if (accept("REFRESH")) {
+          RefreshViewStmt(from)
+        } else if (acceptSeq("SET", "AUTHORIZATION")) {
+          accept("USER"); accept("ROLE")
+          SetTableAuthStmt(from, ident("principal"))
+        } else {
+          expectKw("RENAME"); expectKw("TO")
+          AlterViewRenameStmt(from, ident("view name"))
+        }
+      } else if (acceptSeq("ALTER", "SCHEMA")) {
+        val from = ident("schema name")
         expectKw("RENAME"); expectKw("TO")
-        AlterViewRenameStmt(from, ident("view name"))
+        AlterSchemaRenameStmt(from, ident("schema name"))
+      } else if (accept("ANALYZE")) {
+        val name = qualifiedName()
+        if (accept("WITH")) { // properties accepted and ignored (subset)
+          expectOp("(")
+          var depth = 1
+          while (depth > 0) {
+            if (peek.isOp("(")) depth += 1
+            else if (peek.isOp(")")) depth -= 1
+            p += 1
+          }
+        }
+        AnalyzeStmt(name)
       } else if (acceptSeq("ALTER", "TABLE")) {
         val ife = acceptSeq("IF", "EXISTS")
         val name = qualifiedName()
@@ -630,6 +679,9 @@ final class SqlParser(src: String) {
           } else if (acceptSeq("DROP", "COLUMN")) {
             val ce = acceptSeq("IF", "EXISTS")
             DropColumn(ident("column name"), ce)
+          } else if (acceptSeq("SET", "AUTHORIZATION")) {
+            accept("USER"); accept("ROLE")
+            SetAuthorizationOp(ident("principal"))
           } else if (accept("EXECUTE")) {
             val proc = ident("procedure name").toLowerCase
             val args = scala.collection.mutable.ArrayBuffer[(Option[String], Expr)]()
@@ -655,7 +707,9 @@ final class SqlParser(src: String) {
         CreateSchemaStmt(ident("schema name"), ine)
       } else if (acceptSeq("DROP", "SCHEMA")) {
         val ife = acceptSeq("IF", "EXISTS")
-        DropSchemaStmt(ident("schema name"), ife)
+        val name = ident("schema name")
+        val cascade = accept("CASCADE") || { accept("RESTRICT"); false }
+        DropSchemaStmt(name, ife, cascade)
       } else if (acceptSeq("CREATE", "CATALOG")) {
         val ine = acceptSeq("IF", "NOT", "EXISTS")
         val name = ident("catalog name").toLowerCase
@@ -715,10 +769,11 @@ final class SqlParser(src: String) {
         DenyStmt(privs.toSeq, table, ident("grantee"))
       }
       else if (acceptSeq("COMMENT", "ON")) {
-        val isColumn =
-          if (accept("TABLE")) false
-          else if (accept("COLUMN")) true
-          else err("expected TABLE or COLUMN")
+        val kind =
+          if (accept("TABLE")) "TABLE"
+          else if (accept("COLUMN")) "COLUMN"
+          else if (accept("VIEW")) "VIEW"
+          else err("expected TABLE, VIEW or COLUMN")
         val target = qualifiedName()
         expectKw("IS")
         val comment = peek.kind match {
@@ -726,7 +781,8 @@ final class SqlParser(src: String) {
           case TIdent if peek.is("NULL") => { next(); None }
           case _ => err("expected a string literal or NULL")
         }
-        CommentStmt(isColumn, target, comment)
+        if (kind == "VIEW") CommentViewStmt(target, comment)
+        else CommentStmt(kind == "COLUMN", target, comment)
       } else if (accept("CALL")) {
         val parts = scala.collection.mutable.ArrayBuffer(ident("procedure name"))
         while (acceptOp(".")) parts += ident("procedure name part")

@@ -162,6 +162,9 @@ private[graft] object Statements {
       case ShowBranchesStmt(table) =>
         check("SELECT", "show branches of table", table)
       case AlterViewRenameStmt(from, _) => ownerOnly("alter view", from)
+      case SetTableAuthStmt(table, _) => ownerOnly("alter table", table)
+      case CommentViewStmt(name, _) => ownerOnly("comment on", name)
+      case AnalyzeStmt(name) => check("SELECT", "analyze table", name)
       case AlterTableStmt(name, _, _) => ownerOnly("alter table", name)
       case CommentStmt(isColumn, target, _) =>
         val parts = target.split("\\.")
@@ -209,6 +212,9 @@ private[graft] object Statements {
     * (catalog.MaterializedView layout: stored definition + CowTable
     * materialization + freshness basis). */
   private val mvRoots = TrieMap[String, String]()
+
+  /** COMMENT ON VIEW comments (lowercase name → text). */
+  private val viewComments = TrieMap[String, String]()
 
   /** Front-door statement history for system.runtime.queries (reference
     * system.runtime.queries lists the coordinator's query log). */
@@ -917,6 +923,8 @@ private[graft] object Statements {
             else cs
           })
           refreshView(spark, name)
+        case SetAuthorizationOp(principal) =>
+          owners(key) = principal
         case ExecuteTableProc(proc, pArgs) =>
           // reference spelling of table-maintenance procedures
           // (SqlBase.g4:86 `ALTER TABLE t EXECUTE optimize(...)`, iceberg/
@@ -940,12 +948,18 @@ private[graft] object Statements {
         throw new IllegalArgumentException(s"schema '$name' already exists")
       oneRow(spark, "rows", 0L)
 
-    case DropSchemaStmt(name, ifExists) =>
+    case DropSchemaStmt(name, ifExists, cascade) =>
       val lower = name.toLowerCase
       if (lower == "default")
         throw new IllegalArgumentException("cannot drop the default schema")
-      if (tables.keys.exists(_.startsWith(lower + ".")))
-        throw new IllegalArgumentException(s"schema '$name' is not empty")
+      val contained = tables.keys.filter(_.startsWith(lower + ".")).toSeq
+      if (contained.nonEmpty && !cascade)
+        throw new IllegalArgumentException(
+          s"schema '$name' is not empty (use DROP SCHEMA ... CASCADE)")
+      contained.foreach { k =>
+        tables.remove(k); tableMeta.remove(k); owners.remove(k)
+        spark.catalog.dropTempView(viewNameOf(k))
+      }
       if (schemas.remove(lower).isEmpty && !ifExists)
         throw new IllegalArgumentException(s"schema '$name' does not exist")
       if (currentSchema == lower) currentSchema = "default"
@@ -1118,6 +1132,7 @@ private[graft] object Statements {
       if (!existed && !ifExists)
         throw new IllegalArgumentException(s"view '$name' does not exist")
       viewDefs.remove(name.toLowerCase)
+      viewComments.remove(name.toLowerCase)
       oneRow(spark, "rows", 0L)
 
     case CreateBranchStmt(b, orReplace, ifNotExists, table, from) =>
@@ -1177,8 +1192,82 @@ private[graft] object Statements {
         val defSql = viewDefs.getOrElse(name.toLowerCase,
           throw new IllegalArgumentException(s"'$name' is not a view"))
         stringRows(spark, "create_view",
-          Seq(s"CREATE VIEW $name AS", defSql))
+          Seq(s"CREATE VIEW $name AS", defSql) ++
+            viewComments.get(name.toLowerCase).map(c => s"COMMENT '$c'"))
       }
+
+    case RefreshViewStmt(name) =>
+      if (!spark.catalog.tableExists(name))
+        throw new IllegalArgumentException(s"view '$name' does not exist")
+      oneRow(spark, "rows", 0L) // temp views always compute live
+
+    case CommentViewStmt(name, comment) =>
+      if (!viewDefs.contains(name.toLowerCase))
+        throw new IllegalArgumentException(s"'$name' is not a view")
+      comment match {
+        case Some(c) => viewComments(name.toLowerCase) = c
+        case None => viewComments.remove(name.toLowerCase); ()
+      }
+      oneRow(spark, "rows", 0L)
+
+    case AlterSchemaRenameStmt(from, to) =>
+      val f = from.toLowerCase; val t = to.toLowerCase
+      if (f == "default") throw new IllegalArgumentException(
+        "cannot rename the default schema")
+      if (t == "system" || t == "information_schema")
+        throw new IllegalArgumentException(s"schema name '$to' is reserved")
+      if (!schemas.contains(f))
+        throw new IllegalArgumentException(s"schema '$from' does not exist")
+      if (schemas.contains(t))
+        throw new IllegalArgumentException(s"schema '$to' already exists")
+      schemas.remove(f); schemas(t) = ()
+      // rekey every contained table's registry entries + re-register views
+      tables.keys.filter(_.startsWith(f + ".")).toSeq.foreach { oldKey =>
+        val newKey = t + oldKey.stripPrefix(f)
+        tables(newKey) = tables.remove(oldKey).get
+        tableMeta.remove(oldKey).foreach(m => tableMeta(newKey) = m)
+        owners.remove(oldKey).foreach(o => owners(newKey) = o)
+        spark.catalog.dropTempView(viewNameOf(oldKey))
+        projected(spark, newKey).createOrReplaceTempView(viewNameOf(newKey))
+      }
+      if (currentSchema == f) currentSchema = t
+      oneRow(spark, "rows", 0L)
+
+    case SetTableAuthStmt(table, principal) =>
+      val key = lookupKey(table).getOrElse(keyOf(table))
+      if (!tables.contains(key) && !viewDefs.contains(table.toLowerCase))
+        throw new IllegalArgumentException(s"'$table' does not exist")
+      owners(key) = principal
+      oneRow(spark, "rows", 0L)
+
+    case AnalyzeStmt(name) =>
+      // reference AnalyzeTask collects table statistics for the CBO; here
+      // Catalyst derives stats from parquet footers automatically, so the
+      // statement's observable contract is the exact row count it reports
+      // (SHOW STATS computes full column stats on demand)
+      val df = lookupKey(name).map(k => projected(spark, k)).getOrElse(
+        graft.sources.Tables.load(spark, dir, name))
+      oneRow(spark, "rows", df.count())
+
+    case ShowCreateSchemaStmt(name) =>
+      if (!schemas.contains(name.toLowerCase))
+        throw new IllegalArgumentException(s"schema '$name' does not exist")
+      stringRows(spark, "create_schema", Seq(s"CREATE SCHEMA ${name.toLowerCase}"))
+
+    case ShowCreateFunctionStmt(name) =>
+      val ddl = graft.functions.SqlRoutines.definitionOf(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$name' is not a front-door routine"))
+      stringRows(spark, "create_function", Seq(ddl))
+
+    case ShowRoleGrantsStmt() =>
+      val user = SessionContext.current.flatMap(_.user).getOrElse("graft")
+      val granted = (Iterator(user) ++ Groups.groupsOf(user).iterator)
+        .flatMap(p => grants.keysIterator.collect {
+          case (g, r) if g == p && r.startsWith("role:") &&
+              grants((g, r)).contains("MEMBER") => r.stripPrefix("role:")
+        }).toSeq.distinct.sorted
+      stringRows(spark, "role", granted)
 
     case CreateMvStmt(name, orReplace, ifNotExists, q, defText) =>
       val lower = name.toLowerCase

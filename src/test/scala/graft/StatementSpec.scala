@@ -235,6 +235,46 @@ class StatementSpec extends SparkSpec {
     sql("DROP TABLE st_like_a"); sql("DROP TABLE st_like_b")
   }
 
+  test("schema lifecycle extras: ALTER SCHEMA RENAME, DROP SCHEMA CASCADE, SHOW CREATE SCHEMA") {
+    sql("CREATE SCHEMA st_sch_a")
+    sql("USE st_sch_a")
+    sql("CREATE TABLE t1 AS SELECT 1 AS v")
+    sql("USE default")
+    assert(sql("SHOW CREATE SCHEMA st_sch_a").head().getString(0)
+      == "CREATE SCHEMA st_sch_a")
+    // rename carries the contained tables
+    sql("ALTER SCHEMA st_sch_a RENAME TO st_sch_b")
+    assert(sql("SELECT v FROM st_sch_b.t1").head().getInt(0) == 1)
+    intercept[Exception] { sql("SELECT v FROM st_sch_a.t1").collect() }
+    // RESTRICT (default) refuses a non-empty schema; CASCADE drops contents
+    intercept[Exception] { sql("DROP SCHEMA st_sch_b") }
+    sql("DROP SCHEMA st_sch_b CASCADE")
+    intercept[Exception] { sql("SELECT v FROM st_sch_b.t1").collect() }
+    intercept[Exception] { sql("SHOW CREATE SCHEMA st_sch_b").collect() }
+  }
+
+  test("ANALYZE, COMMENT ON VIEW, SET AUTHORIZATION, SHOW CREATE FUNCTION, ALTER VIEW REFRESH") {
+    sql("CREATE OR REPLACE TABLE st_misc AS SELECT n_nationkey AS k FROM nation")
+    assert(sql("ANALYZE st_misc").head().getLong(0) == 25L)
+    assert(sql("ANALYZE st_misc WITH (columns = ARRAY['k'])").head().getLong(0) == 25L)
+    // COMMENT ON VIEW lands in SHOW CREATE VIEW
+    sql("CREATE OR REPLACE VIEW st_misc_v AS SELECT k FROM st_misc")
+    sql("COMMENT ON VIEW st_misc_v IS 'the misc view'")
+    val ddl = sql("SHOW CREATE VIEW st_misc_v").collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(ddl.contains("COMMENT 'the misc view'"), ddl)
+    sql("ALTER VIEW st_misc_v REFRESH") // no-op contract: views compute live
+    // ownership transfer surfaces through ALTER ... SET AUTHORIZATION
+    sql("ALTER TABLE st_misc SET AUTHORIZATION alice")
+    sql("ALTER VIEW st_misc_v SET AUTHORIZATION bob")
+    // SHOW CREATE FUNCTION round-trips the stored routine DDL
+    sql("CREATE OR REPLACE FUNCTION st_misc_fn(x BIGINT) RETURNS BIGINT RETURN x * 2")
+    val fddl = sql("SHOW CREATE FUNCTION st_misc_fn").head().getString(0)
+    assert(fddl.toLowerCase.contains("st_misc_fn") && fddl.contains("x * 2"), fddl)
+    intercept[Exception] { sql("SHOW CREATE FUNCTION no_such_fn").collect() }
+    sql("DROP VIEW st_misc_v"); sql("DROP TABLE st_misc")
+  }
+
   test("the metadata schema names are reserved (row-policy exemption safety)") {
     for (reserved <- Seq("system", "information_schema")) {
       val e = intercept[IllegalArgumentException] {
