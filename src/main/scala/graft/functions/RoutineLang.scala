@@ -1,0 +1,695 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, QueryPlanningTracker}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSeq, BindReferences, Expression, GenericInternalRow, Nondeterministic}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+import org.apache.spark.sql.types._
+
+import graft.sqlx.{SqlLexer, SqlParseException, TrinoDialect}
+
+/** Procedural SQL routine language — the reference's SQL/PSM control
+  * statements inside `CREATE FUNCTION` bodies (reference grammar:
+  * core/trino-grammar/src/main/antlr4/io/trino/grammar/sql/SqlBase.g4:995-1027
+  * `controlStatement`; analysis core/trino-main/src/main/java/io/trino/sql/
+  * routine/SqlRoutineAnalyzer.java; execution SqlRoutineCompiler.java, which
+  * compiles the IR to JVM bytecode).
+  *
+  * Spark-first split, mirroring the reference's two-tier strategy:
+  *
+  *  - **Loop-free bodies compile to ONE Catalyst expression** via
+  *    continuation-passing: `SET v = e` substitutes into the environment,
+  *    `IF`/`CASE` become `CASE WHEN` with the statement continuation compiled
+  *    into each branch. The routine then registers through Spark's native SQL
+  *    UDF DDL, so call sites inline into whole-stage codegen — the same end
+  *    state as the reference's bytecode compilation, with zero interpretation
+  *    at row time.
+  *  - **Bodies with loops (LOOP/WHILE/REPEAT + ITERATE/LEAVE) interpret per
+  *    row**, but every scalar expression in the body is parsed, analyzed and
+  *    bound by Catalyst ONCE at CREATE time against the variable frame; row
+  *    time only walks the control AST and calls `Expression.eval` on the
+  *    pre-bound trees (no SQL parsing per row). This is the reference's
+  *    interpreter tier for non-compilable routines.
+  *
+  * Semantics held to the reference:
+  *  - `DECLARE … DEFAULT e` re-evaluates the default each time its block is
+  *    entered; variables without DEFAULT start NULL.
+  *  - Assignment and RETURN cast to the declared/return type.
+  *  - `WHILE`/`REPEAT` conditions treat NULL as false (SQL three-valued
+  *    predicates in a control position).
+  *  - `ITERATE l` / `LEAVE l` target the innermost enclosing loop labeled
+  *    `l`; an unmatched label is a CREATE-time error.
+  *  - Duplicate variable names (including parameter shadowing) are rejected
+  *    at CREATE time, as in SqlRoutineAnalyzer.
+  *
+  * Divergence (documented): runaway loops raise after
+  * `graft.routine.maxSteps` iterations (default 10M) instead of running
+  * until the engine-level query timeout the reference relies on.
+  */
+object RoutineLang {
+
+  // ------------------------------------------------------------------ AST
+  sealed trait RStmt
+  final case class RReturn(expr: String) extends RStmt
+  final case class RSet(name: String, expr: String) extends RStmt
+  /** IF/ELSEIF chains and both CASE statement forms lower to this. */
+  final case class RIf(branches: Seq[(String, Seq[RStmt])],
+      els: Option[Seq[RStmt]]) extends RStmt
+  final case class RIterate(label: String) extends RStmt
+  final case class RLeave(label: String) extends RStmt
+  final case class RDecl(names: Seq[String], tpe: String,
+      default: Option[String])
+  final case class RCompound(decls: Seq[RDecl], body: Seq[RStmt]) extends RStmt
+  final case class RLoop(label: Option[String], body: Seq[RStmt]) extends RStmt
+  final case class RWhile(label: Option[String], cond: String,
+      body: Seq[RStmt]) extends RStmt
+  final case class RRepeat(label: Option[String], body: Seq[RStmt],
+      until: String) extends RStmt
+
+  /** Does the head of `tail` (post-characteristics body text) start a
+    * control statement this module owns? RETURN stays on SqlRoutines' fast
+    * path — a bare RETURN body needs no frame. */
+  def isControlBody(tail: String): Boolean = {
+    val t = tail.trim.toUpperCase
+    Seq("BEGIN", "IF ", "IF(", "CASE", "WHILE", "REPEAT", "LOOP", "SET ")
+      .exists(t.startsWith) ||
+      "^[A-Z_][A-Z_0-9]*\\s*:".r.findFirstIn(t).isDefined // label: LOOP …
+  }
+
+  // --------------------------------------------------------------- parser
+  /** Parses ONE controlStatement from `src` (SqlBase.g4:995). Expressions
+    * are kept as raw source slices, terminated by the first top-level
+    * `;` / THEN / DO / UNTIL-END boundary (CASE…END and parens nest). */
+  private final class BodyParser(src: String) {
+    import SqlLexer._
+    private val tokens = SqlLexer.lex(src)
+    private var p = 0
+    private def peek: Token = tokens(p)
+    private def peek2: Token = tokens(math.min(p + 1, tokens.length - 1))
+    private def next(): Token = { val t = tokens(p); p += 1; t }
+    private def err(m: String): Nothing =
+      throw new SqlParseException(s"$m near '${peek.text}' (offset ${peek.pos}) in routine body")
+    private def accept(kw: String): Boolean =
+      if (peek.is(kw)) { p += 1; true } else false
+    private def expectKw(kw: String): Unit =
+      if (!accept(kw)) err(s"expected $kw")
+    private def ident(what: String): String = {
+      val t = next()
+      if (t.kind != TIdent && t.kind != TQIdent) err(s"expected $what")
+      t.text
+    }
+
+    /** Raw source slice up to (not consuming) the first top-level
+      * terminator among `stops` (keyword names, or ";" for the semicolon). */
+    private def exprUntil(stops: Set[String]): String = {
+      val start = peek.pos
+      var parens = 0
+      var caseDepth = 0
+      var end = -1
+      while (end < 0) {
+        val t = peek
+        if (t.kind == TEof) err(s"routine expression ran off the end (expected ${stops.mkString(" or ")})")
+        val isStop = parens == 0 && caseDepth == 0 &&
+          (if (t.kind == TOp) stops.contains(t.text)
+           else t.kind == TIdent && stops.contains(t.text.toUpperCase))
+        if (isStop) end = t.pos
+        else {
+          if (t.isOp("(")) parens += 1
+          else if (t.isOp(")")) parens -= 1
+          else if (t.is("CASE")) caseDepth += 1
+          else if (t.is("END")) {
+            if (caseDepth <= 0) err("unbalanced END in routine expression")
+            caseDepth -= 1
+          }
+          p += 1
+        }
+      }
+      val text = src.substring(start, end).trim
+      if (text.isEmpty) err("empty expression in routine body")
+      text
+    }
+
+    private def expectSemi(): Unit =
+      if (!peek.isOp(";")) err("expected ';'") else p += 1
+
+    def parseStatement(): RStmt = {
+      // label: LOOP|WHILE|REPEAT
+      val label: Option[String] =
+        if ((peek.kind == TIdent || peek.kind == TQIdent) && peek2.isOp(":") &&
+            !peek.is("LOOP") && !peek.is("WHILE") && !peek.is("REPEAT")) {
+          val l = next().text; p += 1 // ':'
+          Some(l)
+        } else None
+      if (label.isDefined && !(peek.is("LOOP") || peek.is("WHILE") || peek.is("REPEAT")))
+        err("label must precede LOOP, WHILE or REPEAT")
+
+      if (accept("RETURN")) RReturn(exprUntil(Set(";")))
+      else if (accept("SET")) {
+        val v = ident("variable name after SET")
+        if (!peek.isOp("=")) err("expected '=' in SET") else p += 1
+        RSet(v, exprUntil(Set(";")))
+      } else if (accept("ITERATE")) RIterate(ident("label after ITERATE"))
+      else if (accept("LEAVE")) RLeave(ident("label after LEAVE"))
+      else if (accept("IF")) {
+        val branches = Seq.newBuilder[(String, Seq[RStmt])]
+        val cond = exprUntil(Set("THEN"))
+        expectKw("THEN")
+        branches += ((cond, parseList(Set("ELSEIF", "ELSE", "END"))))
+        while (peek.is("ELSEIF")) {
+          p += 1
+          val c = exprUntil(Set("THEN")); expectKw("THEN")
+          branches += ((c, parseList(Set("ELSEIF", "ELSE", "END"))))
+        }
+        val els = if (accept("ELSE")) Some(parseList(Set("END"))) else None
+        expectKw("END"); expectKw("IF")
+        RIf(branches.result(), els)
+      } else if (accept("CASE")) {
+        // simple (CASE operand WHEN …) vs searched (CASE WHEN …)
+        val operand = if (peek.is("WHEN")) None else Some(exprUntil(Set("WHEN")))
+        val branches = Seq.newBuilder[(String, Seq[RStmt])]
+        if (!peek.is("WHEN")) err("expected WHEN in CASE statement")
+        while (accept("WHEN")) {
+          val w = exprUntil(Set("THEN")); expectKw("THEN")
+          val cond = operand.fold(w)(op => s"($op) = ($w)")
+          branches += ((cond, parseList(Set("WHEN", "ELSE", "END"))))
+        }
+        val els = if (accept("ELSE")) Some(parseList(Set("END"))) else None
+        expectKw("END"); expectKw("CASE")
+        RIf(branches.result(), els)
+      } else if (accept("BEGIN")) {
+        val decls = Seq.newBuilder[RDecl]
+        while (peek.is("DECLARE")) {
+          p += 1
+          val names = Seq.newBuilder[String]
+          names += ident("variable name after DECLARE")
+          while (peek.isOp(",")) { p += 1; names += ident("variable name") }
+          val tpe = parseType()
+          val default =
+            if (accept("DEFAULT")) Some(exprUntil(Set(";"))) else None
+          expectSemi()
+          decls += RDecl(names.result(), tpe, default)
+        }
+        val body =
+          if (peek.is("END")) Nil else parseList(Set("END"))
+        expectKw("END")
+        RCompound(decls.result(), body)
+      } else if (accept("LOOP")) {
+        val body = parseList(Set("END"))
+        expectKw("END"); expectKw("LOOP")
+        RLoop(label, body)
+      } else if (accept("WHILE")) {
+        val cond = exprUntil(Set("DO")); expectKw("DO")
+        val body = parseList(Set("END"))
+        expectKw("END"); expectKw("WHILE")
+        RWhile(label, cond, body)
+      } else if (accept("REPEAT")) {
+        val body = parseList(Set("UNTIL"))
+        expectKw("UNTIL")
+        val until = exprUntil(Set("END"))
+        expectKw("END"); expectKw("REPEAT")
+        RRepeat(label, body, until)
+      } else err("expected a routine control statement")
+    }
+
+    /** `(controlStatement ';')+` until one of `stops` (not consumed). */
+    private def parseList(stops: Set[String]): Seq[RStmt] = {
+      val out = Seq.newBuilder[RStmt]
+      var done = false
+      while (!done) {
+        out += parseStatement()
+        expectSemi()
+        done = stops.exists(peek.is) || peek.kind == TEof
+      }
+      out.result()
+    }
+
+    /** Type with an optional balanced-paren argument list, as raw text. */
+    private def parseType(): String = {
+      val base = ident("type").toLowerCase
+      val sb = new StringBuilder(base)
+      // `double precision` two-word spelling
+      if (base == "double" && peek.is("PRECISION")) { p += 1 }
+      if (peek.isOp("(")) {
+        var depth = 0
+        var stop = false
+        while (!stop) {
+          val t = next()
+          if (t.kind == TEof) err("unterminated type arguments")
+          sb.append(if (t.kind == TStr) s"'${t.text}'" else t.text)
+          if (t.isOp("(")) depth += 1
+          else if (t.isOp(")")) { depth -= 1; if (depth == 0) stop = true }
+          else if (depth > 0 && (t.kind == TIdent || t.kind == TNum)) sb.append(' ')
+        }
+      }
+      sb.toString
+    }
+
+    def parse(): RStmt = {
+      val s = parseStatement()
+      // optional trailing ';' after the outermost statement
+      if (peek.isOp(";")) p += 1
+      if (peek.kind != TEof) err("trailing tokens after routine body")
+      s
+    }
+  }
+
+  // ----------------------------------------------------------- type names
+  /** Reference type spelling → Spark DDL type string (recursive on
+    * array/map/row). */
+  private[functions] def sparkTypeDdl(t: String): String = {
+    val s = t.trim
+    val lower = s.toLowerCase
+    def inner(of: String): String = {
+      val i = s.indexOf('(')
+      s.substring(i + 1, s.lastIndexOf(')'))
+    }
+    if (lower.startsWith("array(")) s"array<${sparkTypeDdl(inner(s))}>"
+    else if (lower.startsWith("map(")) {
+      val body = inner(s)
+      // split on the top-level comma
+      var depth = 0; var cut = -1
+      body.zipWithIndex.foreach { case (c, i) =>
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        else if (c == ',' && depth == 0 && cut < 0) cut = i
+      }
+      require(cut > 0, s"map type needs two arguments: $t")
+      s"map<${sparkTypeDdl(body.substring(0, cut))},${sparkTypeDdl(body.substring(cut + 1))}>"
+    } else lower match {
+      case "varchar" => "string"
+      case v if v.startsWith("varchar(") => "string"
+      case "varbinary" => "binary"
+      case "real" => "float"
+      case "double precision" => "double"
+      case "json" => "string"
+      case other => other
+    }
+  }
+
+  private def dataTypeOf(t: String): DataType =
+    CatalystSqlParser.parseDataType(sparkTypeDdl(t))
+
+  // ------------------------------------------------------------- analysis
+  private final case class VarSlot(name: String, tpe: DataType, ddl: String)
+
+  /** Collect parameters + every DECLARE into one frame; reject duplicates
+    * (reference SqlRoutineAnalyzer "Variable already declared"). */
+  private def collectVars(params: Seq[(String, String)], body: RStmt): Seq[VarSlot] = {
+    val out = Seq.newBuilder[VarSlot]
+    val seen = scala.collection.mutable.Set[String]()
+    def add(n: String, t: String): Unit = {
+      if (!seen.add(n.toLowerCase))
+        throw new SqlParseException(s"Variable already declared: $n")
+      out += VarSlot(n, dataTypeOf(t), sparkTypeDdl(t))
+    }
+    params.foreach { case (n, t) => add(n, t) }
+    def walk(s: RStmt): Unit = s match {
+      case RCompound(decls, b) =>
+        decls.foreach(d => d.names.foreach(n => add(n, d.tpe)))
+        b.foreach(walk)
+      case RIf(bs, e) => bs.foreach(_._2.foreach(walk)); e.foreach(_.foreach(walk))
+      case RLoop(_, b) => b.foreach(walk)
+      case RWhile(_, _, b) => b.foreach(walk)
+      case RRepeat(_, b, _) => b.foreach(walk)
+      case _ =>
+    }
+    walk(body)
+    out.result()
+  }
+
+  private def hasLoop(s: RStmt): Boolean = s match {
+    case _: RLoop | _: RWhile | _: RRepeat => true
+    case RCompound(_, b) => b.exists(hasLoop)
+    case RIf(bs, e) => bs.exists(_._2.exists(hasLoop)) || e.exists(_.exists(hasLoop))
+    case _ => false
+  }
+
+  /** Validate ITERATE/LEAVE labels against enclosing loop labels. */
+  private def checkLabels(s: RStmt, enclosing: Set[String]): Unit = s match {
+    case RIterate(l) if !enclosing.contains(l.toLowerCase) =>
+      throw new SqlParseException(s"ITERATE $l: no enclosing loop labeled $l")
+    case RLeave(l) if !enclosing.contains(l.toLowerCase) =>
+      throw new SqlParseException(s"LEAVE $l: no enclosing loop labeled $l")
+    case RCompound(_, b) => b.foreach(checkLabels(_, enclosing))
+    case RIf(bs, e) =>
+      bs.foreach(_._2.foreach(checkLabels(_, enclosing)))
+      e.foreach(_.foreach(checkLabels(_, enclosing)))
+    case RLoop(l, b) => b.foreach(checkLabels(_, enclosing ++ l.map(_.toLowerCase)))
+    case RWhile(l, _, b) => b.foreach(checkLabels(_, enclosing ++ l.map(_.toLowerCase)))
+    case RRepeat(l, b, _) => b.foreach(checkLabels(_, enclosing ++ l.map(_.toLowerCase)))
+    case _ =>
+  }
+
+  // --------------------------------------------- loop-free → one expression
+  /** Substitute non-parameter variables into `expr` by their current SQL
+    * binding — token-positioned whole-identifier replacement, so string
+    * literals, qualified names and function-call heads are never touched. */
+  private def subst(expr: String, env: Map[String, String]): String = {
+    import SqlLexer._
+    val tokens = SqlLexer.lex(expr)
+    val sb = new StringBuilder
+    var last = 0
+    tokens.zipWithIndex.foreach { case (t, i) =>
+      val isVar = t.kind == TIdent && env.contains(t.text.toLowerCase) &&
+        // not a function-call head, not a dereference part
+        !(i + 1 < tokens.length && tokens(i + 1).isOp("(")) &&
+        !(i > 0 && tokens(i - 1).isOp("."))
+      if (isVar) {
+        sb.append(expr.substring(last, t.pos))
+        sb.append(env(t.text.toLowerCase))
+        last = t.pos + t.text.length
+      }
+    }
+    sb.append(expr.substring(last))
+    sb.toString
+  }
+
+  /** CPS compile: the value returned by executing `stmts` then falling
+    * through to the already-compiled continuation `cont` (None = falls off
+    * the routine end — a CREATE-time error unless unreachable). */
+  private def comp(stmts: List[RStmt], env: Map[String, String],
+      types: Map[String, String], retDdl: String,
+      cont: Option[String]): Option[String] = stmts match {
+    case Nil => cont
+    case RReturn(e) :: _ =>
+      Some(s"CAST((${subst(e, env)}) AS $retDdl)")
+    case RSet(v, e) :: rest =>
+      val ddl = types.getOrElse(v.toLowerCase,
+        throw new SqlParseException(s"SET $v: unknown variable"))
+      comp(rest, env + (v.toLowerCase -> s"CAST((${subst(e, env)}) AS $ddl)"),
+        types, retDdl, cont)
+    case RIf(branches, els) :: rest =>
+      // a path with no RETURN falls off the routine end → NULL (matching
+      // the interpreter tier)
+      val offEnd = s"CAST(NULL AS $retDdl)"
+      val restC = comp(rest, env, types, retDdl, cont)
+      def branchSql(body: Seq[RStmt]): String =
+        comp(body.toList ::: rest, env, types, retDdl, cont).getOrElse(offEnd)
+      val whens = branches.map { case (c, b) =>
+        s"WHEN (${subst(c, env)}) THEN ${branchSql(b)}"
+      }.mkString(" ")
+      val elseSql = els.map(branchSql).orElse(restC).getOrElse(offEnd)
+      Some(s"CASE $whens ELSE $elseSql END")
+    case RCompound(decls, body) :: rest =>
+      val env2 = decls.foldLeft(env) { (e, d) =>
+        val ddl = sparkTypeDdl(d.tpe)
+        d.names.foldLeft(e) { (e2, n) =>
+          val init = d.default
+            .map(x => s"CAST((${subst(x, e2)}) AS $ddl)")
+            .getOrElse(s"CAST(NULL AS $ddl)")
+          e2 + (n.toLowerCase -> init)
+        }
+      }
+      comp(body.toList ::: rest, env2, types, retDdl, cont)
+    case (_: RIterate | _: RLeave | _: RLoop | _: RWhile | _: RRepeat) :: _ =>
+      throw new IllegalStateException("loop construct on the compiled path")
+  }
+
+  /** Try the single-expression compile; None when the result would be
+    * unreasonably large (deep SET chains can square the text). */
+  private def compileStraight(body: RStmt, params: Seq[(String, String)],
+      vars: Seq[VarSlot], retType: String): Option[String] = {
+    val paramNames = params.map(_._1.toLowerCase).toSet
+    val types = vars.map(v => v.name.toLowerCase -> v.ddl).toMap
+    // parameters resolve as SQL UDF arguments — not in the substitution env
+    val sql = comp(List(body), Map.empty -- paramNames, types,
+      sparkTypeDdl(retType), None).getOrElse(
+      throw new SqlParseException(
+        "routine control may fall off the end without RETURN"))
+    if (sql.length > 60000) None else Some(sql)
+  }
+
+  // ------------------------------------------------------- interpreter tier
+  /** A scalar expression pre-bound to the variable frame. */
+  private final case class BoundExpr(bound: Expression, dataType: DataType)
+      extends Serializable
+
+  private def compileExpr(spark: SparkSession, vars: Seq[VarSlot],
+      text: String, castTo: Option[String]): BoundExpr = {
+    val rewritten = TrinoDialect.rewrite(text)
+    val wrapped = castTo.fold(rewritten)(t => s"CAST(($rewritten) AS $t)")
+    val attrs: IndexedSeq[AttributeReference] = vars.map(v =>
+      AttributeReference(v.name, v.tpe, nullable = true)()).toIndexedSeq
+    val parsed = spark.sessionState.sqlParser.parseExpression(wrapped)
+    val analyzed = spark.sessionState.analyzer.executeAndCheck(
+      Project(Seq(Alias(parsed, "__r")()), LocalRelation(attrs)),
+      new QueryPlanningTracker())
+    val resolved = analyzed.asInstanceOf[Project].projectList.head
+      .asInstanceOf[Alias].child
+    val bound = BindReferences.bindReference(resolved, AttributeSeq(attrs))
+    BoundExpr(bound, resolved.dataType)
+  }
+
+  /** Interpreter IR: control AST with expressions compiled to slots. */
+  private sealed trait IStmt extends Serializable
+  private final case class IReturn(e: BoundExpr) extends IStmt
+  private final case class ISet(slot: Int, e: BoundExpr) extends IStmt
+  private final case class IIf(branches: Array[(BoundExpr, Array[IStmt])],
+      els: Array[IStmt]) extends IStmt
+  private final case class IIterate(label: String) extends IStmt
+  private final case class ILeave(label: String) extends IStmt
+  private final case class IInit(slot: Int, e: Option[BoundExpr]) extends IStmt
+  private final case class ILoop(label: String, pre: Array[IStmt],
+      cond: Option[BoundExpr], condFirst: Boolean, body: Array[IStmt])
+      extends IStmt
+
+  private final class ReturnSignal(val value: Any)
+      extends RuntimeException(null, null, false, false)
+  private final class LabelSignal(val label: String, val leave: Boolean)
+      extends RuntimeException(null, null, false, false)
+
+  /** Serializable per-row runner shipped inside the registered UDF. */
+  private final class Runner(program: Array[IStmt], nSlots: Int,
+      paramTypes: Array[DataType], retType: DataType, maxSteps: Long)
+      extends Serializable {
+    @transient private lazy val inConv: Array[Any => Any] = paramTypes.map { dt =>
+      val conv = CatalystTypeConverters.createToCatalystConverter(dt)
+      // the java-UDF registration declares no input types, so the analyzer
+      // inserts no casts — widen numeric arguments to the declared
+      // parameter type here (int literal → bigint parameter, etc.)
+      (v: Any) => conv(coerceNum(v, dt))
+    }
+
+    private def coerceNum(v: Any, dt: DataType): Any = v match {
+      case n: java.lang.Number => dt match {
+        case LongType => java.lang.Long.valueOf(n.longValue())
+        case IntegerType => java.lang.Integer.valueOf(n.intValue())
+        case DoubleType => java.lang.Double.valueOf(n.doubleValue())
+        case FloatType => java.lang.Float.valueOf(n.floatValue())
+        case ShortType => java.lang.Short.valueOf(n.shortValue())
+        case ByteType => java.lang.Byte.valueOf(n.byteValue())
+        case _: DecimalType => n match {
+          case d: java.math.BigDecimal => d
+          case d: BigDecimal => d
+          case _ => new java.math.BigDecimal(n.toString)
+        }
+        case _ => v
+      }
+      case _ => v
+    }
+    @transient private lazy val outConv: Any => Any =
+      CatalystTypeConverters.createToScalaConverter(retType)
+    @transient private var initialized = false
+
+    private def initExprs(): Unit = {
+      def walkE(b: BoundExpr): Unit = b.bound.foreach {
+        case n: Nondeterministic => n.initialize(0)
+        case _ =>
+      }
+      def walk(s: IStmt): Unit = s match {
+        case IReturn(e) => walkE(e)
+        case ISet(_, e) => walkE(e)
+        case IInit(_, e) => e.foreach(walkE)
+        case IIf(bs, e) => bs.foreach { case (c, b) => walkE(c); b.foreach(walk) }
+          e.foreach(walk)
+        case ILoop(_, pre, c, _, b) =>
+          pre.foreach(walk); c.foreach(walkE); b.foreach(walk)
+        case _ =>
+      }
+      program.foreach(walk)
+      initialized = true
+    }
+
+    def call(args: Array[Any]): Any = {
+      if (!initialized) initExprs()
+      val slots = new Array[Any](nSlots)
+      var i = 0
+      while (i < args.length) { slots(i) = inConv(i)(args(i)); i += 1 }
+      val row = new GenericInternalRow(slots)
+      var steps = 0L
+      def exec(stmts: Array[IStmt]): Unit = {
+        var j = 0
+        while (j < stmts.length) {
+          stmts(j) match {
+            case IReturn(e) => throw new ReturnSignal(e.bound.eval(row))
+            case ISet(slot, e) => slots(slot) = e.bound.eval(row)
+            case IInit(slot, e) => slots(slot) = e.map(_.bound.eval(row)).orNull
+            case IIf(branches, els) =>
+              var k = 0
+              var hit = false
+              while (k < branches.length && !hit) {
+                if (branches(k)._1.bound.eval(row) == true) {
+                  hit = true; exec(branches(k)._2)
+                }
+                k += 1
+              }
+              if (!hit) exec(els)
+            case s: IIterate => throw new LabelSignal(s.label, leave = false)
+            case s: ILeave => throw new LabelSignal(s.label, leave = true)
+            case ILoop(label, pre, cond, condFirst, body) =>
+              exec(pre)
+              var live = true
+              while (live) {
+                steps += 1
+                if (steps > maxSteps)
+                  throw new IllegalStateException(
+                    s"routine exceeded $maxSteps loop iterations " +
+                      "(graft.routine.maxSteps)")
+                if (condFirst && cond.exists(_.bound.eval(row) != true)) live = false
+                else {
+                  var iterated = false
+                  try exec(body)
+                  catch {
+                    case l: LabelSignal if l.label == label =>
+                      if (l.leave) live = false else iterated = true
+                    case l: LabelSignal => throw l
+                  }
+                  // REPEAT: UNTIL true → stop, checked after the body —
+                  // except after ITERATE, whose continue target is the top
+                  // of the whole construct (SqlRoutineCompiler.visitRepeat
+                  // places the continue label before the loop block), so
+                  // the body restarts without an UNTIL check
+                  if (live && !iterated && !condFirst &&
+                      cond.exists(_.bound.eval(row) == true))
+                    live = false
+                }
+              }
+          }
+          j += 1
+        }
+      }
+      try { exec(program); null } // fell off the end → NULL (analyzer warns)
+      catch { case r: ReturnSignal => outConv(r.value) }
+    }
+  }
+
+  private def lower(spark: SparkSession, vars: Seq[VarSlot],
+      slotOf: Map[String, Int], body: Seq[RStmt], retDdl: String,
+      loopIds: java.util.concurrent.atomic.AtomicInteger): Array[IStmt] = {
+    def expr(text: String, cast: Option[String]): BoundExpr =
+      compileExpr(spark, vars, text, cast)
+    def cond(text: String): BoundExpr = {
+      val c = expr(text, None)
+      if (c.dataType == BooleanType) c else expr(text, Some("boolean"))
+    }
+    body.flatMap {
+      case RReturn(e) => Seq(IReturn(expr(e, Some(retDdl))))
+      case RSet(v, e) =>
+        val slot = slotOf.getOrElse(v.toLowerCase,
+          throw new SqlParseException(s"SET $v: unknown variable"))
+        Seq(ISet(slot, expr(e, Some(vars(slot).ddl))))
+      case RIf(branches, els) =>
+        val bs = branches.map { case (c, b) =>
+          (cond(c), lower(spark, vars, slotOf, b, retDdl, loopIds))
+        }.toArray
+        Seq(IIf(bs, els.map(lower(spark, vars, slotOf, _, retDdl, loopIds))
+          .getOrElse(Array.empty)))
+      case RIterate(l) => Seq(IIterate(l.toLowerCase))
+      case RLeave(l) => Seq(ILeave(l.toLowerCase))
+      case RCompound(decls, b) =>
+        val inits = decls.flatMap(d => d.names.map { n =>
+          val slot = slotOf(n.toLowerCase)
+          IInit(slot, d.default.map(x => expr(x, Some(vars(slot).ddl))))
+        })
+        inits ++ lower(spark, vars, slotOf, b, retDdl, loopIds)
+      case RLoop(l, b) =>
+        val label = l.map(_.toLowerCase).getOrElse(s"#loop${loopIds.getAndIncrement()}")
+        Seq(ILoop(label, Array.empty, None, condFirst = false,
+          lower(spark, vars, slotOf, b, retDdl, loopIds)))
+      case RWhile(l, c, b) =>
+        val label = l.map(_.toLowerCase).getOrElse(s"#loop${loopIds.getAndIncrement()}")
+        Seq(ILoop(label, Array.empty, Some(cond(c)), condFirst = true,
+          lower(spark, vars, slotOf, b, retDdl, loopIds)))
+      case RRepeat(l, b, u) =>
+        val label = l.map(_.toLowerCase).getOrElse(s"#loop${loopIds.getAndIncrement()}")
+        Seq(ILoop(label, Array.empty, Some(cond(u)), condFirst = false,
+          lower(spark, vars, slotOf, b, retDdl, loopIds)))
+    }.toArray
+  }
+
+  // ---------------------------------------------------------- registration
+  /** Entry: register `name(params…) RETURNS retType <controlStatement>`. */
+  def register(spark: SparkSession, name: String,
+      params: Seq[(String, String)], retType: String, bodyText: String): Unit = {
+    val body = new BodyParser(bodyText).parse()
+    checkLabels(body, Set.empty)
+    val vars = collectVars(params, body)
+
+    if (!hasLoop(body)) {
+      compileStraight(body, params, vars, retType) match {
+        case Some(sql) =>
+          val sparkParams = params.map { case (n, t) => s"$n ${sparkTypeDdl(t)}" }
+            .mkString(", ")
+          spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $name($sparkParams) " +
+            s"RETURNS ${sparkTypeDdl(retType)} RETURN ${TrinoDialect.rewrite(sql)}")
+          return
+        case None => // fall through to the interpreter on text blow-up
+      }
+    }
+
+    val slotOf = vars.zipWithIndex.map { case (v, i) => v.name.toLowerCase -> i }.toMap
+    val retDdl = sparkTypeDdl(retType)
+    val retDataType = dataTypeOf(retType)
+    val program = lower(spark, vars, slotOf,
+      Seq(body), retDdl, new java.util.concurrent.atomic.AtomicInteger(0))
+    val maxSteps = sys.props.get("graft.routine.maxSteps").map(_.toLong)
+      .getOrElse(10000000L)
+    val runner = new Runner(program, vars.length,
+      params.indices.map(i => vars(i).tpe).toArray, retDataType, maxSteps)
+    registerUdf(spark, name, params.length, retDataType, runner)
+  }
+
+  private def registerUdf(spark: SparkSession, name: String, arity: Int,
+      ret: DataType, r: Runner): Unit = {
+    import org.apache.spark.sql.api.java._
+    arity match {
+      case 0 => spark.udf.register(name, new UDF0[Any] {
+        override def call(): Any = r.call(Array.empty)
+      }, ret)
+      case 1 => spark.udf.register(name, new UDF1[Any, Any] {
+        override def call(a: Any): Any = r.call(Array(a))
+      }, ret)
+      case 2 => spark.udf.register(name, new UDF2[Any, Any, Any] {
+        override def call(a: Any, b: Any): Any = r.call(Array(a, b))
+      }, ret)
+      case 3 => spark.udf.register(name, new UDF3[Any, Any, Any, Any] {
+        override def call(a: Any, b: Any, c: Any): Any = r.call(Array(a, b, c))
+      }, ret)
+      case 4 => spark.udf.register(name, new UDF4[Any, Any, Any, Any, Any] {
+        override def call(a: Any, b: Any, c: Any, d: Any): Any =
+          r.call(Array(a, b, c, d))
+      }, ret)
+      case 5 => spark.udf.register(name, new UDF5[Any, Any, Any, Any, Any, Any] {
+        override def call(a: Any, b: Any, c: Any, d: Any, e: Any): Any =
+          r.call(Array(a, b, c, d, e))
+      }, ret)
+      case 6 => spark.udf.register(name,
+        new UDF6[Any, Any, Any, Any, Any, Any, Any] {
+          override def call(a: Any, b: Any, c: Any, d: Any, e: Any, f: Any): Any =
+            r.call(Array(a, b, c, d, e, f))
+        }, ret)
+      case 7 => spark.udf.register(name,
+        new UDF7[Any, Any, Any, Any, Any, Any, Any, Any] {
+          override def call(a: Any, b: Any, c: Any, d: Any, e: Any, f: Any,
+              g: Any): Any = r.call(Array(a, b, c, d, e, f, g))
+        }, ret)
+      case 8 => spark.udf.register(name,
+        new UDF8[Any, Any, Any, Any, Any, Any, Any, Any, Any] {
+          override def call(a: Any, b: Any, c: Any, d: Any, e: Any, f: Any,
+              g: Any, h: Any): Any = r.call(Array(a, b, c, d, e, f, g, h))
+        }, ret)
+      case n => throw new SqlParseException(
+        s"procedural routines support up to 8 parameters, got $n")
+    }
+  }
+}

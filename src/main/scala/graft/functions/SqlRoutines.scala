@@ -28,6 +28,9 @@ object SqlRoutines {
     * routine metadata). */
   private val definitions = scala.collection.concurrent.TrieMap[String, String]()
   def definitionOf(name: String): Option[String] = definitions.get(name.toLowerCase)
+  /** DROP FUNCTION bookkeeping: forget the stored DDL text (the session
+    * registry entry is dropped by the caller via Spark DDL). */
+  def unregister(name: String): Unit = { definitions.remove(name.toLowerCase); () }
   private[functions] def record(name: String, text: String): Unit =
     definitions(name.toLowerCase) = text.trim
 
@@ -154,6 +157,18 @@ object SqlRoutines {
         val stripped = tail.replaceFirst(Characteristics, "")
         changed = stripped != tail
         tail = stripped
+      }
+      if (RoutineLang.isControlBody(tail)) {
+        // procedural body (BEGIN/IF/CASE/WHILE/REPEAT/LOOP/SET …) —
+        // SqlBase.g4:995 controlStatement, handled by RoutineLang
+        val ps = splitParams(params).map { p =>
+          val parts = p.trim.split("\\s+", 2)
+          require(parts.length == 2,
+            s"CREATE FUNCTION $name: parameter '$p' needs <name> <type>")
+          (parts(0), parts(1))
+        }
+        RoutineLang.register(spark, name, ps, retType, tail)
+        return spark.emptyDataFrame
       }
       require(tail.toUpperCase.startsWith("RETURN"),
         s"CREATE FUNCTION $name: expected RETURN <expr>, got '${tail.take(40)}'")

@@ -1,0 +1,227 @@
+package graft
+
+import graft.sqlx.{SqlParseException, TrinoDialect}
+
+/** Procedural SQL routine language (graft.functions.RoutineLang; reference
+  * SqlBase.g4:995-1027 controlStatement + sql/routine/SqlRoutineAnalyzer /
+  * SqlRoutineCompiler): both execution tiers — the loop-free
+  * single-expression compile and the pre-bound per-row interpreter. */
+class RoutineSpec extends SparkSpec {
+
+  private def sql(text: String) = TrinoDialect.sql(spark, sfDir, text)
+
+  test("WHILE loop: iterative fibonacci matches the closed sequence") {
+    sql("""CREATE OR REPLACE FUNCTION t_fib(n bigint) RETURNS bigint
+           BEGIN
+             DECLARE a bigint DEFAULT 0;
+             DECLARE b bigint DEFAULT 1;
+             DECLARE t bigint;
+             DECLARE i bigint DEFAULT 0;
+             WHILE i < n DO
+               SET t = a + b;
+               SET a = b;
+               SET b = t;
+               SET i = i + 1;
+             END WHILE;
+             RETURN a;
+           END""")
+    val got = sql("SELECT t_fib(col) AS f FROM (VALUES 0, 1, 2, 7, 10, 20) AS t(col) ORDER BY f")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 1L, 1L, 13L, 55L, 6765L))
+  }
+
+  test("REPEAT executes the body before checking UNTIL") {
+    // REPEAT with an initially-true condition still runs once
+    sql("""CREATE OR REPLACE FUNCTION t_repeat(n bigint) RETURNS bigint
+           BEGIN
+             DECLARE c bigint DEFAULT 0;
+             REPEAT
+               SET c = c + 1;
+             UNTIL c >= n END REPEAT;
+             RETURN c;
+           END""")
+    val rows = sql("SELECT t_repeat(0) AS a, t_repeat(3) AS b").collect().head
+    assert(rows.getLong(0) == 1L) // body ran once although 0 >= 0 upfront
+    assert(rows.getLong(1) == 3L)
+  }
+
+  test("LOOP + LEAVE + ITERATE honor their labels") {
+    // sum of even numbers 2..n via ITERATE skipping odds
+    sql("""CREATE OR REPLACE FUNCTION t_evensum(n bigint) RETURNS bigint
+           BEGIN
+             DECLARE i bigint DEFAULT 0;
+             DECLARE s bigint DEFAULT 0;
+             outer_l: LOOP
+               SET i = i + 1;
+               IF i > n THEN
+                 LEAVE outer_l;
+               END IF;
+               IF i % 2 = 1 THEN
+                 ITERATE outer_l;
+               END IF;
+               SET s = s + i;
+             END LOOP;
+             RETURN s;
+           END""")
+    val got = sql("SELECT t_evensum(10) AS s").collect().head.getLong(0)
+    assert(got == 30L) // 2+4+6+8+10
+  }
+
+  test("nested loops: LEAVE targets the labeled outer loop") {
+    sql("""CREATE OR REPLACE FUNCTION t_nested(n bigint) RETURNS bigint
+           BEGIN
+             DECLARE i bigint DEFAULT 0;
+             DECLARE total bigint DEFAULT 0;
+             a: WHILE i < n DO
+               SET i = i + 1;
+               b: LOOP
+                 SET total = total + 1;
+                 IF total >= 100 THEN
+                   LEAVE a;
+                 END IF;
+                 LEAVE b;
+               END LOOP;
+             END WHILE;
+             RETURN total;
+           END""")
+    assert(sql("SELECT t_nested(5) AS v").collect().head.getLong(0) == 5L)
+    assert(sql("SELECT t_nested(1000) AS v").collect().head.getLong(0) == 100L)
+  }
+
+  test("loop-free body compiles to a native SQL UDF — no ScalaUDF in the plan") {
+    sql("""CREATE OR REPLACE FUNCTION t_band(x double) RETURNS varchar
+           BEGIN
+             DECLARE lab varchar DEFAULT 'low';
+             IF x >= 100 THEN
+               SET lab = 'high';
+             ELSEIF x >= 10 THEN
+               SET lab = 'mid';
+             END IF;
+             RETURN lab;
+           END""")
+    val df = sql("SELECT t_band(col) AS b FROM (VALUES 5.0, 50.0, 500.0) AS t(col)")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("low", "mid", "high"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"expected inlined expression, got:\n$plan")
+  }
+
+  test("simple CASE statement compares by equality; falls off the end → NULL") {
+    sql("""CREATE OR REPLACE FUNCTION t_status(s varchar) RETURNS varchar
+           BEGIN
+             CASE s
+               WHEN 'F' THEN RETURN 'final';
+               WHEN 'O' THEN RETURN 'open';
+             END CASE;
+           END""")
+    val rows = sql("SELECT t_status('F') AS a, t_status('O') AS b, t_status('P') AS c")
+      .collect().head
+    assert(rows.getString(0) == "final")
+    assert(rows.getString(1) == "open")
+    assert(rows.isNullAt(2)) // no branch matched, no RETURN → NULL
+  }
+
+  test("DECLARE DEFAULT may reference parameters; SET casts to the declared type") {
+    sql("""CREATE OR REPLACE FUNCTION t_halving(n bigint) RETURNS bigint
+           BEGIN
+             DECLARE v bigint DEFAULT n * 2;
+             DECLARE steps bigint DEFAULT 0;
+             WHILE v > 1 DO
+               SET v = v / 2;
+               SET steps = steps + 1;
+             END WHILE;
+             RETURN steps;
+           END""")
+    // v starts at 2n; halving 16 → 1 takes 4 steps (16→8→4→2→1)
+    assert(sql("SELECT t_halving(8) AS s").collect().head.getLong(0) == 4L)
+  }
+
+  test("NULL loop conditions read as false") {
+    sql("""CREATE OR REPLACE FUNCTION t_nullcond(n bigint) RETURNS bigint
+           BEGIN
+             DECLARE i bigint DEFAULT 0;
+             WHILE i < n DO
+               SET i = i + 1;
+             END WHILE;
+             RETURN i;
+           END""")
+    // n NULL → `i < NULL` is NULL → loop never runs
+    assert(sql("SELECT t_nullcond(CAST(NULL AS bigint)) AS v")
+      .collect().head.getLong(0) == 0L)
+  }
+
+  test("duplicate variable declarations are rejected at CREATE time") {
+    val e = intercept[Exception] {
+      sql("""CREATE OR REPLACE FUNCTION t_dup(x bigint) RETURNS bigint
+             BEGIN
+               DECLARE x bigint;
+               RETURN x;
+             END""")
+    }
+    assert(e.getMessage.contains("already declared"), e.getMessage)
+  }
+
+  test("unmatched ITERATE/LEAVE labels are rejected at CREATE time") {
+    val e = intercept[SqlParseException] {
+      sql("""CREATE OR REPLACE FUNCTION t_badlabel(x bigint) RETURNS bigint
+             BEGIN
+               a: LOOP
+                 LEAVE b;
+               END LOOP;
+               RETURN x;
+             END""")
+    }
+    assert(e.getMessage.contains("no enclosing loop"), e.getMessage)
+  }
+
+  test("runaway loops trip the iteration guard instead of hanging") {
+    val prev = sys.props.get("graft.routine.maxSteps")
+    sys.props("graft.routine.maxSteps") = "1000"
+    try {
+      sql("""CREATE OR REPLACE FUNCTION t_forever(x bigint) RETURNS bigint
+             BEGIN
+               DECLARE i bigint DEFAULT 0;
+               LOOP
+                 SET i = i + 1;
+               END LOOP;
+               RETURN i;
+             END""")
+      val e = intercept[Exception] {
+        sql("SELECT t_forever(1) AS v").collect()
+      }
+      assert(e.getMessage != null)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.routine.maxSteps") = v
+        case None => sys.props.remove("graft.routine.maxSteps")
+      }
+    }
+  }
+
+  test("routine bodies go through the dialect rewriter (reference spellings)") {
+    sql("""CREATE OR REPLACE FUNCTION t_spell(s varchar) RETURNS bigint
+           BEGIN
+             DECLARE p bigint;
+             SET p = strpos(s, 'x');
+             IF p = 0 THEN
+               RETURN -1;
+             END IF;
+             RETURN p;
+           END""")
+    val rows = sql("SELECT t_spell('axe') AS a, t_spell('none') AS b").collect().head
+    assert(rows.getLong(0) == 2L)
+    assert(rows.getLong(1) == -1L)
+  }
+
+  test("CASE expression inside a routine expression does not confuse THEN/END scanning") {
+    sql("""CREATE OR REPLACE FUNCTION t_casescan(x bigint) RETURNS varchar
+           BEGIN
+             IF CASE WHEN x > 0 THEN true ELSE false END THEN
+               RETURN 'pos';
+             END IF;
+             RETURN 'nonpos';
+           END""")
+    val rows = sql("SELECT t_casescan(3) AS a, t_casescan(-3) AS b").collect().head
+    assert(rows.getString(0) == "pos")
+    assert(rows.getString(1) == "nonpos")
+  }
+}
