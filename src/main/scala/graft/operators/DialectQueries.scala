@@ -604,6 +604,118 @@ object Dialect {
        printf('%s@%d', substring(p_type, 1, strpos(p_type, ' ') - 1), p_partkey) AS label
        FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""
 
+  /** Procedural routine body with a WHILE loop (reference SqlBase.g4:995
+    * controlStatement, sql/routine/SqlRoutineCompiler.java): DECLARE frame,
+    * iterative fibonacci, assignments casting to the declared type. The
+    * loop tier pre-binds every scalar expression to the variable frame at
+    * CREATE time (Catalyst analyze+bind once) and only interprets the
+    * control flow per row. The DuckDB oracle replays the recurrence with a
+    * recursive CTE. */
+  def q_sqlx_routine_loop(s: SparkSession, dir: String): DataFrame = {
+    TrinoDialect.sql(s, dir,
+      """CREATE OR REPLACE FUNCTION fib(n bigint) RETURNS bigint
+         DETERMINISTIC
+         BEGIN
+           DECLARE a bigint DEFAULT 0;
+           DECLARE b bigint DEFAULT 1;
+           DECLARE t bigint;
+           DECLARE i bigint DEFAULT 0;
+           WHILE i < n DO
+             SET t = a + b;
+             SET a = b;
+             SET b = t;
+             SET i = i + 1;
+           END WHILE;
+           RETURN a;
+         END""")
+    TrinoDialect.sql(s, dir,
+      "SELECT n_nationkey, fib(n_nationkey) AS fib FROM nation ORDER BY n_nationkey")
+  }
+  val qSqlxRoutineLoopSql: String =
+    """WITH RECURSIVE f(i, a, b) AS (
+         SELECT 0, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+         UNION ALL SELECT i + 1, b, a + b FROM f WHERE i < 24)
+       SELECT n.n_nationkey, f.a AS fib FROM nation n JOIN f ON f.i = n.n_nationkey
+       ORDER BY n.n_nationkey"""
+
+  /** LOOP / LEAVE / ITERATE with labels plus IF/ELSEIF inside the loop
+    * (SqlBase.g4:1000-1004): collatz step count. ITERATE restarts the
+    * labeled loop, LEAVE exits it. The oracle replays the trajectory with a
+    * recursive CTE over the distinct argument domain. */
+  def q_sqlx_routine_collatz(s: SparkSession, dir: String): DataFrame = {
+    TrinoDialect.sql(s, dir,
+      """CREATE OR REPLACE FUNCTION collatz_steps(n bigint) RETURNS bigint
+         BEGIN
+           DECLARE v bigint;
+           DECLARE s bigint DEFAULT 0;
+           SET v = n;
+           walk: LOOP
+             IF v <= 1 THEN
+               LEAVE walk;
+             END IF;
+             SET s = s + 1;
+             IF v % 2 = 0 THEN
+               SET v = v / 2;
+               ITERATE walk;
+             END IF;
+             SET v = 3 * v + 1;
+           END LOOP;
+           RETURN s;
+         END""")
+    TrinoDialect.sql(s, dir,
+      """SELECT c_custkey, collatz_steps(c_custkey % 89 + 1) AS steps
+         FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""")
+  }
+  val qSqlxRoutineCollatzSql: String =
+    """WITH RECURSIVE c(start, v, s) AS (
+         SELECT d, d, CAST(0 AS BIGINT)
+         FROM (SELECT DISTINCT c_custkey % 89 + 1 AS d FROM customer WHERE c_custkey <= 300)
+         UNION ALL
+         SELECT start, CASE WHEN v % 2 = 0 THEN v // 2 ELSE 3 * v + 1 END, s + 1
+         FROM c WHERE v > 1)
+       SELECT cu.c_custkey, m.ms AS steps
+       FROM customer cu
+       JOIN (SELECT start, CAST(max(s) AS BIGINT) AS ms FROM c GROUP BY start) m
+         ON m.start = cu.c_custkey % 89 + 1
+       WHERE cu.c_custkey <= 300 ORDER BY cu.c_custkey"""
+
+  /** Loop-free procedural body — compound frame, IF/ELSEIF, simple CASE
+    * statement — compiled by RoutineLang's continuation-passing pass into
+    * ONE Catalyst expression and registered as a native Spark SQL UDF, so
+    * the call site inlines into whole-stage codegen (RoutineSpec asserts
+    * no ScalaUDF node survives in the optimized plan). */
+  def q_sqlx_routine_compound(s: SparkSession, dir: String): DataFrame = {
+    TrinoDialect.sql(s, dir,
+      """CREATE OR REPLACE FUNCTION order_tier(price double, status varchar) RETURNS varchar
+         BEGIN
+           DECLARE t varchar DEFAULT 'small';
+           IF price >= 200000 THEN
+             SET t = 'jumbo';
+           ELSEIF price >= 100000 THEN
+             SET t = 'large';
+           ELSEIF price >= 50000 THEN
+             SET t = 'medium';
+           END IF;
+           CASE status
+             WHEN 'F' THEN RETURN t || ':closed';
+             WHEN 'O' THEN RETURN t || ':open';
+             ELSE RETURN t || ':other';
+           END CASE;
+         END""")
+    TrinoDialect.sql(s, dir,
+      """SELECT o_orderkey, order_tier(o_totalprice, o_orderstatus) AS tier
+         FROM orders WHERE o_orderkey <= 4000 ORDER BY o_orderkey""")
+  }
+  val qSqlxRoutineCompoundSql: String =
+    """SELECT o_orderkey,
+       (CASE WHEN o_totalprice >= 200000 THEN 'jumbo'
+             WHEN o_totalprice >= 100000 THEN 'large'
+             WHEN o_totalprice >= 50000 THEN 'medium'
+             ELSE 'small' END) ||
+       (CASE o_orderstatus WHEN 'F' THEN ':closed' WHEN 'O' THEN ':open'
+             ELSE ':other' END) AS tier
+       FROM orders WHERE o_orderkey <= 4000 ORDER BY o_orderkey"""
+
   /** LANGUAGE PYTHON functions (reference plugin/trino-functions-python,
     * TestPythonFunctions.java): a durable CREATE FUNCTION and an inline
     * WITH FUNCTION, both $$-bodied, executed by PythonFunctions' persistent
@@ -926,6 +1038,48 @@ object Dialect {
          SELECT 999, 'XANADU', CAST(9.75 AS DOUBLE))
        ORDER BY k, nation_name"""
 
+  /** Column DEFAULT / NOT NULL / positioned ADD COLUMN / SET DATA TYPE
+    * through the SQL front door (SqlBase.g4 :92-106, :253
+    * columnDefinition): INSERTs that omit defaulted columns take the
+    * declared literal, ADD COLUMN AFTER places the column mid-schema,
+    * SET DATA TYPE widens int → bigint, and SET/DROP DEFAULT switch what an
+    * omitting INSERT writes. The oracle replays the surviving net state. */
+  def q_sqlx_ddl_defaults(s: SparkSession, dir: String): DataFrame = {
+    TrinoDialect.sql(s, dir, "DROP TABLE IF EXISTS wh_defs")
+    TrinoDialect.sql(s, dir,
+      """CREATE TABLE wh_defs (
+           id int NOT NULL,
+           status varchar DEFAULT 'new',
+           score double DEFAULT 0.25)""")
+    TrinoDialect.sql(s, dir,
+      """INSERT INTO wh_defs (id)
+         SELECT n_nationkey FROM nation WHERE n_nationkey < 10""")
+    TrinoDialect.sql(s, dir,
+      "ALTER TABLE wh_defs ALTER COLUMN status SET DEFAULT 'queued'")
+    TrinoDialect.sql(s, dir,
+      """INSERT INTO wh_defs (id, score)
+         SELECT n_nationkey + 100, CAST(n_nationkey AS DOUBLE)
+         FROM nation WHERE n_nationkey < 5""")
+    TrinoDialect.sql(s, dir, "ALTER TABLE wh_defs ALTER COLUMN score DROP DEFAULT")
+    TrinoDialect.sql(s, dir, "ALTER TABLE wh_defs ADD COLUMN tag varchar DEFAULT 'z' AFTER id")
+    TrinoDialect.sql(s, dir, "ALTER TABLE wh_defs ALTER COLUMN id SET DATA TYPE bigint")
+    TrinoDialect.sql(s, dir,
+      "INSERT INTO wh_defs (id, status) VALUES (3000000000, 'big')")
+    TrinoDialect.sql(s, dir,
+      "SELECT id, tag, status, score FROM wh_defs ORDER BY id")
+  }
+  val qSqlxDdlDefaultsSql: String =
+    """SELECT id, tag, status, score FROM (
+         SELECT CAST(n_nationkey AS BIGINT) AS id, CAST(NULL AS VARCHAR) AS tag,
+                'new' AS status, 0.25 AS score
+         FROM nation WHERE n_nationkey < 10
+         UNION ALL
+         SELECT n_nationkey + 100, NULL, 'queued', CAST(n_nationkey AS DOUBLE)
+         FROM nation WHERE n_nationkey < 5
+         UNION ALL
+         SELECT 3000000000, 'z', 'big', CAST(NULL AS DOUBLE))
+       ORDER BY id"""
+
   /** Multi-statement transactions + CALL procedures through the SQL front
     * door (SqlBase.g4 :90-94; reference transaction semantics in
     * core/trino-main io.trino.execution.StartTransactionTask): a rolled-back
@@ -1077,6 +1231,7 @@ object Dialect {
     "q_sqlx_merge_full" -> q_sqlx_merge_full _,
     "q_sqlx_branches" -> q_sqlx_branches _,
     "q_sqlx_ddl_alter" -> q_sqlx_ddl_alter _,
+    "q_sqlx_ddl_defaults" -> q_sqlx_ddl_defaults _,
     "q_sqlx_txn" -> q_sqlx_txn _,
     "q_sqlx_show_stats" -> q_sqlx_show_stats _,
     "q_tvf_registry" -> q_tvf_registry _,
@@ -1097,6 +1252,9 @@ object Dialect {
     "q_sqlx_match_measure_offset" -> q_sqlx_match_measure_offset _,
     "q_sqlx_match_anchor_define" -> q_sqlx_match_anchor_define _,
     "q_sqlx_create_function" -> q_sqlx_create_function _,
+    "q_sqlx_routine_loop" -> q_sqlx_routine_loop _,
+    "q_sqlx_routine_collatz" -> q_sqlx_routine_collatz _,
+    "q_sqlx_routine_compound" -> q_sqlx_routine_compound _,
     "q_sqlx_python_udf" -> q_sqlx_python_udf _,
     "q_sqlx_fetch_ties" -> q_sqlx_fetch_ties _,
     "q_sqlx_at_timezone" -> q_sqlx_at_timezone _,
@@ -1110,6 +1268,7 @@ object Dialect {
     "q_sqlx_merge_full" -> qSqlxMergeFullSql,
     "q_sqlx_branches" -> qSqlxBranchesSql,
     "q_sqlx_ddl_alter" -> qSqlxDdlAlterSql,
+    "q_sqlx_ddl_defaults" -> qSqlxDdlDefaultsSql,
     "q_sqlx_txn" -> qSqlxTxnSql,
     "q_sqlx_show_stats" -> qSqlxShowStatsSql,
     "q_tvf_registry" -> qTvfRegistrySql,
@@ -1130,6 +1289,9 @@ object Dialect {
     "q_sqlx_match_measure_offset" -> qSqlxMatchMeasureOffsetSql,
     "q_sqlx_match_anchor_define" -> qSqlxMatchAnchorDefineSql,
     "q_sqlx_create_function" -> qSqlxCreateFunctionSql,
+    "q_sqlx_routine_loop" -> qSqlxRoutineLoopSql,
+    "q_sqlx_routine_collatz" -> qSqlxRoutineCollatzSql,
+    "q_sqlx_routine_compound" -> qSqlxRoutineCompoundSql,
     "q_sqlx_python_udf" -> qSqlxPythonUdfSql,
     "q_sqlx_fetch_ties" -> qSqlxFetchTiesSql,
     "q_sqlx_at_timezone" -> qSqlxAtTimezoneSql,

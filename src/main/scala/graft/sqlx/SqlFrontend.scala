@@ -268,6 +268,18 @@ private[graft] object SqlFrontend {
       TableRef(Id(Seq((Statements.viewNameOf(
         Statements.resolveTableKey(table).get), false))),
         alias.orElse(Some(table)))
+    // materialized view with WHEN STALE behavior (SqlBase.g4 :116): a
+    // stale-beyond-grace MV either FAILs the read or expands the stored
+    // definition INLINE (the reference MaterializedView freshness contract)
+    case t @ TableRef(Id(Seq((table, _))), alias)
+        if Statements.mvStaleInlineSql(spark, table).isDefined =>
+      Statements.mvStaleInlineSql(spark, table).get match {
+        case None => t // fresh (or default mode): read the materialization
+        case Some(defSql) =>
+          val q = planQuery(spark, dir,
+            rewriteQuery(new SqlParser(defSql).parseQuery()))
+          SubqueryRel(q, alias.orElse(Some(table)))
+      }
     case t: TableRef => t
   }
 

@@ -121,12 +121,27 @@ object SqlAst {
     * showTables/showSchemas/showCatalogs/showFunctions/showSession). */
   final case class ShowStmt(kind: String, like: Option[String] = None,
       escape: Option[String] = None) extends Statement
-  final case class DescribeStmt(name: String) extends Statement
+  /** DESCRIBE / SHOW COLUMNS; like/esc only via SHOW COLUMNS … LIKE
+    * (SqlBase.g4 :188-196). */
+  final case class DescribeStmt(name: String, like: Option[String] = None,
+      esc: Option[String] = None) extends Statement
   final case class DropTableStmt(name: String, ifExists: Boolean) extends Statement
-  final case class CreateViewStmt(name: String, orReplace: Boolean, q: Query) extends Statement
-  /** CREATE TABLE t (col type, …) — empty table with a declared schema. */
+  /** CREATE VIEW with the optional COMMENT and SECURITY DEFINER|INVOKER
+    * clauses (SqlBase.g4 :120-124). */
+  final case class CreateViewStmt(name: String, orReplace: Boolean, q: Query,
+      comment: Option[String] = None,
+      security: Option[String] = None) extends Statement
+  /** DROP FUNCTION [IF EXISTS] name[(paramTypes)] (SqlBase.g4 :154). */
+  final case class DropFunctionStmt(name: String, ifExists: Boolean) extends Statement
+  /** CREATE TABLE t (tableElement, …) — empty table with a declared schema,
+    * optional table COMMENT and WITH properties (SqlBase.g4 :66-70).
+    * Elements are column definitions (Right) or LIKE clauses (Left:
+    * source table, includingProperties — SqlBase.g4 :256), spliced in
+    * element order. */
   final case class CreateTableCols(name: String, ifNotExists: Boolean,
-      cols: Seq[(String, String)]) extends Statement
+      elements: Seq[Either[(String, Boolean), ColDef]],
+      comment: Option[String] = None,
+      props: Seq[(String, Option[Expr])] = Nil) extends Statement
   /** Canonical upsert MERGE (WHEN MATCHED UPDATE SET * / NOT MATCHED INSERT *). */
   final case class MergeStmt(name: String, source: Query, key: String) extends Statement
 
@@ -144,12 +159,30 @@ object SqlAst {
   final case class MergeFullStmt(name: String, tAlias: String, source: Query,
       sAlias: String, on: Expr, cases: Seq[MergeCase]) extends Statement
 
+  /** Column definition (SqlBase.g4 :253 columnDefinition): name, type, and
+    * the optional DEFAULT literal / NOT NULL / COMMENT clauses. */
+  final case class ColDef(name: String, tpe: String,
+      default: Option[Expr] = None, notNull: Boolean = false,
+      comment: Option[String] = None)
+
   /** ALTER TABLE ops (SqlBase.g4 :84ff) — all metadata-only on the CoW tables. */
   sealed trait AlterOp
   final case class RenameTable(to: String) extends AlterOp
-  final case class AddColumn(col: String, tpe: String, ifNotExists: Boolean) extends AlterOp
+  /** position: None = LAST (the default), Some("first"), Some("after:<col>")
+    * (SqlBase.g4 :92 `ADD COLUMN … (FIRST | LAST | AFTER id)?`). */
+  final case class AddColumn(col: ColDef, ifNotExists: Boolean,
+      position: Option[String] = None) extends AlterOp
   final case class DropColumn(col: String, ifExists: Boolean) extends AlterOp
   final case class RenameColumn(from: String, to: String) extends AlterOp
+  /** ALTER COLUMN c SET DATA TYPE t (SqlBase.g4 :102). */
+  final case class SetColumnType(col: String, tpe: String) extends AlterOp
+  /** ALTER COLUMN c SET DEFAULT literal / DROP DEFAULT (SqlBase.g4 :98-100). */
+  final case class SetColumnDefault(col: String, value: Expr) extends AlterOp
+  final case class DropColumnDefault(col: String) extends AlterOp
+  /** ALTER COLUMN c DROP NOT NULL (SqlBase.g4 :104). */
+  final case class DropNotNull(col: String) extends AlterOp
+  /** SET PROPERTIES k = v, … (SqlBase.g4 :106; v may be DEFAULT). */
+  final case class SetTableProps(props: Seq[(String, Option[Expr])]) extends AlterOp
   /** ALTER TABLE t EXECUTE proc[(name => expr, …)] (SqlBase.g4 :86
     * `EXECUTE procedureName (callArgument…)` — the reference spelling of
     * table-maintenance procedures like optimize). */
@@ -199,8 +232,20 @@ object SqlAst {
     * dialect SQL of the defining query, stored verbatim (the reference
     * stores the original SQL in MaterializedViewDefinition). */
   final case class CreateMvStmt(name: String, orReplace: Boolean,
-      ifNotExists: Boolean, q: Query, defText: String) extends Statement
+      ifNotExists: Boolean, q: Query, defText: String,
+      graceMillis: Option[Long] = None, staleMode: Option[String] = None,
+      comment: Option[String] = None,
+      props: Seq[(String, Option[Expr])] = Nil) extends Statement
   final case class RefreshMvStmt(name: String) extends Statement
+  /** ALTER MATERIALIZED VIEW … RENAME TO / SET PROPERTIES
+    * (SqlBase.g4 :126-129). */
+  final case class AlterMvStmt(name: String, ifExists: Boolean,
+      renameTo: Option[String],
+      props: Seq[(String, Option[Expr])]) extends Statement
+  /** SET PATH pathSpecification (SqlBase.g4 :215). */
+  final case class SetPathStmt(path: String) extends Statement
+  /** SET TIME ZONE LOCAL | expr (SqlBase.g4 :216); None = LOCAL. */
+  final case class SetTimeZoneStmt(zone: Option[Expr]) extends Statement
   final case class DropMvStmt(name: String, ifExists: Boolean) extends Statement
   final case class DropViewStmt(name: String, ifExists: Boolean) extends Statement
   /** TRUNCATE TABLE t (SqlBase.g4:120, execution/TruncateTableTask.java) —
@@ -399,29 +444,35 @@ final class SqlParser(src: String) {
       if (acceptSeq("CREATE", "OR", "REPLACE", "TABLE"))
         parseCtas(orReplace = true, ifNotExists = false)
       else if (acceptSeq("CREATE", "OR", "REPLACE", "MATERIALIZED", "VIEW")) {
-        val name = ident("view name"); expectKw("AS")
-        val startPos = peek.pos
-        val q = parseQueryNoFinish()
-        CreateMvStmt(name, orReplace = true, ifNotExists = false, q,
-          src.substring(startPos, peek.pos).trim.stripSuffix(";").trim)
+        parseMvTail(orReplace = true, ifNotExists = false)
       } else if (acceptSeq("CREATE", "MATERIALIZED", "VIEW")) {
         val ine = acceptSeq("IF", "NOT", "EXISTS")
-        val name = ident("view name"); expectKw("AS")
-        val startPos = peek.pos
-        val q = parseQueryNoFinish()
-        CreateMvStmt(name, orReplace = false, ifNotExists = ine, q,
-          src.substring(startPos, peek.pos).trim.stripSuffix(";").trim)
+        parseMvTail(orReplace = false, ifNotExists = ine)
       } else if (acceptSeq("REFRESH", "MATERIALIZED", "VIEW"))
         RefreshMvStmt(ident("view name"))
       else if (acceptSeq("DROP", "MATERIALIZED", "VIEW")) {
         val ife = acceptSeq("IF", "EXISTS")
         DropMvStmt(ident("view name"), ife)
+      } else if (acceptSeq("ALTER", "MATERIALIZED", "VIEW")) {
+        val ife = acceptSeq("IF", "EXISTS")
+        val name = ident("materialized view name")
+        if (acceptSeq("RENAME", "TO"))
+          AlterMvStmt(name, ife, Some(ident("new name")), Nil)
+        else if (acceptSeq("SET", "PROPERTIES"))
+          AlterMvStmt(name, ife, None, parsePropertyAssignments(parens = false))
+        else err("expected RENAME TO or SET PROPERTIES")
       } else if (acceptSeq("CREATE", "OR", "REPLACE", "VIEW")) {
-        val name = ident("view name"); expectKw("AS")
-        CreateViewStmt(name, orReplace = true, parseQueryNoFinish())
+        parseViewTail(orReplace = true)
       } else if (acceptSeq("CREATE", "VIEW")) {
-        val name = ident("view name"); expectKw("AS")
-        CreateViewStmt(name, orReplace = false, parseQueryNoFinish())
+        parseViewTail(orReplace = false)
+      } else if (acceptSeq("DROP", "FUNCTION")) {
+        val ife = acceptSeq("IF", "EXISTS")
+        val name = ident("function name")
+        if (acceptOp("(")) { // optional disambiguating signature, ignored
+          while (!peek.isOp(")") && peek.kind != TEof) p += 1
+          expectOp(")")
+        }
+        DropFunctionStmt(name, ife)
       } else if (acceptSeq("MERGE", "INTO")) {
         val name = ident("table name")
         val tAlias = if (accept("AS")) ident("alias")
@@ -502,16 +553,25 @@ final class SqlParser(src: String) {
         if (accept("AS")) CreateTableAs(name, orReplace = false, ine, parseQueryNoFinish())
         else if (peek.isOp("(")) {
           p += 1
-          val cols = scala.collection.mutable.ArrayBuffer[(String, String)]()
+          val cols = scala.collection.mutable
+            .ArrayBuffer[Either[(String, Boolean), ColDef]]()
           var more = true
           while (more) {
-            val c = ident("column name")
-            val t = parseTypeRaw()
-            cols += ((c, t))
+            if (accept("LIKE")) {
+              val src = qualifiedName()
+              val including =
+                if (accept("INCLUDING")) { expectKw("PROPERTIES"); true }
+                else if (accept("EXCLUDING")) { expectKw("PROPERTIES"); false }
+                else false
+              cols += Left((src, including))
+            } else cols += Right(parseColDef())
             more = acceptOp(",")
           }
           expectOp(")")
-          CreateTableCols(name, ine, cols.toSeq)
+          val comment =
+            if (accept("COMMENT")) Some(stringLit("table comment")) else None
+          val props = if (accept("WITH")) parsePropertyAssignments() else Nil
+          CreateTableCols(name, ine, cols.toSeq, comment, props)
         } else err("expected AS or a column list")
       } else if (acceptSeq("INSERT", "INTO")) {
         val name = qualifiedName()
@@ -619,7 +679,13 @@ final class SqlParser(src: String) {
           ShowStatsStmt(Right(q))
         } else ShowStatsStmt(Left(qualifiedName()))
       } else if (acceptSeq("SHOW", "COLUMNS")) {
-        expectKw("FROM"); DescribeStmt(qualifiedName())
+        if (!accept("FROM") && !accept("IN")) err("expected FROM or IN")
+        val name = qualifiedName()
+        val like = if (accept("LIKE")) Some(stringLit("pattern")) else None
+        val esc =
+          if (like.isDefined && accept("ESCAPE")) Some(stringLit("escape"))
+          else None
+        DescribeStmt(name, like, esc)
       } else if (peek.is("DESCRIBE") &&
           (peek2.is("INPUT") || peek2.is("OUTPUT")) &&
           tokens(math.min(p + 2, tokens.length - 1)).kind == TIdent) {
@@ -674,8 +740,22 @@ final class SqlParser(src: String) {
             RenameColumn(from, ident("column name"))
           } else if (acceptSeq("ADD", "COLUMN")) {
             val ine = acceptSeq("IF", "NOT", "EXISTS")
-            val c = ident("column name")
-            AddColumn(c, parseTypeRaw(), ine)
+            val cd = parseColDef()
+            val pos =
+              if (accept("FIRST")) Some("first")
+              else if (accept("LAST")) None
+              else if (accept("AFTER")) Some("after:" + ident("column name"))
+              else None
+            AddColumn(cd, ine, pos)
+          } else if (acceptSeq("ALTER", "COLUMN")) {
+            val col = ident("column name")
+            if (acceptSeq("SET", "DATA", "TYPE")) SetColumnType(col, parseTypeRaw())
+            else if (acceptSeq("SET", "DEFAULT")) SetColumnDefault(col, parseExpr())
+            else if (acceptSeq("DROP", "DEFAULT")) DropColumnDefault(col)
+            else if (acceptSeq("DROP", "NOT", "NULL")) DropNotNull(col)
+            else err("expected SET DATA TYPE, SET DEFAULT, DROP DEFAULT or DROP NOT NULL")
+          } else if (acceptSeq("SET", "PROPERTIES")) {
+            SetTableProps(parsePropertyAssignments(parens = false))
           } else if (acceptSeq("DROP", "COLUMN")) {
             val ce = acceptSeq("IF", "EXISTS")
             DropColumn(ident("column name"), ce)
@@ -754,7 +834,16 @@ final class SqlParser(src: String) {
         }
         SetSessionStmt(key, value)
       } else if (acceptSeq("RESET", "SESSION")) ResetSessionStmt(qualifiedName())
-      else if (accept("GRANT")) parseGrant(revoke = false)
+      else if (acceptSeq("SET", "PATH")) {
+        // pathSpecification: pathElement (, pathElement)* — capture as text
+        val parts = scala.collection.mutable.ArrayBuffer[String]()
+        parts += qualifiedName()
+        while (acceptOp(",")) parts += qualifiedName()
+        SetPathStmt(parts.mkString(", "))
+      } else if (acceptSeq("SET", "TIME", "ZONE")) {
+        if (accept("LOCAL")) SetTimeZoneStmt(None)
+        else SetTimeZoneStmt(Some(parseExpr()))
+      } else if (accept("GRANT")) parseGrant(revoke = false)
       else if (accept("REVOKE")) parseGrant(revoke = true)
       else if (accept("DENY")) {
         val privs = scala.collection.mutable.ArrayBuffer[String]()
@@ -1538,7 +1627,7 @@ final class SqlParser(src: String) {
   }
 
   /** Type text after CAST(… AS: idents plus balanced (…)/<…> payloads. */
-  private def parseTypeRaw(): String = {
+  private def parseTypeRaw(stops: Set[String] = Set.empty): String = {
     val sb = new StringBuilder
     var expectMore = true
     while (expectMore) {
@@ -1562,9 +1651,110 @@ final class SqlParser(src: String) {
         }
       }
       // ARRAY<INT> style or multi-word types (DOUBLE PRECISION)
-      if (peek.kind == TIdent && !peek.is("AS") && !reserved(peek.text.toUpperCase)) sb.append(' ')
+      if (peek.kind == TIdent && !peek.is("AS") &&
+          !reserved(peek.text.toUpperCase) &&
+          !stops(peek.text.toUpperCase)) sb.append(' ')
       else expectMore = false
     }
     sb.toString
+  }
+
+  /** Clause keywords that end a column-definition type. */
+  private val colDefStops = Set("DEFAULT", "COMMENT", "FIRST", "LAST", "AFTER")
+
+  /** CREATE VIEW tail (SqlBase.g4 :120-124): optional COMMENT and
+    * SECURITY DEFINER|INVOKER, then AS query. */
+  private def parseViewTail(orReplace: Boolean): Statement = {
+    val name = ident("view name")
+    val comment =
+      if (accept("COMMENT")) Some(stringLit("view comment")) else None
+    val security =
+      if (accept("SECURITY")) {
+        if (accept("DEFINER")) Some("DEFINER")
+        else if (accept("INVOKER")) Some("INVOKER")
+        else err("expected DEFINER or INVOKER after SECURITY")
+      } else None
+    expectKw("AS")
+    CreateViewStmt(name, orReplace, parseQueryNoFinish(), comment, security)
+  }
+
+  /** CREATE MATERIALIZED VIEW tail (SqlBase.g4 :114-120): optional
+    * GRACE PERIOD interval, WHEN STALE (INLINE | FAIL), COMMENT, WITH
+    * properties, then AS query (stored verbatim). */
+  private def parseMvTail(orReplace: Boolean, ifNotExists: Boolean): Statement = {
+    val name = ident("view name")
+    val grace: Option[Long] =
+      if (acceptSeq("GRACE", "PERIOD")) {
+        expectKw("INTERVAL")
+        val v = stringLit("interval value").trim.toLong
+        val unit = ident("interval unit").toUpperCase
+        val millis = unit match {
+          case "SECOND" | "SECONDS" => v * 1000L
+          case "MINUTE" | "MINUTES" => v * 60000L
+          case "HOUR" | "HOURS" => v * 3600000L
+          case "DAY" | "DAYS" => v * 86400000L
+          case other => err(s"unsupported GRACE PERIOD unit $other")
+        }
+        Some(millis)
+      } else None
+    val staleMode: Option[String] =
+      if (acceptSeq("WHEN", "STALE")) {
+        if (accept("INLINE")) Some("inline")
+        else if (accept("FAIL")) Some("fail")
+        else err("expected INLINE or FAIL after WHEN STALE")
+      } else None
+    val comment =
+      if (accept("COMMENT")) Some(stringLit("view comment")) else None
+    val props = if (accept("WITH")) parsePropertyAssignments() else Nil
+    expectKw("AS")
+    val startPos = peek.pos
+    val q = parseQueryNoFinish()
+    CreateMvStmt(name, orReplace, ifNotExists, q,
+      src.substring(startPos, peek.pos).trim.stripSuffix(";").trim,
+      grace, staleMode, comment, props)
+  }
+
+  private def stringLit(what: String): String = {
+    val t = next()
+    if (t.kind != TStr) err(s"expected string literal for $what")
+    t.text
+  }
+
+  /** columnDefinition (SqlBase.g4 :253): name type [DEFAULT literal]
+    * [NOT NULL] [COMMENT string]. */
+  private def parseColDef(): ColDef = {
+    val c = ident("column name")
+    val t = parseTypeRaw(colDefStops)
+    var default: Option[Expr] = None
+    var notNull = false
+    var comment: Option[String] = None
+    var more = true
+    while (more) {
+      if (accept("DEFAULT")) default = Some(parseExpr())
+      else if (acceptSeq("NOT", "NULL")) notNull = true
+      else if (accept("COMMENT")) comment = Some(stringLit("column comment"))
+      else more = false
+    }
+    ColDef(c, t, default, notNull, comment)
+  }
+
+  /** propertyAssignments: k = expr [, …]; `k = DEFAULT` resets the
+    * property (SqlBase.g4 defaultPropertyValue) → None. WITH (…) wraps the
+    * list in parens; SET PROPERTIES takes the bare list. */
+  private def parsePropertyAssignments(parens: Boolean = true): Seq[(String, Option[Expr])] = {
+    if (parens) expectOp("(")
+    val out = scala.collection.mutable.ArrayBuffer[(String, Option[Expr])]()
+    var more = true
+    while (more) {
+      val k = qualifiedName()
+      expectOp("=")
+      val v =
+        if (peek.is("DEFAULT")) { p += 1; None }
+        else Some(parseExpr())
+      out += ((k.toLowerCase, v))
+      more = acceptOp(",")
+    }
+    if (parens) expectOp(")")
+    out.toSeq
   }
 }

@@ -37,10 +37,15 @@ private[graft] object Statements {
     * schema, so no data file is ever rewritten — the same
     * metadata-only evolution the open lake formats use, at any scale. */
   private final case class ColSpec(name: String,
-      tpe: org.apache.spark.sql.types.DataType, candidates: Seq[String])
+      tpe: org.apache.spark.sql.types.DataType, candidates: Seq[String],
+      // DEFAULT literal as SQL text, applied when INSERT omits the column
+      // (SqlBase.g4 :98/:253); NOT NULL enforced as an in-row guard on the
+      // write path (zero extra passes — scale-safe)
+      default: Option[String] = None, notNull: Boolean = false)
   private final case class TableMeta(declared: Seq[ColSpec],
       tableComment: Option[String] = None,
-      colComments: Map[String, String] = Map.empty)
+      colComments: Map[String, String] = Map.empty,
+      props: Map[String, String] = Map.empty)
   private val tableMeta = TrieMap[String, TableMeta]()
 
   /** Schema namespace for the front door; "default" always exists. */
@@ -134,7 +139,7 @@ private[graft] object Statements {
       case QueryStmt(q) => checkQuery(q)
       case ExplainStmt(_, q, _, _) => checkQuery(q)
       case CreateTableAs(_, _, _, q) => checkQuery(q) // creator owns the target
-      case CreateViewStmt(_, _, q) => checkQuery(q)
+      case CreateViewStmt(_, _, q, _, _) => checkQuery(q)
       case InsertInto(name, _, q, _) =>
         check("INSERT", "insert into table", name); checkQuery(q)
       case DeleteStmt(name, _, _) => check("DELETE", "delete from table", name)
@@ -182,8 +187,10 @@ private[graft] object Statements {
           .flatMap(g => grantOptions.getOrElse((g, key), Set.empty)).toSet
         if (!wanted.subsetOf(held)) ownerOnly("grant on table", table)
       case DenyStmt(_, table, _) => ownerOnly("deny on table", table)
-      case CreateMvStmt(_, _, _, q, _) => checkQuery(q)
+      case CreateMvStmt(_, _, _, q, _, _, _, _, _) => checkQuery(q)
       case DropMvStmt(name, _) => ownerOnly("drop materialized view", name)
+      case AlterMvStmt(name, _, _, _) =>
+        ownerOnly("alter materialized view", name)
       case ShowStatsStmt(Left(name)) =>
         check("SELECT", "show stats for table", name)
       case ShowStatsStmt(Right(q)) => checkQuery(q)
@@ -204,6 +211,11 @@ private[graft] object Statements {
   /** SET SESSION properties; a few keys map onto live Spark conf. */
   private val sessionProps = TrieMap[String, String]()
 
+  /** The session time zone before any SET TIME ZONE, restored by
+    * SET TIME ZONE LOCAL (captured before the first mutation so the
+    * GraftSession UTC setting is what LOCAL means here). */
+  @volatile private var defaultTimeZone: Option[String] = None
+
   /** CREATE VIEW definitions (name → rendered defining query), surfaced by
     * information_schema.views. */
   private val viewDefs = TrieMap[String, String]()
@@ -213,8 +225,46 @@ private[graft] object Statements {
     * materialization + freshness basis). */
   private val mvRoots = TrieMap[String, String]()
 
+  /** ALTER MATERIALIZED VIEW … SET PROPERTIES overlay (SqlBase.g4 :128),
+    * surfaced by SHOW CREATE MATERIALIZED VIEW. */
+  private val mvProps = TrieMap[String, Map[String, String]]()
+
+  /** GRACE PERIOD / WHEN STALE / COMMENT metadata + last-refresh instant
+    * per MV (SqlBase.g4 :114-118; reference MaterializedViewDefinition
+    * gracePeriod + MaterializedViewFreshness). */
+  private final case class MvMeta(graceMillis: Option[Long],
+      staleMode: Option[String], comment: Option[String], refreshedAt: Long)
+  private val mvMeta = TrieMap[String, MvMeta]()
+
+  /** WHEN STALE read behavior for `table` if it is a front-door MV with a
+    * configured mode: outer None → not applicable (not an MV, or default
+    * mode: read the materialization as-is); Some(None) → fresh within
+    * grace, read the materialization; Some(Some(defSql)) → INLINE-expand
+    * the stored definition. WHEN STALE FAIL throws here. */
+  private[sqlx] def mvStaleInlineSql(spark: SparkSession,
+      table: String): Option[Option[String]] = {
+    val lower = table.toLowerCase
+    val meta = mvMeta.get(lower).filter(_.staleMode.isDefined)
+    if (meta.isEmpty || !mvRoots.contains(lower)) return None
+    val m = meta.get
+    val mv = graft.catalog.MaterializedView.open(spark, mvRoots(lower))
+    val withinGrace = m.graceMillis.exists(g =>
+      System.currentTimeMillis() - m.refreshedAt <= g)
+    if (!mv.isStale || withinGrace) Some(None)
+    else m.staleMode.get match {
+      case "fail" => throw new IllegalStateException(
+        s"materialized view '$table' is stale (WHEN STALE FAIL); " +
+          "run REFRESH MATERIALIZED VIEW")
+      case _ => Some(Some(mv.definitionSql))
+    }
+  }
+
   /** COMMENT ON VIEW comments (lowercase name → text). */
   private val viewComments = TrieMap[String, String]()
+
+  /** CREATE VIEW … SECURITY DEFINER|INVOKER (SqlBase.g4 :122), surfaced by
+    * SHOW CREATE VIEW. */
+  private val viewSecurity = TrieMap[String, String]()
 
   /** Front-door statement history for system.runtime.queries (reference
     * system.runtime.queries lists the coordinator's query log). */
@@ -330,7 +380,7 @@ private[graft] object Statements {
         case ExplainStmt(_, q, _, _) => (referencedTables(q, Set.empty).toSeq.sorted, Nil)
         case CreateTableAs(name, _, _, q) =>
           (referencedTables(q, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
-        case CreateViewStmt(name, _, q) =>
+        case CreateViewStmt(name, _, q, _, _) =>
           (referencedTables(q, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
         case InsertInto(name, _, q, _) =>
           (referencedTables(q, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
@@ -502,6 +552,15 @@ private[graft] object Statements {
     projected(spark, key).createOrReplaceTempView(viewNameOf(key))
   }
 
+  /** Render parsed property assignments to stored strings; `k = DEFAULT`
+    * (None) drops the key. */
+  private def renderProps(props: Seq[(String, Option[SqlAst.Expr])],
+      base: Map[String, String] = Map.empty): Map[String, String] =
+    props.foldLeft(base) {
+      case (acc, (k, Some(v))) => acc + (k -> SqlFrontend.renderExpr(v))
+      case (acc, (k, None)) => acc - k
+    }
+
   private def seedMeta(key: String, schema: StructType): Unit =
     tableMeta(key) = TableMeta(schema.fields.toSeq.map(f =>
       ColSpec(f.name, f.dataType, Seq(f.name))))
@@ -660,19 +719,42 @@ private[graft] object Statements {
         } else {
           require(cols.length == incoming.columns.length,
             s"INSERT column list arity ${cols.length} != query arity ${incoming.columns.length}")
-          // positional into the named columns; unnamed target columns get NULL
+          // positional into the named columns; unnamed target columns take
+          // their declared DEFAULT literal (SqlBase.g4 :253), else NULL
+          val defaults: Map[String, String] = tableMeta.get(key)
+            .map(_.declared.flatMap(cs =>
+              cs.default.map(cs.name.toLowerCase -> _)).toMap)
+            .getOrElse(Map.empty)
           val renamed = incoming.toDF(cols.toIndexedSeq: _*)
           val full = target.map { t =>
             if (cols.exists(_.equalsIgnoreCase(t)))
               renamed(cols.find(_.equalsIgnoreCase(t)).get).as(t)
-            else org.apache.spark.sql.functions.lit(null).as(t)
+            else defaults.get(t.toLowerCase) match {
+              case Some(sql) => org.apache.spark.sql.functions.expr(sql).as(t)
+              case None => org.apache.spark.sql.functions.lit(null).as(t)
+            }
           }
           renamed.select(full.toIndexedSeq: _*)
         }
       // exact target types: an INT literal into a BIGINT column must land
-      // as BIGINT bytes, or a later mixed-file read breaks
-      val aligned = positioned.select(schema.fields.toIndexedSeq.map(f =>
-        positioned(f.name).cast(f.dataType).as(f.name)): _*)
+      // as BIGINT bytes, or a later mixed-file read breaks. NOT NULL
+      // columns get an in-row guard (coalesce + raise_error) — enforcement
+      // costs zero extra passes over the data, so it holds at any scale.
+      val notNullCols: Set[String] = tableMeta.get(key)
+        .map(_.declared.filter(_.notNull).map(_.name.toLowerCase).toSet)
+        .getOrElse(Set.empty)
+      val aligned = positioned.select(schema.fields.toIndexedSeq.map { f =>
+        val cast = positioned(f.name).cast(f.dataType)
+        val guarded =
+          if (notNullCols(f.name.toLowerCase))
+            org.apache.spark.sql.functions.coalesce(cast,
+              org.apache.spark.sql.functions.raise_error(
+                org.apache.spark.sql.functions.lit(
+                  s"NULL value not allowed for NOT NULL column: ${f.name}"))
+                .cast(f.dataType))
+          else cast
+        guarded.as(f.name)
+      }: _*)
       val n = aligned.count()
       val b = branch.getOrElse("main")
       if (!ct.branchExists(b))
@@ -772,40 +854,56 @@ private[graft] object Statements {
     case ShowStmt(other, _, _) =>
       throw new SqlParseException(s"SHOW $other is not supported")
 
-    case DescribeStmt(name) =>
+    case DescribeStmt(name, like, esc) =>
       val (schema, comments) = lookupKey(name) match {
         case Some(key) =>
           (spark.table(viewNameOf(key)).schema,
             tableMeta.get(key).map(_.colComments).getOrElse(Map.empty[String, String]))
         case None => (spark.table(name).schema, Map.empty[String, String])
       }
+      val shown = schema.fields.toSeq.filter(f =>
+        like.forall(p => likeMatch(f.name, p, esc)))
       spark.createDataFrame(
         java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(
-          schema.fields.toSeq.map(f => Row(f.name, f.dataType.simpleString,
+          shown.map(f => Row(f.name, f.dataType.simpleString,
             comments.getOrElse(f.name.toLowerCase, "")))).asJava),
         StructType(Seq(StructField("column", StringType, nullable = false),
           StructField("type", StringType, nullable = false),
           StructField("comment", StringType, nullable = false))))
 
-    case CreateTableCols(name, ifNotExists, cols) =>
+    case CreateTableCols(name, ifNotExists, elements, comment, props) =>
       val key = keyOf(name)
       if (tables.contains(key)) {
         if (ifNotExists) return oneRow(spark, "rows", 0L)
         throw new IllegalArgumentException(s"table '$name' already exists")
       }
-      // reference type spellings → Spark type strings
-      def sparkType(t: String): String = t.trim.toLowerCase match {
-        case "varchar" => "string"
-        case v if v.startsWith("varchar(") => "string" // unbounded semantics
-        case "varbinary" => "binary"
-        case "real" => "float"
-        case "double precision" => "double"
-        case other => other
+      // expand tableElements in order: LIKE splices the source table's
+      // column specs (and, with INCLUDING PROPERTIES, merges its
+      // properties — SqlBase.g4 :256 likeClause)
+      var likedProps = Map.empty[String, String]
+      var likedComments = Map.empty[String, String]
+      val specs: Seq[ColSpec] = elements.flatMap {
+        case Right(cd) =>
+          Seq(ColSpec(cd.name,
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(sparkTypeName(cd.tpe)),
+            Seq(cd.name),
+            default = cd.default.map(SqlFrontend.renderExpr),
+            notNull = cd.notNull))
+        case Left((src, including)) =>
+          val srcKey = lookupKey(src).getOrElse(throw new IllegalArgumentException(
+            s"LIKE table '$src' does not exist"))
+          val srcMeta = tableMeta.getOrElse(srcKey,
+            TableMeta(projected(spark, srcKey).schema.fields.toSeq.map(f =>
+              ColSpec(f.name, f.dataType, Seq(f.name)))))
+          if (including) likedProps ++= srcMeta.props
+          likedComments ++= srcMeta.colComments
+          // fresh candidate lists: the new table has no rename history
+          srcMeta.declared.map(cs => cs.copy(candidates = Seq(cs.name)))
       }
-      val schema = StructType(cols.map { case (c, t) =>
-        StructField(c, org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-          .parseDataType(sparkType(t)))
-      })
+      if (specs.map(_.name.toLowerCase).distinct.length != specs.length)
+        throw new IllegalArgumentException("duplicate column name in CREATE TABLE")
+      val schema = StructType(specs.map(cs => StructField(cs.name, cs.tpe)))
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
       val root = Paths.get(warehouse,
@@ -813,16 +911,47 @@ private[graft] object Statements {
       graft.catalog.CowTable.create(spark, root, empty)
       tables(key) = root
       recordOwner(key)
-      seedMeta(key, schema)
+      tableMeta(key) = TableMeta(
+        declared = specs,
+        tableComment = comment,
+        colComments = likedComments ++ elements.flatMap {
+          case Right(cd) => cd.comment.map(c => cd.name.toLowerCase -> c)
+          case Left(_) => None
+        },
+        props = renderProps(props, likedProps))
       refreshView(spark, name)
       oneRow(spark, "rows", 0L)
 
-    case CreateViewStmt(name, orReplace, q) =>
+    case CreateViewStmt(name, orReplace, q, comment, security) =>
       if (!orReplace && spark.catalog.tableExists(name))
         throw new IllegalArgumentException(s"view '$name' already exists")
       subquery(spark, dir, q).createOrReplaceTempView(name)
       viewDefs(name.toLowerCase) = SqlFrontend.renderQuery(q)
+      comment match {
+        case Some(c) => viewComments(name.toLowerCase) = c
+        case None => viewComments.remove(name.toLowerCase); ()
+      }
+      // SECURITY (SqlBase.g4 :122): the definition plans under the creating
+      // session's policies (DEFINER — the default, like the reference);
+      // INVOKER is recorded and surfaced, with the documented divergence
+      // that temp-view resolution still evaluates the frozen defining plan
+      security match {
+        case Some(s) => viewSecurity(name.toLowerCase) = s
+        case None => viewSecurity.remove(name.toLowerCase); ()
+      }
       recordOwner(keyOf(name))
+      oneRow(spark, "rows", 0L)
+
+    case DropFunctionStmt(name, ifExists) =>
+      val lower = name.toLowerCase
+      val known = graft.functions.SqlRoutines.definitionOf(lower).isDefined ||
+        spark.catalog.functionExists(lower)
+      if (!known) {
+        if (ifExists) return oneRow(spark, "rows", 0L)
+        throw new IllegalArgumentException(s"function '$name' does not exist")
+      }
+      spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $lower")
+      graft.functions.SqlRoutines.unregister(lower)
       oneRow(spark, "rows", 0L)
 
     case MergeStmt(name, source, key) =>
@@ -889,17 +1018,69 @@ private[graft] object Statements {
           tableMeta.remove(key).foreach(m => tableMeta(newKey) = m)
           spark.catalog.dropTempView(viewNameOf(key))
           refreshView(spark, to)
-        case AddColumn(col, tpe, ifNotExists) =>
-          val exists = meta.declared.exists(_.name.equalsIgnoreCase(col))
+        case AddColumn(cd, ifNotExists, position) =>
+          val exists = meta.declared.exists(_.name.equalsIgnoreCase(cd.name))
           if (exists && !ifNotExists)
-            throw new IllegalArgumentException(s"column '$col' already exists")
+            throw new IllegalArgumentException(s"column '${cd.name}' already exists")
           if (!exists) {
             val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-              .parseDataType(sparkTypeName(tpe))
-            tableMeta(key) = meta.copy(declared =
-              meta.declared :+ ColSpec(col, dt, Seq(col)))
+              .parseDataType(sparkTypeName(cd.tpe))
+            val spec = ColSpec(cd.name, dt, Seq(cd.name),
+              default = cd.default.map(SqlFrontend.renderExpr),
+              notNull = cd.notNull)
+            // FIRST | LAST (default) | AFTER <col> — metadata-only reorder
+            val placed = position match {
+              case Some("first") => spec +: meta.declared
+              case Some(after) if after.startsWith("after:") =>
+                val anchor = after.stripPrefix("after:")
+                val i = meta.declared.indexWhere(_.name.equalsIgnoreCase(anchor))
+                if (i < 0) throw new IllegalArgumentException(
+                  s"column '$anchor' does not exist")
+                (meta.declared.take(i + 1) :+ spec) ++ meta.declared.drop(i + 1)
+              case _ => meta.declared :+ spec
+            }
+            tableMeta(key) = meta.copy(declared = placed,
+              colComments = meta.colComments ++
+                cd.comment.map(c => cd.name.toLowerCase -> c))
           }
           refreshView(spark, name)
+        case SetColumnType(col, tpe) =>
+          // Declared-type evolution with a one-time physical rewrite
+          // (CoW new snapshot, like OPTIMIZE): Spark's parquet mergeSchema
+          // cannot promote types across file generations (INT files + a
+          // BIGINT declared read throw CANNOT_MERGE_SCHEMAS), so unlike the
+          // iceberg connector's metadata-only int→bigint promotion this
+          // rewrites once at ALTER time — a documented divergence; at
+          // cluster scale it is a full-table job the reference's hive
+          // connector avoids by rejecting most SET DATA TYPE entirely.
+          val i = meta.declared.indexWhere(_.name.equalsIgnoreCase(col))
+          if (i < 0) throw new IllegalArgumentException(s"column '$col' does not exist")
+          val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseDataType(sparkTypeName(tpe))
+          tableMeta(key) = meta.copy(declared =
+            meta.declared.updated(i, meta.declared(i).copy(tpe = dt)))
+          // projected() (with the updated meta) casts every column to its
+          // declared type and coalesces rename candidates — the rewrite
+          // publishes one consistent file generation
+          openTable(spark, name).replace(projected(spark, key))
+          refreshView(spark, name)
+        case SetColumnDefault(col, value) =>
+          val i = meta.declared.indexWhere(_.name.equalsIgnoreCase(col))
+          if (i < 0) throw new IllegalArgumentException(s"column '$col' does not exist")
+          tableMeta(key) = meta.copy(declared = meta.declared.updated(i,
+            meta.declared(i).copy(default = Some(SqlFrontend.renderExpr(value)))))
+        case DropColumnDefault(col) =>
+          val i = meta.declared.indexWhere(_.name.equalsIgnoreCase(col))
+          if (i < 0) throw new IllegalArgumentException(s"column '$col' does not exist")
+          tableMeta(key) = meta.copy(declared = meta.declared.updated(i,
+            meta.declared(i).copy(default = None)))
+        case DropNotNull(col) =>
+          val i = meta.declared.indexWhere(_.name.equalsIgnoreCase(col))
+          if (i < 0) throw new IllegalArgumentException(s"column '$col' does not exist")
+          tableMeta(key) = meta.copy(declared = meta.declared.updated(i,
+            meta.declared(i).copy(notNull = false)))
+        case SetTableProps(props) =>
+          tableMeta(key) = meta.copy(props = renderProps(props, meta.props))
         case DropColumn(col, colIfExists) =>
           val exists = meta.declared.exists(_.name.equalsIgnoreCase(col))
           if (!exists && !colIfExists)
@@ -990,6 +1171,52 @@ private[graft] object Statements {
         if (!ifExists)
           throw new IllegalArgumentException(s"Catalog '$name' does not exist")
       } else graft.catalog.CatalogStore.drop(spark, name)
+      oneRow(spark, "rows", 0L)
+
+    case SetPathStmt(path) =>
+      // reference SetPathTask: records the SQL path in session state,
+      // surfaced by SHOW SESSION / current_path
+      sessionProps("path") = path
+      oneRow(spark, "rows", 0L)
+
+    case SetTimeZoneStmt(zone) =>
+      // reference SetTimeZoneTask: LOCAL restores the session default; an
+      // expression sets the zone. Maps onto Spark's session-local
+      // spark.sql.session.timeZone, which every datetime function reads.
+      if (defaultTimeZone.isEmpty) // capture before the first mutation
+        defaultTimeZone = Some(spark.conf.get("spark.sql.session.timeZone"))
+      val tz = zone match {
+        case None =>
+          sessionProps.remove("time_zone_id")
+          defaultTimeZone.get
+        case Some(e) =>
+          val rendered = SqlFrontend.renderExpr(e)
+          val z = rendered match {
+            case s if s.startsWith("'") && s.endsWith("'") =>
+              s.substring(1, s.length - 1)
+            case other =>
+              // INTERVAL '±H[:MM]' HOUR [TO MINUTE] → fixed offset ±HH:MM
+              // (the AST may render either keyword order)
+              val Quoted = "'([+-]?\\d+)(?::(\\d+))?'".r
+              if (!other.toUpperCase.contains("INTERVAL") ||
+                  !other.toUpperCase.contains("HOUR"))
+                throw new IllegalArgumentException(
+                  s"SET TIME ZONE takes a zone string or an hour interval, got $rendered")
+              Quoted.findFirstMatchIn(other) match {
+                case Some(m) =>
+                  val hh = m.group(1).toInt
+                  val mm = if (m.group(2) == null) 0 else m.group(2).toInt
+                  f"${if (hh < 0) "-" else "+"}${math.abs(hh)}%02d:$mm%02d"
+                case None => throw new IllegalArgumentException(
+                  s"SET TIME ZONE takes a zone string or an hour interval, got $rendered")
+              }
+          }
+          // validate eagerly so a bad zone fails the statement, not a later read
+          java.time.ZoneId.of(z, java.time.ZoneId.SHORT_IDS)
+          sessionProps("time_zone_id") = z
+          z
+      }
+      spark.conf.set("spark.sql.session.timeZone", tz)
       oneRow(spark, "rows", 0L)
 
     case SetSessionStmt(key, rawValue) =>
@@ -1117,14 +1344,22 @@ private[graft] object Statements {
         TableMeta(projected(spark, key).schema.fields.toSeq.map(f =>
           ColSpec(f.name, f.dataType, Seq(f.name)))))
       val colLines = meta.declared.map { cs =>
+        val dflt = cs.default.map(d => s" DEFAULT $d").getOrElse("")
+        val nn = if (cs.notNull) " NOT NULL" else ""
         val cmt = meta.colComments.get(cs.name.toLowerCase)
           .map(c => s" COMMENT '$c'").getOrElse("")
-        s"   ${cs.name} ${trinoTypeName(cs.tpe)}$cmt"
+        s"   ${cs.name} ${trinoTypeName(cs.tpe)}$dflt$nn$cmt"
       }
+      val propLines =
+        if (meta.props.isEmpty) Seq.empty
+        else Seq("WITH (") ++ {
+          val kv = meta.props.toSeq.sortBy(_._1).map { case (k, v) => s"   $k = $v" }
+          kv.init.map(_ + ",") :+ kv.last
+        } :+ ")"
       val ddl =
         Seq(s"CREATE TABLE $key (") ++
           colLines.init.map(_ + ",") ++ Seq(colLines.last, ")") ++
-          meta.tableComment.map(c => s"COMMENT '$c'").toSeq
+          meta.tableComment.map(c => s"COMMENT '$c'").toSeq ++ propLines
       stringRows(spark, "create_table", ddl)
 
     case DropViewStmt(name, ifExists) =>
@@ -1186,13 +1421,28 @@ private[graft] object Statements {
             s"'$name' is not a materialized view"))
         val defSql =
           graft.catalog.MaterializedView.open(spark, root).definitionSql
+        val propLines = mvProps.get(name.toLowerCase).filter(_.nonEmpty)
+          .map { ps =>
+            val kv = ps.toSeq.sortBy(_._1).map { case (k, v) => s"   $k = $v" }
+            Seq("WITH (") ++ (kv.init.map(_ + ",") :+ kv.last) :+ ")"
+          }.getOrElse(Seq.empty)
+        val metaLines = mvMeta.get(name.toLowerCase).toSeq.flatMap { m =>
+          m.graceMillis.map(g => s"GRACE PERIOD INTERVAL '${g / 1000}' SECOND").toSeq ++
+            m.staleMode.map(s => s"WHEN STALE ${s.toUpperCase}").toSeq ++
+            m.comment.map(c => s"COMMENT '$c'").toSeq
+        }
         stringRows(spark, "create_mview",
-          Seq(s"CREATE MATERIALIZED VIEW $name AS", defSql))
+          if (propLines.isEmpty && metaLines.isEmpty)
+            Seq(s"CREATE MATERIALIZED VIEW $name AS", defSql)
+          else Seq(s"CREATE MATERIALIZED VIEW $name") ++ metaLines ++
+            propLines ++ Seq("AS", defSql))
       } else {
         val defSql = viewDefs.getOrElse(name.toLowerCase,
           throw new IllegalArgumentException(s"'$name' is not a view"))
+        val sec = viewSecurity.get(name.toLowerCase)
+          .map(s => s" SECURITY $s").getOrElse("")
         stringRows(spark, "create_view",
-          Seq(s"CREATE VIEW $name AS", defSql) ++
+          Seq(s"CREATE VIEW $name$sec AS", defSql) ++
             viewComments.get(name.toLowerCase).map(c => s"COMMENT '$c'"))
       }
 
@@ -1269,13 +1519,16 @@ private[graft] object Statements {
         }).toSeq.distinct.sorted
       stringRows(spark, "role", granted)
 
-    case CreateMvStmt(name, orReplace, ifNotExists, q, defText) =>
+    case CreateMvStmt(name, orReplace, ifNotExists, q, defText,
+        grace, staleMode, comment, props) =>
       val lower = name.toLowerCase
       if (mvRoots.contains(lower) && !orReplace) {
         if (ifNotExists) return oneRow(spark, "rows", 0L)
         throw new IllegalArgumentException(
           s"materialized view '$name' already exists")
       }
+      mvMeta(lower) = MvMeta(grace, staleMode, comment, System.currentTimeMillis())
+      if (props.nonEmpty) mvProps(lower) = renderProps(props)
       // front-door CoW tables the definition reads: their versions at
       // materialization time form the freshness basis (isStale contract)
       val sources = referencedTables(q, Set.empty).toSeq.flatMap { t =>
@@ -1294,15 +1547,46 @@ private[graft] object Statements {
           s"materialized view '$name' does not exist"))
       val mv = graft.catalog.MaterializedView.open(spark, root)
       mv.refresh()
+      mvMeta.get(name.toLowerCase).foreach(m =>
+        mvMeta(name.toLowerCase) = m.copy(refreshedAt = System.currentTimeMillis()))
       mv.read().createOrReplaceTempView(name)
       oneRow(spark, "rows", 0L)
 
     case DropMvStmt(name, ifExists) =>
       mvRoots.remove(name.toLowerCase) match {
-        case Some(_) => spark.catalog.dropTempView(name); ()
+        case Some(_) =>
+          mvProps.remove(name.toLowerCase)
+          mvMeta.remove(name.toLowerCase)
+          spark.catalog.dropTempView(name); ()
         case None =>
           if (!ifExists) throw new IllegalArgumentException(
             s"materialized view '$name' does not exist")
+      }
+      oneRow(spark, "rows", 0L)
+
+    case AlterMvStmt(name, ifExists, renameTo, props) =>
+      val lower = name.toLowerCase
+      if (!mvRoots.contains(lower)) {
+        if (ifExists) return oneRow(spark, "rows", 0L)
+        throw new IllegalArgumentException(
+          s"materialized view '$name' does not exist")
+      }
+      renameTo match {
+        case Some(to) =>
+          val toLower = to.toLowerCase
+          if (mvRoots.contains(toLower))
+            throw new IllegalArgumentException(
+              s"materialized view '$to' already exists")
+          val root = mvRoots.remove(lower).get
+          mvRoots(toLower) = root
+          mvProps.remove(lower).foreach(p => mvProps(toLower) = p)
+          mvMeta.remove(lower).foreach(m => mvMeta(toLower) = m)
+          owners.remove(keyOf(name)).foreach(o => owners(keyOf(to)) = o)
+          spark.catalog.dropTempView(name)
+          graft.catalog.MaterializedView.open(spark, root).read()
+            .createOrReplaceTempView(to)
+        case None =>
+          mvProps(lower) = renderProps(props, mvProps.getOrElse(lower, Map.empty))
       }
       oneRow(spark, "rows", 0L)
 

@@ -523,4 +523,184 @@ class StatementSpec extends SparkSpec {
       .collect().map(_.getString(0)).mkString("\n")
     assert(json.contains("\"class\""), json)
   }
+
+  test("column DEFAULT / NOT NULL: declared at CREATE, applied on INSERT, enforced in-row") {
+    sql("""CREATE TABLE st_defs (
+             id bigint NOT NULL,
+             status varchar DEFAULT 'new',
+             score double DEFAULT 0.5 COMMENT 'model score')""")
+    // INSERT with a column list omits status/score → defaults fill in
+    sql("INSERT INTO st_defs (id) VALUES (1)")
+    sql("INSERT INTO st_defs (id, status) VALUES (2, 'done')")
+    val rows = sql("SELECT id, status, score FROM st_defs ORDER BY id").collect()
+    assert(rows(0).getString(1) == "new" && rows(0).getDouble(2) == 0.5)
+    assert(rows(1).getString(1) == "done" && rows(1).getDouble(2) == 0.5)
+    // NOT NULL rejects a NULL id
+    intercept[Exception] {
+      sql("INSERT INTO st_defs (id, status) VALUES (CAST(NULL AS bigint), 'x')")
+    }
+    // SHOW CREATE TABLE reflects the clauses
+    val ddl = sql("SHOW CREATE TABLE st_defs").collect().map(_.getString(0)).mkString("\n")
+    assert(ddl.contains("DEFAULT 'new'"), ddl)
+    assert(ddl.contains("NOT NULL"), ddl)
+    assert(ddl.contains("COMMENT 'model score'"), ddl)
+    // ALTER COLUMN DROP NOT NULL → NULL id now allowed
+    sql("ALTER TABLE st_defs ALTER COLUMN id DROP NOT NULL")
+    sql("INSERT INTO st_defs (id) VALUES (CAST(NULL AS bigint))")
+    assert(sql("SELECT count(*) AS n FROM st_defs").head().getLong(0) == 3)
+    // SET DEFAULT / DROP DEFAULT change what an omitting INSERT writes
+    sql("ALTER TABLE st_defs ALTER COLUMN status SET DEFAULT 'queued'")
+    sql("INSERT INTO st_defs (id) VALUES (4)")
+    assert(sql("SELECT status FROM st_defs WHERE id = 4").head().getString(0) == "queued")
+    sql("ALTER TABLE st_defs ALTER COLUMN status DROP DEFAULT")
+    sql("INSERT INTO st_defs (id) VALUES (5)")
+    assert(sql("SELECT status FROM st_defs WHERE id = 5").head().isNullAt(0))
+    sql("DROP TABLE st_defs")
+  }
+
+  test("ALTER COLUMN SET DATA TYPE widens metadata-only; old files cast on read") {
+    sql("CREATE TABLE st_widen (k int, v varchar)")
+    sql("INSERT INTO st_widen VALUES (1, 'a'), (2, 'b')")
+    sql("ALTER TABLE st_widen ALTER COLUMN k SET DATA TYPE bigint")
+    val schema = sql("SELECT k FROM st_widen").schema
+    assert(schema.head.dataType == org.apache.spark.sql.types.LongType, schema)
+    // old rows still readable, new rows land as bigint
+    sql("INSERT INTO st_widen VALUES (3000000000, 'c')")
+    val total = sql("SELECT sum(k) AS s FROM st_widen").head().getLong(0)
+    assert(total == 3000000003L)
+    sql("DROP TABLE st_widen")
+  }
+
+  test("ADD COLUMN FIRST/AFTER position the new column; SET PROPERTIES round-trips") {
+    sql("CREATE TABLE st_pos (a int, c int)")
+    sql("ALTER TABLE st_pos ADD COLUMN b int AFTER a")
+    sql("ALTER TABLE st_pos ADD COLUMN z int FIRST")
+    val cols = sql("DESCRIBE st_pos").collect().map(_.getString(0)).toSeq
+    assert(cols == Seq("z", "a", "b", "c"), cols)
+    sql("ALTER TABLE st_pos SET PROPERTIES retention_days = 30, tier = 'hot'")
+    val ddl = sql("SHOW CREATE TABLE st_pos").collect().map(_.getString(0)).mkString("\n")
+    assert(ddl.contains("retention_days = 30"), ddl)
+    assert(ddl.contains("tier = 'hot'"), ddl)
+    // k = DEFAULT resets the property
+    sql("ALTER TABLE st_pos SET PROPERTIES tier = DEFAULT")
+    val ddl2 = sql("SHOW CREATE TABLE st_pos").collect().map(_.getString(0)).mkString("\n")
+    assert(!ddl2.contains("tier"), ddl2)
+    sql("DROP TABLE st_pos")
+  }
+
+  test("ALTER MATERIALIZED VIEW: RENAME TO and SET PROPERTIES") {
+    sql("CREATE MATERIALIZED VIEW st_mv_a AS SELECT count(*) AS n FROM nation")
+    sql("ALTER MATERIALIZED VIEW st_mv_a RENAME TO st_mv_b")
+    assert(sql("SELECT n FROM st_mv_b").head().getLong(0) == 25)
+    intercept[Exception] { sql("REFRESH MATERIALIZED VIEW st_mv_a").collect() }
+    sql("ALTER MATERIALIZED VIEW st_mv_b SET PROPERTIES refresh_interval = '1h'")
+    val ddl = sql("SHOW CREATE MATERIALIZED VIEW st_mv_b")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(ddl.contains("refresh_interval = '1h'"), ddl)
+    sql("DROP MATERIALIZED VIEW st_mv_b")
+    // IF EXISTS tolerates the gone name
+    sql("ALTER MATERIALIZED VIEW IF EXISTS st_mv_b RENAME TO st_mv_c")
+  }
+
+  test("CREATE TABLE LIKE copies column specs; INCLUDING PROPERTIES merges props") {
+    sql("""CREATE TABLE st_like_src (
+             id bigint NOT NULL,
+             status varchar DEFAULT 'new' COMMENT 'state')""")
+    sql("ALTER TABLE st_like_src SET PROPERTIES fmt = 'parquet'")
+    sql("CREATE TABLE st_like_a (LIKE st_like_src, extra double)")
+    val cols = sql("DESCRIBE st_like_a").collect().map(_.getString(0)).toSeq
+    assert(cols == Seq("id", "status", "extra"), cols)
+    // defaults/NOT NULL carried over
+    sql("INSERT INTO st_like_a (id, extra) VALUES (1, 2.5)")
+    assert(sql("SELECT status FROM st_like_a").head().getString(0) == "new")
+    intercept[Exception] {
+      sql("INSERT INTO st_like_a (id, extra) VALUES (CAST(NULL AS bigint), 1.0)")
+    }
+    // EXCLUDING (default) drops properties; INCLUDING copies them
+    val ddlA = sql("SHOW CREATE TABLE st_like_a").collect().map(_.getString(0)).mkString("\n")
+    assert(!ddlA.contains("fmt = 'parquet'"), ddlA)
+    sql("CREATE TABLE st_like_b (LIKE st_like_src INCLUDING PROPERTIES)")
+    val ddlB = sql("SHOW CREATE TABLE st_like_b").collect().map(_.getString(0)).mkString("\n")
+    assert(ddlB.contains("fmt = 'parquet'"), ddlB)
+    assert(ddlB.contains("COMMENT 'state'"), ddlB)
+    sql("DROP TABLE st_like_a"); sql("DROP TABLE st_like_b"); sql("DROP TABLE st_like_src")
+  }
+
+  test("SHOW COLUMNS is DESCRIBE with LIKE filtering; DROP FUNCTION removes a routine") {
+    sql("CREATE TABLE st_showcols (alpha int, beta int, alpha_two int)")
+    val all = sql("SHOW COLUMNS FROM st_showcols").collect().map(_.getString(0)).toSeq
+    assert(all == Seq("alpha", "beta", "alpha_two"))
+    val filtered = sql("SHOW COLUMNS IN st_showcols LIKE 'alpha%'")
+      .collect().map(_.getString(0)).toSeq
+    assert(filtered == Seq("alpha", "alpha_two"), filtered)
+    sql("DROP TABLE st_showcols")
+
+    sql("CREATE OR REPLACE FUNCTION st_twice(x bigint) RETURNS bigint RETURN x * 2")
+    assert(sql("SELECT st_twice(4) AS v").head().getLong(0) == 8L)
+    sql("DROP FUNCTION st_twice")
+    intercept[Exception] { sql("SELECT st_twice(4) AS v").collect() }
+    intercept[Exception] { sql("DROP FUNCTION st_twice") }
+    sql("DROP FUNCTION IF EXISTS st_twice") // tolerated
+  }
+
+  test("CREATE VIEW COMMENT and SECURITY surface in SHOW CREATE VIEW") {
+    sql("""CREATE VIEW st_sec_view COMMENT 'regional rollup' SECURITY INVOKER AS
+           SELECT n_regionkey AS r, count(*) AS n FROM nation GROUP BY n_regionkey""")
+    val ddl = sql("SHOW CREATE VIEW st_sec_view").collect().map(_.getString(0)).mkString("\n")
+    assert(ddl.contains("SECURITY INVOKER"), ddl)
+    assert(ddl.contains("COMMENT 'regional rollup'"), ddl)
+    assert(sql("SELECT count(*) AS c FROM st_sec_view").head().getLong(0) == 5)
+    sql("DROP VIEW st_sec_view")
+  }
+
+  test("materialized view WHEN STALE FAIL / INLINE and GRACE PERIOD") {
+    sql("CREATE OR REPLACE TABLE st_mv_base AS SELECT n_nationkey AS k FROM nation")
+    // FAIL mode: reading a stale MV errors until refreshed
+    sql("""CREATE MATERIALIZED VIEW st_mv_fail WHEN STALE FAIL AS
+           SELECT count(*) AS n FROM st_mv_base""")
+    assert(sql("SELECT n FROM st_mv_fail").head().getLong(0) == 25)
+    sql("INSERT INTO st_mv_base VALUES (100)")
+    val e = intercept[Exception] { sql("SELECT n FROM st_mv_fail").collect() }
+    assert(e.getMessage.contains("stale"), e.getMessage)
+    sql("REFRESH MATERIALIZED VIEW st_mv_fail")
+    assert(sql("SELECT n FROM st_mv_fail").head().getLong(0) == 26)
+    // INLINE mode: a stale MV expands its definition — fresh answer, no fail
+    sql("""CREATE MATERIALIZED VIEW st_mv_inline WHEN STALE INLINE AS
+           SELECT count(*) AS n FROM st_mv_base""")
+    sql("INSERT INTO st_mv_base VALUES (101)")
+    assert(sql("SELECT n FROM st_mv_inline").head().getLong(0) == 27,
+      "stale INLINE MV answers from the live definition")
+    // GRACE PERIOD: staleness within the window reads the materialization
+    sql("""CREATE MATERIALIZED VIEW st_mv_grace GRACE PERIOD INTERVAL '3600' SECOND
+           WHEN STALE FAIL AS SELECT count(*) AS n FROM st_mv_base""")
+    sql("INSERT INTO st_mv_base VALUES (102)")
+    assert(sql("SELECT n FROM st_mv_grace").head().getLong(0) == 27,
+      "stale but within grace: the materialized snapshot answers")
+    val ddl = sql("SHOW CREATE MATERIALIZED VIEW st_mv_grace")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(ddl.contains("GRACE PERIOD INTERVAL '3600' SECOND"), ddl)
+    assert(ddl.contains("WHEN STALE FAIL"), ddl)
+    sql("DROP MATERIALIZED VIEW st_mv_fail")
+    sql("DROP MATERIALIZED VIEW st_mv_inline")
+    sql("DROP MATERIALIZED VIEW st_mv_grace")
+    sql("DROP TABLE st_mv_base")
+  }
+
+  test("SET TIME ZONE shifts datetime rendering; LOCAL restores; SET PATH recorded") {
+    val utcHour = sql(
+      "SELECT hour(from_unixtime(0)) AS h").head().getInt(0)
+    sql("SET TIME ZONE 'America/Los_Angeles'")
+    try {
+      val laHour = sql("SELECT hour(from_unixtime(0)) AS h").head().getInt(0)
+      assert(laHour == (utcHour + 16) % 24, s"utc=$utcHour la=$laHour")
+      // fixed-offset interval form
+      sql("SET TIME ZONE INTERVAL '2' HOUR")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "+02:00")
+      intercept[Exception] { sql("SET TIME ZONE 'Not/AZone'") }
+    } finally sql("SET TIME ZONE LOCAL")
+    assert(sql("SELECT hour(from_unixtime(0)) AS h").head().getInt(0) == utcHour)
+    sql("SET PATH mycatalog.funcs, system.builtin")
+    val path = sql("SHOW SESSION LIKE 'path'").collect()
+    assert(path.length == 1 && path(0).getString(1) == "mycatalog.funcs, system.builtin")
+  }
 }
