@@ -53,11 +53,28 @@ package object operators {
     * deliberately: there lineage TRUNCATION is the point (each iteration's
     * plan would otherwise nest all previous ones), and its fixpoint check
     * consumes the blocks immediately anyway. */
+  /** Previous invocations' persisted intermediates, keyed by canonicalized
+    * plan: the NEXT invocation of the same query unpersists the old blocks
+    * BEFORE re-persisting, so repeated runs (bench passes, server sessions)
+    * always pay full computation — no cross-invocation flattery — while a
+    * single invocation's multiple consumers still share one computation.
+    * Bounded: at most one working set per distinct intermediate lingers
+    * until the query runs again or the session ends. */
+  private val liveHandles =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def materialized(df: DataFrame): DataFrame = {
-    val rdd = df.queryExecution.toRdd.map(_.copy())
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    org.apache.spark.sql.graft.DataFrameBridge
-      .internalCreate(df.sparkSession, rdd, df.schema)
+    // Dataset-level persist (columnar, compressed, codegen-scannable) beat
+    // both alternatives in the round-14 A/B at sf0.1: eager localCheckpoint
+    // serializes an extra job per call AND its blocks are non-replayable on
+    // executor loss (round-13 verdict); an RDD[InternalRow].map(_.copy())
+    // persist keeps lineage but stores per-row objects — measured 1.4-2×
+    // slower than this spelling on q_dedup_minhash/_ngram.
+    val key = df.queryExecution.analyzed.canonicalized.semanticHash().toString
+    Option(liveHandles.remove(key)).foreach(_.unpersist(blocking = false))
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveHandles.put(key, df)
+    df
   }
 
   type Q = (SparkSession, String) => DataFrame
