@@ -116,7 +116,12 @@ private[graft] object SqlFrontend {
     case Fn(n, args, d, over) =>
       Fn(n, args.map(f), d, over.map(w =>
         WindowSpec(w.partitionBy.map(f),
-          w.orderBy.map(s => SortItem(f(s.e), s.dir, s.nulls)), w.frameRaw)))
+          w.orderBy.map(s => SortItem(f(s.e), s.dir, s.nulls)), w.frameRaw,
+          w.ref)))
+    case ListAggExpr(d, v, sep, tr, fil, wc, ob) =>
+      ListAggExpr(d, f(v), sep, tr, fil, wc,
+        ob.map(s => SortItem(f(s.e), s.dir, s.nulls)))
+    case SpecialForm(t, args) => SpecialForm(t, args.map(f))
     case Lambda(ps, b) => Lambda(ps, f(b))
     case Cast(x, t, isTry) => Cast(f(x), t, isTry)
     case TryExpr(x) => TryExpr(f(x))
@@ -347,6 +352,10 @@ private[graft] object SqlFrontend {
           }
         }
         s.having.foreach(h => sb.append(" HAVING ").append(renderExpr(h)))
+        if (s.windows.nonEmpty) // Spark shares the named-WINDOW syntax
+          sb.append(" WINDOW ").append(s.windows.map { case (n, w) =>
+            s"$n AS (${renderWindow(w)})"
+          }.mkString(", "))
         sb.append(orderClause(s.orderBy))
         s.limit.foreach(n => sb.append(s" LIMIT $n"))
         s.offset.foreach(m => sb.append(s" OFFSET $m")) // Spark: OFFSET after LIMIT
@@ -494,6 +503,18 @@ private[graft] object SqlFrontend {
   def renderExpr(e: Expr): String = e match {
     case Lit(sql) => sql
     case TypedLit(tpe, v) => s"$tpe '$v'"
+    // LISTAGG → Spark's native listagg with WITHIN GROUP ordering (Spark
+    // 4.1 ListAgg implements SupportsOrderingWithinGroup); ON OVERFLOW is
+    // parsed but moot — Spark strings have no 1MB varchar ceiling
+    case ListAggExpr(distinct, value, sep, _, _, _, orderBy) =>
+      val d = if (distinct) "DISTINCT " else ""
+      val s = sep.map(x => s", '${x.replace("'", "''")}'").getOrElse("")
+      val ob = orderBy.map(renderSortItem).mkString(", ")
+      s"listagg($d${renderExpr(value)}$s) WITHIN GROUP (ORDER BY $ob)"
+    case SpecialForm(template, args) =>
+      args.zipWithIndex.foldLeft(template) { case (t, (a, i)) =>
+        t.replace(s"{$i}", renderExpr(a))
+      }
     case id: Id => renderId(id)
     case Star(None) => "*"
     case Star(Some(q)) => s"$q.*"
@@ -520,7 +541,10 @@ private[graft] object SqlFrontend {
         } else args
       val argStr = args2.map(renderExpr).mkString(", ")
       val base = s"$name(${if (distinct) "DISTINCT " else ""}$argStr)"
-      base + over.map(w => " OVER (" + renderWindow(w) + ")").getOrElse("")
+      base + over.map {
+        case WindowSpec(_, _, _, Some(ref)) => s" OVER $ref" // named window
+        case w => " OVER (" + renderWindow(w) + ")"
+      }.getOrElse("")
     case Lambda(ps, body) =>
       if (ps.length == 1) s"${ps.head} -> ${renderExpr(body)}"
       else s"(${ps.mkString(", ")}) -> ${renderExpr(body)}"

@@ -31,6 +31,20 @@ object SqlAst {
   final case class Star(qualifier: Option[String]) extends Expr
   final case class Fn(name: String, args: Seq[Expr], distinct: Boolean,
       over: Option[WindowSpec]) extends Expr
+  /** SQL special-form call whose Spark spelling matches the reference's
+    * (EXTRACT(f FROM x), TRIM(BOTH c FROM s), SUBSTRING(s FROM a FOR b),
+    * POSITION(a IN b)): `template` carries the fixed syntax with {0},{1},…
+    * placeholders for the child expressions, so rewrites still reach the
+    * children. */
+  final case class SpecialForm(template: String, args: Seq[Expr]) extends Expr
+
+  /** LISTAGG(… ON OVERFLOW …) WITHIN GROUP (ORDER BY …) (SqlBase.g4 :637).
+    * Overflow clauses are accepted and recorded; Spark strings carry no
+    * 1MB varchar bound, so overflow never fires here (divergence only for
+    * results past the reference's limit). */
+  final case class ListAggExpr(distinct: Boolean, value: Expr,
+      sep: Option[String], truncate: Boolean, filler: Option[String],
+      withCount: Boolean, orderBy: Seq[SortItem]) extends Expr
   final case class Lambda(params: Seq[String], body: Expr) extends Expr
   final case class Cast(e: Expr, tpe: String, isTry: Boolean) extends Expr
   final case class TryExpr(e: Expr) extends Expr
@@ -51,8 +65,10 @@ object SqlAst {
   /** Row-field dereference on a computed value (`expr.field`). */
   final case class FieldRef(e: Expr, field: String) extends Expr
 
+  /** Window specification; `ref` = a named window from the WINDOW clause
+    * (SqlBase.g4 #windowDefinition / windowReference). */
   final case class WindowSpec(partitionBy: Seq[Expr], orderBy: Seq[SortItem],
-      frameRaw: Option[String])
+      frameRaw: Option[String], ref: Option[String] = None)
   final case class SortItem(e: Expr, dir: Option[String], nulls: Option[String])
 
   sealed trait Rel
@@ -78,7 +94,8 @@ object SqlAst {
   final case class Select(distinct: Boolean, items: Seq[SelectItem],
       from: Option[Rel], where: Option[Expr], groupBy: Option[GroupBy],
       having: Option[Expr], orderBy: Seq[SortItem], limit: Option[Long],
-      fetchTies: Option[Long], offset: Option[Long] = None) extends Query
+      fetchTies: Option[Long], offset: Option[Long] = None,
+      windows: Seq[(String, WindowSpec)] = Nil) extends Query
   final case class SelectItem(e: Expr, alias: Option[String])
   /** kind: "PLAIN" | "ROLLUP" | "CUBE"; sets for GROUPING SETS. */
   final case class GroupBy(kind: String, exprs: Seq[Expr], sets: Seq[Seq[Expr]])
@@ -94,7 +111,8 @@ object SqlAst {
   sealed trait Statement
   final case class QueryStmt(q: Query) extends Statement
   final case class CreateTableAs(name: String, orReplace: Boolean,
-      ifNotExists: Boolean, q: Query) extends Statement
+      ifNotExists: Boolean, q: Query, comment: Option[String] = None,
+      props: Seq[(String, Option[Expr])] = Nil) extends Statement
   /** `branch`: the optional `@branch` target (SqlBase.g4:80,82 — the
     * iceberg connector's branch-scoped INSERT/DELETE). */
   final case class InsertInto(name: String, cols: Seq[String], q: Query,
@@ -187,7 +205,8 @@ object SqlAst {
     * `EXECUTE procedureName (callArgument…)` — the reference spelling of
     * table-maintenance procedures like optimize). */
   final case class ExecuteTableProc(proc: String,
-      args: Seq[(Option[String], Expr)]) extends AlterOp
+      args: Seq[(Option[String], Expr)],
+      where: Option[Expr] = None) extends AlterOp
   /** ALTER TABLE t SET AUTHORIZATION u (SqlBase.g4:111) — ownership transfer. */
   final case class SetAuthorizationOp(principal: String) extends AlterOp
   final case class AlterTableStmt(name: String, ifExists: Boolean, op: AlterOp) extends Statement
@@ -315,7 +334,7 @@ object SqlLexer {
     def isOp(s: String): Boolean = kind == TOp && text == s
   }
 
-  private val multiOps = Seq("<=", ">=", "<>", "!=", "||", "=>", "->", "{-", "-}")
+  private val multiOps = Seq("<=", ">=", "<>", "!=", "||", "=>", "->", "{-", "-}", "::")
 
   def lex(s: String): Vector[Token] = {
     val out = Vector.newBuilder[Token]
@@ -550,7 +569,13 @@ final class SqlParser(src: String) {
       } else if (acceptSeq("CREATE", "TABLE")) {
         val ine = acceptSeq("IF", "NOT", "EXISTS")
         val name = ident("table name")
-        if (accept("AS")) CreateTableAs(name, orReplace = false, ine, parseQueryNoFinish())
+        if (peek.is("AS") || peek.is("COMMENT") || peek.is("WITH")) {
+          val comment =
+            if (accept("COMMENT")) Some(stringLit("table comment")) else None
+          val props = if (accept("WITH")) parsePropertyAssignments() else Nil
+          expectKw("AS")
+          CreateTableAs(name, orReplace = false, ine, parseQueryNoFinish(), comment, props)
+        }
         else if (peek.isOp("(")) {
           p += 1
           val cols = scala.collection.mutable
@@ -779,7 +804,8 @@ final class SqlParser(src: String) {
               }
               expectOp(")")
             }
-            ExecuteTableProc(proc, args.toSeq)
+            val where = if (accept("WHERE")) Some(parseExpr()) else None
+            ExecuteTableProc(proc, args.toSeq, where)
           } else err("expected RENAME TO, RENAME COLUMN, ADD COLUMN, DROP COLUMN or EXECUTE")
         AlterTableStmt(name, ife, op)
       } else if (acceptSeq("CREATE", "SCHEMA")) {
@@ -933,8 +959,11 @@ final class SqlParser(src: String) {
 
   private def parseCtas(orReplace: Boolean, ifNotExists: Boolean): Statement = {
     val name = ident("table name")
+    val comment =
+      if (accept("COMMENT")) Some(stringLit("table comment")) else None
+    val props = if (accept("WITH")) parsePropertyAssignments() else Nil
     expectKw("AS")
-    CreateTableAs(name, orReplace, ifNotExists, parseQueryNoFinish())
+    CreateTableAs(name, orReplace, ifNotExists, parseQueryNoFinish(), comment, props)
   }
 
   /** Dotted name (schema.table or catalog-prop key) joined verbatim. */
@@ -1086,8 +1115,22 @@ final class SqlParser(src: String) {
     val where = if (accept("WHERE")) Some(parseExpr()) else None
     val groupBy = if (acceptSeq("GROUP", "BY")) Some(parseGroupBy()) else None
     val having = if (accept("HAVING")) Some(parseExpr()) else None
+    // WINDOW name AS (spec), … (SqlBase.g4 #windowDefinition); the
+    // row-pattern flavor (MEASURES/PATTERN/DEFINE inside the spec) is owned
+    // by MatchWindowSql's clause parser upstream of this grammar
+    val windows = scala.collection.mutable.ArrayBuffer[(String, WindowSpec)]()
+    if (accept("WINDOW")) {
+      var moreW = true
+      while (moreW) {
+        val n = ident("window name")
+        expectKw("AS")
+        windows += ((n, parseWindowSpec()))
+        moreW = acceptOp(",")
+      }
+    }
     val (ord, lim, ties, off) = parseOrderLimitFetch()
-    Select(distinct, items.toSeq, from, where, groupBy, having, ord, lim, ties, off)
+    Select(distinct, items.toSeq, from, where, groupBy, having, ord, lim,
+      ties, off, windows.toSeq)
   }
 
   /** `ORDER BY … [OFFSET m] [LIMIT n | FETCH …]` — Trino grammar order
@@ -1456,6 +1499,10 @@ final class SqlParser(src: String) {
         // (Id chains keep their own qualified-name parse)
         p += 1
         e = FieldRef(e, identPart()._1)
+      } else if (peek.isOp("::")) {
+        // postfix cast (SqlBase.g4 #cast `primaryExpression '::' type`)
+        p += 1
+        e = Cast(e, parseTypeRaw(), isTry = false)
       } else postfix = false
     }
     e
@@ -1570,6 +1617,63 @@ final class SqlParser(src: String) {
   }
 
   private def parseCallAfterName(name: String): Expr = {
+    if (name.equalsIgnoreCase("LISTAGG")) return parseListAgg()
+    name.toUpperCase match {
+      // special forms whose Spark spelling matches the reference grammar
+      // (SqlBase.g4 #extract #trim #substring #position) — parse into
+      // SpecialForm so nested rewrites reach the children
+      case "EXTRACT" if peek.isOp("(") =>
+        val save = p
+        p += 1 // '('
+        val unit = ident("extract field").toUpperCase
+        if (accept("FROM")) {
+          val e = parseExpr(); expectOp(")")
+          return SpecialForm(s"extract($unit FROM {0})", Seq(e))
+        } else p = save // extract(...) as an ordinary function call
+      case "TRIM" if peek.isOp("(") =>
+        val save = p
+        p += 1
+        val mode =
+          if (accept("LEADING")) Some("LEADING")
+          else if (accept("TRAILING")) Some("TRAILING")
+          else if (accept("BOTH")) Some("BOTH") else None
+        if (mode.isDefined) {
+          val chars = if (!peek.is("FROM")) Some(parseExpr()) else None
+          expectKw("FROM")
+          val str = parseExpr(); expectOp(")")
+          return chars match {
+            case Some(c) =>
+              SpecialForm(s"trim(${mode.get} {0} FROM {1})", Seq(c, str))
+            case None =>
+              SpecialForm(s"trim(${mode.get} FROM {0})", Seq(str))
+          }
+        } else p = save // plain trim(x) / trim(x, chars)
+      case "SUBSTRING" if peek.isOp("(") =>
+        val save = p
+        p += 1
+        val str = parseExpr()
+        if (accept("FROM")) {
+          val from = parseExpr()
+          val res =
+            if (accept("FOR")) {
+              val len = parseExpr()
+              SpecialForm("substring({0} FROM {1} FOR {2})", Seq(str, from, len))
+            } else SpecialForm("substring({0} FROM {1})", Seq(str, from))
+          expectOp(")")
+          return res
+        } else p = save // substring(x, a[, b])
+      case "POSITION" if peek.isOp("(") =>
+        val save = p
+        p += 1
+        // value-level parse: the full expression grammar would claim the
+        // IN keyword as a membership predicate
+        val sub = parseConcat()
+        if (accept("IN")) {
+          val str = parseExpr(); expectOp(")")
+          return SpecialForm("position({0} IN {1})", Seq(sub, str))
+        } else p = save
+      case _ => ()
+    }
     expectOp("(")
     val distinct = accept("DISTINCT")
     val args =
@@ -1577,10 +1681,73 @@ final class SqlParser(src: String) {
       else if (peek.isOp("*") && peek2.isOp(")")) { p += 1; Seq(Star(None)) }
       else exprList()
     expectOp(")")
+    // FILTER (WHERE cond) — SqlBase.g4 filter; Spark shares the syntax
+    val filt =
+      if (accept("FILTER")) {
+        expectOp("("); expectKw("WHERE")
+        val c = parseExpr(); expectOp(")")
+        Some(c)
+      } else None
     val over =
-      if (accept("OVER")) Some(parseWindowSpec())
-      else None
-    Fn(name, args, distinct, over)
+      if (accept("OVER")) {
+        if (peek.isOp("(")) Some(parseWindowSpec())
+        else Some(WindowSpec(Nil, Nil, None, Some(ident("window name"))))
+      } else None
+    val fn = Fn(name, args, distinct, over)
+    filt match {
+      case None => fn
+      case Some(c) if over.isEmpty =>
+        SpecialForm("{0} FILTER (WHERE {1})", Seq(fn, c))
+      case Some(c) => // agg FILTER (WHERE …) OVER (…): filter binds first
+        SpecialForm("{0} FILTER (WHERE {1}) OVER (" +
+          renderOverForFilter(over.get) + ")", Seq(Fn(name, args, distinct, None), c))
+    }
+  }
+
+  /** Static render of an OVER spec for the FILTER+OVER combination (the
+    * window itself carries no child expressions needing rewrite passes in
+    * this position — partition/order entries are re-parsed by Spark). */
+  private def renderOverForFilter(w: WindowSpec): String = w.ref match {
+    case Some(r) => r
+    case None =>
+      val pb = if (w.partitionBy.isEmpty) ""
+        else "PARTITION BY " + w.partitionBy.map(SqlFrontend.renderExpr).mkString(", ")
+      val ob = if (w.orderBy.isEmpty) ""
+        else " ORDER BY " + w.orderBy.map(s =>
+          SqlFrontend.renderExpr(s.e) + s.dir.map(" " + _).getOrElse("") +
+            s.nulls.map(" NULLS " + _).getOrElse("")).mkString(", ")
+      (pb + ob + w.frameRaw.map(" " + _).getOrElse("")).trim
+  }
+
+  /** LISTAGG '(' DISTINCT? expr (, sep)? (ON OVERFLOW ERROR | ON OVERFLOW
+    * TRUNCATE filler? (WITH|WITHOUT) COUNT?)? ')' WITHIN GROUP
+    * '(' ORDER BY … ')' (SqlBase.g4 :637-441). */
+  private def parseListAgg(): Expr = {
+    expectOp("(")
+    val distinct = accept("DISTINCT")
+    val value = parseExpr()
+    val sep =
+      if (acceptOp(",")) Some(stringLit("listagg separator")) else None
+    var truncate = false
+    var filler: Option[String] = None
+    var withCount = true // TRUNCATE defaults to WITH COUNT in the reference
+    if (acceptSeq("ON", "OVERFLOW")) {
+      if (accept("ERROR")) ()
+      else if (accept("TRUNCATE")) {
+        truncate = true
+        if (peek.kind == SqlLexer.TStr) filler = Some(stringLit("filler"))
+        if (accept("WITH")) { expectKw("COUNT"); withCount = true }
+        else if (accept("WITHOUT")) { expectKw("COUNT"); withCount = false }
+      } else err("expected ERROR or TRUNCATE after ON OVERFLOW")
+    }
+    expectOp(")")
+    expectKw("WITHIN"); expectKw("GROUP")
+    expectOp("(")
+    expectKw("ORDER"); expectKw("BY")
+    val items = scala.collection.mutable.ArrayBuffer[SortItem](parseSortItem())
+    while (acceptOp(",")) items += parseSortItem()
+    expectOp(")")
+    ListAggExpr(distinct, value, sep, truncate, filler, withCount, items.toSeq)
   }
 
   private def parseWindowSpec(): WindowSpec = {
