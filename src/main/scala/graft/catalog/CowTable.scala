@@ -49,6 +49,29 @@ final class CowTable private (root0: String, spark: SparkSession) {
   private def dataDir = Paths.get(root, "data")
   private def manifestDir = Paths.get(root, "_manifests")
 
+  /** Hive-style partition columns, fixed at CREATE (reference: connector
+    * `partitioned_by` table property, e.g. plugin/trino-hive
+    * HiveTableProperties). Data files live under `data/col=value/…`; reads
+    * pass the explicit snapshot file list WITH basePath, so Catalyst
+    * recovers the partition columns and applies PartitionFilters — a
+    * predicate on a partition column prunes whole directories of a 100-TB
+    * table before any parquet footer is touched. */
+  val partitioning: Seq[String] = {
+    val f = Paths.get(root, "_partitioning")
+    if (Files.exists(f))
+      new String(Files.readAllBytes(f)).trim.split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+    else Seq.empty
+  }
+
+  /** File-list read that recovers partition columns when partitioned. */
+  private def readFiles(files: Seq[String], mergeSchema: Boolean = false): DataFrame = {
+    var r = spark.read
+    if (mergeSchema) r = r.option("mergeSchema", "true")
+    if (partitioning.nonEmpty) r = r.option("basePath", dataDir.toString)
+    r.parquet(files: _*)
+  }
+
   def currentVersion: Int =
     new String(Files.readAllBytes(manifestDir.resolve("CURRENT"))).trim.toInt
 
@@ -170,8 +193,7 @@ final class CowTable private (root0: String, spark: SparkSession) {
   def read(asOfVersion: Option[Int] = None, mergeSchema: Boolean = false): DataFrame = {
     val files = manifestFiles(asOfVersion.getOrElse(currentVersion))
     if (files.isEmpty) spark.emptyDataFrame
-    else if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(files: _*)
-    else spark.read.parquet(files: _*)
+    else readFiles(files, mergeSchema)
   }
 
   /** Per-mutation accounting, exposed for pruning asserts in CowTableSpec. */
@@ -204,7 +226,7 @@ final class CowTable private (root0: String, spark: SparkSession) {
     if (affected.isEmpty)
       MutationStats(manifestDf(branchHead(branch)).count(), Nil, 0, branchHead(branch))
     else {
-      val survivors = spark.read.parquet(affected: _*).filter(!cond)
+      val survivors = readFiles(affected).filter(!cond)
       mutate(affected, writeData(survivors), branch)
     }
   }
@@ -214,7 +236,7 @@ final class CowTable private (root0: String, spark: SparkSession) {
     val affected = probeFiles(read().filter(cond))
     if (affected.isEmpty) MutationStats(manifestDf(currentVersion).count(), Nil, 0, currentVersion)
     else {
-      val base = spark.read.parquet(affected: _*)
+      val base = readFiles(affected)
       val updated = set.foldLeft(base) { case (df, (col0, expr0)) =>
         df.withColumn(col0, when(cond, expr0).otherwise(df(col0)))
       }
@@ -236,7 +258,7 @@ final class CowTable private (root0: String, spark: SparkSession) {
     val rewritten =
       if (affected.isEmpty) Seq.empty
       else {
-        val base = spark.read.parquet(affected: _*)
+        val base = readFiles(affected)
         writeData(base.join(source.select(key), Seq(key), "left_anti")
           .unionByName(source.join(base.select(key), Seq(key), "left_semi")))
       }
@@ -293,7 +315,7 @@ final class CowTable private (root0: String, spark: SparkSession) {
         // row identity for the cardinality rule: ids must be STABLE across
         // the jobs below, so the id'd base is pinned (bounded by mutation
         // locality — these files are being rewritten anyway)
-        val base = spark.read.parquet(affected: _*)
+        val base = readFiles(affected)
           .withColumn("__cow_rid", monotonically_increasing_id())
           .localCheckpoint(true)
         val joined = base.alias(tAlias).join(s, onCol, "inner")
@@ -356,7 +378,7 @@ final class CowTable private (root0: String, spark: SparkSession) {
         if (rows.isEmpty) Nil
         else {
           val files = writeData(rows)
-          changed += spark.read.parquet(files: _*).count()
+          changed += readFiles(files).count()
           files
         }
       }
@@ -392,17 +414,28 @@ final class CowTable private (root0: String, spark: SparkSession) {
 
   private def writeData(df: DataFrame): Seq[String] = {
     val tmp = Paths.get(root, s"_stage_${java.util.UUID.randomUUID()}")
-    df.write.parquet(tmp.toString)
-    val staged = Files.list(tmp).iterator()
+    if (partitioning.isEmpty) df.write.parquet(tmp.toString)
+    else df.write.partitionBy(partitioning: _*).parquet(tmp.toString)
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    while (staged.hasNext) {
-      val p = staged.next()
-      if (p.getFileName.toString.endsWith(".parquet")) {
-        val dest = dataDir.resolve(s"part-${java.util.UUID.randomUUID()}.parquet")
+    // move staged leaves into data/, keeping any col=value/ dirs so reads
+    // with basePath recover partition values
+    def walk(p: Path, rel: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val it = Files.list(p).iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          walk(c, rel.resolve(c.getFileName))
+        }
+      } else if (p.getFileName.toString.endsWith(".parquet")) {
+        val dest = dataDir
+          .resolve(Option(rel.getParent).map(_.toString).getOrElse(""))
+          .resolve(s"part-${java.util.UUID.randomUUID()}.parquet")
+        Files.createDirectories(dest.getParent)
         Files.move(p, dest)
         out += dest.toString
       }
     }
+    walk(tmp, Paths.get(""))
     deleteRecursively(tmp)
     out.toSeq
   }
@@ -450,8 +483,13 @@ final class CowTable private (root0: String, spark: SparkSession) {
     * METADATA (O(files)); the rewrite itself is one distributed
     * read→repartition→write of only the small files. Returns
     * (files compacted, files written). */
-  def optimize(threshold: Long = 32L << 20): (Int, Int) = {
-    val files = manifestFiles(currentVersion)
+  /** Small-file compaction; `scope` (ALTER TABLE … EXECUTE optimize WHERE,
+    * SqlBase.g4 :87-89 tableExecute booleanExpression) restricts
+    * compaction to the files holding matching rows — on a partitioned
+    * table a partition predicate scopes the rewrite to those directories. */
+  def optimize(threshold: Long = 32L << 20,
+      scope: Option[Seq[String]] = None): (Int, Int) = {
+    val files = scope.getOrElse(manifestFiles(currentVersion))
     val small = files.filter(p => {
       val f = new java.io.File(p)
       f.isFile && f.length() < threshold
@@ -459,10 +497,17 @@ final class CowTable private (root0: String, spark: SparkSession) {
     if (small.size < 2) return (0, 0)
     val totalBytes = small.map(new java.io.File(_).length()).sum
     val parts = math.max(1, math.ceil(totalBytes.toDouble / threshold).toInt)
-    val rewritten = writeData(spark.read.parquet(small: _*).repartition(parts))
+    val rewritten = writeData(readFiles(small).repartition(parts))
     mutate(small, rewritten)
     (small.size, rewritten.size)
   }
+
+  /** ALTER TABLE … EXECUTE optimize WHERE cond: compact only the files
+    * holding rows matching `cond` (located by the same input_file_name
+    * probe the mutations use — on a partitioned table, a partition
+    * predicate prunes the probe to those directories). */
+  def optimizeWhere(threshold: Long, cond: Column): (Int, Int) =
+    optimize(threshold, Some(probeFiles(read().filter(cond))))
 
   def vacuum(): (Int, Int) = {
     // every branch head stays readable after vacuum (reference
@@ -472,13 +517,16 @@ final class CowTable private (root0: String, spark: SparkSession) {
     val live = heads.flatMap(v =>
       manifestDf(v).select("fname").collect().map(_.getString(0)))
     var dataRemoved = 0
-    val it = Files.list(dataDir).iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      if (!live.contains(p.getFileName.toString)) {
+    // recursive: partitioned tables nest files under col=value/ dirs
+    def sweep(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val it = Files.list(p).iterator()
+        while (it.hasNext) sweep(it.next())
+      } else if (!live.contains(p.getFileName.toString)) {
         Files.deleteIfExists(p); dataRemoved += 1
       }
     }
+    sweep(dataDir)
     var manifestsRemoved = 0
     val mit = Files.list(manifestDir).iterator()
     while (mit.hasNext) {
@@ -506,12 +554,24 @@ object CowTable {
   final case class WhenNotMatched(condSql: Option[String], cols: Seq[String],
       vals: Seq[String])
 
-  /** CREATE TABLE AS: materialize `df` as version 1. */
-  def create(spark: SparkSession, root: String, df: DataFrame): CowTable = {
+  /** CREATE TABLE AS: materialize `df` as version 1. `partitionBy` fixes
+    * hive-style partition columns for the table's lifetime (the reference
+    * connectors' `partitioned_by` property). */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String] = Seq.empty): CowTable = {
     import spark.implicits._
-    val t = new CowTable(root, spark)
     Files.createDirectories(Paths.get(root, "data"))
     Files.createDirectories(Paths.get(root, "_manifests"))
+    if (partitionBy.nonEmpty) {
+      val missing = partitionBy.filterNot(c =>
+        df.columns.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"partitioned_by columns not in table: ${missing.mkString(", ")}")
+      Files.write(Paths.get(root, "_partitioning"),
+        partitionBy.mkString(",").getBytes)
+      ()
+    }
+    val t = new CowTable(root, spark) // after _partitioning: the val reads it
     Seq.empty[String].toDF("path")
       .write.mode("overwrite").parquet(Paths.get(root, "_manifests", "v0").toString)
     Files.write(Paths.get(root, "_manifests", "CURRENT"), "0".getBytes)

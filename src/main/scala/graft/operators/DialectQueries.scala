@@ -604,6 +604,34 @@ object Dialect {
        printf('%s@%d', substring(p_type, 1, strpos(p_type, ' ') - 1), p_partkey) AS label
        FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""
 
+  /** LISTAGG with the full reference grammar (SqlBase.g4:637-441): DISTINCT,
+    * separator, ON OVERFLOW TRUNCATE … WITH COUNT (parsed; moot in Spark —
+    * no 1MB varchar ceiling), WITHIN GROUP ordering. Lowered onto Spark
+    * 4.1's native listagg (SupportsOrderingWithinGroup). DuckDB replays via
+    * string_agg(… ORDER BY …). */
+  def q_sqlx_listagg(s: SparkSession, dir: String): DataFrame = {
+    TrinoDialect.sql(s, dir,
+      """SELECT n_regionkey,
+           LISTAGG(n_name, '|' ON OVERFLOW TRUNCATE '...' WITH COUNT)
+             WITHIN GROUP (ORDER BY n_name) AS names,
+           LISTAGG(DISTINCT o_orderpriority, ',')
+             WITHIN GROUP (ORDER BY o_orderpriority) AS prios
+         FROM nation
+         JOIN orders ON o_custkey % 25 = n_nationkey
+         WHERE o_orderkey <= 2000
+         GROUP BY n_regionkey
+         ORDER BY n_regionkey""")
+  }
+  val qSqlxListaggSql: String =
+    """SELECT n_regionkey,
+       string_agg(n_name, '|' ORDER BY n_name) AS names,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+       FROM nation
+       JOIN orders ON o_custkey % 25 = n_nationkey
+       WHERE o_orderkey <= 2000
+       GROUP BY n_regionkey
+       ORDER BY n_regionkey"""
+
   /** Procedural routine body with a WHILE loop (reference SqlBase.g4:995
     * controlStatement, sql/routine/SqlRoutineCompiler.java): DECLARE frame,
     * iterative fibonacci, assignments casting to the declared type. The
@@ -1080,6 +1108,42 @@ object Dialect {
          SELECT 3000000000, 'z', 'big', CAST(NULL AS DOUBLE))
        ORDER BY id"""
 
+  /** Partitioned CTAS through the SQL front door (reference: the hive /
+    * iceberg connectors' `partitioned_by` table property): data lands in
+    * hive-style col=value directories, reads recover the partition column
+    * and Catalyst prunes partitions (CowTableSpec asserts numFiles), and
+    * DML composes (partition-scoped DELETE + an INSERT into one
+    * partition). The DuckDB oracle replays the net state — values are
+    * layout-independent. */
+  def q_sqlx_partitioned(s: SparkSession, dir: String): DataFrame = {
+    TrinoDialect.sql(s, dir, "DROP TABLE IF EXISTS wh_part")
+    TrinoDialect.sql(s, dir,
+      """CREATE TABLE wh_part WITH (partitioned_by = ARRAY['region']) AS
+         SELECT c_custkey AS k, c_acctbal AS bal, c_nationkey % 5 AS region
+         FROM customer WHERE c_custkey <= 600""")
+    TrinoDialect.sql(s, dir, "DELETE FROM wh_part WHERE region = 3 AND k % 2 = 0")
+    TrinoDialect.sql(s, dir,
+      """INSERT INTO wh_part
+         SELECT c_custkey + 10000, c_acctbal, 3
+         FROM customer WHERE c_custkey <= 5""")
+    TrinoDialect.sql(s, dir,
+      """SELECT region, count(*) AS n,
+           CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM wh_part WHERE region IN (2, 3) GROUP BY region ORDER BY region""")
+  }
+  val qSqlxPartitionedSql: String =
+    """WITH t AS (
+         SELECT c_custkey AS k, c_acctbal AS bal, c_nationkey % 5 AS region
+         FROM customer WHERE c_custkey <= 600),
+       surviving AS (
+         SELECT * FROM t WHERE NOT (region = 3 AND k % 2 = 0)
+         UNION ALL
+         SELECT c_custkey + 10000, c_acctbal, 3
+         FROM customer WHERE c_custkey <= 5)
+       SELECT region, count(*) AS n,
+         CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM surviving WHERE region IN (2, 3) GROUP BY region ORDER BY region"""
+
   /** Multi-statement transactions + CALL procedures through the SQL front
     * door (SqlBase.g4 :90-94; reference transaction semantics in
     * core/trino-main io.trino.execution.StartTransactionTask): a rolled-back
@@ -1232,6 +1296,7 @@ object Dialect {
     "q_sqlx_branches" -> q_sqlx_branches _,
     "q_sqlx_ddl_alter" -> q_sqlx_ddl_alter _,
     "q_sqlx_ddl_defaults" -> q_sqlx_ddl_defaults _,
+    "q_sqlx_partitioned" -> q_sqlx_partitioned _,
     "q_sqlx_txn" -> q_sqlx_txn _,
     "q_sqlx_show_stats" -> q_sqlx_show_stats _,
     "q_tvf_registry" -> q_tvf_registry _,
@@ -1252,6 +1317,7 @@ object Dialect {
     "q_sqlx_match_measure_offset" -> q_sqlx_match_measure_offset _,
     "q_sqlx_match_anchor_define" -> q_sqlx_match_anchor_define _,
     "q_sqlx_create_function" -> q_sqlx_create_function _,
+    "q_sqlx_listagg" -> q_sqlx_listagg _,
     "q_sqlx_routine_loop" -> q_sqlx_routine_loop _,
     "q_sqlx_routine_collatz" -> q_sqlx_routine_collatz _,
     "q_sqlx_routine_compound" -> q_sqlx_routine_compound _,
@@ -1269,6 +1335,7 @@ object Dialect {
     "q_sqlx_branches" -> qSqlxBranchesSql,
     "q_sqlx_ddl_alter" -> qSqlxDdlAlterSql,
     "q_sqlx_ddl_defaults" -> qSqlxDdlDefaultsSql,
+    "q_sqlx_partitioned" -> qSqlxPartitionedSql,
     "q_sqlx_txn" -> qSqlxTxnSql,
     "q_sqlx_show_stats" -> qSqlxShowStatsSql,
     "q_tvf_registry" -> qTvfRegistrySql,
@@ -1289,6 +1356,7 @@ object Dialect {
     "q_sqlx_match_measure_offset" -> qSqlxMatchMeasureOffsetSql,
     "q_sqlx_match_anchor_define" -> qSqlxMatchAnchorDefineSql,
     "q_sqlx_create_function" -> qSqlxCreateFunctionSql,
+    "q_sqlx_listagg" -> qSqlxListaggSql,
     "q_sqlx_routine_loop" -> qSqlxRoutineLoopSql,
     "q_sqlx_routine_collatz" -> qSqlxRoutineCollatzSql,
     "q_sqlx_routine_compound" -> qSqlxRoutineCompoundSql,

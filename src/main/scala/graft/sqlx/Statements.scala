@@ -138,7 +138,7 @@ private[graft] object Statements {
     st match {
       case QueryStmt(q) => checkQuery(q)
       case ExplainStmt(_, q, _, _) => checkQuery(q)
-      case CreateTableAs(_, _, _, q) => checkQuery(q) // creator owns the target
+      case CreateTableAs(_, _, _, q, _, _) => checkQuery(q) // creator owns the target
       case CreateViewStmt(_, _, q, _, _) => checkQuery(q)
       case InsertInto(name, _, q, _) =>
         check("INSERT", "insert into table", name); checkQuery(q)
@@ -378,7 +378,7 @@ private[graft] object Statements {
       new SqlParser(text).parseStatement() match {
         case QueryStmt(q) => (referencedTables(q, Set.empty).toSeq.sorted, Nil)
         case ExplainStmt(_, q, _, _) => (referencedTables(q, Set.empty).toSeq.sorted, Nil)
-        case CreateTableAs(name, _, _, q) =>
+        case CreateTableAs(name, _, _, q, _, _) =>
           (referencedTables(q, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
         case CreateViewStmt(name, _, q, _, _) =>
           (referencedTables(q, Set.empty).toSeq.sorted, Seq(name.toLowerCase))
@@ -432,7 +432,7 @@ private[graft] object Statements {
       case TimeTravelRel(name, _, _, _) => Set(name.plain.toLowerCase)
     }
     q match {
-      case Select(_, items, from, where, _, having, _, _, _, _) =>
+      case Select(_, items, from, where, _, having, _, _, _, _, _) =>
         items.flatMap(i => fromExpr(i.e, ctes)).toSet ++
           from.toSeq.flatMap(fromRel(_, ctes)) ++
           where.toSeq.flatMap(fromExpr(_, ctes)) ++
@@ -551,6 +551,14 @@ private[graft] object Statements {
     val key = requireKey(name)
     projected(spark, key).createOrReplaceTempView(viewNameOf(key))
   }
+
+  /** `partitioned_by = ARRAY['a', 'b']` property → partition column names
+    * (reference: the hive/iceberg connectors' partitioned_by/partitioning
+    * table properties). */
+  private def partitionColsOf(props: Map[String, String]): Seq[String] =
+    props.get("partitioned_by").toSeq.flatMap { v =>
+      "'([^']+)'".r.findAllMatchIn(v).map(_.group(1)).toSeq
+    }
 
   /** Render parsed property assignments to stored strings; `k = DEFAULT`
     * (None) drops the key. */
@@ -689,7 +697,7 @@ private[graft] object Statements {
   }
 
   private def execute(spark: SparkSession, dir: String, st: Statement): DataFrame = st match {
-    case CreateTableAs(name, orReplace, ifNotExists, q) =>
+    case CreateTableAs(name, orReplace, ifNotExists, q, comment, props) =>
       val key = keyOf(name)
       if (tables.contains(key) && !orReplace) {
         if (ifNotExists) return oneRow(spark, "rows", 0L)
@@ -698,10 +706,15 @@ private[graft] object Statements {
       val df = subquery(spark, dir, q)
       val root = Paths.get(warehouse,
         viewNameOf(key) + "_" + System.nanoTime()).toString
-      graft.catalog.CowTable.create(spark, root, df)
+      val renderedProps = renderProps(props)
+      graft.catalog.CowTable.create(spark, root, df,
+        partitionColsOf(renderedProps))
       tables(key) = root
       recordOwner(key)
       seedMeta(key, df.schema)
+      if (comment.isDefined || renderedProps.nonEmpty)
+        tableMeta.get(key).foreach(m => tableMeta(key) =
+          m.copy(tableComment = comment, props = renderedProps))
       refreshView(spark, name)
       oneRow(spark, "rows", spark.table(viewNameOf(key)).count())
 
@@ -908,7 +921,9 @@ private[graft] object Statements {
         spark.sparkContext.emptyRDD[Row], schema)
       val root = Paths.get(warehouse,
         viewNameOf(key) + "_" + System.nanoTime()).toString
-      graft.catalog.CowTable.create(spark, root, empty)
+      val renderedProps = renderProps(props, likedProps)
+      graft.catalog.CowTable.create(spark, root, empty,
+        partitionColsOf(renderedProps))
       tables(key) = root
       recordOwner(key)
       tableMeta(key) = TableMeta(
@@ -918,7 +933,7 @@ private[graft] object Statements {
           case Right(cd) => cd.comment.map(c => cd.name.toLowerCase -> c)
           case Left(_) => None
         },
-        props = renderProps(props, likedProps))
+        props = renderedProps)
       refreshView(spark, name)
       oneRow(spark, "rows", 0L)
 
@@ -1106,13 +1121,28 @@ private[graft] object Statements {
           refreshView(spark, name)
         case SetAuthorizationOp(principal) =>
           owners(key) = principal
-        case ExecuteTableProc(proc, pArgs) =>
+        case ExecuteTableProc(proc, pArgs, where) =>
           // reference spelling of table-maintenance procedures
-          // (SqlBase.g4:86 `ALTER TABLE t EXECUTE optimize(...)`, iceberg/
-          // delta connectors' TableProcedureMetadata) — delegates to the
-          // same registry CALL system.<proc>(table => ...) uses
-          return call(spark, Seq(proc),
-            (Some("table"), Lit(s"'$name'")) +: pArgs)
+          // (SqlBase.g4:86-89 `ALTER TABLE t EXECUTE optimize(...)
+          // (WHERE cond)?`, iceberg/delta connectors'
+          // TableProcedureMetadata) — delegates to the same registry
+          // CALL system.<proc>(table => ...) uses; a WHERE clause scopes
+          // optimize to the files holding matching rows
+          where match {
+            case Some(cond) =>
+              if (proc != "optimize") throw new IllegalArgumentException(
+                s"EXECUTE $proc does not take a WHERE clause")
+              val threshold = pArgs.collectFirst {
+                case (Some("file_size_threshold"), Lit(v)) => v.toLong
+              }.getOrElse(32L << 20)
+              val (compacted, _) = openTable(spark, name)
+                .optimizeWhere(threshold, condColumn(Some(cond)))
+              refreshView(spark, name)
+              return oneRow(spark, "compacted", compacted.toLong)
+            case None =>
+              return call(spark, Seq(proc),
+                (Some("table"), Lit(s"'$name'")) +: pArgs)
+          }
       }
       oneRow(spark, "rows", 0L)
 

@@ -185,4 +185,44 @@ class CowTableSpec extends SparkSpec {
     assert(compacted >= 2, s"compacted=$compacted")
     assert(sql("SELECT count(*) AS n FROM cow_opt").head.getLong(0) === n)
   }
+
+  test("partitioned table: hive-style layout, pruned scans, partition-local mutations") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = java.nio.file.Files.createTempDirectory("cow_part").toString
+    val src = graft.sources.Tables.load(spark, sfDir, "nation")
+      .selectExpr("n_nationkey AS k", "n_name AS name", "n_regionkey AS r")
+    val t = graft.catalog.CowTable.create(spark, root, src, partitionBy = Seq("r"))
+    // physical layout: data/r=<v>/part-*.parquet
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
+      .iterator()
+    var names = List.empty[String]
+    while (dirs.hasNext) names ::= dirs.next().getFileName.toString
+    assert(names.count(_.startsWith("r=")) == 5, names)
+    // read recovers the partition column; values intact
+    val all = t.read()
+    assert(all.count() == 25)
+    assert(all.columns.toSet == Set("k", "name", "r"))
+    // a partition predicate prunes files BEFORE any parquet footer is read
+    val q = t.read().filter("r = 2").selectExpr("sum(k) AS s")
+    val expect = src.filter("r = 2").selectExpr("sum(k)").head.getLong(0)
+    assert(q.head.getLong(0) == expect)
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = finalPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.metadata("PartitionFilters").contains("r"),
+      scan.metadata("PartitionFilters"))
+    assert(scan.metrics("numFiles").value < 5,
+      s"expected pruning, scanned ${scan.metrics("numFiles").value} files")
+    // mutations keep the layout: DELETE one partition only rewrites there
+    t.delete(org.apache.spark.sql.functions.expr("r = 2 AND k % 2 = 0"))
+    assert(t.read().filter("r = 2 AND k % 2 = 0").count() == 0)
+    assert(t.read().count() == 25 - src.filter("r = 2 AND k % 2 = 0").count())
+    // inserts land in their partition dirs and stay readable
+    t.insert(spark.sql("SELECT 200 AS k, 'NEW' AS name, 2 AS r"))
+    assert(t.read().filter("r = 2 AND k = 200").count() == 1)
+  }
 }

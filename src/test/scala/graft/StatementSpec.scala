@@ -686,6 +686,24 @@ class StatementSpec extends SparkSpec {
     sql("DROP TABLE st_mv_base")
   }
 
+  test("partitioned CTAS + EXECUTE optimize WHERE scopes compaction to matching files") {
+    sql("DROP TABLE IF EXISTS st_pt")
+    sql("""CREATE TABLE st_pt WITH (partitioned_by = ARRAY['r']) AS
+           SELECT n_nationkey AS k, n_regionkey AS r FROM nation""")
+    // several small files per partition
+    sql("INSERT INTO st_pt VALUES (100, 2)")
+    sql("INSERT INTO st_pt VALUES (101, 2)")
+    sql("INSERT INTO st_pt VALUES (102, 4)")
+    val before = sql("SELECT count(*) AS n FROM st_pt").head().getLong(0)
+    val compacted = sql("ALTER TABLE st_pt EXECUTE optimize WHERE r = 2")
+      .head().getLong(0)
+    assert(compacted >= 2, s"compacted=$compacted")
+    assert(sql("SELECT count(*) AS n FROM st_pt").head().getLong(0) == before)
+    // rows in the untouched partition intact too (5 nations + 1 insert)
+    assert(sql("SELECT count(*) AS n FROM st_pt WHERE r = 4").head().getLong(0) == 6)
+    sql("DROP TABLE st_pt")
+  }
+
   test("SET TIME ZONE shifts datetime rendering; LOCAL restores; SET PATH recorded") {
     val utcHour = sql(
       "SELECT hour(from_unixtime(0)) AS h").head().getInt(0)
