@@ -48,6 +48,24 @@ object DocStreams {
         concat_ws(" ", slice(col("toks"), col("chunk_id") * stride + 1, lit(size)))
           .as("chunk_text"))
 
+  /** Streaming exact dedup at ingest: the batch q_dedup_exact
+    * normalization key (whitespace-collapsed lowercase text), deduplicated
+    * across the stream with WATERMARK-BOUNDED state
+    * (`dropDuplicatesWithinWatermark`) — the near-line dedup a crawl
+    * pipeline runs before the periodic minhash batch. Unlike plain
+    * dropDuplicates, whose key state grows without bound, keys older than
+    * the watermark horizon are evicted, so the operator runs indefinitely
+    * at any ingest rate; duplicates farther apart than the horizon are
+    * left for the batch pass (the standard lambda split). `eventTime`
+    * names the stream's time column. */
+  def dedupExact(docs: DataFrame, eventTime: String,
+      delay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("norm_key",
+        xxhash64(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark("norm_key")
+
   /** Stream-static contamination filter: incoming docs are flagged when
     * they share an 8-gram with the STATIC benchmark set. The shingle join
     * itself is a stateless broadcast probe (the stream side is never

@@ -42,6 +42,25 @@ class DocStreamsSpec extends SparkSpec {
     assert(diff == 0, s"$diff streamed chunks differ from batch")
   }
 
+  test("streaming exact dedup keeps one doc per normalized text, state watermark-bounded") {
+    import spark.implicits._
+    // synthesize an event time (fixture has none); constant so the
+    // AvailableNow batching can never classify replayed rows as late —
+    // the point here is the dedup semantics, not late-arrival policy
+    val stream = streaming.DocStreams.source(spark, sfDir)
+      .withColumn("event_time", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val streamed = runAvailable(
+      streaming.DocStreams.dedupExact(stream, "event_time"), "dedup_out")
+    val batchDistinct = operators.table(spark, sfDir, "documents")
+      .select(regexp_replace(lower($"text"), "\\s+", " ").as("norm"))
+      .distinct().count()
+    // one survivor per distinct normalized text (all fixture docs fall in
+    // one watermark window under AvailableNow, so the horizon never evicts)
+    assert(streamed.count() == batchDistinct,
+      s"streamed ${streamed.count()} vs $batchDistinct distinct norms")
+    assert(streamed.select($"norm_key").distinct().count() == streamed.count())
+  }
+
   test("stream-static contamination flags match the batch scan") {
     import spark.implicits._
     val docs = operators.table(spark, sfDir, "documents")
