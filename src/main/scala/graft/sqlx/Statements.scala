@@ -684,13 +684,20 @@ private[graft] object Statements {
             .map { case (c, conn) => Row(c, conn) }))
       case Seq("system", "metadata", "materialized_views") =>
         // reference io.trino.connector.system.MaterializedViewSystemTable:
-        // catalog/schema/name, freshness, and the stored definition
+        // catalog/schema/name, freshness (UNKNOWN/STALE/FRESH where FRESH
+        // includes stale-within-grace), and the stored definition
         Some(rows(str("catalog_name", "schema_name", "name", "freshness",
-            "definition"),
+            "stale_mode", "grace_period_seconds", "definition"),
           mvRoots.toSeq.sortBy(_._1).map { case (n, root) =>
             val mv = graft.catalog.MaterializedView.open(spark, root)
+            val meta = mvMeta.get(n)
+            val withinGrace = meta.exists(m => m.graceMillis.exists(g =>
+              System.currentTimeMillis() - m.refreshedAt <= g))
             Row("graft", "default", n,
-              if (mv.isStale) "STALE" else "FRESH", mv.definitionSql)
+              if (!mv.isStale || withinGrace) "FRESH" else "STALE",
+              meta.flatMap(_.staleMode).map(_.toUpperCase).orNull,
+              meta.flatMap(_.graceMillis).map(g => (g / 1000).toString).orNull,
+              mv.definitionSql)
           }))
       case _ => None
     }
