@@ -528,6 +528,13 @@ object Registry {
     r.createOrReplaceTempFunction("url_extract_fragment", urlPart("REF"), "built-in")
     r.createOrReplaceTempFunction("url_extract_parameter",
       es => ParseUrl(Seq(es(0), Literal("QUERY"), es(1))), "built-in")
+    // UrlFunctions.java url_extract_port: Spark's parse_url has no PORT
+    // part — take it from the authority ("" on no match casts to NULL,
+    // matching the reference's null-when-absent)
+    r.createOrReplaceTempFunction("url_extract_port", es =>
+      Cast(RegExpExtract(es(0),
+        Literal("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:([0-9]+)"), Literal(1)),
+        LongType), "built-in")
     // (Trino 3-arg date_add/date_diff live in the SQL front door, not here:
     // Spark's PARSER owns those names via its timestampadd grammar rule, so
     // a registry entry is unreachable — SqlFrontend.renderExpr unquotes the

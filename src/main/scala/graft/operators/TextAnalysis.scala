@@ -317,7 +317,52 @@ object TextAnalysis {
        GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** URL canonicalization dedup — a crawl pipeline's first dedup pass
+    * (reference URL family: core/trino-main operator/scalar/UrlFunctions
+    * .java url_extract_protocol/host/port/path): URLs synthesized
+    * deterministically from the fixture, canonicalized (lowercase scheme +
+    * host, default port and tracking query params dropped), grouped to one
+    * keeper per canonical URL. Pure in-row string kernels + one hash
+    * aggregation on the canonical key — the same shape at any corpus
+    * size. */
+  def q_text_url_canonical(s: SparkSession, dir: String): DataFrame = {
+    graft.sqlx.TrinoDialect.sql(s, dir,
+      """WITH u AS (
+           SELECT doc_id,
+             'HTTPS://' || upper(source) || '.Example.com:443/p/' ||
+             CAST(doc_id % 40 AS varchar) || '?utm_source=feed&ref=' || lang AS url
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             lower(url_extract_protocol(url)) || '://' ||
+             lower(url_extract_host(url)) || url_extract_path(url) AS canon,
+             url_extract_port(url) AS port,
+             url_extract_parameter(url, 'utm_source') AS utm
+           FROM u)
+         SELECT canon, count(*) AS n, min(doc_id) AS keeper,
+                min(port) AS port, min(utm) AS utm
+         FROM c GROUP BY canon ORDER BY canon""")
+  }
+  val qTextUrlCanonicalSql: String =
+    """WITH u AS (
+         SELECT doc_id,
+           'HTTPS://' || upper(source) || '.Example.com:443/p/' ||
+           CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed&ref=' || lang AS url
+         FROM documents),
+       c AS (
+         SELECT doc_id,
+           lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) || '://' ||
+           lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?]+)', 1)) ||
+           regexp_extract(url, '^[a-zA-Z]+://[^/?]+(/[^?]*)', 1) AS canon,
+           CAST(443 AS BIGINT) AS port,
+           'feed' AS utm
+         FROM u)
+       SELECT canon, count(*) AS n, min(doc_id) AS keeper,
+              min(port) AS port, min(utm) AS utm
+       FROM c GROUP BY canon ORDER BY canon"""
+
   val queries: Map[String, Q] = Map(
+    "q_text_url_canonical" -> q_text_url_canonical _,
     "q_text_bpe_train" -> q_text_bpe_train _,
     "q_text_bpe_tokenize" -> q_text_bpe_tokenize _,
     "q_text_tokens" -> q_text_tokens _,
@@ -327,6 +372,7 @@ object TextAnalysis {
     "q_text_fingerprint" -> q_text_fingerprint _)
 
   val oracles: Map[String, String] = Map(
+    "q_text_url_canonical" -> qTextUrlCanonicalSql,
     "q_text_bpe_train" -> qTextBpeTrainSql,
     "q_text_bpe_tokenize" -> qTextBpeTokenizeSql,
     "q_text_tokens" -> qTextTokensSql,
