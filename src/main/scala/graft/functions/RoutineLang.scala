@@ -334,10 +334,22 @@ object RoutineLang {
     case RIf(bs, e) =>
       bs.foreach(_._2.foreach(checkLabels(_, enclosing)))
       e.foreach(_.foreach(checkLabels(_, enclosing)))
-    case RLoop(l, b) => b.foreach(checkLabels(_, enclosing ++ l.map(_.toLowerCase)))
-    case RWhile(l, _, b) => b.foreach(checkLabels(_, enclosing ++ l.map(_.toLowerCase)))
-    case RRepeat(l, b, _) => b.foreach(checkLabels(_, enclosing ++ l.map(_.toLowerCase)))
+    case RLoop(l, b) => enterLoop(l, b, enclosing)
+    case RWhile(l, _, b) => enterLoop(l, b, enclosing)
+    case RRepeat(l, b, _) => enterLoop(l, b, enclosing)
     case _ =>
+  }
+
+  /** Sequential label reuse is fine; NESTING the same label is rejected
+    * (reference SqlRoutineAnalyzer "Label already declared in this
+    * scope"). */
+  private def enterLoop(l: Option[String], body: Seq[RStmt],
+      enclosing: Set[String]): Unit = {
+    l.map(_.toLowerCase).foreach { x =>
+      if (enclosing.contains(x))
+        throw new SqlParseException(s"Label already declared in this scope: $x")
+    }
+    body.foreach(checkLabels(_, enclosing ++ l.map(_.toLowerCase)))
   }
 
   // --------------------------------------------- loop-free → one expression

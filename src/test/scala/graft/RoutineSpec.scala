@@ -197,6 +197,84 @@ class RoutineSpec extends SparkSpec {
     }
   }
 
+  test("reference TestSqlFunctions.testBreakContinue: labeled WHILE with ITERATE+LEAVE") {
+    sql("""CREATE OR REPLACE FUNCTION t_bc() RETURNS bigint
+           BEGIN
+             DECLARE a bigint DEFAULT 0;
+             DECLARE b bigint DEFAULT 0;
+             top: WHILE a < 10 DO
+               SET a = a + 1;
+               IF a < 3 THEN
+                 ITERATE top;
+               END IF;
+               SET b = b + 1;
+               IF a > 6 THEN
+                 LEAVE top;
+               END IF;
+             END WHILE;
+             RETURN b;
+           END""")
+    assert(sql("SELECT t_bc() AS v").collect().head.getLong(0) == 5L)
+  }
+
+  test("reference TestSqlFunctions.testRepeatContinue: ITERATE restarts the REPEAT body") {
+    sql("""CREATE OR REPLACE FUNCTION t_rc() RETURNS bigint
+           BEGIN
+             DECLARE a int DEFAULT 0;
+             DECLARE b int DEFAULT 0;
+             top: REPEAT
+               SET a = a + 1;
+               IF a <= 3 THEN
+                 ITERATE top;
+               END IF;
+               SET b = b + 1;
+             UNTIL a >= 10 END REPEAT;
+             RETURN CAST(b AS bigint);
+           END""")
+    assert(sql("SELECT t_rc() AS v").collect().head.getLong(0) == 7L)
+  }
+
+  test("reference TestSqlFunctions.testReuseLabels: sequential reuse OK, nesting rejected") {
+    sql("""CREATE OR REPLACE FUNCTION t_relabel() RETURNS bigint
+           BEGIN
+             DECLARE r int DEFAULT 0;
+             abc: LOOP
+               SET r = r + 1;
+               LEAVE abc;
+             END LOOP;
+             abc: LOOP
+               SET r = r + 1;
+               LEAVE abc;
+             END LOOP;
+             RETURN CAST(r AS bigint);
+           END""")
+    assert(sql("SELECT t_relabel() AS v").collect().head.getLong(0) == 2L)
+    // nested duplicate label: reference "Label already declared in this scope"
+    val e = intercept[SqlParseException] {
+      sql("""CREATE OR REPLACE FUNCTION t_nestlabel() RETURNS bigint
+             BEGIN
+               abc: LOOP
+                 abc: LOOP
+                   LEAVE abc;
+                 END LOOP;
+                 LEAVE abc;
+               END LOOP;
+               RETURN 0;
+             END""")
+    }
+    assert(e.getMessage.contains("already declared"), e.getMessage)
+  }
+
+  test("multi-name DECLARE shares the type and default; SET on a parameter works") {
+    sql("""CREATE OR REPLACE FUNCTION t_multi(x bigint) RETURNS bigint
+           BEGIN
+             DECLARE a, b bigint DEFAULT 2;
+             SET x = x + a + b;
+             RETURN x;
+           END""")
+    assert(sql("SELECT t_multi(10) AS v").collect().head.getLong(0) == 14L)
+  }
+
   test("routine bodies go through the dialect rewriter (reference spellings)") {
     sql("""CREATE OR REPLACE FUNCTION t_spell(s varchar) RETURNS bigint
            BEGIN
