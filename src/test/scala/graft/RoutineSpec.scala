@@ -275,6 +275,27 @@ class RoutineSpec extends SparkSpec {
     assert(sql("SELECT t_multi(10) AS v").collect().head.getLong(0) == 14L)
   }
 
+  test("inline WITH FUNCTION takes procedural bodies") {
+    val rows = sql(
+      """WITH FUNCTION inline_steps(n bigint)
+         RETURNS bigint
+         BEGIN
+           DECLARE c bigint DEFAULT 0;
+           WHILE n > 1 DO
+             IF n % 2 = 0 THEN
+               SET n = n / 2;
+             ELSE
+               SET n = 3 * n + 1;
+             END IF;
+             SET c = c + 1;
+           END WHILE;
+           RETURN c;
+         END
+         SELECT inline_steps(6) AS a, inline_steps(1) AS b""").collect().head
+    assert(rows.getLong(0) == 8L) // 6→3→10→5→16→8→4→2→1
+    assert(rows.getLong(1) == 0L)
+  }
+
   test("routine bodies go through the dialect rewriter (reference spellings)") {
     sql("""CREATE OR REPLACE FUNCTION t_spell(s varchar) RETURNS bigint
            BEGIN
