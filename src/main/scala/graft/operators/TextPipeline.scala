@@ -156,6 +156,101 @@ object TextPipeline {
       .withColumn("contaminated", $"hit_shingles" > 0)
       .orderBy($"doc_id")
   }
+  /** The composed C4-style corpus pipeline — the end-to-end use case the
+    * individual operators exist for (quality gate → exact dedup →
+    * benchmark decontamination → corpus stats), in ONE statement:
+    *
+    *  1. quality scoring (q_text_quality's length/stopword/TTR heuristics),
+    *     gate at ≥ 0.5;
+    *  2. exact dedup on the normalized text (min doc_id wins);
+    *  3. decontamination: drop survivors sharing an 8-gram with the
+    *     benchmark split (in-row probe of the broadcast hash set — the
+    *     corpus side is never exploded or shuffled on text);
+    *  4. per-language survivor counts + exact-decimal quality mass.
+    *
+    * Plan shape at scale: the quality/norm/probe stages are pure in-row
+    * column kernels over one scan; the only shuffles are the dedup hash
+    * partition on the norm key and the final per-lang aggregate. */
+  def q_text_c4_pipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{arraySetCountDistinct, shingleHashSeq}
+    val stop = Seq("the", "a", "of", "and", "to")
+    val docs = table(s, dir, "documents")
+    val benchSet: Array[Long] = docs.filter($"doc_id" % 50 === 0)
+      .select(explode(shingleHashSeq(split($"text", " "), Gram)).as("sh"))
+      .distinct().as[Long].collect().sorted
+    val scored = docs.filter($"doc_id" % 50 =!= 0)
+      .withColumn("toks", split(lower($"text"), " "))
+      .withColumn("n_tokens", size($"toks").cast("double"))
+      .withColumn("stop_hits",
+        size(filter($"toks", t => t.isin(stop: _*))).cast("double"))
+      .withColumn("ttr",
+        size(array_distinct($"toks")).cast("double") / $"n_tokens")
+      .withColumn("len_score",
+        when($"n_tokens" >= 20 && $"n_tokens" <= 200, 1.0d)
+          .otherwise(when($"n_tokens" < 20, $"n_tokens" / 20.0)
+            .otherwise(lit(200.0) / $"n_tokens")))
+      .withColumn("stop_score", least($"stop_hits" / $"n_tokens" / 0.05, lit(1.0d)))
+      .withColumn("quality", round(($"len_score" + $"stop_score" + $"ttr") / 3.0, 6))
+      .filter($"quality" >= 0.5)
+    val deduped = scored
+      .withColumn("norm", regexp_replace(lower($"text"), "\\s+", " "))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"norm").orderBy($"doc_id")))
+      .filter($"rn" === 1)
+    deduped
+      .filter(arraySetCountDistinct(
+        shingleHashSeq(split($"text", " "), Gram), benchSet) === 0)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        // exact decimal sum (order-independent), double only at the edge
+        sum($"quality".cast(org.apache.spark.sql.types.DecimalType(14, 6)))
+          .cast("double").as("quality_mass"))
+      .orderBy($"lang")
+  }
+  val qTextC4PipelineSql: String =
+    s"""WITH corpus AS (
+         SELECT doc_id, lang, text, string_split(lower(text), ' ') AS toks
+         FROM documents WHERE doc_id % 50 <> 0),
+       m AS (
+         SELECT doc_id, lang, text,
+           CAST(len(toks) AS DOUBLE) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS stop_hits,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+         FROM corpus),
+       sc AS (
+         SELECT doc_id, lang, text,
+           round((CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN 1.0
+                       WHEN n_tokens < 20 THEN n_tokens / 20.0
+                       ELSE 200.0 / n_tokens END
+                  + least(stop_hits / n_tokens / 0.05, 1.0) + ttr) / 3.0, 6) AS quality
+         FROM m),
+       gated AS (SELECT * FROM sc WHERE quality >= 0.5),
+       deduped AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY regexp_replace(lower(text), '\\s+', ' ', 'g')
+             ORDER BY doc_id) AS rn
+           FROM gated) WHERE rn = 1),
+       shing AS (
+         SELECT doc_id, string_split(text, ' ') AS toks,
+                len(string_split(text, ' ')) AS n
+         FROM documents),
+       g AS (
+         SELECT doc_id, array_to_string(toks[i + 1 : i + $Gram], ' ') AS shingle
+         FROM (SELECT doc_id, toks, CAST(unnest(range(0, n - $Gram + 1)) AS INT) AS i
+               FROM shing WHERE n >= $Gram)),
+       bench AS (SELECT DISTINCT shingle FROM g WHERE doc_id % 50 = 0),
+       contaminated AS (
+         SELECT DISTINCT g.doc_id FROM g JOIN bench USING (shingle)
+         WHERE g.doc_id % 50 <> 0)
+       SELECT d.lang, count(*) AS n_docs,
+         CAST(sum(CAST(d.quality AS DECIMAL(14,6))) AS DOUBLE) AS quality_mass
+       FROM deduped d
+       WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       GROUP BY d.lang ORDER BY d.lang"""
+
   val qTextContaminationSql: String =
     s"""WITH sh AS (
          SELECT doc_id,
@@ -327,12 +422,14 @@ object TextPipeline {
     "q_text_chunking" -> q_text_chunking _,
     "q_text_pii_scrub" -> q_text_pii_scrub _,
     "q_text_contamination" -> q_text_contamination _,
+    "q_text_c4_pipeline" -> q_text_c4_pipeline _,
     "q_text_repetition" -> q_text_repetition _,
     "q_dedup_substring_spans" -> q_dedup_substring_spans _)
   val oracles: Map[String, String] = Map(
     "q_text_chunking" -> qTextChunkingSql,
     "q_text_pii_scrub" -> qTextPiiScrubSql,
     "q_text_contamination" -> qTextContaminationSql,
+    "q_text_c4_pipeline" -> qTextC4PipelineSql,
     "q_text_repetition" -> qTextRepetitionSql,
     "q_dedup_substring_spans" -> qDedupSubstringSpansSql)
 }
