@@ -875,20 +875,27 @@ private[graft] object Statements {
       throw new SqlParseException(s"SHOW $other is not supported")
 
     case DescribeStmt(name, like, esc) =>
-      val (schema, comments) = lookupKey(name) match {
+      val (schema, comments, partCols) = lookupKey(name) match {
         case Some(key) =>
           (spark.table(viewNameOf(key)).schema,
-            tableMeta.get(key).map(_.colComments).getOrElse(Map.empty[String, String]))
-        case None => (spark.table(name).schema, Map.empty[String, String])
+            tableMeta.get(key).map(_.colComments).getOrElse(Map.empty[String, String]),
+            tables.get(key).map(root => graft.catalog.CowTable
+              .open(spark, root).partitioning.map(_.toLowerCase).toSet)
+              .getOrElse(Set.empty[String]))
+        case None =>
+          (spark.table(name).schema, Map.empty[String, String], Set.empty[String])
       }
       val shown = schema.fields.toSeq.filter(f =>
         like.forall(p => likeMatch(f.name, p, esc)))
       spark.createDataFrame(
         java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(
           shown.map(f => Row(f.name, f.dataType.simpleString,
+            // reference ShowQueriesRewrite "Extra": partition keys marked
+            if (partCols(f.name.toLowerCase)) "partition key" else "",
             comments.getOrElse(f.name.toLowerCase, "")))).asJava),
         StructType(Seq(StructField("column", StringType, nullable = false),
           StructField("type", StringType, nullable = false),
+          StructField("extra", StringType, nullable = false),
           StructField("comment", StringType, nullable = false))))
 
     case CreateTableCols(name, ifNotExists, elements, comment, props) =>

@@ -89,7 +89,7 @@ class StatementSpec extends SparkSpec {
     sql("COMMENT ON TABLE st_c IS 'a test table'")
     sql("COMMENT ON COLUMN st_c.id IS 'the key'")
     val desc = sql("DESCRIBE st_c").collect()
-      .map(r => r.getString(0) -> r.getString(2)).toMap
+      .map(r => r.getString(0) -> r.getString(3)).toMap
     assert(desc("id") == "the key" && desc("v") == "")
     val ddl = sql("SHOW CREATE TABLE st_c").collect().map(_.getString(0)).mkString("\n")
     assert(ddl.contains("CREATE TABLE st_c"))
@@ -98,7 +98,7 @@ class StatementSpec extends SparkSpec {
     assert(ddl.contains("COMMENT 'a test table'"))
     sql("COMMENT ON COLUMN st_c.id IS NULL")
     assert(sql("DESCRIBE st_c").collect()
-      .map(r => r.getString(0) -> r.getString(2)).toMap.apply("id") == "")
+      .map(r => r.getString(0) -> r.getString(3)).toMap.apply("id") == "")
     sql("DROP TABLE st_c")
   }
 
@@ -694,6 +694,11 @@ class StatementSpec extends SparkSpec {
     sql("INSERT INTO st_pt VALUES (100, 2)")
     sql("INSERT INTO st_pt VALUES (101, 2)")
     sql("INSERT INTO st_pt VALUES (102, 4)")
+    // DESCRIBE marks partition keys in the Extra column (reference
+    // ShowQueriesRewrite extra_info)
+    val extras = sql("DESCRIBE st_pt").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(extras("r") == "partition key" && extras("k") == "", extras)
     val before = sql("SELECT count(*) AS n FROM st_pt").head().getLong(0)
     val compacted = sql("ALTER TABLE st_pt EXECUTE optimize WHERE r = 2")
       .head().getLong(0)
