@@ -291,5 +291,15 @@ class PlanShapeSpec extends SparkSpec {
     val bernPlan = physicalPlan(operators.Sampling.q_sample_hash_bernoulli(spark, sfDir))
     assert(countOf(bernPlan, "Exchange hashpartitioning") == 0,
       s"hash-Bernoulli sampling must be map-only:\n$bernPlan")
+    // the composed C4 pipeline: quality/norm/probe are in-row; exactly TWO
+    // hash exchanges total — the dedup norm key and the per-lang aggregate
+    val c4Plan = physicalPlan(operators.TextPipeline.q_text_c4_pipeline(spark, sfDir))
+    assert(countOf(c4Plan, "Exchange hashpartitioning") == 2,
+      s"C4 pipeline should shuffle exactly twice (dedup key + final agg):\n$c4Plan")
+    assert(!c4Plan.contains("Join"), s"C4 pipeline must not join:\n$c4Plan")
+    // URL canonicalization: in-row kernels + ONE aggregate exchange
+    val urlPlan = physicalPlan(operators.TextAnalysis.q_text_url_canonical(spark, sfDir))
+    assert(countOf(urlPlan, "Exchange hashpartitioning") == 1,
+      s"URL dedup should shuffle once on the canonical key:\n$urlPlan")
   }
 }
