@@ -529,11 +529,16 @@ object Registry {
     r.createOrReplaceTempFunction("url_extract_parameter",
       es => ParseUrl(Seq(es(0), Literal("QUERY"), es(1))), "built-in")
     // UrlFunctions.java url_extract_port: Spark's parse_url has no PORT
-    // part — take it from the authority ("" on no match casts to NULL,
-    // matching the reference's null-when-absent)
+    // part — take it from the authority. RegExpExtract yields '' on no
+    // match, and under ANSI mode (this session's default) CAST('' AS
+    // BIGINT) THROWS — so the '' is NullIf'd away first, giving the
+    // reference's null-when-absent. The authority regex skips an optional
+    // userinfo (user:pass@ — its ':' is not a port) and accepts bracketed
+    // IPv6 hosts ([::1]:8080). (ADVICE r14.)
     r.createOrReplaceTempFunction("url_extract_port", es =>
-      Cast(RegExpExtract(es(0),
-        Literal("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:([0-9]+)"), Literal(1)),
+      Cast(new NullIf(RegExpExtract(es(0),
+        Literal("^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(?:\\[[^\\]]*\\]|[^/:?#]+):([0-9]+)"),
+        Literal(1)), Literal("")),
         LongType), "built-in")
     // (Trino 3-arg date_add/date_diff live in the SQL front door, not here:
     // Spark's PARSER owns those names via its timestampadd grammar rule, so

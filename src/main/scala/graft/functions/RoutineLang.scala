@@ -39,9 +39,16 @@ import graft.sqlx.{SqlLexer, SqlParseException, TrinoDialect}
   *  - `WHILE`/`REPEAT` conditions treat NULL as false (SQL three-valued
   *    predicates in a control position).
   *  - `ITERATE l` / `LEAVE l` target the innermost enclosing loop labeled
-  *    `l`; an unmatched label is a CREATE-time error.
+  *    `l`; an unmatched label is a CREATE-time error. A labeled
+  *    `BEGIN … END` block is a LEAVE-only target (SqlRoutineCompiler
+  *    visitBlock registers labels on compounds); ITERATE against a block
+  *    label is rejected at CREATE.
   *  - Duplicate variable names (including parameter shadowing) are rejected
   *    at CREATE time, as in SqlRoutineAnalyzer.
+  *  - The body must end in a RETURN statement — SqlRoutineAnalyzer
+  *    validateReturn's shape-based check (the last statement of the body
+  *    compound must literally be RETURN), enforced at CREATE with the
+  *    reference's MISSING_RETURN message.
   *
   * Divergence (documented): runaway loops raise after
   * `graft.routine.maxSteps` iterations (default 10M) instead of running
@@ -60,7 +67,8 @@ object RoutineLang {
   final case class RLeave(label: String) extends RStmt
   final case class RDecl(names: Seq[String], tpe: String,
       default: Option[String])
-  final case class RCompound(decls: Seq[RDecl], body: Seq[RStmt]) extends RStmt
+  final case class RCompound(label: Option[String], decls: Seq[RDecl],
+      body: Seq[RStmt]) extends RStmt
   final case class RLoop(label: Option[String], body: Seq[RStmt]) extends RStmt
   final case class RWhile(label: Option[String], cond: String,
       body: Seq[RStmt]) extends RStmt
@@ -134,15 +142,19 @@ object RoutineLang {
       if (!peek.isOp(";")) err("expected ';'") else p += 1
 
     def parseStatement(): RStmt = {
-      // label: LOOP|WHILE|REPEAT
+      // label: LOOP|WHILE|REPEAT|BEGIN (reference SqlRoutineCompiler
+      // visitBlock registers labels on compounds too — a labeled BEGIN is a
+      // LEAVE target; ADVICE r14)
       val label: Option[String] =
         if ((peek.kind == TIdent || peek.kind == TQIdent) && peek2.isOp(":") &&
-            !peek.is("LOOP") && !peek.is("WHILE") && !peek.is("REPEAT")) {
+            !peek.is("LOOP") && !peek.is("WHILE") && !peek.is("REPEAT") &&
+            !peek.is("BEGIN")) {
           val l = next().text; p += 1 // ':'
           Some(l)
         } else None
-      if (label.isDefined && !(peek.is("LOOP") || peek.is("WHILE") || peek.is("REPEAT")))
-        err("label must precede LOOP, WHILE or REPEAT")
+      if (label.isDefined && !(peek.is("LOOP") || peek.is("WHILE") ||
+          peek.is("REPEAT") || peek.is("BEGIN")))
+        err("label must precede BEGIN, LOOP, WHILE or REPEAT")
 
       if (accept("RETURN")) RReturn(exprUntil(Set(";")))
       else if (accept("SET")) {
@@ -193,7 +205,7 @@ object RoutineLang {
         val body =
           if (peek.is("END")) Nil else parseList(Set("END"))
         expectKw("END")
-        RCompound(decls.result(), body)
+        RCompound(label, decls.result(), body)
       } else if (accept("LOOP")) {
         val body = parseList(Set("END"))
         expectKw("END"); expectKw("LOOP")
@@ -304,7 +316,7 @@ object RoutineLang {
     }
     params.foreach { case (n, t) => add(n, t) }
     def walk(s: RStmt): Unit = s match {
-      case RCompound(decls, b) =>
+      case RCompound(_, decls, b) =>
         decls.foreach(d => d.names.foreach(n => add(n, d.tpe)))
         b.foreach(walk)
       case RIf(bs, e) => bs.foreach(_._2.foreach(walk)); e.foreach(_.foreach(walk))
@@ -319,24 +331,53 @@ object RoutineLang {
 
   private def hasLoop(s: RStmt): Boolean = s match {
     case _: RLoop | _: RWhile | _: RRepeat => true
-    case RCompound(_, b) => b.exists(hasLoop)
+    // a LABELED compound is a LEAVE target — a control transfer the
+    // straight-line CPS tier cannot express, so it routes to the
+    // interpreter alongside loops
+    case RCompound(Some(_), _, b) => true
+    case RCompound(_, _, b) => b.exists(hasLoop)
     case RIf(bs, e) => bs.exists(_._2.exists(hasLoop)) || e.exists(_.exists(hasLoop))
     case _ => false
   }
 
-  /** Validate ITERATE/LEAVE labels against enclosing loop labels. */
-  private def checkLabels(s: RStmt, enclosing: Set[String]): Unit = s match {
-    case RIterate(l) if !enclosing.contains(l.toLowerCase) =>
+  /** Reference SqlRoutineAnalyzer.validateReturn (CREATE-time, ADVICE r14):
+    * the body must BE a RETURN, or be a compound whose LAST statement is a
+    * RETURN — deliberately non-recursive and shape-based, exactly like the
+    * reference: an IF/CASE/LOOP as the final statement is rejected even
+    * when every runtime path through it returns. */
+  private def validateReturn(body: RStmt): Unit = body match {
+    case _: RReturn =>
+    case RCompound(_, _, b) if b.lastOption.exists(_.isInstanceOf[RReturn]) =>
+    case _ => throw new SqlParseException(
+      "Function must end in a RETURN statement")
+  }
+
+  /** Validate ITERATE/LEAVE labels against enclosing labels. Loop labels
+    * take both; a labeled BEGIN block is a LEAVE-only target (ITERATE
+    * needs a loop-top to continue to — re-entering a block would re-run it
+    * unconditionally). */
+  private def checkLabels(s: RStmt, loops: Set[String],
+      blocks: Set[String]): Unit = s match {
+    case RIterate(l) if blocks.contains(l.toLowerCase) =>
+      throw new SqlParseException(
+        s"ITERATE $l: label names a BEGIN block (only LEAVE may target it)")
+    case RIterate(l) if !loops.contains(l.toLowerCase) =>
       throw new SqlParseException(s"ITERATE $l: no enclosing loop labeled $l")
-    case RLeave(l) if !enclosing.contains(l.toLowerCase) =>
+    case RLeave(l) if !loops.contains(l.toLowerCase) &&
+        !blocks.contains(l.toLowerCase) =>
       throw new SqlParseException(s"LEAVE $l: no enclosing loop labeled $l")
-    case RCompound(_, b) => b.foreach(checkLabels(_, enclosing))
+    case RCompound(l, _, b) =>
+      l.map(_.toLowerCase).foreach { x =>
+        if (loops.contains(x) || blocks.contains(x))
+          throw new SqlParseException(s"Label already declared in this scope: $x")
+      }
+      b.foreach(checkLabels(_, loops, blocks ++ l.map(_.toLowerCase)))
     case RIf(bs, e) =>
-      bs.foreach(_._2.foreach(checkLabels(_, enclosing)))
-      e.foreach(_.foreach(checkLabels(_, enclosing)))
-    case RLoop(l, b) => enterLoop(l, b, enclosing)
-    case RWhile(l, _, b) => enterLoop(l, b, enclosing)
-    case RRepeat(l, b, _) => enterLoop(l, b, enclosing)
+      bs.foreach(_._2.foreach(checkLabels(_, loops, blocks)))
+      e.foreach(_.foreach(checkLabels(_, loops, blocks)))
+    case RLoop(l, b) => enterLoop(l, b, loops, blocks)
+    case RWhile(l, _, b) => enterLoop(l, b, loops, blocks)
+    case RRepeat(l, b, _) => enterLoop(l, b, loops, blocks)
     case _ =>
   }
 
@@ -344,12 +385,12 @@ object RoutineLang {
     * (reference SqlRoutineAnalyzer "Label already declared in this
     * scope"). */
   private def enterLoop(l: Option[String], body: Seq[RStmt],
-      enclosing: Set[String]): Unit = {
+      loops: Set[String], blocks: Set[String]): Unit = {
     l.map(_.toLowerCase).foreach { x =>
-      if (enclosing.contains(x))
+      if (loops.contains(x) || blocks.contains(x))
         throw new SqlParseException(s"Label already declared in this scope: $x")
     }
-    body.foreach(checkLabels(_, enclosing ++ l.map(_.toLowerCase)))
+    body.foreach(checkLabels(_, loops ++ l.map(_.toLowerCase), blocks))
   }
 
   // --------------------------------------------- loop-free → one expression
@@ -402,7 +443,7 @@ object RoutineLang {
       }.mkString(" ")
       val elseSql = els.map(branchSql).orElse(restC).getOrElse(offEnd)
       Some(s"CASE $whens ELSE $elseSql END")
-    case RCompound(decls, body) :: rest =>
+    case RCompound(None, decls, body) :: rest =>
       val env2 = decls.foldLeft(env) { (e, d) =>
         val ddl = sparkTypeDdl(d.tpe)
         d.names.foldLeft(e) { (e2, n) =>
@@ -413,7 +454,8 @@ object RoutineLang {
         }
       }
       comp(body.toList ::: rest, env2, types, retDdl, cont)
-    case (_: RIterate | _: RLeave | _: RLoop | _: RWhile | _: RRepeat) :: _ =>
+    case (_: RIterate | _: RLeave | _: RLoop | _: RWhile | _: RRepeat |
+          RCompound(Some(_), _, _)) :: _ =>
       throw new IllegalStateException("loop construct on the compiled path")
   }
 
@@ -580,7 +622,11 @@ object RoutineLang {
           j += 1
         }
       }
-      try { exec(program); null } // fell off the end → NULL (analyzer warns)
+      // Falling off the end yields NULL. validateReturn guarantees the
+      // LAST statement is a RETURN, so this is reachable only via a LEAVE
+      // that jumps past it (e.g. `a: BEGIN LEAVE a; RETURN 1; END`) — the
+      // same residual hole the reference's shape-based check leaves open.
+      try { exec(program); null }
       catch { case r: ReturnSignal => outConv(r.value) }
     }
   }
@@ -608,12 +654,23 @@ object RoutineLang {
           .getOrElse(Array.empty)))
       case RIterate(l) => Seq(IIterate(l.toLowerCase))
       case RLeave(l) => Seq(ILeave(l.toLowerCase))
-      case RCompound(decls, b) =>
+      case RCompound(lbl, decls, b) =>
         val inits = decls.flatMap(d => d.names.map { n =>
           val slot = slotOf(n.toLowerCase)
           IInit(slot, d.default.map(x => expr(x, Some(vars(slot).ddl))))
         })
-        inits ++ lower(spark, vars, slotOf, b, retDdl, loopIds)
+        val lowered = lower(spark, vars, slotOf, b, retDdl, loopIds)
+        lbl match {
+          // labeled block: a once-through ILoop whose after-body condition
+          // is constant TRUE (REPEAT … UNTIL true) — LEAVE label exits it,
+          // fall-through runs it exactly once; ITERATE is rejected at
+          // CREATE (checkLabels), so the no-recheck ITERATE path of ILoop
+          // is unreachable here
+          case Some(l) =>
+            inits :+ ILoop(l.toLowerCase, Array.empty,
+              Some(cond("true")), condFirst = false, lowered)
+          case None => inits ++ lowered
+        }
       case RLoop(l, b) =>
         val label = l.map(_.toLowerCase).getOrElse(s"#loop${loopIds.getAndIncrement()}")
         Seq(ILoop(label, Array.empty, None, condFirst = false,
@@ -634,7 +691,8 @@ object RoutineLang {
   def register(spark: SparkSession, name: String,
       params: Seq[(String, String)], retType: String, bodyText: String): Unit = {
     val body = new BodyParser(bodyText).parse()
-    checkLabels(body, Set.empty)
+    validateReturn(body)
+    checkLabels(body, Set.empty, Set.empty)
     val vars = collectVars(params, body)
 
     if (!hasLoop(body)) {

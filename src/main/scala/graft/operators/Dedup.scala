@@ -25,8 +25,9 @@ import graft.functions.TextFunctions._
   *     collides in many of its bands, and scoring each collision separately
   *     turns an O(pairs) kernel into O(pairs·bands).
   *  3. Signatures are materialized once per invocation (`materialized` =
-  *     LAZY localCheckpoint — blocks compute inside the first consuming job,
-  *     no separate materialization job): they're consumed by the bucket
+  *     lazy Dataset persist + unpersist-registry, lineage intact — blocks
+  *     compute inside the first consuming job, no separate materialization
+  *     job): they're consumed by the bucket
   *     build and by the two sides of the scoring join (at cluster scale this
   *     is the standard materialize-signatures step). Every invocation pays
   *     the signature computation — no state survives the query, so a
@@ -46,14 +47,27 @@ object Dedup {
     table(s, dir, "documents").repartition(n, $"doc_id")
   }
 
-  /** Exact dedup on normalized text: keep first doc_id per group, report group size. */
+  /** Exact dedup on normalized text: keep first doc_id per group, report group size.
+    *
+    * Shuffle-key spelling (round-14 verdict #5): the ONE exchange routes on
+    * `xxhash64(norm)` — 8 bytes hashed per row instead of the full document
+    * text — via an explicit repartition; the window then clusters on
+    * `(h, norm)`, which Spark satisfies with the EXISTING hashpartitioning(h)
+    * (HashPartitioning on a subset of the clustering keys — no second
+    * exchange; PlanShapeSpec pins it). `norm` stays in the row as payload
+    * and is compared only between hash-equal neighbors during the
+    * within-partition sort (the 8-byte `h` prefix decides everything else),
+    * so the dedup stays EXACT — a 2⁻⁶⁴ collision costs a comparison, never
+    * a wrong answer. */
   def q_dedup_exact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"norm").orderBy($"doc_id")
+    val w = Window.partitionBy($"h", $"norm").orderBy($"doc_id")
     table(s, dir, "documents")
       .withColumn("norm", regexp_replace(lower($"text"), "\\s+", " "))
+      .withColumn("h", xxhash64($"norm"))
+      .repartition($"h")
       .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("dups", count(lit(1)).over(Window.partitionBy($"norm")))
+      .withColumn("dups", count(lit(1)).over(Window.partitionBy($"h", $"norm")))
       .filter($"rn" === 1)
       .select($"doc_id", $"lang", $"dups")
       .orderBy($"doc_id")

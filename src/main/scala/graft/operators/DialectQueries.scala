@@ -727,8 +727,8 @@ object Dialect {
            CASE status
              WHEN 'F' THEN RETURN t || ':closed';
              WHEN 'O' THEN RETURN t || ':open';
-             ELSE RETURN t || ':other';
            END CASE;
+           RETURN t || ':other';
          END""")
     TrinoDialect.sql(s, dir,
       """SELECT o_orderkey, order_tier(o_totalprice, o_orderstatus) AS tier

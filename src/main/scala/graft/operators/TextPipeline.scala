@@ -193,11 +193,16 @@ object TextPipeline {
       .withColumn("stop_score", least($"stop_hits" / $"n_tokens" / 0.05, lit(1.0d)))
       .withColumn("quality", round(($"len_score" + $"stop_score" + $"ttr") / 3.0, 6))
       .filter($"quality" >= 0.5)
+    // dedup exchange routes on xxhash64(norm) — 8-byte key, full text only
+    // as payload for hash-equal tie-verify (round-14 verdict #5; same
+    // spelling as Dedup.q_dedup_exact, still exactly one exchange here)
     val deduped = scored
       .withColumn("norm", regexp_replace(lower($"text"), "\\s+", " "))
+      .withColumn("hnorm", xxhash64($"norm"))
+      .repartition($"hnorm")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy($"norm").orderBy($"doc_id")))
+          .partitionBy($"hnorm", $"norm").orderBy($"doc_id")))
       .filter($"rn" === 1)
     deduped
       .filter(arraySetCountDistinct(

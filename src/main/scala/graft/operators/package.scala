@@ -26,38 +26,41 @@ package object operators {
     graft.sources.Tables.load(spark, dir, name)
 
   /** Materialize an intermediate exactly once PER INVOCATION, lazily, with
-    * lineage INTACT. The plan's InternalRow RDD is persisted
-    * (MEMORY_AND_DISK) and wrapped back into a DataFrame:
+    * lineage INTACT: `Dataset.persist(MEMORY_AND_DISK)` plus an
+    * unpersist-registry that evicts the PREVIOUS invocation's blocks.
     *
-    *  - LAZY: blocks compute inside the first consuming job — no separate
-    *    materialization job (round-13 verdict: four eager localCheckpoints
-    *    serialized four extra jobs, ~0.25 s scheduling floor apiece at
-    *    sf0.1, in front of q_dedup_ngram); all downstream consumers of the
-    *    returned frame (LSH signatures feed the bucket build AND both sides
-    *    of the rescoring join) then read the persisted blocks.
-    *  - NOT Dataset.persist(): that registers the plan in the
-    *    session-global CacheManager, whose CANONICALIZED-plan matching
-    *    would let the NEXT invocation of the same query silently reuse this
-    *    invocation's blocks — the cross-invocation benchmark flattery
-    *    round 12 removed (and the exact defect that contaminated
-    *    tools/DistinctBench until round 14, see BASELINE.md). RDD-level
-    *    persistence is scoped to this invocation's RDD object only, and the
-    *    ContextCleaner releases the blocks once it is unreferenced.
+    *  - LAZY persist: blocks compute inside the first consuming job — no
+    *    separate materialization job (round-13 verdict: four eager
+    *    localCheckpoints serialized four extra jobs, ~0.25 s scheduling
+    *    floor apiece at sf0.1, in front of q_dedup_ngram); all downstream
+    *    consumers of the returned frame (e.g. LSH signatures feed the
+    *    bucket build AND both sides of the rescoring join) then read the
+    *    persisted blocks. Columnar, compressed, codegen-scannable — beat
+    *    an RDD[InternalRow].map(_.copy()) persist by 1.4-2× in the
+    *    round-14 A/B on q_dedup_minhash/_ngram.
+    *  - The registry below makes plain persist HONEST: Dataset.persist
+    *    registers the plan in the session-global CacheManager, whose
+    *    CANONICALIZED-plan matching would otherwise let the NEXT
+    *    invocation of the same query silently ride on this invocation's
+    *    blocks (the cross-invocation benchmark flattery round 12 removed,
+    *    and the exact defect that contaminated tools/DistinctBench until
+    *    round 14 — see BASELINE.md). `materialized` unpersists the prior
+    *    handle for the same canonicalized plan BEFORE re-persisting, so
+    *    repeated runs (bench passes, server sessions) always pay full
+    *    computation while one invocation's multiple consumers still share
+    *    one computation.
     *  - NOT localCheckpoint: its blocks are non-replayable — on a real
     *    cluster, losing one executor mid-query kills the query instead of
     *    recomputing lineage (round-13 verdict's one remaining 100-TB
-    *    caveat). Persisting the RDD keeps lineage, so a lost block
-    *    recomputes from the original scan like any other Spark failure.
+    *    caveat, resolved by this spelling). persist keeps lineage, so a
+    *    lost block recomputes from the original scan like any other Spark
+    *    failure.
     *
     * The connected-components loop (Dedup.scala) keeps EAGER localCheckpoint
     * deliberately: there lineage TRUNCATION is the point (each iteration's
     * plan would otherwise nest all previous ones), and its fixpoint check
-    * consumes the blocks immediately anyway. */
-  /** Previous invocations' persisted intermediates, keyed by canonicalized
-    * plan: the NEXT invocation of the same query unpersists the old blocks
-    * BEFORE re-persisting, so repeated runs (bench passes, server sessions)
-    * always pay full computation — no cross-invocation flattery — while a
-    * single invocation's multiple consumers still share one computation.
+    * consumes the blocks immediately anyway.
+    *
     * Bounded: at most one working set per distinct intermediate lingers
     * until the query runs again or the session ends. */
   private val liveHandles =

@@ -111,13 +111,16 @@ private[graft] object SqlFrontend {
     case _ => None
   }
 
+  /** One-level structural map over a window spec's child expressions. */
+  private def mapWindow(w: WindowSpec, f: Expr => Expr): WindowSpec =
+    WindowSpec(w.partitionBy.map(f),
+      w.orderBy.map(s => SortItem(f(s.e), s.dir, s.nulls)), w.frameRaw, w.ref)
+
   /** One-level structural map over expression children. */
   private def mapChildren(e: Expr, f: Expr => Expr): Expr = e match {
     case Fn(n, args, d, over) =>
-      Fn(n, args.map(f), d, over.map(w =>
-        WindowSpec(w.partitionBy.map(f),
-          w.orderBy.map(s => SortItem(f(s.e), s.dir, s.nulls)), w.frameRaw,
-          w.ref)))
+      Fn(n, args.map(f), d, over.map(mapWindow(_, f)))
+    case FilterOver(agg, c, w) => FilterOver(f(agg), f(c), mapWindow(w, f))
     case ListAggExpr(d, v, sep, tr, fil, wc, ob) =>
       ListAggExpr(d, f(v), sep, tr, fil, wc,
         ob.map(s => SortItem(f(s.e), s.dir, s.nulls)))
@@ -153,7 +156,9 @@ private[graft] object SqlFrontend {
         groupBy = s.groupBy.map(g =>
           GroupBy(g.kind, g.exprs.map(rewriteExpr), g.sets.map(_.map(rewriteExpr)))),
         having = s.having.map(rewriteExpr),
-        orderBy = s.orderBy.map(si => SortItem(rewriteExpr(si.e), si.dir, si.nulls)))
+        orderBy = s.orderBy.map(si => SortItem(rewriteExpr(si.e), si.dir, si.nulls)),
+        // named WINDOW definitions carry expressions too (ADVICE r14)
+        windows = s.windows.map { case (n, w) => (n, mapWindow(w, rewriteExpr)) })
     case SetOpQ(op, all, l, r) => SetOpQ(op, all, rewriteQuery(l), rewriteQuery(r))
     case WithQ(ctes, body) =>
       WithQ(ctes.map { case (n, cq) => (n, rewriteQuery(cq)) }, rewriteQuery(body))
@@ -180,7 +185,9 @@ private[graft] object SqlFrontend {
       items = s.items.map(i => SelectItem(planExpr(spark, dir, i.e), i.alias)),
       from = s.from.map(planRel(spark, dir, _)),
       where = s.where.map(planExpr(spark, dir, _)),
-      having = s.having.map(planExpr(spark, dir, _)))
+      having = s.having.map(planExpr(spark, dir, _)),
+      windows = s.windows.map { case (n, w) =>
+        (n, mapWindow(w, planExpr(spark, dir, _))) })
     case SetOpQ(op, all, l, r) =>
       SetOpQ(op, all, planQuery(spark, dir, l), planQuery(spark, dir, r))
     case WithQ(ctes, body) =>
@@ -545,6 +552,12 @@ private[graft] object SqlFrontend {
         case WindowSpec(_, _, _, Some(ref)) => s" OVER $ref" // named window
         case w => " OVER (" + renderWindow(w) + ")"
       }.getOrElse("")
+    case FilterOver(agg, c, w) =>
+      val overSql = w.ref match {
+        case Some(ref) => s" OVER $ref"
+        case None => " OVER (" + renderWindow(w) + ")"
+      }
+      s"${renderExpr(agg)} FILTER (WHERE ${renderExpr(c)})$overSql"
     case Lambda(ps, body) =>
       if (ps.length == 1) s"${ps.head} -> ${renderExpr(body)}"
       else s"(${ps.mkString(", ")}) -> ${renderExpr(body)}"

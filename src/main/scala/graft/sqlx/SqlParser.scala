@@ -37,6 +37,11 @@ object SqlAst {
     * placeholders for the child expressions, so rewrites still reach the
     * children. */
   final case class SpecialForm(template: String, args: Seq[Expr]) extends Expr
+  /** `agg FILTER (WHERE cond) OVER w` — kept STRUCTURED (not pre-rendered)
+    * so the dialect rewrite/planning passes reach the window spec's
+    * partition/order expressions like any other child (ADVICE r14). */
+  final case class FilterOver(agg: Expr, cond: Expr, over: WindowSpec)
+      extends Expr
 
   /** LISTAGG(… ON OVERFLOW …) WITHIN GROUP (ORDER BY …) (SqlBase.g4 :637).
     * Overflow clauses are accepted and recorded; Spark strings carry no
@@ -1699,24 +1704,8 @@ final class SqlParser(src: String) {
       case Some(c) if over.isEmpty =>
         SpecialForm("{0} FILTER (WHERE {1})", Seq(fn, c))
       case Some(c) => // agg FILTER (WHERE …) OVER (…): filter binds first
-        SpecialForm("{0} FILTER (WHERE {1}) OVER (" +
-          renderOverForFilter(over.get) + ")", Seq(Fn(name, args, distinct, None), c))
+        FilterOver(Fn(name, args, distinct, None), c, over.get)
     }
-  }
-
-  /** Static render of an OVER spec for the FILTER+OVER combination (the
-    * window itself carries no child expressions needing rewrite passes in
-    * this position — partition/order entries are re-parsed by Spark). */
-  private def renderOverForFilter(w: WindowSpec): String = w.ref match {
-    case Some(r) => r
-    case None =>
-      val pb = if (w.partitionBy.isEmpty) ""
-        else "PARTITION BY " + w.partitionBy.map(SqlFrontend.renderExpr).mkString(", ")
-      val ob = if (w.orderBy.isEmpty) ""
-        else " ORDER BY " + w.orderBy.map(s =>
-          SqlFrontend.renderExpr(s.e) + s.dir.map(" " + _).getOrElse("") +
-            s.nulls.map(" NULLS " + _).getOrElse("")).mkString(", ")
-      (pb + ob + w.frameRaw.map(" " + _).getOrElse("")).trim
   }
 
   /** LISTAGG '(' DISTINCT? expr (, sep)? (ON OVERFLOW ERROR | ON OVERFLOW

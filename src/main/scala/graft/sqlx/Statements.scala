@@ -972,10 +972,16 @@ private[graft] object Statements {
       oneRow(spark, "rows", 0L)
 
     case DropFunctionStmt(name, ifExists) =>
+      // Only routines recorded at CREATE FUNCTION time are droppable. A bare
+      // catalog.functionExists check would also match the dialect registry's
+      // temp-registered BUILT-INS (strpos, format, …) and dropping one breaks
+      // every later query in the session — the reference likewise refuses
+      // ("Cannot drop a builtin function", FunctionManager). (ADVICE r14.)
       val lower = name.toLowerCase
-      val known = graft.functions.SqlRoutines.definitionOf(lower).isDefined ||
-        spark.catalog.functionExists(lower)
-      if (!known) {
+      if (graft.functions.SqlRoutines.definitionOf(lower).isEmpty) {
+        if (spark.catalog.functionExists(lower))
+          throw new IllegalArgumentException(
+            s"cannot drop system function '$name'")
         if (ifExists) return oneRow(spark, "rows", 0L)
         throw new IllegalArgumentException(s"function '$name' does not exist")
       }

@@ -48,8 +48,8 @@ object DocStreams {
         concat_ws(" ", slice(col("toks"), col("chunk_id") * stride + 1, lit(size)))
           .as("chunk_text"))
 
-  /** Streaming exact dedup at ingest: the batch q_dedup_exact
-    * normalization key (whitespace-collapsed lowercase text), deduplicated
+  /** Streaming dedup at ingest on `xxhash64` of the batch q_dedup_exact
+    * NORMALIZATION (whitespace-collapsed lowercase text), deduplicated
     * across the stream with WATERMARK-BOUNDED state
     * (`dropDuplicatesWithinWatermark`) — the near-line dedup a crawl
     * pipeline runs before the periodic minhash batch. Unlike plain
@@ -57,7 +57,18 @@ object DocStreams {
     * the watermark horizon are evicted, so the operator runs indefinitely
     * at any ingest rate; duplicates farther apart than the horizon are
     * left for the batch pass (the standard lambda split). `eventTime`
-    * names the stream's time column. */
+    * names the stream's time column.
+    *
+    * Exactness delta vs the batch twin (round-14 verdict #6, a deliberate
+    * trade): state is keyed on the 8-byte `xxhash64(norm)`, NOT the norm
+    * string — state stores bound 8 bytes/doc instead of a full document,
+    * which is what lets the operator hold the whole watermark horizon in
+    * state at crawl rates. The cost is a 2⁻⁶⁴-per-pair hash collision
+    * DROPPING a unique document with no rescue (the batch q_dedup_exact
+    * keeps `norm` in the row and tie-verifies, so it has no such loss
+    * mode). At 10⁹ docs/horizon the expected loss is ~0.03 docs; the
+    * periodic batch pass is the backstop. DocStreamsSpec reconciles the
+    * two twins and notes the delta. */
   def dedupExact(docs: DataFrame, eventTime: String,
       delay: String = "10 minutes"): DataFrame =
     docs

@@ -105,19 +105,65 @@ class RoutineSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), s"expected inlined expression, got:\n$plan")
   }
 
-  test("simple CASE statement compares by equality; falls off the end → NULL") {
+  test("simple CASE statement compares by equality; no-match falls through") {
     sql("""CREATE OR REPLACE FUNCTION t_status(s varchar) RETURNS varchar
            BEGIN
              CASE s
                WHEN 'F' THEN RETURN 'final';
                WHEN 'O' THEN RETURN 'open';
              END CASE;
+             RETURN NULL;
            END""")
     val rows = sql("SELECT t_status('F') AS a, t_status('O') AS b, t_status('P') AS c")
       .collect().head
     assert(rows.getString(0) == "final")
     assert(rows.getString(1) == "open")
-    assert(rows.isNullAt(2)) // no branch matched, no RETURN → NULL
+    assert(rows.isNullAt(2)) // no branch matched → falls through to RETURN NULL
+  }
+
+  test("body not ending in RETURN is rejected at CREATE (reference MISSING_RETURN)") {
+    // reference SqlRoutineAnalyzer.validateReturn: shape-based — the LAST
+    // statement must literally be RETURN, even if every path through a
+    // final CASE/IF returns
+    val e = intercept[Exception] {
+      sql("""CREATE OR REPLACE FUNCTION t_noret(s varchar) RETURNS varchar
+             BEGIN
+               CASE s
+                 WHEN 'F' THEN RETURN 'final';
+                 ELSE RETURN 'other';
+               END CASE;
+             END""")
+    }
+    assert(e.getMessage.contains("Function must end in a RETURN statement"),
+      e.getMessage)
+  }
+
+  test("labeled BEGIN block is a LEAVE target; ITERATE on it is rejected") {
+    // reference SqlRoutineCompiler.visitBlock registers labels on compounds
+    sql("""CREATE OR REPLACE FUNCTION t_blocklbl(n bigint) RETURNS varchar
+           BEGIN
+             DECLARE r varchar DEFAULT 'start';
+             blk: BEGIN
+               IF n < 0 THEN
+                 LEAVE blk;
+               END IF;
+               SET r = 'body';
+             END;
+             RETURN r;
+           END""")
+    val rows = sql("SELECT t_blocklbl(-1) AS a, t_blocklbl(1) AS b").collect().head
+    assert(rows.getString(0) == "start") // LEAVE skipped the SET
+    assert(rows.getString(1) == "body")
+    val e = intercept[Exception] {
+      sql("""CREATE OR REPLACE FUNCTION t_blockiter(n bigint) RETURNS bigint
+             BEGIN
+               blk: BEGIN
+                 ITERATE blk;
+               END;
+               RETURN n;
+             END""")
+    }
+    assert(e.getMessage.contains("only LEAVE may target it"), e.getMessage)
   }
 
   test("DECLARE DEFAULT may reference parameters; SET casts to the declared type") {
