@@ -64,6 +64,85 @@ final class CowTable private (root0: String, spark: SparkSession) {
     else Seq.empty
   }
 
+  /** Hash-bucket layout, fixed at CREATE (reference: plugin/trino-hive
+    * HiveTableProperties.java:54 `bucketed_by`/`bucket_count`/`sorted_by`;
+    * bucketed execution HiveBucketing.java). The Spark-first spelling rides
+    * Spark's NATIVE bucketing end to end:
+    *
+    *  - WRITES go through `bucketBy(count, cols).sortBy(sorted)` (after a
+    *    `repartition(count, cols)` that co-locates each bucket into one
+    *    task, so every write emits exactly one file per populated bucket,
+    *    sorted within) — file names carry the bucket id in Spark's own
+    *    `…_000NN.` convention.
+    *  - Each VERSION is a complete snapshot DIRECTORY `data/v<N>/`:
+    *    rewritten buckets get fresh files, untouched files are HARDLINKED
+    *    from the previous version (a metadata-only carry — no data bytes
+    *    move). The parquet manifest per version remains the format's source
+    *    of truth (time travel, vacuum, branch heads); the directory view
+    *    exists so Spark's directory-scoped bucketed scan sees exactly one
+    *    snapshot. An object-store deployment would drop the directory view
+    *    and serve the same bucket metadata through a DSv2
+    *    KeyGroupedPartitioning report over the manifest — the hardlink is
+    *    the local-FS equivalent at zero copy cost.
+    *  - READS of the current snapshot resolve through a session-catalog
+    *    table (`CLUSTERED BY … INTO n BUCKETS`, re-pointed to the version
+    *    dir at every commit), so `FileSourceScanExec` reports
+    *    `HashPartitioning(cols, n)`: repeated joins/aggregations on the
+    *    bucket key plan ZERO exchanges, and equality filters on the bucket
+    *    key prune to the matching bucket's files before any footer is
+    *    touched. Time-travel reads use the manifest file list (correct,
+    *    not bucket-aware).
+    *
+    * The bucket count is fixed at CREATE — the classic bucketed-table
+    * trade; pick it for the target scale (buckets ≈ cluster cores at the
+    * largest expected snapshot). Combining `bucketed_by` with
+    * `partitioned_by` is not supported yet (documented divergence). */
+  val bucketing: Option[CowTable.BucketSpec0] = {
+    val f = Paths.get(root, "_bucketing")
+    if (!Files.exists(f)) None
+    else {
+      val lines = new String(Files.readAllBytes(f)).split("\n", -1)
+      val sorted = if (lines.length > 2 && lines(2).trim.nonEmpty)
+        lines(2).trim.split(",").toSeq.map(_.trim) else Seq.empty
+      Some(CowTable.BucketSpec0(
+        lines(1).trim.split(",").toSeq.map(_.trim), lines(0).trim.toInt, sorted))
+    }
+  }
+
+  /** Stored schema DDL (written at CREATE) — the catalog registration for
+    * bucketed tables needs an explicit schema even when the first snapshot
+    * is empty. */
+  private def storedSchemaDdl: String =
+    new String(Files.readAllBytes(Paths.get(root, "_table_schema"))).trim
+
+  /** Session-catalog name of the bucketed directory view; derived from the
+    * table root so every session lands on the same entry. */
+  private[catalog] def catalogName: String =
+    "cow_bkt_" + java.lang.Long.toHexString(
+      root.getBytes("UTF-8").foldLeft(1125899906842597L)((h, b) => 31 * h + b) & Long.MaxValue)
+
+  private def versionDir(v: Int): Path = dataDir.resolve(s"v$v")
+
+  /** Register or re-point the catalog table at `dir` (the current
+    * snapshot), then refresh cached listings. */
+  private def syncCatalog(dir: Path): Unit = bucketing.foreach { b =>
+    Files.createDirectories(dir)
+    val name = catalogName
+    if (spark.catalog.tableExists(name)) {
+      spark.sql(s"ALTER TABLE $name SET LOCATION '$dir'")
+      ()
+    } else {
+      val sorted =
+        if (b.sortCols.nonEmpty) s"SORTED BY (${b.sortCols.mkString(", ")}) " else ""
+      spark.sql(
+        s"CREATE TABLE $name (${storedSchemaDdl}) USING PARQUET " +
+          s"CLUSTERED BY (${b.cols.mkString(", ")}) ${sorted}INTO ${b.count} BUCKETS " +
+          s"LOCATION '$dir'")
+      ()
+    }
+    spark.catalog.refreshTable(name)
+  }
+
   /** File-list read that recovers partition columns when partitioned. */
   private def readFiles(files: Seq[String], mergeSchema: Boolean = false): DataFrame = {
     var r = spark.read
@@ -191,6 +270,13 @@ final class CowTable private (root0: String, spark: SparkSession) {
     * distributed footer merge, paid only by callers that evolved the
     * schema — the default read keeps the single-footer fast path. */
   def read(asOfVersion: Option[Int] = None, mergeSchema: Boolean = false): DataFrame = {
+    if (bucketing.isDefined && asOfVersion.isEmpty) {
+      // current snapshot through the catalog entry → bucket-aware scan
+      // (HashPartitioning output + bucket pruning); time travel below
+      // stays a manifest file-list read
+      syncCatalog(versionDir(currentVersion))
+      return spark.table(catalogName)
+    }
     val files = manifestFiles(asOfVersion.getOrElse(currentVersion))
     if (files.isEmpty) spark.emptyDataFrame
     else readFiles(files, mergeSchema)
@@ -412,7 +498,39 @@ final class CowTable private (root0: String, spark: SparkSession) {
     MutationStats(before.count(), affected, carried, v)
   }
 
-  private def writeData(df: DataFrame): Seq[String] = {
+  private def writeData(df: DataFrame): Seq[String] = bucketing match {
+    case Some(b) => stageBucketed(df, b)
+    case None => writePlain(df)
+  }
+
+  /** Stage a bucketed file set (names carry Spark's `…_000NN.` bucket-id
+    * convention; `commit` moves them into the version directory unrenamed).
+    * The pre-write `repartition(count, cols)` uses the SAME Murmur3 hash as
+    * the bucket assignment, so each task holds exactly one bucket and every
+    * write emits at most one (sorted) file per populated bucket. Spark only
+    * exposes bucketed writing through saveAsTable, so the stage goes via a
+    * throwaway external catalog entry — dropped immediately; the files are
+    * ours. */
+  private def stageBucketed(df: DataFrame, b: CowTable.BucketSpec0): Seq[String] = {
+    val tmp = Paths.get(root, s"_stage_${java.util.UUID.randomUUID()}")
+    val tmpName = s"${catalogName}_stage_${java.lang.Long.toHexString(System.nanoTime())}"
+    var w = df.repartition(b.count, b.cols.map(df(_)): _*)
+      .write.option("path", tmp.toString)
+      .bucketBy(b.count, b.cols.head, b.cols.tail: _*)
+    if (b.sortCols.nonEmpty) w = w.sortBy(b.sortCols.head, b.sortCols.tail: _*)
+    w.mode("overwrite").saveAsTable(tmpName)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val it = Files.list(tmp).iterator()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getFileName.toString.endsWith(".parquet")) out += f.toString
+      else Files.deleteIfExists(f) // _SUCCESS etc. — commit later drops the dir
+    }
+    out.toSeq
+  }
+
+  private def writePlain(df: DataFrame): Seq[String] = {
     val tmp = Paths.get(root, s"_stage_${java.util.UUID.randomUUID()}")
     if (partitioning.isEmpty) df.write.parquet(tmp.toString)
     else df.write.partitionBy(partitioning: _*).parquet(tmp.toString)
@@ -447,6 +565,42 @@ final class CowTable private (root0: String, spark: SparkSession) {
       branch: String): (Long, Int) = {
     import spark.implicits._
     val v = maxVersion + 1
+    if (bucketing.isDefined) {
+      // Bucketed: publish a complete snapshot DIRECTORY — carried files
+      // hardlink in (metadata-only, names preserved so bucket ids survive),
+      // staged files move in. The carried list lands on the driver here;
+      // that is inherent to maintaining a local-FS directory view (one
+      // link(2) per carried file, no data movement) — an object-store
+      // deployment serves the same snapshot from the manifest alone (see
+      // the `bucketing` scaladoc).
+      val dir = versionDir(v)
+      Files.createDirectories(dir)
+      def fileName(p: String) = p.substring(p.lastIndexOf('/') + 1)
+      val carriedPaths = carriedDf.select("path").collect().map(_.getString(0))
+      val outCarried = carriedPaths.map { pth =>
+        val dest = dir.resolve(fileName(pth))
+        try Files.createLink(dest, Paths.get(pth))
+        catch { // FS without hardlinks: fall back to a copy
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            Files.copy(Paths.get(pth), dest, StandardCopyOption.REPLACE_EXISTING)
+        }
+        dest.toString
+      }
+      val outNew = newFiles.map { pth =>
+        val src = Paths.get(pth)
+        val dest = dir.resolve(fileName(pth))
+        Files.move(src, dest)
+        // drop the now-empty stage dir (best effort)
+        try Files.deleteIfExists(src.getParent) catch { case _: java.io.IOException => }
+        dest.toString
+      }
+      (outCarried ++ outNew).toSeq.toDF("path")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(manifestDir.resolve(s"v$v").toString)
+      setHead(branch, v)
+      if (branch.equalsIgnoreCase("main")) syncCatalog(dir)
+      return (outCarried.length.toLong, v)
+    }
     val next = carriedDf.unionByName(newFiles.toDF("path"))
     next.write.mode("overwrite").parquet(manifestDir.resolve(s"v$v").toString)
     val carried = carriedDf.count()
@@ -557,8 +711,14 @@ object CowTable {
   /** CREATE TABLE AS: materialize `df` as version 1. `partitionBy` fixes
     * hive-style partition columns for the table's lifetime (the reference
     * connectors' `partitioned_by` property). */
+  /** Bucket layout spec: `bucketed_by` columns, `bucket_count`, optional
+    * `sorted_by` columns. */
+  final case class BucketSpec0(cols: Seq[String], count: Int, sortCols: Seq[String])
+
   def create(spark: SparkSession, root: String, df: DataFrame,
-      partitionBy: Seq[String] = Seq.empty): CowTable = {
+      partitionBy: Seq[String] = Seq.empty,
+      bucketBy: Seq[String] = Seq.empty, bucketCount: Int = 0,
+      sortedBy: Seq[String] = Seq.empty): CowTable = {
     import spark.implicits._
     Files.createDirectories(Paths.get(root, "data"))
     Files.createDirectories(Paths.get(root, "_manifests"))
@@ -569,6 +729,20 @@ object CowTable {
         s"partitioned_by columns not in table: ${missing.mkString(", ")}")
       Files.write(Paths.get(root, "_partitioning"),
         partitionBy.mkString(",").getBytes)
+      ()
+    }
+    if (bucketBy.nonEmpty) {
+      require(partitionBy.isEmpty,
+        "bucketed_by together with partitioned_by is not supported yet")
+      require(bucketCount > 0,
+        "bucketed_by requires a positive bucket_count")
+      val missing = (bucketBy ++ sortedBy).filterNot(c =>
+        df.columns.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"bucketed_by/sorted_by columns not in table: ${missing.mkString(", ")}")
+      Files.write(Paths.get(root, "_bucketing"),
+        s"$bucketCount\n${bucketBy.mkString(",")}\n${sortedBy.mkString(",")}".getBytes)
+      Files.write(Paths.get(root, "_table_schema"), df.schema.toDDL.getBytes)
       ()
     }
     val t = new CowTable(root, spark) // after _partitioning: the val reads it

@@ -39,6 +39,14 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Always plan bucket-aware scans over bucketed warehouse tables: the
+      // DisableUnnecessaryBucketedScan rule turns the bucket layout off for
+      // scans with no interesting partitioning, but it does not account for
+      // bucket PRUNING — a point predicate on the bucket key then reads all
+      // buckets instead of one. The reference's hive connector always plans
+      // bucket-aware splits (HiveBucketing); matching that keeps both the
+      // exchange-free joins and the pruned point lookups.
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       // parquet field-id resolution (used by DeltaRead column mapping mode
       // 'id'); inert unless a read schema carries parquet.field.id metadata
       .config("spark.sql.parquet.fieldId.read.enabled", "true")

@@ -1131,6 +1131,54 @@ object Dialect {
            CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total
          FROM wh_part WHERE region IN (2, 3) GROUP BY region ORDER BY region""")
   }
+  /** Bucketed warehouse tables (reference: plugin/trino-hive
+    * HiveTableProperties.java:54 `bucketed_by`/`bucket_count`/`sorted_by`;
+    * bucketed execution HiveBucketing.java): CTAS with a hash-bucket
+    * layout, CoW mutations that preserve it (rewritten buckets get fresh
+    * files, untouched files carry by hardlink), and a self-join +
+    * aggregation on the bucket key that must plan ZERO exchanges — the
+    * whole point of bucketing at 100 TB: repeated joins/aggs on the bucket
+    * key never shuffle. The require below makes the exchange-free plan part
+    * of the correctness gate, not just a spec assert. */
+  def q_sqlx_bucketed(s: SparkSession, dir: String): DataFrame = {
+    TrinoDialect.sql(s, dir, "DROP TABLE IF EXISTS wh_bkt")
+    TrinoDialect.sql(s, dir,
+      """CREATE TABLE wh_bkt WITH (bucketed_by = ARRAY['cust'],
+           bucket_count = 8, sorted_by = ARRAY['cust']) AS
+         SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS price
+         FROM orders""")
+    TrinoDialect.sql(s, dir, "DELETE FROM wh_bkt WHERE k % 97 = 0")
+    TrinoDialect.sql(s, dir,
+      """INSERT INTO wh_bkt
+         SELECT o_orderkey + 1000000, o_custkey, o_totalprice
+         FROM orders WHERE o_orderkey % 500 = 1""")
+    val out = TrinoDialect.sql(s, dir,
+      """SELECT a.cust, count(*) AS n_pairs,
+           CAST(sum(CAST(b.price AS DECIMAL(12,2))) AS DOUBLE) AS pair_price
+         FROM wh_bkt a JOIN wh_bkt b ON a.cust = b.cust
+         GROUP BY a.cust
+         HAVING count(*) >= 4
+         ORDER BY a.cust""")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(out.queryExecution.executedPlan.toString).length
+    require(exchanges == 0,
+      s"bucketed self-join + agg must plan zero hash exchanges, got $exchanges")
+    out
+  }
+  val qSqlxBucketedSql: String =
+    """WITH t AS (
+         SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS price
+         FROM orders WHERE o_orderkey % 97 <> 0
+         UNION ALL
+         SELECT o_orderkey + 1000000, o_custkey, o_totalprice
+         FROM orders WHERE o_orderkey % 500 = 1)
+       SELECT a.cust, count(*) AS n_pairs,
+         CAST(sum(CAST(b.price AS DECIMAL(12,2))) AS DOUBLE) AS pair_price
+       FROM t a JOIN t b ON a.cust = b.cust
+       GROUP BY a.cust
+       HAVING count(*) >= 4
+       ORDER BY a.cust"""
+
   val qSqlxPartitionedSql: String =
     """WITH t AS (
          SELECT c_custkey AS k, c_acctbal AS bal, c_nationkey % 5 AS region
@@ -1297,6 +1345,7 @@ object Dialect {
     "q_sqlx_ddl_alter" -> q_sqlx_ddl_alter _,
     "q_sqlx_ddl_defaults" -> q_sqlx_ddl_defaults _,
     "q_sqlx_partitioned" -> q_sqlx_partitioned _,
+    "q_sqlx_bucketed" -> q_sqlx_bucketed _,
     "q_sqlx_txn" -> q_sqlx_txn _,
     "q_sqlx_show_stats" -> q_sqlx_show_stats _,
     "q_tvf_registry" -> q_tvf_registry _,
@@ -1336,6 +1385,7 @@ object Dialect {
     "q_sqlx_ddl_alter" -> qSqlxDdlAlterSql,
     "q_sqlx_ddl_defaults" -> qSqlxDdlDefaultsSql,
     "q_sqlx_partitioned" -> qSqlxPartitionedSql,
+    "q_sqlx_bucketed" -> qSqlxBucketedSql,
     "q_sqlx_txn" -> qSqlxTxnSql,
     "q_sqlx_show_stats" -> qSqlxShowStatsSql,
     "q_tvf_registry" -> qTvfRegistrySql,

@@ -556,9 +556,27 @@ private[graft] object Statements {
     * (reference: the hive/iceberg connectors' partitioned_by/partitioning
     * table properties). */
   private def partitionColsOf(props: Map[String, String]): Seq[String] =
-    props.get("partitioned_by").toSeq.flatMap { v =>
+    arrayProp(props, "partitioned_by")
+
+  private def arrayProp(props: Map[String, String], key: String): Seq[String] =
+    props.get(key).toSeq.flatMap { v =>
       "'([^']+)'".r.findAllMatchIn(v).map(_.group(1)).toSeq
     }
+
+  /** `bucketed_by`/`bucket_count`/`sorted_by` properties (reference:
+    * plugin/trino-hive HiveTableProperties.java:54) → (columns, count,
+    * sort columns); count defaults to 0 = unbucketed. */
+  private def bucketSpecOf(props: Map[String, String]): (Seq[String], Int, Seq[String]) = {
+    val cols = arrayProp(props, "bucketed_by")
+    val count = props.get("bucket_count").map(_.trim.toInt).getOrElse(0)
+    if (cols.nonEmpty && count <= 0)
+      throw new IllegalArgumentException(
+        "bucketed_by requires a positive bucket_count property")
+    if (cols.isEmpty && count > 0)
+      throw new IllegalArgumentException(
+        "bucket_count requires the bucketed_by property")
+    (cols, count, arrayProp(props, "sorted_by"))
+  }
 
   /** Render parsed property assignments to stored strings; `k = DEFAULT`
     * (None) drops the key. */
@@ -714,8 +732,9 @@ private[graft] object Statements {
       val root = Paths.get(warehouse,
         viewNameOf(key) + "_" + System.nanoTime()).toString
       val renderedProps = renderProps(props)
+      val (bcols, bcount, bsort) = bucketSpecOf(renderedProps)
       graft.catalog.CowTable.create(spark, root, df,
-        partitionColsOf(renderedProps))
+        partitionColsOf(renderedProps), bcols, bcount, bsort)
       tables(key) = root
       recordOwner(key)
       seedMeta(key, df.schema)
@@ -936,8 +955,9 @@ private[graft] object Statements {
       val root = Paths.get(warehouse,
         viewNameOf(key) + "_" + System.nanoTime()).toString
       val renderedProps = renderProps(props, likedProps)
+      val (bcols, bcount, bsort) = bucketSpecOf(renderedProps)
       graft.catalog.CowTable.create(spark, root, empty,
-        partitionColsOf(renderedProps))
+        partitionColsOf(renderedProps), bcols, bcount, bsort)
       tables(key) = root
       recordOwner(key)
       tableMeta(key) = TableMeta(

@@ -225,4 +225,84 @@ class CowTableSpec extends SparkSpec {
     t.insert(spark.sql("SELECT 200 AS k, 'NEW' AS name, 2 AS r"))
     assert(t.read().filter("r = 2 AND k = 200").count() == 1)
   }
+
+  test("bucketed table: bucket-pruned scans, exchange-free joins, CoW carry by hardlink") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = java.nio.file.Files.createTempDirectory("cow_bkt").toString
+    val src = graft.sources.Tables.load(spark, sfDir, "orders")
+      .selectExpr("o_orderkey AS k", "o_custkey AS cust", "o_totalprice AS price")
+    val t = graft.catalog.CowTable.create(spark, root, src,
+      bucketBy = Seq("cust"), bucketCount = 8, sortedBy = Seq("cust"))
+    assert(t.read().count() == src.count())
+
+    def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    }
+    // AQE wraps materialized stages as LEAF nodes — recurse through them
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan): Option[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Some(f)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScan(q.plan)
+      case other => other.children.view.flatMap(findScan(_)).headOption
+    }
+
+    // equality filter on the bucket key prunes to ONE bucket's files
+    // before any parquet footer is read (numFiles < bucket_count)
+    val point = t.read().filter("cust = 19").selectExpr("count(*) AS n")
+    val scan = findScan(finalPlan(point)).get
+    assert(scan.metadata.get("SelectedBucketsCount").exists(_.contains("1 out of 8")),
+      scan.metadata.toString)
+    // the files actually wired into the read RDD — only the selected
+    // bucket's file survives (the numFiles driver metric counts files
+    // BEFORE bucket pruning, so it cannot witness this)
+    val plannedFiles = scan.inputRDDs().head.partitions.collect {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.length
+    }.sum
+    assert(plannedFiles == 1,
+      s"expected bucket pruning to plan 1 of 8 bucket files, got $plannedFiles")
+
+    // self-join + aggregation on the bucket key: ZERO exchanges (the
+    // bucketed scan reports HashPartitioning(cust, 8) on both sides)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = t.read().as("a")
+      val b = t.read().as("b")
+      val j = a.join(b, "cust").groupBy("cust").count()
+      val plan = finalPlan(j).toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed self-join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+    // CoW DELETE keeps the layout; untouched bucket files CARRY into the
+    // new version dir by hardlink (same file name, no data rewrite)
+    val v1Files = t.manifestDf(t.currentVersion).select("fname")
+      .collect().map(_.getString(0)).toSet
+    // single-cust predicate: exactly ONE bucket's file is affected, the
+    // other seven must carry by hardlink (same file name, no rewrite)
+    t.delete(org.apache.spark.sql.functions.expr("cust = 19"))
+    assert(t.read().filter("cust = 19").count() == 0)
+    assert(t.read().count() == src.filter("cust <> 19").count())
+    val v2Files = t.manifestDf(t.currentVersion).select("fname")
+      .collect().map(_.getString(0)).toSet
+    assert((v1Files & v2Files).size == v1Files.size - 1,
+      s"expected all but one bucket file to carry: v1=$v1Files v2=$v2Files")
+    // time travel to the pre-delete snapshot is intact (manifest read path)
+    assert(t.read(asOfVersion = Some(1)).count() == src.count())
+
+    // INSERT appends a bucketed file set; the join stays exchange-free
+    t.insert(spark.sql("SELECT 9999999 AS k, CAST(19 AS BIGINT) AS cust, 1.0 AS price"))
+    assert(t.read().filter("k = 9999999").count() == 1)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j2 = t.read().as("a").join(t.read().as("b"), "cust").groupBy("cust").count()
+      assert(!finalPlan(j2).toString.contains("Exchange hashpartitioning"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }

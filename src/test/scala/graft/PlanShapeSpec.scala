@@ -302,4 +302,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(urlPlan, "Exchange hashpartitioning") == 1,
       s"URL dedup should shuffle once on the canonical key:\n$urlPlan")
   }
+
+  test("bucketed warehouse table: join + agg on the bucket key plan zero exchanges") {
+    import graft.sqlx.TrinoDialect
+    def countOf(plan: String, needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    TrinoDialect.sql(spark, sfDir, "DROP TABLE IF EXISTS ps_bkt")
+    TrinoDialect.sql(spark, sfDir,
+      """CREATE TABLE ps_bkt WITH (bucketed_by = ARRAY['cust'],
+           bucket_count = 8, sorted_by = ARRAY['cust']) AS
+         SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS price
+         FROM orders""")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // non-broadcast self-join on the bucket key, then an aggregation on
+      // the same key: both ride the scan's HashPartitioning(cust, 8) —
+      // the plan must contain a real join and ZERO hash exchanges
+      val j = TrinoDialect.sql(spark, sfDir,
+        """SELECT a.cust, count(*) AS n
+           FROM ps_bkt a JOIN ps_bkt b ON a.cust = b.cust
+           GROUP BY a.cust ORDER BY a.cust""")
+      val plan = physicalPlan(j)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle-family join over bucketed scans:\n$plan")
+      assert(countOf(plan, "Exchange hashpartitioning") == 0,
+        s"bucketed join + agg must not shuffle:\n$plan")
+      assert(countOf(plan, "Bucketed: true") == 2,
+        s"both sides should be bucketed scans:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
