@@ -72,6 +72,22 @@ object DistinctBench {
       .orderBy($"l_returnflag")
   }
 
+  /** The ENGINE FLOOR for this query family (r14 verdict fix option (a)):
+    * ONE single-distinct reduction — the pair-set aggregation alone, no
+    * Expand, no second distinct — i.e. the cheapest plan ANY multi-distinct
+    * spelling must contain. If this alone approaches the full query's time,
+    * the remaining letter gap is Spark's aggregation/exchange floor, not a
+    * plan-shape defect. */
+  def floorPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.table(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_suppkey", $"l_partkey")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_supp_part"), sum($"n").as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // EXACT bench-harness config (round-12 verdict asked for the A/B tool and
@@ -130,10 +146,16 @@ object DistinctBench {
     require(a == c, s"split disagrees:\n$a\n$c")
     val d = checked(reusedBasePlan(spark, dir))
     require(a == d, s"reused disagrees:\n$a\n$d")
+    // floor timed FIRST and LAST: the first slot absorbs residual JIT cold
+    // (it measurably inflates whichever variant runs first); the last slot
+    // is the honest number quoted in BASELINE.md
+    time("floor(1)", floorPlan(spark, dir))
     time("expand  ", expandPlan(spark, dir))
     time("preagg  ", preaggPlan(spark, dir))
     time("split   ", splitPlan(spark, dir))
     time("reused  ", reusedBasePlan(spark, dir))
+    time("floor   ", floorPlan(spark, dir))
+    time("preagg2 ", preaggPlan(spark, dir))
     spark.stop()
   }
 }
