@@ -195,22 +195,26 @@ object Dialect {
          SELECT *, rn - row_number() OVER (PARTITION BY user_id, d ORDER BY rn) AS grp
          FROM f),
        runs AS (
-         SELECT user_id, grp, d, max(rn) AS mx, arg_max(value, rn) AS last_val
+         SELECT user_id, grp, d, min(rn) AS mn, max(rn) AS mx,
+           arg_max(value, rn) AS last_val
          FROM g GROUP BY user_id, grp, d)
+       -- sequential AFTER MATCH SKIP PAST LAST ROW: only the FIRST row of
+       -- each maximal descending run anchors a match; the rest of the run
+       -- is skipped (NULL measures)
        SELECT g.user_id, g.event_id,
-         CASE WHEN g.d THEN CAST(r.mx - g.rn + 1 AS BIGINT) END AS n_down,
-         CASE WHEN g.d THEN r.last_val END AS end_val
+         CASE WHEN g.d AND g.rn = r.mn THEN CAST(r.mx - g.rn + 1 AS BIGINT) END AS n_down,
+         CASE WHEN g.d AND g.rn = r.mn THEN r.last_val END AS end_val
        FROM g JOIN runs r
          ON g.user_id = r.user_id AND g.grp = r.grp AND g.d = r.d
        ORDER BY g.user_id, g.event_id"""
 
-  /** Row-pattern window spec, TWO symbols (D+ U+): the anchored V-shape —
-    * a row matches iff its descending run is immediately followed by an
-    * ascending run. Strict inequalities make the greedy NFA deterministic
-    * here (a D row can never satisfy U), so the oracle replays exactly:
-    * per anchor, n_down = rows to the end of its descending run, n_up =
-    * the length of the ascending run starting right after — NULL measures
-    * when either leg is missing. */
+  /** Row-pattern window spec, TWO symbols (D+ U+): the V-shape under
+    * sequential AFTER MATCH SKIP PAST LAST ROW (the default) — the FIRST
+    * row of a descending run that is immediately followed by an ascending
+    * run anchors the match, which consumes both legs; the V's remaining
+    * rows are marked skipped (NULL measures). Strict inequalities make the
+    * greedy NFA deterministic here (a D row can never satisfy U), so the
+    * oracle replays exactly. */
   def q_sqlx_match_window2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TrinoDialect.sql(s, dir,
@@ -242,22 +246,118 @@ object Dialect {
            rn - row_number() OVER (PARTITION BY user_id, u ORDER BY rn) AS guk
          FROM f),
        druns AS (
-         SELECT user_id, gdk, max(rn) AS dmx FROM gd WHERE d GROUP BY user_id, gdk),
+         SELECT user_id, gdk, min(rn) AS dmn, max(rn) AS dmx
+         FROM gd WHERE d GROUP BY user_id, gdk),
        uruns AS (
          SELECT user_id, min(rn) AS umn, max(rn) AS umx
          FROM gu WHERE u GROUP BY user_id, guk),
        base AS (
-         SELECT g.user_id, g.event_id, g.rn, g.d, d1.dmx
+         SELECT g.user_id, g.event_id, g.rn, g.d, d1.dmn, d1.dmx
          FROM gd g LEFT JOIN druns d1
            ON g.user_id = d1.user_id AND g.gdk = d1.gdk AND g.d),
        j AS (
          SELECT b.*, u1.umx
          FROM base b LEFT JOIN uruns u1
            ON b.user_id = u1.user_id AND u1.umn = b.dmx + 1)
+       -- sequential skip: the V-shape match anchors at the FIRST row of a
+       -- qualifying descending run and consumes both legs; every other row
+       -- of the V is skipped (NULL measures)
        SELECT user_id, event_id,
-         CASE WHEN d AND umx IS NOT NULL THEN CAST(dmx - rn + 1 AS BIGINT) END AS n_down,
-         CASE WHEN d AND umx IS NOT NULL THEN CAST(umx - dmx AS BIGINT) END AS n_up
+         CASE WHEN d AND rn = dmn AND umx IS NOT NULL THEN CAST(dmx - rn + 1 AS BIGINT) END AS n_down,
+         CASE WHEN d AND rn = dmn AND umx IS NOT NULL THEN CAST(umx - dmx AS BIGINT) END AS n_up
        FROM j ORDER BY user_id, event_id"""
+
+  /** Bounded row-pattern window frame (SqlBase.g4:879 boundedFrame; r15):
+    * `ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING` caps the match search space
+    * at 6 rows from the anchor — the NFA cannot match or navigate past the
+    * frame end. AFTER MATCH SKIP TO NEXT ROW makes every row its own
+    * anchor (no skip marking), so the oracle replays per-row: a descending
+    * anchor's measure is its remaining run length clipped to the frame. */
+  def q_sqlx_match_window3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT user_id, event_id, nd OVER w AS n_down
+         FROM events
+         WINDOW w AS (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES COUNT(D.*) AS nd
+           ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING
+           AFTER MATCH SKIP TO NEXT ROW
+           PATTERN (D+)
+           DEFINE D AS value < PREV(value))""")
+      .orderBy($"user_id", $"event_id")
+  }
+  val qSqlxMatchWindow3Sql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         FROM events),
+       f AS (
+         SELECT *, (pv IS NOT NULL AND value < pv) AS d FROM e),
+       g AS (
+         SELECT *, rn - row_number() OVER (PARTITION BY user_id, d ORDER BY rn) AS grp
+         FROM f),
+       runs AS (
+         SELECT user_id, grp, max(rn) AS mx FROM g WHERE d GROUP BY user_id, grp)
+       SELECT g.user_id, g.event_id,
+         CASE WHEN g.d THEN CAST(LEAST(r.mx, g.rn + 5) - g.rn + 1 AS BIGINT) END AS n_down
+       FROM g LEFT JOIN runs r
+         ON g.user_id = r.user_id AND g.grp = r.grp AND g.d
+       ORDER BY g.user_id, g.event_id"""
+
+  /** SEEK anchoring in a bounded row-pattern window frame (r15; reference
+    * pattern-recognition-in-window.md INITIAL|SEEK): when no match starts
+    * at the current row, the engine seeks the first match starting from a
+    * subsequent row WITHIN the frame, associating the row with a detached
+    * match. SKIP TO NEXT ROW keeps every row an anchor so the oracle
+    * replays windowed: the sought match is the first descending row within
+    * [rn, rn+3], its measure the run length clipped at the frame end. */
+  def q_sqlx_match_window4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT user_id, event_id, nd OVER w AS n_down
+         FROM events
+         WINDOW w AS (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES COUNT(D.*) AS nd
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+           AFTER MATCH SKIP TO NEXT ROW
+           SEEK
+           PATTERN (D+)
+           DEFINE D AS value < PREV(value))""")
+      .orderBy($"user_id", $"event_id")
+  }
+  val qSqlxMatchWindow4Sql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         FROM events),
+       f AS (
+         SELECT *, (pv IS NOT NULL AND value < pv) AS d FROM e),
+       g AS (
+         SELECT *, rn - row_number() OVER (PARTITION BY user_id, d ORDER BY rn) AS grp
+         FROM f),
+       runs AS (
+         SELECT user_id, grp, max(rn) AS mx FROM g WHERE d GROUP BY user_id, grp),
+       sought AS (
+         SELECT user_id, event_id, rn,
+           min(CASE WHEN d THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
+             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS jrn
+         FROM g),
+       jrow AS (
+         SELECT s.user_id, s.event_id, s.rn, s.jrn, g2.grp AS jgrp
+         FROM sought s LEFT JOIN g g2
+           ON g2.user_id = s.user_id AND g2.rn = s.jrn)
+       SELECT j.user_id, j.event_id,
+         CASE WHEN j.jrn IS NOT NULL
+           THEN CAST(LEAST(r.mx, j.rn + 3) - j.jrn + 1 AS BIGINT) END AS n_down
+       FROM jrow j LEFT JOIN runs r
+         ON r.user_id = j.user_id AND r.grp = j.jgrp
+       ORDER BY j.user_id, j.event_id"""
 
   /** Text-SQL MATCH_RECOGNIZE, ALL ROWS PER MATCH (classifier + match number). */
   def q_sqlx_match_rows(s: SparkSession, dir: String): DataFrame = {
@@ -1358,6 +1458,8 @@ object Dialect {
     "q_sqlx_match_recognize" -> q_sqlx_match_recognize _,
     "q_sqlx_match_window" -> q_sqlx_match_window _,
     "q_sqlx_match_window2" -> q_sqlx_match_window2 _,
+    "q_sqlx_match_window3" -> q_sqlx_match_window3 _,
+    "q_sqlx_match_window4" -> q_sqlx_match_window4 _,
     "q_sqlx_match_rows" -> q_sqlx_match_rows _,
     "q_sqlx_match_multikey" -> q_sqlx_match_multikey _,
     "q_sqlx_match_skip_to" -> q_sqlx_match_skip_to _,
@@ -1398,6 +1500,8 @@ object Dialect {
     "q_sqlx_match_recognize" -> qSqlxMatchRecognizeSql,
     "q_sqlx_match_window" -> qSqlxMatchWindowSql,
     "q_sqlx_match_window2" -> qSqlxMatchWindow2Sql,
+    "q_sqlx_match_window3" -> qSqlxMatchWindow3Sql,
+    "q_sqlx_match_window4" -> qSqlxMatchWindow4Sql,
     "q_sqlx_match_rows" -> qSqlxMatchRowsSql,
     "q_sqlx_match_multikey" -> qSqlxMatchMultikeySql,
     "q_sqlx_match_skip_to" -> qSqlxMatchSkipToSql,

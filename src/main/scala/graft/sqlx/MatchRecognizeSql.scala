@@ -154,30 +154,35 @@ private[graft] object MatchRecognizeSql {
         (m.group(1).trim, m.group(2))
       }).getOrElse(Seq.empty)
       val allRows = one("ALL ROWS PER MATCH").isDefined
-      val skipPast: graft.plans.RowPattern.SkipMode = one("AFTER MATCH") match {
-        case Some(c) if "(?i)SKIP\\s+TO\\s+NEXT\\s+ROW".r.findFirstIn(c).isDefined =>
-          graft.plans.RowPattern.SkipToNextRow
-        case Some(c) if "(?i)SKIP\\s+PAST\\s+LAST\\s+ROW".r.findFirstIn(c).isDefined =>
-          graft.plans.RowPattern.SkipPastLastRow
-        case Some(c) =>
-          // SKIP TO [FIRST|LAST] <variable> (SqlBase.g4 skipTo :462); bare
-          // SKIP TO <v> is the standard's alias for SKIP TO LAST <v>
-          val m = "(?i)SKIP\\s+TO\\s+(?:(FIRST|LAST)\\s+)?(\\w+)".r.findFirstMatchIn(c)
-            .getOrElse(fail(
-              s"AFTER MATCH subset: SKIP PAST LAST ROW | SKIP TO NEXT ROW | SKIP TO [FIRST|LAST] var, got '$c'"))
-          val first = Option(m.group(1)).exists(_.equalsIgnoreCase("FIRST"))
-          val v = m.group(2)
-          val expansion = subsets.getOrElse(v, Seq(v)).toSet
-          graft.plans.RowPattern.SkipToVar(expansion, first,
-            s"${if (first) "FIRST" else "LAST"} $v")
-        case None => graft.plans.RowPattern.SkipPastLastRow
-      }
+      val skipPast = parseSkip(one("AFTER MATCH"), subsets)
       Some(Mr(table, partition, order, measures, allRows, skipPast, pattern, defines, subsets))
     case _ => None
   }
 
   private def fail(what: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $what")
+
+  /** AFTER MATCH clause body → skip mode (SqlBase.g4 skipTo :462); shared
+    * by the FROM-clause and window-spec surfaces. Bare SKIP TO <v> is the
+    * standard's alias for SKIP TO LAST <v>. */
+  private[sqlx] def parseSkip(clause: Option[String],
+      subsets: Map[String, Seq[String]]): graft.plans.RowPattern.SkipMode =
+    clause match {
+      case Some(c) if "(?i)SKIP\\s+TO\\s+NEXT\\s+ROW".r.findFirstIn(c).isDefined =>
+        graft.plans.RowPattern.SkipToNextRow
+      case Some(c) if "(?i)SKIP\\s+PAST\\s+LAST\\s+ROW".r.findFirstIn(c).isDefined =>
+        graft.plans.RowPattern.SkipPastLastRow
+      case Some(c) =>
+        val m = "(?i)SKIP\\s+TO\\s+(?:(FIRST|LAST)\\s+)?(\\w+)".r.findFirstMatchIn(c)
+          .getOrElse(fail(
+            s"AFTER MATCH subset: SKIP PAST LAST ROW | SKIP TO NEXT ROW | SKIP TO [FIRST|LAST] var, got '$c'"))
+        val first = Option(m.group(1)).exists(_.equalsIgnoreCase("FIRST"))
+        val v = m.group(2)
+        val expansion = subsets.getOrElse(v, Seq(v)).toSet
+        graft.plans.RowPattern.SkipToVar(expansion, first,
+          s"${if (first) "FIRST" else "LAST"} $v")
+      case None => graft.plans.RowPattern.SkipPastLastRow
+    }
 
   // ------------------------------------------------------------- rewriting
 

@@ -23,15 +23,19 @@ import graft.plans.RowPattern
   *     DEFINE A AS v > 0, B AS v < 0)
   * }}}
   *
-  * Semantics (SQL 2016 row-pattern windows, INITIAL): EVERY input row is
-  * retained in the output and anchors its own match attempt starting at
-  * that row within its frame; when a match exists the measures evaluate
-  * with FINAL semantics over it, otherwise they are NULL. This differs
-  * from the FROM-clause MATCH_RECOGNIZE in two load-bearing ways: matches
-  * from different anchors OVERLAP freely (so measures cannot lower onto
-  * match_number-partitioned window functions — they are evaluated by
-  * DefineEval.compileMeasure against each anchored match), and unmatched
-  * rows still appear (measure NULL).
+  * Semantics (SQL 2016 row-pattern windows; reference
+  * docs/src/main/sphinx/sql/pattern-recognition-in-window.md "Processing
+  * input"): the partition is processed IN ORDER with AFTER MATCH skip
+  * marking. A row skipped by a previous row's match produces NULL
+  * measures; otherwise the row attempts a match starting at itself
+  * (INITIAL, the default) or at the first subsequent in-frame row that
+  * matches (SEEK), the match search space being the frame extent
+  * `ROWS BETWEEN CURRENT ROW AND {CURRENT ROW | k FOLLOWING | UNBOUNDED
+  * FOLLOWING}`. On a match the measures evaluate with FINAL semantics over
+  * it and the AFTER MATCH skip mode (PAST LAST ROW default, TO NEXT ROW,
+  * TO [FIRST|LAST] var — RowPattern's skip machinery) marks the skipped
+  * rows; unmatched rows appear with NULL measures. Every input row
+  * produces exactly one output row.
   *
   * Physical shape: identical to MatchRecognize.annotateMatchesWith — one
   * hash exchange on the partition keys + one sort (pinned by an internal
@@ -40,12 +44,15 @@ import graft.plans.RowPattern
   * O(rows × match length) NFA work per partition — the same bound as the
   * reference's per-row matcher loop.
   *
-  * Documented subset: a single named window; select items are plain columns
-  * or `measure OVER w [AS alias]`; frame, if given, must be ROWS BETWEEN
-  * CURRENT ROW AND UNBOUNDED FOLLOWING (the only frame the standard's
-  * INITIAL anchoring reads); AFTER MATCH, if given, must be SKIP PAST LAST
-  * ROW (anchoring is per-row, so skip modes do not alter this output
-  * surface); SEEK is not supported (INITIAL is the standard's default).
+  * Documented subset/divergences: a single named window; select items are
+  * plain columns or `measure OVER w [AS alias]`; empty matches are treated
+  * as no-match (as in the FROM-clause lowering). Navigation (PREV in
+  * DEFINE, and measures) over a BOUNDED frame clips at the frame end via
+  * the sliced search space; navigation BELOW the anchor row is clipped
+  * only on the stateful DEFINE path — state-independent conditions compile
+  * to partition-wide lag/lead columns, so a PREV at the anchor reads the
+  * partition value where the reference reads null (divergence kept for the
+  * codegen fast path, pinned by the existing oracles).
   */
 private[graft] object MatchWindowSql {
 
@@ -54,7 +61,8 @@ private[graft] object MatchWindowSql {
   final case class Mw(table: String, items: Seq[Item],
       partitionBy: Seq[String], orderBy: Seq[String],
       measures: Seq[(String, String)], pattern: String,
-      defines: Seq[(String, String)], subsets: Map[String, Seq[String]])
+      defines: Seq[(String, String)], subsets: Map[String, Seq[String]],
+      frameK: Option[Int], seek: Boolean, skip: RowPattern.SkipMode)
 
   private val Outer =
     """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+WINDOW\s+(\w+)\s+AS\s*\((.*)\)\s*""".r
@@ -86,15 +94,24 @@ private[graft] object MatchWindowSql {
             Item(plain.group(1), Option(plain.group(2)).getOrElse(plain.group(1)), None)
         }
       }
-      one("SEEK").foreach(_ => fail("SEEK is not supported (INITIAL anchoring only)"))
-      one("ROWS BETWEEN").foreach { f =>
-        if (!"(?is)^\\s*CURRENT\\s+ROW\\s+AND\\s+UNBOUNDED\\s+FOLLOWING\\s*$".r
-            .findFirstIn(f).isDefined)
-          fail(s"frame must be ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING, got '$f'")
-      }
-      one("AFTER MATCH").foreach { c =>
-        if (!"(?is)SKIP\\s+PAST\\s+LAST\\s+ROW".r.findFirstIn(c).isDefined)
-          fail(s"AFTER MATCH in a window spec supports SKIP PAST LAST ROW, got '$c'")
+      val seek = cs.exists(_._1 == "SEEK")
+      // frame extent (SqlBase.g4:879 boundedFrame): the reference requires
+      // the frame start at CURRENT ROW; the end bounds the match search
+      val frameK: Option[Int] = one("ROWS BETWEEN") match {
+        case None => None // default: CURRENT ROW AND UNBOUNDED FOLLOWING
+        case Some(f) =>
+          val t = f.trim
+          if ("(?is)^CURRENT\\s+ROW\\s+AND\\s+UNBOUNDED\\s+FOLLOWING$".r
+              .findFirstIn(t).isDefined) None
+          else if ("(?is)^CURRENT\\s+ROW\\s+AND\\s+CURRENT\\s+ROW$".r
+              .findFirstIn(t).isDefined) Some(0)
+          else "(?is)^CURRENT\\s+ROW\\s+AND\\s+(\\d+)\\s+FOLLOWING$".r
+            .findFirstMatchIn(t) match {
+            case Some(m) => Some(m.group(1).toInt)
+            case None => fail(
+              "frame must be ROWS BETWEEN CURRENT ROW AND " +
+                s"{CURRENT ROW | <n> FOLLOWING | UNBOUNDED FOLLOWING}, got '$t'")
+          }
       }
       val partition = MatchRecognizeSql.identList(
         one("PARTITION BY").getOrElse(fail("PARTITION BY <cols>")), "PARTITION BY")
@@ -125,8 +142,10 @@ private[graft] object MatchWindowSql {
         if (!measures.exists(_._2.equalsIgnoreCase(m)))
           fail(s"measure '$m' is not declared in MEASURES")
       }
+      val skip = MatchRecognizeSql.parseSkip(one("AFTER MATCH"), subsets)
       Some(Mw(table, parsedItems, partition, order,
-        measures, patternRaw.substring(1, patternRaw.length - 1), defines, subsets))
+        measures, patternRaw.substring(1, patternRaw.length - 1), defines,
+        subsets, frameK, seek, skip))
     case _ => None
   }
 
@@ -194,15 +213,54 @@ private[graft] object MatchWindowSql {
             val group = scala.collection.mutable.ArrayBuffer[Row]()
             while (buf.hasNext && keyOf(buf.head) == key) group += buf.next()
             val part = group.toIndexedSeq
+            // Sequential processing with AFTER MATCH skip marking
+            // (reference pattern-recognition-in-window.md "Processing
+            // input"): rows before `skipUntil` were consumed by a previous
+            // match and produce NULL measures without attempting.
+            var skipUntil = 0
             part.indices.map { i =>
               val base = (0 until inWidth).map(part(i).get)
-              matcher.anchoredAt(part, i) match {
-                case Some(m) =>
-                  val trace = m.steps.reverse.toList // most-recent-first
-                  val lastIdx = m.end - 1
-                  Row.fromSeq(base ++ compiled.map(_._2.eval(part, trace, lastIdx)))
-                case None =>
-                  Row.fromSeq(base ++ compiled.map(_ => null))
+              if (i < skipUntil) Row.fromSeq(base ++ compiled.map(_ => null))
+              else {
+                // search space = the frame extent [i, i+k]; bounded frames
+                // slice so matching AND navigation clip at the frame end.
+                // INITIAL anchors only at i; SEEK advances the anchor to
+                // the first in-frame position with a match.
+                val (view, off) = mw.frameK match {
+                  case None => (part, 0)
+                  case Some(k) =>
+                    (part.slice(i, math.min(part.length, i + k + 1)), i)
+                }
+                var rel = i - off
+                var m: Option[RowPattern.PatternMatch] = None
+                var searching = true
+                while (searching && rel < view.length) {
+                  m = matcher.anchoredAt(view, rel)
+                  searching = m.isEmpty && mw.seek
+                  rel += 1
+                }
+                m match {
+                  case Some(pm) =>
+                    val trace = pm.steps.reverse.toList // most-recent-first
+                    val out = Row.fromSeq(base ++
+                      compiled.map(_._2.eval(view, trace, pm.end - 1)))
+                    // mark skipped rows (absolute indices); a skip target
+                    // at or before the current row simply skips nothing —
+                    // window processing advances row by row, so the
+                    // MATCH_RECOGNIZE infinite-resume hazard cannot arise
+                    skipUntil = mw.skip match {
+                      case RowPattern.SkipPastLastRow => off + pm.end
+                      case RowPattern.SkipToNextRow => i + 1
+                      case RowPattern.SkipToVar(vars, first, label) =>
+                        val hits = pm.steps.collect { case (v, j) if vars(v) => j }
+                        if (hits.isEmpty) throw new IllegalArgumentException(
+                          s"AFTER MATCH SKIP TO $label: variable mapped no rows in the match")
+                        off + (if (first) hits.min else hits.max)
+                    }
+                    out
+                  case None =>
+                    Row.fromSeq(base ++ compiled.map(_ => null))
+                }
               }
             }
           }

@@ -153,15 +153,18 @@ class PatternSpec extends SparkSpec {
       .map { case (u, rs) => u -> rs.sortBy(_.getLong(1)) }
     // EVERY input row appears exactly once
     assert(out.length == in.values.map(_.length).sum)
-    // replay the anchored semantics row by row against the raw data
+    // replay the SEQUENTIAL semantics row by row: with the default
+    // AFTER MATCH SKIP PAST LAST ROW, only the FIRST row of each maximal
+    // descending run anchors a match; the rest of the run is skipped
     val byKey = out.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
     in.foreach { case (u, rs) =>
       rs.indices.foreach { i =>
         val r = byKey((u, rs(i).getLong(1)))
         def desc(j: Int): Boolean =
           j > 0 && rs(j).getDouble(2) < rs(j - 1).getDouble(2)
-        if (!desc(i)) {
-          assert(r.isNullAt(2) && r.isNullAt(3), s"row $u/$i should be unmatched")
+        if (!desc(i) || desc(i - 1)) {
+          assert(r.isNullAt(2) && r.isNullAt(3),
+            s"row $u/$i should be unmatched or skipped")
         } else {
           var j = i
           while (j + 1 < rs.length && desc(j + 1)) j += 1
@@ -170,19 +173,60 @@ class PatternSpec extends SparkSpec {
         }
       }
     }
-    // SEEK is rejected (INITIAL-only subset), unknown measures are rejected
-    intercept[IllegalArgumentException] {
-      TrinoDialect.sql(spark, sfDir,
-        """SELECT m OVER w FROM events WINDOW w AS (
-           PARTITION BY user_id ORDER BY event_id
-           MEASURES COUNT(D.*) AS m SEEK PATTERN (D+) DEFINE D AS value > 0)""")
-    }
+    // unknown measures are rejected
     intercept[IllegalArgumentException] {
       TrinoDialect.sql(spark, sfDir,
         """SELECT nope OVER w FROM events WINDOW w AS (
            PARTITION BY user_id ORDER BY event_id
            MEASURES COUNT(D.*) AS m PATTERN (D+) DEFINE D AS value > 0)""")
     }
+  }
+
+  test("row-pattern window: bounded frame clips the match, SEEK detaches it, skip modes mark rows") {
+    import spark.implicits._
+    // synthetic partition: values 9 8 7 6 5 9 4 3 — one long descending run
+    // (idx 1..4), a rise, then a short run (idx 6..7)
+    val vals = Seq(9.0, 8.0, 7.0, 6.0, 5.0, 9.0, 4.0, 3.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("user_id", "event_id", "value")
+
+    def run(window: String): Seq[Option[Long]] = {
+      val mw = graft.sqlx.MatchWindowSql.parse(
+        s"""SELECT user_id, event_id, m OVER w AS m FROM pw_t WINDOW w AS ($window)""")
+        .getOrElse(fail("window spec did not parse"))
+      graft.sqlx.MatchWindowSql.lowerDf(df, mw)
+        .orderBy("event_id").collect()
+        .map(r => if (r.isNullAt(2)) None else Some(r.getLong(2))).toSeq
+    }
+
+    val core = """PARTITION BY user_id ORDER BY event_id
+      MEASURES COUNT(D.*) AS m"""
+    val define = """PATTERN (D+) DEFINE D AS value < PREV(value)"""
+
+    // unbounded + SKIP PAST LAST ROW (default): run starts only
+    assert(run(s"$core $define") ==
+      Seq(None, Some(4L), None, None, None, None, Some(2L), None))
+    // bounded frame: the anchor's match cannot extend past 2 FOLLOWING
+    // (3 rows max); SKIP TO NEXT ROW re-anchors every row
+    assert(run(s"$core ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING AFTER MATCH SKIP TO NEXT ROW $define") ==
+      Seq(None, Some(3L), Some(3L), Some(2L), Some(1L), None, Some(2L), Some(1L)))
+    // CURRENT ROW AND CURRENT ROW: single-row search space
+    assert(run(s"$core ROWS BETWEEN CURRENT ROW AND CURRENT ROW AFTER MATCH SKIP TO NEXT ROW $define") ==
+      Seq(None, Some(1L), Some(1L), Some(1L), Some(1L), None, Some(1L), Some(1L)))
+    // SEEK: row 0 and row 5 associate with the DETACHED match starting at
+    // the next descending row inside their frame
+    assert(run(s"$core ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING AFTER MATCH SKIP TO NEXT ROW SEEK $define") ==
+      Seq(Some(2L), Some(3L), Some(3L), Some(2L), Some(1L), Some(2L), Some(2L), Some(1L)))
+    // AFTER MATCH SKIP TO FIRST D: resumes AT the match's first D row —
+    // for (D+) that is the anchor itself, so nothing is skipped and every
+    // descending row anchors its own match (window processing advances row
+    // by row; the MATCH_RECOGNIZE infinite-resume hazard cannot arise)
+    assert(run(s"$core AFTER MATCH SKIP TO FIRST D $define") ==
+      Seq(None, Some(4L), Some(3L), Some(2L), Some(1L), None, Some(2L), Some(1L)))
+    // AFTER MATCH SKIP TO LAST D: resumes AT the last matched row — the
+    // run's final row anchors its own 1-row match
+    assert(run(s"$core AFTER MATCH SKIP TO LAST D $define") ==
+      Seq(None, Some(4L), None, None, Some(1L), None, Some(2L), Some(1L)))
   }
 
   test("row-pattern window spec: CLASSIFIER and multi-symbol measures") {
