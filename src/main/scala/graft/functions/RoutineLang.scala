@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, QueryPlanningTracker}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSeq, BindReferences, Expression, GenericInternalRow, Nondeterministic}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSeq, BindReferences, Expression, GenericInternalRow, MutableProjection, Nondeterministic}
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
 import org.apache.spark.sql.types._
@@ -25,10 +26,18 @@ import graft.sqlx.{SqlLexer, SqlParseException, TrinoDialect}
   *    UDF DDL, so call sites inline into whole-stage codegen — the same end
   *    state as the reference's bytecode compilation, with zero interpretation
   *    at row time.
-  *  - **Bodies with loops (LOOP/WHILE/REPEAT + ITERATE/LEAVE) interpret per
-  *    row**, but every scalar expression in the body is parsed, analyzed and
-  *    bound by Catalyst ONCE at CREATE time against the variable frame; row
-  *    time only walks the control AST and calls `Expression.eval` on the
+  *  - **Loops compile to codegen'd kernels** (r15; the reference compiles
+  *    ALL routine bodies, loops included, to bytecode): a LOOP/WHILE/REPEAT
+  *    whose body is straight-line (no nested loops, ITERATE/LEAVE only to
+  *    its own label) lowers through the SAME CPS pass into one struct-valued
+  *    expression `(vars', leave, has_ret, ret, until)`, Janino-compiled via
+  *    MutableProjection; per iteration the runtime evaluates one generated
+  *    class and copies the variable frame — zero per-statement
+  *    interpretation. `tierOf(name)` exposes the chosen tier.
+  *  - **Remaining bodies interpret per row** (nested loops, cross-label
+  *    jumps), but every scalar expression is parsed, analyzed and bound by
+  *    Catalyst ONCE at CREATE time against the variable frame; row time
+  *    only walks the control AST and calls `Expression.eval` on the
   *    pre-bound trees (no SQL parsing per row). This is the reference's
   *    interpreter tier for non-compilable routines.
   *
@@ -507,6 +516,29 @@ object RoutineLang {
       cond: Option[BoundExpr], condFirst: Boolean, body: Array[IStmt])
       extends IStmt
 
+  /** A whole LOOP/WHILE/REPEAT compiled to ONE codegen'd projection
+    * (reference SqlRoutineCompiler compiles routine control flow to
+    * bytecode; here the loop BODY lowers through the same CPS pass as
+    * loop-free routines into a single struct-valued expression
+    * `(vars', leave, has_ret, ret, until)` guarded by the entry condition,
+    * Janino-compiled via MutableProjection — per iteration the driver loop
+    * evaluates one generated class and copies the variable frame back; no
+    * per-statement interpretation). `varSlots` maps struct fields 0..n-1 to
+    * frame slots; trailing fields are lv/hr/rv/un. */
+  private final case class ICompiledLoop(condFirst: Boolean,
+      kernel: BoundExpr, varSlots: Array[Int], varTypes: Array[DataType],
+      bodyStructType: org.apache.spark.sql.types.StructType,
+      retType: DataType) extends IStmt {
+    // one generated-projection instance per thread: the projection's target
+    // row is mutable state (a UDF instance may be shared across local tasks)
+    @transient private lazy val proj: ThreadLocal[MutableProjection] =
+      new ThreadLocal[MutableProjection] {
+        override def initialValue(): MutableProjection =
+          MutableProjection.create(Seq(kernel.bound), Nil)
+      }
+    def evalKernel(row: InternalRow): InternalRow = proj.get()(row)
+  }
+
   private final class ReturnSignal(val value: Any)
       extends RuntimeException(null, null, false, false)
   private final class LabelSignal(val label: String, val leave: Boolean)
@@ -558,6 +590,7 @@ object RoutineLang {
           e.foreach(walk)
         case ILoop(_, pre, c, _, b) =>
           pre.foreach(walk); c.foreach(walkE); b.foreach(walk)
+        case cl: ICompiledLoop => walkE(cl.kernel)
         case _ =>
       }
       program.foreach(walk)
@@ -590,6 +623,40 @@ object RoutineLang {
               if (!hit) exec(els)
             case s: IIterate => throw new LabelSignal(s.label, leave = false)
             case s: ILeave => throw new LabelSignal(s.label, leave = true)
+            case cl: ICompiledLoop =>
+              val nVars = cl.varSlots.length
+              val lvIdx = nVars; val hrIdx = nVars + 1
+              val rvIdx = nVars + 2; val unIdx = nVars + 3
+              var live = true
+              while (live) {
+                steps += 1
+                if (steps > maxSteps)
+                  throw new IllegalStateException(
+                    s"routine exceeded $maxSteps loop iterations " +
+                      "(graft.routine.maxSteps)")
+                val top = cl.evalKernel(row).getStruct(0, 2)
+                val c = !top.isNullAt(0) && top.getBoolean(0)
+                if (cl.condFirst && !c) live = false
+                else {
+                  val st = top.getStruct(1, nVars + 4)
+                  var k = 0
+                  while (k < nVars) {
+                    // copyValue: the projection target row is reused across
+                    // iterations, so buffer-backed values must not alias it
+                    slots(cl.varSlots(k)) =
+                      if (st.isNullAt(k)) null
+                      else InternalRow.copyValue(st.get(k, cl.varTypes(k)))
+                    k += 1
+                  }
+                  if (!st.isNullAt(hrIdx) && st.getBoolean(hrIdx))
+                    throw new ReturnSignal(
+                      if (st.isNullAt(rvIdx)) null
+                      else InternalRow.copyValue(st.get(rvIdx, cl.retType)))
+                  if (!st.isNullAt(lvIdx) && st.getBoolean(lvIdx)) live = false
+                  else if (!cl.condFirst && !st.isNullAt(unIdx) && st.getBoolean(unIdx))
+                    live = false
+                }
+              }
             case ILoop(label, pre, cond, condFirst, body) =>
               exec(pre)
               var live = true
@@ -629,6 +696,87 @@ object RoutineLang {
       try { exec(program); null }
       catch { case r: ReturnSignal => outConv(r.value) }
     }
+  }
+
+  // ------------------------------------------- compiled loop tier (r15)
+  /** Is this loop body expressible as ONE straight-line kernel? No nested
+    * loops, no labeled blocks, and ITERATE/LEAVE only against this loop's
+    * own label. */
+  private def kernelizable(ss: Seq[RStmt], label: Option[String]): Boolean = {
+    val self = label.map(_.toLowerCase)
+    ss.forall {
+      case _: RLoop | _: RWhile | _: RRepeat => false
+      case RCompound(Some(_), _, _) => false
+      case RCompound(None, _, b) => kernelizable(b, label)
+      case RIf(bs, e) => bs.forall(x => kernelizable(x._2, label)) &&
+        e.forall(kernelizable(_, label))
+      case RIterate(l) => self.contains(l.toLowerCase)
+      case RLeave(l) => self.contains(l.toLowerCase)
+      case _ => true
+    }
+  }
+
+  /** Compile a whole loop to one codegen'd kernel. The body lowers through
+    * `comp` (the loop-free CPS pass) into a single struct expression over
+    * the variable frame: every path through the body terminates in a
+    * struct literal carrying the end-of-iteration value of EVERY variable
+    * plus the control signals — `lv` (LEAVE taken), `hr`+`rv` (RETURN
+    * taken, with the value), `un` (REPEAT's UNTIL, evaluated in the
+    * end-of-iteration environment; constant false on the ITERATE path,
+    * which restarts without an UNTIL check, and on non-REPEAT loops).
+    * The struct is guarded by the entry condition so a false WHILE guard
+    * never evaluates body expressions (ANSI mode: they may throw on state
+    * the condition excludes). Returns None when the body is not
+    * kernelizable or the generated text blows up — the caller falls back
+    * to the per-statement interpreter. */
+  private def compileLoopKernel(spark: SparkSession, vars: Seq[VarSlot],
+      slotOf: Map[String, Int], label: Option[String], condSql: Option[String],
+      condFirst: Boolean, body: Seq[RStmt], untilSql: Option[String],
+      retDdl: String): Option[ICompiledLoop] = {
+    if (!kernelizable(body, label)) return None
+    val varNames = vars.map(_.name)
+    val bodyStructDdl = ("struct<" +
+      vars.zipWithIndex.map { case (v, i) => s"v$i:${v.ddl}" }.mkString(",") +
+      s",lv:boolean,hr:boolean,rv:$retDdl,un:boolean>")
+    def structText(lv: String, hr: String, rv: String, un: String): String =
+      "named_struct(" +
+        varNames.zipWithIndex.map { case (n, i) => s"'v$i', $n" }.mkString(", ") +
+        s", 'lv', $lv, 'hr', $hr, 'rv', $rv, 'un', $un)"
+    val nullRv = s"CAST(NULL AS $retDdl)"
+    def rewriteExits(ss: Seq[RStmt]): Seq[RStmt] = ss.map {
+      case RReturn(e) =>
+        RReturn(structText("false", "true", s"CAST(($e) AS $retDdl)", "false"))
+      case RLeave(_) => RReturn(structText("true", "false", nullRv, "false"))
+      case RIterate(_) => RReturn(structText("false", "false", nullRv, "false"))
+      case RIf(bs, e) =>
+        RIf(bs.map { case (c, b) => (c, rewriteExits(b)) }, e.map(rewriteExits))
+      case RCompound(None, decls, b) => RCompound(None, decls, rewriteExits(b))
+      case other => other
+    }
+    val terminal = RReturn(structText("false", "false", nullRv,
+      untilSql.map(u => s"(($u)) = true").getOrElse("false")))
+    val types = vars.map(v => v.name.toLowerCase -> v.ddl).toMap
+    val bodySql =
+      try comp(rewriteExits(body).toList ::: List(terminal), Map.empty, types,
+        bodyStructDdl, None).getOrElse(return None)
+      catch { case _: SqlParseException => return None }
+    if (bodySql.length > 60000) return None
+    val kernelSql = condSql match {
+      case Some(c) if condFirst =>
+        s"named_struct('c', (($c)) = true, 's', " +
+          s"IF((($c)) = true, $bodySql, CAST(NULL AS $bodyStructDdl)))"
+      case _ =>
+        s"named_struct('c', true, 's', $bodySql)"
+    }
+    val kernel =
+      try compileExpr(spark, vars, kernelSql, None)
+      catch { case _: Exception => return None }
+    Some(ICompiledLoop(condFirst, kernel,
+      varNames.map(n => slotOf(n.toLowerCase)).toArray,
+      vars.map(_.tpe).toArray,
+      CatalystSqlParser.parseDataType(bodyStructDdl)
+        .asInstanceOf[org.apache.spark.sql.types.StructType],
+      dataTypeOf(retDdl)))
   }
 
   private def lower(spark: SparkSession, vars: Seq[VarSlot],
@@ -672,21 +820,47 @@ object RoutineLang {
           case None => inits ++ lowered
         }
       case RLoop(l, b) =>
-        val label = l.map(_.toLowerCase).getOrElse(s"#loop${loopIds.getAndIncrement()}")
-        Seq(ILoop(label, Array.empty, None, condFirst = false,
-          lower(spark, vars, slotOf, b, retDdl, loopIds)))
+        compileLoopKernel(spark, vars, slotOf, l, None, condFirst = false,
+            b, None, retDdl).map(Seq(_)).getOrElse {
+          val label = l.map(_.toLowerCase).getOrElse(s"#loop${loopIds.getAndIncrement()}")
+          Seq(ILoop(label, Array.empty, None, condFirst = false,
+            lower(spark, vars, slotOf, b, retDdl, loopIds)))
+        }
       case RWhile(l, c, b) =>
-        val label = l.map(_.toLowerCase).getOrElse(s"#loop${loopIds.getAndIncrement()}")
-        Seq(ILoop(label, Array.empty, Some(cond(c)), condFirst = true,
-          lower(spark, vars, slotOf, b, retDdl, loopIds)))
+        compileLoopKernel(spark, vars, slotOf, l, Some(c), condFirst = true,
+            b, None, retDdl).map(Seq(_)).getOrElse {
+          val label = l.map(_.toLowerCase).getOrElse(s"#loop${loopIds.getAndIncrement()}")
+          Seq(ILoop(label, Array.empty, Some(cond(c)), condFirst = true,
+            lower(spark, vars, slotOf, b, retDdl, loopIds)))
+        }
       case RRepeat(l, b, u) =>
-        val label = l.map(_.toLowerCase).getOrElse(s"#loop${loopIds.getAndIncrement()}")
-        Seq(ILoop(label, Array.empty, Some(cond(u)), condFirst = false,
-          lower(spark, vars, slotOf, b, retDdl, loopIds)))
+        compileLoopKernel(spark, vars, slotOf, l, None, condFirst = false,
+            b, Some(u), retDdl).map(Seq(_)).getOrElse {
+          val label = l.map(_.toLowerCase).getOrElse(s"#loop${loopIds.getAndIncrement()}")
+          Seq(ILoop(label, Array.empty, Some(cond(u)), condFirst = false,
+            lower(spark, vars, slotOf, b, retDdl, loopIds)))
+        }
     }.toArray
   }
 
   // ---------------------------------------------------------- registration
+  /** Execution tier chosen at CREATE, for introspection/tests:
+    * "expression" (loop-free CPS → native SQL UDF, inlines into codegen),
+    * "compiled-loops" (every loop lowered to a codegen'd kernel — zero
+    * per-statement interpretation), "interpreted" (at least one loop walks
+    * the pre-bound control AST per row). */
+  private val tiers = scala.collection.concurrent.TrieMap[String, String]()
+  def tierOf(name: String): Option[String] = tiers.get(name.toLowerCase)
+
+  private def hasIStmt(program: Array[IStmt], p: IStmt => Boolean): Boolean = {
+    def walk(s: IStmt): Boolean = p(s) || (s match {
+      case IIf(bs, e) => bs.exists(_._2.exists(walk)) || e.exists(walk)
+      case ILoop(_, pre, _, _, b) => pre.exists(walk) || b.exists(walk)
+      case _ => false
+    })
+    program.exists(walk)
+  }
+
   /** Entry: register `name(params…) RETURNS retType <controlStatement>`. */
   def register(spark: SparkSession, name: String,
       params: Seq[(String, String)], retType: String, bodyText: String): Unit = {
@@ -702,6 +876,7 @@ object RoutineLang {
             .mkString(", ")
           spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $name($sparkParams) " +
             s"RETURNS ${sparkTypeDdl(retType)} RETURN ${TrinoDialect.rewrite(sql)}")
+          tiers(name.toLowerCase) = "expression"
           return
         case None => // fall through to the interpreter on text blow-up
       }
@@ -714,6 +889,10 @@ object RoutineLang {
       Seq(body), retDdl, new java.util.concurrent.atomic.AtomicInteger(0))
     val maxSteps = sys.props.get("graft.routine.maxSteps").map(_.toLong)
       .getOrElse(10000000L)
+    tiers(name.toLowerCase) =
+      if (hasIStmt(program, _.isInstanceOf[ILoop])) "interpreted"
+      else if (hasIStmt(program, _.isInstanceOf[ICompiledLoop])) "compiled-loops"
+      else "interpreted-straightline" // loop-free body whose CPS text blew up
     val runner = new Runner(program, vars.length,
       params.indices.map(i => vars(i).tpe).toArray, retDataType, maxSteps)
     registerUdf(spark, name, params.length, retDataType, runner)

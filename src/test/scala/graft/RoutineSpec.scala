@@ -121,6 +121,88 @@ class RoutineSpec extends SparkSpec {
     assert(rows.isNullAt(2)) // no branch matched → falls through to RETURN NULL
   }
 
+  test("loop-bearing routines compile to codegen'd kernels (zero interpreter involvement)") {
+    // WHILE with straight-line SETs: the whole loop lowers to one
+    // Janino-compiled kernel — tier "compiled-loops", not "interpreted"
+    sql("""CREATE OR REPLACE FUNCTION t_fibk(n bigint) RETURNS bigint
+           BEGIN
+             DECLARE a bigint DEFAULT 0;
+             DECLARE b bigint DEFAULT 1;
+             DECLARE t bigint;
+             DECLARE i bigint DEFAULT 0;
+             WHILE i < n DO
+               SET t = a + b;
+               SET a = b;
+               SET b = t;
+               SET i = i + 1;
+             END WHILE;
+             RETURN a;
+           END""")
+    assert(graft.functions.RoutineLang.tierOf("t_fibk").contains("compiled-loops"),
+      graft.functions.RoutineLang.tierOf("t_fibk").toString)
+    val fib = sql("SELECT t_fibk(col) AS f FROM (VALUES 0, 1, 2, 10, 24) AS t(col)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(fib == Seq(0L, 1L, 1L, 55L, 46368L))
+
+    // LOOP with IF branches and ITERATE/LEAVE against its OWN label also
+    // kernelizes (the CPS pass turns the exits into struct signals)
+    sql("""CREATE OR REPLACE FUNCTION t_collatzk(n bigint) RETURNS bigint
+           BEGIN
+             DECLARE v bigint;
+             DECLARE s bigint DEFAULT 0;
+             SET v = n;
+             walk: LOOP
+               IF v <= 1 THEN
+                 LEAVE walk;
+               END IF;
+               SET s = s + 1;
+               IF v % 2 = 0 THEN
+                 SET v = v / 2;
+                 ITERATE walk;
+               END IF;
+               SET v = 3 * v + 1;
+             END LOOP;
+             RETURN s;
+           END""")
+    assert(graft.functions.RoutineLang.tierOf("t_collatzk").contains("compiled-loops"),
+      graft.functions.RoutineLang.tierOf("t_collatzk").toString)
+    val c = sql("SELECT t_collatzk(col) AS c FROM (VALUES 1, 6, 27) AS t(col)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(c == Seq(0L, 8L, 111L)) // collatz steps
+
+    // REPEAT kernelizes with UNTIL evaluated in the end-of-iteration state
+    sql("""CREATE OR REPLACE FUNCTION t_repk(n bigint) RETURNS bigint
+           BEGIN
+             DECLARE v bigint DEFAULT 0;
+             REPEAT
+               SET v = v + 10;
+             UNTIL v >= n END REPEAT;
+             RETURN v;
+           END""")
+    assert(graft.functions.RoutineLang.tierOf("t_repk").contains("compiled-loops"))
+    assert(sql("SELECT t_repk(35) AS v").collect().head.getLong(0) == 40L)
+    assert(sql("SELECT t_repk(0) AS v").collect().head.getLong(0) == 10L) // body-first
+
+    // NESTED loops cannot kernelize — they fall back to the interpreter
+    sql("""CREATE OR REPLACE FUNCTION t_nestk(n bigint) RETURNS bigint
+           BEGIN
+             DECLARE i bigint DEFAULT 0;
+             DECLARE acc bigint DEFAULT 0;
+             DECLARE j bigint;
+             outer_l: WHILE i < n DO
+               SET j = 0;
+               WHILE j < i DO
+                 SET acc = acc + 1;
+                 SET j = j + 1;
+               END WHILE;
+               SET i = i + 1;
+             END WHILE;
+             RETURN acc;
+           END""")
+    assert(graft.functions.RoutineLang.tierOf("t_nestk").contains("interpreted"))
+    assert(sql("SELECT t_nestk(5) AS v").collect().head.getLong(0) == 10L)
+  }
+
   test("body not ending in RETURN is rejected at CREATE (reference MISSING_RETURN)") {
     // reference SqlRoutineAnalyzer.validateReturn: shape-based — the LAST
     // statement must literally be RETURN, even if every path through a
