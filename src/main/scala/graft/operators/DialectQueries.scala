@@ -359,6 +359,60 @@ object Dialect {
          ON r.user_id = j.user_id AND r.grp = j.jgrp
        ORDER BY j.user_id, j.event_id"""
 
+  /** Multiple named pattern windows + a WINDOW FUNCTION over a pattern
+    * window (r15; reference pattern-recognition-in-window.md "upon a window
+    * function call over the window": the function evaluates over the frame
+    * limited to the matched rows — lowered as a synthesized measure). w1's
+    * declared measure counts the descending run per anchor; w2's
+    * `sum(value) OVER w2` sums the two rows of an exact double-rise match.
+    * SKIP TO NEXT ROW on both keeps every row an anchor so the oracle
+    * replays with lag/lead windows. */
+  def q_sqlx_match_window5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT user_id, event_id, nd OVER w1 AS n_down, sum(value) OVER w2 AS up2_sum
+         FROM events
+         WINDOW w1 AS (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES COUNT(D.*) AS nd
+           AFTER MATCH SKIP TO NEXT ROW
+           PATTERN (D+)
+           DEFINE D AS value < PREV(value)),
+         w2 AS (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES COUNT(U.*) AS nu
+           AFTER MATCH SKIP TO NEXT ROW
+           PATTERN (U U)
+           DEFINE U AS value > PREV(value))""")
+      .orderBy($"user_id", $"event_id")
+  }
+  val qSqlxMatchWindow5Sql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         FROM events),
+       f AS (
+         SELECT *, (pv IS NOT NULL AND value < pv) AS d,
+                   (pv IS NOT NULL AND value > pv) AS u
+         FROM e),
+       g AS (
+         SELECT *,
+           rn - row_number() OVER (PARTITION BY user_id, d ORDER BY rn) AS grp,
+           lead(u) OVER (PARTITION BY user_id ORDER BY rn) AS nxt_u,
+           lead(value) OVER (PARTITION BY user_id ORDER BY rn) AS nxt_v
+         FROM f),
+       runs AS (
+         SELECT user_id, grp, max(rn) AS mx FROM g WHERE d GROUP BY user_id, grp)
+       SELECT g.user_id, g.event_id,
+         CASE WHEN g.d THEN CAST(r.mx - g.rn + 1 AS BIGINT) END AS n_down,
+         CASE WHEN g.u AND coalesce(g.nxt_u, false) THEN g.value + g.nxt_v END AS up2_sum
+       FROM g LEFT JOIN runs r
+         ON g.user_id = r.user_id AND g.grp = r.grp AND g.d
+       ORDER BY g.user_id, g.event_id"""
+
   /** Text-SQL MATCH_RECOGNIZE, ALL ROWS PER MATCH (classifier + match number). */
   def q_sqlx_match_rows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1460,6 +1514,7 @@ object Dialect {
     "q_sqlx_match_window2" -> q_sqlx_match_window2 _,
     "q_sqlx_match_window3" -> q_sqlx_match_window3 _,
     "q_sqlx_match_window4" -> q_sqlx_match_window4 _,
+    "q_sqlx_match_window5" -> q_sqlx_match_window5 _,
     "q_sqlx_match_rows" -> q_sqlx_match_rows _,
     "q_sqlx_match_multikey" -> q_sqlx_match_multikey _,
     "q_sqlx_match_skip_to" -> q_sqlx_match_skip_to _,
@@ -1502,6 +1557,7 @@ object Dialect {
     "q_sqlx_match_window2" -> qSqlxMatchWindow2Sql,
     "q_sqlx_match_window3" -> qSqlxMatchWindow3Sql,
     "q_sqlx_match_window4" -> qSqlxMatchWindow4Sql,
+    "q_sqlx_match_window5" -> qSqlxMatchWindow5Sql,
     "q_sqlx_match_rows" -> qSqlxMatchRowsSql,
     "q_sqlx_match_multikey" -> qSqlxMatchMultikeySql,
     "q_sqlx_match_skip_to" -> qSqlxMatchSkipToSql,

@@ -37,35 +37,76 @@ import graft.plans.RowPattern
   * rows; unmatched rows appear with NULL measures. Every input row
   * produces exactly one output row.
   *
-  * Physical shape: identical to MatchRecognize.annotateMatchesWith — one
-  * hash exchange on the partition keys + one sort (pinned by an internal
+  * Physical shape: identical to MatchRecognize.annotateMatchesWith — ONE
+  * hash exchange + sort PER DISTINCT WINDOW (pinned by an internal
   * row_number over the same spec, so DEFINE's lag/lead columns reuse the
-  * exchange), then a streaming per-group pass. Anchoring at every row costs
+  * exchange), then a streaming per-group pass. Match attempts cost
   * O(rows × match length) NFA work per partition — the same bound as the
   * reference's per-row matcher loop.
   *
-  * Documented subset/divergences: a single named window; select items are
-  * plain columns or `measure OVER w [AS alias]`; empty matches are treated
-  * as no-match (as in the FROM-clause lowering). Navigation (PREV in
-  * DEFINE, and measures) over a BOUNDED frame clips at the frame end via
-  * the sliced search space; navigation BELOW the anchor row is clipped
-  * only on the stateful DEFINE path — state-independent conditions compile
-  * to partition-wide lag/lead columns, so a PREV at the anchor reads the
-  * partition value where the reference reads null (divergence kept for the
-  * codegen fast path, pinned by the existing oracles).
+  * Select items (r15): plain columns, declared measures `m OVER w [AS a]`,
+  * and WINDOW FUNCTION calls over a pattern window `fn(args) OVER w` —
+  * per the reference, a window function over a pattern window evaluates
+  * over the frame limited to the matched row sequence (empty frame → NULL
+  * for unmatched/skipped rows); it lowers as a synthesized measure.
+  * Multiple named windows are accepted; each evaluates independently.
+  *
+  * Documented subset/divergences: empty matches are treated as no-match
+  * (as in the FROM-clause lowering); mixing plain and pattern windows in
+  * one statement is rejected. Navigation (PREV in DEFINE, and measures)
+  * over a BOUNDED frame clips at the frame end via the sliced search
+  * space; navigation BELOW the anchor row is clipped only on the stateful
+  * DEFINE path — state-independent conditions compile to partition-wide
+  * lag/lead columns, so a PREV at the anchor reads the partition value
+  * where the reference reads null (divergence kept for the codegen fast
+  * path, pinned by the existing oracles).
   */
 private[graft] object MatchWindowSql {
 
-  final case class Item(text: String, alias: String, measure: Option[String])
+  /** Select item: a plain column, or a measure/window-function reference
+    * `name OVER w` (measure = internal measure name, window = w). */
+  final case class Item(text: String, alias: String, measure: Option[String],
+      window: Option[String])
 
-  final case class Mw(table: String, items: Seq[Item],
+  /** One pattern-bearing window specification. */
+  final case class Wspec(name: String,
       partitionBy: Seq[String], orderBy: Seq[String],
       measures: Seq[(String, String)], pattern: String,
       defines: Seq[(String, String)], subsets: Map[String, Seq[String]],
       frameK: Option[Int], seek: Boolean, skip: RowPattern.SkipMode)
 
+  /** Whole statement: items over one or more pattern windows (reference
+    * allows several named windows in the WINDOW clause; each is evaluated
+    * independently — one exchange+sort per distinct window here, exactly
+    * the reference's per-window pattern partitioning). */
+  final case class Mw(table: String, items: Seq[Item], windows: Seq[Wspec])
+
   private val Outer =
-    """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+WINDOW\s+(\w+)\s+AS\s*\((.*)\)\s*""".r
+    """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+WINDOW\s+(.*?)\s*""".r
+
+  /** `w1 AS ( … ), w2 AS ( … )` → (name, block) pairs (balanced parens). */
+  private def splitWindows(text: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var rest = text.trim
+    val Head = "(?is)^(\\w+)\\s+AS\\s*\\(".r
+    while (rest.nonEmpty) {
+      val m = Head.findFirstMatchIn(rest).getOrElse(
+        fail(s"expected '<name> AS (…)' in WINDOW clause, got '${rest.take(40)}'"))
+      var depth = 1
+      var i = m.end
+      while (depth > 0) {
+        if (i >= rest.length) fail("unbalanced parens in WINDOW clause")
+        val c = rest.charAt(i)
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        i += 1
+      }
+      out += ((m.group(1), rest.substring(m.end, i - 1)))
+      rest = rest.substring(i).trim
+      if (rest.startsWith(",")) rest = rest.substring(1).trim
+      else if (rest.nonEmpty) fail(s"trailing text after WINDOW entry: '${rest.take(40)}'")
+    }
+    out.toSeq
+  }
 
   private val windowKeywords = Seq(
     "PARTITION BY", "ORDER BY", "MEASURES", "ROWS BETWEEN", "AFTER MATCH",
@@ -75,77 +116,115 @@ private[graft] object MatchWindowSql {
     throw new IllegalArgumentException(s"row-pattern window: $what")
 
   def parse(text: String): Option[Mw] = text match {
-    case Outer(items, table, wName, block) =>
-      val cs = MatchRecognizeSql.clauses(block, windowKeywords)
-      // only a pattern-bearing window spec lowers here; a plain named
-      // window is outside this production
-      if (!cs.exists(_._1 == "PATTERN")) return None
-      def one(kw: String): Option[String] = cs.collectFirst { case (`kw`, c) => c }
-      val parsedItems = MatchRecognizeSql.splitTop(items).map { it =>
-        val over = "(?is)^(\\w+)\\s+OVER\\s+(\\w+)(?:\\s+AS\\s+(\\w+))?$".r
-        over.findFirstMatchIn(it) match {
+    case Outer(itemsText, table, windowsText) =>
+      val entries = splitWindows(windowsText)
+      val withPattern = entries.map { case (n, block) =>
+        (n, block, MatchRecognizeSql.clauses(block, windowKeywords))
+      }
+      // only pattern-bearing window specs lower here; a statement whose
+      // windows are ALL plain named windows is outside this production
+      if (!withPattern.exists(_._3.exists(_._1 == "PATTERN"))) return None
+      withPattern.find(!_._3.exists(_._1 == "PATTERN")).foreach { case (n, _, _) =>
+        fail(s"window '$n' has no PATTERN (mixing plain and row-pattern " +
+          "windows in one statement is not supported)")
+      }
+      val declared = withPattern.map(_._1.toLowerCase).toSet
+
+      // select items: plain column | <measure> OVER w | <fn>(args) OVER w
+      // (a window function over a pattern window evaluates over the frame
+      // limited to the matched rows — reference pattern-recognition-in-
+      // window.md "upon a window function call over the window"; lowered
+      // here as a SYNTHESIZED measure on that window)
+      val synth = scala.collection.mutable.Map[String, Seq[(String, String)]]()
+        .withDefaultValue(Seq.empty)
+      var synthId = 0
+      val parsedItems = MatchRecognizeSql.splitTop(itemsText).map { it =>
+        val fnOver =
+          "(?is)^(\\w+)\\s*\\((.*)\\)\\s+OVER\\s+(\\w+)(?:\\s+AS\\s+(\\w+))?$".r
+        val overRe = "(?is)^(\\w+)\\s+OVER\\s+(\\w+)(?:\\s+AS\\s+(\\w+))?$".r
+        fnOver.findFirstMatchIn(it) match {
           case Some(m) =>
-            if (!m.group(2).equalsIgnoreCase(wName))
-              fail(s"unknown window '${m.group(2)}' (declared: $wName)")
-            Item(m.group(1), Option(m.group(3)).getOrElse(m.group(1)), Some(m.group(1)))
-          case None =>
-            val plain = "(?is)^(\\w+)(?:\\s+AS\\s+(\\w+))?$".r.findFirstMatchIn(it)
-              .getOrElse(fail(s"select item '$it' (plain column or <measure> OVER $wName)"))
-            Item(plain.group(1), Option(plain.group(2)).getOrElse(plain.group(1)), None)
+            val wRef = m.group(3)
+            if (!declared.contains(wRef.toLowerCase))
+              fail(s"unknown window '$wRef' (declared: ${declared.mkString(", ")})")
+            val name = s"__wf$synthId"; synthId += 1
+            synth(wRef.toLowerCase) =
+              synth(wRef.toLowerCase) :+ ((s"${m.group(1)}(${m.group(2)})", name))
+            Item(name, Option(m.group(4)).getOrElse(m.group(1)), Some(name),
+              Some(wRef.toLowerCase))
+          case None => overRe.findFirstMatchIn(it) match {
+            case Some(m) =>
+              val wRef = m.group(2)
+              if (!declared.contains(wRef.toLowerCase))
+                fail(s"unknown window '$wRef' (declared: ${declared.mkString(", ")})")
+              Item(m.group(1), Option(m.group(3)).getOrElse(m.group(1)),
+                Some(m.group(1)), Some(wRef.toLowerCase))
+            case None =>
+              val plain = "(?is)^(\\w+)(?:\\s+AS\\s+(\\w+))?$".r.findFirstMatchIn(it)
+                .getOrElse(fail(s"select item '$it' (plain column, <measure> OVER w, or fn(args) OVER w)"))
+              Item(plain.group(1), Option(plain.group(2)).getOrElse(plain.group(1)),
+                None, None)
+          }
         }
       }
-      val seek = cs.exists(_._1 == "SEEK")
-      // frame extent (SqlBase.g4:879 boundedFrame): the reference requires
-      // the frame start at CURRENT ROW; the end bounds the match search
-      val frameK: Option[Int] = one("ROWS BETWEEN") match {
-        case None => None // default: CURRENT ROW AND UNBOUNDED FOLLOWING
-        case Some(f) =>
-          val t = f.trim
-          if ("(?is)^CURRENT\\s+ROW\\s+AND\\s+UNBOUNDED\\s+FOLLOWING$".r
-              .findFirstIn(t).isDefined) None
-          else if ("(?is)^CURRENT\\s+ROW\\s+AND\\s+CURRENT\\s+ROW$".r
-              .findFirstIn(t).isDefined) Some(0)
-          else "(?is)^CURRENT\\s+ROW\\s+AND\\s+(\\d+)\\s+FOLLOWING$".r
-            .findFirstMatchIn(t) match {
-            case Some(m) => Some(m.group(1).toInt)
-            case None => fail(
-              "frame must be ROWS BETWEEN CURRENT ROW AND " +
-                s"{CURRENT ROW | <n> FOLLOWING | UNBOUNDED FOLLOWING}, got '$t'")
-          }
+
+      val windows = withPattern.map { case (wName, _, cs) =>
+        def one(kw: String): Option[String] = cs.collectFirst { case (`kw`, c) => c }
+        val seek = cs.exists(_._1 == "SEEK")
+        // frame extent (SqlBase.g4:879 boundedFrame): the reference requires
+        // the frame start at CURRENT ROW; the end bounds the match search
+        val frameK: Option[Int] = one("ROWS BETWEEN") match {
+          case None => None // default: CURRENT ROW AND UNBOUNDED FOLLOWING
+          case Some(f) =>
+            val t = f.trim
+            if ("(?is)^CURRENT\\s+ROW\\s+AND\\s+UNBOUNDED\\s+FOLLOWING$".r
+                .findFirstIn(t).isDefined) None
+            else if ("(?is)^CURRENT\\s+ROW\\s+AND\\s+CURRENT\\s+ROW$".r
+                .findFirstIn(t).isDefined) Some(0)
+            else "(?is)^CURRENT\\s+ROW\\s+AND\\s+(\\d+)\\s+FOLLOWING$".r
+              .findFirstMatchIn(t) match {
+              case Some(m) => Some(m.group(1).toInt)
+              case None => fail(
+                "frame must be ROWS BETWEEN CURRENT ROW AND " +
+                  s"{CURRENT ROW | <n> FOLLOWING | UNBOUNDED FOLLOWING}, got '$t'")
+            }
+        }
+        val partition = MatchRecognizeSql.identList(
+          one("PARTITION BY").getOrElse(fail("PARTITION BY <cols>")), "PARTITION BY")
+        val order = MatchRecognizeSql.identList(
+          one("ORDER BY").getOrElse(fail("ORDER BY <cols>")), "ORDER BY")
+        val patternRaw = one("PATTERN").getOrElse(fail("PATTERN (...)")).trim
+        require(patternRaw.startsWith("(") && patternRaw.endsWith(")"),
+          s"PATTERN must be parenthesized, got '$patternRaw'")
+        val subsets = one("SUBSET").map(MatchRecognizeSql.splitTop(_).map { d =>
+          val m = "(?is)^\\s*(\\w+)\\s*=\\s*\\(([^)]*)\\)\\s*$".r.findFirstMatchIn(d)
+            .getOrElse(fail(s"SUBSET entry '$d'"))
+          m.group(1) -> m.group(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        }.toMap).getOrElse(Map.empty)
+        val defines = MatchRecognizeSql.splitTop(
+            one("DEFINE").getOrElse(fail("DEFINE ..."))).map { d =>
+          val m = "(?is)^\\s*(\\w+)\\s+AS\\s+(.*)$".r.findFirstMatchIn(d)
+            .getOrElse(fail(s"DEFINE entry '$d'"))
+          (m.group(1), m.group(2).trim)
+        }
+        val measures = one("MEASURES").map(MatchRecognizeSql.splitTop(_).map { mm =>
+          val m = "(?is)^(.*\\S)\\s+AS\\s+(\\w+)\\s*$".r.findFirstMatchIn(mm)
+            .getOrElse(fail(s"MEASURES entry '$mm' (expected <expr> AS <alias>)"))
+          (m.group(1).trim, m.group(2))
+        }).getOrElse(Seq.empty) ++ synth(wName.toLowerCase)
+        val skip = MatchRecognizeSql.parseSkip(one("AFTER MATCH"), subsets)
+        Wspec(wName, partition, order, measures,
+          patternRaw.substring(1, patternRaw.length - 1), defines, subsets,
+          frameK, seek, skip)
       }
-      val partition = MatchRecognizeSql.identList(
-        one("PARTITION BY").getOrElse(fail("PARTITION BY <cols>")), "PARTITION BY")
-      val order = MatchRecognizeSql.identList(
-        one("ORDER BY").getOrElse(fail("ORDER BY <cols>")), "ORDER BY")
-      val patternRaw = one("PATTERN").getOrElse(fail("PATTERN (...)")).trim
-      require(patternRaw.startsWith("(") && patternRaw.endsWith(")"),
-        s"PATTERN must be parenthesized, got '$patternRaw'")
-      val subsets = one("SUBSET").map(MatchRecognizeSql.splitTop(_).map { d =>
-        val m = "(?is)^\\s*(\\w+)\\s*=\\s*\\(([^)]*)\\)\\s*$".r.findFirstMatchIn(d)
-          .getOrElse(fail(s"SUBSET entry '$d'"))
-        m.group(1) -> m.group(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-      }.toMap).getOrElse(Map.empty)
-      val defines = MatchRecognizeSql.splitTop(
-          one("DEFINE").getOrElse(fail("DEFINE ..."))).map { d =>
-        val m = "(?is)^\\s*(\\w+)\\s+AS\\s+(.*)$".r.findFirstMatchIn(d)
-          .getOrElse(fail(s"DEFINE entry '$d'"))
-        (m.group(1), m.group(2).trim)
+      // every measure referenced by the select list must be declared in
+      // its window
+      parsedItems.filter(_.measure.isDefined).foreach { it =>
+        val w = windows.find(_.name.equalsIgnoreCase(it.window.get)).get
+        if (!w.measures.exists(_._2.equalsIgnoreCase(it.measure.get)))
+          fail(s"measure '${it.measure.get}' is not declared in MEASURES of window '${w.name}'")
       }
-      val measures = MatchRecognizeSql.splitTop(
-          one("MEASURES").getOrElse(fail("MEASURES ..."))).map { mm =>
-        val m = "(?is)^(.*\\S)\\s+AS\\s+(\\w+)\\s*$".r.findFirstMatchIn(mm)
-          .getOrElse(fail(s"MEASURES entry '$mm' (expected <expr> AS <alias>)"))
-        (m.group(1).trim, m.group(2))
-      }
-      // every measure referenced by the select list must be declared
-      parsedItems.flatMap(_.measure).foreach { m =>
-        if (!measures.exists(_._2.equalsIgnoreCase(m)))
-          fail(s"measure '$m' is not declared in MEASURES")
-      }
-      val skip = MatchRecognizeSql.parseSkip(one("AFTER MATCH"), subsets)
-      Some(Mw(table, parsedItems, partition, order,
-        measures, patternRaw.substring(1, patternRaw.length - 1), defines,
-        subsets, frameK, seek, skip))
+      Some(Mw(table, parsedItems, windows))
     case _ => None
   }
 
@@ -153,21 +232,41 @@ private[graft] object MatchWindowSql {
     lowerDf(graft.sources.Tables.load(spark, dir, mw.table), mw)
 
   def lowerDf(full: DataFrame, mw: Mw): DataFrame = {
-    val spark = full.sparkSession
-    val mr = MatchRecognizeSql.Mr(mw.table, mw.partitionBy, mw.orderBy,
-      mw.measures, allRows = false, RowPattern.SkipPastLastRow,
-      mw.pattern, mw.defines, mw.subsets)
-    val syms = MatchRecognizeSql.patternSymbols(mr)
+    // column pruning across ALL windows + plain items
     val fieldNames = full.schema.fieldNames.toSeq
     def refs(text: String): Seq[String] = {
       val lower = fieldNames.map(f => f.toLowerCase -> f).toMap
       "\\w+".r.findAllIn(text).toSeq.flatMap(w => lower.get(w.toLowerCase)).distinct
     }
-    val keep = (mw.partitionBy ++ mw.orderBy ++
-      mw.items.filter(_.measure.isEmpty).map(_.text) ++
-      mw.defines.flatMap(d => refs(d._2)) ++
-      mw.measures.flatMap(m => refs(m._1))).distinct
-    var df = full.select(keep.map(col): _*)
+    val keep = (mw.items.filter(_.measure.isEmpty).map(_.text) ++
+      mw.windows.flatMap(w => w.partitionBy ++ w.orderBy ++
+        w.defines.flatMap(d => refs(d._2)) ++
+        w.measures.flatMap(m => refs(m._1)))).distinct
+    // one annotate pass per window, chained: each adds its (prefixed)
+    // measure columns behind its own exchange+sort — the reference
+    // likewise partitions per window specification
+    val annotated = mw.windows.zipWithIndex.foldLeft(full.select(keep.map(col): _*)) {
+      case (df, (w, wi)) => annotate(df, w, s"__mw${wi}_")
+    }
+    annotated.selectExpr(mw.items.map { it =>
+      it.measure match {
+        case Some(m) =>
+          val wi = mw.windows.indexWhere(_.name.equalsIgnoreCase(it.window.get))
+          s"__mw${wi}_$m AS ${it.alias}"
+        case None => s"${it.text} AS ${it.alias}"
+      }
+    }: _*)
+  }
+
+  /** Add window `w`'s measures as `<prefix><name>` columns via one
+    * exchange+sort and a streaming per-group sequential pass. */
+  private def annotate(input: DataFrame, mw: Wspec, prefix: String): DataFrame = {
+    val spark = input.sparkSession
+    val mr = MatchRecognizeSql.Mr(mw.name, mw.partitionBy, mw.orderBy,
+      mw.measures, allRows = false, RowPattern.SkipPastLastRow,
+      mw.pattern, mw.defines, mw.subsets)
+    val syms = MatchRecognizeSql.patternSymbols(mr)
+    var df = input
 
     // DEFINE routing, exactly as the FROM-clause lowering: state-independent
     // conditions → codegen'd boolean lag/lead columns; match-state-dependent
@@ -177,7 +276,7 @@ private[graft] object MatchWindowSql {
     val (stateful, simple) =
       mw.defines.partition(d => DefineEval.isStateful(d._2, d._1, syms))
     val defBool = simple.map { case (sym, cond) =>
-      val boolCol = s"__def_$sym"
+      val boolCol = s"${prefix}def_$sym"
       df = df.withColumn(boolCol,
         expr(MatchRecognizeSql.rewriteDefine(cond, sym, syms, navOver)))
       sym -> boolCol
@@ -197,12 +296,15 @@ private[graft] object MatchWindowSql {
     val keyIdx = mw.partitionBy.map(schema.fieldIndex)
     val inWidth = schema.length
     val outSchema = StructType(schema.fields ++
-      compiled.map { case (name, cm) => StructField(name, cm.dataType) })
+      compiled.map { case (name, cm) => StructField(prefix + name, cm.dataType) })
+    val frameK = mw.frameK
+    val seek = mw.seek
+    val skip = mw.skip
     // the row_number window pins hash-partition + sort; the DEFINE lag/lead
     // columns above share the same exchange (EnsureRequirements reuse)
     val w = Window.partitionBy(mw.partitionBy.map(col): _*)
       .orderBy(mw.orderBy.map(col): _*)
-    val annotated = df.withColumn("__mw_rn", row_number().over(w))
+    val annotated = df.withColumn(s"${prefix}rn", row_number().over(w))
       .mapPartitions { it =>
         new Iterator[Seq[Row]] {
           private val buf = it.buffered
@@ -226,7 +328,7 @@ private[graft] object MatchWindowSql {
                 // slice so matching AND navigation clip at the frame end.
                 // INITIAL anchors only at i; SEEK advances the anchor to
                 // the first in-frame position with a match.
-                val (view, off) = mw.frameK match {
+                val (view, off) = frameK match {
                   case None => (part, 0)
                   case Some(k) =>
                     (part.slice(i, math.min(part.length, i + k + 1)), i)
@@ -236,7 +338,7 @@ private[graft] object MatchWindowSql {
                 var searching = true
                 while (searching && rel < view.length) {
                   m = matcher.anchoredAt(view, rel)
-                  searching = m.isEmpty && mw.seek
+                  searching = m.isEmpty && seek
                   rel += 1
                 }
                 m match {
@@ -248,7 +350,7 @@ private[graft] object MatchWindowSql {
                     // at or before the current row simply skips nothing —
                     // window processing advances row by row, so the
                     // MATCH_RECOGNIZE infinite-resume hazard cannot arise
-                    skipUntil = mw.skip match {
+                    skipUntil = skip match {
                       case RowPattern.SkipPastLastRow => off + pm.end
                       case RowPattern.SkipToNextRow => i + 1
                       case RowPattern.SkipToVar(vars, first, label) =>
@@ -266,6 +368,7 @@ private[graft] object MatchWindowSql {
           }
         }.flatten
       }(Encoders.row(outSchema))
-    annotated.selectExpr(mw.items.map(it => s"${it.text} AS ${it.alias}"): _*)
+    // helper columns (rn pin, DEFINE booleans) are internal to this window
+    annotated.drop((s"${prefix}rn" +: defBool.values.toSeq): _*)
   }
 }

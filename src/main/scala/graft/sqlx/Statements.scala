@@ -894,23 +894,28 @@ private[graft] object Statements {
       throw new SqlParseException(s"SHOW $other is not supported")
 
     case DescribeStmt(name, like, esc) =>
-      val (schema, comments, partCols) = lookupKey(name) match {
+      val (schema, comments, partCols, bktCols) = lookupKey(name) match {
         case Some(key) =>
+          val ct = tables.get(key).map(root =>
+            graft.catalog.CowTable.open(spark, root))
           (spark.table(viewNameOf(key)).schema,
             tableMeta.get(key).map(_.colComments).getOrElse(Map.empty[String, String]),
-            tables.get(key).map(root => graft.catalog.CowTable
-              .open(spark, root).partitioning.map(_.toLowerCase).toSet)
+            ct.map(_.partitioning.map(_.toLowerCase).toSet)
+              .getOrElse(Set.empty[String]),
+            ct.flatMap(_.bucketing).map(_.cols.map(_.toLowerCase).toSet)
               .getOrElse(Set.empty[String]))
         case None =>
-          (spark.table(name).schema, Map.empty[String, String], Set.empty[String])
+          (spark.table(name).schema, Map.empty[String, String],
+            Set.empty[String], Set.empty[String])
       }
       val shown = schema.fields.toSeq.filter(f =>
         like.forall(p => likeMatch(f.name, p, esc)))
       spark.createDataFrame(
         java.util.List.copyOf(scala.jdk.CollectionConverters.SeqHasAsJava(
           shown.map(f => Row(f.name, f.dataType.simpleString,
-            // reference ShowQueriesRewrite "Extra": partition keys marked
-            if (partCols(f.name.toLowerCase)) "partition key" else "",
+            // reference ShowQueriesRewrite "Extra": partition/bucket keys
+            if (partCols(f.name.toLowerCase)) "partition key"
+            else if (bktCols(f.name.toLowerCase)) "bucket key" else "",
             comments.getOrElse(f.name.toLowerCase, "")))).asJava),
         StructType(Seq(StructField("column", StringType, nullable = false),
           StructField("type", StringType, nullable = false),

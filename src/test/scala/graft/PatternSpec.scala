@@ -229,6 +229,47 @@ class PatternSpec extends SparkSpec {
       Seq(None, Some(4L), None, None, Some(1L), None, Some(2L), Some(1L)))
   }
 
+  test("row-pattern window: multiple windows and window functions over a pattern window") {
+    import spark.implicits._
+    // values 9 8 7 6 5 9 4 3 (as above)
+    val vals = Seq(9.0, 8.0, 7.0, 6.0, 5.0, 9.0, 4.0, 3.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("user_id", "event_id", "value")
+    val mw = graft.sqlx.MatchWindowSql.parse(
+      """SELECT event_id, m OVER w1 AS m, sum(value) OVER w2 AS dsum
+         FROM t WINDOW
+         w1 AS (PARTITION BY user_id ORDER BY event_id
+           MEASURES COUNT(D.*) AS m
+           AFTER MATCH SKIP TO NEXT ROW
+           PATTERN (D+) DEFINE D AS value < PREV(value)),
+         w2 AS (PARTITION BY user_id ORDER BY event_id
+           MEASURES COUNT(D.*) AS nd
+           AFTER MATCH SKIP TO NEXT ROW
+           PATTERN (D D) DEFINE D AS value < PREV(value))""")
+      .getOrElse(fail("multi-window spec did not parse"))
+    val out = graft.sqlx.MatchWindowSql.lowerDf(df, mw)
+      .orderBy("event_id").collect()
+    def m(i: Int): Option[Long] =
+      if (out(i).isNullAt(1)) None else Some(out(i).getLong(1))
+    def dsum(i: Int): Option[Double] =
+      if (out(i).isNullAt(2)) None else Some(out(i).getDouble(2))
+    // w1: per-anchor descending run lengths (SKIP TO NEXT ROW)
+    assert((0 until 8).map(m) ==
+      Seq(None, Some(4L), Some(3L), Some(2L), Some(1L), None, Some(2L), Some(1L)))
+    // w2: sum(value) over an exact double-descent match — the window
+    // function evaluates over the matched rows ONLY (empty frame → NULL)
+    assert((0 until 8).map(dsum) == Seq(None, Some(8.0 + 7.0), Some(7.0 + 6.0),
+      Some(6.0 + 5.0), None, None, Some(4.0 + 3.0), None))
+    // mixing a plain window with a pattern window is rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.sqlx.MatchWindowSql.parse(
+        """SELECT a OVER w1 AS a FROM t WINDOW
+           w1 AS (PARTITION BY k ORDER BY o MEASURES COUNT(D.*) AS a
+             PATTERN (D) DEFINE D AS v > 0),
+           w2 AS (PARTITION BY k ORDER BY o)""")
+    }
+  }
+
   test("row-pattern window spec: CLASSIFIER and multi-symbol measures") {
     import graft.sqlx.TrinoDialect
     // D then U: anchored V-shape start; CLASSIFIER() = label of last row

@@ -686,6 +686,25 @@ class StatementSpec extends SparkSpec {
     sql("DROP TABLE st_mv_base")
   }
 
+  test("bucketed CTAS: DESCRIBE marks bucket keys; SHOW CREATE TABLE keeps the properties") {
+    sql("DROP TABLE IF EXISTS st_bkt")
+    sql("""CREATE TABLE st_bkt WITH (bucketed_by = ARRAY['cust'],
+             bucket_count = 4, sorted_by = ARRAY['cust']) AS
+           SELECT o_orderkey AS k, o_custkey AS cust FROM orders WHERE o_orderkey <= 200""")
+    val extras = sql("DESCRIBE st_bkt").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(extras("cust") == "bucket key" && extras("k") == "", extras)
+    val ddl = sql("SHOW CREATE TABLE st_bkt").collect().map(_.getString(0)).mkString("\n")
+    assert(ddl.contains("bucketed_by") && ddl.contains("bucket_count"), ddl)
+    // bucketed_by without bucket_count is rejected loudly
+    val e = intercept[Exception] {
+      sql("""CREATE TABLE st_bkt_bad WITH (bucketed_by = ARRAY['k']) AS
+             SELECT n_nationkey AS k FROM nation""")
+    }
+    assert(e.getMessage.contains("bucket_count"), e.getMessage)
+    sql("DROP TABLE st_bkt")
+  }
+
   test("partitioned CTAS + EXECUTE optimize WHERE scopes compaction to matching files") {
     sql("DROP TABLE IF EXISTS st_pt")
     sql("""CREATE TABLE st_pt WITH (partitioned_by = ARRAY['r']) AS
