@@ -31,6 +31,9 @@ object Bench {
     // snapshot log merge, and a full HTTP statement round-trip — so a
     // regression in any of them shows in the artifact
     "q_fed_lakehouse", "q_fed_hudi_mor_snapshot", "q_http_statement")
+  // (q_sqlx_bucketed is NOT benched: its 8 passes would each pay a CTAS +
+  // two CoW mutations + catalog DDL — pure fixed cost; its zero-exchange
+  // plan is guarded by an in-query require and by CowTableSpec/PlanShapeSpec)
 
   /** Queries whose DuckDB oracle REPLAYS only the final computation over
     * the raw parquet, while the Spark side does strictly more real work

@@ -95,8 +95,11 @@ final class CowTable private (root0: String, spark: SparkSession) {
     *
     * The bucket count is fixed at CREATE — the classic bucketed-table
     * trade; pick it for the target scale (buckets ≈ cluster cores at the
-    * largest expected snapshot). Combining `bucketed_by` with
-    * `partitioned_by` is not supported yet (documented divergence). */
+    * largest expected snapshot). `bucketed_by` composes with
+    * `partitioned_by` (as in the reference's hive connector): partition
+    * directories nest inside each version dir, each holding its own bucket
+    * file set; the catalog registration adds PARTITIONED BY and partitions
+    * are re-discovered on every snapshot re-point. */
   val bucketing: Option[CowTable.BucketSpec0] = {
     val f = Paths.get(root, "_bucketing")
     if (!Files.exists(f)) None
@@ -134,12 +137,17 @@ final class CowTable private (root0: String, spark: SparkSession) {
     } else {
       val sorted =
         if (b.sortCols.nonEmpty) s"SORTED BY (${b.sortCols.mkString(", ")}) " else ""
+      val parted =
+        if (partitioning.nonEmpty) s"PARTITIONED BY (${partitioning.mkString(", ")}) " else ""
       spark.sql(
         s"CREATE TABLE $name (${storedSchemaDdl}) USING PARQUET " +
-          s"CLUSTERED BY (${b.cols.mkString(", ")}) ${sorted}INTO ${b.count} BUCKETS " +
+          s"${parted}CLUSTERED BY (${b.cols.mkString(", ")}) ${sorted}INTO ${b.count} BUCKETS " +
           s"LOCATION '$dir'")
       ()
     }
+    // hive-partitioned layout: the catalog tracks partitions explicitly —
+    // re-discover them for the (re-pointed) snapshot directory
+    if (partitioning.nonEmpty) spark.sql(s"ALTER TABLE $name RECOVER PARTITIONS")
     spark.catalog.refreshTable(name)
   }
 
@@ -147,7 +155,17 @@ final class CowTable private (root0: String, spark: SparkSession) {
   private def readFiles(files: Seq[String], mergeSchema: Boolean = false): DataFrame = {
     var r = spark.read
     if (mergeSchema) r = r.option("mergeSchema", "true")
-    if (partitioning.nonEmpty) r = r.option("basePath", dataDir.toString)
+    if (partitioning.nonEmpty) {
+      // bucketed tables nest partition dirs under data/v<N>/ — a snapshot's
+      // files all share one version dir, which is the partition-parsing root
+      val base =
+        if (bucketing.isEmpty) dataDir.toString
+        else files.headOption.map { f =>
+          f.substring(0, "^(.*/v\\d+)/".r.findFirstMatchIn(f)
+            .map(_.group(1).length).getOrElse(dataDir.toString.length))
+        }.getOrElse(dataDir.toString)
+      r = r.option("basePath", base)
+    }
     r.parquet(files: _*)
   }
 
@@ -257,10 +275,26 @@ final class CowTable private (root0: String, spark: SparkSession) {
   def readBranch(branch: String): DataFrame =
     read(asOfVersion = Some(branchHead(branch)))
 
+  /** Manifest row identity, unique within a snapshot: plain tables use the
+    * part-<uuid> file name; BUCKETED tables reuse bucket file names across
+    * partition directories (one write job emits the same
+    * part-<task>-<uuid>_<bucket> name under every col=value/ dir), so their
+    * identity is the path RELATIVE to the version directory — which the
+    * hardlink carry preserves across versions. */
+  private def identityOf(p: String): String =
+    if (bucketing.isDefined)
+      "/v\\d+/(.*)$".r.findFirstMatchIn(p).map(_.group(1))
+        .getOrElse(p.substring(p.lastIndexOf('/') + 1))
+    else p.substring(p.lastIndexOf('/') + 1)
+
   /** Snapshot file list as a DataFrame {path, fname} — the scalable handle. */
-  def manifestDf(v: Int): DataFrame =
-    spark.read.parquet(manifestDir.resolve(s"v$v").toString)
-      .withColumn("fname", regexp_extract(col("path"), "[^/]+$", 0))
+  def manifestDf(v: Int): DataFrame = {
+    val base = spark.read.parquet(manifestDir.resolve(s"v$v").toString)
+    if (bucketing.isDefined)
+      base.withColumn("fname", regexp_extract(col("path"), "/v\\d+/(.*)$", 1))
+    else
+      base.withColumn("fname", regexp_extract(col("path"), "[^/]+$", 0))
+  }
 
   private def manifestFiles(v: Int): Seq[String] =
     manifestDf(v).select("path").collect().map(_.getString(0)).toSeq
@@ -488,7 +522,7 @@ final class CowTable private (root0: String, spark: SparkSession) {
   private def mutate(affected: Seq[String], newFiles: Seq[String],
       branch: String = "main"): MutationStats = {
     val before = manifestDf(branchHead(branch))
-    val affectedNames = affected.map(p => p.substring(p.lastIndexOf('/') + 1))
+    val affectedNames = affected.map(identityOf)
     val affectedDf = spark.createDataFrame(
       spark.sparkContext.parallelize(affectedNames.map(org.apache.spark.sql.Row(_)), 1),
       org.apache.spark.sql.types.StructType(Seq(
@@ -516,17 +550,23 @@ final class CowTable private (root0: String, spark: SparkSession) {
     val tmpName = s"${catalogName}_stage_${java.lang.Long.toHexString(System.nanoTime())}"
     var w = df.repartition(b.count, b.cols.map(df(_)): _*)
       .write.option("path", tmp.toString)
-      .bucketBy(b.count, b.cols.head, b.cols.tail: _*)
+    // hive-partitioned + bucketed (reference hive supports both): each
+    // partition directory holds its own bucket file set
+    if (partitioning.nonEmpty) w = w.partitionBy(partitioning: _*)
+    w = w.bucketBy(b.count, b.cols.head, b.cols.tail: _*)
     if (b.sortCols.nonEmpty) w = w.sortBy(b.sortCols.head, b.sortCols.tail: _*)
     w.mode("overwrite").saveAsTable(tmpName)
     spark.sql(s"DROP TABLE IF EXISTS $tmpName")
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    val it = Files.list(tmp).iterator()
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getFileName.toString.endsWith(".parquet")) out += f.toString
-      else Files.deleteIfExists(f) // _SUCCESS etc. — commit later drops the dir
+    def walk(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val it = Files.list(p).iterator()
+        while (it.hasNext) walk(it.next())
+      } else if (p.getFileName.toString.endsWith(".parquet")) out += p.toString
+      else Files.deleteIfExists(p) // _SUCCESS etc. — commit later drops dirs
+      ()
     }
+    walk(tmp)
     out.toSeq
   }
 
@@ -575,10 +615,15 @@ final class CowTable private (root0: String, spark: SparkSession) {
       // the `bucketing` scaladoc).
       val dir = versionDir(v)
       Files.createDirectories(dir)
-      def fileName(p: String) = p.substring(p.lastIndexOf('/') + 1)
+      // relative path below the stage root / previous version dir —
+      // partition subdirectories (col=value/…) must survive the carry
+      def relOf(p: String): String =
+        "(?:_stage_[^/]+|v\\d+)/(.*)$".r.findFirstMatchIn(p)
+          .map(_.group(1)).getOrElse(p.substring(p.lastIndexOf('/') + 1))
       val carriedPaths = carriedDf.select("path").collect().map(_.getString(0))
       val outCarried = carriedPaths.map { pth =>
-        val dest = dir.resolve(fileName(pth))
+        val dest = dir.resolve(relOf(pth))
+        Option(dest.getParent).foreach(Files.createDirectories(_))
         try Files.createLink(dest, Paths.get(pth))
         catch { // FS without hardlinks: fall back to a copy
           case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
@@ -588,10 +633,17 @@ final class CowTable private (root0: String, spark: SparkSession) {
       }
       val outNew = newFiles.map { pth =>
         val src = Paths.get(pth)
-        val dest = dir.resolve(fileName(pth))
+        val dest = dir.resolve(relOf(pth))
+        Option(dest.getParent).foreach(Files.createDirectories(_))
         Files.move(src, dest)
-        // drop the now-empty stage dir (best effort)
-        try Files.deleteIfExists(src.getParent) catch { case _: java.io.IOException => }
+        // drop the now-empty stage dirs (best effort)
+        try {
+          var d = src.getParent
+          while (d != null && Files.isDirectory(d) &&
+              !Files.list(d).iterator().hasNext) {
+            Files.deleteIfExists(d); d = d.getParent
+          }
+        } catch { case _: java.io.IOException => }
         dest.toString
       }
       (outCarried ++ outNew).toSeq.toDF("path")
@@ -671,12 +723,16 @@ final class CowTable private (root0: String, spark: SparkSession) {
     val live = heads.flatMap(v =>
       manifestDf(v).select("fname").collect().map(_.getString(0)))
     var dataRemoved = 0
-    // recursive: partitioned tables nest files under col=value/ dirs
+    // recursive: partitioned tables nest files under col=value/ dirs.
+    // Liveness compares the same identity the manifests use — the bare
+    // uuid name for plain tables, the version-relative path for bucketed
+    // ones (where a live identity keeps its hardlink in EVERY version dir:
+    // extra inode references, zero data bytes).
     def sweep(p: Path): Unit = {
       if (Files.isDirectory(p)) {
         val it = Files.list(p).iterator()
         while (it.hasNext) sweep(it.next())
-      } else if (!live.contains(p.getFileName.toString)) {
+      } else if (!live.contains(identityOf(p.toString))) {
         Files.deleteIfExists(p); dataRemoved += 1
       }
     }
@@ -732,8 +788,6 @@ object CowTable {
       ()
     }
     if (bucketBy.nonEmpty) {
-      require(partitionBy.isEmpty,
-        "bucketed_by together with partitioned_by is not supported yet")
       require(bucketCount > 0,
         "bucketed_by requires a positive bucket_count")
       val missing = (bucketBy ++ sortedBy).filterNot(c =>

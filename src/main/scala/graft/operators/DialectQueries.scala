@@ -1333,6 +1333,59 @@ object Dialect {
        HAVING count(*) >= 4
        ORDER BY a.cust"""
 
+  /** Partitioned + bucketed warehouse table (r15; the reference's hive
+    * connector composes both): partition directories each hold their own
+    * bucket file set, so a partition predicate prunes directories AND the
+    * bucket layout still reports HashPartitioning — the partition-filtered
+    * self-join + aggregation on the bucket key below must plan ZERO
+    * exchanges (required in-query). CoW DELETE/INSERT keep the nested
+    * layout (rewritten buckets per partition, hardlink carry). */
+  def q_sqlx_bucketed_partitioned(s: SparkSession, dir: String): DataFrame = {
+    TrinoDialect.sql(s, dir, "DROP TABLE IF EXISTS wh_pb")
+    TrinoDialect.sql(s, dir,
+      """CREATE TABLE wh_pb WITH (partitioned_by = ARRAY['rgn'],
+           bucketed_by = ARRAY['cust'], bucket_count = 4,
+           sorted_by = ARRAY['cust']) AS
+         SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS price,
+           CAST(o_custkey % 3 AS INT) AS rgn
+         FROM orders""")
+    TrinoDialect.sql(s, dir, "DELETE FROM wh_pb WHERE cust % 41 = 0")
+    TrinoDialect.sql(s, dir,
+      """INSERT INTO wh_pb
+         SELECT o_orderkey + 2000000, o_custkey, o_totalprice,
+           CAST(o_custkey % 3 AS INT)
+         FROM orders WHERE o_orderkey % 400 = 1""")
+    val out = TrinoDialect.sql(s, dir,
+      """SELECT a.cust, count(*) AS n_pairs,
+           CAST(sum(CAST(b.price AS DECIMAL(12,2))) AS DOUBLE) AS pair_price
+         FROM wh_pb a JOIN wh_pb b ON a.cust = b.cust
+         WHERE a.rgn = 1 AND b.rgn = 1
+         GROUP BY a.cust
+         HAVING count(*) >= 4
+         ORDER BY a.cust""")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(out.queryExecution.executedPlan.toString).length
+    require(exchanges == 0,
+      s"partitioned+bucketed join + agg must plan zero hash exchanges, got $exchanges")
+    out
+  }
+  val qSqlxBucketedPartitionedSql: String =
+    """WITH t AS (
+         SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS price,
+           CAST(o_custkey % 3 AS INT) AS rgn
+         FROM orders WHERE o_custkey % 41 <> 0
+         UNION ALL
+         SELECT o_orderkey + 2000000, o_custkey, o_totalprice,
+           CAST(o_custkey % 3 AS INT)
+         FROM orders WHERE o_orderkey % 400 = 1)
+       SELECT a.cust, count(*) AS n_pairs,
+         CAST(sum(CAST(b.price AS DECIMAL(12,2))) AS DOUBLE) AS pair_price
+       FROM t a JOIN t b ON a.cust = b.cust
+       WHERE a.rgn = 1 AND b.rgn = 1
+       GROUP BY a.cust
+       HAVING count(*) >= 4
+       ORDER BY a.cust"""
+
   val qSqlxPartitionedSql: String =
     """WITH t AS (
          SELECT c_custkey AS k, c_acctbal AS bal, c_nationkey % 5 AS region
@@ -1500,6 +1553,7 @@ object Dialect {
     "q_sqlx_ddl_defaults" -> q_sqlx_ddl_defaults _,
     "q_sqlx_partitioned" -> q_sqlx_partitioned _,
     "q_sqlx_bucketed" -> q_sqlx_bucketed _,
+    "q_sqlx_bucketed_partitioned" -> q_sqlx_bucketed_partitioned _,
     "q_sqlx_txn" -> q_sqlx_txn _,
     "q_sqlx_show_stats" -> q_sqlx_show_stats _,
     "q_tvf_registry" -> q_tvf_registry _,
@@ -1543,6 +1597,7 @@ object Dialect {
     "q_sqlx_ddl_defaults" -> qSqlxDdlDefaultsSql,
     "q_sqlx_partitioned" -> qSqlxPartitionedSql,
     "q_sqlx_bucketed" -> qSqlxBucketedSql,
+    "q_sqlx_bucketed_partitioned" -> qSqlxBucketedPartitionedSql,
     "q_sqlx_txn" -> qSqlxTxnSql,
     "q_sqlx_show_stats" -> qSqlxShowStatsSql,
     "q_tvf_registry" -> qTvfRegistrySql,

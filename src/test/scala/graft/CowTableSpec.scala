@@ -305,4 +305,68 @@ class CowTableSpec extends SparkSpec {
       assert(!finalPlan(j2).toString.contains("Exchange hashpartitioning"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("partitioned + bucketed table: nested layout, both prunings, exchange-free join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = java.nio.file.Files.createTempDirectory("cow_pb").toString
+    val src = graft.sources.Tables.load(spark, sfDir, "orders")
+      .selectExpr("o_orderkey AS k", "o_custkey AS cust",
+        "CAST(o_custkey % 3 AS INT) AS r")
+    val t = graft.catalog.CowTable.create(spark, root, src,
+      partitionBy = Seq("r"), bucketBy = Seq("cust"), bucketCount = 4,
+      sortedBy = Seq("cust"))
+    assert(t.read().count() == src.count())
+    // physical layout: data/v1/r=<v>/...bucket files
+    val v1 = java.nio.file.Paths.get(root, "data", "v1")
+    val parts = java.nio.file.Files.list(v1).iterator()
+    var dirs = List.empty[String]
+    while (parts.hasNext) dirs ::= parts.next().getFileName.toString
+    assert(dirs.count(_.startsWith("r=")) == 3, dirs)
+
+    def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    }
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan): Option[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Some(f)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScan(q.plan)
+      case other => other.children.view.flatMap(findScan(_)).headOption
+    }
+
+    // partition AND bucket pruning compose: r = 1 (one of 3 dirs) and
+    // cust = 19 (one of 4 buckets) → exactly one file planned
+    val point = t.read().filter("r = 1 AND cust = 19").selectExpr("count(*) AS n")
+    val scan = findScan(finalPlan(point)).get
+    assert(scan.metadata("PartitionFilters").contains("r"), scan.metadata)
+    assert(scan.metadata.get("SelectedBucketsCount").exists(_.contains("1 out of 4")),
+      scan.metadata)
+    val planned = scan.inputRDDs().head.partitions.collect {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files.length
+    }.sum
+    assert(planned == 1, s"expected 1 file after both prunings, got $planned")
+
+    // join on the bucket key across the partitioned layout: zero exchanges
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = t.read().as("a").join(t.read().as("b"), "cust").groupBy("cust").count()
+      assert(!finalPlan(j).toString.contains("Exchange hashpartitioning"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+    // CoW delete inside one (partition, bucket): untouched files carry by
+    // hardlink, partition dirs preserved; time travel intact
+    val before = t.read().count()
+    val victims = t.read().filter("cust = 19").count()
+    t.delete(org.apache.spark.sql.functions.expr("cust = 19"))
+    assert(t.read().count() == before - victims)
+    assert(t.read().filter("cust = 19").count() == 0)
+    assert(t.read(asOfVersion = Some(1)).count() == before)
+    // values intact per partition after the rewrite
+    assert(t.read().filter("r = 2").count() ==
+      src.filter("r = 2 AND cust <> 19").count())
+  }
 }
