@@ -297,13 +297,56 @@ class CowTableSpec extends SparkSpec {
     assert(t.read(asOfVersion = Some(1)).count() == src.count())
 
     // INSERT appends a bucketed file set; the join stays exchange-free
-    t.insert(spark.sql("SELECT 9999999 AS k, CAST(19 AS BIGINT) AS cust, 1.0 AS price"))
+    t.insert(spark.sql("SELECT 9999999 AS k, CAST(19 AS BIGINT) AS cust, CAST(1.0 AS DOUBLE) AS price"))
     assert(t.read().filter("k = 9999999").count() == 1)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val j2 = t.read().as("a").join(t.read().as("b"), "cust").groupBy("cust").count()
       assert(!finalPlan(j2).toString.contains("Exchange hashpartitioning"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("bucketed table: OPTIMIZE compacts within buckets, MERGE upserts, replace keeps layout") {
+    val root = java.nio.file.Files.createTempDirectory("cow_bkt_mut").toString
+    val src = graft.sources.Tables.load(spark, sfDir, "orders")
+      .selectExpr("o_orderkey AS k", "o_custkey AS cust", "o_totalprice AS price")
+    val t = graft.catalog.CowTable.create(spark, root, src,
+      bucketBy = Seq("cust"), bucketCount = 4, sortedBy = Seq("cust"))
+    // several small appends → multiple files per bucket
+    t.insert(spark.sql("SELECT CAST(9000001 AS BIGINT) AS k, CAST(19 AS BIGINT) AS cust, CAST(1.0 AS DOUBLE) AS price"))
+    t.insert(spark.sql("SELECT CAST(9000002 AS BIGINT) AS k, CAST(36 AS BIGINT) AS cust, CAST(2.0 AS DOUBLE) AS price"))
+    val rows = t.read().count()
+    val filesBefore = t.manifestDf(t.currentVersion).count()
+    val (compacted, written) = t.optimize(threshold = 32L << 20)
+    assert(compacted >= 2 && written >= 1, s"($compacted, $written)")
+    assert(t.read().count() == rows)
+    val filesAfter = t.manifestDf(t.currentVersion).count()
+    assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+    // compaction preserved the bucket layout: join still exchange-free
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = t.read().as("a").join(t.read().as("b"), "cust").groupBy("cust").count()
+      j.collect()
+      val plan = j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // MERGE upsert on the bucketed table: matched key replaced, new key added
+    t.merge(spark.sql(
+      "SELECT CAST(9000001 AS BIGINT) AS k, CAST(19 AS BIGINT) AS cust, CAST(99.0 AS DOUBLE) AS price " +
+        "UNION ALL SELECT CAST(9000003 AS BIGINT), CAST(112 AS BIGINT), CAST(3.0 AS DOUBLE)"), "k")
+    assert(t.read().filter("k = 9000001 AND price = 99.0").count() == 1)
+    assert(t.read().filter("k = 9000003").count() == 1)
+    assert(t.read().count() == rows + 1)
+    // full-refresh replace (the MV primitive / TRUNCATE path) keeps the
+    // bucket layout for the new snapshot
+    t.replace(src.limit(100))
+    assert(t.read().count() == 100)
+    assert(t.read(asOfVersion = Some(1)).count() == src.count()) // history intact
   }
 
   test("partitioned + bucketed table: nested layout, both prunings, exchange-free join") {
