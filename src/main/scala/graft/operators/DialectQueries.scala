@@ -1386,6 +1386,25 @@ object Dialect {
        HAVING count(*) >= 4
        ORDER BY a.cust"""
 
+  /** CORRESPONDING set operations (reference SqlBase.g4:314, release 475:
+    * match columns by NAME — the intersection, in left order — instead of
+    * by position; the BY (cols) form is rejected like the reference).
+    * Resolved at plan time by probing both sides' schemas and projecting
+    * onto the common columns. */
+  def q_sqlx_corresponding(s: SparkSession, dir: String): DataFrame = {
+    TrinoDialect.sql(s, dir,
+      """SELECT n_name AS name, n_nationkey AS id FROM nation
+         UNION ALL CORRESPONDING
+         SELECT r_regionkey + 100 AS id, r_name AS name, 'x' AS extra FROM region
+         ORDER BY id, name""")
+  }
+  val qSqlxCorrespondingSql: String =
+    """SELECT name, id FROM (
+         SELECT n_name AS name, n_nationkey AS id FROM nation
+         UNION ALL
+         SELECT r_name AS name, r_regionkey + 100 AS id FROM region)
+       ORDER BY id, name"""
+
   val qSqlxPartitionedSql: String =
     """WITH t AS (
          SELECT c_custkey AS k, c_acctbal AS bal, c_nationkey % 5 AS region
@@ -1554,6 +1573,7 @@ object Dialect {
     "q_sqlx_partitioned" -> q_sqlx_partitioned _,
     "q_sqlx_bucketed" -> q_sqlx_bucketed _,
     "q_sqlx_bucketed_partitioned" -> q_sqlx_bucketed_partitioned _,
+    "q_sqlx_corresponding" -> q_sqlx_corresponding _,
     "q_sqlx_txn" -> q_sqlx_txn _,
     "q_sqlx_show_stats" -> q_sqlx_show_stats _,
     "q_tvf_registry" -> q_tvf_registry _,
@@ -1598,6 +1618,7 @@ object Dialect {
     "q_sqlx_partitioned" -> qSqlxPartitionedSql,
     "q_sqlx_bucketed" -> qSqlxBucketedSql,
     "q_sqlx_bucketed_partitioned" -> qSqlxBucketedPartitionedSql,
+    "q_sqlx_corresponding" -> qSqlxCorrespondingSql,
     "q_sqlx_txn" -> qSqlxTxnSql,
     "q_sqlx_show_stats" -> qSqlxShowStatsSql,
     "q_tvf_registry" -> qTvfRegistrySql,

@@ -117,8 +117,8 @@ private[graft] object RowSecurity {
       from = s.from.map(secureRel(_, ctx, ctes)),
       where = s.where.map(secureExpr(_, ctx, ctes)),
       having = s.having.map(secureExpr(_, ctx, ctes)))
-    case SetOpQ(op, all, l, r) =>
-      SetOpQ(op, all, secureQuery(l, ctx, ctes), secureQuery(r, ctx, ctes))
+    case SetOpQ(op, all, l, r, corr) =>
+      SetOpQ(op, all, secureQuery(l, ctx, ctes), secureQuery(r, ctx, ctes), corr)
     case WithQ(defs, body) =>
       // CTE names come into scope SEQUENTIALLY: in WITH a AS (…), b AS
       // (SELECT … FROM a) the `a` inside b is the CTE, not a base table

@@ -159,7 +159,8 @@ private[graft] object SqlFrontend {
         orderBy = s.orderBy.map(si => SortItem(rewriteExpr(si.e), si.dir, si.nulls)),
         // named WINDOW definitions carry expressions too (ADVICE r14)
         windows = s.windows.map { case (n, w) => (n, mapWindow(w, rewriteExpr)) })
-    case SetOpQ(op, all, l, r) => SetOpQ(op, all, rewriteQuery(l), rewriteQuery(r))
+    case SetOpQ(op, all, l, r, corr) =>
+      SetOpQ(op, all, rewriteQuery(l), rewriteQuery(r), corr)
     case WithQ(ctes, body) =>
       WithQ(ctes.map { case (n, cq) => (n, rewriteQuery(cq)) }, rewriteQuery(body))
     case ValuesQ(rows) => ValuesQ(rows.map(_.map(rewriteExpr)))
@@ -188,8 +189,33 @@ private[graft] object SqlFrontend {
       having = s.having.map(planExpr(spark, dir, _)),
       windows = s.windows.map { case (n, w) =>
         (n, mapWindow(w, planExpr(spark, dir, _))) })
-    case SetOpQ(op, all, l, r) =>
-      SetOpQ(op, all, planQuery(spark, dir, l), planQuery(spark, dir, r))
+    case SetOpQ(op, all, l, r, corr) =>
+      val (pl, pr) = (planQuery(spark, dir, l), planQuery(spark, dir, r))
+      if (!corr) SetOpQ(op, all, pl, pr)
+      else {
+        // CORRESPONDING resolves HERE, where schemas are available: probe
+        // each side's output columns (analysis only — nothing executes),
+        // take the name intersection in LEFT order, and project both sides
+        // onto it — the reference's corresponding analysis
+        // (StatementAnalyzer.setCorrespondingAnalysis) done as a rewrite.
+        def columnsOf(q: Query): Seq[String] =
+          try spark.sql(renderQuery(q)).schema.fieldNames.toSeq
+          catch { // IllegalArgument: a dialect fallback could never succeed
+            case e: Exception => throw new IllegalArgumentException(
+              "CORRESPONDING could not resolve its inputs' columns in this " +
+                s"position (${e.getMessage})")
+          }
+        val lc = columnsOf(pl)
+        val rset = columnsOf(pr).map(_.toLowerCase).toSet
+        val common = lc.filter(c => rset.contains(c.toLowerCase))
+        if (common.isEmpty)
+          throw new IllegalArgumentException("No corresponding columns")
+        def proj(q: Query): Query = Select(distinct = false,
+          items = common.map(c => SelectItem(Id(Seq((c, false))), None)),
+          from = Some(SubqueryRel(q, None)), where = None, groupBy = None,
+          having = None, orderBy = Nil, limit = None, fetchTies = None)
+        SetOpQ(op, all, proj(pl), proj(pr))
+      }
     case WithQ(ctes, body) =>
       WithQ(ctes.map { case (n, cq) => (n, planQuery(spark, dir, cq)) },
         planQuery(spark, dir, body))
@@ -299,7 +325,7 @@ private[graft] object SqlFrontend {
 
   def renderQuery(q: Query): String = q match {
     case s: Select => renderSelect(s)
-    case SetOpQ(op, all, l, r) =>
+    case SetOpQ(op, all, l, r, _) => // corresponding resolved in planQuery
       s"(${renderQuery(l)}) $op ${if (all) "ALL " else ""}(${renderQuery(r)})"
     case WithQ(ctes, body) =>
       val cs = ctes.map { case (n, cq) => s"$n AS (${renderQuery(cq)})" }.mkString(", ")

@@ -104,7 +104,12 @@ object SqlAst {
   final case class SelectItem(e: Expr, alias: Option[String])
   /** kind: "PLAIN" | "ROLLUP" | "CUBE"; sets for GROUPING SETS. */
   final case class GroupBy(kind: String, exprs: Seq[Expr], sets: Seq[Seq[Expr]])
-  final case class SetOpQ(op: String, all: Boolean, l: Query, r: Query) extends Query
+  /** `corresponding` = SQL CORRESPONDING: match columns by NAME (the
+    * intersection, in left order) instead of by position — resolved during
+    * planQuery, where schemas are available (reference SqlBase.g4:314,
+    * StatementAnalyzer corresponding analysis; release 475). */
+  final case class SetOpQ(op: String, all: Boolean, l: Query, r: Query,
+      corresponding: Boolean = false) extends Query
   final case class WithQ(ctes: Seq[(String, Query)], body: Query) extends Query
   final case class ValuesQ(rows: Seq[Seq[Expr]]) extends Query
   /** Trailing ORDER BY / LIMIT / FETCH attached to a set-op or WITH body. */
@@ -1059,8 +1064,9 @@ final class SqlParser(src: String) {
       else {
         p += 1
         val all = accept("ALL") || { accept("DISTINCT"); false }
+        val corr = acceptCorresponding()
         val right = parseIntersectChain()
-        left = SetOpQ(op, all, left, right)
+        left = SetOpQ(op, all, left, right, corr)
       }
     }
     // trailing ORDER BY/OFFSET/LIMIT/FETCH on a set-op chain
@@ -1074,13 +1080,25 @@ final class SqlParser(src: String) {
     }
   }
 
+  /** CORRESPONDING [BY (cols)] — the column-list form is rejected exactly
+    * like the reference ("CORRESPONDING with columns is unsupported"). */
+  private def acceptCorresponding(): Boolean = {
+    val corr = accept("CORRESPONDING")
+    if (corr && peek.is("BY")) // IllegalArgument: understood, unsupported —
+      // must NOT fall back to Spark's parser (which has no CORRESPONDING)
+      throw new IllegalArgumentException(
+        "CORRESPONDING with columns is unsupported")
+    corr
+  }
+
   private def parseIntersectChain(): Query = {
     var left = parseQueryTerm()
     while (peek.is("INTERSECT")) {
       p += 1
       val all = accept("ALL") || { accept("DISTINCT"); false }
+      val corr = acceptCorresponding()
       val right = parseQueryTerm()
-      left = SetOpQ("INTERSECT", all, left, right)
+      left = SetOpQ("INTERSECT", all, left, right, corr)
     }
     left
   }

@@ -437,7 +437,7 @@ private[graft] object Statements {
           from.toSeq.flatMap(fromRel(_, ctes)) ++
           where.toSeq.flatMap(fromExpr(_, ctes)) ++
           having.toSeq.flatMap(fromExpr(_, ctes))
-      case SetOpQ(_, _, l, r) => referencedTables(l, ctes) ++ referencedTables(r, ctes)
+      case SetOpQ(_, _, l, r, _) => referencedTables(l, ctes) ++ referencedTables(r, ctes)
       case WithQ(cteDefs, body) =>
         val (acc, names) = cteDefs.foldLeft((Set.empty[String], ctes)) {
           case ((tabs, known), (name, defn)) =>

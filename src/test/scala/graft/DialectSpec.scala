@@ -522,4 +522,34 @@ class DialectSpec extends SparkSpec {
     assert(rows.forall(_.getInt(2) == 5), "5 nations per region, rank 1..5")
     assert(rows.map(_.getLong(1)).sum == 13, "13 even nation keys in 0..24")
   }
+
+  test("CORRESPONDING set ops: name matching, intersection, loud errors") {
+    import graft.sqlx.TrinoDialect
+    // INTERSECT CORRESPONDING with reordered columns
+    val r = TrinoDialect.sql(spark, sfDir,
+      """SELECT n_nationkey AS id, n_name AS name FROM nation WHERE n_nationkey < 5
+         INTERSECT CORRESPONDING
+         SELECT n_name AS name, n_nationkey AS id FROM nation WHERE n_nationkey >= 3
+         ORDER BY id""").collect()
+    assert(r.map(_.get(0).toString.toLong).toSeq == Seq(3L, 4L), r.mkString(","))
+    // no common columns → the reference's error
+    val e1 = intercept[Exception] {
+      TrinoDialect.sql(spark, sfDir,
+        """SELECT n_nationkey AS a FROM nation
+           UNION ALL CORRESPONDING
+           SELECT r_regionkey AS b FROM region""").collect()
+    }
+    assert(e1.getMessage.contains("No corresponding columns") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("No corresponding columns"),
+      e1.getMessage)
+    // CORRESPONDING BY (cols) is rejected like the reference
+    val e2 = intercept[Exception] {
+      TrinoDialect.sql(spark, sfDir,
+        """SELECT n_nationkey AS id FROM nation
+           UNION CORRESPONDING BY (id)
+           SELECT n_nationkey AS id FROM nation""").collect()
+    }
+    assert(e2.getMessage.contains("CORRESPONDING with columns is unsupported") ||
+      e2.getMessage.contains("unsupported"), e2.getMessage)
+  }
 }
