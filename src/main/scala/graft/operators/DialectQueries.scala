@@ -161,13 +161,18 @@ object Dialect {
   /** Row-pattern recognition in a WINDOW specification (SqlBase.g4:876-880
     * windowSpecification → patternRecognition; runtime operator/window/
     * pattern/ — the one MATCH_RECOGNIZE grammar production beyond the
-    * FROM-clause relation): every row anchors its own match attempt
-    * (INITIAL), measures evaluate FINAL over the anchored match or NULL.
-    * The pattern is a greedy descending run (D+), so the oracle replays
-    * the exact semantics with run-group window arithmetic: for a row
-    * whose value descends, the match is the remainder of its descending
-    * run — n_down = rows to the run's end, end_val = the run's last
-    * value; non-descending rows match nothing. */
+    * FROM-clause relation): every non-skipped row anchors its own match
+    * attempt (INITIAL), measures evaluate FINAL over the match or NULL.
+    *
+    * Navigation clips at the frame start (r16; pattern-recognition-in-
+    * window.md: "the pattern matching can neither match rows nor retrieve
+    * input values outside the frame"): PREV at the anchor row reads NULL,
+    * so the reference-idiomatic pattern starts with an UNDEFINED anchor
+    * symbol A (always true — the doc's own `PATTERN (A B+ C+)` example)
+    * and the descending run begins at the NEXT row. A match anchored at
+    * the "peak" row consumes [peak, run end] under SKIP PAST LAST ROW;
+    * consumed rows show NULL measures; the next peak can never have been
+    * consumed (a run's predecessor row is non-descending by maximality). */
   def q_sqlx_match_window(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TrinoDialect.sql(s, dir,
@@ -179,7 +184,7 @@ object Dialect {
            MEASURES COUNT(D.*) AS n_down, LAST(D.value) AS end_val
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
            AFTER MATCH SKIP PAST LAST ROW
-           PATTERN (D+)
+           PATTERN (A D+)
            DEFINE D AS value < PREV(value))""")
       .orderBy($"user_id", $"event_id")
   }
@@ -195,26 +200,25 @@ object Dialect {
          SELECT *, rn - row_number() OVER (PARTITION BY user_id, d ORDER BY rn) AS grp
          FROM f),
        runs AS (
-         SELECT user_id, grp, d, min(rn) AS mn, max(rn) AS mx,
+         SELECT user_id, grp, min(rn) AS srn, count(*) AS len,
            arg_max(value, rn) AS last_val
-         FROM g GROUP BY user_id, grp, d)
-       -- sequential AFTER MATCH SKIP PAST LAST ROW: only the FIRST row of
-       -- each maximal descending run anchors a match; the rest of the run
-       -- is skipped (NULL measures)
+         FROM g WHERE d GROUP BY user_id, grp)
+       -- a maximal descending run [s, e] yields ONE match anchored at the
+       -- peak row s-1 (A) consuming [s-1, e]; all other rows are NULL
        SELECT g.user_id, g.event_id,
-         CASE WHEN g.d AND g.rn = r.mn THEN CAST(r.mx - g.rn + 1 AS BIGINT) END AS n_down,
-         CASE WHEN g.d AND g.rn = r.mn THEN r.last_val END AS end_val
-       FROM g JOIN runs r
-         ON g.user_id = r.user_id AND g.grp = r.grp AND g.d = r.d
+         CAST(r.len AS BIGINT) AS n_down, r.last_val AS end_val
+       FROM g LEFT JOIN runs r
+         ON r.user_id = g.user_id AND r.srn = g.rn + 1
        ORDER BY g.user_id, g.event_id"""
 
-  /** Row-pattern window spec, TWO symbols (D+ U+): the V-shape under
-    * sequential AFTER MATCH SKIP PAST LAST ROW (the default) — the FIRST
-    * row of a descending run that is immediately followed by an ascending
-    * run anchors the match, which consumes both legs; the V's remaining
-    * rows are marked skipped (NULL measures). Strict inequalities make the
-    * greedy NFA deterministic here (a D row can never satisfy U), so the
-    * oracle replays exactly. */
+  /** Row-pattern window spec, V-shape (A D+ U+) under AFTER MATCH SKIP TO
+    * NEXT ROW: every row anchors its own attempt (no skip marking), so a
+    * row matches iff the rows AFTER it descend (the run containing row+1)
+    * and that full descending run is immediately followed by an ascending
+    * row — strict inequalities make the greedy NFA deterministic (a D row
+    * never satisfies U, so backtracking shorter D runs cannot help). The
+    * undefined anchor A absorbs the frame-start row where PREV reads NULL
+    * (frame-clipped navigation, pattern-recognition-in-window.md). */
   def q_sqlx_match_window2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TrinoDialect.sql(s, dir,
@@ -224,7 +228,8 @@ object Dialect {
            PARTITION BY user_id
            ORDER BY event_id
            MEASURES COUNT(D.*) AS nd, COUNT(U.*) AS nu
-           PATTERN (D+ U+)
+           AFTER MATCH SKIP TO NEXT ROW
+           PATTERN (A D+ U+)
            DEFINE D AS value < PREV(value), U AS value > PREV(value))""")
       .orderBy($"user_id", $"event_id")
   }
@@ -234,45 +239,38 @@ object Dialect {
            lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
            row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
          FROM events),
-       f AS (
-         SELECT *, (pv IS NOT NULL AND value < pv) AS d,
-                   (pv IS NOT NULL AND value > pv) AS u
+       c AS (
+         SELECT *, CASE WHEN pv IS NULL THEN 'X' WHEN value < pv THEN 'D'
+                        WHEN value > pv THEN 'U' ELSE 'X' END AS cls
          FROM e),
-       gd AS (
-         SELECT *, rn - row_number() OVER (PARTITION BY user_id, d ORDER BY rn) AS gdk
-         FROM f),
-       gu AS (
-         SELECT user_id, rn, u,
-           rn - row_number() OVER (PARTITION BY user_id, u ORDER BY rn) AS guk
-         FROM f),
-       druns AS (
-         SELECT user_id, gdk, min(rn) AS dmn, max(rn) AS dmx
-         FROM gd WHERE d GROUP BY user_id, gdk),
-       uruns AS (
-         SELECT user_id, min(rn) AS umn, max(rn) AS umx
-         FROM gu WHERE u GROUP BY user_id, guk),
-       base AS (
-         SELECT g.user_id, g.event_id, g.rn, g.d, d1.dmn, d1.dmx
-         FROM gd g LEFT JOIN druns d1
-           ON g.user_id = d1.user_id AND g.gdk = d1.gdk AND g.d),
-       j AS (
-         SELECT b.*, u1.umx
-         FROM base b LEFT JOIN uruns u1
-           ON b.user_id = u1.user_id AND u1.umn = b.dmx + 1)
-       -- sequential skip: the V-shape match anchors at the FIRST row of a
-       -- qualifying descending run and consumes both legs; every other row
-       -- of the V is skipped (NULL measures)
-       SELECT user_id, event_id,
-         CASE WHEN d AND rn = dmn AND umx IS NOT NULL THEN CAST(dmx - rn + 1 AS BIGINT) END AS n_down,
-         CASE WHEN d AND rn = dmn AND umx IS NOT NULL THEN CAST(umx - dmx AS BIGINT) END AS n_up
-       FROM j ORDER BY user_id, event_id"""
+       r AS (
+         SELECT *, rn - row_number() OVER (PARTITION BY user_id, cls ORDER BY rn) AS grp
+         FROM c),
+       runs AS (
+         SELECT user_id, cls, grp, min(rn) AS srn, max(rn) AS mx, count(*) AS len
+         FROM r GROUP BY user_id, cls, grp),
+       seq AS (
+         SELECT *, lead(cls) OVER w AS ncls, lead(len) OVER w AS nlen
+         FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY srn)),
+       dr AS (SELECT * FROM seq WHERE cls = 'D' AND ncls = 'U')
+       -- SKIP TO NEXT ROW: a row matches iff the run containing the NEXT
+       -- row is descending and immediately followed by an ascending run;
+       -- n_down counts from row+1 to the run end, n_up the full U-run
+       SELECT r.user_id, r.event_id,
+         CASE WHEN dr.srn IS NOT NULL THEN CAST(dr.mx - r.rn AS BIGINT) END AS n_down,
+         CASE WHEN dr.srn IS NOT NULL THEN CAST(dr.nlen AS BIGINT) END AS n_up
+       FROM r LEFT JOIN dr
+         ON dr.user_id = r.user_id AND r.rn + 1 BETWEEN dr.srn AND dr.mx
+       ORDER BY r.user_id, r.event_id"""
 
   /** Bounded row-pattern window frame (SqlBase.g4:879 boundedFrame; r15):
     * `ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING` caps the match search space
     * at 6 rows from the anchor — the NFA cannot match or navigate past the
-    * frame end. AFTER MATCH SKIP TO NEXT ROW makes every row its own
-    * anchor (no skip marking), so the oracle replays per-row: a descending
-    * anchor's measure is its remaining run length clipped to the frame. */
+    * frame end (and, per frame clipping, cannot read below the frame start
+    * either: the anchor symbol A is undefined). AFTER MATCH SKIP TO NEXT
+    * ROW makes every row its own anchor (no skip marking), so the oracle
+    * replays per-row: a row whose successor descends measures the
+    * remaining run length from that successor, clipped to the frame. */
   def q_sqlx_match_window3(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TrinoDialect.sql(s, dir,
@@ -284,7 +282,7 @@ object Dialect {
            MEASURES COUNT(D.*) AS nd
            ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING
            AFTER MATCH SKIP TO NEXT ROW
-           PATTERN (D+)
+           PATTERN (A D+)
            DEFINE D AS value < PREV(value))""")
       .orderBy($"user_id", $"event_id")
   }
@@ -300,20 +298,26 @@ object Dialect {
          SELECT *, rn - row_number() OVER (PARTITION BY user_id, d ORDER BY rn) AS grp
          FROM f),
        runs AS (
-         SELECT user_id, grp, max(rn) AS mx FROM g WHERE d GROUP BY user_id, grp)
+         SELECT user_id, grp, min(rn) AS srn, max(rn) AS mx
+         FROM g WHERE d GROUP BY user_id, grp)
+       -- frame [rn, rn+5]: D+ runs over rows rn+1.. clipped at rn+5
        SELECT g.user_id, g.event_id,
-         CASE WHEN g.d THEN CAST(LEAST(r.mx, g.rn + 5) - g.rn + 1 AS BIGINT) END AS n_down
+         CASE WHEN r.mx IS NOT NULL
+           THEN CAST(LEAST(r.mx, g.rn + 5) - g.rn AS BIGINT) END AS n_down
        FROM g LEFT JOIN runs r
-         ON g.user_id = r.user_id AND g.grp = r.grp AND g.d
+         ON r.user_id = g.user_id AND g.rn + 1 BETWEEN r.srn AND r.mx
        ORDER BY g.user_id, g.event_id"""
 
   /** SEEK anchoring in a bounded row-pattern window frame (r15; reference
     * pattern-recognition-in-window.md INITIAL|SEEK): when no match starts
     * at the current row, the engine seeks the first match starting from a
     * subsequent row WITHIN the frame, associating the row with a detached
-    * match. SKIP TO NEXT ROW keeps every row an anchor so the oracle
-    * replays windowed: the sought match is the first descending row within
-    * [rn, rn+3], its measure the run length clipped at the frame end. */
+    * match. Frame-clipped navigation (r16) means D can never match AT the
+    * frame start (PREV reads NULL there), so the seek always lands on a
+    * subsequent row, where PREV reads the in-frame predecessor. SKIP TO
+    * NEXT ROW keeps every row an anchor so the oracle replays windowed:
+    * the sought match is the first descending row within [rn+1, rn+3],
+    * its measure the run length clipped at the frame end rn+3. */
   def q_sqlx_match_window4(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TrinoDialect.sql(s, dir,
@@ -346,7 +350,7 @@ object Dialect {
        sought AS (
          SELECT user_id, event_id, rn,
            min(CASE WHEN d THEN rn END) OVER (PARTITION BY user_id ORDER BY rn
-             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS jrn
+             ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS jrn
          FROM g),
        jrow AS (
          SELECT s.user_id, s.event_id, s.rn, s.jrn, g2.grp AS jgrp
@@ -363,29 +367,33 @@ object Dialect {
     * window (r15; reference pattern-recognition-in-window.md "upon a window
     * function call over the window": the function evaluates over the frame
     * limited to the matched rows — lowered as a synthesized measure). w1's
-    * declared measure counts the descending run per anchor; w2's
-    * `sum(value) OVER w2` sums the two rows of an exact double-rise match.
-    * SKIP TO NEXT ROW on both keeps every row an anchor so the oracle
-    * replays with lag/lead windows. */
+    * declared measure counts the descending run after each anchor; w2's
+    * `sum(value) OVER w2` sums the three rows of an anchored double-rise
+    * match (A U U — the anchor row plus two ascending rows). SKIP TO NEXT
+    * ROW on both keeps every row an anchor so the oracle replays with
+    * lag/lead windows. */
   def q_sqlx_match_window5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TrinoDialect.sql(s, dir,
-      """SELECT user_id, event_id, nd OVER w1 AS n_down, sum(value) OVER w2 AS up2_sum
+      """SELECT user_id, event_id, nd OVER w1 AS n_down, sum(value) OVER w2 AS up_sum
          FROM events
          WINDOW w1 AS (
            PARTITION BY user_id
            ORDER BY event_id
            MEASURES COUNT(D.*) AS nd
            AFTER MATCH SKIP TO NEXT ROW
-           PATTERN (D+)
+           PATTERN (A D+)
            DEFINE D AS value < PREV(value)),
          w2 AS (
            PARTITION BY user_id
            ORDER BY event_id
            MEASURES COUNT(U.*) AS nu
            AFTER MATCH SKIP TO NEXT ROW
-           PATTERN (U U)
+           PATTERN (A U U)
            DEFINE U AS value > PREV(value))""")
+      // double-sum accumulation order differs between engines (DuckDB's
+      // windowed aggregates use segment trees) — round at the edge
+      .withColumn("up_sum", org.apache.spark.sql.functions.round($"up_sum", 6))
       .orderBy($"user_id", $"event_id")
   }
   val qSqlxMatchWindow5Sql: String =
@@ -400,17 +408,73 @@ object Dialect {
          FROM e),
        g AS (
          SELECT *,
-           rn - row_number() OVER (PARTITION BY user_id, d ORDER BY rn) AS grp,
-           lead(u) OVER (PARTITION BY user_id ORDER BY rn) AS nxt_u,
-           lead(value) OVER (PARTITION BY user_id ORDER BY rn) AS nxt_v
+           lead(u) OVER w AS nxt_u, lead(value) OVER w AS nxt_v,
+           lead(u, 2) OVER w AS nxt2_u, lead(value, 2) OVER w AS nxt2_v
+         FROM f WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+       h AS (
+         SELECT *, rn - row_number() OVER (PARTITION BY user_id, d ORDER BY rn) AS grp
+         FROM g),
+       runs AS (
+         SELECT user_id, grp, min(rn) AS srn, max(rn) AS mx
+         FROM h WHERE d GROUP BY user_id, grp)
+       SELECT h.user_id, h.event_id,
+         CASE WHEN r.mx IS NOT NULL THEN CAST(r.mx - h.rn AS BIGINT) END AS n_down,
+         round(CASE WHEN coalesce(h.nxt_u, false) AND coalesce(h.nxt2_u, false)
+           THEN h.value + h.nxt_v + h.nxt2_v END, 6) AS up_sum
+       FROM h LEFT JOIN runs r
+         ON r.user_id = h.user_id AND h.rn + 1 BETWEEN r.srn AND r.mx
+       ORDER BY h.user_id, h.event_id"""
+
+  /** PLAIN named window MIXED with a pattern window in one statement (r16;
+    * the reference treats a pattern window as an ordinary window
+    * specification coexisting with plain ones —
+    * pattern-recognition-in-window.md; previously rejected loudly). The
+    * pattern measure lowers through the sequential matcher; the plain
+    * running sum lowers through Spark's normal window path over the SAME
+    * (PARTITION BY, ORDER BY), so EnsureRequirements reuses the single
+    * exchange+sort. */
+  def q_sqlx_match_window6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT user_id, event_id, nd OVER w1 AS n_down,
+                sum(value) OVER w2 AS run_sum
+         FROM events
+         WINDOW w1 AS (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES COUNT(D.*) AS nd
+           AFTER MATCH SKIP TO NEXT ROW
+           PATTERN (A D+)
+           DEFINE D AS value < PREV(value)),
+         w2 AS (
+           PARTITION BY user_id
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
+      // running double sum: accumulation order differs between engines
+      .withColumn("run_sum", org.apache.spark.sql.functions.round($"run_sum", 6))
+      .orderBy($"user_id", $"event_id")
+  }
+  val qSqlxMatchWindow6Sql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+           sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+         FROM events),
+       f AS (
+         SELECT *, (pv IS NOT NULL AND value < pv) AS d FROM e),
+       g AS (
+         SELECT *, rn - row_number() OVER (PARTITION BY user_id, d ORDER BY rn) AS grp
          FROM f),
        runs AS (
-         SELECT user_id, grp, max(rn) AS mx FROM g WHERE d GROUP BY user_id, grp)
+         SELECT user_id, grp, min(rn) AS srn, max(rn) AS mx
+         FROM g WHERE d GROUP BY user_id, grp)
        SELECT g.user_id, g.event_id,
-         CASE WHEN g.d THEN CAST(r.mx - g.rn + 1 AS BIGINT) END AS n_down,
-         CASE WHEN g.u AND coalesce(g.nxt_u, false) THEN g.value + g.nxt_v END AS up2_sum
+         CASE WHEN r.mx IS NOT NULL THEN CAST(r.mx - g.rn AS BIGINT) END AS n_down,
+         round(g.run_sum, 6) AS run_sum
        FROM g LEFT JOIN runs r
-         ON g.user_id = r.user_id AND g.grp = r.grp AND g.d
+         ON r.user_id = g.user_id AND g.rn + 1 BETWEEN r.srn AND r.mx
        ORDER BY g.user_id, g.event_id"""
 
   /** Text-SQL MATCH_RECOGNIZE, ALL ROWS PER MATCH (classifier + match number). */
@@ -429,6 +493,178 @@ object Dialect {
   }
   // identical semantics to q_match_recognize_rows — same oracle
   val qSqlxMatchRowsSql: String = Patterns.qMatchRecognizeRowsSql
+
+  /** Empty-match semantics, ALL ROWS PER MATCH SHOW EMPTY MATCHES (the
+    * default; explicit here) — reference SqlBase.g4:467-476
+    * emptyMatchHandling, semantics docs/src/main/sphinx/sql/
+    * match-recognize.md "Evaluating expressions in empty matches and
+    * unmatched rows". PATTERN (D*) is empty-capable: every row either
+    * extends a maximal descending run (one non-empty match per run, greedy
+    * D* + SKIP PAST LAST ROW) or starts an EMPTY match. An empty match
+    * emits ONE row — the starting row's input values, NULL classifier, a
+    * sequential MATCH_NUMBER like any match, and aggregates over the empty
+    * row set (COUNT = 0). */
+  def q_sqlx_match_empty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls, COUNT(D.*) AS n_down
+           ALL ROWS PER MATCH SHOW EMPTY MATCHES
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (D*)
+           DEFINE D AS value < PREV(value)
+         )""")
+      .select($"user_id", $"event_id", $"mn", $"cls", $"n_down")
+      .orderBy($"user_id", $"event_id")
+  }
+  /** Oracle replay: d-runs are the non-empty matches; every other row is an
+    * empty match. A match STARTS where a d-run begins or at any non-d row,
+    * so MATCH_NUMBER is the running count of starts; RUNNING COUNT(D.*) is
+    * the row's position within its run (0 on empty-match rows). */
+  val qSqlxMatchEmptySql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+         FROM events),
+       f AS (
+         SELECT *, (pv IS NOT NULL AND value < pv) AS d FROM e),
+       g AS (
+         SELECT *, CASE WHEN NOT d OR NOT coalesce(
+             lag(d) OVER (PARTITION BY user_id ORDER BY event_id), FALSE)
+           THEN 1 ELSE 0 END AS st
+         FROM f),
+       h AS (
+         SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS UNBOUNDED PRECEDING) AS mn
+         FROM g)
+       SELECT user_id, event_id, CAST(mn AS BIGINT) AS mn,
+         CASE WHEN d THEN 'D' END AS cls,
+         CAST(CASE WHEN d THEN row_number() OVER (
+           PARTITION BY user_id, mn ORDER BY event_id) ELSE 0 END AS BIGINT) AS n_down
+       FROM h
+       ORDER BY user_id, event_id"""
+
+  /** ALL ROWS PER MATCH OMIT EMPTY MATCHES: empty matches produce no output
+    * rows but STILL consume sequential match numbers — the mn gaps on the
+    * surviving rows pin that semantic (same reference citations as
+    * q_sqlx_match_empty). */
+  def q_sqlx_match_empty_omit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES MATCH_NUMBER() AS mn, COUNT(D.*) AS n_down
+           ALL ROWS PER MATCH OMIT EMPTY MATCHES
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (D*)
+           DEFINE D AS value < PREV(value)
+         )""")
+      .select($"user_id", $"event_id", $"mn", $"n_down")
+      .orderBy($"user_id", $"event_id")
+  }
+  val qSqlxMatchEmptyOmitSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+         FROM events),
+       f AS (
+         SELECT *, (pv IS NOT NULL AND value < pv) AS d FROM e),
+       g AS (
+         SELECT *, CASE WHEN NOT d OR NOT coalesce(
+             lag(d) OVER (PARTITION BY user_id ORDER BY event_id), FALSE)
+           THEN 1 ELSE 0 END AS st
+         FROM f),
+       h AS (
+         SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS UNBOUNDED PRECEDING) AS mn
+         FROM g)
+       SELECT user_id, event_id, CAST(mn AS BIGINT) AS mn,
+         CAST(row_number() OVER (
+           PARTITION BY user_id, mn ORDER BY event_id) AS BIGINT) AS n_down
+       FROM h WHERE d
+       ORDER BY user_id, event_id"""
+
+  /** ONE ROW PER MATCH over an empty-capable pattern: the reference EMITS a
+    * row for every empty match (match-recognize.md "The output is also
+    * produced for empty matches, based on their starting rows") — column
+    * references and navigation NULL, COUNT 0, MATCH_NUMBER sequential. This
+    * was r15's untested wrong-answer mode (empty matches were discarded). */
+  def q_sqlx_match_empty_one(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES MATCH_NUMBER() AS mn, FIRST(D.event_id) AS sid, COUNT(D.*) AS n_down
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (D*)
+           DEFINE D AS value < PREV(value)
+         )""")
+      .select($"user_id", $"mn", $"sid", $"n_down")
+      .orderBy($"user_id", $"mn")
+  }
+  val qSqlxMatchEmptyOneSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+         FROM events),
+       f AS (
+         SELECT *, (pv IS NOT NULL AND value < pv) AS d FROM e),
+       g AS (
+         SELECT *, CASE WHEN NOT d OR NOT coalesce(
+             lag(d) OVER (PARTITION BY user_id ORDER BY event_id), FALSE)
+           THEN 1 ELSE 0 END AS st
+         FROM f),
+       h AS (
+         SELECT *, sum(st) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS UNBOUNDED PRECEDING) AS mn
+         FROM g)
+       SELECT user_id, CAST(mn AS BIGINT) AS mn,
+         min(event_id) FILTER (WHERE d) AS sid,
+         CAST(count(*) FILTER (WHERE d) AS BIGINT) AS n_down
+       FROM h GROUP BY user_id, mn
+       ORDER BY user_id, mn"""
+
+  /** ALL ROWS PER MATCH WITH UNMATCHED ROWS on a non-empty-capable pattern
+    * (PATTERN (D) — single descending row): unmatched rows (no non-empty
+    * match, no empty match possible) each emit one row with ALL measures
+    * NULL including MATCH_NUMBER — the documented way to tell them from
+    * empty matches, which keep their number. With SKIP PAST LAST ROW this
+    * is the one configuration guaranteeing exactly one output row per input
+    * row (match-recognize.md "After match skip"). */
+  def q_sqlx_match_unmatched(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls, LAST(D.value) AS dv
+           ALL ROWS PER MATCH WITH UNMATCHED ROWS
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (D)
+           DEFINE D AS value < PREV(value)
+         )""")
+      .select($"user_id", $"event_id", $"mn", $"cls", $"dv")
+      .orderBy($"user_id", $"event_id")
+  }
+  val qSqlxMatchUnmatchedSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+         FROM events),
+       f AS (
+         SELECT *, (pv IS NOT NULL AND value < pv) AS d FROM e)
+       SELECT user_id, event_id,
+         CASE WHEN d THEN CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) END AS mn,
+         CASE WHEN d THEN 'D' END AS cls,
+         CASE WHEN d THEN value END AS dv
+       FROM f
+       ORDER BY user_id, event_id"""
 
   /** MATCH_RECOGNIZE with a MULTI-COLUMN partition key — the V-shape pattern
     * per (user_id, event_type) stream. Exercises the generalized group runner
@@ -1589,7 +1825,12 @@ object Dialect {
     "q_sqlx_match_window3" -> q_sqlx_match_window3 _,
     "q_sqlx_match_window4" -> q_sqlx_match_window4 _,
     "q_sqlx_match_window5" -> q_sqlx_match_window5 _,
+    "q_sqlx_match_window6" -> q_sqlx_match_window6 _,
     "q_sqlx_match_rows" -> q_sqlx_match_rows _,
+    "q_sqlx_match_empty" -> q_sqlx_match_empty _,
+    "q_sqlx_match_empty_omit" -> q_sqlx_match_empty_omit _,
+    "q_sqlx_match_empty_one" -> q_sqlx_match_empty_one _,
+    "q_sqlx_match_unmatched" -> q_sqlx_match_unmatched _,
     "q_sqlx_match_multikey" -> q_sqlx_match_multikey _,
     "q_sqlx_match_skip_to" -> q_sqlx_match_skip_to _,
     "q_sqlx_match_define_expr" -> q_sqlx_match_define_expr _,
@@ -1634,7 +1875,12 @@ object Dialect {
     "q_sqlx_match_window3" -> qSqlxMatchWindow3Sql,
     "q_sqlx_match_window4" -> qSqlxMatchWindow4Sql,
     "q_sqlx_match_window5" -> qSqlxMatchWindow5Sql,
+    "q_sqlx_match_window6" -> qSqlxMatchWindow6Sql,
     "q_sqlx_match_rows" -> qSqlxMatchRowsSql,
+    "q_sqlx_match_empty" -> qSqlxMatchEmptySql,
+    "q_sqlx_match_empty_omit" -> qSqlxMatchEmptyOmitSql,
+    "q_sqlx_match_empty_one" -> qSqlxMatchEmptyOneSql,
+    "q_sqlx_match_unmatched" -> qSqlxMatchUnmatchedSql,
     "q_sqlx_match_multikey" -> qSqlxMatchMultikeySql,
     "q_sqlx_match_skip_to" -> qSqlxMatchSkipToSql,
     "q_sqlx_match_define_expr" -> qSqlxMatchDefineExprSql,

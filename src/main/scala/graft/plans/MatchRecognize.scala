@@ -27,6 +27,25 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, 
   */
 object MatchRecognize {
 
+  /** ROWS PER MATCH output modes (reference grammar SqlBase.g4:467-476
+    * `emptyMatchHandling`; semantics docs/src/main/sphinx/sql/
+    * match-recognize.md "Rows per match"):
+    *  - OneRow: one output row per match, INCLUDING empty matches (based on
+    *    their starting rows); unmatched rows are never output.
+    *  - AllShowEmpty (the ALL ROWS default): every matched row, plus ONE row
+    *    per empty match carrying the starting row's input values with NULL
+    *    classifier; unmatched rows skipped.
+    *  - AllOmitEmpty: empty matches produce no output but still consume
+    *    sequential match numbers.
+    *  - AllWithUnmatched: AllShowEmpty plus one row per unmatched row (a row
+    *    in no non-empty match and starting no empty match) with NULL
+    *    match_number and NULL classifier. */
+  sealed trait RowsPerMatch
+  case object OneRow extends RowsPerMatch
+  case object AllShowEmpty extends RowsPerMatch
+  case object AllOmitEmpty extends RowsPerMatch
+  case object AllWithUnmatched extends RowsPerMatch
+
   /** An output measure: name, Spark type, and evaluator over (partition rows,
     * match). Mirrors the reference's measure expressions (FIRST/LAST/
     * CLASSIFIER/count over the match). */
@@ -156,14 +175,37 @@ object MatchRecognize {
     annotateMatchesWith(df, partitionCols, orderCols, pattern, define,
       if (skipPastLastRow) RowPattern.SkipPastLastRow else RowPattern.SkipToNextRow)
 
-  /** Full skip-mode variant (SKIP TO [FIRST|LAST] var included). */
+  /** Full skip-mode variant (SKIP TO [FIRST|LAST] var included), non-empty
+    * matches only (legacy numbering over the non-empty match list). */
   def annotateMatchesWith(
       df: DataFrame,
       partitionCols: Seq[String],
       orderCols: Seq[String],
       pattern: String,
       define: Map[String, RowPattern.TracePredicate],
-      skip: RowPattern.SkipMode): DataFrame = {
+      skip: RowPattern.SkipMode): DataFrame =
+    annotateMatchesWith(df, partitionCols, orderCols, pattern, define, skip, AllOmitEmpty)
+
+  /** Full surface: skip mode + ROWS PER MATCH handling of empty matches and
+    * unmatched rows (reference match-recognize.md "Evaluating expressions in
+    * empty matches and unmatched rows"). Emission per ordered key group:
+    *  - non-empty match rows: input columns + match_number + classifier;
+    *  - empty matches (all modes except AllOmitEmpty): ONE row — the starting
+    *    row's input columns + match_number + NULL classifier. OMITted empty
+    *    matches still consume a match number (numbering is over scanAll's
+    *    full match stream, empty included);
+    *  - unmatched rows (AllWithUnmatched only): the row's input columns +
+    *    NULL match_number + NULL classifier. A row is unmatched when it is
+    *    in no non-empty match (via its full step trace, exclusion rows
+    *    included) and starts no empty match. */
+  def annotateMatchesWith(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderCols: Seq[String],
+      pattern: String,
+      define: Map[String, RowPattern.TracePredicate],
+      skip: RowPattern.SkipMode,
+      rowsPerMatch: RowsPerMatch): DataFrame = {
 
     require(partitionCols.nonEmpty, "MATCH_RECOGNIZE requires PARTITION BY")
     require(orderCols.nonEmpty, "MATCH_RECOGNIZE requires ORDER BY")
@@ -172,8 +214,8 @@ object MatchRecognize {
     val keyIdx = partitionCols.map(schema.fieldIndex)
     val inWidth = schema.length
     val outSchema = StructType(schema.fields ++ Seq(
-      StructField("match_number", LongType, nullable = false),
-      StructField("classifier", StringType, nullable = false)))
+      StructField("match_number", LongType, nullable = true),
+      StructField("classifier", StringType, nullable = true)))
     // row_number() pins the physical contract: hash-partitioned by the keys,
     // sorted by (keys, order) within partitions — reused, not re-shuffled,
     // when the input already carries a window over the same spec.
@@ -189,11 +231,26 @@ object MatchRecognize {
             val group = scala.collection.mutable.ArrayBuffer[Row]()
             while (buf.hasNext && keyOf(buf.head) == key) group += buf.next()
             val part = group.toIndexedSeq
-            matcher.findAll(part, skip).zipWithIndex.flatMap { case (m, mi) =>
-              m.visibleSteps.map { case (sym, idx) =>
-                val r = part(idx)
-                Row.fromSeq((0 until inWidth).map(r.get) ++ Seq((mi + 1).toLong, sym))
+            def emit(r: Row, mn: Any, cls: Any): Row =
+              Row.fromSeq((0 until inWidth).map(r.get) ++ Seq(mn, cls))
+            val matches = matcher.scanAll(part, skip)
+            val matched = matches.zipWithIndex.flatMap { case (m, mi) =>
+              val mn = (mi + 1).toLong
+              if (m.end > m.start)
+                m.visibleSteps.map { case (sym, idx) => emit(part(idx), mn, sym) }
+              else if (rowsPerMatch != AllOmitEmpty)
+                Seq(emit(part(m.start), mn, null))
+              else Seq.empty
+            }
+            if (rowsPerMatch != AllWithUnmatched) matched
+            else {
+              val covered = new java.util.BitSet(part.length)
+              matches.foreach { m =>
+                if (m.end > m.start) m.steps.foreach { case (_, i) => covered.set(i) }
+                else covered.set(m.start)
               }
+              matched ++ part.indices.filterNot(covered.get).map(i =>
+                emit(part(i), null, null))
             }
           }
         }.flatten

@@ -196,20 +196,29 @@ object RowPattern {
     /** Anchored match attempt AT `pos` (the row-pattern-in-window-spec
       * contract, SqlBase.g4:876-880 windowSpecification → patternRecognition:
       * each row of the partition anchors its own match attempt — INITIAL
-      * semantics). Empty matches are discarded like findAll's. */
+      * semantics). Empty matches are discarded. */
     def anchoredAt(part: IndexedSeq[Row], pos: Int): Option[PatternMatch] =
+      anchoredAtAllowEmpty(part, pos).filter(m => m.end > m.start)
+
+    /** As `anchoredAt`, but an EMPTY match (pattern succeeds assigning no
+      * variables) returns PatternMatch(pos, pos, empty) instead of None —
+      * the window processing model treats it as a successful match whose
+      * measures evaluate over an empty row sequence
+      * (pattern-recognition-in-window.md "Empty matches and unmatched
+      * rows"). */
+    def anchoredAtAllowEmpty(part: IndexedSeq[Row], pos: Int): Option[PatternMatch] =
       matchAt(part, pattern, pos, Nil, excl = false, (e, a) => Some((e, a))) match {
-        case Some((end, acc)) if end > pos =>
+        case Some((end, acc)) =>
           val trace = acc.reverse.toIndexedSeq
           Some(PatternMatch(pos, end, trace.map(t => (t._1, t._2)),
             trace.collect { case (_, i, true) => i }.toSet))
         case _ => None
       }
 
-    /** All matches over the ordered partition. `skipPastLastRow` = the
-      * reference's AFTER MATCH SKIP PAST LAST ROW (default); false = SKIP TO
-      * NEXT ROW (overlapping matches allowed). Empty matches are discarded
-      * and the scan advances, mirroring the reference's empty-match handling. */
+    /** All NON-EMPTY matches over the ordered partition. `skipPastLastRow` =
+      * the reference's AFTER MATCH SKIP PAST LAST ROW (default); false = SKIP
+      * TO NEXT ROW (overlapping matches allowed). Empty matches are discarded,
+      * the legacy contract for callers that number matches over this list. */
     def findAll(part: IndexedSeq[Row], skipPastLastRow: Boolean = true): Seq[PatternMatch] =
       findAll(part, if (skipPastLastRow) SkipPastLastRow else SkipToNextRow)
 
@@ -219,8 +228,21 @@ object RowPattern {
       * the first/last row the variable (or any member of a SUBSET union)
       * mapped in the match. Resuming at the match's own first row would
       * loop forever — the reference raises, and so do we; a variable that
-      * mapped no rows raises too. */
-    def findAll(part: IndexedSeq[Row], skip: SkipMode): Seq[PatternMatch] = {
+      * mapped no rows raises too. Non-empty matches only (legacy contract). */
+    def findAll(part: IndexedSeq[Row], skip: SkipMode): Seq[PatternMatch] =
+      scanAll(part, skip).filter(m => m.end > m.start)
+
+    /** All matches INCLUDING empty ones (start == end, no steps) — the
+      * reference's full match stream (docs/src/main/sphinx/sql/
+      * match-recognize.md "Evaluating expressions in empty matches and
+      * unmatched rows"): an empty match occurs when the pattern matches with
+      * zero pattern variables assigned; it has a starting row and consumes a
+      * sequential match number like any other match. The AFTER MATCH SKIP
+      * clause applies only to NON-empty matches — after an empty match the
+      * scan always resumes at the next row ("Skipping to the next row is the
+      * default behavior after detecting an empty match or unmatched row"),
+      * and SKIP TO <var> cannot fail on an empty match. */
+    def scanAll(part: IndexedSeq[Row], skip: SkipMode): Seq[PatternMatch] = {
       val out = scala.collection.mutable.ArrayBuffer[PatternMatch]()
       var pos = 0
       while (pos < part.length) {
@@ -241,7 +263,10 @@ object RowPattern {
                   s"AFTER MATCH SKIP TO $label: cannot resume at the first row of the match")
                 target
             }
-          case _ =>
+          case Some((end, _)) => // empty match at pos (end == pos)
+            out += PatternMatch(pos, end, IndexedSeq.empty)
+            pos += 1
+          case None =>
             pos += 1
         }
       }

@@ -267,18 +267,27 @@ private final class CompiledMeasureEval(
   private def sees(symbols: Option[Set[String]], e: (String, Int)): Boolean =
     symbols.forall(_.contains(e._1))
 
+  /** `i` = the match's final row index, or -1 for an EMPTY match: field
+    * references then see NULL ("all column references return null" —
+    * pattern-recognition-in-window.md empty-match rules), navigation finds
+    * nothing in the empty trace, CountNav yields 0, and constant measures
+    * still evaluate — the documented way to tell an empty match ('matched')
+    * from an unmatched row (all-NULL output, produced by the caller without
+    * evaluating). */
   def eval(part: IndexedSeq[Row], trace: List[(String, Int)], i: Int): Any = {
     val values = new Array[Any](nFields + navs.length)
-    val row = part(i)
+    val row = if (i >= 0) part(i) else null
     var j = 0
-    while (j < nFields) { values(j) = fieldConv(j)(row.get(j)); j += 1 }
+    while (j < nFields) {
+      values(j) = if (row == null) null else fieldConv(j)(row.get(j)); j += 1
+    }
     var k = 0
     while (k < navs.length) {
       val v = navs(k) match {
         case ClassifierNav() => trace.headOption.map(_._1).orNull
         case PhysNav(c, _, off, prev) =>
           val p = if (prev) i - off else i + off
-          if (p < 0 || p >= part.length) null else part(p).get(c)
+          if (i < 0 || p < 0 || p >= part.length) null else part(p).get(c)
         case LogNav(symbols, c, _, occ, last) =>
           val hits = trace.iterator.filter(sees(symbols, _)).map(_._2).toIndexedSeq
           val ordered = if (last) hits else hits.reverse

@@ -59,9 +59,12 @@ private[graft] object MatchRecognizeSql {
   final case class Mr(
       table: String, partitionBy: Seq[String], orderBy: Seq[String],
       measures: Seq[(String, String)], // (expr text, alias)
-      allRows: Boolean, skip: graft.plans.RowPattern.SkipMode,
+      rowsPerMatch: MatchRecognize.RowsPerMatch,
+      skip: graft.plans.RowPattern.SkipMode,
       pattern: String, defines: Seq[(String, String)],
-      subsets: Map[String, Seq[String]]) // SUBSET U = (A, B) union variables
+      subsets: Map[String, Seq[String]]) { // SUBSET U = (A, B) union variables
+    def allRows: Boolean = rowsPerMatch != MatchRecognize.OneRow
+  }
 
   private val Outer =
     """(?is)\s*SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*""".r
@@ -153,9 +156,22 @@ private[graft] object MatchRecognizeSql {
           .getOrElse(fail(s"MEASURES entry '$mm' (expected <expr> AS <alias>)"))
         (m.group(1).trim, m.group(2))
       }).getOrElse(Seq.empty)
-      val allRows = one("ALL ROWS PER MATCH").isDefined
+      // ROWS PER MATCH + emptyMatchHandling (SqlBase.g4:467-476): the ALL
+      // ROWS clause body (text up to the next clause keyword) carries the
+      // optional SHOW EMPTY MATCHES | OMIT EMPTY MATCHES | WITH UNMATCHED
+      // ROWS modifier; SHOW is the default.
+      val rowsPerMatch = one("ALL ROWS PER MATCH") match {
+        case None => MatchRecognize.OneRow
+        case Some(mod) => mod.trim.toUpperCase.replaceAll("\\s+", " ") match {
+          case "" | "SHOW EMPTY MATCHES" => MatchRecognize.AllShowEmpty
+          case "OMIT EMPTY MATCHES" => MatchRecognize.AllOmitEmpty
+          case "WITH UNMATCHED ROWS" => MatchRecognize.AllWithUnmatched
+          case other => fail(s"ALL ROWS PER MATCH modifier '$other' (expected " +
+            "SHOW EMPTY MATCHES | OMIT EMPTY MATCHES | WITH UNMATCHED ROWS)")
+        }
+      }
       val skipPast = parseSkip(one("AFTER MATCH"), subsets)
-      Some(Mr(table, partition, order, measures, allRows, skipPast, pattern, defines, subsets))
+      Some(Mr(table, partition, order, measures, rowsPerMatch, skipPast, pattern, defines, subsets))
     case _ => None
   }
 
@@ -248,11 +264,49 @@ private[graft] object MatchRecognizeSql {
       else m.group(0))
   }
 
+  /** Guard bare input-column references for empty-match placeholder rows:
+    * a placeholder carries its STARTING row's input values (needed for the
+    * ALL ROWS passthrough columns) but measure expressions must see NULL
+    * there ("all column references return null" — match-recognize.md
+    * "Evaluating expressions in empty matches"). Each bare token that names
+    * an input column — outside quotes, not qualified (`A.col`), not a
+    * function call — becomes `CASE WHEN classifier IS NOT NULL THEN (col)
+    * END`; on non-empty match rows classifier is always set, so the guard
+    * is the identity there. Single left-to-right pass, never re-scanning
+    * emitted text. */
+  private def guardBareRefs(text: String, fieldNames: Seq[String]): String = {
+    val fields = fieldNames.map(_.toLowerCase).toSet
+    val sb = new StringBuilder
+    var i = 0
+    var q = false
+    while (i < text.length) {
+      val c = text(i)
+      if (q) { sb += c; if (c == '\'') q = false; i += 1 }
+      else if (c == '\'') { sb += c; q = true; i += 1 }
+      else if ((c.isLetter || c == '_') &&
+        (i == 0 || (!text(i - 1).isLetterOrDigit && text(i - 1) != '_' && text(i - 1) != '.'))) {
+        var j = i
+        while (j < text.length && (text(j).isLetterOrDigit || text(j) == '_')) j += 1
+        val tok = text.substring(i, j)
+        var k = j
+        while (k < text.length && text(k).isWhitespace) k += 1
+        val callOrQualified = k < text.length && (text(k) == '(' || text(k) == '.')
+        if (!callOrQualified && fields(tok.toLowerCase))
+          sb ++= s"(CASE WHEN classifier IS NOT NULL THEN ($tok) END)"
+        else sb ++= tok
+        i = j
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
   /** MEASURES expression → Spark SQL window expression text over the
-    * annotated (match_number, classifier) output. */
+    * annotated (match_number, classifier) output. `fieldNames` (input table
+    * columns) drive the empty-match NULL guard on bare column references. */
   private def rewriteMeasure(exprText: String, defaultRunning: Boolean,
       pks: Seq[String], ords: Seq[String], syms: Set[String],
-      subsets: Map[String, Seq[String]] = Map.empty): String = {
+      subsets: Map[String, Seq[String]] = Map.empty,
+      fieldNames: Seq[String] = Seq.empty): String = {
     var t = exprText.trim
     var running = defaultRunning
     val prefix = "(?is)^(RUNNING|FINAL)\\s+(.*)$".r
@@ -260,6 +314,7 @@ private[graft] object MatchRecognizeSql {
       case prefix(m, rest) => running = m.equalsIgnoreCase("RUNNING"); t = rest
       case _ =>
     }
+    t = guardBareRefs(t, fieldNames)
     val partBy = (pks :+ "match_number").mkString(", ")
     val ordBy = ords.mkString(", ")
     val frame =
@@ -286,16 +341,21 @@ private[graft] object MatchRecognizeSql {
       // row-pattern standard, never an ANSI index error.
       case ("FIRST", arg) => measureNav(arg, syms, frame, only, fromEnd = false)
       case ("LAST", arg) => measureNav(arg, syms, frame, only, fromEnd = true)
+      // Unqualified aggregates guard on classifier so an empty-match
+      // placeholder row contributes NOTHING — "all aggregate functions are
+      // evaluated over an empty set of rows" (COUNT → 0, SUM/... → null).
+      // On non-empty match rows classifier is always set: identity.
       case ("COUNT", arg) =>
-        if (arg == "*") s"count(1) $frame"
+        if (arg == "*") s"count(classifier) $frame"
         else qualified(arg, syms) match {
           case Some((sym, "*")) => s"count(${only(sym, "1")}) $frame"
           case Some((sym, c)) => s"count(${only(sym, c)}) $frame"
-          case None => s"count($arg) $frame"
+          case None => s"count(CASE WHEN classifier IS NOT NULL THEN ($arg) END) $frame"
         }
       case (agg, arg) => qualified(arg, syms) match {
         case Some((sym, c)) => s"${agg.toLowerCase}(${only(sym, c)}) $frame"
-        case None => s"${agg.toLowerCase}($arg) $frame"
+        case None =>
+          s"${agg.toLowerCase}(CASE WHEN classifier IS NOT NULL THEN ($arg) END) $frame"
       }
     }
     // remaining bare pattern-variable refs: A.col ≡ LAST(A.col) per standard
@@ -376,21 +436,36 @@ private[graft] object MatchRecognizeSql {
         }
 
     val annotated = MatchRecognize.annotateMatchesWith(
-        df, mr.partitionBy, mr.orderBy, mr.pattern, tracePreds, mr.skip)
+        df, mr.partitionBy, mr.orderBy, mr.pattern, tracePreds, mr.skip,
+        mr.rowsPerMatch)
       .drop(defBool.values.toSeq: _*)
 
     if (mr.allRows) {
       val passthrough = (mr.partitionBy ++ mr.orderBy ++ defCols).distinct ++
         Seq("match_number", "classifier")
       val sel = passthrough ++ mr.measures.map { case (e, a) =>
-        s"${rewriteMeasure(e, defaultRunning = true, mr.partitionBy, mr.orderBy, syms, mr.subsets)} AS $a"
+        s"${rewriteMeasure(e, defaultRunning = true, mr.partitionBy, mr.orderBy, syms, mr.subsets, fieldNames)} AS $a"
       }
-      annotated.selectExpr(sel: _*)
+      val out = annotated.selectExpr(sel: _*)
+      // WITH UNMATCHED ROWS: "all row pattern measures are null" for an
+      // unmatched row (match_number IS NULL distinguishes it from an empty
+      // match, which keeps its sequential number). Blanket-null the measure
+      // columns rather than guarding term-by-term: unmatched rows share one
+      // NULL match_number window group, so per-term window results there are
+      // meaningless by construction.
+      if (mr.rowsPerMatch == MatchRecognize.AllWithUnmatched)
+        mr.measures.foldLeft(out) { case (d, (_, a)) =>
+          d.withColumn(a, org.apache.spark.sql.functions.when(
+            col("match_number").isNotNull, col(a)))
+        }
+      else out
     } else {
-      // FINAL measures evaluated at the last row of each match
+      // FINAL measures evaluated at the last row of each match (an empty
+      // match's single placeholder row is its own last row — reference
+      // match-recognize.md: ONE ROW PER MATCH outputs empty matches too)
       val sel = (mr.partitionBy ++ mr.orderBy :+ "match_number") ++
         mr.measures.map { case (e, a) =>
-          s"${rewriteMeasure(e, defaultRunning = false, mr.partitionBy, mr.orderBy, syms, mr.subsets)} AS $a"
+          s"${rewriteMeasure(e, defaultRunning = false, mr.partitionBy, mr.orderBy, syms, mr.subsets, fieldNames)} AS $a"
         }
       val byMatch = Window
         .partitionBy((mr.partitionBy :+ "match_number").map(col): _*)

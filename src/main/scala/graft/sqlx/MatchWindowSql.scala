@@ -50,16 +50,22 @@ import graft.plans.RowPattern
   * over the frame limited to the matched row sequence (empty frame → NULL
   * for unmatched/skipped rows); it lowers as a synthesized measure.
   * Multiple named windows are accepted; each evaluates independently.
+  * PLAIN named windows coexist in the same statement (r16 — the reference
+  * treats pattern windows as ordinary window specifications): their call
+  * sites lower through Spark's normal window path with the spec inlined,
+  * reusing the pattern window's exchange when the specs share
+  * (PARTITION BY, ORDER BY).
   *
-  * Documented subset/divergences: empty matches are treated as no-match
-  * (as in the FROM-clause lowering); mixing plain and pattern windows in
-  * one statement is rejected. Navigation (PREV in DEFINE, and measures)
-  * over a BOUNDED frame clips at the frame end via the sliced search
-  * space; navigation BELOW the anchor row is clipped only on the stateful
-  * DEFINE path — state-independent conditions compile to partition-wide
-  * lag/lead columns, so a PREV at the anchor reads the partition value
-  * where the reference reads null (divergence kept for the codegen fast
-  * path, pinned by the existing oracles).
+  * Frame-clipped navigation (r16; pattern-recognition-in-window.md: "the
+  * pattern matching can neither match rows nor retrieve input values
+  * outside the frame"): the match search space is a zero-copy view
+  * [current row, frame end], so matching AND navigation clip at BOTH frame
+  * edges — PREV at the frame start reads NULL (stateless DEFINEs via
+  * frame-edge variant columns, DefCols below; stateful ones via the view
+  * bounds), NEXT past a bounded frame end reads NULL. EMPTY matches are
+  * recognized (measures over an empty row sequence: constants survive,
+  * column refs/navigation NULL, COUNT 0), distinguishable from unmatched
+  * rows whose measures are all NULL.
   */
 private[graft] object MatchWindowSql {
 
@@ -75,16 +81,24 @@ private[graft] object MatchWindowSql {
       defines: Seq[(String, String)], subsets: Map[String, Seq[String]],
       frameK: Option[Int], seek: Boolean, skip: RowPattern.SkipMode)
 
-  /** Whole statement: items over one or more pattern windows (reference
-    * allows several named windows in the WINDOW clause; each is evaluated
-    * independently — one exchange+sort per distinct window here, exactly
-    * the reference's per-window pattern partitioning). */
-  final case class Mw(table: String, items: Seq[Item], windows: Seq[Wspec])
+  /** Whole statement: items over one or more pattern windows plus any
+    * number of PLAIN named windows (the reference treats pattern windows as
+    * ordinary window specifications coexisting with plain ones —
+    * pattern-recognition-in-window.md; SqlBase.g4 windowSpecification).
+    * Pattern windows evaluate through the sequential matcher (one
+    * exchange+sort each); plain windows lower through Spark's normal window
+    * path by inlining their spec at the call site. `plainWindows` maps
+    * lowercase window name → raw spec block text. */
+  final case class Mw(table: String, items: Seq[Item], windows: Seq[Wspec],
+      plainWindows: Map[String, String])
 
   private val Outer =
     """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+WINDOW\s+(.*?)\s*""".r
 
-  /** `w1 AS ( … ), w2 AS ( … )` → (name, block) pairs (balanced parens). */
+  /** `w1 AS ( … ), w2 AS ( … )` → (name, block) pairs. Paren depth is
+    * counted OUTSIDE single-quoted literals, so a quoted paren (e.g.
+    * `DEFINE D AS regexp_like(x, '(')`) neither mis-splits nor rejects the
+    * clause. */
   private def splitWindows(text: String): Seq[(String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var rest = text.trim
@@ -94,10 +108,14 @@ private[graft] object MatchWindowSql {
         fail(s"expected '<name> AS (…)' in WINDOW clause, got '${rest.take(40)}'"))
       var depth = 1
       var i = m.end
+      var q = false
       while (depth > 0) {
         if (i >= rest.length) fail("unbalanced parens in WINDOW clause")
         val c = rest.charAt(i)
-        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        if (q) { if (c == '\'') q = false }
+        else if (c == '\'') q = true
+        else if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
         i += 1
       }
       out += ((m.group(1), rest.substring(m.end, i - 1)))
@@ -118,23 +136,25 @@ private[graft] object MatchWindowSql {
   def parse(text: String): Option[Mw] = text match {
     case Outer(itemsText, table, windowsText) =>
       val entries = splitWindows(windowsText)
-      val withPattern = entries.map { case (n, block) =>
+      val withClauses = entries.map { case (n, block) =>
         (n, block, MatchRecognizeSql.clauses(block, windowKeywords))
       }
-      // only pattern-bearing window specs lower here; a statement whose
-      // windows are ALL plain named windows is outside this production
-      if (!withPattern.exists(_._3.exists(_._1 == "PATTERN"))) return None
-      withPattern.find(!_._3.exists(_._1 == "PATTERN")).foreach { case (n, _, _) =>
-        fail(s"window '$n' has no PATTERN (mixing plain and row-pattern " +
-          "windows in one statement is not supported)")
-      }
-      val declared = withPattern.map(_._1.toLowerCase).toSet
+      // pattern-bearing specs lower through the sequential matcher; PLAIN
+      // named windows coexist (reference semantics) and lower through
+      // Spark's window path. A statement whose windows are ALL plain is
+      // outside this production (Spark SQL handles it natively).
+      val (patterned, plainEntries) =
+        withClauses.partition(_._3.exists(_._1 == "PATTERN"))
+      if (patterned.isEmpty) return None
+      val declared = patterned.map(_._1.toLowerCase).toSet
+      val plainBlocks = plainEntries.map(e => e._1.toLowerCase -> e._2).toMap
 
       // select items: plain column | <measure> OVER w | <fn>(args) OVER w
       // (a window function over a pattern window evaluates over the frame
       // limited to the matched rows — reference pattern-recognition-in-
       // window.md "upon a window function call over the window"; lowered
-      // here as a SYNTHESIZED measure on that window)
+      // here as a SYNTHESIZED measure on that window. Over a PLAIN window
+      // it stays a regular Spark window function call.)
       val synth = scala.collection.mutable.Map[String, Seq[(String, String)]]()
         .withDefaultValue(Seq.empty)
       var synthId = 0
@@ -144,21 +164,25 @@ private[graft] object MatchWindowSql {
         val overRe = "(?is)^(\\w+)\\s+OVER\\s+(\\w+)(?:\\s+AS\\s+(\\w+))?$".r
         fnOver.findFirstMatchIn(it) match {
           case Some(m) =>
-            val wRef = m.group(3)
-            if (!declared.contains(wRef.toLowerCase))
-              fail(s"unknown window '$wRef' (declared: ${declared.mkString(", ")})")
-            val name = s"__wf$synthId"; synthId += 1
-            synth(wRef.toLowerCase) =
-              synth(wRef.toLowerCase) :+ ((s"${m.group(1)}(${m.group(2)})", name))
-            Item(name, Option(m.group(4)).getOrElse(m.group(1)), Some(name),
-              Some(wRef.toLowerCase))
+            val wRef = m.group(3).toLowerCase
+            if (plainBlocks.contains(wRef))
+              Item(s"${m.group(1)}(${m.group(2)})",
+                Option(m.group(4)).getOrElse(m.group(1)), None, Some(wRef))
+            else if (declared.contains(wRef)) {
+              val name = s"__wf$synthId"; synthId += 1
+              synth(wRef) = synth(wRef) :+ ((s"${m.group(1)}(${m.group(2)})", name))
+              Item(name, Option(m.group(4)).getOrElse(m.group(1)), Some(name),
+                Some(wRef))
+            } else fail(s"unknown window '${m.group(3)}' (declared: " +
+              s"${(declared ++ plainBlocks.keySet).mkString(", ")})")
           case None => overRe.findFirstMatchIn(it) match {
             case Some(m) =>
-              val wRef = m.group(2)
-              if (!declared.contains(wRef.toLowerCase))
-                fail(s"unknown window '$wRef' (declared: ${declared.mkString(", ")})")
+              val wRef = m.group(2).toLowerCase
+              if (!declared.contains(wRef))
+                fail(s"unknown pattern window '${m.group(2)}' for measure " +
+                  s"'${m.group(1)}' (pattern windows: ${declared.mkString(", ")})")
               Item(m.group(1), Option(m.group(3)).getOrElse(m.group(1)),
-                Some(m.group(1)), Some(wRef.toLowerCase))
+                Some(m.group(1)), Some(wRef))
             case None =>
               val plain = "(?is)^(\\w+)(?:\\s+AS\\s+(\\w+))?$".r.findFirstMatchIn(it)
                 .getOrElse(fail(s"select item '$it' (plain column, <measure> OVER w, or fn(args) OVER w)"))
@@ -167,8 +191,17 @@ private[graft] object MatchWindowSql {
           }
         }
       }
+      // unaliased window-function items default their alias to the bare
+      // function name — two such calls (sum(a) OVER w, sum(b) OVER w) would
+      // collide into ambiguous output columns, so collisions fail loudly
+      // asking for AS aliases rather than producing duplicate names
+      val dup = parsedItems.groupBy(_.alias.toLowerCase).collectFirst {
+        case (a, is) if is.size > 1 => a
+      }
+      dup.foreach(a => fail(s"duplicate output column '$a' — " +
+        "alias each window-function select item with AS <name>"))
 
-      val windows = withPattern.map { case (wName, _, cs) =>
+      val windows = patterned.map { case (wName, _, cs) =>
         def one(kw: String): Option[String] = cs.collectFirst { case (`kw`, c) => c }
         val seek = cs.exists(_._1 == "SEEK")
         // frame extent (SqlBase.g4:879 boundedFrame): the reference requires
@@ -224,7 +257,7 @@ private[graft] object MatchWindowSql {
         if (!w.measures.exists(_._2.equalsIgnoreCase(it.measure.get)))
           fail(s"measure '${it.measure.get}' is not declared in MEASURES of window '${w.name}'")
       }
-      Some(Mw(table, parsedItems, windows))
+      Some(Mw(table, parsedItems, windows, plainBlocks))
     case _ => None
   }
 
@@ -238,24 +271,60 @@ private[graft] object MatchWindowSql {
       val lower = fieldNames.map(f => f.toLowerCase -> f).toMap
       "\\w+".r.findAllIn(text).toSeq.flatMap(w => lower.get(w.toLowerCase)).distinct
     }
-    val keep = (mw.items.filter(_.measure.isEmpty).map(_.text) ++
+    val keep = (mw.items.filter(i => i.measure.isEmpty && i.window.isEmpty).map(_.text) ++
+      mw.items.filter(i => i.measure.isEmpty && i.window.isDefined).flatMap(i => refs(i.text)) ++
+      mw.plainWindows.values.flatMap(refs) ++
       mw.windows.flatMap(w => w.partitionBy ++ w.orderBy ++
         w.defines.flatMap(d => refs(d._2)) ++
         w.measures.flatMap(m => refs(m._1)))).distinct
-    // one annotate pass per window, chained: each adds its (prefixed)
-    // measure columns behind its own exchange+sort — the reference
-    // likewise partitions per window specification
+    // one annotate pass per pattern window, chained: each adds its
+    // (prefixed) measure columns behind its own exchange+sort — the
+    // reference likewise partitions per window specification. Plain
+    // windows are inlined at the call site below and lower through Spark's
+    // normal window path; when a plain spec shares the pattern window's
+    // (PARTITION BY, ORDER BY), EnsureRequirements reuses the exchange.
     val annotated = mw.windows.zipWithIndex.foldLeft(full.select(keep.map(col): _*)) {
       case (df, (w, wi)) => annotate(df, w, s"__mw${wi}_")
     }
     annotated.selectExpr(mw.items.map { it =>
-      it.measure match {
-        case Some(m) =>
+      (it.measure, it.window) match {
+        case (Some(m), _) =>
           val wi = mw.windows.indexWhere(_.name.equalsIgnoreCase(it.window.get))
           s"__mw${wi}_$m AS ${it.alias}"
-        case None => s"${it.text} AS ${it.alias}"
+        case (None, Some(w)) =>
+          s"${it.text} OVER (${mw.plainWindows(w)}) AS ${it.alias}"
+        case _ => s"${it.text} AS ${it.alias}"
       }
     }: _*)
+  }
+
+  /** O(1) window over the partition buffer: the match SEARCH SPACE for the
+    * row at absolute index `off` — always starts AT that row (the frame
+    * start is pinned to CURRENT ROW by the grammar), ends at the frame end.
+    * Slicing per row would be O(n²); this wrapper is the zero-copy view. */
+  private final class FrameView(part: IndexedSeq[Row], off: Int, hi: Int)
+      extends IndexedSeq[Row] {
+    def apply(i: Int): Row = part(off + i)
+    def length: Int = hi - off
+  }
+
+  /** Stateless-DEFINE column set for one symbol: the partition-wide
+    * codegen'd boolean plus frame-edge variants. The reference forbids
+    * retrieving input values outside the frame
+    * (pattern-recognition-in-window.md: "the pattern matching can neither
+    * match rows nor retrieve input values outside the frame"), so a
+    * condition whose PREV would read BELOW the frame start (only possible
+    * at view position 0 — offset-1 navigation) evaluates the `atStart`
+    * variant (PREV → NULL), and one whose NEXT would read past a BOUNDED
+    * frame end evaluates the `atEnd` variant (NEXT → NULL) at the view's
+    * last position; both at a one-row frame. All variants are codegen'd
+    * columns in the same single window pass — the fast path stays fast. */
+  private final case class DefCols(n: Int, atStart: Int, atEnd: Int, atBoth: Int) {
+    def at(v: Int, len: Int): Int = {
+      val s = v == 0
+      val e = v == len - 1
+      if (s && e) atBoth else if (s) atStart else if (e) atEnd else n
+    }
   }
 
   /** Add window `w`'s measures as `<prefix><name>` columns via one
@@ -263,32 +332,59 @@ private[graft] object MatchWindowSql {
   private def annotate(input: DataFrame, mw: Wspec, prefix: String): DataFrame = {
     val spark = input.sparkSession
     val mr = MatchRecognizeSql.Mr(mw.name, mw.partitionBy, mw.orderBy,
-      mw.measures, allRows = false, RowPattern.SkipPastLastRow,
+      mw.measures, graft.plans.MatchRecognize.OneRow, RowPattern.SkipPastLastRow,
       mw.pattern, mw.defines, mw.subsets)
     val syms = MatchRecognizeSql.patternSymbols(mr)
     var df = input
 
-    // DEFINE routing, exactly as the FROM-clause lowering: state-independent
-    // conditions → codegen'd boolean lag/lead columns; match-state-dependent
-    // ones → trace-aware predicates
+    // DEFINE routing, as the FROM-clause lowering: state-independent
+    // conditions → codegen'd boolean lag/lead columns (plus frame-edge
+    // variants, DefCols above); match-state-dependent ones → trace-aware
+    // predicates. The matcher sees the FrameView, so stateful PREV/NEXT
+    // clip at the frame edges automatically (index out of view → null).
     val navOver =
       s"OVER (PARTITION BY ${mw.partitionBy.mkString(", ")} ORDER BY ${mw.orderBy.mkString(", ")})"
     val (stateful, simple) =
       mw.defines.partition(d => DefineEval.isStateful(d._2, d._1, syms))
-    val defBool = simple.map { case (sym, cond) =>
-      val boolCol = s"${prefix}def_$sym"
-      df = df.withColumn(boolCol,
+    val helperCols = scala.collection.mutable.ArrayBuffer[String]()
+    def addBool(name: String, cond: String, sym: String): String = {
+      df = df.withColumn(name,
         expr(MatchRecognizeSql.rewriteDefine(cond, sym, syms, navOver)))
-      sym -> boolCol
-    }.toMap
+      helperCols += name
+      name
+    }
+    /** Rewrite PREV and/or NEXT calls to NULL (out-of-frame navigation). */
+    def nulled(cond: String, prevNull: Boolean, nextNull: Boolean): String =
+      MatchRecognizeSql.rewriteCalls(cond, Set("PREV", "NEXT")) {
+        case ("PREV", arg) => if (prevNull) "NULL" else s"PREV($arg)"
+        case ("NEXT", arg) => if (nextNull) "NULL" else s"NEXT($arg)"
+        case (other, arg) => s"$other($arg)"
+      }
+    val defPlan = simple.map { case (sym, cond) =>
+      val usesPrev = "(?i)\\bPREV\\s*\\(".r.findFirstIn(cond).isDefined
+      val usesNext = "(?i)\\bNEXT\\s*\\(".r.findFirstIn(cond).isDefined
+      val n = addBool(s"${prefix}def_$sym", cond, sym)
+      val a = if (usesPrev) addBool(s"${prefix}defA_$sym", nulled(cond, true, false), sym) else n
+      val z = if (usesNext) addBool(s"${prefix}defZ_$sym", nulled(cond, false, true), sym) else n
+      val b =
+        if (usesPrev && usesNext) addBool(s"${prefix}defB_$sym", nulled(cond, true, true), sym)
+        else if (usesPrev) a else if (usesNext) z else n
+      (sym, n, a, z, b)
+    }
+    val schema = df.schema
     val tracePreds: Map[String, RowPattern.TracePredicate] =
-      RowPattern.liftAll(
-        graft.plans.MatchRecognize.boolColumnPredicates(df.schema, defBool)) ++
+      defPlan.map { case (sym, n, a, z, b) =>
+        val cols = DefCols(schema.fieldIndex(n), schema.fieldIndex(a),
+          schema.fieldIndex(z), schema.fieldIndex(b))
+        sym -> ((p: IndexedSeq[Row], v: Int, _: RowPattern.Trace) => {
+          val ci = cols.at(v, p.length)
+          !p(v).isNullAt(ci) && p(v).getBoolean(ci)
+        }): (String, RowPattern.TracePredicate)
+      }.toMap ++
         stateful.map { case (sym, cond) =>
-          sym -> DefineEval.compile(spark, df.schema, cond, sym, syms, mw.subsets)
+          sym -> DefineEval.compile(spark, schema, cond, sym, syms, mw.subsets)
         }
 
-    val schema = df.schema
     val compiled = mw.measures.map { case (e, name) =>
       name -> DefineEval.compileMeasure(spark, schema, e, syms, mw.subsets)
     }
@@ -324,25 +420,26 @@ private[graft] object MatchWindowSql {
               val base = (0 until inWidth).map(part(i).get)
               if (i < skipUntil) Row.fromSeq(base ++ compiled.map(_ => null))
               else {
-                // search space = the frame extent [i, i+k]; bounded frames
-                // slice so matching AND navigation clip at the frame end.
-                // INITIAL anchors only at i; SEEK advances the anchor to
-                // the first in-frame position with a match.
-                val (view, off) = frameK match {
-                  case None => (part, 0)
-                  case Some(k) =>
-                    (part.slice(i, math.min(part.length, i + k + 1)), i)
+                // search space = the frame extent [i, i+k] (always starting
+                // AT the current row — matching and navigation clip at BOTH
+                // frame edges through the view). INITIAL anchors only at
+                // view position 0; SEEK advances the anchor to the first
+                // in-frame position with a match.
+                val hi = frameK match {
+                  case None => part.length
+                  case Some(k) => math.min(part.length, i + k + 1)
                 }
-                var rel = i - off
+                val view: IndexedSeq[Row] = new FrameView(part, i, hi)
+                var rel = 0
                 var m: Option[RowPattern.PatternMatch] = None
                 var searching = true
                 while (searching && rel < view.length) {
-                  m = matcher.anchoredAt(view, rel)
+                  m = matcher.anchoredAtAllowEmpty(view, rel)
                   searching = m.isEmpty && seek
                   rel += 1
                 }
                 m match {
-                  case Some(pm) =>
+                  case Some(pm) if pm.end > pm.start =>
                     val trace = pm.steps.reverse.toList // most-recent-first
                     val out = Row.fromSeq(base ++
                       compiled.map(_._2.eval(view, trace, pm.end - 1)))
@@ -351,15 +448,21 @@ private[graft] object MatchWindowSql {
                     // window processing advances row by row, so the
                     // MATCH_RECOGNIZE infinite-resume hazard cannot arise
                     skipUntil = skip match {
-                      case RowPattern.SkipPastLastRow => off + pm.end
+                      case RowPattern.SkipPastLastRow => i + pm.end
                       case RowPattern.SkipToNextRow => i + 1
                       case RowPattern.SkipToVar(vars, first, label) =>
                         val hits = pm.steps.collect { case (v, j) if vars(v) => j }
                         if (hits.isEmpty) throw new IllegalArgumentException(
                           s"AFTER MATCH SKIP TO $label: variable mapped no rows in the match")
-                        off + (if (first) hits.min else hits.max)
+                        i + (if (first) hits.min else hits.max)
                     }
                     out
+                  case Some(pm) =>
+                    // EMPTY match: a successful match assigning no
+                    // variables — measures evaluate over an empty row
+                    // sequence (constants survive, column refs/navigation
+                    // NULL, COUNT 0); AFTER MATCH marks nothing
+                    Row.fromSeq(base ++ compiled.map(_._2.eval(view, Nil, -1)))
                   case None =>
                     Row.fromSeq(base ++ compiled.map(_ => null))
                 }
@@ -368,7 +471,7 @@ private[graft] object MatchWindowSql {
           }
         }.flatten
       }(Encoders.row(outSchema))
-    // helper columns (rn pin, DEFINE booleans) are internal to this window
-    annotated.drop((s"${prefix}rn" +: defBool.values.toSeq): _*)
+    // helper columns (rn pin, DEFINE booleans + variants) are internal
+    annotated.drop((s"${prefix}rn" +: helperCols.toSeq): _*)
   }
 }

@@ -144,7 +144,7 @@ class PatternSpec extends SparkSpec {
            ORDER BY event_id
            MEASURES COUNT(D.*) AS n_down, LAST(D.value) AS end_val
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
-           PATTERN (D+)
+           PATTERN (A D+)
            DEFINE D AS value < PREV(value))""")
     val out = df.collect()
     val in = operators.table(spark, sfDir, "events")
@@ -153,23 +153,25 @@ class PatternSpec extends SparkSpec {
       .map { case (u, rs) => u -> rs.sortBy(_.getLong(1)) }
     // EVERY input row appears exactly once
     assert(out.length == in.values.map(_.length).sum)
-    // replay the SEQUENTIAL semantics row by row: with the default
-    // AFTER MATCH SKIP PAST LAST ROW, only the FIRST row of each maximal
-    // descending run anchors a match; the rest of the run is skipped
+    // replay the SEQUENTIAL semantics row by row: frame-clipped PREV means
+    // D never matches at the anchor, so the undefined A absorbs it — with
+    // the default AFTER MATCH SKIP PAST LAST ROW, only the PEAK row before
+    // each maximal descending run anchors a match; the run itself is
+    // consumed (skipped)
     val byKey = out.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
     in.foreach { case (u, rs) =>
       rs.indices.foreach { i =>
         val r = byKey((u, rs(i).getLong(1)))
         def desc(j: Int): Boolean =
-          j > 0 && rs(j).getDouble(2) < rs(j - 1).getDouble(2)
-        if (!desc(i) || desc(i - 1)) {
+          j > 0 && j < rs.length && rs(j).getDouble(2) < rs(j - 1).getDouble(2)
+        if (desc(i + 1) && !desc(i)) {
+          var j = i + 1
+          while (j + 1 < rs.length && desc(j + 1)) j += 1
+          assert(r.getLong(2) == (j - i).toLong, s"run length at $u/$i")
+          assert(r.getDouble(3) == rs(j).getDouble(2), s"end_val at $u/$i")
+        } else {
           assert(r.isNullAt(2) && r.isNullAt(3),
             s"row $u/$i should be unmatched or skipped")
-        } else {
-          var j = i
-          while (j + 1 < rs.length && desc(j + 1)) j += 1
-          assert(r.getLong(2) == (j - i + 1).toLong, s"run length at $u/$i")
-          assert(r.getDouble(3) == rs(j).getDouble(2), s"end_val at $u/$i")
         }
       }
     }
@@ -201,32 +203,42 @@ class PatternSpec extends SparkSpec {
 
     val core = """PARTITION BY user_id ORDER BY event_id
       MEASURES COUNT(D.*) AS m"""
-    val define = """PATTERN (D+) DEFINE D AS value < PREV(value)"""
+    // frame-clipped navigation: PREV at the frame start reads NULL, so D
+    // can never match AT the anchor — patterns lead with the undefined
+    // anchor symbol A (the reference doc's own idiom)
+    val define = """PATTERN (A D+) DEFINE D AS value < PREV(value)"""
 
-    // unbounded + SKIP PAST LAST ROW (default): run starts only
+    // unbounded + SKIP PAST LAST ROW (default): one match per descending
+    // run, anchored at the run's PEAK row, consuming the whole run
     assert(run(s"$core $define") ==
-      Seq(None, Some(4L), None, None, None, None, Some(2L), None))
-    // bounded frame: the anchor's match cannot extend past 2 FOLLOWING
-    // (3 rows max); SKIP TO NEXT ROW re-anchors every row
+      Seq(Some(4L), None, None, None, None, Some(2L), None, None))
+    // bounded frame: D+ runs over [anchor+1, anchor+2] only; SKIP TO NEXT
+    // ROW re-anchors every row
     assert(run(s"$core ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING AFTER MATCH SKIP TO NEXT ROW $define") ==
-      Seq(None, Some(3L), Some(3L), Some(2L), Some(1L), None, Some(2L), Some(1L)))
-    // CURRENT ROW AND CURRENT ROW: single-row search space
-    assert(run(s"$core ROWS BETWEEN CURRENT ROW AND CURRENT ROW AFTER MATCH SKIP TO NEXT ROW $define") ==
-      Seq(None, Some(1L), Some(1L), Some(1L), Some(1L), None, Some(1L), Some(1L)))
-    // SEEK: row 0 and row 5 associate with the DETACHED match starting at
-    // the next descending row inside their frame
-    assert(run(s"$core ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING AFTER MATCH SKIP TO NEXT ROW SEEK $define") ==
-      Seq(Some(2L), Some(3L), Some(3L), Some(2L), Some(1L), Some(2L), Some(2L), Some(1L)))
-    // AFTER MATCH SKIP TO FIRST D: resumes AT the match's first D row —
-    // for (D+) that is the anchor itself, so nothing is skipped and every
-    // descending row anchors its own match (window processing advances row
-    // by row; the MATCH_RECOGNIZE infinite-resume hazard cannot arise)
-    assert(run(s"$core AFTER MATCH SKIP TO FIRST D $define") ==
-      Seq(None, Some(4L), Some(3L), Some(2L), Some(1L), None, Some(2L), Some(1L)))
-    // AFTER MATCH SKIP TO LAST D: resumes AT the last matched row — the
-    // run's final row anchors its own 1-row match
-    assert(run(s"$core AFTER MATCH SKIP TO LAST D $define") ==
-      Seq(None, Some(4L), None, None, Some(1L), None, Some(2L), Some(1L)))
+      Seq(Some(2L), Some(2L), Some(2L), Some(1L), None, Some(2L), Some(1L), None))
+    // CURRENT ROW AND CURRENT ROW with a PREV-using D: the single-row
+    // search space clips PREV to NULL — no row can ever match (the direct
+    // pin of PREV-at-frame-start = NULL)
+    assert(run(s"$core ROWS BETWEEN CURRENT ROW AND CURRENT ROW AFTER MATCH SKIP TO NEXT ROW PATTERN (D+) DEFINE D AS value < PREV(value)") ==
+      Seq(None, None, None, None, None, None, None, None))
+    // EMPTY matches: B* succeeds with zero variables wherever B fails at
+    // the frame start — COUNT over the empty row sequence is 0, NOT NULL
+    // (distinguishable from unmatched rows)
+    assert(run(s"""PARTITION BY user_id ORDER BY event_id
+        MEASURES COUNT(B.*) AS m
+        PATTERN (B*) DEFINE B AS value < PREV(value)""") ==
+      Seq.fill(8)(Some(0L)))
+    // SEEK with a bare (D+): the clipped anchor position can never match,
+    // so the engine always seeks a DETACHED match inside [rn+1, rn+2]
+    assert(run(s"$core ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING AFTER MATCH SKIP TO NEXT ROW SEEK PATTERN (D+) DEFINE D AS value < PREV(value)") ==
+      Seq(Some(2L), Some(2L), Some(2L), Some(1L), Some(1L), Some(2L), Some(1L), None))
+    // AFTER MATCH SKIP TO LAST D on (A D): resume AT the matched D row —
+    // every row with a descending successor anchors its own match
+    assert(run(s"$core AFTER MATCH SKIP TO LAST D PATTERN (A D) DEFINE D AS value < PREV(value)") ==
+      Seq(Some(1L), Some(1L), Some(1L), Some(1L), None, Some(1L), Some(1L), None))
+    // vs SKIP PAST LAST ROW on (A D): stride-2 consumption
+    assert(run(s"$core PATTERN (A D) DEFINE D AS value < PREV(value)") ==
+      Seq(Some(1L), None, Some(1L), None, None, Some(1L), None, None))
   }
 
   test("row-pattern window: multiple windows and window functions over a pattern window") {
@@ -236,16 +248,19 @@ class PatternSpec extends SparkSpec {
     val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
       .toDF("user_id", "event_id", "value")
     val mw = graft.sqlx.MatchWindowSql.parse(
-      """SELECT event_id, m OVER w1 AS m, sum(value) OVER w2 AS dsum
+      """SELECT event_id, m OVER w1 AS m, sum(value) OVER w2 AS dsum,
+                sum(value) OVER w3 AS rsum
          FROM t WINDOW
          w1 AS (PARTITION BY user_id ORDER BY event_id
            MEASURES COUNT(D.*) AS m
            AFTER MATCH SKIP TO NEXT ROW
-           PATTERN (D+) DEFINE D AS value < PREV(value)),
+           PATTERN (A D+) DEFINE D AS value < PREV(value)),
          w2 AS (PARTITION BY user_id ORDER BY event_id
            MEASURES COUNT(D.*) AS nd
            AFTER MATCH SKIP TO NEXT ROW
-           PATTERN (D D) DEFINE D AS value < PREV(value))""")
+           PATTERN (A D D) DEFINE D AS value < PREV(value)),
+         w3 AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
       .getOrElse(fail("multi-window spec did not parse"))
     val out = graft.sqlx.MatchWindowSql.lowerDf(df, mw)
       .orderBy("event_id").collect()
@@ -253,21 +268,34 @@ class PatternSpec extends SparkSpec {
       if (out(i).isNullAt(1)) None else Some(out(i).getLong(1))
     def dsum(i: Int): Option[Double] =
       if (out(i).isNullAt(2)) None else Some(out(i).getDouble(2))
-    // w1: per-anchor descending run lengths (SKIP TO NEXT ROW)
+    // w1: per-anchor following-run lengths (SKIP TO NEXT ROW, A anchors)
     assert((0 until 8).map(m) ==
-      Seq(None, Some(4L), Some(3L), Some(2L), Some(1L), None, Some(2L), Some(1L)))
-    // w2: sum(value) over an exact double-descent match — the window
-    // function evaluates over the matched rows ONLY (empty frame → NULL)
-    assert((0 until 8).map(dsum) == Seq(None, Some(8.0 + 7.0), Some(7.0 + 6.0),
-      Some(6.0 + 5.0), None, None, Some(4.0 + 3.0), None))
-    // mixing a plain window with a pattern window is rejected loudly
+      Seq(Some(4L), Some(3L), Some(2L), Some(1L), None, Some(2L), Some(1L), None))
+    // w2: sum(value) over an exact anchored double-descent match (3 rows) —
+    // the window function evaluates over the matched rows ONLY
+    // (empty frame → NULL)
+    assert((0 until 8).map(dsum) == Seq(Some(9.0 + 8.0 + 7.0), Some(8.0 + 7.0 + 6.0),
+      Some(7.0 + 6.0 + 5.0), None, None, Some(9.0 + 4.0 + 3.0), None, None))
+    // w3 is a PLAIN window mixed into the same statement (r16): a normal
+    // running sum over every row, pattern-independent
+    val vals8 = Seq(9.0, 8.0, 7.0, 6.0, 5.0, 9.0, 4.0, 3.0)
+    assert((0 until 8).map(i => out(i).getDouble(3)) ==
+      vals8.scanLeft(0.0)(_ + _).tail)
+    // unaliased duplicate window-function names fail loudly
     intercept[IllegalArgumentException] {
       graft.sqlx.MatchWindowSql.parse(
-        """SELECT a OVER w1 AS a FROM t WINDOW
+        """SELECT sum(a) OVER w2, sum(b) OVER w2 FROM t WINDOW
            w1 AS (PARTITION BY k ORDER BY o MEASURES COUNT(D.*) AS a
              PATTERN (D) DEFINE D AS v > 0),
            w2 AS (PARTITION BY k ORDER BY o)""")
     }
+    // a paren inside a quoted literal no longer miscounts the window-block
+    // splitter's depth
+    val quoted = graft.sqlx.MatchWindowSql.parse(
+      """SELECT m OVER w1 AS m FROM t WINDOW
+         w1 AS (PARTITION BY k ORDER BY o MEASURES COUNT(D.*) AS m
+           PATTERN (D) DEFINE D AS v <> '(')""")
+    assert(quoted.isDefined && quoted.get.windows.size == 1)
   }
 
   test("row-pattern window spec: CLASSIFIER and multi-symbol measures") {
@@ -280,7 +308,7 @@ class PatternSpec extends SparkSpec {
            PARTITION BY user_id
            ORDER BY event_id
            MEASURES CLASSIFIER() AS lbl, COUNT(U.*) AS nu
-           PATTERN (D+ U+)
+           PATTERN (A D+ U+)
            DEFINE D AS value < PREV(value), U AS value > PREV(value))""")
     val rows = df.collect()
     assert(rows.nonEmpty)
@@ -312,5 +340,33 @@ class PatternSpec extends SparkSpec {
         case _ =>
       }
     }
+  }
+
+  test("scanAll records empty matches; skip always advances one row past them") {
+    // reference match-recognize.md "Evaluating expressions in empty matches":
+    // an empty-capable pattern turns every non-matching attempt position into
+    // an EMPTY match (start == end, no steps) with its own sequential number;
+    // AFTER MATCH SKIP applies only to non-empty matches — after an empty one
+    // the scan resumes at the next row.
+    val m = new Matcher(parse("B*"), letterDefs("B"))
+    val ms = m.scanAll(sym("BBxBxx"), SkipPastLastRow)
+    assert(ms.map(x => (x.start, x.end)) ==
+      Seq((0, 2), (2, 2), (3, 4), (4, 4), (5, 5)))
+    assert(ms.filter(x => x.start == x.end).forall(_.steps.isEmpty))
+    // legacy findAll = scanAll minus empties (same attempt positions)
+    assert(m.findAll(sym("BBxBxx"), SkipPastLastRow) ==
+      ms.filter(x => x.end > x.start))
+    // SKIP TO NEXT ROW: overlap on non-empty, empty matches where B fails
+    val nr = m.scanAll(sym("Bx"), SkipToNextRow)
+    assert(nr.map(x => (x.start, x.end)) == Seq((0, 1), (1, 1)))
+  }
+
+  test("SKIP TO <var> never raises on an empty match") {
+    // pattern (B C)* is empty-capable; the SkipToVar resume rule fires only
+    // on the non-empty match — empty matches advance one row silently
+    // instead of raising "variable mapped no rows"
+    val m = new Matcher(parse("(B C)*"), letterDefs("BC"))
+    val ms = m.scanAll(sym("BCx"), SkipToVar(Set("C"), first = false, "LAST C"))
+    assert(ms.map(x => (x.start, x.end)) == Seq((0, 2), (1, 1), (2, 2)))
   }
 }
