@@ -332,4 +332,67 @@ class PlanShapeSpec extends SparkSpec {
         s"both sides should be bucketed scans:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("incremental dedup probes the bucketed signature index without shuffling it") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // force shuffle-family joins: at fixture scale the planner would
+    // broadcast the index, hiding the layout property under test — at
+    // corpus scale the index is far beyond any broadcast threshold
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df =
+      try operators.Dedup.q_dedup_incremental(spark, sfDir)
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      df.collect() // materialize so AQE finalizes the stages
+      val plan = df.queryExecution.executedPlan
+      // walk INTO adaptive plans and materialized AQE stages (both are
+      // leaf-like wrappers hiding their subtree from `children`)
+      def descend(p: SparkPlan): Seq[SparkPlan] =
+        p +: (p.children ++ (p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => Seq.empty
+        })).flatMap(descend)
+      def indexScans(p: SparkPlan): Seq[FileSourceScanExec] =
+        descend(p).collect {
+          case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("graft_dedup_idx")) => f
+        }
+      // the index IS read (twice: band buckets + doc shingles)...
+      assert(indexScans(plan).size >= 2, s"expected bucketed index scans in:\n$plan")
+      // ...and NO shuffle exchange sits BETWEEN an index scan and the join
+      // that consumes it: the probe side shuffles to the index's bucketing,
+      // never the index itself (post-join shuffles above the join are the
+      // probe pipeline's own and don't touch this property)
+      def scanPaths(p: SparkPlan, anc: List[SparkPlan]): Seq[List[SparkPlan]] = {
+        val here = p match {
+          case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("graft_dedup_idx")) =>
+            Seq(anc)
+          case _ => Seq.empty
+        }
+        val kids = p.children ++ (p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => Seq.empty
+        })
+        here ++ kids.flatMap(scanPaths(_, p :: anc))
+      }
+      scanPaths(plan, Nil).foreach { anc =>
+        val belowJoin = anc.takeWhile(
+          !_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+        assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeLike]),
+          s"bucketed index scan reached its join through a shuffle:\n$plan")
+      }
+      // the index scans report their bucket layout
+      indexScans(plan).foreach { f =>
+        assert(f.relation.bucketSpec.isDefined, s"index scan lost its bucket spec: $f")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
