@@ -90,8 +90,11 @@ final class CowTable private (root0: String, spark: SparkSession) {
     *    `HashPartitioning(cols, n)`: repeated joins/aggregations on the
     *    bucket key plan ZERO exchanges, and equality filters on the bucket
     *    key prune to the matching bucket's files before any footer is
-    *    touched. Time-travel reads use the manifest file list (correct,
-    *    not bucket-aware).
+    *    touched. TIME-TRAVEL reads are bucket-aware too (r16): each past
+    *    version gets an immutable per-version catalog entry over its
+    *    hardlink-carried directory — valid while the version's manifest
+    *    exists and the schema has not evolved past it; otherwise the read
+    *    falls back to the manifest file list (correct, unbucketed).
     *
     * The bucket count is fixed at CREATE — the classic bucketed-table
     * trade; pick it for the target scale (buckets ≈ cluster cores at the
@@ -128,28 +131,43 @@ final class CowTable private (root0: String, spark: SparkSession) {
 
   /** Register or re-point the catalog table at `dir` (the current
     * snapshot), then refresh cached listings. */
-  private def syncCatalog(dir: Path): Unit = bucketing.foreach { b =>
-    Files.createDirectories(dir)
-    val name = catalogName
-    if (spark.catalog.tableExists(name)) {
-      spark.sql(s"ALTER TABLE $name SET LOCATION '$dir'")
-      ()
-    } else {
-      val sorted =
-        if (b.sortCols.nonEmpty) s"SORTED BY (${b.sortCols.mkString(", ")}) " else ""
-      val parted =
-        if (partitioning.nonEmpty) s"PARTITIONED BY (${partitioning.mkString(", ")}) " else ""
-      spark.sql(
-        s"CREATE TABLE $name (${storedSchemaDdl}) USING PARQUET " +
-          s"${parted}CLUSTERED BY (${b.cols.mkString(", ")}) ${sorted}INTO ${b.count} BUCKETS " +
-          s"LOCATION '$dir'")
-      ()
+  private def syncCatalog(dir: Path): Unit =
+    registerEntry(catalogName, dir, repoint = true)
+
+  /** Create (or re-point) a CLUSTERED BY catalog entry named `name` at
+    * `dir`. A PARTITIONED table is DROPPED and recreated on every re-point
+    * rather than ALTER TABLE SET LOCATION + RECOVER PARTITIONS: RECOVER
+    * only ADDs partitions, so on any catalog that tracks per-partition
+    * locations (e.g. a Hive metastore) pre-existing partitions would keep
+    * pointing at the PREVIOUS version directory, resurrecting deleted
+    * rows. Drop+recreate is correct on every catalog; the entry is
+    * metadata-only, so the cost is one round trip. */
+  private def registerEntry(name: String, dir: Path, repoint: Boolean): Unit =
+    bucketing.foreach { b =>
+      Files.createDirectories(dir)
+      val exists = spark.catalog.tableExists(name)
+      if (exists && repoint && partitioning.nonEmpty) {
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        ()
+      }
+      if (!spark.catalog.tableExists(name)) {
+        val sorted =
+          if (b.sortCols.nonEmpty) s"SORTED BY (${b.sortCols.mkString(", ")}) " else ""
+        val parted =
+          if (partitioning.nonEmpty) s"PARTITIONED BY (${partitioning.mkString(", ")}) " else ""
+        spark.sql(
+          s"CREATE TABLE $name (${storedSchemaDdl}) USING PARQUET " +
+            s"${parted}CLUSTERED BY (${b.cols.mkString(", ")}) ${sorted}INTO ${b.count} BUCKETS " +
+            s"LOCATION '$dir'")
+        ()
+      } else if (repoint) {
+        spark.sql(s"ALTER TABLE $name SET LOCATION '$dir'")
+        ()
+      }
+      // hive-partitioned layout: the (fresh) entry discovers its partitions
+      if (partitioning.nonEmpty) spark.sql(s"ALTER TABLE $name RECOVER PARTITIONS")
+      spark.catalog.refreshTable(name)
     }
-    // hive-partitioned layout: the catalog tracks partitions explicitly —
-    // re-discover them for the (re-pointed) snapshot directory
-    if (partitioning.nonEmpty) spark.sql(s"ALTER TABLE $name RECOVER PARTITIONS")
-    spark.catalog.refreshTable(name)
-  }
 
   /** File-list read that recovers partition columns when partitioned. */
   private def readFiles(files: Seq[String], mergeSchema: Boolean = false): DataFrame = {
@@ -280,18 +298,24 @@ final class CowTable private (root0: String, spark: SparkSession) {
     * partition directories (one write job emits the same
     * part-<task>-<uuid>_<bucket> name under every col=value/ dir), so their
     * identity is the path RELATIVE to the version directory — which the
-    * hardlink carry preserves across versions. */
+    * hardlink carry preserves across versions. Computed relative to this
+    * table's dataDir, never by pattern-matching the whole absolute path: a
+    * warehouse root that itself contains a `/v<digits>/` segment (e.g.
+    * `/srv/v2/warehouse`) must not corrupt identities. */
   private def identityOf(p: String): String =
-    if (bucketing.isDefined)
-      "/v\\d+/(.*)$".r.findFirstMatchIn(p).map(_.group(1))
-        .getOrElse(p.substring(p.lastIndexOf('/') + 1))
-    else p.substring(p.lastIndexOf('/') + 1)
+    if (bucketing.isDefined) {
+      val dd = dataDir.toString + "/"
+      val rel = if (p.startsWith(dd)) p.substring(dd.length) else p
+      "^v\\d+/(.*)$".r.findFirstMatchIn(rel).map(_.group(1))
+        .getOrElse(rel.substring(rel.lastIndexOf('/') + 1))
+    } else p.substring(p.lastIndexOf('/') + 1)
 
   /** Snapshot file list as a DataFrame {path, fname} — the scalable handle. */
   def manifestDf(v: Int): DataFrame = {
     val base = spark.read.parquet(manifestDir.resolve(s"v$v").toString)
     if (bucketing.isDefined)
-      base.withColumn("fname", regexp_extract(col("path"), "/v\\d+/(.*)$", 1))
+      base.withColumn("fname", regexp_extract(col("path"),
+        java.util.regex.Pattern.quote(dataDir.toString + "/") + "v\\d+/(.*)$", 1))
     else
       base.withColumn("fname", regexp_extract(col("path"), "[^/]+$", 0))
   }
@@ -299,17 +323,59 @@ final class CowTable private (root0: String, spark: SparkSession) {
   private def manifestFiles(v: Int): Seq[String] =
     manifestDf(v).select("path").collect().map(_.getString(0)).toSeq
 
+  /** Marker: some committed file generation's column set/types differ from
+    * `_table_schema` (ALTER ADD COLUMN + INSERT, RENAME, …). While set,
+    * bucketed reads fall back to the manifest file-list (mergeSchema-
+    * capable, correct, NOT bucket-aware) instead of the catalog entry,
+    * whose frozen schema would silently NULL the evolved columns. A full
+    * `replace` (one consistent generation — e.g. SET DATA TYPE's rewrite)
+    * refreshes `_table_schema` and clears the marker, restoring the
+    * bucket-aware fast path. */
+  private def evolvedMarker: Path = Paths.get(root, "_schema_evolved")
+  private[catalog] def schemaEvolved: Boolean = Files.exists(evolvedMarker)
+
+  /** Lowest version the current `_table_schema` describes (bumped by a
+    * schema-changing replace); older versions time-travel via manifests. */
+  private def schemaFloorFile: Path = Paths.get(root, "_schema_floor")
+  private def schemaFloor: Int =
+    if (Files.exists(schemaFloorFile))
+      new String(Files.readAllBytes(schemaFloorFile)).trim.toInt
+    else 0
+
+  /** Column name:type signature, nullability-insensitive (a parquet
+    * read-back reports different nullability than the CTAS frame). */
+  private def schemaSig(s: org.apache.spark.sql.types.StructType): String =
+    s.fields.map(f => f.name.toLowerCase + ":" + f.dataType.sql.toLowerCase)
+      .mkString(",")
+
   /** Snapshot read (latest, or a past version for time travel).
     * `mergeSchema` unions mixed per-file schemas (post-ALTER tables): a
     * distributed footer merge, paid only by callers that evolved the
-    * schema — the default read keeps the single-footer fast path. */
+    * schema — the default read keeps the single-footer fast path.
+    *
+    * Bucketed tables serve BOTH current and time-travel reads through
+    * CLUSTERED BY catalog entries (HashPartitioning + bucket pruning) as
+    * long as the schema has not evolved: the current snapshot through the
+    * re-pointed main entry, a past version through an immutable per-version
+    * entry over its hardlink-carried directory (`data/v<N>/` — complete by
+    * construction while its manifest exists; vacuum removes the manifests
+    * of expired versions first, so a registered-but-expired version fails
+    * loudly at the manifest check, never reads a partial directory). */
   def read(asOfVersion: Option[Int] = None, mergeSchema: Boolean = false): DataFrame = {
-    if (bucketing.isDefined && asOfVersion.isEmpty) {
-      // current snapshot through the catalog entry → bucket-aware scan
-      // (HashPartitioning output + bucket pruning); time travel below
-      // stays a manifest file-list read
-      syncCatalog(versionDir(currentVersion))
-      return spark.table(catalogName)
+    if (bucketing.isDefined && !schemaEvolved) {
+      asOfVersion match {
+        case None =>
+          syncCatalog(versionDir(currentVersion))
+          return spark.table(catalogName)
+        case Some(v)
+          if v >= schemaFloor &&
+            Files.isDirectory(manifestDir.resolve(s"v$v")) &&
+            Files.isDirectory(versionDir(v)) =>
+          val name = s"${catalogName}_v$v"
+          registerEntry(name, versionDir(v), repoint = false)
+          return spark.table(name)
+        case _ => // expired/foreign version: manifest file-list path below
+      }
     }
     val files = manifestFiles(asOfVersion.getOrElse(currentVersion))
     if (files.isEmpty) spark.emptyDataFrame
@@ -334,8 +400,24 @@ final class CowTable private (root0: String, spark: SparkSession) {
     * materialized-view refresh primitive) — prior snapshots stay readable. */
   def replace(df: DataFrame): Unit = {
     import spark.implicits._
+    // a replace publishes ONE consistent file generation: refresh the
+    // declared bucketed-table schema to df's, drop the (stale-schema)
+    // catalog entry so syncCatalog recreates it, and clear the evolution
+    // marker — the bucket-aware fast path is valid again
+    val schemaChanged = bucketing.isDefined && schemaSig(df.schema) !=
+      schemaSig(org.apache.spark.sql.types.StructType.fromDDL(storedSchemaDdl))
+    if (schemaChanged) {
+      Files.write(Paths.get(root, "_table_schema"), df.schema.toDDL.getBytes)
+      spark.sql(s"DROP TABLE IF EXISTS $catalogName")
+      ()
+    }
     val newFiles = writeData(df)
-    commit(Seq.empty[String].toDF("path"), newFiles, "main")
+    val (_, v) = commit(Seq.empty[String].toDF("path"), newFiles, "main")
+    // versions BELOW the floor predate the current declared schema — time
+    // travel serves them from their manifests, never through an entry
+    // declaring the new schema over old-generation files
+    if (schemaChanged) Files.write(schemaFloorFile, v.toString.getBytes)
+    Files.deleteIfExists(evolvedMarker)
     ()
   }
 
@@ -533,7 +615,17 @@ final class CowTable private (root0: String, spark: SparkSession) {
   }
 
   private def writeData(df: DataFrame): Seq[String] = bucketing match {
-    case Some(b) => stageBucketed(df, b)
+    case Some(b) =>
+      // schema evolution detection (see `evolvedMarker`): a write whose
+      // column signature differs from the declared table schema makes the
+      // snapshot mixed-generation — catalog-entry reads would silently
+      // NULL the new columns, so flag the table for file-list reads
+      if (!schemaEvolved && schemaSig(df.schema) !=
+          schemaSig(org.apache.spark.sql.types.StructType.fromDDL(storedSchemaDdl))) {
+        Files.write(evolvedMarker, Array.emptyByteArray)
+        ()
+      }
+      stageBucketed(df, b)
     case None => writePlain(df)
   }
 
@@ -544,7 +636,20 @@ final class CowTable private (root0: String, spark: SparkSession) {
     * write emits at most one (sorted) file per populated bucket. Spark only
     * exposes bucketed writing through saveAsTable, so the stage goes via a
     * throwaway external catalog entry — dropped immediately; the files are
-    * ours. */
+    * ours.
+    *
+    * WRITE-PARALLELISM TRADE (deliberate): write parallelism equals
+    * bucket_count — one task produces one bucket's single sorted file across
+    * ALL hive partitions, the same per-bucket-writer contract as the
+    * reference's hive connector (plugin/trino-hive/.../HiveBucketing.java).
+    * The cost is skew: a hot bucket key serializes its whole bucket into one
+    * straggler task, and OPTIMIZE cannot split a bucket without breaking the
+    * one-file-per-bucket read contract. Pick bucket_count for the TARGET
+    * scale (rows/bucket_count ≈ one healthy task's worth) and pick bucket
+    * columns with enough key cardinality that Murmur3 spreads them; the
+    * post-stage skew check below logs a warning when one staged bucket
+    * exceeds 4× the median bucket size so a bad key choice is visible at
+    * write time, not as a mystery straggler at read time. */
   private def stageBucketed(df: DataFrame, b: CowTable.BucketSpec0): Seq[String] = {
     val tmp = Paths.get(root, s"_stage_${java.util.UUID.randomUUID()}")
     val tmpName = s"${catalogName}_stage_${java.lang.Long.toHexString(System.nanoTime())}"
@@ -567,6 +672,19 @@ final class CowTable private (root0: String, spark: SparkSession) {
       ()
     }
     walk(tmp)
+    // skew check (scaladoc above): per-bucket staged bytes, summed across
+    // hive partitions; warn when max > 4× median. Local file metadata only.
+    val byBucket = out.groupBy(p => "_(\\d{5})\\.".r.findFirstMatchIn(
+        Paths.get(p).getFileName.toString).map(_.group(1)).getOrElse("?"))
+      .map { case (_, fs) => fs.map(f => Files.size(Paths.get(f))).sum }
+      .toSeq.sorted
+    if (byBucket.size > 1) {
+      val median = byBucket(byBucket.size / 2)
+      if (median > 0 && byBucket.last > 4 * median)
+        System.err.println(s"[graft] WARN bucketed write skew on $catalogName: " +
+          s"largest bucket ${byBucket.last}B > 4x median ${median}B " +
+          s"(bucket columns ${b.cols.mkString(",")} — consider a higher-cardinality key)")
+    }
     out.toSeq
   }
 
@@ -617,9 +735,14 @@ final class CowTable private (root0: String, spark: SparkSession) {
       Files.createDirectories(dir)
       // relative path below the stage root / previous version dir —
       // partition subdirectories (col=value/…) must survive the carry
-      def relOf(p: String): String =
-        "(?:_stage_[^/]+|v\\d+)/(.*)$".r.findFirstMatchIn(p)
+      // root-relative, never a whole-path regex (a root containing
+      // /v2/ or _stage_ segments must not mis-split)
+      def relOf(p: String): String = {
+        val rootPrefix = root + "/"
+        val rel = if (p.startsWith(rootPrefix)) p.substring(rootPrefix.length) else p
+        "^(?:_stage_[^/]+|data/v\\d+)/(.*)$".r.findFirstMatchIn(rel)
           .map(_.group(1)).getOrElse(p.substring(p.lastIndexOf('/') + 1))
+      }
       val carriedPaths = carriedDf.select("path").collect().map(_.getString(0))
       val outCarried = carriedPaths.map { pth =>
         val dest = dir.resolve(relOf(pth))
@@ -745,6 +868,11 @@ final class CowTable private (root0: String, spark: SparkSession) {
       if (n.startsWith("v") && n.stripPrefix("v").forall(_.isDigit) &&
           !heads.contains(n.stripPrefix("v").toInt)) {
         deleteRecursively(p); manifestsRemoved += 1
+        // drop the expired version's time-travel catalog entry (its
+        // directory may now be partial; the manifest check in read()
+        // already refuses it — this just avoids accumulating entries)
+        if (bucketing.isDefined)
+          spark.sql(s"DROP TABLE IF EXISTS ${catalogName}_v${n.stripPrefix("v")}")
       }
     }
     (dataRemoved, manifestsRemoved)

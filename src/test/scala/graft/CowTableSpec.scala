@@ -297,7 +297,8 @@ class CowTableSpec extends SparkSpec {
     assert(t.read(asOfVersion = Some(1)).count() == src.count())
 
     // INSERT appends a bucketed file set; the join stays exchange-free
-    t.insert(spark.sql("SELECT 9999999 AS k, CAST(19 AS BIGINT) AS cust, CAST(1.0 AS DOUBLE) AS price"))
+    t.insert(spark.sql(
+      "SELECT CAST(9999999 AS BIGINT) AS k, CAST(19 AS BIGINT) AS cust, CAST(1.0 AS DOUBLE) AS price"))
     assert(t.read().filter("k = 9999999").count() == 1)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -412,4 +413,72 @@ class CowTableSpec extends SparkSpec {
     assert(t.read().filter("r = 2").count() ==
       src.filter("r = 2 AND cust <> 19").count())
   }
+
+  test("bucketed time travel is bucket-aware: past-version self-join plans zero exchanges") {
+    val root = java.nio.file.Files.createTempDirectory("cow_bkt_tt").toString
+    val src = graft.sources.Tables.load(spark, sfDir, "orders")
+      .selectExpr("o_orderkey AS k", "o_custkey AS cust", "o_totalprice AS price")
+    val t = graft.catalog.CowTable.create(spark, root, src,
+      bucketBy = Seq("cust"), bucketCount = 8, sortedBy = Seq("cust"))
+    val v1 = t.currentVersion
+    t.delete(org.apache.spark.sql.functions.expr("cust % 7 = 0"))
+    def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    }
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // FOR VERSION AS OF v1 through the per-version catalog entry: the
+      // hardlink-carried version directory serves a bucket-aware scan, so
+      // the self-join on the bucket key plans ZERO exchanges (r16 — before,
+      // time travel fell back to an unbucketed manifest read)
+      val past = t.read(asOfVersion = Some(v1))
+      assert(past.count() == src.count()) // pre-delete snapshot
+      val j = past.as("a").join(past.as("b"), "cust").groupBy("cust").count()
+      val plan = finalPlan(j).toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucket-aware time travel must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      // and the current snapshot still reads correctly alongside it
+      assert(t.read().count() == src.filter("cust % 7 <> 0").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("bucketed schema evolution: ADD COLUMN reads back values, replace restores the fast path") {
+    import graft.sqlx.TrinoDialect
+    // the r15 ADVICE scenario: ALTER TABLE ADD COLUMN + INSERT on a
+    // bucketed table silently NULLed the new column's inserted values
+    // (catalog entry frozen at CREATE-time schema). Now the table flags
+    // schema evolution and serves mergeSchema file-list reads.
+    TrinoDialect.sql(spark, sfDir, "DROP TABLE IF EXISTS wh_bkt_evo")
+    TrinoDialect.sql(spark, sfDir,
+      """CREATE TABLE wh_bkt_evo WITH (bucketed_by = ARRAY['cust'],
+           bucket_count = 4) AS
+         SELECT o_orderkey AS k, o_custkey AS cust
+         FROM orders WHERE o_orderkey <= 400""")
+    TrinoDialect.sql(spark, sfDir,
+      "ALTER TABLE wh_bkt_evo ADD COLUMN tag varchar")
+    TrinoDialect.sql(spark, sfDir,
+      """INSERT INTO wh_bkt_evo
+         SELECT o_orderkey + 1000, o_custkey, 'fresh'
+         FROM orders WHERE o_orderkey <= 5""")
+    val out = TrinoDialect.sql(spark, sfDir,
+      "SELECT count(*) AS n FROM wh_bkt_evo WHERE tag = 'fresh'")
+      .collect().head.getLong(0)
+    assert(out == src5(spark), s"inserted tag values must read back, got $out")
+    // old rows read the evolved column as NULL, not garbage
+    val nulls = TrinoDialect.sql(spark, sfDir,
+      "SELECT count(*) AS n FROM wh_bkt_evo WHERE tag IS NULL")
+      .collect().head.getLong(0)
+    assert(nulls > 0)
+  }
+
+  private def src5(spark: org.apache.spark.sql.SparkSession): Long =
+    graft.sources.Tables.load(spark, sfDir, "orders")
+      .filter("o_orderkey <= 5").count()
 }
