@@ -28,18 +28,23 @@ import graft.sqlx.{SqlLexer, SqlParseException, TrinoDialect}
   *    at row time.
   *  - **Loops compile to codegen'd kernels** (r15; the reference compiles
   *    ALL routine bodies, loops included, to bytecode): a LOOP/WHILE/REPEAT
-  *    whose body is straight-line (no nested loops, ITERATE/LEAVE only to
-  *    its own label) lowers through the SAME CPS pass into one struct-valued
-  *    expression `(vars', leave, has_ret, ret, until)`, Janino-compiled via
+  *    body (ITERATE/LEAVE only to its own label) lowers through the SAME
+  *    CPS pass into one struct-valued expression
+  *    `(vars', leave, has_ret, ret, until)`, Janino-compiled via
   *    MutableProjection; per iteration the runtime evaluates one generated
   *    class and copies the variable frame — zero per-statement
-  *    interpretation. `tierOf(name)` exposes the chosen tier.
-  *  - **Remaining bodies interpret per row** (nested loops, cross-label
-  *    jumps), but every scalar expression is parsed, analyzed and bound by
-  *    Catalyst ONCE at CREATE time against the variable frame; row time
-  *    only walks the control AST and calls `Expression.eval` on the
-  *    pre-bound trees (no SQL parsing per row). This is the reference's
-  *    interpreter tier for non-compilable routines.
+  *    interpretation. NESTED loops kernelize too (r16): each inner loop
+  *    compiles recursively to its own tight helper-kernel function the
+  *    outer kernel calls (one frame-struct conversion per inner-loop ENTRY,
+  *    one generated projection per inner iteration — compileInnerLoops).
+  *    `tierOf(name)` exposes the chosen tier.
+  *  - **Remaining bodies interpret per row** (cross-label ITERATE/LEAVE out
+  *    of a nested loop — the documented residual), but every scalar
+  *    expression is parsed, analyzed and bound by Catalyst ONCE at CREATE
+  *    time against the variable frame; row time only walks the control AST
+  *    and calls `Expression.eval` on the pre-bound trees (no SQL parsing
+  *    per row). This is the reference's interpreter tier for non-compilable
+  *    routines.
   *
   * Semantics held to the reference:
   *  - `DECLARE … DEFAULT e` re-evaluates the default each time its block is
@@ -79,6 +84,15 @@ object RoutineLang {
   final case class RCompound(label: Option[String], decls: Seq[RDecl],
       body: Seq[RStmt]) extends RStmt
   final case class RLoop(label: Option[String], body: Seq[RStmt]) extends RStmt
+  /** Pre-pass marker (r16): a NESTED loop already compiled to a registered
+    * helper kernel function (compileInnerLoops). comp() lowers it to a
+    * one-element `transform` lambda that binds the helper's result struct
+    * ONCE — the helper runs the inner loop as its own tight codegen'd-kernel
+    * iteration, so the whole nest executes with zero per-statement
+    * interpretation (reference compiles every routine shape to bytecode —
+    * core/trino-main/.../sql/routine/SqlRoutineCompiler.java). */
+  private final case class RKernelCall(fn: String, id: Int,
+      varDdls: Seq[(String, String)], onHrTemplate: String) extends RStmt
   final case class RWhile(label: Option[String], cond: String,
       body: Seq[RStmt]) extends RStmt
   final case class RRepeat(label: Option[String], body: Seq[RStmt],
@@ -463,6 +477,25 @@ object RoutineLang {
         }
       }
       comp(body.toList ::: rest, env2, types, retDdl, cont)
+    case RKernelCall(fn, id, varDdls, onHr) :: rest =>
+      // bind the helper's result struct ONCE via a one-element transform
+      // lambda (SQL has no LET; `transform(array(x), s -> body)[0]` is the
+      // standard spelling). Inside the lambda every variable re-binds to
+      // the post-loop frame; a function-level RETURN taken inside the
+      // inner loop (s.hr) propagates as this kernel's own return struct.
+      val lam = s"__il$id"
+      val callArgs = varDdls.zipWithIndex.map { case ((n, ddl), i) =>
+        s"'v$i', CAST((${env.getOrElse(n.toLowerCase, n)}) AS $ddl)"
+      }.mkString(", ")
+      val env2 = varDdls.zipWithIndex.map { case ((n, _), i) =>
+        n.toLowerCase -> s"$lam.v$i"
+      }.toMap
+      val hrSql = comp(List(RReturn(onHr.replace("__RV__", s"$lam.rv"))),
+        env2, types, retDdl, None).getOrElse(s"CAST(NULL AS $retDdl)")
+      val restSql = comp(rest, env2, types, retDdl, cont)
+        .getOrElse(s"CAST(NULL AS $retDdl)")
+      Some(s"transform(array($fn(named_struct($callArgs))), $lam -> " +
+        s"IF($lam.hr, $hrSql, $restSql))[0]")
     case (_: RIterate | _: RLeave | _: RLoop | _: RWhile | _: RRepeat |
           RCompound(Some(_), _, _)) :: _ =>
       throw new IllegalStateException("loop construct on the compiled path")
@@ -698,10 +731,82 @@ object RoutineLang {
     }
   }
 
+  /** Tight runner behind one nested loop's helper function (r16): input is
+    * the full variable frame as a struct, converted ONCE per loop entry;
+    * each iteration evaluates the loop's codegen'd kernel directly — the
+    * same stepping contract as the Runner's ICompiledLoop case. Output is
+    * the post-loop frame plus (hr, rv): whether a function-level RETURN was
+    * taken inside the loop, and its value. */
+  private final class InnerLoopFn(cl: ICompiledLoop, varTypes: Array[DataType],
+      retType: DataType, maxSteps: Long)
+      extends org.apache.spark.sql.api.java.UDF1[org.apache.spark.sql.Row, org.apache.spark.sql.Row]
+      with Serializable {
+    @transient private lazy val inConv: Array[Any => Any] =
+      varTypes.map(CatalystTypeConverters.createToCatalystConverter)
+    @transient private lazy val outConv: Array[Any => Any] =
+      (varTypes :+ retType).map(CatalystTypeConverters.createToScalaConverter)
+    @transient private lazy val inited: Boolean = {
+      cl.kernel.bound.foreach {
+        case n: Nondeterministic => n.initialize(0)
+        case _ =>
+      }
+      true
+    }
+
+    override def call(in: org.apache.spark.sql.Row): org.apache.spark.sql.Row = {
+      val _ = inited
+      val n = varTypes.length
+      val slots = new Array[Any](n)
+      var i = 0
+      while (i < n) { slots(i) = inConv(i)(in.get(i)); i += 1 }
+      val row = new GenericInternalRow(slots)
+      val lvIdx = n; val hrIdx = n + 1; val rvIdx = n + 2; val unIdx = n + 3
+      var hr = false
+      var rv: Any = null
+      var live = true
+      var steps = 0L
+      while (live) {
+        steps += 1
+        if (steps > maxSteps)
+          throw new IllegalStateException(
+            s"routine exceeded $maxSteps loop iterations (graft.routine.maxSteps)")
+        val top = cl.evalKernel(row).getStruct(0, 2)
+        val c = !top.isNullAt(0) && top.getBoolean(0)
+        if (cl.condFirst && !c) live = false
+        else {
+          val st = top.getStruct(1, n + 4)
+          var k = 0
+          while (k < n) {
+            slots(cl.varSlots(k)) =
+              if (st.isNullAt(k)) null
+              else InternalRow.copyValue(st.get(k, cl.varTypes(k)))
+            k += 1
+          }
+          if (!st.isNullAt(hrIdx) && st.getBoolean(hrIdx)) {
+            hr = true
+            rv = if (st.isNullAt(rvIdx)) null
+              else InternalRow.copyValue(st.get(rvIdx, cl.retType))
+            live = false
+          } else if (!st.isNullAt(lvIdx) && st.getBoolean(lvIdx)) live = false
+          else if (!cl.condFirst && !st.isNullAt(unIdx) && st.getBoolean(unIdx))
+            live = false
+        }
+      }
+      val out = new Array[Any](n + 2)
+      i = 0
+      while (i < n) { out(i) = outConv(i)(slots(i)); i += 1 }
+      out(n) = java.lang.Boolean.valueOf(hr)
+      out(n + 1) = if (rv == null) null else outConv(n)(rv)
+      org.apache.spark.sql.Row.fromSeq(out.toIndexedSeq)
+    }
+  }
+
   // ------------------------------------------- compiled loop tier (r15)
-  /** Is this loop body expressible as ONE straight-line kernel? No nested
-    * loops, no labeled blocks, and ITERATE/LEAVE only against this loop's
-    * own label. */
+  /** Is this loop body expressible as ONE straight-line kernel? No labeled
+    * blocks, and ITERATE/LEAVE only against this loop's own label. NESTED
+    * loops arrive pre-lowered to RKernelCall by compileInnerLoops (r16) —
+    * a raw loop here means that pre-lowering failed (e.g. cross-label
+    * ITERATE/LEAVE inside the nest), which falls back to the interpreter. */
   private def kernelizable(ss: Seq[RStmt], label: Option[String]): Boolean = {
     val self = label.map(_.toLowerCase)
     ss.forall {
@@ -714,6 +819,74 @@ object RoutineLang {
       case RLeave(l) => self.contains(l.toLowerCase)
       case _ => true
     }
+  }
+
+  private val innerLoopIds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Nested-loop pre-pass (r16; reference SqlRoutineCompiler compiles every
+    * routine shape to bytecode): each DIRECTLY nested LOOP/WHILE/REPEAT
+    * compiles RECURSIVELY through compileLoopKernel into its own tight
+    * kernel loop, registered as an internal helper function
+    * (`__graft_il<N>`), and its statement is replaced by RKernelCall — the
+    * outer kernel calls the helper once per entry (one row conversion per
+    * ENTRY, one codegen'd projection per inner ITERATION; zero
+    * per-statement interpretation anywhere in the nest). Returns None when
+    * any nested loop cannot kernelize (e.g. cross-label control), sending
+    * the whole routine to the interpreter tier. */
+  private def compileInnerLoops(spark: SparkSession, vars: Seq[VarSlot],
+      slotOf: Map[String, Int], ss: Seq[RStmt], retDdl: String): Option[Seq[RStmt]] = {
+    val varDdls = vars.map(v => (v.name, v.ddl))
+    // the CALLER's body-struct literal for a function-level RETURN taken
+    // inside the nest: every var at its post-loop binding, hr=true,
+    // rv = the helper's (already return-typed) rv field
+    val onHr = "named_struct(" +
+      vars.zipWithIndex.map { case (v, i) => s"'v$i', ${v.name}" }.mkString(", ") +
+      ", 'lv', false, 'hr', true, 'rv', __RV__, 'un', false)"
+    def lowerLoop(lbl: Option[String], cond: Option[String], condFirst: Boolean,
+        b: Seq[RStmt], until: Option[String]): Option[RStmt] =
+      compileLoopKernel(spark, vars, slotOf, lbl, cond, condFirst, b, until, retDdl)
+        .map { cl =>
+          val id = innerLoopIds.getAndIncrement()
+          val fn = s"__graft_il$id"
+          val maxSteps = sys.props.get("graft.routine.maxSteps").map(_.toLong)
+            .getOrElse(10000000L)
+          registerInnerLoopFn(spark, fn, cl, vars, retDdl, maxSteps)
+          RKernelCall(fn, id, varDdls, onHr)
+        }
+    val out = ss.map {
+      case RLoop(l, b) => lowerLoop(l, None, condFirst = false, b, None)
+      case RWhile(l, c, b) => lowerLoop(l, Some(c), condFirst = true, b, None)
+      case RRepeat(l, b, u) => lowerLoop(l, None, condFirst = false, b, Some(u))
+      case RIf(bs, e) =>
+        val bs2 = bs.map { case (c, b) =>
+          compileInnerLoops(spark, vars, slotOf, b, retDdl).map(c -> _) }
+        val e2 = e.map(compileInnerLoops(spark, vars, slotOf, _, retDdl))
+        if (bs2.exists(_.isEmpty) || e2.exists(_.isEmpty)) None
+        else Some(RIf(bs2.map(_.get), e2.map(_.get)))
+      case RCompound(None, decls, b) =>
+        compileInnerLoops(spark, vars, slotOf, b, retDdl)
+          .map(RCompound(None, decls, _))
+      case other => Some(other)
+    }
+    if (out.exists(_.isEmpty)) None else Some(out.map(_.get))
+  }
+
+  /** Register the helper kernel function for one nested loop: input = the
+    * full variable frame as a struct, output = the frame after the loop
+    * runs to completion plus (hr, rv). */
+  private def registerInnerLoopFn(spark: SparkSession, name: String,
+      cl: ICompiledLoop, vars: Seq[VarSlot], retDdl: String,
+      maxSteps: Long): Unit = {
+    val retType = dataTypeOf(retDdl)
+    val outType = org.apache.spark.sql.types.StructType(
+      vars.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.types.StructField(s"v$i", v.tpe)
+      } ++ Seq(
+        org.apache.spark.sql.types.StructField("hr", BooleanType, nullable = false),
+        org.apache.spark.sql.types.StructField("rv", retType)))
+    spark.udf.register(name,
+      new InnerLoopFn(cl, vars.map(_.tpe).toArray, retType, maxSteps), outType)
+    ()
   }
 
   /** Compile a whole loop to one codegen'd kernel. The body lowers through
@@ -733,7 +906,13 @@ object RoutineLang {
       slotOf: Map[String, Int], label: Option[String], condSql: Option[String],
       condFirst: Boolean, body: Seq[RStmt], untilSql: Option[String],
       retDdl: String): Option[ICompiledLoop] = {
-    if (!kernelizable(body, label)) return None
+    // pre-lower nested loops to helper-kernel calls (r16), then require a
+    // straight-line body
+    val body1 =
+      if (body.exists(hasLoop)) compileInnerLoops(spark, vars, slotOf, body, retDdl)
+        .getOrElse(return None)
+      else body
+    if (!kernelizable(body1, label)) return None
     val varNames = vars.map(_.name)
     val bodyStructDdl = ("struct<" +
       vars.zipWithIndex.map { case (v, i) => s"v$i:${v.ddl}" }.mkString(",") +
@@ -757,7 +936,7 @@ object RoutineLang {
       untilSql.map(u => s"(($u)) = true").getOrElse("false")))
     val types = vars.map(v => v.name.toLowerCase -> v.ddl).toMap
     val bodySql =
-      try comp(rewriteExits(body).toList ::: List(terminal), Map.empty, types,
+      try comp(rewriteExits(body1).toList ::: List(terminal), Map.empty, types,
         bodyStructDdl, None).getOrElse(return None)
       catch { case _: SqlParseException => return None }
     if (bodySql.length > 60000) return None
@@ -790,6 +969,9 @@ object RoutineLang {
     }
     body.flatMap {
       case RReturn(e) => Seq(IReturn(expr(e, Some(retDdl))))
+      // produced and consumed only inside the kernel compiler
+      case _: RKernelCall =>
+        throw new IllegalStateException("RKernelCall outside compileLoopKernel")
       case RSet(v, e) =>
         val slot = slotOf.getOrElse(v.toLowerCase,
           throw new SqlParseException(s"SET $v: unknown variable"))

@@ -183,7 +183,9 @@ class RoutineSpec extends SparkSpec {
     assert(sql("SELECT t_repk(35) AS v").collect().head.getLong(0) == 40L)
     assert(sql("SELECT t_repk(0) AS v").collect().head.getLong(0) == 10L) // body-first
 
-    // NESTED loops cannot kernelize — they fall back to the interpreter
+    // NESTED loops kernelize too (r16): the inner loop compiles to its own
+    // tight helper kernel the outer kernel calls — the whole nest reports
+    // tier "compiled-loops" with zero per-statement interpretation
     sql("""CREATE OR REPLACE FUNCTION t_nestk(n bigint) RETURNS bigint
            BEGIN
              DECLARE i bigint DEFAULT 0;
@@ -199,8 +201,59 @@ class RoutineSpec extends SparkSpec {
              END WHILE;
              RETURN acc;
            END""")
-    assert(graft.functions.RoutineLang.tierOf("t_nestk").contains("interpreted"))
+    assert(graft.functions.RoutineLang.tierOf("t_nestk").contains("compiled-loops"),
+      graft.functions.RoutineLang.tierOf("t_nestk").toString)
     assert(sql("SELECT t_nestk(5) AS v").collect().head.getLong(0) == 10L)
+    assert(sql("SELECT t_nestk(col) AS v FROM (VALUES 0, 1, 7) AS t(col)")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 0L, 21L))
+
+    // a RETURN taken INSIDE the inner loop propagates out of the nest;
+    // inner ITERATE/LEAVE against the inner label stay inner-local
+    sql("""CREATE OR REPLACE FUNCTION t_nestret(n bigint) RETURNS bigint
+           BEGIN
+             DECLARE i bigint DEFAULT 0;
+             DECLARE j bigint;
+             WHILE i < n DO
+               SET j = 0;
+               inner_l: WHILE j < n DO
+                 IF i * j = 12 THEN
+                   RETURN i * 100 + j;
+                 END IF;
+                 IF j > i THEN
+                   LEAVE inner_l;
+                 END IF;
+                 SET j = j + 1;
+               END WHILE;
+               SET i = i + 1;
+             END WHILE;
+             RETURN -1;
+           END""")
+    assert(graft.functions.RoutineLang.tierOf("t_nestret").contains("compiled-loops"),
+      graft.functions.RoutineLang.tierOf("t_nestret").toString)
+    // first (i, j) in scan order reaching i*j=12: i=3 scans j=0..4 (the
+    // j>i leave fires only AFTER the check), hitting 3*4=12 → 304
+    assert(sql("SELECT t_nestret(6) AS v").collect().head.getLong(0) == 304L)
+    assert(sql("SELECT t_nestret(2) AS v").collect().head.getLong(0) == -1L)
+
+    // cross-label control out of the inner loop still falls back to the
+    // interpreter (documented residual)
+    sql("""CREATE OR REPLACE FUNCTION t_nestx(n bigint) RETURNS bigint
+           BEGIN
+             DECLARE i bigint DEFAULT 0;
+             DECLARE j bigint DEFAULT 0;
+             out_l: WHILE i < n DO
+               WHILE j < n DO
+                 IF j = 3 THEN
+                   LEAVE out_l;
+                 END IF;
+                 SET j = j + 1;
+               END WHILE;
+               SET i = i + 1;
+             END WHILE;
+             RETURN i * 10 + j;
+           END""")
+    assert(graft.functions.RoutineLang.tierOf("t_nestx").contains("interpreted"))
+    assert(sql("SELECT t_nestx(5) AS v").collect().head.getLong(0) == 3L)
   }
 
   test("body not ending in RETURN is rejected at CREATE (reference MISSING_RETURN)") {
