@@ -344,8 +344,15 @@ private[graft] object MatchWindowSql {
     // clip at the frame edges automatically (index out of view → null).
     val navOver =
       s"OVER (PARTITION BY ${mw.partitionBy.mkString(", ")} ORDER BY ${mw.orderBy.mkString(", ")})"
+    // multi-offset physical navigation (PREV(x, n>1)) can read below the
+    // frame start from positions the offset-1 variant columns don't cover
+    // (view position 0 only) — route it through the stateful path, whose
+    // view-bounds clipping is offset-exact
+    def offsetNav(cond: String): Boolean =
+      "(?i)\\b(PREV|NEXT)\\s*\\([^()]*,".r.findFirstIn(cond).isDefined
     val (stateful, simple) =
-      mw.defines.partition(d => DefineEval.isStateful(d._2, d._1, syms))
+      mw.defines.partition(d =>
+        DefineEval.isStateful(d._2, d._1, syms) || offsetNav(d._2))
     val helperCols = scala.collection.mutable.ArrayBuffer[String]()
     def addBool(name: String, cond: String, sym: String): String = {
       df = df.withColumn(name,
