@@ -629,6 +629,128 @@ object Dialect {
        FROM h GROUP BY user_id, mn
        ORDER BY user_id, mn"""
 
+  /** Bounded quantifier `D{2,3}` (reference SqlBase.g4:921
+    * patternQuantifier rangeQuantifier): greedy pieces of 3 descending
+    * rows per maximal run, a trailing 2-piece when the remainder allows,
+    * a 1-row remainder unconsumed — the sequential SKIP PAST LAST ROW
+    * piece arithmetic the oracle replays in closed form. */
+  def q_sqlx_match_quant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES MATCH_NUMBER() AS mn, FIRST(D.event_id) AS sid, COUNT(D.*) AS nd
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (D{2,3})
+           DEFINE D AS value < PREV(value)
+         )""")
+      .select($"user_id", $"mn", $"sid", $"nd")
+      .orderBy($"user_id", $"mn")
+  }
+  val qSqlxMatchQuantSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         FROM events),
+       f AS (
+         SELECT *, (pv IS NOT NULL AND value < pv) AS d FROM e),
+       g AS (
+         SELECT *, rn - row_number() OVER (PARTITION BY user_id, d ORDER BY rn) AS grp
+         FROM f),
+       runs AS (
+         SELECT user_id, grp, min(rn) AS srn, count(*) AS len
+         FROM g WHERE d GROUP BY user_id, grp),
+       pieces AS (
+         SELECT r.user_id, r.srn + 3 * i.range AS prn,
+           CASE WHEN r.len - 3 * i.range >= 3 THEN 3 ELSE 2 END AS nd
+         FROM runs r CROSS JOIN range(200) i
+         WHERE 3 * i.range + 2 <= r.len),
+       numbered AS (
+         SELECT user_id, prn, nd,
+           row_number() OVER (PARTITION BY user_id ORDER BY prn) AS mn
+         FROM pieces)
+       SELECT n.user_id, CAST(n.mn AS BIGINT) AS mn, g.event_id AS sid,
+         CAST(n.nd AS BIGINT) AS nd
+       FROM numbered n JOIN g ON g.user_id = n.user_id AND g.rn = n.prn
+       ORDER BY n.user_id, mn"""
+
+  /** RELUCTANT quantifier `E{0,2}?` (SqlBase.g4:921 reluctant =
+    * QUESTION_MARK): prefers FEWER repetitions, so `E E{0,2}?` matches
+    * exactly ONE row per attempt where the greedy form would take three —
+    * every row becomes its own match. */
+  def q_sqlx_match_reluctant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES MATCH_NUMBER() AS mn, FIRST(E.event_id) AS sid, COUNT(E.*) AS ne
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (E E{0,2}?)
+           DEFINE E AS event_id >= 0
+         )""")
+      .select($"user_id", $"mn", $"sid", $"ne")
+      .orderBy($"user_id", $"mn")
+  }
+  val qSqlxMatchReluctantSql: String =
+    """SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS mn,
+         event_id AS sid, CAST(1 AS BIGINT) AS ne
+       FROM events
+       ORDER BY user_id, mn"""
+
+  /** Partition anchors `^` and `$` (SqlBase.g4:916-917): `^ E E` matches
+    * only at the partition start (one 2-row match per user); `E{1,3}? $`
+    * pins the partition END — the only attempt that can succeed is three
+    * rows before the end, consuming exactly the tail. Both in one oracle
+    * via a UNION of the two MATCH_RECOGNIZE runs. */
+  def q_sqlx_match_anchors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val head = TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES FIRST(E.event_id) AS sid, LAST(E.event_id) AS eid, COUNT(E.*) AS ne
+           ONE ROW PER MATCH
+           PATTERN (^ E E)
+           DEFINE E AS event_id >= 0
+         )""").select($"user_id", org.apache.spark.sql.functions.lit("head").as("part"),
+      $"sid", $"eid", $"ne")
+    val tail = TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES FIRST(E.event_id) AS sid, LAST(E.event_id) AS eid, COUNT(E.*) AS ne
+           ONE ROW PER MATCH
+           PATTERN (E{1,3}? $)
+           DEFINE E AS event_id >= 0
+         )""").select($"user_id", org.apache.spark.sql.functions.lit("tail").as("part"),
+      $"sid", $"eid", $"ne")
+    head.unionAll(tail).orderBy($"user_id", $"part")
+  }
+  val qSqlxMatchAnchorsSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS cnt
+         FROM events)
+       SELECT user_id, 'head' AS part,
+         min(CASE WHEN rn = 1 THEN event_id END) AS sid,
+         min(CASE WHEN rn = 2 THEN event_id END) AS eid,
+         CAST(2 AS BIGINT) AS ne
+       FROM e GROUP BY user_id
+       UNION ALL
+       SELECT user_id, 'tail',
+         min(CASE WHEN rn = cnt - 2 THEN event_id END),
+         min(CASE WHEN rn = cnt THEN event_id END),
+         CAST(3 AS BIGINT)
+       FROM e GROUP BY user_id
+       ORDER BY user_id, part"""
+
   /** ALL ROWS PER MATCH WITH UNMATCHED ROWS on a non-empty-capable pattern
     * (PATTERN (D) — single descending row): unmatched rows (no non-empty
     * match, no empty match possible) each emit one row with ALL measures
@@ -1827,6 +1949,9 @@ object Dialect {
     "q_sqlx_match_window5" -> q_sqlx_match_window5 _,
     "q_sqlx_match_window6" -> q_sqlx_match_window6 _,
     "q_sqlx_match_rows" -> q_sqlx_match_rows _,
+    "q_sqlx_match_quant" -> q_sqlx_match_quant _,
+    "q_sqlx_match_reluctant" -> q_sqlx_match_reluctant _,
+    "q_sqlx_match_anchors" -> q_sqlx_match_anchors _,
     "q_sqlx_match_empty" -> q_sqlx_match_empty _,
     "q_sqlx_match_empty_omit" -> q_sqlx_match_empty_omit _,
     "q_sqlx_match_empty_one" -> q_sqlx_match_empty_one _,
@@ -1877,6 +2002,9 @@ object Dialect {
     "q_sqlx_match_window5" -> qSqlxMatchWindow5Sql,
     "q_sqlx_match_window6" -> qSqlxMatchWindow6Sql,
     "q_sqlx_match_rows" -> qSqlxMatchRowsSql,
+    "q_sqlx_match_quant" -> qSqlxMatchQuantSql,
+    "q_sqlx_match_reluctant" -> qSqlxMatchReluctantSql,
+    "q_sqlx_match_anchors" -> qSqlxMatchAnchorsSql,
     "q_sqlx_match_empty" -> qSqlxMatchEmptySql,
     "q_sqlx_match_empty_omit" -> qSqlxMatchEmptyOmitSql,
     "q_sqlx_match_empty_one" -> qSqlxMatchEmptyOneSql,

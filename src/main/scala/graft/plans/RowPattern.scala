@@ -26,14 +26,45 @@ object RowPattern {
   final case class Opt(p: Pat) extends Pat
   final case class Star(p: Pat) extends Pat
   final case class Plus(p: Pat) extends Pat
+  /** General quantifier (reference SqlBase.g4:921 patternQuantifier): the
+    * bounded forms `{n}`, `{n,}`, `{,m}`, `{n,m}` and every RELUCTANT form
+    * (`*?`, `+?`, `??`, `{…}?`). Greedy prefers MORE repetitions,
+    * reluctant prefers FEWER — the standard regex preferment, decided by
+    * the backtracking order. The plain greedy `*`/`+`/`?` keep their
+    * dedicated nodes above. */
+  final case class Quant(p: Pat, min: Int, max: Option[Int],
+      greedy: Boolean) extends Pat
+  /** `()` — the empty pattern (SqlBase.g4 patternPrimary emptyPattern):
+    * matches zero rows, the doc's canonical empty-match producer. */
+  case object Empty extends Pat
+  /** `^` — matches (zero-width) only at the partition start
+    * (SqlBase.g4 partitionStartAnchor). Forbidden in window specs. */
+  case object StartAnchor extends Pat
+  /** `$` — matches (zero-width) only at the partition end. */
+  case object EndAnchor extends Pat
   /** Exclusion `{- p -}`: rows match and consume normally but are omitted
     * from ALL ROWS PER MATCH output (reference grammar SqlBase.g4
     * patternPrimary exclusion; semantics sql/analyzer — exclusions affect
     * only the per-row output, never measures or navigation). */
   final case class Excl(p: Pat) extends Pat
 
-  /** Parse `"A (B | C)+ D* E?"` into the AST. */
+  /** Parse `"A (B | C)+ D* E{2,4}?"` into the AST. */
   def parse(s: String): Pat = new Parser(s).parseAll()
+
+  /** Does the pattern contain a partition anchor (`^`/`$`)? The reference
+    * forbids anchors in window specifications
+    * (pattern-recognition-in-window.md). */
+  def containsAnchor(p: Pat): Boolean = p match {
+    case StartAnchor | EndAnchor => true
+    case Cat(ps) => ps.exists(containsAnchor)
+    case Alt(l, r) => containsAnchor(l) || containsAnchor(r)
+    case Opt(s) => containsAnchor(s)
+    case Star(s) => containsAnchor(s)
+    case Plus(s) => containsAnchor(s)
+    case Quant(s, _, _, _) => containsAnchor(s)
+    case Excl(s) => containsAnchor(s)
+    case _ => false
+  }
 
   private final class Parser(input: String) {
     private var pos = 0
@@ -55,23 +86,59 @@ object RowPattern {
       val ps = scala.collection.mutable.ListBuffer[Pat]()
       var continue = true
       while (continue) peek match {
-        case Some(c) if c.isLetter || c == '(' => ps += rep()
+        case Some(c) if c.isLetter || c == '(' || c == '^' || c == '$' => ps += rep()
         case Some('{') if input.startsWith("{-", pos) => ps += rep()
         case _ => continue = false
       }
       require(ps.nonEmpty, s"empty pattern element at $pos in '$input'")
       if (ps.size == 1) ps.head else Cat(ps.toList)
     }
+    /** Trailing `?` turns any quantifier reluctant (prefer FEWER reps). */
+    private def reluctant(): Boolean =
+      if (peek.contains('?')) { pos += 1; true } else false
     private def rep(): Pat = {
       val a = atom()
       peek match {
-        case Some('*') => pos += 1; Star(a)
-        case Some('+') => pos += 1; Plus(a)
-        case Some('?') => pos += 1; Opt(a)
+        case Some('*') =>
+          pos += 1
+          if (reluctant()) Quant(a, 0, None, greedy = false) else Star(a)
+        case Some('+') =>
+          pos += 1
+          if (reluctant()) Quant(a, 1, None, greedy = false) else Plus(a)
+        case Some('?') =>
+          pos += 1
+          if (reluctant()) Quant(a, 0, Some(1), greedy = false) else Opt(a)
+        case Some('{') if !input.startsWith("{-", pos) =>
+          pos += 1
+          def int(): Option[Int] = {
+            skipWs()
+            val start = pos
+            while (pos < input.length && input(pos).isDigit) pos += 1
+            if (pos == start) None else Some(input.substring(start, pos).toInt)
+          }
+          val lo = int()
+          skipWs()
+          val (min, max) =
+            if (peek.contains(',')) {
+              pos += 1
+              val hi = int()
+              (lo.getOrElse(0), hi)
+            } else {
+              val n = lo.getOrElse(throw new IllegalArgumentException(
+                s"quantifier needs a bound at $pos in '$input'"))
+              (n, Some(n))
+            }
+          require(peek.contains('}'), s"missing '}' at $pos in '$input'")
+          pos += 1
+          max.foreach(m => require(min <= m,
+            s"quantifier {$min,$m} has min > max in '$input'"))
+          Quant(a, min, max, greedy = !reluctant())
         case _ => a
       }
     }
     private def atom(): Pat = peek match {
+      case Some('^') => pos += 1; StartAnchor
+      case Some('$') => pos += 1; EndAnchor
       case Some('{') if input.startsWith("{-", pos) =>
         pos += 2
         val p = alt()
@@ -81,10 +148,13 @@ object RowPattern {
         Excl(p)
       case Some('(') =>
         pos += 1
-        val p = alt()
-        require(peek.contains(')'), s"missing ')' at $pos in '$input'")
-        pos += 1
-        p
+        if (peek.contains(')')) { pos += 1; Empty } // '()' empty pattern
+        else {
+          val p = alt()
+          require(peek.contains(')'), s"missing ')' at $pos in '$input'")
+          pos += 1
+          p
+        }
       case Some(c) if c.isLetter =>
         val start = pos
         while (pos < input.length && (input(pos).isLetterOrDigit || input(pos) == '_')) pos += 1
@@ -189,6 +259,23 @@ object RowPattern {
                 (p3, a3) => if (p3 == pp) None else loop(p3, a3)).orElse(k(pp, aa))
             loop(p2, a2)
           })
+        case Quant(sub, min, max, greedy) =>
+          // general {min,max} with greedy/reluctant preferment. Zero-width
+          // repetitions are cut (as in Star) so matching terminates; the
+          // degenerate `(){n}` therefore fails rather than looping.
+          def go(cnt: Int, pp: Int, aa: Acc): Option[(Int, Acc)] = {
+            def more =
+              if (max.forall(cnt < _))
+                matchAt(part, sub, pp, aa, excl,
+                  (p2, a2) => if (p2 == pp) None else go(cnt + 1, p2, a2))
+              else None
+            def stop = if (cnt >= min) k(pp, aa) else None
+            if (greedy) more.orElse(stop) else stop.orElse(more)
+          }
+          go(0, pos, acc)
+        case Empty => k(pos, acc)
+        case StartAnchor => if (pos == 0) k(pos, acc) else None
+        case EndAnchor => if (pos == part.length) k(pos, acc) else None
         case Excl(sub) =>
           matchAt(part, sub, pos, acc, excl = true, k)
       }

@@ -211,7 +211,10 @@ private[graft] object MatchRecognizeSql {
       case RowPattern.Opt(s) => syms(s)
       case RowPattern.Star(s) => syms(s)
       case RowPattern.Plus(s) => syms(s)
+      case RowPattern.Quant(s, _, _, _) => syms(s)
       case RowPattern.Excl(s) => syms(s)
+      case RowPattern.Empty | RowPattern.StartAnchor | RowPattern.EndAnchor =>
+        Set.empty
     }
     syms(RowPattern.parse(mr.pattern)) ++ mr.defines.map(_._1) ++ mr.subsets.keys
   }

@@ -395,7 +395,13 @@ private[graft] object MatchWindowSql {
     val compiled = mw.measures.map { case (e, name) =>
       name -> DefineEval.compileMeasure(spark, schema, e, syms, mw.subsets)
     }
-    val matcher = new RowPattern.Matcher(RowPattern.parse(mw.pattern), tracePreds)
+    val parsedPattern = RowPattern.parse(mw.pattern)
+    // reference: "the anchor patterns ^ and $ are not allowed in a window
+    // specification" (pattern-recognition-in-window.md Row pattern syntax)
+    if (RowPattern.containsAnchor(parsedPattern))
+      fail(s"anchor patterns ^ and $$ are not allowed in a window " +
+        s"specification (window '${mw.name}')")
+    val matcher = new RowPattern.Matcher(parsedPattern, tracePreds)
     val keyIdx = mw.partitionBy.map(schema.fieldIndex)
     val inWidth = schema.length
     val outSchema = StructType(schema.fields ++

@@ -361,6 +361,37 @@ class PatternSpec extends SparkSpec {
     assert(nr.map(x => (x.start, x.end)) == Seq((0, 1), (1, 1)))
   }
 
+  test("bounded and reluctant quantifiers, anchors, empty pattern") {
+    // reference SqlBase.g4:906-925: rangeQuantifier {n}/{n,}/{,m}/{n,m},
+    // reluctant '?' suffix on every quantifier, ^/$ anchors, '()' empty
+    assert(parse("A{2,4}") == Quant(Sym("A"), 2, Some(4), greedy = true))
+    assert(parse("A{3}") == Quant(Sym("A"), 3, Some(3), greedy = true))
+    assert(parse("A{2,}?") == Quant(Sym("A"), 2, None, greedy = false))
+    assert(parse("A{,2}") == Quant(Sym("A"), 0, Some(2), greedy = true))
+    assert(parse("A*?") == Quant(Sym("A"), 0, None, greedy = false))
+    assert(parse("^ A $") == Cat(List(StartAnchor, Sym("A"), EndAnchor)))
+    assert(parse("()") == Empty)
+    intercept[IllegalArgumentException](parse("A{4,2}"))
+    // greedy {2,3} takes 3 when it can, 2 on the remainder
+    val m = new Matcher(parse("A{2,3}"), letterDefs("A"))
+    assert(m.findAll(sym("AAAAA")).map(x => (x.start, x.end)) ==
+      Seq((0, 3), (3, 5)))
+    // reluctant prefers FEWER: every row its own match
+    val r = new Matcher(parse("A A{0,2}?"), letterDefs("A"))
+    assert(r.findAll(sym("AAA")).map(x => (x.start, x.end)) ==
+      Seq((0, 1), (1, 2), (2, 3)))
+    // anchors bind to partition edges
+    val a = new Matcher(parse("^ A"), letterDefs("A"))
+    assert(a.findAll(sym("AA")).map(x => (x.start, x.end)) == Seq((0, 1)))
+    val z = new Matcher(parse("A $"), letterDefs("A"))
+    assert(z.findAll(sym("AA")).map(x => (x.start, x.end)) == Seq((1, 2)))
+    // PATTERN (()) produces an empty match for every row (the doc's
+    // canonical empty-match example)
+    val em = new Matcher(parse("()"), Map.empty)
+    assert(em.scanAll(sym("xx"), SkipPastLastRow).map(x => (x.start, x.end)) ==
+      Seq((0, 0), (1, 1)))
+  }
+
   test("SKIP TO <var> never raises on an empty match") {
     // pattern (B C)* is empty-capable; the SkipToVar resume rule fires only
     // on the non-empty match — empty matches advance one row silently
