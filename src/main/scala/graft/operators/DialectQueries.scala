@@ -477,7 +477,10 @@ object Dialect {
          ON r.user_id = g.user_id AND g.rn + 1 BETWEEN r.srn AND r.mx
        ORDER BY g.user_id, g.event_id"""
 
-  /** Text-SQL MATCH_RECOGNIZE, ALL ROWS PER MATCH (classifier + match number). */
+  /** Text-SQL MATCH_RECOGNIZE, ALL ROWS PER MATCH (classifier + match
+    * number). ALL ROWS passes through EVERY input column (r16, reference
+    * "remaining columns from the input table") — the select picks the
+    * oracle's columns from that full surface. */
   def q_sqlx_match_rows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TrinoDialect.sql(s, dir,
@@ -489,6 +492,7 @@ object Dialect {
            DEFINE D AS value < PREV(value),
                   U AS value > PREV(value)
          )""")
+      .select($"user_id", $"event_id", $"value", $"match_number", $"classifier")
       .orderBy($"user_id", $"event_id")
   }
   // identical semantics to q_match_recognize_rows — same oracle
@@ -883,6 +887,10 @@ object Dialect {
            PATTERN (S+)
            DEFINE S AS value > PREV(value) * 1.02 OR value < 5.0
          )""")
+      // ALL ROWS passes through every input column (r16) — pick the
+      // oracle's columns from the full surface
+      .select($"user_id", $"event_id", $"value", $"match_number",
+        $"classifier", $"run_len", $"match_len", $"match_max", $"first_val")
       .orderBy($"user_id", $"event_id")
   }
   val qSqlxMatchDefineExprSql: String =

@@ -414,7 +414,14 @@ private[graft] object MatchRecognizeSql {
 
     val defCols = mr.defines.flatMap(d => colRefs(d._2, fieldNames)).distinct
     val measCols = mr.measures.flatMap(m => colRefs(m._1, fieldNames)).distinct
-    val keep = (mr.partitionBy ++ mr.orderBy ++ defCols ++ measCols).distinct
+    // ALL ROWS PER MATCH outputs "PARTITION BY columns, ORDER BY columns,
+    // measures and remaining columns from the input table"
+    // (match-recognize.md Rows per match) — every input column survives the
+    // match, so none can be pruned; ONE ROW PER MATCH outputs only the
+    // partition columns + measures, so there pruning stays
+    val keep =
+      if (mr.allRows) fieldNames
+      else (mr.partitionBy ++ mr.orderBy ++ defCols ++ measCols).distinct
     var df = full.select(keep.map(col): _*)
 
     // DEFINE routing: state-independent conditions → boolean columns
@@ -444,7 +451,12 @@ private[graft] object MatchRecognizeSql {
       .drop(defBool.values.toSeq: _*)
 
     if (mr.allRows) {
-      val passthrough = (mr.partitionBy ++ mr.orderBy ++ defCols).distinct ++
+      // reference column order: partition cols, order cols, then the
+      // remaining input columns (our match_number/classifier annotations
+      // ride along before the measures)
+      val passthrough = (mr.partitionBy ++ mr.orderBy ++
+        fieldNames.filterNot(f => mr.partitionBy.exists(_.equalsIgnoreCase(f)) ||
+          mr.orderBy.exists(_.equalsIgnoreCase(f)))) ++
         Seq("match_number", "classifier")
       val sel = passthrough ++ mr.measures.map { case (e, a) =>
         s"${rewriteMeasure(e, defaultRunning = true, mr.partitionBy, mr.orderBy, syms, mr.subsets, fieldNames)} AS $a"
