@@ -1069,6 +1069,18 @@ private[graft] object Statements {
       val meta = tableMeta.getOrElse(key,
         TableMeta(projected(spark, key).schema.fields.toSeq.map(f =>
           ColSpec(f.name, f.dataType, Seq(f.name)))))
+      // physical-layout columns are fixed at CREATE: dropping or renaming a
+      // partition or bucket column would orphan the directory/bucket layout
+      // (the reference's hive connector likewise rejects these ALTERs)
+      def layoutGuard(col: String, what: String): Unit = tables.get(key).foreach { root =>
+        val ct = graft.catalog.CowTable.open(spark, root)
+        val layout = (ct.partitioning ++
+          ct.bucketing.map(_.cols).getOrElse(Seq.empty)).map(_.toLowerCase).toSet
+        if (layout(col.toLowerCase))
+          throw new IllegalArgumentException(
+            s"cannot $what column '$col': it is a partition/bucket column " +
+              s"of table '$name' (layout is fixed at CREATE)")
+      }
       op match {
         case RenameTable(to) =>
           val newKey = keyOf(to)
@@ -1142,6 +1154,7 @@ private[graft] object Statements {
         case SetTableProps(props) =>
           tableMeta(key) = meta.copy(props = renderProps(props, meta.props))
         case DropColumn(col, colIfExists) =>
+          layoutGuard(col, "drop")
           val exists = meta.declared.exists(_.name.equalsIgnoreCase(col))
           if (!exists && !colIfExists)
             throw new IllegalArgumentException(s"column '$col' does not exist")
@@ -1152,6 +1165,7 @@ private[graft] object Statements {
             colComments = meta.colComments - col.toLowerCase)
           refreshView(spark, name)
         case RenameColumn(from, to) =>
+          layoutGuard(from, "rename")
           if (!meta.declared.exists(_.name.equalsIgnoreCase(from)))
             throw new IllegalArgumentException(s"column '$from' does not exist")
           if (meta.declared.exists(_.name.equalsIgnoreCase(to)))

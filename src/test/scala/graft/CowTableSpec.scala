@@ -481,4 +481,32 @@ class CowTableSpec extends SparkSpec {
   private def src5(spark: org.apache.spark.sql.SparkSession): Long =
     graft.sources.Tables.load(spark, sfDir, "orders")
       .filter("o_orderkey <= 5").count()
+
+  test("dropping or renaming a partition/bucket column is rejected") {
+    import graft.sqlx.TrinoDialect
+    // the reference's hive connector likewise rejects layout-column ALTERs:
+    // the directory/bucket layout is fixed at CREATE
+    TrinoDialect.sql(spark, sfDir, "DROP TABLE IF EXISTS wh_layout_guard")
+    TrinoDialect.sql(spark, sfDir,
+      """CREATE TABLE wh_layout_guard WITH (partitioned_by = ARRAY['r'],
+           bucketed_by = ARRAY['cust'], bucket_count = 4) AS
+         SELECT o_orderkey AS k, o_custkey AS cust,
+           CAST(o_custkey % 3 AS INT) AS r
+         FROM orders WHERE o_orderkey <= 200""")
+    val e1 = intercept[IllegalArgumentException] {
+      TrinoDialect.sql(spark, sfDir, "ALTER TABLE wh_layout_guard DROP COLUMN r")
+    }
+    assert(e1.getMessage.contains("partition/bucket column"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TrinoDialect.sql(spark, sfDir,
+        "ALTER TABLE wh_layout_guard RENAME COLUMN cust TO buyer")
+    }
+    assert(e2.getMessage.contains("partition/bucket column"), e2.getMessage)
+    // non-layout columns still alter freely
+    TrinoDialect.sql(spark, sfDir,
+      "ALTER TABLE wh_layout_guard RENAME COLUMN k TO okey")
+    assert(TrinoDialect.sql(spark, sfDir,
+      "SELECT count(*) AS n FROM wh_layout_guard WHERE okey <= 200")
+      .collect().head.getLong(0) > 0)
+  }
 }
