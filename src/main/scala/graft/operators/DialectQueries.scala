@@ -591,6 +591,59 @@ object Dialect {
        FROM h WHERE d
        ORDER BY user_id, event_id"""
 
+  /** QUANTIFIED empty group (r17; reference SqlBase.g4 composes the empty
+    * pattern `()` with every patternQuantifier): `(D | ()){1,2}` matches up
+    * to two descending rows greedily, and where D fails the zero-width
+    * branch completes the quantifier as an EMPTY match — the r16 divergence
+    * was failing such patterns outright. Replay: d-runs chunk into pairs
+    * (greedy {1,2} + SKIP PAST LAST ROW), every non-d row is an empty
+    * match; RUNNING COUNT(D.*) is the 1-based position within the chunk. */
+  def q_sqlx_match_empty_quant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY event_id
+           MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls, COUNT(D.*) AS n_down
+           ALL ROWS PER MATCH SHOW EMPTY MATCHES
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN ((D | ()){1,2})
+           DEFINE D AS value < PREV(value)
+         )""")
+      .select($"user_id", $"event_id", $"mn", $"cls", $"n_down")
+      .orderBy($"user_id", $"event_id")
+  }
+  val qSqlxMatchEmptyQuantSql: String =
+    """WITH e AS (
+         SELECT user_id, event_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+         FROM events),
+       f AS (
+         SELECT *, (pv IS NOT NULL AND value < pv) AS d FROM e),
+       g AS (
+         SELECT *, CASE WHEN d AND NOT coalesce(
+             lag(d) OVER (PARTITION BY user_id ORDER BY event_id), FALSE)
+           THEN 1 ELSE 0 END AS run_st
+         FROM f),
+       h AS (
+         SELECT *, sum(run_st) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS UNBOUNDED PRECEDING) AS run_id
+         FROM g),
+       r AS (
+         SELECT *, CASE WHEN d THEN row_number() OVER (
+           PARTITION BY user_id, run_id, d ORDER BY event_id) END AS rn
+         FROM h),
+       st AS (
+         SELECT *, CASE WHEN NOT d OR (rn - 1) % 2 = 0 THEN 1 ELSE 0 END AS mst
+         FROM r)
+       SELECT user_id, event_id,
+         CAST(sum(mst) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mn,
+         CASE WHEN d THEN 'D' END AS cls,
+         CAST(CASE WHEN d THEN (rn - 1) % 2 + 1 ELSE 0 END AS BIGINT) AS n_down
+       FROM st
+       ORDER BY user_id, event_id"""
+
   /** ONE ROW PER MATCH over an empty-capable pattern: the reference EMITS a
     * row for every empty match (match-recognize.md "The output is also
     * produced for empty matches, based on their starting rows") — column
@@ -1961,6 +2014,7 @@ object Dialect {
     "q_sqlx_match_reluctant" -> q_sqlx_match_reluctant _,
     "q_sqlx_match_anchors" -> q_sqlx_match_anchors _,
     "q_sqlx_match_empty" -> q_sqlx_match_empty _,
+    "q_sqlx_match_empty_quant" -> q_sqlx_match_empty_quant _,
     "q_sqlx_match_empty_omit" -> q_sqlx_match_empty_omit _,
     "q_sqlx_match_empty_one" -> q_sqlx_match_empty_one _,
     "q_sqlx_match_unmatched" -> q_sqlx_match_unmatched _,
@@ -2014,6 +2068,7 @@ object Dialect {
     "q_sqlx_match_reluctant" -> qSqlxMatchReluctantSql,
     "q_sqlx_match_anchors" -> qSqlxMatchAnchorsSql,
     "q_sqlx_match_empty" -> qSqlxMatchEmptySql,
+    "q_sqlx_match_empty_quant" -> qSqlxMatchEmptyQuantSql,
     "q_sqlx_match_empty_omit" -> qSqlxMatchEmptyOmitSql,
     "q_sqlx_match_empty_one" -> qSqlxMatchEmptyOneSql,
     "q_sqlx_match_unmatched" -> qSqlxMatchUnmatchedSql,

@@ -210,7 +210,15 @@ object MatchRecognize {
     require(partitionCols.nonEmpty, "MATCH_RECOGNIZE requires PARTITION BY")
     require(orderCols.nonEmpty, "MATCH_RECOGNIZE requires ORDER BY")
     val schema = df.schema
-    val matcher = new RowPattern.Matcher(RowPattern.parse(pattern), define)
+    val parsed = RowPattern.parse(pattern)
+    // reference match-recognize.md "Row pattern syntax": exclusion syntax
+    // {- -} is not allowed with ALL ROWS PER MATCH WITH UNMATCHED ROWS —
+    // an excluded row would appear in neither the matched nor the unmatched
+    // output, silently dropping it
+    if (rowsPerMatch == AllWithUnmatched && RowPattern.containsExclusion(parsed))
+      throw new IllegalArgumentException(
+        "pattern exclusions {- -} are not allowed with ALL ROWS PER MATCH WITH UNMATCHED ROWS")
+    val matcher = new RowPattern.Matcher(parsed, define)
     val keyIdx = partitionCols.map(schema.fieldIndex)
     val inWidth = schema.length
     val outSchema = StructType(schema.fields ++ Seq(

@@ -66,6 +66,21 @@ object RowPattern {
     case _ => false
   }
 
+  /** Does the pattern contain an exclusion `{- … -}`? The reference forbids
+    * exclusions with ALL ROWS PER MATCH WITH UNMATCHED ROWS
+    * (match-recognize.md "Row pattern syntax": exclusion syntax is not
+    * allowed when unmatched rows are reported). */
+  def containsExclusion(p: Pat): Boolean = p match {
+    case Excl(_) => true
+    case Cat(ps) => ps.exists(containsExclusion)
+    case Alt(l, r) => containsExclusion(l) || containsExclusion(r)
+    case Opt(s) => containsExclusion(s)
+    case Star(s) => containsExclusion(s)
+    case Plus(s) => containsExclusion(s)
+    case Quant(s, _, _, _) => containsExclusion(s)
+    case _ => false
+  }
+
   private final class Parser(input: String) {
     private var pos = 0
     private def skipWs(): Unit = while (pos < input.length && input(pos).isWhitespace) pos += 1
@@ -260,14 +275,21 @@ object RowPattern {
             loop(p2, a2)
           })
         case Quant(sub, min, max, greedy) =>
-          // general {min,max} with greedy/reluctant preferment. Zero-width
-          // repetitions are cut (as in Star) so matching terminates; the
-          // degenerate `(){n}` therefore fails rather than looping.
+          // general {min,max} with greedy/reluctant preferment. A body
+          // iteration that consumes no rows would repeat identically forever,
+          // but it also satisfies ANY remaining repetition count (a zero-width
+          // derivation adds no rows and no trace entries, so repeating it to
+          // reach min changes nothing) — so a zero-width iteration COMPLETES
+          // the quantifier in place instead of being cut. This makes `(){n}`
+          // and `(A | ()){1,2}` produce empty matches exactly as the
+          // reference's grammar composes the empty pattern with every
+          // quantifier (SqlBase.g4 patternPrimary `()` × patternQuantifier;
+          // match-recognize.md empty-match rules), while still terminating.
           def go(cnt: Int, pp: Int, aa: Acc): Option[(Int, Acc)] = {
             def more =
               if (max.forall(cnt < _))
                 matchAt(part, sub, pp, aa, excl,
-                  (p2, a2) => if (p2 == pp) None else go(cnt + 1, p2, a2))
+                  (p2, a2) => if (p2 == pp) k(p2, a2) else go(cnt + 1, p2, a2))
               else None
             def stop = if (cnt >= min) k(pp, aa) else None
             if (greedy) more.orElse(stop) else stop.orElse(more)

@@ -40,6 +40,43 @@ private[graft] object DefineEval {
   }
   /** PREV/NEXT: physical navigation from the candidate row. */
   final case class PhysNav(colIdx: Int, dataType: DataType, offset: Int, prev: Boolean) extends Nav
+  /** PREV/NEXT over an arbitrary scalar EXPRESSION argument — the reference's
+    * navigation functions take any row expression (`PREV(abs(x), 2)`); the
+    * bound expression evaluates against the NAVIGATED row, NULL outside the
+    * search space (ADVICE r17: such calls must not silently read the
+    * partition where the frame clips). */
+  final case class ExprPhysNav(bound: Expression, dataType: DataType,
+      offset: Int, prev: Boolean) extends Nav {
+    @transient lazy val toScala: Any => Any =
+      CatalystTypeConverters.createToScalaConverter(dataType)
+  }
+
+  /** Bind a navigation-argument expression against the input schema (self-
+    * qualified refs become current-row columns; nested navigation is
+    * rejected loudly). */
+  private def bindRowExpr(spark: SparkSession, schema: StructType,
+      text: String, selfSym: String, context: String): (Expression, DataType) = {
+    if (("(?i)\\b(" + (stateFns + "PREV" + "NEXT" + "CLASSIFIER").mkString("|") +
+        ")\\s*\\(").r.findFirstIn(text).isDefined)
+      fail(s"nested navigation/aggregates inside a PREV/NEXT argument are " +
+        s"not supported: '$text' in '$context'")
+    val cleaned = "(\\w+)\\.(\\w+)".r.replaceAllIn(text, m =>
+      if (m.group(1).equalsIgnoreCase(selfSym)) m.group(2) else m.group(0))
+    val attrs: IndexedSeq[AttributeReference] = schema.fields.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)()).toIndexedSeq
+    val parsed = spark.sessionState.sqlParser.parseExpression(cleaned)
+    val analyzed = spark.sessionState.analyzer.executeAndCheck(
+      Project(Seq(Alias(parsed, "__navarg")()), LocalRelation(attrs)),
+      new QueryPlanningTracker())
+    val resolved = analyzed.asInstanceOf[Project].projectList.head
+      .asInstanceOf[Alias].child
+    (BindReferences.bindReference(resolved, AttributeSeq(attrs)), resolved.dataType)
+  }
+
+  /** Is a navigation argument a plain or symbol-qualified column (the fast
+    * PhysNav shape), as opposed to a general expression? */
+  private def plainNavArg(s: String): Boolean =
+    "(?s)^\\w+(\\.\\w+)?$".r.findFirstIn(s.trim).isDefined
   /** FIRST/LAST over rows mapped to `symbols` (None = the universal row
     * pattern variable: every row of the match so far). `occurrence` is the
     * reference's 0-based navigation offset (LAST(A.x, 1) = one before last). */
@@ -100,10 +137,15 @@ private[graft] object DefineEval {
       case (fn @ ("PREV" | "NEXT"), arg) =>
         val parts = MatchRecognizeSql.splitTop(arg)
         val off = if (parts.length > 1) parts(1).trim.toInt else 1
-        val (symOpt, ci) = navTarget(parts.head)
-        symOpt.filterNot(_.equalsIgnoreCase(selfSym)).foreach(s =>
-          fail(s"PREV/NEXT are physical navigation — qualify with the defined symbol or none, got '$s'"))
-        ph(PhysNav(ci, schema(ci).dataType, off, fn == "PREV"))
+        if (plainNavArg(parts.head)) {
+          val (symOpt, ci) = navTarget(parts.head)
+          symOpt.filterNot(_.equalsIgnoreCase(selfSym)).foreach(s =>
+            fail(s"PREV/NEXT are physical navigation — qualify with the defined symbol or none, got '$s'"))
+          ph(PhysNav(ci, schema(ci).dataType, off, fn == "PREV"))
+        } else {
+          val (bexpr, dt) = bindRowExpr(spark, schema, parts.head, selfSym, cond)
+          ph(ExprPhysNav(bexpr, dt, off, fn == "PREV"))
+        }
       case (fn @ ("FIRST" | "LAST"), arg) =>
         val parts = MatchRecognizeSql.splitTop(arg)
         val occ = if (parts.length > 1) parts(1).trim.toInt else 0
@@ -202,8 +244,13 @@ private[graft] object DefineEval {
       case (fn @ ("PREV" | "NEXT"), arg) =>
         val parts = MatchRecognizeSql.splitTop(arg)
         val off = if (parts.length > 1) parts(1).trim.toInt else 1
-        val (_, ci) = navTarget(parts.head)
-        ph(PhysNav(ci, schema(ci).dataType, off, fn == "PREV"))
+        if (plainNavArg(parts.head)) {
+          val (_, ci) = navTarget(parts.head)
+          ph(PhysNav(ci, schema(ci).dataType, off, fn == "PREV"))
+        } else {
+          val (bexpr, dt) = bindRowExpr(spark, schema, parts.head, "", exprText)
+          ph(ExprPhysNav(bexpr, dt, off, fn == "PREV"))
+        }
       case (fn @ ("FIRST" | "LAST"), arg) =>
         val parts = MatchRecognizeSql.splitTop(arg)
         val occ = if (parts.length > 1) parts(1).trim.toInt else 0
@@ -288,6 +335,16 @@ private final class CompiledMeasureEval(
         case PhysNav(c, _, off, prev) =>
           val p = if (prev) i - off else i + off
           if (i < 0 || p < 0 || p >= part.length) null else part(p).get(c)
+        case e: ExprPhysNav =>
+          val p = if (e.prev) i - e.offset else i + e.offset
+          if (i < 0 || p < 0 || p >= part.length) null
+          else {
+            val r = part(p)
+            val vals = new Array[Any](nFields)
+            var jj = 0
+            while (jj < nFields) { vals(jj) = fieldConv(jj)(r.get(jj)); jj += 1 }
+            e.toScala(e.bound.eval(InternalRow.fromSeq(vals.toIndexedSeq)))
+          }
         case LogNav(symbols, c, _, occ, last) =>
           val hits = trace.iterator.filter(sees(symbols, _)).map(_._2).toIndexedSeq
           val ordered = if (last) hits else hits.reverse
@@ -350,6 +407,16 @@ private final class CompiledDefine(
       case PhysNav(c, _, off, prev) =>
         val p = if (prev) i - off else i + off
         if (p < 0 || p >= part.length) null else part(p).get(c)
+      case e: ExprPhysNav =>
+        val p = if (e.prev) i - e.offset else i + e.offset
+        if (p < 0 || p >= part.length) null
+        else {
+          val r = part(p)
+          val vals = new Array[Any](nFields)
+          var jj = 0
+          while (jj < nFields) { vals(jj) = fieldConv(jj)(r.get(jj)); jj += 1 }
+          e.toScala(e.bound.eval(InternalRow.fromSeq(vals.toIndexedSeq)))
+        }
       case LogNav(symbols, c, _, occ, last) =>
         // t2 is most-recent-first: LAST walks forward, FIRST from the tail
         val hits = t2.iterator.filter(sees(symbols, _)).map(_._2).toIndexedSeq

@@ -347,9 +347,19 @@ private[graft] object MatchWindowSql {
     // multi-offset physical navigation (PREV(x, n>1)) can read below the
     // frame start from positions the offset-1 variant columns don't cover
     // (view position 0 only) — route it through the stateful path, whose
-    // view-bounds clipping is offset-exact
-    def offsetNav(cond: String): Boolean =
-      "(?i)\\b(PREV|NEXT)\\s*\\([^()]*,".r.findFirstIn(cond).isDefined
+    // view-bounds clipping is offset-exact. Detection uses the balanced-paren
+    // call rewriter + top-level comma split, so an offset call whose first
+    // argument itself contains parens or commas — PREV(abs(x), 2),
+    // PREV(coalesce(x, y), 2) — classifies correctly (a paren-free regex
+    // would miss it and mis-route to the stateless path).
+    def offsetNav(cond: String): Boolean = {
+      var multi = false
+      MatchRecognizeSql.rewriteCalls(cond, Set("PREV", "NEXT")) { case (fn, arg) =>
+        if (MatchRecognizeSql.splitTop(arg).lengthCompare(1) > 0) multi = true
+        s"$fn($arg)"
+      }
+      multi
+    }
     val (stateful, simple) =
       mw.defines.partition(d =>
         DefineEval.isStateful(d._2, d._1, syms) || offsetNav(d._2))

@@ -241,6 +241,37 @@ class PatternSpec extends SparkSpec {
       Seq(Some(1L), None, Some(1L), None, None, Some(1L), None, None))
   }
 
+  test("row-pattern window: multi-offset navigation with parenthesized args clips at the frame") {
+    import spark.implicits._
+    // ADVICE r17: PREV(abs(value), 2) — a multi-offset call whose FIRST
+    // argument contains parens — must classify as offset navigation and
+    // route through the stateful path, whose view-bounds clipping is
+    // offset-exact. The old paren-free regex missed it, leaving it on the
+    // stateless path whose frame-edge variants only clip offset-1 reads.
+    val vals = Seq(9.0, 8.0, 7.0, 6.0, 5.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("user_id", "event_id", "value")
+    def run(pattern: String): Seq[Option[Long]] = {
+      val mw = graft.sqlx.MatchWindowSql.parse(
+        s"""SELECT user_id, event_id, m OVER w AS m FROM pw_t WINDOW w AS (
+            PARTITION BY user_id ORDER BY event_id
+            MEASURES COUNT(D.*) AS m
+            PATTERN ($pattern)
+            DEFINE D AS value < PREV(abs(value), 2))""")
+        .getOrElse(fail("window spec did not parse"))
+      graft.sqlx.MatchWindowSql.lowerDf(df, mw)
+        .orderBy("event_id").collect()
+        .map(r => if (r.isNullAt(2)) None else Some(r.getLong(2))).toSeq
+    }
+    // D at view position 1 reads PREV(…, 2) BELOW the frame start → NULL →
+    // never matches (the mis-routed stateless path would read the partition
+    // value at i-1 and match from the second anchor on)
+    assert(run("A D+") == Seq.fill(5)(None))
+    // with a spacer B, D starts at view position 2 where offset-2 stays
+    // in-frame: the whole descending run matches from the first anchor
+    assert(run("A B D+") == Seq(Some(3L), None, None, None, None))
+  }
+
   test("row-pattern window: multiple windows and window functions over a pattern window") {
     import spark.implicits._
     // values 9 8 7 6 5 9 4 3 (as above)
@@ -390,6 +421,45 @@ class PatternSpec extends SparkSpec {
     val em = new Matcher(parse("()"), Map.empty)
     assert(em.scanAll(sym("xx"), SkipPastLastRow).map(x => (x.start, x.end)) ==
       Seq((0, 0), (1, 1)))
+  }
+
+  test("quantified empty-capable patterns produce empty matches, not failure") {
+    // reference SqlBase.g4 composes patternPrimary '()' with every
+    // patternQuantifier, and match-recognize.md's empty-match rules apply:
+    // a zero-width body iteration satisfies any remaining repetition count,
+    // so `(){n}` and empty-capable quantified groups MATCH EMPTY instead of
+    // failing (r16 divergence, ADVICE r16)
+    val em = new Matcher(parse("(){2}"), Map.empty)
+    assert(em.scanAll(sym("xx"), SkipPastLastRow).map(x => (x.start, x.end)) ==
+      Seq((0, 0), (1, 1)))
+    // greedy {1,2} over (A | ()): two As when available, one on the
+    // remainder, an empty match where A fails
+    val m = new Matcher(parse("(A | ()){1,2}"), letterDefs("A"))
+    assert(m.scanAll(sym("AAAx"), SkipPastLastRow).map(x => (x.start, x.end)) ==
+      Seq((0, 2), (2, 3), (3, 3)))
+    // (A?){1,} terminates (zero-width iteration completes the quantifier)
+    val q = new Matcher(parse("(A?){1,}"), letterDefs("A"))
+    assert(q.scanAll(sym("Ax"), SkipPastLastRow).map(x => (x.start, x.end)) ==
+      Seq((0, 1), (1, 1)))
+    // non-empty-capable bounded quantifiers keep failing when under-filled
+    val f = new Matcher(parse("A{2}"), letterDefs("A"))
+    assert(f.scanAll(sym("Ax"), SkipPastLastRow).isEmpty)
+  }
+
+  test("exclusions are rejected with ALL ROWS PER MATCH WITH UNMATCHED ROWS") {
+    // reference match-recognize.md: "exclusion syntax is not allowed" when
+    // unmatched rows are reported — an excluded row would otherwise appear
+    // in neither the matched nor the unmatched output
+    val df = spark.range(0, 4).selectExpr("CAST(id % 2 AS LONG) AS k",
+      "id AS ord", "CAST(id AS DOUBLE) AS v")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.MatchRecognize.annotateMatchesWith(
+        df, Seq("k"), Seq("ord"), "{- A -} B",
+        Map.empty[String, RowPattern.TracePredicate],
+        RowPattern.SkipPastLastRow,
+        graft.plans.MatchRecognize.AllWithUnmatched)
+    }
+    assert(e.getMessage.contains("WITH UNMATCHED ROWS"))
   }
 
   test("SKIP TO <var> never raises on an empty match") {
