@@ -15,6 +15,24 @@ class CowTableSpec extends SparkSpec {
     p
   }
 
+  /** The DSv2 CoW scan's planned input partitions (one per hash bucket),
+    * recursing through AQE wrappers and materialized stages. */
+  private def cowScanPartitions(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[graft.catalog.CowInputPartition] = {
+    val kids = p.children ++ (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case _ => Seq.empty
+    })
+    (p match {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.description().contains("GraftCowScan") =>
+        b.inputPartitions.collect { case c: graft.catalog.CowInputPartition => c }
+      case _ => Seq.empty
+    }) ++ kids.flatMap(cowScanPartitions)
+  }
+
   private def sampleOrders() =
     graft.sources.Tables.load(spark, sfDir, "orders")
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
@@ -226,8 +244,7 @@ class CowTableSpec extends SparkSpec {
     assert(t.read().filter("r = 2 AND k = 200").count() == 1)
   }
 
-  test("bucketed table: bucket-pruned scans, exchange-free joins, CoW carry by hardlink") {
-    import org.apache.spark.sql.execution.FileSourceScanExec
+  test("bucketed table: bucket-pruned scans, exchange-free joins, CoW manifest carry") {
     val root = java.nio.file.Files.createTempDirectory("cow_bkt").toString
     val src = graft.sources.Tables.load(spark, sfDir, "orders")
       .selectExpr("o_orderkey AS k", "o_custkey AS cust", "o_totalprice AS price")
@@ -243,28 +260,14 @@ class CowTableSpec extends SparkSpec {
         case p => p
       }
     }
-    // AQE wraps materialized stages as LEAF nodes — recurse through them
-    def findScan(p: org.apache.spark.sql.execution.SparkPlan): Option[FileSourceScanExec] = p match {
-      case f: FileSourceScanExec => Some(f)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScan(q.plan)
-      case other => other.children.view.flatMap(findScan(_)).headOption
-    }
 
     // equality filter on the bucket key prunes to ONE bucket's files
-    // before any parquet footer is read (numFiles < bucket_count)
+    // before any parquet footer is read — the DSv2 scan plans one input
+    // partition holding exactly that bucket's file
     val point = t.read().filter("cust = 19").selectExpr("count(*) AS n")
-    val scan = findScan(finalPlan(point)).get
-    assert(scan.metadata.get("SelectedBucketsCount").exists(_.contains("1 out of 8")),
-      scan.metadata.toString)
-    // the files actually wired into the read RDD — only the selected
-    // bucket's file survives (the numFiles driver metric counts files
-    // BEFORE bucket pruning, so it cannot witness this)
-    val plannedFiles = scan.inputRDDs().head.partitions.collect {
-      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-        fp.files.length
-    }.sum
-    assert(plannedFiles == 1,
-      s"expected bucket pruning to plan 1 of 8 bucket files, got $plannedFiles")
+    val parts = cowScanPartitions(finalPlan(point))
+    assert(parts.size == 1 && parts.head.files.length == 1,
+      s"expected bucket pruning to plan 1 of 8 bucket files, got $parts")
 
     // self-join + aggregation on the bucket key: ZERO exchanges (the
     // bucketed scan reports HashPartitioning(cust, 8) on both sides)
@@ -281,11 +284,11 @@ class CowTableSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
     // CoW DELETE keeps the layout; untouched bucket files CARRY into the
-    // new version dir by hardlink (same file name, no data rewrite)
+    // new manifest by reference (same identity, no data movement at all)
     val v1Files = t.manifestDf(t.currentVersion).select("fname")
       .collect().map(_.getString(0)).toSet
     // single-cust predicate: exactly ONE bucket's file is affected, the
-    // other seven must carry by hardlink (same file name, no rewrite)
+    // other seven must carry by manifest reference (same name, no rewrite)
     t.delete(org.apache.spark.sql.functions.expr("cust = 19"))
     assert(t.read().filter("cust = 19").count() == 0)
     assert(t.read().count() == src.filter("cust <> 19").count())
@@ -351,7 +354,6 @@ class CowTableSpec extends SparkSpec {
   }
 
   test("partitioned + bucketed table: nested layout, both prunings, exchange-free join") {
-    import org.apache.spark.sql.execution.FileSourceScanExec
     val root = java.nio.file.Files.createTempDirectory("cow_pb").toString
     val src = graft.sources.Tables.load(spark, sfDir, "orders")
       .selectExpr("o_orderkey AS k", "o_custkey AS cust",
@@ -375,23 +377,15 @@ class CowTableSpec extends SparkSpec {
         case p => p
       }
     }
-    def findScan(p: org.apache.spark.sql.execution.SparkPlan): Option[FileSourceScanExec] = p match {
-      case f: FileSourceScanExec => Some(f)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScan(q.plan)
-      case other => other.children.view.flatMap(findScan(_)).headOption
-    }
 
     // partition AND bucket pruning compose: r = 1 (one of 3 dirs) and
-    // cust = 19 (one of 4 buckets) → exactly one file planned
+    // cust = 19 (one of 4 buckets) → exactly one file planned by the DSv2
+    // scan (hive-partition values parsed from manifest paths, bucket id
+    // from the file name — no footer touched for the pruned-away files)
     val point = t.read().filter("r = 1 AND cust = 19").selectExpr("count(*) AS n")
-    val scan = findScan(finalPlan(point)).get
-    assert(scan.metadata("PartitionFilters").contains("r"), scan.metadata)
-    assert(scan.metadata.get("SelectedBucketsCount").exists(_.contains("1 out of 4")),
-      scan.metadata)
-    val planned = scan.inputRDDs().head.partitions.collect {
-      case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files.length
-    }.sum
-    assert(planned == 1, s"expected 1 file after both prunings, got $planned")
+    val planned = cowScanPartitions(finalPlan(point))
+    assert(planned.size == 1 && planned.head.files.length == 1,
+      s"expected 1 file after both prunings, got $planned")
 
     // join on the bucket key across the partitioned layout: zero exchanges
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -447,6 +441,44 @@ class CowTableSpec extends SparkSpec {
       // and the current snapshot still reads correctly alongside it
       assert(t.read().count() == src.filter("cust % 7 <> 0").count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("DSv2 manifest commits are O(touched files); reads mint no catalog entries") {
+    val root = java.nio.file.Files.createTempDirectory("cow_dsv2").toString
+    val src = graft.sources.Tables.load(spark, sfDir, "orders")
+      .selectExpr("o_orderkey AS k", "o_custkey AS cust", "o_totalprice AS price")
+    val t = graft.catalog.CowTable.create(spark, root, src,
+      bucketBy = Seq("cust"), bucketCount = 8, sortedBy = Seq("cust"))
+    val v1 = t.currentVersion
+    def filesUnder(dir: java.nio.file.Path): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      def walk(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.isDirectory(p)) {
+          val it = java.nio.file.Files.list(p).iterator()
+          while (it.hasNext) walk(it.next())
+        } else out += p.toString
+      walk(dir)
+      out.toSeq
+    }
+    val v1FileCount = filesUnder(java.nio.file.Paths.get(root, "data", s"v$v1")).size
+    // a DELETE touching exactly ONE bucket
+    t.delete(org.apache.spark.sql.functions.expr("cust = 19"))
+    val v2 = t.currentVersion
+    // commit cost is O(files touched): the new version directory holds ONLY
+    // the rewritten bucket's file — untouched files are carried by manifest
+    // REFERENCE and never move, link, or copy (the r16 hardlink census is
+    // gone; it remains only behind spark.graft.cow.legacyDirView)
+    val v2Files = filesUnder(java.nio.file.Paths.get(root, "data", s"v$v2"))
+    assert(v2Files.size == 1, s"expected 1 rewritten file in v$v2, got $v2Files")
+    val paths = t.manifestDf(v2).select("path").collect().map(_.getString(0))
+    assert(paths.count(_.contains(s"/v$v1/")) == v1FileCount - 1,
+      s"carried entries must still point into the v$v1 directory")
+    // reads — current AND time travel — mint no session-catalog entries
+    // (the old path minted one per table plus one per visited version)
+    assert(t.read().count() == src.filter("cust <> 19").count())
+    assert(t.read(asOfVersion = Some(v1)).count() == src.count())
+    assert(!spark.catalog.listTables().collect().exists(_.name.startsWith("cow_bkt_")),
+      "DSv2 reads must not create session-catalog entries")
   }
 
   test("bucketed schema evolution: ADD COLUMN reads back values, replace restores the fast path") {

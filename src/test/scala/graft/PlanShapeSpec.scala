@@ -328,15 +328,16 @@ class PlanShapeSpec extends SparkSpec {
         s"expected a shuffle-family join over bucketed scans:\n$plan")
       assert(countOf(plan, "Exchange hashpartitioning") == 0,
         s"bucketed join + agg must not shuffle:\n$plan")
-      assert(countOf(plan, "Bucketed: true") == 2,
-        s"both sides should be bucketed scans:\n$plan")
+      // both sides are DSv2 CoW scans reporting KeyGroupedPartitioning
+      assert(countOf(plan, "GraftCowScan") == 2,
+        s"both sides should be bucket-aware CoW scans:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("incremental dedup probes the bucketed signature index without shuffling it") {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     // force shuffle-family joins: at fixture scale the planner would
     // broadcast the index, hiding the layout property under test — at
@@ -358,10 +359,10 @@ class PlanShapeSpec extends SparkSpec {
           case q: QueryStageExec => Seq(q.plan)
           case _ => Seq.empty
         })).flatMap(descend)
-      def indexScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      def indexScans(p: SparkPlan): Seq[BatchScanExec] =
         descend(p).collect {
-          case f: FileSourceScanExec
-            if f.relation.location.rootPaths.exists(_.toString.contains("graft_dedup_idx")) => f
+          case f: BatchScanExec
+            if f.scan.description().contains("graft_dedup_idx") => f
         }
       // the index IS read (twice: band buckets + doc shingles)...
       assert(indexScans(plan).size >= 2, s"expected bucketed index scans in:\n$plan")
@@ -371,8 +372,8 @@ class PlanShapeSpec extends SparkSpec {
       // probe pipeline's own and don't touch this property)
       def scanPaths(p: SparkPlan, anc: List[SparkPlan]): Seq[List[SparkPlan]] = {
         val here = p match {
-          case f: FileSourceScanExec
-            if f.relation.location.rootPaths.exists(_.toString.contains("graft_dedup_idx")) =>
+          case f: BatchScanExec
+            if f.scan.description().contains("graft_dedup_idx") =>
             Seq(anc)
           case _ => Seq.empty
         }
@@ -389,9 +390,12 @@ class PlanShapeSpec extends SparkSpec {
         assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeLike]),
           s"bucketed index scan reached its join through a shuffle:\n$plan")
       }
-      // the index scans report their bucket layout
+      // the index scans report their bucket layout (KeyGroupedPartitioning
+      // resolved from the manifest-backed DSv2 scan)
       indexScans(plan).foreach { f =>
-        assert(f.relation.bucketSpec.isDefined, s"index scan lost its bucket spec: $f")
+        assert(f.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.KeyGroupedPartitioning],
+          s"index scan lost its bucket layout: $f -> ${f.outputPartitioning}")
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
