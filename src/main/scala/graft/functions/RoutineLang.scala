@@ -30,21 +30,25 @@ import graft.sqlx.{SqlLexer, SqlParseException, TrinoDialect}
   *    ALL routine bodies, loops included, to bytecode): a LOOP/WHILE/REPEAT
   *    body (ITERATE/LEAVE only to its own label) lowers through the SAME
   *    CPS pass into one struct-valued expression
-  *    `(vars', leave, has_ret, ret, until)`, Janino-compiled via
-  *    MutableProjection; per iteration the runtime evaluates one generated
-  *    class and copies the variable frame — zero per-statement
-  *    interpretation. NESTED loops kernelize too (r16): each inner loop
-  *    compiles recursively to its own tight helper-kernel function the
-  *    outer kernel calls (one frame-struct conversion per inner-loop ENTRY,
-  *    one generated projection per inner iteration — compileInnerLoops).
+  *    `(vars', leave, has_ret, ret, until, target_label, target_iter)`,
+  *    Janino-compiled via MutableProjection; per iteration the runtime
+  *    evaluates one generated class and copies the variable frame — zero
+  *    per-statement interpretation. NESTED loops kernelize too (r16): each
+  *    inner loop compiles recursively to its own tight helper-kernel
+  *    function the outer kernel calls (one frame-struct conversion per
+  *    inner-loop ENTRY, one generated projection per inner iteration —
+  *    compileInnerLoops). CROSS-LABEL ITERATE/LEAVE compiles too (r17):
+  *    the signal's target label rides the body struct outward, each
+  *    enclosing kernel dispatching it to its own iterate/leave path or
+  *    carrying it further; a signal escaping the outermost kernel bridges
+  *    to the interpreter's LabelSignal (labeled BEGIN blocks).
   *    `tierOf(name)` exposes the chosen tier.
-  *  - **Remaining bodies interpret per row** (cross-label ITERATE/LEAVE out
-  *    of a nested loop — the documented residual), but every scalar
-  *    expression is parsed, analyzed and bound by Catalyst ONCE at CREATE
-  *    time against the variable frame; row time only walks the control AST
-  *    and calls `Expression.eval` on the pre-bound trees (no SQL parsing
-  *    per row). This is the reference's interpreter tier for non-compilable
-  *    routines.
+  *  - **Remaining bodies interpret per row** (labeled BEGIN frames, kernel
+  *    text blow-ups), but every scalar expression is parsed, analyzed and
+  *    bound by Catalyst ONCE at CREATE time against the variable frame;
+  *    row time only walks the control AST and calls `Expression.eval` on
+  *    the pre-bound trees (no SQL parsing per row). This is the
+  *    reference's interpreter tier for non-compilable routines.
   *
   * Semantics held to the reference:
   *  - `DECLARE … DEFAULT e` re-evaluates the default each time its block is
@@ -91,8 +95,16 @@ object RoutineLang {
     * iteration, so the whole nest executes with zero per-statement
     * interpretation (reference compiles every routine shape to bytecode —
     * core/trino-main/.../sql/routine/SqlRoutineCompiler.java). */
+  /** `callerLabel` is the label of the loop whose BODY contains this call
+    * (the dispatch target for a cross-label signal that names it);
+    * iter/leave/carry templates are the caller's body-struct literals for
+    * the three outcomes of a propagated ITERATE/LEAVE (r17 — cross-label
+    * control now compiles; `__TL__`/`__TI__` in the carry template bind to
+    * the helper result's target-label fields). */
   private final case class RKernelCall(fn: String, id: Int,
-      varDdls: Seq[(String, String)], onHrTemplate: String) extends RStmt
+      varDdls: Seq[(String, String)], onHrTemplate: String,
+      callerLabel: Option[String], iterTemplate: String,
+      leaveTemplate: String, carryTemplate: String) extends RStmt
   final case class RWhile(label: Option[String], cond: String,
       body: Seq[RStmt]) extends RStmt
   final case class RRepeat(label: Option[String], body: Seq[RStmt],
@@ -477,12 +489,15 @@ object RoutineLang {
         }
       }
       comp(body.toList ::: rest, env2, types, retDdl, cont)
-    case RKernelCall(fn, id, varDdls, onHr) :: rest =>
+    case RKernelCall(fn, id, varDdls, onHr, callerLabel, iterT, leaveT, carryT) :: rest =>
       // bind the helper's result struct ONCE via a one-element transform
       // lambda (SQL has no LET; `transform(array(x), s -> body)[0]` is the
       // standard spelling). Inside the lambda every variable re-binds to
       // the post-loop frame; a function-level RETURN taken inside the
-      // inner loop (s.hr) propagates as this kernel's own return struct.
+      // inner loop (s.hr) propagates as this kernel's own return struct; a
+      // cross-label ITERATE/LEAVE (s.tl) either resolves against the
+      // CALLER's own label — its iterate/leave struct — or carries further
+      // out (r17).
       val lam = s"__il$id"
       val callArgs = varDdls.zipWithIndex.map { case ((n, ddl), i) =>
         s"'v$i', CAST((${env.getOrElse(n.toLowerCase, n)}) AS $ddl)"
@@ -490,12 +505,23 @@ object RoutineLang {
       val env2 = varDdls.zipWithIndex.map { case ((n, _), i) =>
         n.toLowerCase -> s"$lam.v$i"
       }.toMap
-      val hrSql = comp(List(RReturn(onHr.replace("__RV__", s"$lam.rv"))),
-        env2, types, retDdl, None).getOrElse(s"CAST(NULL AS $retDdl)")
-      val restSql = comp(rest, env2, types, retDdl, cont)
-        .getOrElse(s"CAST(NULL AS $retDdl)")
+      val offEnd = s"CAST(NULL AS $retDdl)"
+      def tmpl(t: String): String =
+        comp(List(RReturn(
+          t.replace("__RV__", s"$lam.rv")
+            .replace("__TL__", s"$lam.tl").replace("__TI__", s"$lam.ti"))),
+          env2, types, retDdl, None).getOrElse(offEnd)
+      val hrSql = tmpl(onHr)
+      val restSql = comp(rest, env2, types, retDdl, cont).getOrElse(offEnd)
+      val labelSql = callerLabel match {
+        case Some(sl) =>
+          val self = sl.toLowerCase
+          s"IF($lam.tl = '$self' AND $lam.ti, ${tmpl(iterT)}, " +
+            s"IF($lam.tl = '$self', ${tmpl(leaveT)}, ${tmpl(carryT)}))"
+        case None => tmpl(carryT)
+      }
       Some(s"transform(array($fn(named_struct($callArgs))), $lam -> " +
-        s"IF($lam.hr, $hrSql, $restSql))[0]")
+        s"IF($lam.hr, $hrSql, IF($lam.tl IS NULL, $restSql, $labelSql)))[0]")
     case (_: RIterate | _: RLeave | _: RLoop | _: RWhile | _: RRepeat |
           RCompound(Some(_), _, _)) :: _ =>
       throw new IllegalStateException("loop construct on the compiled path")
@@ -660,6 +686,7 @@ object RoutineLang {
               val nVars = cl.varSlots.length
               val lvIdx = nVars; val hrIdx = nVars + 1
               val rvIdx = nVars + 2; val unIdx = nVars + 3
+              val tlIdx = nVars + 4; val tiIdx = nVars + 5
               var live = true
               while (live) {
                 steps += 1
@@ -671,7 +698,7 @@ object RoutineLang {
                 val c = !top.isNullAt(0) && top.getBoolean(0)
                 if (cl.condFirst && !c) live = false
                 else {
-                  val st = top.getStruct(1, nVars + 4)
+                  val st = top.getStruct(1, nVars + 6)
                   var k = 0
                   while (k < nVars) {
                     // copyValue: the projection target row is reused across
@@ -685,6 +712,13 @@ object RoutineLang {
                     throw new ReturnSignal(
                       if (st.isNullAt(rvIdx)) null
                       else InternalRow.copyValue(st.get(rvIdx, cl.retType)))
+                  // a cross-label signal escaping the OUTERMOST kernel can
+                  // only target an interpreter-level construct (e.g. a
+                  // labeled BEGIN block enclosing the loop) — bridge it as
+                  // the interpreter's own LabelSignal
+                  if (!st.isNullAt(tlIdx))
+                    throw new LabelSignal(st.getUTF8String(tlIdx).toString,
+                      leave = st.isNullAt(tiIdx) || !st.getBoolean(tiIdx))
                   if (!st.isNullAt(lvIdx) && st.getBoolean(lvIdx)) live = false
                   else if (!cl.condFirst && !st.isNullAt(unIdx) && st.getBoolean(unIdx))
                     live = false
@@ -761,8 +795,11 @@ object RoutineLang {
       while (i < n) { slots(i) = inConv(i)(in.get(i)); i += 1 }
       val row = new GenericInternalRow(slots)
       val lvIdx = n; val hrIdx = n + 1; val rvIdx = n + 2; val unIdx = n + 3
+      val tlIdx = n + 4; val tiIdx = n + 5
       var hr = false
       var rv: Any = null
+      var tl: String = null
+      var ti = false
       var live = true
       var steps = 0L
       while (live) {
@@ -774,7 +811,7 @@ object RoutineLang {
         val c = !top.isNullAt(0) && top.getBoolean(0)
         if (cl.condFirst && !c) live = false
         else {
-          val st = top.getStruct(1, n + 4)
+          val st = top.getStruct(1, n + 6)
           var k = 0
           while (k < n) {
             slots(cl.varSlots(k)) =
@@ -787,36 +824,47 @@ object RoutineLang {
             rv = if (st.isNullAt(rvIdx)) null
               else InternalRow.copyValue(st.get(rvIdx, cl.retType))
             live = false
+          } else if (!st.isNullAt(tlIdx)) {
+            // cross-label ITERATE/LEAVE: stop this loop, propagate the
+            // target label for an enclosing kernel to dispatch on
+            tl = st.getUTF8String(tlIdx).toString
+            ti = !st.isNullAt(tiIdx) && st.getBoolean(tiIdx)
+            live = false
           } else if (!st.isNullAt(lvIdx) && st.getBoolean(lvIdx)) live = false
           else if (!cl.condFirst && !st.isNullAt(unIdx) && st.getBoolean(unIdx))
             live = false
         }
       }
-      val out = new Array[Any](n + 2)
+      val out = new Array[Any](n + 4)
       i = 0
       while (i < n) { out(i) = outConv(i)(slots(i)); i += 1 }
       out(n) = java.lang.Boolean.valueOf(hr)
       out(n + 1) = if (rv == null) null else outConv(n)(rv)
+      out(n + 2) = tl
+      out(n + 3) = java.lang.Boolean.valueOf(ti)
       org.apache.spark.sql.Row.fromSeq(out.toIndexedSeq)
     }
   }
 
   // ------------------------------------------- compiled loop tier (r15)
   /** Is this loop body expressible as ONE straight-line kernel? No labeled
-    * blocks, and ITERATE/LEAVE only against this loop's own label. NESTED
-    * loops arrive pre-lowered to RKernelCall by compileInnerLoops (r16) —
-    * a raw loop here means that pre-lowering failed (e.g. cross-label
-    * ITERATE/LEAVE inside the nest), which falls back to the interpreter. */
-  private def kernelizable(ss: Seq[RStmt], label: Option[String]): Boolean = {
-    val self = label.map(_.toLowerCase)
+    * blocks; ITERATE/LEAVE may target this loop's own label OR any
+    * ENCLOSING label (r17 — a cross-label signal compiles to a
+    * target-label field in the body struct that each enclosing kernel
+    * dispatches on). NESTED loops arrive pre-lowered to RKernelCall by
+    * compileInnerLoops (r16). */
+  private def kernelizable(ss: Seq[RStmt], label: Option[String],
+      outer: Set[String]): Boolean = {
+    def ok(l: String): Boolean =
+      label.exists(_.equalsIgnoreCase(l)) || outer.contains(l.toLowerCase)
     ss.forall {
       case _: RLoop | _: RWhile | _: RRepeat => false
       case RCompound(Some(_), _, _) => false
-      case RCompound(None, _, b) => kernelizable(b, label)
-      case RIf(bs, e) => bs.forall(x => kernelizable(x._2, label)) &&
-        e.forall(kernelizable(_, label))
-      case RIterate(l) => self.contains(l.toLowerCase)
-      case RLeave(l) => self.contains(l.toLowerCase)
+      case RCompound(None, _, b) => kernelizable(b, label, outer)
+      case RIf(bs, e) => bs.forall(x => kernelizable(x._2, label, outer)) &&
+        e.forall(kernelizable(_, label, outer))
+      case RIterate(l) => ok(l)
+      case RLeave(l) => ok(l)
       case _ => true
     }
   }
@@ -830,28 +878,43 @@ object RoutineLang {
     * (`__graft_il<N>`), and its statement is replaced by RKernelCall — the
     * outer kernel calls the helper once per entry (one row conversion per
     * ENTRY, one codegen'd projection per inner ITERATION; zero
-    * per-statement interpretation anywhere in the nest). Returns None when
-    * any nested loop cannot kernelize (e.g. cross-label control), sending
-    * the whole routine to the interpreter tier. */
+    * per-statement interpretation anywhere in the nest). Cross-label
+    * ITERATE/LEAVE compiles too (r17): the helper propagates the target
+    * label in its result and each enclosing kernel either translates it to
+    * its OWN iterate/leave struct or carries it further out. `selfLabel` is
+    * the label of the kernel whose body is being lowered; `outerLabels`
+    * encloses THAT kernel. */
   private def compileInnerLoops(spark: SparkSession, vars: Seq[VarSlot],
-      slotOf: Map[String, Int], ss: Seq[RStmt], retDdl: String): Option[Seq[RStmt]] = {
+      slotOf: Map[String, Int], ss: Seq[RStmt], retDdl: String,
+      selfLabel: Option[String], outerLabels: Set[String]): Option[Seq[RStmt]] = {
     val varDdls = vars.map(v => (v.name, v.ddl))
-    // the CALLER's body-struct literal for a function-level RETURN taken
-    // inside the nest: every var at its post-loop binding, hr=true,
-    // rv = the helper's (already return-typed) rv field
-    val onHr = "named_struct(" +
-      vars.zipWithIndex.map { case (v, i) => s"'v$i', ${v.name}" }.mkString(", ") +
-      ", 'lv', false, 'hr', true, 'rv', __RV__, 'un', false)"
+    def struct(lv: String, hr: String, rv: String, un: String,
+        tl: String, ti: String): String =
+      "named_struct(" +
+        vars.zipWithIndex.map { case (v, i) => s"'v$i', ${v.name}" }.mkString(", ") +
+        s", 'lv', $lv, 'hr', $hr, 'rv', $rv, 'un', $un, 'tl', $tl, 'ti', $ti)"
+    val nullRv = s"CAST(NULL AS $retDdl)"
+    val nullTl = "CAST(NULL AS string)"
+    // the CALLER's body-struct literals: a function-level RETURN taken
+    // inside the nest (rv = the helper's already-return-typed rv field);
+    // a propagated ITERATE/LEAVE that names the CALLER's label; and a
+    // carry for labels still further out
+    val onHr = struct("false", "true", "__RV__", "false", nullTl, "false")
+    val iterT = struct("false", "false", nullRv, "false", nullTl, "false")
+    val leaveT = struct("true", "false", nullRv, "false", nullTl, "false")
+    val carryT = struct("true", "false", nullRv, "false", "__TL__", "__TI__")
+    val innerOuter = outerLabels ++ selfLabel.map(_.toLowerCase)
     def lowerLoop(lbl: Option[String], cond: Option[String], condFirst: Boolean,
         b: Seq[RStmt], until: Option[String]): Option[RStmt] =
-      compileLoopKernel(spark, vars, slotOf, lbl, cond, condFirst, b, until, retDdl)
+      compileLoopKernel(spark, vars, slotOf, lbl, cond, condFirst, b, until,
+          retDdl, innerOuter)
         .map { cl =>
           val id = innerLoopIds.getAndIncrement()
           val fn = s"__graft_il$id"
           val maxSteps = sys.props.get("graft.routine.maxSteps").map(_.toLong)
             .getOrElse(10000000L)
           registerInnerLoopFn(spark, fn, cl, vars, retDdl, maxSteps)
-          RKernelCall(fn, id, varDdls, onHr)
+          RKernelCall(fn, id, varDdls, onHr, selfLabel, iterT, leaveT, carryT)
         }
     val out = ss.map {
       case RLoop(l, b) => lowerLoop(l, None, condFirst = false, b, None)
@@ -859,12 +922,14 @@ object RoutineLang {
       case RRepeat(l, b, u) => lowerLoop(l, None, condFirst = false, b, Some(u))
       case RIf(bs, e) =>
         val bs2 = bs.map { case (c, b) =>
-          compileInnerLoops(spark, vars, slotOf, b, retDdl).map(c -> _) }
-        val e2 = e.map(compileInnerLoops(spark, vars, slotOf, _, retDdl))
+          compileInnerLoops(spark, vars, slotOf, b, retDdl, selfLabel, outerLabels)
+            .map(c -> _) }
+        val e2 = e.map(compileInnerLoops(spark, vars, slotOf, _, retDdl,
+          selfLabel, outerLabels))
         if (bs2.exists(_.isEmpty) || e2.exists(_.isEmpty)) None
         else Some(RIf(bs2.map(_.get), e2.map(_.get)))
       case RCompound(None, decls, b) =>
-        compileInnerLoops(spark, vars, slotOf, b, retDdl)
+        compileInnerLoops(spark, vars, slotOf, b, retDdl, selfLabel, outerLabels)
           .map(RCompound(None, decls, _))
       case other => Some(other)
     }
@@ -873,7 +938,8 @@ object RoutineLang {
 
   /** Register the helper kernel function for one nested loop: input = the
     * full variable frame as a struct, output = the frame after the loop
-    * runs to completion plus (hr, rv). */
+    * runs to completion plus (hr, rv) and the propagated cross-label
+    * signal (tl, ti). */
   private def registerInnerLoopFn(spark: SparkSession, name: String,
       cl: ICompiledLoop, vars: Seq[VarSlot], retDdl: String,
       maxSteps: Long): Unit = {
@@ -883,9 +949,12 @@ object RoutineLang {
         org.apache.spark.sql.types.StructField(s"v$i", v.tpe)
       } ++ Seq(
         org.apache.spark.sql.types.StructField("hr", BooleanType, nullable = false),
-        org.apache.spark.sql.types.StructField("rv", retType)))
+        org.apache.spark.sql.types.StructField("rv", retType),
+        org.apache.spark.sql.types.StructField("tl", StringType),
+        org.apache.spark.sql.types.StructField("ti", BooleanType, nullable = false)))
     spark.udf.register(name,
       new InnerLoopFn(cl, vars.map(_.tpe).toArray, retType, maxSteps), outType)
+    Option(collectingHelpers.get).foreach(_ += name)
     ()
   }
 
@@ -905,28 +974,39 @@ object RoutineLang {
   private def compileLoopKernel(spark: SparkSession, vars: Seq[VarSlot],
       slotOf: Map[String, Int], label: Option[String], condSql: Option[String],
       condFirst: Boolean, body: Seq[RStmt], untilSql: Option[String],
-      retDdl: String): Option[ICompiledLoop] = {
+      retDdl: String, outerLabels: Set[String]): Option[ICompiledLoop] = {
     // pre-lower nested loops to helper-kernel calls (r16), then require a
     // straight-line body
     val body1 =
-      if (body.exists(hasLoop)) compileInnerLoops(spark, vars, slotOf, body, retDdl)
-        .getOrElse(return None)
+      if (body.exists(hasLoop))
+        compileInnerLoops(spark, vars, slotOf, body, retDdl, label, outerLabels)
+          .getOrElse(return None)
       else body
-    if (!kernelizable(body1, label)) return None
+    if (!kernelizable(body1, label, outerLabels)) return None
     val varNames = vars.map(_.name)
     val bodyStructDdl = ("struct<" +
       vars.zipWithIndex.map { case (v, i) => s"v$i:${v.ddl}" }.mkString(",") +
-      s",lv:boolean,hr:boolean,rv:$retDdl,un:boolean>")
-    def structText(lv: String, hr: String, rv: String, un: String): String =
+      s",lv:boolean,hr:boolean,rv:$retDdl,un:boolean,tl:string,ti:boolean>")
+    def structText(lv: String, hr: String, rv: String, un: String,
+        tl: String = "CAST(NULL AS string)", ti: String = "false"): String =
       "named_struct(" +
         varNames.zipWithIndex.map { case (n, i) => s"'v$i', $n" }.mkString(", ") +
-        s", 'lv', $lv, 'hr', $hr, 'rv', $rv, 'un', $un)"
+        s", 'lv', $lv, 'hr', $hr, 'rv', $rv, 'un', $un, 'tl', $tl, 'ti', $ti)"
     val nullRv = s"CAST(NULL AS $retDdl)"
+    def isSelf(l: String): Boolean = label.exists(_.equalsIgnoreCase(l))
     def rewriteExits(ss: Seq[RStmt]): Seq[RStmt] = ss.map {
       case RReturn(e) =>
         RReturn(structText("false", "true", s"CAST(($e) AS $retDdl)", "false"))
-      case RLeave(_) => RReturn(structText("true", "false", nullRv, "false"))
-      case RIterate(_) => RReturn(structText("false", "false", nullRv, "false"))
+      case RLeave(l) if isSelf(l) =>
+        RReturn(structText("true", "false", nullRv, "false"))
+      case RLeave(l) => // enclosing label: stop and carry the signal out
+        RReturn(structText("true", "false", nullRv, "false",
+          s"'${l.toLowerCase}'", "false"))
+      case RIterate(l) if isSelf(l) =>
+        RReturn(structText("false", "false", nullRv, "false"))
+      case RIterate(l) =>
+        RReturn(structText("true", "false", nullRv, "false",
+          s"'${l.toLowerCase}'", "true"))
       case RIf(bs, e) =>
         RIf(bs.map { case (c, b) => (c, rewriteExits(b)) }, e.map(rewriteExits))
       case RCompound(None, decls, b) => RCompound(None, decls, rewriteExits(b))
@@ -960,7 +1040,8 @@ object RoutineLang {
 
   private def lower(spark: SparkSession, vars: Seq[VarSlot],
       slotOf: Map[String, Int], body: Seq[RStmt], retDdl: String,
-      loopIds: java.util.concurrent.atomic.AtomicInteger): Array[IStmt] = {
+      loopIds: java.util.concurrent.atomic.AtomicInteger,
+      scope: Set[String] = Set.empty): Array[IStmt] = {
     def expr(text: String, cast: Option[String]): BoundExpr =
       compileExpr(spark, vars, text, cast)
     def cond(text: String): BoundExpr = {
@@ -978,9 +1059,9 @@ object RoutineLang {
         Seq(ISet(slot, expr(e, Some(vars(slot).ddl))))
       case RIf(branches, els) =>
         val bs = branches.map { case (c, b) =>
-          (cond(c), lower(spark, vars, slotOf, b, retDdl, loopIds))
+          (cond(c), lower(spark, vars, slotOf, b, retDdl, loopIds, scope))
         }.toArray
-        Seq(IIf(bs, els.map(lower(spark, vars, slotOf, _, retDdl, loopIds))
+        Seq(IIf(bs, els.map(lower(spark, vars, slotOf, _, retDdl, loopIds, scope))
           .getOrElse(Array.empty)))
       case RIterate(l) => Seq(IIterate(l.toLowerCase))
       case RLeave(l) => Seq(ILeave(l.toLowerCase))
@@ -989,7 +1070,8 @@ object RoutineLang {
           val slot = slotOf(n.toLowerCase)
           IInit(slot, d.default.map(x => expr(x, Some(vars(slot).ddl))))
         })
-        val lowered = lower(spark, vars, slotOf, b, retDdl, loopIds)
+        val lowered = lower(spark, vars, slotOf, b, retDdl, loopIds,
+          scope ++ lbl.map(_.toLowerCase))
         lbl match {
           // labeled block: a once-through ILoop whose after-body condition
           // is constant TRUE (REPEAT … UNTIL true) — LEAVE label exits it,
@@ -1003,24 +1085,27 @@ object RoutineLang {
         }
       case RLoop(l, b) =>
         compileLoopKernel(spark, vars, slotOf, l, None, condFirst = false,
-            b, None, retDdl).map(Seq(_)).getOrElse {
+            b, None, retDdl, scope).map(Seq(_)).getOrElse {
           val label = l.map(_.toLowerCase).getOrElse(s"#loop${loopIds.getAndIncrement()}")
           Seq(ILoop(label, Array.empty, None, condFirst = false,
-            lower(spark, vars, slotOf, b, retDdl, loopIds)))
+            lower(spark, vars, slotOf, b, retDdl, loopIds,
+              scope ++ l.map(_.toLowerCase))))
         }
       case RWhile(l, c, b) =>
         compileLoopKernel(spark, vars, slotOf, l, Some(c), condFirst = true,
-            b, None, retDdl).map(Seq(_)).getOrElse {
+            b, None, retDdl, scope).map(Seq(_)).getOrElse {
           val label = l.map(_.toLowerCase).getOrElse(s"#loop${loopIds.getAndIncrement()}")
           Seq(ILoop(label, Array.empty, Some(cond(c)), condFirst = true,
-            lower(spark, vars, slotOf, b, retDdl, loopIds)))
+            lower(spark, vars, slotOf, b, retDdl, loopIds,
+              scope ++ l.map(_.toLowerCase))))
         }
       case RRepeat(l, b, u) =>
         compileLoopKernel(spark, vars, slotOf, l, None, condFirst = false,
-            b, Some(u), retDdl).map(Seq(_)).getOrElse {
+            b, Some(u), retDdl, scope).map(Seq(_)).getOrElse {
           val label = l.map(_.toLowerCase).getOrElse(s"#loop${loopIds.getAndIncrement()}")
           Seq(ILoop(label, Array.empty, Some(cond(u)), condFirst = false,
-            lower(spark, vars, slotOf, b, retDdl, loopIds)))
+            lower(spark, vars, slotOf, b, retDdl, loopIds,
+              scope ++ l.map(_.toLowerCase))))
         }
     }.toArray
   }
@@ -1033,6 +1118,25 @@ object RoutineLang {
     * the pre-bound control AST per row). */
   private val tiers = scala.collection.concurrent.TrieMap[String, String]()
   def tierOf(name: String): Option[String] = tiers.get(name.toLowerCase)
+
+  /** Inner-loop helper kernels (`__graft_il<N>`) registered for each routine,
+    * so CREATE OR REPLACE / DROP FUNCTION deregisters the stale ones instead
+    * of stranding them in the session function registry for the process
+    * lifetime (ADVICE r16; the reference's generated routine bytecode dies
+    * with the routine). */
+  private val helpersOf = scala.collection.concurrent.TrieMap[String, Seq[String]]()
+  private val collectingHelpers =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[String]]
+
+  /** Drop the helper kernels (and tier record) of a routine being dropped or
+    * replaced. Safe to call for routines that never had helpers. */
+  def dropHelpers(spark: SparkSession, name: String): Unit = {
+    helpersOf.remove(name.toLowerCase).foreach(_.foreach { h =>
+      spark.sessionState.catalog.dropTempFunction(h, ignoreIfNotExists = true)
+    })
+    tiers.remove(name.toLowerCase)
+    ()
+  }
 
   private def hasIStmt(program: Array[IStmt], p: IStmt => Boolean): Boolean = {
     def walk(s: IStmt): Boolean = p(s) || (s match {
@@ -1050,7 +1154,18 @@ object RoutineLang {
     validateReturn(body)
     checkLabels(body, Set.empty, Set.empty)
     val vars = collectVars(params, body)
+    // CREATE OR REPLACE: drop the previous compile's helper kernels first
+    dropHelpers(spark, name)
+    val helperBuf = scala.collection.mutable.ArrayBuffer[String]()
+    collectingHelpers.set(helperBuf)
+    try registerImpl(spark, name, params, retType, body, vars, helperBuf)
+    finally collectingHelpers.remove()
+  }
 
+  private def registerImpl(spark: SparkSession, name: String,
+      params: Seq[(String, String)], retType: String, body: RStmt,
+      vars: Seq[VarSlot],
+      helperBuf: scala.collection.mutable.ArrayBuffer[String]): Unit = {
     if (!hasLoop(body)) {
       compileStraight(body, params, vars, retType) match {
         case Some(sql) =>
@@ -1078,6 +1193,7 @@ object RoutineLang {
     val runner = new Runner(program, vars.length,
       params.indices.map(i => vars(i).tpe).toArray, retDataType, maxSteps)
     registerUdf(spark, name, params.length, retDataType, runner)
+    if (helperBuf.nonEmpty) helpersOf(name.toLowerCase) = helperBuf.toSeq
   }
 
   private def registerUdf(spark: SparkSession, name: String, arity: Int,

@@ -1012,6 +1012,8 @@ private[graft] object Statements {
       }
       spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $lower")
       graft.functions.SqlRoutines.unregister(lower)
+      // drop any inner-loop helper kernels the routine compiled (ADVICE r16)
+      graft.functions.RoutineLang.dropHelpers(spark, lower)
       oneRow(spark, "rows", 0L)
 
     case MergeStmt(name, source, key) =>

@@ -235,8 +235,9 @@ class RoutineSpec extends SparkSpec {
     assert(sql("SELECT t_nestret(6) AS v").collect().head.getLong(0) == 304L)
     assert(sql("SELECT t_nestret(2) AS v").collect().head.getLong(0) == -1L)
 
-    // cross-label control out of the inner loop still falls back to the
-    // interpreter (documented residual)
+    // cross-label control out of the inner loop COMPILES too (r17): the
+    // inner kernel carries the target label in its result struct and the
+    // outer kernel dispatches it to its own leave path
     sql("""CREATE OR REPLACE FUNCTION t_nestx(n bigint) RETURNS bigint
            BEGIN
              DECLARE i bigint DEFAULT 0;
@@ -252,8 +253,98 @@ class RoutineSpec extends SparkSpec {
              END WHILE;
              RETURN i * 10 + j;
            END""")
-    assert(graft.functions.RoutineLang.tierOf("t_nestx").contains("interpreted"))
+    assert(graft.functions.RoutineLang.tierOf("t_nestx").contains("compiled-loops"),
+      graft.functions.RoutineLang.tierOf("t_nestx").toString)
     assert(sql("SELECT t_nestx(5) AS v").collect().head.getLong(0) == 3L)
+
+    // cross-label ITERATE from the inner loop: continue the OUTER loop —
+    // j stops accumulating the first time it reaches 2 in an iteration
+    sql("""CREATE OR REPLACE FUNCTION t_nesti(n bigint) RETURNS bigint
+           BEGIN
+             DECLARE i bigint DEFAULT 0;
+             DECLARE acc bigint DEFAULT 0;
+             DECLARE j bigint;
+             out_i: WHILE i < n DO
+               SET i = i + 1;
+               SET j = 0;
+               WHILE j < 10 DO
+                 IF j = 2 THEN
+                   ITERATE out_i;
+                 END IF;
+                 SET j = j + 1;
+                 SET acc = acc + 1;
+               END WHILE;
+               SET acc = acc + 100;
+             END WHILE;
+             RETURN acc;
+           END""")
+    assert(graft.functions.RoutineLang.tierOf("t_nesti").contains("compiled-loops"),
+      graft.functions.RoutineLang.tierOf("t_nesti").toString)
+    // each outer iteration adds j=0,1 (+2) then ITERATEs out before the
+    // +100 line: acc = 2n
+    assert(sql("SELECT t_nesti(4) AS v").collect().head.getLong(0) == 8L)
+
+    // a compiled signal escaping the outermost kernel bridges to the
+    // interpreter: LEAVE of a labeled BEGIN from inside a nested loop
+    sql("""CREATE OR REPLACE FUNCTION t_nestb(n bigint) RETURNS bigint
+           BEGIN
+             DECLARE i bigint DEFAULT 0;
+             DECLARE j bigint DEFAULT 0;
+             blk: BEGIN
+               WHILE i < n DO
+                 WHILE j < n DO
+                   IF i * j >= 4 THEN
+                     LEAVE blk;
+                   END IF;
+                   SET j = j + 1;
+                 END WHILE;
+                 SET j = 0;
+                 SET i = i + 1;
+               END WHILE;
+               SET i = -1;
+             END;
+             RETURN i * 100 + j;
+           END""")
+    // i=1: j scans to 4 where 1*4>=4 → LEAVE blk (skipping SET i=-1)
+    assert(sql("SELECT t_nestb(5) AS v").collect().head.getLong(0) == 104L)
+  }
+
+  test("inner-loop helper kernels deregister on CREATE OR REPLACE and DROP") {
+    // ADVICE r16: each nested-loop compile registered a fresh global
+    // __graft_il<N> helper that was never dropped — repeated CREATE OR
+    // REPLACE grew the session function registry for the process lifetime
+    def ilHelpers: Set[String] =
+      spark.sessionState.functionRegistry.listFunction()
+        .map(_.unquotedString).filter(_.contains("__graft_il")).toSet
+    val baseline = ilHelpers
+    def create(): Unit = sql(
+      """CREATE OR REPLACE FUNCTION t_ilreg(n bigint) RETURNS bigint
+         BEGIN
+           DECLARE i bigint DEFAULT 0;
+           DECLARE acc bigint DEFAULT 0;
+           DECLARE j bigint;
+           WHILE i < n DO
+             SET j = 0;
+             WHILE j < i DO
+               SET acc = acc + 1;
+               SET j = j + 1;
+             END WHILE;
+             SET i = i + 1;
+           END WHILE;
+           RETURN acc;
+         END""")
+    create()
+    val afterOne = ilHelpers
+    val perCompile = (afterOne -- baseline).size
+    assert(perCompile >= 1, "expected the nest to register helper kernels")
+    create(); create()
+    // replaces swap helpers instead of accumulating them
+    assert((ilHelpers -- baseline).size == perCompile,
+      s"stale helpers accumulated: ${(ilHelpers -- baseline).toSeq.sorted}")
+    assert(sql("SELECT t_ilreg(5) AS v").collect().head.getLong(0) == 10L)
+    sql("DROP FUNCTION t_ilreg")
+    assert(ilHelpers == baseline,
+      s"DROP FUNCTION left helper kernels behind: ${(ilHelpers -- baseline).toSeq.sorted}")
   }
 
   test("body not ending in RETURN is rejected at CREATE (reference MISSING_RETURN)") {
