@@ -249,9 +249,11 @@ object Bench {
     // line, and r14's artifact lost the per-query dict because `queries`
     // printed before the (much larger) `samples` blob and fell off the
     // front of the capture window. The bulky raw-sample/diagnostic fields
-    // go FIRST; the fields every reader needs (`queries`, `calibration`)
-    // go LAST so they always survive their own capture window.
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","total_nonreplay":${d3(totalNonReplay)},"heap_mb":$heapMb,"sf":"$sfDir","samples":$samples,"gc_sec":$gcJson,"storage_mb_before":$stoJson,"replay_only":$replay,"queries":$qs,"calibration":$calibration}""")
+    // go FIRST; the fields every reader needs (`queries`, `calibration`,
+    // `total_nonreplay` — the r16 artifact lost the last of these when
+    // field growth pushed its front-of-line copy out of the 2000-char
+    // window) go LAST so they always survive their own capture window.
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","heap_mb":$heapMb,"sf":"$sfDir","samples":$samples,"gc_sec":$gcJson,"storage_mb_before":$stoJson,"replay_only":$replay,"queries":$qs,"calibration":$calibration,"total_nonreplay":${d3(totalNonReplay)}}""")
     spark.stop()
   }
 }

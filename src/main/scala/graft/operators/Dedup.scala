@@ -403,9 +403,12 @@ object Dedup {
       .select($"doc_id", xxhash64($"band", $"bkey").as("bucket"))
 
     // ---- index build (idempotent per invocation: fresh root, like the
-    // DROP TABLE IF EXISTS convention of the warehouse oracles)
+    // DROP TABLE IF EXISTS convention of the warehouse oracles). The root is
+    // suffixed with the Spark application id so concurrent sessions on one
+    // machine never race each other's rm-recreate (ADVICE r16).
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_dedup_idx").toString
+      System.getProperty("java.io.tmpdir"),
+      s"graft_dedup_idx_${s.sparkContext.applicationId}").toString
     def rmRec(p: java.nio.file.Path): Unit = {
       if (java.nio.file.Files.isDirectory(p)) {
         val it = java.nio.file.Files.list(p).iterator()
