@@ -146,13 +146,24 @@ object TextPipeline {
     // xxhash64(concat_ws(' ', slice(toks, i+1, 8)))) — no shingle string is
     // ever materialized.
     val docs = table(s, dir, "documents")
+    // bench-set build is ONE map-only stage: per-doc hash arrays collect and
+    // dedup on the driver (the set is bounded by the held-out suite size, so
+    // the driver dedup is the same order as the collected distinct set the
+    // r16 spelling shipped — minus its explode + distinct exchange). r17 A/B
+    // at sf0.1: 0.563 → 0.488 s.
     val benchSet: Array[Long] = docs.filter($"doc_id" % 50 === 0)
-      .select(explode(shingleHashSeq(split($"text", " "), Gram)).as("sh"))
-      .distinct().as[Long].collect().sorted
-    docs.filter($"doc_id" % 50 =!= 0)
+      .select(shingleHashSeq(split($"text", " "), Gram).as("shs"))
+      .as[Seq[Long]].collect().iterator.flatten.toArray.distinct.sorted
+    // persist the NARROW (doc_id, hit_count) projection before the
+    // presentation sort: orderBy's range-sampling pass otherwise
+    // re-evaluates the shingle kernel over the whole corpus — the cache is
+    // two longs per doc, the saving is one full kernel pass (r17 A/B:
+    // 0.488 → 0.402 s; the skeleton floor — same scans, same sort, no
+    // kernel — measures 0.325 s, see BASELINE.md)
+    materialized(docs.filter($"doc_id" % 50 =!= 0)
       .select($"doc_id",
         arraySetCountDistinct(
-          shingleHashSeq(split($"text", " "), Gram), benchSet).as("hit_shingles"))
+          shingleHashSeq(split($"text", " "), Gram), benchSet).as("hit_shingles")))
       .withColumn("contaminated", $"hit_shingles" > 0)
       .orderBy($"doc_id")
   }
@@ -176,9 +187,10 @@ object TextPipeline {
     import graft.functions.TextFunctions.{arraySetCountDistinct, shingleHashSeq}
     val stop = Seq("the", "a", "of", "and", "to")
     val docs = table(s, dir, "documents")
+    // same one-stage bench-set build as q_text_contamination
     val benchSet: Array[Long] = docs.filter($"doc_id" % 50 === 0)
-      .select(explode(shingleHashSeq(split($"text", " "), Gram)).as("sh"))
-      .distinct().as[Long].collect().sorted
+      .select(shingleHashSeq(split($"text", " "), Gram).as("shs"))
+      .as[Seq[Long]].collect().iterator.flatten.toArray.distinct.sorted
     val scored = docs.filter($"doc_id" % 50 =!= 0)
       .withColumn("toks", split(lower($"text"), " "))
       .withColumn("n_tokens", size($"toks").cast("double"))
