@@ -321,7 +321,49 @@ private[graft] final class CowScan(
     spark: SparkSession, layout: CowDsv2.Layout, required: StructType,
     dataFilters: Array[Filter], partFilters: Array[Filter])
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  // ---- runtime (DPP-style) filters, delivered by Spark after broadcast
+  // materialization: partition-column predicates prune whole hive
+  // partitions, bucket-column IN/EQ sets prune to the matching buckets —
+  // the DSv2 analogue of FileSourceScan's dynamic partition pruning.
+  // Static pruning (the reported partitioning) is unaffected: Spark
+  // re-plans input partitions after filter() and regroups the surviving
+  // keys itself.
+  @volatile private var runtimePartFilters: Array[Filter] = Array.empty
+  @volatile private var runtimeBuckets: Option[Set[Int]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only columns that survived column pruning: Spark resolves these
+    // against the scan's (pruned) output
+    val avail = readSchema().fieldNames.map(_.toLowerCase).toSet
+    (layout.partCols ++ layout.bucketCols).distinct
+      .filter(c => avail.contains(c.toLowerCase))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val isPart = (c: String) => layout.partCols.exists(_.equalsIgnoreCase(c))
+    runtimePartFilters = runtimePartFilters ++ filters.filter(f =>
+      f.references.nonEmpty && f.references.forall(isPart))
+    // single-bucket-column IN/EQ → allowed bucket ids (the common DPP shape)
+    if (layout.bucketCols.lengthCompare(1) == 0) {
+      val c = layout.bucketCols.head
+      val dt = layout.bucketTypes.head
+      def ids(vs: Seq[Any]): Set[Int] = vs.filter(_ != null).map(v =>
+        CowDsv2.bucketId(Seq(CatalystTypeConverters.convertToCatalyst(v)),
+          Seq(dt), layout.bucketCount)).toSet
+      filters.foreach {
+        case In(a, vs) if a.equalsIgnoreCase(c) =>
+          val allowed = ids(vs.toSeq)
+          runtimeBuckets = Some(runtimeBuckets.fold(allowed)(_ intersect allowed))
+        case EqualTo(a, v) if a.equalsIgnoreCase(c) =>
+          val allowed = ids(Seq(v))
+          runtimeBuckets = Some(runtimeBuckets.fold(allowed)(_ intersect allowed))
+        case _ =>
+      }
+    }
+  }
 
   private val readDataSchema = StructType(required.fields.filter(f =>
     layout.dataSchema.fields.exists(_.name.equalsIgnoreCase(f.name))))
@@ -358,7 +400,8 @@ private[graft] final class CowScan(
 
   // ---- hive-partition pruning over parsed path values (conservative:
   // anything not understood keeps the file)
-  private def partKeep(raw: Map[String, String]): Boolean = {
+  private def partKeep(raw: Map[String, String],
+      filters: Array[Filter]): Boolean = {
     val types = layout.partitionSchema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     def scalaValue(col: String): Option[Any] = {
       val lc = col.toLowerCase
@@ -403,13 +446,14 @@ private[graft] final class CowScan(
       case Not(x) => eval(x).map(!_)
       case _ => None
     }
-    partFilters.forall(f => eval(f).getOrElse(true))
+    filters.forall(f => eval(f).getOrElse(true))
   }
 
-  /** Manifest → surviving files, grouped into one partition per bucket.
-    * Planning cost is O(|manifest|) — the same order as any source's split
-    * enumeration; file sizes come from local metadata. */
-  private lazy val partitions: Array[CowInputPartition] = {
+  /** Manifest → surviving files after STATIC pruning, grouped into one
+    * partition per bucket — this is the set the reported partitioning
+    * describes. Planning cost is O(|manifest|) — the same order as any
+    * source's split enumeration; file sizes come from local metadata. */
+  private lazy val staticPartitions: Array[CowInputPartition] = {
     val manifest = spark.read.parquet(
       Paths.get(layout.root, "_manifests", s"v${layout.version}").toString)
       .select("path").collect().map(_.getString(0))
@@ -422,7 +466,7 @@ private[graft] final class CowScan(
       if (tb.exists(_ != b)) Iterator.empty
       else {
         val rawVals = CowDsv2.partValuesOf(p)
-        if (!partKeep(rawVals)) Iterator.empty
+        if (!partKeep(rawVals, partFilters)) Iterator.empty
         else {
           val pvVals: Array[Any] = partTypes.map(f =>
             rawVals.get(f.name.toLowerCase)
@@ -440,14 +484,26 @@ private[graft] final class CowScan(
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    partitions.toArray[InputPartition]
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rb = runtimeBuckets
+    val rf = runtimePartFilters
+    if (rb.isEmpty && rf.isEmpty) staticPartitions.toArray[InputPartition]
+    else staticPartitions.iterator
+      .filter(p => rb.forall(_.contains(p.bucketId)))
+      .map { p =>
+        if (rf.isEmpty) p
+        else p.copy(files = p.files.filter(f =>
+          partKeep(CowDsv2.partValuesOf(f.filePath.toString), rf)))
+      }
+      .filter(_.files.nonEmpty)
+      .toArray[InputPartition]
+  }
 
   override def outputPartitioning(): Partitioning =
-    if (partitions.isEmpty) new UnknownPartitioning(0)
+    if (staticPartitions.isEmpty) new UnknownPartitioning(0)
     else new KeyGroupedPartitioning(
       Array(Expressions.bucket(layout.bucketCount, layout.bucketCols: _*)),
-      partitions.length)
+      staticPartitions.length)
 
   override def createReaderFactory(): PartitionReaderFactory =
     CowReaderFactory(org.apache.spark.sql.graftcow.ParquetShim.parquetReaderFactory(
@@ -455,7 +511,7 @@ private[graft] final class CowScan(
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = {
-      val total = partitions.iterator.flatMap(_.files).map(_.fileSize).sum
+      val total = staticPartitions.iterator.flatMap(_.files).map(_.fileSize).sum
       // column pruning shrinks what actually flows; approximate by the
       // pruned-to-full column ratio so small pruned scans stay broadcastable
       val ratio = math.max(1, readSchema().fields.length).toDouble /

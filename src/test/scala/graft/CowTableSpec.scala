@@ -481,6 +481,50 @@ class CowTableSpec extends SparkSpec {
       "DSv2 reads must not create session-catalog entries")
   }
 
+  test("DSv2 runtime filtering prunes partitions at execution (DPP analogue)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cow_dpp").toString
+    val src = graft.sources.Tables.load(spark, sfDir, "orders")
+      .selectExpr("o_orderkey AS k", "o_custkey AS cust",
+        "CAST(o_custkey % 3 AS INT) AS r")
+    val t = graft.catalog.CowTable.create(spark, root, src,
+      partitionBy = Seq("r"), bucketBy = Seq("cust"), bucketCount = 4)
+    // a filtered dim joined on the PARTITION column: Spark plans a dynamic
+    // pruning subquery against the scan's filterAttributes — the old
+    // catalog-entry path got FileSourceScan DPP for free; the DSv2 scan
+    // serves it through SupportsRuntimeFiltering. The dim is disk-backed
+    // with an ATTRIBUTE filter: a literal filter on the join key would be
+    // propagated as a static constraint and bypass DPP entirely.
+    val dimDir = java.nio.file.Files.createTempDirectory("cow_dpp_dim").toString + "/dim"
+    Seq((0, "a"), (1, "b"), (2, "a")).toDF("r", "grp").write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"grp" === "b")
+    val j = t.read().join(dim, "r")
+    val n = j.collect().length.toLong // execute THIS plan (metrics below)
+    assert(n == src.filter("r = 1").count())
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"expected a dynamic pruning runtime filter on the CoW scan:\n$plan")
+    // the scan only produced the surviving partition's rows
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
+      val kids = p.children ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      })
+      (p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.description().contains("GraftCowScan") => Seq(b)
+        case _ => Seq.empty
+      }) ++ kids.flatMap(scans)
+    }
+    val scanRows = scans(j.queryExecution.executedPlan)
+      .map(_.metrics("numOutputRows").value).sum
+    assert(scanRows == n,
+      s"runtime pruning should keep only r=1 rows at the scan, read $scanRows of $n")
+  }
+
   test("bucketed schema evolution: ADD COLUMN reads back values, replace restores the fast path") {
     import graft.sqlx.TrinoDialect
     // the r15 ADVICE scenario: ALTER TABLE ADD COLUMN + INSERT on a
