@@ -321,7 +321,27 @@ private[graft] final class CowScan(
     spark: SparkSession, layout: CowDsv2.Layout, required: StructType,
     dataFilters: Array[Filter], partFilters: Array[Filter])
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportOrdering {
+
+  /** Per-partition sort order (SQL `sorted_by`), reported ONLY when it
+    * actually holds: every bucket partition streams a single sorted file
+    * (a compacted/fresh generation). Multi-file buckets (appends) and
+    * hive-partitioned layouts concatenate files, so they report nothing —
+    * never a wrong ordering. Eliminates the SMJ sorts on bucket+sort-key
+    * joins, the reference's sorted-bucket read contract
+    * (plugin/trino-hive sorted_by). */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val avail = readSchema().fieldNames.map(_.toLowerCase).toSet
+    val ok = layout.sortCols.nonEmpty &&
+      layout.sortCols.forall(c => avail.contains(c.toLowerCase)) &&
+      staticPartitions.nonEmpty && staticPartitions.forall(_.files.length <= 1)
+    if (!ok) Array.empty
+    else layout.sortCols.map(c => Expressions.sort(
+      Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+      org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST)).toArray
+  }
 
   // ---- runtime (DPP-style) filters, delivered by Spark after broadcast
   // materialization: partition-column predicates prune whole hive
@@ -449,21 +469,97 @@ private[graft] final class CowScan(
     filters.forall(f => eval(f).getOrElse(true))
   }
 
+  /** File-level min/max/null pruning over the manifest's stored column
+    * stats (r17; reference: the iceberg connector prunes data files from
+    * manifest value ranges before any footer is read). Conservative: a
+    * missing stats map, a column without stats, or a shape the interval
+    * logic cannot decide keeps the file. */
+  private def statsKeep(stats: Map[String, org.apache.spark.sql.Row],
+      filters: Array[Filter]): Boolean = {
+    if (stats == null || stats.isEmpty || filters.isEmpty) return true
+    val types = layout.dataSchema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (null, _) | (_, null) => None
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: Comparable[_], y) if x.getClass.isInstance(y) =>
+        Some(x.asInstanceOf[Comparable[Any]].compareTo(y))
+      case _ => None
+    }
+    // (min, max) as Scala values typed by the table schema, like hive
+    // partition values; None when undecidable
+    def bounds(colName: String): Option[(Any, Any)] = {
+      val lc = colName.toLowerCase
+      for {
+        r <- stats.get(lc)
+        dt <- types.get(lc)
+        if !r.isNullAt(0) && !r.isNullAt(1)
+        mn = CatalystTypeConverters.createToScalaConverter(dt)(
+          CowDsv2.castPartValue(r.getString(0), dt))
+        mx = CatalystTypeConverters.createToScalaConverter(dt)(
+          CowDsv2.castPartValue(r.getString(1), dt))
+        if mn != null && mx != null
+      } yield (mn, mx)
+    }
+    def counts(colName: String): Option[(Long, Long)] =
+      stats.get(colName.toLowerCase).map(r => (r.getLong(2), r.getLong(3)))
+    def eval(f: Filter): Option[Boolean] = f match {
+      case EqualTo(a, v) => bounds(a).flatMap { case (mn, mx) =>
+        for { c1 <- cmp(mn, v); c2 <- cmp(mx, v) } yield c1 <= 0 && c2 >= 0 }
+      case In(a, vs) => bounds(a).flatMap { case (mn, mx) =>
+        val hits = vs.map(v =>
+          for { c1 <- cmp(mn, v); c2 <- cmp(mx, v) } yield c1 <= 0 && c2 >= 0)
+        if (hits.exists(_.contains(true))) Some(true)
+        else if (hits.forall(_.contains(false))) Some(false)
+        else None }
+      case GreaterThan(a, v) => bounds(a).flatMap(b => cmp(b._2, v).map(_ > 0))
+      case GreaterThanOrEqual(a, v) => bounds(a).flatMap(b => cmp(b._2, v).map(_ >= 0))
+      case LessThan(a, v) => bounds(a).flatMap(b => cmp(b._1, v).map(_ < 0))
+      case LessThanOrEqual(a, v) => bounds(a).flatMap(b => cmp(b._1, v).map(_ <= 0))
+      case IsNull(a) => counts(a).map(_._1 > 0)
+      case IsNotNull(a) => counts(a).map { case (nulls, cnt) => cnt > nulls }
+      case And(l, r) => (eval(l), eval(r)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (eval(l), eval(r)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case _ => None // Not-over-ranges and exotic shapes: keep
+    }
+    filters.forall(f => eval(f).getOrElse(true))
+  }
+
   /** Manifest → surviving files after STATIC pruning, grouped into one
     * partition per bucket — this is the set the reported partitioning
     * describes. Planning cost is O(|manifest|) — the same order as any
     * source's split enumeration; file sizes come from local metadata. */
   private lazy val staticPartitions: Array[CowInputPartition] = {
-    val manifest = spark.read.parquet(
+    val manifestRaw = spark.read.parquet(
       Paths.get(layout.root, "_manifests", s"v${layout.version}").toString)
-      .select("path").collect().map(_.getString(0))
+    val hasStats = manifestRaw.columns.contains("stats")
+    val manifest: Array[(String, Map[String, org.apache.spark.sql.Row])] =
+      (if (hasStats) manifestRaw.select("path", "stats") else manifestRaw.select("path"))
+        .collect().map { r =>
+          val st =
+            if (hasStats && !r.isNullAt(1))
+              r.getMap[String, org.apache.spark.sql.Row](1).toMap
+            else Map.empty[String, org.apache.spark.sql.Row]
+          (r.getString(0), st)
+        }
     val tb = targetBucket
     val partTypes = readPartitionSchema.fields
-    val byBucket = manifest.iterator.flatMap { p =>
+    val byBucket = manifest.iterator.flatMap { case (p, fstats) =>
       val fileName = p.substring(p.lastIndexOf('/') + 1)
       val b = CowDsv2.bucketIdOf(fileName).getOrElse(throw new IllegalStateException(
         s"bucketed CoW manifest entry without a bucket id: $p"))
       if (tb.exists(_ != b)) Iterator.empty
+      else if (!statsKeep(fstats, dataFilters)) Iterator.empty
       else {
         val rawVals = CowDsv2.partValuesOf(p)
         if (!partKeep(rawVals, partFilters)) Iterator.empty

@@ -414,12 +414,20 @@ final class CowTable private (root0: String, spark: SparkSession) {
       manifestSizeBefore: Long, affectedFiles: Seq[String],
       untouchedCarried: Long, version: Int)
 
+  /** Carried-manifest projection: path plus the per-file column stats when
+    * the source manifest carries them (pre-r17 manifests lack the column;
+    * commit's unionByName fills those with null = "no stats, no pruning"). */
+  private def carryDf(v: Int): DataFrame = {
+    val m = manifestDf(v)
+    if (m.columns.contains("stats")) m.select("path", "stats") else m.select("path")
+  }
+
   /** Append-only insert: new files, no rewrites. `branch` scopes the commit
     * to that branch's head (the reference's `INSERT INTO t@branch`). */
   def insert(df: DataFrame, branch: String = "main"): Unit = {
     val v = branchHead(branch)
     val newFiles = writeData(df)
-    commit(manifestDf(v).select("path"), newFiles, branch)
+    commit(carryDf(v), newFiles, branch)
     ()
   }
 
@@ -636,7 +644,9 @@ final class CowTable private (root0: String, spark: SparkSession) {
       spark.sparkContext.parallelize(affectedNames.map(org.apache.spark.sql.Row(_)), 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("fname", org.apache.spark.sql.types.StringType))))
-    val untouched = before.join(broadcast(affectedDf), Seq("fname"), "left_anti").select("path")
+    val keep = if (before.columns.contains("stats")) Seq("path", "stats") else Seq("path")
+    val untouched = before.join(broadcast(affectedDf), Seq("fname"), "left_anti")
+      .select(keep.head, keep.tail: _*)
     val (carried, v) = commit(untouched, newFiles, branch)
     MutationStats(before.count(), affected, carried, v)
   }
@@ -797,11 +807,17 @@ final class CowTable private (root0: String, spark: SparkSession) {
       // union IS the snapshot, served bucket-aware by CowDsv2. Filesystem
       // cost is O(files this mutation touched); the carried set streams
       // through the distributed manifest write without ever landing on the
-      // driver.
+      // driver. NEW files get per-column min/max/null stats lifted from
+      // their parquet footers (O(new files) footer reads) — the manifest
+      // data-skipping the open lake formats keep (reference: the iceberg
+      // connector prunes files from manifest value ranges); CowDsv2 prunes
+      // files whose ranges exclude the pushed predicates before any footer
+      // is opened at READ time.
       val dir = versionDir(v)
       Files.createDirectories(dir)
       val outNew = newFiles.map(moveStaged(_, dir))
-      carriedDf.unionByName(outNew.toDF("path"))
+      val newDf = outNew.map(p => (p, footerStats(p))).toDF("path", "stats")
+      carriedDf.unionByName(newDf, allowMissingColumns = true)
         .coalesce(1).write.mode("overwrite")
         .parquet(manifestDir.resolve(s"v$v").toString)
       val carried = carriedDf.count()
@@ -813,6 +829,71 @@ final class CowTable private (root0: String, spark: SparkSession) {
     val carried = carriedDf.count()
     setHead(branch, v)
     (carried, v)
+  }
+
+  /** Per-file column stats lifted from the parquet FOOTER at commit time:
+    * top-level columns of simple types only (ints, floats, strings,
+    * booleans), min/max merged across row groups, null + value counts.
+    * Values are stored as strings and re-typed against the table schema at
+    * scan time (the same cast path hive-partition values use). A column
+    * with unusable statistics (unknown type, NaN bounds, stats-free
+    * writer) is simply omitted — absence means "cannot prune", never
+    * wrong pruning. */
+  private def footerStats(p: String): Map[String, CowTable.ColStat] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val acc = scala.collection.mutable.Map[String, CowTable.ColStat]()
+    val bad = scala.collection.mutable.Set[String]()
+    try {
+      val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p),
+        spark.sessionState.newHadoopConf())
+      val reader = ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.forEach { b =>
+          b.getColumns.forEach { c =>
+            if (c.getPath.size == 1) {
+              val name = c.getPath.toDotString.toLowerCase
+              val pt = c.getPrimitiveType
+              val lt = pt.getLogicalTypeAnnotation
+              val numeric = pt.getPrimitiveTypeName match {
+                case INT32 | INT64 =>
+                  lt == null || lt.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+                case FLOAT | DOUBLE => lt == null
+                case _ => false
+              }
+              val stringy = pt.getPrimitiveTypeName == BINARY &&
+                lt.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              val booly = pt.getPrimitiveTypeName == BOOLEAN && lt == null
+              val st = c.getStatistics
+              if (!(numeric || stringy || booly) || st == null || st.isEmpty ||
+                  !st.hasNonNullValue || st.getNumNulls < 0) bad += name
+              else try {
+                def str(v: Any): String = v match {
+                  case bin: org.apache.parquet.io.api.Binary => bin.toStringUsingUTF8
+                  case x => String.valueOf(x)
+                }
+                val (mn, mx) = (str(st.genericGetMin), str(st.genericGetMax))
+                def cmp(a: String, bb: String): Int =
+                  if (numeric) new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(bb))
+                  else a.compareTo(bb)
+                val merged = acc.get(name) match {
+                  case Some(prev) => CowTable.ColStat(
+                    if (cmp(mn, prev.min) < 0) mn else prev.min,
+                    if (cmp(mx, prev.max) > 0) mx else prev.max,
+                    prev.nulls + st.getNumNulls, prev.cnt + c.getValueCount)
+                  case None =>
+                    CowTable.ColStat(mn, mx, st.getNumNulls, c.getValueCount)
+                }
+                acc(name) = merged
+              } catch { case _: NumberFormatException => bad += name }
+            }
+          }
+        }
+      } finally reader.close()
+    } catch { case _: java.io.IOException => return Map.empty }
+    (acc -- bad).toMap
   }
 
   /** Move one staged file into the version dir, dropping emptied stage
@@ -843,7 +924,7 @@ final class CowTable private (root0: String, spark: SparkSession) {
     require(version >= 0 && version <= v,
       s"version $version does not exist (current is $v)")
     if (version == v) v
-    else commit(manifestDf(version).select("path"), Nil, "main")._2
+    else commit(carryDf(version), Nil, "main")._2
   }
 
   /** Physical cleanup (the open lake formats' expire_snapshots + orphan file
@@ -933,6 +1014,10 @@ object CowTable {
     * an unchanged table skip the catalog DDL entirely (re-point only on a
     * version change or a missing entry). */
   private val syncedVersions = scala.collection.concurrent.TrieMap[String, Int]()
+
+  /** Per-file column statistics stored in bucketed manifests (r17):
+    * min/max as strings (re-typed at scan), null count, value count. */
+  final case class ColStat(min: String, max: String, nulls: Long, cnt: Long)
 
   /** A WHEN MATCHED case: optional AND-condition (SQL text over the two
     * aliases), DELETE flag, or the SET map (lowercase target column → SQL

@@ -481,6 +481,92 @@ class CowTableSpec extends SparkSpec {
       "DSv2 reads must not create session-catalog entries")
   }
 
+  test("single-file buckets report their sort order: SMJ plans no sorts") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cow_sorted").toString
+    val src = graft.sources.Tables.load(spark, sfDir, "orders")
+      .selectExpr("o_orderkey AS k", "o_custkey AS cust", "o_totalprice AS price")
+    val t = graft.catalog.CowTable.create(spark, root, src,
+      bucketBy = Seq("cust"), bucketCount = 8, sortedBy = Seq("cust"))
+    def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    }
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // a single write generation = one sorted file per bucket, so the scan
+      // reports its sorted_by ordering and the bucket-key SMJ needs NO Sort
+      // (the reference's sorted-bucket read contract)
+      val j = t.read().as("a").join(t.read().as("b"), "cust").groupBy("cust").count()
+      val plan = finalPlan(j).toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Sort ["),
+        s"sorted single-file buckets must not re-sort for the SMJ:\n$plan")
+      // an append makes buckets multi-file: the ordering claim is retracted
+      // (never wrongly kept) and the join sorts again — results unchanged
+      t.insert(spark.sql(
+        "SELECT CAST(9999999 AS BIGINT) AS k, CAST(19 AS BIGINT) AS cust, CAST(1.0 AS DOUBLE) AS price"))
+      val j2 = t.read().as("a").join(t.read().as("b"), "cust").groupBy("cust").count()
+      val plan2 = finalPlan(j2).toString
+      assert(plan2.contains("Sort ["),
+        s"multi-file buckets must re-sort (ordering no longer holds):\n$plan2")
+      assert(j2.filter($"cust" === 19).collect().nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("manifest column stats prune files before any footer is read") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cow_stats").toString
+    val gen1 = spark.range(0, 4000).select(
+      $"id".as("k"), ($"id" % 97).as("cust"), ($"id" * 1.5).as("price"))
+    val t = graft.catalog.CowTable.create(spark, root, gen1,
+      bucketBy = Seq("cust"), bucketCount = 4)
+    // second generation with a DISJOINT k range: its files' manifest stats
+    // carry k in [1000000, 1003999]
+    t.insert(spark.range(1000000L, 1004000L).select(
+      $"id".as("k"), ($"id" % 97).as("cust"), ($"id" * 1.5).as("price")))
+    def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    }
+    val total = t.manifestDf(t.currentVersion).count()
+    // a range predicate excluding generation 1 plans ONLY generation 2's
+    // files (min/max interval check over the stored stats — the iceberg
+    // manifest-pruning shape; no parquet footer of a pruned file is opened)
+    val q = t.read().filter($"k" >= 1000000L)
+    val n = q.count()
+    assert(n == 4000L)
+    val planned = cowScanPartitions(finalPlan(q)).flatMap(_.files)
+    assert(planned.nonEmpty && planned.size < total,
+      s"expected stats pruning below the full census ($total), planned ${planned.size}")
+    assert(planned.forall(_.filePath.toString.contains("/v2/")),
+      s"generation-1 files must prune away: ${planned.map(_.filePath).mkString(", ")}")
+    // null-count pruning: k is never null, so an IS NULL predicate plans
+    // zero files and returns zero rows
+    val q2 = t.read().filter($"k".isNull)
+    assert(q2.count() == 0)
+    assert(cowScanPartitions(finalPlan(q2)).flatMap(_.files).isEmpty,
+      "IS NULL over a null-free column should prune every file")
+    // mutations carry stats: delete one bucket's rows, the pruned read
+    // still excludes generation 1 through the carried entries
+    t.delete(org.apache.spark.sql.functions.expr("cust = 19"))
+    val q3 = t.read().filter($"k" >= 1000000L)
+    assert(q3.count() == spark.range(1000000L, 1004000L)
+      .filter(($"id" % 97) =!= 19).count())
+    val planned3 = cowScanPartitions(finalPlan(q3)).flatMap(_.files)
+    assert(planned3.forall(f => !f.filePath.toString.contains("/v1/")),
+      s"carried stats lost: ${planned3.map(_.filePath).mkString(", ")}")
+  }
+
   test("DSv2 runtime filtering prunes partitions at execution (DPP analogue)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("cow_dpp").toString
