@@ -542,19 +542,26 @@ private[graft] final class CowScan(
   private lazy val staticPartitions: Array[CowInputPartition] = {
     val manifestRaw = spark.read.parquet(
       Paths.get(layout.root, "_manifests", s"v${layout.version}").toString)
-    val hasStats = manifestRaw.columns.contains("stats")
-    val manifest: Array[(String, Map[String, org.apache.spark.sql.Row])] =
-      (if (hasStats) manifestRaw.select("path", "stats") else manifestRaw.select("path"))
-        .collect().map { r =>
-          val st =
-            if (hasStats && !r.isNullAt(1))
-              r.getMap[String, org.apache.spark.sql.Row](1).toMap
-            else Map.empty[String, org.apache.spark.sql.Row]
-          (r.getString(0), st)
-        }
+    val present = manifestRaw.columns.toSet
+    val extras = Seq("stats", "size", "mtime").filter(present)
+    val manifest: Array[(String, Map[String, org.apache.spark.sql.Row], Option[(Long, Long)])] =
+      manifestRaw.select("path", extras: _*).collect().map { r =>
+        def at(name: String): Int = 1 + extras.indexOf(name)
+        val st =
+          if (extras.contains("stats") && !r.isNullAt(at("stats")))
+            r.getMap[String, org.apache.spark.sql.Row](at("stats")).toMap
+          else Map.empty[String, org.apache.spark.sql.Row]
+        // manifest-carried physical metadata: planning never stats the FS
+        val sz =
+          if (extras.contains("size") && !r.isNullAt(at("size")) &&
+              extras.contains("mtime") && !r.isNullAt(at("mtime")))
+            Some((r.getLong(at("size")), r.getLong(at("mtime"))))
+          else None
+        (r.getString(0), st, sz)
+      }
     val tb = targetBucket
     val partTypes = readPartitionSchema.fields
-    val byBucket = manifest.iterator.flatMap { case (p, fstats) =>
+    val byBucket = manifest.iterator.flatMap { case (p, fstats, fmeta) =>
       val fileName = p.substring(p.lastIndexOf('/') + 1)
       val b = CowDsv2.bucketIdOf(fileName).getOrElse(throw new IllegalStateException(
         s"bucketed CoW manifest entry without a bucket id: $p"))
@@ -567,11 +574,14 @@ private[graft] final class CowScan(
           val pvVals: Array[Any] = partTypes.map(f =>
             rawVals.get(f.name.toLowerCase)
               .map(CowDsv2.castPartValue(_, f.dataType)).orNull)
-          val path = Paths.get(p)
-          val len = Files.size(path)
+          val (len, mtime) = fmeta.getOrElse {
+            // pre-r17 manifest entry without physical metadata: one stat
+            val path = Paths.get(p)
+            (Files.size(path), Files.getLastModifiedTime(path).toMillis)
+          }
           Iterator.single((b, PartitionedFile(new GenericInternalRow(pvVals),
             SparkPath.fromPathString(p), 0L, len, Array.empty[String],
-            Files.getLastModifiedTime(path).toMillis, len)))
+            mtime, len)))
         }
       }
     }.toArray.groupBy(_._1)

@@ -67,42 +67,37 @@ final class CowTable private (root0: String, spark: SparkSession) {
   /** Hash-bucket layout, fixed at CREATE (reference: plugin/trino-hive
     * HiveTableProperties.java:54 `bucketed_by`/`bucket_count`/`sorted_by`;
     * bucketed execution HiveBucketing.java). The Spark-first spelling rides
-    * Spark's NATIVE bucketing end to end:
+    * Spark's NATIVE bucketing on the write side and the DSv2
+    * storage-partitioned-join API on the read side (r17):
     *
     *  - WRITES go through `bucketBy(count, cols).sortBy(sorted)` (after a
     *    `repartition(count, cols)` that co-locates each bucket into one
     *    task, so every write emits exactly one file per populated bucket,
     *    sorted within) — file names carry the bucket id in Spark's own
-    *    `…_000NN.` convention.
-    *  - Each VERSION is a complete snapshot DIRECTORY `data/v<N>/`:
-    *    rewritten buckets get fresh files, untouched files are HARDLINKED
-    *    from the previous version (a metadata-only carry — no data bytes
-    *    move). The parquet manifest per version remains the format's source
-    *    of truth (time travel, vacuum, branch heads); the directory view
-    *    exists so Spark's directory-scoped bucketed scan sees exactly one
-    *    snapshot. An object-store deployment would drop the directory view
-    *    and serve the same bucket metadata through a DSv2
-    *    KeyGroupedPartitioning report over the manifest — the hardlink is
-    *    the local-FS equivalent at zero copy cost.
-    *  - READS of the current snapshot resolve through a session-catalog
-    *    table (`CLUSTERED BY … INTO n BUCKETS`, re-pointed to the version
-    *    dir at every commit), so `FileSourceScanExec` reports
-    *    `HashPartitioning(cols, n)`: repeated joins/aggregations on the
-    *    bucket key plan ZERO exchanges, and equality filters on the bucket
-    *    key prune to the matching bucket's files before any footer is
-    *    touched. TIME-TRAVEL reads are bucket-aware too (r16): each past
-    *    version gets an immutable per-version catalog entry over its
-    *    hardlink-carried directory — valid while the version's manifest
-    *    exists and the schema has not evolved past it; otherwise the read
-    *    falls back to the manifest file list (correct, unbucketed).
+    *    `…_000NN.` convention. New files land under `data/v<N>/`; carried
+    *    files stay where previous commits put them — the MANIFEST union is
+    *    the snapshot, and commits also lift per-column min/max/null stats
+    *    plus size/mtime from the new files' footers into it.
+    *  - READS of ANY version are served by [[CowDsv2]]: a DSv2 Scan plans
+    *    one input partition per bucket from the manifest and reports
+    *    `KeyGroupedPartitioning(bucket(count, cols))` — joins/aggs on the
+    *    bucket key plan ZERO exchanges at any version, equality on the
+    *    bucket key prunes to one bucket, value ranges prune files, runtime
+    *    (DPP) filters prune partitions/buckets at execution, and a fresh
+    *    single-file-per-bucket generation also reports its sort order. No
+    *    directory materialization, no catalog DDL, no per-version entries.
+    *  - The pre-r17 DIRECTORY-VIEW mode (hardlink-carried `data/v<N>/`
+    *    snapshot dirs + a re-pointed session-catalog CLUSTERED BY entry)
+    *    remains behind `spark.graft.cow.legacyDirView` — see
+    *    `legacyDirView` below. Schema-evolved snapshots fall back to the
+    *    manifest file-list read (correct, unbucketed) in both modes.
     *
     * The bucket count is fixed at CREATE — the classic bucketed-table
     * trade; pick it for the target scale (buckets ≈ cluster cores at the
     * largest expected snapshot). `bucketed_by` composes with
     * `partitioned_by` (as in the reference's hive connector): partition
-    * directories nest inside each version dir, each holding its own bucket
-    * file set; the catalog registration adds PARTITIONED BY and partitions
-    * are re-discovered on every snapshot re-point. */
+    * directories nest per write, each holding its own bucket file set,
+    * and partition values parse from manifest paths at scan time. */
   val bucketing: Option[CowTable.BucketSpec0] = {
     val f = Paths.get(root, "_bucketing")
     if (!Files.exists(f)) None
@@ -419,7 +414,8 @@ final class CowTable private (root0: String, spark: SparkSession) {
     * commit's unionByName fills those with null = "no stats, no pruning"). */
   private def carryDf(v: Int): DataFrame = {
     val m = manifestDf(v)
-    if (m.columns.contains("stats")) m.select("path", "stats") else m.select("path")
+    val extras = Seq("stats", "size", "mtime").filter(m.columns.contains)
+    m.select("path", extras: _*)
   }
 
   /** Append-only insert: new files, no rewrites. `branch` scopes the commit
@@ -644,9 +640,9 @@ final class CowTable private (root0: String, spark: SparkSession) {
       spark.sparkContext.parallelize(affectedNames.map(org.apache.spark.sql.Row(_)), 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("fname", org.apache.spark.sql.types.StringType))))
-    val keep = if (before.columns.contains("stats")) Seq("path", "stats") else Seq("path")
+    val extras = Seq("stats", "size", "mtime").filter(before.columns.contains)
     val untouched = before.join(broadcast(affectedDf), Seq("fname"), "left_anti")
-      .select(keep.head, keep.tail: _*)
+      .select("path", extras: _*)
     val (carried, v) = commit(untouched, newFiles, branch)
     MutationStats(before.count(), affected, carried, v)
   }
@@ -816,7 +812,14 @@ final class CowTable private (root0: String, spark: SparkSession) {
       val dir = versionDir(v)
       Files.createDirectories(dir)
       val outNew = newFiles.map(moveStaged(_, dir))
-      val newDf = outNew.map(p => (p, footerStats(p))).toDF("path", "stats")
+      // stats + size + mtime travel IN the manifest so read-side planning
+      // never stats the filesystem per file (an O(files) round per QUERY on
+      // an object store otherwise)
+      val newDf = outNew.map { p =>
+        val pp = Paths.get(p)
+        (p, footerStats(p), Files.size(pp),
+          Files.getLastModifiedTime(pp).toMillis)
+      }.toDF("path", "stats", "size", "mtime")
       carriedDf.unionByName(newDf, allowMissingColumns = true)
         .coalesce(1).write.mode("overwrite")
         .parquet(manifestDir.resolve(s"v$v").toString)
