@@ -878,6 +878,13 @@ final class CowTable private (root0: String, spark: SparkSession) {
                   case x => String.valueOf(x)
                 }
                 val (mn, mx) = (str(st.genericGetMin), str(st.genericGetMax))
+                // eager validation: NaN/Infinity bounds (a float column with
+                // NaNs) must DROP the column — stored as-is they would
+                // compare as +inf at scan time and wrongly prune files
+                if (numeric) {
+                  new java.math.BigDecimal(mn); new java.math.BigDecimal(mx)
+                  ()
+                }
                 def cmp(a: String, bb: String): Int =
                   if (numeric) new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(bb))
                   else a.compareTo(bb)

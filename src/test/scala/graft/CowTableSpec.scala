@@ -565,6 +565,20 @@ class CowTableSpec extends SparkSpec {
     val planned3 = cowScanPartitions(finalPlan(q3)).flatMap(_.files)
     assert(planned3.forall(f => !f.filePath.toString.contains("/v1/")),
       s"carried stats lost: ${planned3.map(_.filePath).mkString(", ")}")
+
+    // NaN hazard: a double column containing NaN has unusable footer
+    // bounds — the column's stats are dropped (never wrong pruning) and
+    // range filters on it still evaluate correctly post-scan
+    val root2 = java.nio.file.Files.createTempDirectory("cow_stats_nan").toString
+    val nan = spark.range(0, 100).select($"id".as("k"), ($"id" % 7).as("cust"),
+      when($"id" === 5, lit(Double.NaN)).otherwise($"id".cast("double")).as("price"))
+    val t2 = graft.catalog.CowTable.create(spark, root2, nan,
+      bucketBy = Seq("cust"), bucketCount = 2)
+    // (Spark orders NaN above every double, so the NaN row matches > 50.0:
+    // ids 51..99 plus the NaN row — a file whose ordinary values all sit
+    // below the bound must still be read when it holds a NaN)
+    assert(t2.read().filter($"price" > 50.0).count() == 50)
+    assert(t2.read().filter($"price".isNaN).count() == 1)
   }
 
   test("DSv2 runtime filtering prunes partitions at execution (DPP analogue)") {
