@@ -427,6 +427,32 @@ final class CowTable private (root0: String, spark: SparkSession) {
     ()
   }
 
+  /** Idempotent STREAMING insert — the foreachBatch sink primitive
+    * (Structured Streaming re-delivers a micro-batch after restart; the
+    * sink must deduplicate on batchId for end-to-end exactly-once). The
+    * batch id is tagged INSIDE the new version's manifest directory before
+    * the head advances, so the replay check is "a PUBLISHED version
+    * (≤ CURRENT) carries this tag":
+    *  - crash after the tag but before the head advance leaves an ORPHAN
+    *    tagged version ABOVE the head — the replay redoes the batch (the
+    *    data was never visible) and vacuum sweeps the orphan;
+    *  - once the head advances, every redelivery of the batch is a no-op.
+    * Returns false when the batch was already published. Use through
+    * [[CowTable.streamInto]]: `df.writeStream.foreachBatch(streamInto(t))`. */
+  def insertStreamBatch(df: DataFrame, batchId: Long): Boolean = {
+    if (streamBatchPublished(batchId)) return false
+    val newFiles = writeData(df)
+    commit(carryDf(currentVersion), newFiles, "main",
+      tag = Some(s"_batch_$batchId"))
+    true
+  }
+
+  private def streamBatchPublished(batchId: Long): Boolean = {
+    val head = currentVersion
+    (0 to head).exists(v =>
+      Files.exists(manifestDir.resolve(s"v$v").resolve(s"_batch_$batchId")))
+  }
+
   /** Full-refresh replace: publish a snapshot containing only `df` (the
     * materialized-view refresh primitive) — prior snapshots stay readable. */
   def replace(df: DataFrame): Unit = {
@@ -764,9 +790,16 @@ final class CowTable private (root0: String, spark: SparkSession) {
   }
 
   private def commit(carriedDf: DataFrame, newFiles: Seq[String],
-      branch: String): (Long, Int) = {
+      branch: String, tag: Option[String] = None): (Long, Int) = {
     import spark.implicits._
     val v = maxVersion + 1
+    // a tag file inside the manifest dataset dir ('_'-prefixed: invisible
+    // to the parquet reader) marks the version BEFORE the head advances —
+    // the streaming exactly-once anchor (insertStreamBatch)
+    def writeTag(): Unit = tag.foreach { t =>
+      Files.write(manifestDir.resolve(s"v$v").resolve(t), Array.emptyByteArray)
+      ()
+    }
     if (bucketing.isDefined && legacyDirView) {
       // LEGACY directory view: publish a complete snapshot DIRECTORY —
       // carried files hardlink in (metadata-only, names preserved so bucket
@@ -792,6 +825,7 @@ final class CowTable private (root0: String, spark: SparkSession) {
       (outCarried ++ outNew).toSeq.toDF("path")
         .coalesce(1).write.mode("overwrite")
         .parquet(manifestDir.resolve(s"v$v").toString)
+      writeTag()
       setHead(branch, v)
       if (branch.equalsIgnoreCase("main")) syncCatalog(dir, v)
       return (outCarried.length.toLong, v)
@@ -823,12 +857,14 @@ final class CowTable private (root0: String, spark: SparkSession) {
       carriedDf.unionByName(newDf, allowMissingColumns = true)
         .coalesce(1).write.mode("overwrite")
         .parquet(manifestDir.resolve(s"v$v").toString)
+      writeTag()
       val carried = carriedDf.count()
       setHead(branch, v)
       return (carried, v)
     }
-    val next = carriedDf.unionByName(newFiles.toDF("path"))
+    val next = carriedDf.unionByName(newFiles.toDF("path"), allowMissingColumns = true)
     next.write.mode("overwrite").parquet(manifestDir.resolve(s"v$v").toString)
+    writeTag()
     val carried = carriedDf.count()
     setHead(branch, v)
     (carried, v)
@@ -1028,6 +1064,13 @@ object CowTable {
   /** Per-file column statistics stored in bucketed manifests (r17):
     * min/max as strings (re-typed at scan), null count, value count. */
   final case class ColStat(min: String, max: String, nulls: Long, cnt: Long)
+
+  /** Structured Streaming sink adapter:
+    * `df.writeStream.foreachBatch(CowTable.streamInto(t)).start()` — each
+    * micro-batch lands as one idempotent CoW INSERT (restart replays are
+    * no-ops; see insertStreamBatch). */
+  def streamInto(t: CowTable): (DataFrame, Long) => Unit =
+    (df, batchId) => { t.insertStreamBatch(df, batchId); () }
 
   /** A WHEN MATCHED case: optional AND-condition (SQL text over the two
     * aliases), DELETE flag, or the SET map (lowercase target column → SQL

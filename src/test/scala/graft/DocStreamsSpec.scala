@@ -90,4 +90,54 @@ class DocStreamsSpec extends SparkSpec {
     assert(s == b)
     assert(b.values.exists(identity), "fixture should contain contaminated docs")
   }
+
+  test("streaming CoW ingest: idempotent micro-batch commits into the bucketed index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the continuous-ingest shape behind q_dedup_incremental: a crawl
+    // stream appends into a bucketed CoW signature index; restart replays
+    // of a micro-batch are no-ops (insertStreamBatch tags the published
+    // version with the batch id)
+    val root = java.nio.file.Files.createTempDirectory("cow_stream").toString
+    val t = graft.catalog.CowTable.create(spark, root,
+      spark.range(0, 50).select($"id".as("doc_id"), ($"id" % 8).as("bucket")),
+      bucketBy = Seq("bucket"), bucketCount = 4)
+    val in = MemoryStream[Long]
+    val q = in.toDS().toDF("doc_id")
+      .select($"doc_id", ($"doc_id" % 8).as("bucket"))
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cow_stream_ck").toString)
+      .foreachBatch(graft.catalog.CowTable.streamInto(t))
+      .start()
+    in.addData(100L to 149L: _*)
+    q.processAllAvailable()
+    in.addData(200L to 219L: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(t.read().count() == 50 + 50 + 20)
+    // a restart REPLAY of an already-published batch id is a no-op
+    val replayed = t.insertStreamBatch(
+      spark.range(100, 150).select($"id".as("doc_id"), ($"id" % 8).as("bucket")), 0L)
+    assert(!replayed, "published batch id must not re-insert")
+    assert(t.read().count() == 120)
+    // a NEW batch id still inserts, and the table stays bucket-aware:
+    // the self-join on the bucket key plans zero exchanges
+    assert(t.insertStreamBatch(
+      spark.range(300, 310).select($"id".as("doc_id"), ($"id" % 8).as("bucket")), 99L))
+    assert(t.read().count() == 130)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = t.read().as("a").join(t.read().as("b"), "bucket").groupBy("bucket").count()
+      j.collect()
+      val plan = j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
