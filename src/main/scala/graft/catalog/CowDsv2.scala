@@ -535,17 +535,70 @@ private[graft] final class CowScan(
     filters.forall(f => eval(f).getOrElse(true))
   }
 
+  /** Conservative pre-filter pushed into the DISTRIBUTED manifest read:
+    * its survivors are a superset of what the driver-side
+    * targetBucket/statsKeep logic keeps (which remains authoritative after
+    * the collect), so a translation gap can only under-prune. The payoff is
+    * driver-memory scale: a point predicate over a million-file manifest
+    * collects a handful of surviving rows, not the census. */
+  private def manifestPreFilter(hasStats: Boolean)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, coalesce, try_element_at, regexp_extract}
+    type C = org.apache.spark.sql.Column
+    val bucketF: Option[C] = targetBucket.map(b =>
+      regexp_extract(col("path"), "_(\\d{5})\\.", 1).cast("int") === b)
+    val types = layout.dataSchema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    def interval(f: Filter): Option[C] = if (!hasStats) None else {
+      // try_element_at: missing keys yield NULL under ANSI mode too
+      def fld(c: String): C = try_element_at(col("stats"), lit(c.toLowerCase))
+      // three-valued-logic guard: missing stats map / missing column /
+      // failed cast all resolve to KEEP
+      def guard(c: String)(p: C): C =
+        coalesce(col("stats").isNull || fld(c).isNull || p, lit(true))
+      def bound(c: String, end: String, dt: DataType): C =
+        fld(c).getField(end).cast(dt)
+      def lim(v: Any, dt: DataType): C = lit(v).cast(dt)
+      f match {
+        case EqualTo(a, v) => types.get(a.toLowerCase).map(dt => guard(a)(
+          bound(a, "min", dt) <= lim(v, dt) && bound(a, "max", dt) >= lim(v, dt)))
+        case In(a, vs) if vs.nonEmpty => types.get(a.toLowerCase).map(dt => guard(a)(
+          vs.map(v => bound(a, "min", dt) <= lim(v, dt) &&
+            bound(a, "max", dt) >= lim(v, dt)).reduce(_ || _)))
+        case GreaterThan(a, v) => types.get(a.toLowerCase).map(dt =>
+          guard(a)(bound(a, "max", dt) > lim(v, dt)))
+        case GreaterThanOrEqual(a, v) => types.get(a.toLowerCase).map(dt =>
+          guard(a)(bound(a, "max", dt) >= lim(v, dt)))
+        case LessThan(a, v) => types.get(a.toLowerCase).map(dt =>
+          guard(a)(bound(a, "min", dt) < lim(v, dt)))
+        case LessThanOrEqual(a, v) => types.get(a.toLowerCase).map(dt =>
+          guard(a)(bound(a, "min", dt) <= lim(v, dt)))
+        case And(l, r) => (interval(l), interval(r)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (one, other) => one.orElse(other) // half-translated AND stays conservative
+        }
+        case Or(l, r) => for { a <- interval(l); b <- interval(r) } yield a || b
+        case _ => None
+      }
+    }
+    (bucketF.toSeq ++ dataFilters.flatMap(interval)).reduceOption(_ && _)
+  }
+
   /** Manifest → surviving files after STATIC pruning, grouped into one
     * partition per bucket — this is the set the reported partitioning
-    * describes. Planning cost is O(|manifest|) — the same order as any
-    * source's split enumeration; file sizes come from local metadata. */
+    * describes. Planning cost is O(|manifest|) distributed work — the same
+    * order as any source's split enumeration — and O(survivors) driver
+    * memory (manifestPreFilter). */
   private lazy val staticPartitions: Array[CowInputPartition] = {
     val manifestRaw = spark.read.parquet(
       Paths.get(layout.root, "_manifests", s"v${layout.version}").toString)
     val present = manifestRaw.columns.toSet
     val extras = Seq("stats", "size", "mtime").filter(present)
+    val selected = manifestRaw.select("path", extras: _*)
+    val preFiltered = manifestPreFilter(extras.contains("stats"))
+      .fold(selected)(selected.filter)
     val manifest: Array[(String, Map[String, org.apache.spark.sql.Row], Option[(Long, Long)])] =
-      manifestRaw.select("path", extras: _*).collect().map { r =>
+      preFiltered.collect().map { r =>
         def at(name: String): Int = 1 + extras.indexOf(name)
         val st =
           if (extras.contains("stats") && !r.isNullAt(at("stats")))
