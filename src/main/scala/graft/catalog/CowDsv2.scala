@@ -194,6 +194,19 @@ class GraftCowCatalog extends TableCatalog with FunctionCatalog {
       catch { case _: IllegalArgumentException => throw new NoSuchTableException(ident) }
     if (!Files.exists(Paths.get(root, "_manifests", s"v$v")))
       throw new NoSuchTableException(ident)
+    // CowTable.read routes schema-evolved snapshots and versions below the
+    // schema floor to the mergeSchema file-list path; a DIRECT
+    // graft_cow.<ident> reference must fail loudly for them rather than
+    // serve the declared schema over a divergent file generation
+    // (silently-NULL columns)
+    if (Files.exists(Paths.get(root, "_schema_evolved")))
+      throw new NoSuchTableException(ident)
+    val floorFile = Paths.get(root, "_schema_floor")
+    val floor =
+      if (Files.exists(floorFile))
+        new String(Files.readAllBytes(floorFile)).trim.toInt
+      else 0
+    if (v < floor) throw new NoSuchTableException(ident)
     new CowBucketTable(CowDsv2.layoutOf(root, v))
   }
   override def createTable(ident: Identifier, schema: StructType,
