@@ -104,4 +104,51 @@ object GeoAggregates {
   def convexHullAgg(g: Column): Column =
     udaf(new ConvexHullAgg, ExpressionEncoder[GeomTuple]())
       .apply(g("kind"), g("xs"), g("ys"), g("rings"))
+
+  // --------------------------------------------------- geometry_collect_agg
+
+  /** State: the collected members' canonical WKTs. The reference leaves the
+    * collection order unspecified; aggregation order here is
+    * partition-dependent, so `finish` CANONICALIZES by sorting the member
+    * WKTs — deterministic output for the same input set (our geometry model
+    * is SRID-less 2D, so the reference's SRID/Z carry rules do not apply). */
+  private class GeometryCollectAgg extends Aggregator[GeomTuple, List[String], String] {
+    def zero: List[String] = Nil
+    def reduce(acc: List[String], g: GeomTuple): List[String] = {
+      val geom = toGeom(g)
+      if (geom == null) acc
+      else Wkt.format(geom.kind, geom.xs, geom.ys, geom.rings) :: acc
+    }
+    def merge(a: List[String], b: List[String]): List[String] = a ::: b
+    def finish(acc: List[String]): String = {
+      if (acc.isEmpty) return null
+      val wkts = acc.sorted
+      def kindOf(w: String): String = w.takeWhile(c => c.isLetter)
+      def bodyOf(w: String): String = w.drop(kindOf(w).length).trim
+      val kinds = wkts.map(kindOf).distinct
+      kinds match {
+        // homogeneous simple kinds collapse to their MULTI form
+        // (reference geospatial.md geometry_collect_agg: "a multi-geometry
+        // or geometry collection containing all input geometries")
+        case List("POINT") =>
+          // POINT (x y) → x y
+          "MULTIPOINT (" + wkts.map(w => bodyOf(w).stripPrefix("(").stripSuffix(")"))
+            .mkString(", ") + ")"
+        case List("LINESTRING") =>
+          "MULTILINESTRING (" + wkts.map(bodyOf).mkString(", ") + ")"
+        case List("POLYGON") =>
+          "MULTIPOLYGON (" + wkts.map(bodyOf).mkString(", ") + ")"
+        case _ =>
+          "GEOMETRYCOLLECTION (" + wkts.mkString(", ") + ")"
+      }
+    }
+    def bufferEncoder: Encoder[List[String]] = ExpressionEncoder[List[String]]()
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** geometry_collect_agg(geom) → WKT multi-geometry (homogeneous inputs) or
+    * GEOMETRYCOLLECTION (mixed), members canonically sorted. */
+  def geometryCollectAgg(g: Column): Column =
+    udaf(new GeometryCollectAgg, ExpressionEncoder[GeomTuple]())
+      .apply(g("kind"), g("xs"), g("ys"), g("rings"))
 }

@@ -104,6 +104,24 @@ object Registry {
       es => graft.ext.HmacHex(es(0), es(1), "HmacSHA256"), "built-in")
     r.createOrReplaceTempFunction("hmac_sha512",
       es => graft.ext.HmacHex(es(0), es(1), "HmacSHA512"), "built-in")
+    // MongoDB ObjectId helpers (reference docs/connector/mongodb.md:334-345;
+    // io.trino.plugin.mongodb.ObjectIdFunctions): the creation timestamp is
+    // the id's first 4 bytes. Our mongo surface carries ObjectIds as hex
+    // strings; the extracted timestamp is session-UTC TIMESTAMP (the
+    // reference's tstz wrapper is the documented divergence). Pure
+    // compositions of codegen'd built-ins — no UDF.
+    r.createOrReplaceTempFunction("objectid_timestamp", es => {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, SecondsToTimestamp, Substring}
+      SecondsToTimestamp(Cast(
+        Conv(Substring(es(0), Literal(1), Literal(8)), Literal(16), Literal(10)),
+        org.apache.spark.sql.types.LongType))
+    }, "built-in")
+    r.createOrReplaceTempFunction("timestamp_objectid", es => {
+      import org.apache.spark.sql.catalyst.expressions.{Concat, Hex, Literal, Lower, StringLPad, UnixSeconds}
+      Lower(Concat(Seq(
+        StringLPad(Hex(UnixSeconds(es(0))), Literal(8), Literal("0")),
+        Literal("0000000000000000"))))
+    }, "built-in")
     r.createOrReplaceTempFunction("to_base32",
       es => graft.ext.ToBase32(es(0)), "built-in")
     r.createOrReplaceTempFunction("from_base32",

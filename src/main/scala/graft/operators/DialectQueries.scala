@@ -1434,6 +1434,40 @@ object Dialect {
     """SELECT range AS sequential_number, range * 2 AS twice
        FROM range(1, 201, 2) ORDER BY sequential_number"""
 
+  /** exclude_columns built-in table function with named TABLE/DESCRIPTOR
+    * arguments (reference docs/functions/table.md:33-60;
+    * io.trino.operator.table.ExcludeColumnsFunction): the input table minus
+    * the descriptor's columns. */
+  def q_tvf_exclude_columns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT * FROM TABLE(exclude_columns(
+           input => TABLE(nation), columns => DESCRIPTOR(n_name)))
+         ORDER BY n_nationkey""")
+  }
+  val qTvfExcludeColumnsSql: String =
+    "SELECT n_nationkey, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  /** MongoDB ObjectId helpers (reference docs/connector/mongodb.md:334-345):
+    * timestamp_objectid builds the boundary id whose first 4 bytes are the
+    * epoch seconds; objectid_timestamp extracts them back. Round-trips
+    * through both directions against a replayed hex build. */
+  def q_fn_objectid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TrinoDialect.sql(s, dir,
+      """SELECT event_id,
+           timestamp_objectid(ts) AS oid,
+           CAST(objectid_timestamp(timestamp_objectid(ts)) AS STRING) AS rt
+         FROM (SELECT event_id, timestamp_seconds(1350000000 + event_id * 7) AS ts
+               FROM events WHERE event_id <= 300)
+         ORDER BY event_id""")
+  }
+  val qFnObjectidSql: String =
+    """SELECT event_id,
+         printf('%08x', 1350000000 + event_id * 7) || '0000000000000000' AS oid,
+         strftime(epoch_ms((1350000000 + event_id * 7) * 1000), '%Y-%m-%d %H:%M:%S') AS rt
+       FROM events WHERE event_id <= 300 ORDER BY event_id"""
+
   /** Pipeline TVFs from SQL text: the chunking stage as a table function
     * (`FROM TABLE(chunk_documents(size, stride))` — same kernel as
     * TextPipeline.q_text_chunking and the streaming twin). */
@@ -1996,6 +2030,8 @@ object Dialect {
     "q_sqlx_txn" -> q_sqlx_txn _,
     "q_sqlx_show_stats" -> q_sqlx_show_stats _,
     "q_tvf_registry" -> q_tvf_registry _,
+    "q_tvf_exclude_columns" -> q_tvf_exclude_columns _,
+    "q_fn_objectid" -> q_fn_objectid _,
     "q_tvf_chunking" -> q_tvf_chunking _,
     "q_sqlx_try" -> q_sqlx_try _,
     "q_sqlx_scalar" -> q_sqlx_scalar _,
@@ -2050,6 +2086,8 @@ object Dialect {
     "q_sqlx_txn" -> qSqlxTxnSql,
     "q_sqlx_show_stats" -> qSqlxShowStatsSql,
     "q_tvf_registry" -> qTvfRegistrySql,
+    "q_tvf_exclude_columns" -> qTvfExcludeColumnsSql,
+    "q_fn_objectid" -> qFnObjectidSql,
     "q_tvf_chunking" -> qTvfChunkingSql,
     "q_sqlx_try" -> qSqlxTrySql,
     "q_sqlx_scalar" -> qSqlxScalarSql,

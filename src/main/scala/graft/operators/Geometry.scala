@@ -288,6 +288,47 @@ object Geometry {
         stNumPoints($"h").as("h_n"))
       .orderBy($"n_nationkey")
   }
+  /** geometry_collect_agg (reference docs/functions/geospatial.md:670 —
+    * "a multi-geometry or geometry collection containing all input
+    * geometries"): homogeneous point groups collapse to MULTIPOINT; one
+    * group mixes in LINESTRINGs to force the GEOMETRYCOLLECTION branch.
+    * Output is the collection KIND plus numeric facts (part count, bbox) so
+    * the oracle replays without WKT float-format coupling. */
+  def q_geo_collect_agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val geoms = table(s, dir, "nation")
+      .withColumn("grp", $"n_nationkey" % 5)
+      .withColumn("wkt",
+        when($"grp" === 4 && $"n_nationkey" % 2 === 1,
+          format_string("LINESTRING (%d 0, %d 3)", $"n_nationkey", $"n_nationkey" + 2))
+          .otherwise(format_string("POINT (%d %d)", $"n_nationkey", $"n_regionkey")))
+      .withColumn("geom", stGeometryFromText($"wkt"))
+    geoms.groupBy($"grp")
+      .agg(GeoAggregates.geometryCollectAgg($"geom").as("coll_wkt"))
+      .withColumn("coll", stGeometryFromText($"coll_wkt"))
+      .select($"grp",
+        substring_index($"coll_wkt", " (", 1).as("kind"),
+        stNumGeometries($"coll").as("n_parts"),
+        stXMin($"coll").as("xmin"),
+        stXMax($"coll").as("xmax"),
+        stYMin($"coll").as("ymin"),
+        stYMax($"coll").as("ymax"))
+      .orderBy($"grp")
+  }
+  val qGeoCollectAggSql: String =
+    """WITH g AS (
+         SELECT n_nationkey AS k, n_regionkey AS r, n_nationkey % 5 AS grp,
+           (n_nationkey % 5 = 4 AND n_nationkey % 2 = 1) AS is_line
+         FROM nation)
+       SELECT grp,
+         CASE WHEN grp = 4 THEN 'GEOMETRYCOLLECTION' ELSE 'MULTIPOINT' END AS kind,
+         CAST(count(*) AS INT) AS n_parts,
+         CAST(min(k) AS DOUBLE) AS xmin,
+         CAST(max(CASE WHEN is_line THEN k + 2 ELSE k END) AS DOUBLE) AS xmax,
+         CAST(min(CASE WHEN is_line THEN 0 ELSE r END) AS DOUBLE) AS ymin,
+         CAST(max(CASE WHEN is_line THEN 3 ELSE r END) AS DOUBLE) AS ymax
+       FROM g GROUP BY grp ORDER BY grp"""
+
   val qGeoUnionAggSql: String =
     """WITH t AS (
          SELECT n_nationkey,
@@ -852,7 +893,8 @@ object Geometry {
     "q_fn_geo_wkb" -> q_fn_geo_wkb _,
     "q_fn_geo_relations" -> q_fn_geo_relations _,
     "q_fn_geo_accessors" -> q_fn_geo_accessors _,
-    "q_geo_union_agg" -> q_geo_union_agg _)
+    "q_geo_union_agg" -> q_geo_union_agg _,
+    "q_geo_collect_agg" -> q_geo_collect_agg _)
 
   val oracles: Map[String, String] = Map(
     "q_fn_geo_spherical" -> qFnGeoSphericalSql,
@@ -866,5 +908,6 @@ object Geometry {
     "q_fn_geo_wkb" -> qFnGeoWkbSql,
     "q_fn_geo_relations" -> qFnGeoRelationsSql,
     "q_fn_geo_accessors" -> qFnGeoAccessorsSql,
-    "q_geo_union_agg" -> qGeoUnionAggSql)
+    "q_geo_union_agg" -> qGeoUnionAggSql,
+    "q_geo_collect_agg" -> qGeoCollectAggSql)
 }

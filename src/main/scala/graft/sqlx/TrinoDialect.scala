@@ -285,8 +285,28 @@ object TrinoDialect {
     * inside quotes — TVFs with full SQL args (e.g. raw_query) are reachable
     * through the Scala API (`TableFunctions.invoke`). */
   private def lowerTableFunctions(spark: SparkSession, dir: String, sqlText: String): String = {
+    // exclude_columns (reference built-in table function,
+    // docs/functions/table.md:33-60): named TABLE/DESCRIPTOR arguments —
+    // returns the input table without the named columns. Resolved here
+    // because the descriptor must validate against the live schema.
+    val ExcludeRe = ("""(?i)TABLE\s*\(\s*exclude_columns\s*\(\s*input\s*=>\s*""" +
+      """TABLE\s*\(\s*(\w+)\s*\)\s*,\s*columns\s*=>\s*DESCRIPTOR\s*\(([^()]*)\)\s*\)\s*\)""").r
+    val afterExclude = ExcludeRe.replaceAllIn(sqlText, m => {
+      val tbl = m.group(1)
+      val cols = m.group(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty,
+        "exclude_columns: the columns descriptor must name at least one column")
+      val df = graft.sources.Tables.load(spark, dir, tbl)
+      cols.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
+        s"exclude_columns: column '$c' is not in table '$tbl'"))
+      require(cols.length < df.columns.length,
+        "exclude_columns: cannot exclude every column of the input")
+      val view = s"tvf_exclude_${tbl}_${Integer.toHexString(m.group(2).hashCode).replace('-', 'n')}"
+      df.drop(cols: _*).createOrReplaceTempView(view)
+      view
+    })
     val TvfRe = """(?i)TABLE\s*\(\s*(\w+)\s*\(([^()]*)\)\s*\)""".r
-    TvfRe.replaceAllIn(sqlText, m => {
+    TvfRe.replaceAllIn(afterExclude, m => {
       val name = m.group(1)
       val args = if (m.group(2).trim.isEmpty) Seq.empty[String]
         else m.group(2).split(",").toSeq.map(_.trim)
