@@ -138,6 +138,49 @@ object Aggregates2 {
          CAST(sum(cnt) AS BIGINT) AS total
        FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** multimap_agg(key, value) → map(K, array(V)) (reference
+    * docs/functions/aggregate.md:418; operator/aggregation/multimapagg/
+    * MultimapAggregationFunction) — duplicates kept, one array per key.
+    * Spelled as ONE collect of (k, v) pairs plus an in-row regroup
+    * (distinct keys × filter), rendered sorted for the oracle: the
+    * reference leaves both key and value order unspecified. */
+  def q_agg_multimap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .select($"o_orderstatus", $"o_orderpriority".as("k"),
+        ($"o_orderkey" % 7).as("v"))
+      .groupBy($"o_orderstatus")
+      .agg(collect_list(struct($"k", $"v")).as("pairs"))
+      .withColumn("keys", array_sort(array_distinct(transform($"pairs", p => p.getField("k")))))
+      .withColumn("mm", map_from_entries(transform($"keys", key =>
+        struct(key, array_sort(transform(
+          filter($"pairs", p => p.getField("k") === key),
+          p => p.getField("v")))))))
+      .select($"o_orderstatus",
+        size(map_keys($"mm")).cast("long").as("n_keys"),
+        array_join(transform(map_entries($"mm"), e =>
+          concat(e.getField("key"), lit("=["),
+            array_join(transform(e.getField("value"), v => v.cast("string")), ","),
+            lit("]"))), "; ").as("mm_str"),
+        aggregate(map_values($"mm"), lit(0L),
+          (a, vs) => a + size(vs).cast("long")).as("n_values"))
+      .orderBy($"o_orderstatus")
+  }
+  val qAggMultimapSql: String =
+    """WITH pairs AS (
+         SELECT o_orderstatus, o_orderpriority AS k, o_orderkey % 7 AS v
+         FROM orders),
+       per_key AS (
+         SELECT o_orderstatus, k,
+           count(*) AS nv,
+           k || '=[' || string_agg(v, ',' ORDER BY v) || ']' AS entry
+         FROM pairs GROUP BY o_orderstatus, k)
+       SELECT o_orderstatus,
+         count(*) AS n_keys,
+         string_agg(entry, '; ' ORDER BY k) AS mm_str,
+         CAST(sum(nv) AS BIGINT) AS n_values
+       FROM per_key GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** max_by(x, y, N) / min_by(x, y, N): top/bottom-3 orderkeys by
     * (totalprice, orderkey) — bounded per-group state. */
   def q_agg_minmax_by_n(s: SparkSession, dir: String): DataFrame = {
@@ -277,6 +320,7 @@ object Aggregates2 {
     "q_agg_percentile" -> q_agg_percentile _,
     "q_agg_percentile_approx" -> q_agg_percentile_approx _,
     "q_agg_histogram" -> q_agg_histogram _,
+    "q_agg_multimap" -> q_agg_multimap _,
     "q_agg_minmax_by_n" -> q_agg_minmax_by_n _,
     "q_agg_reduce" -> q_agg_reduce _,
     "q_agg_checksum" -> q_agg_checksum _,
@@ -288,6 +332,7 @@ object Aggregates2 {
     "q_agg_percentile" -> qAggPercentileSql,
     "q_agg_percentile_approx" -> qAggPercentileApproxSql,
     "q_agg_histogram" -> qAggHistogramSql,
+    "q_agg_multimap" -> qAggMultimapSql,
     "q_agg_minmax_by_n" -> qAggMinmaxByNSql,
     "q_agg_reduce" -> qAggReduceSql,
     "q_agg_checksum" -> qAggChecksumSql,
