@@ -174,6 +174,45 @@ object CowDsv2 {
     if (raw == "__HIVE_DEFAULT_PARTITION__") null
     else Cast(Literal(UTF8String.fromString(raw), StringType), dt,
       Option("UTC")).eval(null)
+
+  /** Type-exact bound comparison for the pruning decisions (r18 fix: the
+    * previous `Double.compare(x.doubleValue, y.doubleValue)` collapsed
+    * longs that differ only below 2^53 — a file with max = 2^53+1 probed
+    * with `> 2^53` compared EQUAL and was wrongly pruned, silently losing
+    * rows — and `String.compareTo` orders by UTF-16 code units while the
+    * stored min/max were computed in Spark's UTF8String binary (UTF-8
+    * byte) order, which disagrees for supplementary-plane characters).
+    * Returns None (= keep the file) whenever the ordering the scan would
+    * apply is not provably the ordering the bounds were computed under —
+    * the shape of Iceberg's typed comparators. */
+  private[catalog] def cmpExact(a: Any, b: Any): Option[Int] = {
+    def big(n: java.lang.Number): Option[java.math.BigDecimal] = n match {
+      case d: java.math.BigDecimal => Some(d)
+      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+           _: java.lang.Long =>
+        Some(java.math.BigDecimal.valueOf(n.longValue()))
+      case _: java.lang.Float | _: java.lang.Double =>
+        val d = n.doubleValue()
+        // NaN/Infinity have no BigDecimal form (and parquet writers drop
+        // NaN from stats) — undecidable, keep. new BigDecimal(double) is
+        // the exact binary value (never rounds) and collapses -0.0 to 0,
+        // matching SQL equality of signed zeros.
+        if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) None
+        else Some(new java.math.BigDecimal(d))
+      case _ => None
+    }
+    (a, b) match {
+      case (null, _) | (_, null) => None
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        for { bx <- big(x); by <- big(y) } yield bx.compareTo(by)
+      case (x: String, y: String) =>
+        // binary UTF-8 order — the order min/max were aggregated under
+        Some(UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
+      case (x: Comparable[_], y) if x.getClass == y.getClass =>
+        Some(x.asInstanceOf[Comparable[Any]].compareTo(y))
+      case _ => None
+    }
+  }
 }
 
 /** Catalog plugin: resolves `graft_cow.t<hex(root)>_v<N>` identifiers to
@@ -365,6 +404,10 @@ private[graft] final class CowScan(
   // keys itself.
   @volatile private var runtimePartFilters: Array[Filter] = Array.empty
   @volatile private var runtimeBuckets: Option[Set[Int]] = None
+  // per-bucket-column equality value sets accumulated across runtime
+  // deliveries (filters for different columns can arrive in separate
+  // filter() calls, one per materialized join side)
+  @volatile private var runtimeEqSets: Map[String, Set[Any]] = Map.empty
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     // only columns that survived column pruning: Spark resolves these
@@ -379,21 +422,34 @@ private[graft] final class CowScan(
     val isPart = (c: String) => layout.partCols.exists(_.equalsIgnoreCase(c))
     runtimePartFilters = runtimePartFilters ++ filters.filter(f =>
       f.references.nonEmpty && f.references.forall(isPart))
-    // single-bucket-column IN/EQ → allowed bucket ids (the common DPP shape)
-    if (layout.bucketCols.lengthCompare(1) == 0) {
-      val c = layout.bucketCols.head
-      val dt = layout.bucketTypes.head
-      def ids(vs: Seq[Any]): Set[Int] = vs.filter(_ != null).map(v =>
-        CowDsv2.bucketId(Seq(CatalystTypeConverters.convertToCatalyst(v)),
-          Seq(dt), layout.bucketCount)).toSet
-      filters.foreach {
-        case In(a, vs) if a.equalsIgnoreCase(c) =>
-          val allowed = ids(vs.toSeq)
-          runtimeBuckets = Some(runtimeBuckets.fold(allowed)(_ intersect allowed))
-        case EqualTo(a, v) if a.equalsIgnoreCase(c) =>
-          val allowed = ids(Seq(v))
-          runtimeBuckets = Some(runtimeBuckets.fold(allowed)(_ intersect allowed))
-        case _ =>
+    // bucket-column IN/EQ → allowed bucket ids. r18: generalized from the
+    // single-column special case to ANY bucket arity — per-column value
+    // sets accumulate across deliveries, and once EVERY bucket column has
+    // one, the CROSS PRODUCT of the sets (a superset of the true tuples,
+    // so never wrong pruning) derives the allowed ids — the runtime twin
+    // of targetBucket's static all-columns-equality rule. Bounded: a
+    // product over 65536 combinations skips derivation (keep all buckets).
+    val lcCols = layout.bucketCols.map(_.toLowerCase)
+    filters.foreach {
+      case In(a, vs) if lcCols.contains(a.toLowerCase) =>
+        val s = vs.filter(_ != null).toSet
+        runtimeEqSets = runtimeEqSets.updated(a.toLowerCase,
+          runtimeEqSets.get(a.toLowerCase).fold(s)(_ intersect s))
+      case EqualTo(a, v) if lcCols.contains(a.toLowerCase) && v != null =>
+        runtimeEqSets = runtimeEqSets.updated(a.toLowerCase,
+          runtimeEqSets.get(a.toLowerCase).fold(Set[Any](v))(_ intersect Set[Any](v)))
+      case _ =>
+    }
+    if (lcCols.forall(runtimeEqSets.contains)) {
+      val sets = lcCols.map(c => runtimeEqSets(c).toSeq)
+      val combos = sets.map(_.size.toLong).product
+      if (combos <= 65536L) {
+        val internal = sets.map(_.map(CatalystTypeConverters.convertToCatalyst))
+        val allowed = internal
+          .foldLeft(Seq(List.empty[Any]))((acc, s) => acc.flatMap(t => s.map(t :+ _)))
+          .map(vals => CowDsv2.bucketId(vals, layout.bucketTypes, layout.bucketCount))
+          .toSet
+        runtimeBuckets = Some(runtimeBuckets.fold(allowed)(_ intersect allowed))
       }
     }
   }
@@ -445,15 +501,7 @@ private[graft] final class CowScan(
         else CatalystTypeConverters.createToScalaConverter(dt)(internal)
       }
     }
-    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-      case (null, _) | (_, null) => None
-      case (x: java.lang.Number, y: java.lang.Number) =>
-        Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
-      case (x: String, y: String) => Some(x.compareTo(y))
-      case (x: Comparable[_], y) if x.getClass.isInstance(y) =>
-        Some(x.asInstanceOf[Comparable[Any]].compareTo(y))
-      case _ => None
-    }
+    def cmp(a: Any, b: Any): Option[Int] = CowDsv2.cmpExact(a, b)
     def eval(f: Filter): Option[Boolean] = f match {
       case EqualTo(a, v) => scalaValue(a).flatMap(x => cmp(x, v).map(_ == 0))
       case EqualNullSafe(a, v) => scalaValue(a).map(x =>
@@ -492,15 +540,7 @@ private[graft] final class CowScan(
     if (stats == null || stats.isEmpty || filters.isEmpty) return true
     val types = layout.dataSchema.fields
       .map(f => f.name.toLowerCase -> f.dataType).toMap
-    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-      case (null, _) | (_, null) => None
-      case (x: java.lang.Number, y: java.lang.Number) =>
-        Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
-      case (x: String, y: String) => Some(x.compareTo(y))
-      case (x: Comparable[_], y) if x.getClass.isInstance(y) =>
-        Some(x.asInstanceOf[Comparable[Any]].compareTo(y))
-      case _ => None
-    }
+    def cmp(a: Any, b: Any): Option[Int] = CowDsv2.cmpExact(a, b)
     // (min, max) as Scala values typed by the table schema, like hive
     // partition values; None when undecidable
     def bounds(colName: String): Option[(Any, Any)] = {
@@ -558,8 +598,19 @@ private[graft] final class CowScan(
       : Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{col, lit, coalesce, try_element_at, regexp_extract}
     type C = org.apache.spark.sql.Column
-    val bucketF: Option[C] = targetBucket.map(b =>
-      regexp_extract(col("path"), "_(\\d{5})\\.", 1).cast("int") === b)
+    // extract the bucket id from the FILE NAME component only, matching the
+    // authoritative driver-side bucketIdOf (r18 fix: the previous extract
+    // ran over the full path, so a root directory or hive partition VALUE
+    // containing `_ddddd.` — e.g. dt=batch_00001.csv — yielded a wrong
+    // bucket id and violated the documented superset contract). A file
+    // name without a bucket id keeps the row (coalesce → true) so the
+    // driver-side loud failure still fires instead of a silent drop.
+    val bucketF: Option[C] = targetBucket.map { b =>
+      val fileName = regexp_extract(col("path"), "[^/]*$", 0)
+      coalesce(
+        regexp_extract(fileName, "_(\\d{5})\\.", 1).cast("int") === b,
+        lit(true))
+    }
     val types = layout.dataSchema.fields
       .map(f => f.name.toLowerCase -> f.dataType).toMap
     def interval(f: Filter): Option[C] = if (!hasStats) None else {
@@ -685,9 +736,14 @@ private[graft] final class CowScan(
     override def sizeInBytes(): OptionalLong = {
       val total = staticPartitions.iterator.flatMap(_.files).map(_.fileSize).sum
       // column pruning shrinks what actually flows; approximate by the
-      // pruned-to-full column ratio so small pruned scans stay broadcastable
-      val ratio = math.max(1, readSchema().fields.length).toDouble /
-        math.max(1, layout.storedSchema.fields.length)
+      // pruned-to-full ratio WEIGHTED BY FIELD WIDTH (defaultSize) so a
+      // scan pruned to one wide string column does not under-report bytes
+      // and wrongly qualify for broadcast (r18 fix: the previous ratio
+      // counted columns, weighing a text column the same as an int)
+      def width(fs: Array[StructField]): Long =
+        math.max(1L, fs.map(_.dataType.defaultSize.toLong).sum)
+      val ratio = math.min(1.0,
+        width(readSchema().fields).toDouble / width(layout.storedSchema.fields))
       OptionalLong.of(math.max(1L, (total * ratio).toLong))
     }
     override def numRows(): OptionalLong = OptionalLong.empty()

@@ -442,15 +442,57 @@ final class CowTable private (root0: String, spark: SparkSession) {
   def insertStreamBatch(df: DataFrame, batchId: Long): Boolean = {
     if (streamBatchPublished(batchId)) return false
     val newFiles = writeData(df)
-    commit(carryDf(currentVersion), newFiles, "main",
+    val (_, v) = commit(carryDf(currentVersion), newFiles, "main",
       tag = Some(s"_batch_$batchId"))
+    writeStreamMarker(batchId, v)
     true
   }
 
+  /** Head-side marker `<maxPublishedBatchId> <versionThatCarriedIt>` —
+    * written AFTER the head advance, so it only ever describes published
+    * batches. r18: the replay check below used to probe `v$i/_batch_<id>`
+    * for EVERY version 0..head on EVERY micro-batch — an O(total versions)
+    * metadata sweep that grows unboundedly on a long-lived ingest table
+    * (and a LIST/HEAD storm on an object store). */
+  private def streamMarkerFile = manifestDir.resolve("_stream_max_batch")
+
+  private def readStreamMarker(): Option[(Long, Int)] =
+    if (!Files.exists(streamMarkerFile)) None
+    else new String(Files.readAllBytes(streamMarkerFile)).trim
+      .split("\\s+") match {
+        case Array(b, v) => Some((b.toLong, v.toInt))
+        case _ => None
+      }
+
+  private def writeStreamMarker(batchId: Long, v: Int): Unit =
+    // monotone guard (batch ids are monotone per query; defensive anyway) +
+    // atomic rename so a crashed write can never leave a torn marker
+    if (readStreamMarker().forall(_._1 < batchId)) {
+      val tmp = manifestDir.resolve("_stream_max_batch.tmp")
+      Files.write(tmp, s"$batchId $v".getBytes)
+      Files.move(tmp, streamMarkerFile, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+
+  /** O(1) replay check: Structured Streaming batch ids are monotonically
+    * increasing per query, so `batchId <= marker.max` decides "published"
+    * in one small read. Versions committed after the marker was written
+    * (non-stream commits interleaved on the table, or a crash between the
+    * head advance and the marker write) are swept as a bounded catch-up —
+    * the next successful batch rewrites the marker, so the window never
+    * grows with table age. An ORPHAN tag above the head (crash between tag
+    * and head advance) stays above both head and marker, so its batch is
+    * redone exactly as before. Legacy tables without a marker fall back to
+    * the full sweep. */
   private def streamBatchPublished(batchId: Long): Boolean = {
     val head = currentVersion
-    (0 to head).exists(v =>
+    def sweep(fromV: Int): Boolean = (fromV to head).exists(v =>
       Files.exists(manifestDir.resolve(s"v$v").resolve(s"_batch_$batchId")))
+    readStreamMarker() match {
+      case Some((maxB, from)) => batchId <= maxB || sweep(from + 1)
+      case None => sweep(0)
+    }
   }
 
   /** Full-refresh replace: publish a snapshot containing only `df` (the

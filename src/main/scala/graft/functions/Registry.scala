@@ -117,9 +117,15 @@ object Registry {
         org.apache.spark.sql.types.LongType))
     }, "built-in")
     r.createOrReplaceTempFunction("timestamp_objectid", es => {
-      import org.apache.spark.sql.catalyst.expressions.{Concat, Hex, Literal, Lower, StringLPad, UnixSeconds}
+      import org.apache.spark.sql.catalyst.expressions.{Concat, Hex, Literal, Lower, Pmod, StringLPad, UnixSeconds}
+      // mask the seconds to 32 bits (pmod 2^32) BEFORE hexing: the ObjectId
+      // epoch field is exactly 4 bytes, so pre-1970 and post-2106 inputs
+      // wrap like the reference's unsigned 32-bit field instead of hexing
+      // to 16 F-digits / 9+ digits and being silently truncated to a
+      // malformed prefix (r18 fix; in-range values are unchanged)
       Lower(Concat(Seq(
-        StringLPad(Hex(UnixSeconds(es(0))), Literal(8), Literal("0")),
+        StringLPad(Hex(Pmod(UnixSeconds(es(0)), Literal(1L << 32))),
+          Literal(8), Literal("0")),
         Literal("0000000000000000"))))
     }, "built-in")
     r.createOrReplaceTempFunction("to_base32",

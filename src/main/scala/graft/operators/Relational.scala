@@ -138,11 +138,16 @@ object Relational {
         $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
     val l = table(s, dir, "lineitem")
     val sup = table(s, dir, "supplier")
+    // r18 join order (guide §3): nation⋈region(ASIA) attach to the
+    // SUPPLIER's nationkey before the customer join — the 5-of-25-nations
+    // region cut shrinks the probe stream 5x ahead of the widest build
+    // (customer); the customer equi-pair (custkey AND nationkey) is
+    // unchanged, so results are identical (inner joins commute).
     l.join(o, $"l_orderkey" === $"o_orderkey")
       .join(sup, $"l_suppkey" === $"s_suppkey")
-      .join(c, $"o_custkey" === $"c_custkey" && $"s_nationkey" === $"c_nationkey")
-      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .join(c, $"o_custkey" === $"c_custkey" && $"s_nationkey" === $"c_nationkey")
       .groupBy($"n_name")
       .agg(asDouble(sum(discPrice(s))).as("revenue"))
       .orderBy($"revenue".desc, $"n_name")

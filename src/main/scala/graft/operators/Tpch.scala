@@ -52,13 +52,19 @@ object Tpch {
     import s.implicits._
     val n1 = table(s, dir, "nation").select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
     val n2 = table(s, dir, "nation").select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+    // r18 join order (guide §3 / the reference CBO's Q7 shape): the
+    // supplier-side nation join lands right after the supplier join, so
+    // the 2-of-25-nations cut (Catalyst pushes the pair predicate's
+    // per-side OR into the nation scans) shrinks the probe stream ~12x
+    // BEFORE the orders/customer joins instead of at the end of the chain.
+    // All join inputs stay base scans, so broadcast selection is unchanged.
     table(s, dir, "lineitem")
       .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
-      .join(table(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
       .join(table(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
-      .join(table(s, dir, "customer"), $"o_custkey" === $"c_custkey")
       .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+      .join(table(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(table(s, dir, "customer"), $"o_custkey" === $"c_custkey")
       .join(broadcast(n2), $"c_nationkey" === $"c_nk")
       .filter(($"supp_nation" === "NATION_12" && $"cust_nation" === "NATION_10") ||
         ($"supp_nation" === "NATION_10" && $"cust_nation" === "NATION_12"))

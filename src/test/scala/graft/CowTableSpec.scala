@@ -581,6 +581,82 @@ class CowTableSpec extends SparkSpec {
     assert(t2.read().filter($"price".isNaN).count() == 1)
   }
 
+  test("stats pruning compares integral bounds exactly (2^53 boundary)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cow_stats_big").toString
+    val big = 9007199254740992L // 2^53: the largest long a double holds exactly
+    val t = graft.catalog.CowTable.create(spark, root,
+      spark.range(0, 100).select($"id".as("k"), ($"id" % 5).as("cust")),
+      bucketBy = Seq("cust"), bucketCount = 2)
+    // one row whose k = 2^53 + 1: as a double this rounds to 2^53, so a
+    // doubleValue()-based bound comparison judged max == probe for `k > 2^53`
+    // and wrongly PRUNED the file (rows satisfying the predicate vanished)
+    t.insert(spark.sql(
+      s"SELECT CAST(${big + 1} AS BIGINT) AS k, CAST(1 AS BIGINT) AS cust"))
+    assert(t.read().filter($"k" > big).count() == 1,
+      "file with max = 2^53+1 must survive the pushed k > 2^53 predicate")
+    assert(t.read().filter($"k" === (big + 1)).count() == 1)
+    // mirrored edge: min = 2^53+1 probed with `<` at the boundary
+    assert(t.read().filter($"k" < (big + 1)).count() == 100)
+  }
+
+  test("estimateStatistics weights column pruning by field width, not column count") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cow_est").toString
+    val df = spark.range(0, 500).select($"id".as("k"), ($"id" % 7).as("cust"),
+      rpad($"id".cast("string"), 200, "y").as("body"))
+    val t = graft.catalog.CowTable.create(spark, root, df,
+      bucketBy = Seq("cust"), bucketCount = 2)
+    def est(q: org.apache.spark.sql.DataFrame): Long =
+      q.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.description().contains("GraftCowScan") => b.scan
+      }.head.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics().sizeInBytes().getAsLong
+    val full = est(t.read())
+    val narrow = est(t.read().select("k"))      // long: defaultSize 8 of 36
+    val wide = est(t.read().select("body"))     // string: defaultSize 20 of 36
+    // the old column-count ratio reported BOTH projections at full/3 — the
+    // wide string column must now dominate the narrow long
+    assert(narrow * 2 < wide,
+      s"wide-string projection must outweigh the long projection: $narrow vs $wide")
+    assert(narrow <= (full * 8L) / 36 + 1, s"narrow=$narrow full=$full")
+    assert(wide >= (full * 20L) / 36 - 1, s"wide=$wide full=$full")
+  }
+
+  test("runtime bucket pruning derives ids for multi-column bucketing") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val root = java.nio.file.Files.createTempDirectory("cow_dpp2").toString
+    val src = spark.range(0, 2000).select($"id".as("k"),
+      ($"id" % 50).as("cust"), ($"id" % 3).cast("int").as("r"))
+    val t = graft.catalog.CowTable.create(spark, root, src,
+      bucketBy = Seq("cust", "r"), bucketCount = 8)
+    // r17 derived runtime bucket ids only for single-column bucketing; the
+    // generalized path accumulates per-column equality sets (deliveries can
+    // arrive one column at a time) and derives ids from their cross product
+    val scan = t.read().queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.description().contains("GraftCowScan") => b.scan
+    }.head.asInstanceOf[graft.catalog.CowScan]
+    val before = scan.planInputPartitions().length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("cust", Array(7L, 13L))))
+    assert(scan.planInputPartitions().length == before,
+      "one column's delivery alone must not derive ids for a two-column layout")
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("r", 1)))
+    val parts = scan.planInputPartitions()
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def internal(c: Long, r: Int) = Seq[Any](c, r)
+    val expected = Seq(internal(7L, 1), internal(13L, 1))
+      .map(vs => graft.catalog.CowDsv2.bucketId(vs, Seq(LongType, IntegerType), 8)).toSet
+    val planned = parts.collect {
+      case p: graft.catalog.CowInputPartition => p.bucketId }.toSet
+    assert(planned.subsetOf(expected) && planned.nonEmpty,
+      s"planned buckets $planned must be within the derived ids $expected")
+    assert(parts.length < 8, "pruning must plan fewer than all 8 buckets")
+  }
+
   test("DSv2 runtime filtering prunes partitions at execution (DPP analogue)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("cow_dpp").toString

@@ -127,6 +127,21 @@ class DocStreamsSpec extends SparkSpec {
     assert(t.insertStreamBatch(
       spark.range(300, 310).select($"id".as("doc_id"), ($"id" % 8).as("bucket")), 99L))
     assert(t.read().count() == 130)
+    // r18: the replay check is O(1) via the head-side max-batch marker, not
+    // an O(versions) sweep of per-version tag files — deleting every tag
+    // must NOT re-open already-published batch ids to re-insertion
+    val marker = java.nio.file.Paths.get(root, "_manifests", "_stream_max_batch")
+    assert(java.nio.file.Files.exists(marker), "head-side marker must exist")
+    assert(new String(java.nio.file.Files.readAllBytes(marker)).trim
+      .startsWith("99 "), "marker carries the max published batch id")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(root, "_manifests"))
+      .iterator().asScala.filter(_.getFileName.toString.startsWith("_batch_"))
+      .toList.foreach(java.nio.file.Files.delete)
+    assert(!t.insertStreamBatch(
+      spark.range(0, 1).select($"id".as("doc_id"), ($"id" % 8).as("bucket")), 1L),
+      "marker alone must decide replay for batch ids at or below the max")
+    assert(t.read().count() == 130)
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
