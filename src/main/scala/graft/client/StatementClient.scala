@@ -105,6 +105,7 @@ object StatementClient {
     val rows = Vector.newBuilder[Vector[Any]]
     var done = false
     var spins = 0
+    var napMs = 1L
     while (!done) {
       json \ "error" \ "message" match {
         case JString(m) => throw new StatementFailed(m)
@@ -167,8 +168,14 @@ object StatementClient {
         case JString(next) =>
           spins += 1
           if (spins > 2400) throw new StatementFailed("statement did not finish")
-          if (!hadData && (json \ "stats" \ "state") != JString("FINISHED"))
-            Thread.sleep(25)
+          // exponential backoff from 1 ms capped at 25 ms (r18: a flat
+          // 25 ms nap cost ~0.3 s of pure sleep on sub-second statements;
+          // the reference client's poll delay also ramps from ~0). A page
+          // WITH data resets the ramp — the server is streaming.
+          if (!hadData && (json \ "stats" \ "state") != JString("FINISHED")) {
+            Thread.sleep(napMs)
+            napMs = math.min(napMs * 2, 25L)
+          } else napMs = 1L
           resp = http.send(
             HttpRequest.newBuilder(URI.create(s"$base$next")).GET().build(),
             HttpResponse.BodyHandlers.ofString())

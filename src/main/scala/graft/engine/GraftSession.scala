@@ -37,7 +37,24 @@ object GraftSession {
       // A 100 TB deployment would revisit (advisory-sized reducers amortize
       // better when every partition carries real data).
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // r18 (guide §3.1): let AQE rewrite a sort-merge join to a shuffled
+      // HASH join when every post-shuffle partition of the build side is
+      // under the advisory size (64 MB) — skips both sorts with the same
+      // spill safety, because the decision uses MEASURED partition sizes
+      // (static preferSortMergeJoin=false would trust pre-run estimates,
+      // which is how build-side OOMs happen at 100 TB; left at default).
+      // No effect on the bench (AQE off there) or on storage-partitioned
+      // joins (no shuffle stage to rewrite).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        (64L * 1024 * 1024).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // r18 (guide §6): zstd parquet output — markedly better ratio than
+      // snappy at similar read speed; at 100 TB this is less I/O and
+      // smaller shuffle-input scans for every downstream reader. Env-
+      // overridable for A/B. (Read paths are unaffected; the fixtures'
+      // codec is whatever they were written with.)
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
       .config("spark.sql.parquet.filterPushdown", "true")
       // Always plan bucket-aware scans over bucketed warehouse tables: the
       // DisableUnnecessaryBucketedScan rule turns the bucket layout off for
