@@ -185,7 +185,7 @@ object CowDsv2 {
     * Returns None (= keep the file) whenever the ordering the scan would
     * apply is not provably the ordering the bounds were computed under —
     * the shape of Iceberg's typed comparators. */
-  private[catalog] def cmpExact(a: Any, b: Any): Option[Int] = {
+  private[graft] def cmpExact(a: Any, b: Any): Option[Int] = {
     def big(n: java.lang.Number): Option[java.math.BigDecimal] = n match {
       case d: java.math.BigDecimal => Some(d)
       case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
@@ -201,8 +201,16 @@ object CowDsv2 {
         else Some(new java.math.BigDecimal(d))
       case _ => None
     }
+    def floaty(n: Any): Boolean =
+      n.isInstanceOf[java.lang.Float] || n.isInstanceOf[java.lang.Double]
     (a, b) match {
       case (null, _) | (_, null) => None
+      case (x: java.lang.Number, y: java.lang.Number) if floaty(x) && floaty(y) =>
+        // Spark's total order for floating point: -0.0 == 0.0 (the == check)
+        // and NaN == NaN / NaN above everything (Double.compare) — so NaN
+        // partition values under `IN`/`<=>` keep matching, as before r18
+        val dx = x.doubleValue(); val dy = y.doubleValue()
+        if (dx == dy) Some(0) else Some(java.lang.Double.compare(dx, dy))
       case (x: java.lang.Number, y: java.lang.Number) =>
         for { bx <- big(x); by <- big(y) } yield bx.compareTo(by)
       case (x: String, y: String) =>
@@ -429,22 +437,39 @@ private[graft] final class CowScan(
     // so never wrong pruning) derives the allowed ids — the runtime twin
     // of targetBucket's static all-columns-equality rule. Bounded: a
     // product over 65536 combinations skips derivation (keep all buckets).
+    // value canonicalization for the SETS: Array[Byte] compares by
+    // reference, so binary bucket values are wrapped (value equality) and
+    // unwrapped before hashing — two deliveries of content-equal arrays
+    // must intersect to themselves, not to the empty set
+    def canon(v: Any): Any = v match {
+      case bs: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(bs)
+      case x => x
+    }
+    def uncanon(v: Any): Any = v match {
+      case s: scala.collection.immutable.ArraySeq[_] => s.unsafeArray
+      case x => x
+    }
     val lcCols = layout.bucketCols.map(_.toLowerCase)
     filters.foreach {
       case In(a, vs) if lcCols.contains(a.toLowerCase) =>
-        val s = vs.filter(_ != null).toSet
+        val s = vs.filter(_ != null).map(canon).toSet
         runtimeEqSets = runtimeEqSets.updated(a.toLowerCase,
           runtimeEqSets.get(a.toLowerCase).fold(s)(_ intersect s))
       case EqualTo(a, v) if lcCols.contains(a.toLowerCase) && v != null =>
+        val s = Set[Any](canon(v))
         runtimeEqSets = runtimeEqSets.updated(a.toLowerCase,
-          runtimeEqSets.get(a.toLowerCase).fold(Set[Any](v))(_ intersect Set[Any](v)))
+          runtimeEqSets.get(a.toLowerCase).fold(s)(_ intersect s))
       case _ =>
     }
     if (lcCols.forall(runtimeEqSets.contains)) {
       val sets = lcCols.map(c => runtimeEqSets(c).toSeq)
-      val combos = sets.map(_.size.toLong).product
+      // saturating product: each step caps at 65537 so huge In-sets can
+      // never overflow Long and sneak past the guard
+      val combos = sets.foldLeft(1L)((acc, s) =>
+        math.min(acc * math.max(s.size, 1), 65537L) * (if (s.isEmpty) 0 else 1))
       if (combos <= 65536L) {
-        val internal = sets.map(_.map(CatalystTypeConverters.convertToCatalyst))
+        val internal = sets.map(_.map(v =>
+          CatalystTypeConverters.convertToCatalyst(uncanon(v))))
         val allowed = internal
           .foldLeft(Seq(List.empty[Any]))((acc, s) => acc.flatMap(t => s.map(t :+ _)))
           .map(vals => CowDsv2.bucketId(vals, layout.bucketTypes, layout.bucketCount))
@@ -504,10 +529,23 @@ private[graft] final class CowScan(
     def cmp(a: Any, b: Any): Option[Int] = CowDsv2.cmpExact(a, b)
     def eval(f: Filter): Option[Boolean] = f match {
       case EqualTo(a, v) => scalaValue(a).flatMap(x => cmp(x, v).map(_ == 0))
-      case EqualNullSafe(a, v) => scalaValue(a).map(x =>
-        if (x == null) v == null else cmp(x, v).contains(0))
-      case In(a, vs) => scalaValue(a).map(x =>
-        x != null && vs.exists(v => cmp(x, v).contains(0)))
+      // r18: an UNDECIDABLE comparison (cmp = None) must propagate as None
+      // (keep the file), not count as "no match" — In/<=> used to fold it
+      // into false and wrongly prune
+      case EqualNullSafe(a, v) => scalaValue(a).flatMap(x =>
+        if (x == null) Some(v == null)
+        else if (v == null) Some(false)
+        else cmp(x, v).map(_ == 0))
+      case In(a, vs) => scalaValue(a).flatMap { x =>
+        if (x == null) Some(false) // null IN (...) is never TRUE: prune is safe
+        else {
+          val hits = vs.toSeq.map(v =>
+            if (v == null) Some(false) else cmp(x, v).map(_ == 0))
+          if (hits.exists(_.contains(true))) Some(true)
+          else if (hits.forall(_.contains(false))) Some(false)
+          else None
+        }
+      }
       case IsNull(a) => scalaValue(a).map(_ == null)
       case IsNotNull(a) => scalaValue(a).map(_ != null)
       case GreaterThan(a, v) => scalaValue(a).flatMap(x => cmp(x, v).map(_ > 0))

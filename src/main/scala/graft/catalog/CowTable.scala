@@ -458,11 +458,14 @@ final class CowTable private (root0: String, spark: SparkSession) {
 
   private def readStreamMarker(): Option[(Long, Int)] =
     if (!Files.exists(streamMarkerFile)) None
-    else new String(Files.readAllBytes(streamMarkerFile)).trim
-      .split("\\s+") match {
-        case Array(b, v) => Some((b.toLong, v.toInt))
-        case _ => None
-      }
+    else scala.util.Try {
+      new String(Files.readAllBytes(streamMarkerFile)).trim
+        .split("\\s+") match {
+          case Array(b, v) => Some((b.toLong, v.toInt))
+          case _ => None
+        }
+    }.toOption.flatten // a corrupt marker degrades to the legacy sweep,
+                       // never to an ingest outage
 
   private def writeStreamMarker(batchId: Long, v: Int): Unit =
     // monotone guard (batch ids are monotone per query; defensive anyway) +
@@ -965,7 +968,13 @@ final class CowTable private (root0: String, spark: SparkSession) {
                 }
                 def cmp(a: String, bb: String): Int =
                   if (numeric) new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(bb))
-                  else a.compareTo(bb)
+                  // binary UTF-8 order — the order parquet's own per-group
+                  // string stats use AND the order the scan-side pruner
+                  // (CowDsv2.cmpExact) compares stored bounds under; a
+                  // UTF-16 String.compareTo merge could understate the max
+                  // of a multi-row-group file above the BMP (r18)
+                  else org.apache.spark.unsafe.types.UTF8String.fromString(a)
+                    .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(bb))
                 val merged = acc.get(name) match {
                   case Some(prev) => CowTable.ColStat(
                     if (cmp(mn, prev.min) < 0) mn else prev.min,

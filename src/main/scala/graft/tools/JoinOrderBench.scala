@@ -16,11 +16,12 @@ object JoinOrderBench {
     val inputBytes = Option(new java.io.File(sfDir).listFiles())
       .map(_.map(_.length).sum).getOrElse(0L)
     val shuffle = math.max(8, math.min(cpus.toInt, (inputBytes / (8L << 20)).toInt))
-    val spark = graft.engine.GraftSession
-      .builder(master = s"local[$cpus]", shufflePartitions = shuffle)
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
+    val spark = graft.engine.GraftSession.withExtras(
+      graft.engine.GraftSession
+        .builder(master = s"local[$cpus]", shufflePartitions = shuffle)
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -624,6 +624,54 @@ class CowTableSpec extends SparkSpec {
     assert(wide >= (full * 20L) / 36 - 1, s"wide=$wide full=$full")
   }
 
+  test("cmpExact: exact integrals, Spark float total order, UTF-8 string order") {
+    import graft.catalog.CowDsv2.cmpExact
+    val big = 9007199254740992L // 2^53
+    assert(cmpExact(java.lang.Long.valueOf(big + 1), java.lang.Long.valueOf(big))
+      .exists(_ > 0), "2^53+1 > 2^53 must not collapse through double")
+    // Spark's SQL float semantics: signed zeros equal; NaN equals NaN and
+    // sorts above everything (the r18 review caught the BigDecimal-only
+    // path returning None here, which In/<=> folded into wrong pruning)
+    assert(cmpExact(java.lang.Double.valueOf(-0.0), java.lang.Double.valueOf(0.0)).contains(0))
+    assert(cmpExact(java.lang.Double.valueOf(Double.NaN),
+      java.lang.Double.valueOf(Double.NaN)).contains(0))
+    assert(cmpExact(java.lang.Double.valueOf(Double.NaN),
+      java.lang.Double.valueOf(Double.PositiveInfinity)).exists(_ > 0))
+    assert(cmpExact(java.lang.Float.valueOf(1.5f), java.lang.Double.valueOf(1.5)).contains(0))
+    // binary UTF-8 order: U+1F600 (surrogate pair in UTF-16) sorts ABOVE
+    // U+FFFF in code-point/UTF-8 order, below it in UTF-16 code-unit order
+    assert(cmpExact(new String(Character.toChars(0x1F600)), "￿").exists(_ > 0),
+      "string bounds must compare in UTF-8 binary order, not UTF-16")
+    // mixed integral/decimal stays exact; undecidable stays None (keep)
+    assert(cmpExact(java.lang.Long.valueOf(3), new java.math.BigDecimal("3.00")).contains(0))
+    assert(cmpExact(java.lang.Long.valueOf(3), "3").isEmpty)
+  }
+
+  test("runtime bucket pruning: content-equal binary deliveries intersect by value") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cow_dpp_bin").toString
+    val src = spark.range(0, 200).select($"id".as("k"),
+      encode(($"id" % 16).cast("string"), "UTF-8").as("b"))
+    val t = graft.catalog.CowTable.create(spark, root, src,
+      bucketBy = Seq("b"), bucketCount = 4)
+    val scan = t.read().queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.description().contains("GraftCowScan") => b.scan
+    }.head.asInstanceOf[graft.catalog.CowScan]
+    // two deliveries with DISTINCT array instances of equal content: the
+    // intersection must keep the value (Array[Byte] equality is by
+    // reference, so an unwrapped Set intersect would go empty and prune
+    // every bucket — silent row loss on binary bucket columns)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("b", Array("7".getBytes("UTF-8")))))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      EqualTo("b", "7".getBytes("UTF-8"))))
+    val parts = scan.planInputPartitions()
+    assert(parts.nonEmpty, "content-equal binary values must keep their bucket")
+    assert(parts.length < 4, "a single binary value must prune to its bucket")
+  }
+
   test("runtime bucket pruning derives ids for multi-column bucketing") {
     import spark.implicits._
     import org.apache.spark.sql.sources.{EqualTo, In}
