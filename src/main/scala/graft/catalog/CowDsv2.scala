@@ -463,10 +463,11 @@ private[graft] final class CowScan(
     }
     if (lcCols.forall(runtimeEqSets.contains)) {
       val sets = lcCols.map(c => runtimeEqSets(c).toSeq)
-      // saturating product: each step caps at 65537 so huge In-sets can
-      // never overflow Long and sneak past the guard
-      val combos = sets.foldLeft(1L)((acc, s) =>
-        math.min(acc * math.max(s.size, 1), 65537L) * (if (s.isEmpty) 0 else 1))
+      // saturating product: each step caps at 65537 (acc ≤ 65537 and
+      // size ≤ 2^31 can't overflow a Long) so huge In-sets never sneak
+      // past the guard; an empty set zeroes the product (prune all —
+      // correct: that column has no possible value)
+      val combos = sets.foldLeft(1L)((acc, s) => math.min(acc * s.size, 65537L))
       if (combos <= 65536L) {
         val internal = sets.map(_.map(v =>
           CatalystTypeConverters.convertToCatalyst(uncanon(v))))
@@ -539,11 +540,17 @@ private[graft] final class CowScan(
       case In(a, vs) => scalaValue(a).flatMap { x =>
         if (x == null) Some(false) // null IN (...) is never TRUE: prune is safe
         else {
-          val hits = vs.toSeq.map(v =>
-            if (v == null) Some(false) else cmp(x, v).map(_ == 0))
-          if (hits.exists(_.contains(true))) Some(true)
-          else if (hits.forall(_.contains(false))) Some(false)
-          else None
+          // short-circuits on the first definite hit (DPP can deliver
+          // thousands of values); an undecidable element poisons a
+          // would-be false into None (keep)
+          var undecided = false
+          val hit = vs.exists { v =>
+            v != null && (cmp(x, v) match {
+              case Some(c) => c == 0
+              case None => undecided = true; false
+            })
+          }
+          if (hit) Some(true) else if (undecided) None else Some(false)
         }
       }
       case IsNull(a) => scalaValue(a).map(_ == null)
@@ -580,7 +587,16 @@ private[graft] final class CowScan(
       .map(f => f.name.toLowerCase -> f.dataType).toMap
     def cmp(a: Any, b: Any): Option[Int] = CowDsv2.cmpExact(a, b)
     // (min, max) as Scala values typed by the table schema, like hive
-    // partition values; None when undecidable
+    // partition values; None when undecidable. NaN bounds are rejected
+    // here too, not only at write time: a manifest written before the
+    // write-side NaN validation (or by a foreign writer) may carry
+    // Math.min/max-poisoned "NaN" bounds, and the float total order would
+    // otherwise confidently mis-prune against them (r18 review).
+    def notNaN(v: Any): Boolean = v match {
+      case d: java.lang.Double => !d.isNaN
+      case f: java.lang.Float => !f.isNaN
+      case _ => true
+    }
     def bounds(colName: String): Option[(Any, Any)] = {
       val lc = colName.toLowerCase
       for {
@@ -591,7 +607,7 @@ private[graft] final class CowScan(
           CowDsv2.castPartValue(r.getString(0), dt))
         mx = CatalystTypeConverters.createToScalaConverter(dt)(
           CowDsv2.castPartValue(r.getString(1), dt))
-        if mn != null && mx != null
+        if mn != null && mx != null && notNaN(mn) && notNaN(mx)
       } yield (mn, mx)
     }
     def counts(colName: String): Option[(Long, Long)] =
