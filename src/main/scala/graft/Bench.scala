@@ -148,14 +148,31 @@ object Bench {
     def storageMb(): Long =
       spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
 
-    final case class Sample(sec: Double, gc: Double, stoMb: Long)
+    // Executor task CPU time per query (r18 verdict #6): at sf0.1 every
+    // query's WALL time sits on the local job floor, so the 8-vs-32-core
+    // scaling signal is invisible in wall-clock. Summed task CPU is
+    // core-count-independent for the same work, so serial-vs-parallel is
+    // measurable even when wall-clock is floor-bound. Listener delivery is
+    // async; the noop save blocks until all tasks finish, so the residual
+    // attribution error is the bus drain (ms), small against query CPU.
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) taskCpuNs.addAndGet(m.executorCpuTime)
+      }
+    })
+
+    final case class Sample(sec: Double, gc: Double, stoMb: Long, cpu: Double)
 
     def timed(name: String): Sample = {
       val sto = storageMb()
       val g0 = gcSec()
+      val c0 = taskCpuNs.get()
       val t0 = System.nanoTime()
       run(name)
-      Sample((System.nanoTime() - t0) / 1e9, gcSec() - g0, sto)
+      Sample((System.nanoTime() - t0) / 1e9, gcSec() - g0, sto,
+        (taskCpuNs.get() - c0) / 1e9)
     }
 
     // Dev-only: SPARK_GRAFT_BENCH_ONLY=<regex> restricts the set for iteration.
@@ -163,7 +180,7 @@ object Bench {
     val names = headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.findFirstIn(n).isDefined))
     val failed = scala.collection.mutable.Set.empty[String]
-    val miss = Sample(-1.0, 0.0, 0L)
+    val miss = Sample(-1.0, 0.0, 0L, 0.0)
     def tryRun(name: String): Sample =
       try { if (failed(name)) miss else timed(name) }
       catch {
@@ -217,6 +234,8 @@ object Bench {
       "\"" + k + "\":" + d3(s.gc) }.mkString("{", ",", "}")
     val stoJson = best.map { case (k, s) =>
       "\"" + k + "\":" + s.stoMb }.mkString("{", ",", "}")
+    val cpuJson = best.map { case (k, s) =>
+      "\"" + k + "\":" + d3(s.cpu) }.mkString("{", ",", "}")
     val heapMb = Runtime.getRuntime.maxMemory >> 20
     val replay = names.map(n =>
       "\"" + n + "\":" + replayOnly.contains(n)).mkString("{", ",", "}")
@@ -250,15 +269,26 @@ object Bench {
     }
     val calibration =
       s"""{"cpu_hash_200m":${d3(calTimed(() => calCpu()))},"shuffle_20m":${d3(calTimed(() => calShuffle()))}}"""
-    // Field order is load-bearing: the driver captures the TAIL of this
-    // line, and r14's artifact lost the per-query dict because `queries`
-    // printed before the (much larger) `samples` blob and fell off the
-    // front of the capture window. The bulky raw-sample/diagnostic fields
-    // go FIRST; the fields every reader needs (`queries`, `calibration`,
-    // `total_nonreplay` — the r16 artifact lost the last of these when
-    // field growth pushed its front-of-line copy out of the 2000-char
-    // window) go LAST so they always survive their own capture window.
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","heap_mb":$heapMb,"sf":"$sfDir","samples":$samples,"gc_sec":$gcJson,"storage_mb_before":$stoJson,"replay_only":$replay,"queries":$qs,"calibration":$calibration,"total_nonreplay":${d3(totalNonReplay)}}""")
+    // Output contract (r18 verdict #1): the driver captures only the TAIL
+    // of stdout and parses the LAST complete JSON line; r15-r18 grew the
+    // single line past the capture window (per-query samples/gc/storage
+    // maps), so every BENCH_r*.json since r15 had `parsed: null` and PERF
+    // was blind. Now the bulky diagnostics print on a PRECEDING
+    // "metric":"detail" line (cpu_task_sec last, so it survives its own
+    // partial capture) and the final line is the compact (<1 KB) contract
+    // line with exactly the fields the driver and BASELINE.md need. The
+    // same detail also lands best-effort in plans/bench_detail.json.
+    // Timed methodology is untouched — only where the numbers print moved.
+    val detail = s"""{"metric":"detail","heap_mb":$heapMb,"samples":$samples,"gc_sec":$gcJson,"storage_mb_before":$stoJson,"replay_only":$replay,"cpu_task_sec":$cpuJson}"""
+    println(detail)
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "plans/bench_detail.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out,
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException => /* diagnostics only */ }
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"calibration":$calibration,"total_nonreplay":${d3(totalNonReplay)}}""")
     spark.stop()
   }
 }

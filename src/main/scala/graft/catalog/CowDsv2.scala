@@ -426,7 +426,11 @@ private[graft] final class CowScan(
       .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
   }
 
-  override def filter(filters: Array[Filter]): Unit = {
+  // synchronized: deliveries for different join sides can arrive on
+  // separate threads; the read-modify-write on runtimeEqSets/runtimeBuckets
+  // must not drop one column's intersect (each delivery alone stays a sound
+  // superset, but a lost update silently weakens pruning — ADVICE r18)
+  override def filter(filters: Array[Filter]): Unit = synchronized {
     val isPart = (c: String) => layout.partCols.exists(_.equalsIgnoreCase(c))
     runtimePartFilters = runtimePartFilters ++ filters.filter(f =>
       f.references.nonEmpty && f.references.forall(isPart))
@@ -479,6 +483,15 @@ private[graft] final class CowScan(
       }
     }
   }
+
+  /** True when this manifest version carries the `_stats_utf8` marker:
+    * every string min/max in it was merged (and carried) under UTF-8
+    * binary order, the order cmpExact compares under. Manifests written
+    * before the r18 UTF-8 merge fix may hold UTF-16-merged string bounds
+    * whose max is understated above the BMP — their string stats are
+    * ignored (keep = never wrong pruning; ADVICE r19). */
+  private lazy val stringStatsTrusted: Boolean = Files.exists(
+    Paths.get(layout.root, "_manifests", s"v${layout.version}", "_stats_utf8"))
 
   private val readDataSchema = StructType(required.fields.filter(f =>
     layout.dataSchema.fields.exists(_.name.equalsIgnoreCase(f.name))))
@@ -602,6 +615,12 @@ private[graft] final class CowScan(
       for {
         r <- stats.get(lc)
         dt <- types.get(lc)
+        // legacy string bounds were merged across row groups with UTF-16
+        // String.compareTo; cmpExact compares in UTF-8 order, so a
+        // supplementary-plane max could be understated and wrongly prune.
+        // Only manifests carrying the UTF-8-merge marker get string-range
+        // pruning (ADVICE r18); numeric/boolean bounds are order-stable.
+        if dt != StringType || stringStatsTrusted
         if !r.isNullAt(0) && !r.isNullAt(1)
         mn = CatalystTypeConverters.createToScalaConverter(dt)(
           CowDsv2.castPartValue(r.getString(0), dt))
@@ -612,9 +631,59 @@ private[graft] final class CowScan(
     }
     def counts(colName: String): Option[(Long, Long)] =
       stats.get(colName.toLowerCase).map(r => (r.getLong(2), r.getLong(3)))
+    // "EVERY row of the file satisfies f" — Some(true) only when provable
+    // from the stored bounds/counts; anything else is None. Feeds Not:
+    // may(Not f) is false exactly when must(f) is true. Or uses the valid
+    // under-approximation must(l)∨must(r) ⇒ must(l OR r); And needs both.
+    def must(f: Filter): Option[Boolean] = f match {
+      case EqualTo(a, v) => for {
+        (mn, mx) <- bounds(a); (nulls, _) <- counts(a)
+        c1 <- cmp(mn, v); c2 <- cmp(mx, v)
+      } yield c1 == 0 && c2 == 0 && nulls == 0L
+      case EqualNullSafe(a, v) =>
+        if (v == null) counts(a).map { case (nulls, cnt) => nulls == cnt }
+        else must(EqualTo(a, v))
+      // single-point file: min==max==v for some v in the list
+      case In(a, vs) =>
+        if (vs.isEmpty) Some(false)
+        else for {
+          (mn, mx) <- bounds(a); (nulls, _) <- counts(a); c <- cmp(mn, mx)
+        } yield c == 0 && nulls == 0L &&
+          vs.exists(v => v != null && cmp(mn, v).contains(0))
+      case GreaterThan(a, v) => for {
+        b <- bounds(a); (nulls, _) <- counts(a); c <- cmp(b._1, v)
+      } yield c > 0 && nulls == 0L
+      case GreaterThanOrEqual(a, v) => for {
+        b <- bounds(a); (nulls, _) <- counts(a); c <- cmp(b._1, v)
+      } yield c >= 0 && nulls == 0L
+      case LessThan(a, v) => for {
+        b <- bounds(a); (nulls, _) <- counts(a); c <- cmp(b._2, v)
+      } yield c < 0 && nulls == 0L
+      case LessThanOrEqual(a, v) => for {
+        b <- bounds(a); (nulls, _) <- counts(a); c <- cmp(b._2, v)
+      } yield c <= 0 && nulls == 0L
+      case IsNull(a) => counts(a).map { case (nulls, cnt) => nulls == cnt }
+      case IsNotNull(a) => counts(a).map(_._1 == 0L)
+      case And(l, r) => (must(l), must(r)) match {
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (must(l), must(r)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case _ => None
+      }
+      case Not(x) => eval(x) match {
+        case Some(false) => Some(true) // no row may satisfy x
+        case _ => None
+      }
+      case _ => None
+    }
     def eval(f: Filter): Option[Boolean] = f match {
       case EqualTo(a, v) => bounds(a).flatMap { case (mn, mx) =>
         for { c1 <- cmp(mn, v); c2 <- cmp(mx, v) } yield c1 <= 0 && c2 >= 0 }
+      case EqualNullSafe(a, v) =>
+        if (v == null) counts(a).map(_._1 > 0)
+        else eval(EqualTo(a, v))
       case In(a, vs) => bounds(a).flatMap { case (mn, mx) =>
         val hits = vs.map(v =>
           for { c1 <- cmp(mn, v); c2 <- cmp(mx, v) } yield c1 <= 0 && c2 >= 0)
@@ -637,7 +706,17 @@ private[graft] final class CowScan(
         case (Some(false), Some(false)) => Some(false)
         case _ => None
       }
-      case _ => None // Not-over-ranges and exotic shapes: keep
+      // Not(x) prunes only when x provably holds for EVERY row (a file
+      // that is one constant value, e.g.): may-semantics cannot negate a
+      // may-answer, so this goes through the must evaluator (r18 verdict #5)
+      case Not(x) => must(x) match {
+        case Some(true) => Some(false)
+        case _ => eval(x) match {
+          case Some(false) => Some(true) // x impossible ⇒ Not(x) certain
+          case _ => None
+        }
+      }
+      case _ => None // exotic shapes: keep
     }
     filters.forall(f => eval(f).getOrElse(true))
   }
@@ -648,9 +727,9 @@ private[graft] final class CowScan(
     * the collect), so a translation gap can only under-prune. The payoff is
     * driver-memory scale: a point predicate over a million-file manifest
     * collects a handful of surviving rows, not the census. */
-  private def manifestPreFilter(hasStats: Boolean)
+  private[graft] def manifestPreFilter(hasStats: Boolean)
       : Option[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions.{col, lit, coalesce, try_element_at, regexp_extract}
+    import org.apache.spark.sql.functions.{col, lit, coalesce, try_element_at, regexp_extract, when}
     type C = org.apache.spark.sql.Column
     // extract the bucket id from the FILE NAME component only, matching the
     // authoritative driver-side bucketIdOf (r18 fix: the previous extract
@@ -661,41 +740,92 @@ private[graft] final class CowScan(
     // driver-side loud failure still fires instead of a silent drop.
     val bucketF: Option[C] = targetBucket.map { b =>
       val fileName = regexp_extract(col("path"), "[^/]*$", 0)
+      val idTxt = regexp_extract(fileName, "_(\\d{5})\\.", 1)
+      // rlike-guarded cast: regexp_extract yields '' on no match, and
+      // ''.cast('int') THROWS under spark.sql.ansi.enabled=true instead of
+      // going null for the coalesce to keep (ADVICE r18) — the guard makes
+      // keep-on-no-match hold under both ANSI modes (a matched extract is
+      // exactly five digits, which casts cleanly everywhere)
       coalesce(
-        regexp_extract(fileName, "_(\\d{5})\\.", 1).cast("int") === b,
+        when(idTxt.rlike("^\\d{5}$"), idTxt.cast("int") === b),
         lit(true))
     }
     val types = layout.dataSchema.fields
       .map(f => f.name.toLowerCase -> f.dataType).toMap
+    // string stats mirror statsKeep's trust gate: untrusted → untranslated
+    // (keep), so the pre-filter stays a superset of the driver-side keeps
+    def statType(c: String): Option[DataType] =
+      types.get(c.toLowerCase).filter(dt => dt != StringType || stringStatsTrusted)
+    // try_element_at: missing keys yield NULL under ANSI mode too
+    def fld(c: String): C = try_element_at(col("stats"), lit(c.toLowerCase))
+    def bound(c: String, end: String, dt: DataType): C =
+      fld(c).getField(end).cast(dt)
+    def lim(v: Any, dt: DataType): C = lit(v).cast(dt)
+    def nullsF(c: String): C = fld(c).getField("nulls")
+    def cntF(c: String): C = fld(c).getField("cnt")
+    // TRUE only when the stats PROVE every row of the file satisfies f —
+    // the distributed twin of statsKeep's must(); missing stats / missing
+    // column / failed cast resolve to FALSE (not proven), which the Not
+    // lowering below turns into keep. Never-null by construction.
+    def mustC(f: Filter): Option[C] = if (!hasStats) None else {
+      def proven(c: String)(p: C): C =
+        coalesce(col("stats").isNotNull && fld(c).isNotNull && p, lit(false))
+      f match {
+        case EqualTo(a, v) => statType(a).map(dt => proven(a)(
+          bound(a, "min", dt) === lim(v, dt) &&
+            bound(a, "max", dt) === lim(v, dt) && nullsF(a) === 0L))
+        case EqualNullSafe(a, v) =>
+          if (v == null) Some(proven(a)(nullsF(a) === cntF(a)))
+          else mustC(EqualTo(a, v))
+        case GreaterThan(a, v) => statType(a).map(dt => proven(a)(
+          bound(a, "min", dt) > lim(v, dt) && nullsF(a) === 0L))
+        case GreaterThanOrEqual(a, v) => statType(a).map(dt => proven(a)(
+          bound(a, "min", dt) >= lim(v, dt) && nullsF(a) === 0L))
+        case LessThan(a, v) => statType(a).map(dt => proven(a)(
+          bound(a, "max", dt) < lim(v, dt) && nullsF(a) === 0L))
+        case LessThanOrEqual(a, v) => statType(a).map(dt => proven(a)(
+          bound(a, "max", dt) <= lim(v, dt) && nullsF(a) === 0L))
+        case IsNull(a) => Some(proven(a)(nullsF(a) === cntF(a)))
+        case IsNotNull(a) => Some(proven(a)(nullsF(a) === 0L))
+        case And(l, r) => for { a <- mustC(l); b <- mustC(r) } yield a && b
+        case Or(l, r) => (mustC(l), mustC(r)) match {
+          case (Some(a), Some(b)) => Some(a || b)
+          case (one, other) => one.orElse(other) // must(l) ⇒ must(l OR r)
+        }
+        case _ => None
+      }
+    }
     def interval(f: Filter): Option[C] = if (!hasStats) None else {
-      // try_element_at: missing keys yield NULL under ANSI mode too
-      def fld(c: String): C = try_element_at(col("stats"), lit(c.toLowerCase))
       // three-valued-logic guard: missing stats map / missing column /
       // failed cast all resolve to KEEP
       def guard(c: String)(p: C): C =
         coalesce(col("stats").isNull || fld(c).isNull || p, lit(true))
-      def bound(c: String, end: String, dt: DataType): C =
-        fld(c).getField(end).cast(dt)
-      def lim(v: Any, dt: DataType): C = lit(v).cast(dt)
       f match {
-        case EqualTo(a, v) => types.get(a.toLowerCase).map(dt => guard(a)(
+        case EqualTo(a, v) => statType(a).map(dt => guard(a)(
           bound(a, "min", dt) <= lim(v, dt) && bound(a, "max", dt) >= lim(v, dt)))
-        case In(a, vs) if vs.nonEmpty => types.get(a.toLowerCase).map(dt => guard(a)(
+        case EqualNullSafe(a, v) =>
+          if (v == null) Some(guard(a)(nullsF(a) > 0L))
+          else interval(EqualTo(a, v))
+        case In(a, vs) if vs.nonEmpty => statType(a).map(dt => guard(a)(
           vs.map(v => bound(a, "min", dt) <= lim(v, dt) &&
             bound(a, "max", dt) >= lim(v, dt)).reduce(_ || _)))
-        case GreaterThan(a, v) => types.get(a.toLowerCase).map(dt =>
+        case GreaterThan(a, v) => statType(a).map(dt =>
           guard(a)(bound(a, "max", dt) > lim(v, dt)))
-        case GreaterThanOrEqual(a, v) => types.get(a.toLowerCase).map(dt =>
+        case GreaterThanOrEqual(a, v) => statType(a).map(dt =>
           guard(a)(bound(a, "max", dt) >= lim(v, dt)))
-        case LessThan(a, v) => types.get(a.toLowerCase).map(dt =>
+        case LessThan(a, v) => statType(a).map(dt =>
           guard(a)(bound(a, "min", dt) < lim(v, dt)))
-        case LessThanOrEqual(a, v) => types.get(a.toLowerCase).map(dt =>
+        case LessThanOrEqual(a, v) => statType(a).map(dt =>
           guard(a)(bound(a, "min", dt) <= lim(v, dt)))
         case And(l, r) => (interval(l), interval(r)) match {
           case (Some(a), Some(b)) => Some(a && b)
           case (one, other) => one.orElse(other) // half-translated AND stays conservative
         }
         case Or(l, r) => for { a <- interval(l); b <- interval(r) } yield a || b
+        // keep unless the stats PROVE x holds for every row (r18 verdict
+        // #5: Not used to pass through untranslated, so a million-file
+        // manifest under a Not(EqualTo) collected the full census)
+        case Not(x) => mustC(x).map(m => !m)
         case _ => None
       }
     }

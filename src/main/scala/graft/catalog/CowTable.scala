@@ -415,7 +415,28 @@ final class CowTable private (root0: String, spark: SparkSession) {
   private def carryDf(v: Int): DataFrame = {
     val m = manifestDf(v)
     val extras = Seq("stats", "size", "mtime").filter(m.columns.contains)
-    m.select("path", extras: _*)
+    sanitizeCarriedStats(m.select("path", extras: _*), v)
+  }
+
+  /** String stats carried from a manifest WITHOUT the `_stats_utf8` marker
+    * may have been merged across row groups in UTF-16 order (pre-r18
+    * writers): their max can be understated above the BMP, so carrying
+    * them under the new manifest's marker would license wrong pruning.
+    * Strip string-typed keys from such carried stats (numeric/boolean
+    * orders never differed); every manifest written by this code then
+    * carries only UTF-8-merged string bounds and the commit-side marker is
+    * sound (ADVICE r19). */
+  private def sanitizeCarriedStats(df: DataFrame, fromV: Int): DataFrame = {
+    if (!df.columns.contains("stats") ||
+        Files.exists(manifestDir.resolve(s"v$fromV").resolve("_stats_utf8")))
+      return df
+    val stringCols = org.apache.spark.sql.types.StructType
+      .fromDDL(storedSchemaDdl).fields
+      .collect { case f if f.dataType == org.apache.spark.sql.types.StringType =>
+        f.name.toLowerCase }.toSeq
+    if (stringCols.isEmpty) df
+    else df.withColumn("stats",
+      map_filter(col("stats"), (k, _) => !k.isin(stringCols: _*)))
   }
 
   /** Append-only insert: new files, no rewrites. `branch` scopes the commit
@@ -438,7 +459,17 @@ final class CowTable private (root0: String, spark: SparkSession) {
     *    data was never visible) and vacuum sweeps the orphan;
     *  - once the head advances, every redelivery of the batch is a no-op.
     * Returns false when the batch was already published. Use through
-    * [[CowTable.streamInto]]: `df.writeStream.foreachBatch(streamInto(t))`. */
+    * [[CowTable.streamInto]]: `df.writeStream.foreachBatch(streamInto(t))`.
+    *
+    * CONTRACT (ADVICE r19): batch ids must be monotone across the table's
+    * lifetime — ONE streaming query with a stable checkpoint (exactly the
+    * regime Structured Streaming's foreachBatch guarantees). The O(1)
+    * replay check treats `batchId <= marker max` as published, so a query
+    * restarted with a FRESH checkpoint (ids reset to 0) would have its
+    * early batches silently skipped. To re-ingest from a new checkpoint,
+    * target a new table (or delete `_stream_max_batch` and the `_batch_*`
+    * tags along with the checkpoint). Multi-query ingest into one table is
+    * outside this subset — key the marker/tags by queryId before lifting. */
   def insertStreamBatch(df: DataFrame, batchId: Long): Boolean = {
     if (streamBatchPublished(batchId)) return false
     val newFiles = writeData(df)
@@ -712,8 +743,9 @@ final class CowTable private (root0: String, spark: SparkSession) {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("fname", org.apache.spark.sql.types.StringType))))
     val extras = Seq("stats", "size", "mtime").filter(before.columns.contains)
-    val untouched = before.join(broadcast(affectedDf), Seq("fname"), "left_anti")
-      .select("path", extras: _*)
+    val untouched = sanitizeCarriedStats(
+      before.join(broadcast(affectedDf), Seq("fname"), "left_anti")
+        .select("path", extras: _*), branchHead(branch))
     val (carried, v) = commit(untouched, newFiles, branch)
     MutationStats(before.count(), affected, carried, v)
   }
@@ -902,6 +934,13 @@ final class CowTable private (root0: String, spark: SparkSession) {
       carriedDf.unionByName(newDf, allowMissingColumns = true)
         .coalesce(1).write.mode("overwrite")
         .parquet(manifestDir.resolve(s"v$v").toString)
+      // string-stats order marker: new entries' bounds were merged under
+      // UTF-8 (footerStats), and every carried DF passed through
+      // sanitizeCarriedStats at its construction site (carryDf / mutate),
+      // so the whole manifest's string bounds are UTF-8-safe. Underscore
+      // prefix: invisible to the parquet reader, like _SUCCESS.
+      Files.write(manifestDir.resolve(s"v$v").resolve("_stats_utf8"),
+        Array.emptyByteArray)
       writeTag()
       val carried = carriedDf.count()
       setHead(branch, v)

@@ -809,4 +809,113 @@ class CowTableSpec extends SparkSpec {
       "SELECT count(*) AS n FROM wh_layout_guard WHERE okey <= 200")
       .collect().head.getLong(0) > 0)
   }
+
+  test("Not/EqualNullSafe prune in statsKeep AND the distributed pre-filter (superset holds)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cow_notprune").toString
+    // generation 1: k is CONSTANT 5, no nulls — min==max==5, nulls==0, so
+    // `k <> 5` provably fails for every row (the must() shape)
+    val t = graft.catalog.CowTable.create(spark, root,
+      spark.range(0, 100).select(lit(5L).as("k"), ($"id" % 4).as("cust")),
+      bucketBy = Seq("cust"), bucketCount = 2)
+    // generation 2: k spread over [0, 100)
+    t.insert(spark.range(0, 100).select($"id".as("k"), ($"id" % 4).as("cust")))
+    def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    }
+    val total = t.manifestDf(t.currentVersion).count()
+    val q = t.read().filter($"k" =!= 5L)
+    assert(q.count() == 99L) // generation 2 minus its one k=5 row
+    val kept = cowScanPartitions(finalPlan(q)).flatMap(_.files)
+      .map(_.filePath.toString).toSet
+    assert(kept.nonEmpty && kept.size < total,
+      s"Not(EqualTo) must prune the constant-k files ($total planned ${kept.size})")
+    assert(kept.forall(_.contains("/v2/")),
+      s"generation-1 (k==5 constant) files must prune: ${kept.mkString(", ")}")
+    // the DISTRIBUTED pre-filter prunes the same shape, and its survivors
+    // are a superset of the authoritative driver-side keeps
+    val scan = q.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.description().contains("GraftCowScan") => b.scan
+    }.head.asInstanceOf[graft.catalog.CowScan]
+    val manifest = spark.read.parquet(s"$root/_manifests/v${t.currentVersion}")
+    val pre = scan.manifestPreFilter(hasStats = true)
+    assert(pre.isDefined, "Not(EqualTo) must lower into the pre-filter")
+    val survivors = manifest.filter(pre.get).select("path")
+      .collect().map(_.getString(0)).toSet
+    assert(survivors.size < total,
+      "pre-filter must prune the constant-k files before the collect")
+    assert(kept.subsetOf(survivors),
+      s"superset contract violated: driver keeps ${kept -- survivors} that the pre-filter dropped")
+    // EqualNullSafe probes the same interval logic: 7 is outside [5,5]
+    val q2 = t.read().filter($"k" <=> 7L)
+    assert(q2.count() == 1L)
+    val kept2 = cowScanPartitions(finalPlan(q2)).flatMap(_.files)
+      .map(_.filePath.toString).toSet
+    assert(kept2.nonEmpty && kept2.forall(_.contains("/v2/")),
+      s"EqualNullSafe(7) must prune the k==5-constant files: ${kept2.mkString(", ")}")
+  }
+
+  test("string-range pruning requires the UTF-8 merge marker (legacy manifests keep)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cow_strgate").toString
+    val t = graft.catalog.CowTable.create(spark, root,
+      spark.range(0, 100).select(
+        concat(lit("a"), lpad($"id".cast("string"), 3, "0")).as("s"),
+        ($"id" % 4).as("cust")),
+      bucketBy = Seq("cust"), bucketCount = 2)
+    t.insert(spark.range(0, 100).select(
+      concat(lit("z"), lpad($"id".cast("string"), 3, "0")).as("s"),
+      ($"id" % 4).as("cust")))
+    def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    }
+    val total = t.manifestDf(t.currentVersion).count()
+    // markers present (written by this code): the disjoint generation prunes
+    val q = t.read().filter($"s" >= "z")
+    assert(q.count() == 100L)
+    val kept = cowScanPartitions(finalPlan(q)).flatMap(_.files)
+    assert(kept.nonEmpty && kept.size < total &&
+      kept.forall(_.filePath.toString.contains("/v2/")),
+      s"string bounds under the marker must prune generation 1 (${kept.size} of $total)")
+    // strip the marker — a manifest written by a PRE-UTF-8-merge engine:
+    // its string bounds may be UTF-16-merged, so range pruning must not
+    // trust them (keep everything); results are unchanged either way
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      root, "_manifests", s"v${t.currentVersion}", "_stats_utf8"))
+    val q2 = t.read().filter($"s" >= "z")
+    assert(q2.count() == 100L)
+    val kept2 = cowScanPartitions(finalPlan(q2)).flatMap(_.files)
+    assert(kept2.size == total,
+      s"unmarked manifests must not string-range prune (${kept2.size} of $total)")
+    // and the next commit SANITIZES carried string stats before re-marking:
+    // the new manifest prunes only through (trustworthy) re-lifted stats
+    t.insert(spark.range(0, 10).select(
+      concat(lit("m"), lpad($"id".cast("string"), 3, "0")).as("s"),
+      ($"id" % 4).as("cust")))
+    val v3 = t.currentVersion
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      root, "_manifests", s"v$v3", "_stats_utf8")))
+    val m3 = spark.read.parquet(s"$root/_manifests/v$v3")
+    import org.apache.spark.sql.functions.{col, map_keys, array_contains}
+    // carried entries (v1/v2 files) lost their s-bounds; fresh v3 files keep theirs
+    val carriedWithS = m3.filter(!col("path").contains(s"/v$v3/"))
+      .filter(array_contains(map_keys(col("stats")), "s")).count()
+    assert(carriedWithS == 0L,
+      "carried string stats from an unmarked manifest must be stripped")
+    val freshWithS = m3.filter(col("path").contains(s"/v$v3/"))
+      .filter(array_contains(map_keys(col("stats")), "s")).count()
+    assert(freshWithS > 0L, "fresh files must still carry string stats")
+    assert(t.read().filter($"s" >= "z").count() == 100L)
+  }
 }

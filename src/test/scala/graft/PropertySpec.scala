@@ -248,6 +248,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components: bounded rounds, one checkpoint per round, bounded lineage") {
+    // r18 verdict #8: pin the iterative kernel's convergence so it cannot
+    // silently regress to unbounded lineage or O(diameter) rounds. A
+    // 120-deep chain is the fixture that NEEDS >1 round; large-star/
+    // small-star collapses diameter doubly-exponentially, so it must
+    // converge well under the defensive 20-round cap.
+    import spark.implicits._
+    val chain = (0L until 119L).map(i => (i, i + 1))
+    val (labels, rounds, checkpoints) =
+      operators.Dedup.connectedComponentsInstrumented(chain.toDF("u", "v"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 119L).foreach(n => assert(got(n) == 0L, s"node $n"))
+    assert(rounds >= 2, s"chain-120 must need more than one round (took $rounds)")
+    assert(rounds <= 8,
+      s"doubly-exponential collapse must converge far under the 20-round cap (took $rounds)")
+    // cadence: the seed edge list plus EVERY round's output is checkpointed
+    // — lineage never exceeds one round's plan
+    assert(checkpoints == rounds + 1,
+      s"expected one checkpoint per round plus the seed ($rounds rounds, $checkpoints checkpoints)")
+    // the fixpoint label plan hangs off a checkpointed (LogicalRDD) edge
+    // list, not 120 rounds of joins: its tree stays small
+    val planLines = labels.queryExecution.logical.numberedTreeString.linesIterator.size
+    assert(planLines < 40,
+      s"label plan must not accumulate per-round lineage ($planLines plan lines)")
+  }
+
   test("buffer area closed form on random rectilinear concave unions") {
     // Property: for any RECTILINEAR simple polygon (here: the union of two
     // properly-crossing rectangles — an 8-corner concave ring in general),
