@@ -869,6 +869,9 @@ final class CowTable private (root0: String, spark: SparkSession) {
   private def commit(carriedDf: DataFrame, newFiles: Seq[String],
       branch: String, tag: Option[String] = None): (Long, Int) = {
     import spark.implicits._
+    // every table mutation flows through here: cached front-door plans
+    // pinned to the previous snapshot must not be served again
+    graft.sqlx.PlanCache.invalidate()
     val v = maxVersion + 1
     // a tag file inside the manifest dataset dir ('_'-prefixed: invisible
     // to the parquet reader) marks the version BEFORE the head advances —

@@ -88,7 +88,17 @@ object Registry {
     "theta_sketch_cardinality", "theta_sketch_union_of",
     "theta_sketch_intersect_of", "theta_sketch_a_not_b")
 
+  // Once-per-session guard (r19): the dialect front door re-registered all
+  // ~200 temp functions on EVERY statement. Registrations are per-session
+  // and idempotent, so after the first pass the work is pure overhead on
+  // the per-statement path. WeakHashMap: a discarded scoped session's
+  // entry is collectable (the Boolean value holds no session reference).
+  private val registeredSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def registerAll(spark: SparkSession): Unit = {
+    if (registeredSessions.putIfAbsent(spark, java.lang.Boolean.TRUE) != null)
+      return
     VectorFunctions.register(spark)
     TextFunctions.register(spark)
     SessionFunctions.register(spark)

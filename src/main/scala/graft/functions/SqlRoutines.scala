@@ -140,7 +140,13 @@ object SqlRoutines {
   }
 
   /** Lower the reference DDL onto Spark's SQL UDF DDL and execute it. */
-  def create(spark: SparkSession, text: String): DataFrame = text.trim match {
+  def create(spark: SparkSession, text: String): DataFrame = {
+    // a (re)defined routine changes what a cached plan would compute
+    graft.sqlx.PlanCache.invalidate()
+    createStatement(spark, text)
+  }
+
+  private def createStatement(spark: SparkSession, text: String): DataFrame = text.trim match {
     case t if "(?is)\\bLANGUAGE\\s+PYTHON\\b".r.findFirstIn(t).isDefined =>
       parseHead(t) match {
         case Some((name, params, retType, rest)) =>

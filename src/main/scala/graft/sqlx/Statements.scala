@@ -721,7 +721,15 @@ private[graft] object Statements {
     }
   }
 
-  private def execute(spark: SparkSession, dir: String, st: Statement): DataFrame = st match {
+  private def execute(spark: SparkSession, dir: String, st: Statement): DataFrame = {
+    // any non-query statement may change what a cached plan would read
+    // (DDL/DML/GRANT/...); bumping the epoch on all of them over-invalidates
+    // (EXPLAIN/SHOW cost a re-plan) but can never serve stale data
+    PlanCache.invalidate()
+    executeStatement(spark, dir, st)
+  }
+
+  private def executeStatement(spark: SparkSession, dir: String, st: Statement): DataFrame = st match {
     case CreateTableAs(name, orReplace, ifNotExists, q, comment, props) =>
       val key = keyOf(name)
       if (tables.contains(key) && !orReplace) {

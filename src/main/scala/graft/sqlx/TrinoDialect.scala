@@ -185,7 +185,11 @@ object TrinoDialect {
       return sqlDirect(spark, dir, query)
     }
     try Statements.run(spark, dir, text) // DML/EXPLAIN/SHOW/DESCRIBE heads
-      .getOrElse(SqlFrontend.run(spark, dir, text))
+      // query path: prepared-plan cache (r19) — repeated statement text in
+      // the same session/context/epoch skips parse + rewrite + analysis;
+      // execution still runs from the parquet inputs on every action
+      .getOrElse(PlanCache.cached(spark, dir, text)(
+        SqlFrontend.run(spark, dir, text)))
     catch {
       case e: SqlParseException =>
         // the legacy text-rewriter cannot classify table accesses, so an

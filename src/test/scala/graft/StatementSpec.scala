@@ -745,4 +745,35 @@ class StatementSpec extends SparkSpec {
     val path = sql("SHOW SESSION LIKE 'path'").collect()
     assert(path.length == 1 && path(0).getString(1) == "mycatalog.funcs, system.builtin")
   }
+
+  test("prepared-plan cache: repeat text hits; a table mutation between statements invalidates") {
+    import graft.sqlx.PlanCache
+    sql("DROP TABLE IF EXISTS plancache_t")
+    sql("CREATE TABLE plancache_t AS SELECT 1 AS k")
+    val q = "SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS s FROM plancache_t"
+    def run(): (Long, Long) = {
+      val r = sql(q).collect().head; (r.getLong(0), r.getLong(1))
+    }
+    assert(run() == ((1L, 1L)))
+    // repeat of the SAME text in the same session/epoch is a cache hit —
+    // and still recomputes from storage (no result caching to observe,
+    // only the hit counter)
+    val h0 = PlanCache.hits.get()
+    assert(run() == ((1L, 1L)))
+    assert(PlanCache.hits.get() > h0, "repeat statement must hit the plan cache")
+    // a mutation BETWEEN statements bumps the epoch: the next run must
+    // re-plan against the new snapshot and see the inserted row — a stale
+    // cached plan would keep answering (1, 1)
+    sql("INSERT INTO plancache_t VALUES (41)")
+    assert(run() == ((2L, 42L)),
+      "cached plan served after a table mutation (stale snapshot)")
+    // CREATE FUNCTION also invalidates: same text, new routine body
+    sql("CREATE OR REPLACE FUNCTION plancache_f(x bigint) RETURNS bigint RETURN x + 1")
+    val fq = "SELECT CAST(plancache_f(1) AS BIGINT) AS v"
+    assert(sql(fq).collect().head.getLong(0) == 2L)
+    sql("CREATE OR REPLACE FUNCTION plancache_f(x bigint) RETURNS bigint RETURN x + 10")
+    assert(sql(fq).collect().head.getLong(0) == 11L,
+      "cached plan served after the routine was redefined")
+    sql("DROP TABLE IF EXISTS plancache_t")
+  }
 }
