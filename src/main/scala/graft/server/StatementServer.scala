@@ -24,7 +24,7 @@ import scala.jdk.CollectionConverters._
   * Scale design (the two properties that make a coordinator survive 100 TB):
   *
   *  1. '''Results stream through a bounded buffer, never a full collect.'''
-  *     The worker drives `df.toLocalIterator()` into a [[PageBuffer]] of at
+  *     The worker drives a partition-prefetched drain into a [[PageBuffer]] of at
   *     most [[BufferPages]] pages; the producer BLOCKS when the client falls
   *     behind (the reference's bounded output buffers,
   *     ExecutingStatementResource.java:69 + spooling). Server memory per
@@ -707,7 +707,7 @@ object StatementServer {
         graft.sqlx.SessionContext.within(ctx) {
           val df = graft.sqlx.TrinoDialect.sql(exec, dir, sql)
           val schema = df.schema
-          val it = df.toLocalIterator().asScala
+          val it = drainIterator(df)
           if (spooled) {
             // drain to disk one page at a time: memory O(page), spool O(result)
             val (segments, total) = drainToSpool(id, schema, it, spoolDir, ref)
@@ -803,6 +803,62 @@ object StatementServer {
       graft.sqlx.Statements.registerFrontDoorViews(s)
       s
     }
+  }
+
+  /** How many single-partition collect jobs a result drain keeps in
+    * flight. Memory bound: DrainDepth partition arrays resident per
+    * draining statement (vs toLocalIterator's 1). */
+  private val DrainDepth = 4
+
+  /** Result drain with bounded partition prefetch (r19). `Dataset.
+    * toLocalIterator` runs ONE Spark job per result partition, strictly
+    * sequentially — a small N-partition result pays N local job floors
+    * (~20 ms each, measured 0.15 s of the 0.19 s statement round trip)
+    * before its last page is served. Instead, submit up to [[DrainDepth]]
+    * single-partition collect jobs concurrently and consume them in
+    * partition order: the job floors overlap, while STREAMING GRANULARITY
+    * is unchanged — each job covers exactly one partition, so a slow or
+    * blocked tail partition never gates the pages built from earlier
+    * partitions (StreamingResultsSpec pins this; a batched-collect variant
+    * deadlocked it). Prefetch threads are created inside this call, on the
+    * statement's worker thread, so they inherit its job group
+    * (interruptOnCancel) — the kill path cancels in-flight prefetched jobs
+    * exactly like the current one. Threads are daemons and time out when
+    * idle, so an abandoned drain leaks nothing past the keepalive. */
+  private[graft] def drainIterator(df: org.apache.spark.sql.DataFrame): Iterator[Row] = {
+    val rdd = df.rdd
+    val n = rdd.getNumPartitions
+    if (n == 0) return Iterator.empty
+    val sc = rdd.sparkContext
+    val pool = new java.util.concurrent.ThreadPoolExecutor(
+      math.min(DrainDepth, n), math.min(DrainDepth, n), 10L, TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](),
+      daemonFactory("graft-statement-drain"))
+    pool.allowCoreThreadTimeOut(true)
+    val pending = new java.util.ArrayDeque[java.util.concurrent.Future[Array[Row]]]()
+    var submitted = 0
+    def submitNext(): Unit = if (submitted < n) {
+      val p = submitted; submitted += 1
+      pending.addLast(pool.submit(new java.util.concurrent.Callable[Array[Row]] {
+        def call(): Array[Row] =
+          sc.runJob(rdd, (rows: Iterator[Row]) => rows.toArray, Seq(p)).head
+      }))
+    }
+    (1 to math.min(DrainDepth, n)).foreach(_ => submitNext())
+    new Iterator[Array[Row]] {
+      def hasNext: Boolean = !pending.isEmpty
+      def next(): Array[Row] = {
+        val got =
+          try pending.removeFirst().get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              pool.shutdownNow(); throw e.getCause
+          }
+        submitNext()
+        if (pending.isEmpty) pool.shutdown()
+        got
+      }
+    }.flatMap(_.iterator)
   }
 
   /** Drain `it` to spool segment files one page at a time. A one-page

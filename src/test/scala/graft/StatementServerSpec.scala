@@ -265,4 +265,19 @@ class StatementServerSpec extends SparkSpec
       HttpResponse.BodyHandlers.ofString())
     assert(resp.statusCode() == 404)
   }
+
+  test("prefetched drain preserves order and completeness") {
+    import spark.implicits._
+    // 37 small partitions cycles the 4-deep prefetch window many times;
+    // range partitions are id-ordered and sorted within, so the drained
+    // concatenation must be exactly the global ascending sequence — any
+    // prefetch reorder, drop, or duplicate breaks the equality
+    val df = spark.range(0, 10000).toDF("v")
+      .repartitionByRange(37, $"v").sortWithinPartitions($"v")
+    val got = server.StatementServer.drainIterator(df).map(_.getLong(0)).toVector
+    assert(got == (0L until 10000L).toVector)
+    // empty relation: no partitions to drain
+    assert(server.StatementServer.drainIterator(
+      spark.range(0, 0).toDF("v")).isEmpty)
+  }
 }
