@@ -287,7 +287,12 @@ object Bench {
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out,
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: java.io.IOException => /* diagnostics only */ }
+    } catch {
+      // diagnostics only — NOTHING may prevent the contract line below
+      // from printing (a malformed SPARK_GRAFT_BENCH_DETAIL throws
+      // InvalidPathException, which is not an IOException)
+      case scala.util.control.NonFatal(_) =>
+    }
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","sf":"$sfDir","queries":$qs,"calibration":$calibration,"total_nonreplay":${d3(totalNonReplay)}}""")
     spark.stop()
   }

@@ -868,10 +868,20 @@ final class CowTable private (root0: String, spark: SparkSession) {
 
   private def commit(carriedDf: DataFrame, newFiles: Seq[String],
       branch: String, tag: Option[String] = None): (Long, Int) = {
-    import spark.implicits._
     // every table mutation flows through here: cached front-door plans
-    // pinned to the previous snapshot must not be served again
+    // pinned to the previous snapshot must not be served again. Bump
+    // before AND after (finally: the head may have advanced even on a
+    // partially failed commit) — the after-bump is the one that evicts a
+    // plan analyzed against the old snapshot CONCURRENTLY with this
+    // commit, which would otherwise survive under the new epoch.
     graft.sqlx.PlanCache.invalidate()
+    try commitBody(carriedDf, newFiles, branch, tag)
+    finally graft.sqlx.PlanCache.invalidate()
+  }
+
+  private def commitBody(carriedDf: DataFrame, newFiles: Seq[String],
+      branch: String, tag: Option[String]): (Long, Int) = {
+    import spark.implicits._
     val v = maxVersion + 1
     // a tag file inside the manifest dataset dir ('_'-prefixed: invisible
     // to the parquet reader) marks the version BEFORE the head advances —

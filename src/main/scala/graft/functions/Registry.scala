@@ -93,12 +93,22 @@ object Registry {
   // and idempotent, so after the first pass the work is pure overhead on
   // the per-statement path. WeakHashMap: a discarded scoped session's
   // entry is collectable (the Boolean value holds no session reference).
-  private val registeredSessions = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  // The session is marked AFTER registration succeeds, and the whole
+  // first pass runs under the map's lock: a concurrent second statement
+  // waits for a complete function set instead of planning against a
+  // half-registered one, and a failed registration leaves the session
+  // unmarked so the next statement retries.
+  private val registeredSessions =
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
 
-  def registerAll(spark: SparkSession): Unit = {
-    if (registeredSessions.putIfAbsent(spark, java.lang.Boolean.TRUE) != null)
-      return
+  def registerAll(spark: SparkSession): Unit = registeredSessions.synchronized {
+    if (registeredSessions.containsKey(spark)) return
+    registerAllNow(spark)
+    registeredSessions.put(spark, java.lang.Boolean.TRUE)
+    ()
+  }
+
+  private def registerAllNow(spark: SparkSession): Unit = {
     VectorFunctions.register(spark)
     TextFunctions.register(spark)
     SessionFunctions.register(spark)

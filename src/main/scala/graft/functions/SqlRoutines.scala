@@ -141,9 +141,12 @@ object SqlRoutines {
 
   /** Lower the reference DDL onto Spark's SQL UDF DDL and execute it. */
   def create(spark: SparkSession, text: String): DataFrame = {
-    // a (re)defined routine changes what a cached plan would compute
+    // a (re)defined routine changes what a cached plan would compute;
+    // the bump AFTER registration (finally) is the critical one — a plan
+    // analyzed concurrently with it must not survive the new epoch
     graft.sqlx.PlanCache.invalidate()
-    createStatement(spark, text)
+    try createStatement(spark, text)
+    finally graft.sqlx.PlanCache.invalidate()
   }
 
   private def createStatement(spark: SparkSession, text: String): DataFrame = text.trim match {

@@ -785,6 +785,10 @@ object StatementServer {
     if (confMapped.isEmpty) spark
     else {
       val s = spark.newSession()
+      // single-statement fork: a cached plan could never hit (fresh
+      // session identity per statement) and would only pin the dead
+      // session in the plan-cache LRU, evicting reusable entries
+      graft.sqlx.PlanCache.markEphemeral(s)
       // inherit the parent's tuned defaults, then overlay
       Seq("spark.sql.shuffle.partitions", "spark.sql.autoBroadcastJoinThreshold")
         .foreach(k => spark.conf.getOption(k).foreach(v => s.conf.set(k, v)))
@@ -852,7 +856,13 @@ object StatementServer {
           try pending.removeFirst().get()
           catch {
             case e: java.util.concurrent.ExecutionException =>
-              pool.shutdownNow(); throw e.getCause
+              pool.shutdownNow()
+              // the statement is failing: also cancel the in-flight
+              // sibling partition jobs (shutdownNow only interrupts the
+              // threads WAITING on them, not the Spark jobs themselves)
+              Option(sc.getLocalProperty("spark.jobGroup.id"))
+                .foreach(sc.cancelJobGroup(_))
+              throw e.getCause
           }
         submitNext()
         if (pending.isEmpty) pool.shutdown()

@@ -65,6 +65,17 @@ object Tables {
     * plans pin the old file listing. Metadata caching only — no row of
     * data is ever cached here. */
   private final case class Fp(dir: String, mtime: Long, len: Long)
+  /** Fingerprint a fixture path. A parquet DIRECTORY's own mtime/length
+    * only change when entries are added/removed, not when a part file is
+    * rewritten in place — aggregate the direct children too (max mtime,
+    * summed length mixed with the count), so an in-place rewrite changes
+    * the fingerprint and re-registers the view. */
+  private def fpOf(dir: String, f: java.io.File): Fp =
+    if (f.isDirectory) {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      Fp(dir, kids.foldLeft(f.lastModified())((m, k) => math.max(m, k.lastModified())),
+        kids.foldLeft(kids.length.toLong * 1000003L)((s, k) => s + k.length()))
+    } else Fp(dir, f.lastModified(), f.length())
   private val registered = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, Fp]]())
@@ -81,7 +92,7 @@ object Tables {
     all.foreach { n =>
       val f = new java.io.File(s"$dir/$n.parquet")
       if (f.exists()) {
-        val fp = Fp(dir, f.lastModified(), f.length())
+        val fp = fpOf(dir, f)
         val prev = views.get(n)
         val present = prev != null &&
           spark.sessionState.catalog.getTempView(n).isDefined

@@ -34,8 +34,25 @@ private[graft] object PlanCache {
   private val epochCtr = new AtomicLong(0L)
 
   /** Any catalog/table/function mutation calls this; cached plans from
-    * earlier epochs become unreachable. */
+    * earlier epochs become unreachable. Mutation sites bump BOTH before
+    * and after the mutation: the after-bump is the correctness-critical
+    * one (a query analyzed concurrently with a mutation must not be
+    * cached under the post-mutation epoch while pinning the pre-mutation
+    * snapshot); the before-bump narrows the window in which an already
+    * cached plan is served mid-mutation. */
   def invalidate(): Unit = { epochCtr.incrementAndGet(); () }
+
+  /** Sessions that live for a single statement (the server's conf-scoped
+    * forks): caching their plans can never hit (fresh identity per
+    * statement) and would pin the dead session + its state in the LRU,
+    * evicting the long-lived session's reusable entries. Marked sessions
+    * bypass the cache entirely. WeakHashMap: the mark does not extend the
+    * session's life. */
+  private val ephemeral = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  def markEphemeral(spark: SparkSession): Unit = {
+    ephemeral.put(spark, java.lang.Boolean.TRUE); ()
+  }
 
   def epoch: Long = epochCtr.get()
 
@@ -62,6 +79,7 @@ private[graft] object PlanCache {
   def cached(spark: SparkSession, dir: String, sql: String)
       (body: => DataFrame): DataFrame = {
     if (SessionContext.enforcedUser.isDefined) return body
+    if (ephemeral.containsKey(spark)) return body
     val k = key(spark, dir, sql)
     val hit = lru.synchronized(Option(lru.get(k)))
       // identity check: an identityHashCode collision with a collected
@@ -82,12 +100,32 @@ private[graft] object PlanCache {
     * go through [[Statements]]) and graft CoW tables (all mutations go
     * through CowTable.commit). A plan reading any OTHER DSv2 catalog
     * (iceberg/delta/hudi/memory/wire fixtures…) can be mutated by direct
-    * API calls this cache cannot see — never cache those. */
+    * API calls this cache cannot see — never cache those.
+    *
+    * A plan carrying a non-deterministic expression (rand, uuid, …) or a
+    * per-query-constant one (now/current_timestamp/current_date/
+    * current_user/…, all replaced by a literal ONCE when the lazy
+    * optimized plan is first built) is never cached either: serving the
+    * same DataFrame again would freeze the first execution's values. */
   private def cacheable(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
     val safe = Set("spark_catalog", graft.catalog.CowDsv2.CatalogName)
-    !df.queryExecution.analyzed.collect {
+    val analyzed = df.queryExecution.analyzed
+    val foreignCatalog = analyzed.collectWithSubqueries {
       case r: DataSourceV2Relation => r.catalog.map(_.name()).getOrElse("")
     }.exists(n => n.nonEmpty && !safe.contains(n))
+    def perExecution(plan: LogicalPlan): Boolean = plan.expressions.exists(_.exists {
+      case e if !e.deterministic => true
+      // query-constant family (folded to a literal at first optimization):
+      // CurrentTimestamp/CurrentDate/CurrentTimeZone/CurrentUser/
+      // CurrentDatabase/CurrentCatalog…, Now, LocalTimestamp
+      case e =>
+        val n = e.getClass.getSimpleName
+        n.startsWith("Current") || n == "Now" || n == "LocalTimestamp"
+    })
+    !foreignCatalog && !analyzed.collectWithSubqueries {
+      case p if perExecution(p) => p
+    }.exists(_ => true)
   }
 }

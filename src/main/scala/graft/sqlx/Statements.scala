@@ -724,9 +724,13 @@ private[graft] object Statements {
   private def execute(spark: SparkSession, dir: String, st: Statement): DataFrame = {
     // any non-query statement may change what a cached plan would read
     // (DDL/DML/GRANT/...); bumping the epoch on all of them over-invalidates
-    // (EXPLAIN/SHOW cost a re-plan) but can never serve stale data
+    // (EXPLAIN/SHOW cost a re-plan) but can never serve stale data. The
+    // bump AFTER (in finally: also on partial failure) is the
+    // correctness-critical one — a query planned concurrently with this
+    // statement must not survive under the post-mutation epoch.
     PlanCache.invalidate()
-    executeStatement(spark, dir, st)
+    try executeStatement(spark, dir, st)
+    finally PlanCache.invalidate()
   }
 
   private def executeStatement(spark: SparkSession, dir: String, st: Statement): DataFrame = st match {

@@ -776,4 +776,22 @@ class StatementSpec extends SparkSpec {
       "cached plan served after the routine was redefined")
     sql("DROP TABLE IF EXISTS plancache_t")
   }
+
+  test("prepared-plan cache: non-deterministic and per-query-constant expressions are never cached") {
+    import graft.sqlx.PlanCache
+    // uuid() is non-deterministic: a cached DataFrame would freeze the
+    // first execution's value (the optimized plan is a lazy val)
+    val q = "SELECT uuid() AS u"
+    val u1 = sql(q).collect().head.getString(0)
+    val h0 = PlanCache.hits.get()
+    val u2 = sql(q).collect().head.getString(0)
+    assert(PlanCache.hits.get() == h0, "non-deterministic plan must not be cached")
+    assert(u1 != u2, "repeated uuid() returned the first execution's value")
+    // now() is query-constant: folded to a literal once at first
+    // optimization, so a cached plan would serve a frozen timestamp
+    val h1 = PlanCache.hits.get()
+    sql("SELECT now() AS t").collect()
+    sql("SELECT now() AS t").collect()
+    assert(PlanCache.hits.get() == h1, "current-time plan must not be cached")
+  }
 }
