@@ -27,10 +27,17 @@ object ExplainAnalyze {
       val self = NodeMetrics(
         p.nodeName,
         p.metrics.map { case (k, m) => k -> m.value }.toMap)
-      // AQE wraps the physical plan: descend into the materialized plans
+      // AQE wraps the physical plan: descend into the materialized plans.
+      // Cached intermediates (operators.materialized / sortedResult) likewise
+      // hide their compute plan inside InMemoryRelation — report it too, as
+      // the reference's EXPLAIN ANALYZE reports through its materialization
+      // boundaries (metrics reflect the cache-fill execution if it ran here,
+      // zeros if the cache was already warm).
       val kids = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec => Seq(q.plan)
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(s.relation.cachedPlan)
         case other => other.children
       }
       self +: (kids.flatMap(walk) ++ p.subqueries.flatMap(walk))

@@ -193,6 +193,107 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** array<string> tokens → struct(shs: array<long>, sig: array<long>):
+  * the distinct word-n-gram hashes AND the k-wide minhash signature in ONE
+  * compiled pass over the token array.
+  *
+  * Bit-identical to the legacy two-expression spelling
+  * `(WordNGramHashes(toks, n), MinHashSignature(shingles3(toks), k))` for
+  * null-free token arrays — which is every reachable input: `tokens()` is
+  * `split(lower(text), ' ')` and split never emits null elements. The legacy
+  * spelling paid, per row: an interpreted `transform` + `concat_ws` +
+  * `array_distinct` HOF chain materializing every shingle as a UTF8String
+  * (shingles3 — HOF lambdas are CodegenFallback, evaluated node-by-node),
+  * then TWO more XXH64 passes over each shingle string inside
+  * MinHashSignature — when WordNGramHashes had already joined and SeedA-hashed
+  * the identical windows in a compiled loop. Here each window is joined once
+  * into a reusable byte buffer (zero per-shingle allocation), hashed with
+  * SeedA (the shingle identity) and SeedB (the second minhash base), and
+  * folded into the running minima.
+  *
+  * Signature equality argument: MinHashSignature folds the k chains
+  * h1 + i·h2 of every DISTINCT shingle string into positionwise minima.
+  * This kernel folds the chains of every POSITIONAL window — duplicate
+  * windows have identical bytes, hence identical (h1, h2), hence identical
+  * chains, and min is idempotent — so the minima are exactly equal, with no
+  * dependence on hash-collision behavior. `shs` keeps WordNGramHashes'
+  * first-occurrence order (LinkedHashSet). Spec: TextKernelFusionSpec
+  * proves both fields equal the legacy spelling on the documents fixtures.
+  */
+case class MinHashShinglesAndSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && k >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("shs", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "minhash_shingles_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val sz = toks.numElements()
+    val mins = Array.fill[Long](k)(Long.MaxValue)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var buf = new Array[Byte](256)
+    val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+
+    // join toks[start, start+len) with ' ' into buf; null → empty, separators
+    // always written — joinTokens semantics (null-free inputs make this moot)
+    def fill(start: Int, len: Int): Int = {
+      var pos = 0
+      var j = 0
+      while (j < len) {
+        if (j > 0) {
+          if (pos + 1 > buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+          buf(pos) = ' '.toByte; pos += 1
+        }
+        val t = toks.getUTF8String(start + j)
+        if (t != null) {
+          val tb = t.numBytes
+          if (pos + tb > buf.length)
+            buf = java.util.Arrays.copyOf(buf, math.max(pos + tb, buf.length * 2))
+          t.writeToMemory(buf, base + pos)
+          pos += tb
+        }
+        j += 1
+      }
+      pos
+    }
+    def absorb(start: Int, len: Int): Unit = {
+      val bytes = fill(start, len)
+      val h1 = XXH64.hashUnsafeBytes(buf, base, bytes, TextHash.SeedA)
+      seen.add(h1)
+      val h2 = XXH64.hashUnsafeBytes(buf, base, bytes, TextHash.SeedB)
+      var h = h1
+      var i = 0
+      while (i < k) {
+        if (h < mins(i)) mins(i) = h
+        h += h2 // h1 + i·h2, computed incrementally
+        i += 1
+      }
+    }
+    if (sz < n) absorb(0, sz)
+    else {
+      var i = 0
+      while (i <= sz - n) { absorb(i, n); i += 1 }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(out), new GenericArrayData(mins)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** array<long> signature → array<long> LSH band keys: band b is an XXH64
   * chain over its r-wide signature slice (equal slice ⇒ equal key). */
 case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)

@@ -63,6 +63,15 @@ object TextFunctions {
   def minhashSignature(shingleCol: Column, k: Int): Column =
     column(MinHashSignature(expression(shingleCol), k))
 
+  /** struct(shs, sig): distinct word-3-gram hashes + k-wide minhash signature
+    * in one compiled pass — bit-identical to
+    * (shingleHashes3(toks), minhashSignature(shingles3(toks), k)) for
+    * null-free token arrays (split() output), without the interpreted
+    * shingles3 HOF chain or the duplicate string hashing
+    * (ext.MinHashShinglesAndSig scaladoc has the equality argument). */
+  def minhashShinglesSig(toks: Column, k: Int): Column =
+    column(MinHashShinglesAndSig(expression(toks), 3, k))
+
   /** LSH band keys: hash chain of each r-wide slice of the signature; a shared
     * band key between two docs makes them dedup candidates. */
   def minhashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =

@@ -138,7 +138,12 @@ object Dedup {
       .withColumn("jaccard", $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter"))
       .filter($"jaccard" >= 0.8)
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
+      // sortedResult (r19): the pair-agg + rescore tail otherwise runs twice
+      // (orderBy's range-sample job). The explicit key matters here: this
+      // plan embeds the per-invocation commonArr literal, so the default
+      // canonicalized-plan key would never evict the previous invocation's
+      // blocks (see operators package).
+      .transform(r => sortedResult(r, "q_dedup_ngram.result")($"doc_a", $"doc_b"))
   }
   val qDedupNgramSql: String =
     """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -171,10 +176,13 @@ object Dedup {
   def q_dedup_minhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = 64; val bands = 16; val r = 4
-    val d = materialized(
-      docs(s, dir).select($"doc_id",
-        shingleHashes3(tokens($"text")).as("shs"),
-        minhashSignature(shingles3(tokens($"text")), k).as("sig")))
+    // fused kernel (r19): shs + sig in one compiled pass over the tokens,
+    // materialized as ONE struct column so the kernel provably runs once per
+    // row at cache-fill time; bit-identical to the two-expression spelling
+    // (ext.MinHashShinglesAndSig scaladoc, TextKernelFusionSpec)
+    val d0 = materialized(docs(s, dir).select($"doc_id",
+      minhashShinglesSig(tokens($"text"), k).as("ss")))
+    val d = d0.select($"doc_id", $"ss.shs".as("shs"), $"ss.sig".as("sig"))
     val sigs = d.select($"doc_id", $"sig")
     val buckets = sigs.select($"doc_id",
       posexplode(minhashBands($"sig", bands, r)).as(Seq("band", "bkey")))
@@ -409,9 +417,12 @@ object Dedup {
     val all = docs(s, dir)
     val corpus = all.filter($"doc_id" % 5 =!= 0)
     val batch = all.filter($"doc_id" % 5 === 0)
-    def withSig(df: DataFrame): DataFrame = df.select($"doc_id",
-      shingleHashes3(tokens($"text")).as("shs"),
-      minhashSignature(shingles3(tokens($"text")), k).as("sig"))
+    // fused kernel (r19), materialized as the struct column so the kernel
+    // provably runs once per row — same bit-identity argument as
+    // q_dedup_minhash (ext.MinHashShinglesAndSig scaladoc)
+    def withSig(df: DataFrame): DataFrame = materialized(
+      df.select($"doc_id", minhashShinglesSig(tokens($"text"), k).as("ss")))
+      .select($"doc_id", $"ss.shs".as("shs"), $"ss.sig".as("sig"))
     def bandBuckets(df: DataFrame): DataFrame = df
       .select($"doc_id", posexplode(minhashBands($"sig", bands, r)).as(Seq("band", "bkey")))
       .select($"doc_id", xxhash64($"band", $"bkey").as("bucket"))
@@ -432,7 +443,7 @@ object Dedup {
       ()
     }
     rmRec(java.nio.file.Paths.get(root))
-    val corpusSig = materialized(withSig(corpus))
+    val corpusSig = withSig(corpus) // materialized inside (struct column)
     val idxBuckets = graft.catalog.CowTable.create(s, s"$root/buckets",
       bandBuckets(corpusSig),
       bucketBy = Seq("bucket"), bucketCount = 8, sortedBy = Seq("bucket"))
@@ -441,7 +452,7 @@ object Dedup {
       bucketBy = Seq("doc_id"), bucketCount = 8, sortedBy = Seq("doc_id"))
 
     // ---- daily probe
-    val batchSig = materialized(withSig(batch))
+    val batchSig = withSig(batch) // materialized inside (struct column)
     val cand = bandBuckets(batchSig).select($"bucket", $"doc_id".as("doc_a"))
       .join(idxBuckets.read().select($"bucket", $"doc_id".as("doc_b")), "bucket")
       .select($"doc_a", $"doc_b")

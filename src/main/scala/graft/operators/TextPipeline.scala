@@ -339,7 +339,9 @@ object TextPipeline {
         size($"kept").cast("long").as("n_kept"),
         concat_ws(" ", slice($"kept", 1, 10)).as("cleaned_head"))
       .withColumn("n_removed", $"n_tokens" - $"n_kept")
-      .orderBy($"doc_id")
+      // sortedResult (r19): the rebuild join + in-row filter stage otherwise
+      // runs twice (orderBy's range-sample job) — see operators package
+      .transform(t => sortedResult(t, "q_dedup_substring_spans.result")($"doc_id"))
   }
   val qDedupSubstringSpansSql: String =
     s"""WITH docs AS (

@@ -66,19 +66,53 @@ package object operators {
   private val liveHandles =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  def materialized(df: DataFrame): DataFrame = {
+  def materialized(df: DataFrame): DataFrame =
     // Dataset-level persist (columnar, compressed, codegen-scannable) beat
     // both alternatives in the round-14 A/B at sf0.1: eager localCheckpoint
     // serializes an extra job per call AND its blocks are non-replayable on
     // executor loss (round-13 verdict); an RDD[InternalRow].map(_.copy())
     // persist keeps lineage but stores per-row objects — measured 1.4-2×
     // slower than this spelling on q_dedup_minhash/_ngram.
-    val key = df.queryExecution.analyzed.canonicalized.semanticHash().toString
+    materialized(df, df.queryExecution.analyzed.canonicalized.semanticHash().toString)
+
+  /** `materialized` with an EXPLICIT registry key — for plans that embed a
+    * per-invocation driver-collected literal (e.g. q_dedup_ngram's
+    * stop-shingle array): their canonicalized plans differ on every
+    * invocation (Array equality is by reference), so the default key would
+    * never evict the previous invocation's handle and repeated runs would
+    * accumulate persisted blocks for the life of the session. A stable
+    * query-scoped key keeps the invariant: at most one live working set per
+    * intermediate, every invocation recomputes. */
+  def materialized(df: DataFrame, key: String): DataFrame = {
     Option(liveHandles.remove(key)).foreach(_.unpersist(blocking = false))
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     liveHandles.put(key, df)
     df
   }
+
+  /** Final total-order presentation sort over an in-region materialized
+    * child (r19). A global orderBy plans Exchange(rangepartitioning), whose
+    * RangePartitioner runs a SAMPLE job over the child before the sort job;
+    * upstream shuffle stages are reused between the two jobs, but every
+    * operator of the stage FEEDING the sort (final aggregation, broadcast
+    * probes, windows, NFA kernels) executes twice. Materializing the
+    * pre-sort result lets the sample job fill the cache and the sort job
+    * read it — the tail computes once. Same recompute discipline as
+    * `materialized` (keyed registry: each invocation evicts the previous
+    * one's blocks and recomputes from the inputs; nothing survives across
+    * runs).
+    *
+    * Applied ONLY where a bench-methodology A/B (solo per-query runs,
+    * alternated spellings, calibration-bracketed — OPTIMIZATION_r19.md
+    * "sort-boundary") showed a real win: q_dedup_ngram and
+    * q_dedup_substring_spans, whose pre-sort tails carry multi-cpu-second
+    * join/rescore stages. For the other nine sort-ending bench queries the
+    * cache build + registry churn cost MORE than the duplicated tail
+    * (match_recognize: cpu-flat, wall −10%; q1/q7/windows: wall −10..−25%)
+    * — a same-JVM interleaved tool A/B had claimed the opposite and was
+    * JIT-order-biased; trust the bench-methodology numbers. */
+  def sortedResult(df: DataFrame, key: String)(cols: org.apache.spark.sql.Column*): DataFrame =
+    materialized(df, key).orderBy(cols: _*)
 
   type Q = (SparkSession, String) => DataFrame
 }
