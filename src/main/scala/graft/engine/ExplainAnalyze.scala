@@ -23,6 +23,12 @@ object ExplainAnalyze {
   }
 
   private def collectMetrics(plan: SparkPlan): Seq[NodeMetrics] = {
+    // A multiply-consumed cached intermediate is scanned by several
+    // InMemoryTableScan nodes all sharing ONE InMemoryRelation; its
+    // cache-fill subtree executed once, so report it once (else a reader
+    // summing scan rows sees N× the real fill work).
+    val seenRelations = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[org.apache.spark.sql.execution.SparkPlan, java.lang.Boolean]())
     def walk(p: SparkPlan): Seq[NodeMetrics] = {
       val self = NodeMetrics(
         p.nodeName,
@@ -37,7 +43,8 @@ object ExplainAnalyze {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec => Seq(q.plan)
         case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          Seq(s.relation.cachedPlan)
+          if (seenRelations.add(s.relation.cachedPlan)) Seq(s.relation.cachedPlan)
+          else Seq.empty
         case other => other.children
       }
       self +: (kids.flatMap(walk) ++ p.subqueries.flatMap(walk))

@@ -160,10 +160,16 @@ object TextPipeline {
     // two longs per doc, the saving is one full kernel pass (r17 A/B:
     // 0.488 → 0.402 s; the skeleton floor — same scans, same sort, no
     // kernel — measures 0.325 s, see BASELINE.md)
+    // explicit registry key (r19): this plan embeds the per-invocation
+    // benchSet literal, so the default canonicalized-plan key would never
+    // evict the previous invocation's blocks — repeated runs would
+    // accumulate persisted working sets for the session lifetime (same
+    // leak class fixed for q_dedup_ngram's sortedResult).
     materialized(docs.filter($"doc_id" % 50 =!= 0)
       .select($"doc_id",
         arraySetCountDistinct(
-          shingleHashSeq(split($"text", " "), Gram), benchSet).as("hit_shingles")))
+          shingleHashSeq(split($"text", " "), Gram), benchSet).as("hit_shingles")),
+      "q_text_contamination.hits")
       .withColumn("contaminated", $"hit_shingles" > 0)
       .orderBy($"doc_id")
   }

@@ -49,6 +49,50 @@ class TextKernelFusionSpec extends SparkSpec {
     assertFusedMatchesLegacy(edge)
   }
 
+  test("keyed materialized evicts the previous invocation's cache entry") {
+    // plans embedding per-invocation driver-collected literals (ngram's
+    // stop-shingle array, contamination's bench set) canonicalize
+    // differently every run — the keyed registry must still evict the
+    // previous run's persisted working set (r19 review finding)
+    def mk(tag: Int) = {
+      import spark.implicits._
+      Seq((tag, "x")).toDF("id", "s").filter($"id" >= 0)
+    }
+    // fresh Dataset over the same logical plan → fresh QueryExecution →
+    // fresh cache substitution (a Dataset's own executedPlan is a lazy val
+    // and would report a stale pre-eviction answer)
+    def cachedFor(df: org.apache.spark.sql.DataFrame): Boolean =
+      org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, df.queryExecution.logical)
+        .queryExecution.executedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    val first = operators.materialized(mk(1), "fusion-spec.evict-test")
+    first.collect()
+    assert(cachedFor(first), "first invocation not cached")
+    val second = operators.materialized(mk(2), "fusion-spec.evict-test")
+    second.collect()
+    assert(!cachedFor(first),
+      "previous invocation's entry survived the keyed eviction")
+    assert(cachedFor(second), "second invocation not cached")
+    second.unpersist(blocking = false)
+  }
+
+  test("q_text_contamination repeated invocations do not accumulate cache entries") {
+    val a = operators.TextPipeline.q_text_contamination(spark, sfDir)
+    a.collect()
+    val b = operators.TextPipeline.q_text_contamination(spark, sfDir)
+    val rows = b.collect()
+    assert(rows.nonEmpty)
+    // the second invocation's keyed materialize must have evicted the
+    // first's entry: re-planning invocation A must find no cached subtree
+    // (its benchSet literal makes the plans canonically distinct, so
+    // without the explicit key the first entry would live forever)
+    val replanned = org.apache.spark.sql.graft.ColumnBridge
+      .ofRows(spark, a.queryExecution.logical).queryExecution.executedPlan
+    assert(!replanned.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      "first q_text_contamination invocation's cache entry leaked")
+  }
+
   test("q_dedup_minhash output is unchanged by the fusion (vs exact ngram pair set)") {
     // AnnSpec already asserts minhash == ngram; re-assert here so a fusion
     // regression is attributed to this change, not to LSH recall
